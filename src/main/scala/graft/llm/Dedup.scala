@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, at 100 TB posture:
+  * every variant is either a hash-groupBy or an LSH-style bucketed join —
+  * never an all-pairs comparison.
+  *
+  *  - exact: md5-groupBy of (optionally normalized) text
+  *  - minhashLsh: shingle → k-minhash signature → banded LSH buckets →
+  *    within-bucket candidate pairs → signature-similarity verify
+  *  - simhash: 64-bit fingerprint → band-16 pigeonhole buckets →
+  *    hamming-distance verify
+  *  - ngramJaccard: inverted-index join on distinct shingles (exact Jaccard;
+  *    the ground truth the approximate variants are tested against)
+  *  - embeddingNearDups: see [[Similarity.nearDuplicatePairs]]
+  */
+object Dedup {
+
+  /** Exact duplicate groups: hash-groupBy, representative = min(id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  normalized: Boolean = false): DataFrame = {
+    val key = if (normalized) TextFns.normalize(col(textCol)) else col(textCol)
+    docs.groupBy(md5(key.cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Near-duplicate fingerprint groups: md5 of the first `prefixLen` chars of
+    * the normalized text (cheap document fingerprinting; one shuffle). */
+  def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 64): DataFrame =
+    docs.groupBy(
+        md5(substring(TextFns.normalize(col(textCol)), 1, prefixLen).cast("binary"))
+          .as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via an inverted-index join on
+    * distinct shingles: shuffle keyed on the shingle (selective for n ≥ 3),
+    * intersection by count, sizes joined back. O(pairs sharing a shingle),
+    * not O(n²). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + banded LSH near-dup pairs.
+    *
+    * numHashes = bands * rowsPerBand. Candidates = pairs sharing any band
+    * bucket (hash of the band's signature slice); verified by estimated
+    * Jaccard = fraction of equal minhashes ≥ threshold. The only shuffles are
+    * the explode-groupBy on (band, bucket) and the final distinct — each
+    * bucket holds a handful of docs, so the join never goes quadratic.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("doc"), TextFns.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc"), TextFns.minhashSignature(col("sh"), k).as("sig"))
+
+    // band buckets: (bandIdx, xxhash64 of that signature slice)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")).as("bucket"))
+    }
+    val buckets = sig.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / (bands * rowsPerBand))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, pigeonhole-banded into
+    * four 16-bit chunks (a pair within hamming distance ≤ 3 of 64 bits must
+    * agree on at least one chunk), verified by exact popcount hamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc"),
+      TextFns.simhash64(TextFns.tokens(col(textCol))).as("fp"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val banded = fp.select(col("doc"), col("fp"), explode(array(chunks: _*)).as("cc"))
+      .select(col("doc"), col("fp"), col("cc.chunk"), col("cc.key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", TextFns.popcount64(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.llm
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an ARRAY<FLOAT> embedding column.
+  *
+  *  - [[bruteTopK]]: exact cosine top-k — one scan + TakeOrdered, the
+  *    correctness baseline.
+  *  - [[ivfTopK]]: IVF-style scale path — partition vectors by a coarse
+  *    centroid assignment, probe only the closest `nProbe` cells. Centroids
+  *    here come from the dataset's own cluster labels (deterministic); on a
+  *    real corpus they'd come from a k-means pass. The probe prunes the scan
+  *    to nProbe/nCells of the data — the property that matters at 100 TB.
+  *  - [[nearDuplicatePairs]]: blocked near-dup join — candidate pairs only
+  *    within a cell, never the full cross product.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against one query vector (given as a 1-row df
+    * with column `qe`). Broadcast the query; TakeOrderedAndProject does the
+    * global top-k without a full sort. */
+  def bruteTopK(emb: DataFrame, query: DataFrame, k: Int): DataFrame =
+    emb.crossJoin(broadcast(query))
+      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("qe")), 9))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+
+  /** Per-cell mean centroids, computed distributedly (posexplode → avg per
+    * (cell, dim) → re-assembled array). */
+  def centroids(emb: DataFrame, cellCol: String): DataFrame =
+    emb.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
+
+  /** IVF probe: rank cells by centroid cosine to the query, scan the top
+    * `nProbe` cells only, exact cosine within them. */
+  def ivfTopK(emb: DataFrame, query: DataFrame, cellCol: String,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroids(emb, cellCol)
+    val probed = cents.crossJoin(broadcast(query))
+      .withColumn("ccos", VectorFns.cosine(col("centroid"), col("qe")))
+      .orderBy(desc("ccos")).limit(nProbe)
+      .select("cell")
+    emb.join(broadcast(probed), col(cellCol) === col("cell"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("qe")), 9))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs: within-cell blocked self-join (the
+    * cell is the blocking key), cosine ≥ threshold. */
+  def nearDuplicatePairs(emb: DataFrame, cellCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col(cellCol).as("cell"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("a.embedding"), col("b.embedding")), 9))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket assignment: `nBits` sign bits from
+    * deterministic pseudo-random hyperplanes (seeded linear congruential
+    * values per (bit, dim) — no RNG state, reproducible across runs).
+    * Vectors in the same bucket are ANN candidates. */
+  def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
+    // deterministic "random" plane component for (bit b, dim d)
+    def plane(b: Int): Seq[Double] = (0 until dim).map { d =>
+      val x = (b.toLong * 2654435761L + d.toLong * 40503L + 12345L) & 0xffffffffL
+      (x.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
+    }
+    val bitCols = (0 until nBits).map { b =>
+      val dotP = (0 until dim)
+        .map(d => element_at(col("embedding"), d + 1).cast("double") * lit(plane(b)(d)))
+        .reduce(_ + _)
+      when(dotP > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    emb.withColumn("bucket", bitCols.reduce((a, b) => a.bitwiseOR(b)))
+  }
+}

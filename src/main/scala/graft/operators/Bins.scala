@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binning operators (SURVEY §2.2 P12 fixed bins, P13 quantile bins). */
+object Bins {
+  /** P12: fixed right-closed boundary bins, `pd.cut` semantics
+    * (customer_analytics_dag.py:88-92): value ≤ edge(i) → label(i),
+    * else last label. `labels.size == edges.size + 1`. */
+  def fixedBins(c: Column, edges: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.size == edges.size + 1, "labels must be edges+1")
+    val chain = edges.zip(labels).foldRight(lit(labels.last): Column) {
+      case ((edge, label), elseC) => when(c <= edge, label).otherwise(elseC)
+    }
+    // pd.cut maps NaN -> NaN; a naive CASE chain would fall through to the
+    // last label on NULL input, so guard explicitly.
+    when(c.isNull, lit(null).cast("string")).otherwise(chain)
+  }
+
+  /** P13: 4-tile (or k-tile) quantile bins via a rank window — the
+    * oracle-exact `pd.qcut`-alike. `tieBreak` must make the ordering total
+    * (e.g. the table's key) so bucket assignment is deterministic.
+    *
+    * NOTE (100 TB): `ntile` over an un-partitioned window is a global sort
+    * into one task — fine for the dimension-sized inputs it is used on here
+    * (part, per-customer aggregates); for fact-sized inputs use
+    * [[approxQuantileBins]], which is a 2-pass scan with no global sort.
+    */
+  def ntileBins(df: DataFrame, c: Column, tieBreak: Column, k: Int,
+                labels: Seq[String], out: String): DataFrame = {
+    require(labels.size == k)
+    val w = Window.orderBy(c.asc, tieBreak.asc)
+    val lbl = labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, i)) => when(col("__tile") === (i + 1), l).otherwise(acc)
+    }
+    df.withColumn("__tile", ntile(k).over(w))
+      .withColumn(out, lbl)
+      .drop("__tile")
+  }
+
+  /** Scale path for P13: approximate quantile edges (Greenwald-Khanna sketch,
+    * single pass, driver gets only k-1 doubles) + a broadcast CASE. Not
+    * oracle-exact on ties; used where data is fact-sized. */
+  def approxQuantileBins(df: DataFrame, colName: String, k: Int,
+                         labels: Seq[String], out: String,
+                         relErr: Double = 1e-4): DataFrame = {
+    require(labels.size == k)
+    val probs = (1 until k).map(_.toDouble / k).toArray
+    val edges = df.stat.approxQuantile(colName, probs, relErr)
+    df.withColumn(out, fixedBins(col(colName), edges.toSeq, labels))
+  }
+}

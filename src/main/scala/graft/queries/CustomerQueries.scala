@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Aggregates._
+import graft.operators.{Bins, Temporal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Customer-analytics queries (reference customer_analytics_dag.py →
+  * customer/orders/events per FIXTURES.md §B). All "today"-relative logic is
+  * pinned to `asOf = 2002-01-01` (SURVEY §7.4.2 — the reference's `now()` is
+  * nondeterministic by construction).
+  */
+object CustomerQueries {
+
+  private val asOf = "2002-01-01"
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** Customer dim: first purchase, tenure, P12 segment bins, P9 age formula
+    * (on first purchase date — the fixture schema has no birthdate). */
+  private def customerDim(s: SparkSession, dir: String): DataFrame = {
+    val firstOrder = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(to_date(min(col("o_orderdate"))).as("first_join_date"))
+    val asOfCol = lit(asOf).cast("date")
+    Tables.customer(s, dir)
+      .join(firstOrder, col("c_custkey") === col("o_custkey"), "left")
+      .drop("o_custkey")
+      .withColumn("customer_tenure_days",
+        Temporal.tenureDays(col("first_join_date"), asOfCol).cast("long"))
+      .withColumn("customer_segment",
+        Bins.fixedBins(col("customer_tenure_days"), Seq(365d, 730d, 1825d),
+          Seq("New", "Regular", "Loyal", "VIP")))
+      .withColumn("age_years",
+        Temporal.ageAt(col("first_join_date"), asOfCol).cast("long"))
+  }
+
+  private val customerDimSql =
+    s"""SELECT c.*, f.first_join_date,
+       |  CAST(date_diff('day', f.first_join_date, DATE '$asOf') AS BIGINT) AS customer_tenure_days,
+       |  CASE WHEN f.first_join_date IS NULL THEN NULL
+       |       WHEN date_diff('day', f.first_join_date, DATE '$asOf') <= 365 THEN 'New'
+       |       WHEN date_diff('day', f.first_join_date, DATE '$asOf') <= 730 THEN 'Regular'
+       |       WHEN date_diff('day', f.first_join_date, DATE '$asOf') <= 1825 THEN 'Loyal'
+       |       ELSE 'VIP' END AS customer_segment,
+       |  CAST(year(DATE '$asOf') - year(f.first_join_date) -
+       |    (CASE WHEN month(DATE '$asOf') < month(f.first_join_date)
+       |            OR (month(DATE '$asOf') = month(f.first_join_date)
+       |                AND day(DATE '$asOf') < day(f.first_join_date))
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS age_years
+       |FROM customer c LEFT JOIN (
+       |  SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS first_join_date
+       |  FROM orders GROUP BY 1) f
+       |ON c.c_custkey = f.o_custkey""".stripMargin
+
+  /** J3+A2 behavior: events ⋈ orders on the customer key (inner — the
+    * reference's IS NOT NULL post-filter makes its left join effectively
+    * inner), keeping the row multiplicity a customer's k orders induce
+    * (SURVEY §7.4.6), then per-customer distinct/count aggs. */
+  private def behavior(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("user_id") === col("o_custkey"))
+      .groupBy("user_id")
+      .agg(
+        countDistinct(col("o_orderkey")).as("total_sessions"),
+        count(col("event_id")).as("total_events"))
+      .withColumn("events_per_session", col("total_events") / col("total_sessions"))
+
+  private val behaviorSql =
+    """SELECT e.user_id,
+      |  COUNT(DISTINCT o.o_orderkey) AS total_sessions,
+      |  COUNT(e.event_id) AS total_events,
+      |  COUNT(e.event_id) / COUNT(DISTINCT o.o_orderkey) AS events_per_session
+      |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q12: customer dimension build (P9 age, P10 tenure, P12 bins)
+    QueryDef.sql("q12_customer_dim",
+      s"""WITH d AS ($customerDimSql)
+         |SELECT c_custkey, c_name, c_nationkey, first_join_date,
+         |       customer_tenure_days, customer_segment, age_years
+         |FROM d""".stripMargin) { (s, dir) =>
+      customerDim(s, dir).select("c_custkey", "c_name", "c_nationkey",
+        "first_join_date", "customer_tenure_days", "customer_segment", "age_years")
+    },
+
+    // ---- q13: per-location rollup (A1: count + avg age + avg tenure)
+    QueryDef.sql("q13_location_agg",
+      s"""WITH d AS ($customerDimSql)
+         |SELECT c_nationkey AS home_location,
+         |  COUNT(c_custkey) AS customer_count,
+         |  ${dsumSql("c_acctbal")}/COUNT(c_acctbal) AS avg_acctbal,
+         |  CAST(SUM(customer_tenure_days) AS DOUBLE)/COUNT(customer_tenure_days) AS avg_tenure_days
+         |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      customerDim(s, dir)
+        .groupBy(col("c_nationkey").as("home_location"))
+        .agg(
+          count(col("c_custkey")).as("customer_count"),
+          davg(col("c_acctbal")).as("avg_acctbal"),
+          (sum(col("customer_tenure_days")).cast("double") /
+            count(col("customer_tenure_days"))).as("avg_tenure_days"))
+    },
+
+    // ---- q14: clickstream behavior (J3 big join + A2 countDistinct + P8 ratio)
+    QueryDef.sql("q14_customer_behavior", behaviorSql) { (s, dir) => behavior(s, dir) },
+
+    // ---- q15: behavior x segment rollup (J4 + segment-level means)
+    QueryDef.sql("q15_behavior_by_segment",
+      s"""WITH d AS ($customerDimSql), b AS ($behaviorSql)
+         |SELECT d.customer_segment,
+         |  COUNT(*) AS users,
+         |  CAST(SUM(b.total_events) AS DOUBLE)/COUNT(b.total_events) AS avg_events,
+         |  CAST(SUM(CAST(b.events_per_session AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(b.events_per_session) AS avg_events_per_session
+         |FROM b LEFT JOIN d ON b.user_id = d.c_custkey
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      behavior(s, dir)
+        .join(customerDim(s, dir).select(col("c_custkey"), col("customer_segment")),
+          col("user_id") === col("c_custkey"), "left")
+        .groupBy("customer_segment")
+        .agg(
+          count(lit(1)).as("users"),
+          (sum(col("total_events")).cast("double") / count(col("total_events"))).as("avg_events"),
+          (sum(col("events_per_session").cast(DecimalType(18, 6))).cast("double") /
+            count(col("events_per_session"))).as("avg_events_per_session"))
+    },
+
+    // ---- q16: value counts (A14/T2 — top-10 event types)
+    QueryDef.sql("q16_event_type_counts",
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 10""".stripMargin) { (s, dir) =>
+      valueCounts(Tables.events(s, dir), "event_type", 10)
+    },
+
+    // ---- q20: fixed-boundary bins (P12 standalone, pd.cut semantics)
+    QueryDef.sql("q20_fixed_bins",
+      s"""SELECT CASE WHEN c_acctbal IS NULL THEN NULL
+         |            WHEN c_acctbal <= 2500 THEN 'Low'
+         |            WHEN c_acctbal <= 5000 THEN 'Mid'
+         |            WHEN c_acctbal <= 7500 THEN 'High'
+         |            ELSE 'Top' END AS balance_band,
+         |  COUNT(*) AS customers,
+         |  ${dsumSql("c_acctbal")} AS total_balance
+         |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("balance_band",
+          Bins.fixedBins(col("c_acctbal"), Seq(2500d, 5000d, 7500d), Seq("Low", "Mid", "High", "Top")))
+        .groupBy("balance_band")
+        .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("total_balance"))
+    },
+
+    // ---- q24: JSON field extraction (S5 — event_metadata equivalent)
+    QueryDef.sql("q24_json_extract",
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("long").as("k_val"))
+        .orderBy("event_id").limit(1000)
+    },
+
+    // ---- q29: dataset profiling (A13 — complete_analyzer.py parity)
+    QueryDef.sql("q29_profile_orders",
+      s"""SELECT COUNT(*) AS total_rows,
+         |  COUNT(DISTINCT o_custkey) AS distinct_customers,
+         |  COUNT(DISTINCT o_orderstatus) AS distinct_statuses,
+         |  COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_dates,
+         |  CAST(MIN(o_orderdate) AS DATE) AS min_date,
+         |  CAST(MAX(o_orderdate) AS DATE) AS max_date,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("total_rows"),
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        countDistinct(col("o_orderstatus")).as("distinct_statuses"),
+        count(when(col("o_orderdate").isNull, 1)).as("null_dates"),
+        to_date(min(col("o_orderdate"))).as("min_date"),
+        to_date(max(col("o_orderdate"))).as("max_date"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"))
+    },
+
+    // ---- q30: event-time tumbling windows (ST1 batch parity; the streaming
+    // variant over the same agg is covered in streaming/Events + tests)
+    QueryDef.sql("q30_event_windows",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
+        |  COUNT(*) AS events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          to_date(date_trunc("DAY", col("ts"))).as("window_day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("events"), dsum(col("value")).as("total_value"))
+    }
+  )
+}

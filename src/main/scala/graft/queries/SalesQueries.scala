@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Aggregates._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sales-analytics queries (reference sales_analytics_dag.py →
+  * orders/lineitem per FIXTURES.md §B mapping). Money aggregates go through
+  * exact decimals (see [[graft.operators.Aggregates]]) so results are
+  * bit-identical to the DuckDB oracle regardless of partitioning.
+  */
+object SalesQueries {
+
+  /** Exact decimal sum fragments for oracle SQL. */
+  private val dsumSql  = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private val dsum6Sql = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q01: pricing summary (A-class flagship aggregation; TPC-H Q1 shape)
+    // Covers: S1 scan, P2 filter, A-aggs (sum/avg/count), multi-key groupBy.
+    QueryDef.sql("q01_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  SUM(l_quantity) AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsum6Sql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_quantity")}/COUNT(l_quantity) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")}/COUNT(l_extendedprice) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- q02: daily sales (A8, P15, P17-equivalent per-order totals)
+    // sales_analytics_dag.py:102-109 semantics on orders+lineitem.
+    QueryDef.sql("q02_daily_sales",
+      s"""WITH per_order AS (
+         |  SELECT l_orderkey, SUM(l_quantity) AS items,
+         |         SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS promo
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT CAST(o.o_orderdate AS DATE) AS sale_date,
+         |  COUNT(o.o_orderkey) AS total_transactions,
+         |  ${dsumSql("o.o_totalprice")} AS total_sales,
+         |  SUM(COALESCE(p.items, 0)) AS total_items,
+         |  CAST(SUM(COALESCE(p.promo, 0)) AS DOUBLE) AS total_promo
+         |FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val perOrder = Tables.lineitem(s, dir).groupBy("l_orderkey").agg(
+        sum("l_quantity").as("items"),
+        sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 6))).as("promo"))
+      Tables.orders(s, dir)
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+        .agg(
+          count(col("o_orderkey")).as("total_transactions"),
+          dsum(col("o_totalprice")).as("total_sales"),
+          sum(coalesce(col("items"), lit(0))).as("total_items"),
+          sum(coalesce(col("promo"), lit(0).cast(DecimalType(18, 6)))).cast("double").as("total_promo"))
+    },
+
+    // ---- q03: payment-method analysis (A9) keyed on o_orderpriority
+    QueryDef.sql("q03_payment_analysis",
+      s"""WITH per_order AS (
+         |  SELECT l_orderkey, SUM(l_quantity) AS items FROM lineitem GROUP BY l_orderkey)
+         |SELECT o.o_orderpriority AS payment_method,
+         |  COUNT(o.o_orderkey) AS transaction_count,
+         |  ${dsumSql("o.o_totalprice")} AS total_amount,
+         |  SUM(COALESCE(p.items, 0)) AS total_items
+         |FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val perOrder = Tables.lineitem(s, dir).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("items"))
+      Tables.orders(s, dir)
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority").as("payment_method"))
+        .agg(
+          count(col("o_orderkey")).as("transaction_count"),
+          dsum(col("o_totalprice")).as("total_amount"),
+          sum(coalesce(col("items"), lit(0))).as("total_items"))
+    },
+
+    // ---- q04: promo effectiveness (A10: notna filter + agg + post-agg ratio)
+    QueryDef.sql("q04_promo_effectiveness",
+      s"""SELECT l_returnflag AS promo_code,
+         |  COUNT(*) AS usage_count,
+         |  ${dsum6Sql("l_extendedprice*l_discount")} AS total_promo_amount,
+         |  ${dsumSql("l_extendedprice")} AS total_sales,
+         |  ${dsum6Sql("l_extendedprice*l_discount")} / ${dsumSql("l_extendedprice")} * 100
+         |    AS avg_discount_ratio
+         |FROM lineitem WHERE l_discount > 0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_discount") > 0)
+        .groupBy(col("l_returnflag").as("promo_code"))
+        .agg(
+          count(lit(1)).as("usage_count"),
+          dsum6(col("l_extendedprice") * col("l_discount")).as("total_promo_amount"),
+          dsum(col("l_extendedprice")).as("total_sales"))
+        .withColumn("avg_discount_ratio",
+          col("total_promo_amount") / col("total_sales") * 100)
+    },
+
+    // ---- q05: customer LTV (A11 multi-agg + Q-ltv derived metrics,
+    // incl. the lifetime==0 -> 1 divisor, sales_analytics_dag.py:188-191)
+    QueryDef.sql("q05_customer_ltv",
+      s"""WITH base AS (
+         |  SELECT o_custkey AS customer_id,
+         |    COUNT(o_orderkey) AS frequency,
+         |    ${dsumSql("o_totalprice")} AS total_spent,
+         |    ${dsumSql("o_totalprice")}/COUNT(o_totalprice) AS avg_order_value,
+         |    CAST(MIN(o_orderdate) AS DATE) AS first_purchase,
+         |    CAST(MAX(o_orderdate) AS DATE) AS last_purchase
+         |  FROM orders GROUP BY 1)
+         |SELECT *,
+         |  CAST(date_diff('day', first_purchase, last_purchase) AS BIGINT) AS customer_lifetime_days,
+         |  frequency / (CASE WHEN date_diff('day', first_purchase, last_purchase) = 0 THEN 1
+         |               ELSE date_diff('day', first_purchase, last_purchase) END) AS purchase_rate,
+         |  avg_order_value * (frequency / (CASE WHEN date_diff('day', first_purchase, last_purchase) = 0
+         |    THEN 1 ELSE date_diff('day', first_purchase, last_purchase) END)) * 365 AS customer_ltv
+         |FROM base""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("customer_id"))
+        .agg(
+          count(col("o_orderkey")).as("frequency"),
+          dsum(col("o_totalprice")).as("total_spent"),
+          davg(col("o_totalprice")).as("avg_order_value"),
+          to_date(min(col("o_orderdate"))).as("first_purchase"),
+          to_date(max(col("o_orderdate"))).as("last_purchase"))
+      val lifetime = datediff(col("last_purchase"), col("first_purchase"))
+      val divisor  = when(lifetime === 0, 1).otherwise(lifetime)
+      base
+        .withColumn("customer_lifetime_days", lifetime.cast("long"))
+        .withColumn("purchase_rate", col("frequency") / divisor)
+        .withColumn("customer_ltv",
+          col("avg_order_value") * (col("frequency") / divisor) * 365)
+    },
+
+    // ---- q18: temporal feature extraction (P14 hour/dayname/month/year)
+    QueryDef.sql("q18_temporal_features",
+      """SELECT CAST(year(ts) AS BIGINT) AS event_year,
+        |  CAST(month(ts) AS BIGINT) AS event_month,
+        |  dayname(ts) AS event_day,
+        |  CAST(hour(ts) AS BIGINT) AS event_hour,
+        |  COUNT(*) AS event_count
+        |FROM events GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(
+          year(col("ts")).cast("long").as("event_year"),
+          month(col("ts")).cast("long").as("event_month"),
+          date_format(col("ts"), "EEEE").as("event_day"),
+          hour(col("ts")).cast("long").as("event_hour"))
+        .agg(count(lit(1)).as("event_count"))
+    },
+
+    // ---- q19: transaction-size quantile bins (P13, pd.qcut-alike via ntile)
+    QueryDef.sql("q19_txn_size_bins",
+      s"""WITH t AS (
+         |  SELECT o_totalprice,
+         |         NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+         |  FROM orders)
+         |SELECT CASE tile WHEN 1 THEN 'Small' WHEN 2 THEN 'Medium'
+         |                 WHEN 3 THEN 'Large' ELSE 'Extra Large' END AS transaction_size,
+         |  COUNT(*) AS txn_count,
+         |  ${dsumSql("o_totalprice")} AS total_amount
+         |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
+      val binned = graft.operators.Bins.ntileBins(
+        Tables.orders(s, dir), col("o_totalprice"), col("o_orderkey"), 4,
+        Seq("Small", "Medium", "Large", "Extra Large"), "transaction_size")
+      binned.groupBy("transaction_size")
+        .agg(count(lit(1)).as("txn_count"), dsum(col("o_totalprice")).as("total_amount"))
+    },
+
+    // ---- q23: datetime <-> string round-trip (P20/P7 serialization edges)
+    QueryDef.sql("q23_date_roundtrip",
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date_str,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS order_date_rt
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_date_str"))
+        .withColumn("order_date_rt", to_timestamp(col("order_date_str"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("o_orderkey").limit(1000)
+    },
+
+    // ---- q25: semi-join filter (P4/J6 — keep facts of qualifying keys only)
+    QueryDef.sql("q25_semi_join_filter",
+      """SELECT COUNT(*) AS line_count, SUM(l_quantity) AS total_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_orderkey = l_orderkey AND o_totalprice > 400000)""".stripMargin) { (s, dir) =>
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      Tables.lineitem(s, dir)
+        .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("line_count"), sum("l_quantity").as("total_qty"))
+    }
+  )
+}

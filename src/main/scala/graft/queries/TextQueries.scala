@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.llm.{Dedup, TextStats}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text queries over the `documents` table: dedup family,
+  * quality/statistics features, language ID, token counting, fingerprinting.
+  * Oracle SQL mirrors the exact same shingle/token definitions in DuckDB;
+  * the hash-family-dependent variants (MinHash, SimHash) are rows-only here
+  * and are property-tested against the exact-Jaccard ground truth in
+  * src/test (DedupSpec).
+  */
+object TextQueries {
+
+  // DuckDB token/shingle fragments — must match TextFns.tokens/shingles.
+  private val ws = "\\s"   // literal \s for use inside s-interpolated SQL
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  private def shinglesSql(toks: String) =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-2, 0)),
+       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q40: exact dedup groups (hash-groupBy; count 1 groups included so
+    // the result is non-trivially checkable even on an all-distinct corpus)
+    QueryDef.sql("q40_dedup_exact",
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // ---- q41: fingerprint near-dup groups (normalized 64-char prefix md5)
+    QueryDef.sql("q41_dedup_fingerprint",
+      """SELECT md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS fingerprint,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (s, dir) =>
+      Dedup.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text", 64)
+        .filter(col("dup_count") > 1)
+    },
+
+    // ---- q42: exact trigram-Jaccard near-dup pairs (inverted-index join)
+    QueryDef.sql("q42_dedup_ngram_jaccard",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+    },
+
+    // ---- q43: MinHash + banded LSH near-dup pairs (rows-only: hash family
+    // is engine-specific; recall/precision vs q42 asserted in DedupSpec)
+    QueryDef.rowsOnly("q43_dedup_minhash_lsh") { (s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        bands = 8, rowsPerBand = 4, threshold = 0.7)
+    },
+
+    // ---- q44: SimHash near-dup pairs (rows-only, verified in DedupSpec)
+    QueryDef.rowsOnly("q44_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    },
+
+    // ---- q48: text quality stats
+    QueryDef.sql("q48_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9$ws]')) AS BIGINT) AS n_bpeish_tokens,
+         |  CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len($toksSql) AS avg_token_len,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+         |  CAST(len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stopword_hits,
+         |  CAST(len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |    / len($toksSql) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.stats(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ---- q49: language-ID heuristic (stopword profiles, deterministic argmax)
+    QueryDef.sql("q49_lang_id", {
+      val scoreSql = TextStats.langProfiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($toksSql, t -> t IN ($set))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextStats.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN s_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH scored AS (SELECT doc_id, $scoreSql FROM documents)
+         |SELECT *, $caseExpr AS predicted_lang FROM scored""".stripMargin
+    }) { (s, dir) =>
+      TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // ---- q50: token counting (whitespace + BPE-ish regex)
+    QueryDef.sql("q50_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9$ws]')) AS BIGINT) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+      t.select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(lower(col("text")), lit(TextStats.bpeishPattern), lit(0)))
+            .cast("long").as("bpeish_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q51: multimodal binary-column plumbing (payload bytes + stub-decoded
+    // metadata; octet_length is UTF-8 bytes in both engines)
+    QueryDef.sql("q51_multimodal_meta",
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS num_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST((octet_length(encode(text)) // 640) % 480 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val bytes = octet_length(col("text")).cast("long")
+      Tables.documents(s, dir).select(
+          col("doc_id").as("id"),
+          bytes.as("num_bytes"),
+          (bytes % 640 + 1).as("width"),
+          (floor(bytes / 640) % 480 + 1).as("height"))
+        .orderBy("id")
+    }
+  )
+}

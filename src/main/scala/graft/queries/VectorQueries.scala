@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFns
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table (ARRAY<FLOAT>, 64
+  * dims). Dot products accumulate in DECIMAL (VectorFns) so the Spark plan
+  * and the DuckDB oracle produce bit-identical doubles.
+  */
+object VectorQueries {
+
+  /** DuckDB exact dot product of two FLOAT[] columns (decimal accumulation,
+    * mirrors VectorFns.dot). */
+  private def dotSql(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(generate_series(1, 64),
+       |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(20,15)))) AS DOUBLE)""".stripMargin
+  // DuckDB's decimal->double conversion can differ from the JVM's by 1 ULP
+  // (it is not correctly rounded), so final metrics are rounded to 9 digits
+  // on both sides.
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q45: vector norms (HOF plumbing check — exact against DuckDB)
+    QueryDef.sql("q45_embedding_norms",
+      s"""SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+         |  round(sqrt(${dotSql("embedding", "embedding")}), 9) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(VectorFns.norm(col("embedding")), 9).as("l2_norm"))
+        .orderBy("vec_id")
+    },
+
+    // ---- q46: brute-force cosine top-k ANN baseline (query = vec_id 0)
+    QueryDef.sql("q46_ann_brute_topk",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cosine
+         |FROM embeddings e, q
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Similarity.bruteTopK(emb, query, 20)
+    },
+
+    // ---- q47: IVF-probed ANN (scale path; recall vs q46 asserted in
+    // SimilaritySpec — oracle omitted, centroid floats are plan-internal)
+    QueryDef.rowsOnly("q47_ann_ivf_topk") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Similarity.ivfTopK(emb, query, "label", k = 20, nProbe = 3)
+    },
+
+    // ---- q52: embedding near-duplicate pairs (blocked by cluster label)
+    QueryDef.sql("q52_embedding_near_dups",
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin) { (s, dir) =>
+      Similarity.nearDuplicatePairs(Tables.embeddings(s, dir), "label", 0.4)
+    },
+
+    // ---- q53: LSH bucket histogram (random-hyperplane bucketing — the
+    // bucket ids depend on the plane family, so rows-only + SimilaritySpec)
+    QueryDef.rowsOnly("q53_ann_lsh_buckets") { (s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), nBits = 12)
+        .groupBy("bucket").agg(count(lit(1)).as("vectors"))
+        .orderBy(desc("vectors"), asc("bucket"))
+    }
+  )
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: compare Verify.scala's
+parquet dumps against the DuckDB oracle SQL, per query.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        spark_df = duckdb.connect().execute(
+            f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracles:
+            results[name] = {"rows": len(spark_df), "oracle": None,
+                             "ok": len(spark_df) > 0}
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            results[name] = {"error": f"oracle failed: {e}"}
+            continue
+        a, b = canon(spark_df), canon(duck_df)
+        schema_ok = list(a.columns) == list(b.columns)
+        rows_ok = len(a) == len(b)
+        hash_ok = False
+        detail = ""
+        if schema_ok and rows_ok:
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                              check_exact=True)
+                hash_ok = True
+            except AssertionError as e:
+                detail = str(e).split("\n")[0][:200]
+        else:
+            detail = (f"spark cols={list(a.columns)} rows={len(a)} vs "
+                      f"duck cols={list(b.columns)} rows={len(b)}")[:300]
+        results[name] = {"rows": len(a), "schema": schema_ok,
+                         "rowcount": rows_ok, "exact": hash_ok,
+                         "detail": detail}
+    ok = sum(1 for r in results.values()
+             if r.get("exact") or (r.get("oracle") is None and r.get("ok")))
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n== {ok}/{len(results)} green")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
