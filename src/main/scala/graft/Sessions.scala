@@ -18,6 +18,10 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE re-plans at runtime: broadcast-after-stats, skew-join splitting.
       .config("spark.sql.adaptive.enabled", "true")
+      // managed tables (S9/S12 warehouse queries) land in scratch space,
+      // never in the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   def local(cpus: String): SparkSession = {
     val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()

@@ -23,6 +23,9 @@ object Baskets {
   /** S5: parse a JSON item-array column. */
   def parseItems(jsonCol: Column): Column = from_json(jsonCol, itemSchema)
 
+  /** S5 with a caller-supplied item schema (e.g. double-typed prices). */
+  def parseItems(jsonCol: Column, schema: ArrayType): Column = from_json(jsonCol, schema)
+
   /** U1: one row per order item with `total_value = quantity*item_price`. */
   def explodeItems(df: DataFrame, items: Column, keep: Seq[Column]): DataFrame =
     df.select(keep :+ explode(items).as("item"): _*)

@@ -1,0 +1,216 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.llm.Multimodal
+import graft.operators.{Baskets, Cleaning}
+import graft.operators.Aggregates._
+import graft.sources.{Csv, Generator, Sampling, Warehouse}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink/cleaning/sampling operator queries (SURVEY §2.1 S-ops, §2.2
+  * P3/P6/P7, §2.6 T5). Round-trip queries write to a scratch dir and read
+  * back, then aggregate — the oracle computes the same aggregate straight
+  * from the parquet tables, so a green row proves the values survived the
+  * sink+scan intact.
+  */
+object SourceQueries {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-io/$name"
+
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private val ordersCsvSchema = new StructType()
+    .add("o_orderkey", LongType).add("o_custkey", LongType)
+    .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+    .add("o_orderdate", TimestampType).add("o_orderpriority", StringType)
+
+  private val partCsvSchema = new StructType()
+    .add("p_partkey", LongType).add("p_name", StringType)
+    .add("p_brand", StringType).add("p_type", StringType)
+    .add("p_size", IntegerType).add("p_retailprice", DoubleType)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q31: CSV sink + explicit-schema scan round-trip (S1+S10)
+    QueryDef.sql("q31_csv_roundtrip",
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  CAST(MIN(o_orderdate) AS DATE) AS min_day,
+         |  CAST(MAX(o_orderdate) AS DATE) AS max_day
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val path = scratch("q31_orders_csv")
+      Csv.write(Tables.orders(s, dir), path)
+      Csv.read(s, path, ordersCsvSchema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+          to_date(min(col("o_orderdate"))).as("min_day"),
+          to_date(max(col("o_orderdate"))).as("max_day"))
+    },
+
+    // ---- q32: malformed-record-tolerant scan (S4) — good lines from part
+    // plus injected garbage rows; DROPMALFORMED must recover exactly part
+    QueryDef.sql("q32_malformed_scan",
+      s"""SELECT COUNT(*) AS cnt, SUM(p_size) AS total_size,
+         |  ${dsumSql("p_retailprice")} AS total_price
+         |FROM part""".stripMargin) { (s, dir) =>
+      val path = scratch("q32_part_csv")
+      val header = s.range(1).select(
+        lit("p_partkey,p_name,p_brand,p_type,p_size,p_retailprice").as("line"),
+        lit(0L).as("ord"))
+      val good = Tables.part(s, dir).select(
+        concat_ws(",", col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), col("p_retailprice")).as("line"),
+        lit(1L).as("ord"))
+      val bad = s.range(3).select(
+        concat(lit("bad_id_"), col("id"), lit(",x,y,z,not_an_int,not_a_double")).as("line"),
+        lit(2L).as("ord"))
+      header.unionByName(good).unionByName(bad)
+        .orderBy("ord").select("line")
+        .coalesce(1).write.mode("overwrite").text(path)
+      Csv.readTolerant(s, path, partCsvSchema)
+        .agg(count(lit(1)).as("cnt"), sum("p_size").as("total_size"),
+          dsum(col("p_retailprice")).as("total_price"))
+    },
+
+    // ---- q33: JSON sink + scan round-trip (S13)
+    QueryDef.sql("q33_json_roundtrip",
+      s"""SELECT event_type, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |  SUM(user_id) AS user_sum
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val path = scratch("q33_events_json")
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(path)
+      s.read.schema(new StructType()
+          .add("event_id", LongType).add("user_id", LongType)
+          .add("event_type", StringType).add("value", DoubleType))
+        .json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"),
+          sum("user_id").as("user_sum"))
+    },
+
+    // ---- q34: idempotent insert / upsert-lite (S11 — ON CONFLICT DO
+    // NOTHING): incoming conflict rows must NOT replace base rows
+    QueryDef.sql("q34_upsert",
+      s"""WITH upserted AS (
+         |  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+         |  UNION ALL
+         |  SELECT c_custkey, -1.0 AS c_acctbal FROM customer
+         |  WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0)
+         |SELECT COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS total_bal,
+         |  SUM(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS inserted_rows
+         |FROM upserted""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
+      val base = cust.filter(col("c_custkey") % 3 =!= 0)
+      val incoming = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", lit(-1.0))
+      Warehouse.upsertPlan(base, incoming, Seq("c_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("total_bal"),
+          sum(when(col("c_acctbal") === -1.0, 1).otherwise(0)).as("inserted_rows"))
+    },
+
+    // ---- q35: catalog DDL + overwrite table write/read (S9+S12)
+    QueryDef.sql("q35_ddl_warehouse",
+      """SELECT r.r_name, COUNT(*) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      Warehouse.overwriteTable(Tables.nation(s, dir), "graft_wh.nation_snap")
+      s.table("graft_wh.nation_snap")
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("nations"))
+    },
+
+    // ---- q36: referential sampler (T5+J6) — Spark RNG ≠ pandas RNG, so
+    // rows-only here; closure/fraction properties asserted in SamplingSpec
+    QueryDef.rowsOnly("q36_referential_sample") { (s, dir) =>
+      val sampledCust = Sampling.sampleDim(Tables.customer(s, dir), 0.1, seed = 42)
+      val closedOrders = Sampling.closeOver(Tables.orders(s, dir), "o_custkey",
+        sampledCust, "c_custkey")
+      val closedLines = Sampling.closeOver(Tables.lineitem(s, dir), "l_orderkey",
+        closedOrders, "o_orderkey")
+      sampledCust.agg(count(lit(1)).as("sampled_customers"))
+        .crossJoin(closedOrders.agg(count(lit(1)).as("closed_orders")))
+        .crossJoin(closedLines.agg(count(lit(1)).as("closed_lineitems")))
+    },
+
+    // ---- q37: product cleaning (P3 range filter + P6 fillna + P7 coerce) —
+    // nulls injected deterministically so the fill defaults are observable
+    QueryDef.sql("q37_product_cleaning",
+      """SELECT COALESCE(NULLIF(p_brand, 'Brand#45'), 'Unknown') AS brand,
+        |  COALESCE(NULLIF(p_size, 25), 0) AS size,
+        |  COUNT(*) AS cnt
+        |FROM part
+        |WHERE TRY_CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) IS NOT NULL
+        |  AND p_partkey BETWEEN -2147483648 AND 2147483647
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val dirty = Tables.part(s, dir)
+        .withColumn("p_partkey", Cleaning.coerce(col("p_partkey"), "bigint"))
+        .withColumn("p_brand", nullif(col("p_brand"), lit("Brand#45")))
+        .withColumn("p_size", nullif(col("p_size"), lit(25)))
+      Cleaning.fillDefaults(dirty.filter(Cleaning.validId(col("p_partkey"))),
+          Map("p_brand" -> "Unknown", "p_size" -> 0))
+        .groupBy(col("p_brand").as("brand"), col("p_size").as("size"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // ---- q38: synthetic event generator (S8) — deterministic hash-derived
+    // batch; shape-checked here (rows-only), value properties in GeneratorSpec
+    QueryDef.rowsOnly("q38_synthetic_events") { (s, dir) =>
+      val clicks = Generator.clickBatch(s, 10000, seed = 42, startTs = 1700000000L)
+      clicks.groupBy("event_type", "traffic_source")
+        .agg(count(lit(1)).as("events"),
+          count(col("event_metadata")).as("with_metadata"))
+        .orderBy("event_type", "traffic_source")
+    },
+
+    // ---- q39: JSON basket parse + explode + totals (S5+U1+P17) — items are
+    // serialized to the reference's product_metadata JSON shape, parsed back
+    // with from_json, and reduced; oracle computes straight from lineitem
+    QueryDef.sql("q39_basket_json_parse",
+      """SELECT l_orderkey AS order_id,
+        |  SUM(l_quantity) AS total_items,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_product_value,
+        |  COUNT(*) AS num_unique_products
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val itemSchema = ArrayType(new StructType()
+        .add("product_id", LongType).add("quantity", DoubleType)
+        .add("item_price", DoubleType))
+      val asJson = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("order_id"))
+        .agg(to_json(collect_list(struct(
+          col("l_partkey").as("product_id"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("item_price")))).as("product_metadata"))
+      val items = Baskets.parseItems(col("product_metadata"), itemSchema)
+      asJson.select(
+        col("order_id"),
+        aggregate(items, lit(0.0), (acc, x) => acc + x.getField("quantity")).as("total_items"),
+        aggregate(items, lit(BigDecimal(0)).cast(DecimalType(18, 6)),
+          (acc, x) => (acc + (x.getField("quantity") * x.getField("item_price"))
+            .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)))
+          .cast("double").as("total_product_value"),
+        size(items).cast("long").as("num_unique_products"))
+    },
+
+    // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
+    // mapPartitions path; STUB codec per the build brief, plumbing real)
+    QueryDef.sql("q54_frame_sampling",
+      """WITH m AS (SELECT doc_id AS id,
+        |    octet_length(encode(text)) % 30 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT id, unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+        |FROM m""".stripMargin) { (s, dir) =>
+      val payloads = Multimodal.withBinaryPayload(
+        Tables.documents(s, dir), "doc_id", "text", "video")
+      val meta = Multimodal.decodeBatched(payloads).toDF()
+      Multimodal.sampleFrames(meta, everyK = 5)
+        .select(col("id"), col("frame_idx").cast("long"))
+    }
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV source/sink (SURVEY §2.1 S1/S4/S10).
+  *
+  * The reference lands CSVs with pandas `read_csv` (inference, chunking,
+  * `on_bad_lines='skip'`, `escapechar='\\'` — data_sampling.py:110-135) and
+  * writes them back with `QUOTE_ALL` (clean_product_v2.py:63). Here both
+  * directions are declarative: explicit `StructType` for deterministic
+  * schemas (S1), `DROPMALFORMED` for tolerant scans (S4), and Spark's
+  * input-split parallelism replaces the 100k-row chunk loop (S2) — a single
+  * scan is already bounded-memory and parallel.
+  */
+object Csv {
+
+  /** S1: whole-file scan with an explicit schema (header row skipped). */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .schema(schema)
+      .csv(path)
+
+  /** S4: malformed-record-tolerant scan — rows that fail the schema are
+    * dropped, mirroring `on_bad_lines='skip'` + `escapechar='\\'`. */
+  def readTolerant(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("escape", "\\")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .schema(schema)
+      .csv(path)
+
+  /** S10: CSV sink, header + QUOTE_ALL (clean_product_v2.py:63 parity). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+      .csv(path)
+}

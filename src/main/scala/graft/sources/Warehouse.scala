@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse-zone management (SURVEY §2.1 S9/S11/S12).
+  *
+  * The reference's warehouse is Postgres schemas created by DDL
+  * (init_db.py:35-122) and written with `to_sql(if_exists='replace')`
+  * (customer_analytics_dag.py:145-151). Spark-side: catalog databases +
+  * `saveAsTable(Overwrite)`; its Postgres btree indexes become partition
+  * pruning (no index structure needed). Upsert-lite (`INSERT .. ON CONFLICT
+  * DO NOTHING`, test_db.py:53-65) is anti-join + append — at scale this is
+  * one shuffle on the key, and with a Delta-style sink it would be `MERGE
+  * WHEN NOT MATCHED`.
+  */
+object Warehouse {
+
+  /** S12: CREATE DATABASE IF NOT EXISTS (schema-zone DDL parity). */
+  def ensureDatabase(spark: SparkSession, db: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+
+  /** S9: full-refresh write — `to_sql(if_exists='replace')` parity.
+    * The session catalog is per-JVM but the warehouse dir is not: an
+    * orphaned location from a previous process blocks CREATE, so clear
+    * both the catalog entry and the directory first. */
+  def overwriteTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val parts = table.split("\\.")
+    if (parts.length == 2) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/${parts(0)}.db/${parts(1)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** S9 at scale: date-partitioned overwrite for fact tables, so daily
+    * reprocessing rewrites only the affected partitions and readers get
+    * partition pruning on the date key. */
+  def overwritePartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partitionCol)
+      .saveAsTable(table)
+
+  /** S11: idempotent insert — keep existing rows, append only incoming rows
+    * whose key is not already present (ON CONFLICT DO NOTHING semantics).
+    * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating
+    * storage, so callers can route it to any sink. */
+  def upsertPlan(base: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    base.unionByName(
+      incoming.join(base.select(keys.map(base(_)): _*), keys, "left_anti"))
+}

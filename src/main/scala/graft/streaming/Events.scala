@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming surface (SURVEY §2.10 ST1).
+  *
+  * The reference has no streaming runtime — its daily DAG cadence is a
+  * tumbling 1-day batch (README roadmap defers Kafka). Here the same
+  * aggregations run incrementally: event-time tumbling windows with a
+  * watermark bound the state store, so the query runs forever at constant
+  * memory. The transform functions below are stream/batch agnostic — the
+  * parity test (StreamingSpec) runs the identical plan over a MemoryStream
+  * and over the same rows as a batch and asserts equal results.
+  */
+object Events {
+
+  /** A8-as-stream: tumbling-window event counts + value totals per type.
+    * Works unchanged on a batch or streaming DataFrame with (ts, event_type,
+    * value). The watermark caps state: windows older than `lateness` are
+    * finalized and evicted. */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLen: String = "1 day",
+                         lateness: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("events"), col("total_value"))
+  }
+
+  /** A2-as-stream: per-user distinct-ish activity. True countDistinct is
+    * unsupported in streaming aggregation, so the stream path counts via
+    * approx_count_distinct — the documented trade: constant-size HLL state
+    * per (window, user) vs an unbounded exact set. */
+  def windowedUserActivity(events: DataFrame,
+                           windowLen: String = "1 hour",
+                           lateness: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("total_events"),
+        approx_count_distinct(col("event_id")).as("approx_distinct_events"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("total_events"), col("approx_distinct_events"))
+  }
+
+  /** Wire a streaming aggregate to an in-memory sink for tests/demos. */
+  def toMemorySink(df: DataFrame, queryName: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+}
