@@ -1,7 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** CSV source/sink (SURVEY §2.1 S1/S4/S10).
   *
@@ -24,15 +26,33 @@ object Csv {
       .csv(path)
 
   /** S4: malformed-record-tolerant scan — rows that fail the schema are
-    * dropped, mirroring `on_bad_lines='skip'` + `escapechar='\\'`. */
-  def readTolerant(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .option("header", "true")
-      .option("mode", "DROPMALFORMED")
-      .option("escape", "\\")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
-      .schema(schema)
-      .csv(path)
+    * dropped, mirroring `on_bad_lines='skip'` + `escapechar='\\'`.
+    *
+    * NOT the CSV source's `mode=DROPMALFORMED`: that detects malformed rows
+    * only in the columns a given query actually parses, so the same file
+    * yields different row counts per query (`count()` parses nothing and
+    * drops nothing — and the scan-level corrupt-record column is barred
+    * from corrupt-only queries). Instead the file is scanned as text and
+    * parsed with the `from_csv` expression: the validity check is ordinary
+    * column logic, evaluated identically in every query shape, and the
+    * whole parse stays inside codegen. Header rows are dropped by name
+    * match (quotes stripped), per pandas `header=0`. */
+  def readTolerant(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val corrupt = "_graft_corrupt"
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> corrupt,
+      "escape" -> "\\",
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSS")
+    val headerLine = schema.fieldNames.mkString(",")
+    val parsed = spark.read.text(path)
+      .filter(regexp_replace(col("value"), "\"", "") =!= headerLine)
+      .select(from_csv(col("value"),
+        StructType(schema.fields :+ StructField(corrupt, StringType)),
+        opts).as("r"))
+      .filter(col(s"r.$corrupt").isNull)
+    parsed.select(schema.fieldNames.map(f => col(s"r.$f").as(f)): _*)
+  }
 
   /** S10: CSV sink, header + QUOTE_ALL (clean_product_v2.py:63 parity). */
   def write(df: DataFrame, path: String): Unit =

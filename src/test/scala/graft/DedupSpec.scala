@@ -1,0 +1,83 @@
+package graft
+
+import graft.llm.Dedup
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+
+/** Correctness of the dedup family against exact-Jaccard ground truth
+  * (the hash-dependent variants — MinHash/LSH, SimHash — have no SQL oracle,
+  * so their guarantees are asserted here; SURVEY §5.3 / VERDICT item 9). */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Corpus with known structure: (0,1) identical, (2,3) near-identical
+    * (one token changed in 40), 4 unrelated, 5 empty-ish. */
+  private lazy val corpus = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    Seq(
+      (0L, base), (1L, base), (2L, base), (3L, near),
+      (4L, "completely different words entirely here now today friend"),
+      (5L, "x")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups: identical texts share a group, representative = min id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    val dupGroup = g.filter($"dup_count" === 3).collect()
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("keep_id") == 0L)
+    assert(g.count() == 4)  // {0,1,2}, {3}, {4}, {5}
+  }
+
+  test("ngramJaccardPairs finds the identical and near-identical pairs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical: (0,1),(0,2),(1,2) at j=1.0; near pair shares 35/41 shingles ~0.85
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.exists { case (a, b) => b == 3L || a == 3L })
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashLshPairs: full recall on identical pairs, no unrelated pairs") {
+    val got = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature estimates Jaccard within tolerance on the near pair") {
+    val sigs = corpus
+      .select($"doc_id", TextFns.minhashSignature(TextFns.shingles($"text", 3), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(2L).zip(sigs(3L)).count { case (a, b) => a == b }.toDouble / 128
+    // exact jaccard of (2,3): 38 shingles each... intersection 35 of union 41 ~ 0.854
+    assert(est > 0.6 && est <= 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated docs absent") {
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 1L)) == 0L)
+    assert(got((0L, 2L)) == 0L)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("popcount64 agrees with java.lang.Long.bitCount on edge values") {
+    val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 0x123456789abcdefL)
+    val df = vals.toDF("v").select(TextFns.popcount64(col("v")).as("pc"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == vals.map(v => java.lang.Long.bitCount(v).toLong))
+  }
+
+  test("fingerprintGroups keys on normalized 64-char prefix") {
+    val docs = Seq(
+      (0L, "Hello   World " + ("x" * 100)),
+      (1L, "hello world " + ("x" * 100)),   // same after normalization
+      (2L, "different prefix " + ("x" * 100))
+    ).toDF("doc_id", "text")
+    val g = Dedup.fingerprintGroups(docs, "doc_id", "text", prefixLen = 64)
+    assert(g.filter($"dup_count" === 2).count() == 1)
+  }
+}

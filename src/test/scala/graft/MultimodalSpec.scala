@@ -1,0 +1,42 @@
+package graft
+
+import graft.llm.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing: payload schema, batched decode, frame
+  * sampling (codec itself is stubbed per the build brief — the Spark-side
+  * shape is what's under test). */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a" * 1000), (2L, "b" * 64), (3L, "c" * 2000)
+  ).toDF("doc_id", "text")
+
+  test("withBinaryPayload produces (id, payload binary, modality)") {
+    val p = Multimodal.withBinaryPayload(docs, "doc_id", "text", "image")
+    assert(p.schema("payload").dataType.typeName == "binary")
+    val r = p.filter($"id" === 1).head
+    assert(r.getAs[Array[Byte]]("payload").length == 1000)
+  }
+
+  test("decodeBatched: numBytes exact, dimensions deterministic") {
+    val meta = Multimodal.decodeBatched(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text", "video")).toDF()
+    val m = meta.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Long]("numBytes") == 1000L)
+    assert(m(1L).getAs[Int]("width") == (1000 % 640 + 1))
+    assert(m(1L).getAs[Int]("height") == ((1000 / 640) % 480 + 1))
+    assert(m(1L).getAs[Int]("nFrames") == (1000 % 30 + 1))
+  }
+
+  test("sampleFrames emits every k-th frame index") {
+    val meta = Multimodal.decodeBatched(
+      Multimodal.withBinaryPayload(docs, "doc_id", "text", "video")).toDF()
+    val frames = Multimodal.sampleFrames(meta, everyK = 5)
+    val f1 = frames.filter($"id" === 1).select("frame_idx")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val n1 = 1000 % 30 + 1  // 11 frames -> 0,5,10
+    assert(f1 == (0 until n1 by 5).toSeq)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Baskets, Bins, Cleaning, Temporal}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unit tests for the core operator library (SURVEY §2.2/§2.3 semantics,
+  * including the §7.4 traps: right-closed bins, null handling, array-length
+  * "unique" counts, age boundary at the birthday). */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- Bins (P12 fixed, P13 quantile) ----------------------------------
+
+  test("fixedBins: right-closed edges partition the domain; null -> null") {
+    val df = Seq[java.lang.Double](0.0, 90.0, 90.5, 180.0, 181.0, 365.0, 400.0, null)
+      .toDF("v")
+      .withColumn("bin", Bins.fixedBins(col("v"), Seq(90d, 180d, 365d),
+        Seq("New", "Regular", "Loyal", "VIP")))
+    val got = df.collect().map(r => Option(r.getString(1)).orNull).toSeq
+    assert(got == Seq("New", "New", "Regular", "Regular", "Loyal", "Loyal", "VIP", null))
+  }
+
+  test("ntileBins: 4-tiles are balanced and ordered by the bin column") {
+    val df = spark.range(100).toDF("k").withColumn("v", col("k").cast("double"))
+    val binned = Bins.ntileBins(df, col("v"), col("k"), 4,
+      Seq("a", "b", "c", "d"), "bin")
+    val sizes = binned.groupBy("bin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 25L, "b" -> 25L, "c" -> 25L, "d" -> 25L))
+    // ordering: every value in 'a' < every value in 'd'
+    val maxA = binned.filter($"bin" === "a").agg(max("v")).head.getDouble(0)
+    val minD = binned.filter($"bin" === "d").agg(min("v")).head.getDouble(0)
+    assert(maxA < minD)
+  }
+
+  test("approxQuantileBins: labels cover all rows, roughly balanced") {
+    val df = spark.range(1000).toDF("k").withColumn("v", col("k").cast("double"))
+    val binned = Bins.approxQuantileBins(df, "v", 4, Seq("q1", "q2", "q3", "q4"), "bin")
+    val sizes = binned.groupBy("bin").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("q1", "q2", "q3", "q4"))
+    assert(sizes.values.sum == 1000L)
+    assert(sizes.values.forall(n => n > 200 && n < 300))
+  }
+
+  // ---- Baskets (U1/U2/P17) ---------------------------------------------
+
+  private val itemsJson = Seq(
+    (1L, """[{"product_id":1,"quantity":2,"item_price":100},{"product_id":2,"quantity":1,"item_price":50}]"""),
+    (2L, """[{"product_id":3,"quantity":5,"item_price":10}]"""),
+    (3L, """[{"product_id":1,"quantity":1,"item_price":100},{"product_id":1,"quantity":3,"item_price":100}]""")
+  ).toDF("order_id", "product_metadata")
+
+  test("explodeItems preserves total quantity and computes item totals") {
+    val exploded = Baskets.explodeItems(
+      itemsJson.withColumn("items", Baskets.parseItems(col("product_metadata"))),
+      col("items"), Seq(col("order_id")))
+    assert(exploded.agg(sum("quantity")).head.getLong(0) == 12L)
+    val r = exploded.filter($"order_id" === 1 && $"product_id" === 1).head
+    assert(r.getAs[Long]("total_value") == 200L)
+  }
+
+  test("basketTotals: num_unique_products is array LENGTH (reference trap 7.4.5)") {
+    val withItems = itemsJson.withColumn("items", Baskets.parseItems(col("product_metadata")))
+    val totals = Baskets.basketTotals(col("items")).foldLeft(withItems) {
+      case (d, (n, c)) => d.withColumn(n, c)
+    }
+    val o3 = totals.filter($"order_id" === 3).head()
+    assert(o3.getAs[Int]("total_items") == 4)
+    assert(o3.getAs[Long]("total_product_value") == 400L)
+    // two entries of the same product: length 2, NOT distinct 1
+    assert(o3.getAs[Int]("num_unique_products") == 2)
+  }
+
+  test("pairs: C(n,2) canonical pairs per order, duplicates collapsed") {
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),      // 3 distinct -> 3 pairs
+      (20L, 5L),                             // single item -> 0 pairs
+      (30L, 7L), (30L, 7L), (30L, 9L)        // dup product -> 1 pair
+    ).toDF("order_id", "product_id")
+    val got = Baskets.pairs(items, "order_id", "product_id")
+      .select("product_1", "product_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (7L, 9L)))
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  // ---- Temporal (P9/P10) -----------------------------------------------
+
+  test("ageAt: exact integer age flips on the birthday itself") {
+    val df = Seq("1990-06-15").toDF("b").select(to_date($"b").as("birth"))
+    def age(asOf: String): Int =
+      df.select(Temporal.ageAt(col("birth"), lit(asOf).cast("date"))).head.getInt(0)
+    assert(age("2020-06-14") == 29)  // day before 30th birthday
+    assert(age("2020-06-15") == 30)  // on the birthday
+    assert(age("2020-06-16") == 30)
+  }
+
+  test("tenureDays matches calendar day difference") {
+    val df = Seq("2020-01-01").toDF("s").select(to_date($"s").as("since"))
+    val t = df.select(Temporal.tenureDays(col("since"), lit("2020-03-01").cast("date")))
+      .head.getInt(0)
+    assert(t == 60)
+  }
+
+  // ---- Cleaning (P3/P6/P7) ---------------------------------------------
+
+  test("coerce: invalid strings become null; validId drops out-of-range") {
+    val df = Seq("42", "abc", "99999999999").toDF("raw")
+      .withColumn("id", Cleaning.coerce(col("raw"), "bigint"))
+    assert(df.filter(col("id").isNull).count() == 1)
+    assert(df.filter(Cleaning.validId(col("id"))).count() == 1)  // only 42
+  }
+
+  test("fillDefaults replaces nulls with per-column defaults") {
+    val df = Seq((1, null: String), (2, "blue")).toDF("id", "colour")
+    val filled = Cleaning.fillDefaults(df, Map("colour" -> "Unknown"))
+    assert(filled.filter($"colour" === "Unknown").count() == 1)
+  }
+}

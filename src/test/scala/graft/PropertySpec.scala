@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.{Baskets, Bins}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated properties over the operator library (SURVEY §5.3).
+  * Samples are drawn deterministically (fixed seeds) so failures reproduce;
+  * each invariant is checked on the Spark plan's actual output. */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("popcount64 == Long.bitCount for arbitrary longs") {
+    val vals = samples(Gen.long, 100) ++
+      Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
+    val got = vals.toDF("v").select(TextFns.popcount64(col("v"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == vals.map(v => java.lang.Long.bitCount(v).toLong))
+  }
+
+  test("fixedBins assigns every non-null value its right-closed label") {
+    val edges = Seq(10d, 20d, 30d)
+    val labels = Seq("a", "b", "c", "d")
+    val vals = samples(Gen.choose(-50d, 80d), 200) ++ Seq(10d, 20d, 30d, 30.0001)
+    val out = vals.toDF("v")
+      .select(Bins.fixedBins(col("v"), edges, labels).as("bin")).collect()
+      .map(_.getString(0)).toSeq
+    val expect = vals.map {
+      case v if v <= 10 => "a"
+      case v if v <= 20 => "b"
+      case v if v <= 30 => "c"
+      case _            => "d"
+    }
+    assert(out == expect)
+  }
+
+  test("pairs emits exactly C(n,2) canonical pairs per order") {
+    val basketGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.pick(n, 1 to 20).map(_.toList))
+    samples(basketGen, 10).zipWithIndex.foreach { case (products, ord) =>
+      val df = products.map(p => (ord.toLong, p.toLong)).toDF("order_id", "product_id")
+      val got = Baskets.pairs(df, "order_id", "product_id").collect()
+      val n = products.size
+      assert(got.length == n * (n - 1) / 2, s"basket $products")
+      assert(got.forall(r => r.getLong(1) < r.getLong(2)))
+    }
+  }
+
+  test("shingles: distinct n-grams, count <= max(tokens-n+1, 0)") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val textGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, word))
+    samples(textGen, 20).foreach { words =>
+      val text = words.mkString(" ")
+      val got = Seq(text).toDF("t")
+        .select(TextFns.shingles(col("t"), 3).as("sh")).head.getSeq[String](0)
+      assert(got.size <= math.max(words.size - 2, 0), s"text '$text'")
+      assert(got.distinct.size == got.size)
+    }
+  }
+
+  test("explode preserves total quantity for generated baskets") {
+    val itemGen = for {
+      pid <- Gen.chooseNum(1, 50); qty <- Gen.chooseNum(1, 9)
+      price <- Gen.chooseNum(1000L, 99999L)
+    } yield s"""{"product_id":$pid,"quantity":$qty,"item_price":$price}"""
+    val basketGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, itemGen))
+    val baskets = samples(basketGen, 15).zipWithIndex
+      .map { case (items, i) => (i.toLong, items.mkString("[", ",", "]")) }
+    val df = baskets.toDF("order_id", "product_metadata")
+      .withColumn("items", Baskets.parseItems(col("product_metadata")))
+    val exploded = Baskets.explodeItems(df, col("items"), Seq(col("order_id")))
+    val viaExplode = exploded.agg(sum("quantity")).head.getLong(0)
+    val viaHof = df.select(
+      aggregate(col("items"), lit(0), (acc, x) => acc + x.getField("quantity")).as("t"))
+      .agg(sum("t")).head.getLong(0)
+    assert(viaExplode == viaHof)
+  }
+}

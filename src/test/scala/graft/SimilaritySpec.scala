@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector math + ANN guarantees (brute-force = ground truth; IVF/LSH are
+  * approximate and asserted by recall / structural properties). */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("VectorFns.dot/norm/cosine on known values") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorFns.dot($"a", $"b").as("d"),
+      VectorFns.norm($"a").as("na"),
+      VectorFns.cosine($"a", $"a").as("self")).head
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("bruteTopK: query vector itself ranks first with cosine 1") {
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val top = Similarity.bruteTopK(emb, query, 5).collect()
+    assert(top.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // scores non-increasing
+    val scores = top.map(_.getAs[Double]("cosine")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("ivfTopK achieves high recall vs brute force at nProbe=3") {
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val exact = Similarity.bruteTopK(emb, query, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.ivfTopK(emb, query, "label", k = 10, nProbe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
+  test("lshBuckets is deterministic and assigns every vector") {
+    val emb = Tables.embeddings(spark, sf)
+    val b1 = Similarity.lshBuckets(emb, nBits = 12).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Similarity.lshBuckets(emb, nBits = 12).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.size == emb.count())
+    assert(b1.values.forall(b => b >= 0 && b < (1L << 12)))
+  }
+
+  test("nearDuplicatePairs only emits within-cell canonical pairs over threshold") {
+    val pairs = Similarity.nearDuplicatePairs(Tables.embeddings(spark, sf), "label", 0.4)
+      .collect()
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.4))
+  }
+}

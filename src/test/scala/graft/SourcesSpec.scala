@@ -1,0 +1,99 @@
+package graft
+
+import graft.sources.{Csv, Generator, Sampling, Warehouse}
+import graft.operators.Baskets
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink behavior: round-trips, tolerant scans, sampler closure,
+  * upsert idempotency, generator determinism. */
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft-test/$name"
+
+  test("CSV round-trip preserves values incl. timestamps") {
+    val orders = Tables.orders(spark, sf)
+    Csv.write(orders, tmp("orders_csv"))
+    val back = Csv.read(spark, tmp("orders_csv"), new StructType()
+      .add("o_orderkey", LongType).add("o_custkey", LongType)
+      .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+      .add("o_orderdate", TimestampType).add("o_orderpriority", StringType))
+    assert(back.count() == orders.count())
+    assert(back.filter($"o_orderdate".isNull).count() == 0)
+    val a = orders.agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0)
+    val b = back.agg(sum($"o_totalprice".cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(a == b)
+  }
+
+  test("tolerant scan drops malformed rows, keeps the rest") {
+    val path = tmp("bad_csv")
+    val lines = Seq("id,name,price", "1,a,10.5", "garbage_no_commas_number", "x,y,z", "2,b,20.0")
+    spark.sparkContext.parallelize(lines, 1).toDF("line")
+      .coalesce(1).write.mode("overwrite").text(path)
+    val schema = new StructType()
+      .add("id", LongType).add("name", StringType).add("price", DoubleType)
+    val got = Csv.readTolerant(spark, path, schema)
+    assert(got.count() == 2)
+    assert(got.agg(sum("price")).head.getDouble(0) == 30.5)
+  }
+
+  test("sampler output is referentially closed") {
+    val cust = Tables.customer(spark, sf)
+    val sampled = Sampling.sampleDim(cust, 0.2, seed = 42)
+    val orders = Sampling.closeOver(Tables.orders(spark, sf), "o_custkey", sampled, "c_custkey")
+    // every kept order's customer is in the sample
+    val orphans = orders.join(sampled, orders("o_custkey") === sampled("c_custkey"), "left_anti")
+    assert(orphans.count() == 0)
+    val frac = sampled.count().toDouble / cust.count()
+    assert(frac > 0.05 && frac < 0.4, s"fraction out of band: $frac")
+  }
+
+  test("upsertPlan is idempotent and keeps base rows on conflict") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "CONFLICT"), (3L, "c")).toDF("k", "v")
+    val once = Warehouse.upsertPlan(base, incoming, Seq("k"))
+    val twice = Warehouse.upsertPlan(once, incoming, Seq("k"))
+    val m = twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a", 2L -> "b", 3L -> "c"))  // base "b" survives
+    assert(twice.count() == 3)
+  }
+
+  test("overwritePartitioned writes date partitions readable with pruning") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    val daily = Tables.orders(spark, sf)
+      .withColumn("sale_date", to_date($"o_orderdate"))
+    Warehouse.overwriteTable(
+      daily.groupBy("sale_date").agg(count(lit(1)).as("n")), "graft_test.daily")
+    val back = spark.table("graft_test.daily")
+    assert(back.agg(sum("n")).head.getLong(0) == Tables.orders(spark, sf).count())
+  }
+
+  test("generator is deterministic for a fixed seed and differs across seeds") {
+    val a = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
+    val b = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
+    val c = Generator.clickBatch(spark, 500, seed = 8, startTs = 1700000000L)
+    assert(a.collect().toSeq == b.collect().toSeq)
+    assert(a.collect().toSeq != c.collect().toSeq)
+  }
+
+  test("generator metadata JSON parses back per event type") {
+    val clicks = Generator.clickBatch(spark, 2000, seed = 42, startTs = 1700000000L)
+    val searches = clicks.filter($"event_type" === "SEARCH")
+      .select(get_json_object($"event_metadata", "$.search_keywords").as("kw"))
+    assert(searches.count() > 0 && searches.filter($"kw".isNull).count() == 0)
+    val items = clicks.filter($"event_type".isin("ITEM_DETAIL", "ADD_TO_CART"))
+      .select(get_json_object($"event_metadata", "$.product_id").cast("long").as("pid"))
+    assert(items.count() > 0 && items.filter($"pid".isNull).count() == 0)
+  }
+
+  test("transaction generator baskets parse with the reference item schema") {
+    val txn = Generator.transactionBatch(spark, 2000, seed = 42, startTs = 1700000000L)
+    val items = txn.withColumn("items", Baskets.parseItems($"product_metadata"))
+    assert(items.filter(size($"items").between(1, 3)).count() == items.count())
+    val exploded = Baskets.explodeItems(items, $"items", Seq($"booking_id"))
+    assert(exploded.filter($"quantity".between(1, 3)).count() == exploded.count())
+    assert(exploded.filter($"item_price".between(50000, 500000)).count() == exploded.count())
+  }
+}
