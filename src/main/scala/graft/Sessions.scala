@@ -18,6 +18,14 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE re-plans at runtime: broadcast-after-stats, skew-join splitting.
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
+      // Filter(size(f(x))>0) in which alias substitution re-inlines f —
+      // for lambda-heavy f (shingling) that re-evaluates the full pipeline
+      // per array element inside the filter: measured 20x slowdown on the
+      // dedup queries. Our explode inputs are explicitly pre-filtered, so
+      // the inference only costs.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // managed tables (S9/S12 warehouse queries) land in scratch space,
       // never in the repo tree
       .config("spark.sql.warehouse.dir",

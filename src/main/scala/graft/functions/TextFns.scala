@@ -15,40 +15,71 @@ object TextFns {
   /** Whitespace tokens of the lower-cased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles (the dedup unit). Returns an empty array
-    * for texts shorter than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token-array
+    * column (an attribute, not an inline expression).
+    *
+    * PERFORMANCE CONTRACT: pass a materialized column. Catalyst evaluates a
+    * lambda's captured child expression once per reference per element, so
+    * an inline `split(...)` here re-tokenizes the whole document for every
+    * n-gram — quadratic per row (measured 26 s for 5 000 docs at sf0.1;
+    * linear form is < 1 s). A separate `.select(tokens(text).as("toks"))`
+    * projection is not collapsed into its consumer because CollapseProject
+    * keeps non-cheap aliases that are referenced more than once. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** Convenience single-expression shingles for tests/small inputs. Hot
+    * paths must use [[shinglesFromTokens]] over a materialized column. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
   /** k seeded 64-bit hashes of one column — xxhash64 with the seed mixed in
     * as an extra hashed column gives k independent hash functions. */
   def seededHashes(c: Column, k: Int): Seq[Column] =
     (0 until k).map(i => xxhash64(lit(i), c))
 
-  /** MinHash signature (array of k minima over the shingle set). Runs as a
-    * single projection: no shuffle, no per-row state. */
-  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+  /** Mixing constants for the k-hash family: odd multipliers (mod-2^64
+    * bijections) + offsets, splitmix64-style spacing. */
+  private def mixA(i: Int): Long = 0x9E3779B97F4A7C15L * (2L * i + 1)
+  private def mixB(i: Int): Long = 0xBF58476D1CE4E5B9L * i + 0x94D049BB133111EBL
+
+  /** MinHash signature: array of k minima over a MATERIALIZED array of
+    * 64-bit shingle hashes (see [[shingleHashes]]). Each shingle string is
+    * hashed once; the k family members are cheap arithmetic mixes
+    * h*A_i + B_i (odd A_i = a bijection on Z_2^64), so the whole signature
+    * is one string-hash pass + k long passes — no shuffle, no state. */
+  def minhashFromHashes(hashArr: Column, k: Int = 32): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+      array_min(transform(hashArr, h => h * lit(mixA(i)) + lit(mixB(i))))
     }: _*)
 
-  /** SimHash-64 over whitespace tokens: per bit, sign of the sum of
-    * (+1/-1) votes from each token's xxhash64 bit. */
-  def simhash64(toks: Column): Column = {
+  /** One 64-bit hash per array element (materialize this before calling
+    * [[minhashFromHashes]] / [[simhashFromHashes]]). */
+  def shingleHashes(arr: Column): Column = transform(arr, s => xxhash64(s))
+
+  /** Back-compat single-expression form (tests/small inputs only). */
+  def minhashSignature(shingleArr: Column, k: Int = 32): Column =
+    minhashFromHashes(shingleHashes(shingleArr), k)
+
+  /** SimHash-64 over a MATERIALIZED array of 64-bit token hashes: per bit,
+    * sign of the sum of (+1/-1) votes from each hash's bit. */
+  def simhashFromHashes(hashArr: Column): Column = {
     val bits = (0 until 64).map { b =>
       val votes = aggregate(
-        toks,
+        hashArr,
         lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Back-compat single-expression SimHash over a token array. */
+  def simhash64(toks: Column): Column = simhashFromHashes(shingleHashes(toks))
 
   /** Popcount of a 64-bit value (for SimHash hamming distance) via the
     * classic SWAR reduction, expressed as Catalyst arithmetic. */

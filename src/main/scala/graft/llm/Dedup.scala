@@ -36,16 +36,31 @@ object Dedup {
           .as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Distinct-shingle 64-bit hashes per doc, computed linearly: tokens and
+    * shingles are materialized in their own projections (see the
+    * performance contract on [[TextFns.shinglesFromTokens]]). */
+  private def shingleHashDf(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs
+      // cheap pre-filter (ONE split per row) instead of size(hs)>0 later:
+      // a post-projection filter would be alias-pushed below the projects,
+      // re-inlining the whole shingle pipeline into the filter
+      .filter(size(TextFns.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), TextFns.shinglesFromTokens(col("toks"), n).as("sh"))
+      .select(col("doc"), TextFns.shingleHashes(col("sh")).as("hs"))
+
   /** Exact n-gram Jaccard pairs ≥ threshold via an inverted-index join on
-    * distinct shingles: shuffle keyed on the shingle (selective for n ≥ 3),
-    * intersection by count, sizes joined back. O(pairs sharing a shingle),
-    * not O(n²). */
+    * distinct shingles: shuffle keyed on the shingle's 64-bit hash (8-byte
+    * join keys instead of full n-gram strings; collision probability over a
+    * corpus of D distinct shingles is ~D²/2^65 — negligible), intersection
+    * by count, sizes joined back. O(pairs sharing a shingle), not O(n²). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+    val sh = shingleHashDf(docs, idCol, textCol, n)
+      .select(col("doc"), explode(col("hs")).as("h"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -68,10 +83,12 @@ object Dedup {
                       bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = docs
-      .select(col(idCol).as("doc"), TextFns.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc"), TextFns.minhashSignature(col("sh"), k).as("sig"))
+    // tokens -> shingles -> hashes -> signature, each in its own projection
+    // (one regex pass, one string-hash pass, k cheap long passes — see
+    // TextFns.shinglesFromTokens performance contract)
+    // shingleHashDf pre-filters to >= n tokens, so hs is never empty
+    val sig = shingleHashDf(docs, idCol, textCol, shingleN)
+      .select(col("doc"), TextFns.minhashFromHashes(col("hs"), k).as("sig"))
 
     // band buckets: (bandIdx, xxhash64 of that signature slice)
     val bandCols = (0 until bands).map { b =>
@@ -81,18 +98,18 @@ object Dedup {
     val buckets = sig.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
 
+    // verify INSIDE the join projection, then dedup on the light
+    // (doc_a, doc_b, est) triple — signatures never enter a shuffle
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
       .distinct()
 
-    cand
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / (bands * rowsPerBand))
-      .filter(col("est_jaccard") >= threshold)
+    cand.filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
@@ -101,8 +118,10 @@ object Dedup {
     * agree on at least one chunk), verified by exact popcount hamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col(idCol).as("doc"),
-      TextFns.simhash64(TextFns.tokens(col(textCol))).as("fp"))
+    val fp = docs
+      .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), TextFns.shingleHashes(col("toks")).as("ths"))
+      .select(col("doc"), TextFns.simhashFromHashes(col("ths")).as("fp"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
