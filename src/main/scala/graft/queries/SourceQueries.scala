@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.llm.Multimodal
 import graft.operators.{Baskets, Cleaning}
 import graft.operators.Aggregates._
-import graft.sources.{Csv, Generator, Sampling, Warehouse}
+import graft.sources.{Competitor, Csv, Generator, Sampling, Warehouse}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -196,6 +196,54 @@ object SourceQueries {
             .cast(DecimalType(18, 6))).cast(DecimalType(18, 6)))
           .cast("double").as("total_product_value"),
         size(items).cast("long").as("num_unique_products"))
+    },
+
+    // ---- q55: one-pass per-column dataset profile (A13 — complete_analyzer
+    // parity; exact distinct for the oracle, HLL at scale)
+    QueryDef.sql("q55_profile_part", {
+      val colsSpec = Seq(
+        ("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"),
+        ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double"))
+      colsSpec.map { case (c, t) =>
+        s"""SELECT '$c' AS "column", '$t' AS dtype, COUNT(*) AS row_count,
+           |  COUNT($c) AS non_null, COUNT(*) - COUNT($c) AS nulls,
+           |  COUNT(DISTINCT $c) AS distinct_count,
+           |  CAST(MIN($c) AS VARCHAR) AS min_str,
+           |  CAST(MAX($c) AS VARCHAR) AS max_str FROM part""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }) { (s, dir) =>
+      graft.Profiler.profile(Tables.part(s, dir), exact = true)
+    },
+
+    // ---- q56: external competitor-price connector (S7) + A12 stats over
+    // the deterministic synthetic feed (incl. P18 Rp-string parse inside)
+    QueryDef.sql("q56_competitor_feed",
+      """WITH feed AS (
+        |  SELECT p_partkey AS our_product_id,
+        |    CAST(round(p_retailprice * (1.0 + (r - 2.0) * 0.05), 0) AS BIGINT) AS price
+        |  FROM part, generate_series(1, 3) AS t(r))
+        |SELECT our_product_id,
+        |  COUNT(*) AS quote_count,
+        |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MIN(price) AS min_price, MAX(price) AS max_price,
+        |  CASE WHEN COUNT(*) >= 2 THEN
+        |    sqrt(greatest((CAST(SUM(price*price) AS DOUBLE)
+        |      - CAST(SUM(price) AS DOUBLE) * SUM(price) / COUNT(*))
+        |      / (COUNT(*) - 1), 0)) END AS std_price
+        |FROM feed GROUP BY 1""".stripMargin) { (s, dir) =>
+      val feed = Competitor.syntheticFeedFromPart(Tables.part(s, dir), quotes = 3)
+      val n = count(lit(1))
+      val sp = sum(col("competitor_price"))
+      val sp2 = sum(col("competitor_price") * col("competitor_price"))
+      feed.groupBy(col("our_product_id").cast("long").as("our_product_id"))
+        .agg(
+          n.as("quote_count"),
+          (sp.cast("double") / n).as("avg_price"),
+          min(col("competitor_price")).as("min_price"),
+          max(col("competitor_price")).as("max_price"),
+          when(n >= 2, sqrt(greatest(
+            (sp2.cast("double") - sp.cast("double") * sp / n) / (n - lit(1)),
+            lit(0.0)))).as("std_price"))
     },
 
     // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
