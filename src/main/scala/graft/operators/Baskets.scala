@@ -58,7 +58,18 @@ object Baskets {
               col("a.pk").as("product_1"), col("b.pk").as("product_2"))
   }
 
-  /** A7: pair frequencies over [[pairs]] output. */
+  /** U2 scale path: the same canonical pairs via the custom
+    * [[graft.plans.PairCombinations]] Generator — ONE shuffle (the groupBy
+    * on the order key to collect each basket), pair explosion local. The
+    * self-join form ([[pairs]]) shuffles twice and joins; this is the plan
+    * to run at 100 TB. Output is identical (OperatorsSpec asserts it). */
+  def pairsViaGenerator(df: DataFrame, orderCol: String, productCol: String): DataFrame =
+    df.groupBy(col(orderCol))
+      .agg(collect_set(col(productCol).cast("long")).as("basket"))
+      .select(col(orderCol),
+        graft.plans.PairCombinations.pairCombinations(col("basket")))
+
+  /** A7: pair frequencies over [[pairs]]/[[pairsViaGenerator]] output. */
   def pairFrequencies(pairsDf: DataFrame): DataFrame =
     pairsDf.groupBy("product_1", "product_2")
       .agg(count(lit(1)).as("frequency"))

@@ -131,8 +131,10 @@ object ProductQueries {
         |FROM f LEFT JOIN part p1 ON f.product_1 = p1.p_partkey
         |       LEFT JOIN part p2 ON f.product_2 = p2.p_partkey
         |ORDER BY f.frequency DESC, f.product_1, f.product_2 LIMIT 100""".stripMargin) { (s, dir) =>
+      // custom PairCombinations Generator: one shuffle (groupBy order),
+      // local pair explosion — no self-join (see graft.plans)
       val freq = Baskets.pairFrequencies(
-        Baskets.pairs(Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))
+        Baskets.pairsViaGenerator(Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))
       val part = Tables.part(s, dir)
       freq
         .join(broadcast(part.select(col("p_partkey"), col("p_name").as("product_1_name"))),

@@ -87,6 +87,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("pairsViaGenerator (custom Catalyst Generator) == self-join pairs") {
+    val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val viaJoin = Baskets.pairs(items, "l_orderkey", "l_partkey")
+      .select("l_orderkey", "product_1", "product_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGen = Baskets.pairsViaGenerator(items, "l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGen == viaJoin)
+    assert(viaGen.nonEmpty)
+    assert(viaGen.forall { case (_, a, b) => a < b })
+  }
+
   // ---- Temporal (P9/P10) -----------------------------------------------
 
   test("ageAt: exact integer age flips on the birthday itself") {
