@@ -65,18 +65,38 @@ object TextFns {
   def minhashSignature(shingleArr: Column, k: Int = 32): Column =
     minhashFromHashes(shingleHashes(shingleArr), k)
 
-  /** SimHash-64 over a MATERIALIZED array of 64-bit token hashes: per bit,
-    * sign of the sum of (+1/-1) votes from each hash's bit. */
-  def simhashFromHashes(hashArr: Column): Column = {
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(
-        hashArr,
-        lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+  /** SimHash-64 bit-count accumulator, SWAR-packed: one aggregate pass over
+    * the hash array with a struct of 16 longs, each long holding four
+    * 16-bit one-counters for bits {g, g+16, g+32, g+48}. Per token that is
+    * 16 shift-mask-adds instead of 64 separate array passes (4x fewer ops,
+    * ONE traversal). Supports up to 65 535 tokens per document (16-bit
+    * lanes); chunk longer docs upstream. */
+  def simhashAccumulate(hashArr: Column): Column = {
+    val laneMask = lit(0x0001000100010001L)
+    val zero = struct((0 until 16).map(g => lit(0L).as(s"g$g")): _*)
+    aggregate(hashArr, zero,
+      (a, h) => struct((0 until 16).map { g =>
+        (a.getField(s"g$g") + shiftright(h, g).bitwiseAND(laneMask)).as(s"g$g")
+      }: _*))
+  }
+
+  /** Finish SimHash from a MATERIALIZED accumulator struct + token count:
+    * bit b = 16*lane + group is set iff ones(b)*2 > n (strict-majority —
+    * identical to sign(Σ±1) > 0). `acc` must be an attribute: it is
+    * referenced 64 times here and would otherwise re-run the aggregation
+    * per reference. */
+  def simhashFinish(acc: Column, n: Column): Column = {
+    val bits = for { g <- 0 until 16; lane <- 0 until 4 } yield {
+      val ones = shiftright(acc.getField(s"g$g"), 16 * lane).bitwiseAND(lit(0xffffL))
+      when(ones * 2 > n, shiftleft(lit(1L), 16 * lane + g)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Single-expression SimHash for tests/small inputs; hot paths must
+    * materialize [[simhashAccumulate]] first (Dedup.simhashPairs does). */
+  def simhashFromHashes(hashArr: Column): Column =
+    simhashFinish(simhashAccumulate(hashArr), size(hashArr).cast("long"))
 
   /** Back-compat single-expression SimHash over a token array. */
   def simhash64(toks: Column): Column = simhashFromHashes(shingleHashes(toks))

@@ -121,7 +121,9 @@ object Dedup {
     val fp = docs
       .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("doc"), TextFns.shingleHashes(col("toks")).as("ths"))
-      .select(col("doc"), TextFns.simhashFromHashes(col("ths")).as("fp"))
+      .select(col("doc"), TextFns.simhashAccumulate(col("ths")).as("acc"),
+        size(col("ths")).cast("long").as("n"))
+      .select(col("doc"), TextFns.simhashFinish(col("acc"), col("n")).as("fp"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))
