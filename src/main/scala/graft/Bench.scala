@@ -16,8 +16,11 @@ object Bench {
     "q19_txn_size_bins",     // global quantile binning
     "q42_dedup_ngram_jaccard", // inverted-index near-dup join
     "q43_dedup_minhash_lsh", // minhash + banded LSH
+    "q44_dedup_simhash",     // SWAR simhash + pigeonhole bands
     "q46_ann_brute_topk",    // embedding scan + top-k
-    "q48_text_stats"         // full-corpus text featurization
+    "q48_text_stats",        // full-corpus text featurization
+    "q52_embedding_near_dups", // blocked vector near-dup join
+    "q55_profile_part"       // one-pass all-column profile
   )
 
   def main(args: Array[String]): Unit = {

@@ -27,6 +27,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** Corpus-level dedupe: drop every exact duplicate except the min-id
+    * representative — the end-to-end training-data curation step built on
+    * [[exactGroups]] (one hash shuffle + one semi-join back). */
+  def dedupe(docs: DataFrame, idCol: String, textCol: String,
+             normalized: Boolean = false): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol, normalized)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Near-duplicate fingerprint groups: md5 of the first `prefixLen` chars of
     * the normalized text (cheap document fingerprinting; one shuffle). */
   def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String,

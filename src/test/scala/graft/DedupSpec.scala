@@ -71,6 +71,12 @@ class DedupSpec extends SparkSpecBase {
     assert(got == vals.map(v => java.lang.Long.bitCount(v).toLong))
   }
 
+  test("dedupe keeps exactly the min-id representative per duplicate group") {
+    val kept = Dedup.dedupe(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L, 5L))  // 1,2 are dups of 0
+  }
+
   test("fingerprintGroups keys on normalized 64-char prefix") {
     val docs = Seq(
       (0L, "Hello   World " + ("x" * 100)),
