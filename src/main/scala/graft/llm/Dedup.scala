@@ -69,9 +69,12 @@ object Dedup {
     val sh = shingleHashDf(docs, idCol, textCol, n)
       .select(col("doc"), explode(col("hs")).as("h"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // posting-list pair expansion via the PairCombinations Generator: one
+    // shuffle keyed on the shingle, pairs generated locally per posting
+    // list — replaces the self-join (two shuffle sides + join)
+    val inter = graft.operators.Baskets
+      .pairsViaGenerator(sh, "h", "doc")
+      .groupBy(col("product_1").as("doc_a"), col("product_2").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
