@@ -186,6 +186,28 @@ object CustomerQueries {
         dsum(col("o_totalprice")).as("sum_price"))
     },
 
+    // ---- q58: gap-based sessionization (session_window — ST1; identical
+    // plan runs on the stream, StreamingSpec asserts stream==batch). Oracle
+    // chains events via lag + cumulative sum; compared on (user, start,
+    // events) — the end-time convention (last+gap) is Spark-specific.
+    QueryDef.sql("q58_session_windows",
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      graft.streaming.Sessionize.sessionWindows(
+          Tables.events(s, dir).select("user_id", "ts"), "30 minutes")
+        .select(col("user_id"), col("session_start"), col("events"))
+    },
+
     // ---- q30: event-time tumbling windows (ST1 batch parity; the streaming
     // variant over the same agg is covered in streaming/Events + tests)
     QueryDef.sql("q30_event_windows",

@@ -57,4 +57,15 @@ object Events {
       .format("memory")
       .queryName(queryName)
       .outputMode(OutputMode.Complete())
+
+  /** Append-mode parquet sink for a watermarked windowed aggregate: each
+    * window is written exactly once, when the watermark passes its end —
+    * the streaming analog of the reference's daily batch overwrite (S9),
+    * but incremental and idempotent via the checkpoint. */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
 }

@@ -55,6 +55,81 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("parquet sink: watermark-closed windows are appended exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test/stream_sink"
+    val cp  = s"$dir-cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+    val mem = MemoryStream[(Timestamp, String, Double, Long, Long)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value", "user_id", "event_id")
+    val q = Events.toParquetSink(
+      Events.windowedTypeCounts(streamDf, "1 day", "1 hour"), dir, cp).start()
+    try {
+      mem.addData(rows.take(3): _*)       // all in day 1 window (+ one 09:30)
+      q.processAllAvailable()
+      // advance event time far past day-1 + watermark -> closes day-1 window
+      mem.addData((ts("2024-01-05 00:00:00"), "click", 9.0, 102L, 9L))
+      q.processAllAvailable()
+      val written = spark.read.parquet(dir)
+      val day1 = written.filter(col("window_start") === ts("2024-01-01 00:00:00"))
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("events")).toMap
+      assert(day1 == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session_window: stream equals batch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val sess = Seq(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+      (ts("2024-01-01 12:00:00"), 1L),   // new session after 110-min gap
+      (ts("2024-01-01 10:05:00"), 2L)
+    )
+    val mem = MemoryStream[(Timestamp, Long)]
+    val streamDf = mem.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.Sessionize.sessionWindows(streamDf).writeStream
+      .format("memory").queryName("sessions_stream").outputMode("complete").start()
+    try {
+      mem.addData(sess: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_stream")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = graft.streaming.Sessionize.sessionWindows(
+          sess.toDF("ts", "user_id"))
+        .orderBy("user_id", "session_start").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.length == 3)  // user1 x2 sessions, user2 x1
+      assert(batch.head.getAs[Long]("events") == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionsWithState: event-time timeout closes sessions (custom state)") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Sessionize.Click]
+    val q = Sessionize.sessionsWithState(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Sessionize.Click(1L, ts("2024-01-01 10:00:00")),
+        Sessionize.Click(1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes 10:10+gap -> timeout fires
+      mem.addData(Sessionize.Click(2L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Click(3L, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("state_sessions").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Timestamp]("session_start"), r.getAs[Int]("events"))).toMap
+      assert(closed.contains(1L))
+      assert(closed(1L)._1 == ts("2024-01-01 10:00:00"))
+      assert(closed(1L)._2 == 2)
+    } finally q.stop()
+  }
+
   test("rate-source click stream is a valid streaming plan") {
     val s = graft.sources.Generator.clickStream(spark, rowsPerSecond = 10, seed = 1)
     assert(s.isStreaming)
