@@ -37,6 +37,42 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
 
+  /** Distributed Lloyd k-means over the embedding column — builds the IVF
+    * cell assignment when no natural blocking key exists. Deterministic:
+    * centroids init from the k lowest vec_ids; each iteration is one
+    * broadcast (centroids to every task) + one shuffle (mean per cell).
+    * At 100 TB this is the standard coarse-quantizer training loop: k and
+    * iters are small constants, the data is scanned iters+1 times. */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    var centroids: Array[Array[Float]] = emb
+      .orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      // argmax_c cos(e, c): |e| is constant per row, so rank by dot/|c| —
+      // centroid norms fold to driver-side constants in the plan
+      val dists = centroids.zipWithIndex.map { case (cvec, c) =>
+        val cnorm = math.sqrt(cvec.map(v => v.toDouble * v).sum)
+        val cent = array(cvec.map(v => lit(v)): _*)
+        struct((VectorFns.dotDouble(col("embedding"), cent) / lit(cnorm)).as("sim"),
+          lit(c).as("cell"))
+      }
+      assigned = emb.withColumn("cell",
+        greatest(dists: _*).getField("cell"))
+      centroids = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg("v").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .orderBy("cell")
+        .select(transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
+        .collect().map(_.getSeq[Float](0).toArray)
+    }
+    assigned.select(col("vec_id"), col("cell"), col("embedding"))
+  }
+
   /** IVF probe: rank cells by centroid cosine to the query, scan the top
     * `nProbe` cells only, exact cosine within them. */
   def ivfTopK(emb: DataFrame, query: DataFrame, cellCol: String,
@@ -45,8 +81,9 @@ object Similarity {
     val probed = cents.crossJoin(broadcast(query))
       .withColumn("ccos", VectorFns.cosine(col("centroid"), col("qe")))
       .orderBy(desc("ccos")).limit(nProbe)
-      .select("cell")
-    emb.join(broadcast(probed), col(cellCol) === col("cell"))
+      .select(col("cell").as("__probe_cell"))
+    emb.join(broadcast(probed), col(cellCol) === col("__probe_cell"))
+      .drop("__probe_cell")
       .crossJoin(broadcast(query))
       .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("qe")), 9))
       .orderBy(desc("cosine"), asc("vec_id"))

@@ -55,6 +55,16 @@ object VectorQueries {
       Similarity.ivfTopK(emb, query, "label", k = 20, nProbe = 3)
     },
 
+    // ---- q59: IVF with self-trained k-means coarse quantizer (no natural
+    // blocking key needed; float-iterative centroids — rows-only, recall
+    // asserted in SimilaritySpec)
+    QueryDef.rowsOnly("q59_ann_ivf_kmeans") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cells = Similarity.kmeansCells(emb, k = 8, iters = 2)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      Similarity.ivfTopK(cells, query, "cell", k = 20, nProbe = 3)
+    },
+
     // ---- q52: embedding near-duplicate pairs (blocked by cluster label)
     QueryDef.sql("q52_embedding_near_dups",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -53,6 +53,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(b1.values.forall(b => b >= 0 && b < (1L << 12)))
   }
 
+  test("kmeansCells: every vector assigned, k cells, IVF over trained cells recalls") {
+    val emb = Tables.embeddings(spark, sf)
+    val cells = Similarity.kmeansCells(emb, k = 5, iters = 2)
+    assert(cells.count() == emb.count())
+    val cellIds = cells.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cellIds.subsetOf((0 until 5).toSet) && cellIds.size >= 2)
+    // IVF over the trained assignment still finds most of the brute top-k
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val exact = Similarity.bruteTopK(emb, query, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.ivfTopK(cells, query, "cell", k = 10, nProbe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & approx).size >= 5)
+  }
+
   test("nearDuplicatePairs only emits within-cell canonical pairs over threshold") {
     val pairs = Similarity.nearDuplicatePairs(Tables.embeddings(spark, sf), "label", 0.4)
       .collect()
