@@ -32,7 +32,12 @@ object Bench {
     qs(headline.head)(spark, sfDir).count()
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a swallowed failure would read as a suspiciously fast query —
+          // surface it loudly on stderr (stdout stays one JSON line)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qj = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

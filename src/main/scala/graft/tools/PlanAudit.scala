@@ -13,14 +13,23 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else Bench.headline
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
-      df.count()  // let AQE finalize
-      val plan = df.queryExecution.executedPlan.toString
+      // run the physical plan instance itself — count()/write would clone
+      // the QueryExecution and leave THIS plan un-finalized (no AQE result,
+      // no codegen markers)
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count()
+      // toString carries "== Final Plan ==" AND "== Initial Plan ==" — audit
+      // only the final (post-AQE) section; codegen spans print as *(n)
+      val full = exec.toString
+      val plan = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
       val shuffles = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
         .findAllIn(plan).size
-      val bcasts = "BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop".r
-        .findAllIn(plan).toSeq.count(_ == "BroadcastHashJoin")
+      val bcasts = "BroadcastHashJoin".r.findAllIn(plan).size
       val smj = "SortMergeJoin".r.findAllIn(plan).size
-      val wsc = "\\*\\(\\d+\\)".r.findAllIn(plan).map(identity).toSet.size
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(f"$name%-28s shuffles=$shuffles%-3d bhj=$bcasts%-3d smj=$smj%-3d codegenSpans=$wsc")
     }
     spark.stop()
