@@ -17,10 +17,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Csv {
 
-  /** S1: whole-file scan with an explicit schema (header row skipped). */
+  /** S1: whole-file scan with an explicit schema (header row skipped).
+    * Quote escaping is RFC 4180 doubling ("" inside a quoted field) — the
+    * pandas to_csv/read_csv default the reference's CSVs use, not Spark's
+    * backslash default. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
+      .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
       .schema(schema)
       .csv(path)
@@ -42,7 +46,7 @@ object Csv {
     val opts = Map(
       "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> corrupt,
-      "escape" -> "\\",
+      "escape" -> "\"",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSS")
     val headerLine = schema.fieldNames.mkString(",")
     val parsed = spark.read.text(path)
@@ -59,6 +63,7 @@ object Csv {
     df.write.mode("overwrite")
       .option("header", "true")
       .option("quoteAll", "true")
+      .option("escape", "\"")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
       .csv(path)
 }
