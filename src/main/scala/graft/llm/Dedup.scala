@@ -64,21 +64,37 @@ object Dedup {
     * join keys instead of full n-gram strings; collision probability over a
     * corpus of D distinct shingles is ~D²/2^65 — negligible), intersection
     * by count, sizes joined back. O(pairs sharing a shingle), not O(n²). */
+  /** Low bits reserved for the per-doc shingle count when packing (doc id,
+    * size) into one long: supports 2^20-1 shingles/doc and doc ids < 2^43. */
+  private val SzBits = 20
+  private val SzMask = (1L << SzBits) - 1
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleHashDf(docs, idCol, textCol, n)
-      .select(col("doc"), explode(col("hs")).as("h"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    // Pack each doc's shingle-set size into the low bits of its id before
+    // exploding: sizes then ride through pair generation for free — no
+    // second evaluation of the shingle pipeline and no size joins. Packing
+    // is injective per doc, and pair order on packed values equals pair
+    // order on doc ids (ids occupy the high bits).
+    val packed = shingleHashDf(docs, idCol, textCol, n)
+      .select(
+        (col("doc") * lit(1L << SzBits) + least(size(col("hs")).cast("long"), lit(SzMask)))
+          .as("pdoc"),
+        explode(col("hs")).as("h"))
     // posting-list pair expansion via the PairCombinations Generator: one
     // shuffle keyed on the shingle, pairs generated locally per posting
     // list — replaces the self-join (two shuffle sides + join)
     val inter = graft.operators.Baskets
-      .pairsViaGenerator(sh, "h", "doc")
-      .groupBy(col("product_1").as("doc_a"), col("product_2").as("doc_b"))
+      .pairsViaGenerator(packed, "h", "pdoc")
+      .groupBy(col("product_1"), col("product_2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(
+        shiftright(col("product_1"), SzBits).as("doc_a"),
+        shiftright(col("product_2"), SzBits).as("doc_b"),
+        col("product_1").bitwiseAND(SzMask).as("sz_a"),
+        col("product_2").bitwiseAND(SzMask).as("sz_b"),
+        col("inter"))
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
