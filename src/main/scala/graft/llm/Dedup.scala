@@ -127,15 +127,27 @@ object Dedup {
     val buckets = sig.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
 
-    // verify INSIDE the join projection, then dedup on the light
-    // (doc_a, doc_b, est) triple — signatures never enter a shuffle
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
+    // ONE shuffle on (band,bucket): collect bucket members and expand the
+    // local pair combinations with higher-order functions — a self-join
+    // would shuffle twice and evaluate the whole signature pipeline once
+    // per side. est_jaccard is verified inside the same projection, so
+    // only the light (doc_a, doc_b, est) triple survives to the dedup.
+    val members = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairExpr = flatten(transform(col("ms"), (x, i) =>
+      transform(
+        slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+        y => struct(
+          least(x.getField("doc"), y.getField("doc")).as("doc_a"),
+          greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
+          (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
+              (p, q) => when(p === q, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard")))))
+    val cand = members
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
       .distinct()
 
     cand.filter(col("est_jaccard") >= threshold)
@@ -159,13 +171,24 @@ object Dedup {
     }
     val banded = fp.select(col("doc"), col("fp"), explode(array(chunks: _*)).as("cc"))
       .select(col("doc"), col("fp"), col("cc.chunk"), col("cc.key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    // one shuffle on (chunk,key) + local HOF pair expansion with the exact
+    // hamming verify inline (same shape as minhashLshPairs — no self-join)
+    val members = banded
+      .groupBy(col("chunk"), col("key"))
+      .agg(collect_list(struct(col("doc"), col("fp"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairExpr = flatten(transform(col("ms"), (x, i) =>
+      transform(
+        slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+        y => struct(
+          least(x.getField("doc"), y.getField("doc")).as("doc_a"),
+          greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
+          TextFns.popcount64(x.getField("fp").bitwiseXOR(y.getField("fp")))
+            .as("hamming")))))
+    members
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .distinct()
-      .withColumn("hamming", TextFns.popcount64(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
