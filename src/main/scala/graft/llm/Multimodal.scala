@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video payloads ride through the
@@ -62,4 +62,29 @@ object Multimodal {
         posexplode(sequence(lit(0), col("nFrames") - 1)).as(Seq("pos", "frame_idx")))
       .filter(col("frame_idx") % everyK === 0)
       .select("id", "frame_idx")
+
+  /** Resize stage (metadata math; a real codec would transform pixels):
+    * proportional fit into a maxW x maxH box, ceil-rounded, never
+    * upscaled — the standard thumbnailing contract. */
+  def resizeMeta(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    meta
+      .withColumn("resized_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Feature-extraction stage STUB: a deterministic `dim`-dim float
+    * embedding derived from the payload bytes (per-dimension xxhash64 of
+    * payload + dim index, scaled to [-1, 1]). A real model server / ONNX
+    * batch would slot in here; everything downstream (ANN, near-dup,
+    * clustering over [[graft.llm.Similarity]]) consumes the column
+    * unchanged. */
+  def fakeEmbedding(payload: Column, dim: Int): Column =
+    array((0 until dim).map { d =>
+      (xxhash64(lit(d), payload).cast("double") / lit(Long.MaxValue.toDouble))
+        .cast("float")
+    }: _*)
 }

@@ -246,6 +246,37 @@ object SourceQueries {
             lit(0.0)))).as("std_price"))
     },
 
+    // ---- q60: multimodal resize stage (proportional fit, never upscale —
+    // metadata math mirrors the stubbed codec; fully oracle-checkable)
+    QueryDef.sql("q60_resize_meta",
+      """WITH m AS (SELECT doc_id AS id,
+        |    octet_length(encode(text)) % 640 + 1 AS width,
+        |    (octet_length(encode(text)) // 640) % 480 + 1 AS height
+        |  FROM documents),
+        |s AS (SELECT *, least(320.0 / width, 240.0 / height, 1.0) AS sc FROM m)
+        |SELECT id, width, height,
+        |  CAST(ceil(width * sc) AS INTEGER) AS resized_width,
+        |  CAST(ceil(height * sc) AS INTEGER) AS resized_height
+        |FROM s ORDER BY id""".stripMargin) { (s, dir) =>
+      val meta = Multimodal.decodeBatched(Multimodal.withBinaryPayload(
+        Tables.documents(s, dir), "doc_id", "text", "image")).toDF()
+      Multimodal.resizeMeta(meta, 320, 240)
+        .select(col("id"), col("width"), col("height"),
+          col("resized_width"), col("resized_height"))
+        .orderBy("id")
+    },
+
+    // ---- q61: multimodal feature-extract -> ANN integration (stub embed is
+    // hash-derived — rows-only; determinism + pipeline shape in MultimodalSpec)
+    QueryDef.rowsOnly("q61_multimodal_ann") { (s, dir) =>
+      val emb = Multimodal.withBinaryPayload(
+          Tables.documents(s, dir), "doc_id", "text", "image")
+        .select(col("id").as("vec_id"),
+          Multimodal.fakeEmbedding(col("payload"), 16).as("embedding"))
+      val query = emb.filter(col("vec_id") === 1).select(col("embedding").as("qe"))
+      graft.llm.Similarity.bruteTopK(emb, query, 10)
+    },
+
     // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
     // mapPartitions path; STUB codec per the build brief, plumbing real)
     QueryDef.sql("q54_frame_sampling",

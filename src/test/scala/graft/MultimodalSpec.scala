@@ -30,6 +30,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m(1L).getAs[Int]("nFrames") == (1000 % 30 + 1))
   }
 
+  test("resizeMeta: proportional fit, ceil-rounded, never upscales") {
+    val meta = Seq((1L, 640, 480), (2L, 100, 50), (3L, 1280, 240))
+      .toDF("id", "width", "height")
+    val r = Multimodal.resizeMeta(meta, 320, 240).collect()
+      .map(x => x.getLong(0) -> (x.getAs[Int]("resized_width"), x.getAs[Int]("resized_height"))).toMap
+    assert(r(1) == (320, 240))   // exact half scale
+    assert(r(2) == (100, 50))    // smaller than box: untouched
+    assert(r(3) == (320, 60))    // width-bound: 0.25 scale
+  }
+
+  test("fakeEmbedding is deterministic, dim-sized, in [-1,1]") {
+    val p = Multimodal.withBinaryPayload(docs, "doc_id", "text", "image")
+    val e1 = p.select($"id", Multimodal.fakeEmbedding($"payload", 16).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e2 = p.select($"id", Multimodal.fakeEmbedding($"payload", 16).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e1 == e2)
+    assert(e1.values.forall(v => v.size == 16 && v.forall(f => f >= -1f && f <= 1f)))
+    assert(e1(1L) != e1(2L))  // different payloads -> different vectors
+  }
+
   test("sampleFrames emits every k-th frame index") {
     val meta = Multimodal.decodeBatched(
       Multimodal.withBinaryPayload(docs, "doc_id", "text", "video")).toDF()
