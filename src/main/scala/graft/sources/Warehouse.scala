@@ -44,6 +44,28 @@ object Warehouse {
       .partitionBy(partitionCol)
       .saveAsTable(table)
 
+  /** Bucketed table write: co-locates future joins/aggregations on the
+    * bucket key — two tables bucketed the same way join with NO shuffle
+    * (verified by plan in SourcesSpec). The scalable replacement for the
+    * reference's Postgres btree indexes on join keys (init_db.py:113-116)
+    * when the same key is joined repeatedly at warehouse scale. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val parts = table.split("\\.")
+    if (parts.length == 2) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s"${spark.conf.get("spark.sql.warehouse.dir")}/${parts(0)}.db/${parts(1)}")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(loc, true)
+    }
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating

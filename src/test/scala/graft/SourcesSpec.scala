@@ -70,6 +70,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.agg(sum("n")).head.getLong(0) == Tables.orders(spark, sf).count())
   }
 
+  test("saltedAgg equals plain aggregation (skew-safe two-phase)") {
+    import graft.operators.Skew
+    val li = Tables.lineitem(spark, sf)
+    val salted = Skew.saltedAgg(li, col("l_returnflag"), salts = 8, Map(
+        "total_qty" -> (sum(col("l_quantity")), sum(col("total_qty"))),
+        "cnt" -> (count(lit(1)), sum(col("cnt")))))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    Warehouse.writeBucketed(orders, "graft_test.orders_b", "o_orderkey", 4)
+    Warehouse.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "graft_test.lineitem_b", "o_orderkey", 4)
+    val joined = spark.table("graft_test.orders_b")
+      .join(spark.table("graft_test.lineitem_b"), "o_orderkey")
+    // force sort-merge (broadcast would hide the point at this scale)
+    val smj = joined.hint("merge")
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(800)}")
+    assert(smj.count() == lineitem.count())
+  }
+
   test("generator is deterministic for a fixed seed and differs across seeds") {
     val a = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
     val b = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
