@@ -37,11 +37,6 @@ object TextFns {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** k seeded 64-bit hashes of one column — xxhash64 with the seed mixed in
-    * as an extra hashed column gives k independent hash functions. */
-  def seededHashes(c: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => xxhash64(lit(i), c))
-
   /** Mixing constants for the k-hash family: odd multipliers (mod-2^64
     * bijections) + offsets, splitmix64-style spacing. */
   private def mixA(i: Int): Long = 0x9E3779B97F4A7C15L * (2L * i + 1)

@@ -19,11 +19,10 @@ object Warehouse {
   def ensureDatabase(spark: SparkSession, db: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
 
-  /** S9: full-refresh write — `to_sql(if_exists='replace')` parity.
-    * The session catalog is per-JVM but the warehouse dir is not: an
+  /** The session catalog is per-JVM but the warehouse dir is not: an
     * orphaned location from a previous process blocks CREATE, so clear
-    * both the catalog entry and the directory first. */
-  def overwriteTable(df: DataFrame, table: String): Unit = {
+    * both the catalog entry and the directory before any managed write. */
+  private def clearTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val parts = table.split("\\.")
@@ -33,16 +32,23 @@ object Warehouse {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(loc, true)
     }
+  }
+
+  /** S9: full-refresh write — `to_sql(if_exists='replace')` parity. */
+  def overwriteTable(df: DataFrame, table: String): Unit = {
+    clearTable(df, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
   /** S9 at scale: date-partitioned overwrite for fact tables, so daily
     * reprocessing rewrites only the affected partitions and readers get
     * partition pruning on the date key. */
-  def overwritePartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
+  def overwritePartitioned(df: DataFrame, table: String, partitionCol: String): Unit = {
+    clearTable(df, table)
     df.write.mode("overwrite").format("parquet")
       .partitionBy(partitionCol)
       .saveAsTable(table)
+  }
 
   /** Bucketed table write: co-locates future joins/aggregations on the
     * bucket key — two tables bucketed the same way join with NO shuffle
@@ -51,15 +57,7 @@ object Warehouse {
     * when the same key is joined repeatedly at warehouse scale. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val parts = table.split("\\.")
-    if (parts.length == 2) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/${parts(0)}.db/${parts(1)}")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(loc, true)
-    }
+    clearTable(df, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

@@ -117,6 +117,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(t == 60)
   }
 
+  test("rankingSuite: row_number/rank/dense_rank/running sum over one window") {
+    import graft.operators.Windows
+    val df = Seq(("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 20.0), ("b", 4, 5.0))
+      .toDF("g", "k", "v")
+    val out = Windows.rankingSuite(df, col("g"), Seq(desc("v"), asc("k")), col("v"))
+      .filter($"g" === "a").orderBy("rn").collect()
+    assert(out.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2, 3))
+    // v=20 first; the two v=10 rows tie on value order only via key
+    assert(out.map(_.getAs[Double]("v")).toSeq == Seq(20.0, 10.0, 10.0))
+    assert(out.last.getAs[Double]("running_value") == 40.0)
+  }
+
   // ---- Cleaning (P3/P6/P7) ---------------------------------------------
 
   test("coerce: invalid strings become null; validId drops out-of-range") {

@@ -63,11 +63,17 @@ class SourcesSpec extends SparkSpecBase {
   test("overwritePartitioned writes date partitions readable with pruning") {
     Warehouse.ensureDatabase(spark, "graft_test")
     val daily = Tables.orders(spark, sf)
-      .withColumn("sale_date", to_date($"o_orderdate"))
-    Warehouse.overwriteTable(
-      daily.groupBy("sale_date").agg(count(lit(1)).as("n")), "graft_test.daily")
+      .withColumn("sale_date", to_date($"o_orderdate").cast("string"))
+      .groupBy("sale_date").agg(count(lit(1)).as("n"))
+    Warehouse.overwritePartitioned(daily, "graft_test.daily", "sale_date")
     val back = spark.table("graft_test.daily")
     assert(back.agg(sum("n")).head.getLong(0) == Tables.orders(spark, sf).count())
+    // partition pruning: a one-day filter scans a single partition directory
+    val day = daily.select("sale_date").head.getString(0)
+    val pruned = back.filter($"sale_date" === day)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() >= 1)
+    assert(scan.contains("PartitionFilters: [isnotnull(sale_date"), scan.take(500))
   }
 
   test("saltedAgg equals plain aggregation (skew-safe two-phase)") {
