@@ -25,25 +25,33 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
     val qs = SparkEntry.queries
     // one warm-up pass so JVM/codegen startup isn't charged to q1
     qs(headline.head)(spark, sfDir).count()
+    // locale-pinned formatting: under a comma-decimal default locale the
+    // f-interpolator would emit "value":19,470 — invalid JSON
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // a swallowed failure would read as a suspiciously fast query —
-          // surface it loudly on stderr (stdout stays one JSON line)
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qj = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // a failed query is reported as -1 (never as its tiny wall time) and
+    // listed in "errors", so a broken headline query can't read as a fast one
+    val qj = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) sec(v) else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
+      s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -31,6 +31,12 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
+  /** Default parallelism when SPARK_GRAFT_CPUS is unset: all cores (the
+    * target config is local[32]); capped at 32 so shuffle-partition count
+    * stays in sync with the brief on bigger hosts. */
+  def defaultCpus: String =
+    math.min(32, Runtime.getRuntime.availableProcessors).toString
+
   def local(cpus: String): SparkSession = {
     val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

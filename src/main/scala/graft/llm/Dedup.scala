@@ -76,10 +76,23 @@ object Dedup {
     // second evaluation of the shingle pipeline and no size joins. Packing
     // is injective per doc, and pair order on packed values equals pair
     // order on doc ids (ids occupy the high bits).
+    // Packing is only injective for 0 <= id < 2^43 and < 2^20 shingles/doc;
+    // outside that range results would be silently wrong, so fail loudly in
+    // the row pipeline (no extra scan) — callers with bigger ids/docs should
+    // densify ids first (e.g. zipWithUniqueId) or join sizes separately.
+    val guardedDoc = when(
+      col("doc") < 0 || col("doc") >= lit(1L << (63 - SzBits)),
+      raise_error(concat(lit("ngramJaccardPairs: doc id outside packable range [0, 2^43): "),
+        col("doc").cast("string")))).otherwise(col("doc"))
+    val guardedSize = when(
+      size(col("hs")).cast("long") > lit(SzMask),
+      raise_error(concat(lit("ngramJaccardPairs: document exceeds 2^20-1 shingles; "),
+        lit("use a separate size join for such corpora (doc id: "),
+        col("doc").cast("string"), lit(")"))))
+      .otherwise(size(col("hs")).cast("long"))
     val packed = shingleHashDf(docs, idCol, textCol, n)
       .select(
-        (col("doc") * lit(1L << SzBits) + least(size(col("hs")).cast("long"), lit(SzMask)))
-          .as("pdoc"),
+        (guardedDoc * lit(1L << SzBits) + guardedSize).as("pdoc"),
         explode(col("hs")).as("h"))
     // posting-list pair expansion via the PairCombinations Generator: one
     // shuffle keyed on the shingle, pairs generated locally per posting

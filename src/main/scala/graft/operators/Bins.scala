@@ -15,8 +15,8 @@ object Bins {
       case ((edge, label), elseC) => when(c <= edge, label).otherwise(elseC)
     }
     // pd.cut maps NaN -> NaN; a naive CASE chain would fall through to the
-    // last label on NULL input, so guard explicitly.
-    when(c.isNull, lit(null).cast("string")).otherwise(chain)
+    // last label on NULL *or NaN* input (NaN fails every <=), so guard both.
+    when(c.isNull || isnan(c.cast("double")), lit(null).cast("string")).otherwise(chain)
   }
 
   /** P13: 4-tile (or k-tile) quantile bins via a rank window — the

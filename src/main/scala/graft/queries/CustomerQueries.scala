@@ -193,8 +193,10 @@ object CustomerQueries {
     QueryDef.sql("q58_session_windows",
       """WITH d AS (
         |  SELECT user_id, ts,
+        |    -- >= (not >): session_window merges only strictly-overlapping
+        |    -- [ts, ts+gap) windows, so a gap of exactly 30 min splits
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts,

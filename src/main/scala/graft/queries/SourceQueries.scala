@@ -52,7 +52,7 @@ object SourceQueries {
     // ---- q32: malformed-record-tolerant scan (S4) — good lines from part
     // plus injected garbage rows; DROPMALFORMED must recover exactly part
     QueryDef.sql("q32_malformed_scan",
-      s"""SELECT COUNT(*) AS cnt, SUM(p_size) AS total_size,
+      s"""SELECT COUNT(*) AS cnt, CAST(SUM(p_size) AS BIGINT) AS total_size,
          |  ${dsumSql("p_retailprice")} AS total_price
          |FROM part""".stripMargin) { (s, dir) =>
       val path = scratch("q32_part_csv")
@@ -78,7 +78,7 @@ object SourceQueries {
     QueryDef.sql("q33_json_roundtrip",
       s"""SELECT event_type, COUNT(*) AS cnt,
          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-         |  SUM(user_id) AS user_sum
+         |  CAST(SUM(user_id) AS BIGINT) AS user_sum
          |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       val path = scratch("q33_events_json")
       Tables.events(s, dir)
@@ -102,7 +102,8 @@ object SourceQueries {
          |  SELECT c_custkey, -1.0 AS c_acctbal FROM customer
          |  WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0)
          |SELECT COUNT(*) AS cnt, ${dsumSql("c_acctbal")} AS total_bal,
-         |  SUM(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS inserted_rows
+         |  CAST(SUM(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS inserted_rows
          |FROM upserted""".stripMargin) { (s, dir) =>
       val cust = Tables.customer(s, dir).select("c_custkey", "c_acctbal")
       val base = cust.filter(col("c_custkey") % 3 =!= 0)

@@ -57,7 +57,10 @@ object Sessionize {
       var cur = state.getOption
       ts.foreach { t =>
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
+          // strict <: matches session_window, which merges only
+          // strictly-overlapping [ts, ts+gap) windows — an event exactly
+          // gapMs after the last one starts a NEW session
+          case Some(s) if t - s.last < gapMs =>
             cur = Some(s.copy(last = math.max(s.last, t), count = s.count + 1))
           case Some(s) =>
             closed ::= UserSession(userId, new Timestamp(s.start),

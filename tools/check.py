@@ -49,7 +49,17 @@ def main(sf_dir, out_dir):
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                               check_exact=True)
-                hash_ok = True
+                # the driver hashes STRINGIFIED values, so an int column on
+                # one side vs float on the other (e.g. DuckDB HUGEINT ->
+                # pandas float64) mismatches there even when values coerce
+                # equal here — enforce matching dtype kinds too
+                kinds = [(c, a[c].dtype.kind, b[c].dtype.kind)
+                         for c in a.columns
+                         if a[c].dtype.kind != b[c].dtype.kind]
+                if kinds:
+                    detail = f"dtype-kind mismatch (driver would hash-fail): {kinds}"
+                else:
+                    hash_ok = True
             except AssertionError as e:
                 detail = str(e).split("\n")[0][:200]
         else:
