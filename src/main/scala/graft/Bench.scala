@@ -26,22 +26,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
+    // profiling knobs: run a subset, and/or time each query N times
+    // reporting the minimum. Default 2: first executions carry codegen/JIT
+    // compilation noise (measured 2-6x on this box); min-of-2 reports the
+    // query's actual cost. Methodology recorded in BASELINE.md.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = subset.fold(headline)(s => headline.filter(s))
     val spark = Sessions.local(cpus)
     val qs = SparkEntry.queries
     // one warm-up pass so JVM/codegen startup isn't charged to q1
-    qs(headline.head)(spark, sfDir).count()
+    qs(queries.head)(spark, sfDir).count()
     // locale-pinned formatting: under a comma-decimal default locale the
     // f-interpolator would emit "value":19,470 — invalid JSON
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    val results = queries.map { name =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { qs(name)(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     // a failed query is reported as -1 (never as its tiny wall time) and
     // listed in "errors", so a broken headline query can't read as a fast one

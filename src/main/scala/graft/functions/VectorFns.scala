@@ -43,9 +43,9 @@ object VectorFns {
   /** Plain-double dot product — NOT order-independent (last-ULP drift), so
     * never oracle-compared directly; use as a cheap prefilter with a small
     * margin, then confirm survivors with the exact [[dot]]
-    * (Similarity.nearDuplicatePairs does). ~5x cheaper than the decimal
-    * path per evaluation. */
+    * (Similarity.nearDuplicatePairs does). A custom codegen'd expression
+    * (one primitive loop, no zipped intermediate array) — the hot inner
+    * loop of every candidate-pair prefilter. */
   def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.FloatArrayDot(a, b)
 }

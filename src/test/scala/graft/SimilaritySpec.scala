@@ -20,6 +20,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("FloatArrayDot: codegen and interpreted paths agree with the HOF form") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.5f, -0.25f, 8f), Array(-2f, 4f, 0.125f))).toDF("a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(VectorFns.dotDouble($"a", $"b").as("fast"), hof.as("ref")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // interpreted path (eval outside codegen): constant-folded literals
+    val litDot = spark.range(1).select(VectorFns.dotDouble(
+      array(lit(1f), lit(2f)), array(lit(3f), lit(4f))).as("d")).head.getDouble(0)
+    assert(litDot == 11.0)
+  }
+
+  test("FloatArrayDot: null array and null element both yield null") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Array(3f, 4f)),
+      (None: Option[Array[Float]], Array(3f, 4f))).toDF("a", "b")
+    val vals = df.select(VectorFns.dotDouble($"a", $"b").as("d")).collect()
+    assert(!vals(0).isNullAt(0) && vals(1).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT CAST(array(1.0, NULL) AS array<float>) a, CAST(array(2.0, 3.0) AS array<float>) b")
+    assert(withNullElem.select(VectorFns.dotDouble($"a", $"b")).head.isNullAt(0))
+  }
+
   test("bruteTopK: query vector itself ranks first with cosine 1") {
     val emb = Tables.embeddings(spark, sf)
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
