@@ -16,7 +16,8 @@ object SparkEntry {
 
   private val all: Seq[QueryDef] =
     SalesQueries.defs ++ ProductQueries.defs ++ CustomerQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ SourceQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ SourceQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The daily-sales slice: scan → per-order item totals → daily agg. */

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-duplicate PAIRS (the output of
+  * [[Dedup.ngramJaccardPairs]] / [[Dedup.minhashLshPairs]] /
+  * [[Similarity.nearDuplicatePairs]]) into connected components, so a
+  * curation pipeline can keep ONE representative per duplicate cluster —
+  * the step the pair-miners feed in a real training-data dedup
+  * (pairs → clusters → keep min-id doc, drop the rest).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the min label across itself and
+  * its neighbors; converges in O(component diameter) rounds. Near-dup
+  * components are tiny and dense (duplicates of one document), so the
+  * diameter is small — the driver only ever sees a one-long convergence
+  * counter per round, never the data. Each round is one broadcast-or-shuffle
+  * join keyed on the node id; at 100 TB this is the standard
+  * label-propagation loop (GraphX/GraphFrames connectedComponents does the
+  * same with more machinery).
+  */
+object Clusters {
+
+  /** Connected components over an undirected pair list.
+    *
+    * @param nodes df with one id column `idCol` (every node, incl. isolated)
+    * @param pairs df with two id columns (`aCol`, `bCol`), one row per edge
+    * @return (idCol, cluster_rep) — cluster_rep = min node id reachable
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    // symmetric edge list, cached: reused every round
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    // localCheckpoint each round, NOT cache: caching keeps the logical plan,
+    // which doubles in size every iteration (the next round's joins re-embed
+    // it) until analysis itself OOMs; checkpointing truncates lineage to the
+    // materialized RDD. Same rule a 1000-executor iterative job follows —
+    // there with checkpoint() to durable storage for executor-loss recovery.
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // min label among each node's neighbors...
+      val fromNeighbors = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
+      // ...folded with the node's own label
+      val next = labels
+        .join(fromNeighbors, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_rep"))
+  }
+
+  /** End-to-end cluster summary: components + per-cluster size, one row per
+    * MULTI-document cluster (singletons are not duplicates). */
+  def duplicateClusters(nodes: DataFrame, idCol: String,
+                        pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(nodes, idCol, pairs, aCol, bCol)
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"), max(col(idCol)).as("max_member"))
+      .filter(col("cluster_size") >= 2)
+}

@@ -206,6 +206,31 @@ object SalesQueries {
       Tables.lineitem(s, dir)
         .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .agg(count(lit(1)).as("line_count"), sum("l_quantity").as("total_qty"))
+    },
+
+    // ---- q64: multi-level rollup (A-family superset: per-(priority,status),
+    // per-priority subtotal, and grand total in ONE pass — the reporting
+    // shape the reference assembles with three separate pandas groupbys).
+    // grouping() disambiguates real NULL keys from rollup subtotal rows.
+    QueryDef.sql("q64_rollup_sales",
+      s"""SELECT
+         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+         |       ELSE o_orderpriority END AS priority,
+         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+         |       ELSE o_orderstatus END AS status,
+         |  COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderpriority")).as("gp"),
+          grouping(col("o_orderstatus")).as("gs"))
+        .select(
+          when(col("gp") === 1, "ALL").otherwise(col("o_orderpriority")).as("priority"),
+          when(col("gs") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("orders"), col("revenue"))
     }
   )
 }

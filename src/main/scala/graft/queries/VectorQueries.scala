@@ -13,13 +13,13 @@ object VectorQueries {
 
   /** DuckDB exact dot product of two FLOAT[] columns (decimal accumulation,
     * mirrors VectorFns.dot). */
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"""CAST(list_sum(list_transform(generate_series(1, 64),
        |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(20,15)))) AS DOUBLE)""".stripMargin
   // DuckDB's decimal->double conversion can differ from the JVM's by 1 ULP
   // (it is not correctly rounded), so final metrics are rounded to 9 digits
   // on both sides.
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
 
   val defs: Seq[QueryDef] = Seq(

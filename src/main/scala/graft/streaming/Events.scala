@@ -68,4 +68,31 @@ object Events {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
+
+  /** Streaming upsert-lite sink: each micro-batch is folded into a managed
+    * table with ON-CONFLICT-DO-NOTHING semantics (S11 on a stream) via
+    * foreachBatch + [[graft.sources.Warehouse.upsertPlan]] — existing keys
+    * win, replays of the same batch are no-ops, so the sink is idempotent
+    * under retries. Batches must be deduped on `keys` internally, which
+    * upsertPlan's anti-join does not do — dropDuplicates here covers it.
+    * At scale the anti-join is one shuffle keyed on `keys` against a
+    * key-pruned scan of the target table. */
+  def toUpsertSink(df: DataFrame, table: String, keys: Seq[String],
+                   checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.dropDuplicates(keys)
+        if (spark.catalog.tableExists(table)) {
+          val merged = graft.sources.Warehouse
+            .upsertPlan(spark.table(table), incoming, keys)
+            // the plan reads the table being overwritten — materialize first
+            .localCheckpoint(eager = true)
+          graft.sources.Warehouse.overwriteTable(merged, table)
+        } else {
+          graft.sources.Warehouse.overwriteTable(incoming, table)
+        }
+      }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.llm.Clusters
+import org.apache.spark.sql.functions._
+
+/** Connected-components / duplicate-cluster guarantees on hand-built graphs
+  * (the oracle covers the embeddings-derived case end-to-end in q62). */
+class ClustersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def nodes(ids: Long*) = ids.toDF("id")
+  private def edges(ps: (Long, Long)*) = ps.toDF("a", "b")
+
+  test("connectedComponents labels every node with its component minimum") {
+    // components: {1,2,3} via chain, {5,6}, singletons 4 and 7
+    val cc = Clusters.connectedComponents(
+        nodes(1, 2, 3, 4, 5, 6, 7), "id",
+        edges(1L -> 2L, 2L -> 3L, 5L -> 6L), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 2 rounds)") {
+    val path = (1L until 10L).map(i => i -> (i + 1))
+    val cc = Clusters.connectedComponents(
+        nodes(1L to 10L: _*), "id", edges(path: _*), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+
+  test("duplicateClusters drops singletons and sizes clusters correctly") {
+    val dc = Clusters.duplicateClusters(
+        nodes(1, 2, 3, 4, 5, 6, 7), "id",
+        edges(1L -> 2L, 2L -> 3L, 5L -> 6L), "a", "b")
+      .collect()
+      .map(r => r.getAs[Long]("cluster_rep") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("max_member"))).toMap
+    assert(dc == Map(1L -> (3L, 3L), 5L -> (2L, 6L)))
+  }
+
+  test("edge direction and duplicate edges do not change components") {
+    val a = Clusters.connectedComponents(nodes(1, 2, 3), "id",
+      edges(1L -> 2L, 2L -> 3L), "a", "b")
+    val b = Clusters.connectedComponents(nodes(1, 2, 3), "id",
+      edges(2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 2L), "a", "b")
+    assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
+  }
+}

@@ -130,6 +130,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("toUpsertSink: existing keys win across micro-batches; idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = "graft_test_stream_upsert"
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-test/upsert_ckpt_${System.nanoTime}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val mem = MemoryStream[(Long, String)]
+    val q = Events.toUpsertSink(mem.toDF().toDF("k", "v"), table, Seq("k"), ckpt).start()
+    try {
+      mem.addData(1L -> "a1", 2L -> "a2")
+      q.processAllAvailable()
+      // key 2 conflicts: the existing row must win (ON CONFLICT DO NOTHING)
+      mem.addData(2L -> "b2", 3L -> "b3")
+      q.processAllAvailable()
+      val got = spark.table(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "a1", 2L -> "a2", 3L -> "b3"))
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("rate-source click stream is a valid streaming plan") {
     val s = graft.sources.Generator.clickStream(spark, rowsPerSecond = 10, seed = 1)
     assert(s.isStreaming)
