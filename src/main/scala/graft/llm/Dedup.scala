@@ -126,11 +126,12 @@ object Dedup {
                       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
     // tokens -> shingles -> hashes -> signature, each in its own projection
-    // (one regex pass, one string-hash pass, k cheap long passes — see
-    // TextFns.shinglesFromTokens performance contract)
+    // (one regex pass, one string-hash pass, then ONE codegen'd k-minima
+    // pass — graft.plans.MinHashSignatureExpr; bit-identical to the HOF
+    // reference form, DedupSpec asserts it)
     // shingleHashDf pre-filters to >= n tokens, so hs is never empty
     val sig = shingleHashDf(docs, idCol, textCol, shingleN)
-      .select(col("doc"), TextFns.minhashFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc"), graft.plans.TextExprs.minhashSignature(col("hs"), k).as("sig"))
 
     // band buckets: (bandIdx, xxhash64 of that signature slice)
     val bandCols = (0 until bands).map { b =>
@@ -172,12 +173,12 @@ object Dedup {
     * agree on at least one chunk), verified by exact popcount hamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // one codegen'd majority-vote pass (graft.plans.SimHash64Expr) replaces
+    // the SWAR accumulate+finish HOF pair — same fingerprints (DedupSpec)
     val fp = docs
       .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("doc"), TextFns.shingleHashes(col("toks")).as("ths"))
-      .select(col("doc"), TextFns.simhashAccumulate(col("ths")).as("acc"),
-        size(col("ths")).cast("long").as("n"))
-      .select(col("doc"), TextFns.simhashFinish(col("acc"), col("n")).as("fp"))
+      .select(col("doc"), graft.plans.TextExprs.simhash64(col("ths")).as("fp"))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))

@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd fingerprint kernels over a 64-bit hash array column — the
+  * per-document inner loops of MinHash and SimHash.
+  *
+  * Both have HOF reference forms in [[graft.functions.TextFns]]
+  * (`minhashFromHashes`, `simhashFromHashes`) that compute bit-identical
+  * values; DedupSpec asserts the equivalence. The HOF forms traverse the
+  * hash array k times (MinHash) or rebuild a 16-field struct per element
+  * (SimHash); these expressions make one primitive pass with local
+  * accumulators, which is where the dedup queries spend their scan-side
+  * time. Null elements are skipped (the upstream token/shingle hash
+  * pipeline never produces them).
+  */
+private[plans] trait HashArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+}
+
+/** MinHash signature: `sig[i] = min_j (h_j * A_i + B_i)` for the k-hash
+  * family derived from one 64-bit hash per element (same mix constants as
+  * TextFns.mixA/mixB). Empty input yields Long.MaxValue sentinels (the
+  * pipeline pre-filters empty docs). */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val mixA: Array[Long] =
+    (0 until k).map(i => 0x9E3779B97F4A7C15L * (2L * i + 1)).toArray
+  private lazy val mixB: Array[Long] =
+    (0 until k).map(i => 0xBF58476D1CE4E5B9L * i + 0x94D049BB133111EBL).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = arr.getLong(j)
+        var i = 0
+        while (i < k) {
+          val v = h * mixA(i) + mixB(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val a = ctx.addReferenceObj("mixA", mixA, "long[]")
+      val b = ctx.addReferenceObj("mixB", mixB, "long[]")
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($arr.isNullAt($j)) continue;
+         |  long $h = $arr.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = $h * $a[$i] + $b[$i];
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}
+
+/** SimHash-64: bit b of the result is set iff a strict majority of the
+  * input hashes have bit b set (`ones(b)*2 > n`, n = non-null element
+  * count) — identical to the SWAR HOF form's semantics. */
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var n = 0
+    var j = 0
+    val m = arr.numElements()
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        n += 1
+        val h = arr.getLong(j)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = 0;
+         |int $m = $arr.numElements();
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($arr.isNullAt($j)) continue;
+         |  $n++;
+         |  long $h = $arr.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counts[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] * 2 > $n) $fp |= 1L << $b;
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object TextExprs {
+  /** k-minima MinHash signature of a 64-bit hash array column. */
+  def minhashSignature(hashArr: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashArr), k))
+
+  /** 64-bit majority-vote SimHash of a hash array column. */
+  def simhash64(hashArr: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashArr)))
+}

@@ -64,6 +64,21 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("codegen'd MinHash/SimHash kernels are bit-identical to the HOF reference forms") {
+    val hashed = corpus
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id", TextFns.shingleHashes($"toks").as("hs"))
+      .filter(size($"hs") > 0)
+    val mh = hashed.select(
+      graft.plans.TextExprs.minhashSignature($"hs", 32).as("fast"),
+      TextFns.minhashFromHashes($"hs", 32).as("ref")).collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val sh = hashed.select(
+      graft.plans.TextExprs.simhash64($"hs").as("fast"),
+      TextFns.simhashFromHashes($"hs").as("ref")).collect()
+    sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("popcount64 agrees with java.lang.Long.bitCount on edge values") {
     val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 0x123456789abcdefL)
     val df = vals.toDF("v").select(TextFns.popcount64(col("v")).as("pc"))
