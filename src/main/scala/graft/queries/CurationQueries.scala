@@ -52,6 +52,41 @@ object CurationQueries {
         .filter(substring(md5(col("text").cast("binary")), 1, 1).isin("0", "1"))
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
         .orderBy("doc_id")
+    },
+
+    // ---- q65: referential-integrity + value-domain audit — the cross-table
+    // quality checks the reference's per-file analyzer cannot express
+    // (complete_analyzer.py profiles one CSV at a time). Each check is an
+    // anti-join or a predicate count; at scale each anti-join is one
+    // shuffle on the key and they all run in a single job here.
+    QueryDef.sql("q65_referential_audit",
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_quantity <= 0 OR l_extendedprice < 0) AS bad_line_values,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_totalprice < 0 OR o_custkey IS NULL) AS bad_order_values""".stripMargin) {
+      (s, dir) =>
+        val orphanOrders = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_orders"))
+        val orphanLines = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        val badLines = Tables.lineitem(s, dir)
+          .filter(col("l_quantity") <= 0 || col("l_extendedprice") < 0)
+          .agg(count(lit(1)).as("bad_line_values"))
+        val badOrders = Tables.orders(s, dir)
+          .filter(col("o_totalprice") < 0 || col("o_custkey").isNull)
+          .agg(count(lit(1)).as("bad_order_values"))
+        orphanOrders.crossJoin(orphanLines).crossJoin(badLines).crossJoin(badOrders)
     }
   )
 }
