@@ -58,16 +58,21 @@ object Baskets {
               col("a.pk").as("product_1"), col("b.pk").as("product_2"))
   }
 
-  /** U2 scale path: the same canonical pairs via the custom
-    * [[graft.plans.PairCombinations]] Generator — ONE shuffle (the groupBy
-    * on the order key to collect each basket), pair explosion local. The
+  /** U2 scale path: the same canonical pairs generated locally after ONE
+    * shuffle (the groupBy on the order key to collect each basket). The
     * self-join form ([[pairs]]) shuffles twice and joins; this is the plan
-    * to run at 100 TB. Output is identical (OperatorsSpec asserts it). */
+    * to run at 100 TB. Pair expansion is the codegen'd
+    * [[graft.plans.PairArray]] kernel + built-in explode, which keeps the
+    * stage inside whole-stage codegen (the [[graft.plans.PairCombinations]]
+    * Generator form computes the same rows but pins its Generate stage to
+    * the interpreted fallback path — OperatorsSpec asserts all three forms
+    * agree). */
   def pairsViaGenerator(df: DataFrame, orderCol: String, productCol: String): DataFrame =
     df.groupBy(col(orderCol))
       .agg(collect_set(col(productCol).cast("long")).as("basket"))
       .select(col(orderCol),
-        graft.plans.PairCombinations.pairCombinations(col("basket")))
+        explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
+      .select(col(orderCol), col("p.product_1"), col("p.product_2"))
 
   /** A7: pair frequencies over [[pairs]]/[[pairsViaGenerator]] output. */
   def pairFrequencies(pairsDf: DataFrame): DataFrame =

@@ -68,8 +68,91 @@ case class PairCombinations(child: Expression)
 }
 
 object PairCombinations {
+  /** (product_1, product_2) canonical-pair row schema. */
+  val pairSchema: StructType = new StructType()
+    .add("product_1", LongType, nullable = false)
+    .add("product_2", LongType, nullable = false)
+
   /** Column wrapper: `pairCombinations(col)` explodes to (product_1,
     * product_2) rows. */
   def pairCombinations(arr: Column): Column =
     ColumnBridge.column(PairCombinations(ColumnBridge.expression(arr)))
+}
+
+/** Codegen-friendly variant: a SCALAR expression producing the canonical
+  * pair array, exploded by the built-in (fully codegen'd) `explode`. The
+  * Generator form above keeps the whole-row iterator shape but forces the
+  * Generate stage onto the interpreted CodegenFallback path; this form
+  * keeps basket expansion inside whole-stage codegen at the cost of
+  * materializing the C(k,2) array per row — fine for order baskets
+  * (k is basket size; C(k,2) stays tiny). Same output, OperatorsSpec
+  * asserts equality with the Generator path. */
+case class PairArray(child: Expression)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_array requires array<bigint>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(PairCombinations.pairSchema, containsNull = false)
+  override def prettyName: String = "pair_array"
+
+  override def nullSafeEval(input: Any): Any =
+    PairArray.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.PairArray.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): PairArray =
+    copy(child = newChild)
+}
+
+object PairArray {
+  /** Shared kernel for eval and codegen: distinct ascending values →
+    * canonical (a<b) pair structs. Static so generated code calls it
+    * directly without captured state. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val buf = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { buf(m) = arr.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(buf, 0, m)
+    // dedup in place (sorted)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    if (w < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w * (w - 1) / 2)
+    var k = 0
+    var a = 0
+    while (a < w - 1) {
+      var b = a + 1
+      while (b < w) {
+        out(k) = InternalRow(buf(a), buf(b))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Column wrapper. */
+  def pairArray(arr: Column): Column =
+    ColumnBridge.column(PairArray(ColumnBridge.expression(arr)))
 }

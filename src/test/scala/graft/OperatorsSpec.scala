@@ -87,14 +87,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.forall { case (a, b) => a < b })
   }
 
-  test("pairsViaGenerator (custom Catalyst Generator) == self-join pairs") {
+  test("pairsViaGenerator (codegen'd PairArray) == Generator form == self-join pairs") {
     val items = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
     val viaJoin = Baskets.pairs(items, "l_orderkey", "l_partkey")
       .select("l_orderkey", "product_1", "product_2").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val viaGen = Baskets.pairsViaGenerator(items, "l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGenerator = items
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey".cast("long")).as("basket"))
+      .select($"l_orderkey",
+        graft.plans.PairCombinations.pairCombinations($"basket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaGen == viaJoin)
+    assert(viaGen == viaGenerator)
     assert(viaGen.nonEmpty)
     assert(viaGen.forall { case (_, a, b) => a < b })
   }
