@@ -46,9 +46,14 @@ object Dedup {
           .as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct-shingle 64-bit hashes per doc, computed linearly: tokens and
-    * shingles are materialized in their own projections (see the
-    * performance contract on [[TextFns.shinglesFromTokens]]). */
+  /** Distinct-shingle 64-bit hashes per doc, computed linearly and
+    * string-free: tokenize once, hash each token once (xxhash64), then the
+    * codegen'd [[graft.plans.NgramHashesExpr]] folds each n-token window
+    * into one 64-bit key and dedups — no n-gram strings are ever built
+    * (the `concat_ws` + string-hash form cost ~2x on the scan side; the
+    * consumers only use shingles as join/count keys). Stages stay in
+    * separate projections per the [[TextFns.shinglesFromTokens]]
+    * performance contract. */
   private def shingleHashDf(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs
       // cheap pre-filter (ONE split per row) instead of size(hs)>0 later:
@@ -56,8 +61,8 @@ object Dedup {
       // re-inlining the whole shingle pipeline into the filter
       .filter(size(TextFns.tokens(col(textCol))) >= n)
       .select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), TextFns.shinglesFromTokens(col("toks"), n).as("sh"))
-      .select(col("doc"), TextFns.shingleHashes(col("sh")).as("hs"))
+      .select(col("doc"), TextFns.shingleHashes(col("toks")).as("th"))
+      .select(col("doc"), graft.plans.TextExprs.ngramHashes(col("th"), n).as("hs"))
 
   /** Exact n-gram Jaccard pairs ≥ threshold via an inverted-index join on
     * distinct shingles: shuffle keyed on the shingle's 64-bit hash (8-byte

@@ -162,6 +162,65 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram hashes computed directly from per-token hashes —
+  * the string-free shingle pipeline. The reference form builds every
+  * n-gram STRING (`concat_ws` of n tokens), distincts them, and hashes;
+  * this combines the n token hashes positionally (FNV-style fold: the
+  * same token sequence always yields the same 64-bit key, order matters)
+  * and dedups the combined hashes in one pass. Distinct-by-string and
+  * distinct-by-hash agree up to 64-bit collisions (~D²/2^65 over D
+  * distinct shingles — negligible at corpus scale; the dedup consumers
+  * only ever use shingles as join/count keys, never as text). Output
+  * order: first occurrence, matching array_distinct over the grams. */
+case class NgramHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashesExpr.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.plans.NgramHashesExpr.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashesExpr =
+    copy(child = newChild)
+}
+
+object NgramHashesExpr {
+  /** Shared kernel for eval + generated code. Null token hashes are
+    * impossible upstream (hashes of non-null tokens) but skipped
+    * defensively. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val th = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) { th(cnt) = arr.getLong(i); cnt += 1 }
+      i += 1
+    }
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](cnt - n + 1)
+    var w = 0
+    val seen = new java.util.HashSet[java.lang.Long]((cnt - n + 1) * 2)
+    i = 0
+    while (i <= cnt - n) {
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis, widened
+      var j = 0
+      while (j < n) {
+        h = (h ^ th(i + j)) * 0x100000001b3L
+        j += 1
+      }
+      if (seen.add(h)) { out(w) = h; w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+}
+
 object TextExprs {
   /** k-minima MinHash signature of a 64-bit hash array column. */
   def minhashSignature(hashArr: Column, k: Int): Column =
@@ -170,4 +229,9 @@ object TextExprs {
   /** 64-bit majority-vote SimHash of a hash array column. */
   def simhash64(hashArr: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashArr)))
+
+  /** Distinct n-gram hashes from a per-token hash array (string-free
+    * shingling). */
+  def ngramHashes(tokenHashArr: Column, n: Int): Column =
+    ColumnBridge.column(NgramHashesExpr(ColumnBridge.expression(tokenHashArr), n))
 }
