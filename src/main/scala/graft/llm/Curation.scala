@@ -1,0 +1,82 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data pipeline
+  * actually runs over a raw document table, assembled from this package's
+  * operators —
+  *
+  *   1. exact dedup (normalized-text hash, keep min-id)           [[Dedup]]
+  *   2. near-dup clustering (pair mining → connected components →
+  *      keep one representative per cluster)        [[Dedup]] + [[Clusters]]
+  *   3. quality filtering (score threshold)                   [[TextStats]]
+  *   4. deterministic train/holdout split (content hash, not RNG — the
+  *      same document lands on the same side on every engine and run)
+  *
+  * Everything stays a lazy plan except the bounded per-round convergence
+  * counters inside connected components. Each step is one-to-two shuffles;
+  * nothing is ever all-pairs. The stages are public so callers can rewire
+  * (e.g. swap n-gram Jaccard for MinHash-LSH at petabyte scale, where the
+  * exact inverted index's common-shingle posting lists get hot).
+  */
+object Curation {
+
+  /** Near-dup removal: mine pairs (exact n-gram Jaccard by default), build
+    * duplicate clusters, keep each cluster's min-id representative. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8,
+                         useMinhash: Boolean = false): DataFrame = {
+    val pairs =
+      if (useMinhash) Dedup.minhashLshPairs(docs, idCol, textCol, threshold = threshold,
+        shingleN = n).select(col("doc_a"), col("doc_b"))
+      else Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+        .select(col("doc_a"), col("doc_b"))
+    val comps = Clusters.connectedComponents(
+      docs.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+    // keep only rows that are their own cluster representative
+    docs.join(comps.filter(col(idCol) === col("cluster_rep")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+
+  /** Deterministic content-hash split flag: true → train, false → holdout.
+    * `holdoutSixteenths` of 16 md5-prefix buckets go to holdout. */
+  def trainSplit(textCol: String, holdoutSixteenths: Int = 1) = {
+    require(holdoutSixteenths >= 0 && holdoutSixteenths <= 16)
+    val bucket = conv(substring(md5(col(textCol).cast("binary")), 1, 1), 16, 10)
+      .cast("int")
+    bucket >= holdoutSixteenths
+  }
+
+  /** Full curation: exact dedup → near-dup representatives → quality
+    * filter → split flag. Returns the curated corpus with `quality_score`
+    * and `is_train` attached. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.3, jaccardThreshold: Double = 0.8,
+             useMinhash: Boolean = false): DataFrame = {
+    val exact = Dedup.dedupe(docs, idCol, textCol, normalized = true)
+    val nearDeduped = dropNearDuplicates(exact, idCol, textCol,
+      threshold = jaccardThreshold, useMinhash = useMinhash)
+    val scored = nearDeduped.join(
+      TextStats.qualityScore(nearDeduped, idCol, textCol)
+        .select(col(idCol), col("quality_score")),
+      Seq(idCol))
+    scored.filter(col("quality_score") >= minQuality)
+      .withColumn("is_train", trainSplit(textCol))
+  }
+
+  /** Curation funnel report: row counts surviving each stage — the
+    * accounting a pipeline logs per run (one job, all counts together). */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val exact = Dedup.dedupe(docs, idCol, textCol, normalized = true)
+    val near = dropNearDuplicates(exact, idCol, textCol, threshold = jaccardThreshold)
+    val curated = curate(docs, idCol, textCol, minQuality, jaccardThreshold)
+    docs.agg(count(lit(1)).as("raw_docs"))
+      .crossJoin(exact.agg(count(lit(1)).as("after_exact_dedup")))
+      .crossJoin(near.agg(count(lit(1)).as("after_near_dedup")))
+      .crossJoin(curated.agg(
+        count(lit(1)).as("after_quality_filter"),
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("train_docs")))
+  }
+}

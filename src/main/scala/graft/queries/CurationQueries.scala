@@ -54,6 +54,14 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q66: end-to-end curation funnel (exact dedup -> near-dup
+    // clusters -> quality filter -> deterministic split). The near-dup
+    // stage depends on the 64-bit shingle-hash family, so rows-only here;
+    // stage-wise guarantees are asserted in CurationSpec.
+    QueryDef.rowsOnly("q66_curation_funnel") { (s, dir) =>
+      graft.llm.Curation.funnel(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // ---- q65: referential-integrity + value-domain audit — the cross-table
     // quality checks the reference's per-file analyzer cannot express
     // (complete_analyzer.py profiles one CSV at a time). Each check is an

@@ -1,0 +1,53 @@
+package graft
+
+import graft.llm.Curation
+import org.apache.spark.sql.functions._
+
+/** End-to-end curation pipeline guarantees on a corpus with planted
+  * structure (exact dups, near dups, junk). */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val base = (1 to 40).map(i => s"the tok$i of and").mkString(" ")
+    val near = ((1 to 39).map(i => s"the tok$i of and") :+ "the CHANGED of and").mkString(" ")
+    Seq(
+      (0L, base), (1L, base),            // exact dups
+      (2L, near),                        // near dup of 0
+      (3L, "a completely different document with the usual amount of the stopwords and words to pass the quality bar " + (1 to 30).map(i => s"word$i").mkString(" ")),
+      (4L, "x y")                        // junk: too short, no stopwords
+    ).toDF("doc_id", "text")
+  }
+
+  test("curate: exact dup dropped, near dup clustered away, junk filtered") {
+    val out = Curation.curate(corpus, "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.8).collect()
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(1L))            // exact dup of 0
+    assert(!kept.contains(2L))            // near dup of 0 (same cluster)
+    assert(!kept.contains(4L))            // junk quality
+    assert(kept.contains(0L) && kept.contains(3L))
+    assert(out.forall(r => r.getAs[Double]("quality_score") >= 0.3))
+  }
+
+  test("trainSplit is deterministic and content-keyed") {
+    val docs = (0 until 200).map(i => (i.toLong, s"document number $i body")).toDF("doc_id", "text")
+    val a = docs.withColumn("t", Curation.trainSplit("text")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val b = docs.orderBy(desc("doc_id")).withColumn("t", Curation.trainSplit("text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(a == b)                        // row order irrelevant
+    assert(a.values.exists(identity) && a.values.exists(!_))  // both sides hit
+  }
+
+  test("funnel counts are monotone and consistent") {
+    val f = Curation.funnel(corpus, "doc_id", "text").head
+    val raw = f.getAs[Long]("raw_docs")
+    val ex = f.getAs[Long]("after_exact_dedup")
+    val nr = f.getAs[Long]("after_near_dedup")
+    val q = f.getAs[Long]("after_quality_filter")
+    val tr = f.getAs[Long]("train_docs")
+    assert(raw == 5 && ex == 4 && nr == 3)
+    assert(q <= nr && tr <= q)
+  }
+}
