@@ -74,8 +74,19 @@ object Dedup {
   private val SzBits = 20
   private val SzMask = (1L << SzBits) - 1
 
+  /** @param maxDocFreq posting-list cap (document frequency per shingle).
+    *   Default = no cap → EXACT Jaccard. At petabyte scale a stopword-ish
+    *   shingle shared by k documents expands to C(k,2) pairs in one task —
+    *   the classic inverted-index hot key; capping drops those shingles
+    *   from the intersection counts. Error is ONE-SIDED: a dropped shingle
+    *   only lowers the intersection while document sizes keep counting it,
+    *   so estimated Jaccard ≤ true Jaccard — capped output is always a
+    *   SUBSET of the exact pairs (no false positives; DedupSpec asserts
+    *   it). High-Jaccard pairs share mostly rare shingles, so recall loss
+    *   concentrates on boilerplate-heavy docs. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // Pack each doc's shingle-set size into the low bits of its id before
     // exploding: sizes then ride through pair generation for free — no
     // second evaluation of the shingle pipeline and no size joins. Packing
@@ -99,12 +110,17 @@ object Dedup {
       .select(
         (guardedDoc * lit(1L << SzBits) + guardedSize).as("pdoc"),
         explode(col("hs")).as("h"))
-    // posting-list pair expansion via the PairCombinations Generator: one
-    // shuffle keyed on the shingle, pairs generated locally per posting
-    // list — replaces the self-join (two shuffle sides + join)
-    val inter = graft.operators.Baskets
-      .pairsViaGenerator(packed, "h", "pdoc")
-      .groupBy(col("product_1"), col("product_2"))
+    // posting-list pair expansion: one shuffle keyed on the shingle, pairs
+    // generated locally per posting list via the codegen'd PairArray
+    // kernel — replaces the self-join (two shuffle sides + join)
+    val posting = packed.groupBy(col("h"))
+      .agg(collect_set(col("pdoc")).as("basket"))
+    val capped =
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.filter(size(col("basket")) <= maxDocFreq)
+    val inter = capped
+      .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
+      .groupBy(col("p.product_1").as("product_1"), col("p.product_2").as("product_2"))
       .agg(count(lit(1)).as("inter"))
     inter
       .select(

@@ -64,6 +64,20 @@ class DedupSpec extends SparkSpecBase {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngramJaccardPairs maxDocFreq cap: one-sided error (capped subset of exact)") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8,
+      maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+    // a generous cap changes nothing
+    val loose = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8,
+      maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exact)
+  }
+
   test("codegen'd MinHash/SimHash kernels are bit-identical to the HOF reference forms") {
     val hashed = corpus
       .select($"doc_id", TextFns.tokens($"text").as("toks"))
