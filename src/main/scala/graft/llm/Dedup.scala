@@ -142,9 +142,17 @@ object Dedup {
     * the explode-groupBy on (band, bucket) and the final distinct — each
     * bucket holds a handful of docs, so the join never goes quadratic.
     */
+  /** @param maxBucket cap on LSH bucket size (docs per (band, bucket)).
+    *   Default = uncapped. A degenerate bucket (boilerplate-identical
+    *   signature slices) expands C(k,2) candidate pairs in one task;
+    *   dropping oversized buckets loses only candidates from OTHER bands'
+    *   smaller buckets' perspective — with b bands a true pair survives
+    *   unless ALL its shared buckets are oversized, and verification
+    *   never admits false positives either way. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      maxBucket: Long = Long.MaxValue): DataFrame = {
     val k = bands * rowsPerBand
     // tokens -> shingles -> hashes -> signature, each in its own projection
     // (one regex pass, one string-hash pass, then ONE codegen'd k-minima
@@ -170,7 +178,7 @@ object Dedup {
     val members = buckets
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
     val pairExpr = flatten(transform(col("ms"), (x, i) =>
       transform(
         slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),

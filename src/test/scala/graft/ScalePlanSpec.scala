@@ -1,0 +1,33 @@
+package graft
+
+/** Scale-degradation guarantees: results must not depend on the physical
+  * join strategy AQE picks. At test SF the fact-fact join broadcasts by
+  * runtime stats; at cluster scale the same plan must fall back to
+  * sort-merge — forcing the fallback here proves both the plan shape and
+  * result stability. */
+class ScalePlanSpec extends SparkSpecBase {
+
+  test("q14 fact-fact join degrades to sort-merge with broadcast disabled, same result") {
+    val q = SparkEntry.queries("q14_customer_behavior")
+    val withBroadcast = q(spark, sf).collect().toSet
+
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, "-1")
+      val df = q(spark, sf)
+      val exec = df.queryExecution.executedPlan
+      exec.execute().count()
+      val plan = exec.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected sort-merge fallback, got:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastHashJoin"))
+      assert(df.collect().toSet == withBroadcast)
+    } finally {
+      spark.conf.unset(aqeKey)
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+}
