@@ -200,8 +200,12 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints, pigeonhole-banded into
     * four 16-bit chunks (a pair within hamming distance ≤ 3 of 64 bits must
     * agree on at least one chunk), verified by exact popcount hamming. */
+  /** @param maxBucket cap on docs per 16-bit chunk bucket (same hot-key
+    *   guard and one-sided candidate loss as [[minhashLshPairs]]'s — a
+    *   pair within the hamming budget shares ≥1 of 4 chunks, so it
+    *   survives unless every shared chunk bucket is oversized). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
     // one codegen'd majority-vote pass (graft.plans.SimHash64Expr) replaces
     // the SWAR accumulate+finish HOF pair — same fingerprints (DedupSpec)
     val fp = docs
@@ -219,7 +223,7 @@ object Dedup {
     val members = banded
       .groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("doc"), col("fp"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
     val pairExpr = flatten(transform(col("ms"), (x, i) =>
       transform(
         slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),

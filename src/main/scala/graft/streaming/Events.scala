@@ -69,6 +69,17 @@ object Events {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
 
+  /** Streaming exact dedup: drop rows whose key columns were already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
+    * is evicted once the watermark passes, so memory stays bounded by the
+    * horizon, not history; the batch-side analog is
+    * [[graft.llm.Dedup.dedupe]]). Key on a content hash (e.g.
+    * `md5(text)`) for streaming corpus dedup. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming upsert-lite sink: each micro-batch is folded into a managed
     * table with ON-CONFLICT-DO-NOTHING semantics (S11 on a stream) via
     * foreachBatch + [[graft.sources.Warehouse.upsertPlan]] — existing keys

@@ -152,6 +152,27 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("dedupStream drops duplicate content keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val withHash = mem.toDF().toDF("ts", "text")
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+    val q = Events.dedupStream(withHash, Seq("text_hash"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ts("2024-01-01 10:00:00") -> "same doc",
+        ts("2024-01-01 10:05:00") -> "same doc",     // dup within watermark
+        ts("2024-01-01 10:10:00") -> "another doc")
+      q.processAllAvailable()
+      mem.addData(ts("2024-01-01 10:20:00") -> "same doc")  // dup, later batch
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").collect().map(_.getAs[String]("text")).toSeq
+      assert(texts.sorted == Seq("another doc", "same doc"))
+    } finally q.stop()
+  }
+
   test("rate-source click stream is a valid streaming plan") {
     val s = graft.sources.Generator.clickStream(spark, rowsPerSecond = 10, seed = 1)
     assert(s.isStreaming)
