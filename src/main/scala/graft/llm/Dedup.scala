@@ -46,6 +46,26 @@ object Dedup {
           .as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Winnowing near-dup pairs: documents sharing ≥ `minShared` rolling-hash
+    * fingerprints (graft.plans.RollingFingerprintsExpr — position-
+    * independent, so reordered/partially-copied passages still collide;
+    * any shared substring of length ≥ k+w-1 guarantees a shared
+    * fingerprint). Same inverted-index shape as [[ngramJaccardPairs]]:
+    * one shuffle on the fingerprint, local pair expansion, count. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4, minShared: Long = 3): DataFrame = {
+    val fps = docs
+      .select(col(idCol).as("doc"),
+        explode(graft.plans.TextExprs.rollingFingerprints(
+          TextFns.normalize(col(textCol)), k, w)).as("fp"))
+    fps.groupBy(col("fp"))
+      .agg(collect_set(col("doc")).as("basket"))
+      .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
+      .groupBy(col("p.product_1").as("doc_a"), col("p.product_2").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Distinct-shingle 64-bit hashes per doc, computed linearly and
     * string-free: tokenize once, hash each token once (xxhash64), then the
     * codegen'd [[graft.plans.NgramHashesExpr]] folds each n-token window

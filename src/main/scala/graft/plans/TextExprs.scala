@@ -221,6 +221,87 @@ object NgramHashesExpr {
   }
 }
 
+/** Winnowing document fingerprints (the MOSS scheme): a Rabin-Karp
+  * POLYNOMIAL ROLLING HASH over the text's UTF-8 bytes produces one
+  * 64-bit hash per character k-gram in O(len) (each step drops the
+  * leading byte and appends the next — no re-hashing), then each window
+  * of `w` consecutive k-gram hashes contributes its minimum (rightmost
+  * tie-winner, per the winnowing paper's robustness rule). Output is the
+  * distinct selected hashes — a position-independent fingerprint set:
+  * any shared substring of length ≥ k+w-1 guarantees ≥1 shared
+  * fingerprint. Density is ~2/(w+1) of all k-grams, so the fingerprint
+  * set stays small at corpus scale. */
+case class RollingFingerprintsExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k >= 2 && w >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprintsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.plans.RollingFingerprintsExpr.compute($s, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintsExpr =
+    copy(child = newChild)
+}
+
+object RollingFingerprintsExpr {
+  private val P = 1099511628211L // FNV prime as the polynomial base
+
+  /** Shared kernel for eval + generated code. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // rolling k-gram hashes: h(i+1) = (h(i) - b(i)*P^(k-1)) * P + b(i+k)
+    var pk = 1L
+    var x = 0
+    while (x < k - 1) { pk *= P; x += 1 }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * P + (bytes(i) & 0xff); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - (bytes(i - 1) & 0xff) * pk) * P + (bytes(i + k - 1) & 0xff)
+      hs(i) = h
+      i += 1
+    }
+    // winnowing: min of each w-window, rightmost on ties; emit on change
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var start = 0
+    while (start <= m - w || (start == 0 && m < w)) {
+      val end = math.min(start + w, m)
+      var min = hs(start)
+      var j = start + 1
+      while (j < end) {
+        if (hs(j) <= min) min = hs(j)  // rightmost minimum
+        j += 1
+      }
+      if (seen.add(min)) out.add(min)
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    var z = 0
+    while (z < arr.length) { arr(z) = out.get(z); z += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 object TextExprs {
   /** k-minima MinHash signature of a 64-bit hash array column. */
   def minhashSignature(hashArr: Column, k: Int): Column =
@@ -234,4 +315,9 @@ object TextExprs {
     * shingling). */
   def ngramHashes(tokenHashArr: Column, n: Int): Column =
     ColumnBridge.column(NgramHashesExpr(ColumnBridge.expression(tokenHashArr), n))
+
+  /** Winnowing fingerprint set of a text column (rolling-hash k-grams,
+    * min per w-window). */
+  def rollingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(RollingFingerprintsExpr(ColumnBridge.expression(text), k, w))
 }

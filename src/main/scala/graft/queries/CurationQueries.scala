@@ -62,6 +62,15 @@ object CurationQueries {
       graft.llm.Curation.funnel(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // ---- q67: winnowing fingerprint near-dup pairs (rolling-hash k-grams,
+    // min-per-window selection — position-independent plagiarism-style
+    // matching). Hash-family dependent -> rows-only; guarantees (shared
+    // substring => shared fingerprint) asserted in DedupSpec.
+    QueryDef.rowsOnly("q67_winnowing_pairs") { (s, dir) =>
+      graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
+    },
+
     // ---- q65: referential-integrity + value-domain audit — the cross-table
     // quality checks the reference's per-file analyzer cannot express
     // (complete_analyzer.py profiles one CSV at a time). Each check is an

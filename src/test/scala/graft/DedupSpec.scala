@@ -106,6 +106,37 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(0L, 3L, 4L, 5L))  // 1,2 are dups of 0
   }
 
+  test("winnowing: shared substring guarantees shared fingerprints; position-independent") {
+    import graft.plans.TextExprs
+    val passage = (1 to 30).map(i => s"copied$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$passage and then some original tail content here"),
+      (1L, s"a totally different head before $passage"),   // same passage, shifted
+      (2L, "nothing in common with the others at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = docs.select($"doc_id",
+        TextExprs.rollingFingerprints(lower($"text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty)     // shifted copy still collides
+    assert((fps(0L) & fps(2L)).size < (fps(0L) & fps(1L)).size)
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("rollingFingerprints: identical text -> identical set; short text -> empty") {
+    import graft.plans.TextExprs
+    val df = Seq(("abcdefgh abcdefgh", "abcdefgh abcdefgh", "ab")).toDF("a", "b", "s")
+    val r = df.select(
+      TextExprs.rollingFingerprints($"a", 8, 4).as("fa"),
+      TextExprs.rollingFingerprints($"b", 8, 4).as("fb"),
+      TextExprs.rollingFingerprints($"s", 8, 4).as("fs")).head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0).nonEmpty)
+    assert(r.getSeq[Long](2).isEmpty)
+  }
+
   test("fingerprintGroups keys on normalized 64-char prefix") {
     val docs = Seq(
       (0L, "Hello   World " + ("x" * 100)),
