@@ -7,6 +7,9 @@ object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom Catalyst kernels as SQL functions (simhash64, minhash_signature,
+      // float_array_dot, ngram_hashes, rolling_fingerprints, pair_array)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

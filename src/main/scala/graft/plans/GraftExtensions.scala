@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration for the engine's custom Catalyst
+  * expressions, so they are first-class SQL functions:
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   spark.sql("SELECT simhash64(hashes), minhash_signature(hashes, 32) FROM t")
+  * }}}
+  *
+  * Wired into [[graft.Sessions.builder]], so every engine session (Verify,
+  * Bench, tests) exposes them. Static-argument parameters (k, n, w) must be
+  * foldable integer literals — they parameterize codegen, not row data.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("float_array_dot"),
+      info("float_array_dot", "_FUNC_(a, b) - double dot product of two array<float>"),
+      (args: Seq[Expression]) => FloatArrayDot(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "_FUNC_(hashes, k) - k-minima MinHash signature of array<bigint>"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_signature", 1))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(hashes) - 64-bit majority-vote SimHash of array<bigint>"),
+      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+
+    ext.injectFunction((FunctionIdentifier("ngram_hashes"),
+      info("ngram_hashes", "_FUNC_(token_hashes, n) - distinct n-gram hashes from per-token hashes"),
+      (args: Seq[Expression]) =>
+        NgramHashesExpr(args(0), intArg(args(1), "ngram_hashes", 1))))
+
+    ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
+      info("rolling_fingerprints", "_FUNC_(text, k, w) - winnowing fingerprint set of a string"),
+      (args: Seq[Expression]) => RollingFingerprintsExpr(args(0),
+        intArg(args(1), "rolling_fingerprints", 1),
+        intArg(args(2), "rolling_fingerprints", 2))))
+
+    ext.injectFunction((FunctionIdentifier("pair_array"),
+      info("pair_array", "_FUNC_(arr) - canonical (a<b) pairs of distinct array<bigint> elements"),
+      (args: Seq[Expression]) => PairArray(args(0))))
+  }
+}
