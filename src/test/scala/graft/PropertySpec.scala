@@ -64,6 +64,53 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("ngramHashes count == distinct string shingles count for generated docs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, word))
+    val texts = samples(textGen, 25).map(_.mkString(" "))
+    val rows = texts.toDF("t")
+      .select(
+        size(TextFns.shingles(col("t"), 3)).as("viaStrings"),
+        size(graft.plans.TextExprs.ngramHashes(
+          TextFns.shingleHashes(TextFns.tokens(col("t"))), 3)).as("viaHashes"))
+      .collect()
+    // distinct-by-hash == distinct-by-string absent 64-bit collisions
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("PairArray: C(distinct,2) pairs, canonical and sorted, for generated arrays") {
+    val arrGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 6L)))
+    samples(arrGen, 25).foreach { xs =>
+      val pairs = Seq(Tuple1(xs)).toDF("arr")
+        .select(explode(graft.plans.PairArray.pairArray(col("arr"))).as("p"))
+        .select("p.product_1", "p.product_2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val d = xs.distinct.size
+      assert(pairs.length == d * (d - 1) / 2, s"input $xs")
+      assert(pairs.forall { case (a, b) => a < b })
+      assert(pairs.distinct.length == pairs.length)
+    }
+  }
+
+  test("winnowing guarantee: shared substring of length >= k+w-1 shares a fingerprint") {
+    import graft.plans.TextExprs
+    val k = 8; val w = 4
+    val passageGen = for {
+      n <- Gen.chooseNum(k + w - 1, 40)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    val prefixGen = Gen.listOfN(12, Gen.alphaUpperChar).map(_.mkString)
+    samples(Gen.zip(passageGen, prefixGen, prefixGen), 20).foreach {
+      case (passage, p1, p2) =>
+        val fps = Seq((s"$p1$passage", s"$p2 shifted $passage")).toDF("a", "b")
+          .select(
+            TextExprs.rollingFingerprints(col("a"), k, w).as("fa"),
+            TextExprs.rollingFingerprints(col("b"), k, w).as("fb")).head
+        val shared = fps.getSeq[Long](0).toSet & fps.getSeq[Long](1).toSet
+        assert(shared.nonEmpty, s"passage '$passage'")
+    }
+  }
+
   test("explode preserves total quantity for generated baskets") {
     val itemGen = for {
       pid <- Gen.chooseNum(1, 50); qty <- Gen.chooseNum(1, 9)
