@@ -59,7 +59,7 @@ object Dedup {
         explode(graft.plans.TextExprs.rollingFingerprints(
           TextFns.normalize(col(textCol)), k, w)).as("fp"))
     fps.groupBy(col("fp"))
-      .agg(collect_set(col("doc")).as("basket"))
+      .agg(collect_list(col("doc")).as("basket"))  // fingerprint sets are per-doc distinct
       .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
       .groupBy(col("p.product_1").as("doc_a"), col("p.product_2").as("doc_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
@@ -133,8 +133,10 @@ object Dedup {
     // posting-list pair expansion: one shuffle keyed on the shingle, pairs
     // generated locally per posting list via the codegen'd PairArray
     // kernel — replaces the self-join (two shuffle sides + join)
+    // collect_list: a doc contributes each distinct shingle once, so lists
+    // are dup-free already (and PairArray dedups defensively anyway)
     val posting = packed.groupBy(col("h"))
-      .agg(collect_set(col("pdoc")).as("basket"))
+      .agg(collect_list(col("pdoc")).as("basket"))
     val capped =
       if (maxDocFreq == Long.MaxValue) posting
       else posting.filter(size(col("basket")) <= maxDocFreq)

@@ -69,7 +69,9 @@ object Baskets {
     * agree). */
   def pairsViaGenerator(df: DataFrame, orderCol: String, productCol: String): DataFrame =
     df.groupBy(col(orderCol))
-      .agg(collect_set(col(productCol).cast("long")).as("basket"))
+      // collect_list, not collect_set: the PairArray kernel dedups while
+      // sorting anyway, so the aggregate skips its per-group hash-dedup
+      .agg(collect_list(col(productCol).cast("long")).as("basket"))
       .select(col(orderCol),
         explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
       .select(col(orderCol), col("p.product_1"), col("p.product_2"))
