@@ -40,6 +40,30 @@ object Bins {
       .drop("__tile")
   }
 
+  /** P13 with EXACT `pd.qcut` semantics: right-closed bins at the linear-
+    * interpolated quantile edges (numpy's default method, which qcut uses),
+    * from Spark's exact `percentile` aggregate. Two passes: one aggregation
+    * producing k-1 edge doubles (a single tiny row, broadcast back), one
+    * labeling projection — NO global sort and no tie-break column needed
+    * (contrast [[ntileBins]], which equalizes bucket COUNTS and so is only
+    * qcut-like when values are distinct). Edge arithmetic is bit-identical
+    * to DuckDB's `quantile_cont` (verified at both test SFs), so the bins
+    * are oracle-exact. */
+  def qcutBins(df: DataFrame, colName: String, k: Int,
+               labels: Seq[String], out: String): DataFrame = {
+    require(labels.size == k)
+    val probs = (1 until k).map(_.toDouble / k)
+    val edges = df.agg(
+      expr(s"percentile($colName, array(${probs.mkString(", ")}))").as("__edges"))
+    val chain = (0 until k - 1).foldRight(lit(labels.last): Column) { (i, elseC) =>
+      when(col(colName) <= col("__edges").getItem(i), labels(i)).otherwise(elseC)
+    }
+    df.crossJoin(broadcast(edges))
+      .withColumn(out,
+        when(col(colName).isNull, lit(null).cast("string")).otherwise(chain))
+      .drop("__edges")
+  }
+
   /** Scale path for P13: approximate quantile edges (Greenwald-Khanna sketch,
     * single pass, driver gets only k-1 doubles) + a broadcast CASE. Not
     * oracle-exact on ties; used where data is fact-sized. */

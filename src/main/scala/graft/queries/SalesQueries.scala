@@ -182,6 +182,27 @@ object SalesQueries {
         .agg(count(lit(1)).as("txn_count"), dsum(col("o_totalprice")).as("total_amount"))
     },
 
+    // ---- q68: transaction-size bins with EXACT pd.qcut semantics (P13's
+    // reference behavior: right-closed bins at linear-interpolated quartile
+    // edges — q19's ntile equalizes counts instead; both shapes are useful,
+    // this one is the reference-parity one)
+    QueryDef.sql("q68_qcut_bins",
+      s"""WITH e AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         |                  quantile_cont(o_totalprice, 0.5) AS q2,
+         |                  quantile_cont(o_totalprice, 0.75) AS q3 FROM orders)
+         |SELECT CASE WHEN o_totalprice <= e.q1 THEN 'Small'
+         |            WHEN o_totalprice <= e.q2 THEN 'Medium'
+         |            WHEN o_totalprice <= e.q3 THEN 'Large'
+         |            ELSE 'Extra Large' END AS transaction_size,
+         |  COUNT(*) AS txn_count,
+         |  ${dsumSql("o_totalprice")} AS total_amount
+         |FROM orders, e GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.operators.Bins.qcutBins(Tables.orders(s, dir), "o_totalprice", 4,
+          Seq("Small", "Medium", "Large", "Extra Large"), "transaction_size")
+        .groupBy("transaction_size")
+        .agg(count(lit(1)).as("txn_count"), dsum(col("o_totalprice")).as("total_amount"))
+    },
+
     // ---- q23: datetime <-> string round-trip (P20/P7 serialization edges)
     QueryDef.sql("q23_date_roundtrip",
       """SELECT o_orderkey,

@@ -106,6 +106,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(viaGen.forall { case (_, a, b) => a < b })
   }
 
+  test("qcutBins: pd.qcut parity — right-closed interpolated edges, null -> null") {
+    val vals = (1 to 8).map(_.toDouble)  // quartile edges 2.75, 4.5, 6.25
+    val df = (vals.map(Option(_)) :+ None).toDF("v")
+    val out = graft.operators.Bins.qcutBins(df, "v", 4,
+        Seq("a", "b", "c", "d"), "bin")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+        -> r.getAs[String]("bin")).toMap
+    assert(out(Some(1.0)) == "a" && out(Some(2.0)) == "a")
+    assert(out(Some(3.0)) == "b" && out(Some(4.0)) == "b")
+    assert(out(Some(5.0)) == "c" && out(Some(6.0)) == "c")
+    assert(out(Some(7.0)) == "d" && out(Some(8.0)) == "d")
+    assert(out(None) == null)
+  }
+
   // ---- Temporal (P9/P10) -----------------------------------------------
 
   test("ageAt: exact integer age flips on the birthday itself") {
