@@ -106,6 +106,35 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(0L, 3L, 4L, 5L))  // 1,2 are dups of 0
   }
 
+  test("minhashLshPairs agrees with MLlib MinHashLSH on the planted duplicates") {
+    // cross-validate our banded-LSH against the library implementation the
+    // survey originally proposed (SURVEY §7.3): both must recover the
+    // identical-document pairs, and ours must not hallucinate pairs MLlib's
+    // exact-Jaccard join rejects at the same threshold.
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
+      .setNumFeatures(1 << 14)
+    val feats = tf.transform(tok.transform(corpus))
+      .filter(size($"words") > 0)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("lsh")
+      .setNumHashTables(8).setSeed(42L).fit(feats)
+    val mllib = model.approxSimilarityJoin(feats, feats, 0.3, "dist") // jaccard >= 0.7
+      .select($"datasetA.doc_id".as("a"), $"datasetB.doc_id".as("b"))
+      .filter($"a" < $"b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ours = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        bands = 8, rowsPerBand = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val identical = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    assert(identical.subsetOf(mllib) && identical.subsetOf(ours))
+    // MLlib's join verifies EXACT token-set Jaccard: nothing it rejects at
+    // 0.7 should appear in our verified output (shingle-level vs token-level
+    // differ, so compare only on the planted structure + doc 4 isolation)
+    assert(!ours.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!mllib.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("winnowing: shared substring guarantees shared fingerprints; position-independent") {
     import graft.plans.TextExprs
     val passage = (1 to 30).map(i => s"copied$i").mkString(" ")

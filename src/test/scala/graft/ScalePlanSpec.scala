@@ -7,6 +7,18 @@ package graft
   * result stability. */
 class ScalePlanSpec extends SparkSpecBase {
 
+  test("q01 scan: filter pushed to parquet, unused columns pruned") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    exec.execute().count()
+    val plan = exec.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n${plan.take(1500)}")
+    // projection pruning: the scan schema must not carry unused wide columns
+    assert(!plan.contains("l_comment") && !plan.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
   test("q14 fact-fact join degrades to sort-merge with broadcast disabled, same result") {
     val q = SparkEntry.queries("q14_customer_behavior")
     val withBroadcast = q(spark, sf).collect().toSet
