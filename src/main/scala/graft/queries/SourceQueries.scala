@@ -126,10 +126,23 @@ object SourceQueries {
         .groupBy("r_name").agg(count(lit(1)).as("nations"))
     },
 
-    // ---- q36: referential sampler (T5+J6) — Spark RNG ≠ pandas RNG, so
-    // rows-only here; closure/fraction properties asserted in SamplingSpec
-    QueryDef.rowsOnly("q36_referential_sample") { (s, dir) =>
-      val sampledCust = Sampling.sampleDim(Tables.customer(s, dir), 0.1, seed = 42)
+    // ---- q36: referential sampler (T5+J6), deterministic key-hash variant
+    // (2/16 of customers) so the whole closure is oracle-checkable — the
+    // RNG sampler (Sampling.sampleDim, the pandas-seed-42 analog) keeps its
+    // fraction/closure properties in SourcesSpec, but RNG streams are not
+    // reproducible across engines and can't be oracled.
+    QueryDef.sql("q36_referential_sample",
+      """WITH sc AS (SELECT c_custkey FROM customer
+        |            WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')),
+        |co AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM sc)),
+        |cl AS (SELECT 1 AS x FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM co))
+        |SELECT (SELECT COUNT(*) FROM sc) AS sampled_customers,
+        |       (SELECT COUNT(*) FROM co) AS closed_orders,
+        |       (SELECT COUNT(*) FROM cl) AS closed_lineitems""".stripMargin) { (s, dir) =>
+      val sampledCust = Sampling.sampleDimDeterministic(
+        Tables.customer(s, dir), "c_custkey", sixteenths = 2)
       val closedOrders = Sampling.closeOver(Tables.orders(s, dir), "o_custkey",
         sampledCust, "c_custkey")
       val closedLines = Sampling.closeOver(Tables.lineitem(s, dir), "l_orderkey",

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Referential-integrity-preserving sampler (SURVEY §2.6 T5 + §2.4 J6).
   *
@@ -18,6 +19,21 @@ object Sampling {
   /** T5: seeded fraction sample of a dimension table. */
   def sampleDim(dim: DataFrame, fraction: Double, seed: Long): DataFrame =
     dim.sample(withReplacement = false, fraction, seed)
+
+  /** T5, deterministic: key-hash sample — keep rows whose md5(key) falls in
+    * the first `sixteenths` of 16 hex buckets (fraction = sixteenths/16).
+    * Unlike the RNG sampler this is reproducible across engines, runs, and
+    * partitionings (the property a 100 TB pipeline needs for re-runnable
+    * extracts), and therefore oracle-checkable. */
+  def hashSampleKey(key: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 0 && sixteenths <= 16)
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 1), 16, 10)
+      .cast("int") < sixteenths
+  }
+
+  def sampleDimDeterministic(dim: DataFrame, keyCol: String,
+                             sixteenths: Int): DataFrame =
+    dim.filter(hashSampleKey(col(keyCol), sixteenths))
 
   /** J6: close a fact table over a sampled dimension — keep only fact rows
     * whose key appears in the sample. */
