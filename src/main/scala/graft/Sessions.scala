@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE re-plans at runtime: broadcast-after-stats, skew-join splitting.
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate (collect_list/collect_set — the basket and
+      // posting-list builders) falls back to SORT-based aggregation after
+      // only 128 distinct keys by default; our group-bys carry 10^5 small
+      // groups per partition, where hashing is strictly better. 64k keeps
+      // the hash path for realistic per-partition group counts while the
+      // fallback still bounds memory under extreme per-partition key
+      // explosions (the lists themselves stay small by construction —
+      // baskets and capped posting lists).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 16).toString)
       // InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
       // Filter(size(f(x))>0) in which alias substitution re-inlines f —
       // for lambda-heavy f (shingling) that re-evaluates the full pipeline
