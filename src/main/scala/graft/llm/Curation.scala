@@ -66,12 +66,19 @@ object Curation {
   }
 
   /** Curation funnel report: row counts surviving each stage — the
-    * accounting a pipeline logs per run (one job, all counts together). */
+    * accounting a pipeline logs per run. Built stage-on-stage (NOT by
+    * calling [[curate]] alongside the intermediate stages, which would run
+    * the expensive near-dup mining twice). */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              minQuality: Double = 0.3, jaccardThreshold: Double = 0.8): DataFrame = {
     val exact = Dedup.dedupe(docs, idCol, textCol, normalized = true)
     val near = dropNearDuplicates(exact, idCol, textCol, threshold = jaccardThreshold)
-    val curated = curate(docs, idCol, textCol, minQuality, jaccardThreshold)
+    val curated = near.join(
+        TextStats.qualityScore(near, idCol, textCol)
+          .select(col(idCol), col("quality_score")),
+        Seq(idCol))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("is_train", trainSplit(textCol))
     docs.agg(count(lit(1)).as("raw_docs"))
       .crossJoin(exact.agg(count(lit(1)).as("after_exact_dedup")))
       .crossJoin(near.agg(count(lit(1)).as("after_near_dedup")))
