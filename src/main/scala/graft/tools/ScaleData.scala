@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an N-times scaled copy of the sf0.1 tables into a scratch
+  * dir for scaling-curve measurements (tools-only; never part of the
+  * driver contract). Each copy shifts every key by a copy-offset so the
+  * copies are referentially independent (outputs should scale ~N-fold,
+  * work ~N log N at worst), and perturbs document text per copy with a
+  * vowel translation (injective per char, so WITHIN-copy similarity
+  * structure is preserved exactly while cross-copy near-dup pairs vanish —
+  * without this, N identical copies make dedup output quadratic in N,
+  * which measures adversarial duplication, not scaling). */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(8)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$n")
+    val src = "/root/testdata/sf0.1"
+    val spark = Sessions.local(Sessions.defaultCpus)
+
+    val K = 100000000L // key offset per copy
+    def copies(f: Int => DataFrame): DataFrame =
+      (0 until n).map(f).reduce(_ unionByName _)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scale] wrote $name")
+    }
+
+    val vowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "aeuio", "eiaou", "iueao")
+
+    write("lineitem", copies(i => Tables.lineitem(spark, src)
+      .withColumn("l_orderkey", col("l_orderkey") + i * K)
+      .withColumn("l_partkey", col("l_partkey") + i * K)))
+    write("orders", copies(i => Tables.orders(spark, src)
+      .withColumn("o_orderkey", col("o_orderkey") + i * K)
+      .withColumn("o_custkey", col("o_custkey") + i * K)))
+    write("customer", copies(i => Tables.customer(spark, src)
+      .withColumn("c_custkey", col("c_custkey") + i * K)))
+    write("part", copies(i => Tables.part(spark, src)
+      .withColumn("p_partkey", col("p_partkey") + i * K)))
+    // events.ts is raw nanos in the parquet; re-read without conversion
+    write("events", copies(i => spark.read.parquet(s"$src/events.parquet")
+      .withColumn("event_id", col("event_id") + i * K)
+      .withColumn("user_id", col("user_id") + i * K)))
+    write("documents", copies(i => Tables.documents(spark, src)
+      .withColumn("doc_id", col("doc_id") + i * K)
+      .withColumn("text", translate(col("text"), "aeiou", vowelPerms(i % 8)))))
+    write("embeddings", copies(i => Tables.embeddings(spark, src)
+      .withColumn("vec_id", col("vec_id") + i * K)
+      .withColumn("label", col("label") + lit(i * 1000))))
+    for (t <- Seq("region", "nation", "supplier"))
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
+    spark.stop()
+  }
+}
