@@ -29,8 +29,9 @@ object ScaleData {
       println(s"[scale] wrote $name")
     }
 
-    val vowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
-      "aeuio", "eiaou", "iueao")
+    // one distinct vowel permutation per copy (5! = 120 available, so any
+    // n <= 120 keeps cross-copy texts disjoint)
+    val vowelPerms = "aeiou".permutations.take(math.max(n, 1)).toIndexedSeq
 
     write("lineitem", copies(i => Tables.lineitem(spark, src)
       .withColumn("l_orderkey", col("l_orderkey") + i * K)
@@ -48,7 +49,7 @@ object ScaleData {
       .withColumn("user_id", col("user_id") + i * K)))
     write("documents", copies(i => Tables.documents(spark, src)
       .withColumn("doc_id", col("doc_id") + i * K)
-      .withColumn("text", translate(col("text"), "aeiou", vowelPerms(i % 8)))))
+      .withColumn("text", translate(col("text"), "aeiou", vowelPerms(i % vowelPerms.size)))))
     write("embeddings", copies(i => Tables.embeddings(spark, src)
       .withColumn("vec_id", col("vec_id") + i * K)
       .withColumn("label", col("label") + lit(i * 1000))))
