@@ -111,6 +111,20 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("decimal aggregation is bit-identical under any partitioning") {
+    import graft.operators.Aggregates._
+    val vals = samples(Gen.choose(-99999.99, 99999.99), 500)
+    def total(parts: Int): Double = vals.toDF("v").repartition(parts)
+      .agg(dsum(col("v"))).head.getDouble(0)
+    val one = total(1)
+    assert(Seq(2, 7, 32).forall(p => total(p) == one))  // ==, not ~=
+    // plain double sum is NOT guaranteed order-stable — that's the reason
+    // dsum exists; don't assert its instability (it can coincide), just
+    // that dsum matches the sequential reference exactly
+    val seqRef = vals.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    assert(one == seqRef.toDouble)
+  }
+
   test("explode preserves total quantity for generated baskets") {
     val itemGen = for {
       pid <- Gen.chooseNum(1, 50); qty <- Gen.chooseNum(1, 9)
