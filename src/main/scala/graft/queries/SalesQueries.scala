@@ -203,6 +203,29 @@ object SalesQueries {
         .agg(count(lit(1)).as("txn_count"), dsum(col("o_totalprice")).as("total_amount"))
     },
 
+    // ---- q69: full CUBE lattice (q64's rollup sibling — all 2^k grouping
+    // combinations in one Expand pass; the cross-tab report shape)
+    QueryDef.sql("q69_cube_sales",
+      s"""SELECT
+         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+         |       ELSE o_orderpriority END AS priority,
+         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+         |       ELSE o_orderstatus END AS status,
+         |  COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"),
+          grouping(col("o_orderpriority")).as("gp"),
+          grouping(col("o_orderstatus")).as("gs"))
+        .select(
+          when(col("gp") === 1, "ALL").otherwise(col("o_orderpriority")).as("priority"),
+          when(col("gs") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
+          col("orders"), col("revenue"))
+    },
+
     // ---- q23: datetime <-> string round-trip (P20/P7 serialization edges)
     QueryDef.sql("q23_date_roundtrip",
       """SELECT o_orderkey,
