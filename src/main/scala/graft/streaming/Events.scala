@@ -69,6 +69,29 @@ object Events {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
 
+  /** Stream-stream attribution join (J3 as a stream): attach each purchase
+    * to the same user's click that preceded it by at most `attribution`.
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict state once the watermark passes — the
+    * state store holds only `attribution + lateness` worth of events per
+    * side, regardless of stream length. Works identically on batch frames
+    * (watermarks become no-ops), which is how the spec asserts parity. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      attribution: String = "30 minutes",
+                      lateness: String = "1 hour"): DataFrame = {
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", lateness) else clicks)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_type"))
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", lateness) else purchases)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("amount"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attribution"))
+      .select(col("user_id"), col("click_ts"), col("event_type"),
+        col("purchase_ts"), col("amount"))
+  }
+
   /** Streaming exact dedup: drop rows whose key columns were already seen
     * within the watermark horizon (`dropDuplicatesWithinWatermark` — state
     * is evicted once the watermark passes, so memory stays bounded by the

@@ -152,6 +152,39 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("attributionJoin: stream-stream result equals batch result; window enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (100L, ts("2024-01-01 10:00:00"), "view"),
+      (100L, ts("2024-01-01 12:00:00"), "click"),
+      (200L, ts("2024-01-01 10:00:00"), "view"))
+    val purchases = Seq(
+      (100L, ts("2024-01-01 10:10:00"), 50.0),  // within 30 min of 10:00 view
+      (100L, ts("2024-01-01 11:00:00"), 60.0),  // no click within 30 min
+      (200L, ts("2024-01-01 10:40:00"), 70.0))  // outside 30 min of 10:00
+    val memC = MemoryStream[(Long, Timestamp, String)]
+    val memP = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Events.attributionJoin(
+      memC.toDF().toDF("user_id", "ts", "event_type"),
+      memP.toDF().toDF("user_id", "ts", "amount"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      memC.addData(clicks: _*)
+      memP.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attrib")
+        .orderBy("user_id", "purchase_ts").collect().toSeq
+      val batch = Events.attributionJoin(
+          clicks.toDF("user_id", "ts", "event_type"),
+          purchases.toDF("user_id", "ts", "amount"))
+        .orderBy("user_id", "purchase_ts").collect().toSeq
+      assert(streamed == batch)
+      assert(batch.length == 1)   // only the 10:10 purchase attributes
+      assert(batch.head.getAs[Double]("amount") == 50.0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
