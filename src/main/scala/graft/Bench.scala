@@ -31,11 +31,22 @@ object Bench {
     // compilation noise (measured 2-6x on this box); min-of-2 reports the
     // query's actual cost. Methodology recorded in BASELINE.md.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).toSet)
-    val queries = subset.fold(headline)(s => headline.filter(s))
-    val spark = Sessions.local(cpus)
     val qs = SparkEntry.queries
+    // subset may name ANY SparkEntry query (not just headline ones);
+    // unknown names fail fast instead of being silently dropped
+    val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case None => headline
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = names.filterNot(qs.contains)
+        if (unknown.nonEmpty || names.isEmpty) {
+          System.err.println(
+            s"[bench] unknown or empty SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+          sys.exit(2)
+        }
+        names
+    }
+    val spark = Sessions.local(cpus)
     // one warm-up pass so JVM/codegen startup isn't charged to q1
     qs(queries.head)(spark, sfDir).count()
     // locale-pinned formatting: under a comma-decimal default locale the

@@ -41,27 +41,38 @@ object Clusters {
     // it) until analysis itself OOMs; checkpointing truncates lineage to the
     // materialized RDD. Same rule a 1000-executor iterative job follows —
     // there with checkpoint() to durable storage for executor-loss recovery.
+    // Superseded rounds' checkpoint blocks are released asynchronously by
+    // Spark's ContextCleaner once the dropped `labels` reference is GC'd —
+    // at most a few round's worth of the (id, lbl) table is ever live.
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(eager = true)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      // min label among each node's neighbors...
-      val fromNeighbors = edges
-        .join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
-      // ...folded with the node's own label
-      val next = labels
-        .join(fromNeighbors, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    edges.unpersist()
+    try {
+      while (!converged && iter < maxIters) {
+        // min label among each node's neighbors...
+        val fromNeighbors = edges
+          .join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
+        // ...folded with the node's own label
+        val next = labels
+          .join(fromNeighbors, labels("id") === col("id2"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(eager = true)
+        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") < col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+    } finally edges.unpersist()
+    // partially-propagated labels would silently split one component into
+    // several "clusters" — fail loudly instead (same posture as the
+    // packing guards in Dedup): callers with genuinely deep graphs raise
+    // maxIters (rounds needed = component diameter).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds; " +
+        "a component's diameter exceeds maxIters — raise it")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_rep"))
   }
 

@@ -40,13 +40,11 @@ object Curation {
   }
 
   /** Deterministic content-hash split flag: true → train, false → holdout.
-    * `holdoutSixteenths` of 16 md5-prefix buckets go to holdout. */
-  def trainSplit(textCol: String, holdoutSixteenths: Int = 1) = {
-    require(holdoutSixteenths >= 0 && holdoutSixteenths <= 16)
-    val bucket = conv(substring(md5(col(textCol).cast("binary")), 1, 1), 16, 10)
-      .cast("int")
-    bucket >= holdoutSixteenths
-  }
+    * `holdoutSixteenths` of 16 md5-prefix buckets go to holdout. Same
+    * bucketing primitive as the referential sampler, so the split and any
+    * hash-sampled extracts stay mutually consistent. */
+  def trainSplit(textCol: String, holdoutSixteenths: Int = 1) =
+    !graft.sources.Sampling.hashSampleKey(col(textCol), holdoutSixteenths)
 
   /** Full curation: exact dedup → near-dup representatives → quality
     * filter → split flag. Returns the curated corpus with `quality_score`

@@ -53,14 +53,20 @@ object Bins {
                labels: Seq[String], out: String): DataFrame = {
     require(labels.size == k)
     val probs = (1 until k).map(_.toDouble / k)
-    val edges = df.agg(
+    // pd.qcut computes quantiles over non-NaN values only; percentile
+    // skips NULLs itself but would rank NaN as the greatest double
+    val edges = df.filter(!isnan(col(colName).cast("double"))).agg(
       expr(s"percentile($colName, array(${probs.mkString(", ")}))").as("__edges"))
     val chain = (0 until k - 1).foldRight(lit(labels.last): Column) { (i, elseC) =>
       when(col(colName) <= col("__edges").getItem(i), labels(i)).otherwise(elseC)
     }
     df.crossJoin(broadcast(edges))
       .withColumn(out,
-        when(col(colName).isNull, lit(null).cast("string")).otherwise(chain))
+        // NULL and NaN -> null, pd.cut/qcut parity (NaN fails every <= and
+        // would otherwise fall through to the LAST label — same guard as
+        // fixedBins)
+        when(col(colName).isNull || isnan(col(colName).cast("double")),
+          lit(null).cast("string")).otherwise(chain))
       .drop("__edges")
   }
 

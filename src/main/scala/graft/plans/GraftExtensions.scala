@@ -24,36 +24,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
+  /** Arity gate: positional args(i) on a wrong-arity call would otherwise
+    * surface as a bare IndexOutOfBoundsException with no function name. */
+  private def arity(fn: String, n: Int)(b: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.size}")
+    b(args)
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("float_array_dot"),
       info("float_array_dot", "_FUNC_(a, b) - double dot product of two array<float>"),
-      (args: Seq[Expression]) => FloatArrayDot(args(0), args(1))))
+      arity("float_array_dot", 2)(args => FloatArrayDot(args(0), args(1)))))
 
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "_FUNC_(hashes, k) - k-minima MinHash signature of array<bigint>"),
-      (args: Seq[Expression]) =>
-        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_signature", 1))))
+      arity("minhash_signature", 2)(args =>
+        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_signature", 1)))))
 
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(hashes) - 64-bit majority-vote SimHash of array<bigint>"),
-      (args: Seq[Expression]) => SimHash64Expr(args(0))))
+      arity("simhash64", 1)(args => SimHash64Expr(args(0)))))
 
     ext.injectFunction((FunctionIdentifier("ngram_hashes"),
       info("ngram_hashes", "_FUNC_(token_hashes, n) - distinct n-gram hashes from per-token hashes"),
-      (args: Seq[Expression]) =>
-        NgramHashesExpr(args(0), intArg(args(1), "ngram_hashes", 1))))
+      arity("ngram_hashes", 2)(args =>
+        NgramHashesExpr(args(0), intArg(args(1), "ngram_hashes", 1)))))
 
     ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
       info("rolling_fingerprints", "_FUNC_(text, k, w) - winnowing fingerprint set of a string"),
-      (args: Seq[Expression]) => RollingFingerprintsExpr(args(0),
+      arity("rolling_fingerprints", 3)(args => RollingFingerprintsExpr(args(0),
         intArg(args(1), "rolling_fingerprints", 1),
-        intArg(args(2), "rolling_fingerprints", 2))))
+        intArg(args(2), "rolling_fingerprints", 2)))))
 
     ext.injectFunction((FunctionIdentifier("pair_array"),
       info("pair_array", "_FUNC_(arr) - canonical (a<b) pairs of distinct array<bigint> elements"),
-      (args: Seq[Expression]) => PairArray(args(0))))
+      arity("pair_array", 1)(args => PairArray(args(0)))))
   }
 }

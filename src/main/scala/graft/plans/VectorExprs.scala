@@ -20,9 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * order (b) of the build brief: native Expression with doGenCode over
   * any UDF).
   *
-  * Semantics match the HOF form: NULL if either array is NULL or any
-  * element of either array is NULL; arrays of unequal length dot over the
-  * common prefix (embeddings here are fixed-width, so this never fires).
+  * Semantics match the HOF form: NULL if either array is NULL, any
+  * element of either array is NULL, or the lengths differ (zip_with
+  * null-pads the shorter side, which nulls the sum — a truncated
+  * embedding must surface as NULL, not as a plausible prefix dot).
   * Like the HOF form the result is evaluation-ORDER-DEPENDENT in the last
   * ULP; oracle-compared results must still confirm through the exact
   * decimal [[graft.functions.VectorFns.dot]].
@@ -45,7 +46,8 @@ case class FloatArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -63,10 +65,10 @@ case class FloatArrayDot(left: Expression, right: Expression)
       val s = ctx.freshName("sum")
       val nul = ctx.freshName("sawNull")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |boolean $nul = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $nul = ($n != $b.numElements());
+         |for (int $i = 0; !$nul && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $nul = true; break; }
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}

@@ -39,6 +39,15 @@ class ClustersSpec extends SparkSpecBase {
     assert(dc == Map(1L -> (3L, 3L), 5L -> (2L, 6L)))
   }
 
+  test("non-convergence within maxIters fails loudly, never returns partial labels") {
+    val path = (1L until 10L).map(i => i -> (i + 1))
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(nodes(1L to 10L: _*), "id",
+        edges(path: _*), "a", "b", maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("edge direction and duplicate edges do not change components") {
     val a = Clusters.connectedComponents(nodes(1, 2, 3), "id",
       edges(1L -> 2L, 2L -> 3L), "a", "b")

@@ -34,6 +34,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(litDot == 11.0)
   }
 
+  test("FloatArrayDot: unequal-length arrays yield null (truncated embedding guard)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f))).toDF("a", "b")
+    assert(df.select(VectorFns.dotDouble($"a", $"b")).head.isNullAt(0))
+    // literal (interpreted) path too
+    assert(spark.range(1).select(VectorFns.dotDouble(
+      array(lit(1f), lit(2f)), array(lit(3f)))).head.isNullAt(0))
+  }
+
   test("FloatArrayDot: null array and null element both yield null") {
     val df = Seq(
       (Some(Array(1f, 2f)), Array(3f, 4f)),
