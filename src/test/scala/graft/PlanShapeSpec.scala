@@ -1,0 +1,45 @@
+package graft
+
+/** Shuffle-budget regression guard: every headline query's executed plan
+  * must stay within the exchange count recorded in the PLANS_r3.md audit.
+  * Exchange count is a plan-shape property (independent of scale factor),
+  * so this runs at sf0.001; a change that sneaks an extra shuffle into a
+  * headline path fails here instead of silently regressing the bench. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val shuffleBudget: Seq[(String, Int)] = Seq(
+    "q01_pricing_summary" -> 1,
+    "q02_daily_sales" -> 2,
+    "q05_customer_ltv" -> 1,
+    "q06_product_performance" -> 1,
+    "q11_basket_pairs" -> 2,
+    "q14_customer_behavior" -> 2,
+    "q19_txn_size_bins" -> 1,
+    "q42_dedup_ngram_jaccard" -> 2,
+    "q43_dedup_minhash_lsh" -> 2,
+    "q44_dedup_simhash" -> 2,
+    "q46_ann_brute_topk" -> 0,
+    "q48_text_stats" -> 1,
+    "q52_embedding_near_dups" -> 0,
+    "q55_profile_part" -> 2)
+
+  private def shuffles(name: String): Int = {
+    val exec = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    exec.execute().count()
+    val full = exec.toString
+    val finalPlan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    ("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+      .findAllIn(finalPlan).size)
+  }
+
+  shuffleBudget.foreach { case (name, budget) =>
+    test(s"$name stays within its $budget-shuffle budget") {
+      val got = shuffles(name)
+      assert(got <= budget, s"$name now shuffles $got times (budget $budget) — " +
+        "plan regression; see PLANS_r3.md")
+    }
+  }
+}
