@@ -28,7 +28,11 @@ object SalesAnalytics {
     val withTime = Temporal.timeFeatures(col("created_at")).foldLeft(withRatios) {
       case (df, (name, c)) => df.withColumn(name, c)
     }
-    Bins.ntileBins(withTime, col("total_amount"), col("booking_id"), 4,
+    // qcutBins, not ntileBins: transactions is the FACT table, and qcut's
+    // edges come from one percentile aggregate + a broadcast — no global
+    // sort through a single task (Bins' own scale contract), and it is the
+    // reference's actual pd.qcut semantics.
+    Bins.qcutBins(withTime, "total_amount", 4,
       Seq("Small", "Medium", "Large", "Extra Large"), "transaction_size")
       .drop("items")
   }

@@ -19,8 +19,12 @@ object Bins {
     when(c.isNull || isnan(c.cast("double")), lit(null).cast("string")).otherwise(chain)
   }
 
-  /** P13: 4-tile (or k-tile) quantile bins via a rank window — the
-    * oracle-exact `pd.qcut`-alike. `tieBreak` must make the ordering total
+  /** P13: 4-tile (or k-tile) quantile bins via a rank window — NTILE
+    * semantics (equal COUNTS per bucket; matches a SQL NTILE oracle
+    * exactly, which is why q19/q09 use it). NOTE: NULL values sort first
+    * and land in tile 1 — that IS what the NTILE oracle computes, but it
+    * differs from pd.qcut, which maps NaN/NULL to null; the pd.qcut-parity
+    * path is [[qcutBins]]. `tieBreak` must make the ordering total
     * (e.g. the table's key) so bucket assignment is deterministic.
     *
     * NOTE (100 TB): `ntile` over an un-partitioned window is a global sort

@@ -20,11 +20,20 @@ object Csv {
   /** S1: whole-file scan with an explicit schema (header row skipped).
     * Quote escaping is RFC 4180 doubling ("" inside a quoted field) — the
     * pandas to_csv/read_csv default the reference's CSVs use, not Spark's
-    * backslash default. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    * backslash default.
+    *
+    * @param multiLine set true for files whose quoted fields embed
+    *   newlines (legal RFC 4180, and pandas reads them). The trade is
+    *   real: multiLine parses each FILE as one unsplittable unit, losing
+    *   input-split parallelism — at warehouse scale, prefer many smaller
+    *   files or keep records single-line. Default false = split-parallel
+    *   line-oriented scan. */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
       .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSS")
       .schema(schema)
       .csv(path)
@@ -40,7 +49,14 @@ object Csv {
     * parsed with the `from_csv` expression: the validity check is ordinary
     * column logic, evaluated identically in every query shape, and the
     * whole parse stays inside codegen. Header rows are dropped by name
-    * match (quotes stripped), per pandas `header=0`. */
+    * match (quotes stripped), per pandas `header=0`.
+    *
+    * CONSTRAINTS of the line-oriented design (both inherent to scanning as
+    * text): records must not embed newlines inside quoted fields (use
+    * [[read]] with multiLine for such files — tolerant + multiline can't
+    * combine without giving up split parallelism), and a data line whose
+    * full text exactly equals the header line is dropped as a header
+    * (position information does not exist in a distributed text scan). */
   def readTolerant(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val corrupt = "_graft_corrupt"
     val opts = Map(

@@ -32,7 +32,7 @@ object Generator {
     }
     spark.range(n)
       .withColumn("event_id", md5(concat(lit("ev"), lit(seed), col("id"))))
-      .withColumn("session_id", md5(concat(lit("sess"), lit(seed), col("id") / 5)))
+      .withColumn("session_id", md5(concat(lit("sess"), lit(seed), floor(col("id") / 5))))
       .withColumn("customer_id", (h(seed, 0) % 1000 + 1).cast("int"))
       .withColumn("event_type", eventType)
       .withColumn("ts", timestamp_seconds(lit(startTs) + h(seed, 2) % 3600))
@@ -60,17 +60,28 @@ object Generator {
     spark.range(n)
       .filter(h(seed, 7) % 10 < 3)
       .withColumn("booking_id", md5(concat(lit("bk"), lit(seed), col("id"))))
-      .withColumn("session_id", md5(concat(lit("sess"), lit(seed), col("id") / 5)))
+      .withColumn("session_id", md5(concat(lit("sess"), lit(seed), floor(col("id") / 5))))
       .withColumn("customer_id", (h(seed, 0) % 1000 + 1).cast("int"))
       .withColumn("created_at", timestamp_seconds(lit(startTs) + h(seed, 8) % 3600))
-      .withColumn("product_metadata",
-        to_json(slice(array(item(30), item(31), item(32)), lit(1), nItems.cast("int"))))
+      .withColumn("__items", slice(array(item(30), item(31), item(32)), lit(1), nItems.cast("int")))
+      .withColumn("product_metadata", to_json(col("__items")))
       .withColumn("payment_method",
         when(h(seed, 9) % 3 === 0, "credit_card")
           .when(h(seed, 9) % 3 === 1, "bank_transfer").otherwise("e_wallet"))
-      .withColumn("total_amount", (h(seed, 11) % 1000000 + 100000))
-      .drop("id")
+      // total_amount IS the basket total (reference data_generator.py:60-75
+      // keeps them consistent; an independent random total would make
+      // basket-vs-amount ratios internally impossible)
+      .withColumn("total_amount", aggregate(col("__items"), lit(0L),
+        (a, x) => a + x.getField("quantity").cast("long") * x.getField("item_price")))
+      .drop("__items", "id")
   }
+
+  /** Rename a click batch/stream to the reference's clickStream schema
+    * (event_name/event_time — Schemas.clickStream, data_generator.py:36-40)
+    * so generated data feeds the ecom pipelines directly. */
+  def asClickStream(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumnRenamed("event_type", "event_name")
+      .withColumnRenamed("ts", "event_time")
 
   /** Structured Streaming variant of the click source: the `rate` source
     * mapped onto the same deterministic event shape — each input row becomes

@@ -25,13 +25,17 @@ object Warehouse {
   private def clearTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val parts = table.split("\\.")
-    if (parts.length == 2) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s"${spark.conf.get("spark.sql.warehouse.dir")}/${parts(0)}.db/${parts(1)}")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(loc, true)
+    // resolve 1-part names against the current database so default-db
+    // tables get the same orphaned-location cleanup as qualified ones
+    val (db, tbl) = table.split("\\.") match {
+      case Array(d, t) => (d, t)
+      case Array(t)    => (spark.catalog.currentDatabase, t)
     }
+    val base = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(
+      if (db == "default") s"$base/$tbl" else s"$base/$db.db/$tbl")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
   }
 
   /** S9: full-refresh write — `to_sql(if_exists='replace')` parity. */

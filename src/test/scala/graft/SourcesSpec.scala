@@ -107,6 +107,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(smj.count() == lineitem.count())
   }
 
+  test("generator sessions group ~5 events; txn totals equal basket sums; feeds ecom schema") {
+    val clicks = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
+    val perSession = clicks.groupBy("session_id").count().agg(max("count")).head.getLong(0)
+    assert(perSession == 5, s"expected 5-event sessions, max=$perSession")
+    val txn = Generator.transactionBatch(spark, 2000, seed = 42, startTs = 1700000000L)
+    val bad = txn.withColumn("items", Baskets.parseItems($"product_metadata"))
+      .withColumn("basket_total", aggregate($"items", lit(0L),
+        (a, x) => a + x.getField("quantity").cast("long") * x.getField("item_price")))
+      .filter($"total_amount" =!= $"basket_total").count()
+    assert(bad == 0, "total_amount must equal the basket sum")
+    val ref = Generator.asClickStream(clicks)
+    assert(ref.columns.contains("event_name") && ref.columns.contains("event_time"))
+  }
+
   test("generator is deterministic for a fixed seed and differs across seeds") {
     val a = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
     val b = Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L)
