@@ -220,4 +220,22 @@ class EcomPipelinesSpec extends SparkSpecBase {
     assert(cmp(2).getAs[String]("price_position") == "Below Market")
     assert(cmp(3).isNullAt(cmp(3).fieldIndex("price_position")))  // no quotes
   }
+
+  test("generated clicks+transactions flow end-to-end through customer behavior") {
+    import graft.sources.Generator
+    // same seed -> click and transaction session_ids align by construction
+    val clicks = Generator.asClickStream(
+      Generator.clickBatch(spark, 500, seed = 7, startTs = 1700000000L))
+      .drop("customer_id")  // behavior derives the customer via the session join
+    val txns = Generator.transactionBatch(spark, 500, seed = 7, startTs = 1700000000L)
+    val dim = txns.select(col("customer_id")).distinct()
+      .withColumn("customer_segment", lit("Regular"))
+    val behavior = CustomerAnalytics.factCustomerBehavior(clicks, txns, dim)
+    val rows = behavior.collect()
+    assert(rows.nonEmpty)
+    // every session holds 5 clicks, so events = 5 x (txn rows in that
+    // customer's joined sessions) and events_per_session is a multiple of 5
+    assert(rows.forall(_.getAs[Double]("events_per_session") % 5.0 == 0.0))
+    assert(rows.forall(_.getAs[String]("customer_segment") == "Regular"))
+  }
 }
