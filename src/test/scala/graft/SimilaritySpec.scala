@@ -101,6 +101,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert((exact & approx).size >= 5)
   }
 
+  test("MLlib BucketedRandomProjectionLSH recalls most of the exact cosine top-k") {
+    // cross-validate against the library quantizer the survey proposed:
+    // on UNIT-normalized vectors euclidean distance is monotone in cosine,
+    // so BRP-LSH's euclidean ANN should recover most of bruteTopK's answer
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(spark, sf)
+    val unit = emb.withColumn("features", array_to_vector(
+      transform($"embedding", x =>
+        (x / VectorFns.norm($"embedding")).cast("float"))))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("lshv")
+      .setBucketLength(1.0).setNumHashTables(6).setSeed(42L)
+      .fit(unit)
+    val queryVec = unit.filter($"vec_id" === 0)
+      .select("features").head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val approx = model.approxNearestNeighbors(unit, queryVec, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteTopK(emb,
+        emb.filter($"vec_id" === 0).select($"embedding".as("qe")), 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & approx).size >= 6, s"BRP recall too low: ${(exact & approx).size}/10")
+  }
+
   test("nearDuplicatePairs only emits within-cell canonical pairs over threshold") {
     val pairs = Similarity.nearDuplicatePairs(Tables.embeddings(spark, sf), "label", 0.4)
       .collect()
