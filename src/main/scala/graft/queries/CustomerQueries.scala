@@ -212,6 +212,39 @@ object CustomerQueries {
 
     // ---- q30: event-time tumbling windows (ST1 batch parity; the streaming
     // variant over the same agg is covered in streaming/Events + tests)
+    QueryDef.sql("q70_rfm_segmentation",
+      s"""WITH c AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '$asOf') AS BIGINT)
+         |      AS recency_days,
+         |    COUNT(*) AS frequency,
+         |    ${dsumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY 1)
+         |SELECT o_custkey, recency_days, frequency, monetary,
+         |  CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) * 100
+         |    + NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) * 10
+         |    + NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+         |    AS rfm_score
+         |FROM c""".stripMargin) { (s, dir) =>
+      // RFM segmentation: the classic e-commerce customer scoring the
+      // reference's LTV table approximates. recency ranks ascending (most
+      // recent buyers first), frequency/monetary descending; customer key
+      // breaks ties so the window is total. Customer-cardinality input —
+      // ntile's dimension-scale contract holds.
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.orders(s, dir).groupBy(col("o_custkey")).agg(
+        datediff(lit(asOf).cast("date"), to_date(max(col("o_orderdate"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        (ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey").asc)) * 100
+          + ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc)) * 10
+          + ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+          .cast("long").as("rfm_score"))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,
