@@ -245,6 +245,66 @@ object CustomerQueries {
           .cast("long").as("rfm_score"))
     },
 
+    QueryDef.sql("q71_cohort_retention",
+      """WITH first AS (
+        |  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders)
+        |SELECT CAST(f.cohort AS DATE) AS cohort_month,
+        |  CAST(date_diff('month', f.cohort, a.m) AS BIGINT) AS months_since,
+        |  COUNT(DISTINCT a.o_custkey) AS active_customers
+        |FROM first f JOIN act a ON f.o_custkey = a.o_custkey
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      // cohort retention matrix: customers bucketed by first-order month,
+      // counted in each subsequent active month. Two aggs + one key join —
+      // no windows, shuffles only on o_custkey and the output keys.
+      val orders = Tables.orders(s, dir)
+      val first = orders.groupBy(col("o_custkey"))
+        .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+      val act = orders
+        .select(col("o_custkey").as("a_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .distinct()
+      first.join(act, col("o_custkey") === col("a_custkey"))
+        .groupBy(to_date(col("cohort")).as("cohort_month"),
+          months_between(col("m"), col("cohort")).cast("long").as("months_since"))
+        .agg(countDistinct(col("a_custkey")).as("active_customers"))
+    },
+
+    QueryDef.sql("q72_moving_average",
+      s"""WITH d AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS sale_date,
+         |    ${dsumSql("o_totalprice")} AS daily_total
+         |  FROM orders GROUP BY 1)
+         |SELECT sale_date, daily_total,
+         |  CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER (ORDER BY sale_date
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / COUNT(*) OVER (ORDER BY sale_date
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+         |  CAST(SUM(CAST(daily_total AS DECIMAL(18,2))) OVER (ORDER BY sale_date
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         |FROM d""".stripMargin) { (s, dir) =>
+      // moving/running window aggregates over the daily series — the frame
+      // clause family (ROWS BETWEEN) q27's ranking suite doesn't cover.
+      // Ordered window over date-cardinality rows (dimension-scale).
+      // Frame sums accumulate in DECIMAL: engines are free to reassociate
+      // windowed double sums (DuckDB uses a segment tree), so only exact
+      // decimal partials are order-independent and oracle-comparable.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("sale_date"))
+        .agg(dsum(col("o_totalprice")).as("daily_total"))
+      val byDate = Window.orderBy(col("sale_date"))
+      val week = byDate.rowsBetween(-6, 0)
+      val dec = col("daily_total").cast(DecimalType(18, 2))
+      daily.select(col("sale_date"), col("daily_total"),
+        (sum(dec).over(week).cast("double") / count(lit(1)).over(week)).as("ma7"),
+        sum(dec).over(byDate.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,
