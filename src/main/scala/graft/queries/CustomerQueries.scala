@@ -305,6 +305,30 @@ object CustomerQueries {
           .cast("double").as("running_total"))
     },
 
+    QueryDef.sql("q73_yoy_growth",
+      s"""WITH y AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    ${dsumSql("o_totalprice")} AS revenue
+         |  FROM orders GROUP BY 1)
+         |SELECT yr, revenue,
+         |  LAG(revenue) OVER (ORDER BY yr) AS prev_revenue,
+         |  (revenue - LAG(revenue) OVER (ORDER BY yr))
+         |    / LAG(revenue) OVER (ORDER BY yr) * 100 AS yoy_pct
+         |FROM y""".stripMargin) { (s, dir) =>
+      // year-over-year growth via LAG — the offset window function the
+      // ranking suite (q27) doesn't cover. revenue is already an exact
+      // decimal-summed double, so the ratio arithmetic is deterministic.
+      import org.apache.spark.sql.expressions.Window
+      val byYear = Window.orderBy(col("yr"))
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+        .select(col("yr"), col("revenue"),
+          lag(col("revenue"), 1).over(byYear).as("prev_revenue"),
+          ((col("revenue") - lag(col("revenue"), 1).over(byYear))
+            / lag(col("revenue"), 1).over(byYear) * 100).as("yoy_pct"))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,
