@@ -146,6 +146,48 @@ object ProductQueries {
         .select("product_1", "product_2", "product_1_name", "product_2_name", "frequency")
     },
 
+    // ---- q74: association-rule metrics over the basket pairs — the step
+    // after raw pair frequency (q11): support per item, confidence, lift.
+    // Item-order counts are part-cardinality (bounded) -> broadcast joins.
+    QueryDef.sql("q74_basket_lift",
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS total_orders FROM lineitem),
+        |ic AS (SELECT l_partkey, COUNT(*) AS item_orders FROM d GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS product_1, b.l_partkey AS product_2
+        |       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |pc AS (SELECT product_1, product_2, COUNT(*) AS pair_orders FROM pr GROUP BY 1, 2)
+        |SELECT product_1, product_2, pair_orders,
+        |  CAST(pair_orders AS DOUBLE) / ia.item_orders AS confidence,
+        |  CAST(pair_orders AS DOUBLE) * n.total_orders
+        |    / (ia.item_orders * ib.item_orders) AS lift
+        |FROM pc JOIN ic ia ON product_1 = ia.l_partkey
+        |        JOIN ic ib ON product_2 = ib.l_partkey, n
+        |WHERE pair_orders >= 3
+        |ORDER BY lift DESC, product_1, product_2 LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val pairCounts = Baskets.pairFrequencies(
+          Baskets.pairsViaGenerator(li, "l_orderkey", "l_partkey"))
+        .withColumnRenamed("frequency", "pair_orders")
+        .filter(col("pair_orders") >= 3)
+      val itemCounts = li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("item_orders"))
+      val totalOrders = li.agg(countDistinct(col("l_orderkey")).as("total_orders"))
+      pairCounts
+        .join(broadcast(itemCounts.select(col("l_partkey"),
+          col("item_orders").as("ia"))), col("product_1") === col("l_partkey"))
+        .drop("l_partkey")
+        .join(broadcast(itemCounts.select(col("l_partkey"),
+          col("item_orders").as("ib"))), col("product_2") === col("l_partkey"))
+        .drop("l_partkey")
+        .crossJoin(broadcast(totalOrders))
+        .select(col("product_1"), col("product_2"), col("pair_orders"),
+          (col("pair_orders").cast("double") / col("ia")).as("confidence"),
+          (col("pair_orders").cast("double") * col("total_orders")
+            / (col("ia") * col("ib"))).as("lift"))
+        .orderBy(desc("lift"), asc("product_1"), asc("product_2"))
+        .limit(100)
+    },
+
     // ---- q17: sorted distribution (T3 — value_counts().sort_index())
     QueryDef.sql("q17_size_distribution",
       """SELECT p_size, COUNT(*) AS cnt FROM part GROUP BY p_size ORDER BY p_size""".stripMargin) { (s, dir) =>
