@@ -329,6 +329,43 @@ object CustomerQueries {
             / lag(col("revenue"), 1).over(byYear) * 100).as("yoy_pct"))
     },
 
+    QueryDef.sql("q75_conversion_funnel",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(*) AS users,
+        |  COUNT(t_signup) AS signed_up,
+        |  CAST(SUM(CASE WHEN t_view >= t_signup THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS viewed_after_signup,
+        |  CAST(SUM(CASE WHEN t_click >= t_view AND t_view >= t_signup
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS clicked_in_order,
+        |  CAST(SUM(CASE WHEN t_buy >= t_click AND t_click >= t_view
+        |                AND t_view >= t_signup
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS purchased_in_order
+        |FROM u""".stripMargin) { (s, dir) =>
+      // order-sensitive conversion funnel: each user's FIRST touch per
+      // stage must be monotonic through signup -> view -> click ->
+      // purchase. One per-user aggregation + one global fold; null stage
+      // timestamps fail the comparisons on both engines identically.
+      def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+      val u = Tables.events(s, dir).groupBy(col("user_id")).agg(
+        firstTs("signup").as("t_signup"), firstTs("view").as("t_view"),
+        firstTs("click").as("t_click"), firstTs("purchase").as("t_buy"))
+      def inOrder(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1).otherwise(0)).cast("long")
+      u.agg(count(lit(1)).as("users"),
+        count(col("t_signup")).as("signed_up"),
+        inOrder(col("t_view") >= col("t_signup")).as("viewed_after_signup"),
+        inOrder(col("t_click") >= col("t_view")
+          && col("t_view") >= col("t_signup")).as("clicked_in_order"),
+        inOrder(col("t_buy") >= col("t_click") && col("t_click") >= col("t_view")
+          && col("t_view") >= col("t_signup")).as("purchased_in_order"))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,
