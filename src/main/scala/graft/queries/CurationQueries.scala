@@ -71,6 +71,34 @@ object CurationQueries {
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
     },
 
+    // ---- q76: edit-distance verification of fingerprint-blocked pairs —
+    // the exact-verify stage after cheap blocking (classic dedup shape:
+    // block on the md5 prefix fingerprint, verify candidates with
+    // Levenshtein). The join is an equi-join on the fingerprint, never
+    // all-pairs; Spark's and DuckDB's levenshtein agree exactly.
+    QueryDef.sql("q76_editdistance_pairs",
+      """WITH fp AS (
+        |  SELECT doc_id, text,
+        |    md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS f
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance
+        |FROM pairs WHERE levenshtein(ta, tb) <= 50
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val fp = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        md5(substring(graft.functions.TextFns.normalize(col("text")), 1, 64)
+          .cast("binary")).as("f"))
+      fp.as("a").join(fp.as("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_distance"))
+        .filter(col("edit_distance") <= 50)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q65: referential-integrity + value-domain audit — the cross-table
     // quality checks the reference's per-file analyzer cannot express
     // (complete_analyzer.py profiles one CSV at a time). Each check is an
