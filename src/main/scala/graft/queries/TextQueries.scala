@@ -144,6 +144,41 @@ object TextQueries {
           (bytes % 640 + 1).as("width"),
           (floor(bytes / 640) % 480 + 1).as("height"))
         .orderBy("id")
+    },
+
+    // ---- q77: per-language corpus length distribution — the length-cut
+    // report a curation pipeline checks before truncation/filter decisions.
+    // Exact interpolated percentiles (bit-parity with quantile_cont, as in
+    // q68) over the language-ID partition.
+    QueryDef.sql("q77_corpus_length_stats", {
+      val scoreSql = TextStats.langProfiles.map { case (l, wsx) =>
+        val set = wsx.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter($toksSql, t -> t IN ($set))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextStats.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN s_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH scored AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len, $scoreSql
+         |  FROM documents),
+         |lng AS (SELECT len, $caseExpr AS lang FROM scored)
+         |SELECT lang, COUNT(*) AS docs,
+         |  MIN(len) AS min_len, MAX(len) AS max_len,
+         |  quantile_cont(len, 0.5) AS p50_len,
+         |  quantile_cont(len, 0.95) AS p95_len
+         |FROM lng GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val lang = TextStats.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang"))
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .join(lang, "doc_id")
+        .groupBy(col("predicted_lang").as("lang"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("len")).as("min_len"), max(col("len")).as("max_len"),
+          expr("percentile(len, 0.5)").as("p50_len"),
+          expr("percentile(len, 0.95)").as("p95_len"))
     }
   )
 }
