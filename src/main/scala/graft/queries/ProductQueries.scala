@@ -188,6 +188,33 @@ object ProductQueries {
         .limit(100)
     },
 
+    // ---- q78: supplier revenue by region — the 3-hop star join
+    // (fact ⋈ supplier ⋈ nation ⋈ region) over the one fixture table no
+    // other query exercises. All three dims are bounded -> broadcast chain,
+    // one shuffle for the final aggregate.
+    QueryDef.sql("q78_supplier_region_revenue",
+      s"""SELECT r.r_name AS region, n.n_name AS nation,
+         |  COUNT(DISTINCT s.s_suppkey) AS suppliers,
+         |  COUNT(*) AS line_count,
+         |  ${dsumSql("l.l_extendedprice")} AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(countDistinct(col("s_suppkey")).as("suppliers"),
+          count(lit(1)).as("line_count"),
+          dsum(col("l_extendedprice")).as("revenue"))
+    },
+
     // ---- q17: sorted distribution (T3 — value_counts().sort_index())
     QueryDef.sql("q17_size_distribution",
       """SELECT p_size, COUNT(*) AS cnt FROM part GROUP BY p_size ORDER BY p_size""".stripMargin) { (s, dir) =>
