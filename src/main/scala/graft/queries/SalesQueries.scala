@@ -226,6 +226,28 @@ object SalesQueries {
           col("orders"), col("revenue"))
     },
 
+    // ---- q79: discount-band effectiveness — fixed-boundary bins (P12) on
+    // the FACT table (scale-safe: a CASE projection, no sort/shuffle
+    // beyond the final agg), measuring revenue give-back per band.
+    QueryDef.sql("q79_discount_bands",
+      s"""SELECT CASE WHEN l_discount <= 0.02 THEN 'none'
+         |            WHEN l_discount <= 0.05 THEN 'low'
+         |            WHEN l_discount <= 0.08 THEN 'mid'
+         |            ELSE 'high' END AS discount_band,
+         |  COUNT(*) AS line_count,
+         |  ${dsumSql("l_extendedprice")} AS gross_revenue,
+         |  ${dsum6Sql("l_extendedprice*l_discount")} AS discount_given
+         |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("discount_band",
+          graft.operators.Bins.fixedBins(col("l_discount"),
+            Seq(0.02, 0.05, 0.08), Seq("none", "low", "mid", "high")))
+        .groupBy("discount_band")
+        .agg(count(lit(1)).as("line_count"),
+          dsum(col("l_extendedprice")).as("gross_revenue"),
+          dsum6(col("l_extendedprice") * col("l_discount")).as("discount_given"))
+    },
+
     // ---- q23: datetime <-> string round-trip (P20/P7 serialization edges)
     QueryDef.sql("q23_date_roundtrip",
       """SELECT o_orderkey,
