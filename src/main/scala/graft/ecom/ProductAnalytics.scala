@@ -53,7 +53,7 @@ object ProductAnalytics {
   /** fact_price_performance (A6 over P13 bins,
     * product_analytics_dag.py:129-139). */
   def factPricePerformance(productSales: DataFrame): DataFrame =
-    Bins.ntileBins(
+    Bins.distributedNtileBins(
         productSales.filter(col("avg_item_price") > 0),
         col("avg_item_price"), col("id"), 4,
         Seq("Budget", "Medium", "Premium", "Luxury"), "price_range")

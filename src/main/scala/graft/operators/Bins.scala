@@ -44,6 +44,22 @@ object Bins {
       .drop("__tile")
   }
 
+  /** [[ntileBins]] with identical NTILE-exact semantics but NO
+    * single-partition window: ranks come from [[Ranks.distributedNtile]]
+    * (range-partition + offset two-pass), so the same oracle SQL matches
+    * while the plan scales to fact-sized inputs. Costs one extra shuffle
+    * and a bounded driver collect of per-partition counts. */
+  def distributedNtileBins(df: DataFrame, c: Column, tieBreak: Column, k: Int,
+                           labels: Seq[String], out: String): DataFrame = {
+    require(labels.size == k)
+    val lbl = labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (l, i)) => when(col("__tile") === (i + 1), l).otherwise(acc)
+    }
+    Ranks.distributedNtile(df, Seq(c.asc, tieBreak.asc), k, "__tile")
+      .withColumn(out, lbl)
+      .drop("__tile")
+  }
+
   /** P13 with EXACT `pd.qcut` semantics: right-closed bins at the linear-
     * interpolated quantile edges (numpy's default method, which qcut uses),
     * from Spark's exact `percentile` aggregate. Two passes: one aggregation

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact global ranking (SURVEY §2.2 P13 at scale).
+  *
+  * `row_number()`/`ntile()` over an UN-partitioned window force every row
+  * through one task — the classic 100-TB scale-killer (a global sort into a
+  * single `Exchange SinglePartition`). This primitive computes the same
+  * exact ranks with no single-task stage, as the standard two-pass scheme:
+  *
+  *   1. `repartitionByRange` on the sort key (sampled range boundaries, so
+  *      skewed keys still spread by tie-break columns), pinned with
+  *      `localCheckpoint` — partition ids MUST be frozen because the range
+  *      sampler re-draws per physical execution, and pass 2 and pass 3
+  *      would otherwise see different partitionings (wrong ranks, silently).
+  *      On a real cluster swap `localCheckpoint` for a durable
+  *      `checkpoint` dir, same note as [[graft.llm.Clusters]].
+  *   2. per-partition counts (one tiny job: ≤ `partitions` longs to the
+  *      driver) → cumulative offsets.
+  *   3. local `row_number` partitioned BY the range-partition id, plus the
+  *      partition's offset → exact global rank. The window shuffles by
+  *      partition id, so tasks stay range-balanced; no task ever sees more
+  *      than one range partition.
+  */
+object Ranks {
+  /** Exact global `row_number` under `order` (must be a total order for
+    * determinism — include a tie-break key), written to long column `out`.
+    * Also returns the total row count (pass 2 already paid for it). */
+  private def rankedWithCount(df: DataFrame, order: Seq[Column],
+                              out: String, partitions: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val total = offsets.last
+    val offDf = spark.createDataFrame(
+      counts.zip(offsets).map { case ((pid, _), off) => (pid, off) }.toSeq)
+      .toDF("__opid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val ranked = ranged
+      .join(broadcast(offDf), col("__pid") === col("__opid"))
+      .withColumn(out, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__opid", "__off")
+    (ranked, total)
+  }
+
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
+                      partitions: Int = 0): DataFrame =
+    rankedWithCount(df, order, out, partitions)._1
+
+  /** Exact `NTILE(k) OVER (ORDER BY order)` — SQL NTILE semantics (first
+    * `N mod k` tiles get `ceil(N/k)` rows), bit-equal to the single-window
+    * form, with no single-partition stage. */
+  def distributedNtile(df: DataFrame, order: Seq[Column], k: Int,
+                       out: String, partitions: Int = 0): DataFrame = {
+    require(k > 0, "ntile k must be positive")
+    val (ranked, n) = rankedWithCount(df, order, "__rn", partitions)
+    val q = n / k
+    val rem = n % k
+    val threshold = rem * (q + 1)
+    // integral `div` (Column./ is floating division); q==0 (N < k) keeps
+    // every row in the first branch, so the max(q,1) guard is never taken
+    val tile = when(col("__rn") <= threshold,
+        expr(s"(__rn - 1) div ${q + 1}") + 1)
+      .otherwise(lit(rem) + expr(s"(__rn - 1 - $threshold) div ${math.max(q, 1)}") + 1)
+    ranked.withColumn(out, tile.cast("int")).drop("__rn")
+  }
+}

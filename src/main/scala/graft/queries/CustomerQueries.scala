@@ -229,19 +229,25 @@ object CustomerQueries {
       // RFM segmentation: the classic e-commerce customer scoring the
       // reference's LTV table approximates. recency ranks ascending (most
       // recent buyers first), frequency/monetary descending; customer key
-      // breaks ties so the window is total. Customer-cardinality input —
-      // ntile's dimension-scale contract holds.
-      import org.apache.spark.sql.expressions.Window
+      // breaks ties so each ordering is total. Per-customer aggregate input
+      // is billions of rows at 100 TB, so each of the three NTILEs uses the
+      // distributed two-pass rank (Ranks.distributedNtile) instead of an
+      // un-partitioned window — NTILE-exact, no single-task sort.
+      import graft.operators.Ranks.distributedNtile
       val base = Tables.orders(s, dir).groupBy(col("o_custkey")).agg(
         datediff(lit(asOf).cast("date"), to_date(max(col("o_orderdate"))))
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum(col("o_totalprice")).as("monetary"))
-      base.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      val scored = distributedNtile(
+        distributedNtile(
+          distributedNtile(base,
+            Seq(col("recency_days").asc, col("o_custkey").asc), 5, "__r"),
+          Seq(col("frequency").desc, col("o_custkey").asc), 5, "__f"),
+        Seq(col("monetary").desc, col("o_custkey").asc), 5, "__m")
+      scored.select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"),
-        (ntile(5).over(Window.orderBy(col("recency_days").asc, col("o_custkey").asc)) * 100
-          + ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc)) * 10
-          + ntile(5).over(Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+        (col("__r") * 100 + col("__f") * 10 + col("__m"))
           .cast("long").as("rfm_score"))
     },
 

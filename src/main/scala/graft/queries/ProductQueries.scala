@@ -98,7 +98,9 @@ object ProductQueries {
          |  SUM(total_quantity) AS total_quantity,
          |  CAST(SUM(total_value_dec) AS DOUBLE) AS total_value
          |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
-      Bins.ntileBins(productSales(s, dir), col("p_retailprice"), col("p_partkey"), 4,
+      // part-dimension input is still 10^8 rows at 100 TB — use the
+      // distributed NTILE (no single-task window), same oracle semantics
+      Bins.distributedNtileBins(productSales(s, dir), col("p_retailprice"), col("p_partkey"), 4,
           Seq("Budget", "Medium", "Premium", "Luxury"), "price_range")
         .groupBy("price_range")
         .agg(

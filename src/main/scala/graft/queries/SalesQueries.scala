@@ -175,7 +175,9 @@ object SalesQueries {
          |  COUNT(*) AS txn_count,
          |  ${dsumSql("o_totalprice")} AS total_amount
          |FROM t GROUP BY 1""".stripMargin) { (s, dir) =>
-      val binned = graft.operators.Bins.ntileBins(
+      // distributed NTILE: orders is the fact table, so the single-window
+      // form (Bins.ntileBins) would be a one-task global sort at scale
+      val binned = graft.operators.Bins.distributedNtileBins(
         Tables.orders(s, dir), col("o_totalprice"), col("o_orderkey"), 4,
         Seq("Small", "Medium", "Large", "Extra Large"), "transaction_size")
       binned.groupBy("transaction_size")

@@ -5,11 +5,37 @@ import graft._
 /** Prints a compact physical-plan audit for the headline queries:
   * exchanges (shuffles), broadcasts, scans with pushed filters, codegen
   * spans. Run at sf0.01/sf0.1 to eyeball 100-TB posture (SURVEY §7.4.11).
+  *
+  * Also the single-partition-window CI gate: `--windows` sweeps EVERY
+  * registered query and exits nonzero if any query outside
+  * [[PlanAudit.globalWindowAllowed]] executes a Window with an empty
+  * partition spec (a one-task global sort — the 100-TB scale-killer the
+  * r3 verdict flagged on q19/q70; both now use
+  * [[graft.operators.Ranks]]).
   */
 object PlanAudit {
+  /** Queries allowed to keep an un-partitioned window: their window input
+    * is already a bounded aggregate (rows ≤ group cardinality, not fact
+    * cardinality), where a global sort is the right plan. */
+  val globalWindowAllowed: Set[String] = Set(
+    "q72_moving_average", // input = one row per DAY (bounded by calendar)
+    "q73_yoy_growth"      // input = one row per YEAR
+  )
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.headOption.contains("--windows")) {
+      val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val n = PlanCheck.unpartitionedWindows(SparkEntry.queries(name)(spark, dir)).size
+        if (n > 0) { println(f"$name%-28s unpartitioned windows=$n"); Some(name) }
+        else None
+      }
+      val viol = bad.filterNot(globalWindowAllowed)
+      println(s"violations (not allow-listed): ${viol.mkString(", ")}")
+      spark.stop()
+      sys.exit(if (viol.nonEmpty) 1 else 0)
+    }
     val names = if (args.nonEmpty) args.toSeq else Bench.headline
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Baskets, Bins, Cleaning, Temporal}
+import graft.operators.{Baskets, Bins, Cleaning, Ranks, Temporal}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,6 +33,40 @@ class OperatorsSpec extends SparkSpecBase {
     val maxA = binned.filter($"bin" === "a").agg(max("v")).head.getDouble(0)
     val minD = binned.filter($"bin" === "d").agg(min("v")).head.getDouble(0)
     assert(maxA < minD)
+  }
+
+  test("distributedNtile: bit-equal to the single-window ntile, incl. N%k and desc orders") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 % 4 != 0 exercises the uneven-tile formula; duplicated values
+    // (v = k/3) exercise tie-breaking via the unique key
+    val df = spark.range(103).toDF("k")
+      .withColumn("v", (col("k") / 3).cast("long"))
+    for (orderBy <- Seq(Seq(col("v").asc, col("k").asc), Seq(col("v").desc, col("k").asc));
+         k <- Seq(1, 4, 7, 200)) {
+      val expected = df.withColumn("t", ntile(k).over(Window.orderBy(orderBy: _*)))
+        .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranks.distributedNtile(df, orderBy, k, "t", partitions = 5)
+        .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"k=$k order=$orderBy")
+    }
+  }
+
+  test("distributedNtileBins == ntileBins on the same input") {
+    val df = spark.range(50).toDF("k").withColumn("v", (col("k") % 10).cast("double"))
+    val a = Bins.ntileBins(df, col("v"), col("k"), 4, Seq("a", "b", "c", "d"), "bin")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Bins.distributedNtileBins(df, col("v"), col("k"), 4, Seq("a", "b", "c", "d"), "bin")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
+  test("globalRowNumber: exact dense 1..N global ranks, no single-partition window") {
+    val df = spark.range(200).toDF("k").withColumn("v", col("k") * 7 % 200)
+    val ranked = Ranks.globalRowNumber(df, Seq(col("v").asc, col("k").asc), "rn", partitions = 8)
+    val rows = ranked.select("v", "rn").collect().sortBy(_.getLong(1))
+    assert(rows.map(_.getLong(1)).toSeq == (1L to 200L))
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    assert(graft.tools.PlanCheck.unpartitionedWindows(ranked).isEmpty)
   }
 
   test("approxQuantileBins: labels cover all rows, roughly balanced") {

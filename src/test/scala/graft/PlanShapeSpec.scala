@@ -14,7 +14,10 @@ class PlanShapeSpec extends SparkSpecBase {
     "q06_product_performance" -> 1,
     "q11_basket_pairs" -> 2,
     "q14_customer_behavior" -> 2,
-    "q19_txn_size_bins" -> 1,
+    // 2 since r4: distributed NTILE (window hash-partitioned on the range
+    // pid + final agg); the range shuffle itself runs inside the pinned
+    // localCheckpoint job, outside this plan
+    "q19_txn_size_bins" -> 2,
     "q42_dedup_ngram_jaccard" -> 2,
     "q43_dedup_minhash_lsh" -> 2,
     "q44_dedup_simhash" -> 2,
@@ -42,4 +45,17 @@ class PlanShapeSpec extends SparkSpecBase {
         "plan regression; see PLANS_r3.md")
     }
   }
+
+  // r3 verdict items 2-4: the NTILE queries must never regress back to a
+  // one-task global-sort window (the full-registry sweep is
+  // `runMain graft.tools.PlanAudit --windows`; q72/q73 are allow-listed
+  // there because their window inputs are calendar-bounded aggregates)
+  Seq("q19_txn_size_bins", "q09_price_band_performance", "q70_rfm_segmentation")
+    .foreach { name =>
+      test(s"$name executes no un-partitioned window") {
+        val df = SparkEntry.queries(name)(spark, sf)
+        assert(graft.tools.PlanCheck.unpartitionedWindows(df).isEmpty,
+          s"$name has a single-partition window — use operators.Ranks")
+      }
+    }
 }
