@@ -17,4 +17,22 @@ object QueryDef {
     QueryDef(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Queries gated by a committed golden parquet instead of re-expressible
+    * SQL (hash-family/ANN/generator algorithms DuckDB cannot reproduce).
+    * Their outputs are deterministic by construction, so the oracle is a
+    * `read_parquet` of the snapshot — a full rows+schema+hash gate. The
+    * driver verifies at sf0.01 (the committed label); regenerate with
+    * `runMain graft.tools.MakeGolden` after any intended output change.
+    * GoldenSpec replays the sf0.001 snapshots in CI. */
+  val goldenGated: Seq[String] = Seq(
+    "q38_synthetic_events", "q43_dedup_minhash_lsh", "q44_dedup_simhash",
+    "q47_ann_ivf_topk", "q53_ann_lsh_buckets", "q59_ann_ivf_kmeans",
+    "q61_multimodal_ann", "q66_curation_funnel", "q67_winnowing_pairs")
+
+  def golden(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef = {
+    require(goldenGated.contains(name), s"$name missing from goldenGated")
+    QueryDef(name, fn,
+      Some(s"SELECT * FROM read_parquet('/root/repo/golden/sf0.01/$name.parquet')"))
+  }
 }

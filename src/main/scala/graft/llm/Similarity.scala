@@ -28,11 +28,20 @@ object Similarity {
       .limit(k)
       .select("vec_id", "cosine")
 
+  /** Exact order-independent per-group mean: a double `avg` accumulates in
+    * partition order, so centroid values drift at the ulp level with the
+    * partitioning (CPU count, AQE coalescing) — enough to flip a near-tied
+    * probe choice between runs. Decimal sums are associative-exact, making
+    * centroids (and so IVF probe sets and the q47/q59/q61 golden oracles)
+    * bit-stable across any parallelism. */
+  private def exactMean(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 18))) / count(lit(1))
+
   /** Per-cell mean centroids, computed distributedly (posexplode → avg per
     * (cell, dim) → re-assembled array). */
   def centroids(emb: DataFrame, cellCol: String): DataFrame =
     emb.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("cell", "dim").agg(exactMean(col("v")).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
@@ -63,7 +72,7 @@ object Similarity {
         greatest(dists: _*).getField("cell"))
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(avg("v").as("m"))
+        .groupBy("cell", "dim").agg(exactMean(col("v")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .orderBy("cell")
@@ -80,7 +89,9 @@ object Similarity {
     val cents = centroids(emb, cellCol)
     val probed = cents.crossJoin(broadcast(query))
       .withColumn("ccos", VectorFns.cosine(col("centroid"), col("qe")))
-      .orderBy(desc("ccos")).limit(nProbe)
+      // cell id tie-break: an exact ccos tie must not make the probe set
+      // run-dependent (the golden oracle hashes the result)
+      .orderBy(desc("ccos"), asc("cell")).limit(nProbe)
       .select(col("cell").as("__probe_cell"))
     emb.join(broadcast(probed), col(cellCol) === col("__probe_cell"))
       .drop("__probe_cell")

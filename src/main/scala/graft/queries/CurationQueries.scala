@@ -58,7 +58,7 @@ object CurationQueries {
     // clusters -> quality filter -> deterministic split). The near-dup
     // stage depends on the 64-bit shingle-hash family, so rows-only here;
     // stage-wise guarantees are asserted in CurationSpec.
-    QueryDef.rowsOnly("q66_curation_funnel") { (s, dir) =>
+    QueryDef.golden("q66_curation_funnel") { (s, dir) =>
       graft.llm.Curation.funnel(Tables.documents(s, dir), "doc_id", "text")
     },
 
@@ -66,7 +66,7 @@ object CurationQueries {
     // min-per-window selection — position-independent plagiarism-style
     // matching). Hash-family dependent -> rows-only; guarantees (shared
     // substring => shared fingerprint) asserted in DedupSpec.
-    QueryDef.rowsOnly("q67_winnowing_pairs") { (s, dir) =>
+    QueryDef.golden("q67_winnowing_pairs") { (s, dir) =>
       graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
     },

@@ -174,7 +174,7 @@ object SourceQueries {
 
     // ---- q38: synthetic event generator (S8) — deterministic hash-derived
     // batch; shape-checked here (rows-only), value properties in GeneratorSpec
-    QueryDef.rowsOnly("q38_synthetic_events") { (s, dir) =>
+    QueryDef.golden("q38_synthetic_events") { (s, dir) =>
       val clicks = Generator.clickBatch(s, 10000, seed = 42, startTs = 1700000000L)
       clicks.groupBy("event_type", "traffic_source")
         .agg(count(lit(1)).as("events"),
@@ -282,7 +282,7 @@ object SourceQueries {
 
     // ---- q61: multimodal feature-extract -> ANN integration (stub embed is
     // hash-derived — rows-only; determinism + pipeline shape in MultimodalSpec)
-    QueryDef.rowsOnly("q61_multimodal_ann") { (s, dir) =>
+    QueryDef.golden("q61_multimodal_ann") { (s, dir) =>
       val emb = Multimodal.withBinaryPayload(
           Tables.documents(s, dir), "doc_id", "text", "image")
         .select(col("id").as("vec_id"),

@@ -54,13 +54,13 @@ object TextQueries {
 
     // ---- q43: MinHash + banded LSH near-dup pairs (rows-only: hash family
     // is engine-specific; recall/precision vs q42 asserted in DedupSpec)
-    QueryDef.rowsOnly("q43_dedup_minhash_lsh") { (s, dir) =>
+    QueryDef.golden("q43_dedup_minhash_lsh") { (s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         bands = 8, rowsPerBand = 4, threshold = 0.7)
     },
 
     // ---- q44: SimHash near-dup pairs (rows-only, verified in DedupSpec)
-    QueryDef.rowsOnly("q44_dedup_simhash") { (s, dir) =>
+    QueryDef.golden("q44_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     },
 

@@ -49,7 +49,7 @@ object VectorQueries {
 
     // ---- q47: IVF-probed ANN (scale path; recall vs q46 asserted in
     // SimilaritySpec — oracle omitted, centroid floats are plan-internal)
-    QueryDef.rowsOnly("q47_ann_ivf_topk") { (s, dir) =>
+    QueryDef.golden("q47_ann_ivf_topk") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       Similarity.ivfTopK(emb, query, "label", k = 20, nProbe = 3)
@@ -58,7 +58,7 @@ object VectorQueries {
     // ---- q59: IVF with self-trained k-means coarse quantizer (no natural
     // blocking key needed; float-iterative centroids — rows-only, recall
     // asserted in SimilaritySpec)
-    QueryDef.rowsOnly("q59_ann_ivf_kmeans") { (s, dir) =>
+    QueryDef.golden("q59_ann_ivf_kmeans") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cells = Similarity.kmeansCells(emb, k = 8, iters = 2)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
@@ -77,7 +77,7 @@ object VectorQueries {
 
     // ---- q53: LSH bucket histogram (random-hyperplane bucketing — the
     // bucket ids depend on the plane family, so rows-only + SimilaritySpec)
-    QueryDef.rowsOnly("q53_ann_lsh_buckets") { (s, dir) =>
+    QueryDef.golden("q53_ann_lsh_buckets") { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), nBits = 12)
         .groupBy("bucket").agg(count(lit(1)).as("vectors"))
         .orderBy(desc("vectors"), asc("bucket"))
