@@ -52,6 +52,31 @@ object TextQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
     },
 
+    // ---- q42c: the PETABYTE configuration of q42 — posting lists capped at
+    // maxDocFreq=4 (the hot-key guard that keeps a stopword-ish shingle from
+    // expanding C(k,2) pairs in one task). The oracle re-derives the capped
+    // semantics independently: shingles with document frequency > cap drop
+    // out of the intersection while sizes keep counting them (one-sided
+    // error). At sf0.01 this yields 20 of q42's 25 exact pairs — the cap
+    // demonstrably bites and the gate is a strict-subset witness. (At sf0.1
+    // both engines agree on 0 rows: that corpus's dup clusters are larger,
+    // so every shared shingle has df > 4 — vacuous but still exact there;
+    // the driver's hard gate runs at sf0.01.)
+    QueryDef.sql("q42_dedup_ngram_jaccard_capped",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 4 GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8,
+        maxDocFreq = 4)
+    },
+
     // ---- q43: MinHash + banded LSH near-dup pairs (rows-only: hash family
     // is engine-specific; recall/precision vs q42 asserted in DedupSpec)
     QueryDef.golden("q43_dedup_minhash_lsh") { (s, dir) =>
