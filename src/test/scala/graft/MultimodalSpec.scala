@@ -30,6 +30,35 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m(1L).getAs[Int]("nFrames") == (1000 % 30 + 1))
   }
 
+  test("image modality decodes REAL dimensions from PNG/JPEG bytes, stub fallback otherwise") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, x * 31 + y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = imageBytes(17, 9, "png")
+    val jpg = imageBytes(33, 21, "jpg")
+    val rows = Seq(
+      (1L, png, "image"),               // real PNG -> header dims
+      (2L, jpg, "image"),               // real JPEG -> header dims
+      (3L, "not an image".getBytes("UTF-8"), "image"),  // garbage -> stub
+      (4L, png, "video")                // non-image modality -> stub always
+    ).toDF("id", "payload", "modality")
+    val m = Multimodal.decodeBatched(rows).collect().map(x => x.id -> x).toMap
+    assert((m(1L).width, m(1L).height, m(1L).nFrames) == (17, 9, 1))
+    assert((m(2L).width, m(2L).height) == (33, 21))
+    assert(m(1L).numBytes == png.length.toLong)
+    val g = "not an image".getBytes("UTF-8").length.toLong
+    assert((m(3L).width, m(3L).height) == ((g % 640 + 1).toInt, ((g / 640) % 480 + 1).toInt))
+    assert(m(4L).width == (png.length % 640 + 1))  // video ignores the image codec
+    // header-only contract: a truncated PNG (header intact, data gone) still reads dims
+    val truncated = png.take(64)
+    assert(Multimodal.decodeImageHeader(truncated).contains((17, 9)))
+  }
+
   test("resizeMeta: proportional fit, ceil-rounded, never upscales") {
     val meta = Seq((1L, 640, 480), (2L, 100, 50), (3L, 1280, 240))
       .toDF("id", "width", "height")
