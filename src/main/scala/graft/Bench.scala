@@ -20,7 +20,11 @@ object Bench {
     "q46_ann_brute_topk",    // embedding scan + top-k
     "q48_text_stats",        // full-corpus text featurization
     "q52_embedding_near_dups", // blocked vector near-dup join
-    "q55_profile_part"       // one-pass all-column profile
+    "q55_profile_part",      // one-pass all-column profile
+    "q62_dedup_clusters",    // iterative connected components (multi-job)
+    "q64_rollup_sales",      // hierarchical rollup (partial-agg reuse)
+    "q67_winnowing_pairs",   // rolling-hash fingerprint inverted index
+    "q69_cube_sales"         // full cube over two dims
   )
 
   def main(args: Array[String]): Unit = {

@@ -51,15 +51,29 @@ object Dedup {
     * independent, so reordered/partially-copied passages still collide;
     * any shared substring of length ≥ k+w-1 guarantees a shared
     * fingerprint). Same inverted-index shape as [[ngramJaccardPairs]]:
-    * one shuffle on the fingerprint, local pair expansion, count. */
+    * one shuffle on the fingerprint, local pair expansion, count.
+    *
+    * @param maxDocFreq posting-list cap, the same hot-key guard as
+    *   [[ngramJaccardPairs]]'s. A fingerprint shared by c docs expands to
+    *   C(c,2) pairs in one task, and boilerplate makes such fingerprints
+    *   common in real corpora (measured on the sf0.1 fixture: one
+    *   fingerprint hit 76% of all docs, and posting lists over 64 docs
+    *   carried 104.0M of 104.9M total pair expansions). Error is
+    *   ONE-SIDED: dropping a hot fingerprint only lowers pair counts, so
+    *   capped output is a subset of exact output with counts ≤ exact
+    *   (DedupSpec asserts it) — and since a fingerprint in a large
+    *   fraction of the corpus is boilerplate by definition, the cap
+    *   *improves* near-dup precision while bounding the worst task. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, w: Int = 4, minShared: Long = 3): DataFrame = {
+                     k: Int = 8, w: Int = 4, minShared: Long = 3,
+                     maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val fps = docs
       .select(col(idCol).as("doc"),
         explode(graft.plans.TextExprs.rollingFingerprints(
           TextFns.normalize(col(textCol)), k, w)).as("fp"))
     fps.groupBy(col("fp"))
       .agg(collect_list(col("doc")).as("basket"))  // fingerprint sets are per-doc distinct
+      .filter(size(col("basket")).cast("long") <= maxDocFreq)
       .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
       .groupBy(col("p.product_1").as("doc_a"), col("p.product_2").as("doc_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))

@@ -64,10 +64,17 @@ object CurationQueries {
 
     // ---- q67: winnowing fingerprint near-dup pairs (rolling-hash k-grams,
     // min-per-window selection — position-independent plagiarism-style
-    // matching). Hash-family dependent -> rows-only; guarantees (shared
-    // substring => shared fingerprint) asserted in DedupSpec.
+    // matching). Hash-family dependent -> golden-gated; guarantees (shared
+    // substring => shared fingerprint, capped ⊆ exact) asserted in
+    // DedupSpec. maxDocFreq=64 drops boilerplate fingerprints: on the
+    // sf0.1 fixture one fingerprint hits 76% of docs and >64-doc posting
+    // lists carry 99% of all pair expansions (104.0M of 104.9M) — without
+    // the cap the "near-dup" output is mostly boilerplate pairs AND the
+    // plan is quadratic in the hottest key (measured 34 s vs ~1 s at
+    // sf0.1).
     QueryDef.golden("q67_winnowing_pairs") { (s, dir) =>
-      graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text")
+      graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDocFreq = 64)
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
     },
 

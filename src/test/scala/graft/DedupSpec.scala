@@ -154,6 +154,25 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
   }
 
+  test("winnowing maxDocFreq cap: capped pairs ⊆ exact pairs with counts ≤ exact") {
+    // 12 docs sharing one boilerplate passage (df=12 > cap) + 2 true dups
+    val boiler = (1 to 20).map(i => s"boiler$i").mkString(" ")
+    val body = (1 to 25).map(i => s"unique$i").mkString(" ")
+    val docs = ((0L until 12L).map(i => (i, s"$boiler doc$i filler content number $i")) ++
+      Seq((20L, s"$body shared tail"), (21L, s"$body shared tail too"))).toDF("doc_id", "text")
+    def pairs(cap: Long) =
+      Dedup.winnowingPairs(docs, "doc_id", "text", minShared = 1, maxDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairs(Long.MaxValue)
+    val capped = pairs(4)
+    assert(capped.keySet.subsetOf(exact.keySet))
+    assert(capped.forall { case (k, c) => c <= exact(k) })
+    // the cap dropped the boilerplate fingerprint: some boiler-only pair is gone
+    assert(capped.size < exact.size)
+    // but the true near-dup pair (rare fingerprints) survives with full count
+    assert(capped.contains((20L, 21L)) && capped((20L, 21L)) == exact((20L, 21L)))
+  }
+
   test("rollingFingerprints: identical text -> identical set; short text -> empty") {
     import graft.plans.TextExprs
     val df = Seq(("abcdefgh abcdefgh", "abcdefgh abcdefgh", "ab")).toDF("a", "b", "s")
