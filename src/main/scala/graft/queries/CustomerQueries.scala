@@ -372,6 +372,40 @@ object CustomerQueries {
           && col("t_view") >= col("t_signup")).as("purchased_in_order"))
     },
 
+    // ---- q80: as-of join — each purchase attributed to the same user's
+    // most recent prior marketing touch (click/view), pandas merge_asof /
+    // kdb aj semantics. graft.operators.AsofJoin is the union-and-carry-
+    // forward form: ONE shuffle on user_id, no pair explosion (the range-
+    // join-then-argmax form is O(|purchases|·|touches|) per user). DuckDB
+    // expresses the same operator natively as ASOF JOIN, which makes the
+    // oracle an independent engine's implementation, not a re-derivation.
+    // ts is cast to microsecond precision on the DuckDB side (its parquet
+    // reader keeps the nanos the fixture writes; Spark-side Tables.events
+    // truncates to micros). Gap is exact integer epoch-micro arithmetic.
+    QueryDef.sql("q80_asof_attribution",
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_event_id,
+        |             event_type AS touch_type, CAST(ts AS TIMESTAMP) AS touch_ts
+        |      FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       t.touch_ts AS asof_ts, t.touch_event_id, t.touch_type,
+        |       epoch_us(p.ts) - epoch_us(t.touch_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.touch_ts""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts").as("touch_ts"),
+          col("event_id").as("touch_event_id"), col("event_type").as("touch_type"))
+      graft.operators.AsofJoin.asof(purchases, touches,
+          leftKey = "user_id", rightKey = "t_user",
+          leftTs = "ts", rightTs = "touch_ts",
+          payload = Seq("touch_event_id", "touch_type"))
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Baskets, Bins, Cleaning, Ranks, Temporal}
+import graft.operators.{AsofJoin, Baskets, Bins, Cleaning, Ranks, Temporal}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -138,6 +138,56 @@ class OperatorsSpec extends SparkSpecBase {
     assert(viaGen == viaGenerator)
     assert(viaGen.nonEmpty)
     assert(viaGen.forall { case (_, a, b) => a < b })
+  }
+
+  test("asof: most-recent-at-or-before match, strict mode, tolerance, no-match null") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq( // (key, ts, px)
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-01 10:05:00"), 2.0),
+      ("a", ts("2024-01-01 10:30:00"), 3.0),
+      ("b", ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("qk", "qts", "px")
+    val trades = Seq(
+      ("a", ts("2024-01-01 10:05:00"), 1L),  // == quote ts: inclusive takes 2.0
+      ("a", ts("2024-01-01 10:29:59"), 2L),  // between: takes 2.0
+      ("a", ts("2024-01-01 09:59:59"), 3L),  // before all: null
+      ("b", ts("2024-01-01 12:00:00"), 4L),  // long gap: tolerance nulls it
+      ("c", ts("2024-01-01 10:00:00"), 5L)   // key with no quotes: null
+    ).toDF("k", "t", "trade_id")
+
+    def run(strict: Boolean, tol: Option[String] = None) =
+      AsofJoin.asof(trades, quotes, "k", "qk", "t", "qts", Seq("px"),
+          strict = strict, tolerance = tol)
+        .collect().map(r => r.getAs[Long]("trade_id") ->
+          Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+
+    val incl = run(strict = false)
+    assert(incl == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> None,
+      4L -> Some(9.0), 5L -> None))
+    val str = run(strict = true)
+    assert(str(1L) == Some(1.0))             // equal-ts quote excluded
+    assert(str(2L) == Some(2.0) && str(3L) == None)
+    val tol = run(strict = false, tol = Some("1 hour"))
+    assert(tol(4L) == None)                  // 3h-old quote beyond tolerance
+    assert(tol(1L) == Some(2.0))             // in-tolerance match survives
+    // left columns survive untouched and asof_ts carries the matched ts
+    val row = AsofJoin.asof(trades, quotes, "k", "qk", "t", "qts", Seq("px"))
+      .filter($"trade_id" === 2L).head
+    assert(row.getAs[java.sql.Timestamp]("t") == ts("2024-01-01 10:29:59"))
+    assert(row.getAs[java.sql.Timestamp]("asof_ts") == ts("2024-01-01 10:05:00"))
+  }
+
+  test("asof plan: one shuffle on the key, no join node, no pair explosion") {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase").select($"event_id", $"user_id", $"ts")
+    val t = ev.filter($"event_type" === "click")
+      .select($"user_id".as("tu"), $"ts".as("tts"), $"event_id".as("te"))
+    val plan = AsofJoin.asof(p, t, "user_id", "tu", "ts", "tts", Seq("te"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asof must not materialize a join:\n${plan.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one shuffle:\n${plan.take(600)}")
   }
 
   test("qcutBins: pd.qcut parity — right-closed interpolated edges, null -> null") {
