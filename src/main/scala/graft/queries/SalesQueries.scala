@@ -276,6 +276,41 @@ object SalesQueries {
         .agg(count(lit(1)).as("line_count"), sum("l_quantity").as("total_qty"))
     },
 
+    // ---- q81: interval-overlap range join — same-part line items whose
+    // transit windows [shipdate, shipdate + derived transit days] overlap
+    // (simultaneous-shipment congestion per part). The fixture carries no
+    // receipt date, so transit is derived deterministically from the line
+    // key — identically in both engines. Spark side goes through
+    // graft.operators.RangeJoin (banded equi-join, pairs emitted exactly
+    // once, no cross-product per part); the oracle is DuckDB's plain
+    // inequality self-join — independent plan, same semantics.
+    QueryDef.sql("q81_transit_overlap_pairs",
+      """WITH t AS (SELECT l_partkey AS pk, l_orderkey*10 + l_linenumber AS id,
+        |  CAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |  CAST(datediff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+        |       + 1 + (l_orderkey*7 + l_linenumber) % 28 AS BIGINT) AS e
+        |  FROM lineitem),
+        |p AS (SELECT a.pk, least(a.e, b.e) - greatest(a.s, b.s) + 1 AS ov
+        |      FROM t a JOIN t b
+        |        ON a.pk = b.pk AND a.id < b.id AND a.s <= b.e AND b.s <= a.e)
+        |SELECT pk AS l_partkey, COUNT(*) AS n_pairs,
+        |       CAST(SUM(ov) AS BIGINT) AS total_overlap_days
+        |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+      val t = Tables.lineitem(s, dir).select(
+          col("l_partkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("line_id"),
+          datediff(to_date(col("l_shipdate")), lit("1990-01-01").cast("date"))
+            .cast("long").as("s_day"),
+          (lit(1) + (col("l_orderkey") * 7 + col("l_linenumber")) % 28)
+            .cast("long").as("transit"))
+        .withColumn("e_day", col("s_day") + col("transit"))
+      graft.operators.RangeJoin
+        .selfOverlapPairs(t, "l_partkey", "line_id", "s_day", "e_day", bandWidth = 16)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("overlap_len").cast("long").as("total_overlap_days"))
+    },
+
     // ---- q64: multi-level rollup (A-family superset: per-(priority,status),
     // per-priority subtotal, and grand total in ONE pass — the reporting
     // shape the reference assembles with three separate pandas groupbys).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsofJoin, Baskets, Bins, Cleaning, Ranks, Temporal}
+import graft.operators.{AsofJoin, Baskets, Bins, Cleaning, RangeJoin, Ranks, Temporal}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -188,6 +188,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"asof must not materialize a join:\n${plan.take(600)}")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"expected exactly one shuffle:\n${plan.take(600)}")
+  }
+
+  test("rangeJoin: parity with naive overlap join; emit-once across bands; width-invariant") {
+    // deterministic intervals with lengths straddling several band widths
+    val rows = (0L until 200L).map { i =>
+      val s = (i * 37) % 500
+      (i % 5, i, s, s + 1 + (i * 13) % 60)   // (key, id, start, end)
+    }
+    val df = rows.toDF("k", "id", "s", "e")
+    val naive = {
+      val b = df.select($"k".as("k2"), $"id".as("id_b"), $"s".as("s2"), $"e".as("e2"))
+      df.join(b, $"k" === $"k2" && $"id" < $"id_b" && $"s" <= $"e2" && $"s2" <= $"e")
+        .select($"k", $"id".as("id_a"), $"id_b",
+          (least($"e", $"e2") - greatest($"s", $"s2") + 1).as("overlap_len"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 7L, 16L, 1000L)) {   // incl. degenerate 1 and one-band-fits-all
+      val banded = RangeJoin.selfOverlapPairs(df, "k", "id", "s", "e", bandWidth = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(banded == naive, s"bandWidth=$w diverged")
+    }
   }
 
   test("qcutBins: pd.qcut parity — right-closed interpolated edges, null -> null") {
