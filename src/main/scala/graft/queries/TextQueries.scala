@@ -171,6 +171,55 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // ---- q82: TF-IDF top terms per document (sparse postings -> df join
+    // -> rounded score -> per-doc top-5). round(_, 6) on the score because
+    // ln is not bitwise-portable across engines (measured: Java Math.log
+    // vs libm differ at 1 ulp on ~0.1% of this domain); ordering uses the
+    // ROUNDED score + term tie-break so ranks are engine-independent.
+    // Oracle parenthesization mirrors Spark's FP evaluation order exactly.
+    QueryDef.sql("q82_tfidf_top_terms",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |        round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+         |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s)
+         |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INTEGER) AS rnk
+         |FROM r WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      graft.llm.Relevance.topTerms(Tables.documents(s, dir), "doc_id", "text", 5)
+    },
+
+    // ---- q83: BM25 ranked retrieval for the fixed query
+    // {hash, join, stream}. Postings are pruned to the query terms before
+    // any join — cost is 3 posting lists, not the vocabulary. The per-doc
+    // sum folds contributions in term order (sort_array + aggregate), and
+    // the oracle pivots the same three terms and adds them left-to-right
+    // in the same order — FP association identical by construction.
+    QueryDef.sql("q83_bm25_retrieval",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN ('hash', 'join', 'stream') GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, len($toksSql) AS dl FROM documents),
+         |sc AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id, tf.term,
+         |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |          ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avg_dl)))
+         |          AS contrib
+         |      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN sc)
+         |SELECT doc_id,
+         |  round(coalesce(max(CASE WHEN term = 'hash' THEN contrib END), 0)
+         |      + coalesce(max(CASE WHEN term = 'join' THEN contrib END), 0)
+         |      + coalesce(max(CASE WHEN term = 'stream' THEN contrib END), 0), 6) AS bm25,
+         |  COUNT(*) AS matched_terms
+         |FROM c GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.llm.Relevance.bm25(Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "stream"))
+    },
+
     // ---- q77: per-language corpus length distribution — the length-cut
     // report a curation pipeline checks before truncation/filter decisions.
     // Exact interpolated percentiles (bit-parity with quantile_cont, as in
