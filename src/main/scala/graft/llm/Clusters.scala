@@ -36,6 +36,12 @@ object Clusters {
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .cache()
+    // Propagate only over nodes that touch an edge: isolated nodes can
+    // never change label, so they are attached (lbl = id) in one anti-join
+    // AFTER convergence. The loop's working set is O(|edge endpoints|),
+    // not O(|corpus|) — in a dedup pipeline edges are the rare near-dups,
+    // so this is the difference between iterating over a 100 TB corpus
+    // and iterating over its duplicate fringe.
     // localCheckpoint each round, NOT cache: caching keeps the logical plan,
     // which doubles in size every iteration (the next round's joins re-embed
     // it) until analysis itself OOMs; checkpointing truncates lineage to the
@@ -44,7 +50,8 @@ object Clusters {
     // Superseded rounds' checkpoint blocks are released asynchronously by
     // Spark's ContextCleaner once the dropped `labels` reference is GC'd —
     // at most a few round's worth of the (id, lbl) table is ever live.
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
       .localCheckpoint(eager = true)
     var converged = false
     var iter = 0
@@ -54,15 +61,17 @@ object Clusters {
         val fromNeighbors = edges
           .join(labels, edges("src") === labels("id"))
           .groupBy(col("dst").as("id2")).agg(min(col("lbl")).as("nlbl"))
-        // ...folded with the node's own label
+        // ...folded with the node's own label; the convergence flag rides
+        // along in the SAME pass (one checkpoint + one cheap scan per
+        // round, no separate old-vs-new join job)
         val next = labels
           .join(fromNeighbors, labels("id") === col("id2"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
           .localCheckpoint(eager = true)
-        val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") < col("old")).limit(1).count()
-        labels = next
-        converged = changed == 0
+        converged = next.filter(col("chg")).limit(1).count() == 0
+        labels = next.drop("chg")
         iter += 1
       }
     } finally edges.unpersist()
@@ -73,7 +82,11 @@ object Clusters {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIters rounds; " +
         "a component's diameter exceeds maxIters — raise it")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_rep"))
+    val isolated = nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left_anti")
+      .withColumn("lbl", col("id"))
+    labels.unionByName(isolated)
+      .select(col("id").as(idCol), col("lbl").as("cluster_rep"))
   }
 
   /** End-to-end cluster summary: components + per-cluster size, one row per
