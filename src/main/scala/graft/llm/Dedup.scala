@@ -170,6 +170,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-corpus contamination check — the train/eval leakage scan every
+    * benchmark-respecting training pipeline runs before a data release:
+    * for each eval document, the train documents sharing ≥ `minShared`
+    * distinct n-gram shingles, with `contamination_ratio` = shared /
+    * |eval doc's shingles| (1.0 = the eval doc is fully contained in a
+    * train doc's n-gram set).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]], but the join is
+    * eval-postings ⋈ train-postings on the 64-bit shingle hash — cost is
+    * the matching posting mass, never |eval|×|train|. Long `n` (default
+    * 8, the 8–13-gram range the published decontamination recipes use)
+    * keeps shingles rare, so posting lists stay short without a cap; pass
+    * `maxDocFreq` anyway for corpora with boilerplate. */
+  def crossCorpusContamination(evalDocs: DataFrame, trainDocs: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 8, minShared: Long = 1,
+                               maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    def exploded(d: DataFrame, as: String) =
+      shingleHashDf(d, idCol, textCol, n)
+        .select(col("doc").as(as), explode(col("hs")).as("h"))
+    val ev = exploded(evalDocs, "eval_id")
+    val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("eval_ngrams"))
+    val tr = exploded(trainDocs, "train_id")
+    val trCapped =
+      if (maxDocFreq == Long.MaxValue) tr
+      else tr.withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("__df") <= maxDocFreq).drop("__df")
+    ev.join(trCapped, "h")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .join(evSz, "eval_id")
+      .withColumn("contamination_ratio",
+        col("shared_ngrams").cast("double") / col("eval_ngrams"))
+      .select("eval_id", "train_id", "shared_ngrams", "contamination_ratio")
+  }
+
   /** MinHash + banded LSH near-dup pairs.
     *
     * numHashes = bands * rowsPerBand. Candidates = pairs sharing any band

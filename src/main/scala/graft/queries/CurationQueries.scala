@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  // DuckDB 8-gram fragments for the decontamination oracle — must match
+  // TextFns.tokens + shingle semantics at n=8 (distinct, space-joined).
+  private val toksSql8 = """string_split_regex(lower(trim(text)), '\s+')"""
+  private def shingles8Sql(toks: String) =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-7, 0)),
+       |  i -> ${(0 to 7).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")}))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q62: duplicate clusters — connected components over the exact
@@ -76,6 +83,31 @@ object CurationQueries {
       graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
           maxDocFreq = 64)
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
+    },
+
+    // ---- q84: train/eval decontamination scan — every 10th doc plays the
+    // eval set; report train docs sharing 8-gram shingles with any eval
+    // doc (the leakage check a training pipeline runs before a release).
+    // Spark joins eval/train posting lists on the 64-bit shingle hash;
+    // the oracle re-derives with string 8-grams — hash-collision-free at
+    // this scale, so counts agree exactly.
+    QueryDef.sql("q84_decontamination",
+      s"""WITH t AS (SELECT doc_id, $toksSql8 AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM t),
+         |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |evsz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
+         |inter AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+         |            COUNT(*) AS shared_ngrams
+         |          FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1, 2)
+         |SELECT eval_id, train_id, shared_ngrams,
+         |  CAST(shared_ngrams AS DOUBLE) / evsz.n AS contamination_ratio
+         |FROM inter JOIN evsz ON eval_id = evsz.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.llm.Dedup.crossCorpusContamination(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 8)
     },
 
     // ---- q76: edit-distance verification of fingerprint-blocked pairs —

@@ -311,6 +311,47 @@ object SalesQueries {
           sum("overlap_len").cast("long").as("total_overlap_days"))
     },
 
+    // ---- q85: pivot table — revenue by order year (rows) × order status
+    // (columns), the pandas pivot_table / SQL conditional-aggregation
+    // reshape. Pivot values are DECLARED (no value-discovery job, stable
+    // column order); each cell is an exact decimal sum. A status absent in
+    // a year yields NULL in both engines.
+    QueryDef.sql("q85_status_pivot",
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(dsum(col("o_totalprice")))
+    },
+
+    // ---- q86: deterministic stratified sample — per-priority keep rates
+    // (URGENT 8/16, HIGH 4/16, rest 2/16) keyed on md5(o_orderkey), the
+    // RNG-free class-rebalancing cut. Verified via per-stratum aggregates
+    // of the SAMPLED rows, so the oracle checks membership, not just rates.
+    QueryDef.sql("q86_stratified_sample",
+      s"""SELECT o_orderpriority, COUNT(*) AS kept,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE instr('0123456789abcdef',
+         |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 <
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 8
+         |       WHEN o_orderpriority = '2-HIGH' THEN 4
+         |       ELSE 2 END
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.sources.Sampling.stratifiedHashSample(Tables.orders(s, dir),
+          col("o_orderpriority"), col("o_orderkey"),
+          Map("1-URGENT" -> 8, "2-HIGH" -> 4), defaultSixteenths = 2)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("kept"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
     // ---- q64: multi-level rollup (A-family superset: per-(priority,status),
     // per-priority subtotal, and grand total in ONE pass — the reporting
     // shape the reference assembles with three separate pandas groupbys).

@@ -35,6 +35,23 @@ object Sampling {
                              sixteenths: Int): DataFrame =
     dim.filter(hashSampleKey(col(keyCol), sixteenths))
 
+  /** T5, stratified: per-stratum sampling rates (in sixteenths), same
+    * deterministic key-hash mechanism — the "keep 50% of rare-class rows
+    * but 6% of the majority class" cut a training pipeline takes without
+    * an RNG. One predicate, no shuffle, no per-stratum pass; rates are
+    * folded into a single CASE in deterministic (sorted-key) order. */
+  def stratifiedHashSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+                           rates: Map[String, Int],
+                           defaultSixteenths: Int): DataFrame = {
+    require((defaultSixteenths +: rates.values.toSeq).forall(s => s >= 0 && s <= 16))
+    val sixteenths = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultSixteenths)) {
+      case (acc, (stratum, rate)) => when(stratumCol === stratum, lit(rate)).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("int") < sixteenths)
+  }
+
   /** J6: close a fact table over a sampled dimension — keep only fact rows
     * whose key appears in the sample. */
   def closeOver(fact: DataFrame, factKey: String,

@@ -173,6 +173,27 @@ class DedupSpec extends SparkSpecBase {
     assert(capped.contains((20L, 21L)) && capped((20L, 21L)) == exact((20L, 21L)))
   }
 
+  test("crossCorpusContamination: containment -> ratio 1.0; disjoint -> absent; capped ⊆ exact") {
+    val passage = (1 to 12).map(i => s"leak$i").mkString(" ")
+    val evalDocs = Seq(
+      (100L, passage),                                  // fully contained in train 1
+      (101L, "completely different eval content with no overlap at all times ok")
+    ).toDF("doc_id", "text")
+    val trainDocs = Seq(
+      (1L, s"prefix words here $passage suffix tail words"),
+      (2L, "unrelated training document about other things entirely for sure")
+    ).toDF("doc_id", "text")
+    val c = Dedup.crossCorpusContamination(evalDocs, trainDocs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(c.keySet == Set((100L, 1L)))       // only the planted leak
+    assert(c((100L, 1L)) == 1.0)              // eval doc fully contained
+    // hot-key cap: shared shingles only drop, pairs never appear
+    val capped = Dedup.crossCorpusContamination(evalDocs, trainDocs,
+      "doc_id", "text", n = 8, maxDocFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(c.keySet))
+  }
+
   test("rollingFingerprints: identical text -> identical set; short text -> empty") {
     import graft.plans.TextExprs
     val df = Seq(("abcdefgh abcdefgh", "abcdefgh abcdefgh", "ab")).toDF("a", "b", "s")

@@ -139,6 +139,30 @@ class SourcesSpec extends SparkSpecBase {
     assert(items.count() > 0 && items.filter($"pid".isNull).count() == 0)
   }
 
+  test("stratified hash sample: per-stratum fractions near target, deterministic, subset of rows") {
+    val orders = Tables.orders(spark, sf)
+    val rates = Map("1-URGENT" -> 8, "2-HIGH" -> 4)
+    def run() = Sampling.stratifiedHashSample(orders,
+      $"o_orderpriority", $"o_orderkey", rates, defaultSixteenths = 2)
+    val kept = run().groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (p, n) =>
+      val want = rates.getOrElse(p, 2) / 16.0
+      val got = kept.getOrElse(p, 0L).toDouble / n
+      // md5 is uniform but the test SF has only ~300 rows per stratum:
+      // binomial σ ≈ 0.03 at p=0.5, so allow ~3σ
+      assert(math.abs(got - want) < 0.1, s"$p: got $got want ~$want")
+    }
+    // deterministic: same rows on re-run, regardless of partitioning
+    val a = run().select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedHashSample(orders.repartition(13),
+        $"o_orderpriority", $"o_orderkey", rates, defaultSixteenths = 2)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("JDBC connector round-trips through embedded Derby incl. partitioned read") {
     // keep Derby's log/db files out of the repo working dir
     System.setProperty("derby.system.home", tmp("derby"))
