@@ -41,4 +41,37 @@ object Skew {
         aggs.tail.map { case (n, (_, m)) => m.as(n) }.toSeq: _*)
       .withColumnRenamed("__key", keyName)
   }
+
+  /** Salted equi-join for a skewed FACT side: the fact's hot keys would
+    * hash every row of one key to a single reducer; salting spreads each
+    * fact key over `salts` reducers and REPLICATES the (small-relative-to-
+    * fact, but too big to broadcast) dimension side `salts`× so every
+    * salted bucket still finds its match. This is the manual fallback for
+    * the cases AQE skew-split cannot rescue — e.g. when the skewed join
+    * feeds directly into a same-key aggregation (AQE won't split a
+    * partition that a downstream stage requires whole) or under
+    * `storePartitionedJoin`-style co-partitioning requirements.
+    *
+    * The fact salt is content-hashed (retry-stable, see [[saltedAgg]]);
+    * the dimension replication is an explode over a literal range — pure
+    * plan, no RNG anywhere. Inner and left-outer semantics are preserved
+    * exactly: each fact row carries exactly one salt, so multiplicity is
+    * unchanged; each dim row appears once per salt, so every fact row
+    * still meets every matching dim row exactly once. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame,
+                 factKey: String, dimKey: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"saltedJoin preserves multiplicity only for inner/left joins, got $joinType")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+    val repDim = dim.withColumn("__dsalt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim,
+        saltedFact("__salt") === repDim("__dsalt") &&
+          saltedFact(factKey) === repDim(dimKey),
+        joinType)
+      .drop("__salt", "__dsalt")
+  }
 }

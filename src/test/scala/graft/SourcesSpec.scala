@@ -89,6 +89,23 @@ class SourcesSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals plain join on skewed data for inner and left semantics") {
+    import graft.operators.Skew
+    // heavily skewed fact: 90% of rows on one key, plus an unmatched key
+    val fact = ((1 to 900).map(i => (1L, s"r$i")) ++ (1 to 90).map(i => (2L, s"s$i")) ++
+      Seq((99L, "orphan"))).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "warm"), (3L, "unused")).toDF("dk", "name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).sorted.toSeq
+    val plainInner = canon(fact.join(dim, fact("k") === dim("dk"), "inner"))
+    val saltedInner = canon(Skew.saltedJoin(fact, dim, "k", "dk", salts = 8))
+    assert(saltedInner == plainInner && plainInner.size == 990)
+    val plainLeft = canon(fact.join(dim, fact("k") === dim("dk"), "left"))
+    val saltedLeft = canon(Skew.saltedJoin(fact, dim, "k", "dk", salts = 8, "left"))
+    assert(saltedLeft == plainLeft && plainLeft.size == 991)  // orphan kept with null
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     Warehouse.ensureDatabase(spark, "graft_test")
     val orders = Tables.orders(spark, sf)
