@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFns
-import graft.operators.{Baskets, Bins}
+import graft.operators.{AsofJoin, Baskets, Bins, RangeJoin}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -38,6 +38,46 @@ class PropertySpec extends SparkSpecBase {
       case _            => "d"
     }
     assert(out == expect)
+  }
+
+  test("asof matches a per-row reference scan on generated trades/quotes") {
+    val rowGen = for {
+      key <- Gen.oneOf("a", "b", "c")
+      t <- Gen.chooseNum(0L, 2000L)
+    } yield (key, t)
+    val quotes = samples(rowGen, 120).distinct.zipWithIndex
+      .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toDouble) }
+    val trades = samples(rowGen, 80).zipWithIndex
+      .map { case ((k, t), i) => (k, new java.sql.Timestamp(t * 1000), i.toLong) }
+    val qDf = quotes.toDF("qk", "qts", "px")
+    val tDf = trades.toDF("k", "t", "trade_id")
+    val got = AsofJoin.asof(tDf, qDf, "k", "qk", "t", "qts", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    trades.foreach { case (k, ts, id) =>
+      // reference: latest quote at or before ts for the key; quotes are
+      // (key, ts)-distinct so the max-ts match is unique
+      val want = quotes.filter(q => q._1 == k && !q._2.after(ts))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(got(id) == want, s"trade $id key $k ts $ts")
+    }
+  }
+
+  test("rangeJoin self-overlap matches a quadratic reference on generated intervals") {
+    val gen = for {
+      key <- Gen.chooseNum(0, 3)
+      s <- Gen.chooseNum(0L, 300L)
+      len <- Gen.chooseNum(0L, 40L)
+    } yield (key.toLong, s, s + len)
+    val rows = samples(gen, 100).zipWithIndex.map { case ((k, s, e), i) => (k, i.toLong, s, e) }
+    val df = rows.toDF("k", "id", "s", "e")
+    val got = RangeJoin.selfOverlapPairs(df, "k", "id", "s", "e", bandWidth = 13)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+    } yield (a._2, b._2)).toSet
+    assert(got == want)
   }
 
   test("pairs emits exactly C(n,2) canonical pairs per order") {
