@@ -21,7 +21,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; Spark-written dirs (e.g. the
+        # ScaleData 8x/32x copies) need a part-file glob
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark-rewritten
+    # copies (tools/ScaleData) carry it as BIGINT nanos because the session
+    # reads nanos-as-long. Mirror Tables.events' truncation so oracles see
+    # the same microsecond TIMESTAMP either way.
+    if con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0] == "BIGINT":
+        con.execute("CREATE OR REPLACE VIEW events AS "
+                    "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{sf_dir}/events.parquet/*.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
