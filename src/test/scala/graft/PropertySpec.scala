@@ -80,6 +80,20 @@ class PropertySpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("sketch aggregates: HLL distinct and GK percentile within documented error of exact") {
+    val events = Tables.events(spark, sf)
+    val exact = events.agg(countDistinct($"user_id")).head.getLong(0)
+    // HLL++ rsd default 5%; we pass 2% — error must respect the tighter bound
+    val approx = events.agg(approx_count_distinct($"user_id", 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL estimate $approx vs exact $exact")
+    val exactP50 = events.agg(expr("percentile(value, 0.5)")).head.getDouble(0)
+    val approxP50 = events.agg(expr("approx_percentile(value, 0.5, 1000)")).head.getDouble(0)
+    val spread = events.agg(max($"value") - min($"value")).head.getDouble(0)
+    assert(math.abs(approxP50 - exactP50) <= spread / 100.0,
+      s"approx p50 $approxP50 vs exact $exactP50 (spread $spread)")
+  }
+
   test("pairs emits exactly C(n,2) canonical pairs per order") {
     val basketGen = Gen.chooseNum(2, 8).flatMap(n =>
       Gen.pick(n, 1 to 20).map(_.toList))

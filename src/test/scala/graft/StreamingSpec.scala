@@ -213,6 +213,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals batch; dim stays broadcast per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (101L, "silver")).toDF("d_user", "segment")
+    val mem = MemoryStream[(Timestamp, String, Double, Long, Long)]
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value", "user_id", "event_id")
+    // stream-static join: the static side is re-resolved per micro-batch —
+    // the standard dimension-enrichment shape (no state store involved)
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), df("user_id") === dim("d_user"), "left")
+        .select(col("event_id"), col("user_id"), coalesce(col("segment"), lit("none")).as("segment"))
+    val q = enrich(streamDf).writeStream.format("memory")
+      .queryName("stream_enriched").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enriched").orderBy("event_id").collect().toSeq
+      val batch = enrich(rows.toDF("ts", "event_type", "value", "user_id", "event_id"))
+        .orderBy("event_id").collect().toSeq
+      assert(streamed == batch && streamed.size == rows.size)
+      assert(streamed.forall(_.getString(2) != null))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
