@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * engine as opaque BINARY columns with a typed metadata struct alongside
   * (`modality`, byte size, decoded dimensions).
   *
-  * The IMAGE codec is real: [[decodeImageHeader]] reads actual
-  * width/height from the payload via `javax.imageio` (JDK stdlib —
-  * header-only, no full pixel decode, so it costs O(header) per row at
-  * any scale). Audio/video codecs are STUBBED (this environment ships no
-  * media libraries): [[fakeDecode]] derives deterministic "dimensions"
-  * from the payload bytes, and image payloads that don't parse (e.g. the
+  * The IMAGE and AUDIO codecs are real: [[decodeImageHeader]] reads
+  * actual width/height via `javax.imageio` and [[decodeAudioHeader]]
+  * reads sample rate/channels/frames from WAV/AIFF/AU via
+  * `javax.sound.sampled` (both JDK stdlib — header-only, no payload
+  * decode, so cost is O(header) per row at any scale). VIDEO remains
+  * STUBBED (no video library ships in this environment):
+  * [[fakeDecode]] derives deterministic "dimensions" from the payload
+  * bytes, and image/audio payloads that don't parse (e.g. the
   * text-bytes stand-ins in the fixture corpus) fall back to the same
   * stub, keeping the pipeline total. The Spark-side plumbing is real and
   * is what the tests check: binary schema, batched per-partition
@@ -68,14 +70,41 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
-  /** Dispatch: real codec for images that parse, stub otherwise. */
+  /** REAL audio codec (header-only): sample rate / channels / frame count
+    * from a WAV/AIFF/AU payload via `javax.sound.sampled` (JDK stdlib).
+    * Frame count maps onto MediaMeta as nFrames; `width` carries the
+    * sample rate and `height` the channel count, matching the "typed
+    * dims" contract the downstream pipeline reads. */
+  def decodeAudioHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val af = fmt.getFormat
+      val frames = fmt.getFrameLength
+      Some((af.getSampleRate.toInt, af.getChannels,
+        if (frames >= 0) frames else 0))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Dispatch: real codecs for image/audio payloads that parse, stub
+    * otherwise (and always for video — no video lib ships here). */
   def decode(id: Long, modality: String, payload: Array[Byte]): MediaMeta =
-    if (modality == "image")
-      decodeImageHeader(payload) match {
+    modality match {
+      case "image" => decodeImageHeader(payload) match {
         case Some((w, h)) => MediaMeta(id, modality, payload.length.toLong, w, h, 1)
         case None         => fakeDecode(id, modality, payload)
       }
-    else fakeDecode(id, modality, payload)
+      case "audio" => decodeAudioHeader(payload) match {
+        case Some((rate, ch, frames)) =>
+          MediaMeta(id, modality, payload.length.toLong, rate, ch, frames)
+        case None => fakeDecode(id, modality, payload)
+      }
+      case _ => fakeDecode(id, modality, payload)
+    }
 
   /** Batched decode over partitions — the mapInPandas-shaped path: each
     * partition is processed as one iterator (batch), keeping codec setup

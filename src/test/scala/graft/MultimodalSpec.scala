@@ -59,6 +59,31 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeImageHeader(truncated).contains((17, 9)))
   }
 
+  test("audio modality decodes REAL rate/channels/frames from WAV bytes, stub fallback otherwise") {
+    import javax.sound.sampled._
+    def wavBytes(rate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = (i * 31).toByte)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val wav = wavBytes(16000f, 2, 1234)
+    val rows = Seq(
+      (1L, wav, "audio"),
+      (2L, "definitely not audio bytes".getBytes("UTF-8"), "audio"),
+      (3L, wav, "video")   // video modality ignores the audio codec
+    ).toDF("id", "payload", "modality")
+    val m = Multimodal.decodeBatched(rows).collect().map(x => x.id -> x).toMap
+    assert((m(1L).width, m(1L).height, m(1L).nFrames) == (16000, 2, 1234))
+    assert(m(1L).numBytes == wav.length.toLong)
+    val g = "definitely not audio bytes".getBytes("UTF-8").length
+    assert(m(2L).width == (g % 640 + 1))                 // garbage -> stub dims
+    assert(m(3L).nFrames == (wav.length % 30 + 1))       // video -> stub frames
+  }
+
   test("resizeMeta: proportional fit, ceil-rounded, never upscales") {
     val meta = Seq((1L, 640, 480), (2L, 100, 50), (3L, 1280, 240))
       .toDF("id", "width", "height")
