@@ -90,6 +90,22 @@ object Multimodal {
     }
   }
 
+  /** Deterministic 16-bit PCM WAV synthesis through the real
+    * `javax.sound.sampled` ENCODER — the counterpart of
+    * [[decodeAudioHeader]] for end-to-end encode→decode gates. Sample
+    * content is a fixed byte ramp; only the header parameters matter. */
+  def synthWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = (i * 31).toByte; i += 1 }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Dispatch: real codecs for image/audio payloads that parse, stub
     * otherwise (and always for video — no video lib ships here). */
   def decode(id: Long, modality: String, payload: Array[Byte]): MediaMeta =

@@ -291,6 +291,43 @@ object SourceQueries {
       graft.llm.Similarity.bruteTopK(emb, query, 10)
     },
 
+    // ---- q87: REAL audio codec end-to-end — WAV parameters derived
+    // arithmetically per doc, synthesized through javax.sound.sampled's
+    // actual WAVE encoder (batched mapPartitions, the codec-stage shape),
+    // then header-decoded back by the real decoder. The oracle computes
+    // the same parameters directly in SQL: values can only agree if the
+    // encode→decode round trip is lossless, so this gates the codec
+    // itself, not a stub.
+    QueryDef.sql("q87_audio_meta",
+      """SELECT doc_id AS id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(100 + length(text) % 500 AS BIGINT) AS n_frames,
+        |  ((100 + length(text) % 500) * 1000.0) / (8000 + (doc_id % 3) * 4000)
+        |    AS duration_ms
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val params = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+        (lit(100) + length(col("text")) % 500).cast("int").as("frames"))
+      val wavs = params.as[(Long, Int, Int, Int)].mapPartitions { it =>
+        // per-partition encoder batch — same shape as the decode stage
+        it.map { case (id, rate, ch, frames) =>
+          (id, Multimodal.synthWav(rate, ch, frames), "audio")
+        }
+      }.toDF("id", "payload", "modality")
+      Multimodal.decodeBatched(wavs).toDF()
+        .select(col("id"),
+          col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("nFrames").cast("long").as("n_frames"))
+        .withColumn("duration_ms",
+          (col("n_frames") * lit(1000.0)) / col("sample_rate"))
+        .orderBy("id")
+    },
+
     // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
     // mapPartitions path; STUB codec per the build brief, plumbing real)
     QueryDef.sql("q54_frame_sampling",
