@@ -50,8 +50,15 @@ object Clusters {
     // Superseded rounds' checkpoint blocks are released asynchronously by
     // Spark's ContextCleaner once the dropped `labels` reference is GC'd —
     // at most a few round's worth of the (id, lbl) table is ever live.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Round 0 for free: initialize each endpoint to min(self, min neighbor)
+    // with ONE aggregation over the symmetric edge list — the first
+    // propagation round without its join. Any init that is ≥ the final
+    // label and ≤ self is valid for min-label propagation; this one ends
+    // diameter-≤1 components (the bulk of near-dup clusters) before the
+    // loop's first convergence check.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
       .localCheckpoint(eager = true)
     var converged = false
     var iter = 0
