@@ -129,4 +129,32 @@ object Events {
           graft.sources.Warehouse.overwriteTable(incoming, table)
         }
       }
+
+  /** Stream → JDBC warehouse sink: the reference's DAG→Postgres landing
+    * (`to_sql`, customer_analytics_dag.py:145-151) as a stream. Each
+    * micro-batch is upserted into the JDBC table with
+    * ON-CONFLICT-DO-NOTHING semantics: anti-join the batch against the
+    * table's current keys, append only the new ones. Replays of a
+    * micro-batch (the foreachBatch at-least-once contract) become
+    * no-ops, so the sink is idempotent end-to-end. At scale, swap the
+    * whole-table key read for a `readQuery` keyed IN-list or a
+    * staging-table MERGE — the batch boundary and retry semantics stay
+    * identical. */
+  def toJdbcUpsertSink(df: DataFrame, url: String, table: String,
+                       keys: Seq[String], checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.dropDuplicates(keys)
+        val fresh =
+          try {
+            val existing = graft.sources.Jdbc.read(spark, url, table)
+              .select(keys.map(org.apache.spark.sql.functions.col): _*)
+            incoming.join(existing, keys, "left_anti")
+          } catch { case _: Exception => incoming }  // table absent: first batch
+        graft.sources.Jdbc.write(fresh, url, table,
+          org.apache.spark.sql.SaveMode.Append)
+      }
 }

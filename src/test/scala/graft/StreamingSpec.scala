@@ -236,6 +236,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("toJdbcUpsertSink lands micro-batches in Derby idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test/derby")
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val mem = MemoryStream[(Timestamp, String, Double, Long, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "value", "user_id", "event_id")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-test/jdbc_sink_ckpt_${System.nanoTime}"
+    val q = Events.toJdbcUpsertSink(
+      df.select("event_id", "event_type", "value"), url, "landed",
+      keys = Seq("event_id"), checkpoint = ckpt).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // second batch: 2 replayed keys + 1 new — replays must not duplicate
+      mem.addData(rows.take(2) :+ ((ts("2024-01-03 00:00:00"), "view", 9.0, 102L, 6L)): _*)
+      q.processAllAvailable()
+      val landed = graft.sources.Jdbc.read(spark, url, "landed")
+      assert(landed.count() == rows.size + 1)
+      assert(landed.select("event_id").distinct().count() == rows.size + 1)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
