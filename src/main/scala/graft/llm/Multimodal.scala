@@ -7,19 +7,22 @@ import org.apache.spark.sql.functions._
   * engine as opaque BINARY columns with a typed metadata struct alongside
   * (`modality`, byte size, decoded dimensions).
   *
-  * The IMAGE and AUDIO codecs are real: [[decodeImageHeader]] reads
-  * actual width/height via `javax.imageio` and [[decodeAudioHeader]]
-  * reads sample rate/channels/frames from WAV/AIFF/AU via
-  * `javax.sound.sampled` (both JDK stdlib — header-only, no payload
-  * decode, so cost is O(header) per row at any scale). VIDEO remains
-  * STUBBED (no video library ships in this environment):
-  * [[fakeDecode]] derives deterministic "dimensions" from the payload
-  * bytes, and image/audio payloads that don't parse (e.g. the
-  * text-bytes stand-ins in the fixture corpus) fall back to the same
-  * stub, keeping the pipeline total. The Spark-side plumbing is real and
-  * is what the tests check: binary schema, batched per-partition
-  * processing (the Scala analog of `mapInPandas` — one iterator pass per
-  * partition, no per-row task overhead), and typed metadata projection.
+  * The metadata codecs are REAL for all three modalities:
+  * [[decodeImageHeader]] reads width/height via `javax.imageio`,
+  * [[decodeAudioHeader]] reads rate/channels/frames from WAV/AIFF/AU via
+  * `javax.sound.sampled` (both JDK stdlib), and [[decodeMp4Header]]
+  * walks the ISO BMFF box tree directly for MP4 width/height/frame-count
+  * (no video lib exists anywhere in the JDK; the container metadata is a
+  * specified binary format, so the engine parses it itself). All three
+  * are header-only — cost is O(header) per row at any scale. Pixel/PCM
+  * SAMPLE decoding for video stays out of scope (that genuinely needs a
+  * codec library); payloads that don't parse (e.g. the text-byte
+  * stand-ins in the fixture corpus) fall back to the deterministic
+  * [[fakeDecode]] stub, keeping the pipeline total. The Spark-side
+  * plumbing is what the tests check: binary schema, batched
+  * per-partition processing (the Scala analog of `mapInPandas` — one
+  * iterator pass per partition, no per-row task overhead), and typed
+  * metadata projection.
   */
 object Multimodal {
 
@@ -90,6 +93,86 @@ object Multimodal {
     }
   }
 
+  /** REAL video metadata codec (header-only): width/height/frame-count
+    * from an MP4 payload by walking the ISO BMFF box tree — no JDK or
+    * external video library exists, but the container METADATA is a
+    * fully-specified binary format, so the engine parses it directly:
+    * `ftyp` guard → `moov` → per-`trak`: `hdlr` handler `vide`, `tkhd`
+    * width/height (16.16 fixed-point), `stbl/stsz` sample count (= frame
+    * count). Every offset is bounds-checked; anything malformed → None
+    * and the caller's stub fallback. Pixel DECODING stays out of scope
+    * (that genuinely needs a codec library); this makes the video
+    * modality's metadata path as real as image/audio's. */
+  def decodeMp4Header(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload == null || payload.length < 16) return None
+    def u32(o: Int): Long =
+      if (o + 4 > payload.length) -1L
+      else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def typ(o: Int): String =
+      if (o + 4 > payload.length) "" else new String(payload, o, 4, "ISO-8859-1")
+
+    // children of a container box as (type, payloadStart, payloadEnd)
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      while (o + 8 <= to) {
+        val size = u32(o)
+        if (size < 8 || o + size > to) return out.result()  // malformed: stop
+        out += ((typ(o + 4), o + 8, o + size.toInt))
+        o += size.toInt
+      }
+      out.result()
+    }
+
+    val top = boxes(0, payload.length)
+    if (top.headOption.forall(_._1 != "ftyp")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val traks = boxes(moov._2, moov._3).filter(_._1 == "trak")
+    traks.flatMap { case (_, s, e) =>
+      val kids = boxes(s, e)
+      val mdia = kids.find(_._1 == "mdia")
+      val isVideo = mdia.exists { case (_, ms, me) =>
+        boxes(ms, me).exists { case (t, hs, he) =>
+          t == "hdlr" && he - hs >= 12 && typ(hs + 8) == "vide" }
+      }
+      val tkhd = kids.find(_._1 == "tkhd")
+      val frames = mdia.toSeq.flatMap { case (_, ms, me) =>
+        for {
+          (_, is, ie) <- boxes(ms, me).filter(_._1 == "minf")
+          (_, bs, be) <- boxes(is, ie).filter(_._1 == "stbl")
+          (t, zs, ze) <- boxes(bs, be) if t == "stsz" && ze - zs >= 12
+        } yield u32(zs + 8).toInt
+      }.headOption
+      tkhd match {
+        // v0 tkhd payload: width/height are 16.16 fixed at offsets 76/80
+        case Some((_, ts, te)) if isVideo && te - ts >= 84 =>
+          val w = (u32(ts + 76) >> 16).toInt
+          val h = (u32(ts + 80) >> 16).toInt
+          if (w > 0 && h > 0) Some((w, h, frames.getOrElse(0))) else None
+        case _ => None
+      }
+    }.headOption
+  }
+
+  /** Deterministic minimal-MP4 synthesis — the encoder counterpart of
+    * [[decodeMp4Header]] (ftyp + moov/trak/tkhd/hdlr(vide)/stbl/stsz),
+    * for end-to-end encode→decode gates. */
+  def synthMp4(width: Int, height: Int, frames: Int): Array[Byte] = {
+    def u32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array
+    def box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(8L + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    val tkhd = box("tkhd", new Array[Byte](76),
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val hdlr = box("hdlr", new Array[Byte](8), "vide".getBytes("ISO-8859-1"))
+    val stsz = box("stsz", new Array[Byte](4), u32(0), u32(frames.toLong))
+    val mdia = box("mdia", hdlr, box("minf", box("stbl", stsz)))
+    box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0)) ++
+      box("moov", box("trak", tkhd, mdia))
+  }
+
   /** Deterministic 16-bit PCM WAV synthesis through the real
     * `javax.sound.sampled` ENCODER — the counterpart of
     * [[decodeAudioHeader]] for end-to-end encode→decode gates. Sample
@@ -117,6 +200,11 @@ object Multimodal {
       case "audio" => decodeAudioHeader(payload) match {
         case Some((rate, ch, frames)) =>
           MediaMeta(id, modality, payload.length.toLong, rate, ch, frames)
+        case None => fakeDecode(id, modality, payload)
+      }
+      case "video" => decodeMp4Header(payload) match {
+        case Some((w, h, frames)) =>
+          MediaMeta(id, modality, payload.length.toLong, w, h, frames)
         case None => fakeDecode(id, modality, payload)
       }
       case _ => fakeDecode(id, modality, payload)

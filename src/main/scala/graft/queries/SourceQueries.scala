@@ -328,6 +328,34 @@ object SourceQueries {
         .orderBy("id")
     },
 
+    // ---- q88: REAL video metadata codec end-to-end — MP4 parameters
+    // derived arithmetically per doc, synthesized as actual ISO BMFF
+    // boxes (Multimodal.synthMp4), then parsed back by the box-tree
+    // walker (decodeMp4Header). The oracle computes the parameters
+    // directly in SQL, so values only agree if the box encode→parse
+    // round trip is lossless — same gating pattern as q87's audio.
+    QueryDef.sql("q88_video_meta",
+      """SELECT doc_id AS id,
+        |  CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+        |  CAST(240 + (doc_id % 3) * 120 AS BIGINT) AS height,
+        |  CAST(24 + length(text) % 1000 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val params = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (lit(320) + (col("doc_id") % 4) * 160).cast("int").as("w"),
+        (lit(240) + (col("doc_id") % 3) * 120).cast("int").as("h"),
+        (lit(24) + length(col("text")) % 1000).cast("int").as("f"))
+      val mp4s = params.as[(Long, Int, Int, Int)].mapPartitions { it =>
+        it.map { case (id, w, h, f) => (id, Multimodal.synthMp4(w, h, f), "video") }
+      }.toDF("id", "payload", "modality")
+      Multimodal.decodeBatched(mp4s).toDF()
+        .select(col("id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("nFrames").cast("long").as("n_frames"))
+        .orderBy("id")
+    },
+
     // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
     // mapPartitions path; STUB codec per the build brief, plumbing real)
     QueryDef.sql("q54_frame_sampling",

@@ -84,6 +84,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m(3L).nFrames == (wav.length % 30 + 1))       // video -> stub frames
   }
 
+  test("video modality decodes REAL dims/frames from MP4 boxes, stub fallback otherwise") {
+    def u32(v: Long) = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array
+    def mp4box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(8L + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    }
+    // minimal valid tree: ftyp + moov{trak{tkhd(v0: 76B then 16.16 w/h),
+    // mdia{hdlr(vide), minf{stbl{stsz(count)}}}}}
+    val tkhd = mp4box("tkhd",
+      new Array[Byte](76), u32(640L << 16), u32(360L << 16))
+    val hdlr = mp4box("hdlr", new Array[Byte](8), "vide".getBytes("ISO-8859-1"))
+    val stsz = mp4box("stsz", new Array[Byte](4), u32(0), u32(321))
+    val mdia = mp4box("mdia", hdlr, mp4box("minf", mp4box("stbl", stsz)))
+    val mp4 = mp4box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0)) ++
+      mp4box("moov", mp4box("trak", tkhd, mdia))
+    assert(Multimodal.decodeMp4Header(mp4).contains((640, 360, 321)))
+    val rows = Seq(
+      (1L, mp4, "video"),
+      (2L, "not an mp4 at all, just text".getBytes("UTF-8"), "video"),
+      (3L, mp4.take(40), "video")   // truncated moov: falls back, no crash
+    ).toDF("id", "payload", "modality")
+    val m = Multimodal.decodeBatched(rows).collect().map(x => x.id -> x).toMap
+    assert((m(1L).width, m(1L).height, m(1L).nFrames) == (640, 360, 321))
+    val g = "not an mp4 at all, just text".getBytes("UTF-8").length
+    assert(m(2L).width == (g % 640 + 1))
+    assert(m(3L).nFrames == (40 % 30 + 1))
+    // audio-only mp4 (hdlr 'soun') must NOT report video dims
+    val soun = mp4box("mdia", mp4box("hdlr", new Array[Byte](8), "soun".getBytes("ISO-8859-1")))
+    val audioMp4 = mp4box("ftyp", "isom".getBytes("ISO-8859-1"), u32(0)) ++
+      mp4box("moov", mp4box("trak", tkhd, soun))
+    assert(Multimodal.decodeMp4Header(audioMp4).isEmpty)
+  }
+
   test("resizeMeta: proportional fit, ceil-rounded, never upscales") {
     val meta = Seq((1L, 640, 480), (2L, 100, 50), (3L, 1280, 240))
       .toDF("id", "width", "height")
