@@ -352,6 +352,34 @@ object SalesQueries {
         .agg(count(lit(1)).as("kept"), dsum(col("o_totalprice")).as("revenue"))
     },
 
+    // ---- q89: arbitrary GROUPING SETS — the lattice rollup/cube can't
+    // express: per-priority totals, per-status totals, and the grand
+    // total, WITHOUT the (priority, status) cross cells. One Expand +
+    // one aggregation exchange, same single-pass shape as q64/q69.
+    QueryDef.sql("q89_grouping_sets",
+      s"""SELECT
+         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+         |       ELSE o_orderpriority END AS priority,
+         |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+         |       ELSE o_orderstatus END AS status,
+         |  COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin) {
+      (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("__orders_gs")
+      s.sql(s"""
+        |SELECT
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE o_orderpriority END AS priority,
+        |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+        |       ELSE o_orderstatus END AS status,
+        |  COUNT(*) AS orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM __orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    },
+
     // ---- q64: multi-level rollup (A-family superset: per-(priority,status),
     // per-priority subtotal, and grand total in ONE pass — the reporting
     // shape the reference assembles with three separate pandas groupbys).
