@@ -352,6 +352,28 @@ object SalesQueries {
         .agg(count(lit(1)).as("kept"), dsum(col("o_totalprice")).as("revenue"))
     },
 
+    // ---- q90: set operations beyond union (SO-family completion):
+    // EXCEPT = customers who ordered in 1995 but not 1996 (churned),
+    // INTERSECT = both years (retained). Both are distinct-set semantics
+    // in both engines; one aggregation-style shuffle each.
+    QueryDef.sql("q90_set_ops",
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1996)
+        |SELECT 'churned' AS tag, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        |UNION ALL
+        |SELECT 'retained' AS tag, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)""".stripMargin) {
+      (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      def inYear(y: Int) = orders.filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      val (y95, y96) = (inYear(1995), inYear(1996))
+      y95.except(y96).select(lit("churned").as("tag"), col("o_custkey"))
+        .unionByName(
+          y95.intersect(y96).select(lit("retained").as("tag"), col("o_custkey")))
+    },
+
     // ---- q89: arbitrary GROUPING SETS — the lattice rollup/cube can't
     // express: per-priority totals, per-status totals, and the grand
     // total, WITHOUT the (priority, status) cross cells. One Expand +
