@@ -60,6 +60,7 @@ object Relevance {
     * query terms' posting lists, not the corpus vocabulary. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     val p = postings(docs, idCol, textCol)
     val docLen = docs.select(col(idCol).as("doc_id"),
       size(TextFns.tokens(col(textCol))).cast("long").as("dl"))

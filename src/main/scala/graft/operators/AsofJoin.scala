@@ -65,7 +65,10 @@ object AsofJoin {
     // __tie: dense per-right-row rank under tieBreak is overkill; a single
     // monotonic long from the tie-break columns' hash is enough to make the
     // window order total. xxhash64 over the tie-break columns is stable.
-    val r = right.select(
+    // a right row with NULL ts sorts before everything and would be
+    // carried as the "earliest" match for every left row — a row with
+    // unknown time can never be "most recent at or before t", so drop it
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(rightKey).as("__k"), col(rightTs).as("__t"), lit(rightSide).as("__side"),
       (if (tieBreak.isEmpty) lit(0L) else xxhash64(tieBreak.map(col): _*)).as("__tie"),
       lit(null).cast(l.schema("__row").dataType).as("__row"),

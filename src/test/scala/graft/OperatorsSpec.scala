@@ -176,6 +176,14 @@ class OperatorsSpec extends SparkSpecBase {
       .filter($"trade_id" === 2L).head
     assert(row.getAs[java.sql.Timestamp]("t") == ts("2024-01-01 10:29:59"))
     assert(row.getAs[java.sql.Timestamp]("asof_ts") == ts("2024-01-01 10:05:00"))
+    // a null-ts quote is never "most recent" — must not leak into matches
+    val nullQuote = Seq(("a", null.asInstanceOf[java.sql.Timestamp], 99.0))
+      .toDF("qk", "qts", "px")
+    val withNull = AsofJoin.asof(trades, quotes.unionByName(nullQuote),
+        "k", "qk", "t", "qts", Seq("px"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(withNull == incl)
   }
 
   test("asof plan: one shuffle on the key, no join node, no pair explosion") {
