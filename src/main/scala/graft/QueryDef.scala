@@ -28,7 +28,8 @@ object QueryDef {
   val goldenGated: Seq[String] = Seq(
     "q38_synthetic_events", "q43_dedup_minhash_lsh", "q44_dedup_simhash",
     "q47_ann_ivf_topk", "q53_ann_lsh_buckets", "q59_ann_ivf_kmeans",
-    "q61_multimodal_ann", "q66_curation_funnel", "q67_winnowing_pairs")
+    "q61_multimodal_ann", "q66_curation_funnel", "q67_winnowing_pairs",
+    "q91_ann_pq")
 
   def golden(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef = {
     require(goldenGated.contains(name), s"$name missing from goldenGated")

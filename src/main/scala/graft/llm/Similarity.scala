@@ -102,6 +102,120 @@ object Similarity {
       .select("vec_id", "cosine")
   }
 
+  /** Product-quantization codebooks (the faiss-style memory-scale ANN
+    * path): the `dim`-dim space splits into `m` contiguous subspaces and
+    * each learns `k` codewords by the same deterministic Lloyd loop as
+    * [[kmeansCells]] (lowest-vec_id init, decimal-exact means, tie-broken
+    * assignment). Vectors then compress to `m` small ints
+    * ([[pqEncode]]) — at 100 TB the float vectors (256 B each at dim 64)
+    * become m bytes each, and [[pqTopK]] scans CODES, not floats.
+    * Returns codebooks(sub)(codeword)(subdim) — m·k·(dim/m) floats, the
+    * bounded-by-construction driver artifact every PQ system ships to
+    * its searchers. All subspaces train in the SAME per-iteration jobs
+    * (subspace is just another grouping key), so the loop costs
+    * iters+1 scans total, not per-subspace. */
+  def pqTrain(emb: DataFrame, m: Int, k: Int,
+              iters: Int = 3): Array[Array[Array[Float]]] = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // (vec_id, sub, subvec) — one exploded row per subspace, reused
+    // every iteration; checkpoint once so iterations re-read, not re-slice
+    val subRows = emb.select(col("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subvec")))
+      .localCheckpoint(true)
+    val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m, k)((s, c) => init(c).slice(s * subDim, (s + 1) * subDim))
+    for (_ <- 0 until iters) {
+      // assign: argmax_c (e_s·c - |c|²/2) == argmin_c L2²(e_s, c); the
+      // codeword id rides in the struct so exact ties break high-id,
+      // identically on every partitioning
+      val assignExpr = (0 until m).map { s =>
+        val cands = books(s).zipWithIndex.map { case (cw, c) =>
+          val half = cw.map(v => v.toDouble * v).sum / 2.0
+          struct((VectorFns.dotDouble(col("subvec"), array(cw.map(lit): _*)) - lit(half))
+            .as("score"), lit(c).as("cw"))
+        }
+        (s, greatest(cands: _*).getField("cw"))
+      }.foldLeft(lit(-1)) { case (acc, (s, e)) => when(col("sub") === s, e).otherwise(acc) }
+      books = subRows.withColumn("cw", assignExpr)
+        .select(col("sub"), col("cw"), posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("sub", "cw", "dim").agg(exactMean(col("v")).as("mv"))
+        .groupBy("sub", "cw")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("dm"))
+        .select(col("sub"), col("cw"),
+          transform(col("dm"), x => x.getField("mv").cast("float")).as("cvec"))
+        .collect()
+        .foldLeft(books.map(_.clone())) { (acc, r) =>
+          // empty cells keep their previous codeword (standard Lloyd)
+          acc(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray; acc
+        }
+    }
+    books
+  }
+
+  /** PQ encoding: each vector becomes its `m` nearest-codeword ids. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * subDim + 1, subDim)
+      val cands = books(s).zipWithIndex.map { case (cw, c) =>
+        val half = cw.map(v => v.toDouble * v).sum / 2.0
+        struct((VectorFns.dotDouble(sub, array(cw.map(lit): _*)) - lit(half)).as("score"),
+          lit(c).as("cw"))
+      }
+      greatest(cands: _*).getField("cw")
+    }
+    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: the query stays a full
+    * float vector; per subspace its dot with every codeword precomputes
+    * into an m×k table (driver math, bounded), and each candidate's score
+    * is `Σ_s table[s][codes[s]]` — a fixed-order fold over the code array
+    * against a broadcast literal table. No float vectors are read at
+    * query time; the scan touches m-byte codes only. */
+  def pqTopK(codes: DataFrame, queryVec: Array[Float],
+             books: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val m = books.length
+    val kCw = books(0).length
+    val subDim = books(0)(0).length
+    // flat[s*kCw + c] = q_s · codebook[s][c]
+    val flat = (0 until m).flatMap { s =>
+      val qs = queryVec.slice(s * subDim, (s + 1) * subDim)
+      books(s).map(cw => qs.zip(cw).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+    }
+    val table = array(flat.map(lit): _*)
+    val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, s) => acc + element_at(table, s * kCw + element_at(col("codes"), s + 1) + 1))
+    codes.withColumn("pq_score", round(score, 9))
+      .orderBy(desc("pq_score"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "pq_score")
+  }
+
+  /** Full PQ pipeline with the standard rerank stage: ADC over codes
+    * shortlists `rerank` candidates (compressed-domain scan), then ONLY
+    * those rows' float vectors are read back for an exact cosine top-k.
+    * This is the faiss recipe: the bulk scan never touches floats, and
+    * the exact pass is bounded by `rerank`, not the corpus. The
+    * candidate set broadcast is rerank ids — bounded by construction. */
+  def pqSearch(emb: DataFrame, codes: DataFrame, queryVec: Array[Float],
+               books: Array[Array[Array[Float]]], k: Int,
+               rerank: Int = 100): DataFrame = {
+    val shortlist = pqTopK(codes, queryVec, books, rerank).select("vec_id")
+    val qe = array(queryVec.map(lit): _*)
+    emb.join(broadcast(shortlist), "vec_id")
+      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), qe), 9))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: within-cell blocked self-join (the
     * cell is the blocking key), cosine ≥ threshold.
     *

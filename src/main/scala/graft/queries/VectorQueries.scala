@@ -65,6 +65,21 @@ object VectorQueries {
       Similarity.ivfTopK(cells, query, "cell", k = 20, nProbe = 3)
     },
 
+    // ---- q91: product-quantization ANN (the faiss-style memory-scale
+    // path): 8 subspaces × 16 codewords trained by the deterministic
+    // Lloyd loop, vectors compressed to 8 small ints, query answered by
+    // ADC table lookups over CODES only — no float vector is read at
+    // query time. Codebooks are float-iterative → golden-gated; recall
+    // vs brute force asserted in SimilaritySpec.
+    QueryDef.golden("q91_ann_pq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val books = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(emb, books)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.pqSearch(emb, codes, queryVec, books, k = 20, rerank = 100)
+    },
+
     // ---- q52: embedding near-duplicate pairs (blocked by cluster label)
     QueryDef.sql("q52_embedding_near_dups",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

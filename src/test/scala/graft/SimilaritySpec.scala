@@ -101,6 +101,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert((exact & approx).size >= 5)
   }
 
+  test("PQ: codes shape, partitioning-stable codebooks, rerank recall over ADC-only") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.flatten.forall(_.length == 8))
+    // codebooks are bit-stable across input partitionings (decimal means)
+    val books2 = Similarity.pqTrain(emb.repartition(5), m = 8, k = 16, iters = 2)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    val codes = Similarity.pqEncode(emb, books)
+    assert(codes.count() == emb.count())
+    val bad = codes.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" >= 16).count()
+    assert(bad == 0)
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head.getSeq[Float](0).toArray
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val exact = Similarity.bruteTopK(emb, query, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val adcOnly = Similarity.pqTopK(codes, qv, books, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val reranked = Similarity.pqSearch(emb, codes, qv, books, k = 10, rerank = 100)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // rerank must not lose ground vs compressed-domain scores alone, and
+    // must recall a solid majority of the exact top-k
+    assert((exact & reranked).size >= (exact & adcOnly).size)
+    assert((exact & reranked).size >= 6, s"recall ${(exact & reranked).size}/10")
+    // the query vector itself survives compression + rerank at rank 1
+    assert(Similarity.pqSearch(emb, codes, qv, books, k = 1, rerank = 50)
+      .head.getAs[Long]("vec_id") == 0L)
+  }
+
   test("MLlib BucketedRandomProjectionLSH recalls most of the exact cosine top-k") {
     // cross-validate against the library quantizer the survey proposed:
     // on UNIT-normalized vectors euclidean distance is monotone in cosine,
