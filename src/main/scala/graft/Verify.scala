@@ -33,8 +33,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Golden-gated oracles are re-keyed to the SF label actually being
+    // verified: a run against a dir with no committed snapshot then fails
+    // on a missing parquet (clear) instead of hash-comparing this SF's
+    // output against another SF's golden (silent, wrong).
+    val sfLabel = Paths.get(sfDir).toAbsolutePath.normalize.getFileName.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = if (QueryDef.goldenGated.contains(k))
+          QueryDef.goldenOracleSql(k, sfLabel) else v
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -70,7 +70,11 @@ object Multimodal {
           finally r.dispose()
         }
       } finally iis.close()
-    } catch { case _: java.io.IOException => None }
+      // ImageIO readers throw RuntimeExceptions (IllegalArgument, CMM,
+      // IndexOutOfBounds) on malformed headers, not just IOException —
+      // NonFatal keeps the "corrupt row degrades, never fails the
+      // partition" contract total.
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL audio codec (header-only): sample rate / channels / frame count
@@ -87,10 +91,7 @@ object Multimodal {
       val frames = fmt.getFrameLength
       Some((af.getSampleRate.toInt, af.getChannels,
         if (frames >= 0) frames else 0))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** REAL video metadata codec (header-only): width/height/frame-count
@@ -189,8 +190,10 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Dispatch: real codecs for image/audio payloads that parse, stub
-    * otherwise (and always for video — no video lib ships here). */
+  /** Dispatch: real header codecs for all three modalities — image via
+    * ImageIO, audio via javax.sound, video via the ISO BMFF box walker
+    * [[decodeMp4Header]] — with the deterministic stub as fallback for
+    * payloads that don't parse. */
   def decode(id: Long, modality: String, payload: Array[Byte]): MediaMeta =
     modality match {
       case "image" => decodeImageHeader(payload) match {

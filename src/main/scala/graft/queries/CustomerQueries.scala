@@ -399,10 +399,16 @@ object CustomerQueries {
       val touches = ev.filter(col("event_type").isin("click", "view"))
         .select(col("user_id").as("t_user"), col("ts").as("touch_ts"),
           col("event_id").as("touch_event_id"), col("event_type").as("touch_type"))
+      // tieBreak makes the carried touch deterministic if the fixture ever
+      // gains two touches at identical (user_id, ts); DuckDB's ASOF picks
+      // arbitrarily among exact ties too, so the oracle stays comparable
+      // only while such ties are absent — determinism here keeps a future
+      // mismatch stable and diagnosable rather than partition-order flaky.
       graft.operators.AsofJoin.asof(purchases, touches,
           leftKey = "user_id", rightKey = "t_user",
           leftTs = "ts", rightTs = "touch_ts",
-          payload = Seq("touch_event_id", "touch_type"))
+          payload = Seq("touch_event_id", "touch_type"),
+          tieBreak = Seq("touch_event_id"))
         .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
     },
 

@@ -54,6 +54,25 @@ object Jdbc {
       .option("numPartitions", numPartitions)
       .load()
 
+  /** Existence probe via JDBC metadata (one connection, no scan). Used by
+    * the streaming upsert sink to distinguish "first batch, table absent"
+    * from a transient read failure — only the former may skip the dedup
+    * anti-join. Unquoted identifiers fold differently per engine (Derby
+    * upper-cases, Postgres lower-cases), so probe the common foldings. */
+  def tableExists(url: String, table: String,
+                  props: Map[String, String] = Map.empty): Boolean = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
   /** Sink parity for the reference's `to_sql(if_exists=...)` writes
     * (customer_analytics_dag.py:145-151): mode Overwrite ≈ 'replace',
     * Append ≈ 'append'. Each task opens its own connection — cap

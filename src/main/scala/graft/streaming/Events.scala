@@ -136,10 +136,14 @@ object Events {
     * ON-CONFLICT-DO-NOTHING semantics: anti-join the batch against the
     * table's current keys, append only the new ones. Replays of a
     * micro-batch (the foreachBatch at-least-once contract) become
-    * no-ops, so the sink is idempotent end-to-end. At scale, swap the
-    * whole-table key read for a `readQuery` keyed IN-list or a
-    * staging-table MERGE — the batch boundary and retry semantics stay
-    * identical. */
+    * no-ops, so the sink is idempotent end-to-end. "Table absent" is
+    * decided by a JDBC metadata probe, never by catching read failures:
+    * a transient error (network, auth, timeout) during the key read must
+    * fail the micro-batch so the retry re-runs the anti-join — swallowing
+    * it would append the batch un-deduped exactly in the replay scenarios
+    * the idempotence contract exists for. At scale, swap the whole-table
+    * key read for a `readQuery` keyed IN-list or a staging-table MERGE —
+    * the batch boundary and retry semantics stay identical. */
   def toJdbcUpsertSink(df: DataFrame, url: String, table: String,
                        keys: Seq[String], checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
@@ -149,11 +153,11 @@ object Events {
         val spark = batch.sparkSession
         val incoming = batch.dropDuplicates(keys)
         val fresh =
-          try {
+          if (graft.sources.Jdbc.tableExists(url, table)) {
             val existing = graft.sources.Jdbc.read(spark, url, table)
               .select(keys.map(org.apache.spark.sql.functions.col): _*)
             incoming.join(existing, keys, "left_anti")
-          } catch { case _: Exception => incoming }  // table absent: first batch
+          } else incoming  // first batch: nothing to dedup against
         graft.sources.Jdbc.write(fresh, url, table,
           org.apache.spark.sql.SaveMode.Append)
       }
