@@ -52,6 +52,49 @@ object TextStats {
         least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
         when(col("avg_token_len").between(3.0, 10.0), 0.2).otherwise(0.0))
 
+  /** Repetition metrics per document — the Gopher-rule family a curation
+    * pipeline uses to drop template/boilerplate pages: fraction of tokens
+    * that are the single most-frequent token, distinct-token ratio, and
+    * duplicate-bigram fraction.
+    *
+    * Scale shape: the distinct counts are LINEAR per-row HOFs over a
+    * materialized token array (`array_distinct` — never the quadratic
+    * count-each-token-by-filter form), and the top-token count is a
+    * distributed mode(): explode → partial-agg on (doc, term) → per-doc
+    * max, both shuffles keyed by the doc id. No window, no collect; at
+    * 100 TB this is two map-side-combining aggregations. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      topTokenThreshold: Double = 0.1,
+                      dupBigramThreshold: Double = 0.1): DataFrame = {
+    val toksDf = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+    // bigrams over the MATERIALIZED toks attribute (lambda captures an
+    // attribute read, not a re-tokenization — see TextFns' perf contract)
+    val base = toksDf
+      .select(col(idCol), col("toks"),
+        when(size(col("toks")) >= 2,
+          transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+            (t, i) => concat_ws(" ", t, element_at(col("toks"), i + lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct_bigrams"))
+    val top = toksDf.select(col(idCol), explode(col("toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol)).agg(max(col("tf")).as("top_tf"))
+    val ttr = col("top_tf").cast("double") / col("n_tokens")
+    val dbr = when(col("n_tokens") > 1,
+      lit(1.0) - col("n_distinct_bigrams").cast("double") / (col("n_tokens") - 1))
+      .otherwise(0.0)
+    base.join(top, Seq(idCol))
+      .select(col(idCol),
+        col("n_tokens"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        ttr.as("top_token_ratio"),
+        dbr.as("dup_bigram_ratio"),
+        (ttr >= topTokenThreshold || dbr >= dupBigramThreshold).as("is_repetitive"))
+  }
+
   /** Stopword-profile language ID: count profile hits per language, take the
     * argmax in fixed priority order (ties → earlier profile). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -89,6 +89,46 @@ object TextQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
+    // ---- q94: corpus dedup verdict — the FINAL artifact of the dedup
+    // pipeline: exact-Jaccard pairs (q42) → connected components → one
+    // row per document with its canonical representative, cluster size,
+    // and the keep/drop decision (keep = min-id member). The oracle
+    // re-derives the whole chain independently: q42's inverted-index
+    // Jaccard in SQL, then a recursive-CTE transitive closure (DuckDB's
+    // own fixpoint evaluation, not a re-implementation of ours).
+    QueryDef.sql("q94_dedup_verdict",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |csize AS (SELECT lbl, COUNT(*) AS n FROM comp GROUP BY 1)
+         |SELECT comp.id AS doc_id, comp.lbl AS canonical_id,
+         |  CAST(csize.n AS BIGINT) AS cluster_size, comp.id = comp.lbl AS kept
+         |FROM comp JOIN csize ON comp.lbl = csize.lbl
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+        .select("doc_a", "doc_b")
+      val cc = graft.llm.Clusters.connectedComponents(
+        docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+      val sizes = cc.groupBy(col("cluster_rep")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_rep")
+        .select(col("doc_id"), col("cluster_rep").as("canonical_id"),
+          col("cluster_size"), (col("doc_id") === col("cluster_rep")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- q48: text quality stats
     QueryDef.sql("q48_text_stats",
       s"""SELECT doc_id,
@@ -102,6 +142,79 @@ object TextQueries {
          |    / len($toksSql) AS stopword_ratio
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextStats.stats(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ---- q92: Gopher-style repetition metrics (template/boilerplate
+    // detection): top-token fraction, distinct-token ratio, duplicate-
+    // bigram fraction, and the resulting drop flag. All ratios are
+    // long/long divisions in IEEE double — bit-identical across engines —
+    // so the threshold flag agrees exactly too.
+    QueryDef.sql("q92_repetition_stats",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |        CAST(len(list_distinct(list_transform(
+         |          generate_series(1, greatest(len(toks)-1, 0)),
+         |          i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_db
+         |      FROM t),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         |top AS (SELECT doc_id, MAX(tf) AS top_tf FROM cnt GROUP BY 1),
+         |m AS (SELECT b.doc_id, n_tokens,
+         |        CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+         |        CAST(top_tf AS DOUBLE) / n_tokens AS top_token_ratio,
+         |        CASE WHEN n_tokens > 1
+         |             THEN 1.0 - CAST(n_db AS DOUBLE) / (n_tokens - 1)
+         |             ELSE 0.0 END AS dup_bigram_ratio
+         |      FROM b JOIN top ON b.doc_id = top.doc_id)
+         |SELECT doc_id, n_tokens, distinct_ratio, top_token_ratio, dup_bigram_ratio,
+         |  (top_token_ratio >= 0.1 OR dup_bigram_ratio >= 0.1) AS is_repetitive
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- q93: PII scrub — deterministic PII is synthesized into the text
+    // IDENTICALLY in both engines (the fixture corpus carries none), so the
+    // gate checks real detection+redaction work, not a vacuous zero. Emails
+    // on doc_id%3, phones on %4, IPs on %5 — docs hit 0-3 rules each.
+    QueryDef.sql("q93_pii_scrub", {
+      val emailRe = graft.llm.Pii.email.pattern
+      val phoneRe = graft.llm.Pii.phone.pattern
+      val ipRe = graft.llm.Pii.ipv4.pattern
+      s"""WITH p AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |       || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+         |       || lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0') || '-'
+         |       || lpad(CAST((doc_id * 91) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+         |       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |       || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(pii_text, '$ipRe')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |    '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'),
+         |    '$ipRe', '[IP]', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = col("doc_id")
+      val piiText = concat(col("text"),
+        when(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+          lit("@mail"), (d % 7).cast("string"), lit(".example.com"))).otherwise(""),
+        when(d % 4 === 0, concat(lit(" call 555-"),
+          lpad(((d * 37) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((d * 91) % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(d % 5 === 0, concat(lit(" from 10."), (d % 256).cast("string"),
+          lit(".0."), ((d * 3) % 256).cast("string"))).otherwise(""))
+      graft.llm.Pii.scrub(
+          Tables.documents(s, dir).select(d, piiText.as("pii_text")),
+          "doc_id", "pii_text")
+        .orderBy("doc_id")
     },
 
     // ---- q57: quality scoring (length/stopword/token-shape blend — the

@@ -1,0 +1,122 @@
+package graft
+
+import graft.llm.{Clusters, Dedup, Pii, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation additions: repetition metrics (Gopher rules), PII
+  * scrub, and the end-to-end dedup verdict composition. */
+class TextPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- repetitionStats ------------------------------------------------
+
+  test("repetitionStats: hand-computed metrics on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a a a a"),            // max repetition
+      (2L, "w1 w2 w3 w4"),        // all distinct
+      (3L, "solo"),               // single token: bigram ratio 0 by definition
+      (4L, "x y x y x y")         // repeated bigram phrase
+    ).toDF("doc_id", "text")
+    val m = TextStats.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val r1 = m(0)
+    assert(r1.getAs[Long]("n_tokens") == 4)
+    assert(r1.getAs[Double]("distinct_ratio") == 0.25)
+    assert(r1.getAs[Double]("top_token_ratio") == 1.0)
+    // bigrams: "a a" x3, 1 distinct -> 1 - 1/3
+    assert(math.abs(r1.getAs[Double]("dup_bigram_ratio") - (1.0 - 1.0 / 3)) < 1e-15)
+    assert(r1.getAs[Boolean]("is_repetitive"))
+
+    val r2 = m(1)
+    assert(r2.getAs[Double]("distinct_ratio") == 1.0)
+    assert(r2.getAs[Double]("top_token_ratio") == 0.25)
+    assert(r2.getAs[Double]("dup_bigram_ratio") == 0.0)
+    assert(r2.getAs[Boolean]("is_repetitive")) // 0.25 >= default 0.1 top-token cut
+
+    val r3 = m(2)
+    assert(r3.getAs[Long]("n_tokens") == 1)
+    assert(r3.getAs[Double]("dup_bigram_ratio") == 0.0)
+
+    val r4 = m(3)
+    // "x y" x3 + "y x" x2 = 5 bigrams, 2 distinct -> 1 - 2/5
+    assert(math.abs(r4.getAs[Double]("dup_bigram_ratio") - 0.6) < 1e-15)
+    assert(r4.getAs[Boolean]("is_repetitive"))
+  }
+
+  test("repetitionStats: thresholds are configurable") {
+    val docs = Seq((1L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val strict = TextStats.repetitionStats(docs, "doc_id", "text",
+      topTokenThreshold = 0.5, dupBigramThreshold = 0.5).collect().head
+    assert(!strict.getAs[Boolean]("is_repetitive"))
+  }
+
+  // ---- Pii.scrub ------------------------------------------------------
+
+  test("Pii.scrub redacts emails, phones, IPs and counts on the original text") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.org or 555-123-4567 via 192.168.0.1"),
+      (2L, "no pii here, just words and 42 numbers"),
+      (3L, "two mails: a@b.co and c.d@e-f.io")
+    ).toDF("doc_id", "text")
+    val out = Pii.scrub(docs, "doc_id", "text").orderBy("doc_id").collect()
+
+    assert(out(0).getAs[Long]("n_email") == 1)
+    assert(out(0).getAs[Long]("n_phone") == 1)
+    assert(out(0).getAs[Long]("n_ip") == 1)
+    assert(out(0).getAs[String]("redacted") ==
+      "reach me at [EMAIL] or [PHONE] via [IP]")
+
+    assert(out(1).getAs[Long]("n_email") == 0)
+    assert(out(1).getAs[Long]("n_phone") == 0)
+    assert(out(1).getAs[Long]("n_ip") == 0)
+    assert(out(1).getAs[String]("redacted") ==
+      "no pii here, just words and 42 numbers")
+
+    assert(out(2).getAs[Long]("n_email") == 2)
+    assert(out(2).getAs[String]("redacted") == "two mails: [EMAIL] and [EMAIL]")
+  }
+
+  test("Pii.scrub is idempotent: scrubbing redacted text changes nothing") {
+    val docs = Seq((1L, "mail x@y.zz phone 555-000-1111 ip 8.8.8.8")).toDF("doc_id", "text")
+    val once = Pii.scrub(docs, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = Pii.scrub(once, "doc_id", "text").collect().head
+    assert(twice.getAs[Long]("n_email") == 0)
+    assert(twice.getAs[Long]("n_phone") == 0)
+    assert(twice.getAs[Long]("n_ip") == 0)
+    assert(twice.getAs[String]("redacted") == "mail [EMAIL] phone [PHONE] ip [IP]")
+  }
+
+  // ---- dedup verdict composition (q94's engine path) ------------------
+
+  test("dedup verdict: pairs -> components -> keep min-id representative") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, text), (11L, text), (12L, text),     // one 3-doc cluster
+      (20L, "one two three four five six seven eight nine ten"),
+      (21L, "one two three four five six seven eight nine ten"),
+      (30L, "lone wolf document with entirely different words here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b")
+    val cc = Clusters.connectedComponents(
+      docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+    val verdict = cc.groupBy("cluster_rep").agg(count(lit(1)).as("n"))
+      .join(cc, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("n"),
+        (col("doc_id") === col("cluster_rep")).as("kept"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_rep"), r.getAs[Long]("n"), r.getAs[Boolean]("kept"))))
+      .toMap
+
+    assert(verdict(10L) == ((10L, 3L, true)))
+    assert(verdict(11L) == ((10L, 3L, false)))
+    assert(verdict(12L) == ((10L, 3L, false)))
+    assert(verdict(20L) == ((20L, 2L, true)))
+    assert(verdict(21L) == ((20L, 2L, false)))
+    assert(verdict(30L) == ((30L, 1L, true)))
+    // exactly one kept doc per cluster
+    assert(verdict.values.count(_._3) == 3)
+  }
+}
