@@ -37,6 +37,29 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Cross-corpus LINE-level dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape): each distinct line survives only at its FIRST occurrence in
+    * the corpus — min (doc, line-position) lexicographically — and every
+    * other copy is dropped, which strips boilerplate (headers, nav bars,
+    * license blocks) that document-level dedup can't touch.
+    *
+    * Input is one row per line (`idCol`, `idxCol`, `lineCol`); split the
+    * corpus upstream with whatever line/paragraph rule fits the data.
+    * Shape: one map-side-combining groupBy on the line to find the first
+    * occurrence, one join back — no window, no sort. Grouping keys the
+    * full line text so the result is collision-exact; at 100 TB key on
+    * `xxhash64(line)` instead (identical plan, 8-byte shuffle keys,
+    * one-in-2^64 false merges). */
+  def lineDedup(lines: DataFrame, idCol: String, idxCol: String,
+                lineCol: String): DataFrame = {
+    val first = lines.groupBy(col(lineCol))
+      .agg(min(struct(col(idCol), col(idxCol))).as("__first"))
+    lines.join(first, lineCol)
+      .filter(col(idCol) === col(s"__first.$idCol") &&
+        col(idxCol) === col(s"__first.$idxCol"))
+      .drop("__first")
+  }
+
   /** Near-duplicate fingerprint groups: md5 of the first `prefixLen` chars of
     * the normalized text (cheap document fingerprinting; one shuffle). */
   def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String,

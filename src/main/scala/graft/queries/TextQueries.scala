@@ -129,6 +129,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q95: cross-corpus line-level dedup (CCNet-style paragraph
+    // dedup). The fixture corpus has no newlines, so "lines" are derived
+    // identically in both engines as 8-token chunks; each distinct line
+    // survives only at its first (doc_id, line_idx) occurrence and docs
+    // are reassembled from their surviving lines (docs losing every line
+    // drop out — 3 fully-boilerplate docs at sf0.01, a non-trivial gate).
+    QueryDef.sql("q95_line_dedup",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ln AS (SELECT doc_id,
+         |         unnest(generate_series(1, CAST(ceil(len(toks)/8.0) AS INTEGER))) AS line_idx,
+         |         unnest(list_transform(generate_series(1, CAST(ceil(len(toks)/8.0) AS INTEGER)),
+         |           i -> array_to_string(list_slice(toks, (i-1)*8+1, i*8), ' '))) AS line
+         |       FROM t),
+         |keep AS (SELECT line, MIN({'d': doc_id, 'i': line_idx}) AS first
+         |         FROM ln GROUP BY 1)
+         |SELECT ln.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS lines_kept,
+         |  array_to_string(list(ln.line ORDER BY ln.line_idx), ' ') AS deduped_text
+         |FROM ln JOIN keep ON ln.line = keep.line
+         |WHERE ln.doc_id = keep.first.d AND ln.line_idx = keep.first.i
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val toksDf = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      val nl = ceil(size(col("toks")) / lit(8.0)).cast("int")
+      val linesArr = transform(sequence(lit(1), nl),
+        i => array_join(slice(col("toks"), (i - 1) * lit(8) + 1, lit(8)), " "))
+      val lines = toksDf
+        .select(col("doc_id"), posexplode(linesArr).as(Seq("pos", "line")))
+        .select(col("doc_id"), (col("pos") + 1).as("line_idx"), col("line"))
+      Dedup.lineDedup(lines, "doc_id", "line_idx", "line")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("lines_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+              s => s.getField("line")), " ").as("deduped_text"))
+        .orderBy("doc_id")
+    },
+
     // ---- q48: text quality stats
     QueryDef.sql("q48_text_stats",
       s"""SELECT doc_id,

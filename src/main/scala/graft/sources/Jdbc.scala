@@ -64,12 +64,65 @@ object Jdbc {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val conn = java.sql.DriverManager.getConnection(url, p)
+    try tableExistsOn(conn, table) finally conn.close()
+  }
+
+  private def tableExistsOn(conn: java.sql.Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Has `batchId` already been committed to the `commitsTable` ledger?
+    * Part of the staged-commit exactly-once protocol
+    * ([[graft.streaming.Events.toJdbcExactlyOnceSink]]). */
+  def isBatchCommitted(url: String, commitsTable: String, batchId: Long): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val md = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-        val rs = md.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
+      if (!tableExistsOn(conn, commitsTable)) false
+      else {
+        val ps = conn.prepareStatement(
+          s"SELECT COUNT(*) FROM $commitsTable WHERE batch_id = ?")
+        try {
+          ps.setLong(1, batchId)
+          val rs = ps.executeQuery()
+          try rs.next() && rs.getLong(1) > 0 finally rs.close()
+        } finally ps.close()
       }
+    } finally conn.close()
+  }
+
+  /** Atomic staged commit: move `staging`'s rows into `target` AND record
+    * `batchId` in the `commitsTable` ledger inside ONE database
+    * transaction. Either both become visible or neither does — the
+    * database's atomicity is what upgrades an at-least-once replayed
+    * micro-batch to exactly-once landing. The ledger's PRIMARY KEY is a
+    * second line of defense: a racing double-commit of the same batch id
+    * violates it and rolls back rather than double-appending. Tables are
+    * created on first use (target cloned from staging's shape) — DDL is
+    * transactional in Derby/Postgres-family engines, so first-batch
+    * crashes also leave nothing behind. */
+  def commitStaged(url: String, target: String, staging: String,
+                   commitsTable: String, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        if (!tableExistsOn(conn, target))
+          st.executeUpdate(
+            s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA")
+        if (!tableExistsOn(conn, commitsTable))
+          st.executeUpdate(
+            s"CREATE TABLE $commitsTable (batch_id BIGINT PRIMARY KEY)")
+        st.executeUpdate(s"INSERT INTO $target SELECT * FROM $staging")
+        st.executeUpdate(s"INSERT INTO $commitsTable VALUES ($batchId)")
+        conn.commit()
+      } catch {
+        case scala.util.control.NonFatal(e) => conn.rollback(); throw e
+      } finally st.close()
     } finally conn.close()
   }
 

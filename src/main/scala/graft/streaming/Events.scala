@@ -161,4 +161,41 @@ object Events {
         graft.sources.Jdbc.write(fresh, url, table,
           org.apache.spark.sql.SaveMode.Append)
       }
+
+  /** EXACTLY-ONCE stream → JDBC landing via the staged-commit protocol —
+    * the upgrade from [[toJdbcUpsertSink]]'s key-dedup idempotence (which
+    * needs a natural key) to transactional exactly-once for ANY schema:
+    *
+    *   1. skip-check: batch id already in the `<table>_commits` ledger →
+    *      this is a replay of a committed batch, do nothing;
+    *   2. stage: overwrite `<table>_stage` with the batch (NOT
+    *      transactional, but idempotent — a crashed attempt is simply
+    *      overwritten by the retry);
+    *   3. commit: one database transaction moves staging → target AND
+    *      inserts the batch id into the ledger
+    *      ([[graft.sources.Jdbc.commitStaged]]). Atomicity of that
+    *      transaction is the exactly-once guarantee; a crash between
+    *      stage and commit replays into step 1 finding no ledger row.
+    *
+    * Epoch ids are stable across restarts FROM THE SAME CHECKPOINT
+    * (Spark's foreachBatch contract) — that continuity is what the
+    * ledger keys on. Starting a brand-new checkpoint against the same
+    * target restarts epochs at 0, so pair a fresh checkpoint with a
+    * fresh ledger/target. At scale the driver-side INSERT..SELECT move
+    * runs inside the warehouse (partition swap / MERGE in a real one) —
+    * the Spark-side batch boundary and ledger protocol are unchanged. */
+  def toJdbcExactlyOnceSink(df: DataFrame, url: String, table: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val staging = table + "_stage"
+        val commits = table + "_commits"
+        if (!graft.sources.Jdbc.isBatchCommitted(url, commits, epochId)) {
+          graft.sources.Jdbc.write(batch, url, staging,
+            org.apache.spark.sql.SaveMode.Overwrite)
+          graft.sources.Jdbc.commitStaged(url, table, staging, commits, epochId)
+        }
+      }
 }

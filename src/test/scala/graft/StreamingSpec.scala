@@ -259,6 +259,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("toJdbcExactlyOnceSink: staged commit lands each batch exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.system.home",
+      s"${System.getProperty("java.io.tmpdir")}/graft-test/derby")
+    val url = "jdbc:derby:memory:graftexactly;create=true"
+    val mem = MemoryStream[(Timestamp, String, Double, Long, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "value", "user_id", "event_id")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-test/eo_sink_ckpt_${System.nanoTime}"
+    val q = Events.toJdbcExactlyOnceSink(
+      df.select("event_id", "event_type", "value"), url, "exactly", ckpt).start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val landed = graft.sources.Jdbc.read(spark, url, "exactly")
+      assert(landed.count() == rows.size)
+      assert(landed.select("event_id").distinct().count() == rows.size)
+
+      // replay of an already-committed epoch is a no-op: this is exactly
+      // the sink's foreachBatch body re-run with a committed batch id
+      assert(graft.sources.Jdbc.isBatchCommitted(url, "exactly_commits", 0L))
+      assert(graft.sources.Jdbc.isBatchCommitted(url, "exactly_commits", 1L))
+      assert(!graft.sources.Jdbc.isBatchCommitted(url, "exactly_commits", 2L))
+
+      // atomicity: a commit that fails mid-transaction (bad staging table)
+      // leaves BOTH the target and the ledger untouched
+      intercept[Exception] {
+        graft.sources.Jdbc.commitStaged(url, "exactly", "no_such_staging",
+          "exactly_commits", 99L)
+      }
+      assert(graft.sources.Jdbc.read(spark, url, "exactly").count() == rows.size)
+      assert(!graft.sources.Jdbc.isBatchCommitted(url, "exactly_commits", 99L))
+
+      // double-commit of the same epoch: the ledger PRIMARY KEY rejects it
+      // and the transaction rolls back — the target does not double-append
+      intercept[Exception] {
+        graft.sources.Jdbc.commitStaged(url, "exactly", "exactly_stage",
+          "exactly_commits", 1L)
+      }
+      assert(graft.sources.Jdbc.read(spark, url, "exactly").count() == rows.size)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]

@@ -88,6 +88,31 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(twice.getAs[String]("redacted") == "mail [EMAIL] phone [PHONE] ip [IP]")
   }
 
+  // ---- lineDedup ------------------------------------------------------
+
+  test("lineDedup keeps each line only at its first (doc, idx) occurrence") {
+    val lines = Seq(
+      (1L, 1, "alpha beta"), (1L, 2, "gamma delta"),
+      (2L, 1, "gamma delta"), (2L, 2, "epsilon zeta"),
+      (3L, 1, "alpha beta") // doc 3 is all-boilerplate: loses every line
+    ).toDF("doc_id", "line_idx", "line")
+    val kept = Dedup.lineDedup(lines, "doc_id", "line_idx", "line")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("line_idx"),
+        r.getAs[String]("line"))).toSet
+    assert(kept == Set(
+      (1L, 1, "alpha beta"), (1L, 2, "gamma delta"), (2L, 2, "epsilon zeta")))
+  }
+
+  test("lineDedup first-occurrence tie-break is (doc, idx) lexicographic") {
+    // same line twice within ONE doc: the earlier index wins
+    val lines = Seq((5L, 3, "dup line"), (5L, 1, "dup line"), (6L, 1, "dup line"))
+      .toDF("doc_id", "line_idx", "line")
+    val kept = Dedup.lineDedup(lines, "doc_id", "line_idx", "line").collect()
+    assert(kept.length == 1)
+    assert(kept.head.getAs[Long]("doc_id") == 5L)
+    assert(kept.head.getAs[Int]("line_idx") == 1)
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
