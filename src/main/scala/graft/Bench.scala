@@ -24,7 +24,9 @@ object Bench {
     "q62_dedup_clusters",    // iterative connected components (multi-job)
     "q64_rollup_sales",      // hierarchical rollup (partial-agg reuse)
     "q67_winnowing_pairs",   // rolling-hash fingerprint inverted index
-    "q69_cube_sales"         // full cube over two dims
+    "q69_cube_sales",        // full cube over two dims
+    "q92_repetition_stats",  // distributed per-doc mode + HOF ratios
+    "q95_line_dedup"         // corpus line dedup (explode + groupBy-min + join)
   )
 
   def main(args: Array[String]): Unit = {
