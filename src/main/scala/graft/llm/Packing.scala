@@ -1,0 +1,38 @@
+package graft.llm
+
+import graft.operators.Ranks
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay the corpus out as fixed-token-budget training
+  * sequences — the step between a curated corpus and a dataloader. Each
+  * document is assigned to the sequence containing its global token START
+  * offset (documents are laid end-to-end in a deterministic total order),
+  * which is the standard "concatenate and chunk" packing: a document
+  * whose tokens straddle a boundary belongs to the sequence it starts
+  * in, exactly as a dataloader reading the concatenated token stream
+  * would begin it there.
+  *
+  * The global offset is the scale-sensitive part: a naive
+  * `SUM(n) OVER (ORDER BY id)` is an un-partitioned window — one task
+  * sorts the corpus. [[Ranks.globalCumSum]] computes the identical
+  * running sum via range-partition + per-partition offsets (two passes,
+  * no single-task stage), bit-equal to the window form at any
+  * parallelism since the accumulation is integral.
+  */
+object Packing {
+
+  /** Per-document sequence assignment: `seq_id` (0-based) and
+    * `seq_offset` (the document's first-token position within its
+    * sequence), from `tokenCol` counts laid out in `idCol` order.
+    * `idCol` must be unique — it is the layout's total order. */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    Ranks.globalCumSum(docs, Seq(col(idCol)), col(tokenCol), "__cum", partitions)
+      .withColumn("__start", col("__cum") - col(tokenCol))
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"),
+        expr(s"__start div $budget").as("seq_id"),
+        (col("__start") % budget).as("seq_offset"))
+  }
+}

@@ -59,6 +59,40 @@ object Ranks {
                       partitions: Int = 0): DataFrame =
     rankedWithCount(df, order, out, partitions)._1
 
+  /** Exact global RUNNING SUM of `value` under `order` (inclusive frame) —
+    * `SUM(v) OVER (ORDER BY …)` without the un-partitioned window's
+    * single-task global sort. Same two-pass scheme as
+    * [[globalRowNumber]]: range-partition + pin, per-partition SUMS (≤
+    * `partitions` longs to the driver) → cumulative offsets, then a local
+    * running sum per pinned partition plus the offset. `order` must be a
+    * total order (include a tie-break) and `value` must be integral —
+    * long accumulation keeps the result exact and association-free, so it
+    * is bit-equal to the single-window form at any parallelism. */
+  def globalCumSum(df: DataFrame, order: Seq[Column], value: Column,
+                   out: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("__v", value.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = sums.scanLeft(0L)(_ + _._2)
+    val offDf = spark.createDataFrame(
+      sums.zip(offsets).map { case ((pid, _), off) => (pid, off) }.toSeq)
+      .toDF("__opid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), col("__pid") === col("__opid"))
+      .withColumn(out, sum(col("__v")).over(w) + col("__off"))
+      .drop("__pid", "__opid", "__off", "__v")
+  }
+
   /** Exact `NTILE(k) OVER (ORDER BY order)` — SQL NTILE semantics (first
     * `N mod k` tiles get `ceil(N/k)` rows), bit-equal to the single-window
     * form, with no single-partition stage. */

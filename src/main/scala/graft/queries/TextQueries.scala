@@ -167,6 +167,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q96: sequence packing (concatenate-and-chunk layout). The
+    // oracle's running SUM OVER (ORDER BY doc_id) is the semantics; the
+    // engine computes the identical cumsum via Ranks.globalCumSum (range
+    // partition + per-partition offsets — no single-task global sort;
+    // integral accumulation makes the two bit-equal). DuckDB SUM(BIGINT)
+    // yields HUGEINT, so derived columns are cast back to BIGINT.
+    QueryDef.sql("q96_sequence_packing",
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val withCounts = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      graft.llm.Packing.packSequences(withCounts, "doc_id", "n_tokens", 512)
+        .orderBy("doc_id")
+    },
+
     // ---- q48: text quality stats
     QueryDef.sql("q48_text_stats",
       s"""SELECT doc_id,

@@ -113,6 +113,33 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(kept.head.getAs[Int]("line_idx") == 1)
   }
 
+  // ---- globalCumSum + sequence packing --------------------------------
+
+  test("globalCumSum is bit-equal to the un-partitioned window at any parallelism") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 257L).map(i => (i, (i * 7 % 13) + 1)).toDF("id", "v")
+    val expected = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (p <- Seq(1, 3, 16)) {
+      val got = graft.operators.Ranks.globalCumSum(
+          df, Seq(col("id")), col("v"), "cum", partitions = p)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"mismatch at partitions=$p")
+    }
+  }
+
+  test("packSequences: hand-computed chunk layout") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L)).toDF("doc_id", "n_tokens")
+    // starts: 0, 3, 7, 9 at budget 5 -> seq 0,0,1,1; offsets 0,3,2,4
+    val out = graft.llm.Packing.packSequences(docs, "doc_id", "n_tokens", 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("seq_offset")))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
