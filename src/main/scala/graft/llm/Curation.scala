@@ -39,6 +39,25 @@ object Curation {
       Seq(idCol), "left_semi")
   }
 
+  /** Quality-ordered selection under a token budget — "take the best N
+    * tokens": documents are ranked by (`scoreCol` desc, `idCol` asc for a
+    * total order) and kept while the running token total stays within
+    * `tokenBudget` (a document that would cross the budget line is cut,
+    * as are all below it). The running total is
+    * [[graft.operators.Ranks.globalCumSum]] — range-partitioned two-pass,
+    * no single-task global sort — so the selection is exact and
+    * deterministic at any parallelism. Returns the kept docs with
+    * `n_tokens` and the inclusive `cum_tokens` attached. */
+  def selectTokenBudget(docs: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, tokenBudget: Long,
+                        partitions: Int = 0): DataFrame = {
+    require(tokenBudget > 0, "token budget must be positive")
+    graft.operators.Ranks.globalCumSum(docs,
+        Seq(col(scoreCol).desc, col(idCol)), col(tokenCol), "cum_tokens",
+        partitions)
+      .filter(col("cum_tokens") <= tokenBudget)
+  }
+
   /** Deterministic content-hash split flag: true → train, false → holdout.
     * `holdoutSixteenths` of 16 md5-prefix buckets go to holdout. Same
     * bucketing primitive as the referential sampler, so the split and any

@@ -299,6 +299,40 @@ object TextQueries {
         .select(col("doc_id"), col("quality_score")).orderBy("doc_id")
     },
 
+    // ---- q97: token-budget corpus selection — "take the best 15k tokens":
+    // docs ranked by (quality desc, doc_id), kept while the running token
+    // total fits the budget. Engine-side the running total is the
+    // distributed two-pass cumsum (no global-sort window); the oracle IS
+    // the naive window — bit-equal because accumulation is integral and
+    // the quality scores are cross-engine exact (q57).
+    QueryDef.sql("q97_token_budget_selection",
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |      / len($toksSql) AS stopword_ratio,
+         |    CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len($toksSql) AS avg_token_len
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tokens,
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + least(stopword_ratio * 5.0, 1.0) * 0.3
+         |      + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS quality_score
+         |  FROM s),
+         |c AS (SELECT doc_id, n_tokens, quality_score,
+         |    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM q)
+         |SELECT doc_id, n_tokens, quality_score, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= 15000 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val scored = TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      graft.llm.Curation.selectTokenBudget(scored, "doc_id", "quality_score",
+          "n_tokens", 15000)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- q49: language-ID heuristic (stopword profiles, deterministic argmax)
     QueryDef.sql("q49_lang_id", {
       val scoreSql = TextStats.langProfiles.map { case (l, ws) =>

@@ -140,6 +140,24 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
   }
 
+  test("selectTokenBudget keeps best-score docs and cuts at the budget line") {
+    val docs = Seq(
+      (1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.6, 100L)
+    ).toDF("doc_id", "score", "n_tokens")
+    // budget 250: docs 1 (cum 100) and 2 (cum 200) fit; doc 3 would hit 300
+    val kept = graft.llm.Curation.selectTokenBudget(
+        docs, "doc_id", "score", "n_tokens", 250)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+    // ties on score fall back to doc_id order
+    val tied = Seq((10L, 0.5, 60L), (11L, 0.5, 60L), (12L, 0.5, 60L))
+      .toDF("doc_id", "score", "n_tokens")
+    val keptTied = graft.llm.Curation.selectTokenBudget(
+        tied, "doc_id", "score", "n_tokens", 120)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(keptTied.toSeq == Seq(10L, 11L))
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
