@@ -46,6 +46,25 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
 
+  /** Mean pooling as an oracle-able surface: one row per (label, dim)
+    * with the group's decimal-exact mean as a rounded double — class/
+    * source centroid computation for embedding-space monitoring (drift,
+    * per-source structure), cross-engine comparable unlike the
+    * float-array form of [[centroids]]. The sum is exact decimal (order-
+    * independent); the division happens in DOUBLE on the already-exact
+    * operands so both engines perform the identical IEEE op; round(9)
+    * absorbs the engines' 1-ulp decimal→double conversion differences. */
+  def centroidRows(emb: DataFrame, labelCol: String,
+                   embCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .select(col(labelCol), (col("pos") + 1).cast("long").as("dim"),
+        col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(20, 15)).as("dv"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        round(sum(col("dv")).cast("double") / count(lit(1)), 9).as("centroid"),
+        count(lit(1)).as("n"))
+
   /** Distributed Lloyd k-means over the embedding column — builds the IVF
     * cell assignment when no natural blocking key exists. Deterministic:
     * centroids init from the k lowest vec_ids; each iteration is one

@@ -36,6 +36,74 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // ---- q98: per-label embedding centroids (mean pooling) — the class-
+    // centroid report an embedding-space monitor computes per source/label.
+    // Decimal-exact sums (order-independent), double division on exact
+    // operands, round(9) on both engines (decimal→double is 1-ulp engine-
+    // dependent, same note as cosSql).
+    QueryDef.sql("q98_embedding_centroids",
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, 64)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  round(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 9) AS centroid,
+        |  COUNT(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Similarity.centroidRows(Tables.embeddings(s, dir), "label")
+        .orderBy("label", "dim")
+    },
+
+    // ---- q99: per-label embedding OUTLIERS — farthest-from-own-centroid
+    // vectors (anomaly/contamination scan over embedding space). Squared
+    // distance accumulates per-dim squared diffs in DECIMAL (the diffs
+    // themselves are identical doubles on both engines: exact float→double
+    // v, round(9) centroid), ranked by the rounded distance + vec_id so
+    // ranks are engine-independent; window is partitioned by label.
+    QueryDef.sql("q99_embedding_outliers",
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest(generate_series(1, 64)) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim,
+        |    round(CAST(SUM(CAST(v AS DECIMAL(20,15))) AS DOUBLE) / COUNT(*), 9) AS centroid
+        |  FROM x GROUP BY 1, 2),
+        |d AS (
+        |  SELECT vec_id, x.label,
+        |    round(CAST(SUM(CAST((v - centroid) * (v - centroid) AS DECIMAL(20,15))) AS DOUBLE), 9) AS dist_sq
+        |  FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rnk FROM d)
+        |SELECT label, vec_id, dist_sq, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val x = emb
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("dim"), col("v").cast("double").as("v"))
+      val cent = Similarity.centroidRows(emb, "label")
+        .select(col("label"), col("dim"), col("centroid"))
+      val sq = ((col("v") - col("centroid")) * (col("v") - col("centroid")))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 15))
+      val d = x.join(cent, Seq("label", "dim"))
+        .select(col("vec_id"), col("label"), sq.as("sq"))
+        .groupBy("vec_id", "label")
+        .agg(round(sum(col("sq")).cast("double"), 9).as("dist_sq"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(desc("dist_sq"), asc("vec_id"))
+      d.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("vec_id"), col("dist_sq"), col("rnk"))
+        .orderBy("label", "rnk")
+    },
+
     // ---- q46: brute-force cosine top-k ANN baseline (query = vec_id 0)
     QueryDef.sql("q46_ann_brute_topk",
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -158,6 +158,22 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(keptTied.toSeq == Seq(10L, 11L))
   }
 
+  test("centroidRows: hand-computed means, stable across repartitioning") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.0f, 1.0f)),
+      (3L, 1, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.centroidRows(df, "label")
+        .orderBy("label", "dim")
+        .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim"),
+          r.getAs[Double]("centroid"), r.getAs[Long]("n"))).toSeq
+    val expected = Seq((0, 1L, 0.5, 2L), (0, 2L, 0.5, 2L),
+      (1, 1L, 0.5, 1L), (1, 2L, 0.5, 1L))
+    assert(rows(emb) == expected)
+    assert(rows(emb.repartition(7)) == expected)
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
