@@ -60,6 +60,38 @@ object Dedup {
       .drop("__first")
   }
 
+  /** Incremental-ingestion dedup: which INCOMING documents survive
+    * against an already-curated corpus — the daily-batch shape (ingest →
+    * drop exact dups against the corpus → drop intra-batch dups, keeping
+    * each batch duplicate group's min-id). Cost: one hash groupBy over
+    * the batch + one anti-join against the corpus's content hashes keyed
+    * on the same md5 — at 100 TB the corpus side is the pre-computed
+    * hash index a pipeline maintains, not a rescan (any (hash) projection
+    * works; this takes the raw corpus for self-containment).
+    *
+    * @param prefixLen 0 = exact full-text hash; > 0 = the
+    *   [[fingerprintGroups]] key (md5 of the first `prefixLen` chars of
+    *   the normalized text), the cheap near-dup key an ingestion gate
+    *   typically runs before the expensive shingle-level passes. */
+  def incrementalDedupe(existing: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String,
+                        normalized: Boolean = false,
+                        prefixLen: Int = 0): DataFrame = {
+    def h(df: DataFrame) = {
+      val base =
+        if (prefixLen > 0) substring(TextFns.normalize(col(textCol)), 1, prefixLen)
+        else if (normalized) TextFns.normalize(col(textCol))
+        else col(textCol)
+      md5(base.cast("binary"))
+    }
+    val inc = incoming.withColumn("__h", h(incoming))
+    val firsts = inc.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
+    val corpusHashes = existing.select(h(existing).as("__h")).distinct()
+    inc.join(firsts, "__h").filter(col(idCol) === col("__keep"))
+      .join(corpusHashes, Seq("__h"), "left_anti")
+      .drop("__h", "__keep")
+  }
+
   /** Near-duplicate fingerprint groups: md5 of the first `prefixLen` chars of
     * the normalized text (cheap document fingerprinting; one shuffle). */
   def fingerprintGroups(docs: DataFrame, idCol: String, textCol: String,

@@ -333,6 +333,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q100: corpus-wide vocabulary top-k — tokenizer-vocab candidate
+    // mining: global frequency + document frequency of BPE-ish pre-tokens,
+    // top 100 by (freq desc, term). TakeOrderedAndProject on the engine
+    // side: the full vocabulary is aggregated but never globally sorted.
+    QueryDef.sql("q100_vocab_topk",
+      s"""WITH tok AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9$ws]')) AS term
+         |  FROM documents)
+         |SELECT term, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY 1
+         |ORDER BY freq DESC, term LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit(TextStats.bpeishPattern), lit(0))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(desc("freq"), asc("term")).limit(100)
+    },
+
+    // ---- q101: incremental-ingestion dedup — the daily-batch shape:
+    // docs < 250 are the already-curated corpus, the rest arrive as a new
+    // batch; a batch doc survives iff its 64-char-fingerprint key (q41's
+    // cheap near-dup key — the fixture has no EXACT dups at sf0.01, which
+    // would make that gate vacuous) is absent from the corpus AND it is
+    // the min-id holder of its key within the batch. Drops 12 cross-split
+    // + intra-batch collisions at sf0.01.
+    QueryDef.sql("q101_incremental_ingest",
+      """WITH f AS (SELECT doc_id, length(text) AS text_len,
+        |    md5(substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 64)) AS h
+        |  FROM documents),
+        |corpus AS (SELECT * FROM f WHERE doc_id < 250),
+        |inc AS (SELECT * FROM f WHERE doc_id >= 250),
+        |firsts AS (SELECT h, MIN(doc_id) AS keep FROM inc GROUP BY 1)
+        |SELECT i.doc_id, CAST(i.text_len AS BIGINT) AS text_len
+        |FROM inc i
+        |JOIN firsts fs ON i.h = fs.h AND i.doc_id = fs.keep
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = i.h)
+        |ORDER BY i.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.incrementalDedupe(corpus, batch, "doc_id", "text", prefixLen = 64)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    },
+
     // ---- q49: language-ID heuristic (stopword profiles, deterministic argmax)
     QueryDef.sql("q49_lang_id", {
       val scoreSql = TextStats.langProfiles.map { case (l, ws) =>

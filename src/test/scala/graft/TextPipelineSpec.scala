@@ -174,6 +174,29 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(rows(emb.repartition(7)) == expected)
   }
 
+  test("incrementalDedupe drops corpus collisions and intra-batch dups") {
+    val corpus = Seq((1L, "existing document alpha"), (2L, "existing document beta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing document alpha"),  // collides with corpus -> dropped
+      (11L, "fresh document one"),
+      (12L, "fresh document one"),       // intra-batch dup -> min id 11 kept
+      (13L, "fresh document two")
+    ).toDF("doc_id", "text")
+    val kept = graft.llm.Dedup.incrementalDedupe(corpus, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+    // fingerprint mode: same-prefix near-dups collapse too
+    val nearBatch = Seq(
+      (20L, "existing document alpha WITH A TRAILING CHANGE beyond prefix"),
+      (21L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val keptFp = graft.llm.Dedup.incrementalDedupe(
+        corpus, nearBatch, "doc_id", "text", prefixLen = 16)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(keptFp.toSeq == Seq(21L))
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
