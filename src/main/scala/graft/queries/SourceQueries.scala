@@ -33,6 +33,72 @@ object SourceQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- q102: fixed-k per-group deterministic sample — the balanced
+    // eval-set cut: exactly 5 docs per source by md5-of-key order
+    // (unbiased w.r.t. any value column, reproducible, window partitioned
+    // by group so no global sort).
+    QueryDef.sql("q102_per_group_sample",
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      graft.sources.Sampling.perGroupDeterministic(
+          Tables.documents(s, dir).select("doc_id", "source"), "source", "doc_id", 5)
+        .select(col("doc_id"), col("source"), col("rnk").cast("int"))
+        .orderBy("source", "rnk")
+    },
+
+    // ---- q103: SCD Type-2 dimension merge — warehouse history keeping:
+    // a deterministic update batch (every 7th customer re-segmented to
+    // PROMO with +100 balance; every 5th-not-7th sent through UNCHANGED
+    // to exercise the no-op path) applied to the current customer dim.
+    // Changed keys close their current row at the effective date and open
+    // a new version; unchanged/no-op rows pass through.
+    QueryDef.sql("q103_scd2_merge",
+      """WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+        |    c_acctbal AS acctbal, DATE '2024-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to, true AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS segment, c_acctbal + 100 AS acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0),
+        |j AS (SELECT cur.c_custkey, cur.segment, cur.acctbal, cur.valid_from,
+        |        u.segment AS u_seg, u.acctbal AS u_bal,
+        |        (u.c_custkey IS NOT NULL AND
+        |         (u.segment IS DISTINCT FROM cur.segment
+        |          OR u.acctbal IS DISTINCT FROM cur.acctbal)) AS chg
+        |      FROM cur LEFT JOIN upd u ON cur.c_custkey = u.c_custkey)
+        |SELECT c_custkey, segment, acctbal, valid_from,
+        |  CASE WHEN chg THEN DATE '2024-06-01' END AS valid_to,
+        |  NOT chg AS is_current
+        |FROM j
+        |UNION ALL
+        |SELECT c_custkey, u_seg, u_bal, DATE '2024-06-01',
+        |  CAST(NULL AS DATE), true
+        |FROM j WHERE chg
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val cur = c.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        lit("2024-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      val upd = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("PROMO").as("segment"),
+          (col("c_acctbal") + 100).as("acctbal"))
+        .unionByName(
+          c.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+              col("c_acctbal").as("acctbal")))
+      graft.sources.Warehouse.scd2Apply(cur, upd, "c_custkey",
+          Seq("segment", "acctbal"), lit("2024-06-01"))
+        .orderBy("c_custkey", "valid_from")
+    },
+
     // ---- q31: CSV sink + explicit-schema scan round-trip (S1+S10)
     QueryDef.sql("q31_csv_roundtrip",
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -52,6 +52,21 @@ object Sampling {
         .cast("int") < sixteenths)
   }
 
+  /** T5, fixed-k per group: exactly `k` rows per group (fewer when the
+    * group is smaller), chosen by md5-of-key order — the balanced
+    * per-class subset an eval-set builder takes: unbiased w.r.t. any
+    * value column, reproducible across engines/runs/partitionings, and
+    * oracle-checkable. One window partitioned BY GROUP (never global);
+    * the keyCol tie-break makes the pick total. */
+  def perGroupDeterministic(df: DataFrame, groupCol: String, keyCol: String,
+                            k: Int): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** J6: close a fact table over a sampled dimension — keep only fact rows
     * whose key appears in the sample. */
   def closeOver(fact: DataFrame, factKey: String,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Warehouse-zone management (SURVEY §2.1 S9/S11/S12).
   *
@@ -75,4 +76,46 @@ object Warehouse {
   def upsertPlan(base: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     base.unionByName(
       incoming.join(base.select(keys.map(base(_)): _*), keys, "left_anti"))
+
+  /** SCD Type-2 merge: apply an update batch to a history-keeping
+    * dimension. `current` must carry `keyCol`, the tracked `attrCols`,
+    * and the versioning triple (`valid_from` DATE, `valid_to` DATE,
+    * `is_current` BOOLEAN); `updates` carries `keyCol` + `attrCols`.
+    * Semantics (the standard warehouse contract):
+    *
+    *   - historical rows (is_current = false) pass through untouched;
+    *   - a current row whose update differs on ANY tracked attribute
+    *     (null-safe compare) is CLOSED (valid_to = effective,
+    *     is_current = false) and a new current version opens with the
+    *     updated attributes (valid_from = effective);
+    *   - current rows with no update, or an update equal on every
+    *     attribute, pass through.
+    *
+    * Pure plan: one key-shuffled left join + three filters of it +
+    * union — no window, no per-key loop; rows-out ≤ rows-in + changed
+    * keys. Callers route the result to an overwrite/partitioned sink. */
+  def scd2Apply(current: DataFrame, updates: DataFrame, keyCol: String,
+                attrCols: Seq[String],
+                effective: org.apache.spark.sql.Column): DataFrame = {
+    val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to", "is_current")
+    val hist = current.filter(!col("is_current")).select(outCols.map(col): _*)
+    val cur = current.filter(col("is_current"))
+    val u = updates
+      .select(col(keyCol) +: attrCols.map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__has_u", lit(true))
+    val j = cur.join(u, Seq(keyCol), "left")
+      .withColumn("__chg", coalesce(col("__has_u"), lit(false)) &&
+        attrCols.map(a => !(col(s"__u_$a") <=> col(a))).reduce(_ || _))
+    val carried = j.filter(!col("__chg")).select(outCols.map(col): _*)
+    val closed = j.filter(col("__chg"))
+      .withColumn("valid_to", effective.cast("date"))
+      .withColumn("is_current", lit(false))
+      .select(outCols.map(col): _*)
+    val fresh = j.filter(col("__chg"))
+      .select((col(keyCol) +: attrCols.map(a => col(s"__u_$a").as(a))) ++ Seq(
+        effective.cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    hist.unionByName(carried).unionByName(closed).unionByName(fresh)
+  }
 }

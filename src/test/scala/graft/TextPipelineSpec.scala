@@ -197,6 +197,43 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(keptFp.toSeq == Seq(21L))
   }
 
+  test("scd2Apply closes changed rows, opens versions, passes no-ops through") {
+    import java.sql.Date
+    val cur = Seq(
+      (1L, "A", Date.valueOf("2024-01-01"), null.asInstanceOf[Date], true),
+      (2L, "B", Date.valueOf("2024-01-01"), null.asInstanceOf[Date], true),
+      (3L, "C", Date.valueOf("2024-01-01"), null.asInstanceOf[Date], true),
+      // a pre-existing historical row must pass through untouched
+      (1L, "OLD", Date.valueOf("2023-01-01"), Date.valueOf("2024-01-01"), false)
+    ).toDF("id", "seg", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "A2"), (2L, "B")).toDF("id", "seg") // 1 changes, 2 is a no-op
+    val out = graft.sources.Warehouse.scd2Apply(cur, upd, "id", Seq("seg"),
+        lit("2024-06-01"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("seg"),
+        Option(r.getAs[Date]("valid_to")).map(_.toString).orNull,
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(out == Set(
+      (1L, "OLD", "2024-01-01", false),          // history untouched
+      (1L, "A", "2024-06-01", false),            // closed
+      (1L, "A2", null, true),                    // new version
+      (2L, "B", null, true),                     // no-op update
+      (3L, "C", null, true)))                    // no update
+  }
+
+  test("perGroupDeterministic: exactly k per group, stable across runs") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val a = graft.sources.Sampling.perGroupDeterministic(df, "grp", "id", 4)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    val b = graft.sources.Sampling.perGroupDeterministic(df.repartition(11), "grp", "id", 4)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id"))).toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 4))
+    // small group: returns the whole group, not an error
+    val tiny = Seq((1L, "only")).toDF("id", "grp")
+    assert(graft.sources.Sampling.perGroupDeterministic(tiny, "grp", "id", 4)
+      .count() == 1)
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
