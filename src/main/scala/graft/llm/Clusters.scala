@@ -96,6 +96,28 @@ object Clusters {
       .select(col("id").as(idCol), col("lbl").as("cluster_rep"))
   }
 
+  /** Triangle enumeration over an oriented near-dup pair list (`aCol` <
+    * `bCol` per row, the miners' output convention) — the dedup-QA
+    * metric: a high triangle density inside a candidate cluster means the
+    * pair evidence is mutually consistent (true duplicate cliques close
+    * their triangles; chains of borderline matches don't). Standard
+    * wedge-then-close plan: self-join edges on the shared middle vertex
+    * (a<b ⋈ b<c gives each wedge exactly once, already ordered a<b<c),
+    * then a semi-join probes the closing (a,c) edge — two equi-joins
+    * keyed on vertices, no all-pairs stage. At scale, orientation caps
+    * fan-out by the same hot-vertex logic as the miners' `maxDocFreq`
+    * (orient by degree instead of id to bound the worst wedge set —
+    * id-orientation is kept here because the miners already emit id
+    * order, and dedup-graph degrees are cap-bounded upstream). */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val wedges = e.join(e.select(col("a").as("__m"), col("b").as("c")),
+      col("b") === col("__m"))
+    wedges.join(e.select(col("a").as("__ca"), col("b").as("__cb")),
+        col("a") === col("__ca") && col("c") === col("__cb"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+  }
+
   /** End-to-end cluster summary: components + per-cluster size, one row per
     * MULTI-document cluster (singletons are not duplicates). */
   def duplicateClusters(nodes: DataFrame, idCol: String,

@@ -25,4 +25,29 @@ object Cleaning {
   /** P6: per-column default fill (clean_product_v2.py:56-59 shape). */
   def fillDefaults(df: DataFrame, defaults: Map[String, Any]): DataFrame =
     df.na.fill(defaults)
+
+  /** Winsorization: clip `valueCol` to its [pLow, pHigh] exact
+    * interpolated percentiles, rounded to `scale` decimals so the bounds
+    * (and therefore every clipped value) live in the value's own decimal
+    * domain — exact-percentile interpolation is cross-engine bit-stable
+    * (the q68 property), and rounding the two BOUNDS once avoids pushing
+    * full-precision doubles into downstream decimal sums. Plan shape:
+    * one exact-percentile aggregate (single 1-row result broadcast back
+    * via crossJoin — the quantile-edge pattern used by the binning
+    * operators) + one clip projection; no shuffle of the data itself
+    * beyond the aggregate's. At 100 TB swap the exact percentile for
+    * approx_percentile with a documented tolerance — the clip projection
+    * is unchanged. */
+  def winsorize(df: DataFrame, valueCol: String,
+                pLow: Double, pHigh: Double, scale: Int = 2): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh, "need 0 <= pLow < pHigh <= 1")
+    val bounds = df.agg(
+      round(expr(s"percentile($valueCol, $pLow)"), scale).as("__lo"),
+      round(expr(s"percentile($valueCol, $pHigh)"), scale).as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("__clipped",
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+  }
 }

@@ -99,6 +99,34 @@ object SourceQueries {
         .orderBy("c_custkey", "valid_from")
     },
 
+    // ---- q105: winsorization — clip l_extendedprice to its exact
+    // [p05, p95] percentiles (rounded to the money domain's 2 decimals,
+    // so clipped values stay exact-decimal-summable) and report the clip
+    // summary. Exact interpolated percentile is cross-engine bit-stable
+    // (q68 property); bounds broadcast back as a 1-row crossJoin.
+    QueryDef.sql("q105_winsorize",
+      s"""WITH b AS (SELECT round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+         |                  round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+         |           FROM lineitem)
+         |SELECT COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS clipped_low,
+         |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS clipped_high,
+         |  ${dsumSql("least(greatest(l_extendedprice, lo), hi)")} AS winsorized_sum,
+         |  round(MIN(lo), 2) AS lo, round(MIN(hi), 2) AS hi
+         |FROM lineitem, b""".stripMargin) { (s, dir) =>
+      graft.operators.Cleaning.winsorize(
+          Tables.lineitem(s, dir), "l_extendedprice", 0.05, 0.95)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("__clipped") && col("l_extendedprice") < col("__lo"), 1L)
+            .otherwise(0L)).as("clipped_low"),
+          sum(when(col("__clipped") && col("l_extendedprice") > col("__hi"), 1L)
+            .otherwise(0L)).as("clipped_high"),
+          sum(col("l_extendedprice_winsorized").cast("decimal(18,2)"))
+            .cast("double").as("winsorized_sum"),
+          round(min(col("__lo")), 2).as("lo"), round(min(col("__hi")), 2).as("hi"))
+    },
+
     // ---- q31: CSV sink + explicit-schema scan round-trip (S1+S10)
     QueryDef.sql("q31_csv_roundtrip",
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

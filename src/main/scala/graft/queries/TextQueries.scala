@@ -191,6 +191,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q104: dedup-graph triangle census — the QA metric over the
+    // near-dup pair graph: true duplicate cliques close their triangles,
+    // chains of borderline matches don't. Wedge-then-close on the
+    // id-oriented q42 pair list; the oracle enumerates the same ordered
+    // (a < b < c) triangles with two joins.
+    QueryDef.sql("q104_dedup_triangles",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8)
+         |SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+         |FROM pairs p1
+         |JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+         |ORDER BY a, b, c""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", 3, 0.8)
+      graft.llm.Clusters.triangles(pairs, "doc_a", "doc_b")
+        .orderBy("a", "b", "c")
+    },
+
     // ---- q48: text quality stats
     QueryDef.sql("q48_text_stats",
       s"""SELECT doc_id,

@@ -234,6 +234,30 @@ class TextPipelineSpec extends SparkSpecBase {
       .count() == 1)
   }
 
+  test("triangles: closed triples only, each exactly once, ordered a<b<c") {
+    // K4 on {1,2,3,4} (4 triangles) + a dangling chain 4-5, 5-6 (no triangle)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("doc_a", "doc_b")
+    val tri = graft.llm.Clusters.triangles(edges, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("winsorize clips to rounded exact percentiles and flags clipped rows") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = graft.operators.Cleaning.winsorize(df, "v", 0.05, 0.95)
+    // exact interpolated p05 of 1..100 = 5.95, p95 = 95.05 -> rounded 2dp same
+    val rows = w.collect()
+    assert(rows.count(_.getAs[Boolean]("__clipped")) == 10) // 1..5 and 96..100
+    val clippedVals = rows.map(_.getAs[Double]("v_winsorized"))
+    assert(clippedVals.min == 5.95 && clippedVals.max == 95.05)
+    // unclipped rows pass through bit-identical
+    assert(rows.filter(!_.getAs[Boolean]("__clipped"))
+      .forall(r => r.getAs[Double]("v") == r.getAs[Double]("v_winsorized")))
+  }
+
   // ---- dedup verdict composition (q94's engine path) ------------------
 
   test("dedup verdict: pairs -> components -> keep min-id representative") {
