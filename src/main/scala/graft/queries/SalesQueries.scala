@@ -43,6 +43,33 @@ object SalesQueries {
           count(lit(1)).as("count_order"))
     },
 
+    // ---- q106: calendar date spine — gap-filled daily reporting: the
+    // spine is every day of the observed [min, max] range (sequence over
+    // a 1-row bounds aggregate, bounded by calendar span), left-joined
+    // onto the daily agg with zero-fill. 6 missing days at sf0.01 make
+    // the gate non-vacuous.
+    QueryDef.sql("q106_date_spine",
+      s"""WITH d AS (SELECT o_orderdate AS day, COUNT(*) AS orders,
+         |             ${dsumSql("o_totalprice")} AS revenue
+         |           FROM orders GROUP BY 1),
+         |r AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+         |spine AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |            CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM r)
+         |SELECT spine.day, COALESCE(orders, 0) AS orders,
+         |  COALESCE(revenue, 0.0) AS revenue
+         |FROM spine LEFT JOIN d ON spine.day = d.day
+         |ORDER BY spine.day""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+      val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("orders"), lit(0L)).as("orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("day")
+    },
+
     // ---- q02: daily sales (A8, P15, P17-equivalent per-order totals)
     // sales_analytics_dag.py:102-109 semantics on orders+lineitem.
     QueryDef.sql("q02_daily_sales",

@@ -303,6 +303,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Pii.scrub runs unchanged on a stream and matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(
+      1L -> "mail me: a@b.co or dial 555-123-9999",
+      2L -> "nothing sensitive here")
+    val q = graft.llm.Pii.scrub(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream").orderBy("doc_id").collect().toSeq
+      val batch = graft.llm.Pii.scrub(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 2)
+      assert(streamed.head.getAs[String]("redacted") == "mail me: [EMAIL] or dial [PHONE]")
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
