@@ -70,6 +70,23 @@ object SalesQueries {
         .orderBy("day")
     },
 
+    // ---- q107: bounded top-k per group via a typed Aggregator — the
+    // 100 TB replacement for the T4 window shape: the map side reduces each
+    // partition to ≤3 rows per customer before the shuffle (partial
+    // ObjectHashAggregate), so no reducer ever sorts a whole group. The
+    // (value DESC, id ASC) total order makes it bit-equal to the oracle's
+    // ROW_NUMBER window.
+    QueryDef.sql("q107_topk_agg",
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      graft.operators.TopK.perGroupTopK(
+        Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+    },
+
     // ---- q02: daily sales (A8, P15, P17-equivalent per-order totals)
     // sales_analytics_dag.py:102-109 semantics on orders+lineitem.
     QueryDef.sql("q02_daily_sales",

@@ -278,4 +278,36 @@ class OperatorsSpec extends SparkSpecBase {
     val filled = Cleaning.fillDefaults(df, Map("colour" -> "Unknown"))
     assert(filled.filter($"colour" === "Unknown").count() == 1)
   }
+
+  // ---- TopK (bounded per-group top-k aggregate) ------------------------
+
+  test("perGroupTopK: bit-equal to the window top-k across parallelisms; small groups; ties") {
+    import graft.operators.{TopK, Windows}
+    // group 1: 5 rows incl. a value tie (ids 11,12 both 9.0); group 2: 2 rows (< k)
+    val rows = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 9.0), (1L, 12L, 9.0), (1L, 13L, 1.0), (1L, 14L, 7.0),
+      (2L, 20L, 3.0), (2L, 21L, 3.0))
+    val expect = Windows
+      .topKPerGroup(rows.toDF("g", "id", "v"), Seq($"g"), Seq($"v".desc, $"id"), 3)
+      .select($"g", $"rn".cast("long").as("rank"), $"id", $"v")
+      .orderBy("g", "rank").collect().toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("g", "id", "v").repartition(parts)
+      val got = TopK.perGroupTopK(df, Seq("g"), "v", "id", 3)
+        .orderBy("g", "rank").collect().toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("perGroupTopK: aggregates partially before the exchange (no Window node)") {
+    import graft.operators.TopK
+    val df = spark.range(1000).select(
+      (col("id") % 10).as("g"), col("id").as("id"), rand(7).as("v"))
+    val plan = TopK.perGroupTopK(df, Seq("g"), "v", "id", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "must not fall back to a window sort")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert(plan.toLowerCase.contains("partial_topkagg"),
+      "map-side partial aggregation missing:\n" + plan.take(800))
+  }
 }
