@@ -412,6 +412,25 @@ object CustomerQueries {
         .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
     },
 
+    // ---- q109: bloom-pruned fact join — the explicit runtime-filter
+    // shape: dim keys (qualifying customers) fold into one bloom sketch,
+    // the orders fact is might_contain-filtered BEFORE its join shuffle,
+    // and the join drops the false positives, so the result is exactly the
+    // plain join (which is what the oracle runs). SourcesSpec pins the
+    // plan (might_contain probe present, pruning ≤ exact-match superset).
+    QueryDef.sql("q109_bloom_pruned_join",
+      s"""SELECT c_mktsegment, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_acctbal > 5000 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 5000)
+      graft.operators.RuntimeFilters.bloomPrunedJoin(
+          Tables.orders(s, dir), dim, "o_custkey", "c_custkey",
+          expectedDimKeys = 1000000L)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,

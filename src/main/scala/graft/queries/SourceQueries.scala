@@ -451,6 +451,30 @@ object SourceQueries {
     },
 
     // ---- q54: multimodal batched decode + frame sampling (mapInPandas-shaped
+    // ---- q108: partitioned warehouse layout round-trip — the fact table
+    // is rewritten partitioned by month (the 100 TB layout: daily/monthly
+    // reprocessing rewrites one partition; readers prune on the key), then
+    // a one-month slice is read BACK THROUGH the partitioned table and
+    // aggregated. SourcesSpec pins the pruning itself (PartitionFilters in
+    // the scan); the oracle pins that the values survive the
+    // partitioned-layout round trip. The month key is written as its own
+    // column because partition columns are directory names, not data.
+    QueryDef.sql("q108_partitioned_layout",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      Warehouse.overwritePartitioned(
+        Tables.orders(s, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        "graft_wh.orders_by_month", "o_month")
+      s.table("graft_wh.orders_by_month")
+        .filter(col("o_month") === "1995-03")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
     // mapPartitions path; STUB codec per the build brief, plumbing real)
     QueryDef.sql("q54_frame_sampling",
       """WITH m AS (SELECT doc_id AS id,

@@ -106,6 +106,34 @@ class SourcesSpec extends SparkSpecBase {
     assert(saltedLeft == plainLeft && plainLeft.size == 991)  // orphan kept with null
   }
 
+  test("bloomPrunedJoin: exact parity with plain join; probe prunes before the shuffle") {
+    import graft.operators.RuntimeFilters
+    val fact = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf).filter($"c_acctbal" > 8000)
+    val got = RuntimeFilters.bloomPrunedJoin(fact, dim, "o_custkey", "c_custkey", 100000L)
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .select($"o_orderkey", $"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == plain && plain.nonEmpty)
+    // the pre-filter is a one-sided-error superset of the true matches
+    val bloom = RuntimeFilters.bloomOfKeys(dim, "c_custkey", 100000L)
+    val prunedN = fact.filter(RuntimeFilters.mightContain(bloom, $"o_custkey")).count()
+    val trueN = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi").count()
+    assert(prunedN >= trueN && prunedN < fact.count(),
+      s"pruned=$prunedN true=$trueN total=${fact.count()}")
+    // probe is the codegen'd native expression, applied as a fact-side Filter
+    val plan = RuntimeFilters.bloomPrunedJoin(fact, dim, "o_custkey", "c_custkey", 100000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(600))
+    // semi-join variant is exact too
+    val semi = RuntimeFilters
+      .bloomPrunedJoin(fact, dim, "o_custkey", "c_custkey", 100000L, joinType = "left_semi")
+      .count()
+    assert(semi == fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi").count())
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     Warehouse.ensureDatabase(spark, "graft_test")
     val orders = Tables.orders(spark, sf)
