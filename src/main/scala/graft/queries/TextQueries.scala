@@ -452,6 +452,38 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // ---- q110: temperature-based corpus mixing — the multilingual
+    // rebalancing recipe (kept_d ∝ n_d^α, α=0.5) realized as the
+    // deterministic md5-threshold downsample (Mixing.temperatureSample).
+    // Oracle recomputes the per-lang thresholds and the 4-hex-digit key
+    // cut in DuckDB, then aggregates the KEPT rows — membership-sensitive,
+    // not just rate-sensitive. `en` (largest) is cut hardest; the smallest
+    // language keeps everything.
+    QueryDef.sql("q110_temperature_mixing", {
+      val hx = "instr('0123456789abcdef', substr(h,%d,1)) - 1"
+      val hashInt = (1 to 4).map(i => s"(${hx.format(i)})*${1 << (4 * (4 - i))}")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT MIN(n) AS mn FROM c),
+         |r AS (SELECT lang, n,
+         |        CAST(FLOOR(ROUND(POWER(CAST(mn AS DOUBLE)/n, 0.5), 6)
+         |             * 65536) AS BIGINT) AS thr
+         |      FROM c, m),
+         |k AS (SELECT d.lang, d.n_chars
+         |      FROM (SELECT lang, n_chars,
+         |              md5(CAST(doc_id AS VARCHAR)) AS h FROM documents) d
+         |      JOIN r USING (lang)
+         |      WHERE $hashInt < thr)
+         |SELECT lang, COUNT(*) AS kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM k GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Mixing
+        .temperatureSample(Tables.documents(s, dir), "lang", "doc_id", alpha = 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+    },
+
     // ---- q82: TF-IDF top terms per document (sparse postings -> df join
     // -> rounded score -> per-doc top-5). round(_, 6) on the score because
     // ln is not bitwise-portable across engines (measured: Java Math.log

@@ -289,4 +289,36 @@ class TextPipelineSpec extends SparkSpecBase {
     // exactly one kept doc per cluster
     assert(verdict.values.count(_._3) == 3)
   }
+
+  // ---- Mixing.temperatureSample ---------------------------------------
+
+  test("temperatureSample: alpha=1 is a no-op; smallest domain keeps everything") {
+    import graft.llm.Mixing
+    val docs = (1 to 800).map(i => (i.toLong, "big", s"d$i")) ++
+      (1 to 50).map(i => ((1000 + i).toLong, "small", s"s$i"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    assert(Mixing.temperatureSample(df, "lang", "doc_id", alpha = 1.0).count() == 850)
+    val kept = Mixing.temperatureSample(df, "lang", "doc_id", alpha = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 50, s"smallest domain must keep all rows, got $kept")
+    // big keeps ~ sqrt(50/800) = 25% of its rows; hash noise is a few %
+    assert(kept("big") > 140 && kept("big") < 260, s"got $kept")
+  }
+
+  test("temperatureSample: membership is deterministic across parallelism and alpha monotone") {
+    import graft.llm.Mixing
+    val df = (1 to 500).map(i => (i.toLong, if (i % 5 == 0) "minor" else "major", "t"))
+      .toDF("doc_id", "lang", "text")
+    def ids(parts: Int, a: Double) =
+      Mixing.temperatureSample(df.repartition(parts), "lang", "doc_id", a)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(1, 0.5)
+    assert(ids(32, 0.5) == base && ids(7, 0.5) == base)
+    // flatter alpha keeps strictly fewer majority-domain rows (lower threshold)
+    assert(ids(1, 0.0).size < base.size && base.size < ids(1, 1.0).size)
+    // thresholds report: smallest domain's thr = 65536 (keep-all)
+    val thr = Mixing.domainThresholds(df, "lang", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(thr("minor") == 65536L && thr("major") < 65536L)
+  }
 }
