@@ -452,6 +452,16 @@ object TextQueries {
         .orderBy("id")
     },
 
+    // ---- q111: BPE merge training (tokenizer learning) — 12 rounds of
+    // the Sennrich loop over the documents corpus. Iterative argmax over
+    // hash-aggregated pair counts is not recursive-CTE-expressible in
+    // DuckDB, so the gate is the golden snapshot; correctness evidence is
+    // TextPipelineSpec's hand-computed classic corpus (es/est/lo/low) and
+    // the cross-parallelism determinism the golden replay itself pins.
+    QueryDef.golden("q111_bpe_merges") { (s, dir) =>
+      graft.llm.Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 12)
+    },
+
     // ---- q110: temperature-based corpus mixing — the multilingual
     // rebalancing recipe (kept_d ∝ n_d^α, α=0.5) realized as the
     // deterministic md5-threshold downsample (Mixing.temperatureSample).

@@ -22,7 +22,12 @@ object MakeGolden {
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
-    for (sfDir <- dirs; name <- QueryDef.goldenGated) {
+    // optional comma-separated subset, mirroring Verify's filter — lets a
+    // new golden be generated without rewriting the committed snapshots
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val gated = QueryDef.goldenGated.filter(n => subset.forall(_.contains(n)))
+    for (sfDir <- dirs; name <- gated) {
       val label = Paths.get(sfDir).getFileName.toString
       val tmp = Files.createTempDirectory("golden").toString
       SparkEntry.queries(name)(spark, sfDir)

@@ -321,4 +321,46 @@ class TextPipelineSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(thr("minor") == 65536L && thr("major") < 65536L)
   }
+
+  // ---- Bpe --------------------------------------------------------------
+
+  test("trainMerges: the classic Sennrich corpus learns es, est, lo, low in order") {
+    import graft.llm.Bpe
+    // low:5 lower:2 newest:6 widest:3 — the worked example from the BPE paper
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = Bpe.trainMerges(corpus, "text", rounds = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    // (e,s)=9 ties (s,t)=9 -> lexicographic picks es; then est=9; (l,o)=7
+    // ties (o,w)=7 -> lo; then low=7
+    assert(merges == Seq((1, "es", 9L), (2, "est", 9L), (3, "lo", 7L), (4, "low", 7L)))
+  }
+
+  test("trainMerges is partitioning-independent; applyMerges encodes with learned merges") {
+    import graft.llm.Bpe
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val m1 = Bpe.trainMerges(corpus.repartition(1), "text", 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val m32 = Bpe.trainMerges(corpus.repartition(32), "text", 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    assert(m1 == m32)
+    val merges = Bpe.trainMerges(corpus, "text", 4)
+    val enc = Bpe.applyMerges(Seq("lowest newest").toDF("text"), "text", merges)
+      .select("bpe_tokens").head.getSeq[String](0)
+    // lowest -> low+est (greedy left-to-right); newest -> n e w est
+    assert(enc == Seq("low", "est", "n", "e", "w", "est"))
+  }
+
+  test("trainMerges stops early when no adjacent pairs remain") {
+    import graft.llm.Bpe
+    val merges = Bpe.trainMerges(Seq("a b a b").toDF("text"), "text", rounds = 10)
+      .collect()
+    assert(merges.isEmpty)  // all words are single-symbol, nothing to merge
+  }
 }
