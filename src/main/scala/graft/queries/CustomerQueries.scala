@@ -412,6 +412,31 @@ object CustomerQueries {
         .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
     },
 
+    // ---- q112: HLL sketch rollup — count-distinct made ALGEBRAIC: daily
+    // per-type 4 KB sketches (the pre-aggregated table a 100 TB warehouse
+    // maintains incrementally), merged for the all-time estimate. Uses
+    // graft.operators.Hll (classic register-max HLL) rather than Spark's
+    // hll_sketch_agg because the DataSketches estimate is partition-layout
+    // -dependent (measured ±1% drift 1 vs 32 partitions) and so cannot
+    // back a deterministic gate — ours is a pure function of the item set.
+    // The exact countDistinct rides along so the snapshot documents the
+    // sketch error. Not SQL-oracle-able (DuckDB has no matching sketch) →
+    // golden gate; SqlFunctionsSpec pins re-aggregation == one-shot,
+    // partitioning-independence, and the error bound.
+    QueryDef.golden("q112_hll_sketch_rollup") { (s, dir) =>
+      import graft.operators.Hll
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Hll.sketch(col("user_id")).as("sk"), count(lit(1)).as("n"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      daily.groupBy("event_type")
+        .agg(Hll.estimate(Hll.union(col("sk"))).as("approx_users"),
+          sum(col("n")).as("events"))
+        .join(exact, Seq("event_type"))
+    },
+
     // ---- q109: bloom-pruned fact join — the explicit runtime-filter
     // shape: dim keys (qualifying customers) fold into one bloom sketch,
     // the orders fact is might_contain-filtered BEFORE its join shuffle,

@@ -40,4 +40,30 @@ class SqlFunctionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("Hll: re-aggregation == one-shot; partitioning-independent; error bounded") {
+    import graft.operators.Hll
+    val n = 20000L
+    // 7507 distinct users spread over 10 "days"
+    val ev = spark.range(n).select(
+      (col("id") % 10).as("day"), (col("id") % 7507).as("user_id"))
+    val oneShot = ev.agg(Hll.estimate(Hll.sketch(col("user_id")))).head.getLong(0)
+    // daily partial sketches merged == one-shot sketch, bit-for-bit
+    val merged = ev.groupBy("day").agg(Hll.sketch(col("user_id")).as("sk"))
+      .agg(Hll.estimate(Hll.union(col("sk")))).head.getLong(0)
+    assert(merged == oneShot, "partial sketches must merge losslessly")
+    // classic HLL state is register-max only: any partitioning, same result
+    // (this is exactly what Spark's DataSketches hll_sketch_agg does NOT
+    // guarantee — its HIP estimate drifts with partition layout)
+    for (parts <- Seq(1, 7, 32)) {
+      val est = ev.repartition(parts)
+        .agg(Hll.estimate(Hll.sketch(col("user_id")))).head.getLong(0)
+      assert(est == oneShot, s"sketch must be partitioning-independent (parts=$parts)")
+    }
+    assert(math.abs(oneShot - 7507.0) / 7507.0 < 0.03,
+      s"estimate $oneShot too far from exact 7507")
+    // small-range path: linear counting is exact-ish at tiny cardinalities
+    val small = spark.range(5).agg(Hll.estimate(Hll.sketch(col("id")))).head.getLong(0)
+    assert(small == 5L, s"small-range correction should be exact here, got $small")
+  }
 }
