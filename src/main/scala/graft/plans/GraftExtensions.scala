@@ -64,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("pair_array"),
       info("pair_array", "_FUNC_(arr) - canonical (a<b) pairs of distinct array<bigint> elements"),
       arity("pair_array", 1)(args => PairArray(args(0)))))
+
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2", "_FUNC_(x, y) - 32-bit Morton interleave of two ints' low 16 bits"),
+      arity("zorder2", 2)(args => ZOrder2(args(0), args(1)))))
   }
 }

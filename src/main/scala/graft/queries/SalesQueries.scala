@@ -87,6 +87,36 @@ object SalesQueries {
         Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
     },
 
+    // ---- q116: cross-source reconciliation via FULL OUTER join — the
+    // audit shape for two ledgers that should cover the same calendar:
+    // days present in only one source surface with presence flags instead
+    // of silently dropping (orders and events cover disjoint eras in the
+    // fixture, so BOTH unmatched sides are non-vacuous). Both inputs are
+    // pre-aggregated to day grain before the join, so the full-outer
+    // shuffle is day-cardinality, not fact-cardinality.
+    QueryDef.sql("q116_full_outer_reconcile",
+      """WITH o AS (SELECT o_orderdate AS day, COUNT(*) AS orders
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS events
+        |      FROM events GROUP BY 1)
+        |SELECT COALESCE(o.day, e.day) AS day,
+        |  COALESCE(orders, 0) AS orders, COALESCE(events, 0) AS events,
+        |  (o.day IS NOT NULL) AS has_orders, (e.day IS NOT NULL) AS has_events
+        |FROM o FULL OUTER JOIN e ON o.day = e.day
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("o_day")).agg(count(lit(1)).as("orders"))
+      val e = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("e_day")).agg(count(lit(1)).as("events"))
+      o.join(e, col("o_day") === col("e_day"), "full_outer")
+        .select(coalesce(col("o_day"), col("e_day")).as("day"),
+          coalesce(col("orders"), lit(0L)).as("orders"),
+          coalesce(col("events"), lit(0L)).as("events"),
+          col("o_day").isNotNull.as("has_orders"),
+          col("e_day").isNotNull.as("has_events"))
+        .orderBy("day")
+    },
+
     // ---- q02: daily sales (A8, P15, P17-equivalent per-order totals)
     // sales_analytics_dag.py:102-109 semantics on orders+lineitem.
     QueryDef.sql("q02_daily_sales",

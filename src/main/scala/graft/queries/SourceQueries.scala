@@ -475,6 +475,47 @@ object SourceQueries {
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     },
 
+    // ---- q114: Z-order clustered layout round-trip — parts rewritten
+    // sorted by the Morton interleave of (p_size, floor(p_retailprice)),
+    // then a 2-D BOX query is answered through the clustered table. The
+    // file-level clustering (disjoint narrow z-ranges per file → min/max
+    // stats prune the box on BOTH dimensions) is pinned in SourcesSpec;
+    // the oracle replays the identical mask-shift interleave in DuckDB
+    // bit arithmetic, proving the codegen'd ZOrder2 key and the values
+    // survive the layout round trip.
+    QueryDef.sql("q114_zorder_layout",
+      """WITH box AS (
+        |  SELECT p_brand, (CAST(p_size AS BIGINT) & 65535) AS x,
+        |         (CAST(floor(p_retailprice) AS BIGINT) & 65535) AS y
+        |  FROM part
+        |  WHERE p_size BETWEEN 10 AND 20
+        |    AND floor(p_retailprice) BETWEEN 920 AND 960),
+        |s1 AS (SELECT p_brand, ((x | (x << 8)) & 16711935) AS x,
+        |              ((y | (y << 8)) & 16711935) AS y FROM box),
+        |s2 AS (SELECT p_brand, ((x | (x << 4)) & 252645135) AS x,
+        |              ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT p_brand, ((x | (x << 2)) & 858993459) AS x,
+        |              ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT p_brand, ((x | (x << 1)) & 1431655765) AS x,
+        |              ((y | (y << 1)) & 1431655765) AS y FROM s3),
+        |z AS (SELECT p_brand, (x | (y << 1)) AS zval FROM s4)
+        |SELECT p_brand, COUNT(*) AS parts,
+        |  MIN(zval) AS z_min, MAX(zval) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      val withZ = Tables.part(s, dir).withColumn("z",
+        graft.plans.ZOrder2(col("p_size").cast("int"),
+          floor(col("p_retailprice")).cast("int")))
+      Warehouse.writeZOrdered(withZ, "graft_wh.part_zorder", "z", partitions = 8)
+      s.table("graft_wh.part_zorder")
+        .filter(col("p_size").between(10, 20) &&
+          floor(col("p_retailprice")).between(920, 960))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("parts"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("p_brand")
+    },
+
     // mapPartitions path; STUB codec per the build brief, plumbing real)
     QueryDef.sql("q54_frame_sampling",
       """WITH m AS (SELECT doc_id AS id,

@@ -576,6 +576,48 @@ object TextQueries {
           min(col("len")).as("min_len"), max(col("len")).as("max_len"),
           expr("percentile(len, 0.5)").as("p50_len"),
           expr("percentile(len, 0.95)").as("p95_len"))
+    },
+
+    // ---- q113: context-window chunking — each document split into
+    // overlapping 64-token windows at stride 48 (25% overlap), the
+    // retrieval/embedding prep for long documents. Engine side is a pure
+    // flatMap (projection + explode, zero shuffles); the oracle replays
+    // the identical position arithmetic with DuckDB list slices.
+    QueryDef.sql("q113_doc_chunking",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |s AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, n - 1, 48)) AS start FROM n)
+         |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_token,
+         |  CAST(least(64, n - start) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(toks[start + 1 : least(start + 64, n)], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      graft.llm.Chunking.chunkByTokens(
+          Tables.documents(s, dir), "doc_id", "text", size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- q115: count-min-sketch heavy hitters — the frequency twin of
+    // q112's HLL rollup: one 64 KB mergeable sketch over all corpus terms
+    // (counters are sums → bit-identical under any partitioning), probed
+    // for the exact top-20 terms so the snapshot documents the one-sided
+    // error (cms_freq ≥ exact_freq always; equal at this scale). Not
+    // SQL-oracle-able (xxhash64 family) → golden gate; SqlFunctionsSpec
+    // pins mergeability, partitioning-independence, and one-sidedness.
+    QueryDef.golden("q115_cms_heavy_hitters") { (s, dir) =>
+      import graft.operators.Cms
+      val toks = Tables.documents(s, dir).select(
+        explode(regexp_extract_all(lower(col("text")),
+          lit(TextStats.bpeishPattern), lit(0))).as("term"))
+      val sk = toks.agg(Cms.sketch(col("term")).as("sk"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_freq"))
+        .orderBy(desc("exact_freq"), asc("term")).limit(20)
+      top.crossJoin(broadcast(sk))   // 1-row sketch, bounded by construction
+        .select(col("term"), col("exact_freq"),
+          Cms.estimate(col("sk"), col("term")).as("cms_freq"))
+        .withColumn("overcount", col("cms_freq") - col("exact_freq"))
+        .orderBy("term")
     }
   )
 }

@@ -69,6 +69,24 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /** Z-ordered table write: range-partition on the Morton key
+    * ([[graft.plans.ZOrder2]]) and sort within partitions, so every
+    * written file covers a DISJOINT narrow z-range — i.e. a small
+    * rectangle of the (x, y) key space. Parquet min/max column stats on
+    * the key columns then prune 2-D box predicates at scan time, which a
+    * single-column sort cannot do for the second dimension. The same
+    * layout move as Delta/Iceberg `ZORDER BY`, expressed as plain
+    * repartitionByRange + local sort (two passes over the data: range
+    * sampling + the write shuffle — no global single-task sort). */
+  def writeZOrdered(df: DataFrame, table: String, zCol: String,
+                    partitions: Int): Unit = {
+    clearTable(df, table)
+    df.repartitionByRange(partitions, col(zCol))
+      .sortWithinPartitions(zCol)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+  }
+
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating

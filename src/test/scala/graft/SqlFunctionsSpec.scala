@@ -66,4 +66,37 @@ class SqlFunctionsSpec extends SparkSpecBase {
     val small = spark.range(5).agg(Hll.estimate(Hll.sketch(col("id")))).head.getLong(0)
     assert(small == 5L, s"small-range correction should be exact here, got $small")
   }
+
+  test("zorder2 callable from SQL == Column API") {
+    assert(spark.sql("SELECT zorder2(3, 5) AS z").head.getLong(0) == 39L)
+    val viaCol = Seq((3, 5)).toDF("a", "b")
+      .select(graft.plans.ZOrder2($"a", $"b")).head.getLong(0)
+    assert(viaCol == 39L)
+  }
+
+  test("Cms: one-sided, re-aggregation == one-shot, partitioning-independent") {
+    import graft.operators.Cms
+    // zipf-ish: item i appears (2000/i) times for i in 1..50 -> known counts
+    val ev = spark.range(20000).select(
+      (col("id") % 10).as("day"), (col("id") % 50 + 1).as("item"))
+    val exact = ev.groupBy("item").agg(count(lit(1)).as("n"))
+    val oneShot = ev.agg(Cms.sketch(col("item")).as("sk"))
+    // estimates never under-count, and at 50 distinct items are exact
+    val probed = exact.crossJoin(broadcast(oneShot))
+      .select(col("item"), col("n"), Cms.estimate(col("sk"), col("item")).as("est"))
+    assert(probed.filter(col("est") < col("n")).count() == 0, "CMS must never under-count")
+    assert(probed.filter(col("est") =!= col("n")).count() == 0,
+      "50 keys in 4x2048 counters should not collide")
+    // daily partials merged == one-shot, bit-for-bit (counters are sums)
+    val skOne = oneShot.head.getAs[Array[Byte]]("sk")
+    val skMerged = ev.groupBy("day").agg(Cms.sketch(col("item")).as("sk"))
+      .agg(Cms.union(col("sk")).as("sk")).head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(skOne, skMerged), "partial sketches must merge losslessly")
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = ev.repartition(parts).agg(Cms.sketch(col("item")).as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      assert(java.util.Arrays.equals(sk, skOne),
+        s"sketch must be partitioning-independent (parts=$parts)")
+    }
+  }
 }

@@ -363,4 +363,47 @@ class TextPipelineSpec extends SparkSpecBase {
       .collect()
     assert(merges.isEmpty)  // all words are single-symbol, nothing to merge
   }
+
+  // ---- chunkByTokens --------------------------------------------------
+
+  test("chunkByTokens: window starts, lengths, and text on a hand corpus") {
+    import graft.llm.Chunking
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),                      // single short chunk
+      (3L, "")                                        // empty -> one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+
+    // doc 1: starts 0,3,6,9 -> lengths 4,4,4,1
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Long]("start_token")).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(d1.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(d1(1).getAs[String]("chunk_text") == "t4 t5 t6 t7")
+    assert(d1(3).getAs[String]("chunk_text") == "t10")
+    // doc 2: one chunk of 3; doc 3: one empty chunk ("" splits to [""])
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "only three tokens")
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.length == 1 && d3(0).getAs[Long]("chunk_tokens") == 1L)
+  }
+
+  test("chunkByTokens: full coverage and overlap reconstruction on real docs") {
+    import graft.llm.Chunking
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val chunks = Chunking.chunkByTokens(docs, "doc_id", "text", size = 64, stride = 48)
+    // stride*idx == start for every chunk; last chunk reaches the end
+    val bad = chunks.filter(col("start_token") =!= col("chunk_idx") * 48).count()
+    assert(bad == 0)
+    val toks = docs.select(col("doc_id"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+    val last = chunks.groupBy("doc_id")
+      .agg(max(col("start_token") + col("chunk_tokens")).as("covered"))
+    val uncovered = last.join(toks, "doc_id").filter(col("covered") =!= col("n")).count()
+    assert(uncovered == 0)
+    // plan shape: no exchange — chunking is a pure flatMap
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
