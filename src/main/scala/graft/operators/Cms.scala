@@ -48,6 +48,9 @@ object Cms {
     }
   }
 
+  private def addAt(b: Array[Byte], s: Int, w: Long): Unit =
+    writeAt(b, s, readAt(b, s) + w)
+
   private def readAt(b: Array[Byte], s: Int): Long = {
     val off = s << 3
     var v = 0L; var i = 7
@@ -92,6 +95,20 @@ object Cms {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  private final class WeightedAgg
+    extends Aggregator[(Long, Long), Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = newBuf
+    override def reduce(b: Array[Byte], in: (Long, Long)): Array[Byte] = {
+      var r = 0
+      while (r < D) { addAt(b, slot(in._1, r), in._2); r += 1 }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = addInto(a, b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   private final class UnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = newBuf
     override def reduce(b: Array[Byte], s: Array[Byte]): Array[Byte] = addInto(b, s)
@@ -106,6 +123,17 @@ object Cms {
     * pre-filter if nulls should not count). */
   def sketch(c: Column): Column =
     udaf(new SketchAgg, Encoders.scalaLong)(xxhash64(c))
+
+  /** Weighted update: add `weight` occurrences of each item. Bit-identical
+    * to `weight` per-row [[sketch]] updates (counters are sums), so the
+    * cheap plan for token-grain streams is a codegen'd exact
+    * `groupBy(item).count` FIRST, then this over the (item, count) table:
+    * the typed-aggregator (object-path) row cost is paid per DISTINCT
+    * item, not per token — the same partial-aggregate-before-expensive-op
+    * move as everywhere else in the engine. */
+  def sketchWeighted(item: Column, weight: Column): Column =
+    udaf(new WeightedAgg, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))(
+      xxhash64(item), weight)
 
   /** Merge a column of sketches into one (re-aggregation). */
   def union(sketches: Column): Column =

@@ -607,12 +607,17 @@ object TextQueries {
     // pins mergeability, partitioning-independence, and one-sidedness.
     QueryDef.golden("q115_cms_heavy_hitters") { (s, dir) =>
       import graft.operators.Cms
-      val toks = Tables.documents(s, dir).select(
-        explode(regexp_extract_all(lower(col("text")),
-          lit(TextStats.bpeishPattern), lit(0))).as("term"))
-      val sk = toks.agg(Cms.sketch(col("term")).as("sk"))
-      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_freq"))
-        .orderBy(desc("exact_freq"), asc("term")).limit(20)
+      // One codegen'd token pass: exact (term, count) vocabulary first;
+      // the sketch is then built WEIGHTED over vocab-cardinality rows
+      // (bit-identical counters — sums commute), so the object-path
+      // aggregator cost is per distinct term, not per corpus token.
+      val counts = Tables.documents(s, dir).select(
+          explode(regexp_extract_all(lower(col("text")),
+            lit(TextStats.bpeishPattern), lit(0))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact_freq"))
+      val sk = counts.agg(
+        Cms.sketchWeighted(col("term"), col("exact_freq")).as("sk"))
+      val top = counts.orderBy(desc("exact_freq"), asc("term")).limit(20)
       top.crossJoin(broadcast(sk))   // 1-row sketch, bounded by construction
         .select(col("term"), col("exact_freq"),
           Cms.estimate(col("sk"), col("term")).as("cms_freq"))

@@ -98,5 +98,10 @@ class SqlFunctionsSpec extends SparkSpecBase {
       assert(java.util.Arrays.equals(sk, skOne),
         s"sketch must be partitioning-independent (parts=$parts)")
     }
+    // weighted build over the pre-counted table == per-row build, bit-for-bit
+    val skW = exact.agg(Cms.sketchWeighted(col("item"), col("n")).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(skW, skOne),
+      "weighted sketch over (item,count) must equal per-row sketch")
   }
 }
