@@ -26,7 +26,10 @@ object Bench {
     "q67_winnowing_pairs",   // rolling-hash fingerprint inverted index
     "q69_cube_sales",        // full cube over two dims
     "q92_repetition_stats",  // distributed per-doc mode + HOF ratios
-    "q95_line_dedup"         // corpus line dedup (explode + groupBy-min + join)
+    "q95_line_dedup",        // corpus line dedup (explode + groupBy-min + join)
+    "q113_doc_chunking",     // context-window flatMap (scan-bound)
+    "q114_zorder_layout",    // Morton-clustered write + box read-back
+    "q115_cms_heavy_hitters" // weighted count-min sketch over the vocab
   )
 
   def main(args: Array[String]): Unit = {
