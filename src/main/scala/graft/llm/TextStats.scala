@@ -108,4 +108,41 @@ object TextStats {
     }
     scored.withColumn("predicted_lang", pred)
   }
+
+  /** LM-style novelty scoring against a reference corpus: the fraction of
+    * a document's DISTINCT bigrams absent from the reference's bigram set.
+    * The exact-arithmetic stand-in for n-gram-LM perplexity filtering
+    * (high novelty ≈ high perplexity ≈ off-distribution text): counts and
+    * the final IEEE division are bit-reproducible cross-engine, where a
+    * log-prob score would not be. Plan shape: one shuffle on the bigram
+    * key for the membership join (reference side pre-distincted), one
+    * doc-keyed aggregation — both hash-partitioned, nothing global.
+    * Docs with < 2 tokens report 0 bigrams and a NULL ratio (kept via
+    * explode_outer, not dropped). */
+  def bigramNovelty(reference: DataFrame, docs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def distinctBigrams(df: DataFrame) = df
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      // bigrams over the MATERIALIZED toks attribute (TextFns perf contract)
+      .select(col(idCol),
+        when(size(col("toks")) >= 2,
+          transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+            (t, i) => concat_ws(" ", t, element_at(col("toks"), i + lit(2)))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col(idCol), explode_outer(array_distinct(col("bg"))).as("bigram"))
+    val refSet = distinctBigrams(reference)
+      .filter(col("bigram").isNotNull).select("bigram").distinct()
+      .withColumn("__seen", lit(true))
+    distinctBigrams(docs)
+      .join(refSet, Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("bigram").isNotNull, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("bigram").isNotNull && col("__seen").isNull, 1L)
+          .otherwise(0L)).as("novel_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("novel_bigrams"),
+        when(col("n_bigrams") > 0,
+          col("novel_bigrams").cast("double") / col("n_bigrams"))
+          .as("novelty_ratio"))
+  }
 }

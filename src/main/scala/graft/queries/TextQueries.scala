@@ -598,6 +598,36 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- q117: bigram novelty vs a reference corpus — the exact
+    // stand-in for n-gram-LM perplexity filtering: docs ≥ 250 are scored
+    // by the fraction of their distinct bigrams unseen in the < 250
+    // reference slice (high novelty ≈ off-distribution). Counts are
+    // integral and the ratio is one IEEE division, so the gate is exact;
+    // a log-prob perplexity would differ in ULPs across engines.
+    QueryDef.sql("q117_bigram_novelty",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(generate_series(1, len(toks)-1),
+         |                        i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS bgs FROM t),
+         |ref AS (SELECT DISTINCT unnest(bgs) AS bigram FROM b WHERE doc_id < 250),
+         |d AS (SELECT doc_id, unnest(bgs) AS bigram FROM b WHERE doc_id >= 250),
+         |agg AS (SELECT d.doc_id, COUNT(*) AS n,
+         |    SUM(CASE WHEN r.bigram IS NULL THEN 1 ELSE 0 END) AS novel
+         |  FROM d LEFT JOIN ref r USING (bigram) GROUP BY 1)
+         |SELECT b.doc_id, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(agg.novel, 0) AS BIGINT) AS novel_bigrams,
+         |  CASE WHEN agg.n > 0 THEN CAST(agg.novel AS DOUBLE) / agg.n END
+         |    AS novelty_ratio
+         |FROM b LEFT JOIN agg ON b.doc_id = agg.doc_id
+         |WHERE b.doc_id >= 250 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextStats.bigramNovelty(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- q115: count-min-sketch heavy hitters — the frequency twin of
     // q112's HLL rollup: one 64 KB mergeable sketch over all corpus terms
     // (counters are sums → bit-identical under any partitioning), probed

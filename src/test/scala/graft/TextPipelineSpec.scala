@@ -364,6 +364,25 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(merges.isEmpty)  // all words are single-symbol, nothing to merge
   }
 
+  // ---- bigramNovelty --------------------------------------------------
+
+  test("bigramNovelty: hand-checked ratios, 0-bigram docs kept with null ratio") {
+    val ref = Seq((1L, "a b c")).toDF("doc_id", "text")        // bigrams: {a b, b c}
+    val docs = Seq(
+      (10L, "a b x"),      // {a b, b x} -> 1 novel of 2
+      (11L, "z"),          // no bigrams -> 0, null ratio
+      (12L, "b c a b"),    // {b c, c a, a b} -> 1 novel of 3
+      (13L, "q r q r")     // {q r, r q} -> all novel
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramNovelty(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 2L, 1L), (11L, 0L, 0L), (12L, 3L, 1L), (13L, 2L, 2L)))
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).isNullAt(3))
+    assert(out(3).getDouble(3) == 1.0)
+  }
+
   // ---- chunkByTokens --------------------------------------------------
 
   test("chunkByTokens: window starts, lengths, and text on a hand corpus") {
