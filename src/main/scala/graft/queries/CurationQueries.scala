@@ -171,6 +171,32 @@ object CurationQueries {
           .filter(col("o_totalprice") < 0 || col("o_custkey").isNull)
           .agg(count(lit(1)).as("bad_order_values"))
         orphanOrders.crossJoin(orphanLines).crossJoin(badLines).crossJoin(badOrders)
+    },
+
+    // ---- q118: weighted deterministic sample — 25 docs drawn with
+    // probability ∝ token count (the token-proportional mixture draw a
+    // training pipeline makes), via the md5 ticket race: w tickets per
+    // doc, row key = min ticket, k smallest keys win. Exact
+    // integer/string arithmetic end-to-end — the reason to prefer this
+    // over float-keyed Efraimidis-Spirakis (u^(1/w) differs in ULPs
+    // across engines and could not be hash-gated).
+    QueryDef.sql("q118_weighted_sample",
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(least(1 + len($toksSql8) // 50, 16) AS INT) AS weight
+         |  FROM documents),
+         |t AS (SELECT doc_id, weight,
+         |    unnest(generate_series(1, weight)) AS i FROM s),
+         |m AS (SELECT doc_id, weight,
+         |    MIN(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR))) AS ticket
+         |  FROM t GROUP BY 1, 2)
+         |SELECT * FROM (SELECT doc_id, weight, ticket FROM m
+         |               ORDER BY ticket, doc_id LIMIT 25)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.sources.Sampling.weightedTicketSample(
+          Tables.documents(s, dir), "doc_id",
+          lit(1) + expr("size(split(lower(trim(text)), '\\\\s+')) div 50"),
+          k = 25)
+        .orderBy("doc_id")
     }
   )
 }

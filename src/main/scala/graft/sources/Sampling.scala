@@ -67,6 +67,36 @@ object Sampling {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** T5, weighted: deterministic weight-proportional top-k — the "sample
+    * ∝ quality" corpus downsample, without an RNG. Each row enters a
+    * ticket race with `w` tickets (w = its integer weight clamped to
+    * [1, maxWeight]); a ticket is `md5(id ":" i)`, the row's key is its
+    * MINIMUM ticket, and the k smallest keys win. All Σw tickets are
+    * i.i.d. uniform by the hash, so the global minimum belongs to row i
+    * with probability exactly wᵢ/Σw (symmetry); successive minima give
+    * the standard ticket-race approximation of weighted sampling without
+    * replacement (a chosen row's remaining tickets stay in the order —
+    * negligible for k ≪ distinct rows). Exact integer/string arithmetic
+    * end-to-end: reproducible across engines, runs, and partitionings,
+    * hence oracle-checkable — the reason to prefer this over float-keyed
+    * Efraimidis-Spirakis (u^(1/w) ULPs differ across engines).
+    *
+    * Plan shape: ticket explode (flatMap, ≤ maxWeight rows per input) →
+    * map-side-combining min-agg keyed by id → TakeOrdered k. No global
+    * sort, no state beyond the k winners. */
+  def weightedTicketSample(df: DataFrame, idCol: String, weightCol: Column,
+                           k: Int, maxWeight: Int = 16): DataFrame = {
+    require(k > 0 && maxWeight >= 1)
+    df.withColumn("weight", least(greatest(weightCol.cast("int"), lit(1)), lit(maxWeight)))
+      .withColumn("__i", explode(sequence(lit(1), col("weight"))))
+      .withColumn("__t", md5(concat_ws(":", col(idCol).cast("string"),
+        col("__i").cast("string")).cast("binary")))
+      .groupBy(col(idCol), col("weight"))
+      .agg(min(col("__t")).as("ticket"))
+      .orderBy(col("ticket"), col(idCol))
+      .limit(k)
+  }
+
   /** J6: close a fact table over a sampled dimension — keep only fact rows
     * whose key appears in the sample. */
   def closeOver(fact: DataFrame, factKey: String,

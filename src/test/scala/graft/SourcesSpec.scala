@@ -250,6 +250,27 @@ class SourcesSpec extends SparkSpecBase {
     assert(exploded.filter($"item_price".between(50000, 500000)).count() == exploded.count())
   }
 
+  test("weightedTicketSample: deterministic across partitionings, clamped, exact k") {
+    val docs = Tables.documents(spark, sf)
+    val w = length($"text") / lit(100)   // cast to int + clamp happens inside
+    val a = Sampling.weightedTicketSample(docs, "doc_id", w, k = 10).collect()
+    val b = Sampling.weightedTicketSample(docs.repartition(13), "doc_id", w, k = 10)
+      .collect()
+    assert(a.toSeq == b.toSeq, "winners must not depend on partitioning")
+    assert(a.length == 10)
+    assert(a.forall(r => { val x = r.getAs[Int]("weight"); x >= 1 && x <= 16 }))
+    // a doc's key really is its minimum ticket: recompute for the winners
+    val ids = a.map(_.getLong(0)).toSet
+    val recomputed = docs.filter($"doc_id".isin(ids.toSeq: _*))
+      .withColumn("weight", least(greatest(w.cast("int"), lit(1)), lit(16)))
+      .withColumn("i", explode(sequence(lit(1), $"weight")))
+      .groupBy("doc_id")
+      .agg(min(md5(concat_ws(":", $"doc_id".cast("string"),
+        $"i".cast("string")).cast("binary"))).as("ticket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall(r => recomputed(r.getLong(0)) == r.getAs[String]("ticket")))
+  }
+
   test("ZOrder2 matches a naive bit-interleave and nulls propagate") {
     import graft.plans.ZOrder2
     def naive(a: Int, b: Int): Long = {
