@@ -117,6 +117,38 @@ object SalesQueries {
         .orderBy("day")
     },
 
+    // ---- q119: histogram-sketch quantile rollup — the QUANTILE member
+    // of the mergeable-sketch trio (q112 HLL distinct, q115 CMS
+    // frequency): daily 600-bucket count histograms of o_totalprice, the
+    // incrementally-maintained sketch table, merged for corpus p50/p90/
+    // p99 to bucket resolution ($1000) without re-touching the facts.
+    // Counting histograms over a FIXED bucketing are pure functions of
+    // the value multiset (unlike t-digest/KLL), so the gate is a plain
+    // DuckDB oracle replaying floor-bucket + cumulative counts.
+    QueryDef.sql("q119_histogram_quantiles",
+      """WITH c AS (SELECT least(greatest(CAST(floor(o_totalprice / 1000) AS BIGINT), 0), 599) AS bk,
+        |             COUNT(*) AS n
+        |           FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+        |cum AS (SELECT bk, SUM(n) OVER (ORDER BY bk) AS cum FROM c)
+        |SELECT t.total AS orders,
+        |  1000.0 * (SELECT MIN(bk) FROM cum WHERE cum >= ceil(0.5 * t.total)) AS p50_lb,
+        |  1000.0 * (SELECT MIN(bk) FROM cum WHERE cum >= ceil(0.9 * t.total)) AS p90_lb,
+        |  1000.0 * (SELECT MIN(bk) FROM cum WHERE cum >= ceil(0.99 * t.total)) AS p99_lb
+        |FROM t""".stripMargin) { (s, dir) =>
+      import graft.operators.Hist
+      val (lo, hi, nb) = (0.0, 600000.0, 600)
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate"))
+        .agg(Hist.sketch(col("o_totalprice"), lo, hi, nb).as("h"),
+          count(lit(1)).as("n"))
+      daily.agg(Hist.union(col("h"), nb).as("h"), sum(col("n")).as("orders"))
+        .select(col("orders"),
+          Hist.quantileLowerBound(col("h"), 0.5, lo, hi, nb).as("p50_lb"),
+          Hist.quantileLowerBound(col("h"), 0.9, lo, hi, nb).as("p90_lb"),
+          Hist.quantileLowerBound(col("h"), 0.99, lo, hi, nb).as("p99_lb"))
+    },
+
     // ---- q02: daily sales (A8, P15, P17-equivalent per-order totals)
     // sales_analytics_dag.py:102-109 semantics on orders+lineitem.
     QueryDef.sql("q02_daily_sales",

@@ -104,4 +104,29 @@ class SqlFunctionsSpec extends SparkSpecBase {
     assert(java.util.Arrays.equals(skW, skOne),
       "weighted sketch over (item,count) must equal per-row sketch")
   }
+
+  test("Hist: merge == one-shot, partition-independent, quantiles within a bucket") {
+    import graft.operators.Hist
+    val (lo, hi, nb) = (0.0, 1000.0, 100)   // width 10
+    val ev = spark.range(10000).select(
+      (col("id") % 7).as("day"), (col("id") % 1000).cast("double").as("v"))
+    val oneShot = ev.agg(Hist.sketch(col("v"), lo, hi, nb).as("h"))
+      .head.getSeq[Long](0)
+    val merged = ev.groupBy("day").agg(Hist.sketch(col("v"), lo, hi, nb).as("h"))
+      .agg(Hist.union(col("h"), nb).as("h")).head.getSeq[Long](0)
+    assert(oneShot == merged, "daily partials must merge to the one-shot histogram")
+    for (parts <- Seq(1, 13)) {
+      val h = ev.repartition(parts).agg(Hist.sketch(col("v"), lo, hi, nb).as("h"))
+        .head.getSeq[Long](0)
+      assert(h == oneShot, s"histogram must be partitioning-independent (parts=$parts)")
+    }
+    // v is uniform over [0, 1000): p50 bucket lower bound is 490 or 500
+    val p50 = Hist.quantileLowerBoundOf(oneShot, 0.5, lo, 10.0)
+    val exactP50 = 499.0   // 5000th of 10000 sorted values = 499
+    assert(math.abs(p50 - exactP50) <= 10.0, s"p50 lower bound $p50 not within a bucket")
+    // out-of-range values clamp to edge buckets, nothing dropped
+    val clamped = Seq(-5.0, 1e9).toDF("v")
+      .agg(Hist.sketch(col("v"), lo, hi, nb).as("h")).head.getSeq[Long](0)
+    assert(clamped.head == 1L && clamped.last == 1L && clamped.sum == 2L)
+  }
 }
