@@ -61,6 +61,23 @@ object Bench {
     // locale-pinned formatting: under a comma-decimal default locale the
     // f-interpolator would emit "value":19,470 — invalid JSON
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Noise canary: time a fixed cheap query (post-warm-up, min-of-2) and
+    // compare against its recorded BASELINE.md cost. The r5 driver bench
+    // recorded phantom 10-100x regressions (q64 0.24->25.1 s) that
+    // reproduced at 0.37 s in a clean window — host co-tenant load, not
+    // code. canary_sec makes such a polluted run mechanically detectable:
+    // q01 is scan+agg-bound with years of stable ~0.5 s history at sf0.1,
+    // so canary > 2x baseline means the WINDOW is bad and every other
+    // number in this JSON line is suspect.
+    val canaryName = "q01_pricing_summary"
+    val canaryBaselineSec: Map[String, Double] = Map("sf0.1" -> 0.5, "sf0.01" -> 0.25)
+    def runCanary(): Double = (1 to math.max(repeat, 2)).map { _ =>
+      val t0 = System.nanoTime()
+      qs(canaryName)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val canarySec = runCanary()
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val results = queries.map { name =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -80,8 +97,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
+    // second canary pass AFTER the suite: a clean start + polluted end
+    // (co-tenant load arriving mid-run) is the failure mode the r5 bench
+    // actually exhibited, so the suspect flag keys off the WORSE of the
+    // two brackets
+    val canaryEndSec = runCanary()
+    val noiseSuspect = canaryBaselineSec.get(sfLabel)
+      .exists(b => math.max(canarySec, canaryEndSec) > 2 * b)
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
-      s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir",""" +
+      s""""canary_sec":${sec(canarySec)},"canary_end_sec":${sec(canaryEndSec)},""" +
+      s""""repeat":$repeat,"noise_suspect":$noiseSuspect}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

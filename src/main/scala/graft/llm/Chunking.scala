@@ -28,9 +28,15 @@ object Chunking {
   def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
                     size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
+    // stride > size would silently skip the tokens between windows,
+    // violating the every-token-covered contract documented above
+    require(stride <= size, "stride must be <= size (windows must cover every token)")
     docs
+      // NULL text behaves as the empty document (one empty chunk) rather
+      // than vanishing: size(split(NULL)) is NULL, and explode over a NULL
+      // sequence would emit no row at all for the document
       .select(col(idCol),
-        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+        split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
       .withColumn("start_token",
         explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))

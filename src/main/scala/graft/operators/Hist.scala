@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Hist {
 
+  /** Bucket index for x, clamping out-of-range values to the edge buckets;
+    * -1 for NaN (a NaN has no position on the domain — without the explicit
+    * branch it would land in bucket 0 via NaN.toInt == 0 and silently skew
+    * the low edge and every quantile derived from it). */
   private def bucketOf(x: Double, lo: Double, width: Double, n: Int): Int = {
+    if (x.isNaN) return -1
     val b = math.floor((x - lo) / width)
     if (b < 0) 0 else if (b >= n) n - 1 else b.toInt
   }
@@ -36,7 +41,9 @@ object Hist {
     extends Aggregator[Double, Array[Long], Array[Long]] {
     override def zero: Array[Long] = new Array[Long](n)
     override def reduce(b: Array[Long], x: Double): Array[Long] = {
-      b(bucketOf(x, lo, width, n)) += 1; b
+      val i = bucketOf(x, lo, width, n)
+      if (i >= 0) b(i) += 1   // NaN rows are dropped, not edge-bucketed
+      b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0; while (i < n) { a(i) += b(i); i += 1 }; a
@@ -77,6 +84,9 @@ object Hist {
     * histogram → lo. */
   def quantileLowerBoundOf(counts: Seq[Long], q: Double, lo: Double,
                            width: Double): Double = {
+    // empty histogram -> lo (the documented contract; without the guard a
+    // zero-length counts seq would fall through to lo + (0-1)*width)
+    if (counts.isEmpty || counts.sum == 0) return lo
     val target = math.ceil(q * counts.sum).toLong
     var cum = 0L
     var i = 0
@@ -88,11 +98,14 @@ object Hist {
     lo + (counts.length - 1) * width
   }
 
-  /** Column form of [[quantileLowerBoundOf]] over a sketch column. */
+  /** Column form of [[quantileLowerBoundOf]] over a sketch column. NULL
+    * sketch (e.g. the unmatched side of an outer join) → NULL, not an NPE. */
   def quantileLowerBound(sketch: Column, q: Double, lo: Double, hi: Double,
                          buckets: Int): Column = {
     require(q > 0 && q <= 1)
     val width = (hi - lo) / buckets
-    udf((s: Seq[Long]) => quantileLowerBoundOf(s, q, lo, width)).apply(sketch)
+    udf((s: Seq[Long]) =>
+      if (s == null) null
+      else Double.box(quantileLowerBoundOf(s, q, lo, width))).apply(sketch)
   }
 }

@@ -13,10 +13,16 @@ object CurationQueries {
 
   // DuckDB 8-gram fragments for the decontamination oracle — must match
   // TextFns.tokens + shingle semantics at n=8 (distinct, space-joined).
+  private val ws = "\\s"   // literal \s for use inside s-interpolated SQL
   private val toksSql8 = """string_split_regex(lower(trim(text)), '\s+')"""
+  private val toksSql = toksSql8
   private def shingles8Sql(toks: String) =
     s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-7, 0)),
        |  i -> ${(0 to 7).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")}))""".stripMargin
+  // trigram twin (q66's near-dup stage; must match TextQueries' q42 fragments)
+  private def shingles3Sql(toks: String) =
+    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-2, 0)),
+       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -62,10 +68,57 @@ object CurationQueries {
     },
 
     // ---- q66: end-to-end curation funnel (exact dedup -> near-dup
-    // clusters -> quality filter -> deterministic split). The near-dup
-    // stage depends on the 64-bit shingle-hash family, so rows-only here;
-    // stage-wise guarantees are asserted in CurationSpec.
-    QueryDef.golden("q66_curation_funnel") { (s, dir) =>
+    // clusters -> quality filter -> deterministic split). Every stage is
+    // re-expressible in DuckDB — the 64-bit shingle hashes are only JOIN
+    // KEYS for the exact trigram-Jaccard pair mine (collision-free at
+    // fixture scale, the same argument as q42's gate) — so the whole
+    // composition gets a full independent oracle rather than the golden
+    // snapshot it carried through r5: normalized-md5 exact dedup, the q42
+    // pair SQL over the deduped survivors, DuckDB's own recursive-CTE
+    // transitive closure for the cluster representatives, the q57 quality
+    // formula, and the q63 md5-hex-bucket split.
+    QueryDef.sql("q66_curation_funnel",
+      s"""WITH RECURSIVE
+         |nrm AS (SELECT doc_id, text,
+         |         md5(regexp_replace(lower(trim(text)), '${ws}+', ' ', 'g')) AS h
+         |       FROM documents),
+         |ek AS (SELECT h, MIN(doc_id) AS keep FROM nrm GROUP BY 1),
+         |ex AS (SELECT n.doc_id, n.text FROM nrm n
+         |       JOIN ek ON n.h = ek.h AND n.doc_id = ek.keep),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM ex),
+         |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM ex
+         |  UNION
+         |  SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |nr AS (SELECT ex.doc_id, ex.text FROM ex
+         |       JOIN comp ON ex.doc_id = comp.id WHERE comp.id = comp.lbl),
+         |qt AS (SELECT doc_id, text, $toksSql AS toks FROM nr),
+         |q AS (SELECT doc_id, text,
+         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |      + least((CAST(len(list_filter(toks,
+         |          t2 -> t2 IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |        / len(toks)) * 5.0, 1.0) * 0.3
+         |      + CASE WHEN CAST(length(regexp_replace(text, '${ws}+', '', 'g')) AS DOUBLE)
+         |          / len(toks) BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS qscore
+         |  FROM qt),
+         |cur AS (SELECT doc_id, substr(md5(text), 1, 1) <> '0' AS is_train
+         |        FROM q WHERE qscore >= 0.3)
+         |SELECT (SELECT COUNT(*) FROM documents) AS raw_docs,
+         |  (SELECT COUNT(*) FROM ex) AS after_exact_dedup,
+         |  (SELECT COUNT(*) FROM nr) AS after_near_dedup,
+         |  (SELECT COUNT(*) FROM cur) AS after_quality_filter,
+         |  (SELECT CAST(COALESCE(SUM(CASE WHEN is_train THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |   FROM cur) AS train_docs""".stripMargin) { (s, dir) =>
       graft.llm.Curation.funnel(Tables.documents(s, dir), "doc_id", "text")
     },
 
@@ -83,6 +136,54 @@ object CurationQueries {
       graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
           maxDocFreq = 64)
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
+    },
+
+    // ---- q67a: INDEPENDENT containment audit for the golden-gated q67.
+    // Soundness claim: s distinct shared winnowing fingerprints are hashes
+    // of s distinct character-8-grams both documents contain, so every
+    // q67 pair (minShared=3) must also share >= 3 distinct 8-grams of the
+    // normalized text — a relation DuckDB computes with substr, no hash
+    // family needed. The gate encodes containment as set equality:
+    // Spark = (winnowing pairs ∪ the 8-gram superset), oracle = the
+    // superset alone — any winnowing pair OUTSIDE the superset (a hash
+    // collision or a fingerprinting bug) adds a row the oracle doesn't
+    // have and fails the hash gate. Restricted to doc_id < 50 both ends
+    // to keep the oracle's posting join bounded (the superset relation is
+    // near-all-pairs on boilerplate-heavy docs); fingerprint selection is
+    // per-document, so the restriction loses no generality.
+    QueryDef.sql("q67a_winnowing_containment",
+      s"""WITH n AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '${ws}+', ' ', 'g') AS nt
+         |  FROM documents WHERE doc_id < 50),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(length(nt) - 7, 0)),
+         |    i -> substr(nt, CAST(i AS INTEGER), 8)))) AS g8 FROM n),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS sh
+         |      FROM g a JOIN g b ON a.g8 = b.g8 AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b FROM p WHERE sh >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val win = graft.llm.Dedup.winnowingPairs(docs, "doc_id", "text",
+          maxDocFreq = 64)
+        .filter(col("doc_a") < 50 && col("doc_b") < 50)
+        .select("doc_a", "doc_b")
+      val sub = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.TextFns.normalize(col("text")).as("nt"))
+      val superset = sub
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(nt) - 7, 0))," +
+            " i -> substring(nt, i, 8)))")).as("g8"))
+        .groupBy(col("g8"))
+        .agg(collect_list(col("doc_id")).as("ds"))   // per-doc distinct grams
+        .filter(size(col("ds")) >= 2)
+        .select(explode(graft.plans.PairArray.pairArray(col("ds"))).as("p"))
+        .groupBy(col("p.product_1").as("doc_a"), col("p.product_2").as("doc_b"))
+        .agg(count(lit(1)).as("sh"))
+        .filter(col("sh") >= 3)
+        .select("doc_a", "doc_b")
+      win.union(superset).distinct().orderBy("doc_a", "doc_b")
     },
 
     // ---- q84: train/eval decontamination scan — every 10th doc plays the

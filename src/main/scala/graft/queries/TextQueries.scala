@@ -84,24 +84,62 @@ object TextQueries {
         bands = 8, rowsPerBand = 4, threshold = 0.7)
     },
 
+    // ---- q43a: INDEPENDENT recall audit for the golden-gated q43. The
+    // LSH hash family itself isn't SQL-expressible, but its RECALL against
+    // exact Jaccard is: Spark semi-joins the oracle-exact q42 pair set
+    // against the live q43 candidates, and the oracle is the full exact
+    // pair set — the results are hash-equal IFF LSH found every exact
+    // >= 0.8 pair (est >= 0.7 verify; 100% recall measured at sf0.001/
+    // 0.01/0.1). A missed pair drops a row and fails the gate, so LSH
+    // regressions are caught by the driver independently of the golden
+    // snapshot's own determinism replay.
+    QueryDef.sql("q43a_lsh_recall_audit",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          bands = 8, rowsPerBand = 4, threshold = 0.7)
+        .select("doc_a", "doc_b")
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q44: SimHash near-dup pairs (rows-only, verified in DedupSpec)
     QueryDef.golden("q44_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
     // ---- q94: corpus dedup verdict — the FINAL artifact of the dedup
-    // pipeline: exact-Jaccard pairs (q42) → connected components → one
-    // row per document with its canonical representative, cluster size,
-    // and the keep/drop decision (keep = min-id member). The oracle
-    // re-derives the whole chain independently: q42's inverted-index
+    // pipeline: capped-Jaccard pairs (q42's petabyte configuration,
+    // maxDocFreq=16) → connected components → one row per document with
+    // its canonical representative, cluster size, and the keep/drop
+    // decision (keep = min-id member). The pair source is CAPPED by
+    // default because this is the registered end-to-end pipeline: a
+    // shingle shared by k docs expands C(k,2) pairs in one task, and on
+    // duplicate-heavy corpora that stage is the one superlinear cost in
+    // the chain (PLANS_r5: 12× wall at 32× data uncapped). Cap=16 bounds
+    // every posting list to C(16,2)=120 expansions while staying EXACT at
+    // sf0.01 (max shingle df there is 7) and biting at sf0.1 (drops
+    // boilerplate-grade shingles; 256→178 pairs). The oracle re-derives
+    // the whole capped chain independently: df-capped inverted-index
     // Jaccard in SQL, then a recursive-CTE transitive closure (DuckDB's
     // own fixpoint evaluation, not a re-implementation of ours).
     QueryDef.sql("q94_dedup_verdict",
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
          |pairs AS (SELECT doc_a, doc_b
          |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
@@ -118,7 +156,8 @@ object TextQueries {
          |FROM comp JOIN csize ON comp.lbl = csize.lbl
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxDocFreq = 16)
         .select("doc_a", "doc_b")
       val cc = graft.llm.Clusters.connectedComponents(
         docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
@@ -194,14 +233,20 @@ object TextQueries {
     // ---- q104: dedup-graph triangle census — the QA metric over the
     // near-dup pair graph: true duplicate cliques close their triangles,
     // chains of borderline matches don't. Wedge-then-close on the
-    // id-oriented q42 pair list; the oracle enumerates the same ordered
-    // (a < b < c) triangles with two joins.
+    // id-oriented pair list from q42's CAPPED petabyte configuration
+    // (maxDocFreq=16 — same rationale and same exact-at-sf0.01 /
+    // bites-at-sf0.1 behavior as q94; uncapped this inherited q42's
+    // C(df,2) posting expansion, 16.3× wall at 32× data in PLANS_r5).
+    // The oracle enumerates the same ordered (a < b < c) triangles over
+    // the identically-capped pair set with two joins.
     QueryDef.sql("q104_dedup_triangles",
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
          |pairs AS (SELECT doc_a, doc_b
          |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8)
@@ -211,7 +256,7 @@ object TextQueries {
          |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
          |ORDER BY a, b, c""".stripMargin) { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
-        "doc_id", "text", 3, 0.8)
+        "doc_id", "text", 3, 0.8, maxDocFreq = 16)
       graft.llm.Clusters.triangles(pairs, "doc_a", "doc_b")
         .orderBy("a", "b", "c")
     },

@@ -83,14 +83,22 @@ object Sampling {
     *
     * Plan shape: ticket explode (flatMap, ≤ maxWeight rows per input) →
     * map-side-combining min-agg keyed by id → TakeOrdered k. No global
-    * sort, no state beyond the k winners. */
+    * sort, no state beyond the k winners.
+    *
+    * Output schema is exactly (idCol, weight, ticket) — the input's other
+    * columns are dropped, so a pre-existing `weight`/`ticket` column on
+    * the input can't be silently replaced mid-pipeline (the weight
+    * expression is evaluated against the ORIGINAL input row first). */
   def weightedTicketSample(df: DataFrame, idCol: String, weightCol: Column,
                            k: Int, maxWeight: Int = 16): DataFrame = {
     require(k > 0 && maxWeight >= 1)
-    df.withColumn("weight", least(greatest(weightCol.cast("int"), lit(1)), lit(maxWeight)))
-      .withColumn("__i", explode(sequence(lit(1), col("weight"))))
-      .withColumn("__t", md5(concat_ws(":", col(idCol).cast("string"),
-        col("__i").cast("string")).cast("binary")))
+    df.select(col(idCol),
+        least(greatest(weightCol.cast("int"), lit(1)), lit(maxWeight)).as("weight"))
+      .select(col(idCol), col("weight"),
+        explode(sequence(lit(1), col("weight"))).as("__i"))
+      .select(col(idCol), col("weight"),
+        md5(concat_ws(":", col(idCol).cast("string"),
+          col("__i").cast("string")).cast("binary")).as("__t"))
       .groupBy(col(idCol), col("weight"))
       .agg(min(col("__t")).as("ticket"))
       .orderBy(col("ticket"), col(idCol))
