@@ -58,9 +58,8 @@ object Bpe {
   def trainMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds > 0, "rounds must be positive")
     val spark = df.sparkSession
-    var words = wordCounts(df, textCol)
-      .select(split(col("word"), "").as("syms"), col("n"))
-      .localCheckpoint(true)
+    var words = graft.Checkpoints.pin(wordCounts(df, textCol)
+      .select(split(col("word"), "").as("syms"), col("n")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to rounds if !exhausted) {
@@ -73,9 +72,8 @@ object Bpe {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, l + r, cnt))
-        words = words
-          .withColumn("syms", mergeOnce(col("syms"), l, r))
-          .localCheckpoint(true)
+        words = graft.Checkpoints.pin(
+          words.withColumn("syms", mergeOnce(col("syms"), l, r)))
       }
     }
     spark.createDataFrame(merges.toSeq)
@@ -84,11 +82,27 @@ object Bpe {
 
   /** Apply a learned merge table to a corpus: tokenize each row's text
     * into BPE symbols under the merges, applied in rank order (the encode
-    * side). `merges` is collected to the driver (vocab-sized) and unrolled
-    * into nested column expressions — practical for the demo-scale merge
-    * counts here; a production encoder would compile the merge table into
-    * a codegen'd trie Expression instead. */
+    * side). `merges` is collected to the driver (vocab-sized) and compiled
+    * into ONE codegen'd expression ([[graft.plans.BpeEncodeExpr]]) holding
+    * a pair-to-rank hash index — plan size O(1) and per-word cost O(s²)
+    * in the word length, both independent of the merge count, so a
+    * production 32k-merge vocabulary analyzes and runs fine (the unrolled
+    * reference form below is linear in merges on both axes). */
   def applyMerges(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val ranked = merges.select("merge_rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(m => (m.getString(1), m.getString(2))).toSeq
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    df.withColumn("bpe_tokens", graft.plans.BpeExprs.bpeEncode(words, ranked))
+  }
+
+  /** Reference encode: the merge list unrolled into nested `aggregate`
+    * column expressions, one [[mergeOnce]] pass per merge in rank order.
+    * Semantically identical to [[applyMerges]] (TextPipelineSpec asserts
+    * parity) but plan size and per-word cost are linear in the merge
+    * count — kept as the executable specification the compiled expression
+    * is checked against, not for production vocabularies. */
+  def applyMergesUnrolled(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     val ranked = merges.select("merge_rank", "left", "right")
       .collect().sortBy(_.getInt(0))
     val start = split(lower(trim(col(textCol))), "\\s+")

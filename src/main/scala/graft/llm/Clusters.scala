@@ -31,9 +31,16 @@ object Clusters {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
-    // symmetric edge list, cached: reused every round
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // symmetric edge list, cached: reused every round. Built with ONE
+    // explode rather than a two-branch union — a union would reference
+    // the `pairs` subtree twice and Spark executes each branch separately
+    // (no cross-branch subtree reuse), doubling a possibly-expensive
+    // upstream pair-mining pipeline.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
     // Propagate only over nodes that touch an edge: isolated nodes can
@@ -42,11 +49,11 @@ object Clusters {
     // not O(|corpus|) — in a dedup pipeline edges are the rare near-dups,
     // so this is the difference between iterating over a 100 TB corpus
     // and iterating over its duplicate fringe.
-    // localCheckpoint each round, NOT cache: caching keeps the logical plan,
+    // Checkpoints.pin each round, NOT cache: caching keeps the logical plan,
     // which doubles in size every iteration (the next round's joins re-embed
     // it) until analysis itself OOMs; checkpointing truncates lineage to the
-    // materialized RDD. Same rule a 1000-executor iterative job follows —
-    // there with checkpoint() to durable storage for executor-loss recovery.
+    // materialized RDD. Set graft.checkpointDir for the durable-storage
+    // variant a 1000-executor run wants (executor-loss recovery).
     // Superseded rounds' checkpoint blocks are released asynchronously by
     // Spark's ContextCleaner once the dropped `labels` reference is GC'd —
     // at most a few round's worth of the (id, lbl) table is ever live.
@@ -59,7 +66,7 @@ object Clusters {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
-      .localCheckpoint(eager = true)
+      .transform(graft.Checkpoints.pin)
     var converged = false
     var iter = 0
     try {
@@ -76,7 +83,7 @@ object Clusters {
           .select(col("id"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
             (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-          .localCheckpoint(eager = true)
+          .transform(graft.Checkpoints.pin)
         converged = next.filter(col("chg")).limit(1).count() == 0
         labels = next.drop("chg")
         iter += 1
@@ -110,12 +117,66 @@ object Clusters {
     * id-orientation is kept here because the miners already emit id
     * order, and dedup-graph degrees are cap-bounded upstream). */
   def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    // The wedge-then-close join references the edge list THREE times, and
+    // Spark recomputes an unmaterialized subtree once per reference — fed
+    // by a pair-mining pipeline that tripled the dominant cost (measured
+    // 25.7 s -> ~9 s at 32x on q104). The pair list is the SMALL derived
+    // artifact (near-dup pairs, not the corpus), so pin it once; a real
+    // pipeline persists this table anyway.
+    val e = graft.Checkpoints.pin(pairs.select(col(aCol).as("a"), col(bCol).as("b")))
     val wedges = e.join(e.select(col("a").as("__m"), col("b").as("c")),
       col("b") === col("__m"))
     wedges.join(e.select(col("a").as("__ca"), col("b").as("__cb")),
         col("a") === col("__ca") && col("c") === col("__cb"), "left_semi")
       .select(col("a"), col("b"), col("c"))
+  }
+
+  /** [[triangles]] with DEGREE orientation — the worst-case-bounded
+    * variant the id-oriented scaladoc points at: every edge is directed
+    * from its lower-(degree, id) endpoint to the higher one, so each
+    * triangle is produced exactly once from its π-smallest vertex and a
+    * vertex's wedge fan-out is its OUT-degree under the orientation,
+    * which is O(√m) on any graph (a vertex with out-degree d has d
+    * higher-degree neighbors, each of degree ≥ d, so d² ≤ 2m). Total
+    * wedge work is therefore O(m^1.5) regardless of hot vertices —
+    * id-orientation hits C(deg,2) on an unlucky low-id hub and relies on
+    * the upstream miners' caps instead. Costs one extra degree
+    * aggregation + two joins over [[triangles]]; same output set
+    * (ClustersSpec property-checks the equivalence on random graphs).
+    *
+    * @param pairs undirected edge list, `aCol` < `bCol` per row */
+  def trianglesByDegree(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // pinned for the same multi-reference reason as [[triangles]] (degree
+    // agg + orientation join + the three-way wedge join all read it)
+    val e0 = graft.Checkpoints.pin(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val deg = e0.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withD = e0
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    // π(v) = (degree, id); orient every edge π-ascending. The target's π
+    // rides along so the wedge join can order the two out-neighbors.
+    val oriented = withD.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"),
+          struct(col("dv").as("d"), col("v").as("id")).as("pt")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"),
+            struct(col("du").as("d"), col("u").as("id")).as("pt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.pt").as("pt"))
+    // wedges at the π-smallest vertex: two out-edges, neighbors π-ordered
+    // so each unordered pair appears once; close on the oriented third edge
+    val w = oriented.select(col("s"), col("t").as("t1"), col("pt").as("p1"))
+      .join(oriented.select(col("s"), col("t").as("t2"), col("pt").as("p2")), "s")
+      .filter(col("p1") < col("p2"))
+    val closed = w.join(
+      oriented.select(col("t").as("__ct"), col("s").as("__cs")),
+      col("t1") === col("__cs") && col("t2") === col("__ct"), "left_semi")
+    closed.select(
+      element_at(array_sort(array(col("s"), col("t1"), col("t2"))), 1).as("a"),
+      element_at(array_sort(array(col("s"), col("t1"), col("t2"))), 2).as("b"),
+      element_at(array_sort(array(col("s"), col("t1"), col("t2"))), 3).as("c"))
   }
 
   /** End-to-end cluster summary: components + per-cluster size, one row per

@@ -143,7 +143,7 @@ object Similarity {
     val subRows = emb.select(col("vec_id"),
         posexplode(array((0 until m).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subvec")))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.pin)
     val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     var books: Array[Array[Array[Float]]] =

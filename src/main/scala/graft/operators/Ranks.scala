@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *      `localCheckpoint` — partition ids MUST be frozen because the range
   *      sampler re-draws per physical execution, and pass 2 and pass 3
   *      would otherwise see different partitionings (wrong ranks, silently).
-  *      On a real cluster swap `localCheckpoint` for a durable
-  *      `checkpoint` dir, same note as [[graft.llm.Clusters]].
+  *      Set the `graft.checkpointDir` session option for the durable
+  *      `checkpoint` variant ([[graft.Checkpoints]]), same note as
+  *      [[graft.llm.Clusters]].
   *   2. per-partition counts (one tiny job: ≤ `partitions` longs to the
   *      driver) → cumulative offsets.
   *   3. local `row_number` partitioned BY the range-partition id, plus the
@@ -35,9 +36,9 @@ object Ranks {
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.Checkpoints.pin(
+      df.repartitionByRange(p, order: _*)
+        .withColumn("__pid", spark_partition_id()))
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -74,10 +75,10 @@ object Ranks {
     val p =
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, order: _*)
-      .withColumn("__v", value.cast("long"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = graft.Checkpoints.pin(
+      df.repartitionByRange(p, order: _*)
+        .withColumn("__v", value.cast("long"))
+        .withColumn("__pid", spark_partition_id()))
     val sums = ranged.groupBy(col("__pid")).agg(sum(col("__v")).as("s"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))

@@ -437,6 +437,35 @@ object CustomerQueries {
         .join(exact, Seq("event_type"))
     },
 
+    // ---- q112a: INDEPENDENT error audit for the golden-gated q112, the
+    // q43a trick applied to the sketch: the HLL hash family isn't
+    // SQL-expressible, but its ERROR BOUND against exact distincts is.
+    // Spark keeps only the groups whose merged-sketch estimate lands
+    // within 5% of the exact count (measured worst: 0.4% at sf0.1, 0 at
+    // sf0.01 — the bound is ~3x headroom on the 4 KB sketch's theoretical
+    // 1.6% sigma) and emits (event_type, exact_users); the oracle is the
+    // full exact-distinct SQL. A sketch whose estimate drifts out of
+    // bound drops its group and fails the row/hash gate — every round,
+    // independently of the golden snapshot's determinism replay.
+    QueryDef.sql("q112a_hll_error_audit",
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Hll
+      val ev = Tables.events(s, dir)
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Hll.sketch(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(Hll.estimate(Hll.union(col("sk"))).as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .filter(abs(col("approx_users") - col("exact_users"))
+          <= lit(0.05) * col("exact_users"))
+        .select(col("event_type"), col("exact_users"))
+        .orderBy("event_type")
+    },
+
     // ---- q109: bloom-pruned fact join — the explicit runtime-filter
     // shape: dim keys (qualifying customers) fold into one bloom sketch,
     // the orders fact is might_contain-filtered BEFORE its join shuffle,

@@ -680,6 +680,36 @@ object TextQueries {
     // error (cms_freq ≥ exact_freq always; equal at this scale). Not
     // SQL-oracle-able (xxhash64 family) → golden gate; SqlFunctionsSpec
     // pins mergeability, partitioning-independence, and one-sidedness.
+    // ---- q115a: INDEPENDENT error audit for the golden-gated q115 (the
+    // q112a pattern for the frequency sketch): Spark keeps only the
+    // top-20 terms whose CMS estimate honors BOTH bounds — one-sided
+    // (cms >= exact always, by construction) and the width guarantee
+    // (overcount <= 0.5% of total token mass; measured overcount on this
+    // corpus: exactly 0 at every shipped scale) — and emits
+    // (term, exact_freq); the oracle recomputes the exact top-20 in SQL.
+    // A sketch bug in either direction drops a row and fails the gate.
+    QueryDef.sql("q115a_cms_error_audit",
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9$ws]')) AS term FROM documents)
+         |SELECT term, COUNT(*) AS exact_freq FROM tok GROUP BY 1
+         |ORDER BY exact_freq DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.operators.Cms
+      val counts = Tables.documents(s, dir).select(
+          explode(regexp_extract_all(lower(col("text")),
+            lit(TextStats.bpeishPattern), lit(0))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact_freq"))
+      val total = counts.agg(sum(col("exact_freq")).as("__total"))
+      val sk = counts.agg(Cms.sketchWeighted(col("term"), col("exact_freq")).as("sk"))
+      val top = counts.orderBy(desc("exact_freq"), asc("term")).limit(20)
+      val est = Cms.estimate(col("sk"), col("term"))
+      top.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+        .filter(est >= col("exact_freq") &&
+          est - col("exact_freq") <=
+            greatest(lit(1L), (lit(0.005) * col("__total")).cast("long")))
+        .select(col("term"), col("exact_freq"))
+        .orderBy(desc("exact_freq"), asc("term"))
+    },
+
     QueryDef.golden("q115_cms_heavy_hitters") { (s, dir) =>
       import graft.operators.Cms
       // One codegen'd token pass: exact (term, count) vocabulary first;

@@ -22,6 +22,19 @@ object PlanAudit {
     "q73_yoy_growth"      // input = one row per YEAR
   )
 
+  /** Queries allowed to keep a BroadcastNestedLoopJoin: their broadcast
+    * side is the ANN QUERY TABLE — one row by the operator contract
+    * (`query: a 1-row df`), bounded by the caller's query batch in
+    * general. The plan-shape test in [[PlanCheck.unboundedJoins]] can't
+    * prove a `filter(vec_id === 0)` is one row, so these are allow-listed
+    * by name; everything else must pass the shape test. */
+  val broadcastQueryAllowed: Set[String] = Set(
+    "q46_ann_brute_topk",  // brute top-k: emb ⨯ broadcast(1-row query)
+    "q47_ann_ivf_topk",    // IVF probe: centroids/emb ⨯ broadcast(query)
+    "q59_ann_ivf_kmeans",  // same probe shape over k-means cells
+    "q61_multimodal_ann"   // same probe shape over image features
+  )
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -32,6 +45,23 @@ object PlanAudit {
         else None
       }
       val viol = bad.filterNot(globalWindowAllowed)
+      println(s"violations (not allow-listed): ${viol.mkString(", ")}")
+      spark.stop()
+      sys.exit(if (viol.nonEmpty) 1 else 0)
+    }
+    // --joins: fail on CartesianProduct / BroadcastNestedLoopJoin nodes
+    // whose build side isn't a provably one-row scalar (the shape test in
+    // PlanCheck.unboundedJoins replaces a per-query allow-list) — the
+    // cartesian twin of the --windows gate.
+    if (args.headOption.contains("--joins")) {
+      val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        val js = PlanCheck.unboundedJoins(SparkEntry.queries(name)(spark, dir))
+        if (js.nonEmpty) {
+          println(f"$name%-28s unbounded joins=${js.size} (${js.map(_.nodeName).distinct.mkString(",")})")
+          Some(name)
+        } else None
+      }
+      val viol = bad.filterNot(broadcastQueryAllowed)
       println(s"violations (not allow-listed): ${viol.mkString(", ")}")
       spark.stop()
       sys.exit(if (viol.nonEmpty) 1 else 0)

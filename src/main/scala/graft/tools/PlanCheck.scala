@@ -1,8 +1,11 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Plan-shape predicates shared by the PlanAudit CLI and the regression
@@ -30,6 +33,39 @@ object PlanCheck {
       case w: WindowExec           => w.partitionSpec.isEmpty
       case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
       case _                       => false
+    }
+  }
+
+  /** A subtree that provably produces at most one row (or a tiny bounded
+    * head): a global (groupless) aggregate or a LIMIT ≤ 1 anywhere below.
+    * This is exactly the shape of the engine's intentional scalar
+    * broadcasts (`crossJoin(broadcast(df.agg(...)))` — q65's audit
+    * counters, q82's corpus size, q115's one-row sketch). */
+  private def oneRowBounded(p: SparkPlan): Boolean = walk(p).exists {
+    case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    case g: GlobalLimitExec   => g.limit <= 1
+    case _                    => false
+  }
+
+  /** Join operators with NO join keys whose build/either side is not a
+    * provably-bounded scalar — a CartesianProduct over two fact-sized
+    * inputs, or a BroadcastNestedLoopJoin broadcasting something that
+    * isn't one row. Both are quadratic-blowup regressions at 100 TB; the
+    * one-row-agg broadcasts the engine uses on purpose are allowed by
+    * the [[oneRowBounded]] shape test rather than a name allow-list. */
+  def unboundedJoins(df: DataFrame): Seq[SparkPlan] = {
+    val exec = df.queryExecution.executedPlan
+    exec.execute().count() // finalize AQE on THIS instance (clone-free)
+    walk(exec).filter {
+      case j: CartesianProductExec =>
+        !(oneRowBounded(j.left) || oneRowBounded(j.right))
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildRight => j.right
+          case BuildLeft  => j.left
+        }
+        !oneRowBounded(build)
+      case _ => false
     }
   }
 }

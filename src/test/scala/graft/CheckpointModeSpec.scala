@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.{Bpe, Clusters, Dedup}
+import graft.operators.Ranks
+import org.apache.spark.sql.functions._
+
+/** The `graft.checkpointDir` option switches every iterative pin from
+  * localCheckpoint to durable checkpoint ([[Checkpoints]]). These cases
+  * run the three iterative operator families in BOTH modes and assert
+  * bit-identical results — the option changes failure recovery, never
+  * values or plan shapes.
+  */
+class CheckpointModeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def withDurable[T](body: => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try body
+    finally {
+      spark.conf.unset(Checkpoints.DirKey)
+      // the context checkpoint dir sticks for the JVM; harmless for other
+      // suites (pin() only uses it when the option is set)
+    }
+  }
+
+  test("connectedComponents identical in local and durable checkpoint modes") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b")
+    def run() = Clusters.connectedComponents(
+        docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val local = run()
+    val durable = withDurable(run())
+    assert(local == durable)
+    assert(local.nonEmpty)
+  }
+
+  test("globalRowNumber and globalCumSum identical in both modes") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    def rn() = Ranks.globalRowNumber(docs, Seq(col("len").desc, col("doc_id")), "rn")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    def cs() = Ranks.globalCumSum(docs, Seq(col("doc_id")), col("len"), "cum")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (rnLocal, csLocal) = (rn(), cs())
+    val (rnDurable, csDurable) = withDurable((rn(), cs()))
+    assert(rnLocal == rnDurable)
+    assert(csLocal == csDurable)
+  }
+
+  test("trainMerges identical in both modes") {
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    def run() = Bpe.trainMerges(corpus, "text", 4)
+      .orderBy("merge_rank").collect().map(_.toSeq).toSeq
+    val local = run()
+    val durable = withDurable(run())
+    assert(local == durable)
+    assert(local.size == 4)
+  }
+}

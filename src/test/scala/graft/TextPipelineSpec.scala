@@ -245,6 +245,27 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("trianglesByDegree: same triangle set as id-oriented, incl. hub graphs") {
+    // property check over seeded random graphs, including a star+clique
+    // shape (one hub of high degree — the case degree orientation bounds)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 8
+      val all = for (a <- 0L until n; b <- (a + 1) until n) yield (a, b)
+      val edgeSeq = all.filter(_ => rnd.nextInt(100) < 12) ++
+        // hub 0 connected to everything (forces C(n-1,2) wedges under id
+        // orientation; degree orientation never wedges at the hub)
+        (1L until n).map(b => (0L, b))
+      val edges = edgeSeq.distinct.toDF("doc_a", "doc_b")
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val byId = norm(graft.llm.Clusters.triangles(edges, "doc_a", "doc_b"))
+      val byDeg = norm(graft.llm.Clusters.trianglesByDegree(edges, "doc_a", "doc_b"))
+      assert(byDeg == byId, s"trial $trial: degree-oriented set diverged")
+      assert(byDeg.forall { case (a, b, c) => a < b && b < c })
+    }
+  }
+
   test("winsorize clips to rounded exact percentiles and flags clipped rows") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val w = graft.operators.Cleaning.winsorize(df, "v", 0.05, 0.95)
@@ -355,6 +376,66 @@ class TextPipelineSpec extends SparkSpecBase {
       .select("bpe_tokens").head.getSeq[String](0)
     // lowest -> low+est (greedy left-to-right); newest -> n e w est
     assert(enc == Seq("low", "est", "n", "e", "w", "est"))
+  }
+
+  test("applyMerges (compiled expression) matches the unrolled reference form") {
+    import graft.llm.Bpe
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
+      (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = Bpe.trainMerges(corpus, "text", 4)
+    // adversarial encode inputs: unseen words, overlap runs ("aaa" under
+    // (a,a)), unicode incl. a surrogate pair, single chars, empty text
+    val texts = Seq("lowest newest", "aaa essst", "low low lower lowest",
+      "héllo 𝄞 x", "a", "").toDF("text")
+    val fast = Bpe.applyMerges(texts, "text", merges)
+      .select("bpe_tokens").collect().map(_.getSeq[String](0)).toSeq
+    val ref = Bpe.applyMergesUnrolled(texts, "text", merges)
+      .select("bpe_tokens").collect().map(_.getSeq[String](0)).toSeq
+    assert(fast == ref)
+  }
+
+  test("applyMerges at 1200 merges: bounded plan/analysis, parity vs local fold") {
+    import graft.llm.Bpe
+    // synthetic rank-ordered merge table, 1200 entries: pairs over a small
+    // alphabet plus chains onto earlier merged symbols — the shape of a
+    // production vocab (late merges reference early merges' outputs)
+    val rnd = new scala.util.Random(42)
+    val letters = ('a' to 'j').map(_.toString)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mergeList = (1 to 1200).map { _ =>
+      val l = if (merged.nonEmpty && rnd.nextInt(3) == 0)
+        merged(rnd.nextInt(merged.length)) else letters(rnd.nextInt(letters.length))
+      val r = letters(rnd.nextInt(letters.length))
+      merged += (l + r)
+      (l, r)
+    }
+    val mergesDf = mergeList.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r, l + r, 1L) }
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+    val words = (1 to 200).map(i =>
+      (1 to (3 + rnd.nextInt(10))).map(_ => letters(rnd.nextInt(letters.length)))
+        .mkString).mkString(" ")
+    val t0 = System.nanoTime()
+    val got = Bpe.applyMerges(Seq(words).toDF("text"), "text", mergesDf)
+      .select("bpe_tokens").head.getSeq[String](0)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    // the r5 unrolled form at 1200 merges never finishes analysis in test
+    // time; the compiled expression must stay interactive
+    assert(wallSec < 30.0, s"compiled BPE encode took ${wallSec}s")
+
+    // local executable spec of the fold semantics (mergeOnce per rank)
+    def mergeOnceLocal(syms: Vector[String], x: String, y: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String])((acc, s) =>
+        if (acc.nonEmpty && acc.last == x && s == y)
+          acc.init :+ (x + y)
+        else acc :+ s)
+    val expected = words.split("\\s+", -1).toSeq.flatMap { w =>
+      val chars = if (w.isEmpty) Vector("") else w.map(_.toString).toVector
+      mergeList.foldLeft(chars)((acc, m) => mergeOnceLocal(acc, m._1, m._2))
+    }
+    assert(got == expected)
   }
 
   test("trainMerges stops early when no adjacent pairs remain") {
