@@ -145,4 +145,61 @@ object TextStats {
           col("novel_bigrams").cast("double") / col("n_bigrams"))
           .as("novelty_ratio"))
   }
+
+  /** Bigram-LM average log-probability per document — the actual CCNet/
+    * RefinedWeb-style LM quality filter ([[bigramNovelty]] is its
+    * exact-arithmetic stand-in): an add-one-smoothed bigram model is
+    * fit on `reference` and each scored doc gets
+    * `avg_logprob = Σ tf(b)·ln((C(b)+1)/(C(w1)+V)) / Σ tf(b)` over its
+    * bigram occurrences (V = reference vocabulary size; unseen histories
+    * back off to the uniform 1/V floor). Low avg_logprob ≈ high
+    * perplexity ≈ off-distribution text.
+    *
+    * Determinism (what lets this be oracle-gated despite floats): the
+    * per-doc sum folds contributions in BIGRAM-LEXICOGRAPHIC order via
+    * `aggregate(array_sort(collect_list(...)))` — identical association
+    * on any partitioning and mirrored by the oracle's
+    * `list_reduce(list(contrib ORDER BY b))` — and the result is rounded
+    * to 6 dp, absorbing the ≤1-ulp cross-engine `ln` drift (the q82/q83
+    * recipe). Plan shape at 100 TB: the fitted LM is two hash-aggregated
+    * count tables joined back by key; per-doc state is one sorted
+    * contribution array, bounded by the doc's distinct-bigram count.
+    * Docs with < 2 tokens report 0 bigrams and NULL avg_logprob. */
+  def bigramLogProb(reference: DataFrame, docs: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+    // (bigram, history) per OCCURRENCE, over the materialized toks attr
+    def biOcc(df: DataFrame) = toks(df)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(concat_ws(" ", a, b).as("b"), a.as("w1")))).as("bw"))
+      .select(col(idCol), col("bw.b").as("b"), col("bw.w1").as("w1"))
+    val refUni = toks(reference).select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val refBi = biOcc(reference).groupBy("b").agg(count(lit(1)).as("cb"))
+    val vocab = refUni.agg(count(lit(1)).as("__v"))   // 1-row broadcast
+    val perBigram = biOcc(docs)
+      .groupBy(col(idCol), col("b"), col("w1")).agg(count(lit(1)).as("tf"))
+      .join(refBi, Seq("b"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("b"), col("tf"),
+        (col("tf") * log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cu"), lit(0L)) + col("__v")))).as("contrib"))
+    val scored = perBigram.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("b"), col("contrib")))),
+            x => x.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum") / col("n_bigrams"), 6).as("avg_logprob"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
 }

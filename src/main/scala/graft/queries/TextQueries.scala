@@ -507,6 +507,29 @@ object TextQueries {
       graft.llm.Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 12)
     },
 
+    // ---- q111a: INDEPENDENT audit for the golden-gated q111. The full
+    // merge loop isn't SQL-expressible (each round's argmax depends on
+    // the previous round's rewritten word table — recursive CTEs can't
+    // aggregate over the recursive term), but ROUND ONE is: the rank-1
+    // merge must be the corpus-wide argmax adjacent char pair
+    // (count DESC, then lexicographic), which DuckDB derives from raw
+    // text. This independently gates the whole per-round machinery —
+    // tokenize → distinct-word freq table → weighted pair counts →
+    // total-order argmax — on real data every round; the golden replay
+    // pins rounds 2..12 on top.
+    QueryDef.sql("q111a_bpe_first_merge_audit",
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY 1),
+         |p AS (SELECT substring(word, CAST(i AS INTEGER), 1) AS l,
+         |             substring(word, CAST(i AS INTEGER) + 1, 1) AS r, n
+         |      FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)),
+         |agg AS (SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM p GROUP BY 1, 2)
+         |SELECT CAST(1 AS INTEGER) AS merge_rank, l AS "left", r AS "right",
+         |  l || r AS merged, cnt AS pair_count
+         |FROM agg ORDER BY cnt DESC, l, r LIMIT 1""".stripMargin) { (s, dir) =>
+      graft.llm.Bpe.trainMerges(Tables.documents(s, dir), "text", rounds = 1)
+    },
+
     // ---- q110: temperature-based corpus mixing — the multilingual
     // rebalancing recipe (kept_d ∝ n_d^α, α=0.5) realized as the
     // deterministic md5-threshold downsample (Mixing.temperatureSample).
@@ -668,6 +691,44 @@ object TextQueries {
          |WHERE b.doc_id >= 250 ORDER BY 1""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       TextStats.bigramNovelty(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- q120: bigram-LM average log-probability — the real CCNet-style
+    // LM quality filter (q117's bigram novelty is its exact-arithmetic
+    // stand-in): add-one-smoothed bigram model fit on docs < 250, docs
+    // >= 250 scored by mean per-occurrence ln P(w2|w1). Cross-engine FP
+    // determinism via the q82/q83 recipe — contributions folded in
+    // bigram-lexicographic order on BOTH engines, final score rounded to
+    // 6 dp (absorbs <= 1-ulp ln drift; sort order makes association
+    // identical by construction).
+    QueryDef.sql("q120_bigram_logprob",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |rt AS (SELECT toks FROM t WHERE doc_id < 250),
+         |runi AS (SELECT w1, COUNT(*) AS cu FROM
+         |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
+         |rbi AS (SELECT b, COUNT(*) AS cb FROM
+         |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS v FROM runi),
+         |d AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |        i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw
+         |      FROM t WHERE doc_id >= 250),
+         |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d GROUP BY 1, 2, 3),
+         |c AS (SELECT doc_id, b,
+         |        tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
+         |      FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
+         |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |        round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
+         |          / SUM(tf), 6) AS avg_logprob
+         |      FROM c GROUP BY 1)
+         |SELECT t.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.avg_logprob
+         |FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+         |WHERE t.doc_id >= 250 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextStats.bigramLogProb(
           docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
           "doc_id", "text")
         .orderBy("doc_id")

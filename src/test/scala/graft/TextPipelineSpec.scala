@@ -447,6 +447,27 @@ class TextPipelineSpec extends SparkSpecBase {
 
   // ---- bigramNovelty --------------------------------------------------
 
+  test("bigramLogProb: hand-computed add-one scores; <2-token docs kept with null") {
+    // reference "a b a c": bigrams {a b:1, b a:1, a c:1}; unigrams a:2 b:1
+    // c:1; V=3. Doc "a b c": "a b" -> ln((1+1)/(2+3)) = ln(0.4);
+    // "b c" unseen -> ln((0+1)/(1+3)) = ln(0.25). avg over 2 occurrences.
+    val ref = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(ref, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r10 = out(0)
+    assert(r10.getAs[Long]("n_bigrams") == 2)
+    val expected = BigDecimal((math.log(0.4) + math.log(0.25)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r10.getAs[Double]("avg_logprob") == expected)
+    val r11 = out(1)
+    assert(r11.getAs[Long]("n_bigrams") == 0 && r11.isNullAt(2))
+    // partitioning-independent (the sorted-fold contract)
+    val p32 = TextStats.bigramLogProb(ref, docs.repartition(32), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == p32.map(_.toSeq).toSeq)
+  }
+
   test("bigramNovelty: hand-checked ratios, 0-bigram docs kept with null ratio") {
     val ref = Seq((1L, "a b c")).toDF("doc_id", "text")        // bigrams: {a b, b c}
     val docs = Seq(
