@@ -29,7 +29,9 @@ object Bench {
     "q95_line_dedup",        // corpus line dedup (explode + groupBy-min + join)
     "q113_doc_chunking",     // context-window flatMap (scan-bound)
     "q114_zorder_layout",    // Morton-clustered write + box read-back
-    "q115_cms_heavy_hitters" // weighted count-min sketch over the vocab
+    "q115_cms_heavy_hitters", // weighted count-min sketch over the vocab
+    "q120_bigram_logprob",   // bigram-LM scoring (joins + sorted fold)
+    "q121_semantic_dedup"    // embedding dedup end-to-end (pairs + CC)
   )
 
   def main(args: Array[String]): Unit = {

@@ -258,6 +258,30 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
   }
 
+  /** SemDeDup-shape semantic dedup, end-to-end: block on `cellCol`
+    * (a label, an LSH bucket, or a k-means cell id — any blocking that
+    * bounds the within-block join), mine exact cosine near-dup pairs at
+    * `threshold` ([[nearDuplicatePairs]]), resolve them into connected
+    * components ([[Clusters.connectedComponents]]), and keep each
+    * cluster's min-`vec_id` representative. Returns the SURVIVING rows
+    * of `emb` (the deduplicated embedding corpus), the artifact a
+    * training pipeline feeds downstream.
+    *
+    * 100 TB shape: the pair mine is block-bounded (never all-pairs), the
+    * component loop's working set is the near-dup fringe only, and the
+    * final keep is one semi-join — the same chain as the text-side
+    * q94 verdict, so the two modalities dedup with one posture. */
+  def semanticDedupe(emb: DataFrame, cellCol: String,
+                     threshold: Double): DataFrame = {
+    val pairs = nearDuplicatePairs(emb, cellCol, threshold)
+      .select("vec_a", "vec_b")
+    val comps = Clusters.connectedComponents(
+      emb.select(col("vec_id")), "vec_id", pairs, "vec_a", "vec_b")
+    emb.join(
+      comps.filter(col("vec_id") === col("cluster_rep")).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+  }
+
   /** Random-hyperplane LSH bucket assignment: `nBits` sign bits from
     * deterministic pseudo-random hyperplanes (seeded linear congruential
     * values per (bit, dim) — no RNG state, reproducible across runs).

@@ -164,6 +164,33 @@ object VectorQueries {
       Similarity.lshBuckets(Tables.embeddings(s, dir), nBits = 12)
         .groupBy("bucket").agg(count(lit(1)).as("vectors"))
         .orderBy(desc("vectors"), asc("bucket"))
+    },
+
+    // ---- q121: SemDeDup-shape semantic dedup, end-to-end — the
+    // embedding-modality twin of the q94 text verdict: label-blocked
+    // exact cosine pairs (q52) → connected components → keep each
+    // cluster's min-id representative → the SURVIVING corpus. The oracle
+    // re-derives the full chain (SQL cosine pairs + DuckDB's own
+    // recursive-CTE closure) and returns the same survivor set.
+    QueryDef.sql("q121_semantic_dedup",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (SELECT va AS s, vb AS d FROM pairs
+         |          UNION SELECT vb, va FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e JOIN comp ON e.vec_id = comp.id
+         |WHERE comp.id = comp.lbl ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedupe(Tables.embeddings(s, dir), "label", 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -161,4 +161,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
     assert(pairs.forall(r => r.getAs[Double]("cosine") >= 0.4))
   }
+
+  test("semanticDedupe keeps one representative per near-dup cluster") {
+    // label 0: vecs 1,2 parallel (cos 1.0) and vec 3 orthogonal;
+    // label 1: vec 4 parallel to 1 but in another block -> survives
+    val emb = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(2f, 0f)), (3L, 0, Seq(0f, 1f)),
+      (4L, 1, Seq(1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val kept = Similarity.semanticDedupe(emb, "label", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+    // survivors are pairwise below threshold within every block
+    val residual = Similarity.nearDuplicatePairs(
+      Similarity.semanticDedupe(emb, "label", 0.9), "label", 0.9).count()
+    assert(residual == 0)
+  }
 }
