@@ -250,6 +250,16 @@ class SourcesSpec extends SparkSpecBase {
     assert(exploded.filter($"item_price".between(50000, 500000)).count() == exploded.count())
   }
 
+  test("weightedTicketSample: input weight/ticket columns can't collide") {
+    // the weight expression reads the INPUT's own 'weight' column; a
+    // withColumn-based pipeline would overwrite it mid-plan and race
+    val df = Seq((1L, 3, "x"), (2L, 9, "y")).toDF("id", "weight", "ticket")
+    val out = Sampling.weightedTicketSample(df, "id", $"weight" * 2, k = 2)
+    assert(out.columns.toSeq == Seq("id", "weight", "ticket"))
+    val w = out.orderBy("id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(w == Map(1L -> 6, 2L -> 16))   // 9*2 clamps to maxWeight=16
+  }
+
   test("weightedTicketSample: deterministic across partitionings, clamped, exact k") {
     val docs = Tables.documents(spark, sf)
     val w = length($"text") / lit(100)   // cast to int + clamp happens inside

@@ -129,4 +129,27 @@ class SqlFunctionsSpec extends SparkSpecBase {
       .agg(Hist.sketch(col("v"), lo, hi, nb).as("h")).head.getSeq[Long](0)
     assert(clamped.head == 1L && clamped.last == 1L && clamped.sum == 2L)
   }
+
+  test("Hist edge contracts: NaN dropped, empty histogram -> lo, null sketch -> null") {
+    import graft.operators.Hist
+    // NaN must NOT silently land in bucket 0 (NaN.toInt == 0 trap)
+    val h = Seq(Double.NaN, 5.0, Double.NaN).toDF("v")
+      .agg(Hist.sketch(col("v"), 0.0, 100.0, 10).as("h")).head.getSeq[Long](0)
+    assert(h.sum == 1L && h.head == 1L, s"NaN rows must be dropped, got $h")
+    // zero-length and all-zero counts obey the documented empty -> lo
+    assert(Hist.quantileLowerBoundOf(Seq.empty, 0.5, 10.0, 5.0) == 10.0)
+    assert(Hist.quantileLowerBoundOf(Seq(0L, 0L), 0.5, 10.0, 5.0) == 10.0)
+    // null sketch (outer-join shape) -> null, not an NPE
+    val nullQ = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("h")
+      .select(Hist.quantileLowerBound(col("h"), 0.5, 0.0, 100.0, 10).as("q"))
+      .head
+    assert(nullQ.isNullAt(0))
+  }
+
+  test("Cms.estimate on a null sketch -> null, not an NPE") {
+    import graft.operators.Cms
+    val r = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("sk")
+      .select(Cms.estimate(col("sk"), lit("x")).as("est")).head
+    assert(r.isNullAt(0))
+  }
 }

@@ -527,4 +527,18 @@ class TextPipelineSpec extends SparkSpecBase {
     val plan = chunks.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("chunkByTokens edge contracts: null text kept as empty chunk; stride>size rejected") {
+    import graft.llm.Chunking
+    // NULL text must behave as the empty document, not vanish
+    val docs = Seq((1L, null: String), (2L, "a b")).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(docs, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[String]("chunk_text") == "")
+    // stride > size would skip tokens between windows — contract violation
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(docs, "doc_id", "text", size = 4, stride = 5)
+    }
+  }
 }
