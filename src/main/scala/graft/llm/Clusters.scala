@@ -28,9 +28,17 @@ object Clusters {
     * @param pairs df with two id columns (`aCol`, `bCol`), one row per edge
     * @return (idCol, cluster_rep) — cluster_rep = min node id reachable
     */
+  /** @param accelerated add a POINTER-JUMPING step per round (each node
+    *   also adopts its current label's label): convergence drops from
+    *   O(diameter) to O(log diameter) rounds — the difference between 20
+    *   and 5 joins on a chain-shaped component. Costs one extra join per
+    *   round, which near-dup graphs (tiny dense components, diameter ≤
+    *   2-3) don't need — hence opt-in; results are identical either way
+    *   (ClustersSpec property-checks it, incl. on long chains). */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          accelerated: Boolean = false): DataFrame = {
     // symmetric edge list, cached: reused every round. Built with ONE
     // explode rather than a two-branch union — a union would reference
     // the `pairs` subtree twice and Spark executes each branch separately
@@ -78,11 +86,23 @@ object Clusters {
         // ...folded with the node's own label; the convergence flag rides
         // along in the SAME pass (one checkpoint + one cheap scan per
         // round, no separate old-vs-new join job)
-        val next = labels
+        val stepped = labels
           .join(fromNeighbors, labels("id") === col("id2"), "left")
           .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("m"),
+            col("lbl").as("old"))
+        // pointer jump: adopt the label's OWN label too. Every label is a
+        // node id that touches an edge (labels are mins over edge
+        // endpoints), so the lookup join always hits.
+        val next = (if (!accelerated) stepped.select(col("id"), col("m"), col("old"))
+          else {
+            val byId = labels.select(col("id").as("__jid"), col("lbl").as("__jlbl"))
+            stepped.join(byId, col("m") === col("__jid"), "left")
+              .select(col("id"),
+                least(col("m"), coalesce(col("__jlbl"), col("m"))).as("m"),
+                col("old"))
+          })
+          .select(col("id"), col("m").as("lbl"), (col("m") < col("old")).as("chg"))
           .transform(graft.Checkpoints.pin)
         converged = next.filter(col("chg")).limit(1).count() == 0
         labels = next.drop("chg")

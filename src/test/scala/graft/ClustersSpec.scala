@@ -55,4 +55,31 @@ class ClustersSpec extends SparkSpecBase {
       edges(2L -> 1L, 2L -> 3L, 3L -> 2L, 1L -> 2L), "a", "b")
     assert(a.orderBy("id").collect().toSeq == b.orderBy("id").collect().toSeq)
   }
+
+  test("accelerated (pointer-jumping) mode: identical labels, log-diameter rounds") {
+    // random graphs: both modes agree exactly
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val es = (for (a <- 0L until n; b <- (a + 1) until n) yield (a, b))
+        .filter(_ => rnd.nextInt(100) < 5)
+      val ns = nodes(0L until n: _*)
+      val base = Clusters.connectedComponents(ns, "id", edges(es: _*), "a", "b",
+        maxIters = 40).orderBy("id").collect().map(_.toSeq).toSeq
+      val acc = Clusters.connectedComponents(ns, "id", edges(es: _*), "a", "b",
+        maxIters = 40, accelerated = true).orderBy("id").collect().map(_.toSeq).toSeq
+      assert(base == acc)
+    }
+    // a 31-node path (diameter 30): plain min-propagation cannot converge
+    // in 8 rounds; pointer jumping contracts the chain exponentially
+    val path = (1L until 31L).map(i => i -> (i + 1))
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(nodes(1L to 31L: _*), "id",
+        edges(path: _*), "a", "b", maxIters = 8).collect()
+    }
+    val fast = Clusters.connectedComponents(nodes(1L to 31L: _*), "id",
+      edges(path: _*), "a", "b", maxIters = 8, accelerated = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.values.toSet == Set(1L), "whole path is one component labeled 1")
+  }
 }
