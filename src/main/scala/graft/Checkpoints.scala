@@ -10,13 +10,23 @@ import org.apache.spark.sql.DataFrame
   * DIFFERENT partitionings and produce silently wrong ranks).
   *
   * Default is `localCheckpoint` — executor-local blocks, no I/O, right for
-  * local mode and for clusters that accept recomputation-on-loss. Setting
-  * the session option `graft.checkpointDir` to a durable path (HDFS/object
-  * store) switches every pin to a reliable `checkpoint`: executor loss
-  * then recovers from storage instead of killing the whole iterative job —
-  * the posture a 1000-executor run wants. Results are identical in both
-  * modes (CheckpointModeSpec asserts it); only the failure-recovery story
+  * local mode and for clusters that accept recomputation-on-loss;
+  * superseded rounds' blocks are released by the ContextCleaner as the
+  * dropped references are GC'd. Setting the session option
+  * `graft.checkpointDir` to a durable path (HDFS/object store) switches
+  * every pin to a reliable `checkpoint`: executor loss then recovers from
+  * storage instead of killing the whole iterative job — the posture a
+  * 1000-executor run wants. Results are identical in both modes
+  * (CheckpointModeSpec asserts it); only the failure-recovery story
   * changes.
+  *
+  * DURABLE-MODE RETENTION: Spark deletes superseded reliable-checkpoint
+  * files only when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (off by default, and it must be set at SparkContext start). Long-lived
+  * sessions running many iterative jobs against a durable dir should set
+  * that flag — or point `graft.checkpointDir` at a storage path with a
+  * TTL/lifecycle rule — otherwise each round's table copy accumulates for
+  * the application's lifetime.
   */
 object Checkpoints {
 

@@ -62,9 +62,11 @@ object Clusters {
     // it) until analysis itself OOMs; checkpointing truncates lineage to the
     // materialized RDD. Set graft.checkpointDir for the durable-storage
     // variant a 1000-executor run wants (executor-loss recovery).
-    // Superseded rounds' checkpoint blocks are released asynchronously by
-    // Spark's ContextCleaner once the dropped `labels` reference is GC'd —
-    // at most a few round's worth of the (id, lbl) table is ever live.
+    // Local mode: superseded rounds' checkpoint blocks are released
+    // asynchronously by Spark's ContextCleaner once the dropped `labels`
+    // reference is GC'd — at most a few rounds' worth of the (id, lbl)
+    // table is ever live. Durable mode: see the retention note on
+    // graft.Checkpoints (cleanCheckpoints flag or a storage TTL).
     // Round 0 for free: initialize each endpoint to min(self, min neighbor)
     // with ONE aggregation over the symmetric edge list — the first
     // propagation round without its join. Any init that is ≥ the final

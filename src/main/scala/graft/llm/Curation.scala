@@ -101,6 +101,9 @@ object Curation {
       .crossJoin(near.agg(count(lit(1)).as("after_near_dedup")))
       .crossJoin(curated.agg(
         count(lit(1)).as("after_quality_filter"),
-        sum(when(col("is_train"), 1L).otherwise(0L)).as("train_docs")))
+        // coalesce: SUM over an empty (all-filtered) set is NULL, but the
+        // report contract — and the q66 oracle — say 0 train docs
+        coalesce(sum(when(col("is_train"), 1L).otherwise(0L)), lit(0L))
+          .as("train_docs")))
   }
 }

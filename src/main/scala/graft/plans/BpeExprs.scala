@@ -32,21 +32,46 @@ final class BpeMergeTable(left: Array[String], right: Array[String])
   extends Serializable {
   require(left.length == right.length)
 
-  /** pair -> 1-based rank; the key length-prefixes the left symbol so the
-    * packing is injective for ANY symbol content (("ab","c") and
-    * ("a","bc") must not collide). First (lowest) rank wins if a pair is
-    * listed twice — matching the fold, where the second pass finds
-    * nothing left to merge. */
+  /** pair -> ALL its 1-based ranks, ascending; the key length-prefixes
+    * the left symbol so the packing is injective for ANY symbol content
+    * (("ab","c") and ("a","bc") must not collide). Every rank is kept
+    * because a trained table CAN legitimately list one pair twice: a
+    * pair exhausted at rank j is re-created when a later merge
+    * re-manufactures its left symbol (e.g. (ab,c) at rank 1, (a,b) at
+    * rank 2 re-creates ab—c adjacencies, and a rank-3 (ab,c) merges
+    * them) — the fold applies BOTH passes, so the rescan must be able to
+    * find the pair again at its later rank. */
   private def key(l: String, r: String): String = l.length + ":" + l + r
 
-  @transient private lazy val rankOf: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](left.length * 2)
+  @transient private lazy val ranksOf: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, java.util.ArrayList[Integer]](left.length * 2)
     var i = 0
     while (i < left.length) {
-      m.putIfAbsent(key(left(i), right(i)), Integer.valueOf(i + 1))
+      m.computeIfAbsent(key(left(i), right(i)), _ => new java.util.ArrayList[Integer])
+        .add(Integer.valueOf(i + 1))
       i += 1
     }
-    m
+    val out = new java.util.HashMap[String, Array[Int]](m.size * 2)
+    m.forEach { (k, v) =>
+      val arr = new Array[Int](v.size)
+      var j = 0
+      while (j < arr.length) { arr(j) = v.get(j).intValue; j += 1 }
+      out.put(k, arr)   // insertion order is ascending rank already
+    }
+    out
+  }
+
+  /** Smallest rank of (l, r) strictly above `current`; MaxValue if none. */
+  private def nextRank(l: String, r: String, current: Int): Int = {
+    val rs = ranksOf.get(key(l, r))
+    if (rs == null) return Int.MaxValue
+    // rs is ascending and tiny (almost always length 1): linear scan
+    var j = 0
+    while (j < rs.length) {
+      if (rs(j) > current) return rs(j)
+      j += 1
+    }
+    Int.MaxValue
   }
 
   /** Code-point split, replicating `split(w, "")`: Java's empty-regex
@@ -86,9 +111,8 @@ final class BpeMergeTable(left: Array[String], right: Array[String])
       var best = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val r = rankOf.get(key(syms(i), syms(i + 1)))
-        if (r != null && r.intValue > current && r.intValue < best)
-          best = r.intValue
+        val r = nextRank(syms(i), syms(i + 1), current)
+        if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) return syms

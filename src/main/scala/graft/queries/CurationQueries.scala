@@ -11,18 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  // DuckDB 8-gram fragments for the decontamination oracle — must match
-  // TextFns.tokens + shingle semantics at n=8 (distinct, space-joined).
-  private val ws = "\\s"   // literal \s for use inside s-interpolated SQL
-  private val toksSql8 = """string_split_regex(lower(trim(text)), '\s+')"""
-  private val toksSql = toksSql8
-  private def shingles8Sql(toks: String) =
-    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-7, 0)),
-       |  i -> ${(0 to 7).map(j => s"$toks[i+$j]").mkString(" || ' ' || ")}))""".stripMargin
-  // trigram twin (q66's near-dup stage; must match TextQueries' q42 fragments)
-  private def shingles3Sql(toks: String) =
-    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-2, 0)),
-       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+  // DuckDB token/shingle fragments — single definitions in SqlFragments
+  // (shared with TextQueries so the modules can't drift apart).
+  private val ws = SqlFragments.ws
+  private val toksSql = SqlFragments.toksSql
+  private val toksSql8 = toksSql
+  private def shingles8Sql(toks: String) = SqlFragments.shinglesSql(toks, 8)
+  private def shingles3Sql(toks: String) = SqlFragments.shinglesSql(toks, 3)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -13,12 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  // DuckDB token/shingle fragments — must match TextFns.tokens/shingles.
-  private val ws = "\\s"   // literal \s for use inside s-interpolated SQL
-  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
-  private def shinglesSql(toks: String) =
-    s"""list_distinct(list_transform(generate_series(1, greatest(len($toks)-2, 0)),
-       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+  // DuckDB token/shingle fragments — single definitions in SqlFragments
+  // (shared with CurationQueries so the modules can't drift apart).
+  private val ws = SqlFragments.ws
+  private val toksSql = SqlFragments.toksSql
+  private def shinglesSql(toks: String) = SqlFragments.shinglesSql(toks, 3)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -755,10 +754,13 @@ object TextQueries {
          |SELECT term, COUNT(*) AS exact_freq FROM tok GROUP BY 1
          |ORDER BY exact_freq DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
       import graft.operators.Cms
-      val counts = Tables.documents(s, dir).select(
+      // pinned: total/sketch/top-20 all read the vocabulary, and three
+      // unmaterialized references would re-run the corpus tokenize pass
+      // three times (the triangles multi-reference lesson)
+      val counts = graft.Checkpoints.pin(Tables.documents(s, dir).select(
           explode(regexp_extract_all(lower(col("text")),
             lit(TextStats.bpeishPattern), lit(0))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("exact_freq"))
+        .groupBy("term").agg(count(lit(1)).as("exact_freq")))
       val total = counts.agg(sum(col("exact_freq")).as("__total"))
       val sk = counts.agg(Cms.sketchWeighted(col("term"), col("exact_freq")).as("sk"))
       val top = counts.orderBy(desc("exact_freq"), asc("term")).limit(20)
@@ -777,10 +779,11 @@ object TextQueries {
       // the sketch is then built WEIGHTED over vocab-cardinality rows
       // (bit-identical counters — sums commute), so the object-path
       // aggregator cost is per distinct term, not per corpus token.
-      val counts = Tables.documents(s, dir).select(
+      // Pinned: the sketch and the top-20 both read it.
+      val counts = graft.Checkpoints.pin(Tables.documents(s, dir).select(
           explode(regexp_extract_all(lower(col("text")),
             lit(TextStats.bpeishPattern), lit(0))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("exact_freq"))
+        .groupBy("term").agg(count(lit(1)).as("exact_freq")))
       val sk = counts.agg(
         Cms.sketchWeighted(col("term"), col("exact_freq")).as("sk"))
       val top = counts.orderBy(desc("exact_freq"), asc("term")).limit(20)

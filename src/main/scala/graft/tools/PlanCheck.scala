@@ -36,15 +36,35 @@ object PlanCheck {
     }
   }
 
-  /** A subtree that provably produces at most one row (or a tiny bounded
-    * head): a global (groupless) aggregate or a LIMIT ≤ 1 anywhere below.
-    * This is exactly the shape of the engine's intentional scalar
-    * broadcasts (`crossJoin(broadcast(df.agg(...)))` — q65's audit
-    * counters, q82's corpus size, q115's one-row sketch). */
-  private def oneRowBounded(p: SparkPlan): Boolean = walk(p).exists {
+  /** A subtree that provably produces at most one row: a global
+    * (groupless) aggregate or a LIMIT ≤ 1 at the TOP of the build side,
+    * looking through row-preserving/reducing single-child wrappers
+    * (project/filter/exchange/sort/codegen/AQE shells). This is exactly
+    * the shape of the engine's intentional scalar broadcasts
+    * (`crossJoin(broadcast(df.agg(...)))` — q65's audit counters, q82's
+    * corpus size, q115's one-row sketch). Deliberately NOT an
+    * anywhere-below `exists`: a fact-sized build side would pass that
+    * test whenever any scalar aggregate appears deeper in its subtree
+    * (e.g. fact ⨯ (fact ⨯ broadcast(scalar))), which is precisely the
+    * quadratic regression this gate exists to catch. */
+  @scala.annotation.tailrec
+  private def oneRowBounded(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case g: GlobalLimitExec   => g.limit <= 1
-    case _                    => false
+    case a: AdaptiveSparkPlanExec => oneRowBounded(a.executedPlan)
+    case q: QueryStageExec        => oneRowBounded(q.plan)
+    case o if o.children.size == 1 && passThrough(o) => oneRowBounded(o.children.head)
+    case _ => false
+  }
+
+  /** Single-child physical wrappers that never increase row count. */
+  private def passThrough(p: SparkPlan): Boolean = {
+    val n = p.getClass.getSimpleName
+    n.startsWith("Project") || n.startsWith("Filter") ||
+      n.contains("Exchange") || n.startsWith("Sort") ||
+      n.startsWith("WholeStageCodegen") || n == "InputAdapter" ||
+      n.startsWith("AQEShuffleRead") || n.startsWith("Coalesce") ||
+      n.startsWith("LocalLimit") || n.startsWith("ColumnarToRow")
   }
 
   /** Join operators with NO join keys whose build/either side is not a

@@ -394,6 +394,19 @@ class TextPipelineSpec extends SparkSpecBase {
     val ref = Bpe.applyMergesUnrolled(texts, "text", merges)
       .select("bpe_tokens").collect().map(_.getSeq[String](0)).toSeq
     assert(fast == ref)
+
+    // duplicate-pair table: (ab,c) is exhausted at rank 1, RE-CREATED by
+    // rank 2's (a,b), and listed again at rank 3 — the fold applies both
+    // passes, so "abc" must become [abc], not stall at [ab, c]
+    val dup = Seq((1, "ab", "c", "abc", 1L), (2, "a", "b", "ab", 1L),
+        (3, "ab", "c", "abc", 1L))
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+    val word = Seq("abc xabc").toDF("text")
+    val fastDup = Bpe.applyMerges(word, "text", dup)
+      .select("bpe_tokens").head.getSeq[String](0)
+    val refDup = Bpe.applyMergesUnrolled(word, "text", dup)
+      .select("bpe_tokens").head.getSeq[String](0)
+    assert(fastDup == refDup && fastDup == Seq("abc", "x", "abc"))
   }
 
   test("applyMerges at 1200 merges: bounded plan/analysis, parity vs local fold") {
