@@ -146,6 +146,72 @@ object TextStats {
           .as("novelty_ratio"))
   }
 
+  /** Cross-document duplicated-span coverage — the substring-level dedup
+    * diagnostic (the Lee et al. 2021 "Deduplicating Training Data" shape;
+    * doc-level [[graft.llm.Dedup]] and line-level dedup miss templated
+    * spans shared across otherwise-distinct pages): for each document,
+    * the number of token positions covered by at least one word `n`-gram
+    * that also occurs in `minDocs`-or-more DISTINCT documents, plus the
+    * covered fraction. A high ratio marks boilerplate-heavy pages whose
+    * every sentence appears elsewhere even though no whole doc or line
+    * matches.
+    *
+    * Exactness: covered/total are BIGINT interval-union counts (union of
+    * [p, p+n-1] computed by a sorted fold: first gram contributes n,
+    * each later one min(n, pos - prev)); the ratio is one IEEE division
+    * of exact integers — bit-reproducible cross-engine, no rounding
+    * needed.
+    *
+    * Scale shape: one tokenize+gram pass (positional grams over the
+    * MATERIALIZED token array — TextFns' perf contract), exploded once
+    * and pinned (two consumers; re-running the explode would double the
+    * corpus scan). Gram identity is the 64-bit xxhash64 (the q42
+    * inverted-index precedent) so the document-frequency aggregation and
+    * the semi-join shuffle longs, not strings. The coverage fold is a
+    * per-doc hash aggregation over an array bounded by doc length — no
+    * window, no global sort, nothing driver-side. */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val toksDf = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+    // (doc, pos, gramHash) per gram OCCURRENCE, 1-based positions
+    val occ = graft.Checkpoints.pin(toksDf
+      .select(col(idCol),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => struct((i + 1).cast("int").as("pos"),
+              xxhash64(concat_ws(" ",
+                (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))
+                .as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")).as("pg"))
+      .select(col(idCol), explode(col("pg")).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h")))
+    val dup = occ.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    // one row per (doc, pos): pos is unique within a doc by construction
+    // and the semi-join cannot re-multiply it
+    val covered = occ.join(dup, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(col("pos"))),
+        struct(lit(-n).cast("int").as("prev"), lit(0L).as("cov")),
+        (acc, p) => struct(p.as("prev"),
+          (acc.getField("cov") +
+            least(lit(n).cast("int"), p - acc.getField("prev")).cast("long"))
+            .as("cov")),
+        acc => acc.getField("cov")).as("covered_tokens"))
+    docs.select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))
+          .as("dup_span_ratio"))
+  }
+
   /** Bigram-LM average log-probability per document — the actual CCNet/
     * RefinedWeb-style LM quality filter ([[bigramNovelty]] is its
     * exact-arithmetic stand-in): an add-one-smoothed bigram model is

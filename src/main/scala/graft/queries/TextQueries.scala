@@ -733,6 +733,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q122: cross-document duplicated-span coverage — the
+    // substring-level dedup diagnostic (Lee et al. 2021 shape) that
+    // doc-level q40-q44 and line-level q95 miss: per doc, the token
+    // positions covered by 8-grams occurring in >= 2 distinct documents,
+    // as exact BIGINT interval-union counts plus one IEEE division (no
+    // rounding needed — integer inputs, single op). The oracle re-derives
+    // the same interval union with a lag() window; the Spark side uses a
+    // sorted per-doc fold instead (no window node at scale).
+    QueryDef.sql("q122_dup_span_coverage",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+         |     i -> {'pos': i, 'g': ${(0 until 8).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")}})) AS pg
+         |   FROM t)),
+         |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+         |                       FROM occ GROUP BY 1) WHERE nd >= 2),
+         |dp AS (SELECT doc_id, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM occ JOIN dup USING (g)),
+         |cov AS (SELECT doc_id, SUM(LEAST(8, pos - COALESCE(prev, pos - 8))) AS covered
+         |        FROM dp GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CASE WHEN len(toks) > 0
+         |    THEN CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(toks)
+         |  END AS dup_span_ratio
+         |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id ORDER BY 1""".stripMargin) { (s, dir) =>
+      TextStats.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // ---- q115: count-min-sketch heavy hitters — the frequency twin of
     // q112's HLL rollup: one 64 KB mergeable sketch over all corpus terms
     // (counters are sums → bit-identical under any partitioning), probed

@@ -458,6 +458,39 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(merges.isEmpty)  // all words are single-symbol, nothing to merge
   }
 
+  // ---- dupSpanCoverage ------------------------------------------------
+
+  test("dupSpanCoverage: hand-checked interval union, cross-doc only") {
+    // d1/d2 share trigrams "a b c" (pos 1) and "b c d" (pos 2):
+    // union [1,3] u [2,4] = 4 of 5 tokens. d3 is unique -> 0. d4 has a
+    // within-doc repeated trigram only (1 distinct doc) -> 0. d5 is
+    // shorter than n -> no grams, 0 covered, exact 0.0 ratio.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"),
+      (4L, "z w v z w v z w"), (5L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("covered_tokens"))).toSeq ==
+      Seq((5L, 4L), (5L, 4L), (5L, 0L), (8L, 0L), (2L, 0L)))
+    assert(out(0).getAs[Double]("dup_span_ratio") == 0.8)
+    assert(out(4).getAs[Double]("dup_span_ratio") == 0.0)
+    // partitioning-independent (sorted-fold + integer counts)
+    val p32 = TextStats.dupSpanCoverage(docs.repartition(32), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == p32.map(_.toSeq).toSeq)
+  }
+
+  test("dupSpanCoverage: non-adjacent duplicated grams add disjoint intervals") {
+    // shared trigram at pos 1 and pos 5 of d1 (gap > n): 3 + 3 = 6 covered
+    val docs = Seq(
+      (1L, "a b c q q a b c q"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("covered_tokens") == 6L)
+    assert(out(1).getAs[Long]("covered_tokens") == 3L)
+  }
+
   // ---- bigramNovelty --------------------------------------------------
 
   test("bigramLogProb: hand-computed add-one scores; <2-token docs kept with null") {
