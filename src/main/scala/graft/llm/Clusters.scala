@@ -201,6 +201,62 @@ object Clusters {
       element_at(array_sort(array(col("s"), col("t1"), col("t2"))), 3).as("c"))
   }
 
+  /** Fixed-point integer PageRank over an undirected pair list — the
+    * graph-centrality ranking a dedup pipeline uses to pick the CANONICAL
+    * document of a near-dup neighborhood (the most-connected member, not
+    * just the min id) and to rank boilerplate hubs for inspection.
+    *
+    * Determinism is the design driver: float PageRank drifts across
+    * engines and partitionings (sum order), so ranks are BIGINT fixed
+    * point at `scale` = 1.0. Update per round, all integer:
+    * `r'(v) = floor(scale·(1−d)) + Σ_{u→v} floor(d_num·r(u) / (d_den·deg(u)))`
+    * with d = d_num/d_den = 0.85. Integer sums are associative-exact, so
+    * the result is bit-identical on any partitioning and any engine
+    * (DuckDB mirrors with `//`; both floor-divide non-negative values).
+    * No dangling-mass redistribution: the symmetric edge list gives every
+    * edge-touching node out-degree ≥ 1, and isolated nodes hold the
+    * teleport base — the standard simplification for undirected graphs.
+    *
+    * Scale shape: the edge list (with out-degree attached once) is
+    * pinned and reused every round; each of the FIXED `iters` rounds is
+    * one join keyed on the node id + one map-side-combining sum keyed on
+    * the destination — the label-propagation loop's cost model, with
+    * lineage truncated per round via [[graft.Checkpoints.pin]]. Driver
+    * sees nothing but the loop counter. Overflow headroom: ranks are
+    * bounded by total mass ≈ N·scale, so d_num·r fits a long for
+    * N·scale ≪ 2^63/d_num (10^8 nodes at the default scale). */
+  def pageRankFixedPoint(nodes: DataFrame, idCol: String,
+                         pairs: DataFrame, aCol: String, bCol: String,
+                         iters: Int = 5, scale: Long = 1000000000L,
+                         dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && scale > 0 && dampNum >= 0 && dampDen > dampNum)
+    // pin the symmetric edge list BEFORE deriving degrees: the degree agg
+    // and the degree join both reference it, and two unmaterialized
+    // references re-run the (possibly expensive) upstream pair-mining
+    // pipeline twice (the triangles multi-reference lesson)
+    val sym = graft.Checkpoints.pin(pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct())
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = graft.Checkpoints.pin(sym.join(deg, "src"))
+    val base = scale * (dampDen - dampNum) / dampDen
+    val ids = nodes.select(col(idCol).as("id"))
+    var ranks = ids.select(col("id"), lit(scale).as("r"))
+    (1 to iters).foreach { _ =>
+      val contribs = edges.join(ranks, edges("src") === ranks("id"))
+        // integral div (never /: a double quotient is inexact past 2^53)
+        .select(col("dst"), expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = graft.Checkpoints.pin(
+        ids.join(contribs, col("id") === col("dst"), "left")
+          .select(col("id"), (lit(base) + coalesce(col("s"), lit(0L))).as("r")))
+    }
+    ranks.select(col("id").as(idCol), col("r").as("rank_fp"))
+  }
+
   /** End-to-end cluster summary: components + per-cluster size, one row per
     * MULTI-document cluster (singletons are not duplicates). */
   def duplicateClusters(nodes: DataFrame, idCol: String,

@@ -765,6 +765,105 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q123: hashed linear classifier scoring — the fastText-shape
+    // quality-filter serving path (hashing trick: unigram+bigram features
+    // into 1024 md5-derived weight slots; frozen md5-derived weights in
+    // [-1000,1000] stand in for a broadcast trained vector). Pure
+    // projection — per-row HOFs, zero shuffles — the ideal 100 TB scoring
+    // plan. Score is an exact BIGINT sum (order-free); mean is one IEEE
+    // division of exact integers; verdict an integer compare.
+    QueryDef.sql("q123_hashed_classifier",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, list_concat(toks,
+         |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+         |s AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+         |        CAST(list_reduce(list_transform(feats, x ->
+         |          CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
+         |          (a, b) -> a + b) AS BIGINT) AS score
+         |      FROM f)
+         |SELECT doc_id, n_feats, score,
+         |  CAST(score AS DOUBLE) / n_feats AS avg_weight,
+         |  score > 0 AS is_quality
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Scoring.hashedLinearScore(Tables.documents(s, dir),
+          "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    },
+
+    // ---- q124: DSIR importance log-ratio (Xie et al. 2023) — hashed-
+    // n-gram bag-of-words likelihood ratio between the target split
+    // (doc_id < 250, the q117/q120 convention) and the raw split. The
+    // fitted models are bucket-keyed count tables (≤ 1024 rows,
+    // broadcast); per-doc contributions fold in bucket-id order and
+    // round to 6 dp — the q120 cross-engine ln recipe.
+    QueryDef.sql("q124_dsir_importance",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |fe AS (SELECT doc_id, unnest(list_concat(toks,
+         |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |           i -> toks[i] || ' ' || toks[i+1]))) AS f FROM t),
+         |bo AS (SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b FROM fe),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM bo WHERE doc_id < 250 GROUP BY 1),
+         |rc AS (SELECT b, COUNT(*) AS cr FROM bo WHERE doc_id >= 250 GROUP BY 1),
+         |tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt, (SELECT SUM(cr) FROM rc) AS nr),
+         |db AS (SELECT doc_id, b, COUNT(*) AS tf FROM bo WHERE doc_id >= 250 GROUP BY 1, 2),
+         |c AS (SELECT doc_id, b, tf,
+         |        tf * (ln((COALESCE(ct, 0) + 1.0) / (nt + 1024)) -
+         |              ln((COALESCE(cr, 0) + 1.0) / (nr + 1024))) AS contrib
+         |      FROM db LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+         |  round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x), 6) AS log_ratio
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      graft.llm.Scoring.dsirLogRatio(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text", buckets = 1024)
+        .orderBy("doc_id")
+    },
+
+    // ---- q125: fixed-point integer PageRank over the capped near-dup
+    // graph (q94's pair source) — graph centrality for canonical-doc
+    // choice and boilerplate-hub ranking. BIGINT fixed point at scale
+    // 1e9, 5 rounds, d=0.85: integer sums and floor divisions make the
+    // result bit-identical across engines and partitionings (float
+    // PageRank would drift). The oracle re-derives the capped pair set
+    // independently and unrolls the same 5 integer rounds as CTEs
+    // (DuckDB `//` = Spark `div` on non-negative values).
+    QueryDef.sql("q125_dedup_pagerank", {
+      val prIters = 5
+      val unrolled = (1 to prIters).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM((85 * r${k - 1}.r) // (100 * e.deg)) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id GROUP BY 1),
+           |r$k AS (SELECT d.doc_id AS id, 150000000 + COALESCE(CAST(c$k.s AS BIGINT), 0) AS r
+           |  FROM documents d LEFT JOIN c$k ON d.doc_id = c$k.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM se GROUP BY 1),
+         |e AS (SELECT se.src, se.dst, dg.deg FROM se JOIN dg USING (src)),
+         |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS r FROM documents),
+         |$unrolled
+         |SELECT r$prIters.id AS doc_id, r$prIters.r AS rank_fp
+         |FROM r$prIters ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        maxDocFreq = 16)
+      graft.llm.Clusters.pageRankFixedPoint(
+          docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b", iters = 5)
+        .orderBy("doc_id")
+    },
+
     // ---- q115: count-min-sketch heavy hitters — the frequency twin of
     // q112's HLL rollup: one 64 KB mergeable sketch over all corpus terms
     // (counters are sums → bit-identical under any partitioning), probed

@@ -47,12 +47,18 @@ object PlanCheck {
     * test whenever any scalar aggregate appears deeper in its subtree
     * (e.g. fact ⨯ (fact ⨯ broadcast(scalar))), which is precisely the
     * quadratic regression this gate exists to catch. */
-  @scala.annotation.tailrec
   private def oneRowBounded(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case g: GlobalLimitExec   => g.limit <= 1
     case a: AdaptiveSparkPlanExec => oneRowBounded(a.executedPlan)
     case q: QueryStageExec        => oneRowBounded(q.plan)
+    // scalar × scalar = scalar: a keyless join of two one-row sides (the
+    // `broadcast(aggA).crossJoin(broadcast(aggB))` totals idiom) stays
+    // one row — each side must prove out independently
+    case j: BroadcastNestedLoopJoinExec =>
+      oneRowBounded(j.left) && oneRowBounded(j.right)
+    case j: CartesianProductExec =>
+      oneRowBounded(j.left) && oneRowBounded(j.right)
     case o if o.children.size == 1 && passThrough(o) => oneRowBounded(o.children.head)
     case _ => false
   }

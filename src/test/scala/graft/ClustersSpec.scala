@@ -82,4 +82,63 @@ class ClustersSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fast.values.toSet == Set(1L), "whole path is one component labeled 1")
   }
+
+  // ---- pageRankFixedPoint ---------------------------------------------
+
+  /** Independent reference: the same fixed-point update in plain Scala
+    * over an adjacency map (no Spark) — what the DataFrame loop must
+    * reproduce bit-for-bit. */
+  private def refPageRank(ids: Seq[Long], es: Seq[(Long, Long)],
+                          iters: Int): Map[Long, Long] = {
+    val sym = (es ++ es.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    var r = ids.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val recv = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- adj; v <- vs) recv(v) += (85L * r(u)) / (100L * deg(u))
+      r = ids.map(id => id -> (150000000L + recv(id))).toMap
+    }
+    r
+  }
+
+  test("pageRankFixedPoint matches the plain-Scala reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 25L
+      val ids = 0L until n
+      val es = (for (a <- 0L until n; b <- (a + 1) until n) yield (a, b))
+        .filter(_ => rnd.nextInt(100) < 8)
+      val got = Clusters.pageRankFixedPoint(nodes(ids: _*), "id",
+          edges(es: _*), "a", "b", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPageRank(ids, es, 5), s"trial $trial")
+    }
+  }
+
+  test("pageRankFixedPoint invariants: regular graphs uniform, isolated = base") {
+    // triangle (2-regular): mass flows symmetrically, every rank stays
+    // exactly scale; isolated node 9 holds the teleport base
+    val out = Clusters.pageRankFixedPoint(nodes(1, 2, 3, 9), "id",
+        edges(1L -> 2L, 2L -> 3L, 1L -> 3L), "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1000000000L && out(2L) == 1000000000L && out(3L) == 1000000000L)
+    assert(out(9L) == 150000000L)
+    // star: the hub outranks leaves, and floors only ever LOSE mass
+    val star = Clusters.pageRankFixedPoint(nodes(1, 2, 3, 4), "id",
+        edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "a", "b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star(1L) > star(2L) && star(2L) == star(3L) && star(3L) == star(4L))
+    assert(star.values.sum <= 4L * 1000000000L)
+  }
+
+  test("pageRankFixedPoint is partitioning-independent (integer arithmetic)") {
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 5L -> 6L)
+    val a = Clusters.pageRankFixedPoint(nodes(1L to 7L: _*), "id",
+      edges(es: _*), "a", "b", iters = 5).orderBy("id").collect().toSeq
+    val b = Clusters.pageRankFixedPoint(nodes(1L to 7L: _*).repartition(13), "id",
+      edges(es: _*).repartition(17), "a", "b", iters = 5)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -491,6 +491,64 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(out(1).getAs[Long]("covered_tokens") == 3L)
   }
 
+  // ---- Scoring --------------------------------------------------------
+
+  /** Independent JVM reference for the frozen hashed-linear weight of one
+    * feature string (MessageDigest, not Spark's md5 expression). */
+  private def refWeight(f: String, buckets: Int = 1024): Long = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val b = java.lang.Long.parseLong(md5hex(f).take(8), 16) % buckets
+    java.lang.Long.parseLong(md5hex(b.toString).take(4), 16) % 2001 - 1000
+  }
+
+  test("hashedLinearScore: score equals the JVM-reference feature-weight sum") {
+    val docs = Seq((1L, "the cat sat"), (2L, "x")).toDF("doc_id", "text")
+    val out = graft.llm.Scoring.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val feats1 = Seq("the", "cat", "sat", "the cat", "cat sat")
+    assert(out(0).getAs[Long]("n_feats") == 5L)
+    assert(out(0).getAs[Long]("score") == feats1.map(refWeight(_)).sum)
+    assert(out(1).getAs[Long]("n_feats") == 1L)   // no bigrams on 1 token
+    assert(out(1).getAs[Long]("score") == refWeight("x"))
+    assert(out(0).getAs[Double]("avg_weight") ==
+      feats1.map(refWeight(_)).sum.toDouble / 5.0)
+    assert(out(0).getAs[Boolean]("is_quality") ==
+      (feats1.map(refWeight(_)).sum > 0))
+  }
+
+  test("hashedLinearScore is partitioning-independent and weight-bounded") {
+    val docs = (1L to 60L).map(i => (i, s"tok$i alpha beta gamma tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = graft.llm.Scoring.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = graft.llm.Scoring.hashedLinearScore(docs.repartition(16), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    a.foreach { r =>
+      val (n, s) = (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(math.abs(s) <= 1000L * n)   // weights live in [-1000, 1000]
+    }
+  }
+
+  test("dsirLogRatio: target-like docs outrank off-target docs; n_feats exact") {
+    // target distribution: 'aa bb' repeated; raw corpus has one doc matching
+    // the target exactly and one alien doc sharing no feature
+    val target = (1L to 20L).map(i => (i, "aa bb aa bb")).toDF("doc_id", "text")
+    val raw = Seq((101L, "aa bb aa bb"), (102L, "zz qq zz ww")).toDF("doc_id", "text")
+    val out = graft.llm.Scoring.dsirLogRatio(target, raw, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_feats")).toSeq == Seq(7L, 7L))
+    assert(out(0).getAs[Double]("log_ratio") > out(1).getAs[Double]("log_ratio"))
+    assert(out(0).getAs[Double]("log_ratio") > 0.0)   // likelier under target
+    assert(out(1).getAs[Double]("log_ratio") < 0.0)   // alien features
+    // partitioning-independent (bucket-ordered fold + 6 dp round)
+    val p = graft.llm.Scoring.dsirLogRatio(
+        target.repartition(8), raw.repartition(4), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == p.map(_.toSeq).toSeq)
+  }
+
   // ---- bigramNovelty --------------------------------------------------
 
   test("bigramLogProb: hand-computed add-one scores; <2-token docs kept with null") {
