@@ -31,7 +31,10 @@ object Bench {
     "q114_zorder_layout",    // Morton-clustered write + box read-back
     "q115_cms_heavy_hitters", // weighted count-min sketch over the vocab
     "q120_bigram_logprob",   // bigram-LM scoring (joins + sorted fold)
-    "q121_semantic_dedup"    // embedding dedup end-to-end (pairs + CC)
+    "q121_semantic_dedup",   // embedding dedup end-to-end (pairs + CC)
+    "q123_hashed_classifier", // frozen hashed linear scorer (pure projection)
+    "q124_dsir_importance",  // DSIR log-ratio (broadcast bucket models)
+    "q125_dedup_pagerank"    // fixed-point integer PageRank (iterative)
   )
 
   def main(args: Array[String]): Unit = {
