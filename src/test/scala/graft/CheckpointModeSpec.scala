@@ -50,6 +50,19 @@ class CheckpointModeSpec extends SparkSpecBase {
     assert(csLocal == csDurable)
   }
 
+  test("pageRankFixedPoint identical in local and durable checkpoint modes") {
+    val nodes = (1L to 12L).toDF("id")
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 5L -> 6L,
+      6L -> 7L, 8L -> 9L).toDF("a", "b")
+    def run() = Clusters.pageRankFixedPoint(nodes, "id", pairs, "a", "b",
+        iters = 5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val local = run()
+    val durable = withDurable(run())
+    assert(local == durable)
+    assert(local.size == 12)
+  }
+
   test("trainMerges identical in both modes") {
     val corpus = Seq(
       (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
