@@ -96,8 +96,10 @@ object Scoring {
     val tgtCounts = bucketOcc(target).groupBy("b").agg(count(lit(1)).as("ct"))
     val rawOcc    = bucketOcc(raw)
     val rawCounts = rawOcc.groupBy("b").agg(count(lit(1)).as("cr"))
-    val totals = tgtCounts.agg(sum(col("ct")).as("__nt"))
-      .crossJoin(rawCounts.agg(sum(col("cr")).as("__nr")))   // 1 row
+    // coalesce: SUM over an EMPTY count table is NULL (an empty target
+    // corpus must degrade to the uniform add-one model, not null scores)
+    val totals = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("__nt"))
+      .crossJoin(rawCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("__nr")))   // 1 row
     val perBucket = rawOcc
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
       .join(broadcast(tgtCounts), Seq("b"), "left")

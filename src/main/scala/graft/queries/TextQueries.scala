@@ -864,6 +864,75 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q126: canonical-doc selection by PageRank — the upgrade over
+    // q94's min-id convention: each near-dup cluster keeps its MOST
+    // CENTRAL member (max fixed-point rank, doc_id tie-break), the pick
+    // a curation pipeline actually wants (the hub of a near-dup
+    // neighborhood is the canonical page; its satellites are the
+    // variants). Pure-integer composition of q94's components and
+    // q125's ranks over ONE pinned pair set (two consumers — unpinned,
+    // the mining pipeline would run twice); the argmax is a struct MAX,
+    // no window. The oracle re-derives everything: capped pairs,
+    // recursive-CTE closure, 5 unrolled integer PR rounds, struct argmax.
+    QueryDef.sql("q126_canonical_by_pagerank", {
+      val prIters = 5
+      val unrolled = (1 to prIters).map { k =>
+        s"""c$k AS (SELECT e.dst AS id, SUM((85 * r${k - 1}.r) // (100 * e.deg)) AS s
+           |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.id GROUP BY 1),
+           |r$k AS (SELECT d.doc_id AS id, 150000000 + COALESCE(CAST(c$k.s AS BIGINT), 0) AS r
+           |  FROM documents d LEFT JOIN c$k ON d.doc_id = c$k.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |se AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src, COUNT(*) AS deg FROM se GROUP BY 1),
+         |e AS (SELECT se.src, se.dst, dg.deg FROM se JOIN dg USING (src)),
+         |r0 AS (SELECT doc_id AS id, CAST(1000000000 AS BIGINT) AS r FROM documents),
+         |$unrolled,
+         |j AS (SELECT comp.id AS doc_id, comp.lbl AS cluster_rep, r$prIters.r AS rank_fp
+         |      FROM comp JOIN r$prIters ON comp.id = r$prIters.id),
+         |cx AS (SELECT cluster_rep, MAX({'r': rank_fp, 'i': doc_id}) AS m
+         |       FROM j GROUP BY 1)
+         |SELECT j.doc_id, cx.m.i AS canonical_id, cx.m.r AS canonical_rank,
+         |  j.doc_id = cx.m.i AS kept
+         |FROM j JOIN cx USING (cluster_rep) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.Checkpoints.pin(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, maxDocFreq = 16)
+          .select("doc_a", "doc_b"))
+      val ids = docs.select("doc_id")
+      val cc = graft.llm.Clusters.connectedComponents(
+        ids, "doc_id", pairs, "doc_a", "doc_b")
+      val pr = graft.llm.Clusters.pageRankFixedPoint(
+        ids, "doc_id", pairs, "doc_a", "doc_b", iters = 5)
+      val j = cc.join(pr, "doc_id")
+      val cx = j.groupBy(col("cluster_rep"))
+        .agg(max(struct(col("rank_fp").as("r"), col("doc_id").as("i"))).as("m"))
+      j.join(cx, "cluster_rep")
+        .select(col("doc_id"),
+          col("m.i").as("canonical_id"),
+          col("m.r").as("canonical_rank"),
+          (col("doc_id") === col("m.i")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- q115: count-min-sketch heavy hitters — the frequency twin of
     // q112's HLL rollup: one 64 KB mergeable sketch over all corpus terms
     // (counters are sums → bit-identical under any partitioning), probed

@@ -132,6 +132,22 @@ class ClustersSpec extends SparkSpecBase {
     assert(star.values.sum <= 4L * 1000000000L)
   }
 
+  test("canonical-by-rank composition picks the hub, not the min id (q126 shape)") {
+    // star centered on 3 with satellites 1,2,4: min-id convention (q94)
+    // would keep 1; rank-argmax keeps the hub 3
+    val ns = nodes(1, 2, 3, 4, 9)
+    val es = edges(3L -> 1L, 3L -> 2L, 3L -> 4L)
+    val cc = Clusters.connectedComponents(ns, "id", es, "a", "b")
+    val pr = Clusters.pageRankFixedPoint(ns, "id", es, "a", "b", iters = 5)
+    val j = cc.join(pr, "id")
+    val canon = j.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("rank_fp").as("r"), col("id").as("i"))).as("m"))
+      .select(col("cluster_rep"), col("m.i").as("canonical_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(1L) == 3L)   // cluster labeled by min id 1, canonical = hub 3
+    assert(canon(9L) == 9L)   // isolated node is its own canonical
+  }
+
   test("pageRankFixedPoint is partitioning-independent (integer arithmetic)") {
     val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 5L -> 6L)
     val a = Clusters.pageRankFixedPoint(nodes(1L to 7L: _*), "id",
