@@ -323,6 +323,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hashedLinearScore runs unchanged on a stream and matches the batch result") {
+    // the scorer is a stateless projection (per-row HOFs, no shuffle), so
+    // the SAME plan builder serves batch scoring and a streaming ingest
+    // filter — the quality-gate-at-ingest deployment shape
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq(1L -> "the cat sat on the mat", 2L -> "zq zq zq zq")
+    val q = graft.llm.Scoring.hashedLinearScore(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("score_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("score_stream").orderBy("doc_id").collect().toSeq
+      val batch = graft.llm.Scoring.hashedLinearScore(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
