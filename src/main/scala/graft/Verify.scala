@@ -41,7 +41,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
         val sql = if (QueryDef.goldenGated.contains(k))
-          QueryDef.goldenOracleSql(k, sfLabel) else v
+          QueryDef.goldenOracleSql(k, sfLabel)
+        // audit-twin oracles (q44a/q59a/q91a) embed a golden snapshot
+        // path inside custom SQL; re-key it to the SF being verified for
+        // the same missing-file-over-wrong-golden failure mode as above
+        else v.replace(s"${QueryDef.goldenRoot}/sf0.01/",
+          s"${QueryDef.goldenRoot}/$sfLabel/")
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -282,19 +282,24 @@ object Similarity {
       Seq("vec_id"), "left_semi")
   }
 
+  /** Deterministic "random" hyperplane component for (bit b, dim d): a
+    * seeded linear-congruential value in [-1, 1) — no RNG state, so the
+    * plane family is pure arithmetic any engine can recompute. The q53
+    * DuckDB oracle embeds these exact doubles as SQL literals
+    * (VectorQueries.lshBucketSql), which keeps the two derivations in
+    * lockstep through this single definition. */
+  def lshPlane(b: Int, d: Int): Double = {
+    val x = (b.toLong * 2654435761L + d.toLong * 40503L + 12345L) & 0xffffffffL
+    (x.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
+  }
+
   /** Random-hyperplane LSH bucket assignment: `nBits` sign bits from
-    * deterministic pseudo-random hyperplanes (seeded linear congruential
-    * values per (bit, dim) — no RNG state, reproducible across runs).
+    * deterministic pseudo-random hyperplanes ([[lshPlane]]).
     * Vectors in the same bucket are ANN candidates. */
   def lshBuckets(emb: DataFrame, nBits: Int = 12, dim: Int = 64): DataFrame = {
-    // deterministic "random" plane component for (bit b, dim d)
-    def plane(b: Int): Seq[Double] = (0 until dim).map { d =>
-      val x = (b.toLong * 2654435761L + d.toLong * 40503L + 12345L) & 0xffffffffL
-      (x.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
-    }
     val bitCols = (0 until nBits).map { b =>
       val dotP = (0 until dim)
-        .map(d => element_at(col("embedding"), d + 1).cast("double") * lit(plane(b)(d)))
+        .map(d => element_at(col("embedding"), d + 1).cast("double") * lit(lshPlane(b, d)))
         .reduce(_ + _)
       when(dotP > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }

@@ -116,6 +116,41 @@ object TextQueries {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     },
 
+    // ---- q44a: INDEPENDENT recall audit for the golden-gated q44,
+    // asymmetric bound gate (the q59a shape applied to text): the Spark
+    // side measures how many oracle-exact Jaccard ≥ 0.9 pairs the live
+    // SimHash banding recovers and emits its (total, caught) row ONLY
+    // when caught*2 ≥ total (recall ≥ 50%); the oracle measures the
+    // COMMITTED GOLDEN q44 pairs against DuckDB's own exact ≥ 0.9 pair
+    // set and emits unconditionally. A banding/fingerprint regression
+    // (even with a regenerated golden) drops the Spark row → rows_match
+    // fails; live/golden drift → the caught counts diverge → hash fails.
+    // Measured caught/total = 21/27, 15/25, 188/249 at sf0.001/0.01/0.1.
+    QueryDef.sql("q44a_simhash_recall_audit",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |ex AS (SELECT doc_a, doc_b
+         |       FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |       WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.9)
+         |SELECT (SELECT COUNT(*) FROM ex) AS total_pairs,
+         |  (SELECT COUNT(*) FROM ex
+         |   JOIN read_parquet('${graft.QueryDef.goldenRoot}/sf0.01/q44_dedup_simhash.parquet') g
+         |   ON ex.doc_a = g.doc_a AND ex.doc_b = g.doc_b) AS caught_pairs""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+        .select("doc_a", "doc_b")
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("doc_a", "doc_b")
+      val total = exact.agg(count(lit(1)).as("total_pairs"))
+      val caught = exact.join(sim, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("caught_pairs"))
+      broadcast(total).crossJoin(broadcast(caught))
+        .filter(col("caught_pairs") * 2 >= col("total_pairs"))
+    },
+
     // ---- q94: corpus dedup verdict — the FINAL artifact of the dedup
     // pipeline: capped-Jaccard pairs (q42's petabyte configuration,
     // maxDocFreq=16) → connected components → one row per document with

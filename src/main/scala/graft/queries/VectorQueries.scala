@@ -22,6 +22,22 @@ object VectorQueries {
   private[queries] def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
 
+  /** DuckDB replay of [[Similarity.lshBuckets]]: one CASE per sign bit,
+    * plane components inlined as double literals from the SAME
+    * `Similarity.lshPlane` the Spark plan evaluates (Double.toString
+    * round-trips, so the parsed literal is bit-identical). The per-bit
+    * dot sums left-to-right, matching the Spark side's `.reduce(_ + _)`
+    * association, so the sign test sees the identical IEEE double. */
+  private def lshBucketSql(nBits: Int, dim: Int): String = {
+    val bits = (0 until nBits).map { b =>
+      val terms = (0 until dim)
+        .map(d => s"(CAST(embedding[${d + 1}] AS DOUBLE)*${Similarity.lshPlane(b, d)})")
+        .mkString("+")
+      s"CASE WHEN ($terms)>0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }
+    s"(${bits.mkString("+")})"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q45: vector norms (HOF plumbing check — exact against DuckDB)
@@ -115,9 +131,35 @@ object VectorQueries {
       Similarity.bruteTopK(emb, query, 20)
     },
 
-    // ---- q47: IVF-probed ANN (scale path; recall vs q46 asserted in
-    // SimilaritySpec — oracle omitted, centroid floats are plan-internal)
-    QueryDef.golden("q47_ann_ivf_topk") { (s, dir) =>
+    // ---- q47: IVF-probed ANN (scale path), FULL DuckDB oracle: the whole
+    // IVF chain is SQL-expressible — per-label decimal-exact centroids
+    // cast to float, cells ranked by centroid cosine (unrounded, label
+    // tie-break), top-nProbe cells scanned with the exact decimal cosine.
+    // Converted from golden in r7 (verified 0-diff vs the r6 goldens at
+    // sf0.001/0.01/0.1). One documented seam: Spark divides the decimal
+    // sum by the count in decimal then casts float, the oracle divides in
+    // double then casts — empirically float-identical on every (label,
+    // dim) at all three SFs, and centroids only steer the probe-cell
+    // ranking (unrounded ccos, ties broken by label), so a 1-ulp cast
+    // divergence would need a near-exact centroid-cosine tie to matter.
+    QueryDef.sql("q47_ann_ivf_topk",
+      s"""WITH x AS (
+         |  SELECT label, unnest(generate_series(1, 64)) AS dim,
+         |    unnest(list_transform(embedding,
+         |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
+         |  FROM embeddings),
+         |cm AS (SELECT label, dim,
+         |         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+         |       FROM x GROUP BY 1, 2),
+         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT label FROM cent, qv
+         |          ORDER BY ${dotSql("centroid", "qe")} /
+         |            (sqrt(${dotSql("centroid", "centroid")}) * sqrt(${dotSql("qe", "qe")}))
+         |            DESC, label LIMIT 3)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |FROM embeddings e JOIN probe USING (label), qv
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       Similarity.ivfTopK(emb, query, "label", k = 20, nProbe = 3)
@@ -131,6 +173,37 @@ object VectorQueries {
       val cells = Similarity.kmeansCells(emb, k = 8, iters = 2)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       Similarity.ivfTopK(cells, query, "cell", k = 20, nProbe = 3)
+    },
+
+    // ---- q59a: INDEPENDENT recall audit for the golden-gated q59 (the
+    // k-means training loop itself is float-iterative, not SQL-
+    // expressible, but its RECALL against the oracle-exact brute top-k
+    // is). ASYMMETRIC bound gate: the Spark side measures |live exact
+    // top-20 ∩ live k-means-IVF top-20| and emits the (k, hits) row ONLY
+    // when hits ≥ 17; the oracle measures the COMMITTED GOLDEN snapshot
+    // against DuckDB's own exact top-20 and emits its row unconditionally.
+    // A recall regression (even one committed with a regenerated golden)
+    // drops the Spark row → rows_match fails; live/golden drift or a
+    // cross-engine exact-top-k divergence → hash fails. Measured hits =
+    // 19/20 at sf0.001, sf0.01 AND sf0.1 — bound 17 has margin.
+    QueryDef.sql("q59a_kmeans_recall_audit",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q
+         |       ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |  (SELECT COUNT(*) FROM ex
+         |   JOIN read_parquet('${QueryDef.goldenRoot}/sf0.01/q59_ann_ivf_kmeans.parquet') g
+         |   USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val exact = Similarity.bruteTopK(emb, query, 20).select("vec_id")
+      val cells = Similarity.kmeansCells(emb, k = 8, iters = 2)
+      val approx = Similarity.ivfTopK(cells, query, "cell", k = 20, nProbe = 3)
+        .select("vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(20L).as("k"), col("hits"))
+        .filter(col("hits") >= 17)
     },
 
     // ---- q91: product-quantization ANN (the faiss-style memory-scale
@@ -148,6 +221,34 @@ object VectorQueries {
       Similarity.pqSearch(emb, codes, queryVec, books, k = 20, rerank = 100)
     },
 
+    // ---- q91a: INDEPENDENT recall audit for the golden-gated q91, same
+    // asymmetric bound-gate shape as q59a: Spark emits (k, hits) only when
+    // the live PQ+rerank top-20 recovers ≥ 12 of the live exact top-20;
+    // the oracle measures the committed golden vs DuckDB-exact
+    // unconditionally. Measured hits = 17/16/14 at sf0.001/0.01/0.1.
+    QueryDef.sql("q91a_pq_recall_audit",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id FROM embeddings e, q
+         |       ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |  (SELECT COUNT(*) FROM ex
+         |   JOIN read_parquet('${QueryDef.goldenRoot}/sf0.01/q91_ann_pq.parquet') g
+         |   USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val exact = Similarity.bruteTopK(emb, query, 20).select("vec_id")
+      val books = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
+      val codes = Similarity.pqEncode(emb, books)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val approx = Similarity.pqSearch(emb, codes, queryVec, books, k = 20, rerank = 100)
+        .select("vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(20L).as("k"), col("hits"))
+        .filter(col("hits") >= 12)
+    },
+
     // ---- q52: embedding near-duplicate pairs (blocked by cluster label)
     QueryDef.sql("q52_embedding_near_dups",
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -158,9 +259,18 @@ object VectorQueries {
       Similarity.nearDuplicatePairs(Tables.embeddings(s, dir), "label", 0.4)
     },
 
-    // ---- q53: LSH bucket histogram (random-hyperplane bucketing — the
-    // bucket ids depend on the plane family, so rows-only + SimilaritySpec)
-    QueryDef.golden("q53_ann_lsh_buckets") { (s, dir) =>
+    // ---- q53: LSH bucket histogram, FULL DuckDB oracle (converted from
+    // golden in r7): the hyperplanes are deterministic arithmetic
+    // (Similarity.lshPlane), so the oracle embeds the exact plane doubles
+    // as SQL literals — generated from the SAME Scala function the Spark
+    // plan uses — and replays every sign bit. The dot is a left-fold
+    // double sum on both engines (identical association order → identical
+    // IEEE result), verified 0-diff vs the r6 goldens at sf0.001/0.01/0.1.
+    QueryDef.sql("q53_ann_lsh_buckets",
+      s"""WITH bk AS (SELECT ${lshBucketSql(nBits = 12, dim = 64)} AS bucket
+         |           FROM embeddings)
+         |SELECT bucket, COUNT(*) AS vectors FROM bk GROUP BY 1
+         |ORDER BY vectors DESC, bucket""".stripMargin) { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), nBits = 12)
         .groupBy("bucket").agg(count(lit(1)).as("vectors"))
         .orderBy(desc("vectors"), asc("bucket"))
