@@ -54,14 +54,21 @@ object Scoring {
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
                         buckets: Int = 1024): DataFrame = {
     require(buckets > 0)
-    val weightOf: Column => Column = f =>
-      md5Int((md5Int(f, 8) % buckets).cast("string"), 4) % 2001 - lit(1000L)
+    // One codegen'd bucket pass (plans/ScoringExprs) + a literal weight
+    // table indexed per feature: the weight is a pure function of the
+    // bucket id, so the second md5 chain of the r6 form collapses to a
+    // ≤`buckets`-entry array lookup. Values are bit-identical to
+    // `md5Int((md5Int(f,8) % buckets).cast("string"), 4) % 2001 - 1000`
+    // (ScoringSpec asserts both equivalences); the oracle is unchanged.
+    val weights = lit(graft.plans.ScoringExprs.frozenWeights(buckets))
     docs.select(col(idCol),
         graft.functions.TextFns.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), ngramFeatures(col("toks")).as("feats"))
       .select(col(idCol),
-        size(col("feats")).cast("long").as("n_feats"),
-        aggregate(col("feats"), lit(0L), (acc, f) => acc + weightOf(f))
+        graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets).as("bks"))
+      .select(col(idCol),
+        size(col("bks")).cast("long").as("n_feats"),
+        aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(weights, (b + 1).cast("int")))
           .as("score"))
       .select(col(idCol), col("n_feats"), col("score"),
         (col("score").cast("double") / col("n_feats")).as("avg_weight"),
@@ -89,34 +96,58 @@ object Scoring {
                    idCol: String, textCol: String,
                    buckets: Int = 1024): DataFrame = {
     require(buckets > 0)
-    def bucketOcc(df: DataFrame) = df
+    def bucketArrays(df: DataFrame) = df
       .select(col(idCol), graft.functions.TextFns.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), explode(ngramFeatures(col("toks"))).as("f"))
-      .select(col(idCol), (md5Int(col("f"), 8) % buckets).as("b"))
-    val tgtCounts = bucketOcc(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawOcc    = bucketOcc(raw)
-    val rawCounts = rawOcc.groupBy("b").agg(count(lit(1)).as("cr"))
-    // coalesce: SUM over an EMPTY count table is NULL (an empty target
-    // corpus must degrade to the uniform add-one model, not null scores)
-    val totals = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("__nt"))
-      .crossJoin(rawCounts.agg(coalesce(sum(col("cr")), lit(0L)).as("__nr")))   // 1 row
-    val perBucket = rawOcc
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("tf"))
-      .join(broadcast(tgtCounts), Seq("b"), "left")
-      .join(broadcast(rawCounts), Seq("b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col(idCol), col("b"), col("tf"),
-        (col("tf") * (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-            (col("__nt") + lit(buckets))) -
-          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) /
-            (col("__nr") + lit(buckets))))).as("contrib"))
-    perBucket.groupBy(col(idCol))
-      .agg(sum(col("tf")).as("n_feats"),
-        aggregate(
-          transform(array_sort(collect_list(struct(col("b"), col("contrib")))),
-            x => x.getField("contrib")),
-          lit(0.0), (acc, x) => acc + x).as("__sum"))
-      .select(col(idCol), col("n_feats"),
-        round(col("__sum"), 6).as("log_ratio"))
+      .select(col(idCol),
+        graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets).as("bks"))
+    // Each fitted model densifies to ONE row holding a bucket-indexed
+    // count array (slot b = occurrences of bucket b; ≤ `buckets` longs)
+    // plus its total. An empty corpus yields an all-zero array and total
+    // 0 — the uniform add-one model, not null scores.
+    def modelRow(df: DataFrame, arrName: String, totName: String) = df
+      .select(explode(col("bks")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("mp"))
+      .select(transform(sequence(lit(0), lit(buckets - 1)),
+        i => coalesce(element_at(col("mp"), i.cast("long")), lit(0L))).as(arrName))
+      .select(col(arrName),
+        aggregate(col(arrName), lit(0L), (acc, x) => acc + x).as(totName))
+    val tgtRow = modelRow(bucketArrays(target), "__ta", "__nt")
+    val rawRow = modelRow(bucketArrays(raw), "__ra", "__nr")
+    // Scoring pass: a PURE PROJECTION over the raw corpus — per doc,
+    // sort the bucket array, find run starts (a run = one distinct
+    // bucket), and fold tf·Δ(b) in bucket-id order, where Δ(b) reads the
+    // two broadcast model arrays by index. Zero shuffles, zero
+    // per-occurrence rows: at 100 TB the scoring job is one codegen'd
+    // map over the corpus (the model fits shuffle ≤ `buckets` rows per
+    // partition thanks to map-side combine). Fold order and per-run
+    // arithmetic (tf * (ln − ln) on identical doubles) are unchanged
+    // from the r6 shuffle-based plan, so the output is bit-identical
+    // and the q124 oracle needs no change.
+    // Every array a lambda reads below is MATERIALIZED as a column first
+    // (TextFns' perf contract): a lambda that re-references the building
+    // expression would re-sort / re-scan it once per ELEMENT.
+    val delta: Column => Column = b =>
+      log((element_at(col("__ta"), (b + 1).cast("int")) + lit(1.0)) /
+          (col("__nt") + lit(buckets))) -
+      log((element_at(col("__ra"), (b + 1).cast("int")) + lit(1.0)) /
+          (col("__nr") + lit(buckets)))
+    val contribs = transform(col("__rs"), (q, j) => {
+      val nextStart = when(j === size(col("__rs")) - 1, size(col("__s")))
+        .otherwise(element_at(col("__rs"), (j + 2).cast("int")).getField("p"))
+      (nextStart - q.getField("p")).cast("long") * delta(q.getField("b"))
+    })
+    bucketArrays(raw)
+      .filter(size(col("bks")) > 0)   // mirror the r6 explode, which dropped
+      .crossJoin(broadcast(tgtRow))   // feature-less docs from the output
+      .crossJoin(broadcast(rawRow))
+      .withColumn("__s", array_sort(col("bks")))
+      .withColumn("__rs", filter(
+        transform(col("__s"), (x, i) => struct(x.as("b"), i.as("p"))),
+        q => q.getField("p") === 0 ||
+          !(element_at(col("__s"), q.getField("p")) <=> q.getField("b"))))
+      .select(col(idCol), size(col("__s")).cast("long").as("n_feats"),
+        round(aggregate(contribs, lit(0.0), (acc, x) => acc + x), 6)
+          .as("log_ratio"))
   }
 }

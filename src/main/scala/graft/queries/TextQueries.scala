@@ -840,7 +840,8 @@ object TextQueries {
          |bo AS (SELECT doc_id, CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b FROM fe),
          |tc AS (SELECT b, COUNT(*) AS ct FROM bo WHERE doc_id < 250 GROUP BY 1),
          |rc AS (SELECT b, COUNT(*) AS cr FROM bo WHERE doc_id >= 250 GROUP BY 1),
-         |tot AS (SELECT (SELECT SUM(ct) FROM tc) AS nt, (SELECT SUM(cr) FROM rc) AS nr),
+         |tot AS (SELECT COALESCE((SELECT SUM(ct) FROM tc), 0) AS nt,
+         |               COALESCE((SELECT SUM(cr) FROM rc), 0) AS nr),
          |db AS (SELECT doc_id, b, COUNT(*) AS tf FROM bo WHERE doc_id >= 250 GROUP BY 1, 2),
          |c AS (SELECT doc_id, b, tf,
          |        tf * (ln((COALESCE(ct, 0) + 1.0) / (nt + 1024)) -

@@ -32,7 +32,9 @@ object PlanAudit {
     "q46_ann_brute_topk",  // brute top-k: emb ⨯ broadcast(1-row query)
     "q47_ann_ivf_topk",    // IVF probe: centroids/emb ⨯ broadcast(query)
     "q59_ann_ivf_kmeans",  // same probe shape over k-means cells
-    "q61_multimodal_ann"   // same probe shape over image features
+    "q61_multimodal_ann",  // same probe shape over image features
+    "q59a_kmeans_recall_audit", // audit twins: re-run the parent's 1-row
+    "q91a_pq_recall_audit"      // query broadcast to measure live recall
   )
 
   def main(args: Array[String]): Unit = {

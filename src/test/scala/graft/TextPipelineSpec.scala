@@ -531,6 +531,30 @@ class TextPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("FeatureBucketsExpr equals the HOF md5Int reference form") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "x"), (3L, "aa bb aa"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+    val kernel = docs.select(col("doc_id"),
+        graft.plans.ScoringExprs.featureBuckets(col("toks"), 1024).as("bks"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val hof = docs.select(col("doc_id"),
+        transform(graft.llm.Scoring.ngramFeatures(col("toks")),
+          f => graft.llm.Scoring.md5Int(f, 8) % 1024).as("bks"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(kernel.toSeq == hof.toSeq)
+    // frozen weight table == the column-form md5 chain, spot-checked by
+    // the refWeight tests above via the end-to-end score; here pin the
+    // table itself against the independent JVM reference per bucket id
+    val w = graft.plans.ScoringExprs.frozenWeights(1024)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until 1024 by 97).foreach { b =>
+      assert(w(b) == java.lang.Long.parseLong(md5hex(b.toString).take(4), 16) % 2001 - 1000)
+    }
+  }
+
   test("dsirLogRatio: target-like docs outrank off-target docs; n_feats exact") {
     // target distribution: 'aa bb' repeated; raw corpus has one doc matching
     // the target exactly and one alien doc sharing no feature
