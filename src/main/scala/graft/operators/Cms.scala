@@ -139,9 +139,9 @@ object Cms {
   def union(sketches: Column): Column =
     udaf(new UnionAgg, Encoders.BINARY)(sketches)
 
-  /** Estimated frequency of `item` under `sketch`. NULL sketch (e.g. the
-    * unmatched side of an outer join) → NULL, not an NPE. */
+  /** Estimated frequency of `item` under `sketch` — a codegen'd
+    * expression over the 64 KB payload (plans/SketchExprs). NULL sketch
+    * (e.g. the unmatched side of an outer join) → NULL, not an NPE. */
   def estimate(sketch: Column, item: Column): Column =
-    udf((s: Array[Byte], h: Long) =>
-      if (s == null) null else Long.box(estimateOf(s, h))).apply(sketch, xxhash64(item))
+    graft.plans.SketchExprs.cmsEstimate(sketch, xxhash64(item))
 }

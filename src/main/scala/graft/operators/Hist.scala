@@ -104,8 +104,6 @@ object Hist {
                          buckets: Int): Column = {
     require(q > 0 && q <= 1)
     val width = (hi - lo) / buckets
-    udf((s: Seq[Long]) =>
-      if (s == null) null
-      else Double.box(quantileLowerBoundOf(s, q, lo, width))).apply(sketch)
+    graft.plans.SketchExprs.histQuantileLb(sketch, q, lo, width)
   }
 }

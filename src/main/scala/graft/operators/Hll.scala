@@ -89,6 +89,7 @@ object Hll {
   def union(sketches: Column): Column =
     udaf(new UnionAgg, Encoders.BINARY)(sketches)
 
-  /** Estimate column over a sketch column. */
-  val estimate: Column => Column = udf(estimateOf _).apply(_)
+  /** Estimate column over a sketch column — a codegen'd expression over
+    * the 4 KB payload (plans/SketchExprs); NULL sketch → NULL. */
+  val estimate: Column => Column = graft.plans.SketchExprs.hllEstimate(_)
 }
