@@ -84,26 +84,36 @@ object Scoring {
     * (pair with [[graft.sources.Sampling.weightedTicketSample]]).
     *
     * Determinism (the q82/q83/q120 recipe): per-doc contributions fold
-    * in BUCKET-ID order via `aggregate(array_sort(collect_list(...)))`,
+    * in BUCKET-ID order (sorted-run traversal in [[dsirScore]]),
     * mirrored by the oracle's `list_reduce(list(... ORDER BY bucket))`,
     * and the score is rounded to 6 dp to absorb ≤1-ulp cross-engine `ln`
-    * drift. Scale shape: both fitted models are bucket-keyed count
-    * tables with AT MOST `buckets` rows — broadcast-joined to the
-    * per-doc bucket counts (never a shuffle on the model side); corpus
-    * totals ride along as 1-row broadcasts. Per-doc state is one sorted
-    * array bounded by min(doc feature count, buckets). */
+    * drift. Scale shape: [[dsirModels]] + [[dsirScore]] — dense
+    * broadcast model arrays, zero-shuffle scoring projection. */
   def dsirLogRatio(target: DataFrame, raw: DataFrame,
                    idCol: String, textCol: String,
-                   buckets: Int = 1024): DataFrame = {
+                   buckets: Int = 1024): DataFrame =
+    dsirScore(raw, dsirModels(target, raw, idCol, textCol, buckets),
+      idCol, textCol, buckets)
+
+  private def bucketArrays(df: DataFrame, idCol: String, textCol: String,
+                           buckets: Int) = df
+    .select(col(idCol), graft.functions.TextFns.tokens(col(textCol)).as("toks"))
+    .select(col(idCol),
+      graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets).as("bks"))
+
+  /** The two fitted DSIR models as ONE 1-row DataFrame (dense bucket-
+    * indexed count arrays `__ta`/`__ra` + totals `__nt`/`__nr`) — the
+    * frozen artifact a streaming deployment broadcasts to score an
+    * ingest stream against a static target/raw fit ([[dsirScore]] is a
+    * stateless projection, so the same scorer serves batch and stream).
+    * Each model densifies to a bucket-indexed count array (slot b =
+    * occurrences of bucket b; ≤ `buckets` longs) plus its total. An
+    * empty corpus yields an all-zero array and total 0 — the uniform
+    * add-one model, not null scores. */
+  def dsirModels(target: DataFrame, raw: DataFrame,
+                 idCol: String, textCol: String,
+                 buckets: Int = 1024): DataFrame = {
     require(buckets > 0)
-    def bucketArrays(df: DataFrame) = df
-      .select(col(idCol), graft.functions.TextFns.tokens(col(textCol)).as("toks"))
-      .select(col(idCol),
-        graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets).as("bks"))
-    // Each fitted model densifies to ONE row holding a bucket-indexed
-    // count array (slot b = occurrences of bucket b; ≤ `buckets` longs)
-    // plus its total. An empty corpus yields an all-zero array and total
-    // 0 — the uniform add-one model, not null scores.
     def modelRow(df: DataFrame, arrName: String, totName: String) = df
       .select(explode(col("bks")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
@@ -112,21 +122,29 @@ object Scoring {
         i => coalesce(element_at(col("mp"), i.cast("long")), lit(0L))).as(arrName))
       .select(col(arrName),
         aggregate(col(arrName), lit(0L), (acc, x) => acc + x).as(totName))
-    val tgtRow = modelRow(bucketArrays(target), "__ta", "__nt")
-    val rawRow = modelRow(bucketArrays(raw), "__ra", "__nr")
-    // Scoring pass: a PURE PROJECTION over the raw corpus — per doc,
-    // sort the bucket array, find run starts (a run = one distinct
-    // bucket), and fold tf·Δ(b) in bucket-id order, where Δ(b) reads the
-    // two broadcast model arrays by index. Zero shuffles, zero
-    // per-occurrence rows: at 100 TB the scoring job is one codegen'd
-    // map over the corpus (the model fits shuffle ≤ `buckets` rows per
-    // partition thanks to map-side combine). Fold order and per-run
-    // arithmetic (tf * (ln − ln) on identical doubles) are unchanged
-    // from the r6 shuffle-based plan, so the output is bit-identical
-    // and the q124 oracle needs no change.
-    // Every array a lambda reads below is MATERIALIZED as a column first
-    // (TextFns' perf contract): a lambda that re-references the building
-    // expression would re-sort / re-scan it once per ELEMENT.
+    modelRow(bucketArrays(target, idCol, textCol, buckets), "__ta", "__nt")
+      .crossJoin(modelRow(bucketArrays(raw, idCol, textCol, buckets), "__ra", "__nr"))
+  }
+
+  /** Score `docs` against frozen [[dsirModels]]: a PURE PROJECTION plus
+    * one 1-row broadcast crossJoin — runs unchanged on a batch DataFrame
+    * or a readStream (StreamingSpec asserts stream == batch). Per doc:
+    * sort the bucket array, find run starts (a run = one distinct
+    * bucket), and fold tf·Δ(b) in bucket-id order, where Δ(b) reads the
+    * two broadcast model arrays by index. Zero shuffles, zero
+    * per-occurrence rows: at 100 TB the scoring job is one codegen'd map
+    * over the corpus (the model fits shuffle ≤ `buckets` rows per
+    * partition thanks to map-side combine). Fold order and per-run
+    * arithmetic (tf * (ln − ln) on identical doubles) are unchanged from
+    * the r6 shuffle-based plan, so the output is bit-identical and the
+    * q124 oracle needs no change. Every array a lambda reads below is
+    * MATERIALIZED as a column first (TextFns' perf contract): a lambda
+    * that re-references the building expression would re-sort / re-scan
+    * it once per ELEMENT. */
+  def dsirScore(docs: DataFrame, models: DataFrame,
+                idCol: String, textCol: String,
+                buckets: Int = 1024): DataFrame = {
+    require(buckets > 0)
     val delta: Column => Column = b =>
       log((element_at(col("__ta"), (b + 1).cast("int")) + lit(1.0)) /
           (col("__nt") + lit(buckets))) -
@@ -137,10 +155,9 @@ object Scoring {
         .otherwise(element_at(col("__rs"), (j + 2).cast("int")).getField("p"))
       (nextStart - q.getField("p")).cast("long") * delta(q.getField("b"))
     })
-    bucketArrays(raw)
+    bucketArrays(docs, idCol, textCol, buckets)
       .filter(size(col("bks")) > 0)   // mirror the r6 explode, which dropped
-      .crossJoin(broadcast(tgtRow))   // feature-less docs from the output
-      .crossJoin(broadcast(rawRow))
+      .crossJoin(broadcast(models))   // feature-less docs from the output
       .withColumn("__s", array_sort(col("bks")))
       .withColumn("__rs", filter(
         transform(col("__s"), (x, i) => struct(x.as("b"), i.as("p"))),

@@ -345,6 +345,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dsirScore scores a stream against frozen models, matching batch") {
+    // the deployment shape for importance-weighting at ingest: models are
+    // FIT once on static target/raw corpora (dsirModels), frozen, and the
+    // ingest stream is scored by the stateless projection (dsirScore is a
+    // pure projection + one 1-row broadcast crossJoin, so the SAME plan
+    // builder serves batch scoring and the stream)
+    implicit val sqlCtx = spark.sqlContext
+    val target = (1L to 10L).map(i => (i, "aa bb aa bb")).toDF("doc_id", "text")
+    val rawFit = Seq((101L, "aa bb cc dd"), (102L, "zz qq zz ww"))
+      .toDF("doc_id", "text")
+    val models = graft.llm.Scoring.dsirModels(target, rawFit, "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val incoming = Seq(201L -> "aa bb aa", 202L -> "zz qq pp", 203L -> "mm nn")
+    val q = graft.llm.Scoring.dsirScore(
+        mem.toDF().toDF("doc_id", "text"), models, "doc_id", "text")
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream").orderBy("doc_id").collect().toSeq
+      val batch = graft.llm.Scoring.dsirScore(
+          incoming.toDF("doc_id", "text"), models, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 3)
+      // target-like beats alien on the frozen models, in the stream too
+      assert(streamed.head.getAs[Double]("log_ratio") >
+        streamed(1).getAs[Double]("log_ratio"))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
