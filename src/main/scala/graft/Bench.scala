@@ -34,7 +34,9 @@ object Bench {
     "q121_semantic_dedup",   // embedding dedup end-to-end (pairs + CC)
     "q123_hashed_classifier", // frozen hashed linear scorer (pure projection)
     "q124_dsir_importance",  // DSIR log-ratio (broadcast bucket models)
-    "q125_dedup_pagerank"    // fixed-point integer PageRank (iterative)
+    "q125_dedup_pagerank",   // fixed-point integer PageRank (iterative)
+    "q126_canonical_by_pagerank", // CC + PR composition over one pinned pair set
+    "q127_curation_pipeline" // COMPOSED dedup→CC→score→select→pack, one job
   )
 
   def main(args: Array[String]): Unit = {
@@ -107,8 +109,11 @@ object Bench {
     // actually exhibited, so the suspect flag keys off the WORSE of the
     // two brackets
     val canaryEndSec = runCanary()
+    // no recorded canary baseline for this SF label → "null", NOT false:
+    // absence of the check must not read as a clean window
     val noiseSuspect = canaryBaselineSec.get(sfLabel)
-      .exists(b => math.max(canarySec, canaryEndSec) > 2 * b)
+      .map(b => (math.max(canarySec, canaryEndSec) > 2 * b).toString)
+      .getOrElse("null")
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
       s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir",""" +
       s""""canary_sec":${sec(canarySec)},"canary_end_sec":${sec(canaryEndSec)},""" +

@@ -39,9 +39,23 @@ object Checkpoints {
     spark.conf.getOption(DirKey).map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         // setCheckpointDir appends a per-context UUID subdir; set it only
-        // once so all pins of a session share one checkpoint root
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        // once so all pins of a session share one checkpoint root. If the
+        // context already has a dir that does NOT live under the
+        // configured root (set earlier by other code, or the option was
+        // changed mid-session — a SparkContext's dir cannot be moved),
+        // say so loudly instead of silently pinning to the stale path.
+        spark.sparkContext.getCheckpointDir match {
+          case None => spark.sparkContext.setCheckpointDir(dir)
+          case Some(existing) =>
+            val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+            val have = new org.apache.hadoop.fs.Path(existing).toUri.getPath
+            if (!have.stripSuffix("/").startsWith(want.stripSuffix("/")))
+              System.err.println(
+                s"[graft] WARN Checkpoints.pin: $DirKey=$dir but the " +
+                s"SparkContext checkpoint dir is already $existing — " +
+                "pins continue to the existing dir (a context's " +
+                "checkpoint dir cannot be changed after first use)")
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

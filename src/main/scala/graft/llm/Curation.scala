@@ -82,6 +82,75 @@ object Curation {
       .withColumn("is_train", trainSplit(textCol))
   }
 
+  /** The intermediate stages of [[pipeline]], exposed so the regression
+    * spec can assert the composition's scale contract mechanically:
+    * `pairs` must be PINNED (a materialized RDD scan, so the mining
+    * subtree ran exactly once at pin time and no consumer — the
+    * component loop's rounds, or any later stage — can re-trigger it:
+    * the q125 double-mining trap as a checkable property). */
+  final case class PipelineStages(
+      exact: DataFrame, pairs: DataFrame, nearKept: DataFrame,
+      selected: DataFrame, packed: DataFrame)
+
+  /** The COMPOSED end-to-end curation pipeline, one job (q127):
+    *
+    *   raw docs → exact dedup → CAPPED Jaccard pairs (pinned ONCE) →
+    *   connected components → hashed-classifier gate → bigram-LM score →
+    *   token-budget selection → sequence packing
+    *
+    * i.e. every curation stage this package ships, chained the way a
+    * training-data run actually chains them, sharing one pinned pair
+    * set. Output: one row per SELECTED doc with its LM score, running
+    * token total, and packed-sequence coordinates.
+    *
+    * Scale shape: the pair mine is df-capped and materializes once
+    * (pinned before the component loop); the classifier and LM scores
+    * are zero-shuffle projections over broadcast models; the running
+    * totals are the two-pass distributed cumsum. No stage is all-pairs,
+    * no window is unpartitioned, and the only iterative lineage is
+    * inside the component loop's own per-round pins. */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+               lmRef: DataFrame, tokenBudget: Long, seqLen: Int,
+               jaccardThreshold: Double = 0.8,
+               maxDocFreq: Long = 16): PipelineStages = {
+    val exact = Dedup.dedupe(docs, idCol, textCol, normalized = true)
+    val pairs = graft.Checkpoints.pin(
+      Dedup.ngramJaccardPairs(exact, idCol, textCol, 3, jaccardThreshold,
+          maxDocFreq = maxDocFreq)
+        .select(col("doc_a"), col("doc_b")))
+    val comps = Clusters.connectedComponents(
+      exact.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
+    val nearKept = exact.join(
+      comps.filter(col(idCol) === col("cluster_rep")).select(idCol),
+      Seq(idCol), "left_semi")
+    val clfKept = nearKept.join(
+      Scoring.hashedLinearScore(nearKept, idCol, textCol)
+        .filter(col("is_quality")).select(idCol),
+      Seq(idCol), "left_semi")
+    // LM-score the classifier survivors against the frozen reference
+    // slice; <2-token docs score null and cannot be ranked — drop them
+    // (they are also worthless as training sequences)
+    val lm = TextStats.bigramLogProb(lmRef, clfKept, idCol, textCol)
+      .filter(col("avg_logprob").isNotNull)
+      .select(col(idCol), col("avg_logprob"))
+    val scored = clfKept
+      .select(col(idCol),
+        size(graft.functions.TextFns.tokens(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .join(lm, Seq(idCol))
+    // pinned: referenced twice below (packing layout + score join-back) —
+    // unpinned, the selection cumsum subtree would execute twice
+    val selected = graft.Checkpoints.pin(
+      selectTokenBudget(scored, idCol, "avg_logprob", "n_tokens", tokenBudget))
+    val packed = graft.llm.Packing
+      .packSequences(selected, idCol, "n_tokens", seqLen)
+      .join(selected.select(col(idCol), col("avg_logprob"), col("cum_tokens")),
+        Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"),
+        col("cum_tokens"), col("seq_id"), col("seq_offset"))
+    PipelineStages(exact, pairs, nearKept, selected, packed)
+  }
+
   /** Curation funnel report: row counts surviving each stage — the
     * accounting a pipeline logs per run. Built stage-on-stage (NOT by
     * calling [[curate]] alongside the intermediate stages, which would run

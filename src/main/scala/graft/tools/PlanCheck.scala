@@ -73,6 +73,15 @@ object PlanCheck {
       n.startsWith("LocalLimit") || n.startsWith("ColumnarToRow")
   }
 
+  /** True iff `df` is a PINNED materialization (Checkpoints.pin): its
+    * logical plan is an RDD scan, so the subtree that produced it ran
+    * exactly once — at pin time — and NO consumer can re-trigger it.
+    * This is the mechanical form of the multi-reference rule ("pin any
+    * derived table referenced twice"): CurationSpec asserts it on the
+    * composed pipeline's pair set (the q125 double-mining trap). */
+  def isPinned(df: DataFrame): Boolean =
+    df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD"
+
   /** Join operators with NO join keys whose build/either side is not a
     * provably-bounded scalar — a CartesianProduct over two fact-sized
     * inputs, or a BroadcastNestedLoopJoin broadcasting something that

@@ -40,6 +40,33 @@ class CurationSpec extends SparkSpecBase {
     assert(a.values.exists(identity) && a.values.exists(!_))  // both sides hit
   }
 
+  test("pipeline: pair mine pinned exactly once; stages monotone; packing consistent") {
+    val stages = Curation.pipeline(corpus, "doc_id", "text",
+      lmRef = corpus.filter(col("doc_id") < 3), tokenBudget = 500, seqLen = 64)
+    // the q125 double-mining trap as a mechanical gate: the pair set the
+    // component loop consumes must be a PINNED materialization (the
+    // mining subtree ran once, at pin time; no consumer can re-run it) —
+    // same for the twice-referenced selection table
+    assert(graft.tools.PlanCheck.isPinned(stages.pairs))
+    assert(graft.tools.PlanCheck.isPinned(stages.selected))
+    val ex = stages.exact.count()
+    val nr = stages.nearKept.count()
+    val out = stages.packed.orderBy("doc_id").collect()
+    assert(ex == 4 && nr == 3)            // exact dup gone, near dup clustered
+    assert(out.length <= nr)
+    // packed layout: offsets consistent with a concatenated stream in
+    // doc_id order under seqLen-64 chunking
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("seq_id") == cum / 64)
+      assert(r.getAs[Long]("seq_offset") == cum % 64)
+      cum += r.getAs[Long]("n_tokens")
+    }
+    // budget respected and selection cum totals are the running sums of
+    // the (score desc, id) order
+    assert(out.forall(_.getAs[Long]("cum_tokens") <= 500))
+  }
+
   test("funnel counts are monotone and consistent") {
     val f = Curation.funnel(corpus, "doc_id", "text").head
     val raw = f.getAs[Long]("raw_docs")
