@@ -291,7 +291,12 @@ object TextQueries {
          |ORDER BY a, b, c""".stripMargin) { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir),
         "doc_id", "text", 3, 0.8, maxDocFreq = 16)
-      graft.llm.Clusters.triangles(pairs, "doc_a", "doc_b")
+      // degree-oriented census: O(m^1.5) wedge work on ANY graph — the
+      // registered default since r7 so the bound doesn't depend on the
+      // upstream miner's df caps; identical output set to the id-oriented
+      // Clusters.triangles (ClustersSpec property test), so the oracle is
+      // unchanged
+      graft.llm.Clusters.trianglesByDegree(pairs, "doc_a", "doc_b")
         .orderBy("a", "b", "c")
     },
 
