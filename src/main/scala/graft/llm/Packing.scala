@@ -35,4 +35,30 @@ object Packing {
         expr(s"__start div $budget").as("seq_id"),
         (col("__start") % budget).as("seq_offset"))
   }
+
+  /** Deterministic corpus shard shuffle — the dataloader-facing layout
+    * between curation and training: every document gets a pseudo-random
+    * but REPRODUCIBLE (shard, shard_pos) coordinate, so two runs (or two
+    * engines) produce the identical global training order with no RNG
+    * state. The shuffle key is an md5 ticket of the id (the q118/q63
+    * hashing convention — engine-portable, oracle-checkable); the shard
+    * is the ticket's leading 16 bits mod `nShards`; the position is the
+    * dense ticket-order rank WITHIN the shard.
+    *
+    * Scale contract: the per-shard rank is a PARTITIONED window — one
+    * sort per shard, in parallel. Choose `nShards` so a shard is
+    * dataloader-file-sized (a few GB): the per-shard sort is then
+    * exactly the per-output-file writer sort a sharded export does
+    * anyway, and no task sees more than one shard. */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ticket = md5(concat(lit("sh:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ticket"), col(idCol))
+    docs.select(col(idCol), ticket.as("ticket"))
+      .withColumn("shard",
+        (conv(substring(col("ticket"), 1, 4), 16, 10).cast("int") % nShards))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("shard_pos"), col("ticket"))
+  }
 }

@@ -170,12 +170,14 @@ object TextStats {
     * the semi-join shuffle longs, not strings. The coverage fold is a
     * per-doc hash aggregation over an array bounded by doc length — no
     * window, no global sort, nothing driver-side. */
-  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(n >= 1 && minDocs >= 2)
-    val toksDf = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
-    // (doc, pos, gramHash) per gram OCCURRENCE, 1-based positions
-    val occ = graft.Checkpoints.pin(toksDf
+  /** (doc, pos, gramHash) per positional n-gram OCCURRENCE, 1-based
+    * positions — the shared substrate of [[dupSpanCoverage]] and
+    * [[removeDuplicatedSpans]]. PINNED: both consumers reference it
+    * twice (df filter + position semi-join). */
+  private def positionalGramOcc(docs: DataFrame, idCol: String,
+                                textCol: String, n: Int): DataFrame =
+    graft.Checkpoints.pin(docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
@@ -186,9 +188,18 @@ object TextStats {
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>")).as("pg"))
       .select(col(idCol), explode(col("pg")).as("pg"))
       .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h")))
-    val dup = occ.groupBy(col("h"))
+
+  /** Grams shared by ≥ `minDocs` DISTINCT docs. */
+  private def dupGrams(occ: DataFrame, idCol: String, minDocs: Int): DataFrame =
+    occ.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
+
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val occ = positionalGramOcc(docs, idCol, textCol, n)
+    val dup = dupGrams(occ, idCol, minDocs)
     // one row per (doc, pos): pos is unique within a doc by construction
     // and the semi-join cannot re-multiply it
     val covered = occ.join(dup, Seq("h"), "left_semi")
@@ -210,6 +221,53 @@ object TextStats {
           coalesce(col("covered_tokens"), lit(0L)).cast("double") /
             col("n_tokens"))
           .as("dup_span_ratio"))
+  }
+
+  /** Exact-substring DEDUPLICATION (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better") — the REMOVAL step
+    * [[dupSpanCoverage]] only measures: every token covered by an
+    * n-gram occurring in ≥ `minDocs` distinct docs is cut, and each
+    * doc's text is rebuilt from its surviving tokens. Document-level
+    * dedup can't touch this boilerplate (license blocks, nav bars,
+    * templated intros living inside otherwise-unique pages); span
+    * removal is how production corpora actually strip it.
+    *
+    * Fully relational — every stage mirrors into SQL, so the q128 gate
+    * checks the whole chain: positional gram occurrences (pinned once,
+    * shared shape with the q122 diagnostic) → df-filtered duplicated
+    * starts → covered positions by interval explode + distinct →
+    * ANTI-join against the exploded tokens → order-preserving rebuild.
+    * Shuffle volume is bounded by gram occurrences (≤ n_tokens rows) —
+    * never pairwise — and the rebuild is one map-side-combining
+    * groupBy. Docs with nothing removed come back verbatim
+    * (token-normalized); docs removed entirely come back empty. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val occ = positionalGramOcc(docs, idCol, textCol, n)
+    val dup = dupGrams(occ, idCol, minDocs)
+    val coveredPos = occ.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1)))
+        .as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).cast("int").as("pos"), col("tok"))
+    val kept = toks.join(coveredPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as("deduped_text"))
+    docs.select(col(idCol),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
   }
 
   /** Bigram-LM average log-probability per document — the actual CCNet/

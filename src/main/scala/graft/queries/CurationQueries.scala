@@ -373,6 +373,26 @@ object CurationQueries {
           lmRef = docs.filter(col("doc_id") < 250),
           tokenBudget = 15000, seqLen = 512).packed
         .orderBy("doc_id")
+    },
+
+    // ---- q129: deterministic corpus shard shuffle — the dataloader
+    // layout between curation and training: reproducible pseudo-random
+    // (shard, shard_pos) per doc from an md5 ticket, no RNG state. The
+    // oracle replays the ticket, the 16-bit shard bucket, and the
+    // per-shard dense rank.
+    QueryDef.sql("q129_shard_shuffle",
+      """WITH s AS (SELECT doc_id,
+        |    md5('sh:' || CAST(doc_id AS VARCHAR)) AS ticket FROM documents),
+        |b AS (SELECT doc_id, ticket,
+        |    CAST(CAST('0x' || substr(ticket, 1, 4) AS INTEGER) % 16 AS INTEGER) AS shard
+        |  FROM s)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ticket, doc_id) AS BIGINT)
+        |    AS shard_pos,
+        |  ticket
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.Packing.shardShuffle(Tables.documents(s, dir), "doc_id", 16)
+        .orderBy("doc_id")
     }
   )
 }

@@ -805,6 +805,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q128: exact-substring span REMOVAL (Lee et al. 2021) — the
+    // dedup artifact q122 only measures: tokens covered by any 8-gram
+    // shared by ≥2 docs are cut and the text rebuilt from survivors.
+    // The oracle replays every stage with string grams (no hash needed
+    // in SQL), an ANTI JOIN for the survivor set, and an ordered
+    // string_agg rebuild.
+    QueryDef.sql("q128_dup_span_removal",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+         |     i -> {'pos': i, 'g': ${(0 until 8).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")}})) AS pg
+         |   FROM t)),
+         |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+         |                       FROM occ GROUP BY 1) WHERE nd >= 2),
+         |cp AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+         |       FROM occ JOIN dup USING (g)),
+         |tk AS (SELECT doc_id, pt.p AS p, pt.tok AS tok FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |     i -> {'p': i, 'tok': toks[i]})) AS pt FROM t)),
+         |kept AS (SELECT doc_id, COUNT(*) AS kc,
+         |           string_agg(tok, ' ' ORDER BY p) AS txt
+         |         FROM tk ANTI JOIN cp USING (doc_id, p) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(kept.kc, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(len(toks) - COALESCE(kept.kc, 0) AS BIGINT) AS removed_tokens,
+         |  COALESCE(kept.txt, '') AS deduped_text
+         |FROM t LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.removeDuplicatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // ---- q123: hashed linear classifier scoring — the fastText-shape
     // quality-filter serving path (hashing trick: unigram+bigram features
     // into 1024 md5-derived weight slots; frozen md5-derived weights in

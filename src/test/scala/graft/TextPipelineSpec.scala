@@ -140,6 +140,28 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
   }
 
+  test("shardShuffle: deterministic permutation, dense per-shard ranks") {
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = graft.llm.Packing.shardShuffle(docs, "doc_id", 8)
+      .collect()
+    // every doc exactly once; shards in range
+    assert(out.length == 200 && out.map(_.getAs[Long]("doc_id")).toSet.size == 200)
+    assert(out.forall(r => (0 until 8).contains(r.getAs[Int]("shard"))))
+    // per-shard positions are dense 1..count (a true permutation layout)
+    out.groupBy(_.getAs[Int]("shard")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("shard_pos")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // reproducible across runs and partitionings — the whole point
+    val again = graft.llm.Packing.shardShuffle(docs.repartition(32), "doc_id", 8)
+      .collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // and the order actually shuffles: doc_id order != shard_pos order
+    val inShard0 = out.filter(_.getAs[Int]("shard") == 0)
+      .sortBy(_.getAs[Long]("shard_pos")).map(_.getAs[Long]("doc_id"))
+    assert(inShard0.toSeq != inShard0.sorted.toSeq)
+  }
+
   test("selectTokenBudget keeps best-score docs and cuts at the budget line") {
     val docs = Seq(
       (1L, 0.9, 100L), (2L, 0.8, 100L), (3L, 0.7, 100L), (4L, 0.6, 100L)
@@ -489,6 +511,31 @@ class TextPipelineSpec extends SparkSpecBase {
       .orderBy("doc_id").collect()
     assert(out(0).getAs[Long]("covered_tokens") == 6L)
     assert(out(1).getAs[Long]("covered_tokens") == 3L)
+  }
+
+  test("removeDuplicatedSpans: covered tokens cut, text rebuilt in order") {
+    // same planted structure as the coverage test: d1/d2 share trigrams
+    // covering positions 1-4; survivors are position 5 only. d3 unique ->
+    // verbatim (token-normalized). d5 shorter than n -> verbatim.
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d x"), (3L, "p q r s t"),
+      (5L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getAs[Long]("kept_tokens"),
+      r.getAs[Long]("removed_tokens"), r.getAs[String]("deduped_text"))).toSeq ==
+      Seq((1L, 4L, "e"), (1L, 4L, "x"), (5L, 0L, "p q r s t"), (2L, 0L, "a b")))
+    // removal is consistent with the coverage diagnostic: removed ==
+    // covered on every doc
+    val cov = TextStats.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("covered_tokens"))
+    assert(out.map(_.getAs[Long]("removed_tokens")).toSeq == cov.toSeq)
+    // a doc that is ONE big duplicated span comes back empty
+    val allDup = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val e = TextStats.removeDuplicatedSpans(allDup, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(e.forall(r => r.getAs[String]("deduped_text") == ""
+      && r.getAs[Long]("kept_tokens") == 0L))
   }
 
   // ---- Scoring --------------------------------------------------------
