@@ -276,6 +276,28 @@ object SourceQueries {
         .orderBy("event_type", "traffic_source")
     },
 
+    // ---- q131: ORC roundtrip (columnar interchange beyond parquet —
+    // Spark's other first-class columnar format). The engine writes the
+    // orders table as ORC (zlib), reads it back, and aggregates; the
+    // oracle computes the identical aggregate from the ORIGINAL parquet,
+    // so the gate proves the write→read roundtrip is lossless including
+    // decimals and dates. DuckDB never needs to read ORC.
+    QueryDef.sql("q131_orc_roundtrip",
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS total,
+         |  CAST(MIN(o_orderdate) AS DATE) AS min_day,
+         |  CAST(MAX(o_orderdate) AS DATE) AS max_day
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val path = scratch("q131_orders_orc")
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("compression", "zlib").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"),
+          to_date(min(col("o_orderdate"))).as("min_day"),
+          to_date(max(col("o_orderdate"))).as("max_day"))
+    },
+
     // ---- q38b: the generator's TRANSACTION batch (golden determinism
     // replay, like q38's click batch) — snapshots the full rows incl. the
     // serialized basket JSON so q38a below can audit them independently.

@@ -805,6 +805,68 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q130: CCNet-style per-language quality tiers — the published
+    // CCNet bucketing: language-ID the corpus, LM-score it against the
+    // reference slice, and split EACH LANGUAGE into head/middle/tail
+    // terciles by perplexity rank (NTILE over a PARTITIONED window —
+    // per-language, never global). Composes q49's langID and q120's
+    // bigram LM; the oracle replays both plus the NTILE. Docs with no
+    // bigrams (unscorable) are dropped, as CCNet drops them.
+    QueryDef.sql("q130_ccnet_quality_tiers", {
+      val scoreSql = TextStats.langProfiles.map { case (l, ws) =>
+        val set = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($set))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextStats.langProfiles.map(_._1)
+      val maxExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN s_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |lng AS (SELECT doc_id, $caseExpr AS lang FROM
+         |          (SELECT doc_id, toks, $scoreSql FROM t)),
+         |rt AS (SELECT toks FROM t WHERE doc_id < 250),
+         |runi AS (SELECT w1, COUNT(*) AS cu FROM
+         |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
+         |rbi AS (SELECT b, COUNT(*) AS cb FROM
+         |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS v FROM runi),
+         |d2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |         i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw FROM t),
+         |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d2 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT doc_id, b,
+         |         tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
+         |       FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
+         |lm AS (SELECT doc_id,
+         |         round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
+         |           / SUM(tf), 6) AS avg_logprob
+         |       FROM c2 GROUP BY 1),
+         |j AS (SELECT lng.doc_id, lng.lang, lm.avg_logprob
+         |      FROM lng JOIN lm USING (doc_id))
+         |SELECT doc_id, lang, avg_logprob,
+         |  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id) AS INTEGER)
+         |    AS bucket,
+         |  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+         |FROM j ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val lang = TextStats.langId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("predicted_lang").as("lang"))
+      val lm = TextStats.bigramLogProb(docs.filter(col("doc_id") < 250),
+          docs, "doc_id", "text")
+        .filter(col("avg_logprob").isNotNull)
+        .select(col("doc_id"), col("avg_logprob"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(desc("avg_logprob"), asc("doc_id"))
+      lang.join(lm, Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w))
+        .withColumn("tier", when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .orderBy("doc_id")
+    },
+
     // ---- q128: exact-substring span REMOVAL (Lee et al. 2021) — the
     // dedup artifact q122 only measures: tokens covered by any 8-gram
     // shared by ≥2 docs are cut and the text rebuilt from survivors.
