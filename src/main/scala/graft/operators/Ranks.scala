@@ -111,4 +111,41 @@ object Ranks {
       .otherwise(lit(rem) + expr(s"(__rn - 1 - $threshold) div ${math.max(q, 1)}") + 1)
     ranked.withColumn(out, tile.cast("int")).drop("__rn")
   }
+
+  /** Exact `NTILE(k) OVER (PARTITION BY groupCols ORDER BY order)` with
+    * NO per-group single-task sort — the per-group twin of
+    * [[distributedNtile]] for SKEWED group keys (a language column where
+    * one language is 95% of the corpus would force nearly every row
+    * through one window task; the partitioned-window plan passes the
+    * PlanAudit shape gate but dies at scale anyway).
+    *
+    * Scheme: rank GLOBALLY by (groupCols, order) via the range-
+    * partitioned two-pass row_number — the dominant group then spans as
+    * many partitions as it needs — and join back each group's start
+    * offset and size (one row per group, broadcast; the group count must
+    * be broadcast-small, which a language/source/bucket key is). The
+    * rank-in-group is `global - start + 1` and the tile is the closed-
+    * form SQL NTILE (first `n mod k` tiles get `ceil(n/k)` rows),
+    * per-group `n` as a column. Bit-equal to the window form. */
+  def groupedNtile(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int, out: String, partitions: Int = 0): DataFrame = {
+    require(k > 0, "ntile k must be positive")
+    require(groupCols.nonEmpty, "groupedNtile needs group columns")
+    val ranked = globalRowNumber(df, groupCols.map(col) ++ order, "__gn", partitions)
+    val grp = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gn")).as("__g0"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(grp), groupCols)
+      .withColumn("__rn", col("__gn") - col("__g0") + 1)
+      .withColumn("__q", expr(s"__n div $k"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn("__th", col("__rem") * (col("__q") + 1))
+      // integral `div` throughout (Column./ is floating division); the
+      // greatest(__q, 1) guard is never taken when n < k — every row then
+      // lands in the first branch, matching SQL NTILE
+      .withColumn(out, when(col("__rn") <= col("__th"),
+          expr("(__rn - 1) div (__q + 1)") + 1)
+        .otherwise(col("__rem") + expr("(__rn - __th - 1) div greatest(__q, 1)") + 1)
+        .cast("int"))
+      .drop("__gn", "__g0", "__n", "__rn", "__q", "__rem", "__th")
+  }
 }

@@ -850,7 +850,6 @@ object TextQueries {
          |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
          |FROM j ORDER BY doc_id""".stripMargin
     }) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val lang = TextStats.langId(docs, "doc_id", "text")
         .select(col("doc_id"), col("predicted_lang").as("lang"))
@@ -858,12 +857,18 @@ object TextQueries {
           docs, "doc_id", "text")
         .filter(col("avg_logprob").isNotNull)
         .select(col("doc_id"), col("avg_logprob"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(desc("avg_logprob"), asc("doc_id"))
-      lang.join(lm, Seq("doc_id"))
-        .withColumn("bucket", ntile(3).over(w))
+      // per-language NTILE via the range-partitioned two-pass rank — a
+      // language key is exactly the skewed-partition case a
+      // PARTITION BY lang window would serialize at scale (one language
+      // dominates any real corpus); groupedNtile is bit-equal to the
+      // oracle's window NTILE with no single-group task
+      graft.operators.Ranks.groupedNtile(
+          lang.join(lm, Seq("doc_id")), Seq("lang"),
+          Seq(desc("avg_logprob"), asc("doc_id")), 3, "bucket")
         .withColumn("tier", when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_logprob"),
+          col("bucket"), col("tier"))
         .orderBy("doc_id")
     },
 

@@ -51,6 +51,26 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("groupedNtile: bit-equal to the partitioned-window ntile on skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    // group 'big' holds 90% of rows (the skew a PARTITION BY window
+    // serializes); 'tiny' has fewer rows than k (n < k branch); sizes
+    // chosen so n % k != 0 exercises the uneven-tile formula
+    val df = spark.range(107).toDF("k")
+      .withColumn("g", when(col("k") < 97, "big")
+        .when(col("k") < 105, "mid").otherwise("tiny"))
+      .withColumn("v", (col("k") * 37 % 50).cast("long"))
+    for (k <- Seq(1, 3, 4, 200)) {
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+      val expected = df.withColumn("t", ntile(k).over(w))
+        .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranks.groupedNtile(df, Seq("g"),
+          Seq(col("v").desc, col("k").asc), k, "t", partitions = 5)
+        .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expected, s"k=$k")
+    }
+  }
+
   test("distributedNtileBins == ntileBins on the same input") {
     val df = spark.range(50).toDF("k").withColumn("v", (col("k") % 10).cast("double"))
     val a = Bins.ntileBins(df, col("v"), col("k"), 4, Seq("a", "b", "c", "d"), "bin")
