@@ -36,7 +36,9 @@ object Bench {
     "q124_dsir_importance",  // DSIR log-ratio (broadcast bucket models)
     "q125_dedup_pagerank",   // fixed-point integer PageRank (iterative)
     "q126_canonical_by_pagerank", // CC + PR composition over one pinned pair set
-    "q127_curation_pipeline" // COMPOSED dedup→CC→score→select→pack, one job
+    "q127_curation_pipeline", // COMPOSED dedup→CC→score→select→pack, one job
+    "q128_dup_span_removal", // exact-substring span removal (anti-join rebuild)
+    "q130_ccnet_quality_tiers" // langID × LM × grouped NTILE (skew-safe)
   )
 
   def main(args: Array[String]): Unit = {

@@ -19,6 +19,25 @@ class ScalePlanSpec extends SparkSpecBase {
       "scan reads columns the query never uses")
   }
 
+  test("q127 composed pipeline is strategy-independent: same rows with broadcast disabled") {
+    // the composition chains semi-joins, broadcast model joins, and two
+    // pinned cumsums; forcing every join to sort-merge must not change a
+    // row (the pins freeze partitioning, the folds are order-pinned)
+    val q = SparkEntry.queries("q127_curation_pipeline")
+    val withBroadcast = q(spark, sf).collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      spark.conf.set(aqeKey, "-1")
+      assert(q(spark, sf).collect().toSeq == withBroadcast)
+    } finally {
+      spark.conf.unset(aqeKey)
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("q14 fact-fact join degrades to sort-merge with broadcast disabled, same result") {
     val q = SparkEntry.queries("q14_customer_behavior")
     val withBroadcast = q(spark, sf).collect().toSet
