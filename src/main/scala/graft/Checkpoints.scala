@@ -47,9 +47,21 @@ object Checkpoints {
         spark.sparkContext.getCheckpointDir match {
           case None => spark.sparkContext.setCheckpointDir(dir)
           case Some(existing) =>
-            val want = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-            val have = new org.apache.hadoop.fs.Path(existing).toUri.getPath
-            if (!have.stripSuffix("/").startsWith(want.stripSuffix("/")))
+            // setCheckpointDir(d) makes the context dir d/<uuid>, so the
+            // existing dir's PARENT must equal the configured root —
+            // compared as whole path segments (a startsWith would accept
+            // the sibling /ckpt-old for /ckpt) and by scheme when the
+            // option specifies one (hdfs://ns1/x vs file:/x differ even
+            // with equal paths)
+            val want = new org.apache.hadoop.fs.Path(dir)
+            val parent = Option(new org.apache.hadoop.fs.Path(existing).getParent)
+            val matches = parent.exists { p =>
+              p.toUri.getPath.stripSuffix("/") ==
+                want.toUri.getPath.stripSuffix("/") &&
+              Option(want.toUri.getScheme)
+                .forall(s => Option(p.toUri.getScheme).contains(s))
+            }
+            if (!matches)
               System.err.println(
                 s"[graft] WARN Checkpoints.pin: $DirKey=$dir but the " +
                 s"SparkContext checkpoint dir is already $existing — " +

@@ -113,20 +113,27 @@ object Curation {
                lmRef: DataFrame, tokenBudget: Long, seqLen: Int,
                jaccardThreshold: Double = 0.8,
                maxDocFreq: Long = 16): PipelineStages = {
-    val exact = Dedup.dedupe(docs, idCol, textCol, normalized = true)
+    // every stage output below is referenced 2+ times downstream (the
+    // module's multi-reference rule): exact feeds the pair mine, the CC
+    // id set, and the survivor join; nearKept feeds the classifier and
+    // the semi-join; clfKept feeds the token count and the LM's bigram
+    // branch. Unpinned, each reference would re-execute the whole
+    // upstream chain.
+    val exact = graft.Checkpoints.pin(
+      Dedup.dedupe(docs, idCol, textCol, normalized = true))
     val pairs = graft.Checkpoints.pin(
       Dedup.ngramJaccardPairs(exact, idCol, textCol, 3, jaccardThreshold,
           maxDocFreq = maxDocFreq)
         .select(col("doc_a"), col("doc_b")))
     val comps = Clusters.connectedComponents(
       exact.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")
-    val nearKept = exact.join(
+    val nearKept = graft.Checkpoints.pin(exact.join(
       comps.filter(col(idCol) === col("cluster_rep")).select(idCol),
-      Seq(idCol), "left_semi")
-    val clfKept = nearKept.join(
+      Seq(idCol), "left_semi"))
+    val clfKept = graft.Checkpoints.pin(nearKept.join(
       Scoring.hashedLinearScore(nearKept, idCol, textCol)
         .filter(col("is_quality")).select(idCol),
-      Seq(idCol), "left_semi")
+      Seq(idCol), "left_semi"))
     // LM-score the classifier survivors against the frozen reference
     // slice; <2-token docs score null and cannot be ranked — drop them
     // (they are also worthless as training sequences)

@@ -131,10 +131,19 @@ object Ranks {
                    k: Int, out: String, partitions: Int = 0): DataFrame = {
     require(k > 0, "ntile k must be positive")
     require(groupCols.nonEmpty, "groupedNtile needs group columns")
-    val ranked = globalRowNumber(df, groupCols.map(col) ++ order, "__gn", partitions)
+    // pinned: referenced twice below (the per-group offset aggregate and
+    // the join's probe side) — unpinned, the ranking window pass would
+    // execute twice per call
+    val ranked = graft.Checkpoints.pin(
+      globalRowNumber(df, groupCols.map(col) ++ order, "__gn", partitions))
     val grp = ranked.groupBy(groupCols.map(col): _*)
       .agg(min(col("__gn")).as("__g0"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(grp), groupCols)
+    // null-SAFE group equality: NTILE's PARTITION BY treats NULL as a
+    // valid partition, and an inner equi-join would silently drop it
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val grpR = groupCols.foldLeft(grp)((d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    ranked.join(broadcast(grpR), cond)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
       .withColumn("__rn", col("__gn") - col("__g0") + 1)
       .withColumn("__q", expr(s"__n div $k"))
       .withColumn("__rem", col("__n") % k)

@@ -335,9 +335,10 @@ object CurationQueries {
          |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
          |           i -> toks[i] || ' ' || toks[i+1])) AS feats FROM kept),
          |ck AS (SELECT doc_id, toks FROM fe
-         |       WHERE CAST(list_reduce(list_transform(feats, x ->
+         |       WHERE CASE WHEN len(feats) = 0 THEN 0
+         |         ELSE CAST(list_reduce(list_transform(feats, x ->
          |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
-         |         (a, b) -> a + b) AS BIGINT) > 0),
+         |         (a, b) -> a + b) AS BIGINT) END > 0),
          |rt AS (SELECT $toksSql AS toks FROM documents WHERE doc_id < 250),
          |runi AS (SELECT w1, COUNT(*) AS cu FROM
          |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),

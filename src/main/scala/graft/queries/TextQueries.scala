@@ -140,8 +140,11 @@ object TextQueries {
          |   JOIN read_parquet('${graft.QueryDef.goldenRoot}/sf0.01/q44_dedup_simhash.parquet') g
          |   ON ex.doc_a = g.doc_a AND ex.doc_b = g.doc_b) AS caught_pairs""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
-        .select("doc_a", "doc_b")
+      // pinned: the exact pair mine (the expensive subtree) feeds both
+      // the total count and the caught semi-join
+      val exact = graft.Checkpoints.pin(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+          .select("doc_a", "doc_b"))
       val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
         .select("doc_a", "doc_b")
       val total = exact.agg(count(lit(1)).as("total_pairs"))

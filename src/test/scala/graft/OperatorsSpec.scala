@@ -69,6 +69,17 @@ class OperatorsSpec extends SparkSpecBase {
         .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(got == expected, s"k=$k")
     }
+    // NULL is a valid partition to NTILE's PARTITION BY — the null-safe
+    // group join must keep those rows, not drop them
+    val withNull = df.withColumn("g", when(col("k") % 10 === 0, null)
+      .otherwise(col("g")))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+    val expected = withNull.withColumn("t", ntile(3).over(w))
+      .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ranks.groupedNtile(withNull, Seq("g"),
+        Seq(col("v").desc, col("k").asc), 3, "t", partitions = 5)
+      .select("k", "t").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected && got.size == 107, "null group dropped or mis-tiled")
   }
 
   test("distributedNtileBins == ntileBins on the same input") {
