@@ -95,6 +95,56 @@ object TextStats {
         (ttr >= topTokenThreshold || dbr >= dupBigramThreshold).as("is_repetitive"))
   }
 
+  /** The Gopher quality-filter rule set (Rae et al. 2021, Appendix A),
+    * adapted to this engine's signals — the published composite gate a
+    * curation pipeline applies BEFORE model-based scoring: a document is
+    * kept iff EVERY rule passes. Each rule is exact arithmetic (integer
+    * counts, one IEEE division), so the whole verdict table is
+    * oracle-gateable. Rules: token count in [minTokens, maxTokens];
+    * mean word length in [3, 10]; symbol ratio ('#' / '...') ≤ 0.1;
+    * ≥ 80% of words contain an alphabetic character; ≥ 2 stopword hits;
+    * not repetitive per [[repetitionStats]] (top-token and dup-bigram
+    * fractions under their Gopher thresholds).
+    *
+    * Scale shape: one projection over the corpus (per-row HOFs on the
+    * materialized token array) joined with repetitionStats' two
+    * doc-keyed aggregations — no window, nothing global. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Long = 50, maxTokens: Long = 100000): DataFrame = {
+    val withToks = docs.select(col(idCol), col(textCol).as("__text"),
+      TextFns.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks")).cast("long")
+    val base = withToks.select(
+      col(idCol),
+      n.as("n_tokens"),
+      (length(regexp_replace(col("__text"), "\\s+", "")).cast("double") / n)
+        .as("avg_token_len"),
+      size(regexp_extract_all(col("__text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("long").as("n_symbols"),
+      size(filter(col("__toks"), tk => tk.rlike("[a-z]")))
+        .cast("long").as("n_alpha_words"),
+      hits(col("__toks"), stopwords).cast("long").as("stopword_hits"))
+    val reps = repetitionStats(docs, idCol, textCol)
+      .select(col(idCol), col("top_token_ratio"), col("dup_bigram_ratio"))
+    val r = base.join(reps, Seq(idCol))
+      .withColumn("r_length",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_word_len", col("avg_token_len").between(3.0, 10.0))
+      .withColumn("r_symbol",
+        col("n_symbols").cast("double") / col("n_tokens") <= 0.1)
+      .withColumn("r_alpha",
+        col("n_alpha_words").cast("double") / col("n_tokens") >= 0.8)
+      .withColumn("r_stopwords", col("stopword_hits") >= 2)
+      .withColumn("r_repetition",
+        col("top_token_ratio") < 0.1 && col("dup_bigram_ratio") < 0.1)
+    r.withColumn("kept",
+      col("r_length") && col("r_word_len") && col("r_symbol") &&
+        col("r_alpha") && col("r_stopwords") && col("r_repetition"))
+      .select(col(idCol), col("n_tokens"), col("r_length"), col("r_word_len"),
+        col("r_symbol"), col("r_alpha"), col("r_stopwords"),
+        col("r_repetition"), col("kept"))
+  }
+
   /** Stopword-profile language ID: count profile hits per language, take the
     * argmax in fixed priority order (ties → earlier profile). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -808,6 +808,52 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q132: the Gopher rule-based quality filter (Rae et al. 2021,
+    // Appendix A shape) — the published composite PRE-FILTER: length,
+    // mean word length, symbol ratio, alphabetic-word ratio, stopword
+    // floor, and the repetition thresholds, each as an exact-arithmetic
+    // boolean column plus the all-rules verdict. minTokens lowered to 20
+    // at these SFs so the gate is non-vacuous (the synthetic docs are
+    // short; the production default is 50).
+    QueryDef.sql("q132_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+         |        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         |      FROM t),
+         |db AS (SELECT doc_id,
+         |         CAST(len(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(toks)-1, 0)),
+         |           i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_db
+         |       FROM t),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         |top AS (SELECT doc_id, MAX(tf) AS top_tf FROM cnt GROUP BY 1),
+         |r AS (SELECT b.doc_id, n_tokens,
+         |        n_tokens >= 20 AND n_tokens <= 100000 AS r_length,
+         |        avg_token_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+         |        CAST(n_symbols AS DOUBLE) / n_tokens <= 0.1 AS r_symbol,
+         |        CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha,
+         |        n_stop >= 2 AS r_stopwords,
+         |        (CAST(top_tf AS DOUBLE) / n_tokens < 0.1 AND
+         |         CASE WHEN n_tokens > 1
+         |              THEN 1.0 - CAST(n_db AS DOUBLE) / (n_tokens - 1)
+         |              ELSE 0.0 END < 0.1) AS r_repetition
+         |      FROM b JOIN db ON b.doc_id = db.doc_id
+         |             JOIN top ON b.doc_id = top.doc_id)
+         |SELECT doc_id, n_tokens, r_length, r_word_len, r_symbol, r_alpha,
+         |  r_stopwords, r_repetition,
+         |  (r_length AND r_word_len AND r_symbol AND r_alpha AND r_stopwords
+         |   AND r_repetition) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextStats.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+          minTokens = 20)
+        .orderBy("doc_id")
+    },
+
     // ---- q130: CCNet-style per-language quality tiers — the published
     // CCNet bucketing: language-ID the corpus, LM-score it against the
     // reference slice, and split EACH LANGUAGE into head/middle/tail

@@ -140,6 +140,32 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 1L, 4L)))
   }
 
+  test("gopherRules: each rule trips on its planted violation") {
+    // mostly-unique words (top-token ratio must stay under 0.1) with a
+    // couple of stopwords for the stopword floor
+    val good = (1 to 50).map(i => s"token$i").mkString(" ") + " the cat of note"
+    val docs = Seq(
+      (1L, good),                                        // passes everything
+      (2L, "too short of the and"),                      // r_length (< 20 tokens)
+      (3L, (1 to 40).map(_ => "xy").mkString(" ") + " the of and to in"), // r_word_len (mean 2.x)
+      (4L, (1 to 25).map(i => s"### #w$i# ...").mkString(" ") + " the of and"), // r_symbol
+      (5L, (1 to 30).map(i => s"42 17 99 word$i").mkString(" ")),  // r_alpha < 0.8? 3/4 digits
+      (6L, (1 to 15).map(i => s"alpha beta gamma$i").mkString(" ")), // r_stopwords (none)
+      (7L, (1 to 30).map(_ => "spam spam the of and").mkString(" "))  // r_repetition
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats.gopherRules(docs, "doc_id", "text", minTokens = 20)
+      .orderBy("doc_id").collect()
+    def rule(i: Int, c: String) = out(i).getAs[Boolean](c)
+    assert(out(0).getAs[Boolean]("kept"))
+    assert(!rule(1, "r_length"))
+    assert(!rule(2, "r_word_len"))
+    assert(!rule(3, "r_symbol"))
+    assert(!rule(4, "r_alpha"))
+    assert(!rule(5, "r_stopwords"))
+    assert(!rule(6, "r_repetition"))
+    assert(out.drop(1).forall(!_.getAs[Boolean]("kept")))
+  }
+
   test("shardShuffle: deterministic permutation, dense per-shard ranks") {
     val docs = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
     val out = graft.llm.Packing.shardShuffle(docs, "doc_id", 8)
