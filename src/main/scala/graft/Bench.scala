@@ -38,7 +38,8 @@ object Bench {
     "q126_canonical_by_pagerank", // CC + PR composition over one pinned pair set
     "q127_curation_pipeline", // COMPOSED dedup→CC→score→select→pack, one job
     "q128_dup_span_removal", // exact-substring span removal (anti-join rebuild)
-    "q130_ccnet_quality_tiers" // langID × LM × grouped NTILE (skew-safe)
+    "q130_ccnet_quality_tiers", // langID × LM × grouped NTILE (skew-safe)
+    "q132_gopher_rules"      // published rule-based pre-filter (projection + 2 aggs)
   )
 
   def main(args: Array[String]): Unit = {
