@@ -63,6 +63,21 @@ class CheckpointModeSpec extends SparkSpecBase {
     assert(local.size == 12)
   }
 
+  test("composed curation pipeline (q127 shape) identical in both modes") {
+    // the heaviest pin consumer: exact/pairs/nearKept/clfKept/selected
+    // plus CC's per-round pins and the two cumsum range-pins all flip to
+    // durable checkpoints under the option — values must not move
+    val docs = Tables.documents(spark, sf)
+    def run() = graft.llm.Curation.pipeline(docs, "doc_id", "text",
+        lmRef = docs.filter(col("doc_id") < 250),
+        tokenBudget = 15000, seqLen = 512).packed
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val local = run()
+    val durable = withDurable(run())
+    assert(local == durable)
+    assert(local.nonEmpty)
+  }
+
   test("trainMerges identical in both modes") {
     val corpus = Seq(
       (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" "),
