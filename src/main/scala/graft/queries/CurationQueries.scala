@@ -376,6 +376,35 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q133: DECONTAMINATED training corpus — the removal artifact
+    // q84 only reports: train-split docs sharing ANY 8-gram with the
+    // eval split are dropped (the published train/test-leakage scrub
+    // every training pipeline runs before packing). Engine: q84's
+    // contamination pairs → distinct contaminated train ids → one
+    // anti-join. Oracle: same chain with DuckDB's ANTI JOIN.
+    QueryDef.sql("q133_decontaminated_corpus",
+      s"""WITH t AS (SELECT doc_id, $toksSql8 AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM t),
+         |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |bad AS (SELECT DISTINCT tr.doc_id AS doc_id
+         |        FROM tr JOIN ev ON tr.s = ev.s)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |FROM t ANTI JOIN bad USING (doc_id)
+         |WHERE t.doc_id % 10 <> 0 ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalSplit = docs.filter(col("doc_id") % 10 === 0)
+      val trainSplit = docs.filter(col("doc_id") % 10 =!= 0)
+      val contaminated = graft.llm.Dedup.crossCorpusContamination(
+          evalSplit, trainSplit, "doc_id", "text", n = 8)
+        .select(col("train_id").as("doc_id")).distinct()
+      trainSplit.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- q129: deterministic corpus shard shuffle — the dataloader
     // layout between curation and training: reproducible pseudo-random
     // (shard, shard_pos) per doc from an md5 ticket, no RNG state. The
