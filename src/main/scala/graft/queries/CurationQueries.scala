@@ -187,15 +187,26 @@ object CurationQueries {
     // Spark joins eval/train posting lists on the 64-bit shingle hash;
     // the oracle re-derives with string 8-grams — hash-collision-free at
     // this scale, so counts agree exactly.
+    // Train-side df cap = 16 (the q94 petabyte configuration, r7): EXACT
+    // at the shipped SFs (max train 8-gram df is 3 at sf0.01, 4 at
+    // sf0.1 — gate results unchanged and the cap non-vacuous only where
+    // it should be), and it bounds the eval⋈train posting expansion on
+    // duplicate-heavy corpora (uncapped this was 7.5× wall at 32× data:
+    // cross-copy shingle collisions multiply every hot posting list).
+    // One-sided like q94: a gram shared by >16 train docs is boilerplate,
+    // not eval leakage.
     QueryDef.sql("q84_decontamination",
       s"""WITH t AS (SELECT doc_id, $toksSql8 AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM t),
          |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
          |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |trc AS (SELECT tr.* FROM tr
+         |        JOIN (SELECT s FROM tr GROUP BY s HAVING COUNT(*) <= 16) ok
+         |        USING (s)),
          |evsz AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY 1),
-         |inter AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id,
+         |inter AS (SELECT ev.doc_id AS eval_id, trc.doc_id AS train_id,
          |            COUNT(*) AS shared_ngrams
-         |          FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1, 2)
+         |          FROM ev JOIN trc ON ev.s = trc.s GROUP BY 1, 2)
          |SELECT eval_id, train_id, shared_ngrams,
          |  CAST(shared_ngrams AS DOUBLE) / evsz.n AS contamination_ratio
          |FROM inter JOIN evsz ON eval_id = evsz.doc_id""".stripMargin) { (s, dir) =>
@@ -203,7 +214,7 @@ object CurationQueries {
       graft.llm.Dedup.crossCorpusContamination(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
-        "doc_id", "text", n = 8)
+        "doc_id", "text", n = 8, maxDocFreq = 16)
     },
 
     // ---- q76: edit-distance verification of fingerprint-blocked pairs —
@@ -379,16 +390,20 @@ object CurationQueries {
     // ---- q133: DECONTAMINATED training corpus — the removal artifact
     // q84 only reports: train-split docs sharing ANY 8-gram with the
     // eval split are dropped (the published train/test-leakage scrub
-    // every training pipeline runs before packing). Engine: q84's
-    // contamination pairs → distinct contaminated train ids → one
-    // anti-join. Oracle: same chain with DuckDB's ANTI JOIN.
+    // every training pipeline runs before packing). Same capped pair
+    // source as q84 (df ≤ 16, exact at shipped SFs — see q84's note).
+    // Engine: contamination pairs → distinct contaminated train ids →
+    // one anti-join. Oracle: same chain with DuckDB's ANTI JOIN.
     QueryDef.sql("q133_decontaminated_corpus",
       s"""WITH t AS (SELECT doc_id, $toksSql8 AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM t),
          |ev AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
          |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
-         |bad AS (SELECT DISTINCT tr.doc_id AS doc_id
-         |        FROM tr JOIN ev ON tr.s = ev.s)
+         |trc AS (SELECT tr.* FROM tr
+         |        JOIN (SELECT s FROM tr GROUP BY s HAVING COUNT(*) <= 16) ok
+         |        USING (s)),
+         |bad AS (SELECT DISTINCT trc.doc_id AS doc_id
+         |        FROM trc JOIN ev ON trc.s = ev.s)
          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
          |FROM t ANTI JOIN bad USING (doc_id)
          |WHERE t.doc_id % 10 <> 0 ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
@@ -396,7 +411,7 @@ object CurationQueries {
       val evalSplit = docs.filter(col("doc_id") % 10 === 0)
       val trainSplit = docs.filter(col("doc_id") % 10 =!= 0)
       val contaminated = graft.llm.Dedup.crossCorpusContamination(
-          evalSplit, trainSplit, "doc_id", "text", n = 8)
+          evalSplit, trainSplit, "doc_id", "text", n = 8, maxDocFreq = 16)
         .select(col("train_id").as("doc_id")).distinct()
       trainSplit.join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
