@@ -16,6 +16,29 @@ class PropertySpec extends SparkSpecBase {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("removeDuplicatedSpans invariants on generated small-vocab corpora") {
+    // small vocab forces cross-doc trigram sharing; each doc 5-25 tokens
+    val docGen = Gen.chooseNum(5, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" ")))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.llm.TextStats.removeDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    val cov = graft.llm.TextStats.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 30)
+    out.zip(cov).foreach { case (r, c) =>
+      val (n, kept, removed) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[Long]("removed_tokens"))
+      assert(kept + removed == n)
+      // removal cuts exactly the covered positions of the diagnostic
+      assert(removed == c.getAs[Long]("covered_tokens"))
+      // the rebuilt text holds exactly the kept tokens
+      val rebuilt = r.getAs[String]("deduped_text")
+      assert((if (rebuilt.isEmpty) 0 else rebuilt.split(" ").length) == kept)
+    }
+  }
+
   test("popcount64 == Long.bitCount for arbitrary longs") {
     val vals = samples(Gen.long, 100) ++
       Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
