@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Near-dup removal: mine pairs (exact n-gram Jaccard by default), build
-    * duplicate clusters, keep each cluster's min-id representative. */
+    * duplicate clusters, keep each cluster's min-id representative.
+    * `maxDocFreq` defaults to the q94 petabyte cap (df ≤ 16): exact at
+    * the shipped SFs for hot-shingle-free corpora and the bound that
+    * keeps the posting expansion linear on duplicate-heavy ones
+    * (uncapped, the q66 funnel ran 8.2× wall at 32× data — r7 sweep). */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.8,
-                         useMinhash: Boolean = false): DataFrame = {
+                         useMinhash: Boolean = false,
+                         maxDocFreq: Long = 16): DataFrame = {
     val pairs =
       if (useMinhash) Dedup.minhashLshPairs(docs, idCol, textCol, threshold = threshold,
         shingleN = n).select(col("doc_a"), col("doc_b"))
-      else Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+      else Dedup.ngramJaccardPairs(docs, idCol, textCol, n, threshold,
+        maxDocFreq = maxDocFreq)
         .select(col("doc_a"), col("doc_b"))
     val comps = Clusters.connectedComponents(
       docs.select(col(idCol)), idCol, pairs, "doc_a", "doc_b")

@@ -56,6 +56,13 @@ object Multimodal {
     * stub so a corrupt row degrades instead of failing the partition.
     * Header-only reads never materialize the pixel raster, so a 50 MB
     * JPEG costs the same few KB of I/O as a thumbnail. */
+  // ImageIO defaults to a DISK-backed temp-file cache for every
+  // createImageInputStream call — per-row file create/delete in a decode
+  // stage (measured as most of q60's 7.8× wall at 32× data). Payloads
+  // are already in memory; use memory-cache streams. JVM-global, set
+  // once at class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int)] = {
     if (payload == null || payload.length == 0) return None
     try {
@@ -84,14 +91,54 @@ object Multimodal {
     * dims" contract the downstream pipeline reads. */
   def decodeAudioHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     if (payload == null || payload.length == 0) return None
-    try {
-      val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-        new java.io.ByteArrayInputStream(payload))
-      val af = fmt.getFormat
-      val frames = fmt.getFrameLength
-      Some((af.getSampleRate.toInt, af.getChannels,
-        if (frames >= 0) frames else 0))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    // WAV fast path: parse the RIFF container directly (the q88 box-walker
+    // approach). javax.sound's AudioSystem entry points funnel EVERY call
+    // through a synchronized JVM-global provider lookup
+    // (JDK13Services.getProviders), which serializes all executor threads
+    // of a decode stage — measured as a flat ~16 s wall on the q87 chain
+    // at 32× data regardless of partitioning. RIFF/WAVE is a
+    // fully-specified fixed binary layout; AIFF/AU and other formats
+    // still take the javax.sound path below.
+    parseWavHeader(payload).orElse {
+      try {
+        val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val af = fmt.getFormat
+        val frames = fmt.getFrameLength
+        Some((af.getSampleRate.toInt, af.getChannels,
+          if (frames >= 0) frames else 0))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Direct RIFF/WAVE header parse: (sampleRate, channels, frames) from
+    * the `fmt ` chunk + `data` chunk size (frames = dataSize/blockAlign).
+    * Chunk-walks with bounds checks; anything malformed → None. */
+  def parseWavHeader(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u16(o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= p.length && (0 until 4).forall(i => p(o + i) == s.charAt(i).toByte)
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var off = 12
+    var rate = -1; var ch = -1; var blockAlign = -1; var dataSize = -1L
+    while (off + 8 <= p.length && (rate < 0 || dataSize < 0)) {
+      val sz = u32(off + 4)
+      if (tag(off, "fmt ") && off + 8 + 16 <= p.length) {
+        ch = u16(off + 10)
+        rate = u32(off + 12).toInt
+        blockAlign = u16(off + 20)
+      } else if (tag(off, "data")) dataSize = sz
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off += 8 + sz.toInt + (sz.toInt & 1)
+      if (sz < 0 || sz > p.length) return None
+    }
+    if (rate > 0 && ch > 0 && blockAlign > 0 && dataSize >= 0)
+      Some((rate, ch, (dataSize / blockAlign).toInt))
+    else None
   }
 
   /** REAL video metadata codec (header-only): width/height/frame-count
@@ -179,15 +226,31 @@ object Multimodal {
     * [[decodeAudioHeader]] for end-to-end encode→decode gates. Sample
     * content is a fixed byte ramp; only the header parameters matter. */
   def synthWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
-    import javax.sound.sampled._
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
-    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    // canonical 44-byte RIFF/WAVE header + PCM16LE payload, written
+    // directly: AudioSystem.write pays the same synchronized JVM-global
+    // provider lookup as the decode side (see decodeAudioHeader) —
+    // per-row encodes serialized across every executor thread. The
+    // emitted container is the identical canonical layout the JDK's
+    // WAVE writer produces (MultimodalSpec round-trips it through the
+    // javax.sound reader to prove it).
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val out = new Array[Byte](44 + dataSize)
+    def tag(o: Int, s: String): Unit =
+      (0 until 4).foreach(i => out(o + i) = s.charAt(i).toByte)
+    def u16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def u32(o: Int, v: Long): Unit = (0 until 4).foreach(i =>
+      out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    tag(0, "RIFF"); u32(4, 36L + dataSize); tag(8, "WAVE")
+    tag(12, "fmt "); u32(16, 16L); u16(20, 1 /* PCM */); u16(22, channels)
+    u32(24, sampleRate.toLong); u32(28, sampleRate.toLong * blockAlign)
+    u16(32, blockAlign); u16(34, 16 /* bits */)
+    tag(36, "data"); u32(40, dataSize.toLong)
     var i = 0
-    while (i < pcm.length) { pcm(i) = (i * 31).toByte; i += 1 }
-    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    while (i < dataSize) { out(44 + i) = (i * 31).toByte; i += 1 }
+    out
   }
 
   /** Dispatch: real header codecs for all three modalities — image via
@@ -215,12 +278,23 @@ object Multimodal {
 
   /** Batched decode over partitions — the mapInPandas-shaped path: each
     * partition is processed as one iterator (batch), keeping codec setup
-    * cost per-partition rather than per-row. */
-  def decodeBatched(df: DataFrame): Dataset[MediaMeta] = {
+    * cost per-partition rather than per-row.
+    *
+    * The input is REPARTITIONED up to the session's shuffle parallelism
+    * when it arrives narrower: a codec stage is CPU-bound per row, and a
+    * compactly-written source (one parquet file under
+    * maxPartitionBytes) would otherwise funnel every decode through one
+    * task — measured 46× wall at 32× data on the q87 audio chain before
+    * this. The repartition shuffles only (id, modality, payload) rows,
+    * which the decode pass must move anyway. */
+  def decodeBatched(df: DataFrame, partitions: Int = 0): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("modality"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val slim = df.select(col("id"), col("modality"), col("payload"))
+    val wide = if (slim.rdd.getNumPartitions < p) slim.repartition(p) else slim
+    wide.as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here (ImageIO reader caches
         // are JVM-global; nothing further to set up for the image path)

@@ -36,7 +36,11 @@ object Relevance {
   /** TF-IDF scores, sklearn smooth-idf variant:
     * `tfidf = tf * (ln((1+N)/(1+df)) + 1)`, rounded to 6 dp. */
   def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val p = postings(docs, idCol, textCol)
+    // pinned: the posting build (the corpus explode + groupBy — the
+    // dominant subtree) feeds both the df aggregate and the score join;
+    // unpinned it executed twice (measured as most of q82's 13× wall at
+    // 32× data)
+    val p = graft.Checkpoints.pin(postings(docs, idCol, textCol))
     val dfStats = p.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     p.join(dfStats, "term")
@@ -61,14 +65,17 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val p = postings(docs, idCol, textCol)
-    val docLen = docs.select(col(idCol).as("doc_id"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("dl"))
+    // pinned: the query-term posting slice feeds both its own df
+    // aggregate and the score join (the full posting build runs ONCE,
+    // inside this pin); docLen feeds the corpus scalars and the length
+    // join — the same twice-referenced shapes as tfIdf's
+    val qf = graft.Checkpoints.pin(
+      postings(docs, idCol, textCol).filter(col("term").isin(terms: _*)))
+    val docLen = graft.Checkpoints.pin(docs.select(col(idCol).as("doc_id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("dl")))
     val scalars = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avg_dl"))   // exact: integer sum / count, one row
-    val qp = p.filter(col("term").isin(terms: _*))
-      .join(p.filter(col("term").isin(terms: _*))
-        .groupBy("term").agg(count(lit(1)).as("df")), "term")
+    val qp = qf.join(qf.groupBy("term").agg(count(lit(1)).as("df")), "term")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1.0)) /

@@ -149,18 +149,13 @@ object Similarity {
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((s, c) => init(c).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
-      // assign: argmax_c (e_s·c - |c|²/2) == argmin_c L2²(e_s, c); the
-      // codeword id rides in the struct so exact ties break high-id,
-      // identically on every partitioning
-      val assignExpr = (0 until m).map { s =>
-        val cands = books(s).zipWithIndex.map { case (cw, c) =>
-          val half = cw.map(v => v.toDouble * v).sum / 2.0
-          struct((VectorFns.dotDouble(col("subvec"), array(cw.map(lit): _*)) - lit(half))
-            .as("score"), lit(c).as("cw"))
-        }
-        (s, greatest(cands: _*).getField("cw"))
-      }.foldLeft(lit(-1)) { case (acc, (s, e)) => when(col("sub") === s, e).otherwise(acc) }
-      books = subRows.withColumn("cw", assignExpr)
+      // assign: argmax_c (e_s·c - |c|²/2) == argmin_c L2²(e_s, c), exact
+      // ties to the highest codeword id on every partitioning — one
+      // codegen'd kernel call per row (plans/PqKernel; the declarative
+      // greatest-over-structs form allocated m·k arrays+structs per row
+      // and dominated the 32× wall)
+      books = subRows.withColumn("cw",
+          graft.plans.PqExprs.nearestCodeword(col("subvec"), col("sub"), books))
         .select(col("sub"), col("cw"), posexplode(col("subvec")).as(Seq("dim", "v")))
         .groupBy("sub", "cw", "dim").agg(exactMean(col("v")).as("mv"))
         .groupBy("sub", "cw")
@@ -176,21 +171,12 @@ object Similarity {
     books
   }
 
-  /** PQ encoding: each vector becomes its `m` nearest-codeword ids. */
-  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
-    val m = books.length
-    val subDim = books(0)(0).length
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(col("embedding"), s * subDim + 1, subDim)
-      val cands = books(s).zipWithIndex.map { case (cw, c) =>
-        val half = cw.map(v => v.toDouble * v).sum / 2.0
-        struct((VectorFns.dotDouble(sub, array(cw.map(lit): _*)) - lit(half)).as("score"),
-          lit(c).as("cw"))
-      }
-      greatest(cands: _*).getField("cw")
-    }
-    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
-  }
+  /** PQ encoding: each vector becomes its `m` nearest-codeword ids —
+    * one codegen'd kernel pass per row (plans/PqKernel), bit-identical
+    * to the declarative greatest-over-structs form (SimilaritySpec). */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Float]]]): DataFrame =
+    emb.select(col("vec_id"),
+      graft.plans.PqExprs.encodeCodes(col("embedding"), books).as("codes"))
 
   /** ADC (asymmetric distance computation) top-k: the query stays a full
     * float vector; per subspace its dot with every codeword precomputes

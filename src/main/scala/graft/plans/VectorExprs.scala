@@ -4,9 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Codegen'd float-array dot product: `Σ aᵢ·bᵢ` over two ARRAY<FLOAT>
   * columns, accumulated in double, as ONE tight primitive loop.
@@ -86,4 +86,144 @@ object FloatArrayDot {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** Codegen'd PQ codeword-assignment kernels ([[graft.llm.Similarity]]
+  * pqTrain/pqEncode). The declarative form — `greatest` over k
+  * `struct(FloatArrayDot(subvec, array(lit…)) − half, c)` candidates —
+  * is correct but allocates a literal ARRAY and a STRUCT per candidate
+  * per row (m·k of each per vector): measured as the dominant cost of
+  * the q91 chain at 32× data (~39 s wall, nearly all allocation). These
+  * kernels run the identical arithmetic — per codeword, the sequential
+  * float-pair dot minus the PRECOMPUTED ‖cw‖²/2, argmax with ties to the
+  * highest codeword id, exactly `greatest`'s lexicographic struct max —
+  * as one primitive loop with zero per-row allocation. Bit-identical
+  * codes (SimilaritySpec asserts vs the declarative form; the q91 golden
+  * replay pins it end-to-end). */
+object PqKernel {
+  /** Flattened codebooks + halves, shared by both kernels. `halves`
+    * reproduces the driver-side `cw.map(v => v.toDouble * v).sum / 2.0`
+    * exactly (same left-fold sum). */
+  def flatten(books: Array[Array[Array[Float]]]): (Array[Float], Array[Double]) = {
+    val flat = books.flatMap(_.flatten)
+    val halves = books.flatMap(_.map(cw => cw.map(v => v.toDouble * v).sum / 2.0))
+    (flat, halves)
+  }
+
+  /** argmax_c (subvec·book[sub][c] − halves[sub·k+c]); ties → highest c. */
+  def nearest(subvec: ArrayData, sub: Int, flat: Array[Float],
+              halves: Array[Double], k: Int, subDim: Int): Int = {
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < k) {
+      val off = (sub * k + c) * subDim
+      var s = 0.0
+      var i = 0
+      while (i < subDim) {
+        s += subvec.getFloat(i).toDouble * flat(off + i)
+        i += 1
+      }
+      s -= halves(sub * k + c)
+      if (best < 0 || s >= bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Whole-vector encode: codes[s] = nearest codeword of subspace s
+    * (the embedding's s-th contiguous subDim slice). */
+  def encode(emb: ArrayData, flat: Array[Float], halves: Array[Double],
+             m: Int, k: Int, subDim: Int): GenericArrayData = {
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var bestScore = 0.0
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          d += emb.getFloat(s * subDim + i).toDouble * flat(off + i)
+          i += 1
+        }
+        d -= halves(s * k + c)
+        if (best < 0 || d >= bestScore) { bestScore = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `nearest codeword id` over a (subvec, sub-index) row pair. */
+case class PqNearestCodewordExpr(left: Expression, right: Expression,
+                                 books: Array[Array[Array[Float]]])
+  extends BinaryExpression {
+  @transient private lazy val (flat, halves) = PqKernel.flatten(books)
+  private val k = books(0).length
+  private val subDim = books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, int), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_nearest_codeword"
+  override def nullSafeEval(sv: Any, sub: Any): Any =
+    PqKernel.nearest(sv.asInstanceOf[ArrayData], sub.asInstanceOf[Int],
+      flat, halves, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("flat", flat, "float[]")
+    val h = ctx.addReferenceObj("halves", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, (sv, sub) =>
+      s"${ev.value} = graft.plans.PqKernel.nearest($sv, $sub, $f, $h, $k, $subDim);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqNearestCodewordExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Whole-vector PQ code assignment: ARRAY<FLOAT> embedding → ARRAY<INT>. */
+case class PqEncodeCodesExpr(child: Expression,
+                             books: Array[Array[Array[Float]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  @transient private lazy val (flat, halves) = PqKernel.flatten(books)
+  private val m = books.length
+  private val k = books(0).length
+  private val subDim = books(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_codes"
+  override def nullSafeEval(emb: Any): Any =
+    PqKernel.encode(emb.asInstanceOf[ArrayData], flat, halves, m, k, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("flat", flat, "float[]")
+    val h = ctx.addReferenceObj("halves", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, emb =>
+      s"${ev.value} = graft.plans.PqKernel.encode($emb, $f, $h, $m, $k, $subDim);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodesExpr =
+    copy(child = newChild)
+}
+
+object PqExprs {
+  def nearestCodeword(subvec: Column, sub: Column,
+                      books: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqNearestCodewordExpr(
+      ColumnBridge.expression(subvec), ColumnBridge.expression(sub), books))
+  def encodeCodes(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    ColumnBridge.column(PqEncodeCodesExpr(ColumnBridge.expression(emb), books))
 }

@@ -82,9 +82,11 @@ object CurationQueries {
          |       JOIN ek ON n.h = ek.h AND n.doc_id = ek.keep),
          |t AS (SELECT doc_id, $toksSql AS toks FROM ex),
          |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
          |pairs AS (SELECT doc_a, doc_b
          |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),

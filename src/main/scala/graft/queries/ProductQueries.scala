@@ -171,6 +171,12 @@ object ProductQueries {
           Baskets.pairsViaGenerator(li, "l_orderkey", "l_partkey"))
         .withColumnRenamed("frequency", "pair_orders")
         .filter(col("pair_orders") >= 3)
+      // deliberately UNPINNED: both broadcast sides reference this, but
+      // the two references are byte-identical subtrees in ONE job, so
+      // ReuseExchange already dedupes the shuffle — a pin was measured
+      // strictly slower at 1× AND 32× (the pin rule targets references
+      // that cross jobs/actions or non-identical subtrees, where reuse
+      // can't fire; r7 sweep note in PLANS_r7.md)
       val itemCounts = li.select("l_orderkey", "l_partkey").distinct()
         .groupBy("l_partkey").agg(count(lit(1)).as("item_orders"))
       val totalOrders = li.agg(countDistinct(col("l_orderkey")).as("total_orders"))

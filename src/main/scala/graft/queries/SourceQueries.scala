@@ -509,7 +509,12 @@ object SourceQueries {
         (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
         (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
         (lit(100) + length(col("text")) % 500).cast("int").as("frames"))
-      val wavs = params.as[(Long, Int, Int, Int)].mapPartitions { it =>
+      // scale the ENCODER out too: a single compact source file would
+      // otherwise run the whole synth pass in one task (decodeBatched
+      // guards its own side the same way)
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val wavs = params.repartition(nPart)
+        .as[(Long, Int, Int, Int)].mapPartitions { it =>
         // per-partition encoder batch — same shape as the decode stage
         it.map { case (id, rate, ch, frames) =>
           (id, Multimodal.synthWav(rate, ch, frames), "audio")

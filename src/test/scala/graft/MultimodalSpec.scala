@@ -82,6 +82,14 @@ class MultimodalSpec extends SparkSpecBase {
     val g = "definitely not audio bytes".getBytes("UTF-8").length
     assert(m(2L).width == (g % 640 + 1))                 // garbage -> stub dims
     assert(m(3L).nFrames == (wav.length % 30 + 1))       // video -> stub frames
+    // cross-validation both ways: the engine's direct RIFF writer emits a
+    // container the JDK reader parses to the same parameters, and the
+    // JDK writer's container parses through the engine's direct reader
+    val ours = Multimodal.synthWav(12000, 1, 777)
+    val jdk = AudioSystem.getAudioFileFormat(new java.io.ByteArrayInputStream(ours))
+    assert((jdk.getFormat.getSampleRate.toInt, jdk.getFormat.getChannels,
+      jdk.getFrameLength) == ((12000, 1, 777)))
+    assert(Multimodal.parseWavHeader(wav).contains((16000, 2, 1234)))
   }
 
   test("video modality decodes REAL dims/frames from MP4 boxes, stub fallback otherwise") {

@@ -111,6 +111,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
     val codes = Similarity.pqEncode(emb, books)
     assert(codes.count() == emb.count())
+    // the codegen'd assignment kernel (plans/PqKernel) is bit-identical
+    // to the declarative greatest-over-structs form it replaced in r7
+    val subDim = books(0)(0).length
+    val declarative = emb.select($"vec_id", org.apache.spark.sql.functions.array(
+      (0 until 8).map { s =>
+        val sub = slice($"embedding", s * subDim + 1, subDim)
+        val cands = books(s).zipWithIndex.map { case (cw, c) =>
+          val half = cw.map(v => v.toDouble * v).sum / 2.0
+          struct((graft.functions.VectorFns.dotDouble(sub,
+            org.apache.spark.sql.functions.array(cw.map(lit): _*)) - lit(half))
+            .as("score"), lit(c).as("cw"))
+        }
+        greatest(cands: _*).getField("cw")
+      }: _*).as("codes"))
+    assert(codes.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq ==
+      declarative.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq)
     val bad = codes.select(explode($"codes").as("c"))
       .filter($"c" < 0 || $"c" >= 16).count()
     assert(bad == 0)
