@@ -449,13 +449,17 @@ object SourceQueries {
 
     // ---- q61b: the multimodal FEATURE TABLE itself (golden determinism
     // replay) — snapshotting the features lets q61a audit the search
-    // math over them independently.
+    // math over them independently. Emitted EXPLODED as (vec_id, pos,
+    // value): every column scalar, so the driver's pandas-based checker
+    // can sort it (a raw array<float> column crashes its sort_values —
+    // the r7 board's one red row).
     QueryDef.golden("q61b_multimodal_features") { (s, dir) =>
       Multimodal.withBinaryPayload(
           Tables.documents(s, dir), "doc_id", "text", "image")
         .select(col("id").as("vec_id"),
-          Multimodal.fakeEmbedding(col("payload"), 16).as("embedding"))
-        .orderBy("vec_id")
+          posexplode(Multimodal.fakeEmbedding(col("payload"), 16)))
+        .toDF("vec_id", "pos", "value")
+        .orderBy("vec_id", "pos")
     },
 
     // ---- q61a: INDEPENDENT audit for the golden-gated q61 (closing the
@@ -468,17 +472,20 @@ object SourceQueries {
     // chain. Hash-equal iff live features == golden AND the cross-modal
     // ANN search math agrees cross-engine on the real 16-dim arrays.
     QueryDef.sql("q61a_multimodal_ann_audit", {
-      def dot16(a: String, b: String) =
-        s"""CAST(list_sum(list_transform(generate_series(1, 16),
-           |  i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(20,15)))) AS DOUBLE)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding
+      // the snapshot is exploded (vec_id, pos, value) — rebuild each dot
+      // product by joining on pos; per-term DECIMAL(20,15) casts summed
+      // by DuckDB's exact decimal sum (order-independent), identical
+      // arithmetic to the engine's decimal-cosine
+      s"""WITH f AS (SELECT vec_id, pos, CAST(value AS DOUBLE) AS v
          |  FROM read_parquet('${graft.QueryDef.goldenRoot}/sf0.01/q61b_multimodal_features.parquet')),
-         |q AS (SELECT embedding AS qe FROM e WHERE vec_id = 1)
-         |SELECT e.vec_id,
-         |  round(${dot16("e.embedding", "q.qe")} /
-         |    (sqrt(${dot16("e.embedding", "e.embedding")}) * sqrt(${dot16("q.qe", "q.qe")})), 9)
-         |    AS cosine
-         |FROM e, q ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin
+         |q AS (SELECT pos, v AS qv FROM f WHERE vec_id = 1),
+         |d AS (SELECT f.vec_id,
+         |    CAST(sum(CAST(f.v * q.qv AS DECIMAL(20,15))) AS DOUBLE) AS dq,
+         |    CAST(sum(CAST(f.v * f.v AS DECIMAL(20,15))) AS DOUBLE) AS dd
+         |  FROM f JOIN q USING (pos) GROUP BY f.vec_id),
+         |n AS (SELECT CAST(sum(CAST(qv * qv AS DECIMAL(20,15))) AS DOUBLE) AS qq FROM q)
+         |SELECT d.vec_id, round(d.dq / (sqrt(d.dd) * sqrt(n.qq)), 9) AS cosine
+         |FROM d, n ORDER BY cosine DESC, d.vec_id LIMIT 10""".stripMargin
     }) { (s, dir) =>
       val emb = Multimodal.withBinaryPayload(
           Tables.documents(s, dir), "doc_id", "text", "image")
