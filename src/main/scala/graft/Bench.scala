@@ -38,8 +38,11 @@ object Bench {
     "q126_canonical_by_pagerank", // CC + PR composition over one pinned pair set
     "q127_curation_pipeline", // COMPOSED dedup→CC→score→select→pack, one job
     "q128_dup_span_removal", // exact-substring span removal (anti-join rebuild)
+    "q129_shard_shuffle",    // deterministic global shard shuffle (write layout)
     "q130_ccnet_quality_tiers", // langID × LM × grouped NTILE (skew-safe)
-    "q132_gopher_rules"      // published rule-based pre-filter (projection + 2 aggs)
+    "q131_orc_roundtrip",    // ORC write→read roundtrip + agg (columnar interchange)
+    "q132_gopher_rules",     // published rule-based pre-filter (projection + 2 aggs)
+    "q133_decontaminated_corpus" // cross-corpus decontamination anti-join artifact
   )
 
   def main(args: Array[String]): Unit = {
@@ -76,11 +79,15 @@ object Bench {
     // recorded phantom 10-100x regressions (q64 0.24->25.1 s) that
     // reproduced at 0.37 s in a clean window — host co-tenant load, not
     // code. canary_sec makes such a polluted run mechanically detectable:
-    // q01 is scan+agg-bound with years of stable ~0.5 s history at sf0.1,
-    // so canary > 2x baseline means the WINDOW is bad and every other
-    // number in this JSON line is suspect.
+    // q01 is scan+agg-bound with a stable measured history at sf0.1
+    // (~0.40 s min-of-2 on the regenerated single-row-group fixtures;
+    // was ~0.33 s on the multi-row-group ones), so canary > 2x baseline
+    // means the WINDOW is bad and every other number in this JSON line is
+    // suspect. r8 lesson: the old 0.5 s baseline let a ~1.5x polluted
+    // window pass noise_suspect:false — keep this pinned to the MEASURED
+    // clean-window cost, not a round number.
     val canaryName = "q01_pricing_summary"
-    val canaryBaselineSec: Map[String, Double] = Map("sf0.1" -> 0.5, "sf0.01" -> 0.25)
+    val canaryBaselineSec: Map[String, Double] = Map("sf0.1" -> 0.40, "sf0.01" -> 0.20)
     def runCanary(): Double = (1 to math.max(repeat, 2)).map { _ =>
       val t0 = System.nanoTime()
       qs(canaryName)(spark, sfDir).count()
