@@ -12,6 +12,11 @@ object Verify {
     // local-iteration knob (the driver leaves it unset): dump only a subset
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // every failed query is recorded in errors.json (not just stderr): a
+    // query that throws during table load must surface as an explicit red
+    // row downstream, never as a silently-absent dump (r8 lesson — 13
+    // queries vanished from the correctness file when the events load broke)
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -19,6 +24,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +56,10 @@ object Verify {
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written, even when empty: downstream can distinguish "no
+    // failures" from "harness predates errors.json"
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

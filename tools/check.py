@@ -36,6 +36,13 @@ def main(sf_dir, out_dir):
                     f"FROM '{sf_dir}/events.parquet/*.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    # queries that threw inside Verify (e.g. a table-load failure) have no
+    # dump dir; errors.json makes them explicit red rows instead of
+    # silently-absent ones
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            results[name] = {"error": f"query failed in Verify: {msg}"}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
