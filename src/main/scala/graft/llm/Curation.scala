@@ -96,12 +96,13 @@ object Curation {
     * the q125 double-mining trap as a checkable property). */
   final case class PipelineStages(
       exact: DataFrame, pairs: DataFrame, nearKept: DataFrame,
-      selected: DataFrame, packed: DataFrame)
+      curated: DataFrame, selected: DataFrame, packed: DataFrame)
 
-  /** The COMPOSED end-to-end curation pipeline, one job (q127):
+  /** The COMPOSED end-to-end curation pipeline, one job (q127/q134):
     *
     *   raw docs → exact dedup → CAPPED Jaccard pairs (pinned ONCE) →
-    *   connected components → hashed-classifier gate → bigram-LM score →
+    *   connected components → [decontamination vs `evalDocs`] →
+    *   [PII scrub] → hashed-classifier gate → bigram-LM score →
     *   token-budget selection → sequence packing
     *
     * i.e. every curation stage this package ships, chained the way a
@@ -109,16 +110,32 @@ object Curation {
     * set. Output: one row per SELECTED doc with its LM score, running
     * token total, and packed-sequence coordinates.
     *
+    * The two bracketed stages are optional and default OFF (q127 parity):
+    *   - `evalDocs`: drop near-dup survivors sharing ≥1 `deconN`-gram
+    *     with the eval corpus ([[Dedup.crossCorpusContamination]] →
+    *     distinct contaminated ids → one anti-join). Runs on ORIGINAL
+    *     text, before any redaction, like the published recipes.
+    *   - `piiScrub`: rewrite `textCol` through [[Pii.redact]] so every
+    *     downstream consumer (classifier features, LM bigrams, token
+    *     counts) sees redacted text — training sequences must never
+    *     contain raw PII, so scrubbing after selection would be too late.
+    *
     * Scale shape: the pair mine is df-capped and materializes once
-    * (pinned before the component loop); the classifier and LM scores
-    * are zero-shuffle projections over broadcast models; the running
-    * totals are the two-pass distributed cumsum. No stage is all-pairs,
-    * no window is unpartitioned, and the only iterative lineage is
-    * inside the component loop's own per-round pins. */
+    * (pinned before the component loop); decontamination is the same
+    * inverted-index join as the pair mine (posting-mass cost, df-capped,
+    * never |eval|×|train|); the scrub is one codegen'd projection; the
+    * classifier and LM scores are zero-shuffle projections over
+    * broadcast models; the running totals are the two-pass distributed
+    * cumsum. No stage is all-pairs, no window is unpartitioned, and the
+    * only iterative lineage is inside the component loop's own per-round
+    * pins. */
   def pipeline(docs: DataFrame, idCol: String, textCol: String,
                lmRef: DataFrame, tokenBudget: Long, seqLen: Int,
                jaccardThreshold: Double = 0.8,
-               maxDocFreq: Long = 16): PipelineStages = {
+               maxDocFreq: Long = 16,
+               evalDocs: Option[DataFrame] = None,
+               deconN: Int = 8, deconMaxDocFreq: Long = 16,
+               piiScrub: Boolean = false): PipelineStages = {
     // every stage output below is referenced 2+ times downstream (the
     // module's multi-reference rule): exact feeds the pair mine, the CC
     // id set, and the survivor join; nearKept feeds the classifier and
@@ -136,8 +153,29 @@ object Curation {
     val nearKept = graft.Checkpoints.pin(exact.join(
       comps.filter(col(idCol) === col("cluster_rep")).select(idCol),
       Seq(idCol), "left_semi"))
-    val clfKept = graft.Checkpoints.pin(nearKept.join(
-      Scoring.hashedLinearScore(nearKept, idCol, textCol)
+    // optional decontamination: anti-join away survivors that share any
+    // deconN-gram with the eval corpus (original text — before redaction)
+    val deconKept = evalDocs match {
+      case Some(ev) =>
+        val contaminated = Dedup.crossCorpusContamination(
+            ev, nearKept, idCol, textCol, n = deconN,
+            maxDocFreq = deconMaxDocFreq)
+          .select(col("train_id").as(idCol)).distinct()
+        nearKept.join(contaminated, Seq(idCol), "left_anti")
+      case None => nearKept
+    }
+    // optional PII scrub: rewrite textCol in place so the classifier, LM,
+    // and token counts all see redacted text. The curated substrate is
+    // pinned whenever it differs from nearKept (it is referenced by the
+    // classifier gate AND the semi-join below — the multi-reference rule);
+    // when both stages are off it IS the already-pinned nearKept.
+    val curated =
+      if (piiScrub) graft.Checkpoints.pin(
+        deconKept.withColumn(textCol, Pii.redact(col(textCol))))
+      else if (evalDocs.isDefined) graft.Checkpoints.pin(deconKept)
+      else deconKept
+    val clfKept = graft.Checkpoints.pin(curated.join(
+      Scoring.hashedLinearScore(curated, idCol, textCol)
         .filter(col("is_quality")).select(idCol),
       Seq(idCol), "left_semi"))
     // LM-score the classifier survivors against the frozen reference
@@ -161,7 +199,7 @@ object Curation {
         Seq(idCol))
       .select(col(idCol), col("n_tokens"), col("avg_logprob"),
         col("cum_tokens"), col("seq_id"), col("seq_offset"))
-    PipelineStages(exact, pairs, nearKept, selected, packed)
+    PipelineStages(exact, pairs, nearKept, curated, selected, packed)
   }
 
   /** Curation funnel report: row counts surviving each stage — the

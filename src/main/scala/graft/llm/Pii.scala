@@ -34,6 +34,15 @@ object Pii {
     * otherwise chew on), then phone, then IP. */
   val defaultRules: Seq[Rule] = Seq(email, phone, ipv4)
 
+  /** The redaction chain as a plain column expression, for callers that
+    * rewrite a text column in place (e.g. the curation pipeline's scrub
+    * stage) rather than carrying a separate `redacted` column. */
+  def redact(c: org.apache.spark.sql.Column,
+             rules: Seq[Rule] = defaultRules): org.apache.spark.sql.Column = {
+    require(rules.nonEmpty, "at least one scrub rule required")
+    rules.foldLeft(c)((acc, r) => regexp_replace(acc, r.pattern, r.replacement))
+  }
+
   /** Per-document scrub: `n_<rule>` match counts (on the original text)
     * plus the fully-redacted text. */
   def scrub(df: DataFrame, idCol: String, textCol: String,
@@ -42,7 +51,6 @@ object Pii {
     val t = col(textCol)
     val counts = rules.map(r =>
       size(regexp_extract_all(t, lit(r.pattern), lit(0))).cast("long").as(s"n_${r.name}"))
-    val redacted = rules.foldLeft(t)((c, r) => regexp_replace(c, r.pattern, r.replacement))
-    df.select((col(idCol) +: counts) :+ redacted.as("redacted"): _*)
+    df.select((col(idCol) +: counts) :+ redact(t, rules).as("redacted"): _*)
   }
 }

@@ -440,6 +440,122 @@ object CurationQueries {
         |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.llm.Packing.shardShuffle(Tables.documents(s, dir), "doc_id", 16)
         .orderBy("doc_id")
+    },
+
+    // ---- q134: the FULL curation pipeline — q127's chain with the two
+    // optional stages switched ON: decontamination against an eval split
+    // (8-gram overlap, df ≤ 16 over the near-dup survivors — the published
+    // train/test-leakage scrub) and PII redaction (so the classifier, LM,
+    // and token counts all see scrubbed text). The fixture corpus carries
+    // no PII, so — exactly like q93 — deterministic PII is synthesized
+    // into the text IDENTICALLY in both engines first; the gate then
+    // checks real redaction flowing through every downstream stage, not a
+    // vacuous identity. Chain: inject PII → train/eval split (doc_id%10)
+    // → exact dedup → capped 3-gram Jaccard pairs (pinned once) → CC →
+    // decon anti-join → redact → classifier gate → bigram-LM vs the
+    // doc_id<250 slice → 15k-token budget → 512-token packing.
+    QueryDef.sql("q134_curation_pipeline_full", {
+      val toksOf = SqlFragments.toksOfSql _
+      val redact = SqlFragments.piiRedactSql _
+      s"""WITH RECURSIVE
+         |base AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |       || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+         |       || lpad(CAST((doc_id * 37) % 1000 AS VARCHAR), 3, '0') || '-'
+         |       || lpad(CAST((doc_id * 91) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+         |       || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |       || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END AS text
+         |  FROM documents),
+         |tr AS (SELECT doc_id, text FROM base WHERE doc_id % 10 <> 0),
+         |t AS (SELECT doc_id, text, ${toksOf("text")} AS toks FROM tr),
+         |keepx AS (SELECT MIN(doc_id) AS doc_id FROM tr
+         |          GROUP BY md5(regexp_replace(lower(trim(text)), '$ws+', ' ', 'g'))),
+         |ex AS (SELECT t.doc_id, t.text, t.toks FROM t JOIN keepx USING (doc_id)),
+         |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM ex),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (SELECT doc_id, doc_id FROM ex
+         |                   UNION
+         |                   SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |kept AS (SELECT ex.doc_id, ex.text, ex.toks FROM ex JOIN comp ON ex.doc_id = comp.id
+         |         WHERE comp.id = comp.lbl),
+         |k8 AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM kept),
+         |k8c AS (SELECT k8.* FROM k8
+         |        JOIN (SELECT s FROM k8 GROUP BY s HAVING COUNT(*) <= 16) ok USING (s)),
+         |ev AS (SELECT doc_id, ${toksOf("text")} AS toks FROM base WHERE doc_id % 10 = 0),
+         |e8 AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM ev),
+         |bad AS (SELECT DISTINCT k8c.doc_id AS doc_id FROM k8c JOIN e8 ON k8c.s = e8.s),
+         |rd AS (SELECT kept.doc_id, ${redact("kept.text")} AS rtext
+         |       FROM kept ANTI JOIN bad USING (doc_id)),
+         |rtk AS (SELECT doc_id, ${toksOf("rtext")} AS toks FROM rd),
+         |fe AS (SELECT doc_id, toks, list_concat(toks,
+         |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |           i -> toks[i] || ' ' || toks[i+1])) AS feats FROM rtk),
+         |ck AS (SELECT doc_id, toks FROM fe
+         |       WHERE CASE WHEN len(feats) = 0 THEN 0
+         |         ELSE CAST(list_reduce(list_transform(feats, x ->
+         |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
+         |         (a, b) -> a + b) AS BIGINT) END > 0),
+         |rt AS (SELECT ${toksOf("text")} AS toks FROM base WHERE doc_id < 250),
+         |runi AS (SELECT w1, COUNT(*) AS cu FROM
+         |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
+         |rbi AS (SELECT b, COUNT(*) AS cb FROM
+         |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
+         |v AS (SELECT COUNT(*) AS v FROM runi),
+         |d2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |         i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw FROM ck),
+         |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d2 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT doc_id, b,
+         |         tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
+         |       FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
+         |lm AS (SELECT doc_id,
+         |         round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
+         |           / SUM(tf), 6) AS avg_logprob
+         |       FROM c2 GROUP BY 1),
+         |selc AS (SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens, lm.avg_logprob,
+         |           SUM(CAST(len(k.toks) AS BIGINT)) OVER (ORDER BY lm.avg_logprob DESC, k.doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |         FROM ck k JOIN lm USING (doc_id)),
+         |sel AS (SELECT * FROM selc WHERE cum <= 15000),
+         |p AS (SELECT doc_id, n_tokens, avg_logprob, CAST(cum AS BIGINT) AS cum_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+         |      FROM sel)
+         |SELECT doc_id, n_tokens, avg_logprob, cum_tokens,
+         |  CAST((pc - n_tokens) // 512 AS BIGINT) AS seq_id,
+         |  CAST((pc - n_tokens) % 512 AS BIGINT) AS seq_offset
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = col("doc_id")
+      // identical PII synthesis to q93 (the fixture corpus carries none)
+      val piiText = concat(col("text"),
+        when(d % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+          lit("@mail"), (d % 7).cast("string"), lit(".example.com"))).otherwise(""),
+        when(d % 4 === 0, concat(lit(" call 555-"),
+          lpad(((d * 37) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((d * 91) % 10000).cast("string"), 4, "0"))).otherwise(""),
+        when(d % 5 === 0, concat(lit(" from 10."), (d % 256).cast("string"),
+          lit(".0."), ((d * 3) % 256).cast("string"))).otherwise(""))
+      val injected = Tables.documents(s, dir).select(d, piiText.as("text"))
+      graft.llm.Curation.pipeline(
+          injected.filter(d % 10 =!= 0), "doc_id", "text",
+          lmRef = injected.filter(d < 250),
+          tokenBudget = 15000, seqLen = 512,
+          evalDocs = Some(injected.filter(d % 10 === 0)),
+          piiScrub = true).packed
+        .orderBy("doc_id")
     }
   )
 }

@@ -12,9 +12,21 @@ private[queries] object SqlFragments {
   /** Literal `\s` for use inside s-interpolated SQL. */
   val ws: String = "\\s"
 
+  /** Whitespace tokens of a lower-cased trimmed text EXPRESSION — must
+    * match `TextFns.tokens`. */
+  def toksOfSql(textExpr: String): String =
+    s"""string_split_regex(lower(trim($textExpr)), '\\s+')"""
+
   /** Whitespace tokens of the lower-cased trimmed text — must match
     * `TextFns.tokens`. */
-  val toksSql: String = """string_split_regex(lower(trim(text)), '\s+')"""
+  val toksSql: String = toksOfSql("text")
+
+  /** The PII redaction chain over a text expression — generated from
+    * [[graft.llm.Pii.defaultRules]] so the oracle can't drift from the
+    * engine's rule list, patterns, or application order. */
+  def piiRedactSql(textExpr: String): String =
+    graft.llm.Pii.defaultRules.foldLeft(textExpr)((acc, r) =>
+      s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')")
 
   /** Distinct space-joined n-gram shingles over an already-tokenized
     * list expression — must match `TextFns.shinglesFromTokens`. */

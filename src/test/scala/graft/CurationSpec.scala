@@ -67,6 +67,32 @@ class CurationSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("cum_tokens") <= 500))
   }
 
+  test("pipeline optional stages: decon drops leaked docs, scrub redacts downstream, substrate pinned") {
+    val clean = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    val docs = Seq(
+      (0L, clean + " contact bob@example.com for details"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    // eval doc shares an 8-token run with doc 1 ONLY → doc 1 is leaked
+    val eval_ = Seq(
+      (100L, "totally unrelated prefix alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val stages = Curation.pipeline(docs, "doc_id", "text",
+      lmRef = docs, tokenBudget = 500, seqLen = 64,
+      evalDocs = Some(eval_), piiScrub = true)
+    // the curated substrate is multi-referenced (classifier gate + semi-join)
+    // and must be pinned like the pair set
+    assert(graft.tools.PlanCheck.isPinned(stages.curated))
+    val curated = stages.curated.collect()
+    assert(curated.map(_.getAs[Long]("doc_id")).toSet == Set(0L)) // doc 1 decontaminated away
+    val text0 = curated.head.getAs[String]("text")
+    assert(text0.contains("[EMAIL]") && !text0.contains("bob@example.com"))
+    // defaults-off parity: with neither stage on, curated IS nearKept
+    val plain = Curation.pipeline(docs, "doc_id", "text",
+      lmRef = docs, tokenBudget = 500, seqLen = 64)
+    assert(plain.curated eq plain.nearKept)
+  }
+
   test("funnel counts are monotone and consistent") {
     val f = Curation.funnel(corpus, "doc_id", "text").head
     val raw = f.getAs[Long]("raw_docs")
