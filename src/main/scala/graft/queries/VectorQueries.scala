@@ -22,6 +22,122 @@ object VectorQueries {
   private[queries] def cosSql(a: String, b: String) =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 9)"
 
+  /** DuckDB replica of the codegen'd [[graft.plans.FloatArrayDot]] /
+    * PqKernel double dot: a LEFT-FOLD double sum of elementwise products
+    * (`list_reduce` folds left from the first element, and IEEE
+    * `0.0 + x₁ == x₁`, so the association matches the kernels'
+    * `s += a[i]*b[i]` loop exactly). ORDER-DEPENDENT like the kernels —
+    * only valid where the Spark side uses the same sequential fold. */
+  private def ddotSql(a: String, b: String, dim: Int = 64) =
+    s"""list_reduce(list_transform(generate_series(1, $dim),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Decimal-exact per-group mean of float components, cast to FLOAT —
+    * mirrors Similarity.exactMean (decimal(38,18) sum) followed by the
+    * float cast. The oracle divides the exact sum in DOUBLE where Spark
+    * divides in decimal; empirically float-identical at every (group,
+    * dim) at all shipped SFs (the q47 seam, re-verified for q59/q91). */
+  private val exactMeanFloatSql =
+    "CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS FLOAT)"
+
+  /** The q59 k-means(k=8, iters=2) + IVF chain as WITH-clause CTEs ending
+    * in `a2` (vec_id, embedding, cell), `cent2` (per-cell centroids) and
+    * `probe` (top-3 cells by centroid cosine) — the exact replay of
+    * [[Similarity.kmeansCells]] + [[Similarity.ivfTopK]]: init = the k
+    * lowest vec_ids; assignment = argmax dot/|c| with ties to the HIGHER
+    * cell (`greatest` over (sim, cell) structs); means decimal-exact;
+    * cells re-indexed by collect position (row_number over cell). The
+    * loop runs assign→update twice but returns the SECOND assignment
+    * (the final update is discarded), so the chain needs two assignment
+    * rounds and ONE mean round. */
+  private def kmeansIvfCtes(k: Int): String =
+    s"""c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS c
+       |       FROM embeddings ORDER BY vec_id LIMIT $k),
+       |a1 AS (SELECT vec_id, embedding, cell FROM (
+       |         SELECT e.vec_id, e.embedding, c0.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ddotSql("e.embedding", "c0.c")} / sqrt(${ddotSql("c0.c", "c0.c")}) DESC,
+       |                      c0.cell DESC) AS rn
+       |         FROM embeddings e CROSS JOIN c0) WHERE rn = 1),
+       |m1 AS (SELECT cell, dim, $exactMeanFloatSql AS m
+       |       FROM (SELECT cell, unnest(generate_series(1, 64)) AS dim,
+       |                    unnest(embedding) AS v FROM a1)
+       |       GROUP BY 1, 2),
+       |c1 AS (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS cell, c FROM
+       |         (SELECT cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY cell)),
+       |a2 AS (SELECT vec_id, embedding, cell FROM (
+       |         SELECT e.vec_id, e.embedding, c1.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${ddotSql("e.embedding", "c1.c")} / sqrt(${ddotSql("c1.c", "c1.c")}) DESC,
+       |                      c1.cell DESC) AS rn
+       |         FROM embeddings e CROSS JOIN c1) WHERE rn = 1),
+       |cm2 AS (SELECT cell, dim, $exactMeanFloatSql AS m
+       |        FROM (SELECT cell, unnest(generate_series(1, 64)) AS dim,
+       |                     unnest(embedding) AS v FROM a2)
+       |        GROUP BY 1, 2),
+       |cent2 AS (SELECT cell, list(m ORDER BY dim) AS centroid FROM cm2 GROUP BY cell),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT cell FROM cent2, qv
+       |          ORDER BY ${dotSql("centroid", "qe")} /
+       |            (sqrt(${dotSql("centroid", "centroid")}) * sqrt(${dotSql("qe", "qe")})) DESC, cell
+       |          LIMIT 3)""".stripMargin
+
+  /** The q91 PQ chain (m=8 subspaces × k=16 codewords, 2 Lloyd iters) as
+    * CTEs ending in `short` (the ADC rerank shortlist) and `qv` — the
+    * exact replay of [[Similarity.pqTrain]]/[[Similarity.pqEncode]]/
+    * [[Similarity.pqSearch]] incl. the PqKernel tie rule (score ties →
+    * HIGHEST codeword: `>=` update in the kernel), empty-cell carry
+    * (COALESCE against the previous books), the driver's left-fold
+    * half-norms and query·codeword table, and the sub-ordered score fold. */
+  private def pqCtes(m: Int, k: Int, subDim: Int, rerank: Int): String = {
+    val halfSql = (c: String) =>
+      s"""(list_reduce(list_transform($c, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+         |  (x, y) -> x + y) / 2.0)""".stripMargin
+    def asg(src: String, books: String, name: String) =
+      s"""$name AS (SELECT vec_id, sub, subvec, cw FROM (
+         |  SELECT r.vec_id, r.sub, r.subvec, b.cw,
+         |    ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.sub
+         |      ORDER BY (${ddotSql("r.subvec", "b.cvec", subDim)} - ${halfSql("b.cvec")}) DESC,
+         |               b.cw DESC) AS rn
+         |  FROM $src r JOIN $books b USING (sub)) WHERE rn = 1)""".stripMargin
+    def update(a: String, prev: String, mn: String, nb: String, bn: String) =
+      s"""$mn AS (SELECT sub, cw, dim, $exactMeanFloatSql AS mv
+         |  FROM (SELECT sub, cw, unnest(generate_series(1, $subDim)) AS dim,
+         |               unnest(subvec) AS v FROM $a)
+         |  GROUP BY 1, 2, 3),
+         |$nb AS (SELECT sub, cw, list(mv ORDER BY dim) AS cvec FROM $mn GROUP BY 1, 2),
+         |$bn AS (SELECT p.sub, p.cw, COALESCE(n.cvec, p.cvec) AS cvec
+         |  FROM $prev p LEFT JOIN $nb n USING (sub, cw))""".stripMargin
+    s"""subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |b0 AS (SELECT s.sub, i.c AS cw,
+       |         list_slice(i.embedding, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cvec
+       |       FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding
+       |             FROM embeddings ORDER BY vec_id LIMIT $k) i
+       |       CROSS JOIN subs s),
+       |subrows AS (SELECT vec_id, sub,
+       |              list_slice(embedding, sub * $subDim + 1, sub * $subDim + $subDim) AS subvec
+       |            FROM embeddings CROSS JOIN subs),
+       |${asg("subrows", "b0", "asg1")},
+       |${update("asg1", "b0", "m1", "nb1", "b1")},
+       |${asg("subrows", "b1", "asg2")},
+       |${update("asg2", "b1", "m2", "nb2", "b2")},
+       |enc AS (SELECT vec_id, sub, cw FROM (
+       |  SELECT r.vec_id, r.sub, b.cw,
+       |    ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.sub
+       |      ORDER BY (${ddotSql("r.subvec", "b.cvec", subDim)} - ${halfSql("b.cvec")}) DESC,
+       |               b.cw DESC) AS rn
+       |  FROM subrows r JOIN b2 b USING (sub)) WHERE rn = 1),
+       |qsub AS (SELECT sub, list_slice(embedding, sub * $subDim + 1, sub * $subDim + $subDim) AS qs
+       |         FROM embeddings CROSS JOIN subs WHERE vec_id = 0),
+       |tbl AS (SELECT b.sub, b.cw, ${ddotSql("q.qs", "b.cvec", subDim)} AS qd
+       |        FROM b2 b JOIN qsub q USING (sub)),
+       |sc AS (SELECT e.vec_id,
+       |         round(list_reduce(list(t.qd ORDER BY t.sub), (x, y) -> x + y), 9) AS pq_score
+       |       FROM enc e JOIN tbl t ON t.sub = e.sub AND t.cw = e.cw GROUP BY e.vec_id),
+       |short AS (SELECT vec_id FROM sc ORDER BY pq_score DESC, vec_id LIMIT $rerank),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.lshBuckets]]: one CASE per sign bit,
     * plane components inlined as double literals from the SAME
     * `Similarity.lshPlane` the Spark plan evaluates (Double.toString
@@ -166,34 +282,41 @@ object VectorQueries {
     },
 
     // ---- q59: IVF with self-trained k-means coarse quantizer (no natural
-    // blocking key needed; float-iterative centroids — rows-only, recall
-    // asserted in SimilaritySpec)
-    QueryDef.golden("q59_ann_ivf_kmeans") { (s, dir) =>
+    // blocking key needed). FULL DuckDB oracle (converted from golden in
+    // r9, verified 0-diff vs the committed goldens at sf0.001/0.01/0.1):
+    // the Lloyd loop is deterministic by construction — lowest-vec_id
+    // init, per-row LEFT-FOLD double dots (FloatArrayDot ≡ list_reduce),
+    // decimal-exact means — so the whole 2-iteration chain unrolls into
+    // CTEs (see kmeansIvfCtes).
+    QueryDef.sql("q59_ann_ivf_kmeans",
+      s"""WITH ${kmeansIvfCtes(8)}
+         |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |FROM a2 e JOIN probe USING (cell), qv
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cells = Similarity.kmeansCells(emb, k = 8, iters = 2)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       Similarity.ivfTopK(cells, query, "cell", k = 20, nProbe = 3)
     },
 
-    // ---- q59a: INDEPENDENT recall audit for the golden-gated q59 (the
-    // k-means training loop itself is float-iterative, not SQL-
-    // expressible, but its RECALL against the oracle-exact brute top-k
-    // is). ASYMMETRIC bound gate: the Spark side measures |live exact
-    // top-20 ∩ live k-means-IVF top-20| and emits the (k, hits) row ONLY
-    // when hits ≥ 17; the oracle measures the COMMITTED GOLDEN snapshot
-    // against DuckDB's own exact top-20 and emits its row unconditionally.
-    // A recall regression (even one committed with a regenerated golden)
-    // drops the Spark row → rows_match fails; live/golden drift or a
-    // cross-engine exact-top-k divergence → hash fails. Measured hits =
-    // 19/20 at sf0.001, sf0.01 AND sf0.1 — bound 17 has margin.
+    // ---- q59a: INDEPENDENT recall audit for q59. ASYMMETRIC bound gate:
+    // the Spark side measures |live exact top-20 ∩ live k-means-IVF
+    // top-20| and emits the (k, hits) row ONLY when hits ≥ 17; the oracle
+    // re-derives BOTH sides in SQL (the kmeans-IVF chain + DuckDB's own
+    // exact top-20) and emits its row unconditionally. A recall
+    // regression drops the Spark row → rows_match fails; a cross-engine
+    // divergence → hash fails. Measured hits = 19/20 at sf0.001, sf0.01
+    // AND sf0.1 — bound 17 has margin. (Pre-r9 this compared the
+    // committed golden; now golden-free.)
     QueryDef.sql("q59a_kmeans_recall_audit",
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |ex AS (SELECT e.vec_id FROM embeddings e, q
-         |       ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT 20)
+      s"""WITH ${kmeansIvfCtes(8)},
+         |ap AS (SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |       FROM a2 e JOIN probe USING (cell), qv
+         |       ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |ex AS (SELECT e.vec_id FROM embeddings e, qv
+         |       ORDER BY ${cosSql("e.embedding", "qv.qe")} DESC, e.vec_id LIMIT 20)
          |SELECT CAST(20 AS BIGINT) AS k,
-         |  (SELECT COUNT(*) FROM ex
-         |   JOIN read_parquet('${QueryDef.goldenRoot}/sf0.01/q59_ann_ivf_kmeans.parquet') g
-         |   USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
+         |  (SELECT COUNT(*) FROM ex JOIN ap USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val exact = Similarity.bruteTopK(emb, query, 20).select("vec_id")
@@ -210,9 +333,16 @@ object VectorQueries {
     // path): 8 subspaces × 16 codewords trained by the deterministic
     // Lloyd loop, vectors compressed to 8 small ints, query answered by
     // ADC table lookups over CODES only — no float vector is read at
-    // query time. Codebooks are float-iterative → golden-gated; recall
-    // vs brute force asserted in SimilaritySpec.
-    QueryDef.golden("q91_ann_pq") { (s, dir) =>
+    // query time. FULL DuckDB oracle (converted from golden in r9,
+    // verified 0-diff vs the committed goldens at sf0.001/0.01/0.1): the
+    // PqKernel math is a left-fold double dot minus a left-fold
+    // half-norm with ties to the highest codeword, all replayable in SQL
+    // (see pqCtes), and means are decimal-exact.
+    QueryDef.sql("q91_ann_pq",
+      s"""WITH ${pqCtes(m = 8, k = 16, subDim = 8, rerank = 100)}
+         |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |FROM embeddings e JOIN short USING (vec_id), qv
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val books = Similarity.pqTrain(emb, m = 8, k = 16, iters = 2)
       val codes = Similarity.pqEncode(emb, books)
@@ -221,19 +351,21 @@ object VectorQueries {
       Similarity.pqSearch(emb, codes, queryVec, books, k = 20, rerank = 100)
     },
 
-    // ---- q91a: INDEPENDENT recall audit for the golden-gated q91, same
-    // asymmetric bound-gate shape as q59a: Spark emits (k, hits) only when
-    // the live PQ+rerank top-20 recovers ≥ 12 of the live exact top-20;
-    // the oracle measures the committed golden vs DuckDB-exact
-    // unconditionally. Measured hits = 17/16/14 at sf0.001/0.01/0.1.
+    // ---- q91a: INDEPENDENT recall audit for q91, same asymmetric
+    // bound-gate shape as q59a: Spark emits (k, hits) only when the live
+    // PQ+rerank top-20 recovers ≥ 12 of the live exact top-20; the
+    // oracle re-derives both sides in SQL unconditionally. Measured
+    // hits = 17/16/14 at sf0.001/0.01/0.1. (Pre-r9 this compared the
+    // committed golden; now golden-free.)
     QueryDef.sql("q91a_pq_recall_audit",
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |ex AS (SELECT e.vec_id FROM embeddings e, q
-         |       ORDER BY ${cosSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT 20)
+      s"""WITH ${pqCtes(m = 8, k = 16, subDim = 8, rerank = 100)},
+         |ap AS (SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |       FROM embeddings e JOIN short USING (vec_id), qv
+         |       ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |ex AS (SELECT e.vec_id FROM embeddings e, qv
+         |       ORDER BY ${cosSql("e.embedding", "qv.qe")} DESC, e.vec_id LIMIT 20)
          |SELECT CAST(20 AS BIGINT) AS k,
-         |  (SELECT COUNT(*) FROM ex
-         |   JOIN read_parquet('${QueryDef.goldenRoot}/sf0.01/q91_ann_pq.parquet') g
-         |   USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
+         |  (SELECT COUNT(*) FROM ex JOIN ap USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       val exact = Similarity.bruteTopK(emb, query, 20).select("vec_id")
