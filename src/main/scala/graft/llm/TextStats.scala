@@ -228,11 +228,13 @@ object TextStats {
     * window, no global sort, nothing driver-side. */
   /** (doc, pos, gramHash) per positional n-gram OCCURRENCE, 1-based
     * positions — the shared substrate of [[dupSpanCoverage]] and
-    * [[removeDuplicatedSpans]]. PINNED: both consumers reference it
-    * twice (df filter + position semi-join). */
+    * [[removeDuplicatedSpans]]. PINNED by default: those consumers
+    * reference it twice (df filter + position semi-join); pass
+    * `pin = false` for single-consumer uses ([[removeSpansWith]]). */
   private def positionalGramOcc(docs: DataFrame, idCol: String,
-                                textCol: String, n: Int): DataFrame =
-    graft.Checkpoints.pin(docs
+                                textCol: String, n: Int,
+                                pin: Boolean = true): DataFrame = {
+    val occ = docs
       .select(col(idCol), TextFns.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         when(size(col("toks")) >= n,
@@ -243,7 +245,9 @@ object TextStats {
                 .as("h"))))
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>")).as("pg"))
       .select(col(idCol), explode(col("pg")).as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h")))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    if (pin) graft.Checkpoints.pin(occ) else occ
+  }
 
   /** Grams shared by ≥ `minDocs` DISTINCT docs. */
   private def dupGrams(occ: DataFrame, idCol: String, minDocs: Int): DataFrame =
@@ -301,7 +305,40 @@ object TextStats {
                             n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2)
     val occ = positionalGramOcc(docs, idCol, textCol, n)
-    val dup = dupGrams(occ, idCol, minDocs)
+    rebuildWithoutSpans(docs, occ, dupGrams(occ, idCol, minDocs), idCol, textCol, n)
+  }
+
+  /** The FROZEN duplicated-gram artifact: the distinct gram hashes
+    * occurring in ≥ `minDocs` docs of a REFERENCE corpus. Mined once and
+    * handed to [[removeSpansWith]] — the streaming/ingest deployment of
+    * span removal (the dsirModels/dsirScore split): the reference's
+    * boilerplate set is fixed at model time, and every incoming batch is
+    * scrubbed against it without re-mining. */
+  def dupSpanModel(reference: DataFrame, idCol: String, textCol: String,
+                   n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    dupGrams(positionalGramOcc(reference, idCol, textCol, n), idCol, minDocs)
+  }
+
+  /** Span removal against a FROZEN gram set ([[dupSpanModel]]) — same
+    * rebuild chain as [[removeDuplicatedSpans]] but nothing is mined from
+    * `docs`, so it applies to an ingest micro-batch (foreachBatch; the
+    * per-doc rebuild is an aggregation, so append-mode streaming proper
+    * can't host it) exactly as to a batch corpus. The occurrence table
+    * has a single consumer here (the semi-join), so no pin. */
+  def removeSpansWith(docs: DataFrame, dupGramSet: DataFrame,
+                      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1)
+    val occ = positionalGramOcc(docs, idCol, textCol, n, pin = false)
+    rebuildWithoutSpans(docs, occ, dupGramSet.select("h"), idCol, textCol, n)
+  }
+
+  /** Shared removal tail: covered positions from `dup`-matching gram
+    * occurrences → ANTI-join against the exploded tokens →
+    * order-preserving rebuild. */
+  private def rebuildWithoutSpans(docs: DataFrame, occ: DataFrame,
+                                  dup: DataFrame, idCol: String,
+                                  textCol: String, n: Int): DataFrame = {
     val coveredPos = occ.join(dup, Seq("h"), "left_semi")
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1)))
         .as("pos"))

@@ -376,6 +376,77 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gopherRules gates an ingest stream via foreachBatch, matching batch") {
+    // gopherRules joins a projection with repetitionStats' per-doc
+    // aggregations, so append-mode streaming proper can't host it; the
+    // deployment shape is foreachBatch — each micro-batch is a static
+    // frame and the SAME plan builder runs unchanged
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      (1 to 45).map(i => s"word$i").mkString(" ")
+    val docs = Seq(1L -> good, 2L -> "zq zq", 3L -> ("#### " * 40 + good))
+    val out = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out ++= graft.llm.TextStats.gopherRules(b.toDF(), "doc_id", "text").collect()
+        ()
+      }.start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = out.sortBy(_.getAs[Long]("doc_id")).toSeq
+      val batch = graft.llm.TextStats.gopherRules(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed.head.getAs[Boolean]("kept"))      // passes every rule
+      assert(!streamed(1).getAs[Boolean]("kept"))       // too short, no stopwords
+      assert(!streamed(2).getAs[Boolean]("kept"))       // symbol ratio over 0.1
+    } finally q.stop()
+  }
+
+  test("removeSpansWith scrubs a stream against a frozen span model, matching batch") {
+    // the dsirModels/dsirScore split applied to exact-substring dedup:
+    // the duplicated-gram set is mined ONCE on a static reference corpus
+    // (dupSpanModel), frozen, and each ingest micro-batch is rebuilt
+    // against it in foreachBatch — reference boilerplate is stripped
+    // from incoming docs without re-mining
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "this content is provided as is without warranty of any kind"
+    val ref = Seq(
+      (1L, s"alpha doc body $boiler"),
+      (2L, s"$boiler beta doc body"),
+      (3L, "gamma doc with its own unique text")).toDF("doc_id", "text")
+    val model = graft.llm.TextStats.dupSpanModel(ref, "doc_id", "text",
+      n = 8, minDocs = 2)
+    val incoming = Seq(
+      10L -> s"fresh unique document opening $boiler fresh unique closing words",
+      11L -> "entirely novel text with no shared spans at all here")
+    val mem = MemoryStream[(Long, String)]
+    val out = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out ++= graft.llm.TextStats.removeSpansWith(b.toDF(), model, "doc_id", "text",
+          n = 8).collect()
+        ()
+      }.start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = out.sortBy(_.getAs[Long]("doc_id")).toSeq
+      val batch = graft.llm.TextStats.removeSpansWith(
+          incoming.toDF("doc_id", "text"), model, "doc_id", "text", n = 8)
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch && streamed.size == 2)
+      val scrubbed = streamed.head.getAs[String]("deduped_text")
+      assert(!scrubbed.contains("without warranty"))    // boilerplate removed
+      assert(scrubbed.startsWith("fresh unique document opening"))
+      assert(streamed.head.getAs[Long]("removed_tokens") > 0)
+      assert(streamed(1).getAs[Long]("removed_tokens") == 0)  // novel doc verbatim
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate content keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
