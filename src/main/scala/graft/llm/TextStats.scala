@@ -399,6 +399,17 @@ object TextStats {
     val refBi = biOcc(reference).groupBy("b").agg(count(lit(1)).as("cb"))
     val vocab = refUni.agg(count(lit(1)).as("__v"))   // 1-row broadcast
     val perBigram = biOcc(docs)
+      // ONE shuffle for the whole per-doc pipeline: pre-partition the raw
+      // occurrences by doc so BOTH aggregations (the (doc,b,w1) tf counts
+      // here and the per-doc sorted fold below) are exchange-free —
+      // hashpartitioning(doc) satisfies either clustering, and the
+      // broadcast joins in between preserve it. Without this the
+      // string-heavy bigram rows crossed the wire twice: the double
+      // exchange was the bulk of the q130 wall at 32× (profiled r9).
+      // Per-partition volume stays bounded by the docs it holds (the
+      // partial combine the first agg loses compressed almost nothing —
+      // tf is overwhelmingly 1).
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("b"), col("w1")).agg(count(lit(1)).as("tf"))
       .join(refBi, Seq("b"), "left")
       .join(refUni, Seq("w1"), "left")
