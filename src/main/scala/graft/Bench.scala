@@ -95,7 +95,15 @@ object Bench {
     }.min
     val canarySec = runCanary()
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val results = queries.map { name =>
+    // mid-run canaries: the r9 session caught a window where both
+    // BRACKET canaries were clean but co-tenant load arrived mid-suite
+    // (q127 read 2x its min-of-3 in the same JSON line) — so the canary
+    // also fires at each third of the suite, and noise_suspect keys off
+    // the WORST of all four samples
+    val midAt = Set(queries.size / 3, 2 * queries.size / 3).filter(_ > 0)
+    val midCanaries = collection.mutable.ArrayBuffer.empty[Double]
+    val results = queries.zipWithIndex.map { case (name, qi) =>
+      if (midAt.contains(qi)) midCanaries += runCanary()
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -119,14 +127,17 @@ object Bench {
     // actually exhibited, so the suspect flag keys off the WORSE of the
     // two brackets
     val canaryEndSec = runCanary()
+    val allCanaries = canarySec +: midCanaries.toSeq :+ canaryEndSec
     // no recorded canary baseline for this SF label → "null", NOT false:
     // absence of the check must not read as a clean window
     val noiseSuspect = canaryBaselineSec.get(sfLabel)
-      .map(b => (math.max(canarySec, canaryEndSec) > 2 * b).toString)
+      .map(b => (allCanaries.max > 2 * b).toString)
       .getOrElse("null")
+    val midJson = midCanaries.map(sec).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
       s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir",""" +
-      s""""canary_sec":${sec(canarySec)},"canary_end_sec":${sec(canaryEndSec)},""" +
+      s""""canary_sec":${sec(canarySec)},"canary_mid_sec":$midJson,""" +
+      s""""canary_end_sec":${sec(canaryEndSec)},""" +
       s""""repeat":$repeat,"noise_suspect":$noiseSuspect}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

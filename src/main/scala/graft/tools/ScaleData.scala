@@ -43,7 +43,10 @@ object ScaleData {
       .withColumn("c_custkey", col("c_custkey") + i * K)))
     write("part", copies(i => Tables.part(spark, src)
       .withColumn("p_partkey", col("p_partkey") + i * K)))
-    // events.ts is raw nanos in the parquet; re-read without conversion
+    // events.ts is copied in whatever physical encoding the fixture uses
+    // (raw nanos-as-long historically, native timestamp[us] since the r8
+    // regeneration) — re-read WITHOUT conversion; Tables.events adapts to
+    // either on the way back in
     write("events", copies(i => spark.read.parquet(s"$src/events.parquet")
       .withColumn("event_id", col("event_id") + i * K)
       .withColumn("user_id", col("user_id") + i * K)))
