@@ -308,29 +308,37 @@ object TextStats {
     rebuildWithoutSpans(docs, occ, dupGrams(occ, idCol, minDocs), idCol, textCol, n)
   }
 
-  /** The FROZEN duplicated-gram artifact: the distinct gram hashes
-    * occurring in ≥ `minDocs` docs of a REFERENCE corpus. Mined once and
-    * handed to [[removeSpansWith]] — the streaming/ingest deployment of
-    * span removal (the dsirModels/dsirScore split): the reference's
+  /** The FROZEN duplicated-span artifact: the distinct gram hashes
+    * occurring in ≥ `minDocs` docs of a REFERENCE corpus, CARRYING the
+    * gram width they were mined at. The width rides in the model (not as
+    * a second argument to the scrub) because a mismatched `n` would not
+    * fail — m-gram hashes never equal n-gram hashes, so the semi-join
+    * would match nothing and every batch would pass through "clean" with
+    * removed_tokens = 0 while boilerplate flowed into the corpus. */
+  final case class SpanModel(grams: DataFrame, n: Int)
+
+  /** Mine a [[SpanModel]] once on a reference corpus and hand it to
+    * [[removeSpansWith]] — the streaming/ingest deployment of span
+    * removal (the dsirModels/dsirScore split): the reference's
     * boilerplate set is fixed at model time, and every incoming batch is
     * scrubbed against it without re-mining. */
   def dupSpanModel(reference: DataFrame, idCol: String, textCol: String,
-                   n: Int = 8, minDocs: Int = 2): DataFrame = {
+                   n: Int = 8, minDocs: Int = 2): SpanModel = {
     require(n >= 1 && minDocs >= 2)
-    dupGrams(positionalGramOcc(reference, idCol, textCol, n), idCol, minDocs)
+    SpanModel(
+      dupGrams(positionalGramOcc(reference, idCol, textCol, n), idCol, minDocs), n)
   }
 
-  /** Span removal against a FROZEN gram set ([[dupSpanModel]]) — same
-    * rebuild chain as [[removeDuplicatedSpans]] but nothing is mined from
-    * `docs`, so it applies to an ingest micro-batch (foreachBatch; the
-    * per-doc rebuild is an aggregation, so append-mode streaming proper
-    * can't host it) exactly as to a batch corpus. The occurrence table
-    * has a single consumer here (the semi-join), so no pin. */
-  def removeSpansWith(docs: DataFrame, dupGramSet: DataFrame,
-                      idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    require(n >= 1)
-    val occ = positionalGramOcc(docs, idCol, textCol, n, pin = false)
-    rebuildWithoutSpans(docs, occ, dupGramSet.select("h"), idCol, textCol, n)
+  /** Span removal against a FROZEN [[SpanModel]] — same rebuild chain as
+    * [[removeDuplicatedSpans]] but nothing is mined from `docs`, so it
+    * applies to an ingest micro-batch (foreachBatch; the per-doc rebuild
+    * is an aggregation, so append-mode streaming proper can't host it)
+    * exactly as to a batch corpus. The occurrence table has a single
+    * consumer here (the semi-join), so no pin. */
+  def removeSpansWith(docs: DataFrame, model: SpanModel,
+                      idCol: String, textCol: String): DataFrame = {
+    val occ = positionalGramOcc(docs, idCol, textCol, model.n, pin = false)
+    rebuildWithoutSpans(docs, occ, model.grams.select("h"), idCol, textCol, model.n)
   }
 
   /** Shared removal tail: covered positions from `dup`-matching gram

@@ -19,6 +19,84 @@ object CurationQueries {
   private def shingles8Sql(toks: String) = SqlFragments.shinglesSql(toks, 8)
   private def shingles3Sql(toks: String) = SqlFragments.shinglesSql(toks, 3)
 
+  // ---- Shared q127/q134 oracle fragments (the kmeansIvfCtes pattern):
+  // ONE definition of the pipeline chain's SQL, parameterized by source,
+  // so a fix to the q127 recipe cannot silently miss its q134 twin.
+
+  /** exact dedup → capped 3-gram Jaccard pairs → recursive-CTE closure →
+    * per-cluster min-id survivors, over `src` (a table/CTE with
+    * (doc_id, text)). Ends in `kept` (doc_id, text, toks). Requires the
+    * statement to open `WITH RECURSIVE`. */
+  private def dedupCcCtes(src: String): String =
+    s"""t AS (SELECT doc_id, text, $toksSql AS toks FROM $src),
+       |keepx AS (SELECT MIN(doc_id) AS doc_id FROM $src
+       |          GROUP BY md5(regexp_replace(lower(trim(text)), '$ws+', ' ', 'g'))),
+       |ex AS (SELECT t.doc_id, t.text, t.toks FROM t JOIN keepx USING (doc_id)),
+       |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM ex),
+       |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b
+       |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+       |edges AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lbl) AS (SELECT doc_id, doc_id FROM ex
+       |                   UNION
+       |                   SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id),
+       |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+       |kept AS (SELECT ex.doc_id, ex.text, ex.toks FROM ex JOIN comp ON ex.doc_id = comp.id
+       |         WHERE comp.id = comp.lbl)""".stripMargin
+
+  /** hashed-classifier gate → add-one bigram LM vs `refFrom` →
+    * token-budget selection → sequence packing, over `toksCte` (a CTE
+    * with (doc_id, toks)). Ends in `p`; pair with [[packedSelectSql]]. */
+  private def lmSelectPackCtes(toksCte: String, refFrom: String,
+                               budget: Long): String =
+    s"""fe AS (SELECT doc_id, toks, list_concat(toks,
+       |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+       |           i -> toks[i] || ' ' || toks[i+1])) AS feats FROM $toksCte),
+       |ck AS (SELECT doc_id, toks FROM fe
+       |       WHERE CASE WHEN len(feats) = 0 THEN 0
+       |         ELSE CAST(list_reduce(list_transform(feats, x ->
+       |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
+       |         (a, b) -> a + b) AS BIGINT) END > 0),
+       |rt AS (SELECT $toksSql AS toks FROM $refFrom),
+       |runi AS (SELECT w1, COUNT(*) AS cu FROM
+       |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
+       |rbi AS (SELECT b, COUNT(*) AS cb FROM
+       |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+       |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
+       |v AS (SELECT COUNT(*) AS v FROM runi),
+       |d2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+       |         i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw FROM ck),
+       |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d2 GROUP BY 1, 2, 3),
+       |c2 AS (SELECT doc_id, b,
+       |         tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
+       |       FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
+       |lm AS (SELECT doc_id,
+       |         round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
+       |           / SUM(tf), 6) AS avg_logprob
+       |       FROM c2 GROUP BY 1),
+       |selc AS (SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens, lm.avg_logprob,
+       |           SUM(CAST(len(k.toks) AS BIGINT)) OVER (ORDER BY lm.avg_logprob DESC, k.doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |         FROM ck k JOIN lm USING (doc_id)),
+       |sel AS (SELECT * FROM selc WHERE cum <= $budget),
+       |p AS (SELECT doc_id, n_tokens, avg_logprob, CAST(cum AS BIGINT) AS cum_tokens,
+       |        SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
+       |      FROM sel)""".stripMargin
+
+  /** The final packed-layout projection over `p`. */
+  private def packedSelectSql(seqLen: Int): String =
+    s"""SELECT doc_id, n_tokens, avg_logprob, cum_tokens,
+       |  CAST((pc - n_tokens) // $seqLen AS BIGINT) AS seq_id,
+       |  CAST((pc - n_tokens) % $seqLen AS BIGINT) AS seq_offset
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q62: duplicate clusters — connected components over the exact
@@ -323,65 +401,9 @@ object CurationQueries {
     // is bit-equal on integral token counts).
     QueryDef.sql("q127_curation_pipeline",
       s"""WITH RECURSIVE
-         |t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-         |keepx AS (SELECT MIN(doc_id) AS doc_id FROM documents
-         |          GROUP BY md5(regexp_replace(lower(trim(text)), '$ws+', ' ', 'g'))),
-         |ex AS (SELECT t.doc_id, t.toks FROM t JOIN keepx USING (doc_id)),
-         |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM ex),
-         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b
-         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
-         |edges AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (SELECT doc_id, doc_id FROM ex
-         |                   UNION
-         |                   SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id),
-         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
-         |kept AS (SELECT ex.doc_id, ex.toks FROM ex JOIN comp ON ex.doc_id = comp.id
-         |         WHERE comp.id = comp.lbl),
-         |fe AS (SELECT doc_id, toks, list_concat(toks,
-         |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |           i -> toks[i] || ' ' || toks[i+1])) AS feats FROM kept),
-         |ck AS (SELECT doc_id, toks FROM fe
-         |       WHERE CASE WHEN len(feats) = 0 THEN 0
-         |         ELSE CAST(list_reduce(list_transform(feats, x ->
-         |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
-         |         (a, b) -> a + b) AS BIGINT) END > 0),
-         |rt AS (SELECT $toksSql AS toks FROM documents WHERE doc_id < 250),
-         |runi AS (SELECT w1, COUNT(*) AS cu FROM
-         |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
-         |rbi AS (SELECT b, COUNT(*) AS cb FROM
-         |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
-         |v AS (SELECT COUNT(*) AS v FROM runi),
-         |d2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |         i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw FROM ck),
-         |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d2 GROUP BY 1, 2, 3),
-         |c2 AS (SELECT doc_id, b,
-         |         tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
-         |       FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
-         |lm AS (SELECT doc_id,
-         |         round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
-         |           / SUM(tf), 6) AS avg_logprob
-         |       FROM c2 GROUP BY 1),
-         |selc AS (SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens, lm.avg_logprob,
-         |           SUM(CAST(len(k.toks) AS BIGINT)) OVER (ORDER BY lm.avg_logprob DESC, k.doc_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |         FROM ck k JOIN lm USING (doc_id)),
-         |sel AS (SELECT * FROM selc WHERE cum <= 15000),
-         |p AS (SELECT doc_id, n_tokens, avg_logprob, CAST(cum AS BIGINT) AS cum_tokens,
-         |        SUM(n_tokens) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
-         |      FROM sel)
-         |SELECT doc_id, n_tokens, avg_logprob, cum_tokens,
-         |  CAST((pc - n_tokens) // 512 AS BIGINT) AS seq_id,
-         |  CAST((pc - n_tokens) % 512 AS BIGINT) AS seq_offset
-         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |${dedupCcCtes("documents")},
+         |${lmSelectPackCtes("kept", "documents WHERE doc_id < 250", 15000)}
+         |${packedSelectSql(512)}""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       graft.llm.Curation.pipeline(docs, "doc_id", "text",
           lmRef = docs.filter(col("doc_id") < 250),
@@ -469,27 +491,7 @@ object CurationQueries {
          |       || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END AS text
          |  FROM documents),
          |tr AS (SELECT doc_id, text FROM base WHERE doc_id % 10 <> 0),
-         |t AS (SELECT doc_id, text, ${toksOf("text")} AS toks FROM tr),
-         |keepx AS (SELECT MIN(doc_id) AS doc_id FROM tr
-         |          GROUP BY md5(regexp_replace(lower(trim(text)), '$ws+', ' ', 'g'))),
-         |ex AS (SELECT t.doc_id, t.text, t.toks FROM t JOIN keepx USING (doc_id)),
-         |sh AS (SELECT doc_id, unnest(${shingles3Sql("toks")}) AS s FROM ex),
-         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
-         |pairs AS (SELECT doc_a, doc_b
-         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
-         |edges AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (SELECT doc_id, doc_id FROM ex
-         |                   UNION
-         |                   SELECT e.ed, r.lbl FROM reach r JOIN edges e ON e.es = r.id),
-         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
-         |kept AS (SELECT ex.doc_id, ex.text, ex.toks FROM ex JOIN comp ON ex.doc_id = comp.id
-         |         WHERE comp.id = comp.lbl),
+         |${dedupCcCtes("tr")},
          |k8 AS (SELECT doc_id, unnest(${shingles8Sql("toks")}) AS s FROM kept),
          |k8c AS (SELECT k8.* FROM k8
          |        JOIN (SELECT s FROM k8 GROUP BY s HAVING COUNT(*) <= 16) ok USING (s)),
@@ -499,44 +501,8 @@ object CurationQueries {
          |rd AS (SELECT kept.doc_id, ${redact("kept.text")} AS rtext
          |       FROM kept ANTI JOIN bad USING (doc_id)),
          |rtk AS (SELECT doc_id, ${toksOf("rtext")} AS toks FROM rd),
-         |fe AS (SELECT doc_id, toks, list_concat(toks,
-         |         list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |           i -> toks[i] || ' ' || toks[i+1])) AS feats FROM rtk),
-         |ck AS (SELECT doc_id, toks FROM fe
-         |       WHERE CASE WHEN len(feats) = 0 THEN 0
-         |         ELSE CAST(list_reduce(list_transform(feats, x ->
-         |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
-         |         (a, b) -> a + b) AS BIGINT) END > 0),
-         |rt AS (SELECT ${toksOf("text")} AS toks FROM base WHERE doc_id < 250),
-         |runi AS (SELECT w1, COUNT(*) AS cu FROM
-         |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
-         |rbi AS (SELECT b, COUNT(*) AS cb FROM
-         |          (SELECT unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |             i -> toks[i] || ' ' || toks[i+1])) AS b FROM rt) GROUP BY 1),
-         |v AS (SELECT COUNT(*) AS v FROM runi),
-         |d2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |         i -> {'b': toks[i] || ' ' || toks[i+1], 'w1': toks[i]})) AS bw FROM ck),
-         |db AS (SELECT doc_id, bw.b AS b, bw.w1 AS w1, COUNT(*) AS tf FROM d2 GROUP BY 1, 2, 3),
-         |c2 AS (SELECT doc_id, b,
-         |         tf * ln((COALESCE(cb, 0) + 1.0) / (COALESCE(cu, 0) + v)) AS contrib, tf
-         |       FROM db LEFT JOIN rbi USING (b) LEFT JOIN runi USING (w1) CROSS JOIN v),
-         |lm AS (SELECT doc_id,
-         |         round(list_reduce(list(contrib ORDER BY b), (acc, x) -> acc + x)
-         |           / SUM(tf), 6) AS avg_logprob
-         |       FROM c2 GROUP BY 1),
-         |selc AS (SELECT k.doc_id, CAST(len(k.toks) AS BIGINT) AS n_tokens, lm.avg_logprob,
-         |           SUM(CAST(len(k.toks) AS BIGINT)) OVER (ORDER BY lm.avg_logprob DESC, k.doc_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |         FROM ck k JOIN lm USING (doc_id)),
-         |sel AS (SELECT * FROM selc WHERE cum <= 15000),
-         |p AS (SELECT doc_id, n_tokens, avg_logprob, CAST(cum AS BIGINT) AS cum_tokens,
-         |        SUM(n_tokens) OVER (ORDER BY doc_id
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc
-         |      FROM sel)
-         |SELECT doc_id, n_tokens, avg_logprob, cum_tokens,
-         |  CAST((pc - n_tokens) // 512 AS BIGINT) AS seq_id,
-         |  CAST((pc - n_tokens) % 512 AS BIGINT) AS seq_offset
-         |FROM p ORDER BY doc_id""".stripMargin
+         |${lmSelectPackCtes("rtk", "base WHERE doc_id < 250", 15000)}
+         |${packedSelectSql(512)}""".stripMargin
     }) { (s, dir) =>
       val d = col("doc_id")
       // identical PII synthesis to q93 (the fixture corpus carries none)

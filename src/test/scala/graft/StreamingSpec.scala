@@ -427,8 +427,8 @@ class StreamingSpec extends SparkSpecBase {
     val out = collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        out ++= graft.llm.TextStats.removeSpansWith(b.toDF(), model, "doc_id", "text",
-          n = 8).collect()
+        out ++= graft.llm.TextStats.removeSpansWith(b.toDF(), model, "doc_id", "text")
+          .collect()
         ()
       }.start()
     try {
@@ -436,7 +436,7 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       val streamed = out.sortBy(_.getAs[Long]("doc_id")).toSeq
       val batch = graft.llm.TextStats.removeSpansWith(
-          incoming.toDF("doc_id", "text"), model, "doc_id", "text", n = 8)
+          incoming.toDF("doc_id", "text"), model, "doc_id", "text")
         .orderBy("doc_id").collect().toSeq
       assert(streamed == batch && streamed.size == 2)
       val scrubbed = streamed.head.getAs[String]("deduped_text")

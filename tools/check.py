@@ -36,18 +36,24 @@ def main(sf_dir, out_dir):
                     f"FROM '{sf_dir}/events.parquet/*.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    # queries that threw inside Verify (e.g. a table-load failure) have no
-    # dump dir; errors.json makes them explicit red rows instead of
-    # silently-absent ones
+    # queries that threw inside Verify (e.g. a table-load failure): an
+    # explicit red row, NEVER a silently-absent one — and the error must
+    # WIN over any stale dump dir left by a previous Verify run into the
+    # same out_dir (a plan-construction throw never deletes the old dump,
+    # which would otherwise compare green against the oracle)
     err_path = f"{out_dir}/errors.json"
-    if os.path.exists(err_path):
-        for name, msg in json.load(open(err_path)).items():
-            results[name] = {"error": f"query failed in Verify: {msg}"}
+    verify_errors = json.load(open(err_path)) if os.path.exists(err_path) else {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or name in verify_errors:
             continue
         files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            # a write that failed mid-job leaves a dir with no part files;
+            # red row, not an uncaught read_parquet([]) crash that would
+            # kill the whole report
+            results[name] = {"error": "dump dir has no parquet part files"}
+            continue
         spark_df = duckdb.connect().execute(
             f"SELECT * FROM read_parquet({files!r})").df()
         if name not in oracles:
@@ -87,6 +93,8 @@ def main(sf_dir, out_dir):
         results[name] = {"rows": len(a), "schema": schema_ok,
                          "rowcount": rows_ok, "exact": hash_ok,
                          "detail": detail}
+    for name, msg in verify_errors.items():
+        results[name] = {"error": f"query failed in Verify: {msg}"}
     ok = sum(1 for r in results.values()
              if r.get("exact") or (r.get("oracle") is None and r.get("ok")))
     print(json.dumps(results, indent=1, default=str))
