@@ -130,21 +130,7 @@ object Ranks {
   def groupedNtile(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
                    k: Int, out: String, partitions: Int = 0): DataFrame = {
     require(k > 0, "ntile k must be positive")
-    require(groupCols.nonEmpty, "groupedNtile needs group columns")
-    // pinned: referenced twice below (the per-group offset aggregate and
-    // the join's probe side) — unpinned, the ranking window pass would
-    // execute twice per call
-    val ranked = graft.Checkpoints.pin(
-      globalRowNumber(df, groupCols.map(col) ++ order, "__gn", partitions))
-    val grp = ranked.groupBy(groupCols.map(col): _*)
-      .agg(min(col("__gn")).as("__g0"), count(lit(1)).as("__n"))
-    // null-SAFE group equality: NTILE's PARTITION BY treats NULL as a
-    // valid partition, and an inner equi-join would silently drop it
-    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-    val grpR = groupCols.foldLeft(grp)((d, c) => d.withColumnRenamed(c, s"__g_$c"))
-    ranked.join(broadcast(grpR), cond)
-      .drop(groupCols.map(c => s"__g_$c"): _*)
-      .withColumn("__rn", col("__gn") - col("__g0") + 1)
+    groupedRankAndSize(df, groupCols, order, partitions)
       .withColumn("__q", expr(s"__n div $k"))
       .withColumn("__rem", col("__n") % k)
       .withColumn("__th", col("__rem") * (col("__q") + 1))
@@ -155,6 +141,44 @@ object Ranks {
           expr("(__rn - 1) div (__q + 1)") + 1)
         .otherwise(col("__rem") + expr("(__rn - __th - 1) div greatest(__q, 1)") + 1)
         .cast("int"))
-      .drop("__gn", "__g0", "__n", "__rn", "__q", "__rem", "__th")
+      .drop("__rn", "__n", "__q", "__rem", "__th")
+  }
+
+  /** Exact `ROW_NUMBER() OVER (PARTITION BY groupCols ORDER BY order)`
+    * with NO per-group single-task sort — the per-group rank twin of
+    * [[groupedNtile]], for skewed group keys (per-domain top-k caps where
+    * one domain dominates the corpus). Bit-equal to the window form. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       order: Seq[Column], out: String,
+                       partitions: Int = 0): DataFrame =
+    groupedRankAndSize(df, groupCols, order, partitions)
+      .withColumn(out, col("__rn"))
+      .drop("__rn", "__n")
+
+  /** Shared core of [[groupedNtile]]/[[groupedRowNumber]]: the input plus
+    * `__rn` (1-based rank within its group under `order`) and `__n` (the
+    * group's size), computed via the range-partitioned two-pass global
+    * rank over (groupCols, order) — the dominant group spans as many
+    * partitions as it needs — plus one broadcast-small per-group
+    * (start, size) join. */
+  private def groupedRankAndSize(df: DataFrame, groupCols: Seq[String],
+                                 order: Seq[Column],
+                                 partitions: Int): DataFrame = {
+    require(groupCols.nonEmpty, "grouped rank needs group columns")
+    // pinned: referenced twice below (the per-group offset aggregate and
+    // the join's probe side) — unpinned, the ranking window pass would
+    // execute twice per call
+    val ranked = graft.Checkpoints.pin(
+      globalRowNumber(df, groupCols.map(col) ++ order, "__gn", partitions))
+    val grp = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__gn")).as("__g0"), count(lit(1)).as("__n"))
+    // null-SAFE group equality: a window's PARTITION BY treats NULL as a
+    // valid partition, and an inner equi-join would silently drop it
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val grpR = groupCols.foldLeft(grp)((d, c) => d.withColumnRenamed(c, s"__g_$c"))
+    ranked.join(broadcast(grpR), cond)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+      .withColumn("__rn", col("__gn") - col("__g0") + 1)
+      .drop("__gn", "__g0")
   }
 }

@@ -504,6 +504,91 @@ object CurationQueries {
          |${lmSelectPackCtes("rtk", "base WHERE doc_id < 250", 15000)}
          |${packedSelectSql(512)}""".stripMargin
     }) { (s, dir) =>
+      q134Spark(s, dir)
+    },
+
+    // ---- q135: per-source (domain-level) REPUTATION — the C4/RefinedWeb
+    // stage that judges provenance, not documents: one row per source
+    // with doc counts, exact-dup count, PII match total, token mass,
+    // decimal-exact mean quality, and the composite keep verdict. The
+    // fixture corpus carries no PII and no exact dups, so — the q93/q134
+    // precedent — both signals are synthesized IDENTICALLY in both
+    // engines, keyed off the source's numeric suffix so the verdict
+    // actually discriminates per source: suffix%3==0 sources get one
+    // email appended per doc (PII density 1.0 > the 0.5/doc bound) and
+    // suffix%4==1 sources are unioned with a re-id'd copy of themselves
+    // (dup ratio 0.5 > the 0.3 bound).
+    QueryDef.sql("q135_source_reputation", {
+      s"""WITH base AS (SELECT doc_id, source, text
+         |  || CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+         |       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         |       ELSE '' END AS text
+         |  FROM documents),
+         |corpus AS (SELECT * FROM base
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, source, text FROM base
+         |           WHERE CAST(substr(source, 4) AS INT) % 4 = 1),
+         |${SqlFragments.qualityCtesSql("corpus", " source,")},
+         |pii AS (SELECT doc_id, ${SqlFragments.piiCountSql("text")} AS pii FROM corpus),
+         |rep AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_rep FROM corpus
+         |        GROUP BY md5(regexp_replace(lower(trim(text)), '$ws+', ' ', 'g'))),
+         |pd AS (SELECT q.doc_id, q.source, q.n_tokens, q.quality_score, pii.pii,
+         |              (is_rep IS NULL) AS is_dup
+         |       FROM q JOIN pii USING (doc_id) LEFT JOIN rep USING (doc_id)),
+         |r AS (SELECT source, COUNT(*) AS n_docs,
+         |        CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |        CAST(SUM(pii) AS BIGINT) AS pii_matches,
+         |        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |        round(CAST(SUM(CAST(quality_score AS DECIMAL(20,15))) AS DOUBLE)
+         |          / COUNT(*), 6) AS mean_quality
+         |      FROM pd GROUP BY 1)
+         |SELECT source, n_docs, dup_docs, pii_matches, total_tokens, mean_quality,
+         |  (mean_quality >= 0.3 AND CAST(pii_matches AS DOUBLE) / n_docs <= 0.5
+         |   AND CAST(dup_docs AS DOUBLE) / n_docs <= 0.3) AS keep
+         |FROM r ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+      val d = col("doc_id")
+      val sfx = substring(col("source"), 4, 4).cast("int")
+      val base = Tables.documents(s, dir).select(d, col("source"),
+        concat(col("text"),
+          when(sfx % 3 === 0, concat(lit(" contact user"), d.cast("string"),
+            lit("@mail"), (d % 7).cast("string"), lit(".example.com")))
+            .otherwise("")).as("text"))
+      val corpus = base.unionByName(
+        base.filter(sfx % 4 === 1)
+          .select((d + 1000000L).as("doc_id"), col("source"), col("text")))
+      graft.llm.SourceCuration.sourceReputation(corpus, "doc_id", "text",
+          "source", minMeanQuality = 0.3, maxPiiPerDoc = 0.5, maxDupRatio = 0.3)
+        .orderBy("source")
+    },
+
+    // ---- q136: per-source contribution CAP — "no domain may own the
+    // corpus": each source keeps at most its 8 best docs by
+    // (quality desc, doc_id). Engine-side the in-source rank is the
+    // skew-safe Ranks.groupedRowNumber (a PARTITION BY source window
+    // passes the shape gate but serializes on the dominant domain at
+    // scale — the q130 lesson applied to ranks); the oracle IS the
+    // window, bit-equal.
+    QueryDef.sql("q136_source_capped_corpus",
+      s"""WITH ${SqlFragments.qualityCtesSql("documents", " source,")}
+         |SELECT doc_id, source, quality_score, src_rank FROM (
+         |  SELECT doc_id, source, quality_score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank
+         |  FROM q)
+         |WHERE src_rank <= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.llm.SourceCuration.sourceCappedCorpus(
+          Tables.documents(s, dir), "doc_id", "text", "source", cap = 8)
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("src_rank"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // q134's Spark side, split out so the defs list stays readable
+  private def q134Spark(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
       val d = col("doc_id")
       // identical PII synthesis to q93 (the fixture corpus carries none)
       val piiText = concat(col("text"),
@@ -522,6 +607,5 @@ object CurationQueries {
           evalDocs = Some(injected.filter(d % 10 === 0)),
           piiScrub = true).packed
         .orderBy("doc_id")
-    }
-  )
+  }
 }

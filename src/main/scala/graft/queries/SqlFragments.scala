@@ -28,6 +28,36 @@ private[queries] object SqlFragments {
     graft.llm.Pii.defaultRules.foldLeft(textExpr)((acc, r) =>
       s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')")
 
+  /** Total PII match count over a text expression — the sum of all
+    * default-rule matches, mirroring [[graft.llm.Pii.scrub]]'s per-rule
+    * counts. */
+  def piiCountSql(textExpr: String): String =
+    "CAST(" + graft.llm.Pii.defaultRules
+      .map(r => s"len(regexp_extract_all($textExpr, '${r.pattern}'))")
+      .mkString(" + ") + " AS BIGINT)"
+
+  /** The quality-score CTE pair over `src` (a table/CTE with (doc_id,
+    * text)): `qs` = the base stats, `q` = `qs` plus `quality_score` —
+    * must match `TextStats.stats`/`TextStats.qualityScore` (stopword set
+    * generated from [[graft.llm.TextStats.stopwords]] so the oracles
+    * can't drift from the engine's list). `extraCols` (e.g. " source,")
+    * rides through both CTEs. */
+  def qualityCtesSql(src: String, extraCols: String = ""): String = {
+    val sw = graft.llm.TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""qs AS (
+       |  SELECT doc_id,$extraCols
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter($toksSql, t -> t IN ($sw))) AS DOUBLE)
+       |      / len($toksSql) AS stopword_ratio,
+       |    CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len($toksSql) AS avg_token_len
+       |  FROM $src),
+       |q AS (SELECT qs.*,
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+       |      + least(stopword_ratio * 5.0, 1.0) * 0.3
+       |      + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS quality_score
+       |  FROM qs)""".stripMargin
+  }
+
   /** Distinct space-joined n-gram shingles over an already-tokenized
     * list expression — must match `TextFns.shinglesFromTokens`. */
   def shinglesSql(toks: String, n: Int): String = {

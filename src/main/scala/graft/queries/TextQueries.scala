@@ -394,19 +394,8 @@ object TextQueries {
     // ---- q57: quality scoring (length/stopword/token-shape blend — the
     // curation filter signal; double arithmetic over exact integer inputs)
     QueryDef.sql("q57_quality_score",
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |      / len($toksSql) AS stopword_ratio,
-         |    CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len($toksSql) AS avg_token_len
-         |  FROM documents)
-         |SELECT doc_id,
-         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-         |    + least(stopword_ratio * 5.0, 1.0) * 0.3
-         |    + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END
-         |    AS quality_score
-         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH ${SqlFragments.qualityCtesSql("documents")}
+         |SELECT doc_id, quality_score FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextStats.qualityScore(Tables.documents(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("quality_score")).orderBy("doc_id")
     },
@@ -418,18 +407,7 @@ object TextQueries {
     // the naive window — bit-equal because accumulation is integral and
     // the quality scores are cross-engine exact (q57).
     QueryDef.sql("q97_token_budget_selection",
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |    CAST(len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-         |      / len($toksSql) AS stopword_ratio,
-         |    CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len($toksSql) AS avg_token_len
-         |  FROM documents),
-         |q AS (SELECT doc_id, n_tokens,
-         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-         |      + least(stopword_ratio * 5.0, 1.0) * 0.3
-         |      + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS quality_score
-         |  FROM s),
+      s"""WITH ${SqlFragments.qualityCtesSql("documents")},
          |c AS (SELECT doc_id, n_tokens, quality_score,
          |    SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

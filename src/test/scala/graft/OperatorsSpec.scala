@@ -82,6 +82,39 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == expected && got.size == 107, "null group dropped or mis-tiled")
   }
 
+  test("groupedRowNumber: bit-equal to the partitioned-window row_number on skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(107).toDF("k")
+      .withColumn("g", when(col("k") < 97, "big")
+        .when(col("k") < 105, "mid").otherwise("tiny"))
+      .withColumn("v", (col("k") * 37 % 50).cast("long"))
+    // NULL group included from the start — a valid partition to
+    // PARTITION BY, kept by the null-safe group join
+    val withNull = df.withColumn("g", when(col("k") % 10 === 0, null)
+      .otherwise(col("g")))
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+    val expected = withNull
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Ranks.groupedRowNumber(withNull, Seq("g"),
+        Seq(col("v").desc, col("k").asc), "r", partitions = 5)
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 107)
+  }
+
+  test("sourceCappedCorpus: groups under the cap keep all docs; over, exactly cap best") {
+    import spark.implicits._
+    val docs = (
+      (1L to 12L).map(i => (i, s"the quick brown fox and dog number$i jumps over things", "hot")) ++
+      (21L to 23L).map(i => (i, s"the slow green turtle and frog number$i walks under things", "cold"))
+    ).toDF("doc_id", "text", "source")
+    val kept = graft.llm.SourceCuration.sourceCappedCorpus(
+      docs, "doc_id", "text", "source", cap = 8).collect()
+    val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    assert(bySrc == Map("hot" -> 8, "cold" -> 3))   // capped vs under-cap
+    assert(kept.forall(_.getAs[Long]("src_rank") <= 8))
+  }
+
   test("distributedNtileBins == ntileBins on the same input") {
     val df = spark.range(50).toDF("k").withColumn("v", (col("k") % 10).cast("double"))
     val a = Bins.ntileBins(df, col("v"), col("k"), 4, Seq("a", "b", "c", "d"), "bin")
