@@ -42,7 +42,10 @@ object Bench {
     "q130_ccnet_quality_tiers", // langID × LM × grouped NTILE (skew-safe)
     "q131_orc_roundtrip",    // ORC write→read roundtrip + agg (columnar interchange)
     "q132_gopher_rules",     // published rule-based pre-filter (projection + 2 aggs)
-    "q133_decontaminated_corpus" // cross-corpus decontamination anti-join artifact
+    "q133_decontaminated_corpus", // cross-corpus decontamination anti-join artifact
+    "q134_curation_pipeline_full", // q127 chain + decon + PII stages ON
+    "q135_source_reputation", // per-source provenance verdict (domain curation)
+    "q136_source_capped_corpus" // per-source cap via skew-safe grouped rank
   )
 
   def main(args: Array[String]): Unit = {

@@ -221,6 +221,70 @@ object Similarity {
       .select("vec_id", "cosine")
   }
 
+  /** Per-dimension SQ8 bounds — (min, max) per dimension over the corpus,
+    * an exact order-independent training artifact (float MIN/MAX commute,
+    * unlike float sums), `dim` rows to the driver — the bounded-artifact
+    * pattern of the k-means centroids and PQ codebooks, minus their
+    * iteration. */
+  def sq8Bounds(emb: DataFrame, embCol: String = "embedding"): Array[(Float, Float)] =
+    emb.select(posexplode(col(embCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("dim")
+      .collect().map(r => (r.getFloat(1), r.getFloat(2)))
+
+  /** SQ8 (scalar-quantization) encode: each float compresses to one byte
+    * — `floor((v − mn_d) · 255 / (mx_d − mn_d))`, clamped, constant
+    * dimensions to 0. 4 B/dim → 1 B/dim; with PQ this is the other faiss
+    * compression family, and unlike PQ the whole chain is loop-free, so
+    * q137 gets a FULL DuckDB oracle rather than a golden. */
+  def sq8Encode(emb: DataFrame, bounds: Array[(Float, Float)],
+                embCol: String = "embedding"): DataFrame = {
+    val mnA = array(bounds.map(b => lit(b._1)): _*)
+    val mxA = array(bounds.map(b => lit(b._2)): _*)
+    val codes = zip_with(col(embCol), sequence(lit(1), lit(bounds.length)),
+      (v, i) => {
+        val mn = element_at(mnA, i).cast("double")
+        val mx = element_at(mxA, i).cast("double")
+        when(mx > mn,
+          least(lit(255.0), floor((v.cast("double") - mn) * 255.0 / (mx - mn))
+            .cast("double")).cast("int"))
+          .otherwise(lit(0))
+      })
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** SQ8 ADC top-k with the standard rerank: candidates scored on CODES
+    * only via midpoint decode — `Σ_d q_d · (mn_d + (code_d + 0.5) ·
+    * step_d)` folded in dimension order (deterministic like the PQ score
+    * fold) — then the `rerank` shortlist's float vectors are read back
+    * for an exact cosine top-k, exactly [[pqSearch]]'s recipe. */
+  def sq8Search(emb: DataFrame, queryVec: Array[Float], k: Int,
+                rerank: Int = 100): DataFrame = {
+    val bounds = sq8Bounds(emb)
+    val codes = sq8Encode(emb, bounds)
+    val qd = queryVec.map(_.toDouble)
+    val mn = bounds.map(_._1.toDouble)
+    val step = bounds.map { case (lo, hi) =>
+      if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0 }
+    val qA = array(qd.map(lit): _*)
+    val mnA = array(mn.map(lit): _*)
+    val stepA = array(step.map(lit): _*)
+    val score = aggregate(sequence(lit(1), lit(bounds.length)), lit(0.0),
+      (acc, i) => acc + element_at(qA, i) *
+        (element_at(mnA, i) +
+          (element_at(col("codes"), i).cast("double") + 0.5) * element_at(stepA, i)))
+    val shortlist = codes.withColumn("sq_score", round(score, 9))
+      .orderBy(desc("sq_score"), asc("vec_id"))
+      .limit(rerank)
+      .select("vec_id")
+    val qe = array(queryVec.map(lit): _*)
+    emb.join(broadcast(shortlist), "vec_id")
+      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), qe), 9))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+      .select("vec_id", "cosine")
+  }
+
   /** Embedding near-duplicate pairs: within-cell blocked self-join (the
     * cell is the blocking key), cosine ≥ threshold.
     *

@@ -351,6 +351,41 @@ object VectorQueries {
       Similarity.pqSearch(emb, codes, queryVec, books, k = 20, rerank = 100)
     },
 
+    // ---- q137: SQ8 scalar-quantization ANN — the OTHER faiss
+    // compression family beside PQ: per-dimension [min,max] bounds
+    // (exact — float MIN/MAX commute, no iteration), floats encoded to
+    // one byte each, candidates scored on CODES via midpoint decode,
+    // exact cosine rerank of the top-100. Loop-free, so unlike q59/q91
+    // this never needed a golden: the WHOLE chain is a first-class
+    // DuckDB oracle (bounds re-derived in SQL, the same left-fold
+    // score, the q91 rerank tail).
+    QueryDef.sql("q137_ann_sq8",
+      s"""WITH x AS (SELECT unnest(generate_series(1, 64)) AS dim,
+         |            unnest(embedding) AS v FROM embeddings),
+         |mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
+         |b AS (SELECT list(mn ORDER BY dim) AS mnA, list(mx ORDER BY dim) AS mxA FROM mm),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id,
+         |         round(list_reduce(list_transform(generate_series(1, 64), i ->
+         |           CAST(qv.qe[i] AS DOUBLE) * (CAST(b.mnA[i] AS DOUBLE) +
+         |             (CASE WHEN b.mxA[i] > b.mnA[i]
+         |                THEN least(255.0, floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) * 255.0
+         |                       / (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE))))
+         |                ELSE 0.0 END + 0.5) *
+         |             (CASE WHEN b.mxA[i] > b.mnA[i]
+         |                THEN (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) / 255.0
+         |                ELSE 0.0 END))), (x, y) -> x + y), 9) AS sq_score
+         |       FROM embeddings e CROSS JOIN b CROSS JOIN qv),
+         |short AS (SELECT vec_id FROM sc ORDER BY sq_score DESC, vec_id LIMIT 100)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |FROM embeddings e JOIN short USING (vec_id), qv
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      Similarity.sq8Search(emb, queryVec, k = 20, rerank = 100)
+    },
+
     // ---- q91a: INDEPENDENT recall audit for q91, same asymmetric
     // bound-gate shape as q59a: Spark emits (k, hits) only when the live
     // PQ+rerank top-20 recovers ≥ 12 of the live exact top-20; the

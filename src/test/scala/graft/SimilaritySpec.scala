@@ -64,6 +64,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("sq8Search: bounds exact, codes in byte range, strong recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val bounds = Similarity.sq8Bounds(emb)
+    assert(bounds.length == 64 && bounds.forall { case (lo, hi) => lo <= hi })
+    val codes = Similarity.sq8Encode(emb, bounds).collect()
+    assert(codes.forall(_.getAs[Seq[Int]]("codes").forall(c => c >= 0 && c <= 255)))
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val exact = Similarity.bruteTopK(emb, query, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.sq8Search(emb, queryVec, k = 10, rerank = 100)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // 8-bit quantization + rerank-100 keeps most of the true top-10
+    assert((exact & approx).size >= 7, s"SQ8 recall ${(exact & approx).size}/10")
+  }
+
   test("ivfTopK achieves high recall vs brute force at nProbe=3") {
     val emb = Tables.embeddings(spark, sf)
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
