@@ -39,6 +39,51 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("sq8 quantization: codes in range, midpoint decode within half a step") {
+    // generated float vectors, varied magnitudes; one constant dimension
+    // (index 0) exercises the mx == mn guard
+    val vecGen = Gen.listOfN(7, Gen.chooseNum(-100f, 100f)).map(1.5f :: _)
+    val rows = samples(vecGen, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+    val bounds = graft.llm.Similarity.sq8Bounds(rows)
+    assert(bounds.length == 8 && bounds.head._1 == bounds.head._2) // constant dim
+    val codes = graft.llm.Similarity.sq8Encode(rows, bounds).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes")).toVector).toMap
+    val raw = rows.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toVector).toMap
+    raw.foreach { case (id, v) =>
+      val cs = codes(id)
+      assert(cs.forall(c => c >= 0 && c <= 255))
+      v.indices.foreach { d =>
+        val (lo, hi) = bounds(d)
+        val step = if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0
+        val decoded = lo.toDouble + (cs(d) + 0.5) * step
+        // midpoint decode: reconstruction error bounded by half a step
+        assert(math.abs(decoded - v(d).toDouble) <= step / 2 + 1e-9,
+          s"id=$id dim=$d v=${v(d)} decoded=$decoded step=$step")
+      }
+    }
+  }
+
+  test("groupedRowNumber == window row_number on generated skewed groups") {
+    import org.apache.spark.sql.expressions.Window
+    // zipf-ish group draw: one group dominates, plus occasional null
+    val rowGen = for {
+      g <- Gen.frequency(8 -> Gen.const("dominant"), 2 -> Gen.oneOf("a", "b", "c"),
+        1 -> Gen.const(null: String))
+      v <- Gen.chooseNum(0L, 30L) // narrow range forces order ties
+    } yield (g, v)
+    val df = samples(rowGen, 200).zipWithIndex
+      .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("k", "g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+    val expected = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Ranks.groupedRowNumber(df, Seq("g"),
+        Seq(col("v").desc, col("k").asc), "r", partitions = 7)
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected && got.size == 200)
+  }
+
   test("popcount64 == Long.bitCount for arbitrary longs") {
     val vals = samples(Gen.long, 100) ++
       Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)
