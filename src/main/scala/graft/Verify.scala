@@ -48,9 +48,11 @@ object Verify {
       .map { case (k, v) =>
         val sql = if (QueryDef.goldenGated.contains(k))
           QueryDef.goldenOracleSql(k, sfLabel)
-        // audit-twin oracles (q44a/q59a/q91a) embed a golden snapshot
-        // path inside custom SQL; re-key it to the SF being verified for
-        // the same missing-file-over-wrong-golden failure mode as above
+        // audit-twin oracles that embed a golden snapshot path inside
+        // custom SQL (q44a, q38a, q61a; q59a/q91a left the club when
+        // their parents converted to full oracles in r9) are re-keyed to
+        // the SF being verified for the same missing-file-over-wrong-
+        // golden failure mode as above
         else v.replace(s"${QueryDef.goldenRoot}/sf0.01/",
           s"${QueryDef.goldenRoot}/$sfLabel/")
         s"${q(k)}: ${q(sql)}"

@@ -233,8 +233,11 @@ object Similarity {
       .collect().map(r => (r.getFloat(1), r.getFloat(2)))
 
   /** SQ8 (scalar-quantization) encode: each float compresses to one byte
-    * — `floor((v − mn_d) · 255 / (mx_d − mn_d))`, clamped, constant
-    * dimensions to 0. 4 B/dim → 1 B/dim; with PQ this is the other faiss
+    * — `floor((v − mn_d) · 255 / (mx_d − mn_d))`, clamped to [0, 255]
+    * on BOTH ends (bounds are a frozen training artifact, so a later
+    * batch can carry values outside them — the lower clamp keeps such
+    * rows valid bytes instead of negative codes), constant dimensions
+    * to 0. 4 B/dim → 1 B/dim; with PQ this is the other faiss
     * compression family, and unlike PQ the whole chain is loop-free, so
     * q137 gets a FULL DuckDB oracle rather than a golden. */
   def sq8Encode(emb: DataFrame, bounds: Array[(Float, Float)],
@@ -246,8 +249,9 @@ object Similarity {
         val mn = element_at(mnA, i).cast("double")
         val mx = element_at(mxA, i).cast("double")
         when(mx > mn,
-          least(lit(255.0), floor((v.cast("double") - mn) * 255.0 / (mx - mn))
-            .cast("double")).cast("int"))
+          least(lit(255.0), greatest(lit(0.0),
+            floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("double")))
+            .cast("int"))
           .otherwise(lit(0))
       })
     emb.select(col("vec_id"), codes.as("codes"))
@@ -257,11 +261,13 @@ object Similarity {
     * only via midpoint decode — `Σ_d q_d · (mn_d + (code_d + 0.5) ·
     * step_d)` folded in dimension order (deterministic like the PQ score
     * fold) — then the `rerank` shortlist's float vectors are read back
-    * for an exact cosine top-k, exactly [[pqSearch]]'s recipe. */
-  def sq8Search(emb: DataFrame, queryVec: Array[Float], k: Int,
-                rerank: Int = 100): DataFrame = {
-    val bounds = sq8Bounds(emb)
-    val codes = sq8Encode(emb, bounds)
+    * for an exact cosine top-k, exactly [[pqSearch]]'s recipe. Like
+    * pqSearch, the trained artifacts (`bounds`, `codes`) are parameters:
+    * N queries against one corpus pay the bounds aggregation and the
+    * encode pass once, not N times. */
+  def sq8Search(emb: DataFrame, codes: DataFrame,
+                bounds: Array[(Float, Float)], queryVec: Array[Float],
+                k: Int, rerank: Int = 100): DataFrame = {
     val qd = queryVec.map(_.toDouble)
     val mn = bounds.map(_._1.toDouble)
     val step = bounds.map { case (lo, hi) =>

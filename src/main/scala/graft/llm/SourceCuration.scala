@@ -33,24 +33,24 @@ object SourceCuration {
                        minMeanQuality: Double = 0.45,
                        maxPiiPerDoc: Double = 1.5,
                        maxDupRatio: Double = 0.5): DataFrame = {
-    val quality = TextStats.qualityScore(docs, idCol, textCol)
-      .select(col(idCol), col("quality_score"))
-    val pii = Pii.scrub(docs, idCol, textCol)
-      .select(col(idCol),
-        (col("n_email") + col("n_phone") + col("n_ip")).as("__pii"))
+    // total PII matches derived from Pii.defaultRules so a new rule
+    // reaches this count and the oracle's piiCountSql in lockstep
+    val piiTotal = Pii.defaultRules
+      .map(r => size(regexp_extract_all(col(textCol), lit(r.pattern), lit(0)))
+        .cast("long"))
+      .reduce(_ + _)
+    // ONE corpus scan for every row-wise signal: source, token count and
+    // PII total ride qualityScore's projection via `carry`
+    val perDocSignals = TextStats.qualityScore(docs, idCol, textCol,
+      carry = Seq(col(sourceCol).as("source"), piiTotal.as("__pii")))
     // a doc is a duplicate iff it is not its normalized-text group's
-    // min-id representative
-    val rep = docs
-      .groupBy(md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
-        .as("__norm"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), lit(true).as("__is_rep"))
-    val perDoc = docs
-      .select(col(idCol), col(sourceCol).as("source"),
-        size(graft.functions.TextFns.tokens(col(textCol))).cast("long")
-          .as("__tok"))
-      .join(quality, Seq(idCol))
-      .join(pii, Seq(idCol))
+    // min-id representative — Dedup's exact keep convention, via Dedup
+    // itself so the two can't drift
+    val rep = Dedup.exactGroups(docs, idCol, textCol, normalized = true)
+      .select(col("keep_id").as(idCol), lit(true).as("__is_rep"))
+    val perDoc = perDocSignals
+      .select(col(idCol), col("source"), col("n_tokens").as("__tok"),
+        col("__pii"), col("quality_score"))
       .join(rep, Seq(idCol), "left")
     perDoc.groupBy(col("source"))
       .agg(
@@ -72,19 +72,26 @@ object SourceCuration {
     * the best by (`quality_score` desc, id asc). The rank is
     * [[graft.operators.Ranks.groupedRowNumber]] — the skew-safe grouped
     * rank, because a PARTITION BY source window serializes on the
-    * dominant domain at scale. Returns the kept docs with their
-    * quality score and in-source rank attached. */
+    * dominant domain at scale. Returns the kept docs' FULL rows (every
+    * `docs` column) with `quality_score` and `src_rank` attached: the
+    * rank runs over a slim (id, source, score) projection so the text
+    * never rides the range shuffle, and one keep-list join brings the
+    * doc columns back — cheaper at corpus scale than shuffling full
+    * rows through the two-pass rank. */
   def sourceCappedCorpus(docs: DataFrame, idCol: String, textCol: String,
                          sourceCol: String, cap: Int,
                          partitions: Int = 0): DataFrame = {
     require(cap > 0, "source cap must be positive")
-    val scored = docs.select(col(idCol), col(sourceCol).as("source"))
-      .join(TextStats.qualityScore(docs, idCol, textCol)
-        .select(col(idCol), col("quality_score")), Seq(idCol))
-    graft.operators.Ranks.groupedRowNumber(
+    // one scan: source rides the quality projection via carry
+    val scored = TextStats.qualityScore(docs, idCol, textCol,
+        carry = Seq(col(sourceCol).as("source")))
+      .select(col(idCol), col("source"), col("quality_score"))
+    val kept = graft.operators.Ranks.groupedRowNumber(
         scored, Seq("source"),
         Seq(col("quality_score").desc, col(idCol).asc), "src_rank",
         partitions)
       .filter(col("src_rank") <= cap)
+      .select(col(idCol), col("quality_score"), col("src_rank"))
+    docs.join(kept, Seq(idCol))
   }
 }

@@ -28,12 +28,16 @@ object TextStats {
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
-  /** Per-document quality/statistics features. */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Per-document quality/statistics features. `carry` columns ride
+    * through the projection so composite callers (e.g.
+    * [[SourceCuration]]) get their extra per-row signals in the SAME
+    * corpus scan instead of re-scanning and joining. */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+            carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val t    = col(textCol)
     val toks = TextFns.tokens(t)
     val nTok = size(toks).cast("long")
-    docs.select(
+    docs.select(Seq(
       col(idCol),
       length(t).cast("long").as("n_chars"),
       nTok.as("n_tokens"),
@@ -41,13 +45,15 @@ object TextStats {
       (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok).as("avg_token_len"),
       size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0))).cast("long").as("punct_count"),
       hits(toks, stopwords).cast("long").as("stopword_hits"),
-      (hits(toks, stopwords).cast("double") / nTok).as("stopword_ratio"))
+      (hits(toks, stopwords).cast("double") / nTok).as("stopword_ratio")
+    ) ++ carry: _*)
   }
 
   /** Quality score in [0,1]: a deterministic blend of length, token-shape
     * and stopword signals (double arithmetic on exact integer inputs). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    stats(docs, idCol, textCol).withColumn("quality_score",
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    stats(docs, idCol, textCol, carry).withColumn("quality_score",
       least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
         least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3 +
         when(col("avg_token_len").between(3.0, 10.0), 0.2).otherwise(0.0))

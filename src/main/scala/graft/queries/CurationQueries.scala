@@ -520,7 +520,7 @@ object CurationQueries {
     // (dup ratio 0.5 > the 0.3 bound).
     QueryDef.sql("q135_source_reputation", {
       s"""WITH base AS (SELECT doc_id, source, text
-         |  || CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+         |  || CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 3 = 0
          |       THEN ' contact user' || CAST(doc_id AS VARCHAR)
          |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
          |       ELSE '' END AS text
@@ -528,7 +528,7 @@ object CurationQueries {
          |corpus AS (SELECT * FROM base
          |           UNION ALL
          |           SELECT doc_id + 1000000, source, text FROM base
-         |           WHERE CAST(substr(source, 4) AS INT) % 4 = 1),
+         |           WHERE TRY_CAST(substr(source, 4) AS INT) % 4 = 1),
          |${SqlFragments.qualityCtesSql("corpus", " source,")},
          |pii AS (SELECT doc_id, ${SqlFragments.piiCountSql("text")} AS pii FROM corpus),
          |rep AS (SELECT MIN(doc_id) AS doc_id, TRUE AS is_rep FROM corpus
@@ -549,7 +549,11 @@ object CurationQueries {
          |FROM r ORDER BY source""".stripMargin
     }) { (s, dir) =>
       val d = col("doc_id")
-      val sfx = substring(col("source"), 4, 4).cast("int")
+      // FULL suffix, null on non-numeric — try_cast(substring(src, 4))
+      // matches the oracle's TRY_CAST(substr(...)) exactly, so a fixture
+      // regeneration with longer or non-numeric source ids degrades both
+      // engines identically instead of silently diverging
+      val sfx = expr("try_cast(substring(source, 4) AS int)")
       val base = Tables.documents(s, dir).select(d, col("source"),
         concat(col("text"),
           when(sfx % 3 === 0, concat(lit(" contact user"), d.cast("string"),

@@ -369,8 +369,8 @@ object VectorQueries {
          |         round(list_reduce(list_transform(generate_series(1, 64), i ->
          |           CAST(qv.qe[i] AS DOUBLE) * (CAST(b.mnA[i] AS DOUBLE) +
          |             (CASE WHEN b.mxA[i] > b.mnA[i]
-         |                THEN least(255.0, floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) * 255.0
-         |                       / (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE))))
+         |                THEN least(255.0, greatest(0.0, floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) * 255.0
+         |                       / (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)))))
          |                ELSE 0.0 END + 0.5) *
          |             (CASE WHEN b.mxA[i] > b.mnA[i]
          |                THEN (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) / 255.0
@@ -383,7 +383,9 @@ object VectorQueries {
       val emb = Tables.embeddings(s, dir)
       val queryVec = emb.filter(col("vec_id") === 0)
         .select("embedding").head.getSeq[Float](0).toArray
-      Similarity.sq8Search(emb, queryVec, k = 20, rerank = 100)
+      val bounds = Similarity.sq8Bounds(emb)
+      Similarity.sq8Search(emb, Similarity.sq8Encode(emb, bounds), bounds,
+        queryVec, k = 20, rerank = 100)
     },
 
     // ---- q91a: INDEPENDENT recall audit for q91, same asymmetric

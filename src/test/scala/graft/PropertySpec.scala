@@ -63,6 +63,15 @@ class PropertySpec extends SparkSpecBase {
           s"id=$id dim=$d v=${v(d)} decoded=$decoded step=$step")
       }
     }
+    // frozen-bounds usage: encoding a batch whose values fall OUTSIDE the
+    // trained bounds (the standard SQ deployment — bounds are a training
+    // artifact) must still clamp to valid bytes on both ends
+    val outside = Seq((0L, Array.fill(8)(1000f)), (1L, Array.fill(8)(-1000f)))
+      .toDF("vec_id", "embedding")
+    graft.llm.Similarity.sq8Encode(outside, bounds).collect().foreach { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(cs.forall(c => c >= 0 && c <= 255), s"out-of-bounds codes $cs")
+    }
   }
 
   test("groupedRowNumber == window row_number on generated skewed groups") {

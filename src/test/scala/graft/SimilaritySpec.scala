@@ -75,7 +75,8 @@ class SimilaritySpec extends SparkSpecBase {
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
     val exact = Similarity.bruteTopK(emb, query, 10).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    val approx = Similarity.sq8Search(emb, queryVec, k = 10, rerank = 100)
+    val approx = Similarity.sq8Search(emb, Similarity.sq8Encode(emb, bounds),
+        bounds, queryVec, k = 10, rerank = 100)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     // 8-bit quantization + rerank-100 keeps most of the true top-10
     assert((exact & approx).size >= 7, s"SQ8 recall ${(exact & approx).size}/10")
