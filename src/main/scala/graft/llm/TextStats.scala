@@ -32,8 +32,21 @@ object TextStats {
     * through the projection so composite callers (e.g.
     * [[SourceCuration]]) get their extra per-row signals in the SAME
     * corpus scan instead of re-scanning and joining. */
+  /** Output column names [[stats]] always emits — a carry alias
+    * colliding with one would produce duplicate columns that fail only
+    * at a downstream reference, so [[stats]] rejects it up front. */
+  private val statsOutputCols = Set("n_chars", "n_tokens", "n_bpeish_tokens",
+    "avg_token_len", "punct_count", "stopword_hits", "stopword_ratio",
+    "quality_score")
+
   def stats(docs: DataFrame, idCol: String, textCol: String,
             carry: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    if (carry.nonEmpty) {
+      val carryNames = docs.select(carry: _*).columns.toSeq
+      val clash = carryNames.filter(n => statsOutputCols.contains(n) || n == idCol)
+      require(clash.isEmpty,
+        s"carry aliases collide with stats output columns: ${clash.mkString(", ")}")
+    }
     val t    = col(textCol)
     val toks = TextFns.tokens(t)
     val nTok = size(toks).cast("long")
@@ -425,8 +438,12 @@ object TextStats {
       // tf is overwhelmingly 1).
       .repartition(col(idCol))
       .groupBy(col(idCol), col("b"), col("w1")).agg(count(lit(1)).as("tf"))
-      .join(refBi, Seq("b"), "left")
-      .join(refUni, Seq("w1"), "left")
+      // explicit broadcast: the single-shuffle plan above DEPENDS on
+      // these joins staying map-side (they preserve the doc-id
+      // partitioning); left to the size threshold they'd silently fall
+      // to sort-merge at scale and reintroduce the removed exchanges
+      .join(broadcast(refBi), Seq("b"), "left")
+      .join(broadcast(refUni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol), col("b"), col("tf"),
         (col("tf") * log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /

@@ -152,7 +152,10 @@ object Ranks {
                        order: Seq[Column], out: String,
                        partitions: Int = 0): DataFrame =
     groupedRankAndSize(df, groupCols, order, partitions)
-      .withColumn(out, col("__rn"))
+      // INT like the window ROW_NUMBER it is bit-equal to (the long
+      // __gn - __g0 + 1 arithmetic is internal); callers comparing
+      // schemas against the window form need no cast
+      .withColumn(out, col("__rn").cast("int"))
       .drop("__rn", "__n")
 
   /** Shared core of [[groupedNtile]]/[[groupedRowNumber]]: the input plus

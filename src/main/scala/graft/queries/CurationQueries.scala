@@ -527,7 +527,11 @@ object CurationQueries {
          |  FROM documents),
          |corpus AS (SELECT * FROM base
          |           UNION ALL
-         |           SELECT doc_id + 1000000, source, text FROM base
+         |           -- 1e12 offset: far above any real doc_id at every sweep
+         |           -- scale (32x sf0.1 tops out ~1e10 with ScaleData's 1e8
+         |           -- copy stride), so synthesized dup ids can never
+         |           -- collide with real ones
+         |           SELECT doc_id + 1000000000000, source, text FROM base
          |           WHERE TRY_CAST(substr(source, 4) AS INT) % 4 = 1),
          |${SqlFragments.qualityCtesSql("corpus", " source,")},
          |pii AS (SELECT doc_id, ${SqlFragments.piiCountSql("text")} AS pii FROM corpus),
@@ -561,7 +565,7 @@ object CurationQueries {
             .otherwise("")).as("text"))
       val corpus = base.unionByName(
         base.filter(sfx % 4 === 1)
-          .select((d + 1000000L).as("doc_id"), col("source"), col("text")))
+          .select((d + 1000000000000L).as("doc_id"), col("source"), col("text")))
       graft.llm.SourceCuration.sourceReputation(corpus, "doc_id", "text",
           "source", minMeanQuality = 0.3, maxPiiPerDoc = 0.5, maxDupRatio = 0.3)
         .orderBy("source")
@@ -578,8 +582,8 @@ object CurationQueries {
       s"""WITH ${SqlFragments.qualityCtesSql("documents", " source,")}
          |SELECT doc_id, source, quality_score, src_rank FROM (
          |  SELECT doc_id, source, quality_score,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS src_rank
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS src_rank
          |  FROM q)
          |WHERE src_rank <= 8 ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.llm.SourceCuration.sourceCappedCorpus(

@@ -12,6 +12,24 @@ private[queries] object SqlFragments {
   /** Literal `\s` for use inside s-interpolated SQL. */
   val ws: String = "\\s"
 
+  /** A string embedded in a single-quoted SQL literal: embedded quotes
+    * double (`'` → `''`) so a future rule/stopword containing one can't
+    * break — or silently truncate — the generated oracle. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** A regex embedded in a single-quoted SQL literal: quote-escaped like
+    * [[sqlLit]], plus a guard that the pattern stays inside the RE2
+    * subset DuckDB executes — Java-only syntax (lookaround `(?=`/`(?!`/
+    * `(?<`, backreferences `\1`) would compile in Spark but diverge or
+    * fail in the oracle, exactly the silent-drift class this blocks. */
+  private def sqlRegex(p: String): String = {
+    require(!p.contains("(?=") && !p.contains("(?!") && !p.contains("(?<"),
+      s"regex uses lookaround, which DuckDB's RE2 lacks: $p")
+    require(!"\\\\[1-9]".r.findFirstIn(p).isDefined,
+      s"regex uses a backreference, which DuckDB's RE2 lacks: $p")
+    sqlLit(p)
+  }
+
   /** Whitespace tokens of a lower-cased trimmed text EXPRESSION — must
     * match `TextFns.tokens`. */
   def toksOfSql(textExpr: String): String =
@@ -26,14 +44,14 @@ private[queries] object SqlFragments {
     * engine's rule list, patterns, or application order. */
   def piiRedactSql(textExpr: String): String =
     graft.llm.Pii.defaultRules.foldLeft(textExpr)((acc, r) =>
-      s"regexp_replace($acc, '${r.pattern}', '${r.replacement}', 'g')")
+      s"regexp_replace($acc, '${sqlRegex(r.pattern)}', '${sqlLit(r.replacement)}', 'g')")
 
   /** Total PII match count over a text expression — the sum of all
     * default-rule matches, mirroring [[graft.llm.Pii.scrub]]'s per-rule
     * counts. */
   def piiCountSql(textExpr: String): String =
     "CAST(" + graft.llm.Pii.defaultRules
-      .map(r => s"len(regexp_extract_all($textExpr, '${r.pattern}'))")
+      .map(r => s"len(regexp_extract_all($textExpr, '${sqlRegex(r.pattern)}'))")
       .mkString(" + ") + " AS BIGINT)"
 
   /** The quality-score CTE pair over `src` (a table/CTE with (doc_id,
@@ -43,7 +61,7 @@ private[queries] object SqlFragments {
     * can't drift from the engine's list). `extraCols` (e.g. " source,")
     * rides through both CTEs. */
   def qualityCtesSql(src: String, extraCols: String = ""): String = {
-    val sw = graft.llm.TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    val sw = graft.llm.TextStats.stopwords.map(w => s"'${sqlLit(w)}'").mkString(", ")
     s"""qs AS (
        |  SELECT doc_id,$extraCols
        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,

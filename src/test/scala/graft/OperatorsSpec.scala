@@ -93,12 +93,14 @@ class OperatorsSpec extends SparkSpecBase {
     val withNull = df.withColumn("g", when(col("k") % 10 === 0, null)
       .otherwise(col("g")))
     val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
+    // no cast on either side: groupedRowNumber emits INT exactly like
+    // row_number(), schema included
     val expected = withNull
-      .withColumn("r", row_number().over(w).cast("long"))
-      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withColumn("r", row_number().over(w))
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val got = Ranks.groupedRowNumber(withNull, Seq("g"),
         Seq(col("v").desc, col("k").asc), "r", partitions = 5)
-      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expected && got.size == 107)
   }
 
@@ -112,7 +114,7 @@ class OperatorsSpec extends SparkSpecBase {
       docs, "doc_id", "text", "source", cap = 8).collect()
     val bySrc = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
     assert(bySrc == Map("hot" -> 8, "cold" -> 3))   // capped vs under-cap
-    assert(kept.forall(_.getAs[Long]("src_rank") <= 8))
+    assert(kept.forall(_.getAs[Int]("src_rank") <= 8))
   }
 
   test("distributedNtileBins == ntileBins on the same input") {

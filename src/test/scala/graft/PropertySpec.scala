@@ -85,11 +85,12 @@ class PropertySpec extends SparkSpecBase {
     val df = samples(rowGen, 200).zipWithIndex
       .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("k", "g", "v")
     val w = Window.partitionBy("g").orderBy(col("v").desc, col("k").asc)
-    val expected = df.withColumn("r", row_number().over(w).cast("long"))
-      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // schema-exact too: both sides INT, no cast
+    val expected = df.withColumn("r", row_number().over(w))
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val got = graft.operators.Ranks.groupedRowNumber(df, Seq("g"),
         Seq(col("v").desc, col("k").asc), "r", partitions = 7)
-      .select("k", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("k", "r").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == expected && got.size == 200)
   }
 
