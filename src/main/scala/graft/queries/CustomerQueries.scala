@@ -485,6 +485,46 @@ object CustomerQueries {
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     },
 
+    // ---- q138: the skew toolkit under an oracle gate (r9 verdict item 4;
+    // §2.12's last spec-only row graduates). A deliberately 90%-skewed
+    // fact — every lineitem with l_orderkey % 10 < 9 collapses onto
+    // skew key 0 — joins nation through Skew.saltedJoin (fact salted by
+    // content hash, dim replicated via explode(sequence) so every salted
+    // bucket still finds its match) and aggregates through Skew.saltedAgg
+    // (partial per (key, salt), merge per key). The oracle is the PLAIN
+    // join + GROUP BY: per-nation COUNT(*) makes the gate
+    // multiplicity-exact (any duplicated or dropped fact row under
+    // salting shifts a count), and the decimal revenue sum stays exact
+    // through partial→merge (decimals all the way; one double cast at the
+    // end). PlanShapeSpec pins the salted shape itself: dim side carries
+    // Generate(explode(sequence)), and the hot key's rows really spread
+    // across multiple reducers.
+    QueryDef.sql("q138_salted_skew_join",
+      s"""WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+         |                       ELSE l_partkey % 25 END AS skew_key,
+         |                  l_extendedprice
+         |           FROM lineitem)
+         |SELECT n.n_name AS nation, COUNT(*) AS line_count,
+         |  ${dsumSql("f.l_extendedprice")} AS revenue
+         |FROM f JOIN nation n ON f.skew_key = n.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      // cold branch keys off l_partkey (dense) — l_orderkey's sparse key
+      // pattern reaches only 6 of 25 nations at sf0.01
+      val fact = Tables.lineitem(s, dir).select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_partkey") % 25).as("skew_key"),
+        col("l_extendedprice"))
+      val dim = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val joined = graft.operators.Skew.saltedJoin(
+        fact, dim, "skew_key", "n_nationkey", salts = 8)
+      graft.operators.Skew.saltedAgg(joined, col("n_name").as("nation"),
+          salts = 8, Map(
+            "line_count" -> (count(lit(1)), sum(col("line_count"))),
+            "revenue" -> (sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+              sum(col("revenue")).cast("double"))))
+        .orderBy("nation")
+    },
+
     QueryDef.sql("q30_event_windows",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
         |  COUNT(*) AS events,

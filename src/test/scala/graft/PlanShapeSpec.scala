@@ -58,4 +58,45 @@ class PlanShapeSpec extends SparkSpecBase {
           s"$name has a single-partition window — use operators.Ranks")
       }
     }
+
+  // q138's salted SHAPE (its values are oracle-gated): with broadcast off
+  // — forcing the shuffle join salting exists for — the dim side must
+  // replicate via Generate(explode(sequence)) and the 90% hot key's rows
+  // must actually spread over multiple reducers instead of hashing onto
+  // one (the whole point of the salt in the join key).
+  test("q138 salted join: dim replicated via explode(sequence); hot key spreads over reducers") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // sf0.001 is small enough that AQE coalesces every reducer back into
+    // one partition, which would hide the spread this test measures
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val fact = Tables.lineitem(spark, sf).select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_partkey") % 25).as("skew_key"),
+        col("l_extendedprice"))
+      val dim = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+      val joined = graft.operators.Skew.saltedJoin(
+        fact, dim, "skew_key", "n_nationkey", salts = 8)
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the literal sequence(0, salts-1) constant-folds to an array before
+      // the physical plan, so the witness is the Generate(explode) node
+      // plus the salt columns in the join keys
+      assert(plan.contains("Generate explode"),
+        "dim side is not replicated via explode(sequence):\n" + plan.take(1200))
+      assert(plan.contains("__salt") && plan.contains("__dsalt"),
+        "join keys carry no salt columns:\n" + plan.take(1200))
+      val hotPids = joined.withColumn("pid", spark_partition_id())
+        .filter(col("skew_key") === 0)
+        .select("pid").distinct().count()
+      assert(hotPids > 1,
+        s"hot key landed on $hotPids reducer(s) — salting ineffective")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
 }
