@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at 100 TB posture:
@@ -278,26 +278,36 @@ object Dedup {
     *   smaller buckets' perspective — with b bands a true pair survives
     *   unless ALL its shared buckets are oversized, and verification
     *   never admits false positives either way. */
+  /** (doc, sig, band, bucket) rows for LSH banding: tokens -> shingles ->
+    * hashes -> k-minima signature, each in its own projection (one regex
+    * pass, one string-hash pass, then ONE codegen'd k-minima pass —
+    * graft.plans.MinHashSignatureExpr; bit-identical to the HOF reference
+    * form, DedupSpec asserts it), then one bucket row per band (bucket =
+    * xxhash64 of that band's signature slice). Shared by the batch pair
+    * mine ([[minhashLshPairs]]) and the frozen ingest index
+    * ([[minhashBucketIndex]] / [[incrementalNearDedupe]]) so the two
+    * paths can never drift hash families. shingleHashDf pre-filters to
+    * >= n tokens, so hs is never empty. */
+  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                               bands: Int, rowsPerBand: Int,
+                               shingleN: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = shingleHashDf(docs, idCol, textCol, shingleN)
+      .select(col("doc"), graft.plans.TextExprs.minhashSignature(col("hs"), k).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")).as("bucket"))
+    }
+    sig.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, shingleN: Int = 3,
                       maxBucket: Long = Long.MaxValue): DataFrame = {
     val k = bands * rowsPerBand
-    // tokens -> shingles -> hashes -> signature, each in its own projection
-    // (one regex pass, one string-hash pass, then ONE codegen'd k-minima
-    // pass — graft.plans.MinHashSignatureExpr; bit-identical to the HOF
-    // reference form, DedupSpec asserts it)
-    // shingleHashDf pre-filters to >= n tokens, so hs is never empty
-    val sig = shingleHashDf(docs, idCol, textCol, shingleN)
-      .select(col("doc"), graft.plans.TextExprs.minhashSignature(col("hs"), k).as("sig"))
-
-    // band buckets: (bandIdx, xxhash64 of that signature slice)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")).as("bucket"))
-    }
-    val buckets = sig.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val buckets = bandedSignatures(docs, idCol, textCol, bands, rowsPerBand, shingleN)
 
     // ONE shuffle on (band,bucket): collect bucket members and expand the
     // local pair combinations with higher-order functions — a self-join
@@ -367,5 +377,64 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** FROZEN MinHash-LSH bucket index over a curated corpus — the stored
+    * artifact a streaming/daily ingestion gate scores new batches
+    * against ([[incrementalNearDedupe]]) without ever rescanning the
+    * corpus text: one row per (band, bucket) with the member signatures,
+    * the same freeze-then-score split as `Scoring.dsirModels` /
+    * `dsirScore` and `TextStats.dupSpanModel` / `removeSpansWith`.
+    * Hash family = [[bandedSignatures]], shared with [[minhashLshPairs]]
+    * by construction.
+    *
+    * @param maxBucket cap on members per bucket, applied at FREEZE time
+    *   (the hot-key guard of [[minhashLshPairs]] moved into the build):
+    *   a boilerplate bucket with more members than the cap is dropped
+    *   whole, bounding every scoring task; with b bands a true near-dup
+    *   survives detection unless ALL its shared buckets are oversized —
+    *   the same one-sided candidate loss as the batch mine's. */
+  def minhashBucketIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         shingleN: Int = 3,
+                         maxBucket: Long = Long.MaxValue): DataFrame =
+    bandedSignatures(corpus, idCol, textCol, bands, rowsPerBand, shingleN)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("members"))
+      .filter(size(col("members")).cast("long") <= maxBucket)
+
+  /** Near-duplicate incremental-ingestion dedup: which INCOMING documents
+    * survive against a FROZEN corpus LSH index ([[minhashBucketIndex]]) —
+    * the near-dup extension of [[incrementalDedupe]]'s exact/fingerprint
+    * gates. Incoming docs band with the index's own hash family; one
+    * shuffle join on (band, bucket) pairs each incoming doc with only its
+    * colliding buckets (never the corpus); a doc matches when ANY bucket
+    * member's estimated Jaccard (fraction of equal minhashes, exactly
+    * [[minhashLshPairs]]'s verify arithmetic) reaches `threshold`, and
+    * matched docs drop via one anti-join. Returns the surviving incoming
+    * rows.
+    *
+    * 100 TB shape: the corpus appears only as the pre-built bucket index
+    * (readable from a warehouse table, cells pruned by the incoming
+    * batch's bucket keys); per-task work is bounded by the index's
+    * freeze-time `maxBucket` cap; the batch never self-joins. Intra-batch
+    * dups are out of scope by design — compose with [[incrementalDedupe]]
+    * (exact) or [[minhashLshPairs]] (near) over the batch when needed. */
+  def incrementalNearDedupe(index: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            threshold: Double = 0.8,
+                            shingleN: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    val est = (m: Column) =>
+      aggregate(zip_with(m.getField("sig"), col("sig"),
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / k
+    val matched = bandedSignatures(incoming, idCol, textCol, bands, rowsPerBand, shingleN)
+      .join(index, Seq("band", "bucket"))
+      .filter(exists(col("members"), m => est(m) >= threshold))
+      .select(col("doc").as("__dup"))
+      .distinct()
+    incoming.join(matched, incoming(idCol) === col("__dup"), "left_anti")
   }
 }

@@ -470,6 +470,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q139: NEAR-dup incremental ingest (r9 verdict item 5 — the
+    // near-dup extension of q101's exact/fingerprint gate): the corpus
+    // (doc_id < 250) freezes into a MinHash-LSH bucket index, the batch
+    // (doc_id >= 250) scores against it without rescanning corpus text,
+    // and a batch doc drops when any colliding bucket member's estimated
+    // Jaccard reaches 0.7. Gate shape is the q43a recall audit applied
+    // to the ingest path: the Spark side semi-joins the live EXACT
+    // cross-split Jaccard >= 0.8 batch-doc set (the capped-Jaccard twin)
+    // against the set the live LSH gate actually dropped, and the oracle
+    // re-derives the exact set unconditionally — the results hash-equal
+    // IFF the frozen-index gate catches every exact cross-split near-dup
+    // (100% measured at sf0.001/0.01/0.1); a recall regression drops a
+    // row and fails rows_match. StreamingSpec adds the foreachBatch
+    // parity case (stream of micro-batches == one-shot batch gate).
+    QueryDef.sql("q139_incremental_near_ingest",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT DISTINCT doc_b AS doc_id
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
+         |  AND doc_a < 250 AND doc_b >= 250
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val index = Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+      val survivors = Dedup.incrementalNearDedupe(index, batch,
+        "doc_id", "text", threshold = 0.7)
+      val dropped = batch
+        .join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+        .filter(col("doc_a") < 250 && col("doc_b") >= 250)
+        .select(col("doc_b").as("doc_id")).distinct()
+      exact.join(dropped, Seq("doc_id"), "left_semi").orderBy("doc_id")
+    },
+
     // ---- q49: language-ID heuristic (stopword profiles, deterministic argmax)
     QueryDef.sql("q49_lang_id", {
       val scoreSql = TextStats.langProfiles.map { case (l, ws) =>

@@ -215,4 +215,41 @@ class DedupSpec extends SparkSpecBase {
     val g = Dedup.fingerprintGroups(docs, "doc_id", "text", prefixLen = 64)
     assert(g.filter($"dup_count" === 2).count() == 1)
   }
+
+  test("incrementalNearDedupe drop set == minhashLshPairs cross-split pairs (shared hash family)") {
+    // the frozen-index ingest gate and the batch pair mine must agree
+    // BIT-EXACTLY on which (corpus, batch) pairs collide: same banding,
+    // same signatures, same est-Jaccard arithmetic. Corpus = fixture docs
+    // < 25, batch = the rest; a batch doc drops at ingest iff the mine
+    // reports a cross-split pair for it.
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" < 25)
+    val batch = docs.filter($"doc_id" >= 25)
+    val index = Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+    val survivors = Dedup.incrementalNearDedupe(index, batch,
+      "doc_id", "text", threshold = 0.7)
+    val dropped = batch.join(survivors.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc_a < doc_b and corpus ids < batch ids, so cross pairs are
+    // exactly (doc_a in corpus, doc_b in batch)
+    val cross = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+      .filter($"doc_a" < 25 && $"doc_b" >= 25)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(dropped == cross, s"ingest dropped $dropped but the mine found $cross")
+    assert(survivors.count() + dropped.size == batch.count())
+  }
+
+  test("incrementalNearDedupe: exact copy of a corpus doc drops; novel doc survives") {
+    val corpusDocs = Seq(
+      (1L, (1 to 40).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"beta$i").mkString(" "))).toDF("doc_id", "text")
+    val index = Dedup.minhashBucketIndex(corpusDocs, "doc_id", "text")
+    val batch = Seq(
+      (10L, (1 to 40).map(i => s"alpha$i").mkString(" ")), // exact dup of 1
+      (11L, "entirely novel content with its own vocabulary and phrasing today")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDedupe(index, batch, "doc_id", "text",
+      threshold = 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
 }

@@ -473,4 +473,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.isStreaming)
     assert(s.columns.toSeq == Seq("event_id", "customer_id", "event_type", "ts"))
   }
+
+  test("incrementalNearDedupe gates a stream of micro-batches against a frozen index == batch") {
+    // the q139 deployment shape: the corpus LSH index freezes ONCE, then
+    // each arriving micro-batch is gated by the same plan builder inside
+    // foreachBatch (the scoring path ends in distinct + anti-join, so it
+    // runs as a per-batch job, not an append-mode continuous plan). The
+    // gate compares incoming docs to the FROZEN index only — no
+    // cross-batch state — so stream output must equal the one-shot batch
+    // gate over the union, regardless of how rows split across batches.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"alpha$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"beta$i").mkString(" "))).toDF("doc_id", "text")
+    val index = graft.llm.Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+      .cache()  // frozen artifact: score every micro-batch off one build
+    val b1 = Seq(
+      10L -> (1 to 40).map(i => s"alpha$i").mkString(" "),  // exact dup of corpus 1
+      11L -> "entirely novel content with its own vocabulary and phrasing today")
+    val b2 = Seq(
+      12L -> (1 to 40).map(i => s"beta$i").mkString(" "),   // exact dup of corpus 2
+      13L -> "another fresh document about completely unrelated matters here")
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= graft.llm.Dedup.incrementalNearDedupe(index, df,
+            "doc_id", "text", threshold = 0.7)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val batchKept = graft.llm.Dedup.incrementalNearDedupe(
+          index, (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text",
+          threshold = 0.7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got.toSet == batchKept && got.size == got.toSet.size)
+      assert(got.toSet == Set(11L, 13L))  // dups dropped, novels kept
+    } finally q.stop()
+  }
 }
