@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Scale-adaptive ANN capacity parameters derived from corpus size `n`
+    * — the policy the r9 8x sweep showed is needed: FIXED PQ codebooks
+    * (m=8, k=16, rerank=100) lose recall as the corpus grows (8/20
+    * against the >= 12 audit bound at 8x sf0.1), exactly as published
+    * (Jégou et al. 2011 — quantizer capacity must track N; faiss tunes
+    * cells ~ sqrt(N)).
+    *
+    *  - `pqK` (codewords per subspace) ~ sqrt(N) quantized to powers of
+    *    two via INTEGER thresholds (N in [2^(2j-1), 2^(2j+1)) -> 2^j),
+    *    clamped to [16, 256] and to N itself: a pure integer ladder both
+    *    engines replay with zero float-boundary risk (log2/round ulp
+    *    divergence at breakpoints would silently diverge an oracle).
+    *  - `rerank` (exact-rescore shortlist) = max(100, pqK * ceil(log2
+    *    N)), capped at N; ceil(log2 N) computed as the bit length of
+    *    N-1 (exact integers on both engines).
+    *  - `ivfCells` = max(8, pqK/8) (~ sqrt(N)/8 cells), `nProbe` =
+    *    max(3, cells/8): the probed fraction stays ~1/8 of cells as the
+    *    cell count grows.
+    *
+    * The policy is oracle-gated end-to-end by q91b (the scaled PQ recall
+    * audit, green at 8x where the fixed-capacity q91a audit is red by
+    * design); COVERAGE.md records the deployment rule. */
+  final case class AnnScale(n: Long, pqK: Int, rerank: Int,
+                            ivfCells: Int, nProbe: Int)
+
+  def annScale(n: Long): AnnScale = {
+    require(n > 0, "annScale needs a positive corpus size")
+    val ladder =
+      if (n < 512L) 16 else if (n < 2048L) 32 else if (n < 8192L) 64
+      else if (n < 32768L) 128 else 256
+    val pqK = math.min(ladder.toLong, n).toInt
+    val bits = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val rerank = math.min(n, math.max(100L, pqK.toLong * bits)).toInt
+    val cells = math.max(8, pqK / 8)
+    AnnScale(n, pqK, rerank, cells, math.max(3, cells / 8))
+  }
+
   /** Exact top-k by cosine against one query vector (given as a 1-row df
     * with column `qe`). Broadcast the query; TakeOrderedAndProject does the
     * global top-k without a full sort. */

@@ -89,7 +89,31 @@ object VectorQueries {
     * HIGHEST codeword: `>=` update in the kernel), empty-cell carry
     * (COALESCE against the previous books), the driver's left-fold
     * half-norms and query·codeword table, and the sub-ordered score fold. */
-  private def pqCtes(m: Int, k: Int, subDim: Int, rerank: Int): String = {
+  /** The [[Similarity.annScale]] policy as CTEs `pol0`/`pol` over
+    * `embeddings` — the SAME integer ladder / bit-length arithmetic the
+    * Scala side computes, so the scaled audit (q91b) cross-checks the
+    * policy itself, not just the chain it parameterizes. Integer-only on
+    * purpose: log2/round float boundaries would let the two engines pick
+    * different capacities at a breakpoint and silently diverge. */
+  private val annPolicyCtes: String = {
+    val ladder = "CASE WHEN n < 512 THEN 16 WHEN n < 2048 THEN 32 " +
+      "WHEN n < 8192 THEN 64 WHEN n < 32768 THEN 128 ELSE 256 END"
+    s"""pol0 AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pol AS (SELECT n,
+       |  CAST(LEAST(n, $ladder) AS INT) AS pq_k,
+       |  LEAST(n, GREATEST(100, LEAST(n, $ladder) * length(bin(n - 1)))) AS rerank
+       |  FROM pol0)""".stripMargin
+  }
+
+  private def pqCtes(m: Int, k: Int, subDim: Int, rerank: Int): String =
+    pqCtesDyn(m, k.toString, subDim, rerank.toString)
+
+  /** [[pqCtes]] with the codeword count and rerank size as SQL
+    * EXPRESSIONS (e.g. `(SELECT pq_k FROM pol)`) so the q91b scaled
+    * audit can replay the chain under [[Similarity.annScale]]'s
+    * corpus-size-derived capacities — DuckDB accepts scalar subqueries
+    * in LIMIT, which is everywhere the two parameters appear. */
+  private def pqCtesDyn(m: Int, kSql: String, subDim: Int, rerankSql: String): String = {
     val halfSql = (c: String) =>
       s"""(list_reduce(list_transform($c, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
          |  (x, y) -> x + y) / 2.0)""".stripMargin
@@ -112,7 +136,7 @@ object VectorQueries {
        |b0 AS (SELECT s.sub, i.c AS cw,
        |         list_slice(i.embedding, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cvec
        |       FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding
-       |             FROM embeddings ORDER BY vec_id LIMIT $k) i
+       |             FROM embeddings ORDER BY vec_id LIMIT $kSql) i
        |       CROSS JOIN subs s),
        |subrows AS (SELECT vec_id, sub,
        |              list_slice(embedding, sub * $subDim + 1, sub * $subDim + $subDim) AS subvec
@@ -134,7 +158,7 @@ object VectorQueries {
        |sc AS (SELECT e.vec_id,
        |         round(list_reduce(list(t.qd ORDER BY t.sub), (x, y) -> x + y), 9) AS pq_score
        |       FROM enc e JOIN tbl t ON t.sub = e.sub AND t.cw = e.cw GROUP BY e.vec_id),
-       |short AS (SELECT vec_id FROM sc ORDER BY pq_score DESC, vec_id LIMIT $rerank),
+       |short AS (SELECT vec_id FROM sc ORDER BY pq_score DESC, vec_id LIMIT $rerankSql),
        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)""".stripMargin
   }
 
@@ -388,13 +412,18 @@ object VectorQueries {
         queryVec, k = 20, rerank = 100)
     },
 
-    // ---- q91a: INDEPENDENT recall audit for q91, same asymmetric
+    // ---- q91a: FIXED-CAPACITY recall audit for q91 (renamed from
+    // q91a_pq_recall_audit in r10 per the r9 verdict), same asymmetric
     // bound-gate shape as q59a: Spark emits (k, hits) only when the live
     // PQ+rerank top-20 recovers ≥ 12 of the live exact top-20; the
     // oracle re-derives both sides in SQL unconditionally. Measured
-    // hits = 17/16/14 at sf0.001/0.01/0.1. (Pre-r9 this compared the
-    // committed golden; now golden-free.)
-    QueryDef.sql("q91a_pq_recall_audit",
+    // hits = 17/16/14 at sf0.001/0.01/0.1. This row is the
+    // fixed-capacity WITNESS: its m=8/k=16/rerank=100 codebooks are
+    // deliberately frozen, so at ≥ 8x scale it goes red BY DESIGN
+    // (8/20 at 8x sf0.1 — quantizer capacity must track N, Jégou 2011),
+    // demonstrating exactly the failure the q91b scale-adaptive policy
+    // exists to close. Green at every shipped SF.
+    QueryDef.sql("q91a_pq_fixed_capacity_audit",
       s"""WITH ${pqCtes(m = 8, k = 16, subDim = 8, rerank = 100)},
          |ap AS (SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
          |       FROM embeddings e JOIN short USING (vec_id), qv
@@ -415,6 +444,50 @@ object VectorQueries {
       exact.join(approx, Seq("vec_id"))
         .agg(count(lit(1)).as("hits"))
         .select(lit(20L).as("k"), col("hits"))
+        .filter(col("hits") >= 12)
+    },
+
+    // ---- q91b: the SCALE-ADAPTIVE PQ recall audit — q91a's chain under
+    // Similarity.annScale(n): codeword count ~ sqrt(N) (integer power-of-
+    // two ladder) and rerank = max(100, k·ceil(log2 N)), both derived
+    // from COUNT(*) by BOTH engines (the pol CTEs replay the identical
+    // integer arithmetic, so a policy drift fails the gate, not just a
+    // recall drift). The emitted row carries the derived capacities
+    // (n_vectors, pq_k, rerank) alongside the q91a-style bound-gated
+    // hits, and the Spark side emits it only when the scaled config
+    // recovers ≥ 12 of the exact top-20. At 8x sf0.1 — where the
+    // fixed-capacity q91a is red by design — this holds green
+    // (PLANS_r10.md records the sweep).
+    QueryDef.sql("q91b_pq_recall_scaled",
+      s"""WITH $annPolicyCtes,
+         |${pqCtesDyn(m = 8, kSql = "(SELECT pq_k FROM pol)", subDim = 8,
+                      rerankSql = "(SELECT rerank FROM pol)")},
+         |ap AS (SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |       FROM embeddings e JOIN short USING (vec_id), qv
+         |       ORDER BY cosine DESC, e.vec_id LIMIT 20),
+         |ex AS (SELECT e.vec_id FROM embeddings e, qv
+         |       ORDER BY ${cosSql("e.embedding", "qv.qe")} DESC, e.vec_id LIMIT 20)
+         |SELECT (SELECT n FROM pol) AS n_vectors,
+         |  (SELECT pq_k FROM pol) AS pq_k,
+         |  (SELECT rerank FROM pol) AS rerank,
+         |  CAST(20 AS BIGINT) AS k,
+         |  (SELECT COUNT(*) FROM ex JOIN ap USING (vec_id)) AS hits""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val n = emb.count()
+      val p = Similarity.annScale(n)
+      val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val exact = Similarity.bruteTopK(emb, query, 20).select("vec_id")
+      val books = Similarity.pqTrain(emb, m = 8, k = p.pqK, iters = 2)
+      val codes = Similarity.pqEncode(emb, books)
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val approx = Similarity.pqSearch(emb, codes, queryVec, books,
+          k = 20, rerank = p.rerank)
+        .select("vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(n).as("n_vectors"), lit(p.pqK).as("pq_k"),
+          lit(p.rerank.toLong).as("rerank"), lit(20L).as("k"), col("hits"))
         .filter(col("hits") >= 12)
     },
 

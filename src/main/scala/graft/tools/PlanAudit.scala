@@ -34,7 +34,8 @@ object PlanAudit {
     "q59_ann_ivf_kmeans",  // same probe shape over k-means cells
     "q61_multimodal_ann",  // same probe shape over image features
     "q59a_kmeans_recall_audit", // audit twins: re-run the parent's 1-row
-    "q91a_pq_recall_audit",     // query broadcast to measure live recall
+    "q91a_pq_fixed_capacity_audit", // query broadcast to measure live recall
+    "q91b_pq_recall_scaled",    // same, under the annScale policy
     "q61a_multimodal_ann_audit" // same (multimodal brute top-k)
   )
 

@@ -211,4 +211,25 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.semanticDedupe(emb, "label", 0.9), "label", 0.9).count()
     assert(residual == 0)
   }
+
+  test("annScale: capacities track corpus size and never exceed it") {
+    import Similarity.{annScale, AnnScale}
+    // the shipped-fixture and sweep sizes, pinned exactly (these are the
+    // values the q91b pol CTE must reproduce in SQL)
+    assert(annScale(500) == AnnScale(500, 16, 144, 8, 3))
+    assert(annScale(2000) == AnnScale(2000, 32, 352, 8, 3))
+    assert(annScale(16000) == AnnScale(16000, 128, 1792, 16, 3))   // 8x sweep
+    assert(annScale(64000) == AnnScale(64000, 256, 4096, 32, 4))   // 32x sweep
+    // tiny corpora: every capacity is capped at N (pqTrain inits from
+    // the k lowest vec_ids, so k > N would be out of bounds)
+    assert(annScale(10) == AnnScale(10, 10, 10, 8, 3))
+    // ladder breakpoints are exact integers on both engines
+    assert(annScale(511).pqK == 16 && annScale(512).pqK == 32)
+    assert(annScale(32767).pqK == 128 && annScale(32768).pqK == 256)
+    // monotone: growing corpora never shrink a capacity
+    val ns = Seq(1L, 10L, 100L, 511L, 512L, 5000L, 16000L, 40000L, 1000000L)
+    val ps = ns.map(annScale)
+    assert(ps.sliding(2).forall { case Seq(a, b) =>
+      b.pqK >= a.pqK && b.rerank >= a.rerank && b.ivfCells >= a.ivfCells })
+  }
 }
