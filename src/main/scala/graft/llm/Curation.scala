@@ -71,6 +71,36 @@ object Curation {
   def trainSplit(textCol: String, holdoutSixteenths: Int = 1) =
     !graft.sources.Sampling.hashSampleKey(col(textCol), holdoutSixteenths)
 
+  /** LEAKAGE-FREE train/val/test split: assign whole near-duplicate
+    * CLUSTERS — not individual documents — to a split, so two near-dups
+    * can never straddle train and test (the document-level hash split
+    * above has exactly that leak: near-dups hash independently). Pairs
+    * come from any of the pair miners (n-gram Jaccard, MinHash-LSH,
+    * embedding near-dups); the split key is an md5-bucket of the
+    * cluster representative — deterministic across engines, runs, and
+    * re-partitionings, so the split is reproducible without an RNG.
+    *
+    * `valSixteenths`/`testSixteenths` of 16 md5-prefix buckets go to
+    * val/test; the rest train. Returns (idCol, cluster_rep, split).
+    *
+    * 100 TB shape: the component loop works over the duplicate fringe
+    * only ([[Clusters.connectedComponents]]); the split itself is one
+    * codegen'd projection — no extra shuffle beyond the CC join. */
+  def leakageFreeSplit(nodes: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String, bCol: String,
+                       valSixteenths: Int = 2, testSixteenths: Int = 2): DataFrame = {
+    require(valSixteenths >= 0 && testSixteenths >= 0 &&
+      valSixteenths + testSixteenths <= 16, "val+test sixteenths must fit in 16")
+    val bucket = conv(substring(
+      md5(concat(lit("sp:"), col("cluster_rep").cast("string")).cast("binary")),
+      1, 1), 16, 10).cast("int")
+    Clusters.connectedComponents(nodes, idCol, pairs, aCol, bCol)
+      .withColumn("split",
+        when(bucket < valSixteenths, lit("val"))
+          .when(bucket < valSixteenths + testSixteenths, lit("test"))
+          .otherwise(lit("train")))
+  }
+
   /** Full curation: exact dedup → near-dup representatives → quality
     * filter → split flag. Returns the curated corpus with `quality_score`
     * and `is_train` attached. */

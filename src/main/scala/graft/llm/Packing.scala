@@ -61,4 +61,29 @@ object Packing {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("shard_pos"), col("ticket"))
   }
+
+  /** Shard-export MANIFEST: the per-shard validation record a sharded
+    * corpus export writes next to its files so a consumer (or a re-run)
+    * can verify completeness without re-reading the data — row count,
+    * total characters, an ORDER-INDEPENDENT content signature (sum of a
+    * 32-bit md5 prefix per row, so any dropped/duplicated/altered row
+    * changes it regardless of row order), and the id range. Shard
+    * assignment is [[shardShuffle]]'s md5-ticket convention, so the
+    * manifest describes exactly the shards that operator lays out.
+    *
+    * 100 TB shape: ONE map-side-combining aggregation over a single scan
+    * — no window, no sort; the manifest is nShards rows. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val ticket = md5(concat(lit("sh:"), col(idCol).cast("string")))
+    docs.select(col(idCol), col(textCol),
+        (conv(substring(ticket, 1, 4), 16, 10).cast("int") % nShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(conv(substring(md5(col(textCol).cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("content_sig"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+  }
 }

@@ -375,6 +375,46 @@ object Similarity {
       Seq("vec_id"), "left_semi")
   }
 
+  /** Cross-corpus SEMANTIC contamination report: for every training
+    * vector with cosine ≥ `threshold` against ANY eval-corpus vector,
+    * one row (vec_id, n_eval_hits, max_eval_cos) — the embedding-space
+    * counterpart of the 8-gram decontamination
+    * ([[Dedup.crossCorpusContamination]]): paraphrased eval leakage that
+    * shares no 8-gram still collides here.
+    *
+    * Scale contract: the eval corpus is the SMALL side by construction
+    * (a benchmark suite — thousands of vectors vs a 100 TB train side),
+    * so it is broadcast and the scan of the train side is
+    * shuffle-free; the per-train-id aggregation is map-side-combining
+    * on already-hash-partitioned tiny hit rows. The double-precision
+    * dot prefilters (codegen'd loop) with a 1e-6 margin and the exact
+    * decimal dot confirms — the q52 two-stage gate, so the rounded
+    * cosine is bit-stable across engines. */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+                            threshold: Double): DataFrame = {
+    val t = train.select(col("vec_id"), col("embedding"))
+      .withColumn("__tn", VectorFns.norm(col("embedding")))
+    val e = broadcast(eval.select(col("vec_id").as("__ev"),
+      col("embedding").as("__ee"))
+      .withColumn("__en", VectorFns.norm(col("__ee"))))
+    t.join(e,
+        VectorFns.dotDouble(col("embedding"), col("__ee")) / (col("__tn") * col("__en"))
+          >= threshold - 1e-6)
+      .withColumn("cosine",
+        round(VectorFns.dot(col("embedding"), col("__ee")) / (col("__tn") * col("__en")), 9))
+      .filter(col("cosine") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_eval_cos"))
+  }
+
+  /** The decontaminated training corpus: `train` minus every vector
+    * [[semanticContamination]] flags — one broadcast-scored scan + one
+    * anti-join, the artifact the pipeline actually trains on. */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+                            threshold: Double): DataFrame =
+    train.join(semanticContamination(train, eval, threshold).select("vec_id"),
+      Seq("vec_id"), "left_anti")
+
   /** Deterministic "random" hyperplane component for (bit b, dim d): a
     * seeded linear-congruential value in [-1, 1) — no RNG state, so the
     * plane family is pure arithmetic any engine can recompute. The q53

@@ -591,6 +591,62 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("quality_score"),
           col("src_rank"))
         .orderBy("doc_id")
+    },
+
+    // ---- q140: LEAKAGE-FREE train/val/test split — whole near-dup
+    // CLUSTERS assigned to one split (md5 bucket of the cluster rep), so
+    // near-duplicates can never straddle train and test. Pair mine +
+    // closure are q62's (keep the CTEs in sync with q62's oracle); the
+    // split CASE replays Curation.leakageFreeSplit's 2/2/12 sixteenths.
+    QueryDef.sql("q140_cluster_split",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (
+         |  SELECT va AS s, vb AS d FROM pairs
+         |  UNION SELECT vb, va FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+         |SELECT id AS vec_id, lbl AS cluster_rep,
+         |  CASE WHEN b < 2 THEN 'val' WHEN b < 4 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT id, lbl,
+         |    CAST('0x' || substr(md5('sp:' || CAST(lbl AS VARCHAR)), 1, 1)
+         |      AS INTEGER) AS b
+         |  FROM comp)
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.nearDuplicatePairs(emb, "label", 0.4)
+        .select("vec_a", "vec_b")
+      graft.llm.Curation.leakageFreeSplit(emb.select("vec_id"), "vec_id",
+          pairs, "vec_a", "vec_b", valSixteenths = 2, testSixteenths = 2)
+        .orderBy("vec_id")
+    },
+
+    // ---- q142: shard-export manifest — per-shard row count, char
+    // volume, ORDER-INDEPENDENT content signature (sum of a 32-bit md5
+    // prefix per row) and id range, under q129's md5-ticket shard
+    // assignment. The validation record a sharded corpus export writes
+    // next to its files.
+    QueryDef.sql("q142_shard_manifest",
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INTEGER) % 8 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS content_sig,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.llm.Packing.shardManifest(Tables.documents(s, dir),
+          "doc_id", "text", nShards = 8)
+        .orderBy("shard")
     }
   )
 

@@ -19,6 +19,20 @@ object TextQueries {
   private val toksSql = SqlFragments.toksSql
   private def shinglesSql(toks: String) = SqlFragments.shinglesSql(toks, 3)
 
+  /** q141/q141a shared drift config: fixed token-count bins and the
+    * doc_id-parity snapshot halves (month-N / month-N+1 stand-ins). ONE
+    * definition so the two gates and their oracles can't drift apart. */
+  private object DriftCfg {
+    val binWidth = 20L
+    val nBins = 15
+    def snapshots(s: org.apache.spark.sql.SparkSession, dir: String)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q40: exact dedup groups (hash-groupBy; count 1 groups included so
@@ -508,6 +522,73 @@ object TextQueries {
         .filter(col("doc_a") < 250 && col("doc_b") >= 250)
         .select(col("doc_b").as("doc_id")).distinct()
       exact.join(dropped, Seq("doc_id"), "left_semi").orderBy("doc_id")
+    },
+
+    // ---- q141: corpus-snapshot drift — per-bin PSI over the token-count
+    // distribution between two snapshots (here the doc_id-parity halves
+    // standing in for month N / month N+1 crawls). Laplace-smoothed
+    // shares over FIXED bins; psi_term rounded to 6 (the bigram-LM
+    // convention for ln outputs).
+    QueryDef.sql("q141_corpus_drift_psi", {
+      val sm = DriftCfg.nBins * 0.5
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |ca AS (SELECT LEAST(n_tokens // ${DriftCfg.binWidth}, ${DriftCfg.nBins - 1}) AS bin,
+         |         COUNT(*) AS cnt_a FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT LEAST(n_tokens // ${DriftCfg.binWidth}, ${DriftCfg.nBins - 1}) AS bin,
+         |         COUNT(*) AS cnt_b FROM d WHERE doc_id % 2 <> 0 GROUP BY 1),
+         |sp AS (SELECT CAST(range AS INT) AS bin FROM range(${DriftCfg.nBins})),
+         |j AS (SELECT sp.bin, COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+         |      FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         |tt AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM j)
+         |SELECT bin, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+         |  round((cnt_a + 0.5) / (na + $sm), 6) AS share_a,
+         |  round((cnt_b + 0.5) / (nb + $sm), 6) AS share_b,
+         |  round(((cnt_a + 0.5) / (na + $sm) - (cnt_b + 0.5) / (nb + $sm))
+         |    * ln(((cnt_a + 0.5) / (na + $sm)) / ((cnt_b + 0.5) / (nb + $sm))), 6)
+         |    AS psi_term
+         |FROM j, tt ORDER BY bin""".stripMargin
+    }) { (s, dir) =>
+      val (a, b) = DriftCfg.snapshots(s, dir)
+      graft.llm.Drift.psiByBin(a, b, "n_tokens", DriftCfg.binWidth, DriftCfg.nBins)
+        .orderBy("bin")
+    },
+
+    // ---- q141a: one-row drift summary — decimal-exact total PSI (sum of
+    // the rounded q141 terms, order-independent) + distinct-token
+    // vocabulary overlap between the snapshots.
+    QueryDef.sql("q141a_corpus_drift_summary", {
+      val sm = DriftCfg.nBins * 0.5
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |ca AS (SELECT LEAST(n_tokens // ${DriftCfg.binWidth}, ${DriftCfg.nBins - 1}) AS bin,
+         |         COUNT(*) AS cnt_a FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT LEAST(n_tokens // ${DriftCfg.binWidth}, ${DriftCfg.nBins - 1}) AS bin,
+         |         COUNT(*) AS cnt_b FROM d WHERE doc_id % 2 <> 0 GROUP BY 1),
+         |sp AS (SELECT CAST(range AS INT) AS bin FROM range(${DriftCfg.nBins})),
+         |j AS (SELECT sp.bin, COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+         |      FROM sp LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)),
+         |tt AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM j),
+         |terms AS (SELECT round(((cnt_a + 0.5) / (na + $sm) - (cnt_b + 0.5) / (nb + $sm))
+         |    * ln(((cnt_a + 0.5) / (na + $sm)) / ((cnt_b + 0.5) / (nb + $sm))), 6)
+         |    AS psi_term FROM j, tt),
+         |ta AS (SELECT DISTINCT unnest(toks) AS tok FROM d WHERE doc_id % 2 = 0),
+         |tb AS (SELECT DISTINCT unnest(toks) AS tok FROM d WHERE doc_id % 2 <> 0),
+         |vc AS (SELECT (SELECT COUNT(*) FROM ta) AS vocab_a,
+         |              (SELECT COUNT(*) FROM tb) AS vocab_b,
+         |              (SELECT COUNT(*) FROM ta JOIN tb USING (tok)) AS vocab_shared)
+         |SELECT (SELECT CAST(SUM(cnt_a) AS BIGINT) FROM j) AS docs_a,
+         |  (SELECT CAST(SUM(cnt_b) AS BIGINT) FROM j) AS docs_b,
+         |  (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE) FROM terms)
+         |    AS total_psi,
+         |  vocab_a, vocab_b, vocab_shared,
+         |  round(CAST(vocab_shared AS DOUBLE) / (vocab_a + vocab_b - vocab_shared), 6)
+         |    AS vocab_jaccard
+         |FROM vc""".stripMargin
+    }) { (s, dir) =>
+      val (a, b) = DriftCfg.snapshots(s, dir)
+      graft.llm.Drift.driftSummary(a, b, "n_tokens", DriftCfg.binWidth,
+        DriftCfg.nBins, graft.functions.TextFns.tokens(col("text")))
     },
 
     // ---- q49: language-ID heuristic (stopword profiles, deterministic argmax)

@@ -543,6 +543,29 @@ object VectorQueries {
       Similarity.semanticDedupe(Tables.embeddings(s, dir), "label", 0.4)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
+    },
+
+    // ---- q143: cross-corpus SEMANTIC contamination — the embedding-space
+    // twin of the q84 8-gram decontamination: every train-split vector
+    // scored against the (broadcast-small) eval split, one report row per
+    // train vector with any eval cosine ≥ 0.4. Catches paraphrased eval
+    // leakage that shares no 8-gram. Spark prefilters with the codegen'd
+    // double dot (1e-6 margin) and confirms on the exact decimal dot —
+    // the q52 two-stage gate — so MAX of the rounded cosines is
+    // engine-stable.
+    QueryDef.sql("q143_semantic_contamination",
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |sc AS (SELECT t.vec_id AS vec_id,
+         |         ${cosSql("t.embedding", "e.embedding")} AS c
+         |       FROM tr t CROSS JOIN ev e)
+         |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS max_eval_cos
+         |FROM sc WHERE c >= 0.4 GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0), threshold = 0.4)
+        .orderBy("vec_id")
     }
   )
 }

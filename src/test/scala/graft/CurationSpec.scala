@@ -30,6 +30,27 @@ class CurationSpec extends SparkSpecBase {
     assert(out.forall(r => r.getAs[Double]("quality_score") >= 0.3))
   }
 
+  test("leakageFreeSplit: no near-dup pair straddles splits; deterministic at any partitioning") {
+    val nodes = (0L until 64L).map(Tuple1(_)).toDF("id")
+    // a chain component {0,1,2,3}, a pair {4,5}, singletons elsewhere
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Curation.leakageFreeSplit(nodes, "id", pairs, "a", "b").collect()
+    val split = out.map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val rep = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_rep")).toMap
+    // the whole point: every edge is co-assigned
+    Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).foreach { case (a, b) =>
+      assert(split(a) == split(b) && rep(a) == rep(b))
+    }
+    assert(out.length == 64 && rep(10L) == 10L)  // singletons are their own rep
+    // 2/2/12 sixteenths over ~60 clusters: all three splits materialize,
+    // train dominates (deterministic — md5 buckets, no RNG)
+    assert(split.values.toSet == Set("train", "val", "test"))
+    assert(split.values.count(_ == "train") > split.values.count(_ != "train"))
+    val again = Curation.leakageFreeSplit(nodes.repartition(16), "id",
+      pairs.repartition(4), "a", "b").collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("trainSplit is deterministic and content-keyed") {
     val docs = (0 until 200).map(i => (i.toLong, s"document number $i body")).toDF("doc_id", "text")
     val a = docs.withColumn("t", Curation.trainSplit("text")).collect()

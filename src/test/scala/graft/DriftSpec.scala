@@ -1,0 +1,81 @@
+package graft
+
+import graft.llm.{Drift, Packing}
+import org.apache.spark.sql.functions._
+
+/** Corpus-snapshot drift (PSI / vocabulary overlap) and shard-manifest
+  * guarantees on constructed snapshots. */
+class DriftSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("psiByBin: identical snapshots give zero PSI on every bin; full fixed spine") {
+    val a = (1L to 100L).map(i => Tuple1(i % 90)).toDF("n")
+    val out = Drift.psiByBin(a, a, "n", 20, 15).orderBy("bin").collect()
+    assert(out.length == 15)
+    assert(out.map(_.getAs[Int]("bin")).toSeq == (0 until 15))
+    assert(out.forall(_.getAs[Double]("psi_term") == 0.0))
+    assert(out.forall(r => r.getAs[Long]("cnt_a") == r.getAs[Long]("cnt_b")))
+  }
+
+  test("psiByBin: a shifted snapshot produces positive total PSI; last bin clamps the tail") {
+    val a = (1L to 200L).map(i => Tuple1(i % 40)).toDF("n")          // bins 0-1
+    val b = (1L to 200L).map(i => Tuple1(100L + (i % 40))).toDF("n") // bins 5-6
+    val out = Drift.psiByBin(a, b, "n", 20, 15).collect()
+    assert(out.map(_.getAs[Double]("psi_term")).sum > 0.5)
+    // smoothing keeps every term finite even on 0-vs-200 bins
+    assert(out.forall(r => !r.getAs[Double]("psi_term").isNaN
+      && !r.getAs[Double]("psi_term").isInfinite))
+    val c = Seq(Tuple1(100000L)).toDF("n")
+    val clamp = Drift.psiByBin(c, c, "n", 20, 15).collect()
+    assert(clamp.find(_.getAs[Int]("bin") == 14).get.getAs[Long]("cnt_a") == 1L)
+  }
+
+  test("vocabOverlap: identical snapshots -> jaccard 1, disjoint -> 0") {
+    val a = Seq("alpha beta gamma", "beta delta").map(Tuple1(_)).toDF("text")
+    val b = Seq("zeta eta theta").map(Tuple1(_)).toDF("text")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val same = Drift.vocabOverlap(a, a, toks).collect().head
+    assert(same.getAs[Long]("vocab_a") == 4 && same.getAs[Long]("vocab_shared") == 4)
+    assert(same.getAs[Double]("vocab_jaccard") == 1.0)
+    val disj = Drift.vocabOverlap(a, b, toks).collect().head
+    assert(disj.getAs[Long]("vocab_shared") == 0
+      && disj.getAs[Double]("vocab_jaccard") == 0.0)
+  }
+
+  test("driftSummary: total PSI is the decimal-exact sum of the rounded per-bin terms") {
+    val a = (1L to 150L).map(i => (i, s"doc $i words", i % 90)).toDF("doc_id", "text", "n")
+    val b = (1L to 150L).map(i => (i, s"doc $i words", (i * 3) % 200)).toDF("doc_id", "text", "n")
+    val terms = Drift.psiByBin(a, b, "n", 20, 15).collect()
+      .map(r => BigDecimal.valueOf(r.getAs[Double]("psi_term"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val summary = Drift.driftSummary(a, b, "n", 20, 15,
+      graft.functions.TextFns.tokens(col("text"))).collect().head
+    assert(math.abs(summary.getAs[Double]("total_psi") - terms.sum.toDouble) < 1e-12)
+    assert(summary.getAs[Long]("docs_a") == 150 && summary.getAs[Long]("docs_b") == 150)
+    assert(summary.getAs[Long]("vocab_shared") == summary.getAs[Long]("vocab_a"))
+  }
+
+  test("shardManifest: order-independent signature, shardShuffle-consistent, detects tampering") {
+    val docs = (1L to 100L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val m1 = Packing.shardManifest(docs, "doc_id", "text", 8).collect()
+    assert(m1.map(_.getAs[Long]("n_docs")).sum == 100L)
+    // row order and partitioning are irrelevant to every manifest column
+    val m2 = Packing.shardManifest(docs.orderBy(desc("doc_id")).repartition(13),
+      "doc_id", "text", 8).collect()
+    assert(m1.map(_.toSeq).toSet == m2.map(_.toSeq).toSet)
+    // the manifest describes shardShuffle's layout: same assignment rule
+    val sh = Packing.shardShuffle(docs, "doc_id", 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    val one = Packing.shardManifest(docs.filter(col("doc_id") === 7L),
+      "doc_id", "text", 8).collect().head
+    assert(one.getAs[Int]("shard") == sh(7L))
+    // altering ONE row changes exactly that shard's signature
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("text body 7 TAMPERED")).otherwise(col("text")))
+    val m3 = Packing.shardManifest(mutated, "doc_id", "text", 8).collect()
+    val by1 = m1.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("content_sig")).toMap
+    val by3 = m3.map(r => r.getAs[Int]("shard") -> r.getAs[Long]("content_sig")).toMap
+    assert(by1(sh(7L)) != by3(sh(7L)))
+    assert((by1.keySet - sh(7L)).forall(k => by1(k) == by3(k)))
+  }
+}

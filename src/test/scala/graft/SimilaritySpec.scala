@@ -212,6 +212,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(residual == 0)
   }
 
+  test("semanticContamination flags eval-similar train vectors; decontaminate drops exactly those") {
+    val evalC = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(2f, 0f)),   // parallel to eval 100: cos 1.0
+      (2L, Seq(1f, 1f)),   // cos ~0.707 to BOTH eval vectors
+      (3L, Seq(-1f, 1f))   // cos -0.707 to 100, 0.707 to 101
+    ).toDF("vec_id", "embedding")
+    val rep = Similarity.semanticContamination(train, evalC, 0.5).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Double]("max_eval_cos")))).toMap
+    assert(rep.keySet == Set(1L, 2L, 3L))
+    assert(rep(1L)._1 == 1L && math.abs(rep(1L)._2 - 1.0) < 1e-9)
+    assert(rep(2L)._1 == 2L)   // hit count, not just the max
+    assert(rep(3L)._1 == 1L)   // the negative cosine never counts
+    // decontaminate == train minus the flagged set, at any threshold
+    assert(Similarity.semanticDecontaminate(train, evalC, 0.5)
+      .select("vec_id").collect().isEmpty)
+    assert(Similarity.semanticDecontaminate(train, evalC, 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("annScale: capacities track corpus size and never exceed it") {
     import Similarity.{annScale, AnnScale}
     // the shipped-fixture and sweep sizes, pinned exactly (these are the
