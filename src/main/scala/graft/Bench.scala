@@ -49,7 +49,13 @@ object Bench {
     "q134_curation_pipeline_full", // q127 chain + decon + PII stages ON
     "q135_source_reputation", // per-source provenance verdict (domain curation)
     "q136_source_capped_corpus", // per-source cap via skew-safe grouped rank
-    "q137_ann_sq8"           // SQ8 scalar-quantization ADC + rerank
+    "q137_ann_sq8",          // SQ8 scalar-quantization ADC + rerank
+    "q138_salted_skew_join", // salted join under a 90%-hot key (r10)
+    "q139_incremental_near_ingest", // frozen-LSH-index near-dup ingest (r10)
+    "q140_cluster_split",    // leakage-free cluster-level split (CC + bucket)
+    "q141a_corpus_drift_summary", // PSI + vocab-overlap drift report
+    "q142_shard_manifest",   // order-independent shard signatures (one agg)
+    "q143_semantic_contamination" // broadcast-eval semantic decon report
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -83,7 +89,13 @@ object Bench {
     // ANN family rows measured r10 (first round in the headline;
     // min-of-3, clean window: canaries 0.478/0.288/0.203/0.187)
     "q47_ann_ivf_topk" -> 0.79, "q59_ann_ivf_kmeans" -> 1.61,
-    "q91_ann_pq" -> 1.15, "q137_ann_sq8" -> 2.66)
+    "q91_ann_pq" -> 1.15, "q137_ann_sq8" -> 2.66,
+    // r10 family rows (min-of-3, clean window: canaries
+    // 0.435/0.247/0.232/0.228; q143 re-measured 0.86 after its exact-
+    // confirm moved out of the BNLJ condition into the aggregate)
+    "q138_salted_skew_join" -> 0.70, "q139_incremental_near_ingest" -> 1.13,
+    "q140_cluster_split" -> 1.89, "q141a_corpus_drift_summary" -> 0.44,
+    "q142_shard_manifest" -> 0.16, "q143_semantic_contamination" -> 0.86)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,7 +36,13 @@ object PlanAudit {
     "q59a_kmeans_recall_audit", // audit twins: re-run the parent's 1-row
     "q91a_pq_fixed_capacity_audit", // query broadcast to measure live recall
     "q91b_pq_recall_scaled",    // same, under the annScale policy
-    "q61a_multimodal_ann_audit" // same (multimodal brute top-k)
+    "q61a_multimodal_ann_audit", // same (multimodal brute top-k)
+    // semantic decon: the broadcast side is the EVAL corpus — bounded by
+    // contract (a benchmark suite, thousands of vectors vs the 100 TB
+    // train side; Similarity.semanticContamination documents it as the
+    // small side). The shape test can't prove a `vec_id % 10 === 0`
+    // filter is small, so allow-listed like the ANN query tables.
+    "q143_semantic_contamination"
   )
 
   def main(args: Array[String]): Unit = {

@@ -99,4 +99,25 @@ class PlanShapeSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
   }
+
+  // The near-dup pair miners rely on predicate-pushdown AND-ordering: both
+  // the codegen'd float_array_dot prefilter and the interpreted decimal
+  // exact-confirm land in the join condition, and only the prefilter-FIRST
+  // order keeps the decimal fold off the full candidate set (a reversed
+  // order measured 16.5 s vs 0.6 s on q143's shape before it moved its
+  // confirm into the aggregate). If a Spark upgrade reorders the AND, this
+  // trips instead of the bench silently regressing 20x.
+  test("q52 join condition short-circuits: float_array_dot prefilter before the decimal confirm") {
+    val exec = SparkEntry.queries("q52_embedding_near_dups")(spark, sf)
+      .queryExecution.executedPlan
+    exec.execute().count()
+    val cond = exec.toString.linesIterator
+      .find(_.contains("BroadcastHashJoin")).getOrElse("")
+    val pre = cond.indexOf("float_array_dot")
+    val exact = cond.indexOf("aggregate(zip_with")
+    assert(pre >= 0 && exact >= 0, "expected both dot forms in the join condition:\n" + cond)
+    assert(pre < exact,
+      "decimal exact-confirm ordered BEFORE the float_array_dot prefilter " +
+        "in the join condition — interpreted fold now runs on every candidate pair")
+  }
 }
