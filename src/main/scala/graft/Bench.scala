@@ -55,7 +55,9 @@ object Bench {
     "q140_cluster_split",    // leakage-free cluster-level split (CC + bucket)
     "q141a_corpus_drift_summary", // PSI + vocab-overlap drift report
     "q142_shard_manifest",   // order-independent shard signatures (one agg)
-    "q143_semantic_contamination" // broadcast-eval semantic decon report
+    "q143_semantic_contamination", // broadcast-eval semantic decon report
+    "q144_stored_vector_index", // persisted IVF+SQ8 index, pruned-read search
+    "q145_vector_index_ingest"  // frozen-centroid incremental vector ingest
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -95,7 +97,11 @@ object Bench {
     // confirm moved out of the BNLJ condition into the aggregate)
     "q138_salted_skew_join" -> 0.70, "q139_incremental_near_ingest" -> 1.13,
     "q140_cluster_split" -> 1.89, "q141a_corpus_drift_summary" -> 0.44,
-    "q142_shard_manifest" -> 0.16, "q143_semantic_contamination" -> 0.86)
+    "q142_shard_manifest" -> 0.16, "q143_semantic_contamination" -> 0.86,
+    // persisted-index rows measured r10 (min-of-3, clean window: canaries
+    // 0.342/0.234/0.201/0.206); cost is the write+read round trip itself
+    // — ~8 small jobs over the warehouse tables, not data volume
+    "q144_stored_vector_index" -> 1.99, "q145_vector_index_ingest" -> 2.45)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -278,10 +278,16 @@ object Similarity {
     * compression family, and unlike PQ the whole chain is loop-free, so
     * q137 gets a FULL DuckDB oracle rather than a golden. */
   def sq8Encode(emb: DataFrame, bounds: Array[(Float, Float)],
-                embCol: String = "embedding"): DataFrame = {
+                embCol: String = "embedding"): DataFrame =
+    emb.select(col("vec_id"), sq8CodesCol(col(embCol), bounds).as("codes"))
+
+  /** The SQ8 code array as a Column (bounds inlined as literals) — shared
+    * by [[sq8Encode]] and the stored-index write ([[VectorIndex]]). */
+  def sq8CodesCol(emb: org.apache.spark.sql.Column,
+                  bounds: Array[(Float, Float)]): org.apache.spark.sql.Column = {
     val mnA = array(bounds.map(b => lit(b._1)): _*)
     val mxA = array(bounds.map(b => lit(b._2)): _*)
-    val codes = zip_with(col(embCol), sequence(lit(1), lit(bounds.length)),
+    zip_with(emb, sequence(lit(1), lit(bounds.length)),
       (v, i) => {
         val mn = element_at(mnA, i).cast("double")
         val mx = element_at(mxA, i).cast("double")
@@ -291,7 +297,6 @@ object Similarity {
             .cast("int"))
           .otherwise(lit(0))
       })
-    emb.select(col("vec_id"), codes.as("codes"))
   }
 
   /** SQ8 ADC top-k with the standard rerank: candidates scored on CODES
@@ -305,18 +310,8 @@ object Similarity {
   def sq8Search(emb: DataFrame, codes: DataFrame,
                 bounds: Array[(Float, Float)], queryVec: Array[Float],
                 k: Int, rerank: Int = 100): DataFrame = {
-    val qd = queryVec.map(_.toDouble)
-    val mn = bounds.map(_._1.toDouble)
-    val step = bounds.map { case (lo, hi) =>
-      if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0 }
-    val qA = array(qd.map(lit): _*)
-    val mnA = array(mn.map(lit): _*)
-    val stepA = array(step.map(lit): _*)
-    val score = aggregate(sequence(lit(1), lit(bounds.length)), lit(0.0),
-      (acc, i) => acc + element_at(qA, i) *
-        (element_at(mnA, i) +
-          (element_at(col("codes"), i).cast("double") + 0.5) * element_at(stepA, i)))
-    val shortlist = codes.withColumn("sq_score", round(score, 9))
+    val shortlist = codes.withColumn("sq_score",
+        round(sq8ScoreCol(col("codes"), bounds, queryVec), 9))
       .orderBy(desc("sq_score"), asc("vec_id"))
       .limit(rerank)
       .select("vec_id")
@@ -326,6 +321,24 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
       .select("vec_id", "cosine")
+  }
+
+  /** The SQ8 ADC (midpoint-decode) score as a Column — `Σ_d q_d · (mn_d +
+    * (code_d + 0.5) · step_d)` folded in dimension order, bounds and
+    * query inlined as literals. Shared by [[sq8Search]] and the
+    * stored-index search ([[VectorIndex]]); UNROUNDED — callers round(9)
+    * where the value is oracle-compared. */
+  def sq8ScoreCol(codes: org.apache.spark.sql.Column,
+                  bounds: Array[(Float, Float)],
+                  queryVec: Array[Float]): org.apache.spark.sql.Column = {
+    val qA = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val mnA = array(bounds.map(b => lit(b._1.toDouble)): _*)
+    val stepA = array(bounds.map { case (lo, hi) =>
+      lit(if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0) }: _*)
+    aggregate(sequence(lit(1), lit(bounds.length)), lit(0.0),
+      (acc, i) => acc + element_at(qA, i) *
+        (element_at(mnA, i) +
+          (element_at(codes, i).cast("double") + 0.5) * element_at(stepA, i)))
   }
 
   /** Embedding near-duplicate pairs: within-cell blocked self-join (the

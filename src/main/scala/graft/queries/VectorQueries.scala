@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFns
-import graft.llm.Similarity
+import graft.llm.{Similarity, VectorIndex}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over the `embeddings` table (ARRAY<FLOAT>, 64
@@ -39,6 +39,50 @@ object VectorQueries {
     * dim) at all shipped SFs (the q47 seam, re-verified for q59/q91). */
   private val exactMeanFloatSql =
     "CAST(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS FLOAT)"
+
+  /** The q47 label-IVF CTEs — per-label decimal-exact float centroids
+    * (`cent`), the query vector (`qv`), and the top-`nProbe` probe cells
+    * (`probe`, ranked by unrounded centroid cosine with label tie-break)
+    * — shared by q47 and the stored-index search q144, whose persisted
+    * centroids are the same [[Similarity.centroids]] output. */
+  private def labelIvfCtes(nProbe: Int): String =
+    s"""x AS (
+       |  SELECT label, unnest(generate_series(1, 64)) AS dim,
+       |    unnest(list_transform(embedding,
+       |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
+       |  FROM embeddings),
+       |cm AS (SELECT label, dim,
+       |         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+       |       FROM x GROUP BY 1, 2),
+       |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT label FROM cent, qv
+       |          ORDER BY ${dotSql("centroid", "qe")} /
+       |            (sqrt(${dotSql("centroid", "centroid")}) * sqrt(${dotSql("qe", "qe")}))
+       |            DESC, label LIMIT $nProbe)""".stripMargin
+
+  /** The SQ8 per-dim bounds trained over the FULL embeddings table, as
+    * CTEs ending in `b` (mnA/mxA lists) — shared by q137 and q144. */
+  private val sq8BoundsCtes: String =
+    """x8 AS (SELECT unnest(generate_series(1, 64)) AS dim,
+      |        unnest(embedding) AS v FROM embeddings),
+      |mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x8 GROUP BY 1),
+      |b AS (SELECT list(mn ORDER BY dim) AS mnA, list(mx ORDER BY dim) AS mxA FROM mm)""".stripMargin
+
+  /** The SQ8 ADC score (encode + midpoint decode + query dot, left-fold in
+    * dim order, round 9) over aliases `e` (embedding), `b` (bounds), `qv`
+    * (query) — the exact replay of [[Similarity.sq8CodesCol]] +
+    * [[Similarity.sq8ScoreCol]], shared by q137 and q144. */
+  private val sq8ScoreExprSql: String =
+    """round(list_reduce(list_transform(generate_series(1, 64), i ->
+      |  CAST(qv.qe[i] AS DOUBLE) * (CAST(b.mnA[i] AS DOUBLE) +
+      |    (CASE WHEN b.mxA[i] > b.mnA[i]
+      |       THEN least(255.0, greatest(0.0, floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) * 255.0
+      |              / (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)))))
+      |       ELSE 0.0 END + 0.5) *
+      |    (CASE WHEN b.mxA[i] > b.mnA[i]
+      |       THEN (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) / 255.0
+      |       ELSE 0.0 END))), (x, y) -> x + y), 9)""".stripMargin
 
   /** The q59 k-means(k=8, iters=2) + IVF chain as WITH-clause CTEs ending
     * in `a2` (vec_id, embedding, cell), `cent2` (per-cell centroids) and
@@ -283,20 +327,7 @@ object VectorQueries {
     // ranking (unrounded ccos, ties broken by label), so a 1-ulp cast
     // divergence would need a near-exact centroid-cosine tie to matter.
     QueryDef.sql("q47_ann_ivf_topk",
-      s"""WITH x AS (
-         |  SELECT label, unnest(generate_series(1, 64)) AS dim,
-         |    unnest(list_transform(embedding,
-         |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
-         |  FROM embeddings),
-         |cm AS (SELECT label, dim,
-         |         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
-         |       FROM x GROUP BY 1, 2),
-         |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cm GROUP BY 1),
-         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT label FROM cent, qv
-         |          ORDER BY ${dotSql("centroid", "qe")} /
-         |            (sqrt(${dotSql("centroid", "centroid")}) * sqrt(${dotSql("qe", "qe")}))
-         |            DESC, label LIMIT 3)
+      s"""WITH ${labelIvfCtes(3)}
          |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
          |FROM embeddings e JOIN probe USING (label), qv
          |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
@@ -384,21 +415,9 @@ object VectorQueries {
     // DuckDB oracle (bounds re-derived in SQL, the same left-fold
     // score, the q91 rerank tail).
     QueryDef.sql("q137_ann_sq8",
-      s"""WITH x AS (SELECT unnest(generate_series(1, 64)) AS dim,
-         |            unnest(embedding) AS v FROM embeddings),
-         |mm AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY 1),
-         |b AS (SELECT list(mn ORDER BY dim) AS mnA, list(mx ORDER BY dim) AS mxA FROM mm),
+      s"""WITH $sq8BoundsCtes,
          |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |sc AS (SELECT e.vec_id,
-         |         round(list_reduce(list_transform(generate_series(1, 64), i ->
-         |           CAST(qv.qe[i] AS DOUBLE) * (CAST(b.mnA[i] AS DOUBLE) +
-         |             (CASE WHEN b.mxA[i] > b.mnA[i]
-         |                THEN least(255.0, greatest(0.0, floor((CAST(e.embedding[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) * 255.0
-         |                       / (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)))))
-         |                ELSE 0.0 END + 0.5) *
-         |             (CASE WHEN b.mxA[i] > b.mnA[i]
-         |                THEN (CAST(b.mxA[i] AS DOUBLE) - CAST(b.mnA[i] AS DOUBLE)) / 255.0
-         |                ELSE 0.0 END))), (x, y) -> x + y), 9) AS sq_score
+         |sc AS (SELECT e.vec_id, $sq8ScoreExprSql AS sq_score
          |       FROM embeddings e CROSS JOIN b CROSS JOIN qv),
          |short AS (SELECT vec_id FROM sc ORDER BY sq_score DESC, vec_id LIMIT 100)
          |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
@@ -566,6 +585,90 @@ object VectorQueries {
           emb.filter(col("vec_id") % 10 =!= 0),
           emb.filter(col("vec_id") % 10 === 0), threshold = 0.4)
         .orderBy("vec_id")
+    },
+
+    // ---- q144: PERSISTED vector index, searched THROUGH storage — the
+    // IVF + SQ8 artifacts (cell-partitioned vectors+codes, centroids
+    // table, bounds table) written to the warehouse, then the query
+    // answered from the STORED layout: probe 3 cells from stored
+    // centroids → static partition filter lists only those directories
+    // (PartitionFilters, spec-gated in SimilaritySpec) → ADC over stored
+    // CODES only (column pruning drops the floats) → exact rerank. At
+    // 100 TB you search a stored index, not a re-encoded scan; this gate
+    // proves the artifacts survive the layout round trip. The oracle
+    // composes the q47 probe (cells = label) with the q137 SQ8 scoring
+    // restricted to probed cells, bounds trained on the full corpus as
+    // at write time.
+    QueryDef.sql("q144_stored_vector_index",
+      s"""WITH ${labelIvfCtes(3)},
+         |$sq8BoundsCtes,
+         |sub AS (SELECT e.vec_id, e.embedding
+         |        FROM embeddings e JOIN probe USING (label)),
+         |sc AS (SELECT e.vec_id, $sq8ScoreExprSql AS sq_score
+         |       FROM sub e CROSS JOIN b CROSS JOIN qv),
+         |short AS (SELECT vec_id FROM sc ORDER BY sq_score DESC, vec_id LIMIT 100)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "qv.qe")} AS cosine
+         |FROM sub e JOIN short USING (vec_id), qv
+         |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorIndex.write(emb, "label", "graft_wh.vecidx")
+      val queryVec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+      VectorIndex.search(s, "graft_wh.vecidx", queryVec,
+        k = 20, nProbe = 3, rerank = 100)
+    },
+
+    // ---- q145: INCREMENTAL ingest into the frozen stored index — the
+    // vector twin of q139's frozen-LSH text ingest: the index is built
+    // on the resident 80% split, then the arriving 20% is assigned to
+    // its nearest FROZEN centroid (the kmeansCells assignment kernel:
+    // codegen'd left-fold double dot over driver-literal centroids,
+    // argmax dot/|c| ≡ argmax cosine since |e| is constant per row, ties
+    // to the highest cell — arriving data has no label), encoded with
+    // the FROZEN bounds (out-of-range values clamp on both ends), and
+    // APPENDED into the existing cell directories — no rebuild, resident
+    // rows untouched. The gate reads the post-ingest table back and
+    // emits per-cell resident/ingested counts; the oracle re-derives
+    // the frozen centroids from the base split and replays the argmax
+    // assignment in SQL.
+    QueryDef.sql("q145_vector_index_ingest",
+      s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 < 8),
+         |inc AS (SELECT * FROM embeddings WHERE vec_id % 10 >= 8),
+         |x AS (
+         |  SELECT label, unnest(generate_series(1, 64)) AS dim,
+         |    unnest(list_transform(embedding,
+         |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
+         |  FROM base),
+         |cm AS (SELECT label, dim,
+         |         CAST(CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+         |       FROM x GROUP BY 1, 2),
+         |cent AS (SELECT label AS cell, list(m ORDER BY dim) AS centroid
+         |         FROM cm GROUP BY 1),
+         |asg AS (SELECT vec_id, cell FROM (
+         |  SELECT i.vec_id, c.cell,
+         |    ROW_NUMBER() OVER (PARTITION BY i.vec_id
+         |      ORDER BY ${ddotSql("i.embedding", "c.centroid")} /
+         |        sqrt(${ddotSql("c.centroid", "c.centroid")}) DESC,
+         |        c.cell DESC) AS rn
+         |  FROM inc i CROSS JOIN cent c) WHERE rn = 1),
+         |bc AS (SELECT CAST(label AS INTEGER) AS cell, COUNT(*) AS n_base
+         |       FROM base GROUP BY 1),
+         |ic AS (SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_ingested
+         |       FROM asg GROUP BY 1)
+         |SELECT COALESCE(bc.cell, ic.cell) AS cell,
+         |  COALESCE(n_base, 0) AS n_base,
+         |  COALESCE(n_ingested, 0) AS n_ingested
+         |FROM bc FULL JOIN ic USING (cell) ORDER BY cell""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      VectorIndex.write(emb.filter(col("vec_id") % 10 < 8),
+        "label", "graft_wh.vecidx_inc")
+      VectorIndex.ingest(emb.filter(col("vec_id") % 10 >= 8),
+        "graft_wh.vecidx_inc")
+      s.table("graft_wh.vecidx_inc_vectors")
+        .groupBy(col("cell"))
+        .agg(count(when(col("vec_id") % 10 < 8, 1)).as("n_base"),
+          count(when(col("vec_id") % 10 >= 8, 1)).as("n_ingested"))
+        .orderBy("cell")
     }
   )
 }

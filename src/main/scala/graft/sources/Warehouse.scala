@@ -50,7 +50,15 @@ object Warehouse {
     * partition pruning on the date key. */
   def overwritePartitioned(df: DataFrame, table: String, partitionCol: String): Unit = {
     clearTable(df, table)
-    df.write.mode("overwrite").format("parquet")
+    // one shuffle by the partition key first: without it every write task
+    // emits a file per partition VALUE it happens to hold (tasks ×
+    // partitions tiny files — the classic small-files explosion at
+    // warehouse scale); with it each partition directory gets one
+    // task's worth of files. A heavily skewed partition value would
+    // concentrate in one task — callers with such keys should salt the
+    // repartition; the date/cell keys used here are balanced.
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").format("parquet")
       .partitionBy(partitionCol)
       .saveAsTable(table)
   }
@@ -85,6 +93,16 @@ object Warehouse {
       .sortWithinPartitions(zCol)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Append into an EXISTING managed table (partitioned or not): columns
+    * are aligned by NAME against the table's schema order first (insertInto
+    * is positional, and partitioned tables keep their partition columns
+    * last), so new rows land in the right partition directories without a
+    * rebuild — the incremental-ingest write path. */
+  def appendToTable(df: DataFrame, table: String): Unit = {
+    val cols = df.sparkSession.table(table).columns
+    df.select(cols.map(df(_)): _*).write.mode("append").insertInto(table)
   }
 
   /** S11: idempotent insert — keep existing rows, append only incoming rows

@@ -254,4 +254,91 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ps.sliding(2).forall { case Seq(a, b) =>
       b.pqK >= a.pqK && b.rerank >= a.rerank && b.ivfCells >= a.ivfCells })
   }
+
+  test("VectorIndex: stored search == live SQ8 chain; probe scan prunes " +
+      "partitions and reads codes only") {
+    import graft.llm.VectorIndex
+    graft.sources.Warehouse.ensureDatabase(spark, "graft_test")
+    val emb = Tables.embeddings(spark, sf)
+    VectorIndex.write(emb, "label", "graft_test.vidx")
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val cells = VectorIndex.probeCells(spark, "graft_test.vidx", queryVec, 3)
+    assert(cells.length == 3 && cells.distinct.length == 3)
+    // parity: the stored-layout search equals the live chain restricted to
+    // the same probed cells with the same full-corpus bounds
+    val bounds = Similarity.sq8Bounds(emb)
+    val probedEmb = emb.filter($"label".isin(cells.map(Integer.valueOf): _*))
+    val live = Similarity.sq8Search(probedEmb,
+        Similarity.sq8Encode(probedEmb, bounds), bounds, queryVec,
+        k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val stored = VectorIndex.search(spark, "graft_test.vidx", queryVec,
+        k = 10, nProbe = 3, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == live)
+    // plan shape of the ADC stage: the cell filter is a STATIC partition
+    // filter (only probed directories are listed) and column pruning
+    // drops the float vectors — the scan reads 1 B/dim codes
+    val plan = VectorIndex.adcScan(spark, "graft_test.vidx", queryVec,
+      cells, bounds).queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(plan).nonEmpty,
+      plan.take(800))
+    val readSchema = raw"ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("embedding"), readSchema)
+  }
+
+  test("VectorIndex.ingest: frozen-centroid assignment appends without " +
+      "touching residents; frozen bounds clamp out-of-range batches") {
+    import graft.llm.VectorIndex
+    graft.sources.Warehouse.ensureDatabase(spark, "graft_test")
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 10 < 8)
+    val incoming = emb.filter($"vec_id" % 10 >= 8)
+      // one synthetic vector far outside the frozen per-dim bounds: the
+      // both-end clamp must keep its codes valid bytes
+      .unionByName(spark.range(1).select(
+        lit(900000L).as("vec_id"),
+        array((0 until 64).map(i => lit(if (i % 2 == 0) 99f else -99f)): _*)
+          .as("embedding"),
+        lit(0).as("label")))
+    VectorIndex.write(base, "label", "graft_test.vidx_inc")
+    val beforeCodes = spark.table("graft_test.vidx_inc_vectors")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    VectorIndex.ingest(incoming, "graft_test.vidx_inc")
+    val after = spark.table("graft_test.vidx_inc_vectors")
+    // residents unchanged, every ingested id present exactly once
+    val afterRows = after.select("vec_id", "codes", "cell").collect()
+    val afterMap = afterRows.map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(beforeCodes.forall { case (id, c) => afterMap(id) == c })
+    assert(afterRows.length == beforeCodes.size + incoming.count())
+    // codes stay bytes even where the batch exceeds the frozen bounds
+    assert(afterRows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c <= 255)))
+    val outlier = afterRows.filter(_.getLong(0) == 900000L)
+    assert(outlier.length == 1)
+    // assignment parity vs an independently computed argmax over the
+    // STORED centroids: the kmeansCells kernel math replayed driver-side
+    // (left-fold double dot, Scala-sum centroid norm, ties to the
+    // HIGHEST cell)
+    val cents = spark.table("graft_test.vidx_inc_centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    def score(vec: Array[Float], c: Array[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) { s += vec(i).toDouble * c(i).toDouble; i += 1 }
+      s / math.sqrt(c.map(v => v.toDouble * v).sum)
+    }
+    val incRows = incoming.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val assignedCells = afterRows
+      .filter(r => incRows.contains(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    incRows.foreach { case (id, vec) =>
+      val want = cents.toSeq
+        .map { case (cell, c) => (cell, score(vec, c)) }
+        .sortBy { case (cell, s) => (-s, -cell) }.head._1
+      assert(assignedCells(id) == want, s"vec $id")
+    }
+  }
 }

@@ -515,4 +515,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.toSet == Set(11L, 13L))  // dups dropped, novels kept
     } finally q.stop()
   }
+
+  test("VectorIndex.ingest drains a vector stream via foreachBatch, matching one-shot") {
+    // the q139 deployment shape on the VECTOR side: the stored index is
+    // frozen once; each micro-batch runs the SAME ingest (frozen-centroid
+    // assignment + frozen-bounds encode + partition append) unchanged —
+    // after any micro-batching, the stored table equals the one-shot ingest
+    import graft.llm.VectorIndex
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.Warehouse.ensureDatabase(spark, "graft_test")
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter($"vec_id" % 10 < 8)
+    val incoming = emb.filter($"vec_id" % 10 >= 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    VectorIndex.write(base, "label", "graft_test.vidx_stream")
+    VectorIndex.write(base, "label", "graft_test.vidx_oneshot")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        VectorIndex.ingest(b.toDF(), "graft_test.vidx_stream")
+        ()
+      }.start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      VectorIndex.ingest(
+        incoming.toSeq.toDF("vec_id", "embedding"), "graft_test.vidx_oneshot")
+      def snap(t: String) = spark.table(t)
+        .select("vec_id", "codes", "cell").orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSeq
+      val streamed = snap("graft_test.vidx_stream_vectors")
+      val oneshot = snap("graft_test.vidx_oneshot_vectors")
+      assert(streamed == oneshot && streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
