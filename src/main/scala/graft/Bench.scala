@@ -57,7 +57,10 @@ object Bench {
     "q142_shard_manifest",   // order-independent shard signatures (one agg)
     "q143_semantic_contamination", // broadcast-eval semantic decon report
     "q144_stored_vector_index", // persisted IVF+SQ8 index, pruned-read search
-    "q145_vector_index_ingest"  // frozen-centroid incremental vector ingest
+    "q145_vector_index_ingest", // frozen-centroid incremental vector ingest
+    "q146_schema_evolution",    // mergeSchema read over v1+v2 parquet batches
+    "q147_compaction_roundtrip", // 64-file fragmentation -> 4-file compaction
+    "q148_incremental_rollup"   // mergeable-state rollup refresh (IVM)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -101,7 +104,11 @@ object Bench {
     // persisted-index rows measured r10 (min-of-3, clean window: canaries
     // 0.342/0.234/0.201/0.206); cost is the write+read round trip itself
     // — ~8 small jobs over the warehouse tables, not data volume
-    "q144_stored_vector_index" -> 1.99, "q145_vector_index_ingest" -> 2.45)
+    "q144_stored_vector_index" -> 1.99, "q145_vector_index_ingest" -> 2.45,
+    // warehouse-lifecycle rows measured r10 (min-of-3, clean window:
+    // canaries 0.426/0.325/0.253/0.216)
+    "q146_schema_evolution" -> 0.73, "q147_compaction_roundtrip" -> 0.94,
+    "q148_incremental_rollup" -> 0.25)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

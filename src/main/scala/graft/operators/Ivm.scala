@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental view maintenance for ALGEBRAIC aggregates: a rollup is kept
+  * as a mergeable STATE table (count + exact decimal sums + min/max), and a
+  * new data slice refreshes it by aggregating ONLY the delta and merging —
+  * at 100 TB the daily refresh touches one day's partition, never the
+  * multi-year fact history. The invariant the q148 oracle pins:
+  * merge(state(A), state(B)) == state(A ∪ B), EXACTLY — counts and decimal
+  * sums are associative (order-independent, unlike double sums — the
+  * [[Aggregates]] rationale), and min/max are idempotent semilattice ops.
+  *
+  * State columns per group: `cnt`, `sum_<col>` DECIMAL(18,2) (kept as
+  * DECIMAL — the merge must re-sum them exactly; the double cast happens
+  * only in [[finalizeState]]), `min_<col>` / `max_<col>`.
+  */
+object Ivm {
+
+  private def dec(c: Column) = c.cast(DecimalType(18, 2))
+
+  /** Aggregate a slice into its mergeable state. */
+  def rollupState(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = (count(lit(1)).as("cnt") +:
+      sumCols.map(c => sum(dec(col(c))).as(s"sum_$c"))) ++
+      minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      maxCols.map(c => max(col(c)).as(s"max_$c"))
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge state tables (any number, any overlap of groups): SUM of counts
+    * and decimal sums, MIN of mins, MAX of maxs. One shuffle over rows
+    * bounded by (groups × slices), not by the data. */
+  def mergeStates(states: Seq[DataFrame], keys: Seq[String], sumCols: Seq[String],
+                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+    require(states.nonEmpty, "mergeStates needs at least one state table")
+    val aggs = (sum(col("cnt")).as("cnt") +:
+      sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
+      minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
+      maxCols.map(c => max(col(s"max_$c")).as(s"max_$c"))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read-time finalize: decimal sums cast to DOUBLE, derived means
+    * (exact decimal sum / count — the [[Aggregates.davg]] seam DuckDB
+    * reproduces bit-for-bit). */
+  def finalizeState(state: DataFrame, keys: Seq[String], sumCols: Seq[String],
+                    minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                    avgCols: Seq[String] = Nil): DataFrame = {
+    val cols = keys.map(col) ++ Seq(col("cnt")) ++
+      sumCols.map(c => col(s"sum_$c").cast("double").as(s"sum_$c")) ++
+      minCols.map(c => col(s"min_$c")) ++
+      maxCols.map(c => col(s"max_$c")) ++
+      avgCols.map(c => (col(s"sum_$c").cast("double") / col("cnt")).as(s"avg_$c"))
+    state.select(cols: _*)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.llm.Multimodal
-import graft.operators.{Baskets, Cleaning}
+import graft.operators.{Baskets, Cleaning, Ivm}
 import graft.operators.Aggregates._
 import graft.sources.{Competitor, Csv, Generator, Sampling, Warehouse}
 import org.apache.spark.sql.functions._
@@ -643,6 +643,90 @@ object SourceQueries {
       val meta = Multimodal.decodeBatched(payloads).toDF()
       Multimodal.sampleFrames(meta, everyK = 5)
         .select(col("id"), col("frame_idx").cast("long"))
+    },
+
+    // ---- q146: SCHEMA EVOLUTION round-trip — a v1 batch written before
+    // `o_orderpriority` existed, a v2 batch written after, one
+    // mergeSchema read unions them with NULL backfill for the v1 rows
+    // (the parquet-level Delta/Iceberg evolution move: producers add
+    // columns without rewriting history — at 100 TB the rewrite is the
+    // thing being avoided). The oracle replays the NULL-backfilled union
+    // straight from `orders`; the NULL priority group carries exactly
+    // the v1 batch.
+    QueryDef.sql("q146_schema_evolution",
+      s"""WITH v1 AS (SELECT o_orderkey, o_totalprice,
+         |              CAST(NULL AS VARCHAR) AS o_orderpriority
+         |            FROM orders WHERE o_orderkey % 2 = 0),
+         |v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+         |       FROM orders WHERE o_orderkey % 2 = 1),
+         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         |SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM u GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = scratch("evolved_orders")
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(p)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(p)
+      Warehouse.readEvolved(s, p)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q147: small-file COMPACTION — the events table deliberately
+    // fragmented into 64 files, compacted to 4 by one round-robin
+    // rewrite (Warehouse.compactPath), then aggregated THROUGH the
+    // compacted copy. The oracle aggregates the raw table: a green row
+    // proves compaction is content-preserving; SourcesSpec pins the
+    // file counts themselves (64 → ≤4). The maintenance pass every
+    // incremental-append warehouse needs — scan cost at 100 TB is
+    // file listing + per-file open once files ≪ row groups.
+    QueryDef.sql("q147_compaction_roundtrip",
+      s"""SELECT event_type, COUNT(*) AS events,
+         |  COUNT(DISTINCT user_id) AS users,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val frag = scratch("events_fragmented")
+      val comp = scratch("events_compacted")
+      Tables.events(s, dir).select("event_id", "user_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      Warehouse.compactPath(s, frag, comp, nFiles = 4)
+      s.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("user_id")).as("users"),
+          dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q148: INCREMENTAL rollup maintenance — the priority rollup
+    // kept as a mergeable state table (count + DECIMAL sums + min/max),
+    // refreshed by aggregating ONLY the post-cutoff delta and merging
+    // (Ivm.mergeStates). The oracle recomputes the rollup from the FULL
+    // table: a green row proves merge(state(old), state(delta)) ==
+    // state(all) EXACTLY — decimal sums are associative, min/max are
+    // semilattice ops — so the daily refresh never rescans history.
+    QueryDef.sql("q148_incremental_rollup",
+      s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  ${dsumSql("o_totalprice")} AS sum_o_totalprice,
+         |  MIN(o_orderdate) AS min_o_orderdate,
+         |  MAX(o_orderdate) AS max_o_orderdate,
+         |  ${dsumSql("o_totalprice")} / COUNT(*) AS avg_o_totalprice
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val keys = Seq("o_orderpriority")
+      val sums = Seq("o_totalprice")
+      val mins = Seq("o_orderdate")
+      val maxs = Seq("o_orderdate")
+      val prev = Ivm.rollupState(o.filter(col("o_orderdate") < cut),
+        keys, sums, mins, maxs)
+      val delta = Ivm.rollupState(o.filter(col("o_orderdate") >= cut),
+        keys, sums, mins, maxs)
+      Ivm.finalizeState(Ivm.mergeStates(Seq(prev, delta), keys, sums, mins, maxs),
+        keys, sums, mins, maxs, avgCols = Seq("o_totalprice"))
     }
   )
 }

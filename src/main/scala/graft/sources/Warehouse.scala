@@ -105,6 +105,29 @@ object Warehouse {
     df.select(cols.map(df(_)): _*).write.mode("append").insertInto(table)
   }
 
+  /** Schema-evolution read: union all parquet batches under `path`,
+    * merging their footers — a batch written before a column existed
+    * contributes NULL for it, so producers can add columns without
+    * rewriting history (the parquet-level equivalent of Delta/Iceberg
+    * schema evolution; at 100 TB a backfill rewrite of the old batches
+    * is exactly what this avoids). mergeSchema is opt-in because footer
+    * merging lists every file's schema — pay it on evolved tables only. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into `nFiles`
+    * files (round-robin repartition — size-balanced without a key). The
+    * maintenance pass every long-lived warehouse needs: streaming/
+    * incremental appends accumulate tiny files, and scan cost at 100 TB
+    * is dominated by file listing + per-file open once files ≪ row
+    * groups. Content-preserving by construction (one wide shuffle, no
+    * dedup/ordering semantics) — the q147 oracle pins it. */
+  def compactPath(spark: SparkSession, inPath: String, outPath: String,
+                  nFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating

@@ -376,4 +376,41 @@ class OperatorsSpec extends SparkSpecBase {
     assert(plan.toLowerCase.contains("partial_topkagg"),
       "map-side partial aggregation missing:\n" + plan.take(800))
   }
+
+  test("Ivm: merge of any slicing equals the full recompute, bit-exactly") {
+    import graft.operators.Ivm
+    val o = Tables.orders(spark, sf)
+    val keys = Seq("o_orderpriority")
+    val sums = Seq("o_totalprice")
+    val mins = Seq("o_orderdate")
+    val maxs = Seq("o_orderdate")
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      Ivm.finalizeState(st, keys, sums, mins, maxs, avgCols = Seq("o_totalprice"))
+        .orderBy("o_orderpriority").collect().toSeq
+    val full = fin(Ivm.rollupState(o, keys, sums, mins, maxs))
+    // two-way slice by date (the q148 refresh), three-way by key hash,
+    // and a slicing with an EMPTY slice — merge must equal recompute in
+    // every case because counts/decimal sums are associative and
+    // min/max are semilattice ops
+    val byDate = Seq(
+      o.filter($"o_orderdate" < "1997-01-01"),
+      o.filter($"o_orderdate" >= "1997-01-01"))
+    val byHash = (0 until 3).map(i => o.filter(abs(hash($"o_orderkey")) % 3 === i))
+    val withEmpty = Seq(o, o.filter(lit(false)))
+    for ((slices, tag) <- Seq((byDate, "date"), (byHash, "hash"), (withEmpty, "empty"))) {
+      val merged = fin(Ivm.mergeStates(
+        slices.map(s => Ivm.rollupState(s, keys, sums, mins, maxs)),
+        keys, sums, mins, maxs))
+      assert(merged == full, s"slicing=$tag")
+    }
+    // a group born entirely in the delta (absent from prev) survives the merge
+    val pri = o.select("o_orderpriority").distinct().limit(1).head.getString(0)
+    val without = o.filter($"o_orderpriority" =!= pri)
+    val only = o.filter($"o_orderpriority" === pri)
+    val merged2 = fin(Ivm.mergeStates(
+      Seq(Ivm.rollupState(without, keys, sums, mins, maxs),
+        Ivm.rollupState(only, keys, sums, mins, maxs)),
+      keys, sums, mins, maxs))
+    assert(merged2 == full)
+  }
 }

@@ -322,4 +322,45 @@ class SourcesSpec extends SparkSpecBase {
       ZOrder2($"p_size".cast("int"), floor($"p_retailprice").cast("int")) =!= $"z")
     assert(rederived.count() == 0)
   }
+
+  test("compactPath: 64 fragments become <= 4 files with identical content") {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-test/compact_${System.nanoTime}"
+    val src = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    src.repartition(64).write.parquet(s"$tmp/frag")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$tmp/frag") == 64)
+    Warehouse.compactPath(spark, s"$tmp/frag", s"$tmp/comp", nFiles = 4)
+    assert(files(s"$tmp/comp") <= 4)
+    // content-preserving, multiset-exact: symmetric difference is empty
+    // and row counts match (exceptAll is multiset-aware)
+    val back = spark.read.parquet(s"$tmp/comp")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
+  test("readEvolved: a pre-evolution batch backfills NULL for the added column") {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-test/evolve_${System.nanoTime}"
+    val o = Tables.orders(spark, sf)
+    o.filter($"o_orderkey" % 2 === 0).select("o_orderkey", "o_totalprice")
+      .write.parquet(tmp)
+    o.filter($"o_orderkey" % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(tmp)
+    val merged = Warehouse.readEvolved(spark, tmp)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority"))
+    assert(merged.count() == o.count())
+    // exactly the v1 rows are NULL in the evolved column — and only them
+    val nulls = merged.filter($"o_orderpriority".isNull)
+    assert(nulls.count() == o.filter($"o_orderkey" % 2 === 0).count())
+    assert(nulls.filter($"o_orderkey" % 2 =!= 0).count() == 0)
+    // a non-merge read of the same dir would drop or misalign the column;
+    // the evolved read preserves every value for the v2 rows
+    val v2vals = merged.filter($"o_orderkey" % 2 === 1)
+      .select("o_orderkey", "o_orderpriority")
+    val expect = o.filter($"o_orderkey" % 2 === 1)
+      .select("o_orderkey", "o_orderpriority")
+    assert(v2vals.exceptAll(expect).count() == 0)
+  }
 }
