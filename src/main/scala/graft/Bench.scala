@@ -60,7 +60,8 @@ object Bench {
     "q145_vector_index_ingest", // frozen-centroid incremental vector ingest
     "q146_schema_evolution",    // mergeSchema read over v1+v2 parquet batches
     "q147_compaction_roundtrip", // 64-file fragmentation -> 4-file compaction
-    "q148_incremental_rollup"   // mergeable-state rollup refresh (IVM)
+    "q148_incremental_rollup",  // mergeable-state rollup refresh (IVM)
+    "q149_c4_line_filters"      // C4 line/page rules inside one array HOF
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -108,7 +109,7 @@ object Bench {
     // warehouse-lifecycle rows measured r10 (min-of-3, clean window:
     // canaries 0.426/0.325/0.253/0.216)
     "q146_schema_evolution" -> 0.73, "q147_compaction_roundtrip" -> 0.94,
-    "q148_incremental_rollup" -> 0.25)
+    "q148_incremental_rollup" -> 0.25, "q149_c4_line_filters" -> 0.26)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

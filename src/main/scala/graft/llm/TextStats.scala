@@ -164,6 +164,44 @@ object TextStats {
         col("r_repetition"), col("kept"))
   }
 
+  /** C4's line- and page-level cleaning rules (Raffel et al. 2020 §2.2 —
+    * the published pipeline behind the C4 corpus), Spark-first: the line
+    * rules run INSIDE one codegen'd array `filter` HOF over
+    * `split(text, '\n')` — no explode, no shuffle, no per-line rows; the
+    * page rules are plain column predicates. Per line (on its trimmed
+    * form): must end in terminal punctuation (`. ! ? "`), must have ≥
+    * `minWordsPerLine` whitespace words, must not contain "javascript"
+    * (case-insensitive). Per page: drop if it mentions "lorem ipsum"
+    * (case-insensitive), contains `{`, or keeps fewer than
+    * `minLinesPerDoc` lines. Emits per doc: line counts, each page
+    * verdict, `kept`, and the REBUILT text (kept lines re-joined) for
+    * surviving pages — the artifact downstream stages consume. Every
+    * rule is deterministic string logic, so the q149 oracle replays the
+    * whole thing in SQL (`list_filter` + regexes). */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minWordsPerLine: Int = 3, minLinesPerDoc: Int = 1): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWordsPerLine &&
+        !lower(t).contains("javascript")
+    })
+    docs.select(
+        col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(keep).cast("long").as("n_lines_kept"),
+        (!lower(col(textCol)).contains("lorem ipsum")).as("r_no_lorem"),
+        (!col(textCol).contains("{")).as("r_no_brace"),
+        array_join(keep, "\n").as("__clean"))
+      .withColumn("r_min_lines", col("n_lines_kept") >= minLinesPerDoc)
+      .withColumn("kept",
+        col("r_no_lorem") && col("r_no_brace") && col("r_min_lines"))
+      .withColumn("clean_text",
+        when(col("kept"), col("__clean")))
+      .drop("__clean")
+  }
+
   /** Stopword-profile language ID: count profile hits per language, take the
     * argmax in fixed priority order (ties → earlier profile). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1280,6 +1280,64 @@ object TextQueries {
           Cms.estimate(col("sk"), col("term")).as("cms_freq"))
         .withColumn("overcount", col("cms_freq") - col("exact_freq"))
         .orderBy("term")
+    },
+
+    // ---- q149: C4's line/page cleaning rules (Raffel 2020 §2.2 — the
+    // published pipeline behind the C4 corpus). The synthetic documents
+    // carry no newlines/braces/boilerplate, so the page is SYNTHESIZED
+    // deterministically from (doc_id, text) in BOTH engines (the q135
+    // fixture-synthesis pattern): a well-formed first line, a too-short
+    // line, a javascript line on doc_id%7, an unterminated line on %5,
+    // a lorem-ipsum page on %13, a brace page on %11 — every rule
+    // discriminates. The line rules run inside ONE codegen'd array
+    // filter HOF (no explode, no shuffle — at 100 TB the line filter is
+    // a projection, not a per-line row explosion); the oracle replays
+    // page synthesis + list_filter + the rebuilt text byte-for-byte.
+    QueryDef.sql("q149_c4_line_filters",
+      """WITH p AS (SELECT doc_id,
+        |  substr(text, 1, 60) || ' end of line.' || chr(10) ||
+        |  'too short' || chr(10) ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to view this page.'
+        |       ELSE 'this is a second well formed line.' END || chr(10) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN 'this line has no terminal punctuation'
+        |       ELSE 'does this line end with a question mark?' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function() { return 1; }' ELSE '' END
+        |  AS page FROM documents),
+        |f AS (SELECT doc_id, page,
+        |  string_split(page, chr(10)) AS ls,
+        |  list_filter(string_split(page, chr(10)), l ->
+        |    regexp_matches(trim(l), '[.!?"]$')
+        |    AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND NOT contains(lower(trim(l)), 'javascript')) AS ks
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  NOT contains(lower(page), 'lorem ipsum') AS r_no_lorem,
+        |  NOT contains(page, '{') AS r_no_brace,
+        |  len(ks) >= 1 AS r_min_lines,
+        |  (NOT contains(lower(page), 'lorem ipsum')) AND (NOT contains(page, '{'))
+        |    AND len(ks) >= 1 AS kept,
+        |  CASE WHEN (NOT contains(lower(page), 'lorem ipsum'))
+        |         AND (NOT contains(page, '{')) AND len(ks) >= 1
+        |       THEN array_to_string(ks, chr(10)) END AS clean_text
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val page = concat(
+        substring(col("text"), 1, 60), lit(" end of line.\ntoo short\n"),
+        when(col("doc_id") % 7 === 0, lit("please enable javascript to view this page."))
+          .otherwise(lit("this is a second well formed line.")),
+        lit("\n"),
+        when(col("doc_id") % 5 === 0, lit("this line has no terminal punctuation"))
+          .otherwise(lit("does this line end with a question mark?")),
+        when(col("doc_id") % 13 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nfunction() { return 1; }"))
+          .otherwise(lit("")))
+      TextStats.c4LineFilter(
+          Tables.documents(s, dir).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

@@ -742,4 +742,36 @@ class TextPipelineSpec extends SparkSpecBase {
       Chunking.chunkByTokens(docs, "doc_id", "text", size = 4, stride = 5)
     }
   }
+
+  test("c4LineFilter: every published rule fires on a crafted page") {
+    val docs = Seq(
+      // line rules: keep 1 & 5; drop 2 (short), 3 (no punctuation),
+      // 4 (javascript, case-insensitive)
+      1L -> ("good line number one.\nshort no.\nthis has no punctuation\n" +
+        "JAVASCRIPT is required here.\nfinal good line stays here!"),
+      2L -> "lorem ipsum dolor sit amet.\nperfectly good line here.", // page drop
+      3L -> "var x = function() { return 1; }\nok line with some words.", // brace
+      4L -> "no terminal punctuation at all\nxy z.", // zero kept lines
+      5L -> "the sign read \"closed\"" // closing-quote terminal is valid
+    ).toDF("doc_id", "text")
+    val out = TextStats.c4LineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("kept"))
+    assert(out(0).getAs[Long]("n_lines") == 5 &&
+      out(0).getAs[Long]("n_lines_kept") == 2)
+    assert(out(0).getAs[String]("clean_text") ==
+      "good line number one.\nfinal good line stays here!")
+    assert(!out(1).getAs[Boolean]("kept") && !out(1).getAs[Boolean]("r_no_lorem"))
+    assert(!out(2).getAs[Boolean]("kept") && !out(2).getAs[Boolean]("r_no_brace"))
+    assert(!out(3).getAs[Boolean]("kept") && !out(3).getAs[Boolean]("r_min_lines"))
+    assert(out(3).getAs[Long]("n_lines_kept") == 0) // "xy z." has 2 words only
+    assert(out(3).isNullAt(out(3).fieldIndex("clean_text"))) // dropped pages carry no text
+    assert(out(4).getAs[Boolean]("kept") &&
+      out(4).getAs[Long]("n_lines_kept") == 1)
+    // the filter is a pure projection: no exchange in the plan (the line
+    // rules must stay inside the array HOF, not explode into rows)
+    val plan = TextStats.c4LineFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan.take(500))
+  }
 }
