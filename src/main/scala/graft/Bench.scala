@@ -61,7 +61,8 @@ object Bench {
     "q146_schema_evolution",    // mergeSchema read over v1+v2 parquet batches
     "q147_compaction_roundtrip", // 64-file fragmentation -> 4-file compaction
     "q148_incremental_rollup",  // mergeable-state rollup refresh (IVM)
-    "q149_c4_line_filters"      // C4 line/page rules inside one array HOF
+    "q149_c4_line_filters",     // C4 line/page rules inside one array HOF
+    "q150_rollup_rewrite"       // materialized-rollup Catalyst rewrite rule
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -109,7 +110,8 @@ object Bench {
     // warehouse-lifecycle rows measured r10 (min-of-3, clean window:
     // canaries 0.426/0.325/0.253/0.216)
     "q146_schema_evolution" -> 0.73, "q147_compaction_roundtrip" -> 0.94,
-    "q148_incremental_rollup" -> 0.25, "q149_c4_line_filters" -> 0.26)
+    "q148_incremental_rollup" -> 0.25, "q149_c4_line_filters" -> 0.26,
+    "q150_rollup_rewrite" -> 0.89)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,5 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("zorder2"),
       info("zorder2", "_FUNC_(x, y) - 32-bit Morton interleave of two ints' low 16 bits"),
       arity("zorder2", 2)(args => ZOrder2(args(0), args(1)))))
+
+    // materialized-rollup query rewrite (no-op until a summary is
+    // registered via RollupRewrite.register; idempotent, so safe inside
+    // the fixed-point operator-optimization batch)
+    ext.injectOptimizerRule(session => RollupRewriteRule(session))
   }
 }

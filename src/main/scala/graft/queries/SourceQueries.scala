@@ -727,6 +727,44 @@ object SourceQueries {
         keys, sums, mins, maxs)
       Ivm.finalizeState(Ivm.mergeStates(Seq(prev, delta), keys, sums, mins, maxs),
         keys, sums, mins, maxs, avgCols = Seq("o_totalprice"))
+    },
+
+    // ---- q150: MATERIALIZED-ROLLUP QUERY REWRITE — the Catalyst
+    // optimizer rule (plans/RollupRewrite, injected via GraftExtensions):
+    // the q148 mergeable state is written as a summary table and
+    // registered; the query below is then written against the RAW fact
+    // scan, and the rule rewrites it to re-aggregate the summary (rows ∝
+    // groups, not fact history — the 100 TB dashboard path). The oracle
+    // recomputes from the raw table, so the green row proves the
+    // rewritten plan is answer-identical; RollupRewriteSpec pins that
+    // the plan actually reads orders_rollup and that non-derivable
+    // shapes are left untouched.
+    QueryDef.sql("q150_rollup_rewrite",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue,
+         |  MIN(o_orderdate) AS first_order,
+         |  MAX(o_orderdate) AS last_order
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.plans.RollupRewrite
+      val keys = Seq("o_orderpriority", "o_orderstatus")
+      val sums = Seq("o_totalprice")
+      val dates = Seq("o_orderdate")
+      Warehouse.ensureDatabase(s, "graft_wh")
+      // refresh protocol: deregister BEFORE the rebuild — the rebuild
+      // aggregation is itself translatable and must not be rewritten to
+      // read the summary it is replacing (RollupRewrite.unregister doc)
+      RollupRewrite.unregister("graft_wh.orders_rollup")
+      Warehouse.overwriteTable(
+        Ivm.rollupState(Tables.orders(s, dir), keys, sums, dates, dates),
+        "graft_wh.orders_rollup")
+      RollupRewrite.register(s, s"$dir/orders.parquet",
+        "graft_wh.orders_rollup", keys, sums, dates, dates)
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          min(col("o_orderdate")).as("first_order"),
+          max(col("o_orderdate")).as("last_order"))
     }
   )
 }
