@@ -62,7 +62,8 @@ object Bench {
     "q147_compaction_roundtrip", // 64-file fragmentation -> 4-file compaction
     "q148_incremental_rollup",  // mergeable-state rollup refresh (IVM)
     "q149_c4_line_filters",     // C4 line/page rules inside one array HOF
-    "q150_rollup_rewrite"       // materialized-rollup Catalyst rewrite rule
+    "q150_rollup_rewrite",      // materialized-rollup Catalyst rewrite rule
+    "q151_ann_batch_search"     // batched multi-query ANN via TopK aggregate
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;

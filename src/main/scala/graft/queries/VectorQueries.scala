@@ -669,6 +669,36 @@ object VectorQueries {
         .agg(count(when(col("vec_id") % 10 < 8, 1)).as("n_base"),
           count(when(col("vec_id") % 10 >= 8, 1)).as("n_ingested"))
         .orderBy("cell")
+    },
+
+    // ---- q151: BATCHED multi-query ANN — production search is N queries
+    // per pass, not one: the 8-query batch broadcasts, the corpus scans
+    // ONCE, and per-query top-5 comes from the k-bounded TopK AGGREGATE
+    // (map-side partial per (partition, query) — shuffle volume is
+    // O(queries × k × partitions), independent of corpus rows; no window,
+    // no per-query sort). Exact decimal cosine rounded 9 + vec_id
+    // tie-break keeps ranks engine-independent; the oracle replays with
+    // ROW_NUMBER per query.
+    QueryDef.sql("q151_ann_batch_search",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT q.query_id, e.vec_id,
+         |         ${cosSql("e.embedding", "q.qe")} AS cosine
+         |       FROM embeddings e CROSS JOIN q),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, vec_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import graft.operators.TopK
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = emb.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(VectorFns.cosine(col("embedding"), col("qe")), 9).as("cosine"))
+      TopK.perGroupTopK(scored, Seq("query_id"), "cosine", "vec_id", 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+        .orderBy("query_id", "rank")
     }
   )
 }
