@@ -42,7 +42,11 @@ object PlanAudit {
     // train side; Similarity.semanticContamination documents it as the
     // small side). The shape test can't prove a `vec_id % 10 === 0`
     // filter is small, so allow-listed like the ANN query tables.
-    "q143_semantic_contamination"
+    "q143_semantic_contamination",
+    // batched ANN: the broadcast side is the QUERY BATCH — bounded by the
+    // caller's batch size (8 rows here; thousands at most in production
+    // vs the corpus scan side). Same can't-prove-a-filter-small reason.
+    "q151_ann_batch_search"
   )
 
   def main(args: Array[String]): Unit = {
