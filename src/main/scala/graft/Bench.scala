@@ -112,7 +112,9 @@ object Bench {
     // canaries 0.426/0.325/0.253/0.216)
     "q146_schema_evolution" -> 0.73, "q147_compaction_roundtrip" -> 0.94,
     "q148_incremental_rollup" -> 0.25, "q149_c4_line_filters" -> 0.26,
-    "q150_rollup_rewrite" -> 0.89)
+    "q150_rollup_rewrite" -> 0.89,
+    // post norm-hoist (5.31 -> 2.00 clean min-of-3)
+    "q151_ann_batch_search" -> 2.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
