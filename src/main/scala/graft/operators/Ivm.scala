@@ -21,41 +21,53 @@ object Ivm {
 
   private def dec(c: Column) = c.cast(DecimalType(18, 2))
 
-  /** Aggregate a slice into its mergeable state. */
+  /** Aggregate a slice into its mergeable state. `distinctCols` carry an
+    * [[Hll]] sketch per group (`hll_<col>`, 4 KB binary) — COUNT DISTINCT
+    * is not algebraic, but the register-max sketch is: merged slices are
+    * bit-identical to the one-shot sketch (the Druid/BigQuery
+    * sketches-in-the-MV pattern; q152 gates it). */
   def rollupState(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
-                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
-    val aggs = (count(lit(1)).as("cnt") +:
+                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                  distinctCols: Seq[String] = Nil): DataFrame = {
+    val aggs = ((count(lit(1)).as("cnt") +:
       sumCols.map(c => sum(dec(col(c))).as(s"sum_$c"))) ++
       minCols.map(c => min(col(c)).as(s"min_$c")) ++
-      maxCols.map(c => max(col(c)).as(s"max_$c"))
+      maxCols.map(c => max(col(c)).as(s"max_$c"))) ++
+      distinctCols.map(c => Hll.sketch(col(c)).as(s"hll_$c"))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge state tables (any number, any overlap of groups): SUM of counts
-    * and decimal sums, MIN of mins, MAX of maxs. One shuffle over rows
-    * bounded by (groups × slices), not by the data. */
+    * and decimal sums, MIN of mins, MAX of maxs, register-max UNION of
+    * sketches. One shuffle over rows bounded by (groups × slices), not by
+    * the data. */
   def mergeStates(states: Seq[DataFrame], keys: Seq[String], sumCols: Seq[String],
-                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+                  minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                  distinctCols: Seq[String] = Nil): DataFrame = {
     require(states.nonEmpty, "mergeStates needs at least one state table")
-    val aggs = (sum(col("cnt")).as("cnt") +:
+    val aggs = ((sum(col("cnt")).as("cnt") +:
       sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))) ++
       minCols.map(c => min(col(s"min_$c")).as(s"min_$c")) ++
-      maxCols.map(c => max(col(s"max_$c")).as(s"max_$c"))
+      maxCols.map(c => max(col(s"max_$c")).as(s"max_$c"))) ++
+      distinctCols.map(c => Hll.union(col(s"hll_$c")).as(s"hll_$c"))
     states.reduce(_ unionByName _)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Read-time finalize: decimal sums cast to DOUBLE, derived means
     * (exact decimal sum / count — the [[Aggregates.davg]] seam DuckDB
-    * reproduces bit-for-bit). */
+    * reproduces bit-for-bit), sketch estimates as
+    * `approx_distinct_<col>`. */
   def finalizeState(state: DataFrame, keys: Seq[String], sumCols: Seq[String],
                     minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-                    avgCols: Seq[String] = Nil): DataFrame = {
+                    avgCols: Seq[String] = Nil,
+                    distinctCols: Seq[String] = Nil): DataFrame = {
     val cols = keys.map(col) ++ Seq(col("cnt")) ++
       sumCols.map(c => col(s"sum_$c").cast("double").as(s"sum_$c")) ++
       minCols.map(c => col(s"min_$c")) ++
       maxCols.map(c => col(s"max_$c")) ++
-      avgCols.map(c => (col(s"sum_$c").cast("double") / col("cnt")).as(s"avg_$c"))
+      avgCols.map(c => (col(s"sum_$c").cast("double") / col("cnt")).as(s"avg_$c")) ++
+      distinctCols.map(c => Hll.estimate(col(s"hll_$c")).as(s"approx_distinct_$c"))
     state.select(cols: _*)
   }
 }

@@ -765,6 +765,50 @@ object SourceQueries {
           dsum(col("o_totalprice")).as("revenue"),
           min(col("o_orderdate")).as("first_order"),
           max(col("o_orderdate")).as("last_order"))
+    },
+
+    // ---- q152: SKETCHES IN THE ROLLUP STATE — COUNT DISTINCT is not
+    // algebraic, so the incremental (q148) state carries a register-max
+    // HLL per group instead (the Druid/BigQuery sketches-in-the-MV
+    // pattern): the daily refresh unions 4 KB sketches, never rescans
+    // customer history. The q115a audit idiom: Spark emits the
+    // DuckDB-derivable row (per-priority count + EXACT distinct) only
+    // where (a) the MERGED sketch estimate is BIT-EQUAL to the one-shot
+    // estimate over all rows (classic HLL state is register max only —
+    // slicing cannot change it), (b) the merged state's cnt matches the
+    // exact count, and (c) the estimate is within 5% of exact. A
+    // mergeability or accuracy bug drops a row and fails rows_match.
+    QueryDef.sql("q152_distinct_rollup",
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT o_custkey) AS distinct_customers
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val keys = Seq("o_orderpriority")
+      val dc = Seq("o_custkey")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        Ivm.rollupState(df, keys, Nil, Nil, Nil, distinctCols = dc)
+      val merged = Ivm.mergeStates(
+        Seq(state(o.filter(col("o_orderdate") < cut)),
+          state(o.filter(col("o_orderdate") >= cut))),
+        keys, Nil, Nil, Nil, distinctCols = dc)
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("o_custkey")).as("distinct_customers"))
+      exact
+        .join(Ivm.finalizeState(merged, keys, Nil, Nil, Nil, Nil, dc)
+          .withColumnRenamed("cnt", "m_cnt")
+          .withColumnRenamed("approx_distinct_o_custkey", "m_est"),
+          keys)
+        .join(Ivm.finalizeState(state(o), keys, Nil, Nil, Nil, Nil, dc)
+          .select(col("o_orderpriority"),
+            col("approx_distinct_o_custkey").as("o_est")),
+          keys)
+        .filter(col("m_est") === col("o_est") &&
+          col("m_cnt") === col("cnt") &&
+          abs(col("m_est") - col("distinct_customers")) <=
+            lit(0.05) * col("distinct_customers"))
+        .select(col("o_orderpriority"), col("cnt"), col("distinct_customers"))
     }
   )
 }

@@ -413,4 +413,31 @@ class OperatorsSpec extends SparkSpecBase {
       keys, sums, mins, maxs))
     assert(merged2 == full)
   }
+
+  test("Ivm: HLL distinct state merges bit-identically to one-shot, within 5% of exact") {
+    import graft.operators.Ivm
+    val o = Tables.orders(spark, sf)
+    val keys = Seq("o_orderpriority")
+    val dc = Seq("o_custkey")
+    def est(st: org.apache.spark.sql.DataFrame) =
+      Ivm.finalizeState(st, keys, Nil, Nil, Nil, Nil, dc)
+        .orderBy("o_orderpriority").collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("approx_distinct_o_custkey")).toSeq
+    val oneShot = est(Ivm.rollupState(o, keys, Nil, Nil, Nil, dc))
+    // three different slicings all merge to the SAME registers (classic
+    // HLL state is register max only — slicing cannot change it)
+    for (n <- Seq(2, 3, 5)) {
+      val slices = (0 until n).map(i =>
+        Ivm.rollupState(o.filter(abs(hash($"o_orderkey")) % n === i),
+          keys, Nil, Nil, Nil, dc))
+      assert(est(Ivm.mergeStates(slices, keys, Nil, Nil, Nil, dc)) == oneShot,
+        s"slices=$n")
+    }
+    val exact = o.groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    oneShot.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 0.05 * exact(k), s"$k: $e vs ${exact(k)}")
+    }
+  }
 }
