@@ -108,6 +108,28 @@ object Similarity {
     * broadcast (centroids to every task) + one shuffle (mean per cell).
     * At 100 TB this is the standard coarse-quantizer training loop: k and
     * iters are small constants, the data is scanned iters+1 times. */
+  /** The nearest-centroid assignment kernel shared by [[kmeansCells]] and
+    * the stored-index ingest ([[VectorIndex.assignCells]]): argmax_c
+    * cos(e, c) as ONE codegen'd projection — |e| is constant per row, so
+    * rank by dot/|c| with centroid norms folded to driver-side constants
+    * (left-fold double dot + Scala-sum norm, both replayed by the
+    * q59/q145 oracles via `list_reduce`); exact ties go to the HIGHEST
+    * cell id on every partitioning (`greatest` over (sim, cell) structs).
+    * ONE definition on purpose: the tie rule and fold order are
+    * oracle-pinned in two query families, so a change here must move
+    * both, never one. */
+  def nearestCellCol(embCol: org.apache.spark.sql.Column,
+                     centroids: Seq[(Int, Array[Float])]): org.apache.spark.sql.Column = {
+    require(centroids.sizeIs >= 2, "nearestCellCol needs at least two cells")
+    val dists = centroids.map { case (cell, cvec) =>
+      val cnorm = math.sqrt(cvec.map(v => v.toDouble * v).sum)
+      val cent = array(cvec.map(v => lit(v)): _*)
+      struct((VectorFns.dotDouble(embCol, cent) / lit(cnorm)).as("sim"),
+        lit(cell).as("cell"))
+    }
+    greatest(dists: _*).getField("cell")
+  }
+
   def kmeansCells(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     var centroids: Array[Array[Float]] = emb
@@ -116,16 +138,9 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      // argmax_c cos(e, c): |e| is constant per row, so rank by dot/|c| —
-      // centroid norms fold to driver-side constants in the plan
-      val dists = centroids.zipWithIndex.map { case (cvec, c) =>
-        val cnorm = math.sqrt(cvec.map(v => v.toDouble * v).sum)
-        val cent = array(cvec.map(v => lit(v)): _*)
-        struct((VectorFns.dotDouble(col("embedding"), cent) / lit(cnorm)).as("sim"),
-          lit(c).as("cell"))
-      }
       assigned = emb.withColumn("cell",
-        greatest(dists: _*).getField("cell"))
+        nearestCellCol(col("embedding"),
+          centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq))
       centroids = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim").agg(exactMean(col("v")).as("m"))

@@ -124,26 +124,14 @@ object VectorIndex {
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
 
   /** Cell assignment for NEW vectors against the FROZEN stored centroids —
-    * what ingest does when arriving data has no blocking label. The exact
-    * [[Similarity.kmeansCells]] assignment idiom: centroids fold to
-    * driver-side literals (bounded — nCells rows), each row's argmax is
-    * ONE codegen'd projection (`greatest` over (dot/|c|, cell) structs —
-    * |e| is constant per row so cosine and dot/|c| rank identically;
-    * exact ties go to the HIGHEST cell on every partitioning), zero
-    * shuffle, zero join: the 100 TB-shaped scoring scan. The left-fold
-    * double dot and the Scala `.sum` centroid norm are both replayed by
-    * the q145 oracle via `list_reduce`. */
+    * what ingest does when arriving data has no blocking label: the
+    * SHARED [[Similarity.nearestCellCol]] kernel (one codegen'd
+    * projection, zero shuffle, zero join — the 100 TB-shaped scoring
+    * scan), here over the stored cell ids instead of 0..k−1. */
   def assignCells(incoming: DataFrame,
-                  centroids: Array[(Int, Array[Float])]): DataFrame = {
-    require(centroids.length >= 2, "assignCells needs at least two cells")
-    val dists = centroids.map { case (cell, cvec) =>
-      val cnorm = math.sqrt(cvec.map(v => v.toDouble * v).sum)
-      val cent = array(cvec.map(v => lit(v)): _*)
-      struct((VectorFns.dotDouble(col("embedding"), cent) / lit(cnorm)).as("sim"),
-        lit(cell).as("cell"))
-    }
-    incoming.withColumn("cell", greatest(dists.toIndexedSeq: _*).getField("cell"))
-  }
+                  centroids: Array[(Int, Array[Float])]): DataFrame =
+    incoming.withColumn("cell",
+      Similarity.nearestCellCol(col("embedding"), centroids.toSeq))
 
   /** Incremental ingest: assign each incoming vector to its nearest FROZEN
     * centroid, encode with the FROZEN stored bounds (values outside them

@@ -143,9 +143,15 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val keyByExprId: Map[ExprId, Attribute] =
       groupAttrs.map(a => a.exprId -> sOut(a.name)).toMap
-    // key-only filters remap by NAME (pushed-down filter attrs are the
-    // fact relation's, not the grouping instances)
+    // key-only DETERMINISTIC filters remap by NAME (pushed-down filter
+    // attrs are the fact relation's, not the grouping instances). The
+    // determinism guard matters: a key-only deterministic predicate is
+    // group-uniform (same verdict for every fact row of a group, so
+    // filtering summary GROUPS is equivalent) — a non-deterministic one
+    // (rand(), spark_partition_id()) is per-ROW sampling that a
+    // group-level filter cannot express.
     val newFilters = filters.map { cond =>
+      if (!cond.deterministic) return None
       cond.transformUp {
         case a: AttributeReference =>
           if (reg.keys.contains(a.name)) sOut(a.name) else return None
@@ -154,25 +160,29 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined) return None
-      val nf: AggregateFunction = ae.aggregateFunction match {
+      val mapped: Expression = ae.aggregateFunction match {
         case c: Count
             if c.children.sizeIs == 1 && c.children.head.isInstanceOf[Literal] &&
               !c.children.head.nullable =>
-          Sum(sOut(reg.cntCol))
+          // COUNT over zero rows is 0 but SUM is NULL — a filtered-empty
+          // (or globally empty) summary must still answer 0, and the
+          // original Count attribute is non-nullable, so the coalesce is
+          // a correctness AND nullability fix
+          Coalesce(Seq(Sum(sOut(reg.cntCol)).toAggregateExpression(),
+            Literal(0L)))
         case Sum(Cast(a: AttributeReference, dt: DecimalType, _, _), _)
             if reg.sumMap.contains(a.name) && dt == DecimalType(18, 2) =>
-          Sum(sOut(reg.sumMap(a.name)))
+          Sum(sOut(reg.sumMap(a.name))).toAggregateExpression()
         case Min(a: AttributeReference) if reg.minMap.contains(a.name) =>
-          Min(sOut(reg.minMap(a.name)))
+          Min(sOut(reg.minMap(a.name))).toAggregateExpression()
         case Max(a: AttributeReference) if reg.maxMap.contains(a.name) =>
-          Max(sOut(reg.maxMap(a.name)))
+          Max(sOut(reg.maxMap(a.name))).toAggregateExpression()
         case _ => return None
       }
-      val rewritten = nf.toAggregateExpression()
       // result-type fidelity: SUM over the (wider) summary decimal widens
       // again — cast back so the rewritten query's schema is unchanged
-      Some(if (rewritten.dataType == ae.dataType) rewritten
-      else Cast(rewritten, ae.dataType))
+      Some(if (mapped.dataType == ae.dataType) mapped
+      else Cast(mapped, ae.dataType))
     }
 
     def tx(e: Expression): Option[Expression] = e match {

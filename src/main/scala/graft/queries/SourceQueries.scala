@@ -759,12 +759,21 @@ object SourceQueries {
         "graft_wh.orders_rollup")
       RollupRewrite.register(s, s"$dir/orders.parquet",
         "graft_wh.orders_rollup", keys, sums, dates, dates)
-      Tables.orders(s, dir)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("orders"),
-          dsum(col("o_totalprice")).as("revenue"),
-          min(col("o_orderdate")).as("first_order"),
-          max(col("o_orderdate")).as("last_order"))
+      // materialize UNDER the registration (the pin optimizes + executes
+      // the rewritten plan eagerly), then unregister before returning:
+      // the registry is session-global, and leaving it live would
+      // silently reroute every later derivable orders aggregate in this
+      // JVM — contaminating what other gates measure — and re-arm the
+      // rebuild-while-registered hazard for anything else that rebuilds
+      // a summary over this fact path (review finding, r10)
+      try graft.Checkpoints.pin(
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("orders"),
+            dsum(col("o_totalprice")).as("revenue"),
+            min(col("o_orderdate")).as("first_order"),
+            max(col("o_orderdate")).as("last_order")))
+      finally RollupRewrite.unregister("graft_wh.orders_rollup")
     },
 
     // ---- q152: SKETCHES IN THE ROLLUP STATE — COUNT DISTINCT is not

@@ -72,6 +72,21 @@ class RollupRewriteSpec extends SparkSpecBase {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"))
       assert(planOf(nk).contains("orders.parquet"))
+      // a NON-DETERMINISTIC filter: per-row sampling that a group-level
+      // summary filter cannot express — untouched (review finding, r10)
+      val nd = Tables.orders(spark, sf)
+        .filter(rand(7) < 0.5)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"))
+      assert(planOf(nd).contains("orders.parquet"))
+      // a key filter matching NOTHING: COUNT must come back 0, not the
+      // NULL a bare SUM(cnt) over an empty summary yields
+      val empty = Tables.orders(spark, sf)
+        .filter(col("o_orderstatus") === "ZZ")
+        .agg(count(lit(1)).as("orders"))
+      assert(planOf(empty).contains("orders_rollup"))
+      val r = empty.collect()
+      assert(r.length == 1 && !r.head.isNullAt(0) && r.head.getLong(0) == 0L)
       // an aggregate the summary can't answer: untouched
       val alien = Tables.orders(spark, sf)
         .groupBy("o_orderpriority")
