@@ -64,7 +64,9 @@ object Bench {
     "q149_c4_line_filters",     // C4 line/page rules inside one array HOF
     "q150_rollup_rewrite",      // materialized-rollup Catalyst rewrite rule
     "q151_ann_batch_search",    // batched multi-query ANN via TopK aggregate
-    "q152_distinct_rollup"      // HLL sketch state in the incremental rollup
+    "q152_distinct_rollup",     // HLL sketch state in the incremental rollup
+    "q153_partition_retention", // metadata-only partition aging
+    "q154_forget_user"          // right-to-be-forgotten partition rewrite
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -115,7 +117,8 @@ object Bench {
     "q148_incremental_rollup" -> 0.25, "q149_c4_line_filters" -> 0.26,
     "q150_rollup_rewrite" -> 0.89,
     // post norm-hoist (5.31 -> 2.00 clean min-of-3)
-    "q151_ann_batch_search" -> 2.00, "q152_distinct_rollup" -> 0.56)
+    "q151_ann_batch_search" -> 2.00, "q152_distinct_rollup" -> 0.56,
+    "q153_partition_retention" -> 1.64, "q154_forget_user" -> 1.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -818,6 +818,63 @@ object SourceQueries {
           abs(col("m_est") - col("distinct_customers")) <=
             lit(0.05) * col("distinct_customers"))
         .select(col("o_orderpriority"), col("cnt"), col("distinct_customers"))
+    },
+
+    // ---- q153: PARTITION RETENTION — the month-partitioned fact table
+    // ages out everything before 1997 with ALTER TABLE DROP PARTITION:
+    // metadata-only (directories deleted, no surviving row read or
+    // rewritten) — the only affordable N-day retention at 100 TB. The
+    // gate aggregates THROUGH the post-retention table; the oracle
+    // applies the same cutoff to the raw facts, so an under- or
+    // over-drop fails value compare.
+    QueryDef.sql("q153_partition_retention",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue,
+         |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS months_kept
+         |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      Warehouse.overwritePartitioned(
+        Tables.orders(s, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        "graft_wh.orders_retention", "o_month")
+      Warehouse.dropPartitionsWhere(s, "graft_wh.orders_retention",
+        "o_month", keep = _ >= "1997-01")
+      s.table("graft_wh.orders_retention")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"),
+          dsum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("o_month")).as("months_kept"))
+    },
+
+    // ---- q154: RIGHT-TO-BE-FORGOTTEN — delete every row of a keyed
+    // user set from the partitioned events table, rewriting ONLY the
+    // partitions that contain such rows (dynamic partition overwrite;
+    // fully-forgotten partitions dropped explicitly — the dynamic-
+    // overwrite gap that would otherwise resurrect them). The gate
+    // aggregates the post-forget table; the oracle applies the same
+    // exclusion to the raw facts — a surviving forgotten row or a lost
+    // innocent row fails value compare. forgetKeys also self-checks
+    // (require: no forgotten key survives).
+    QueryDef.sql("q154_forget_user",
+      s"""SELECT event_type, COUNT(*) AS events,
+         |  COUNT(DISTINCT user_id) AS users,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events WHERE user_id % 100 <> 7
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      Warehouse.overwritePartitioned(ev, "graft_wh.events_forget", "event_type")
+      val forget = ev.filter(col("user_id") % 100 === 7)
+        .select("user_id").distinct()
+      Warehouse.forgetKeys(s, "graft_wh.events_forget",
+        "event_type", "user_id", forget)
+      s.table("graft_wh.events_forget")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("user_id")).as("users"),
+          dsum(col("value")).as("total_value"))
     }
   )
 }

@@ -128,6 +128,64 @@ object Warehouse {
       .repartition(nFiles)
       .write.mode("overwrite").parquet(outPath)
 
+  /** Retention: drop every partition of `table` whose `partitionCol`
+    * value fails `keep` — METADATA-ONLY (ALTER TABLE DROP PARTITION
+    * deletes the directory; no surviving row is read or rewritten),
+    * which is what makes N-day retention affordable on a 100 TB fact
+    * table. Partition values enumerate from the catalog (SHOW
+    * PARTITIONS — bounded by partition count, the usual bounded driver
+    * artifact). Returns the number of partitions dropped. */
+  def dropPartitionsWhere(spark: SparkSession, table: String,
+                          partitionCol: String, keep: String => Boolean): Int = {
+    val toDrop = spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).split("=", 2))
+      .collect { case Array(k, v) if k == partitionCol && !keep(v) => v }
+    toDrop.foreach(v =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol='$v')"))
+    toDrop.length
+  }
+
+  /** Right-to-be-forgotten: delete every row of `table` whose `keyCol` is
+    * in `keys` (the forget request — small by contract, broadcast),
+    * rewriting ONLY the partitions that contain such rows: affected
+    * partition values enumerate first (bounded by partition cardinality),
+    * their remainder is anti-joined and written back under DYNAMIC
+    * partition overwrite (untouched partitions keep their files), and a
+    * partition whose rows were ALL forgotten is dropped explicitly —
+    * dynamic overwrite never rewrites a partition absent from the data,
+    * the classic gap that would otherwise resurrect forgotten rows. */
+  def forgetKeys(spark: SparkSession, table: String, partitionCol: String,
+                 keyCol: String, keys: DataFrame): Unit = {
+    val t = spark.table(table)
+    val affected = t.join(
+        org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_semi")
+      .select(partitionCol).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+    val remainder = t.filter(col(partitionCol).isin(affected: _*))
+      .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_anti")
+    // which affected partitions still have rows AFTER the forget — read
+    // from the remainder PLAN (the post-write table would still list a
+    // fully-forgotten partition's old files, since dynamic overwrite
+    // never touched it)
+    val remParts = remainder.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSet
+    val cols = t.columns
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try remainder.select(cols.map(remainder(_)): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    affected.filterNot(remParts).foreach(v =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol='$v')"))
+    spark.catalog.refreshTable(table)
+    val survived = spark.table(table)
+      .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_semi")
+    require(survived.isEmpty, s"forgetKeys: rows with forgotten keys survive in $table")
+  }
+
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating

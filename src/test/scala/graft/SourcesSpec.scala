@@ -363,4 +363,40 @@ class SourcesSpec extends SparkSpecBase {
       .select("o_orderkey", "o_orderpriority")
     assert(v2vals.exceptAll(expect).count() == 0)
   }
+
+  test("dropPartitionsWhere is metadata-only; forgetKeys rewrites only affected " +
+      "partitions and drops fully-forgotten ones") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    // p=a holds keys 1,2; p=b holds 3; p=c holds 4,5 — forgetting {3, 4}
+    // must (a) leave p=a's FILES untouched, (b) DROP p=b entirely (the
+    // dynamic-overwrite gap), (c) rewrite p=c keeping key 5
+    val rows = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "c", 40.0), (5L, "c", 50.0)).toDF("k", "p", "v")
+    Warehouse.overwritePartitioned(rows, "graft_test.forget_t", "p")
+    def filesOf(part: String) = {
+      val base = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val d = new java.io.File(s"$base/graft_test.db/forget_t/p=$part")
+      if (!d.exists) Set.empty[String]
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val aFilesBefore = filesOf("a")
+    assert(aFilesBefore.nonEmpty)
+    Warehouse.forgetKeys(spark, "graft_test.forget_t", "p", "k",
+      Seq(3L, 4L).toDF("k"))
+    val back = spark.table("graft_test.forget_t").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back == Set((1L, 10.0), (2L, 20.0), (5L, 50.0)))
+    assert(filesOf("a") == aFilesBefore, "untouched partition was rewritten")
+    assert(filesOf("b").isEmpty, "fully-forgotten partition must be dropped")
+    assert(spark.sql("SHOW PARTITIONS graft_test.forget_t").collect()
+      .map(_.getString(0)).toSet == Set("p=a", "p=c"))
+    // retention: dropping by predicate is metadata-only — the kept
+    // partition's files are bit-untouched
+    val aFiles2 = filesOf("a")
+    val n = Warehouse.dropPartitionsWhere(spark, "graft_test.forget_t", "p",
+      keep = _ == "a")
+    assert(n == 1 && filesOf("a") == aFiles2 && filesOf("c").isEmpty)
+    assert(spark.table("graft_test.forget_t").count() == 2)
+  }
 }
