@@ -66,7 +66,10 @@ object Bench {
     "q151_ann_batch_search",    // batched multi-query ANN via TopK aggregate
     "q152_distinct_rollup",     // HLL sketch state in the incremental rollup
     "q153_partition_retention", // metadata-only partition aging
-    "q154_forget_user"          // right-to-be-forgotten partition rewrite
+    "q154_forget_user",         // right-to-be-forgotten partition rewrite
+    "q155_cdc_apply",           // CDC feed -> state via one argmax-by-struct agg
+    "q156_snapshot_diff",       // row-level snapshot delta (one full-outer join)
+    "q157_dq_constraints"       // Deequ-style constraint suite (one agg pass)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -118,7 +121,10 @@ object Bench {
     "q150_rollup_rewrite" -> 0.89,
     // post norm-hoist (5.31 -> 2.00 clean min-of-3)
     "q151_ann_batch_search" -> 2.00, "q152_distinct_rollup" -> 0.56,
-    "q153_partition_retention" -> 1.64, "q154_forget_user" -> 1.35)
+    "q153_partition_retention" -> 1.64, "q154_forget_user" -> 1.35,
+    // lifecycle-audit rows measured r10 (min-of-3, clean window)
+    "q155_cdc_apply" -> 0.64, "q156_snapshot_diff" -> 0.54,
+    "q157_dq_constraints" -> 0.96)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

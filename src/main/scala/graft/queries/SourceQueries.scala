@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.llm.Multimodal
-import graft.operators.{Baskets, Cleaning, Ivm}
+import graft.operators.{Baskets, Cdc, Check, Checks, Cleaning, Diff, Ivm}
 import graft.operators.Aggregates._
 import graft.sources.{Competitor, Csv, Generator, Sampling, Warehouse}
 import org.apache.spark.sql.functions._
@@ -875,6 +875,181 @@ object SourceQueries {
         .agg(count(lit(1)).as("events"),
           countDistinct(col("user_id")).as("users"),
           dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q155: CDC LOG APPLY — a deterministic change feed synthesized
+    // from orders (insert per order; +10.0 price update for key%3==0 at
+    // +5 days; a SECOND same-timestamp update for key%9==0 exercising
+    // the seq tie-break; delete for key%10==7 at +30 days) reduced to
+    // current state by ONE argmax-by-struct aggregation (no window, no
+    // per-key sort — shuffle ∝ keys, not log length). The oracle replays
+    // the same feed with ROW_NUMBER OVER (ORDER BY ts DESC, seq DESC).
+    QueryDef.sql("q155_cdc_apply",
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, o_orderdate AS ts, 0 AS seq, 'I' AS op,
+        |         'NEW' AS status, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 1, 'U',
+        |         o_orderstatus, o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 2, 'U',
+        |         'AUDIT', o_totalprice + 10.0
+        |  FROM orders WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 3, 'D',
+        |         NULL, NULL
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |), last AS (
+        |  SELECT k, ts, op, status, price,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT k AS o_orderkey, status, price, ts AS last_ts
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      def ev(f: org.apache.spark.sql.DataFrame,
+             ts: org.apache.spark.sql.Column, seq: Int, op: String,
+             status: org.apache.spark.sql.Column,
+             price: org.apache.spark.sql.Column) =
+        f.select(col("o_orderkey"), ts.as("ts"), lit(seq).as("seq"),
+          lit(op).as("op"), status.cast("string").as("status"),
+          price.cast("double").as("price"))
+      val plus5 = col("o_orderdate") + expr("INTERVAL 5 DAYS")
+      val log = ev(o, col("o_orderdate"), 0, "I", lit("NEW"), col("o_totalprice"))
+        .unionByName(ev(o.filter(col("o_orderkey") % 3 === 0), plus5, 1, "U",
+          col("o_orderstatus"), col("o_totalprice") + 10.0))
+        .unionByName(ev(o.filter(col("o_orderkey") % 9 === 0), plus5, 2, "U",
+          lit("AUDIT"), col("o_totalprice") + 10.0))
+        .unionByName(ev(o.filter(col("o_orderkey") % 10 === 7),
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"), 3, "D",
+          lit(null), lit(null)))
+      Cdc.applyLog(log, Seq("o_orderkey"), Seq("status", "price"))
+        .withColumnRenamed("ts", "last_ts")
+    },
+
+    // ---- q156: SNAPSHOT DIFF — row-level added/removed/changed audit
+    // between a base snapshot and a deterministically mutated successor
+    // (delete key%10==3, restatus key%7==1, reprice key%11==2 — the two
+    // mutations co-occur every 77th key exercising the multi-column
+    // list, insert 3e9+key for key%13==5). One FULL OUTER join on the
+    // key; rows-out = |delta|. Presence flags, not attribute nulls,
+    // decide added/removed.
+    QueryDef.sql("q156_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         o_totalprice AS price, o_orderpriority AS priority
+        |  FROM orders
+        |), v2 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE status END AS status,
+        |    CASE WHEN k % 11 = 2 THEN price + 5.0 ELSE price END AS price,
+        |    priority
+        |  FROM v1 WHERE k % 10 <> 3
+        |  UNION ALL
+        |  SELECT 3000000000 + k, 'N', 1.0, 'NEW' FROM v1 WHERE k % 13 = 5
+        |), j AS (
+        |  SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+        |    v1.k IS NOT NULL AS a_p, v2.k IS NOT NULL AS b_p,
+        |    CONCAT_WS(',',
+        |      CASE WHEN v1.status IS DISTINCT FROM v2.status THEN 'status' END,
+        |      CASE WHEN v1.price  IS DISTINCT FROM v2.price  THEN 'price'  END,
+        |      CASE WHEN v1.priority IS DISTINCT FROM v2.priority THEN 'priority' END
+        |    ) AS chg
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT o_orderkey,
+        |  CASE WHEN a_p AND NOT b_p THEN 'removed'
+        |       WHEN b_p AND NOT a_p THEN 'added'
+        |       WHEN chg <> '' THEN 'changed' END AS change_type,
+        |  CASE WHEN a_p AND b_p AND chg <> '' THEN chg END AS changed_cols
+        |FROM j
+        |WHERE (a_p AND NOT b_p) OR (b_p AND NOT a_p) OR chg <> ''""".stripMargin) { (s, dir) =>
+      val v1 = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
+      val v2 = v1.filter(col("k") % 10 =!= 3)
+        .withColumn("status", when(col("k") % 7 === 1, lit("X")).otherwise(col("status")))
+        .withColumn("price", when(col("k") % 11 === 2, col("price") + 5.0).otherwise(col("price")))
+        .unionByName(v1.filter(col("k") % 13 === 5).select(
+          (lit(3000000000L) + col("k")).as("k"), lit("N").as("status"),
+          lit(1.0).as("price"), lit("NEW").as("priority")))
+      Diff.snapshotDiff(v1, v2, Seq("k"), Seq("status", "price", "priority"))
+        .withColumnRenamed("k", "o_orderkey")
+    },
+
+    // ---- q157: DATA-QUALITY CONSTRAINT SUITE — Deequ-style report over
+    // a deliberately corrupted orders copy (nulled custkeys %97==5,
+    // orphaned custkeys %79==13, duplicated keys %101==7, negated prices
+    // %83==11, invalid status %89==3 — every failing check discriminates,
+    // q135 fixture pattern). ONE aggregation pass (single distinct) over
+    // the frame pre-joined to the BROADCAST customer keyset computes all
+    // seven metrics; pass/fail evaluates on the 1-row result.
+    QueryDef.sql("q157_dq_constraints",
+      """WITH corrupt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 5 THEN NULL
+        |         WHEN o_orderkey % 79 = 13 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 3 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 83 = 11 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |  FROM orders WHERE o_orderkey % 101 = 7
+        |), base AS (
+        |  SELECT corrupt.*, c.c_custkey IS NOT NULL AS ref_ok
+        |  FROM corrupt LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON corrupt.o_custkey = c.c_custkey
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+        |    CAST(COUNT(o_custkey) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS completeness,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dup_excess,
+        |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND NOT ref_ok THEN 1 ELSE 0 END) AS DOUBLE) AS orphans,
+        |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        |    CAST(MAX(EXTRACT(YEAR FROM o_orderdate)) AS DOUBLE) AS max_year
+        |  FROM base)
+        |SELECT 'row_count_positive' AS check, row_count AS metric, row_count > 0 AS passed FROM m
+        |UNION ALL SELECT 'custkey_complete', completeness, completeness = 1.0 FROM m
+        |UNION ALL SELECT 'orderkey_unique', dup_excess, dup_excess = 0.0 FROM m
+        |UNION ALL SELECT 'custkey_references_customer', orphans, orphans = 0.0 FROM m
+        |UNION ALL SELECT 'status_accepted_values', bad_status, bad_status = 0.0 FROM m
+        |UNION ALL SELECT 'price_non_negative', min_price, min_price >= 0.0 FROM m
+        |UNION ALL SELECT 'orderdate_in_range', max_year, max_year <= 2001.0 FROM m""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val corrupt = o.select(col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 5, lit(null))
+            .when(col("o_orderkey") % 79 === 13, col("o_custkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(col("o_orderkey") % 89 === 3, lit("Z"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(col("o_orderkey") % 83 === 11, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 7)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"))
+      val dimKeys = broadcast(
+        Tables.customer(s, dir).select(col("c_custkey")).distinct()
+          .withColumn("__ref_ok", lit(true)))
+      val base = corrupt.join(dimKeys,
+          corrupt("o_custkey") === dimKeys("c_custkey"), "left")
+        .withColumn("ref_ok", coalesce(col("__ref_ok"), lit(false)))
+      Checks.report(base, Seq(
+        Check("row_count_positive", count(lit(1)), _ > 0.0),
+        Check("custkey_complete",
+          count(col("o_custkey")).cast("double") / count(lit(1)).cast("double"),
+          _ === 1.0),
+        Check("orderkey_unique",
+          count(lit(1)) - countDistinct(col("o_orderkey")), _ === 0.0),
+        Check("custkey_references_customer",
+          sum(when(col("o_custkey").isNotNull && !col("ref_ok"), 1).otherwise(0)),
+          _ === 0.0),
+        Check("status_accepted_values",
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+          _ === 0.0),
+        Check("price_non_negative", min(col("o_totalprice")), _ >= 0.0),
+        Check("orderdate_in_range", max(year(col("o_orderdate"))), _ <= 2001.0)))
     }
   )
 }

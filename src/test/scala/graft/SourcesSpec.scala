@@ -399,4 +399,79 @@ class SourcesSpec extends SparkSpecBase {
     assert(n == 1 && filesOf("a") == aFiles2 && filesOf("c").isEmpty)
     assert(spark.table("graft_test.forget_t").count() == 2)
   }
+
+  test("Cdc.applyLog: latest event wins, seq breaks ts ties, deletes drop " +
+      "the key; applyToState == one-shot applyLog") {
+    import graft.operators.Cdc
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val log = Seq(
+      (1L, t0, 0, "I", "a", 10.0),   // plain insert, never touched again
+      (2L, t0, 0, "I", "b", 20.0),   // updated at t1
+      (2L, t1, 1, "U", "b2", 21.0),
+      (3L, t0, 0, "I", "c", 30.0),   // two updates at the SAME ts: seq wins
+      (3L, t1, 1, "U", "c1", 31.0),
+      (3L, t1, 2, "U", "c2", 32.0),
+      (4L, t0, 0, "I", "d", 40.0),   // deleted
+      (4L, t2, 1, "D", null, 0.0)
+    ).toDF("k", "ts", "seq", "op", "status", "price")
+    val state = Cdc.applyLog(log, Seq("k"), Seq("status", "price"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(state == Set((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c2", 32.0)))
+    // incremental: slice 1 applied, then slice 2 on top of the state —
+    // identical to applying the union in one shot (incl. re-insert of a
+    // deleted key and a delete arriving in the later slice)
+    val s2 = Seq(
+      (1L, t2, 0, "D", null, 0.0),   // late delete of an old key
+      (4L, t2, 5, "I", "d2", 41.0),  // resurrection after the t2 delete
+      (5L, t2, 0, "I", "e", 50.0)
+    ).toDF("k", "ts", "seq", "op", "status", "price")
+    val incr = Cdc.applyToState(Cdc.applyLog(log, Seq("k"), Seq("status", "price")),
+      s2, Seq("k"), Seq("status", "price"))
+    val oneShot = Cdc.applyLog(log.unionByName(s2), Seq("k"), Seq("status", "price"))
+    assert(incr.select("k", "status", "price").collect().toSet ==
+      oneShot.select("k", "status", "price").collect().toSet)
+    assert(incr.filter($"k" === 4L).select("status").head.getString(0) == "d2")
+  }
+
+  test("Diff.snapshotDiff: added/removed/changed with null-safe multi-column " +
+      "lists; unchanged keys dropped") {
+    import graft.operators.Diff
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, null.asInstanceOf[String], 4.0)).toDF("k", "s", "p")
+    val v2 = Seq((1L, "a", 1.0),                      // unchanged → dropped
+      (2L, "B", 2.5),                                 // both cols changed
+      (4L, "d", 4.0),                                 // null → value is a change
+      (5L, "e", 5.0)                                  // added
+    ).toDF("k", "s", "p")                             // 3 removed
+    val d = Diff.snapshotDiff(v1, v2, Seq("k"), Seq("s", "p"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(d == Set(
+      (2L, "changed", "s,p"),
+      (3L, "removed", null),
+      (4L, "changed", "s"),
+      (5L, "added", null)))
+  }
+
+  test("Checks.report: one row per constraint, metrics exact, single " +
+      "aggregation pass") {
+    import graft.operators.{Check, Checks}
+    val df = Seq((1L, "x"), (2L, "x"), (2L, "y"),
+      (3L, null.asInstanceOf[String])).toDF("id", "v")
+    val rep = Checks.report(df, Seq(
+      Check("rows", count(lit(1)), _ === 4.0),
+      Check("dup_excess", count(lit(1)) - countDistinct($"id"), _ === 0.0),
+      Check("v_complete", count($"v").cast("double") / count(lit(1)).cast("double"),
+        _ === 1.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rep("rows") == ((4.0, true)))
+    assert(rep("dup_excess") == ((1.0, false)))
+    assert(rep("v_complete") == ((0.75, false)))
+    // duplicate check names are a construction error, not a silent overwrite
+    intercept[IllegalArgumentException] {
+      Checks.report(df, Seq(Check("a", count(lit(1)), _ > 0),
+        Check("a", count($"v"), _ > 0)))
+    }
+  }
 }
