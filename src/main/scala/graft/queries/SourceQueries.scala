@@ -1050,6 +1050,42 @@ object SourceQueries {
           _ === 0.0),
         Check("price_non_negative", min(col("o_totalprice")), _ >= 0.0),
         Check("orderdate_in_range", max(year(col("o_orderdate"))), _ <= 2001.0)))
+    },
+
+    // ---- q158: QUANTILE ROLLUP — per-priority p50/p90 of o_totalprice
+    // riding the incremental rollup as Hist sketch state (the third
+    // sketch family in the MV after q152's HLL): 600-bucket counting
+    // histograms merge by elementwise addition, bit-identical to
+    // one-shot under any slicing, so the daily refresh unions arrays
+    // and never rescans history. Spark computes THROUGH two merged date
+    // slices; the oracle replays floor-bucket + cumulative counts from
+    // the raw facts — a green row proves merge==recompute AND the
+    // quantile lower bounds, to bucket ($1000) resolution.
+    QueryDef.sql("q158_quantile_rollup",
+      """WITH b AS (SELECT o_orderpriority AS p,
+        |    least(greatest(CAST(floor(o_totalprice / 1000) AS BIGINT), 0), 599) AS bk
+        |  FROM orders),
+        |c AS (SELECT p, bk, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cnt FROM c GROUP BY 1),
+        |cum AS (SELECT p, bk, SUM(n) OVER (PARTITION BY p ORDER BY bk) AS cum
+        |        FROM c),
+        |j AS (SELECT cum.p, cum.bk, cum.cum, t.cnt FROM cum JOIN t ON cum.p = t.p),
+        |q50 AS (SELECT p, MIN(bk) AS bk FROM j WHERE cum >= ceil(0.5 * cnt) GROUP BY p),
+        |q90 AS (SELECT p, MIN(bk) AS bk FROM j WHERE cum >= ceil(0.9 * cnt) GROUP BY p)
+        |SELECT t.p AS o_orderpriority, t.cnt AS cnt,
+        |  1000.0 * q50.bk AS p50_o_totalprice,
+        |  1000.0 * q90.bk AS p90_o_totalprice
+        |FROM t JOIN q50 ON t.p = q50.p JOIN q90 ON t.p = q90.p""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val keys = Seq("o_orderpriority")
+      val hc = Seq(Ivm.HistCol("o_totalprice", 0.0, 600000.0, 600))
+      val prev = Ivm.rollupState(o.filter(col("o_orderdate") < cut),
+        keys, Nil, histCols = hc)
+      val delta = Ivm.rollupState(o.filter(col("o_orderdate") >= cut),
+        keys, Nil, histCols = hc)
+      Ivm.finalizeState(Ivm.mergeStates(Seq(prev, delta), keys, Nil, histCols = hc),
+        keys, Nil, histCols = hc, histQuantiles = Seq(0.5, 0.9))
     }
   )
 }

@@ -440,4 +440,42 @@ class OperatorsSpec extends SparkSpecBase {
       assert(math.abs(e - exact(k)) <= 0.05 * exact(k), s"$k: $e vs ${exact(k)}")
     }
   }
+
+  test("Ivm: histogram quantile state merges bit-identically to one-shot, " +
+      "within bucket resolution of exact") {
+    import graft.operators.Ivm
+    val o = Tables.orders(spark, sf)
+    val keys = Seq("o_orderpriority")
+    val hc = Seq(Ivm.HistCol("o_totalprice", 0.0, 600000.0, 600))
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      Ivm.finalizeState(st, keys, Nil, histCols = hc,
+          histQuantiles = Seq(0.5, 0.9))
+        .orderBy("o_orderpriority").collect()
+        .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3))).toSeq
+    val oneShot = fin(Ivm.rollupState(o, keys, Nil, histCols = hc))
+    // counting histograms over a FIXED bucketing are pure functions of
+    // the value multiset — any slicing merges to the same bucket arrays
+    for (n <- Seq(2, 3, 5)) {
+      val slices = (0 until n).map(i =>
+        Ivm.rollupState(o.filter(abs(hash($"o_orderkey")) % n === i),
+          keys, Nil, histCols = hc))
+      assert(fin(Ivm.mergeStates(slices, keys, Nil, histCols = hc)) == oneShot,
+        s"slices=$n")
+    }
+    // the sketch quantile is EXACTLY the bucket lower bound of the
+    // ceil(q·n)-th order statistic (the Hist contract) — assert equality
+    // against a driver-side replay, not a tolerance
+    val vals = o.select($"o_orderpriority", $"o_totalprice").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted.toIndexedSeq
+      }
+    def statFloor(xs: IndexedSeq[Double], q: Double) = {
+      val stat = xs(math.ceil(q * xs.size).toInt - 1)
+      math.min(math.max(math.floor(stat / 1000.0), 0), 599) * 1000.0
+    }
+    oneShot.foreach { case (k, p50, p90) =>
+      assert(p50 == statFloor(vals(k), 0.5), s"$k p50")
+      assert(p90 == statFloor(vals(k), 0.9), s"$k p90")
+    }
+  }
 }

@@ -551,4 +551,90 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == oneshot && streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("Cdc.applyToState drains a change stream via foreachBatch, matching one-shot") {
+    // the CDC deployment shape: each micro-batch of the change feed is
+    // folded into the running state with the SAME applyToState plan
+    // (state pinned per batch — the iterative-lineage rule); after any
+    // micro-batching the state equals the one-shot applyLog over the
+    // whole feed, because applyToState(applyLog(a), b) == applyLog(a++b)
+    // when the slices arrive in (ts, seq) order
+    import graft.operators.Cdc
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Seq("k"); val attrs = Seq("status", "price")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0, "I", "a", 10.0),
+      (2L, ts("2024-01-01 00:00:00"), 1, "I", "b", 20.0),
+      (2L, ts("2024-01-01 05:00:00"), 2, "U", "b2", 21.0))
+    val b2 = Seq(
+      (1L, ts("2024-01-02 00:00:00"), 3, "D", null.asInstanceOf[String], 0.0),
+      (3L, ts("2024-01-02 01:00:00"), 4, "I", "c", 30.0),
+      (2L, ts("2024-01-02 02:00:00"), 5, "U", "b3", 22.0))
+    val cols = Seq("k", "ts", "seq", "op", "status", "price")
+    var state: org.apache.spark.sql.DataFrame =
+      Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+        .toDF("k", "ts", "status", "price")
+        .select("k", "status", "price", "ts")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Int, String, String, Double)]
+    val q = mem.toDF().toDF(cols: _*).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = Cdc.applyToState(state, df.toDF(), keys, attrs).localCheckpoint()
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val oneShot = Cdc.applyLog((b1 ++ b2).toDF(cols: _*), keys, attrs)
+      val got = state.select("k", "status", "price", "ts").collect().toSet
+      assert(got == oneShot.select("k", "status", "price", "ts").collect().toSet)
+      assert(got.map(_.getLong(0)) == Set(2L, 3L)) // 1 deleted in batch 2
+    } finally q.stop()
+  }
+
+  test("Ivm rollup state maintained via foreachBatch equals one-shot, " +
+      "sketches included") {
+    // the q148/q152/q158 refresh loop as a STREAM: each micro-batch is
+    // aggregated to its state and merged into the running state table;
+    // after any batching the finalized rollup is bit-equal to the
+    // one-shot rollup over all rows (decimal sums associative, min/max
+    // semilattice, HLL register-max and histogram-count merges
+    // slicing-invariant)
+    import graft.operators.Ivm
+    implicit val sqlCtx = spark.sqlContext
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice", $"o_custkey")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val keys = Seq("o_orderpriority"); val sums = Seq("o_totalprice")
+    val dc = Seq("o_custkey")
+    val hc = Seq(Ivm.HistCol("o_totalprice", 0.0, 600000.0, 600))
+    def fin(st: org.apache.spark.sql.DataFrame) =
+      Ivm.finalizeState(st, keys, sums, avgCols = sums, distinctCols = dc,
+          histCols = hc, histQuantiles = Seq(0.5))
+        .orderBy("o_orderpriority").collect().toSeq
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val mem = MemoryStream[(String, Double, Long)]
+    val q = mem.toDF().toDF("o_orderpriority", "o_totalprice", "o_custkey")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val slice = Ivm.rollupState(df.toDF(), keys, sums,
+          distinctCols = dc, histCols = hc)
+        state = Some((state match {
+          case None => slice
+          case Some(st) => Ivm.mergeStates(Seq(st, slice), keys, sums,
+            distinctCols = dc, histCols = hc)
+        }).localCheckpoint())
+        ()
+      }.start()
+    try {
+      val (s1, rest) = o.splitAt(o.length / 3)
+      val (s2, s3) = rest.splitAt(rest.length / 2)
+      Seq(s1, s2, s3).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val oneShot = fin(Ivm.rollupState(
+        o.toIndexedSeq.toDF("o_orderpriority", "o_totalprice", "o_custkey"),
+        keys, sums, distinctCols = dc, histCols = hc))
+      assert(fin(state.get) == oneShot)
+    } finally q.stop()
+  }
 }
