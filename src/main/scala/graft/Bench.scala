@@ -70,7 +70,9 @@ object Bench {
     "q155_cdc_apply",           // CDC feed -> state via one argmax-by-struct agg
     "q156_snapshot_diff",       // row-level snapshot delta (one full-outer join)
     "q157_dq_constraints",      // Deequ-style constraint suite (one agg pass)
-    "q158_quantile_rollup"      // histogram-sketch quantiles riding the IVM state
+    "q158_quantile_rollup",     // histogram-sketch quantiles riding the IVM state
+    "q159_data_skipping",       // file-level min/max stats prune (clustered write)
+    "q160_target_mix"           // exact target-mixture resample (grouped rank)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -125,7 +127,8 @@ object Bench {
     "q153_partition_retention" -> 1.64, "q154_forget_user" -> 1.35,
     // lifecycle-audit rows measured r10 (min-of-3, clean window)
     "q155_cdc_apply" -> 0.64, "q156_snapshot_diff" -> 0.54,
-    "q157_dq_constraints" -> 0.96, "q158_quantile_rollup" -> 0.42)
+    "q157_dq_constraints" -> 0.96, "q158_quantile_rollup" -> 0.42,
+    "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -56,4 +56,46 @@ object Mixing {
       .drop("thr")
       .select(df.columns.map(col): _*)
   }
+
+  /** EXACT target-mixture downsample (the static DoReMi/Pile-weights
+    * application step, where [[temperatureSample]] is the α-heuristic):
+    * returns the LARGEST sub-corpus whose domain proportions follow
+    * `targetShares` exactly up to floor rounding —
+    *
+    *   scale = min_d(n_d / s_d),  quota_d = floor(s_d · scale)
+    *
+    * — the binding domain keeps everything, every other domain keeps its
+    * proportional quota. Domains absent from `targetShares` are dropped;
+    * every share domain must be present in the data (a zero-count share
+    * domain would silently zero EVERY quota via scale = 0 — refused).
+    *
+    * Per-domain selection is the deterministic md5-key order (unbiased
+    * w.r.t. any value column, engine-portable), ranked with the
+    * skew-safe grouped rank ([[graft.operators.Ranks.groupedRowNumber]]
+    * — a PARTITION BY domain window would serialize on the dominant
+    * domain at scale). Quotas are computed driver-side from the bounded
+    * per-domain count aggregate (|domains| rows) with plain IEEE double
+    * arithmetic, so a DuckDB oracle replays them bit-for-bit. */
+  def matchTargetMix(df: DataFrame, domainCol: String, idCol: String,
+                     targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0),
+      "targetShares must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inMix = df.filter(col(domainCol).isin(targetShares.keys.toSeq: _*))
+    val counts = inMix.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetShares.keySet -- counts.keySet
+    require(missing.isEmpty, s"share domains absent from data: $missing")
+    val scale = targetShares.map { case (d, s) => counts(d) / s }.min
+    val quotas = targetShares.toSeq.map { case (d, s) =>
+      d -> math.floor(s * scale).toLong
+    }
+    val quotaDf = broadcast(quotas.toDF(domainCol, "__quota"))
+    graft.operators.Ranks.groupedRowNumber(inMix, Seq(domainCol),
+        Seq(md5(col(idCol).cast("string")), col(idCol)), "__rnk")
+      .join(quotaDf, Seq(domainCol))
+      .filter(col("__rnk") <= col("__quota"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -1086,6 +1086,32 @@ object SourceQueries {
         keys, Nil, histCols = hc)
       Ivm.finalizeState(Ivm.mergeStates(Seq(prev, delta), keys, Nil, histCols = hc),
         keys, Nil, histCols = hc, histQuantiles = Seq(0.5, 0.9))
+    },
+
+    // ---- q159: FILE-LEVEL DATA SKIPPING — the Delta/Iceberg min-max
+    // stats pattern over plain parquet: orders written CLUSTERED by
+    // o_totalprice (repartitionByRange + local sort → tight per-file
+    // ranges), a one-scan stats index built, then a price-band read that
+    // lists ONLY intersecting files (second pruning tier after partition
+    // pruning — on a NON-partition column). The gate aggregates THROUGH
+    // the pruned read; the oracle applies the same band to the raw
+    // facts, so an over-prune (lost rows) fails value compare. The spec
+    // pins that files are actually skipped.
+    QueryDef.sql("q159_data_skipping",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DataSkipping
+      val path = scratch("q159_orders_clustered")
+      Tables.orders(s, dir)
+        .repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      val stats = DataSkipping.fileStats(s, path, Seq("o_totalprice"))
+      DataSkipping.prunedRead(s, path, stats, "o_totalprice", 50000.0, 150000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     }
   )
 }

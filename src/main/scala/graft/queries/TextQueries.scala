@@ -703,6 +703,37 @@ object TextQueries {
         .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
     },
 
+    // ---- q160: EXACT target-mixture resampling — the static
+    // DoReMi/Pile-weights application step (q110 is the α-heuristic
+    // cousin): the largest sub-corpus whose source proportions follow
+    // the 0.5/0.3/0.2 target exactly (scale = min_d(n_d/s_d), quota_d =
+    // floor(s_d·scale) — driver-side IEEE arithmetic on the bounded
+    // per-domain counts, replayed bit-for-bit in SQL). Membership is the
+    // md5-key order ranked by the skew-safe grouped rank; the oracle is
+    // membership-sensitive (row set, not just per-domain counts).
+    QueryDef.sql("q160_target_mix",
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |           WHERE source IN ('src1', 'src2', 'src3') GROUP BY 1),
+        |s AS (SELECT source, n,
+        |        CASE source WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+        |                    WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+        |                    ELSE CAST(0.2 AS DOUBLE) END AS sh
+        |      FROM c),
+        |sc AS (SELECT MIN(n / sh) AS scale FROM s),
+        |q AS (SELECT source, CAST(FLOOR(sh * scale) AS BIGINT) AS quota
+        |      FROM s, sc),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents WHERE source IN ('src1', 'src2', 'src3'))
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rnk <= quota""".stripMargin) { (s, dir) =>
+      graft.llm.Mixing.matchTargetMix(Tables.documents(s, dir),
+          "source", "doc_id",
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))
+        .select("doc_id", "source")
+    },
+
     // ---- q82: TF-IDF top terms per document (sparse postings -> df join
     // -> rounded score -> per-doc top-5). round(_, 6) on the score because
     // ln is not bitwise-portable across engines (measured: Java Math.log

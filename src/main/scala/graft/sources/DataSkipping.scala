@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index — the Delta/Iceberg data-skipping
+  * pattern expressed over plain parquet: after a CLUSTERED write
+  * ([[Warehouse.writeZOrdered]] / `repartitionByRange` + local sort makes
+  * per-file value ranges tight and disjoint), one scan derives per-file
+  * [min, max] for the skip columns; a range read then consults the stats
+  * table and lists ONLY files whose range intersects the predicate.
+  *
+  * Partition pruning skips directories; this skips FILES within them on
+  * non-partition columns — the second pruning tier a 100 TB table needs
+  * (a day's partition is still thousands of files). The matched file
+  * list is collected on the driver — bounded by file count, exactly how
+  * Delta consults its transaction-log stats driver-side before listing.
+  * The stats scan pays one pass at index-build time; every subsequent
+  * range read pays only the matched files.
+  */
+object DataSkipping {
+
+  /** One row per parquet file under `path`: (file, rows, min_<c>/max_<c>
+    * per skip column). Persist the result as a warehouse table and
+    * refresh it incrementally on append (new files only — stats of
+    * existing files never change). */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one skip column")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose [min_c, max_c] intersects [lo, hi], then
+    * apply the EXACT predicate (the stats prune admits a superset — a
+    * file straddling the bound contributes its in-range rows only).
+    * Stats rows with a NULL min/max (all-null file) can hold no passing
+    * row and are skipped. No file matches → empty frame, full schema. */
+  def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
+                 column: String, lo: Any, hi: Any): DataFrame = {
+    val files = stats
+      .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val exact = col(column).between(lit(lo), lit(hi))
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(exact)
+  }
+}

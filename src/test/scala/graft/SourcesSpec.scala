@@ -474,4 +474,32 @@ class SourcesSpec extends SparkSpecBase {
         Check("a", count($"v"), _ > 0)))
     }
   }
+
+  test("DataSkipping: stats rows == files; pruned read skips files and " +
+      "matches the unpruned filter; empty range -> empty with schema") {
+    import graft.sources.DataSkipping
+    val path = tmp("skip_orders")
+    Tables.orders(spark, sf)
+      .repartitionByRange(8, $"o_totalprice")
+      .sortWithinPartitions("o_totalprice")
+      .write.mode("overwrite").parquet(path)
+    val all = spark.read.parquet(path)
+    val nFiles = all.inputFiles.length
+    val stats = DataSkipping.fileStats(spark, path, Seq("o_totalprice")).cache()
+    assert(stats.count() == nFiles)
+    // row counts in the stats must re-add to the table
+    assert(stats.agg(sum($"rows")).head.getLong(0) == all.count())
+    val pruned = DataSkipping.prunedRead(spark, path, stats,
+      "o_totalprice", 50000.0, 100000.0)
+    // the clustered layout makes most files non-intersecting — the read
+    // must actually skip them, not list the directory
+    assert(pruned.inputFiles.length < nFiles && pruned.inputFiles.nonEmpty)
+    val expect = all.filter($"o_totalprice".between(50000.0, 100000.0))
+    assert(pruned.count() == expect.count() && expect.count() > 0)
+    assert(pruned.exceptAll(expect).isEmpty && expect.exceptAll(pruned).isEmpty)
+    // a range no file can hold -> empty result, full schema preserved
+    val none = DataSkipping.prunedRead(spark, path, stats,
+      "o_totalprice", -2.0, -1.0)
+    assert(none.count() == 0 && none.columns.sameElements(all.columns))
+  }
 }

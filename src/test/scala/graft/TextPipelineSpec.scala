@@ -774,4 +774,32 @@ class TextPipelineSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan.take(500))
   }
+
+  test("Mixing.matchTargetMix: quotas follow the target exactly; binding " +
+      "domain keeps all; off-target domains dropped; deterministic order") {
+    import graft.llm.Mixing
+    val rows = (1 to 8).map(i => (i.toLong, "a")) ++
+      (11 to 14).map(i => (i.toLong, "b")) ++
+      (21 to 24).map(i => (i.toLong, "c")) ++
+      (31 to 33).map(i => (i.toLong, "zz"))   // not in the target mix
+    val df = rows.toDF("doc_id", "domain")
+    // shares 0.5/0.3/0.2 over counts 8/4/4: scale = min(16, 13.33, 20)
+    // = 13.33 -> quotas floor(6.67)=6, floor(4.0)=4, floor(2.67)=2
+    val kept = Mixing.matchTargetMix(df, "domain", "doc_id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val byDom = kept.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom == Map("a" -> 6L, "b" -> 4L, "c" -> 2L))
+    // the kept 'c' docs are the 2 smallest by md5 order — deterministic
+    val cKept = kept.filter($"domain" === "c").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val cExpect = (21 to 24).map(_.toLong)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .take(2).toSet
+    assert(cKept == cExpect)
+    // a share domain with no rows is refused, not silently zeroed
+    intercept[IllegalArgumentException] {
+      Mixing.matchTargetMix(df, "domain", "doc_id", Map("a" -> 0.5, "nope" -> 0.5))
+    }
+  }
 }
