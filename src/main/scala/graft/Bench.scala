@@ -72,7 +72,9 @@ object Bench {
     "q157_dq_constraints",      // Deequ-style constraint suite (one agg pass)
     "q158_quantile_rollup",     // histogram-sketch quantiles riding the IVM state
     "q159_data_skipping",       // file-level min/max stats prune (clustered write)
-    "q160_target_mix"           // exact target-mixture resample (grouped rank)
+    "q160_target_mix",          // exact target-mixture resample (grouped rank)
+    "q161_scd2_pit_lookup",     // point-in-time SCD2 version join
+    "q162_stratified_kfold"     // exact-balance stratified fold assignment
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -128,7 +130,8 @@ object Bench {
     // lifecycle-audit rows measured r10 (min-of-3, clean window)
     "q155_cdc_apply" -> 0.64, "q156_snapshot_diff" -> 0.54,
     "q157_dq_constraints" -> 0.96, "q158_quantile_rollup" -> 0.42,
-    "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80)
+    "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80,
+    "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

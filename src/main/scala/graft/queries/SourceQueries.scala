@@ -1112,6 +1112,60 @@ object SourceQueries {
       DataSkipping.prunedRead(s, path, stats, "o_totalprice", 50000.0, 150000.0)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q161: POINT-IN-TIME SCD2 LOOKUP — facts enriched with the
+    // dimension version valid AT THE FACT'S TIMESTAMP (the join a
+    // current-state dimension gets wrong for every backdated row): a
+    // deterministic two-version history (every 7th customer was LEGACY
+    // until 1997) joined to orders at o_orderdate — pre-1997 orders of
+    // those customers resolve to the old version, discriminating the
+    // validity predicate in both directions. One 1:few key join.
+    QueryDef.sql("q161_scd2_pit_lookup",
+      """WITH hist AS (
+        |  SELECT c_custkey, 'LEGACY' AS segment,
+        |         TIMESTAMP '1990-01-01' AS valid_from,
+        |         TIMESTAMP '1997-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, TIMESTAMP '1997-01-01', NULL
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, TIMESTAMP '1990-01-01', NULL
+        |  FROM customer WHERE c_custkey % 7 <> 0)
+        |SELECT o.o_orderkey, h.segment
+        |FROM orders o LEFT JOIN hist h ON o.o_custkey = h.c_custkey
+        |  AND o.o_orderdate >= h.valid_from
+        |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val sev = col("c_custkey") % 7 === 0
+      def ver(f: org.apache.spark.sql.DataFrame,
+              seg: org.apache.spark.sql.Column, from: String, to: Option[String]) =
+        f.select(col("c_custkey"), seg.as("segment"),
+          lit(from).cast("timestamp").as("valid_from"),
+          to.map(lit(_)).getOrElse(lit(null)).cast("timestamp").as("valid_to"))
+      val hist = ver(c.filter(sev), lit("LEGACY"), "1990-01-01", Some("1997-01-01"))
+        .unionByName(ver(c.filter(sev), col("c_mktsegment"), "1997-01-01", None))
+        .unionByName(ver(c.filter(!sev), col("c_mktsegment"), "1990-01-01", None))
+      Warehouse.scd2Lookup(Tables.orders(s, dir), hist,
+          "o_custkey", "c_custkey", "o_orderdate", Seq("segment"))
+        .select("o_orderkey", "segment")
+    },
+
+    // ---- q162: STRATIFIED K-FOLD ASSIGNMENT — every language's docs
+    // spread across 5 folds with sizes differing by at most one (exact
+    // balance; hash%k is only binomially balanced), fold = (md5-order
+    // rank − 1) mod k via the skew-safe grouped rank. Membership-
+    // sensitive oracle: the full (doc_id, lang, fold) assignment.
+    QueryDef.sql("q162_stratified_kfold",
+      """SELECT doc_id, lang,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS INTEGER)
+        |    AS fold
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedKFold(
+          Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 5)
+        .select("doc_id", "lang", "fold")
     }
   )
 }

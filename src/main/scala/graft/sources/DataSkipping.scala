@@ -22,15 +22,32 @@ object DataSkipping {
 
   /** One row per parquet file under `path`: (file, rows, min_<c>/max_<c>
     * per skip column). Persist the result as a warehouse table and
-    * refresh it incrementally on append (new files only — stats of
-    * existing files never change). */
-  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    * refresh it incrementally on append with [[refreshStats]] (new files
+    * only — stats of existing files never change). */
+  def fileStats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(path), cols)
+
+  private def statsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one skip column")
     val aggs = count(lit(1)).as("rows") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
+    df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Incremental index refresh after an append: a parquet file is
+    * immutable, so only files absent from `prev` are scanned (set
+    * difference of the driver-side listings — the same bounded artifact
+    * as the prune itself) and their stats union onto the prior index:
+    * refreshStats == fileStats over the whole directory, at the cost of
+    * the new files only. `cols` must match the columns `prev` was built
+    * with (the union is by name and fails loudly otherwise). */
+  def refreshStats(spark: SparkSession, path: String, prev: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    val known = prev.select("file").collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(path).inputFiles.filterNot(known)
+    if (fresh.isEmpty) prev
+    else prev.unionByName(statsOf(spark.read.parquet(fresh.toIndexedSeq: _*), cols))
   }
 
   /** Read only the files whose [min_c, max_c] intersects [lo, hi], then

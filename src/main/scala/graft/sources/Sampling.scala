@@ -67,6 +67,23 @@ object Sampling {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
+  /** Stratified k-fold assignment: fold = (md5-order rank within the
+    * stratum − 1) mod k, so every stratum's rows spread across the k
+    * folds with sizes differing by AT MOST ONE (exact balance — hash%k
+    * folds are only binomially balanced), deterministic and
+    * engine-replayable. Ranked with the skew-safe grouped rank
+    * ([[graft.operators.Ranks.groupedRowNumber]] — a PARTITION BY
+    * stratum window serializes on the dominant class at scale). The
+    * cross-validation / sharded-eval split builder. */
+  def stratifiedKFold(df: DataFrame, stratumCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    graft.operators.Ranks.groupedRowNumber(df, Seq(stratumCol),
+        Seq(md5(col(idCol).cast("string").cast("binary")), col(idCol)), "__rnk")
+      .withColumn("fold", ((col("__rnk") - 1) % k).cast("int"))
+      .drop("__rnk")
+  }
+
   /** T5, weighted: deterministic weight-proportional top-k — the "sample
     * ∝ quality" corpus downsample, without an RNG. Each row enters a
     * ticket race with `w` tickets (w = its integer weight clamped to

@@ -235,4 +235,29 @@ object Warehouse {
         lit(true).as("is_current")): _*)
     hist.unionByName(carried).unionByName(closed).unionByName(fresh)
   }
+
+  /** Point-in-time (PIT) lookup against an SCD2 history: each fact row is
+    * enriched with the dimension VERSION valid at its timestamp —
+    * `valid_from <= ts < valid_to`, with the open-ended current version
+    * carrying a NULL `valid_to`. The "what segment was this customer in
+    * WHEN they ordered" join that a current-state dimension silently gets
+    * wrong for every backdated fact.
+    *
+    * Plan shape: one equi-join on the key with the validity bounds as a
+    * residual condition — an SCD2 key has FEW versions (bounded by its
+    * change count), so the 1:few key join is the right plan; an interval/
+    * as-of join ([[graft.operators.RangeJoin]]) is only warranted when
+    * versions per key are unbounded. Facts with no covering version
+    * (pre-history) keep NULL attributes. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, tsCol: String,
+                 attrCols: Seq[String]): DataFrame = {
+    val d = dim.select((dimKey +: attrCols) :+ "valid_from" :+ "valid_to" map col: _*)
+    facts.join(d,
+        facts(factKey) === d(dimKey) &&
+          facts(tsCol) >= d("valid_from") &&
+          (d("valid_to").isNull || facts(tsCol) < d("valid_to")),
+        "left")
+      .drop(d(dimKey)).drop("valid_from", "valid_to")
+  }
 }

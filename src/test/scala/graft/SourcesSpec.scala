@@ -502,4 +502,64 @@ class SourcesSpec extends SparkSpecBase {
       "o_totalprice", -2.0, -1.0)
     assert(none.count() == 0 && none.columns.sameElements(all.columns))
   }
+
+  test("scd2Lookup: backdated facts hit the old version; boundaries " +
+      "from-inclusive/to-exclusive; pre-history facts keep NULL") {
+    val hist = Seq(
+      (1L, "OLD", "2020-01-01 00:00:00", "2022-01-01 00:00:00"),
+      (1L, "NEW", "2022-01-01 00:00:00", null),
+      (2L, "ONLY", "2021-01-01 00:00:00", null)
+    ).toDF("k", "segment", "f", "t")
+      .select($"k", $"segment", $"f".cast("timestamp").as("valid_from"),
+        $"t".cast("timestamp").as("valid_to"))
+    val facts = Seq(
+      (10L, 1L, "2021-06-01 00:00:00"),  // inside OLD
+      (11L, 1L, "2022-01-01 00:00:00"),  // boundary: from-inclusive -> NEW
+      (12L, 1L, "2019-12-31 23:59:59"),  // pre-history -> NULL
+      (13L, 2L, "2023-01-01 00:00:00"),  // open-ended current
+      (14L, 9L, "2023-01-01 00:00:00")   // unknown key -> NULL
+    ).toDF("fid", "k", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    val got = Warehouse.scd2Lookup(facts, hist, "k", "k", "ts", Seq("segment"))
+      .select("fid", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> "OLD", 11L -> "NEW", 12L -> null,
+      13L -> "ONLY", 14L -> null))
+  }
+
+  test("DataSkipping.refreshStats scans only new files and equals a full " +
+      "rebuild; no new files is a no-op") {
+    import graft.sources.DataSkipping
+    val path = tmp("skip_refresh")
+    val o = Tables.orders(spark, sf)
+    o.filter($"o_orderkey" % 2 === 0).repartition(3)
+      .write.mode("overwrite").parquet(path)
+    val stats1 = DataSkipping.fileStats(spark, path, Seq("o_totalprice"))
+      .localCheckpoint()  // freeze: stats built BEFORE the append
+    o.filter($"o_orderkey" % 2 === 1).repartition(2)
+      .write.mode("append").parquet(path)
+    val refreshed = DataSkipping.refreshStats(spark, path, stats1, Seq("o_totalprice"))
+    val full = DataSkipping.fileStats(spark, path, Seq("o_totalprice"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+    assert(canon(refreshed) == canon(full) && full.count() == 5)
+    // idempotent: nothing new -> the same frame comes back
+    assert(DataSkipping.refreshStats(spark, path, refreshed, Seq("o_totalprice"))
+      eq refreshed)
+  }
+
+  test("stratifiedKFold: per-stratum fold sizes differ by at most one; " +
+      "assignment deterministic under repartitioning") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val folds = Sampling.stratifiedKFold(docs, "lang", "doc_id", 5)
+    val sizes = folds.groupBy("lang", "fold").count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2))).toMap
+    sizes.foreach { case (lang, ns) =>
+      assert(ns.max - ns.min <= 1, s"$lang: ${ns.toSeq.sorted}")
+    }
+    assert(folds.select("fold").distinct().count() == 5)
+    val again = Sampling.stratifiedKFold(docs.repartition(13), "lang", "doc_id", 5)
+    assert(folds.select("doc_id", "fold").collect().toSet ==
+      again.select("doc_id", "fold").collect().toSet)
+  }
 }
