@@ -74,7 +74,9 @@ object Bench {
     "q159_data_skipping",       // file-level min/max stats prune (clustered write)
     "q160_target_mix",          // exact target-mixture resample (grouped rank)
     "q161_scd2_pit_lookup",     // point-in-time SCD2 version join
-    "q162_stratified_kfold"     // exact-balance stratified fold assignment
+    "q162_stratified_kfold",    // exact-balance stratified fold assignment
+    "q163_soft_deletes",        // merge-on-read deletion sidecar + compaction
+    "q164_bucketed_join"        // co-located bucketed join round trip
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -131,7 +133,9 @@ object Bench {
     "q155_cdc_apply" -> 0.64, "q156_snapshot_diff" -> 0.54,
     "q157_dq_constraints" -> 0.96, "q158_quantile_rollup" -> 0.42,
     "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80,
-    "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82)
+    "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82,
+    // write-heavy round trips (the bucketed/MoR table writes ARE the cost)
+    "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

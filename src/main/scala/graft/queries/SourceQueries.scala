@@ -1166,6 +1166,69 @@ object SourceQueries {
       Sampling.stratifiedKFold(
           Tables.documents(s, dir).select("doc_id", "lang"), "lang", "doc_id", 5)
         .select("doc_id", "lang", "fold")
+    },
+
+    // ---- q163: MERGE-ON-READ SOFT DELETES — the deletion-vector
+    // pattern: two delete batches land as sidecar keyset APPENDS (O(keys),
+    // no rewrite), reads anti-join the sidecar, and the maintenance pass
+    // folds it into a staged rewrite. The gate aggregates BOTH stages —
+    // through the MoR read before compaction and through the plain table
+    // after — so a sidecar miss, a lost innocent row, or a compaction
+    // that resurrects deletes all fail value compare.
+    QueryDef.sql("q163_soft_deletes",
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 7),
+         |a AS (SELECT 'mor' AS stage, o_orderpriority, COUNT(*) AS orders,
+         |        ${dsumSql("o_totalprice")} AS revenue
+         |      FROM base GROUP BY 2),
+         |b AS (SELECT 'compacted' AS stage, o_orderpriority, COUNT(*) AS orders,
+         |        ${dsumSql("o_totalprice")} AS revenue
+         |      FROM base GROUP BY 2)
+         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      val o = Tables.orders(s, dir)
+      // clean-slate the sidecar: a stale keyset from a previous run in
+      // this catalog would delete rows of the fresh table
+      s.sql("DROP TABLE IF EXISTS graft_wh.orders_mor_deletes")
+      Warehouse.overwriteTable(o, "graft_wh.orders_mor")
+      Warehouse.softDeleteKeys(s, "graft_wh.orders_mor", "o_orderkey",
+        o.filter(col("o_orderkey") % 20 === 7).select("o_orderkey"))
+      Warehouse.softDeleteKeys(s, "graft_wh.orders_mor", "o_orderkey",
+        o.filter(col("o_orderkey") % 20 === 17).select("o_orderkey"))
+      def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(stage).as("stage"), col("o_orderpriority"),
+            col("orders"), col("revenue"))
+      // the MoR stage must materialize BEFORE compaction mutates the table
+      val mor = agg(Warehouse.readWithDeletes(s, "graft_wh.orders_mor",
+        "o_orderkey"), "mor").localCheckpoint()
+      Warehouse.compactDeletes(s, "graft_wh.orders_mor", "o_orderkey")
+      mor.unionByName(agg(s.table("graft_wh.orders_mor"), "compacted"))
+    },
+
+    // ---- q164: BUCKETED CO-LOCATED JOIN — orders and lineitem written
+    // bucketed on the order key join through storage with no shuffle of
+    // either side (the plan gate lives in SourcesSpec; this gate proves
+    // the bucketed round trip preserves the JOIN ANSWER — a bucket-
+    // misassignment would drop or duplicate matches).
+    QueryDef.sql("q164_bucketed_join",
+      s"""SELECT o.o_orderpriority, COUNT(*) AS line_rows,
+         |  SUM(l.l_quantity) AS total_qty,
+         |  ${dsumSql("o.o_totalprice")} AS revenue
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      Warehouse.writeBucketed(Tables.orders(s, dir),
+        "graft_wh.orders_bk", "o_orderkey", 8)
+      Warehouse.writeBucketed(
+        Tables.lineitem(s, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "graft_wh.lineitem_bk", "o_orderkey", 8)
+      s.table("graft_wh.orders_bk")
+        .join(s.table("graft_wh.lineitem_bk"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("line_rows"),
+          sum(col("l_quantity")).as("total_qty"),
+          dsum(col("o_totalprice")).as("revenue"))
     }
   )
 }

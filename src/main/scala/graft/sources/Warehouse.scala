@@ -236,6 +236,53 @@ object Warehouse {
     hist.unionByName(carried).unionByName(closed).unionByName(fresh)
   }
 
+  /** Merge-on-read keyed deletes — the Delta/Iceberg DELETION-VECTOR
+    * pattern at key granularity, the other half of the delete story
+    * beside [[forgetKeys]] (copy-on-write): a routine delete only needs
+    * to DISAPPEAR, so it lands as a tiny sidecar keyset
+    * (`<table>_deletes`) in O(deleted keys); readers anti-join the
+    * sidecar ([[readWithDeletes]], broadcast — small by contract) and the
+    * periodic maintenance pass folds it into a rewrite
+    * ([[compactDeletes]]). At 100 TB this turns every routine DELETE from
+    * a partition rewrite into an append. Idempotent: re-deleting a key
+    * appends a duplicate the anti-join doesn't care about and compaction
+    * clears. */
+  def softDeleteKeys(spark: SparkSession, table: String, keyCol: String,
+                     keys: DataFrame): Unit = {
+    val sidecar = s"${table}_deletes"
+    val k = keys.select(col(keyCol)).distinct()
+    if (spark.catalog.tableExists(sidecar)) k.write.mode("append").insertInto(sidecar)
+    else { clearTable(k, sidecar); k.write.saveAsTable(sidecar) }
+  }
+
+  /** Read `table` with its delete sidecar applied (no sidecar = plain
+    * read). One broadcast anti-join — the merge-on-read cost every
+    * query pays until [[compactDeletes]] folds it away. */
+  def readWithDeletes(spark: SparkSession, table: String,
+                      keyCol: String): DataFrame = {
+    val base = spark.table(table)
+    val sidecar = s"${table}_deletes"
+    if (!spark.catalog.tableExists(sidecar)) base
+    else base.join(
+      org.apache.spark.sql.functions.broadcast(spark.table(sidecar)),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Maintenance: fold the delete sidecar into a physical rewrite and
+    * drop it — subsequent reads pay no anti-join. The rewrite STAGES to
+    * a scratch table first (disk-backed, any size): a direct
+    * self-overwrite would drop the table and then try to read the files
+    * it just deleted. */
+  def compactDeletes(spark: SparkSession, table: String, keyCol: String): Unit = {
+    val sidecar = s"${table}_deletes"
+    if (!spark.catalog.tableExists(sidecar)) return
+    val staging = s"${table}_compacting"
+    overwriteTable(readWithDeletes(spark, table, keyCol), staging)
+    overwriteTable(spark.table(staging), table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $sidecar")
+  }
+
   /** Point-in-time (PIT) lookup against an SCD2 history: each fact row is
     * enriched with the dimension VERSION valid at its timestamp —
     * `valid_from <= ts < valid_to`, with the open-ended current version

@@ -562,4 +562,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(folds.select("doc_id", "fold").collect().toSet ==
       again.select("doc_id", "fold").collect().toSet)
   }
+
+  test("soft deletes: sidecar append leaves table files untouched; MoR " +
+      "read excludes; compaction folds physically and drops the sidecar") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.mor_t_deletes")
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    Warehouse.overwriteTable(rows, "graft_test.mor_t")
+    def tableFiles = spark.table("graft_test.mor_t").inputFiles.toSet
+    val before = tableFiles
+    Warehouse.softDeleteKeys(spark, "graft_test.mor_t", "k", Seq(2L).toDF("k"))
+    Warehouse.softDeleteKeys(spark, "graft_test.mor_t", "k", Seq(4L, 2L).toDF("k"))
+    assert(tableFiles == before, "soft delete must not touch table files")
+    val mor = Warehouse.readWithDeletes(spark, "graft_test.mor_t", "k")
+    assert(mor.select("k").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    Warehouse.compactDeletes(spark, "graft_test.mor_t", "k")
+    assert(!spark.catalog.tableExists("graft_test.mor_t_deletes"))
+    // post-compaction: plain read already excludes; MoR read is a no-op path
+    assert(spark.table("graft_test.mor_t").select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Warehouse.readWithDeletes(spark, "graft_test.mor_t", "k").count() == 2)
+    // compaction with no sidecar is a no-op (files untouched)
+    val afterCompact = tableFiles
+    Warehouse.compactDeletes(spark, "graft_test.mor_t", "k")
+    assert(tableFiles == afterCompact)
+  }
 }
