@@ -76,7 +76,9 @@ object Bench {
     "q161_scd2_pit_lookup",     // point-in-time SCD2 version join
     "q162_stratified_kfold",    // exact-balance stratified fold assignment
     "q163_soft_deletes",        // merge-on-read deletion sidecar + compaction
-    "q164_bucketed_join"        // co-located bucketed join round trip
+    "q164_bucketed_join",       // co-located bucketed join round trip
+    "q165_time_travel",         // versioned snapshot commits + old-version read
+    "q166_dq_quarantine"        // row-level expectation routing (one projection)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -135,7 +137,8 @@ object Bench {
     "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80,
     "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82,
     // write-heavy round trips (the bucketed/MoR table writes ARE the cost)
-    "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86)
+    "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86,
+    "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

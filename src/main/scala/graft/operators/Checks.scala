@@ -39,4 +39,29 @@ object Checks {
       .select(col("__r.check").as("check"), col("__r.metric").as("metric"),
         col("__r.passed").as("passed"))
   }
+
+  /** Row-level expectations (the DLT-expectations / Deequ row-routing
+    * half of the suite, where [[report]] is the dataset-level half): adds
+    * `failed_rules` — the ordered comma-joined names of every rule the
+    * row violates, "" when the row is clean. A pure codegen'd projection;
+    * route with `filter(failed_rules === "")` / its negation and the scan
+    * is still read once per branch with no shuffle. */
+  def withViolations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate rule names: $names")
+    // a rule whose predicate is NULL (e.g. comparing a NULL column) did
+    // NOT pass — coalesce to a violation, the conservative routing
+    df.withColumn("failed_rules", concat_ws(",",
+      rules.map { case (n, ok) => when(!coalesce(ok, lit(false)), lit(n)) }: _*))
+  }
+
+  /** Split into (valid, quarantined) on the [[withViolations]] marker —
+    * the ingest-gate shape: clean rows continue, violators land in a
+    * reject table with their reasons attached. */
+  def routeInvalid(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val marked = withViolations(df, rules)
+    (marked.filter(col("failed_rules") === lit("")).drop("failed_rules"),
+      marked.filter(col("failed_rules") =!= lit("")))
+  }
 }

@@ -1229,6 +1229,88 @@ object SourceQueries {
         .agg(count(lit(1)).as("line_rows"),
           sum(col("l_quantity")).as("total_qty"),
           dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q165: VERSIONED SNAPSHOTS / TIME TRAVEL — two immutable
+    // commits (_SUCCESS-gated v= directories; the Iceberg snapshot idea
+    // over plain parquet), then BOTH versions aggregated through
+    // Versioned.read: yesterday's numbers stay reproducible after
+    // today's load (the reference's in-place to_sql replace loses them).
+    // A reader racing a commit resolves its version first — snapshot
+    // isolation by immutability (spec-pinned).
+    QueryDef.sql("q165_time_travel",
+      s"""WITH v2 AS (SELECT o_orderkey, o_orderpriority,
+         |    CASE WHEN o_orderkey % 11 = 2 THEN o_totalprice + 5.0
+         |         ELSE o_totalprice END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 10 <> 3),
+         |a AS (SELECT 1 AS version, o_orderpriority, COUNT(*) AS orders,
+         |        ${dsumSql("o_totalprice")} AS revenue
+         |      FROM orders GROUP BY 2),
+         |b AS (SELECT 2 AS version, o_orderpriority, COUNT(*) AS orders,
+         |        ${dsumSql("o_totalprice")} AS revenue
+         |      FROM v2 GROUP BY 2)
+         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin) { (s, dir) =>
+      import graft.sources.Versioned
+      val root = scratch("q165_versions")
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val v1 = Versioned.commit(o, root)
+      val v2 = Versioned.commit(
+        o.filter(col("o_orderkey") % 10 =!= 3)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 2, col("o_totalprice") + 5.0)
+              .otherwise(col("o_totalprice"))),
+        root)
+      def agg(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(v).as("version"), col("o_orderpriority"),
+            col("orders"), col("revenue"))
+      agg(Versioned.read(s, root, v1), v1)
+        .unionByName(agg(Versioned.read(s, root), v2)) // default = latest
+    },
+
+    // ---- q166: ROW-LEVEL EXPECTATION ROUTING — the DLT-expectations /
+    // quarantine-table ingest gate (q157 is the dataset-level half): a
+    // deterministically corrupted orders copy is split into valid rows
+    // and a reject route carrying the ORDERED failed-rule list; a
+    // null-custkey row fails two rules at once (the NULL-predicate
+    // coalesce path), so multi-rule strings are exercised by
+    // construction. One codegen'd projection, no shuffle before the agg.
+    QueryDef.sql("q166_dq_quarantine",
+      """WITH corrupt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 5 THEN NULL ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 3 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 83 = 11 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |m AS (SELECT *, CONCAT_WS(',',
+        |    CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, false) THEN 'custkey_present' END,
+        |    CASE WHEN NOT COALESCE(o_custkey < 1000000000, false) THEN 'custkey_in_range' END,
+        |    CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), false) THEN 'status_valid' END,
+        |    CASE WHEN NOT COALESCE(o_totalprice >= 0, false) THEN 'price_non_negative' END
+        |  ) AS failed_rules FROM corrupt)
+        |SELECT failed_rules, COUNT(*) AS n_rows
+        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+      val corrupt = Tables.orders(s, dir).select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 5, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 89 === 3, lit("Z"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 83 === 11, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val rules = Seq(
+        "custkey_present" -> col("o_custkey").isNotNull,
+        "custkey_in_range" -> (col("o_custkey") < 1000000000L),
+        "status_valid" -> col("o_orderstatus").isin("O", "F", "P"),
+        "price_non_negative" -> (col("o_totalprice") >= 0))
+      val (valid, quarantined) = Checks.routeInvalid(corrupt, rules)
+      valid.agg(count(lit(1)).as("n_rows"))
+        .select(lit("").as("failed_rules"), col("n_rows"))
+        .unionByName(quarantined.groupBy("failed_rules")
+          .agg(count(lit(1)).as("n_rows")))
     }
   )
 }

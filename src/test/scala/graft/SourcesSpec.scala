@@ -587,4 +587,54 @@ class SourcesSpec extends SparkSpecBase {
     Warehouse.compactDeletes(spark, "graft_test.mor_t", "k")
     assert(tableFiles == afterCompact)
   }
+
+  test("Versioned: commits are immutable and _SUCCESS-gated; time travel " +
+      "reads old versions; expire keeps the newest") {
+    import graft.sources.Versioned
+    import org.apache.hadoop.fs.Path
+    val root = tmp("versioned_t")
+    val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new Path(root), true)
+    val v1 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val v2 = Versioned.commit(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root)
+    assert(v1 == 1 && v2 == 2 && Versioned.versions(spark, root) == Seq(1, 2))
+    // time travel: v1 unchanged after the v2 commit
+    assert(Versioned.read(spark, root, v1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a"), (2L, "b")))
+    assert(Versioned.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (3L, "c")))
+    // a directory without _SUCCESS (a torn commit) is invisible
+    fsys.mkdirs(new Path(s"$root/v=3"))
+    assert(Versioned.latestVersion(spark, root).contains(2))
+    intercept[IllegalArgumentException] { Versioned.read(spark, root, 3) }
+    fsys.delete(new Path(s"$root/v=3"), true)
+    // expire: oldest goes, newest stays readable
+    assert(Versioned.expireBefore(spark, root, keep = 1) == 1)
+    assert(Versioned.versions(spark, root) == Seq(2))
+    intercept[IllegalArgumentException] { Versioned.read(spark, root, v1) }
+  }
+
+  test("Checks.routeInvalid: ordered multi-rule reasons; NULL predicate " +
+      "quarantines; valid branch drops the marker") {
+    import graft.operators.Checks
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(10L), 5.0),   // clean
+      (2L, null.asInstanceOf[java.lang.Long], 5.0),  // fails presence AND range (NULL predicate)
+      (3L, java.lang.Long.valueOf(10L), -1.0),  // fails price only
+      (4L, null.asInstanceOf[java.lang.Long], -2.0)  // fails all three
+    ).toDF("k", "ck", "price")
+    val rules = Seq(
+      "present" -> $"ck".isNotNull,
+      "in_range" -> ($"ck" < 100L),
+      "non_negative" -> ($"price" >= 0))
+    val (valid, bad) = Checks.routeInvalid(df, rules)
+    assert(valid.columns.toSeq == Seq("k", "ck", "price"))
+    assert(valid.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val reasons = bad.select("k", "failed_rules").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons == Map(
+      2L -> "present,in_range",
+      3L -> "non_negative",
+      4L -> "present,in_range,non_negative"))
+  }
 }
