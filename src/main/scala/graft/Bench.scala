@@ -78,7 +78,9 @@ object Bench {
     "q163_soft_deletes",        // merge-on-read deletion sidecar + compaction
     "q164_bucketed_join",       // co-located bucketed join round trip
     "q165_time_travel",         // versioned snapshot commits + old-version read
-    "q166_dq_quarantine"        // row-level expectation routing (one projection)
+    "q166_dq_quarantine",       // row-level expectation routing (one projection)
+    "q167_cdc_to_scd2",         // CDC feed compiled to full SCD2 history
+    "q168_clustered_compaction" // cluster-preserving compaction + stats prune
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -138,7 +140,8 @@ object Bench {
     "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82,
     // write-heavy round trips (the bucketed/MoR table writes ARE the cost)
     "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86,
-    "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29)
+    "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29,
+    "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,6 +50,31 @@ object Cdc {
         col(s"__last.$tsCol").as(tsCol): _*)
   }
 
+  /** Build the FULL SCD2 history from a CDC log (the dbt-snapshot /
+    * warehouse-history move, where [[applyLog]] keeps only current
+    * state): every I/U event opens a version at its `tsCol`; the version
+    * closes at the key's NEXT event of any kind (so a delete closes the
+    * prior version and opens none); open-ended versions are flagged
+    * `is_current`. Ready for [[graft.sources.Warehouse.scd2Lookup]].
+    *
+    * Plan shape: one window per key ordered by (ts, seq) — rows per key
+    * = the key's change count, the same bounded-fanout argument as
+    * scd2Lookup; the lead() is computed BEFORE deletes are dropped,
+    * which is what closes a deleted key's last version. */
+  def historyFrom(log: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+                  tsCol: String = "ts", seqCol: String = "seq",
+                  opCol: String = "op"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol).cast("long"))
+    log.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= lit("D"))
+      .select(keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+        col(tsCol).as("valid_from"),
+        col("__next_ts").as("valid_to"),
+        col("__next_ts").isNull.as("is_current")): _*)
+  }
+
   /** Incremental nightly merge: apply a new CDC slice on top of a
     * previously-applied state. State rows re-enter as `op = "I"` events at
     * their stored `tsCol` with `seq = Long.MinValue`, so any genuinely

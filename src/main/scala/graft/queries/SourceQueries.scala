@@ -31,6 +31,48 @@ object SourceQueries {
     .add("p_brand", StringType).add("p_type", StringType)
     .add("p_size", IntegerType).add("p_retailprice", DoubleType)
 
+  /** Shared q155/q167 CDC-feed synthesis (oracle side): insert per order,
+    * +10.0 update at +5 days for key%3==0, a SECOND same-ts update for
+    * key%9==0 (seq tie-break), delete at +30 days for key%10==7. */
+  private val cdcLogSql =
+    """
+      |  SELECT o_orderkey AS k, o_orderdate AS ts, 0 AS seq, 'I' AS op,
+      |         'NEW' AS status, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 1, 'U',
+      |         o_orderstatus, o_totalprice + 10.0
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 2, 'U',
+      |         'AUDIT', o_totalprice + 10.0
+      |  FROM orders WHERE o_orderkey % 9 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 3, 'D',
+      |         NULL, NULL
+      |  FROM orders WHERE o_orderkey % 10 = 7""".stripMargin
+
+  /** The same feed on the Spark side (shared by q155/q167). */
+  private def cdcLogOf(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables.orders(s, dir)
+    def ev(f: org.apache.spark.sql.DataFrame,
+           ts: org.apache.spark.sql.Column, seq: Int, op: String,
+           status: org.apache.spark.sql.Column,
+           price: org.apache.spark.sql.Column) =
+      f.select(col("o_orderkey"), ts.as("ts"), lit(seq).as("seq"),
+        lit(op).as("op"), status.cast("string").as("status"),
+        price.cast("double").as("price"))
+    val plus5 = col("o_orderdate") + expr("INTERVAL 5 DAYS")
+    ev(o, col("o_orderdate"), 0, "I", lit("NEW"), col("o_totalprice"))
+      .unionByName(ev(o.filter(col("o_orderkey") % 3 === 0), plus5, 1, "U",
+        col("o_orderstatus"), col("o_totalprice") + 10.0))
+      .unionByName(ev(o.filter(col("o_orderkey") % 9 === 0), plus5, 2, "U",
+        lit("AUDIT"), col("o_totalprice") + 10.0))
+      .unionByName(ev(o.filter(col("o_orderkey") % 10 === 7),
+        col("o_orderdate") + expr("INTERVAL 30 DAYS"), 3, "D",
+        lit(null), lit(null)))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- q102: fixed-k per-group deterministic sample — the balanced
@@ -885,45 +927,14 @@ object SourceQueries {
     // per-key sort — shuffle ∝ keys, not log length). The oracle replays
     // the same feed with ROW_NUMBER OVER (ORDER BY ts DESC, seq DESC).
     QueryDef.sql("q155_cdc_apply",
-      """WITH log AS (
-        |  SELECT o_orderkey AS k, o_orderdate AS ts, 0 AS seq, 'I' AS op,
-        |         'NEW' AS status, o_totalprice AS price FROM orders
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 1, 'U',
-        |         o_orderstatus, o_totalprice + 10.0
-        |  FROM orders WHERE o_orderkey % 3 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY, 2, 'U',
-        |         'AUDIT', o_totalprice + 10.0
-        |  FROM orders WHERE o_orderkey % 9 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 3, 'D',
-        |         NULL, NULL
-        |  FROM orders WHERE o_orderkey % 10 = 7
+      s"""WITH log AS ($cdcLogSql
         |), last AS (
         |  SELECT k, ts, op, status, price,
         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
         |  FROM log)
         |SELECT k AS o_orderkey, status, price, ts AS last_ts
         |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, dir) =>
-      val o = Tables.orders(s, dir)
-      def ev(f: org.apache.spark.sql.DataFrame,
-             ts: org.apache.spark.sql.Column, seq: Int, op: String,
-             status: org.apache.spark.sql.Column,
-             price: org.apache.spark.sql.Column) =
-        f.select(col("o_orderkey"), ts.as("ts"), lit(seq).as("seq"),
-          lit(op).as("op"), status.cast("string").as("status"),
-          price.cast("double").as("price"))
-      val plus5 = col("o_orderdate") + expr("INTERVAL 5 DAYS")
-      val log = ev(o, col("o_orderdate"), 0, "I", lit("NEW"), col("o_totalprice"))
-        .unionByName(ev(o.filter(col("o_orderkey") % 3 === 0), plus5, 1, "U",
-          col("o_orderstatus"), col("o_totalprice") + 10.0))
-        .unionByName(ev(o.filter(col("o_orderkey") % 9 === 0), plus5, 2, "U",
-          lit("AUDIT"), col("o_totalprice") + 10.0))
-        .unionByName(ev(o.filter(col("o_orderkey") % 10 === 7),
-          col("o_orderdate") + expr("INTERVAL 30 DAYS"), 3, "D",
-          lit(null), lit(null)))
-      Cdc.applyLog(log, Seq("o_orderkey"), Seq("status", "price"))
+      Cdc.applyLog(cdcLogOf(s, dir), Seq("o_orderkey"), Seq("status", "price"))
         .withColumnRenamed("ts", "last_ts")
     },
 
@@ -1311,6 +1322,52 @@ object SourceQueries {
         .select(lit("").as("failed_rules"), col("n_rows"))
         .unionByName(quarantined.groupBy("failed_rules")
           .agg(count(lit(1)).as("n_rows")))
+    },
+
+    // ---- q167: CDC FEED → SCD2 HISTORY — the dbt-snapshot move: the
+    // q155 feed compiled into the FULL version history (every I/U opens
+    // a version, the key's next event closes it, deletes close without
+    // opening — a deleted key's last version must NOT be current). One
+    // window per key over change-count-bounded rows; ready for the q161
+    // point-in-time lookup.
+    QueryDef.sql("q167_cdc_to_scd2",
+      s"""WITH log AS ($cdcLogSql
+         |), v AS (
+         |  SELECT k, ts, seq, op, status, price,
+         |    LEAD(ts) OVER (PARTITION BY k ORDER BY ts, seq) AS next_ts
+         |  FROM log)
+         |SELECT k AS o_orderkey, status, price, ts AS valid_from,
+         |  next_ts AS valid_to, next_ts IS NULL AS is_current
+         |FROM v WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+      Cdc.historyFrom(cdcLogOf(s, dir), Seq("o_orderkey"), Seq("status", "price"))
+        .select(col("o_orderkey"), col("status"), col("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    },
+
+    // ---- q168: CLUSTER-PRESERVING COMPACTION — 24 small UNORDERED
+    // appends (the streaming-ingest fragmentation pattern) compacted
+    // with compactClusteredPath, which restores tight per-file
+    // o_totalprice ranges — then the q159 stats index over the COMPACTED
+    // copy prunes a price band again (round-robin compaction would leave
+    // every file spanning the whole domain). The gate aggregates through
+    // the stats-pruned read of the compacted table; the oracle applies
+    // the band to the raw facts.
+    QueryDef.sql("q168_clustered_compaction",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders WHERE o_totalprice BETWEEN 200000.0 AND 300000.0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DataSkipping
+      val frag = scratch("q168_fragmented")
+      val compacted = scratch("q168_compacted")
+      val o = Tables.orders(s, dir)
+      o.repartition(24).write.mode("overwrite").parquet(frag)
+      Warehouse.compactClusteredPath(s, frag, compacted, "o_totalprice", 4)
+      val stats = DataSkipping.fileStats(s, compacted, Seq("o_totalprice"))
+      DataSkipping.prunedRead(s, compacted, stats, "o_totalprice",
+          200000.0, 300000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     }
   )
 }

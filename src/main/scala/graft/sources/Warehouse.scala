@@ -128,6 +128,21 @@ object Warehouse {
       .repartition(nFiles)
       .write.mode("overwrite").parquet(outPath)
 
+  /** Cluster-PRESERVING compaction: rewrite into `nFiles` files range-
+    * partitioned and locally sorted on `clusterCol` — unlike the
+    * round-robin [[compactPath]], which destroys any value clustering
+    * and with it every min/max skipping win ([[DataSkipping]]): after a
+    * stream of small unordered appends, this pass restores tight
+    * per-file ranges so the stats index prunes again. The OPTIMIZE +
+    * ZORDER maintenance combo at file-count granularity. */
+  def compactClusteredPath(spark: SparkSession, inPath: String,
+                           outPath: String, clusterCol: String,
+                           nFiles: Int): Unit =
+    spark.read.parquet(inPath)
+      .repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(outPath)
+
   /** Retention: drop every partition of `table` whose `partitionCol`
     * value fails `keep` — METADATA-ONLY (ALTER TABLE DROP PARTITION
     * deletes the directory; no surviving row is read or rewritten),

@@ -637,4 +637,60 @@ class SourcesSpec extends SparkSpecBase {
       3L -> "non_negative",
       4L -> "present,in_range,non_negative"))
   }
+
+  test("Cdc.historyFrom: versions chain per key; deletes close without " +
+      "opening; history is_current matches applyLog state") {
+    import graft.operators.Cdc
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+    val log = Seq(
+      (1L, t0, 0, "I", "a", 10.0), (1L, t1, 1, "U", "a2", 11.0),
+      (2L, t0, 0, "I", "b", 20.0), (2L, t2, 1, "D", null, 0.0),
+      (3L, t1, 0, "I", "c", 30.0)
+    ).toDF("k", "ts", "seq", "op", "status", "price")
+    val hist = Cdc.historyFrom(log, Seq("k"), Seq("status", "price"))
+    val rows = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5))).toSet
+    assert(rows == Set(
+      (1L, "a", t0, Some(t1), false),   // closed by its own update
+      (1L, "a2", t1, None, true),
+      (2L, "b", t0, Some(t2), false),   // closed by the DELETE, not current
+      (3L, "c", t1, None, true)))
+    // consistency: current history versions == applyLog state
+    val cur = hist.filter($"is_current").select("k", "status", "price")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val state = Cdc.applyLog(log, Seq("k"), Seq("status", "price"))
+      .select("k", "status", "price")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cur == state)
+    // history feeds the PIT lookup directly: key 2 resolves at t1, not after
+    val facts = Seq((100L, 2L, t1), (101L, 2L, t2)).toDF("fid", "k", "ts")
+    val pit = Warehouse.scd2Lookup(facts, hist, "k", "k", "ts", Seq("status"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(pit == Map(100L -> Some("b"), 101L -> None))
+  }
+
+  test("compactClusteredPath restores per-file ranges so stats pruning " +
+      "works again; round-robin compaction does not") {
+    import graft.sources.DataSkipping
+    val frag = tmp("frag_orders"); val clus = tmp("clus_orders")
+    val rr = tmp("rr_orders")
+    val o = Tables.orders(spark, sf)
+    o.repartition(16).write.mode("overwrite").parquet(frag)
+    Warehouse.compactClusteredPath(spark, frag, clus, "o_totalprice", 4)
+    Warehouse.compactPath(spark, frag, rr, 4)
+    // content preserved (multiset) through the clustered rewrite
+    val back = spark.read.parquet(clus)
+    assert(back.count() == o.count() &&
+      back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+    def prunedFiles(path: String) = {
+      val st = DataSkipping.fileStats(spark, path, Seq("o_totalprice"))
+      DataSkipping.prunedRead(spark, path, st, "o_totalprice",
+        0.0, 50000.0).inputFiles.length
+    }
+    // clustered: the low band lives in few files; round-robin: in ALL
+    assert(prunedFiles(clus) < 4, s"clustered read ${prunedFiles(clus)} files")
+    assert(prunedFiles(rr) == 4, "round-robin files all span the domain")
+  }
 }
