@@ -80,7 +80,9 @@ object Bench {
     "q165_time_travel",         // versioned snapshot commits + old-version read
     "q166_dq_quarantine",       // row-level expectation routing (one projection)
     "q167_cdc_to_scd2",         // CDC feed compiled to full SCD2 history
-    "q168_clustered_compaction" // cluster-preserving compaction + stats prune
+    "q168_clustered_compaction", // cluster-preserving compaction + stats prune
+    "q169_rolling_distinct",    // sliding 7-day distinct via HLL sketch merges
+    "q170_vocab_encode"         // frozen frequency-ranked vocab build + encode
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -141,7 +143,8 @@ object Bench {
     // write-heavy round trips (the bucketed/MoR table writes ARE the cost)
     "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86,
     "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29,
-    "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04)
+    "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04,
+    "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

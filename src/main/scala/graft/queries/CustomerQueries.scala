@@ -535,6 +535,41 @@ object CustomerQueries {
           to_date(date_trunc("DAY", col("ts"))).as("window_day"),
           col("event_type"))
         .agg(count(lit(1)).as("events"), dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q169: ROLLING 7-DAY DISTINCT USERS via HLL sketch merges —
+    // the sliding count-distinct a 100 TB event table cannot afford
+    // exactly (every window would rescan 7 days of raw events): daily
+    // user sketches are built ONCE, each day's window unions 7 of the
+    // 4 KB sketches. Join-free: each daily sketch EXPLODES to the ≤7
+    // window days it serves (sequence+explode — an equi-shaped plan, no
+    // range join), windows clamped to days present in data. Gate uses
+    // the q152 audit idiom: Spark emits the DuckDB-derivable
+    // (day, exact users_7d) row only where the merged-sketch estimate is
+    // within 5% of the exact windowed count — a merge or accuracy bug
+    // drops rows and fails rows_match.
+    QueryDef.sql("q169_rolling_distinct",
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM p),
+        |w AS (SELECT d.day, p.user_id
+        |      FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day)
+        |SELECT day, COUNT(DISTINCT user_id) AS users_7d
+        |FROM w GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Hll
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select("day").distinct()
+      def windowed(df: DataFrame) = df
+        .withColumn("d", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .join(broadcast(days.withColumnRenamed("day", "d")), Seq("d"), "left_semi")
+      val est = windowed(ev.groupBy("day").agg(Hll.sketch(col("user_id")).as("h")))
+        .groupBy("d").agg(Hll.union(col("h")).as("h"))
+        .select(col("d"), Hll.estimate(col("h")).as("est"))
+      val exact = windowed(ev.distinct())
+        .groupBy("d").agg(countDistinct(col("user_id")).as("users_7d"))
+      exact.join(est, Seq("d"))
+        .filter(abs(col("est") - col("users_7d")) <= lit(0.05) * col("users_7d"))
+        .select(col("d").as("day"), col("users_7d"))
     }
   )
 }

@@ -457,6 +457,42 @@ object TextQueries {
         .orderBy(desc("freq"), asc("term")).limit(100)
     },
 
+    // ---- q170: FROZEN VOCABULARY ENCODE — the deterministic
+    // StringIndexer / tokenizer-vocab build-then-apply: ids are global
+    // frequency ranks (count DESC, token ASC — engine-replayable where
+    // MLlib's tie order is partition-dependent) computed by the
+    // range-partitioned two-pass rank (a 1e8-token vocab under one
+    // window is a one-task sort), then the corpus re-encodes against
+    // the FROZEN table with id 0 = UNK. The gate re-encodes a corpus
+    // slice against a vocab built from the OTHER slice, so real OOV
+    // tokens exercise the UNK path; output is the per-doc (sum of ids,
+    // token count, unk count) — id-assignment-sensitive, order-free.
+    QueryDef.sql("q170_vocab_encode",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |ref AS (SELECT term, COUNT(*) AS n FROM tok
+         |        WHERE doc_id % 2 = 0 GROUP BY 1),
+         |v AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS id
+         |      FROM ref),
+         |enc AS (SELECT t.doc_id, COALESCE(v.id, 0) AS id
+         |        FROM tok t LEFT JOIN v ON t.term = v.term
+         |        WHERE t.doc_id % 2 = 1)
+         |SELECT doc_id, CAST(SUM(id) AS BIGINT) AS id_sum,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |FROM enc GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.llm.Vocab
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit(TextStats.bpeishPattern), lit(0))).as("term"))
+      val vocab = Vocab.build(tok.filter(col("doc_id") % 2 === 0), "term")
+      Vocab.encodeTokens(tok.filter(col("doc_id") % 2 === 1), "term",
+          vocab, "id")
+        .groupBy("doc_id")
+        .agg(sum(col("id")).as("id_sum"), count(lit(1)).as("n_tokens"),
+          sum(when(col("id") === 0, 1).otherwise(0)).cast("long").as("n_unk"))
+    },
+
     // ---- q101: incremental-ingestion dedup — the daily-batch shape:
     // docs < 250 are the already-curated corpus, the rest arrive as a new
     // batch; a batch doc survives iff its 64-char-fingerprint key (q41's

@@ -802,4 +802,22 @@ class TextPipelineSpec extends SparkSpecBase {
       Mixing.matchTargetMix(df, "domain", "doc_id", Map("a" -> 0.5, "nope" -> 0.5))
     }
   }
+
+  test("Vocab: ids are frequency ranks with deterministic ties; frozen " +
+      "encode maps OOV to UNK id 0") {
+    import graft.llm.Vocab
+    val toks = Seq("b", "a", "b", "c", "a", "b").map(Tuple1(_)).toDF("term")
+    val vocab = Vocab.build(toks, "term")
+    val ids = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // b(3) -> 1; a(2) -> 2; c(1) -> 3
+    assert(ids == Map("b" -> 1L, "a" -> 2L, "c" -> 3L))
+    // tie: equal counts rank by token asc
+    val tied = Vocab.build(Seq("z", "y").map(Tuple1(_)).toDF("term"), "term")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tied == Map("y" -> 1L, "z" -> 2L))
+    val enc = Vocab.encodeTokens(
+        Seq("a", "nope", "b").map(Tuple1(_)).toDF("term"), "term", vocab, "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc == Map("a" -> 2L, "nope" -> 0L, "b" -> 1L))
+  }
 }
