@@ -82,7 +82,8 @@ object Bench {
     "q167_cdc_to_scd2",         // CDC feed compiled to full SCD2 history
     "q168_clustered_compaction", // cluster-preserving compaction + stats prune
     "q169_rolling_distinct",    // sliding 7-day distinct via HLL sketch merges
-    "q170_vocab_encode"         // frozen frequency-ranked vocab build + encode
+    "q170_vocab_encode",        // frozen frequency-ranked vocab build + encode
+    "q171_revenue_trend"        // per-group OLS/corr from exact decimal sums
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -144,7 +145,8 @@ object Bench {
     "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86,
     "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29,
     "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04,
-    "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61)
+    "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
+    "q171_revenue_trend" -> 0.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

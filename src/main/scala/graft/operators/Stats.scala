@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group closed-form OLS regression + Pearson correlation — the SQL
+  * `REGR_SLOPE`/`REGR_INTERCEPT`/`CORR` family computed scale-correctly:
+  * ONE map-side-combining aggregation of EXACT sums (n as long; Σx, Σy,
+  * Σxy, Σx², Σy² as DECIMAL — associative and partition-order-free,
+  * unlike double accumulation whose result depends on reduction order),
+  * then the IEEE double formula applied once per group at finalize.
+  * Rows-out = groups; nothing but the sums rides the exchange.
+  *
+  *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+  *   intercept = (Σy − slope·Σx) / n
+  *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx·Σx) · √(n·Σy² − Σy·Σy))
+  *
+  * Results are round-6 (the repo's float-score hash-gating recipe — the
+  * one division/sqrt is IEEE-deterministic, but rounding makes the seam
+  * explicit); zero-variance groups yield NULL slope/corr (the SQL
+  * contract). Rows with a NULL x or y are excluded (REGR_* semantics).
+  * Inputs are capped at DECIMAL(12,2)/(18,2) so Σxy stays well inside
+  * DECIMAL(38) at any realistic group size.
+  */
+object Stats {
+
+  def regression(df: DataFrame, groupCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    val x = col(xCol).cast(DecimalType(12, 2))
+    val y = col(yCol).cast(DecimalType(18, 2))
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val sums = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val varx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n") * d("syy") - d("sy") * d("sy")
+    val slope = when(varx =!= 0.0, cov / varx)
+    val corr = when(varx =!= 0.0 && vary =!= 0.0,
+      cov / (sqrt(varx) * sqrt(vary)))
+    sums.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      round(slope, 6).as("slope"),
+      round(when(varx =!= 0.0, (d("sy") - slope * d("sx")) / d("n")), 6)
+        .as("intercept"),
+      round(corr, 6).as("corr")): _*)
+  }
+}

@@ -531,6 +531,39 @@ object SalesQueries {
           when(col("gp") === 1, "ALL").otherwise(col("o_orderpriority")).as("priority"),
           when(col("gs") === 1, "ALL").otherwise(col("o_orderstatus")).as("status"),
           col("orders"), col("revenue"))
+    },
+
+    // ---- q171: PER-GROUP REGRESSION/CORRELATION — the SQL REGR_SLOPE/
+    // REGR_INTERCEPT/CORR family as ONE map-side-combining pass of EXACT
+    // decimal sums (n, Σx, Σy, Σxy, Σx², Σy² — associative, partition-
+    // order-free) with the IEEE closed form applied per group at
+    // finalize (round-6 seam). Revenue trend per priority: y =
+    // o_totalprice on x = days since 1995-01-01. The oracle mirrors the
+    // sums AND the exact double-formula association.
+    QueryDef.sql("q171_revenue_trend", {
+      val cov = "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+      val varx = "(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+      val vary = "(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))"
+      val slope = s"($cov / $varx)"
+      s"""WITH b AS (SELECT o_orderpriority AS g,
+         |    CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS DECIMAL(12,2)) AS x,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+         |s AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |        SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+         |      FROM b GROUP BY 1)
+         |SELECT g AS o_orderpriority, n,
+         |  ROUND($slope, 6) AS slope,
+         |  ROUND((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+         |  ROUND($cov / (sqrt($varx) * sqrt($vary)), 6) AS corr
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Stats.regression(
+        Tables.orders(s, dir)
+          .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01"))),
+        Seq("o_orderpriority"), "days", "o_totalprice")
+        .withColumnRenamed("days", "x")
     }
   )
 }

@@ -478,4 +478,25 @@ class OperatorsSpec extends SparkSpecBase {
       assert(p90 == statFloor(vals(k), 0.9), s"$k p90")
     }
   }
+
+  test("Stats.regression: hand-checked OLS; partition-order-free; " +
+      "zero-variance groups yield NULL; NULL rows excluded") {
+    import graft.operators.Stats
+    // y = 2x + 1 exactly -> slope 2, intercept 1, corr 1
+    val exactFit = (1 to 5).map(i => ("a", i.toDouble, 2.0 * i + 1))
+    // a zero-variance-x group and a NULL row (must be excluded)
+    val rows = exactFit ++ Seq(("z", 3.0, 7.0), ("z", 3.0, 9.0)) :+
+      ("a", Double.NaN, 0.0)
+    val df = rows.toDF("g", "x", "y")
+      .withColumn("x", when(isnan($"x"), lit(null)).otherwise($"x"))
+    val got = Stats.regression(df, Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(got("a") == ((5L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(got("z") == ((2L, None, None, None)))
+    // the sums are decimal-exact: any repartitioning gives the same bits
+    val again = Stats.regression(df.repartition(7), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r.get(2)).toMap
+    assert(again("a") == 2.0)
+  }
 }
