@@ -83,7 +83,9 @@ object Bench {
     "q168_clustered_compaction", // cluster-preserving compaction + stats prune
     "q169_rolling_distinct",    // sliding 7-day distinct via HLL sketch merges
     "q170_vocab_encode",        // frozen frequency-ranked vocab build + encode
-    "q171_revenue_trend"        // per-group OLS/corr from exact decimal sums
+    "q171_revenue_trend",       // per-group OLS/corr from exact decimal sums
+    "q172_ks_drift",            // two-sample KS via integer-exact sup argmax
+    "q173_chi_square_drift"     // chi-square categorical drift + decimal total
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -146,7 +148,8 @@ object Bench {
     "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29,
     "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04,
     "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
-    "q171_revenue_trend" -> 0.31)
+    "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
+    "q173_chi_square_drift" -> 0.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -98,4 +98,74 @@ object Drift {
       .select("docs_a", "docs_b", "total_psi",
         "vocab_a", "vocab_b", "vocab_shared", "vocab_jaccard")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over a NUMERIC column — the
+    * unbinned companion to [[psiByBin]] (PSI sees only what its fixed
+    * bins resolve; KS is the sup-norm CDF distance at full resolution).
+    * One row: sample sizes, the KS statistic, and the value where the
+    * sup is attained (smallest such value on ties).
+    *
+    * Exactness: the sup runs over INTEGER-scaled deviations
+    * |cumA·nB − cumB·nA| — an argmax over exact longs, so the winner is
+    * partition-order-free and engine-identical; ONE double division at
+    * the end (round-6 seam). The cumulative counts come from
+    * [[graft.operators.Ranks.globalCumSum]] — the range-partitioned
+    * two-pass running sum, because `SUM OVER (ORDER BY v)` at full value
+    * resolution under a single window is a one-task global sort.
+    * `isA` labels side A; rows with a NULL value are excluded. */
+  def ks2Sample(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    import graft.operators.Ranks
+    val g = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"), when(isA, 1L).otherwise(0L).as("__ia"))
+      .groupBy("v").agg(sum(col("__ia")).as("an"),
+        sum(lit(1L) - col("__ia")).as("bn"))
+    val cum = Ranks.globalCumSums(g, Seq(col("v").asc),
+      Seq("ca" -> col("an"), "cb" -> col("bn")))
+    val totals = g.agg(sum("an").as("n_a"), sum("bn").as("n_b"))
+    val dev = cum.crossJoin(broadcast(totals))
+      .withColumn("dd", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+    val mx = dev.agg(max("dd").as("__mx"))
+    dev.crossJoin(broadcast(mx)).filter(col("dd") === col("__mx"))
+      .groupBy("n_a", "n_b", "__mx")
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__mx").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks_stat"),
+        col("at_value"))
+  }
+
+  /** Chi-square independence report for a CATEGORICAL column across two
+    * snapshots (the categorical companion to [[ks2Sample]]): one row per
+    * category with both observed counts and its round-6 chi-square term
+    * Σ_side (O − E)²/E, plus a TOTAL row whose statistic is the
+    * DECIMAL(18,6) sum of the rounded terms — associative-exact, the
+    * same partition-order-free total recipe as [[psiByBin]]. Expected
+    * counts use the standard margin product E = rowTotal·sideTotal/N.
+    * One map-side-combining aggregation over the data; everything after
+    * is category-count-sized. */
+  def chiSquare(df: DataFrame, catCol: String, isA: Column): DataFrame = {
+    val g = df.select(col(catCol).as("category"),
+        when(isA, 1L).otherwise(0L).as("__ia"))
+      .groupBy("category").agg(sum(col("__ia")).as("n_a"),
+        sum(lit(1L) - col("__ia")).as("n_b"))
+    val totals = g.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    val withT = g.crossJoin(broadcast(totals))
+      .withColumn("__n", (col("__ta") + col("__tb")).cast("double"))
+      .withColumn("__rt", (col("n_a") + col("n_b")).cast("double"))
+    def term(o: Column, sideTotal: Column) = {
+      val e = col("__rt") * sideTotal.cast("double") / col("__n")
+      (o.cast("double") - e) * (o.cast("double") - e) / e
+    }
+    val perCat = withT
+      .withColumn("chi2_term",
+        round(term(col("n_a"), col("__ta")) + term(col("n_b"), col("__tb")), 6))
+      .select(col("category"), col("n_a"), col("n_b"), col("chi2_term"))
+    perCat.unionByName(
+      perCat.agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+          sum(col("chi2_term").cast("decimal(18,6)")).cast("double")
+            .as("chi2_term"))
+        .select(lit("TOTAL").as("category"), col("n_a"), col("n_b"),
+          col("chi2_term")))
+  }
 }

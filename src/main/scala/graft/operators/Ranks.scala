@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Distributed exact global ranking (SURVEY §2.2 P13 at scale).
   *
@@ -92,6 +93,56 @@ object Ranks {
     ranged.join(broadcast(offDf), col("__pid") === col("__opid"))
       .withColumn(out, sum(col("__v")).over(w) + col("__off"))
       .drop("__pid", "__opid", "__off", "__v")
+  }
+
+  /** [[globalCumSum]] for SEVERAL value columns in ONE pass: one range
+    * repartition, one pin, one per-partition sums collect (≤ partitions
+    * rows × |values| longs), one window — where chaining globalCumSum
+    * pays the range shuffle and pin once per value. Same bit-exactness
+    * contract per column. `values` maps output name → integral column. */
+  def globalCumSums(df: DataFrame, order: Seq[Column],
+                    values: Seq[(String, Column)],
+                    partitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "at least one value column")
+    val spark = df.sparkSession
+    val p =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val vNames = values.indices.map(i => s"__v$i")
+    val ranged = graft.Checkpoints.pin(
+      values.zip(vNames).foldLeft(
+          df.repartitionByRange(p, order: _*)) { case (d, ((_, c), vn)) =>
+          d.withColumn(vn, c.cast("long"))
+        }
+        .withColumn("__pid", spark_partition_id()))
+    val sums = ranged.groupBy(col("__pid"))
+      .agg(sum(col(vNames.head)).as("s0"),
+        vNames.tail.zipWithIndex.map { case (vn, i) =>
+          sum(col(vn)).as(s"s${i + 1}")
+        }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> vNames.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offsets = sums.scanLeft(vNames.indices.map(_ => 0L)) {
+      case (acc, (_, vs)) => acc.zip(vs).map { case (a, v) => a + v }
+    }
+    val offDf = spark.createDataFrame(
+      sums.zip(offsets).map { case ((pid, _), offs) => Row.fromSeq(pid +: offs) }
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__opid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          vNames.indices.map(i => org.apache.spark.sql.types.StructField(
+            s"__off$i", org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.zipWithIndex.foldLeft(
+        ranged.join(broadcast(offDf), col("__pid") === col("__opid"))) {
+        case (d, ((out, _), i)) =>
+          d.withColumn(out, sum(col(s"__v$i")).over(w) + col(s"__off$i"))
+      }
+      .drop(Seq("__pid", "__opid") ++ vNames ++
+        vNames.indices.map(i => s"__off$i"): _*)
   }
 
   /** Exact `NTILE(k) OVER (ORDER BY order)` — SQL NTILE semantics (first

@@ -570,6 +570,36 @@ object CustomerQueries {
       exact.join(est, Seq("d"))
         .filter(abs(col("est") - col("users_7d")) <= lit(0.05) * col("users_7d"))
         .select(col("d").as("day"), col("users_7d"))
+    },
+
+    // ---- q173: CHI-SQUARE CATEGORICAL DRIFT — event-type mix, first
+    // vs second half of the month (the categorical companion to q172's
+    // KS and q141's PSI): per-category round-6 terms Σ(O−E)²/E with
+    // margin-product expectations, TOTAL as the DECIMAL(18,6) sum of
+    // rounded terms (partition-order-free — the PSI total recipe). The
+    // oracle mirrors the double-formula association exactly.
+    QueryDef.sql("q173_chi_square_drift", {
+      val ea = "(CAST(n_a + n_b AS DOUBLE) * CAST(t.ta AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE))"
+      val eb = "(CAST(n_a + n_b AS DOUBLE) * CAST(t.tb AS DOUBLE) / CAST(t.ta + t.tb AS DOUBLE))"
+      val ta = s"((CAST(n_a AS DOUBLE) - $ea) * (CAST(n_a AS DOUBLE) - $ea) / $ea)"
+      val tb = s"((CAST(n_b AS DOUBLE) - $eb) * (CAST(n_b AS DOUBLE) - $eb) / $eb)"
+      s"""WITH e AS (SELECT event_type AS category,
+         |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS ia
+         |  FROM events),
+         |g AS (SELECT category, CAST(SUM(ia) AS BIGINT) AS n_a,
+         |        CAST(SUM(1 - ia) AS BIGINT) AS n_b FROM e GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |        CAST(SUM(n_b) AS BIGINT) AS tb FROM g),
+         |p AS (SELECT category, n_a, n_b, ROUND($ta + $tb, 6) AS chi2_term
+         |      FROM g, t)
+         |SELECT category, n_a, n_b, chi2_term FROM p
+         |UNION ALL
+         |SELECT 'TOTAL', CAST(SUM(n_a) AS BIGINT), CAST(SUM(n_b) AS BIGINT),
+         |  CAST(SUM(CAST(chi2_term AS DECIMAL(18,6))) AS DOUBLE)
+         |FROM p""".stripMargin
+    }) { (s, dir) =>
+      graft.llm.Drift.chiSquare(Tables.events(s, dir), "event_type",
+        col("ts") < lit("2024-01-16").cast("timestamp"))
     }
   )
 }

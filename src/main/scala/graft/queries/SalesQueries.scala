@@ -564,6 +564,34 @@ object SalesQueries {
           .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01"))),
         Seq("o_orderpriority"), "days", "o_totalprice")
         .withColumnRenamed("days", "x")
+    },
+
+    // ---- q172: TWO-SAMPLE KOLMOGOROV–SMIRNOV — the unbinned numeric
+    // drift test (PSI sees only its fixed bins): pre- vs post-1997
+    // o_totalprice distributions. The sup runs over INTEGER-scaled
+    // deviations |cumA·nB − cumB·nA| (exact longs, partition-order-free
+    // argmax; ONE double division at the end); cumulative counts come
+    // from the range-partitioned two-pass running sum — no single-task
+    // global window at full value resolution.
+    QueryDef.sql("q172_ks_drift",
+      """WITH pts AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END AS ia
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS an,
+        |        CAST(SUM(1 - ia) AS BIGINT) AS bn FROM pts GROUP BY 1),
+        |t AS (SELECT CAST(SUM(an) AS BIGINT) AS na,
+        |        CAST(SUM(bn) AS BIGINT) AS nb FROM g),
+        |c AS (SELECT v, CAST(SUM(an) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |        CAST(SUM(bn) OVER (ORDER BY v) AS BIGINT) AS cb FROM g),
+        |d AS (SELECT v, ABS(ca * t.nb - cb * t.na) AS dd FROM c, t),
+        |m AS (SELECT CAST(MAX(dd) AS BIGINT) AS mx FROM d)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |  ROUND(CAST(m.mx AS DOUBLE) /
+        |    (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6) AS ks_stat,
+        |  (SELECT MIN(v) FROM d WHERE dd = m.mx) AS at_value
+        |FROM t, m""".stripMargin) { (s, dir) =>
+      graft.llm.Drift.ks2Sample(Tables.orders(s, dir), "o_totalprice",
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     }
   )
 }

@@ -78,4 +78,42 @@ class DriftSpec extends SparkSpecBase {
     assert(by1(sh(7L)) != by3(sh(7L)))
     assert((by1.keySet - sh(7L)).forall(k => by1(k) == by3(k)))
   }
+
+  test("ks2Sample: hand-checked statistic; identical samples -> 0; " +
+      "disjoint samples -> 1; smallest argmax value on ties") {
+    import graft.llm.Drift
+    // A = {1,2,3}, B = {2,3,4}: D = 1/3 attained first at v=1
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (2.0, false), (3.0, false), (4.0, false)).toDF("v", "a")
+    val r = Drift.ks2Sample(df, "v", $"a").head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.333333)  // round-6 of 1/3
+    assert(r.getDouble(3) == 1.0)
+    // identical samples: KS = 0
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    assert(Drift.ks2Sample(same, "v", $"a").head.getDouble(2) == 0.0)
+    // disjoint supports: KS = 1
+    val disj = Seq((1.0, true), (2.0, true), (10.0, false), (11.0, false))
+      .toDF("v", "a")
+    assert(Drift.ks2Sample(disj, "v", $"a").head.getDouble(2) == 1.0)
+  }
+
+  test("chiSquare: zero statistic under identical mixes; TOTAL row is the " +
+      "decimal-exact sum; hand 2x2 value") {
+    import graft.llm.Drift
+    // identical category mix on both sides -> every term 0
+    val same = Seq(("x", true), ("y", true), ("x", false), ("y", false))
+      .toDF("c", "a")
+    val rows = Drift.chiSquare(same, "c", $"a").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.values.forall(_ == 0.0))
+    // classic 2x2: a:(10 x, 20 y), b:(20 x, 10 y) -> chi2 = 6.666667
+    val skewed = (Seq.fill(10)(("x", true)) ++ Seq.fill(20)(("y", true)) ++
+      Seq.fill(20)(("x", false)) ++ Seq.fill(10)(("y", false))).toDF("c", "a")
+    val tot = Drift.chiSquare(skewed, "c", $"a").collect()
+      .find(_.getString(0) == "TOTAL").get
+    assert(tot.getLong(1) == 30 && tot.getLong(2) == 30)
+    assert(math.abs(tot.getDouble(3) - 6.666666) < 1e-5)
+  }
 }

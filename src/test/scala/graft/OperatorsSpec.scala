@@ -499,4 +499,24 @@ class OperatorsSpec extends SparkSpecBase {
       .collect().map(r => r.getString(0) -> r.get(2)).toMap
     assert(again("a") == 2.0)
   }
+
+  test("globalCumSums: one-pass multi-column == chained globalCumSum, " +
+      "bit-exactly, at any parallelism") {
+    val df = spark.range(500).toDF("k")
+      .withColumn("v", col("k") * 7 % 500)
+      .withColumn("a", col("k") % 3)
+      .withColumn("b", col("k") % 5)
+    for (p <- Seq(1, 4, 9)) {
+      val fused = Ranks.globalCumSums(df, Seq(col("v").asc),
+          Seq("ca" -> col("a"), "cb" -> col("b")), partitions = p)
+        .select("k", "ca", "cb").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val chained = Ranks.globalCumSum(
+          Ranks.globalCumSum(df, Seq(col("v").asc), col("a"), "ca", p),
+          Seq(col("v").asc), col("b"), "cb", p)
+        .select("k", "ca", "cb").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(fused == chained, s"partitions=$p")
+    }
+  }
 }
