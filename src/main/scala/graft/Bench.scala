@@ -85,7 +85,9 @@ object Bench {
     "q170_vocab_encode",        // frozen frequency-ranked vocab build + encode
     "q171_revenue_trend",       // per-group OLS/corr from exact decimal sums
     "q172_ks_drift",            // two-sample KS via integer-exact sup argmax
-    "q173_chi_square_drift"     // chi-square categorical drift + decimal total
+    "q173_chi_square_drift",    // chi-square categorical drift + decimal total
+    "q174_group_median",        // exact per-group median (grouped rank)
+    "q175_revenue_proration"    // straight-line allocation in integer cents
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -149,7 +151,8 @@ object Bench {
     "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04,
     "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
     "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
-    "q173_chi_square_drift" -> 0.30)
+    "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 1.25,
+    "q175_revenue_proration" -> 0.43)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

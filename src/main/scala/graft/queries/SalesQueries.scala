@@ -592,6 +592,62 @@ object SalesQueries {
         |FROM t, m""".stripMargin) { (s, dir) =>
       graft.llm.Drift.ks2Sample(Tables.orders(s, dir), "o_totalprice",
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    },
+
+    // ---- q174: EXACT PER-GROUP MEDIAN — the order statistic at rank
+    // (n+1) div 2 (lower median, total order via the key tie-break),
+    // complementing q158's bucket-resolution sketch median with the
+    // exact answer: skew-safe grouped rank + a broadcast count join —
+    // no per-group sort window, no percentile_approx.
+    QueryDef.sql("q174_group_median",
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  o_totalprice AS median_price
+        |FROM r WHERE rnk = (n + 1) // 2""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val o = Tables.orders(s, dir)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      val ranked = Ranks.groupedRowNumber(o, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), "rnk")
+      val counts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), Seq("o_orderpriority"))
+        .filter(col("rnk") === ((col("n") + 1) / 2).cast("int"))
+        .select(col("o_orderpriority"), col("n"),
+          col("o_totalprice").as("median_price"))
+    },
+
+    // ---- q175: STRAIGHT-LINE PRORATION — each order's revenue spread
+    // over 3 months in INTEGER CENTS (per = cents div 3, the last month
+    // carries the remainder — conservation is exact by construction and
+    // the arithmetic is engine-portable where decimal division is not).
+    // The deferred-revenue / subscription-recognition allocation shape:
+    // one posexplode (×3 fan-out, no shuffle before the agg).
+    QueryDef.sql("q175_revenue_proration",
+      """WITH b AS (SELECT o_orderkey, o_orderdate,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) // 3 AS per
+        |  FROM orders),
+        |a AS (SELECT o_orderkey,
+        |    strftime(o_orderdate + i * INTERVAL 1 MONTH, '%Y-%m') AS month,
+        |    CASE WHEN i < 2 THEN per ELSE cents - 2 * per END AS alloc
+        |  FROM b, unnest([0, 1, 2]) AS t(i))
+        |SELECT month, COUNT(*) AS allocations,
+        |  CAST(SUM(alloc) AS DOUBLE) / 100.0 AS amount
+        |FROM a GROUP BY 1""".stripMargin) { (s, dir) =>
+      val b = Tables.orders(s, dir)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("per", expr("cents div 3"))
+      b.select(col("o_orderkey"), col("o_orderdate"),
+          posexplode(array(col("per"), col("per"),
+            col("cents") - lit(2) * col("per"))).as(Seq("i", "alloc")))
+        .groupBy(date_format(add_months(col("o_orderdate"), col("i")), "yyyy-MM")
+          .as("month"))
+        .agg(count(lit(1)).as("allocations"),
+          (sum(col("alloc")).cast("double") / 100.0).as("amount"))
     }
   )
 }
