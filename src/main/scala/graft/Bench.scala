@@ -87,7 +87,8 @@ object Bench {
     "q172_ks_drift",            // two-sample KS via integer-exact sup argmax
     "q173_chi_square_drift",    // chi-square categorical drift + decimal total
     "q174_group_median",        // exact per-group median (grouped rank)
-    "q175_revenue_proration"    // straight-line allocation in integer cents
+    "q175_revenue_proration",   // straight-line allocation in integer cents
+    "q176_bucket_sync_diff"     // merkle bucket fingerprints + restricted diff
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -152,7 +153,7 @@ object Bench {
     "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
     "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
     "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 1.25,
-    "q175_revenue_proration" -> 0.43)
+    "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Row-level snapshot diff: compare two keyed snapshots of a table and
@@ -19,6 +19,50 @@ import org.apache.spark.sql.functions._
   * rides the output, so rows-out = |delta|, not |table|.
   */
 object Diff {
+
+  /** md5-ticket bucket id for a key — engine-portable (the q110/q129
+    * hex-prefix idiom), uniform, and independent of any value column. */
+  def bucketOf(key: Column, buckets: Int): Column =
+    conv(substring(md5(concat(lit("bk:"), key.cast("string"))), 1, 4), 16, 10)
+      .cast("int") % buckets
+
+  /** Merkle-style per-bucket fingerprints: (bucket, n, sig) with sig the
+    * ORDER-INDEPENDENT sum of a 32-bit md5 prefix over each row's
+    * key+attrs representation (NULL attrs coalesce to a NUL sentinel so
+    * null and empty stay distinct). Two snapshots' signature tables are
+    * the CHEAP pass of an rsync/merkle incremental sync: at 100 TB the
+    * signature scan is one map-side-combining aggregation per side, and
+    * the row-level diff then touches ONLY buckets whose fingerprints
+    * differ ([[changedBuckets]]) instead of full-outer-joining the
+    * whole table. */
+  def bucketSignatures(df: DataFrame, keyCol: String, attrCols: Seq[String],
+                       buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val repr = concat_ws("|",
+      col(keyCol).cast("string") +:
+        attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.select(bucketOf(col(keyCol), buckets).as("bucket"),
+        conv(substring(md5(repr), 1, 8), 16, 10).cast("long").as("__sig"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__sig")).as("sig"))
+  }
+
+  /** Buckets whose fingerprints differ between the snapshots (count OR
+    * signature, null-safe — a bucket present on one side only counts).
+    * Formatting of the row representation only needs to be
+    * self-consistent within one engine: a representation difference
+    * between engines shifts BOTH sides' signatures identically and
+    * cancels in this comparison. */
+  def changedBuckets(a: DataFrame, b: DataFrame, keyCol: String,
+                     attrCols: Seq[String], buckets: Int): DataFrame = {
+    val sa = bucketSignatures(a, keyCol, attrCols, buckets)
+      .withColumnRenamed("n", "__na").withColumnRenamed("sig", "__sa")
+    val sb = bucketSignatures(b, keyCol, attrCols, buckets)
+      .withColumnRenamed("n", "__nb").withColumnRenamed("sig", "__sb")
+    sa.join(sb, Seq("bucket"), "full_outer")
+      .filter(!(col("__na") <=> col("__nb")) || !(col("__sa") <=> col("__sb")))
+      .select("bucket")
+  }
 
   def snapshotDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                    attrCols: Seq[String]): DataFrame = {

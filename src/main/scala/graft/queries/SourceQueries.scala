@@ -1368,6 +1368,72 @@ object SourceQueries {
           200000.0, 300000.0)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q176: MERKLE-STYLE BUCKET SYNC DIFF — the rsync pattern for
+    // "what changed between two 100 TB snapshots": per-bucket
+    // order-independent fingerprints (one agg per side) find the
+    // buckets that differ; the row-level full-outer diff then touches
+    // ONLY those buckets' rows. Sparse mutation (~0.4% of keys) so the
+    // pruning is real: most of the 256 buckets are untouched. Output =
+    // bucket counts + restricted-diff change-type counts, all replayed
+    // in DuckDB (representation differences between engines shift both
+    // sides' signatures identically and cancel — see Diff.changedBuckets).
+    QueryDef.sql("q176_bucket_sync_diff", {
+      val bucket = (t: String) =>
+        s"CAST(CAST('0x' || substr(md5('bk:' || CAST($t.k AS VARCHAR)), 1, 4) AS INTEGER) % 256 AS INTEGER)"
+      val sig = (t: String) =>
+        s"""CAST(SUM(CAST('0x' || substr(md5(CAST($t.k AS VARCHAR) || '|' ||
+           |  COALESCE(CAST($t.status AS VARCHAR), chr(0)) || '|' ||
+           |  COALESCE(CAST($t.price AS VARCHAR), chr(0))), 1, 8) AS BIGINT))
+           |  AS BIGINT)""".stripMargin
+      s"""WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+         |    o_totalprice AS price FROM orders),
+         |v2 AS (SELECT k, status,
+         |    CASE WHEN k % 500 = 1 THEN price + 1.0 ELSE price END AS price
+         |  FROM v1 WHERE k % 1000 <> 7
+         |  UNION ALL SELECT 3000000000 + k, 'N', 1.0 FROM v1 WHERE k % 997 = 3),
+         |s1 AS (SELECT ${bucket("v1")} AS bucket, COUNT(*) AS n, ${sig("v1")} AS sig
+         |       FROM v1 GROUP BY 1),
+         |s2 AS (SELECT ${bucket("v2")} AS bucket, COUNT(*) AS n, ${sig("v2")} AS sig
+         |       FROM v2 GROUP BY 1),
+         |chg AS (SELECT COALESCE(s1.bucket, s2.bucket) AS bucket
+         |        FROM s1 FULL OUTER JOIN s2 ON s1.bucket = s2.bucket
+         |        WHERE s1.n IS DISTINCT FROM s2.n
+         |           OR s1.sig IS DISTINCT FROM s2.sig),
+         |r1 AS (SELECT * FROM v1 WHERE ${bucket("v1")} IN (SELECT bucket FROM chg)),
+         |r2 AS (SELECT * FROM v2 WHERE ${bucket("v2")} IN (SELECT bucket FROM chg)),
+         |d AS (SELECT COALESCE(r1.k, r2.k) AS k,
+         |    CASE WHEN r2.k IS NULL THEN 'removed'
+         |         WHEN r1.k IS NULL THEN 'added'
+         |         WHEN r1.status IS DISTINCT FROM r2.status
+         |           OR r1.price IS DISTINCT FROM r2.price THEN 'changed' END AS ct
+         |  FROM r1 FULL OUTER JOIN r2 ON r1.k = r2.k)
+         |SELECT 'buckets_changed' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM chg
+         |UNION ALL SELECT 'added', COUNT(*) FROM d WHERE ct = 'added'
+         |UNION ALL SELECT 'removed', COUNT(*) FROM d WHERE ct = 'removed'
+         |UNION ALL SELECT 'changed', COUNT(*) FROM d WHERE ct = 'changed'""".stripMargin
+    }) { (s, dir) =>
+      val v1 = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+      val v2 = v1.filter(col("k") % 1000 =!= 7)
+        .withColumn("price",
+          when(col("k") % 500 === 1, col("price") + 1.0).otherwise(col("price")))
+        .unionByName(v1.filter(col("k") % 997 === 3).select(
+          (lit(3000000000L) + col("k")).as("k"), lit("N").as("status"),
+          lit(1.0).as("price")))
+      val chg = broadcast(
+        Diff.changedBuckets(v1, v2, "k", Seq("status", "price"), 256))
+      def restrict(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", Diff.bucketOf(col("k"), 256))
+          .join(chg, Seq("bucket"), "left_semi").drop("bucket")
+      val d = Diff.snapshotDiff(restrict(v1), restrict(v2),
+        Seq("k"), Seq("status", "price"))
+      chg.agg(count(lit(1)).as("value"))
+        .select(lit("buckets_changed").as("metric"), col("value"))
+        .unionByName(d.groupBy(col("change_type").as("metric"))
+          .agg(count(lit(1)).as("value")))
     }
   )
 }

@@ -693,4 +693,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(prunedFiles(clus) < 4, s"clustered read ${prunedFiles(clus)} files")
     assert(prunedFiles(rr) == 4, "round-robin files all span the domain")
   }
+
+  test("changedBuckets finds exactly the touched buckets; restricted diff " +
+      "equals the full diff; identical snapshots -> no buckets") {
+    import graft.operators.Diff
+    val v1 = (1L to 400L).map(k => (k, s"s$k", k * 1.5)).toDF("k", "s", "p")
+    // touch 3 keys: update, delete, insert
+    val v2 = v1.filter($"k" =!= 7L)
+      .withColumn("p", when($"k" === 100L, $"p" + 1.0).otherwise($"p"))
+      .unionByName(Seq((9999L, "new", 1.0)).toDF("k", "s", "p"))
+    val chg = Diff.changedBuckets(v1, v2, "k", Seq("s", "p"), 64)
+      .collect().map(_.getInt(0)).toSet
+    val expectBuckets = Seq(7L, 100L, 9999L)
+      .map(k => Seq(Tuple1(k)).toDF("k")
+        .select(Diff.bucketOf($"k", 64)).head.getInt(0)).toSet
+    assert(chg == expectBuckets && chg.size <= 3)
+    // restricted row diff == full row diff (untouched buckets carry none)
+    def restrict(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("b", Diff.bucketOf($"k", 64))
+        .filter($"b".isin(chg.toSeq: _*)).drop("b")
+    val full = Diff.snapshotDiff(v1, v2, Seq("k"), Seq("s", "p")).collect().toSet
+    val restricted = Diff.snapshotDiff(restrict(v1), restrict(v2),
+      Seq("k"), Seq("s", "p")).collect().toSet
+    assert(restricted == full && full.size == 3)
+    assert(Diff.changedBuckets(v1, v1, "k", Seq("s", "p"), 64).count() == 0)
+  }
 }
