@@ -88,7 +88,8 @@ object Bench {
     "q173_chi_square_drift",    // chi-square categorical drift + decimal total
     "q174_group_median",        // exact per-group median (grouped rank)
     "q175_revenue_proration",   // straight-line allocation in integer cents
-    "q176_bucket_sync_diff"     // merkle bucket fingerprints + restricted diff
+    "q176_bucket_sync_diff",    // merkle bucket fingerprints + restricted diff
+    "q177_canonical_by_length"  // keep-longest cluster representative rule
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -153,7 +154,8 @@ object Bench {
     "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
     "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
     "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 1.25,
-    "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30)
+    "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30,
+    "q177_canonical_by_length" -> 2.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

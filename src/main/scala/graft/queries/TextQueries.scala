@@ -219,6 +219,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q177: CANONICAL BY LENGTH — the third cluster-representative
+    // rule beside q94 (min-id) and q126 (PageRank): keep the LONGEST
+    // member of each near-dup cluster (what C4/RefinedWeb-style dedup
+    // actually does — the fullest copy survives, truncated mirrors
+    // drop). Same capped q94 chain; selection is one argmax-by-struct
+    // aggregation per cluster — (n_chars DESC, doc_id ASC) via
+    // MAX(struct(n_chars, −doc_id)), no window.
+    QueryDef.sql("q177_canonical_by_length",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |pick AS (SELECT comp.lbl AS lbl,
+         |           MAX({'q': d.n_chars, 'i': -comp.id}) AS m
+         |         FROM comp JOIN documents d ON d.doc_id = comp.id GROUP BY 1)
+         |SELECT comp.id AS doc_id, CAST(-((pick.m).i) AS BIGINT) AS canonical_id,
+         |  CAST((pick.m).q AS BIGINT) AS canonical_chars,
+         |  comp.id = -((pick.m).i) AS kept
+         |FROM comp JOIN pick ON comp.lbl = pick.lbl
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxDocFreq = 16)
+        .select("doc_a", "doc_b")
+      val cc = graft.llm.Clusters.connectedComponents(
+        docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+      val pick = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_rep")
+        .agg(max(struct(col("n_chars").as("q"),
+          (-col("doc_id")).as("i"))).as("m"))
+        .select(col("cluster_rep"),
+          (-col("m.i")).as("canonical_id"), col("m.q").as("canonical_chars"))
+      cc.join(pick, "cluster_rep")
+        .select(col("doc_id"), col("canonical_id"), col("canonical_chars"),
+          (col("doc_id") === col("canonical_id")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- q95: cross-corpus line-level dedup (CCNet-style paragraph
     // dedup). The fixture corpus has no newlines, so "lines" are derived
     // identically in both engines as 8-token chunks; each distinct line
