@@ -89,7 +89,8 @@ object Bench {
     "q174_group_median",        // exact per-group median (grouped rank)
     "q175_revenue_proration",   // straight-line allocation in integer cents
     "q176_bucket_sync_diff",    // merkle bucket fingerprints + restricted diff
-    "q177_canonical_by_length"  // keep-longest cluster representative rule
+    "q177_canonical_by_length", // keep-longest cluster representative rule
+    "q178_funnel_3step"         // strict-order view->click->purchase funnel
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -155,7 +156,7 @@ object Bench {
     "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
     "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 1.25,
     "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30,
-    "q177_canonical_by_length" -> 2.35)
+    "q177_canonical_by_length" -> 2.35, "q178_funnel_3step" -> 0.49)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -600,6 +600,48 @@ object CustomerQueries {
     }) { (s, dir) =>
       graft.llm.Drift.chiSquare(Tables.events(s, dir), "event_type",
         col("ts") < lit("2024-01-16").cast("timestamp"))
+    },
+
+    // ---- q178: STRICT-ORDER 3-STEP FUNNEL — view → click → purchase,
+    // each step's earliest qualifying time must FOLLOW the previous
+    // step's (the product-analytics funnel q75's 2-step attribution
+    // doesn't cover): three per-user min-aggregations chained by
+    // ts-after filters — equi-joins on the user key, no window, no
+    // sessionization machinery. One summary row with per-step user
+    // counts and round-6 conversion rates.
+    QueryDef.sql("q178_funnel_3step",
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+        |n AS (SELECT (SELECT COUNT(*) FROM v) AS users_viewed,
+        |             (SELECT COUNT(*) FROM c) AS users_clicked,
+        |             (SELECT COUNT(*) FROM p) AS users_purchased)
+        |SELECT users_viewed, users_clicked, users_purchased,
+        |  ROUND(CAST(users_clicked AS DOUBLE) / users_viewed, 6) AS click_rate,
+        |  ROUND(CAST(users_purchased AS DOUBLE) / users_clicked, 6) AS purchase_rate
+        |FROM n""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("users_viewed"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("users_clicked"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("users_purchased"))))
+        .select(col("users_viewed"), col("users_clicked"), col("users_purchased"),
+          round(col("users_clicked").cast("double") / col("users_viewed"), 6)
+            .as("click_rate"),
+          round(col("users_purchased").cast("double") / col("users_clicked"), 6)
+            .as("purchase_rate"))
     }
   )
 }
