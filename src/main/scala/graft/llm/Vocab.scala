@@ -33,12 +33,16 @@ object Vocab {
   }
 
   /** Encode a token column against a FROZEN vocab: adds `idOut` with the
-    * token's id, 0 (UNK) for out-of-vocabulary tokens. */
+    * token's id, 0 (UNK) for out-of-vocabulary tokens.
+    * `hintBroadcast = false` drops the broadcast hint for vocabularies
+    * too large to ship whole (the 1e8-token case) — the join then falls
+    * back to Spark's threshold-driven choice (shuffle join at scale). */
   def encodeTokens(df: DataFrame, tokenCol: String, vocab: DataFrame,
-                   idOut: String): DataFrame =
+                   idOut: String, hintBroadcast: Boolean = true): DataFrame = {
     // the vocab id rides under an internal alias so idOut = "id" works
-    df.join(broadcast(vocab.select(col("token").as(tokenCol),
-        col("id").as("__vocab_id"))), Seq(tokenCol), "left")
+    val v = vocab.select(col("token").as(tokenCol), col("id").as("__vocab_id"))
+    df.join(if (hintBroadcast) broadcast(v) else v, Seq(tokenCol), "left")
       .withColumn(idOut, coalesce(col("__vocab_id"), lit(0L)))
       .drop("__vocab_id")
+  }
 }

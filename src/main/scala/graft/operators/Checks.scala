@@ -32,8 +32,10 @@ object Checks {
     }
     val agg = df.agg(metrics.head, metrics.tail: _*)
     val rows = checks.zipWithIndex.map { case (c, i) =>
+      // a NULL metric (e.g. MIN over an empty frame) must read as a
+      // FAILED check, not a NULL that slips past `!passed` consumers
       struct(lit(c.name).as("check"), col(s"__m$i").as("metric"),
-        c.pass(col(s"__m$i")).as("passed"))
+        coalesce(c.pass(col(s"__m$i")), lit(false)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.check").as("check"), col("__r.metric").as("metric"),

@@ -20,17 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Diff {
 
-  /** md5-ticket bucket id for a key — engine-portable (the q110/q129
-    * hex-prefix idiom), uniform, and independent of any value column. */
+  /** md5-ticket bucket id for a key — engine-portable (the shared
+    * [[graft.llm.Scoring.md5Int]] hex-prefix recipe), uniform, and
+    * independent of any value column. */
   def bucketOf(key: Column, buckets: Int): Column =
-    conv(substring(md5(concat(lit("bk:"), key.cast("string"))), 1, 4), 16, 10)
-      .cast("int") % buckets
+    (graft.llm.Scoring.md5Int(concat(lit("bk:"), key.cast("string")), 4)
+      % buckets).cast("int")
 
   /** Merkle-style per-bucket fingerprints: (bucket, n, sig) with sig the
     * ORDER-INDEPENDENT sum of a 32-bit md5 prefix over each row's
-    * key+attrs representation (NULL attrs coalesce to a NUL sentinel so
-    * null and empty stay distinct). Two snapshots' signature tables are
-    * the CHEAP pass of an rsync/merkle incremental sync: at 100 TB the
+    * representation. The representation hashes every field SEPARATELY
+    * to a fixed-width digest before the row digest — a joined-string
+    * form would let shifted field boundaries collide ("x|y","z" vs
+    * "x","y|z"); fixed-width field digests make the row representation
+    * prefix-free by construction. NULL attrs coalesce to a NUL sentinel
+    * (distinct from empty). Two snapshots' signature tables are the
+    * CHEAP pass of an rsync/merkle incremental sync: at 100 TB the
     * signature scan is one map-side-combining aggregation per side, and
     * the row-level diff then touches ONLY buckets whose fingerprints
     * differ ([[changedBuckets]]) instead of full-outer-joining the
@@ -38,11 +43,11 @@ object Diff {
   def bucketSignatures(df: DataFrame, keyCol: String, attrCols: Seq[String],
                        buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val repr = concat_ws("|",
-      col(keyCol).cast("string") +:
-        attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    val fieldDigests = (col(keyCol).cast("string") +:
+      attrCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))))
+      .map(f => md5(f.cast("binary")))
     df.select(bucketOf(col(keyCol), buckets).as("bucket"),
-        conv(substring(md5(repr), 1, 8), 16, 10).cast("long").as("__sig"))
+        graft.llm.Scoring.md5Int(concat(fieldDigests: _*), 8).as("__sig"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("__sig")).as("sig"))
   }

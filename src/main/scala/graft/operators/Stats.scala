@@ -27,8 +27,16 @@ object Stats {
 
   def regression(df: DataFrame, groupCols: Seq[String], xCol: String,
                  yCol: String): DataFrame = {
-    val x = col(xCol).cast(DecimalType(12, 2))
-    val y = col(yCol).cast(DecimalType(18, 2))
+    // a value outside its decimal range would cast to NULL and silently
+    // vanish from the sums while n still counts the row — fail loudly
+    // instead (the ngramJaccardPairs raise_error convention)
+    def guarded(c: String, t: DecimalType) = {
+      val casted = col(c).cast(t)
+      when(col(c).isNotNull && casted.isNull,
+        raise_error(lit(s"$c outside $t range")).cast(t)).otherwise(casted)
+    }
+    val x = guarded(xCol, DecimalType(12, 2))
+    val y = guarded(yCol, DecimalType(18, 2))
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val sums = base.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("n"),

@@ -563,7 +563,6 @@ object SalesQueries {
         Tables.orders(s, dir)
           .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01"))),
         Seq("o_orderpriority"), "days", "o_totalprice")
-        .withColumnRenamed("days", "x")
     },
 
     // ---- q172: TWO-SAMPLE KOLMOGOROV–SMIRNOV — the unbinned numeric

@@ -1382,10 +1382,14 @@ object SourceQueries {
     QueryDef.sql("q176_bucket_sync_diff", {
       val bucket = (t: String) =>
         s"CAST(CAST('0x' || substr(md5('bk:' || CAST($t.k AS VARCHAR)), 1, 4) AS INTEGER) % 256 AS INTEGER)"
+      // field-wise fixed-width digests (prefix-free) — see
+      // Diff.bucketSignatures: a joined-string form would let shifted
+      // field boundaries collide
       val sig = (t: String) =>
-        s"""CAST(SUM(CAST('0x' || substr(md5(CAST($t.k AS VARCHAR) || '|' ||
-           |  COALESCE(CAST($t.status AS VARCHAR), chr(0)) || '|' ||
-           |  COALESCE(CAST($t.price AS VARCHAR), chr(0))), 1, 8) AS BIGINT))
+        s"""CAST(SUM(CAST('0x' || substr(md5(
+           |  md5(CAST($t.k AS VARCHAR)) ||
+           |  md5(COALESCE(CAST($t.status AS VARCHAR), chr(0))) ||
+           |  md5(COALESCE(CAST($t.price AS VARCHAR), chr(0)))), 1, 8) AS BIGINT))
            |  AS BIGINT)""".stripMargin
       s"""WITH v1 AS (SELECT o_orderkey AS k, o_orderstatus AS status,
          |    o_totalprice AS price FROM orders),

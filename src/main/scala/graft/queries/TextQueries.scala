@@ -18,6 +18,12 @@ object TextQueries {
   private val ws = SqlFragments.ws
   private val toksSql = SqlFragments.toksSql
   private def shinglesSql(toks: String) = SqlFragments.shinglesSql(toks, 3)
+  // the BPE-ish tokenizer fragment (q100's oracle form) — paired with
+  // TextStats.bpeishPattern on the Spark side; NOT interchangeable with
+  // the whitespace toksSql (they agree only on all-lowercase
+  // space-separated text, which the fixture happens to be)
+  private val bpeToksSql =
+    s"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9$ws]')"
 
   /** q141/q141a shared drift config: fixed token-count bins and the
     * doc_id-parity snapshot halves (month-N / month-N+1 stand-ins). ONE
@@ -519,7 +525,7 @@ object TextQueries {
     // tokens exercise the UNK path; output is the per-doc (sum of ids,
     // token count, unk count) — id-assignment-sensitive, order-free.
     QueryDef.sql("q170_vocab_encode",
-      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest($bpeToksSql) AS term FROM documents),
          |ref AS (SELECT term, COUNT(*) AS n FROM tok
          |        WHERE doc_id % 2 = 0 GROUP BY 1),
          |v AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS id
