@@ -637,4 +637,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(fin(state.get) == oneShot)
     } finally q.stop()
   }
+
+  test("Checks.withViolations gates an ingest stream via foreachBatch, " +
+      "matching batch") {
+    // the q166 quarantine routing as an ingest gate: the same rules run
+    // unchanged per micro-batch (pure projection — no cross-batch state),
+    // so stream verdicts must equal the one-shot batch verdicts
+    import graft.operators.Checks
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      "present" -> col("ck").isNotNull,
+      "non_negative" -> (col("price") >= 0))
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(1L), 5.0),
+      (2L, null.asInstanceOf[java.lang.Long], 5.0),
+      (3L, java.lang.Long.valueOf(3L), -1.0),
+      (4L, java.lang.Long.valueOf(4L), 4.0))
+    val mem = MemoryStream[(Long, java.lang.Long, Double)]
+    val got = scala.collection.mutable.Map.empty[Long, String]
+    val q = mem.toDF().toDF("k", "ck", "price").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Checks.withViolations(df.toDF(), rules)
+          .select("k", "failed_rules").collect()
+          .foreach(r => got(r.getLong(0)) = r.getString(1))
+        ()
+      }.start()
+    try {
+      val (b1, b2) = rows.splitAt(2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val batch = Checks.withViolations(rows.toDF("k", "ck", "price"), rules)
+        .select("k", "failed_rules").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.toMap == batch)
+      assert(got(2L) == "present" && got(3L) == "non_negative" && got(1L) == "")
+    } finally q.stop()
+  }
 }
