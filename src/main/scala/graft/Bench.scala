@@ -149,14 +149,14 @@ object Bench {
     "q159_data_skipping" -> 0.86, "q160_target_mix" -> 0.80,
     "q161_scd2_pit_lookup" -> 0.58, "q162_stratified_kfold" -> 0.82,
     // write-heavy round trips (the bucketed/MoR table writes ARE the cost)
-    "q163_soft_deletes" -> 1.75, "q164_bucketed_join" -> 2.86,
+    "q163_soft_deletes" -> 1.49, "q164_bucketed_join" -> 2.86,
     "q165_time_travel" -> 0.82, "q166_dq_quarantine" -> 0.29,
     "q167_cdc_to_scd2" -> 0.33, "q168_clustered_compaction" -> 1.04,
     "q169_rolling_distinct" -> 0.57, "q170_vocab_encode" -> 0.61,
-    "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.45,
-    "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 1.25,
+    "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.25,
+    "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 0.87,
     "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30,
-    "q177_canonical_by_length" -> 2.35, "q178_funnel_3step" -> 0.49)
+    "q177_canonical_by_length" -> 1.36, "q178_funnel_3step" -> 0.49)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
