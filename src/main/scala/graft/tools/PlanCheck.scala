@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -52,6 +53,9 @@ object PlanCheck {
     case g: GlobalLimitExec   => g.limit <= 1
     case a: AdaptiveSparkPlanExec => oneRowBounded(a.executedPlan)
     case q: QueryStageExec        => oneRowBounded(q.plan)
+    // a REUSED broadcast/shuffle of a one-row aggregate is still one row
+    // (ReusedExchangeExec is leaf-like — its source plan lives in .child)
+    case r: ReusedExchangeExec    => oneRowBounded(r.child)
     // scalar × scalar = scalar: a keyless join of two one-row sides (the
     // `broadcast(aggA).crossJoin(broadcast(aggB))` totals idiom) stays
     // one row — each side must prove out independently
