@@ -90,7 +90,9 @@ object Bench {
     "q175_revenue_proration",   // straight-line allocation in integer cents
     "q176_bucket_sync_diff",    // merkle bucket fingerprints + restricted diff
     "q177_canonical_by_length", // keep-longest cluster representative rule
-    "q178_funnel_3step"         // strict-order view->click->purchase funnel
+    "q178_funnel_3step",        // strict-order view->click->purchase funnel
+    "q179_revenue_anomalies",   // IQR outlier days via exact order stats
+    "q180_percent_rank"         // distributed percent-rank transform
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -156,7 +158,8 @@ object Bench {
     "q171_revenue_trend" -> 0.31, "q172_ks_drift" -> 1.25,
     "q173_chi_square_drift" -> 0.30, "q174_group_median" -> 0.87,
     "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30,
-    "q177_canonical_by_length" -> 1.36, "q178_funnel_3step" -> 0.49)
+    "q177_canonical_by_length" -> 1.36, "q178_funnel_3step" -> 0.49,
+    "q179_revenue_anomalies" -> 0.75, "q180_percent_rank" -> 0.54)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -647,6 +647,71 @@ object SalesQueries {
           .as("month"))
         .agg(count(lit(1)).as("allocations"),
           (sum(col("alloc")).cast("double") / 100.0).as("amount"))
+    },
+
+    // ---- q179: IQR ANOMALY DAYS — the metrics-observability gate: daily
+    // revenue outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR], with the quartiles
+    // taken as EXACT order statistics at ceil(q·n) over the bounded
+    // daily aggregate via the range-partitioned global rank (no
+    // single-task window even though the day table is small — the same
+    // plan works when "daily" becomes "per key-minute"). Bounds ride as
+    // pinned scalar columns so the verdict is self-describing.
+    QueryDef.sql("q179_revenue_anomalies",
+      s"""WITH d AS (SELECT o_orderdate AS day, ${dsumSql("o_totalprice")} AS revenue
+         |           FROM orders GROUP BY 1),
+         |r AS (SELECT day, revenue,
+         |        ROW_NUMBER() OVER (ORDER BY revenue, day) AS rnk,
+         |        COUNT(*) OVER () AS n
+         |      FROM d),
+         |q AS (SELECT
+         |        (SELECT revenue FROM r WHERE rnk = CAST(ceil(0.25 * n) AS BIGINT) LIMIT 1) AS q1,
+         |        (SELECT revenue FROM r WHERE rnk = CAST(ceil(0.75 * n) AS BIGINT) LIMIT 1) AS q3
+         |      FROM (SELECT DISTINCT n FROM r))
+         |SELECT d.day, d.revenue, q.q1, q.q3,
+         |  q.q1 - 1.5 * (q.q3 - q.q1) AS lo_bound,
+         |  q.q3 + 1.5 * (q.q3 - q.q1) AS hi_bound
+         |FROM d, q
+         |WHERE d.revenue < q.q1 - 1.5 * (q.q3 - q.q1)
+         |   OR d.revenue > q.q3 + 1.5 * (q.q3 - q.q1)""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val d = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val ranked = Ranks.globalRowNumber(d,
+        Seq(col("revenue").asc, col("day").asc), "rnk")
+      val n = d.agg(count(lit(1)).as("n"))
+      val withN = ranked.crossJoin(broadcast(n))
+      def statAt(q: Double, name: String) = withN
+        .filter(col("rnk") === ceil(lit(q) * col("n")).cast("long"))
+        .agg(min(col("revenue")).as(name)) // exactly one row matches
+      val bounds = broadcast(statAt(0.25, "q1"))
+        .crossJoin(broadcast(statAt(0.75, "q3")))
+      d.crossJoin(broadcast(bounds))
+        .withColumn("lo_bound", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi_bound", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .filter(col("revenue") < col("lo_bound") ||
+          col("revenue") > col("hi_bound"))
+        .select("day", "revenue", "q1", "q3", "lo_bound", "hi_bound")
+    },
+
+    // ---- q180: PERCENT-RANK TRANSFORM — the feature-engineering
+    // normalization (value → rank percentile in [0,1]) computed with the
+    // distributed global rank instead of a one-task PERCENT_RANK window;
+    // the (price, key) total order makes rank == row_number, so the SQL
+    // PERCENT_RANK replay is bit-equal. Round-6 on the one division.
+    QueryDef.sql("q180_percent_rank",
+      """SELECT o_orderkey,
+        |  ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+        |    AS price_pctl
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val ranked = Ranks.globalRowNumber(o,
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc), "rnk")
+      ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .select(col("o_orderkey"),
+          round((col("rnk") - 1).cast("double") /
+            (col("n") - 1).cast("double"), 6).as("price_pctl"))
     }
   )
 }
