@@ -225,6 +225,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
+    * containment of the SMALLER shingle set in the larger,
+    * inter / min(|A|, |B|) — catches quote/excerpt/subset duplicates
+    * whose Jaccard stays low because the container is much longer (a
+    * 95%-contained excerpt of a 10x-longer doc has Jaccard ≈ 0.09).
+    * Same packed inverted-index kernel and one-sided cap semantics as
+    * [[ngramJaccardPairs]]; emits which side is the contained doc. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.9,
+                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val guardedDoc = when(
+      col("doc") < 0 || col("doc") >= lit(1L << (63 - SzBits)),
+      raise_error(concat(lit("ngramContainmentPairs: doc id outside packable range [0, 2^43): "),
+        col("doc").cast("string")))).otherwise(col("doc"))
+    val guardedSize = when(
+      size(col("hs")).cast("long") > lit(SzMask),
+      raise_error(concat(lit("ngramContainmentPairs: document exceeds 2^20-1 shingles; "),
+        lit("use a separate size join for such corpora (doc id: "),
+        col("doc").cast("string"), lit(")"))))
+      .otherwise(size(col("hs")).cast("long"))
+    val packed = shingleHashDf(docs, idCol, textCol, n)
+      .select(
+        (guardedDoc * lit(1L << SzBits) + guardedSize).as("pdoc"),
+        explode(col("hs")).as("h"))
+    val posting = packed.groupBy(col("h"))
+      .agg(collect_list(col("pdoc")).as("basket"))
+    val capped =
+      if (maxDocFreq == Long.MaxValue) posting
+      else posting.filter(size(col("basket")) <= maxDocFreq)
+    capped
+      .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
+      .groupBy(col("p.product_1").as("product_1"), col("p.product_2").as("product_2"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        shiftright(col("product_1"), SzBits).as("doc_a"),
+        shiftright(col("product_2"), SzBits).as("doc_b"),
+        col("product_1").bitwiseAND(SzMask).as("sz_a"),
+        col("product_2").bitwiseAND(SzMask).as("sz_b"),
+        col("inter"))
+      .withColumn("containment", col("inter") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_doc",
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "contained_doc", "containment")
+  }
+
   /** Cross-corpus contamination check — the train/eval leakage scan every
     * benchmark-respecting training pipeline runs before a data release:
     * for each eval document, the train documents sharing ≥ `minShared`

@@ -56,4 +56,45 @@ object Stats {
         .as("intercept"),
       round(corr, 6).as("corr")): _*)
   }
+
+  /** Pairwise Pearson correlation MATRIX over `cols` — the profiling
+    * report's "which measures move together" panel, in ONE aggregation
+    * pass: n + per-column Σx/Σx² + per-pair Σxy as DECIMAL(18,6) exact
+    * sums (k columns → k(k+1)/2 + k + 1 aggregates, all map-side
+    * combining), then the IEEE corr formula per pair at finalize
+    * (round-6 seam; zero-variance pairs NULL). Rows with a NULL in ANY
+    * column are excluded so every pair sees the same n (the listwise
+    * convention — pairwise-complete would need per-pair counts). Output
+    * is tall: one (col_a, col_b, n, corr) row per unordered pair. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      "need at least two distinct columns")
+    def guarded(c: String) = {
+      val casted = col(c).cast(DecimalType(18, 6))
+      when(col(c).isNotNull && casted.isNull,
+        raise_error(lit(s"$c outside DECIMAL(18,6) range"))
+          .cast(DecimalType(18, 6))).otherwise(casted)
+    }
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).as("n") +:
+      cols.flatMap(c => Seq(sum(guarded(c)).as(s"s_$c"),
+        sum(guarded(c) * guarded(c)).as(s"ss_$c")))) ++
+      pairs.map { case (a, b) => sum(guarded(a) * guarded(b)).as(s"sp_${a}__$b") }
+    val s = base.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val rows = pairs.map { case (a, b) =>
+      val cov = d("n") * d(s"sp_${a}__$b") - d(s"s_$a") * d(s"s_$b")
+      val va = d("n") * d(s"ss_$a") - d(s"s_$a") * d(s"s_$a")
+      val vb = d("n") * d(s"ss_$b") - d(s"s_$b") * d(s"s_$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("n").as("n"),
+        round(when(va =!= 0.0 && vb =!= 0.0, cov / (sqrt(va) * sqrt(vb))), 6)
+          .as("corr"))
+    }
+    s.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.col_a").as("col_a"), col("__r.col_b").as("col_b"),
+        col("__r.n").as("n"), col("__r.corr").as("corr"))
+  }
 }

@@ -712,6 +712,42 @@ object SalesQueries {
         .select(col("o_orderkey"),
           round((col("rnk") - 1).cast("double") /
             (col("n") - 1).cast("double"), 6).as("price_pctl"))
+    },
+
+    // ---- q181: CORRELATION MATRIX — pairwise Pearson over three
+    // lineitem measures in ONE aggregation pass of exact DECIMAL(18,6)
+    // sums (listwise-complete n; the profiling "which measures move
+    // together" panel). Oracle mirrors the sums and the exact double-
+    // formula association.
+    QueryDef.sql("q181_corr_matrix", {
+      // width 24 (> 18) forces DuckDB's hugeint decimal path — the
+      // int64 path overflows on the squared products; values are
+      // identical, so the double casts still match Spark's DECIMAL(18,6)
+      // sums exactly
+      def dc(c: String) = s"CAST($c AS DECIMAL(24,6))"
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sums = (Seq("COUNT(*) AS n") ++
+        cs.flatMap(c => Seq(s"SUM(${dc(c)}) AS s_$c",
+          s"SUM(${dc(c)} * ${dc(c)}) AS ss_$c")) ++
+        (for { i <- cs.indices; j <- (i + 1) until cs.size }
+          yield s"SUM(${dc(cs(i))} * ${dc(cs(j))}) AS sp_${cs(i)}__${cs(j)}"))
+        .mkString(",\n|        ")
+      val rows = (for { i <- cs.indices; j <- (i + 1) until cs.size } yield {
+        val (a, b) = (cs(i), cs(j))
+        val cov = s"(CAST(n AS DOUBLE)*CAST(sp_${a}__$b AS DOUBLE) - CAST(s_$a AS DOUBLE)*CAST(s_$b AS DOUBLE))"
+        val va = s"(CAST(n AS DOUBLE)*CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE)*CAST(s_$a AS DOUBLE))"
+        val vb = s"(CAST(n AS DOUBLE)*CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE)*CAST(s_$b AS DOUBLE))"
+        s"SELECT '$a' AS col_a, '$b' AS col_b, n,\n|  ROUND($cov / (sqrt($va) * sqrt($vb)), 6) AS corr FROM s"
+      }).mkString("\n|UNION ALL ")
+      s"""WITH s AS (SELECT
+         |        $sums
+         |      FROM lineitem
+         |      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         |        AND l_discount IS NOT NULL)
+         |$rows""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.Stats.correlationMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
     }
   )
 }

@@ -276,6 +276,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q182: CONTAINMENT PAIRS — Broder's asymmetric resemblance
+    // (inter / min(|A|,|B|)): the quote/excerpt detector Jaccard misses
+    // (a 95%-contained excerpt of a 10x-longer doc has Jaccard ≈ 0.09
+    // — invisible to q42 at 0.8). Same packed inverted-index kernel and
+    // one-sided df-16 cap; emits which side is the contained doc.
+    QueryDef.sql("q182_containment_pairs",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, sa.n AS sz_a, sb.n AS sz_b,
+         |        CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+         |      FROM inter JOIN sz sa ON doc_a = sa.doc_id
+         |                 JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END AS contained_doc,
+         |  containment
+         |FROM c WHERE containment >= 0.9""".stripMargin) { (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        3, 0.9, maxDocFreq = 16)
+    },
+
     // ---- q95: cross-corpus line-level dedup (CCNet-style paragraph
     // dedup). The fixture corpus has no newlines, so "lines" are derived
     // identically in both engines as 8-token chunks; each distinct line

@@ -252,4 +252,23 @@ class DedupSpec extends SparkSpecBase {
       threshold = 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L))
   }
+
+  test("ngramContainmentPairs: excerpt of a longer doc is caught at high " +
+      "containment where Jaccard misses it; contained side identified") {
+    import graft.llm.Dedup
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val container = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, excerpt), (2L, container), (3L, other))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L)                  // the excerpt is contained
+    assert(r.getDouble(3) == 1.0)               // fully contained
+    // Jaccard at the same corpus misses it (10/38 shared shingles)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count() == 0)
+  }
 }

@@ -519,4 +519,24 @@ class OperatorsSpec extends SparkSpecBase {
       assert(fused == chained, s"partitions=$p")
     }
   }
+
+  test("Stats.correlationMatrix: perfect/anti/zero correlations exact; " +
+      "listwise NULL exclusion; repartition-stable") {
+    import graft.operators.Stats
+    val df = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0)
+    ).toDF("a", "b", "c")
+    val m = Stats.correlationMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(m == Map(("a","b") -> 1.0, ("a","c") -> -1.0, ("b","c") -> -1.0))
+    // a NULL in any column drops the whole row for every pair (same n)
+    val withNull = df.unionByName(Seq((9.0, Double.NaN, 0.0)).toDF("a","b","c")
+      .withColumn("b", when(isnan($"b"), lit(null)).otherwise($"b")))
+    val n2 = Stats.correlationMatrix(withNull, Seq("a","b","c"))
+      .select("n").distinct().collect().map(_.getLong(0)).toSeq
+    assert(n2 == Seq(4L))
+    val again = Stats.correlationMatrix(df.repartition(5), Seq("a","b","c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(again == m)
+  }
 }
