@@ -94,7 +94,9 @@ object Bench {
     "q179_revenue_anomalies",   // IQR outlier days via exact order stats
     "q180_percent_rank",        // distributed percent-rank transform
     "q181_corr_matrix",         // one-pass pairwise Pearson (exact sums)
-    "q182_containment_pairs"    // asymmetric excerpt/quote near-dup detector
+    "q182_containment_pairs",   // asymmetric excerpt/quote near-dup detector
+    "q183_grouped_percent_rank", // per-language length percentile transform
+    "q184_domain_similarity"    // pairwise class-centroid cosine matrix
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -162,7 +164,8 @@ object Bench {
     "q175_revenue_proration" -> 0.43, "q176_bucket_sync_diff" -> 1.30,
     "q177_canonical_by_length" -> 1.36, "q178_funnel_3step" -> 0.49,
     "q179_revenue_anomalies" -> 0.75, "q180_percent_rank" -> 0.54,
-    "q181_corr_matrix" -> 0.30, "q182_containment_pairs" -> 1.10)
+    "q181_corr_matrix" -> 0.30, "q182_containment_pairs" -> 1.10,
+    "q183_grouped_percent_rank" -> 0.76, "q184_domain_similarity" -> 0.42)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -301,6 +301,28 @@ object TextQueries {
         3, 0.9, maxDocFreq = 16)
     },
 
+    // ---- q183: GROUPED PERCENT-RANK — per-language length percentile
+    // (the CCNet-style within-language normalization, as a rank
+    // transform): the skew-safe grouped rank + broadcast counts; the
+    // (n_chars, doc_id) total order makes rank == row_number so SQL
+    // PERCENT_RANK replays bit-equal; single-member groups pin to 0.
+    QueryDef.sql("q183_grouped_percent_rank",
+      """SELECT doc_id, lang,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id), 6) AS len_pctl
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val ranked = Ranks.groupedRowNumber(d, Seq("lang"),
+        Seq(col("n_chars").asc, col("doc_id").asc), "rnk")
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(counts), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          when(col("n") === 1, 0.0).otherwise(
+            round((col("rnk") - 1).cast("double") /
+              (col("n") - 1).cast("double"), 6)).as("len_pctl"))
+    },
+
     // ---- q95: cross-corpus line-level dedup (CCNet-style paragraph
     // dedup). The fixture corpus has no newlines, so "lines" are derived
     // identically in both engines as 8-token chunks; each distinct line

@@ -304,6 +304,54 @@ object VectorQueries {
         .orderBy("label", "rnk")
     },
 
+    // ---- q184: DOMAIN-CENTROID SIMILARITY — the pairwise cosine matrix
+    // of class/source centroids (q98's centroid rows), the embedding-
+    // space "which domains look alike" report mixture design reads
+    // before re-weighting. Centroid values are round-9 doubles identical
+    // cross-engine; per-pair dot and per-label norm accumulate as
+    // DECIMAL(22,18) exact sums over the 64 dims (double summation order
+    // would be partition-dependent), one IEEE division + round-6 at the
+    // end. Everything after the centroid agg is label-count-sized.
+    QueryDef.sql("q184_domain_similarity",
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(generate_series(1, 64)) AS dim,
+        |    unnest(list_transform(embedding,
+        |      v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(20,15)))) AS dv
+        |  FROM embeddings),
+        |cent AS (SELECT label, dim,
+        |    round(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 9) AS c
+        |  FROM x GROUP BY 1, 2),
+        |nrm AS (SELECT label,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(22,18))) AS DOUBLE) AS n2
+        |  FROM cent GROUP BY 1),
+        |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(SUM(CAST(a.c * b.c AS DECIMAL(22,18))) AS DOUBLE) AS dp
+        |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  ROUND(dp / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        |FROM dots JOIN nrm na ON na.label = label_a
+        |          JOIN nrm nb ON nb.label = label_b""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cent = Similarity.centroidRows(Tables.embeddings(s, dir), "label")
+        .select(col("label"), col("dim"), col("centroid").as("c"))
+      val nrm = cent.groupBy("label")
+        .agg(sum((col("c") * col("c")).cast(DecimalType(22, 18)))
+          .cast("double").as("n2"))
+      val a = cent.select(col("label").as("label_a"), col("dim"), col("c").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("dim"), col("c").as("cb"))
+      val dots = a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(sum((col("ca") * col("cb")).cast(DecimalType(22, 18)))
+          .cast("double").as("dp"))
+      dots
+        .join(broadcast(nrm.toDF("label_a", "na")), Seq("label_a"))
+        .join(broadcast(nrm.toDF("label_b", "nb")), Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine"))
+    },
+
     // ---- q46: brute-force cosine top-k ANN baseline (query = vec_id 0)
     QueryDef.sql("q46_ann_brute_topk",
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
