@@ -642,6 +642,42 @@ object CustomerQueries {
             .as("click_rate"),
           round(col("users_purchased").cast("double") / col("users_clicked"), 6)
             .as("purchase_rate"))
+    },
+
+    // ---- q186: BURST / BOT DETECTION — users whose peak per-minute
+    // event rate crosses the rate-limit threshold (the crawler/abuse
+    // screen every event-sourced corpus runs before treating activity as
+    // human): two map-side-combining aggregations — (user, minute)
+    // counts, then per-user MAX via one argmax-by-struct (earliest
+    // peaking minute as the deterministic witness).
+    QueryDef.sql("q186_burst_users",
+      """WITH m AS (SELECT user_id, date_trunc('minute', ts) AS mi, COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, COUNT(*) AS active_minutes,
+        |        CAST(SUM(n) AS BIGINT) AS total_events FROM m GROUP BY 1),
+        |p AS (SELECT user_id, MAX(n) AS peak,
+        |        MIN(CASE WHEN n = (SELECT MAX(n) FROM m m2
+        |                           WHERE m2.user_id = m.user_id)
+        |                 THEN mi END) AS peak_minute
+        |      FROM m GROUP BY 1)
+        |SELECT p.user_id, CAST(p.peak AS BIGINT) AS peak_per_minute,
+        |  p.peak_minute, t.total_events
+        |FROM p JOIN t ON p.user_id = t.user_id
+        |WHERE p.peak >= 2""".stripMargin) { (s, dir) =>
+      val m = Tables.events(s, dir)
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("mi"))
+        .agg(count(lit(1)).as("n"))
+      // argmax-by-struct: (peak, earliest minute at peak) in ONE agg —
+      // negate the epoch so MAX picks the smallest minute among ties
+      val p = m.groupBy("user_id")
+        .agg(max(struct(col("n"),
+          (-unix_timestamp(col("mi"))).as("negm"))).as("mx"),
+          count(lit(1)).as("active_minutes"),
+          sum(col("n")).as("total_events"))
+        .select(col("user_id"), col("mx.n").as("peak_per_minute"),
+          (-col("mx.negm")).cast("timestamp").as("peak_minute"),
+          col("total_events"))
+      p.filter(col("peak_per_minute") >= 2)
     }
   )
 }

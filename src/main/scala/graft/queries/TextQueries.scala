@@ -276,6 +276,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q185: DEDUP QA SUMMARY — the one-row dashboard of the q94
+    // chain: corpus size, docs in multi-member clusters, cluster count,
+    // max cluster size, survivors, dedup rate. The "how duplicated is
+    // this corpus" number a curation run reports before and after.
+    QueryDef.sql("q185_dedup_summary",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |csize AS (SELECT lbl, COUNT(*) AS n FROM comp GROUP BY 1)
+         |SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+         |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_clusters,
+         |  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_clusters,
+         |  CAST(MAX(n) AS BIGINT) AS max_cluster,
+         |  CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+         |    AS dedup_rate
+         |FROM csize""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxDocFreq = 16)
+        .select("doc_a", "doc_b")
+      val sizes = graft.llm.Clusters.connectedComponents(
+          docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+        .groupBy("cluster_rep").agg(count(lit(1)).as("n"))
+      sizes.agg(
+        sum(col("n")).as("total_docs"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("docs_in_clusters"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("multi_clusters"),
+        max(col("n")).as("max_cluster"),
+        count(lit(1)).as("kept_docs"))
+        .select(col("total_docs"), col("docs_in_clusters"),
+          col("multi_clusters"), col("max_cluster"), col("kept_docs"),
+          round(lit(1.0) - col("kept_docs").cast("double") /
+            col("total_docs").cast("double"), 6).as("dedup_rate"))
+    },
+
     // ---- q182: CONTAINMENT PAIRS — Broder's asymmetric resemblance
     // (inter / min(|A|,|B|)): the quote/excerpt detector Jaccard misses
     // (a 95%-contained excerpt of a 10x-longer doc has Jaccard ≈ 0.09
