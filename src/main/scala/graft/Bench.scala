@@ -98,7 +98,8 @@ object Bench {
     "q183_grouped_percent_rank", // per-language length percentile transform
     "q184_domain_similarity",   // pairwise class-centroid cosine matrix
     "q185_dedup_summary",       // one-row dedup QA dashboard over the q94 chain
-    "q186_burst_users"          // per-minute rate-limit screen (argmax-by-struct)
+    "q186_burst_users",         // per-minute rate-limit screen (argmax-by-struct)
+    "q187_score_calibration"    // classifier-score deciles (distributed NTILE)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -168,7 +169,8 @@ object Bench {
     "q179_revenue_anomalies" -> 0.75, "q180_percent_rank" -> 0.54,
     "q181_corr_matrix" -> 0.30, "q182_containment_pairs" -> 1.10,
     "q183_grouped_percent_rank" -> 0.76, "q184_domain_similarity" -> 0.42,
-    "q185_dedup_summary" -> 1.57, "q186_burst_users" -> 0.33)
+    "q185_dedup_summary" -> 1.57, "q186_burst_users" -> 0.33,
+    "q187_score_calibration" -> 1.02)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1299,6 +1299,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q187: SCORE CALIBRATION DECILES — the model-diagnostics table
+    // for the q123 classifier: docs cut into 10 score deciles (the
+    // distributed exact NTILE — no one-task global sort), per-decile
+    // doc counts and mean score/feature-count. The "is the quality
+    // classifier just picking long documents" check an ML-ops review
+    // reads before trusting a filter.
+    QueryDef.sql("q187_score_calibration",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, list_concat(toks,
+         |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+         |s AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+         |        CAST(list_reduce(list_transform(feats, x ->
+         |          CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
+         |          (a, b) -> a + b) AS BIGINT) AS score
+         |      FROM f),
+         |r AS (SELECT doc_id, score, n_feats,
+         |        CAST(NTILE(10) OVER (ORDER BY score, doc_id) AS INTEGER) AS decile
+         |      FROM s)
+         |SELECT decile, COUNT(*) AS n_docs,
+         |  CAST(SUM(score) AS BIGINT) AS sum_score,
+         |  CAST(SUM(n_feats) AS BIGINT) AS sum_feats,
+         |  ROUND(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+         |  ROUND(CAST(SUM(n_feats) AS DOUBLE) / COUNT(*), 6) AS mean_feats
+         |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val scored = graft.llm.Scoring.hashedLinearScore(
+          Tables.documents(s, dir), "doc_id", "text", buckets = 1024)
+        .select("doc_id", "score", "n_feats")
+      Ranks.distributedNtile(scored,
+          Seq(col("score").asc, col("doc_id").asc), 10, "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score"),
+          sum(col("n_feats")).as("sum_feats"),
+          round(sum(col("score")).cast("double") / count(lit(1)), 6)
+            .as("mean_score"),
+          round(sum(col("n_feats")).cast("double") / count(lit(1)), 6)
+            .as("mean_feats"))
+    },
+
     // ---- q124: DSIR importance log-ratio (Xie et al. 2023) — hashed-
     // n-gram bag-of-words likelihood ratio between the target split
     // (doc_id < 250, the q117/q120 convention) and the raw split. The
