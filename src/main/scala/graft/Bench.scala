@@ -99,7 +99,9 @@ object Bench {
     "q184_domain_similarity",   // pairwise class-centroid cosine matrix
     "q185_dedup_summary",       // one-row dedup QA dashboard over the q94 chain
     "q186_burst_users",         // per-minute rate-limit screen (argmax-by-struct)
-    "q187_score_calibration"    // classifier-score deciles (distributed NTILE)
+    "q187_score_calibration",   // classifier-score deciles (distributed NTILE)
+    "q188_scd2_integrity",      // SCD2 chain/current invariant audit
+    "q189_conversion_latency"   // funnel duration p50/p90 via Hist sketch
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -170,7 +172,8 @@ object Bench {
     "q181_corr_matrix" -> 0.30, "q182_containment_pairs" -> 1.10,
     "q183_grouped_percent_rank" -> 0.76, "q184_domain_similarity" -> 0.42,
     "q185_dedup_summary" -> 1.57, "q186_burst_users" -> 0.33,
-    "q187_score_calibration" -> 1.02)
+    "q187_score_calibration" -> 1.02, "q188_scd2_integrity" -> 0.50,
+    "q189_conversion_latency" -> 0.55)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1438,6 +1438,98 @@ object SourceQueries {
         .select(lit("buckets_changed").as("metric"), col("value"))
         .unionByName(d.groupBy(col("change_type").as("metric"))
           .agg(count(lit(1)).as("value")))
+    },
+
+    // ---- q188: SCD2 INTEGRITY AUDIT — the invariants every PIT
+    // consumer silently assumes, checked explicitly over a history with
+    // deterministic violations injected (gap %13==2, overlap %17==3,
+    // double-current %19==5 — disjoint-guarded so each key's expected
+    // violation list is exact): versions must chain, one current per
+    // key. Empty result = healthy; the oracle replays the LAG chain.
+    QueryDef.sql("q188_scd2_integrity",
+      """WITH h AS (
+        |  SELECT c_custkey AS k, TIMESTAMP '1990-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 19 = 5 AND c_custkey % 13 <> 2
+        |              AND c_custkey % 17 <> 3 THEN NULL
+        |         ELSE TIMESTAMP '1995-01-01' END AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 13 = 2 THEN TIMESTAMP '1995-06-01'
+        |         WHEN c_custkey % 17 = 3 THEN TIMESTAMP '1994-06-01'
+        |         ELSE TIMESTAMP '1995-01-01' END,
+        |    NULL
+        |  FROM customer),
+        |l AS (SELECT k, valid_from, valid_to,
+        |        LAG(valid_to) OVER (PARTITION BY k ORDER BY valid_from, valid_to) AS prev_to,
+        |        LAG(TRUE, 1, FALSE) OVER (PARTITION BY k ORDER BY valid_from, valid_to) AS has_prev
+        |      FROM h),
+        |p AS (SELECT k,
+        |        MAX(has_prev AND (prev_to IS NULL OR prev_to > valid_from)) AS overlap,
+        |        MAX(has_prev AND prev_to IS NOT NULL AND prev_to < valid_from) AS gap,
+        |        SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) > 1 AS multi_current
+        |      FROM l GROUP BY 1),
+        |v AS (SELECT k, CONCAT_WS(',',
+        |        CASE WHEN overlap THEN 'overlap' END,
+        |        CASE WHEN gap THEN 'gap' END,
+        |        CASE WHEN multi_current THEN 'multi_current' END) AS violations
+        |      FROM p)
+        |SELECT k, violations FROM v WHERE violations <> ''""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+      val ts = (x: String) => lit(x).cast("timestamp")
+      val dblCur = col("k") % 19 === 5 && col("k") % 13 =!= 2 && col("k") % 17 =!= 3
+      val v1 = c.select(col("k"), ts("1990-01-01").as("valid_from"),
+        when(dblCur, lit(null).cast("timestamp"))
+          .otherwise(ts("1995-01-01")).as("valid_to"))
+      val v2 = c.select(col("k"),
+        when(col("k") % 13 === 2, ts("1995-06-01"))
+          .when(col("k") % 17 === 3, ts("1994-06-01"))
+          .otherwise(ts("1995-01-01")).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      Warehouse.scd2Integrity(v1.unionByName(v2), "k")
+    },
+
+    // ---- q189: CONVERSION-LATENCY QUANTILES — the q178 funnel's
+    // view→purchase durations summarized by the mergeable histogram
+    // sketch (hour buckets over 30 days): the "how long does conversion
+    // take" p50/p90 at bucket resolution, no sort of the durations.
+    QueryDef.sql("q189_conversion_latency",
+      """WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1),
+        |d AS (SELECT p.user_id, date_diff('second', v.tv, p.tp) AS dur
+        |      FROM p JOIN v ON p.user_id = v.user_id),
+        |b AS (SELECT least(greatest(dur // 3600, 0), 719) AS bk, COUNT(*) AS n
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b),
+        |cum AS (SELECT bk, SUM(n) OVER (ORDER BY bk) AS cum FROM b)
+        |SELECT t.total AS n_converted,
+        |  3600.0 * (SELECT MIN(bk) FROM cum WHERE cum >= ceil(0.5 * t.total)) AS p50_s,
+        |  3600.0 * (SELECT MIN(bk) FROM cum WHERE cum >= ceil(0.9 * t.total)) AS p90_s
+        |FROM t""".stripMargin) { (s, dir) =>
+      import graft.operators.Hist
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      val (lo, hi, nb) = (0.0, 2592000.0, 720) // 30 days, hour buckets
+      p.join(v, "user_id")
+        .select((unix_timestamp(col("tp")) - unix_timestamp(col("tv"))).as("dur"))
+        .agg(Hist.sketch(col("dur"), lo, hi, nb).as("h"),
+          count(lit(1)).as("n_converted"))
+        .select(col("n_converted"),
+          Hist.quantileLowerBound(col("h"), 0.5, lo, hi, nb).as("p50_s"),
+          Hist.quantileLowerBound(col("h"), 0.9, lo, hi, nb).as("p90_s"))
     }
   )
 }

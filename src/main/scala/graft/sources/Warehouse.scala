@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions._
 
 /** Warehouse-zone management (SURVEY §2.1 S9/S11/S12).
   *
@@ -249,6 +249,45 @@ object Warehouse {
         lit(null).cast("date").as("valid_to"),
         lit(true).as("is_current")): _*)
     hist.unionByName(carried).unionByName(closed).unionByName(fresh)
+  }
+
+  /** SCD2 history integrity audit — the invariants every consumer of a
+    * versioned dimension silently assumes, checked explicitly: per key,
+    * versions must CHAIN (each `valid_from` equal to or after the
+    * previous version's `valid_to`; an open `valid_to` only on the last
+    * version) and at most ONE version may be current (NULL `valid_to`).
+    * Emits one row per violating key with the ordered violation list
+    * (`overlap`, `gap`, `multi_current`) — empty result = healthy
+    * history. One window per key over change-count-bounded rows plus a
+    * per-key aggregate. `strict = true` also reports gaps (periods where
+    * the key had NO valid version); lax histories that close and reopen
+    * later pass with `strict = false`. */
+  def scd2Integrity(hist: DataFrame, keyCol: String,
+                    strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from"), col("valid_to"))
+    val flagged = hist
+      .withColumn("__prev_to", lag(col("valid_to"), 1).over(w))
+      .withColumn("__has_prev", lag(lit(true), 1, false).over(w))
+      // a NULL previous valid_to under a following row is an open
+      // non-last version — an overlap by definition
+      .withColumn("__overlap", col("__has_prev") &&
+        (col("__prev_to").isNull || col("__prev_to") > col("valid_from")))
+      .withColumn("__gap", col("__has_prev") &&
+        col("__prev_to").isNotNull && col("__prev_to") < col("valid_from"))
+    val perKey = flagged.groupBy(col(keyCol)).agg(
+      max(col("__overlap")).as("overlap"),
+      max(col("__gap")).as("gap"),
+      (sum(when(col("valid_to").isNull, 1).otherwise(0)) > 1).as("multi_current"))
+    val gapCol = if (strict) col("gap") else lit(false)
+    perKey
+      .withColumn("violations", concat_ws(",",
+        when(col("overlap"), lit("overlap")),
+        when(gapCol, lit("gap")),
+        when(col("multi_current"), lit("multi_current"))))
+      .filter(col("violations") =!= lit(""))
+      .select(col(keyCol), col("violations"))
   }
 
   /** Merge-on-read keyed deletes — the Delta/Iceberg DELETION-VECTOR

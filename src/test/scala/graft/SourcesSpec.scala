@@ -718,4 +718,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(restricted == full && full.size == 3)
     assert(Diff.changedBuckets(v1, v1, "k", Seq("s", "p"), 64).count() == 0)
   }
+
+  test("scd2Integrity: healthy chains pass; overlap/gap/double-current " +
+      "flagged with ordered reasons; historyFrom output is always healthy") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 00:00:00")
+    val hist = Seq(
+      (1L, ts("2020-01-01"), Option(ts("2021-01-01"))),   // healthy chain
+      (1L, ts("2021-01-01"), None),
+      (2L, ts("2020-01-01"), Option(ts("2021-01-01"))),   // gap
+      (2L, ts("2021-06-01"), None),
+      (3L, ts("2020-01-01"), Option(ts("2021-01-01"))),   // overlap
+      (3L, ts("2020-06-01"), None),
+      (4L, ts("2020-01-01"), None),                        // two currents
+      (4L, ts("2021-01-01"), None)
+    ).toDF("k", "valid_from", "valid_to")
+      .withColumn("valid_to", $"valid_to")
+    val got = Warehouse.scd2Integrity(hist, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "gap", 3L -> "overlap",
+      4L -> "overlap,multi_current"))
+    // strict=false ignores gaps (close-and-reopen histories pass)
+    val lax = Warehouse.scd2Integrity(hist, "k", strict = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(lax == Set(3L, 4L))
+    // a Cdc.historyFrom-built history is healthy by construction
+    import graft.operators.Cdc
+    val log = Seq(
+      (10L, ts("2024-01-01"), 0, "I", "a"), (10L, ts("2024-01-02"), 1, "U", "b"),
+      (11L, ts("2024-01-01"), 0, "I", "c"), (11L, ts("2024-01-03"), 1, "D", null)
+    ).toDF("k", "ts", "seq", "op", "status")
+    val built = Cdc.historyFrom(log, Seq("k"), Seq("status"))
+    assert(Warehouse.scd2Integrity(built, "k").count() == 0)
+  }
 }
