@@ -101,7 +101,8 @@ object Bench {
     "q186_burst_users",         // per-minute rate-limit screen (argmax-by-struct)
     "q187_score_calibration",   // classifier-score deciles (distributed NTILE)
     "q188_scd2_integrity",      // SCD2 chain/current invariant audit
-    "q189_conversion_latency"   // funnel duration p50/p90 via Hist sketch
+    "q189_conversion_latency",  // funnel duration p50/p90 via Hist sketch
+    "q190_collocations"         // PMI phrase mining (exact counts, one ln)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -173,7 +174,7 @@ object Bench {
     "q183_grouped_percent_rank" -> 0.76, "q184_domain_similarity" -> 0.42,
     "q185_dedup_summary" -> 1.57, "q186_burst_users" -> 0.33,
     "q187_score_calibration" -> 1.02, "q188_scd2_integrity" -> 0.50,
-    "q189_conversion_latency" -> 0.55)
+    "q189_conversion_latency" -> 0.55, "q190_collocations" -> 0.68)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -276,6 +276,55 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q190: COLLOCATIONS BY PMI — top adjacent-bigram collocations
+    // by pointwise mutual information (count floor 5 — PMI famously
+    // explodes on singletons): exact integer counts end to end, ONE ln
+    // per surviving pair with the round-6 seam, rank on the ROUNDED
+    // score + pair tie-break so the top-20 is engine-independent. The
+    // phrase-mining / tokenizer-seeding pass.
+    QueryDef.sql("q190_collocations",
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |         i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |       FROM t WHERE len(toks) >= 2),
+         |pc AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |uc AS (SELECT unnest(toks) AS tok FROM t),
+         |u AS (SELECT tok, COUNT(*) AS n FROM uc GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(SUM(n_ab) AS BIGINT) FROM pc) AS n_bi,
+         |               (SELECT CAST(SUM(n) AS BIGINT) FROM u) AS n_uni)
+         |SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+         |  ROUND(ln((CAST(n_ab AS DOUBLE) / n_bi) /
+         |    ((CAST(ua.n AS DOUBLE) / n_uni) * (CAST(ub.n AS DOUBLE) / n_uni))), 6)
+         |    AS pmi
+         |FROM pc JOIN u ua ON pc.a = ua.tok JOIN u ub ON pc.b = ub.tok
+         |CROSS JOIN tot
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+      import graft.functions.TextFns
+      val toks = Tables.documents(s, dir)
+        .select(TextFns.tokens(col("text")).as("toks"))
+      val bg = toks.filter(size(col("toks")) >= 2)
+        .select(explode(transform(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          (t, i) => struct(t.as("a"),
+            element_at(col("toks"), i + lit(2)).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val pc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      val u = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = pc.agg(sum(col("n_ab")).as("n_bi"))
+        .crossJoin(broadcast(u.agg(sum(col("n")).as("n_uni"))))
+      pc.filter(col("n_ab") >= 5)
+        .join(u.toDF("a", "na"), Seq("a"))
+        .join(u.toDF("b", "nb"), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(log((col("n_ab") / col("n_bi")) /
+            ((col("na") / col("n_uni")) * (col("nb") / col("n_uni")))), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), asc("a"), asc("b")).limit(20)
+    },
+
     // ---- q185: DEDUP QA SUMMARY — the one-row dashboard of the q94
     // chain: corpus size, docs in multi-member clusters, cluster count,
     // max cluster size, survivors, dedup rate. The "how duplicated is
