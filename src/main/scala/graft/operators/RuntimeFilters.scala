@@ -45,6 +45,25 @@ object RuntimeFilters {
     ColumnBridge.column(new BloomFilterMightContain(
       Literal(bloom), ColumnBridge.expression(xxhash64(key))))
 
+  /** Persist a bloom sketch as a warehouse artifact — the CROSS-JOB
+    * runtime filter: tonight's dim-build job publishes the sketch
+    * (~1.2 MB for 1 M keys), tomorrow's fact jobs prune their scans
+    * with it WITHOUT touching the dim table at all (the "join index"
+    * move; Delta calls a cousin of this a bloom filter index). The
+    * sketch is one binary row; correctness is unchanged because the
+    * probe is a superset pre-filter and the exact join still runs. */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession, bloom: Array[Byte],
+                table: String): Unit = {
+    import spark.implicits._
+    graft.sources.Warehouse.overwriteTable(
+      Seq(Tuple1(bloom)).toDF("bloom"), table)
+  }
+
+  /** Load a [[saveBloom]] artifact (one tiny driver read). */
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+                table: String): Array[Byte] =
+    spark.table(table).head.getAs[Array[Byte]](0)
+
   /** `fact ⋈ dim` with the fact side bloom-pruned before the shuffle.
     * `expectedDimKeys` sizes the sketch (overestimating costs bits, not
     * correctness). Result is exactly the plain join. */

@@ -1530,6 +1530,37 @@ object SourceQueries {
         .select(col("n_converted"),
           Hist.quantileLowerBound(col("h"), 0.5, lo, hi, nb).as("p50_s"),
           Hist.quantileLowerBound(col("h"), 0.9, lo, hi, nb).as("p90_s"))
+    },
+
+    // ---- q191: PERSISTED BLOOM ARTIFACT — the cross-job runtime
+    // filter: job 1 builds the high-balance-customer key sketch and
+    // PUBLISHES it as a warehouse table; job 2 prunes its orders scan
+    // with the LOADED artifact (never touching the dim) before the
+    // exact semi-join. The gate aggregates through the artifact round
+    // trip; a corrupted sketch would drop matching rows (false
+    // negatives) and fail value compare.
+    QueryDef.sql("q191_bloom_artifact",
+      s"""SELECT o.o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o.o_totalprice")} AS revenue
+         |FROM orders o
+         |WHERE EXISTS (SELECT 1 FROM customer c
+         |              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 8000)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.operators.RuntimeFilters
+      Warehouse.ensureDatabase(s, "graft_wh")
+      val dim = Tables.customer(s, dir).filter(col("c_acctbal") > 8000)
+      // job 1: build + publish
+      RuntimeFilters.saveBloom(s,
+        RuntimeFilters.bloomOfKeys(dim, "c_custkey", 100000L),
+        "graft_wh.highbal_bloom")
+      // job 2: load + prune + exact confirm
+      val bloom = RuntimeFilters.loadBloom(s, "graft_wh.highbal_bloom")
+      val o = Tables.orders(s, dir)
+      o.filter(RuntimeFilters.mightContain(bloom, col("o_custkey")))
+        .join(dim.select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     }
   )
 }

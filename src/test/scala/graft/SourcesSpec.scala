@@ -750,4 +750,19 @@ class SourcesSpec extends SparkSpecBase {
     val built = Cdc.historyFrom(log, Seq("k"), Seq("status"))
     assert(Warehouse.scd2Integrity(built, "k").count() == 0)
   }
+
+  test("bloom artifact round-trips byte-exactly and prunes after reload") {
+    import graft.operators.RuntimeFilters
+    Warehouse.ensureDatabase(spark, "graft_test")
+    val dim = Tables.customer(spark, sf).filter($"c_acctbal" > 8000)
+    val built = RuntimeFilters.bloomOfKeys(dim, "c_custkey", 10000L)
+    RuntimeFilters.saveBloom(spark, built, "graft_test.bloom_t")
+    val loaded = RuntimeFilters.loadBloom(spark, "graft_test.bloom_t")
+    assert(java.util.Arrays.equals(built, loaded))
+    // reload-pruned fact is a SUPERSET of true matches and a subset of all
+    val fact = Tables.orders(spark, sf)
+    val prunedN = fact.filter(RuntimeFilters.mightContain(loaded, $"o_custkey")).count()
+    val trueN = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi").count()
+    assert(prunedN >= trueN && prunedN <= fact.count())
+  }
 }
