@@ -1561,6 +1561,47 @@ object SourceQueries {
           col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q192: PERSISTED STATS-INDEX ARTIFACT — the q159 skipping
+    // index as a maintained warehouse table: job 1 publishes the
+    // per-file min/max stats of the clustered base; an append lands; a
+    // maintenance pass refreshes the PUBLISHED table scanning only the
+    // new files (refreshStats) and republishes; job 2 then prunes its
+    // band read with the loaded index. The gate aggregates through the
+    // post-refresh pruned read of base+append — a stale index (missing
+    // the appended files) loses rows and fails value compare.
+    QueryDef.sql("q192_stats_artifact",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders WHERE o_totalprice BETWEEN 100000.0 AND 200000.0
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.DataSkipping
+      Warehouse.ensureDatabase(s, "graft_wh")
+      val path = scratch("q192_orders_clustered")
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .repartitionByRange(12, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      Warehouse.overwriteTable(
+        DataSkipping.fileStats(s, path, Seq("o_totalprice")),
+        "graft_wh.orders_price_stats")
+      // an unclustered append lands (its files span the whole domain —
+      // they are always read; correctness, not prune quality, is gated)
+      o.filter(col("o_orderkey") % 3 === 0).repartition(2)
+        .write.mode("append").parquet(path)
+      // maintenance: refresh scanning only the new files, republish
+      // (pin first — overwriteTable drops the table its plan reads)
+      val refreshed = DataSkipping.refreshStats(s, path,
+        s.table("graft_wh.orders_price_stats"), Seq("o_totalprice"))
+        .localCheckpoint()
+      Warehouse.overwriteTable(refreshed, "graft_wh.orders_price_stats")
+      DataSkipping.prunedRead(s, path,
+          s.table("graft_wh.orders_price_stats"), "o_totalprice",
+          100000.0, 200000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     }
   )
 }
