@@ -104,7 +104,8 @@ object Bench {
     "q189_conversion_latency",  // funnel duration p50/p90 via Hist sketch
     "q190_collocations",        // PMI phrase mining (exact counts, one ln)
     "q191_bloom_artifact",      // persisted cross-job bloom runtime filter
-    "q192_stats_artifact"       // maintained skipping index through the warehouse
+    "q192_stats_artifact",      // maintained skipping index through the warehouse
+    "q193_idempotent_ingest"    // retry-safe batch ingest (batch-id partitions)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -177,7 +178,8 @@ object Bench {
     "q185_dedup_summary" -> 1.57, "q186_burst_users" -> 0.33,
     "q187_score_calibration" -> 1.02, "q188_scd2_integrity" -> 0.50,
     "q189_conversion_latency" -> 0.55, "q190_collocations" -> 0.68,
-    "q191_bloom_artifact" -> 0.80, "q192_stats_artifact" -> 1.54)
+    "q191_bloom_artifact" -> 0.80, "q192_stats_artifact" -> 1.54,
+    "q193_idempotent_ingest" -> 1.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1602,6 +1602,33 @@ object SourceQueries {
           100000.0, 200000.0)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
+    },
+
+    // ---- q193: EXACTLY-ONCE BATCH INGEST — three daily batches land,
+    // the middle one REPLAYED (the Airflow-retry double-count the
+    // reference's to_sql append suffers): each batch owns its
+    // batch_id partition under dynamic overwrite, so the replay
+    // overwrites instead of duplicating — idempotence from layout, no
+    // ledger, no two-phase hole. The gate aggregates the post-ingest
+    // table; a double-count fails value compare.
+    QueryDef.sql("q193_idempotent_ingest",
+      s"""SELECT o_orderpriority, COUNT(*) AS orders,
+         |  ${dsumSql("o_totalprice")} AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS distinct_orders
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      s.sql("DROP TABLE IF EXISTS graft_wh.orders_ingest")
+      val o = Tables.orders(s, dir)
+      def batch(i: Int) = o.filter(col("o_orderkey") % 3 === i)
+      Warehouse.appendBatchIdempotent(batch(0), "graft_wh.orders_ingest", "b0")
+      Warehouse.appendBatchIdempotent(batch(1), "graft_wh.orders_ingest", "b1")
+      // the retry: batch b1 lands AGAIN — must overwrite, not duplicate
+      Warehouse.appendBatchIdempotent(batch(1), "graft_wh.orders_ingest", "b1")
+      Warehouse.appendBatchIdempotent(batch(2), "graft_wh.orders_ingest", "b2")
+      s.table("graft_wh.orders_ingest")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("distinct_orders"))
     }
   )
 }

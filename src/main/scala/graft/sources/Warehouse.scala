@@ -201,6 +201,36 @@ object Warehouse {
     require(survived.isEmpty, s"forgetKeys: rows with forgotten keys survive in $table")
   }
 
+  /** Exactly-once BATCH ingest — the retry-safety the reference's
+    * Airflow tasks lack (a retried pandas `to_sql` append double-counts):
+    * each batch lands in its OWN `batch_id=<id>` partition via dynamic
+    * partition overwrite, so replaying a batch — after a crash,
+    * mid-write failure, or scheduler retry — OVERWRITES its partition
+    * instead of appending a second copy. Idempotence comes from the
+    * layout, not a ledger, so there is no two-phase commit hole: a torn
+    * first attempt leaves a partial partition that the retry replaces
+    * wholesale. First batch creates the table. */
+  def appendBatchIdempotent(df: DataFrame, table: String,
+                            batchId: String): Unit = {
+    val spark = df.sparkSession
+    val withId = df.withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table)) {
+      overwritePartitioned(withId, table, "batch_id")
+      return
+    }
+    val cols = spark.table(table).columns
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try withId.repartition(col("batch_id"))
+      .select(cols.map(withId(_)): _*)
+      .write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshTable(table)
+  }
+
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating

@@ -765,4 +765,23 @@ class SourcesSpec extends SparkSpecBase {
     val trueN = fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left_semi").count()
     assert(prunedN >= trueN && prunedN <= fact.count())
   }
+
+  test("appendBatchIdempotent: replay overwrites its partition wholesale " +
+      "(torn first attempt replaced); other batches untouched") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.ingest_t")
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val b2torn = Seq((10L, "PARTIAL")).toDF("k", "v")     // crashed mid-batch
+    val b2full = Seq((10L, "x"), (11L, "y")).toDF("k", "v")
+    Warehouse.appendBatchIdempotent(b1, "graft_test.ingest_t", "b1")
+    Warehouse.appendBatchIdempotent(b2torn, "graft_test.ingest_t", "b2")
+    // the retry ships the FULL batch — it must replace the torn partition
+    Warehouse.appendBatchIdempotent(b2full, "graft_test.ingest_t", "b2")
+    val got = spark.table("graft_test.ingest_t")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (10L, "x"), (11L, "y")))
+    // replaying b1 verbatim is a no-op on content
+    Warehouse.appendBatchIdempotent(b1, "graft_test.ingest_t", "b1")
+    assert(spark.table("graft_test.ingest_t").count() == 4)
+  }
 }
