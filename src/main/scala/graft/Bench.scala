@@ -105,7 +105,9 @@ object Bench {
     "q190_collocations",        // PMI phrase mining (exact counts, one ln)
     "q191_bloom_artifact",      // persisted cross-job bloom runtime filter
     "q192_stats_artifact",      // maintained skipping index through the warehouse
-    "q193_idempotent_ingest"    // retry-safe batch ingest (batch-id partitions)
+    "q193_idempotent_ingest",   // retry-safe batch ingest (batch-id partitions)
+    "q194_late_dimension",      // inferred-member placeholder + repair pass
+    "q195_quarantine_examples"  // md5-order example rows per failed rule
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -179,7 +181,8 @@ object Bench {
     "q187_score_calibration" -> 1.02, "q188_scd2_integrity" -> 0.50,
     "q189_conversion_latency" -> 0.55, "q190_collocations" -> 0.68,
     "q191_bloom_artifact" -> 0.80, "q192_stats_artifact" -> 1.54,
-    "q193_idempotent_ingest" -> 1.31)
+    "q193_idempotent_ingest" -> 1.31, "q194_late_dimension" -> 0.57,
+    "q195_quarantine_examples" -> 0.32)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

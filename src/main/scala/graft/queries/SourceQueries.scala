@@ -1629,6 +1629,90 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"),
           countDistinct(col("o_orderkey")).as("distinct_orders"))
+    },
+
+    // ---- q194: LATE-BINDING DIMENSION REPAIR — the inferred-member
+    // pattern: facts arriving BEFORE their dimension rows bind to an
+    // UNKNOWN placeholder instead of being dropped or blocking the load
+    // (a fifth of customers are "late"); when the full dimension lands,
+    // the repair pass re-resolves ONLY the placeholder facts. The gate
+    // emits both stages — a dropped early fact, a wrong placeholder, or
+    // a repair that touches already-bound facts all fail value compare.
+    QueryDef.sql("q194_late_dimension",
+      """WITH dim1 AS (SELECT c_custkey, c_mktsegment FROM customer
+        |             WHERE c_custkey % 5 <> 2),
+        |initial AS (SELECT o.o_orderkey,
+        |    COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment
+        |  FROM orders o LEFT JOIN dim1 d ON o.o_custkey = d.c_custkey),
+        |repaired AS (SELECT o.o_orderkey, c.c_mktsegment AS segment
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |a AS (SELECT 'initial' AS stage, segment, COUNT(*) AS orders
+        |      FROM initial GROUP BY 2),
+        |b AS (SELECT 'repaired' AS stage, segment, COUNT(*) AS orders
+        |      FROM repaired GROUP BY 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val dim1 = Tables.customer(s, dir).filter(col("c_custkey") % 5 =!= 2)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val dimFull = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val initial = o.join(dim1, o("o_custkey") === dim1("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      // repair pass: ONLY the placeholder facts re-resolve; bound facts
+      // carry through untouched (the late-dim repair contract)
+      val repaired = initial.filter(col("segment") =!= "UNKNOWN")
+        .unionByName(initial.filter(col("segment") === "UNKNOWN")
+          .drop("segment")
+          .join(dimFull, col("o_custkey") === dimFull("c_custkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment")))
+      def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy("segment").agg(count(lit(1)).as("orders"))
+          .select(lit(stage).as("stage"), col("segment"), col("orders"))
+      agg(initial, "initial").unionByName(agg(repaired, "repaired"))
+    },
+
+    // ---- q195: QUARANTINE REVIEW QUEUE — the q166 reject route with
+    // deterministic EXAMPLES: 3 md5-order sample rows per failed-rule
+    // combination (the "show me a few offending rows per reason" screen
+    // a DQ reviewer actually opens). Composition of routeInvalid +
+    // perGroupDeterministic; membership-sensitive oracle.
+    QueryDef.sql("q195_quarantine_examples",
+      """WITH corrupt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 5 THEN NULL ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 3 THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 83 = 11 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |m AS (SELECT *, CONCAT_WS(',',
+        |    CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, false) THEN 'custkey_present' END,
+        |    CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), false) THEN 'status_valid' END,
+        |    CASE WHEN NOT COALESCE(o_totalprice >= 0, false) THEN 'price_non_negative' END
+        |  ) AS failed_rules FROM corrupt),
+        |q AS (SELECT o_orderkey, failed_rules,
+        |        ROW_NUMBER() OVER (PARTITION BY failed_rules
+        |          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rnk
+        |      FROM m WHERE failed_rules <> '')
+        |SELECT failed_rules, CAST(rnk AS INTEGER) AS rnk, o_orderkey
+        |FROM q WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val corrupt = Tables.orders(s, dir).select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 5, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(col("o_orderkey") % 89 === 3, lit("Z"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 83 === 11, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val rules = Seq(
+        "custkey_present" -> col("o_custkey").isNotNull,
+        "status_valid" -> col("o_orderstatus").isin("O", "F", "P"),
+        "price_non_negative" -> (col("o_totalprice") >= 0))
+      val (_, quarantined) = Checks.routeInvalid(corrupt, rules)
+      Sampling.perGroupDeterministic(
+          quarantined.select("o_orderkey", "failed_rules"),
+          "failed_rules", "o_orderkey", 3)
+        .select(col("failed_rules"), col("rnk").cast("int").as("rnk"),
+          col("o_orderkey"))
     }
   )
 }
