@@ -276,6 +276,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q196: WEIGHTED CORPUS INTERLEAVE — the dataloader curriculum
+    // order: two corpora merged 2:1 (two of A per one of B) with
+    // intra-corpus order preserved — virtual-time scheduling on INTEGER
+    // clocks (item r of corpus i at time r·(L/wᵢ), L = lcm of weights;
+    // ties to the lower corpus), so the schedule is exact and
+    // engine-replayable where float virtual times would tie-break
+    // unpredictably. Ranks via the skew-safe grouped rank; the global
+    // sequence number via the distributed global rank.
+    QueryDef.sql("q196_corpus_interleave",
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS corpus
+        |  FROM documents),
+        |r AS (SELECT doc_id, corpus,
+        |    ROW_NUMBER() OVER (PARTITION BY corpus ORDER BY doc_id) AS rnk
+        |  FROM c),
+        |t AS (SELECT doc_id, corpus, rnk,
+        |    rnk * (CASE corpus WHEN 'a' THEN 1 ELSE 2 END) AS vt
+        |  FROM r)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, corpus, rnk) AS BIGINT)
+        |    AS global_idx,
+        |  corpus, doc_id
+        |FROM t""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val c = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("corpus"))
+      val ranked = Ranks.groupedRowNumber(c, Seq("corpus"),
+        Seq(col("doc_id").asc), "rnk")
+      val vt = ranked.withColumn("vt",
+        col("rnk").cast("long") * when(col("corpus") === "a", 1L).otherwise(2L))
+      Ranks.globalRowNumber(vt,
+          Seq(col("vt").asc, col("corpus").asc, col("rnk").asc), "global_idx")
+        .select(col("global_idx"), col("corpus"), col("doc_id"))
+    },
+
     // ---- q190: COLLOCATIONS BY PMI — top adjacent-bigram collocations
     // by pointwise mutual information (count floor 5 — PMI famously
     // explodes on singletons): exact integer counts end to end, ONE ln
