@@ -678,6 +678,52 @@ object CustomerQueries {
           (-col("mx.negm")).cast("timestamp").as("peak_minute"),
           col("total_events"))
       p.filter(col("peak_per_minute") >= 2)
+    },
+
+    // ---- q197: DETERMINISTIC PSEUDONYMIZATION — the GDPR middle path
+    // between raw ids and q154's deletion: the user key is replaced by a
+    // salted md5 token (a pure projection — no lookup table to leak),
+    // JOINABILITY PRESERVED because the mapping is injective-in-practice
+    // and deterministic: per-pseudonym aggregates equal per-user
+    // aggregates. The gate aggregates BY pseudonym; the oracle derives
+    // the same tokens, so a mapping drift fails membership.
+    QueryDef.sql("q197_pseudonymize",
+      """SELECT md5('salt1:' || CAST(user_id AS VARCHAR)) AS pseudonym,
+        |  COUNT(*) AS events,
+        |  COUNT(DISTINCT event_type) AS types,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(md5(concat(lit("salt1:"), col("user_id").cast("string")))
+          .as("pseudonym"))
+        .agg(count(lit(1)).as("events"),
+          countDistinct(col("event_type")).as("types"),
+          dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q198: NEW vs RETURNING USERS — the daily acquisition split:
+    // each user's first-seen day from one min-aggregation, then daily
+    // counts by first-time/returning (no window, no self-join on the
+    // fact — the first-seen table is user-sized and joins back on the
+    // key).
+    QueryDef.sql("q198_new_vs_returning",
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT d.day,
+        |  CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      ev.distinct().join(first, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1).otherwise(0))
+          .as("new_users"),
+          sum(when(col("day") > col("first_day"), 1).otherwise(0))
+            .as("returning_users"))
     }
   )
 }
