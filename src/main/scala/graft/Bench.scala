@@ -110,7 +110,9 @@ object Bench {
     "q195_quarantine_examples", // md5-order example rows per failed rule
     "q196_corpus_interleave",   // integer virtual-time weighted interleave
     "q197_pseudonymize",        // salted-token pseudonymization (projection)
-    "q198_new_vs_returning"     // daily acquisition split (first-seen join)
+    "q198_new_vs_returning",    // daily acquisition split (first-seen join)
+    "q199_cross_corpus_canonical", // multi-source priority dedup rule
+    "q200_nightly_batch"        // COMPOSED warehouse nightly (ingest->DQ->IVM)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -186,7 +188,8 @@ object Bench {
     "q191_bloom_artifact" -> 0.80, "q192_stats_artifact" -> 1.54,
     "q193_idempotent_ingest" -> 1.31, "q194_late_dimension" -> 0.57,
     "q195_quarantine_examples" -> 0.32, "q196_corpus_interleave" -> 0.80,
-    "q197_pseudonymize" -> 0.35, "q198_new_vs_returning" -> 0.36)
+    "q197_pseudonymize" -> 0.35, "q198_new_vs_returning" -> 0.36,
+    "q199_cross_corpus_canonical" -> 1.68, "q200_nightly_batch" -> 1.34)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

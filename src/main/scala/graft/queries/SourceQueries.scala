@@ -1713,6 +1713,70 @@ object SourceQueries {
           "failed_rules", "o_orderkey", 3)
         .select(col("failed_rules"), col("rnk").cast("int").as("rnk"),
           col("o_orderkey"))
+    },
+
+    // ---- q200: THE COMPOSED NIGHTLY WAREHOUSE BATCH — the q127/q134
+    // curation capstone's warehouse twin, every stage an already-gated
+    // operator chained end to end in ONE gate: idempotent batch ingest
+    // (middle batch replayed) → row-level DQ routing over a
+    // deterministically corrupted feed → incremental rollup state from
+    // the VALID route only, merged across two date slices → finalized
+    // summary. Output = stage ledger + the rollup rows; a double-count,
+    // a leaked invalid row, or a merge bug each fail a different stage.
+    QueryDef.sql("q200_nightly_batch",
+      s"""WITH corrupt AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 97 = 5 THEN NULL ELSE o_custkey END AS o_custkey,
+         |    o_orderstatus,
+         |    CASE WHEN o_orderkey % 83 = 11 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+         |    o_orderdate, o_orderpriority
+         |  FROM orders),
+         |valid AS (SELECT * FROM corrupt
+         |          WHERE o_custkey IS NOT NULL AND o_totalprice >= 0),
+         |roll AS (SELECT o_orderpriority, COUNT(*) AS n_rows,
+         |           ${dsumSql("o_totalprice")} AS revenue
+         |         FROM valid GROUP BY 1)
+         |SELECT 'ingested' AS stage, '' AS key,
+         |  (SELECT COUNT(*) FROM corrupt) AS n_rows, CAST(NULL AS DOUBLE) AS revenue
+         |UNION ALL SELECT 'valid', '', (SELECT COUNT(*) FROM valid), NULL
+         |UNION ALL SELECT 'quarantined', '',
+         |  (SELECT COUNT(*) FROM corrupt) - (SELECT COUNT(*) FROM valid), NULL
+         |UNION ALL SELECT 'rollup', o_orderpriority, n_rows, revenue FROM roll""".stripMargin) { (s, dir) =>
+      Warehouse.ensureDatabase(s, "graft_wh")
+      s.sql("DROP TABLE IF EXISTS graft_wh.nightly_ingest")
+      val corrupt = Tables.orders(s, dir).select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 5, lit(null))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 83 === 11, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      def b(i: Int) = corrupt.filter(col("o_orderkey") % 3 === i)
+      Warehouse.appendBatchIdempotent(b(0), "graft_wh.nightly_ingest", "b0")
+      Warehouse.appendBatchIdempotent(b(1), "graft_wh.nightly_ingest", "b1")
+      Warehouse.appendBatchIdempotent(b(1), "graft_wh.nightly_ingest", "b1") // retry
+      Warehouse.appendBatchIdempotent(b(2), "graft_wh.nightly_ingest", "b2")
+      val landed = s.table("graft_wh.nightly_ingest")
+      val (valid, quarantined) = Checks.routeInvalid(landed, Seq(
+        "custkey_present" -> col("o_custkey").isNotNull,
+        "price_non_negative" -> (col("o_totalprice") >= 0)))
+      val cut = lit("1997-01-01").cast("timestamp")
+      val keys = Seq("o_orderpriority"); val sums = Seq("o_totalprice")
+      val state = Ivm.mergeStates(Seq(
+          Ivm.rollupState(valid.filter(col("o_orderdate") < cut), keys, sums),
+          Ivm.rollupState(valid.filter(col("o_orderdate") >= cut), keys, sums)),
+        keys, sums)
+      val roll = Ivm.finalizeState(state, keys, sums)
+        .select(lit("rollup").as("stage"), col("o_orderpriority").as("key"),
+          col("cnt").as("n_rows"), col("sum_o_totalprice").as("revenue"))
+      def ledger(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(stage).as("stage"), lit("").as("key"), col("n_rows"),
+            lit(null).cast("double").as("revenue"))
+      ledger("ingested", landed)
+        .unionByName(ledger("valid", valid))
+        .unionByName(ledger("quarantined", quarantined))
+        .unionByName(roll)
     }
   )
 }

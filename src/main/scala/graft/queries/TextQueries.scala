@@ -276,6 +276,59 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q199: CROSS-CORPUS CANONICAL — the RefinedWeb/Dolma
+    // multi-source dedup rule: when near-duplicates straddle corpora,
+    // keep the copy from the MOST TRUSTED source (priority 1 = curated
+    // half, 2 = web half — doc_id parity stands in for provenance),
+    // ties to the lower doc id. Same capped chain; the pick is one
+    // argmin-by-struct per cluster ((priority, doc_id) MIN).
+    QueryDef.sql("q199_cross_corpus_canonical",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |dfq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          JOIN dfq ON dfq.s = a.s AND dfq.df <= 16 GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
+         |pr AS (SELECT id, CASE WHEN id % 2 = 0 THEN 1 ELSE 2 END AS priority
+         |       FROM comp),
+         |pick AS (SELECT comp.lbl AS lbl,
+         |           MIN({'p': pr.priority, 'i': comp.id}) AS m
+         |         FROM comp JOIN pr ON pr.id = comp.id GROUP BY 1)
+         |SELECT comp.id AS doc_id,
+         |  CAST((pick.m).i AS BIGINT) AS canonical_id,
+         |  CAST((pick.m).p AS INTEGER) AS canonical_priority,
+         |  comp.id = (pick.m).i AS kept
+         |FROM comp JOIN pick ON comp.lbl = pick.lbl
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+          maxDocFreq = 16)
+        .select("doc_a", "doc_b")
+      val cc = graft.llm.Clusters.connectedComponents(
+        docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
+      val withPr = cc.withColumn("priority",
+        when(col("doc_id") % 2 === 0, 1).otherwise(2))
+      val pick = withPr.groupBy("cluster_rep")
+        .agg(min(struct(col("priority").as("p"), col("doc_id").as("i"))).as("m"))
+        .select(col("cluster_rep"), col("m.i").as("canonical_id"),
+          col("m.p").as("canonical_priority"))
+      cc.join(pick, "cluster_rep")
+        .select(col("doc_id"), col("canonical_id"), col("canonical_priority"),
+          (col("doc_id") === col("canonical_id")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- q196: WEIGHTED CORPUS INTERLEAVE — the dataloader curriculum
     // order: two corpora merged 2:1 (two of A per one of B) with
     // intra-corpus order preserved — virtual-time scheduling on INTEGER
