@@ -122,8 +122,14 @@ object Drift {
     val cum = Ranks.globalCumSums(g, Seq(col("v").asc),
       Seq("ca" -> col("an"), "cb" -> col("bn")))
     val totals = g.agg(sum("an").as("n_a"), sum("bn").as("n_b"))
+    // an all-one-side input would yield n_a·n_b = 0 and a 0/0 = NaN
+    // statistic — garbage rows; fail loudly instead (the Stats.regression
+    // raise_error convention). A fully EMPTY input stays an empty frame.
     val dev = cum.crossJoin(broadcast(totals))
-      .withColumn("dd", abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+      .withColumn("dd",
+        when(col("n_a") === 0 || col("n_b") === 0,
+          raise_error(lit("ks2Sample: one side has zero rows")).cast("long"))
+        .otherwise(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))))
     val mx = dev.agg(max("dd").as("__mx"))
     dev.crossJoin(broadcast(mx)).filter(col("dd") === col("__mx"))
       .groupBy("n_a", "n_b", "__mx")
@@ -150,8 +156,14 @@ object Drift {
       .groupBy("category").agg(sum(col("__ia")).as("n_a"),
         sum(lit(1L) - col("__ia")).as("n_b"))
     val totals = g.agg(sum("n_a").as("__ta"), sum("n_b").as("__tb"))
+    // an empty side makes every E = rowTotal·0/N = 0 and the term
+    // (O−E)²/E = Infinity — garbage; fail loudly (ks2Sample convention).
     val withT = g.crossJoin(broadcast(totals))
-      .withColumn("__n", (col("__ta") + col("__tb")).cast("double"))
+      .withColumn("__n",
+        when(col("__ta") === 0 || col("__tb") === 0,
+          raise_error(lit("chiSquare: one side has zero rows"))
+            .cast("double"))
+        .otherwise((col("__ta") + col("__tb")).cast("double")))
       .withColumn("__rt", (col("n_a") + col("n_b")).cast("double"))
     def term(o: Column, sideTotal: Column) = {
       val e = col("__rt") * sideTotal.cast("double") / col("__n")

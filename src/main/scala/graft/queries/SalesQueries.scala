@@ -708,10 +708,13 @@ object SalesQueries {
       val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
       val ranked = Ranks.globalRowNumber(o,
         Seq(col("o_totalprice").asc, col("o_orderkey").asc), "rnk")
+      // single-row input pins to 0 (SQL PERCENT_RANK semantics) instead
+      // of the NULL a 0/0 division would yield — the q183 guard idiom
       ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
         .select(col("o_orderkey"),
-          round((col("rnk") - 1).cast("double") /
-            (col("n") - 1).cast("double"), 6).as("price_pctl"))
+          when(col("n") === 1, 0.0).otherwise(
+            round((col("rnk") - 1).cast("double") /
+              (col("n") - 1).cast("double"), 6)).as("price_pctl"))
     },
 
     // ---- q181: CORRELATION MATRIX — pairwise Pearson over three

@@ -1461,8 +1461,8 @@ object SourceQueries {
         |    NULL
         |  FROM customer),
         |l AS (SELECT k, valid_from, valid_to,
-        |        LAG(valid_to) OVER (PARTITION BY k ORDER BY valid_from, valid_to) AS prev_to,
-        |        LAG(TRUE, 1, FALSE) OVER (PARTITION BY k ORDER BY valid_from, valid_to) AS has_prev
+        |        LAG(valid_to) OVER (PARTITION BY k ORDER BY valid_from, valid_to NULLS LAST) AS prev_to,
+        |        LAG(TRUE, 1, FALSE) OVER (PARTITION BY k ORDER BY valid_from, valid_to NULLS LAST) AS has_prev
         |      FROM h),
         |p AS (SELECT k,
         |        MAX(has_prev AND (prev_to IS NULL OR prev_to > valid_from)) AS overlap,

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object DataSkipping {
 
+  /** Documented cap on driver-side file listings (same contract as
+    * [[Warehouse.MaxDriverPartitions]]): ~10⁶ file names is ~100 MB of
+    * driver strings — past that the index must be sharded by partition,
+    * not collected whole. Delta's log-replay has the same driver-side
+    * shape and the same practical bound. */
+  val MaxDriverFiles = 1000000
+
   /** One row per parquet file under `path`: (file, rows, min_<c>/max_<c>
     * per skip column). Persist the result as a warehouse table and
     * refresh it incrementally on append with [[refreshStats]] (new files
@@ -44,11 +51,33 @@ object DataSkipping {
     * with (the union is by name and fails loudly otherwise). */
   def refreshStats(spark: SparkSession, path: String, prev: DataFrame,
                    cols: Seq[String]): DataFrame = {
-    val known = prev.select("file").collect().map(_.getString(0)).toSet
-    val fresh = spark.read.parquet(path).inputFiles.filterNot(known)
+    // `inputFiles` and `input_file_name()` can render the same file
+    // differently (URI-encoded vs plain path — spaces, unicode); compare
+    // through one canonical URI form so no existing file masquerades as
+    // fresh and duplicates its stats row (r10 advice).
+    val known = prev.select("file").collect()
+      .map(r => canonical(r.getString(0))).toSet
+    require(known.size <= MaxDriverFiles,
+      s"refreshStats: stats index lists ${known.size} files, above the " +
+        s"$MaxDriverFiles driver-side bound — compact the table or shard " +
+        "the index by partition")
+    val fresh = spark.read.parquet(path).inputFiles
+      .filterNot(f => known(canonical(f)))
     if (fresh.isEmpty) prev
     else prev.unionByName(statsOf(spark.read.parquet(fresh.toIndexedSeq: _*), cols))
   }
+
+  /** Canonical (decoded) form of a file path string, tolerant of both
+    * the URL-encoded SparkPath rendering and the plain Path.toString
+    * rendering: a string that parses as a URI decodes through
+    * Path(URI); one that does not (literal space ⇒ illegal URI) is
+    * already plain. */
+  private def canonical(s: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
+    catch {
+      case _: java.net.URISyntaxException =>
+        new org.apache.hadoop.fs.Path(s).toString
+    }
 
   /** Read only the files whose [min_c, max_c] intersects [lo, hi], then
     * apply the EXACT predicate (the stats prune admits a superset — a
@@ -59,7 +88,11 @@ object DataSkipping {
                  column: String, lo: Any, hi: Any): DataFrame = {
     val files = stats
       .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
-      .select("file").collect().map(_.getString(0))
+      .select("file").collect().map(_.getString(0)).distinct
+    require(files.length <= MaxDriverFiles,
+      s"prunedRead: predicate matches ${files.length} files, above the " +
+        s"$MaxDriverFiles driver-side bound — narrow the range or read " +
+        "the directory with a plain pushed-down filter instead")
     val exact = col(column).between(lit(lo), lit(hi))
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*).filter(exact)

@@ -152,13 +152,38 @@ object Warehouse {
     * artifact). Returns the number of partitions dropped. */
   def dropPartitionsWhere(spark: SparkSession, table: String,
                           partitionCol: String, keep: String => Boolean): Int = {
-    val toDrop = spark.sql(s"SHOW PARTITIONS $table").collect()
+    // SHOW PARTITIONS renders values PATH-ESCAPED (space → %20 etc.);
+    // `keep` must see the real value, and the DROP statement needs it as
+    // a safe SQL literal — unescape first, then literal-escape, so a
+    // value with a quote or space targets the right partition instead of
+    // breaking (or silently missing) the statement (r10 advice).
+    val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
       .map(_.getString(0).split("=", 2))
-      .collect { case Array(k, v) if k == partitionCol && !keep(v) => v }
-    toDrop.foreach(v =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol='$v')"))
+    require(parts.length <= MaxDriverPartitions,
+      s"dropPartitionsWhere: $table has ${parts.length} partitions, above " +
+        s"the $MaxDriverPartitions driver-side listing bound — drop by " +
+        "explicit range in batches instead")
+    val toDrop = parts.collect {
+      case Array(k, v) if k == partitionCol =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
+    }.filterNot(keep)
+    toDrop.foreach(v => spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+      s"PARTITION ($partitionCol='${sqlStringLit(v)}')"))
     toDrop.length
   }
+
+  /** Driver-side partition/file listings are bounded artifacts by
+    * contract; this is the documented cap — ~10⁵ entries is well past
+    * any sane per-table partition count (a 100 TB table at daily ×
+    * 256-bucket grain is ~10⁴) and small enough that the collected
+    * array is megabytes, not a driver OOM. */
+  val MaxDriverPartitions = 100000
+
+  /** A string embedded in a single-quoted Spark SQL literal (default
+    * parser mode: backslash escapes). */
+  private def sqlStringLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Right-to-be-forgotten: delete every row of `table` whose `keyCol` is
     * in `keys` (the forget request — small by contract, broadcast),
@@ -175,6 +200,9 @@ object Warehouse {
     val affected = t.join(
         org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_semi")
       .select(partitionCol).distinct().collect().map(_.get(0))
+    require(affected.length <= MaxDriverPartitions,
+      s"forgetKeys: ${affected.length} affected partitions, above the " +
+        s"$MaxDriverPartitions driver-side listing bound — batch the keys")
     if (affected.isEmpty) return
     val remainder = t.filter(col(partitionCol).isin(affected: _*))
       .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_anti")
@@ -194,7 +222,8 @@ object Warehouse {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     affected.filterNot(remParts).foreach(v =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol='$v')"))
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+        s"PARTITION ($partitionCol='${sqlStringLit(String.valueOf(v))}')"))
     spark.catalog.refreshTable(table)
     val survived = spark.table(table)
       .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_semi")
@@ -295,8 +324,13 @@ object Warehouse {
   def scd2Integrity(hist: DataFrame, keyCol: String,
                     strict: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // valid_to sorts NULLS LAST so an OPEN version ties AFTER a closed
+    // zero-length version sharing its valid_from — Spark's ascending
+    // default (nulls first) would order the two engine-divergently vs
+    // the SQL replay's NULLS LAST and flip the overlap verdict on that
+    // tie (r10 advice).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("valid_from"), col("valid_to"))
+      .orderBy(col("valid_from"), col("valid_to").asc_nulls_last)
     val flagged = hist
       .withColumn("__prev_to", lag(col("valid_to"), 1).over(w))
       .withColumn("__has_prev", lag(lit(true), 1, false).over(w))

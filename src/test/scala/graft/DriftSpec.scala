@@ -116,4 +116,27 @@ class DriftSpec extends SparkSpecBase {
     assert(tot.getLong(1) == 30 && tot.getLong(2) == 30)
     assert(math.abs(tot.getDouble(3) - 6.666666) < 1e-5)
   }
+
+  test("ks2Sample/chiSquare fail loudly when one side is empty; a fully " +
+      "empty input stays an empty frame") {
+    import graft.llm.Drift
+    // one-sided input: would be 0/0 = NaN (KS) / E=0 Infinity (chi2) —
+    // both must raise instead of returning garbage rows (r10 advice)
+    val oneSided = Seq((1.0, true), (2.0, true)).toDF("v", "a")
+    val eKs = intercept[Exception](
+      Drift.ks2Sample(oneSided, "v", $"a").collect())
+    assert(eKs.getMessage.contains("zero rows") ||
+      eKs.getCause != null && eKs.getCause.getMessage.contains("zero rows"))
+    val oneCat = Seq(("x", false), ("y", false)).toDF("c", "a")
+    val eChi = intercept[Exception](
+      Drift.chiSquare(oneCat, "c", $"a").collect())
+    assert(eChi.getMessage.contains("zero rows") ||
+      eChi.getCause != null && eChi.getCause.getMessage.contains("zero rows"))
+    // fully empty input: no data rows -> no verdict (and no raise); the
+    // chi2 TOTAL row degenerates to nulls rather than erroring
+    val empty = Seq.empty[(Double, Boolean)].toDF("v", "a")
+    assert(Drift.ks2Sample(empty, "v", $"a").count() == 0)
+    assert(Drift.chiSquare(empty, "v", $"a").collect()
+      .forall(_.getString(0) == "TOTAL"))
+  }
 }

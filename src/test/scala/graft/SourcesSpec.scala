@@ -730,7 +730,13 @@ class SourcesSpec extends SparkSpecBase {
       (3L, ts("2020-01-01"), Option(ts("2021-01-01"))),   // overlap
       (3L, ts("2020-06-01"), None),
       (4L, ts("2020-01-01"), None),                        // two currents
-      (4L, ts("2021-01-01"), None)
+      (4L, ts("2021-01-01"), None),
+      // tie on valid_from: a closed ZERO-LENGTH version plus the open
+      // one — healthy only if the open version sorts LAST (nulls-last);
+      // nulls-first would see the open row first and flag a phantom
+      // overlap, diverging from the SQL replay's NULLS LAST (r10 advice)
+      (5L, ts("2020-01-01"), Option(ts("2020-01-01"))),
+      (5L, ts("2020-01-01"), None)
     ).toDF("k", "valid_from", "valid_to")
       .withColumn("valid_to", $"valid_to")
     val got = Warehouse.scd2Integrity(hist, "k")
