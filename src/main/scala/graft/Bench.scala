@@ -296,12 +296,20 @@ object Bench {
     val noiseSuspect = BenchGuard.noiseSuspect(allCanaries, canaryBaselineSec.get(sfLabel))
       .map(_.toString).getOrElse("null")
     val midJson = midCanaries.map(sec).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
+    val jsonLine =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qj,""" +
       s""""errors":${errors.mkString("[", ",", "]")},"sf":"$sfDir",""" +
       s""""canary_sec":${sec(canarySec)},"canary_mid_sec":$midJson,""" +
       s""""canary_end_sec":${sec(canaryEndSec)},""" +
       s""""retried":${retried.mkString("[", ",", "]")},""" +
-      s""""repeat":$repeat,"noise_suspect":$noiseSuspect}""")
+      s""""repeat":$repeat,"noise_suspect":$noiseSuspect}"""
+    println(jsonLine)
+    // the stdout line outgrew the driver's capture window at ~100
+    // queries (BENCH_r10 shipped parsed:null) — also persist it whole to
+    // a file the driver (or a human) can read without scraping stdout
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
