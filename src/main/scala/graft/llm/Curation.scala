@@ -165,7 +165,8 @@ object Curation {
                maxDocFreq: Long = 16,
                evalDocs: Option[DataFrame] = None,
                deconN: Int = 8, deconMaxDocFreq: Long = 16,
-               piiScrub: Boolean = false): PipelineStages = {
+               piiScrub: Boolean = false,
+               clfWeights: Option[Array[Long]] = None): PipelineStages = {
     // every stage output below is referenced 2+ times downstream (the
     // module's multi-reference rule): exact feeds the pair mine, the CC
     // id set, and the survivor join; nearKept feeds the classifier and
@@ -204,9 +205,15 @@ object Curation {
         deconKept.withColumn(textCol, Pii.redact(col(textCol))))
       else if (evalDocs.isDefined) graft.Checkpoints.pin(deconKept)
       else deconKept
+    // classifier gate: frozen weights by default; a TRAINED model
+    // (Scoring.trainLogistic output) swaps in without changing the plan
+    // — still a broadcast-literal projection feeding the semi-join
+    val clfScores = clfWeights match {
+      case Some(ws) => Scoring.scoreWithWeights(curated, idCol, textCol, ws)
+      case None => Scoring.hashedLinearScore(curated, idCol, textCol)
+    }
     val clfKept = graft.Checkpoints.pin(curated.join(
-      Scoring.hashedLinearScore(curated, idCol, textCol)
-        .filter(col("is_quality")).select(idCol),
+      clfScores.filter(col("is_quality")).select(idCol),
       Seq(idCol), "left_semi"))
     // LM-score the classifier survivors against the frozen reference
     // slice; <2-token docs score null and cannot be ranked — drop them

@@ -52,15 +52,26 @@ object Scoring {
     * (order-free, partition-independent); the mean is one IEEE division
     * of exact integers — bit-reproducible. */
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
-                        buckets: Int = 1024): DataFrame = {
-    require(buckets > 0)
+                        buckets: Int = 1024): DataFrame =
     // One codegen'd bucket pass (plans/ScoringExprs) + a literal weight
     // table indexed per feature: the weight is a pure function of the
     // bucket id, so the second md5 chain of the r6 form collapses to a
     // ≤`buckets`-entry array lookup. Values are bit-identical to
     // `md5Int((md5Int(f,8) % buckets).cast("string"), 4) % 2001 - 1000`
     // (ScoringSpec asserts both equivalences); the oracle is unchanged.
-    val weights = lit(graft.plans.ScoringExprs.frozenWeights(buckets))
+    scoreWithWeights(docs, idCol, textCol,
+      graft.plans.ScoringExprs.frozenWeights(buckets))
+
+  /** [[hashedLinearScore]]'s serving path with an EXPLICIT weight
+    * vector — the one-line swap the frozen-model scaladoc promises:
+    * plug in [[trainLogistic]]'s output (or any externally-fit
+    * `buckets`-slot model) and the plan is unchanged — a pure
+    * codegen'd projection, the weight array a broadcast literal. */
+  def scoreWithWeights(docs: DataFrame, idCol: String, textCol: String,
+                       weightsFp: Array[Long]): DataFrame = {
+    val buckets = weightsFp.length
+    require(buckets > 0)
+    val weights = lit(weightsFp)
     docs.select(col(idCol),
         graft.functions.TextFns.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
@@ -73,6 +84,79 @@ object Scoring {
       .select(col(idCol), col("n_feats"), col("score"),
         (col("score").cast("double") / col("n_feats")).as("avg_weight"),
         (col("score") > 0L).as("is_quality"))
+  }
+
+  /** Fixed-point scale every [[trainLogistic]] quantity lives at:
+    * weight slots, margins, and hard-sigmoid outputs are integers in
+    * units of 1e-6. */
+  val TrainScale = 1000000L
+
+  /** Deterministic DISTRIBUTED logistic-regression training over the
+    * hashed feature space — the fitting pass the frozen
+    * [[hashedLinearScore]] model stands in for (fastText
+    * Wikipedia-vs-CC shape: positives = in-domain corpus, negatives =
+    * raw crawl). Batch gradient descent, `iters` full passes, every
+    * quantity a BIGINT at [[TrainScale]] fixed point so the fit is
+    * bit-reproducible across engines, partitionings, and retries (the
+    * q125 integer-PageRank recipe, applied to model fitting):
+    *
+    *   margin_d = Σ_occurrences w[b]              (fp; tf folds in)
+    *   p_d      = clamp(S/2 + margin_d div 4, 0, S)   (hard sigmoid)
+    *   grad_b   = Σ_occurrences (p_d − y_d·S)     (exact integer sum)
+    *   w_b     −= (lrNum·grad_b) div (lrDen·nDocs)
+    *
+    * The hard sigmoid (σ̂(m) = clip(½ + m/4)) replaces exp with the
+    * piecewise-linear form both engines compute exactly in integer
+    * arithmetic; `div` is TRUNCATING division, which DuckDB's `//`
+    * matches on negatives too (both toward zero). A saturated
+    * correctly-classified doc has residual 0 and drops out of the
+    * gradient — the clip is also why weights can't run away.
+    *
+    * Scale shape — textbook distributed GD (Spark ML's own layout):
+    * the design matrix (label + feature-bucket array per doc) is
+    * computed ONCE, pinned, and never reshaped; each round is one
+    * codegen'd map pass (margin/residual per doc — zero shuffle, the
+    * model a broadcast literal) feeding one ≤`buckets`-key map-side-
+    * combined aggregation; the 8 KB gradient collects to the driver,
+    * which updates the model it rebroadcasts next round. Nothing
+    * row-count-sized ever touches the driver. Docs with no features
+    * contribute nDocs mass but no gradient (they have no occurrences).
+    *
+    * Returns the dense fixed-point weight vector, slot b = bucket b —
+    * feed it to [[scoreWithWeights]] / `Curation.pipeline(clfWeights)`.
+    */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    label: Column, buckets: Int = 1024, iters: Int = 3,
+                    lrNum: Long = 1L, lrDen: Long = 1L): Array[Long] = {
+    require(buckets > 0 && iters >= 0 && lrNum > 0 && lrDen > 0)
+    val S = TrainScale
+    val design = graft.Checkpoints.pin(docs
+      .select(when(label, 1L).otherwise(0L).as("__y"),
+        graft.functions.TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("__y"),
+        graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets)
+          .as("bks")))
+    val nDocs = design.count()
+    require(nDocs > 0, "trainLogistic: empty corpus")
+    val w = Array.fill(buckets)(0L)
+    val denom = lrDen * nDocs
+    for (_ <- 1 to iters) {
+      val wl = lit(w.clone())
+      val grads = design
+        .withColumn("__m", aggregate(col("bks"), lit(0L),
+          (acc, b) => acc + element_at(wl, (b + 1).cast("int"))))
+        .withColumn("__p",
+          least(greatest(lit(S / 2) + expr("__m div 4"), lit(0L)), lit(S)))
+        .withColumn("__r", col("__p") - col("__y") * S)
+        .select(explode(col("bks")).as("b"), col("__r"))
+        .groupBy("b").agg(sum(col("__r")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) = w(b) - (lrNum * r.getLong(1)) / denom  // Long / truncates = div
+      }
+    }
+    w
   }
 
   /** DSIR importance log-ratio: ln p̂_target(x) − ln p̂_raw(x) under

@@ -633,6 +633,56 @@ object CurationQueries {
     // prefix per row) and id range, under q129's md5-ticket shard
     // assignment. The validation record a sharded corpus export writes
     // next to its files.
+    // ---- q201: DISTRIBUTED CLASSIFIER TRAINING — the fitting pass the
+    // frozen q123 model stood in for: 3 rounds of batch gradient descent
+    // on a hard-sigmoid logistic objective over the 1024-slot hashed
+    // unigram+bigram features (positives = doc_id < 250, the q124
+    // target/raw split convention), every quantity a BIGINT at 1e6
+    // fixed point. Spark's truncating `div` == DuckDB's `//` on
+    // negatives too (both toward zero), so the oracle replays training
+    // EXACTLY: each round = 4 CTEs (margin, hard-sigmoid residual,
+    // per-bucket gradient, weight update) — the q125 unrolled-integer-
+    // rounds recipe applied to model fitting. Output: the dense trained
+    // weight vector, one row per bucket.
+    QueryDef.sql("q201_train_quality_classifier", {
+      val iters = 3
+      val S = graft.llm.Scoring.TrainScale
+      val unrolled = (1 to iters).map { k =>
+        s"""m$k AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
+           |  FROM bo JOIN w${k - 1} w USING (b) GROUP BY 1),
+           |p$k AS (SELECT t.doc_id,
+           |    CASE WHEN t.doc_id < 250 THEN CAST(1 AS BIGINT)
+           |         ELSE CAST(0 AS BIGINT) END AS y,
+           |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST($S AS BIGINT),
+           |      ${S / 2} + COALESCE(m.m, 0) // 4)) AS p
+           |  FROM t LEFT JOIN m$k m USING (doc_id)),
+           |g$k AS (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
+           |  FROM bo JOIN p$k p USING (doc_id) GROUP BY 1),
+           |w$k AS (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
+           |  FROM w${k - 1} w LEFT JOIN g$k g USING (b) CROSS JOIN n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, list_concat(toks,
+         |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+         |fe AS (SELECT doc_id, unnest(feats) AS f FROM f),
+         |bo AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b
+         |       FROM fe),
+         |n AS (SELECT COUNT(*) AS nd FROM t),
+         |w0 AS (SELECT unnest(generate_series(0, 1023)) AS b,
+         |              CAST(0 AS BIGINT) AS w),
+         |$unrolled
+         |SELECT b AS bucket, w AS weight_fp FROM w$iters ORDER BY bucket"""
+        .stripMargin
+    }) { (s, dir) =>
+      val w = graft.llm.Scoring.trainLogistic(Tables.documents(s, dir),
+        "doc_id", "text", col("doc_id") < 250, buckets = 1024, iters = 3)
+      import s.implicits._
+      w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toDF("bucket", "weight_fp").orderBy("bucket")
+    },
+
     QueryDef.sql("q142_shard_manifest",
       """WITH b AS (SELECT doc_id, text,
         |    CAST(CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 4)

@@ -604,6 +604,80 @@ class TextPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("trainLogistic matches a local JVM reference trainer bit-for-bit " +
+      "and is partitioning-independent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"),
+      (3L, "spam junk noise spam"), (4L, "junk noise filler"),
+      (5L, "alpha delta beta gamma"), (6L, "noise filler spam junk")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Scoring.trainLogistic(docs, "doc_id", "text",
+      $"doc_id" <= 2L || $"doc_id" === 5L, buckets = 256, iters = 4)
+    // independent local trainer: same integer arithmetic, plain Scala
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketsOf(text: String, nb: Int): Seq[Int] = {
+      val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val feats = t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      feats.map(f =>
+        (java.lang.Long.parseLong(md5hex(f).take(8), 16) % nb).toInt)
+    }
+    val S = graft.llm.Scoring.TrainScale
+    val design = Seq(
+      (1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L), (5L, 1L), (6L, 0L)
+    ).map { case (id, y) =>
+      (y, bucketsOf(docs.filter($"doc_id" === id).head.getString(1), 256))
+    }
+    val w = Array.fill(256)(0L)
+    for (_ <- 1 to 4) {
+      val g = Array.fill(256)(0L)
+      design.foreach { case (y, bs) =>
+        val m = bs.map(w(_)).sum
+        val p = math.max(0L, math.min(S, S / 2 + m / 4))
+        bs.foreach(b => g(b) += p - y * S)
+      }
+      for (b <- 0 until 256) w(b) -= g(b) / design.size
+    }
+    assert(got.toSeq == w.toSeq)
+    // same weights from any physical partitioning (order-free sums)
+    val repart = graft.llm.Scoring.trainLogistic(docs.repartition(16),
+      "doc_id", "text", $"doc_id" <= 2L || $"doc_id" === 5L,
+      buckets = 256, iters = 4)
+    assert(repart.toSeq == got.toSeq)
+  }
+
+  test("trainLogistic separates a planted quality/junk split; trained " +
+      "weights drive scoreWithWeights and the pipeline gate") {
+    val qualityVocab = Seq("clear", "prose", "article", "evidence", "cited",
+      "structured", "informative", "analysis", "method", "result")
+    val junkVocab = Seq("spamword", "clickbait", "lorem", "filler",
+      "keyword", "stuffing", "zzz", "buynow", "garbled", "noise")
+    // unique front token: texts stay exact-distinct (doc(seed) would
+    // repeat with period 10 and the pipeline's dedup would eat them) and
+    // shingle overlap stays below the 0.8 near-dup bar
+    def doc(vocab: Seq[String], seed: Int) =
+      (s"uq$seed" +: (0 until 8).map(j => vocab((seed * 7 + j * 3) % vocab.size)))
+        .mkString(" ")
+    val docs = ((1L to 30L).map(i => (i, doc(qualityVocab, i.toInt))) ++
+      (31L to 60L).map(i => (i, doc(junkVocab, i.toInt)))).toDF("doc_id", "text")
+    val trained = graft.llm.Scoring.trainLogistic(docs, "doc_id", "text",
+      $"doc_id" <= 30L, buckets = 1024, iters = 3)
+    val scored = graft.llm.Scoring
+      .scoreWithWeights(docs, "doc_id", "text", trained)
+      .select("doc_id", "is_quality").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert((1L to 30L).forall(scored(_)), "quality docs must score > 0")
+    assert((31L to 60L).forall(!scored(_)), "junk docs must score <= 0")
+    // the pipeline's classifier gate accepts the trained model: with a
+    // generous token budget the selected set is exactly the quality half
+    val stages = graft.llm.Curation.pipeline(docs, "doc_id", "text",
+      lmRef = docs, tokenBudget = 100000L, seqLen = 64,
+      clfWeights = Some(trained))
+    val kept = stages.selected.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == (1L to 30L).toSet)
+  }
+
   test("FeatureBucketsExpr equals the HOF md5Int reference form") {
     import org.apache.spark.sql.functions.{col, transform}
     val docs = Seq((1L, "the cat sat on the mat"), (2L, "x"), (3L, "aa bb aa"))
