@@ -364,19 +364,33 @@ object Similarity {
     * double dot (margin 1e-6), and only survivors — a vanishing fraction —
     * get the exact order-independent decimal dot that the oracle compares.
     * Cuts per-pair work ~9x (3 decimal HOFs -> 1 double HOF) without
-    * changing a single output bit. */
+    * changing a single output bit.
+    *
+    * The exact-confirm gate lives INSIDE a per-pair aggregation (the
+    * q143/semanticContamination recipe): as a plain filter it would
+    * predicate-push into the join condition, where optimizer AND-order
+    * decides whether the interpreted decimal fold runs on every
+    * candidate pair or only on prefilter survivors (a reversed order
+    * measured 20× on q143's shape). The Aggregate is a pushdown
+    * barrier, so ONLY the codegen'd double prefilter ever joins —
+    * structural, not AND-order luck (PlanShapeSpec asserts no decimal
+    * fold in any join condition). Pairs are unique per (vec_a, vec_b),
+    * so the max() is the identity and the output is bit-unchanged; the
+    * added shuffle moves prefilter SURVIVORS only — the vanishing
+    * near-dup fraction, map-side-combined. */
   def nearDuplicatePairs(emb: DataFrame, cellCol: String, threshold: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col(cellCol).as("cell"), col("embedding"))
       .withColumn("nrm", VectorFns.norm(col("embedding")))  // exact, per vector
     val denom = col("a.nrm") * col("b.nrm")
     e.as("a").join(e.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(VectorFns.dotDouble(col("a.embedding"), col("b.embedding")) / denom
-        >= threshold - 1e-6)
-      .withColumn("cosine",
-        round(VectorFns.dot(col("a.embedding"), col("b.embedding")) / denom, 9))
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+        VectorFns.dotDouble(col("a.embedding"), col("b.embedding")) / denom
+          >= threshold - 1e-6)
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(max(round(VectorFns.dot(col("a.embedding"), col("b.embedding"))
+        / denom, 9)).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
 
   /** SemDeDup-shape semantic dedup, end-to-end: block on `cellCol`

@@ -23,7 +23,11 @@ class PlanShapeSpec extends SparkSpecBase {
     "q44_dedup_simhash" -> 2,
     "q46_ann_brute_topk" -> 0,
     "q48_text_stats" -> 1,
-    "q52_embedding_near_dups" -> 0,
+    // 1 since r11: the per-pair aggregate that structurally bars the
+    // decimal confirm from the join condition exchanges prefilter
+    // SURVIVORS only (the vanishing near-dup fraction) — the price of
+    // making the q143-style barrier structural rather than AND-order luck
+    "q52_embedding_near_dups" -> 1,
     "q55_profile_part" -> 2)
 
   private def shuffles(name: String): Int = {
@@ -100,24 +104,34 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
-  // The near-dup pair miners rely on predicate-pushdown AND-ordering: both
-  // the codegen'd float_array_dot prefilter and the interpreted decimal
-  // exact-confirm land in the join condition, and only the prefilter-FIRST
-  // order keeps the decimal fold off the full candidate set (a reversed
+  // The near-dup pair miner's exact-decimal confirm must live ABOVE the
+  // join, behind a pushdown barrier (the per-pair aggregate), never in
+  // the join condition: there, optimizer AND-order decides whether the
+  // interpreted decimal fold runs on every candidate pair (a reversed
   // order measured 16.5 s vs 0.6 s on q143's shape before it moved its
-  // confirm into the aggregate). If a Spark upgrade reorders the AND, this
-  // trips instead of the bench silently regressing 20x.
-  test("q52 join condition short-circuits: float_array_dot prefilter before the decimal confirm") {
+  // confirm into the aggregate). r11 made q52 structural too — this
+  // asserts the STRUCTURE, not a lucky AND order.
+  test("q52: decimal confirm sits above the join behind the aggregate " +
+      "barrier; only the float_array_dot prefilter joins") {
     val exec = SparkEntry.queries("q52_embedding_near_dups")(spark, sf)
       .queryExecution.executedPlan
     exec.execute().count()
-    val cond = exec.toString.linesIterator
-      .find(_.contains("BroadcastHashJoin")).getOrElse("")
-    val pre = cond.indexOf("float_array_dot")
-    val exact = cond.indexOf("aggregate(zip_with")
-    assert(pre >= 0 && exact >= 0, "expected both dot forms in the join condition:\n" + cond)
-    assert(pre < exact,
-      "decimal exact-confirm ordered BEFORE the float_array_dot prefilter " +
-        "in the join condition — interpreted fold now runs on every candidate pair")
+    val lines = exec.toString.linesIterator.toSeq
+    val joinLines = lines.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("NestedLoop"))
+    assert(joinLines.nonEmpty, "expected a join in the q52 plan")
+    // the codegen'd double prefilter IS the join condition...
+    assert(joinLines.exists(_.contains("float_array_dot")),
+      "float_array_dot prefilter missing from the join condition:\n" +
+        joinLines.mkString("\n"))
+    // ...and the interpreted decimal fold appears in NO join condition —
+    // it is evaluated only in the aggregate over prefilter survivors
+    assert(!joinLines.exists(_.contains("aggregate(zip_with")),
+      "decimal exact-confirm leaked into a join condition — the fold " +
+        "would run on every candidate pair:\n" + joinLines.mkString("\n"))
+    assert(lines.exists(l => l.contains("HashAggregate") &&
+        l.contains("aggregate(zip_with")),
+      "expected the decimal confirm inside the per-pair aggregate")
   }
 }
