@@ -1777,6 +1777,137 @@ object SourceQueries {
         .unionByName(ledger("valid", valid))
         .unionByName(ledger("quarantined", quarantined))
         .unionByName(roll)
+    },
+
+    // ---- q202: EXACTLY-ONCE STREAM → JDBC LANDING, run to completion
+    // over the fixture (the q30/q58 stream-gate recipe): the events feed
+    // streams in 4 single-file micro-batches through the staged-commit
+    // protocol (stage overwrite → one transaction moves staging→target +
+    // ledger insert), then the sink body is RE-RUN for epoch 0 against a
+    // POISONED staging table — the at-least-once replay scenario the
+    // protocol exists for. The ledger skip-check must make it a no-op: a
+    // broken guard commits the poison and fails every aggregate; a
+    // double-landed batch fails counts/sums; a lost batch fails rows.
+    // n_commits pins the ledger to exactly the 4 epochs.
+    QueryDef.sql("q202_stream_exactly_once",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(4 AS BIGINT) AS n_commits
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q202").toString
+      val srcDir = s"$tmp/src"
+      System.setProperty("derby.system.home", s"$tmp/derby")
+      val url = s"jdbc:derby:memory:q202_${System.nanoTime};create=true"
+      Tables.events(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("event_id"))
+        .write.parquet(srcDir)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.Events
+        .toJdbcExactlyOnceSink(stream, url, "landed", s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      // the at-least-once replay: epoch 0 re-delivered with garbage in
+      // staging — the committed-ledger check must skip the commit
+      import graft.sources.Jdbc
+      Jdbc.write(s.range(1).select(lit(-1L).as("event_id"),
+          lit("poison").as("event_type"), lit(1.0e9).as("value")),
+        url, "landed_stage", org.apache.spark.sql.SaveMode.Overwrite)
+      if (!Jdbc.isBatchCommitted(url, "landed_commits", 0L)) {
+        Jdbc.commitStaged(url, "landed", "landed_stage", "landed_commits", 0L)
+      }
+      val nCommits = Jdbc.read(s, url, "landed_commits").count()
+      Jdbc.read(s, url, "landed")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .withColumn("n_commits", lit(nCommits))
+    },
+
+    // ---- q203: STREAMING EXACT DEDUP run to completion — the events
+    // feed replayed with deterministic duplicate deliveries in BOTH
+    // positions a real at-least-once bus produces: in-batch dups
+    // (id%7==3 doubled inside micro-batch 1), cross-batch dups within
+    // the watermark horizon (batch 1's last hour re-delivered in batch
+    // 2 — state must still hold those keys), and in-batch dups in batch
+    // 2 (id%5==1). dropDuplicatesWithinWatermark must emit each event
+    // EXACTLY once: the oracle is simply the original events table — a
+    // leaked duplicate fails rowcount, an over-dropped key fails rows.
+    // File mtimes pin the micro-batch order.
+    QueryDef.sql("q203_stream_dedup",
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q203").toString
+      val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"
+      new java.io.File(srcDir).mkdirs()
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val cut = lit("2024-01-16").cast("timestamp")
+      val first = ev.filter(col("ts") < cut)
+      val second = ev.filter(col("ts") >= cut)
+      val tail1 = first.filter(
+        col("ts") >= lit("2024-01-15 23:00:00").cast("timestamp"))
+      def emitFile(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val staged = s"$tmp/$name"
+        df.coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime)
+      }
+      val now = System.currentTimeMillis()
+      emitFile(first.unionByName(first.filter(col("event_id") % 7 === 3)),
+        "b1", now - 120000)
+      emitFile(second.unionByName(tail1)
+        .unionByName(second.filter(col("event_id") % 5 === 1)),
+        "b2", now - 60000)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.Events.dedupStream(stream, Seq("event_id"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+    },
+
+    // ---- q204: STREAM-STREAM ATTRIBUTION JOIN run to completion —
+    // clicks and purchases as two file streams through the watermarked
+    // interval join (state bounded by attribution + lateness), sunk to
+    // parquet; the oracle replays the 30-minute interval join in SQL. A
+    // dropped match (over-eager state eviction) fails rows; a phantom
+    // or duplicate emission fails rowcount.
+    QueryDef.sql("q204_stream_attribution",
+      """SELECT c.user_id, c.ts AS click_ts, c.event_type,
+        |  p.ts AS purchase_ts, p.value AS amount
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"""
+        .stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q204").toString
+      val ev = Tables.events(s, dir)
+      val clicksDir = s"$tmp/clicks"; val purchDir = s"$tmp/purch"
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(clicksDir)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("amount"))
+        .coalesce(1).write.parquet(purchDir)
+      val cs = s.readStream.schema(s.read.parquet(clicksDir).schema)
+        .parquet(clicksDir)
+      val ps = s.readStream.schema(s.read.parquet(purchDir).schema)
+        .parquet(purchDir)
+      val outDir = s"$tmp/out"
+      val q = graft.streaming.Events.attributionJoin(cs, ps)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
     }
   )
 }
