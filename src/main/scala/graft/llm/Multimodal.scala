@@ -324,6 +324,144 @@ object Multimodal {
       .withColumn("resized_height", ceil(col("height") * scale).cast("int"))
   }
 
+  /** A pixel-transformed image row: original and fitted dimensions plus
+    * the re-encoded PNG payload. */
+  final case class ImageOut(id: Long, in_w: Int, in_h: Int,
+                            out_w: Int, out_h: Int, payload: Array[Byte])
+
+  /** Deterministic synthetic PNG — REAL encoder (`javax.imageio`), pixel
+    * values pure integer arithmetic of (id, x, y):
+    * R=(id+3x+5y)%256, G=(2id+x+y)%256, B=(7id+11x+13y)%256. Because
+    * the raster is arithmetic, an ORACLE can re-derive any downstream
+    * pixel computation without decoding anything — the q87 synthWav
+    * encode-under-oracle recipe at pixel level. */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id + 3L * x + 5L * y) % 256).toInt
+        val g = ((2L * id + x + y) % 256).toInt
+        val b = ((7L * id + 11L * x + 13L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Integer thumbnail-fit dimensions: proportional fit into maxW×maxH,
+    * never upscaled, floor 1. The scale is the exact RATIONAL
+    * min(maxW/w, maxH/h) applied with truncating integer division only
+    * — no float, so DuckDB `//` replays it bit-for-bit (the same
+    * cross-engine contract as the q201 fixed-point trainer). */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && maxW > 0 && maxH > 0)
+    if (w <= maxW && h <= maxH) (w, h)
+    else {
+      val widthLimits = w.toLong * maxH >= h.toLong * maxW
+      val (num, den) = if (widthLimits) (maxW, w) else (maxH, h)
+      (math.max(1, (w.toLong * num / den).toInt),
+        math.max(1, (h.toLong * num / den).toInt))
+    }
+  }
+
+  /** PIXEL-LEVEL image transform: REAL decode (`ImageIO.read` — the full
+    * raster, not the header), nearest-neighbor resize to [[fitDims]]
+    * with integer source mapping sx = x·w/outW (truncating — the only
+    * resampling an oracle can replay exactly; bilinear would tie the
+    * gate to AWT's filter internals), REAL re-encode as PNG. PNG is
+    * lossless, so the output raster is a pure arithmetic function of
+    * the input raster — which is what lets q205's DuckDB oracle check
+    * actual pixels through two real codec round trips. */
+  def resizePng(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "resizePng: payload is not a decodable image")
+    encodePng(nearestNeighbor(img, maxW, maxH))
+  }
+
+  private def nearestNeighbor(img: java.awt.image.BufferedImage,
+                              maxW: Int, maxH: Int): java.awt.image.BufferedImage = {
+    val (iw, ih) = (img.getWidth, img.getHeight)
+    val (ow, oh) = fitDims(iw, ih, maxW, maxH)
+    val out = new java.awt.image.BufferedImage(
+      ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * ih / oh).toInt
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB((x.toLong * iw / ow).toInt, sy) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Position-weighted raster signature of an encoded image:
+    * Σ_pixels (pos+1)·(R·65536 + G·256 + B), pos in row-major order —
+    * order-sensitive (a transposed or shuffled raster changes it),
+    * integer-exact, and derivable by an oracle when the pixels are
+    * arithmetic ([[synthPng]]). Decodes with the REAL codec, so a lossy
+    * or corrupted encode upstream changes the value. */
+  def pngPixelSignature(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "pngPixelSignature: payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sig = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sig += (y.toLong * w + x + 1) * (img.getRGB(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
+  /** Batched pixel-transform stage over a (id, payload) frame — the
+    * mapInPandas-shaped path, same repartition-up guard as
+    * [[decodeBatched]] (a transform stage is CPU-bound per row; a
+    * single-file source would otherwise funnel every decode through one
+    * task). Each row: real decode → nearest-neighbor fit into
+    * maxW×maxH → real PNG re-encode. */
+  def transformImages(df: DataFrame, maxW: Int, maxH: Int,
+                      partitions: Int = 0): Dataset[ImageOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val slim = df.select(col("id"), col("payload"))
+    val wide = if (slim.rdd.getNumPartitions < p) slim.repartition(p) else slim
+    wide.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"transformImages: undecodable payload, id=$id")
+        val resized = nearestNeighbor(img, maxW, maxH)
+        ImageOut(id, img.getWidth, img.getHeight,
+          resized.getWidth, resized.getHeight, encodePng(resized))
+      }
+    }
+  }
+
   /** Feature-extraction stage STUB: a deterministic `dim`-dim float
     * embedding derived from the payload bytes (per-dimension xxhash64 of
     * payload + dim index, scaled to [-1, 1]). A real model server / ONNX

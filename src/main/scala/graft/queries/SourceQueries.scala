@@ -1779,6 +1779,61 @@ object SourceQueries {
         .unionByName(roll)
     },
 
+    // ---- q205: PIXEL-LEVEL IMAGE TRANSFORM — real decode → nearest-
+    // neighbor resize → real PNG re-encode over deterministic synthetic
+    // PNGs (the q87 encode-under-oracle recipe at pixel depth): per-doc
+    // dims derive arithmetically, the raster is a pure function of
+    // (id, x, y), and the final payload is DECODED AGAIN for a
+    // position-weighted pixel signature. The oracle re-derives the fit
+    // dims (exact rational, truncating //) and the signature of the
+    // NN-resampled arithmetic raster — values agree only if BOTH real
+    // codec round trips are pixel-lossless and the resample mapping is
+    // exactly sx = x·w/outW.
+    QueryDef.sql("q205_image_pixel_transform",
+      """WITH p AS (SELECT doc_id AS id,
+        |    8 + (doc_id % 5) * 4 AS in_w, 6 + (doc_id % 4) * 3 AS in_h
+        |  FROM documents),
+        |d AS (SELECT id, in_w, in_h,
+        |    CASE WHEN in_w <= 10 AND in_h <= 10 THEN in_w
+        |         WHEN in_w >= in_h THEN greatest(1, (in_w * 10) // in_w)
+        |         ELSE greatest(1, (in_w * 10) // in_h) END AS out_w,
+        |    CASE WHEN in_w <= 10 AND in_h <= 10 THEN in_h
+        |         WHEN in_w >= in_h THEN greatest(1, (in_h * 10) // in_w)
+        |         ELSE greatest(1, (in_h * 10) // in_h) END AS out_h
+        |  FROM p),
+        |g AS (SELECT id, in_w, in_h, out_w, out_h,
+        |    unnest(generate_series(0, out_w * out_h - 1)) AS pos
+        |  FROM d),
+        |px AS (SELECT id, in_w, in_h, out_w, out_h, pos,
+        |    (pos % out_w) * in_w // out_w AS sx,
+        |    (pos // out_w) * in_h // out_h AS sy
+        |  FROM g)
+        |SELECT id, in_w, in_h, out_w, out_h,
+        |  CAST(SUM((pos + 1) * (((id + 3*sx + 5*sy) % 256) * 65536 +
+        |    ((2*id + sx + sy) % 256) * 256 +
+        |    ((id*7 + sx*11 + sy*13) % 256))) AS BIGINT) AS pixel_sig
+        |FROM px GROUP BY 1,2,3,4,5 ORDER BY id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val params = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (lit(8) + (col("doc_id") % 5) * 4).cast("int").as("w"),
+        (lit(6) + (col("doc_id") % 4) * 3).cast("int").as("h"))
+      // scale the ENCODER out too (the q87 guard): a compact source file
+      // would otherwise synth every PNG in one task
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val pngs = params.repartition(nPart).as[(Long, Int, Int)]
+        .mapPartitions { it =>
+          it.map { case (id, w, h) => (id, Multimodal.synthPng(id, w, h)) }
+        }.toDF("id", "payload")
+      Multimodal.transformImages(pngs, 10, 10).toDF()
+        .as[(Long, Int, Int, Int, Int, Array[Byte])]
+        .map { case (id, iw, ih, ow, oh, bytes) =>
+          (id, iw.toLong, ih.toLong, ow.toLong, oh.toLong,
+            Multimodal.pngPixelSignature(bytes))
+        }.toDF("id", "in_w", "in_h", "out_w", "out_h", "pixel_sig")
+        .orderBy("id")
+    },
+
     // ---- q202: EXACTLY-ONCE STREAM → JDBC LANDING, run to completion
     // over the fixture (the q30/q58 stream-gate recipe): the events feed
     // streams in 4 single-file micro-batches through the staged-commit

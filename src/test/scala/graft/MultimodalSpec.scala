@@ -146,6 +146,41 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e1(1L) != e1(2L))  // different payloads -> different vectors
   }
 
+  test("pixel transform: PNG round trip is lossless, NN resample matches " +
+      "the arithmetic raster, corrupt payloads fail loudly") {
+    // 4x2 synth image decoded back: every pixel equals the arithmetic def
+    val png = Multimodal.synthPng(9L, 4, 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val expect = (((9L + 3 * x + 5 * y) % 256) << 16 |
+        ((2 * 9L + x + y) % 256) << 8 | ((9L * 7 + 11 * x + 13 * y) % 256)).toInt
+      assert((img.getRGB(x, y) & 0xffffff) == expect, s"pixel ($x,$y)")
+    }
+    // fitDims: untouched when inside the box; exact rational fit outside
+    assert(Multimodal.fitDims(8, 6, 10, 10) == (8, 6))
+    assert(Multimodal.fitDims(24, 6, 10, 10) == (10, 2))
+    assert(Multimodal.fitDims(6, 24, 10, 10) == (2, 10))
+    assert(Multimodal.fitDims(1000, 1, 10, 10) == (10, 1))   // floor 1 guard
+    // resize 4x2 -> fit 2x2 box: out 2x1, sx = x*4/2, sy = y*2/1
+    val sig = Multimodal.pngPixelSignature(Multimodal.resizePng(png, 2, 2))
+    def pix(x: Int, y: Int) = ((9L + 3 * x + 5 * y) % 256) * 65536 +
+      ((2 * 9L + x + y) % 256) * 256 + ((9L * 7 + 11 * x + 13 * y) % 256)
+    assert(sig == 1L * pix(0, 0) + 2L * pix(2, 0))
+    // the signature is position-weighted: a transposed raster differs
+    val tall = Multimodal.synthPng(9L, 2, 4)
+    assert(Multimodal.pngPixelSignature(tall) != Multimodal.pngPixelSignature(
+      Multimodal.synthPng(9L, 4, 2)))
+    // an undecodable payload raises instead of producing garbage rows
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    intercept[Exception](Multimodal.transformImages(bad, 10, 10).collect())
+    // distributed path == local arithmetic on the fixture-shaped frame
+    val framed = Seq((3L, Multimodal.synthPng(3L, 16, 12)),
+      (4L, Multimodal.synthPng(4L, 8, 6))).toDF("id", "payload")
+    val out = Multimodal.transformImages(framed, 10, 10).collect()
+      .map(o => o.id -> ((o.in_w, o.in_h), (o.out_w, o.out_h))).toMap
+    assert(out(3L) == ((16, 12), (10, 7)) && out(4L) == ((8, 6), (8, 6)))
+  }
+
   test("sampleFrames emits every k-th frame index") {
     val meta = Multimodal.decodeBatched(
       Multimodal.withBinaryPayload(docs, "doc_id", "text", "video")).toDF()
