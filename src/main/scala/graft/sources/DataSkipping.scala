@@ -50,16 +50,17 @@ object DataSkipping {
     * the new files only. `cols` must match the columns `prev` was built
     * with (the union is by name and fails loudly otherwise). */
   def refreshStats(spark: SparkSession, path: String, prev: DataFrame,
-                   cols: Seq[String]): DataFrame = {
+                   cols: Seq[String],
+                   maxFiles: Int = MaxDriverFiles): DataFrame = {
     // `inputFiles` and `input_file_name()` can render the same file
     // differently (URI-encoded vs plain path — spaces, unicode); compare
     // through one canonical URI form so no existing file masquerades as
     // fresh and duplicates its stats row (r10 advice).
     val known = prev.select("file").collect()
       .map(r => canonical(r.getString(0))).toSet
-    require(known.size <= MaxDriverFiles,
+    require(known.size <= maxFiles,
       s"refreshStats: stats index lists ${known.size} files, above the " +
-        s"$MaxDriverFiles driver-side bound — compact the table or shard " +
+        s"$maxFiles driver-side bound — compact the table or shard " +
         "the index by partition")
     val fresh = spark.read.parquet(path).inputFiles
       .filterNot(f => known(canonical(f)))
@@ -85,13 +86,14 @@ object DataSkipping {
     * Stats rows with a NULL min/max (all-null file) can hold no passing
     * row and are skipped. No file matches → empty frame, full schema. */
   def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
-                 column: String, lo: Any, hi: Any): DataFrame = {
+                 column: String, lo: Any, hi: Any,
+                 maxFiles: Int = MaxDriverFiles): DataFrame = {
     val files = stats
       .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
       .select("file").collect().map(_.getString(0)).distinct
-    require(files.length <= MaxDriverFiles,
+    require(files.length <= maxFiles,
       s"prunedRead: predicate matches ${files.length} files, above the " +
-        s"$MaxDriverFiles driver-side bound — narrow the range or read " +
+        s"$maxFiles driver-side bound — narrow the range or read " +
         "the directory with a plain pushed-down filter instead")
     val exact = col(column).between(lit(lo), lit(hi))
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))

@@ -151,7 +151,8 @@ object Warehouse {
     * PARTITIONS — bounded by partition count, the usual bounded driver
     * artifact). Returns the number of partitions dropped. */
   def dropPartitionsWhere(spark: SparkSession, table: String,
-                          partitionCol: String, keep: String => Boolean): Int = {
+                          partitionCol: String, keep: String => Boolean,
+                          maxPartitions: Int = MaxDriverPartitions): Int = {
     // SHOW PARTITIONS renders values PATH-ESCAPED (space → %20 etc.);
     // `keep` must see the real value, and the DROP statement needs it as
     // a safe SQL literal — unescape first, then literal-escape, so a
@@ -159,9 +160,9 @@ object Warehouse {
     // breaking (or silently missing) the statement (r10 advice).
     val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
       .map(_.getString(0).split("=", 2))
-    require(parts.length <= MaxDriverPartitions,
+    require(parts.length <= maxPartitions,
       s"dropPartitionsWhere: $table has ${parts.length} partitions, above " +
-        s"the $MaxDriverPartitions driver-side listing bound — drop by " +
+        s"the $maxPartitions driver-side listing bound — drop by " +
         "explicit range in batches instead")
     val toDrop = parts.collect {
       case Array(k, v) if k == partitionCol =>

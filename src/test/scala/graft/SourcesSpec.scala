@@ -719,6 +719,68 @@ class SourcesSpec extends SparkSpecBase {
     assert(Diff.changedBuckets(v1, v1, "k", Seq("s", "p"), 64).count() == 0)
   }
 
+  test("driver-side metadata bounds: 10^4-partition retention works and " +
+      "stays metadata-only; the documented caps trip loudly") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.many_parts")
+    // a previous JVM's managed location would block CREATE
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_test.db/many_parts")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    spark.sql("CREATE TABLE graft_test.many_parts(x BIGINT, p STRING) " +
+      "USING parquet PARTITIONED BY (p)")
+    // 10k partitions, registered metadata-only in 10 batched statements
+    (0 until 10).foreach { b =>
+      val specs = (b * 1000 until (b + 1) * 1000)
+        .map(i => s"PARTITION (p='v$i')").mkString(" ")
+      spark.sql(s"ALTER TABLE graft_test.many_parts ADD IF NOT EXISTS $specs")
+    }
+    assert(spark.sql("SHOW PARTITIONS graft_test.many_parts").count() == 10000)
+    val dropped = Warehouse.dropPartitionsWhere(spark,
+      "graft_test.many_parts", "p",
+      keep = v => v.stripPrefix("v").toInt >= 200)
+    assert(dropped == 200)
+    assert(spark.sql("SHOW PARTITIONS graft_test.many_parts").count() == 9800)
+    // the cap trips BEFORE any drop is issued, with the documented message
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.dropPartitionsWhere(spark, "graft_test.many_parts", "p",
+        _ => true, maxPartitions = 1000)
+    }
+    assert(e.getMessage.contains("driver-side listing bound"))
+    assert(spark.sql("SHOW PARTITIONS graft_test.many_parts").count() == 9800)
+    // DataSkipping caps: same contract on file listings
+    import graft.sources.DataSkipping
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test/ds_cap"
+    (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartitionByRange(4, $"k").write.mode("overwrite").parquet(dir)
+    val stats = DataSkipping.fileStats(spark, dir, Seq("k"))
+    val e2 = intercept[IllegalArgumentException] {
+      DataSkipping.prunedRead(spark, dir, stats, "k", 1L, 100L, maxFiles = 2)
+    }
+    assert(e2.getMessage.contains("driver-side bound"))
+    val e3 = intercept[IllegalArgumentException] {
+      DataSkipping.refreshStats(spark, dir, stats, Seq("k"), maxFiles = 2)
+    }
+    assert(e3.getMessage.contains("driver-side bound"))
+  }
+
+  test("dropPartitionsWhere round-trips awkward partition values: keep() " +
+      "sees the real value, the drop targets the right partition") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    // values with a space, a quote, and a literal percent (the escape
+    // character itself) — SHOW PARTITIONS renders them path-escaped; the
+    // r10 fix unescapes for keep() and literal-escapes for the DROP
+    val df = Seq((1L, "has space"), (2L, "it's"), (3L, "50%off"), (4L, "plain"))
+      .toDF("x", "p")
+    Warehouse.overwritePartitioned(df, "graft_test.awkward_parts", "p")
+    val dropped = Warehouse.dropPartitionsWhere(spark,
+      "graft_test.awkward_parts", "p", keep = v => v != "it's")
+    assert(dropped == 1)
+    val left = spark.table("graft_test.awkward_parts")
+      .select("p").collect().map(_.getString(0)).toSet
+    assert(left == Set("has space", "50%off", "plain"))
+  }
+
   test("scd2Integrity: healthy chains pass; overlap/gap/double-current " +
       "flagged with ordered reasons; historyFrom output is always healthy") {
     def ts(x: String) = java.sql.Timestamp.valueOf(x + " 00:00:00")
