@@ -15,8 +15,18 @@ import org.apache.spark.sql.functions._
   * which measures adversarial duplication, not scaling). */
 object ScaleData {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(8)
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$n")
+    // --many-files: write every fact table as 32 files instead of the
+    // fixture's single single-row-group file. The driver fixtures cap
+    // scan parallelism at one task per file (BASELINE.md r9 note:
+    // ~1.3-1.6x uniform scan inflation); at 100 TB inputs are many-file,
+    // so scan-bound numbers measured on this layout are the ones that
+    // transfer. `ScaleData 1 --many-files` re-materializes sf0.1
+    // content-identically in the many-file layout.
+    val manyFiles = args.contains("--many-files")
+    val n = args.filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(8)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft_scale$n" + (if (manyFiles) "mf" else ""))
     val src = "/root/testdata/sf0.1"
     val spark = Sessions.local(Sessions.defaultCpus)
 
@@ -25,7 +35,8 @@ object ScaleData {
       (0 until n).map(f).reduce(_ unionByName _)
 
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val shaped = if (manyFiles) df.repartition(32) else df
+      shaped.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scale] wrote $name")
     }
 
