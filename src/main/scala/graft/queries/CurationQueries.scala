@@ -199,15 +199,61 @@ object CurationQueries {
 
     // ---- q67: winnowing fingerprint near-dup pairs (rolling-hash k-grams,
     // min-per-window selection — position-independent plagiarism-style
-    // matching). Hash-family dependent -> golden-gated; guarantees (shared
-    // substring => shared fingerprint, capped ⊆ exact) asserted in
-    // DedupSpec. maxDocFreq=64 drops boilerplate fingerprints: on the
+    // matching). maxDocFreq=64 drops boilerplate fingerprints: on the
     // sf0.1 fixture one fingerprint hits 76% of docs and >64-doc posting
     // lists carry 99% of all pair expansions (104.0M of 104.9M) — without
     // the cap the "near-dup" output is mostly boilerplate pairs AND the
     // plan is quadratic in the hottest key (measured 34 s vs ~1 s at
     // sf0.1).
-    QueryDef.golden("q67_winnowing_pairs") { (s, dir) =>
+    //
+    // CONVERTED golden → full oracle (r11): the hash family IS
+    // DuckDB-replayable. k is fixed at 8, so the rolling FNV-base hash
+    // has a direct 8-term closed form per position — Java's wrapping
+    // 64-bit arithmetic replayed exactly in HUGEINT mod 2^64 with
+    // precomputed wrapped P^j literals, then a sign fixup to Spark's
+    // signed longs; the winnowing min-per-window is a SQL window MIN
+    // (rightmost-tie emission is value-identical — ties share the
+    // value), the per-doc distinct a GROUP BY, and the capped pair
+    // expansion the q94-chain replay. The corpus is ASCII, so ord() ==
+    // the byte the kernel hashes.
+    QueryDef.sql("q67_winnowing_pairs", {
+      val P = 1099511628211L
+      val pows = Iterator.iterate(1L)(_ * P).take(8)
+        .map(java.lang.Long.toUnsignedString).toIndexedSeq
+      val terms = (0 until 8).map(j =>
+        s"CAST(ord(substr(nt, i+$j, 1)) AS HUGEINT) * CAST('${pows(7 - j)}' AS HUGEINT)")
+        .mkString(" +\n         |      ")
+      s"""WITH n AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(text)), '$ws+', ' ', 'g') AS nt
+         |  FROM documents),
+         |g AS (SELECT doc_id, nt,
+         |    unnest(generate_series(1, greatest(length(nt) - 7, 0))) AS i
+         |  FROM n),
+         |h AS (SELECT doc_id, i,
+         |    ($terms) % CAST('18446744073709551616' AS HUGEINT) AS hu
+         |  FROM g),
+         |hs AS (SELECT doc_id, i,
+         |    CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+         |      THEN hu - CAST('18446744073709551616' AS HUGEINT)
+         |      ELSE hu END AS BIGINT) AS h
+         |  FROM h),
+         |win AS (SELECT doc_id, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+         |    MAX(i) OVER (PARTITION BY doc_id) AS m
+         |  FROM hs),
+         |fp AS (SELECT doc_id, mn FROM win
+         |       WHERE i <= m - 3 OR (i = 1 AND m < 4) GROUP BY 1, 2),
+         |dfq AS (SELECT mn, COUNT(*) AS df FROM fp GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+         |      FROM fp a JOIN fp b ON a.mn = b.mn AND a.doc_id < b.doc_id
+         |      JOIN dfq ON dfq.mn = a.mn AND dfq.df <= 64
+         |      GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared_fingerprints FROM p
+         |WHERE shared_fingerprints >= 3
+         |ORDER BY shared_fingerprints DESC, doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
       graft.llm.Dedup.winnowingPairs(Tables.documents(s, dir), "doc_id", "text",
           maxDocFreq = 64)
         .orderBy(desc("shared_fingerprints"), asc("doc_a"), asc("doc_b"))
