@@ -112,7 +112,12 @@ object Bench {
     "q197_pseudonymize",        // salted-token pseudonymization (projection)
     "q198_new_vs_returning",    // daily acquisition split (first-seen join)
     "q199_cross_corpus_canonical", // multi-source priority dedup rule
-    "q200_nightly_batch"        // COMPOSED warehouse nightly (ingest->DQ->IVM)
+    "q200_nightly_batch",       // COMPOSED warehouse nightly (ingest->DQ->IVM)
+    "q201_train_quality_classifier", // fixed-point distributed logistic GD
+    "q202_stream_exactly_once", // staged-commit JDBC sink + epoch replay
+    "q203_stream_dedup",        // watermarked exact dedup, dup deliveries
+    "q204_stream_attribution",  // stream-stream interval join to parquet
+    "q205_image_pixel_transform" // real PNG decode->NN resize->re-encode
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -189,7 +194,14 @@ object Bench {
     "q193_idempotent_ingest" -> 1.31, "q194_late_dimension" -> 0.57,
     "q195_quarantine_examples" -> 0.32, "q196_corpus_interleave" -> 0.80,
     "q197_pseudonymize" -> 0.35, "q198_new_vs_returning" -> 0.36,
-    "q199_cross_corpus_canonical" -> 1.68, "q200_nightly_batch" -> 1.34)
+    "q199_cross_corpus_canonical" -> 1.68, "q200_nightly_batch" -> 1.34,
+    // r11 rows (min-of-3, clean window: canaries 0.27/0.23/0.19/0.19).
+    // The three streaming gates are FIXED micro-batch machinery cost —
+    // measured flat from sf0.01 to sf0.1 (q204 5.7 -> 5.6 s) — not data
+    // volume; q204 additionally pays the stream-stream state store.
+    "q201_train_quality_classifier" -> 0.79, "q202_stream_exactly_once" -> 2.18,
+    "q203_stream_dedup" -> 2.93, "q204_stream_attribution" -> 5.64,
+    "q205_image_pixel_transform" -> 0.35)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
