@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * walks the ISO BMFF box tree directly for MP4 width/height/frame-count
   * (no video lib exists anywhere in the JDK; the container metadata is a
   * specified binary format, so the engine parses it itself). All three
-  * are header-only — cost is O(header) per row at any scale. Pixel/PCM
-  * SAMPLE decoding for video stays out of scope (that genuinely needs a
-  * codec library); payloads that don't parse (e.g. the text-byte
-  * stand-ins in the fixture corpus) fall back to the deterministic
-  * [[fakeDecode]] stub, keeping the pipeline total. The Spark-side
+  * are header-only — cost is O(header) per row at any scale. IMAGES
+  * additionally get a full PIXEL path ([[transformImages]]: real
+  * decode → nearest-neighbor resize → real PNG re-encode, gated at
+  * pixel depth by q205's arithmetic-raster oracle); PCM/video SAMPLE
+  * decoding stays out of scope (that genuinely needs a codec library);
+  * payloads that don't parse (e.g. the text-byte stand-ins in the
+  * fixture corpus) fall back to the deterministic [[fakeDecode]] stub,
+  * keeping the pipeline total. The Spark-side
   * plumbing is what the tests check: binary schema, batched
   * per-partition processing (the Scala analog of `mapInPandas` — one
   * iterator pass per partition, no per-row task overhead), and typed
@@ -311,9 +314,13 @@ object Multimodal {
       .filter(col("frame_idx") % everyK === 0)
       .select("id", "frame_idx")
 
-  /** Resize stage (metadata math; a real codec would transform pixels):
-    * proportional fit into a maxW x maxH box, ceil-rounded, never
-    * upscaled — the standard thumbnailing contract. */
+  /** Resize stage over METADATA only (cheap planning pass for payloads
+    * the engine won't re-encode — video/audio; images have the real
+    * pixel path in [[transformImages]]): proportional fit into a
+    * maxW x maxH box, ceil-rounded, never upscaled — the standard
+    * thumbnailing contract. NOTE the rounding difference from
+    * [[fitDims]]: this ceil-rounds (metadata estimate), fitDims
+    * floor-rounds (must match the oracle's truncating division). */
   def resizeMeta(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
       lit(maxW.toDouble) / col("width"),
