@@ -358,9 +358,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    encodePng(img)
   }
 
   /** Integer thumbnail-fit dimensions: proportional fit into maxW×maxH,

@@ -679,6 +679,22 @@ object CurationQueries {
     // prefix per row) and id range, under q129's md5-ticket shard
     // assignment. The validation record a sharded corpus export writes
     // next to its files.
+    QueryDef.sql("q142_shard_manifest",
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INTEGER) % 8 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS content_sig,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.llm.Packing.shardManifest(Tables.documents(s, dir),
+          "doc_id", "text", nShards = 8)
+        .orderBy("shard")
+    },
+
     // ---- q201: DISTRIBUTED CLASSIFIER TRAINING — the fitting pass the
     // frozen q123 model stood in for: 3 rounds of batch gradient descent
     // on a hard-sigmoid logistic objective over the 1024-slot hashed
@@ -727,22 +743,6 @@ object CurationQueries {
       import s.implicits._
       w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
         .toDF("bucket", "weight_fp").orderBy("bucket")
-    },
-
-    QueryDef.sql("q142_shard_manifest",
-      """WITH b AS (SELECT doc_id, text,
-        |    CAST(CAST('0x' || substr(md5('sh:' || CAST(doc_id AS VARCHAR)), 1, 4)
-        |      AS INTEGER) % 8 AS INTEGER) AS shard
-        |  FROM documents)
-        |SELECT shard, COUNT(*) AS n_docs,
-        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
-        |    AS content_sig,
-        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-        |FROM b GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
-      graft.llm.Packing.shardManifest(Tables.documents(s, dir),
-          "doc_id", "text", nShards = 8)
-        .orderBy("shard")
     }
   )
 

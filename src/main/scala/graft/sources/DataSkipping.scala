@@ -52,33 +52,27 @@ object DataSkipping {
   def refreshStats(spark: SparkSession, path: String, prev: DataFrame,
                    cols: Seq[String],
                    maxFiles: Int = MaxDriverFiles): DataFrame = {
-    // `inputFiles` and `input_file_name()` can render the same file
-    // differently (URI-encoded vs plain path — spaces, unicode); compare
-    // through one canonical URI form so no existing file masquerades as
-    // fresh and duplicates its stats row (r10 advice).
+    // `prev.file` comes from input_file_name() (statsOf) — the
+    // URL-ENCODED SparkPath rendering — while `inputFiles` renders
+    // plain Path.toString; comparing raw strings would treat every
+    // file with an encodable char (space, unicode) as fresh and
+    // duplicate its stats row (r10 advice). Each side's rendering is
+    // KNOWN, so decode exactly the encoded one — no guessing, which
+    // would mis-decode a plain name containing a literal %XX.
     val known = prev.select("file").collect()
-      .map(r => canonical(r.getString(0))).toSet
+      .map(r => org.apache.spark.paths.SparkPath
+        .fromUrlString(r.getString(0)).toPath.toString).toSet
     require(known.size <= maxFiles,
       s"refreshStats: stats index lists ${known.size} files, above the " +
         s"$maxFiles driver-side bound — compact the table or shard " +
         "the index by partition")
+    // the plain side still needs Path's SLASH normalization (file:/// vs
+    // file:/) — Path(String) applies it without any percent-decoding
     val fresh = spark.read.parquet(path).inputFiles
-      .filterNot(f => known(canonical(f)))
+      .filterNot(f => known(new org.apache.hadoop.fs.Path(f).toString))
     if (fresh.isEmpty) prev
     else prev.unionByName(statsOf(spark.read.parquet(fresh.toIndexedSeq: _*), cols))
   }
-
-  /** Canonical (decoded) form of a file path string, tolerant of both
-    * the URL-encoded SparkPath rendering and the plain Path.toString
-    * rendering: a string that parses as a URI decodes through
-    * Path(URI); one that does not (literal space ⇒ illegal URI) is
-    * already plain. */
-  private def canonical(s: String): String =
-    try new org.apache.hadoop.fs.Path(new java.net.URI(s)).toString
-    catch {
-      case _: java.net.URISyntaxException =>
-        new org.apache.hadoop.fs.Path(s).toString
-    }
 
   /** Read only the files whose [min_c, max_c] intersects [lo, hi], then
     * apply the EXACT predicate (the stats prune admits a superset — a
