@@ -706,45 +706,86 @@ object CurationQueries {
     // per-bucket gradient, weight update) — the q125 unrolled-integer-
     // rounds recipe applied to model fitting. Output: the dense trained
     // weight vector, one row per bucket.
-    QueryDef.sql("q201_train_quality_classifier", {
-      val iters = 3
-      val S = graft.llm.Scoring.TrainScale
-      val unrolled = (1 to iters).map { k =>
-        s"""m$k AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
-           |  FROM bo JOIN w${k - 1} w USING (b) GROUP BY 1),
-           |p$k AS (SELECT t.doc_id,
-           |    CASE WHEN t.doc_id < 250 THEN CAST(1 AS BIGINT)
-           |         ELSE CAST(0 AS BIGINT) END AS y,
-           |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST($S AS BIGINT),
-           |      ${S / 2} + COALESCE(m.m, 0) // 4)) AS p
-           |  FROM t LEFT JOIN m$k m USING (doc_id)),
-           |g$k AS (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
-           |  FROM bo JOIN p$k p USING (doc_id) GROUP BY 1),
-           |w$k AS (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
-           |  FROM w${k - 1} w LEFT JOIN g$k g USING (b) CROSS JOIN n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |f AS (SELECT doc_id, list_concat(toks,
-         |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-         |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
-         |fe AS (SELECT doc_id, unnest(feats) AS f FROM f),
-         |bo AS (SELECT doc_id,
-         |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b
-         |       FROM fe),
-         |n AS (SELECT COUNT(*) AS nd FROM t),
-         |w0 AS (SELECT unnest(generate_series(0, 1023)) AS b,
-         |              CAST(0 AS BIGINT) AS w),
-         |$unrolled
-         |SELECT b AS bucket, w AS weight_fp FROM w$iters ORDER BY bucket"""
-        .stripMargin
-    }) { (s, dir) =>
+    QueryDef.sql("q201_train_quality_classifier",
+      s"""WITH ${trainCtes(3)}
+         |SELECT b AS bucket, w AS weight_fp FROM w3 ORDER BY bucket"""
+        .stripMargin) { (s, dir) =>
       val w = graft.llm.Scoring.trainLogistic(Tables.documents(s, dir),
         "doc_id", "text", col("doc_id") < 250, buckets = 1024, iters = 3)
       import s.implicits._
       w.toIndexedSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
         .toDF("bucket", "weight_fp").orderBy("bucket")
+    },
+
+    // ---- q206: CLASSIFIER EVALUATION — the "did the filter work" stage
+    // that closes the train→serve→eval loop: the q201-trained model
+    // scores the WHOLE corpus through the unchanged q123 serving plan
+    // and the gate is the confusion matrix (label × verdict counts) plus
+    // the exact per-cell BIGINT score sums — a drifted weight, a serving
+    // /training feature-hash mismatch, or a verdict-threshold bug each
+    // move a cell. The oracle extends the shared training CTEs with the
+    // scoring join and the same aggregation. The matrix is also an
+    // honest diagnostic: at sf0.01 the 250/500 split is balanced, while
+    // at sf0.1 the same rule is a 5%-positive split and 3 rounds of
+    // fixed-η GD predict the majority class — exactly the class-
+    // imbalance failure an eval stage exists to surface (the gate
+    // checks EXACTNESS of the reported matrix, not model quality;
+    // quality-on-a-separable-split is pinned in TextPipelineSpec).
+    QueryDef.sql("q206_classifier_eval",
+      s"""WITH ${trainCtes(3)},
+         |sc AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+         |       FROM bo JOIN w3 w USING (b) GROUP BY 1),
+         |ev AS (SELECT t.doc_id, t.doc_id < 250 AS is_target,
+         |         COALESCE(sc.score, 0) > 0 AS predicted,
+         |         COALESCE(sc.score, 0) AS score
+         |       FROM t LEFT JOIN sc USING (doc_id))
+         |SELECT is_target, predicted, COUNT(*) AS n,
+         |  CAST(SUM(score) AS BIGINT) AS sum_score
+         |FROM ev GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = graft.llm.Scoring.trainLogistic(docs, "doc_id", "text",
+        col("doc_id") < 250, buckets = 1024, iters = 3)
+      graft.llm.Scoring.scoreWithWeights(docs, "doc_id", "text", w)
+        .select((col("doc_id") < 250).as("is_target"),
+          col("is_quality").as("predicted"), col("score"))
+        .groupBy("is_target", "predicted")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
     }
   )
+
+  /** Shared q201/q206 oracle fragment: the hashed-feature design CTEs
+    * plus `iters` unrolled fixed-point GD rounds, ending in `w<iters>`
+    * (b, w) — one definition so the eval gate cannot drift from the
+    * training gate it extends. */
+  private def trainCtes(iters: Int): String = {
+    val S = graft.llm.Scoring.TrainScale
+    val unrolled = (1 to iters).map { k =>
+      s"""m$k AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
+         |  FROM bo JOIN w${k - 1} w USING (b) GROUP BY 1),
+         |p$k AS (SELECT t.doc_id,
+         |    CASE WHEN t.doc_id < 250 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS y,
+         |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST($S AS BIGINT),
+         |      ${S / 2} + COALESCE(m.m, 0) // 4)) AS p
+         |  FROM t LEFT JOIN m$k m USING (doc_id)),
+         |g$k AS (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
+         |  FROM bo JOIN p$k p USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
+         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b) CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, list_concat(toks,
+       |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
+       |fe AS (SELECT doc_id, unnest(feats) AS f FROM f),
+       |bo AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b
+       |       FROM fe),
+       |n AS (SELECT COUNT(*) AS nd FROM t),
+       |w0 AS (SELECT unnest(generate_series(0, 1023)) AS b,
+       |              CAST(0 AS BIGINT) AS w),
+       |$unrolled""".stripMargin
+  }
 
   // q134's Spark side, split out so the defs list stays readable
   private def q134Spark(s: org.apache.spark.sql.SparkSession,
