@@ -9,8 +9,11 @@ import graft.queries._
   * the modules under graft.queries, which in turn exercise the engine
   * library: graft.operators / graft.functions / graft.llm / graft.sources /
   * graft.streaming). `oracleSql` carries the DuckDB-equivalent SQL for every
-  * SQL-expressible query; hash-family-dependent queries (MinHash, SimHash,
-  * LSH, IVF) are rows-only and verified by property tests in src/test.
+  * SQL-expressible query; the nine xxhash64-family/generator queries
+  * (MinHash, SimHash, BPE, HLL, CMS, multimodal features, synthetic
+  * events) are golden-gated (committed-snapshot `read_parquet` oracle,
+  * QueryDef.goldenGated) with driver-run oracle AUDIT twins — zero
+  * rows-only queries remain.
   */
 object SparkEntry {
 
