@@ -646,6 +646,26 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(repart.toSeq == got.toSeq)
   }
 
+  test("trainLogistic is exactly invariant under corpus duplication " +
+      "(the batch-GD normalization check)") {
+    // every per-bucket gradient doubles AND nDocs doubles, so the step
+    // is the SAME rational g/n — and truncating division is a function
+    // of the rational value, so the fixed-point weights are bit-equal.
+    // A trainer that forgot to normalize (or normalized by anything but
+    // the doc count) fails this exactly.
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta delta"),
+      (3L, "spam junk noise"), (4L, "junk filler")
+    ).toDF("doc_id", "text")
+    val doubled = docs.unionByName(
+      docs.withColumn("doc_id", $"doc_id" + 100L))
+    val w1 = graft.llm.Scoring.trainLogistic(docs, "doc_id", "text",
+      $"doc_id" % 100 <= 2L, buckets = 256, iters = 4)
+    val w2 = graft.llm.Scoring.trainLogistic(doubled, "doc_id", "text",
+      $"doc_id" % 100 <= 2L, buckets = 256, iters = 4)
+    assert(w1.toSeq == w2.toSeq)
+  }
+
   test("trainLogistic separates a planted quality/junk split; trained " +
       "weights drive scoreWithWeights and the pipeline gate") {
     val qualityVocab = Seq("clear", "prose", "article", "evidence", "cited",
