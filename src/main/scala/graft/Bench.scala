@@ -118,7 +118,8 @@ object Bench {
     "q203_stream_dedup",        // watermarked exact dedup, dup deliveries
     "q204_stream_attribution",  // stream-stream interval join to parquet
     "q205_image_pixel_transform", // real PNG decode->NN resize->re-encode
-    "q206_classifier_eval"      // trained-model confusion matrix (train+serve)
+    "q206_classifier_eval",     // trained-model confusion matrix (train+serve)
+    "q207_trained_curation_pipeline" // pipeline gated by the TRAINED model
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -202,7 +203,10 @@ object Bench {
     // volume; q204 additionally pays the stream-stream state store.
     "q201_train_quality_classifier" -> 0.79, "q202_stream_exactly_once" -> 2.18,
     "q203_stream_dedup" -> 2.93, "q204_stream_attribution" -> 5.64,
-    "q205_image_pixel_transform" -> 0.35, "q206_classifier_eval" -> 1.11)
+    "q205_image_pixel_transform" -> 0.35, "q206_classifier_eval" -> 1.11,
+    // 10 training rounds (20 jobs) + the full pipeline chain — job-count
+    // bound at fixture SF, not data volume
+    "q207_trained_curation_pipeline" -> 5.31)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

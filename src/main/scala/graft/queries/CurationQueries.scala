@@ -63,7 +63,14 @@ object CurationQueries {
        |         ELSE CAST(list_reduce(list_transform(feats, x ->
        |           CAST('0x' || substr(md5(CAST(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 1024 AS VARCHAR)), 1, 4) AS BIGINT) % 2001 - 1000),
        |         (a, b) -> a + b) AS BIGINT) END > 0),
-       |rt AS (SELECT $toksSql AS toks FROM $refFrom),
+       |${lmPackFromCk(refFrom, budget)}""".stripMargin
+
+  /** The LM-score → budget-select → pack tail of [[lmSelectPackCtes]],
+    * assuming a CTE `ck` (doc_id, toks) — the classifier survivors —
+    * already exists: q207 swaps in a TRAINED-classifier `ck` while
+    * q127/q134 keep the frozen one, over ONE shared tail. */
+  private def lmPackFromCk(refFrom: String, budget: Long): String =
+    s"""rt AS (SELECT $toksSql AS toks FROM $refFrom),
        |runi AS (SELECT w1, COUNT(*) AS cu FROM
        |           (SELECT unnest(toks) AS w1 FROM rt) GROUP BY 1),
        |rbi AS (SELECT b, COUNT(*) AS cb FROM
@@ -750,39 +757,80 @@ object CurationQueries {
           col("is_quality").as("predicted"), col("score"))
         .groupBy("is_target", "predicted")
         .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
+    },
+
+    // ---- q207: the q127 curation pipeline running the TRAINED
+    // classifier — the capstone the q201/q206 chain builds toward: fit
+    // the model distributed (3 fixed-point GD rounds over the raw
+    // corpus), then gate the pipeline's quality stage with the trained
+    // weights instead of the frozen table. The oracle composes three
+    // shared fragments — the dedup/CC chain, the prefixed training
+    // unroll, and the LM-select-pack tail — with ONE new CTE (`ck` = the
+    // dedup survivors the trained model scores positive), so a drift in
+    // ANY stage (mining, training, serving, selection, packing) moves
+    // the packed layout and fails the hash.
+    QueryDef.sql("q207_trained_curation_pipeline",
+      s"""WITH RECURSIVE
+         |${dedupCcCtes("documents")},
+         |${trainCtes(10, "tr_", "list_contains(t.toks, 'dup')")},
+         |sc AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+         |       FROM tr_bo bo JOIN tr_w10 w USING (b) GROUP BY 1),
+         |ck AS (SELECT k.doc_id, k.toks FROM kept k LEFT JOIN sc USING (doc_id)
+         |       WHERE COALESCE(sc.score, 0) > 0),
+         |${lmPackFromCk("documents WHERE doc_id < 250", 15000)}
+         |${packedSelectSql(512)}""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // a CONTENT-derived target (docs whose tokens include 'dup' — the
+      // fixture's rare 5%-df marker) so the fit is a real classification
+      // problem; 10 fixed-lr hard-sigmoid rounds PARTIALLY separate it
+      // (the honest behavior of integer batch GD without lr decay —
+      // measured ~25% recall / ~60% precision at both shipped SFs),
+      // which is exactly what makes the gate non-trivial: the survivor
+      // set is the model's actual verdict, not the label
+      val w = graft.llm.Scoring.trainLogistic(docs, "doc_id", "text",
+        array_contains(graft.functions.TextFns.tokens(col("text")), "dup"),
+        buckets = 1024, iters = 10)
+      graft.llm.Curation.pipeline(docs, "doc_id", "text",
+          lmRef = docs.filter(col("doc_id") < 250),
+          tokenBudget = 15000, seqLen = 512,
+          clfWeights = Some(w)).packed
+        .orderBy("doc_id")
     }
   )
 
-  /** Shared q201/q206 oracle fragment: the hashed-feature design CTEs
-    * plus `iters` unrolled fixed-point GD rounds, ending in `w<iters>`
-    * (b, w) — one definition so the eval gate cannot drift from the
-    * training gate it extends. */
-  private def trainCtes(iters: Int): String = {
+  /** Shared q201/q206/q207 oracle fragment: the hashed-feature design
+    * CTEs plus `iters` unrolled fixed-point GD rounds, ending in
+    * `<x>w<iters>` (b, w) — one definition so the eval/pipeline gates
+    * cannot drift from the training gate they extend. `x` prefixes
+    * every CTE name so the fragment composes with chains that already
+    * use t/fe/bo (q207 pairs it with the dedup + pack chains). */
+  private def trainCtes(iters: Int, x: String = "",
+                        labelSql: String = "t.doc_id < 250"): String = {
     val S = graft.llm.Scoring.TrainScale
     val unrolled = (1 to iters).map { k =>
-      s"""m$k AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
-         |  FROM bo JOIN w${k - 1} w USING (b) GROUP BY 1),
-         |p$k AS (SELECT t.doc_id,
-         |    CASE WHEN t.doc_id < 250 THEN CAST(1 AS BIGINT)
+      s"""${x}m$k AS MATERIALIZED (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
+         |  FROM ${x}bo bo JOIN ${x}w${k - 1} w USING (b) GROUP BY 1),
+         |${x}p$k AS MATERIALIZED (SELECT t.doc_id,
+         |    CASE WHEN $labelSql THEN CAST(1 AS BIGINT)
          |         ELSE CAST(0 AS BIGINT) END AS y,
          |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST($S AS BIGINT),
          |      ${S / 2} + COALESCE(m.m, 0) // 4)) AS p
-         |  FROM t LEFT JOIN m$k m USING (doc_id)),
-         |g$k AS (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
-         |  FROM bo JOIN p$k p USING (doc_id) GROUP BY 1),
-         |w$k AS (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
-         |  FROM w${k - 1} w LEFT JOIN g$k g USING (b) CROSS JOIN n)""".stripMargin
+         |  FROM ${x}t t LEFT JOIN ${x}m$k m USING (doc_id)),
+         |${x}g$k AS MATERIALIZED (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
+         |  FROM ${x}bo bo JOIN ${x}p$k p USING (doc_id) GROUP BY 1),
+         |${x}w$k AS MATERIALIZED (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
+         |  FROM ${x}w${k - 1} w LEFT JOIN ${x}g$k g USING (b) CROSS JOIN ${x}n)""".stripMargin
     }.mkString(",\n")
-    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |f AS (SELECT doc_id, list_concat(toks,
+    s"""${x}t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |${x}f AS (SELECT doc_id, list_concat(toks,
        |        list_transform(generate_series(1, greatest(len(toks)-1, 0)),
-       |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM t),
-       |fe AS (SELECT doc_id, unnest(feats) AS f FROM f),
-       |bo AS (SELECT doc_id,
+       |          i -> toks[i] || ' ' || toks[i+1])) AS feats FROM ${x}t),
+       |${x}fe AS (SELECT doc_id, unnest(feats) AS f FROM ${x}f),
+       |${x}bo AS MATERIALIZED (SELECT doc_id,
        |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b
-       |       FROM fe),
-       |n AS (SELECT COUNT(*) AS nd FROM t),
-       |w0 AS (SELECT unnest(generate_series(0, 1023)) AS b,
+       |       FROM ${x}fe),
+       |${x}n AS (SELECT COUNT(*) AS nd FROM ${x}t),
+       |${x}w0 AS MATERIALIZED (SELECT unnest(generate_series(0, 1023)) AS b,
        |              CAST(0 AS BIGINT) AS w),
        |$unrolled""".stripMargin
   }
