@@ -740,8 +740,7 @@ object CurationQueries {
     // quality-on-a-separable-split is pinned in TextPipelineSpec).
     QueryDef.sql("q206_classifier_eval",
       s"""WITH ${trainCtes(3)},
-         |sc AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
-         |       FROM bo JOIN w3 w USING (b) GROUP BY 1),
+         |${scoreCte(3)},
          |ev AS (SELECT t.doc_id, t.doc_id < 250 AS is_target,
          |         COALESCE(sc.score, 0) > 0 AS predicted,
          |         COALESCE(sc.score, 0) AS score
@@ -773,8 +772,7 @@ object CurationQueries {
       s"""WITH RECURSIVE
          |${dedupCcCtes("documents")},
          |${trainCtes(10, "tr_", "list_contains(t.toks, 'dup')")},
-         |sc AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
-         |       FROM tr_bo bo JOIN tr_w10 w USING (b) GROUP BY 1),
+         |${scoreCte(10, "tr_")},
          |ck AS (SELECT k.doc_id, k.toks FROM kept k LEFT JOIN sc USING (doc_id)
          |       WHERE COALESCE(sc.score, 0) > 0),
          |${lmPackFromCk("documents WHERE doc_id < 250", 15000)}
@@ -834,6 +832,14 @@ object CurationQueries {
        |              CAST(0 AS BIGINT) AS w),
        |$unrolled""".stripMargin
   }
+
+  /** The serving join over [[trainCtes]]'s artifacts: per-doc BIGINT
+    * score under the round-`iters` weights (shared by q206 and q207 so
+    * the two gates score through ONE SQL definition). */
+  private def scoreCte(iters: Int, x: String = ""): String =
+    s"""sc AS (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS score
+       |       FROM ${x}bo bo JOIN ${x}w$iters w USING (b) GROUP BY 1)"""
+      .stripMargin
 
   // q134's Spark side, split out so the defs list stays readable
   private def q134Spark(s: org.apache.spark.sql.SparkSession,

@@ -1825,11 +1825,10 @@ object SourceQueries {
         .mapPartitions { it =>
           it.map { case (id, w, h) => (id, Multimodal.synthPng(id, w, h)) }
         }.toDF("id", "payload")
-      Multimodal.transformImages(pngs, 10, 10).toDF()
-        .as[(Long, Int, Int, Int, Int, Array[Byte])]
-        .map { case (id, iw, ih, ow, oh, bytes) =>
-          (id, iw.toLong, ih.toLong, ow.toLong, oh.toLong,
-            Multimodal.pngPixelSignature(bytes))
+      Multimodal.transformImages(pngs, 10, 10)
+        .map { o =>
+          (o.id, o.in_w.toLong, o.in_h.toLong, o.out_w.toLong,
+            o.out_h.toLong, Multimodal.pngPixelSignature(o.payload))
         }.toDF("id", "in_w", "in_h", "out_w", "out_h", "pixel_sig")
         .orderBy("id")
     },
