@@ -1862,13 +1862,14 @@ object SourceQueries {
         .toJdbcExactlyOnceSink(stream, url, "landed", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
       // the at-least-once replay: epoch 0 re-delivered with garbage in
-      // staging — the committed-ledger check must skip the commit
+      // its (per-epoch) staging — the committed-ledger check must skip
+      // the commit
       import graft.sources.Jdbc
       Jdbc.write(s.range(1).select(lit(-1L).as("event_id"),
           lit("poison").as("event_type"), lit(1.0e9).as("value")),
-        url, "landed_stage", org.apache.spark.sql.SaveMode.Overwrite)
+        url, "landed_stage_0", org.apache.spark.sql.SaveMode.Overwrite)
       if (!Jdbc.isBatchCommitted(url, "landed_commits", 0L)) {
-        Jdbc.commitStaged(url, "landed", "landed_stage", "landed_commits", 0L)
+        Jdbc.commitStaged(url, "landed", "landed_stage_0", "landed_commits", 0L)
       }
       val nCommits = Jdbc.read(s, url, "landed_commits").count()
       Jdbc.read(s, url, "landed")

@@ -61,25 +61,52 @@ object Jdbc {
     * upper-cases, Postgres lower-cases), so probe the common foldings. */
   def tableExists(url: String, table: String,
                   props: Map[String, String] = Map.empty): Boolean = {
+    val conn = connect(url, props)
+    try tableExistsOn(conn, table) finally conn.close()
+  }
+
+  /** One connection with the SAME props every read/write method accepts
+    * — the protocol functions below authenticate like the rest of the
+    * connector instead of hoping the URL embeds credentials. */
+  private def connect(url: String,
+                      props: Map[String, String]): java.sql.Connection = {
     val p = new java.util.Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
-    val conn = java.sql.DriverManager.getConnection(url, p)
-    try tableExistsOn(conn, table) finally conn.close()
+    java.sql.DriverManager.getConnection(url, p)
   }
 
   private def tableExistsOn(conn: java.sql.Connection, table: String): Boolean = {
     val md = conn.getMetaData
+    // getTables takes a LIKE pattern: an unescaped '_' (present in every
+    // sink-generated <t>_stage/<t>_commits name) is a wildcard, so
+    // 'landedXstage' would match 'landed_stage' — escape the
+    // metacharacters with the driver's escape string first
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def quote(t: String) =
+      t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-      val rs = md.getTables(null, null, t, null)
+      val rs = md.getTables(null, null, quote(t), null)
       try rs.next() finally rs.close()
     }
+  }
+
+  /** Best-effort DROP TABLE IF EXISTS (portable form: probe then drop) —
+    * staging-table cleanup for the exactly-once sink. */
+  def dropTableIfExists(url: String, table: String,
+                        props: Map[String, String] = Map.empty): Unit = {
+    val conn = connect(url, props)
+    try if (tableExistsOn(conn, table)) {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+    } finally conn.close()
   }
 
   /** Has `batchId` already been committed to the `commitsTable` ledger?
     * Part of the staged-commit exactly-once protocol
     * ([[graft.streaming.Events.toJdbcExactlyOnceSink]]). */
-  def isBatchCommitted(url: String, commitsTable: String, batchId: Long): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  def isBatchCommitted(url: String, commitsTable: String, batchId: Long,
+                       props: Map[String, String] = Map.empty): Boolean = {
+    val conn = connect(url, props)
     try {
       if (!tableExistsOn(conn, commitsTable)) false
       else {
@@ -105,8 +132,9 @@ object Jdbc {
     * transactional in Derby/Postgres-family engines, so first-batch
     * crashes also leave nothing behind. */
   def commitStaged(url: String, target: String, staging: String,
-                   commitsTable: String, batchId: Long): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+                   commitsTable: String, batchId: Long,
+                   props: Map[String, String] = Map.empty): Unit = {
+    val conn = connect(url, props)
     try {
       conn.setAutoCommit(false)
       val st = conn.createStatement()

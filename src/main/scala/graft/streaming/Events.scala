@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import org.apache.spark.sql.Row
@@ -97,11 +97,16 @@ object Events {
     * is evicted once the watermark passes, so memory stays bounded by the
     * horizon, not history; the batch-side analog is
     * [[graft.llm.Dedup.dedupe]]). Key on a content hash (e.g.
-    * `md5(text)`) for streaming corpus dedup. */
+    * `md5(text)`) for streaming corpus dedup. On a BATCH frame (where
+    * Spark rejects the within-watermark form) this degrades to the exact
+    * `dropDuplicates` — the stream/batch-agnostic contract the sibling
+    * transforms keep. */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events.withWatermark(tsCol, lateness)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /** Streaming upsert-lite sink: each micro-batch is folded into a managed
     * table with ON-CONFLICT-DO-NOTHING semantics (S11 on a stream) via
@@ -110,7 +115,17 @@ object Events {
     * under retries. Batches must be deduped on `keys` internally, which
     * upsertPlan's anti-join does not do — dropDuplicates here covers it.
     * At scale the anti-join is one shuffle keyed on `keys` against a
-    * key-pruned scan of the target table. */
+    * key-pruned scan of the target table.
+    *
+    * Crash safety (two durable writes per batch — the price of not
+    * losing the table): `overwriteTable` DROPS the target before
+    * rewriting, so the merged frame is first written to a durable
+    * staging TABLE and the target overwrite then reads staging from
+    * disk — never volatile localCheckpoint blocks. A crash between the
+    * target drop and its rewrite leaves staging holding the full merge:
+    * the retry recovers its base from staging (re-merging the same
+    * batch is a no-op under existing-wins), so no window loses
+    * previously upserted rows. */
   def toUpsertSink(df: DataFrame, table: String, keys: Seq[String],
                    checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
@@ -118,16 +133,23 @@ object Events {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val staging = table + "_upsert_stage"
         val incoming = batch.dropDuplicates(keys)
-        if (spark.catalog.tableExists(table)) {
-          val merged = graft.sources.Warehouse
-            .upsertPlan(spark.table(table), incoming, keys)
-            // the plan reads the table being overwritten — materialize first
+        // base = target; else the staging copy a torn overwrite left
+        val base =
+          if (spark.catalog.tableExists(table)) Some(spark.table(table))
+          else if (spark.catalog.tableExists(staging)) Some(spark.table(staging))
+          else None
+        val merged = base match {
+          case Some(b) => graft.sources.Warehouse
+            .upsertPlan(b, incoming, keys)
+            // the plan may read the table about to be overwritten
+            // (recovery case) — materialize before the staging write
             .localCheckpoint(eager = true)
-          graft.sources.Warehouse.overwriteTable(merged, table)
-        } else {
-          graft.sources.Warehouse.overwriteTable(incoming, table)
+          case None => incoming
         }
+        graft.sources.Warehouse.overwriteTable(merged, staging)
+        graft.sources.Warehouse.overwriteTable(spark.table(staging), table)
       }
 
   /** Stream → JDBC warehouse sink: the reference's DAG→Postgres landing
@@ -155,11 +177,10 @@ object Events {
         val fresh =
           if (graft.sources.Jdbc.tableExists(url, table)) {
             val existing = graft.sources.Jdbc.read(spark, url, table)
-              .select(keys.map(org.apache.spark.sql.functions.col): _*)
+              .select(keys.map(col): _*)
             incoming.join(existing, keys, "left_anti")
           } else incoming  // first batch: nothing to dedup against
-        graft.sources.Jdbc.write(fresh, url, table,
-          org.apache.spark.sql.SaveMode.Append)
+        graft.sources.Jdbc.write(fresh, url, table, SaveMode.Append)
       }
 
   /** EXACTLY-ONCE stream → JDBC landing via the staged-commit protocol —
@@ -183,19 +204,30 @@ object Events {
     * target restarts epochs at 0, so pair a fresh checkpoint with a
     * fresh ledger/target. At scale the driver-side INSERT..SELECT move
     * runs inside the warehouse (partition swap / MERGE in a real one) —
-    * the Spark-side batch boundary and ledger protocol are unchanged. */
+    * the Spark-side batch boundary and ledger protocol are unchanged.
+    *
+    * Staging is PER-EPOCH (`<table>_stage_<epochId>`): a zombie driver
+    * replaying an old epoch can only clobber its OWN epoch's staging,
+    * never the batch a recovery driver is mid-commit on — with one
+    * shared staging table the zombie's overwrite could land between
+    * another driver's stage and commit, duplicating old rows under a
+    * fresh ledger id. Committed epochs drop their staging afterwards
+    * (best-effort; a zombie's recreated leftover is harmless garbage,
+    * never read by a commit). */
   def toJdbcExactlyOnceSink(df: DataFrame, url: String, table: String,
-                            checkpoint: String): DataStreamWriter[Row] =
+                            checkpoint: String,
+                            props: Map[String, String] = Map.empty): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val staging = table + "_stage"
+        val staging = s"${table}_stage_$epochId"
         val commits = table + "_commits"
-        if (!graft.sources.Jdbc.isBatchCommitted(url, commits, epochId)) {
-          graft.sources.Jdbc.write(batch, url, staging,
-            org.apache.spark.sql.SaveMode.Overwrite)
-          graft.sources.Jdbc.commitStaged(url, table, staging, commits, epochId)
+        if (!graft.sources.Jdbc.isBatchCommitted(url, commits, epochId, props)) {
+          graft.sources.Jdbc.write(batch, url, staging, SaveMode.Overwrite, props)
+          graft.sources.Jdbc.commitStaged(url, table, staging, commits,
+            epochId, props)
+          graft.sources.Jdbc.dropTableIfExists(url, staging, props)
         }
       }
 }

@@ -293,13 +293,28 @@ class StreamingSpec extends SparkSpecBase {
       assert(graft.sources.Jdbc.read(spark, url, "exactly").count() == rows.size)
       assert(!graft.sources.Jdbc.isBatchCommitted(url, "exactly_commits", 99L))
 
-      // double-commit of the same epoch: the ledger PRIMARY KEY rejects it
-      // and the transaction rolls back — the target does not double-append
+      // committed epochs drop their per-epoch staging tables afterwards
+      assert(!graft.sources.Jdbc.tableExists(url, "exactly_stage_0"))
+      assert(!graft.sources.Jdbc.tableExists(url, "exactly_stage_1"))
+
+      // double-commit of the same epoch (a zombie re-staging epoch 1):
+      // the ledger PRIMARY KEY rejects it and the transaction rolls
+      // back — the target does not double-append
+      graft.sources.Jdbc.write(
+        spark.range(1).selectExpr("99999 AS event_id",
+          "'zombie' AS event_type", "0.0 AS value"),
+        url, "exactly_stage_1", org.apache.spark.sql.SaveMode.Overwrite)
       intercept[Exception] {
-        graft.sources.Jdbc.commitStaged(url, "exactly", "exactly_stage",
+        graft.sources.Jdbc.commitStaged(url, "exactly", "exactly_stage_1",
           "exactly_commits", 1L)
       }
       assert(graft.sources.Jdbc.read(spark, url, "exactly").count() == rows.size)
+
+      // the LIKE-wildcard trap: a table whose name matches the pattern
+      // 'exactly_stage_1' with '_' as a wildcard must NOT satisfy the
+      // existence probe for a differently-named table
+      assert(graft.sources.Jdbc.tableExists(url, "exactly_stage_1"))
+      assert(!graft.sources.Jdbc.tableExists(url, "exactlyXstageX1"))
     } finally q.stop()
   }
 
