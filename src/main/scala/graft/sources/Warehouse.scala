@@ -27,10 +27,14 @@ object Warehouse {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // resolve 1-part names against the current database so default-db
-    // tables get the same orphaned-location cleanup as qualified ones
+    // tables get the same orphaned-location cleanup as qualified ones;
+    // the catalog stores identifiers LOWERCASED, so the location probe
+    // must fold case or a MixedCase orphan dir would survive and block
+    // the subsequent CREATE on a case-sensitive filesystem
     val (db, tbl) = table.split("\\.") match {
-      case Array(d, t) => (d, t)
-      case Array(t)    => (spark.catalog.currentDatabase, t)
+      case Array(_, d, t) => (d.toLowerCase, t.toLowerCase)
+      case Array(d, t)    => (d.toLowerCase, t.toLowerCase)
+      case Array(t)       => (spark.catalog.currentDatabase, t.toLowerCase)
     }
     val base = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(
@@ -158,17 +162,27 @@ object Warehouse {
     // a safe SQL literal — unescape first, then literal-escape, so a
     // value with a quote or space targets the right partition instead of
     // breaking (or silently missing) the statement (r10 advice).
-    val parts = spark.sql(s"SHOW PARTITIONS $table").collect()
-      .map(_.getString(0).split("=", 2))
-    require(parts.length <= maxPartitions,
-      s"dropPartitionsWhere: $table has ${parts.length} partitions, above " +
+    val raw = spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0))
+    require(raw.length <= maxPartitions,
+      s"dropPartitionsWhere: $table has ${raw.length} partitions, above " +
         s"the $maxPartitions driver-side listing bound — drop by " +
         "explicit range in batches instead")
-    val toDrop = parts.collect {
-      case Array(k, v) if k == partitionCol =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(v)
-    }.filterNot(keep)
+    // single-level tables only, loudly: a multi-level spec renders as
+    // "k1=v1/k2=v2" ('/' inside a VALUE is path-escaped to %2F, so a
+    // literal '/' always means another level) — splitting that on '='
+    // would garble the first level's value and silently no-op the DROP
+    // while still counting it; likewise a partitionCol that isn't the
+    // table's partition key must fail, not return 0
+    require(raw.forall(!_.contains("/")),
+      s"dropPartitionsWhere: $table is multi-level partitioned — " +
+        "this helper drops single-level partitions only")
+    val parts = raw.map(_.split("=", 2))
+    require(parts.forall(_(0) == partitionCol),
+      s"dropPartitionsWhere: $table is partitioned by " +
+        s"'${parts.headOption.map(_(0)).getOrElse("")}', not '$partitionCol'")
+    val toDrop = parts.map(kv =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(kv(1))).filterNot(keep)
     toDrop.foreach(v => spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
       s"PARTITION ($partitionCol='${sqlStringLit(v)}')"))
     toDrop.length
@@ -204,6 +218,14 @@ object Warehouse {
     require(affected.length <= MaxDriverPartitions,
       s"forgetKeys: ${affected.length} affected partitions, above the " +
         s"$MaxDriverPartitions driver-side listing bound — batch the keys")
+    // NULL partition values cannot go through this path: isin() is
+    // null-unsafe (those rows would silently survive the rewrite) and
+    // the DROP spec would stringify to 'null', targeting a legitimate
+    // partition whose value is the STRING "null" — refuse loudly before
+    // any write happens
+    require(!affected.contains(null),
+      s"forgetKeys: $table has rows with NULL $partitionCol among the " +
+        "forgotten keys — repartition those into a sentinel value first")
     if (affected.isEmpty) return
     val remainder = t.filter(col(partitionCol).isin(affected: _*))
       .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_anti")
@@ -226,7 +248,12 @@ object Warehouse {
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
         s"PARTITION ($partitionCol='${sqlStringLit(String.valueOf(v))}')"))
     spark.catalog.refreshTable(table)
+    // the pre-write semi-join proved forgotten keys live ONLY in
+    // `affected`, so the verification scan is partition-pruned to those
+    // — on a 100 TB table the check costs the rewritten partitions, not
+    // a full-table scan
     val survived = spark.table(table)
+      .filter(col(partitionCol).isin(affected: _*))
       .join(org.apache.spark.sql.functions.broadcast(keys), Seq(keyCol), "left_semi")
     require(survived.isEmpty, s"forgetKeys: rows with forgotten keys survive in $table")
   }
@@ -248,6 +275,18 @@ object Warehouse {
       overwritePartitioned(withId, table, "batch_id")
       return
     }
+    // the idempotence contract holds ONLY because each batch owns a
+    // batch_id partition — against an existing table that is NOT
+    // partitioned by batch_id, overwrite-insertInto would truncate the
+    // WHOLE table (dynamic overwrite protects partitioned targets only)
+    // and the name-aligned select would silently drop the id column.
+    // Refuse loudly instead of wiping the table.
+    val partCols = spark.catalog.listColumns(table).collect()
+      .filter(_.isPartition).map(_.name)
+    require(partCols.contains("batch_id"),
+      s"appendBatchIdempotent: $table is not partitioned by batch_id " +
+        s"(partition cols: ${partCols.mkString(",")}) — idempotent " +
+        "replay needs per-batch partitions")
     val cols = spark.table(table).columns
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -264,10 +303,16 @@ object Warehouse {
   /** S11: idempotent insert — keep existing rows, append only incoming rows
     * whose key is not already present (ON CONFLICT DO NOTHING semantics).
     * Pure-plan variant: returns base ∪ (incoming ⟂ base) without mutating
-    * storage, so callers can route it to any sink. */
+    * storage, so callers can route it to any sink. Intra-batch duplicate
+    * keys keep ONE arbitrary row (matching the DO-NOTHING insert, where
+    * only the first conflicting row of an unordered multi-row INSERT
+    * lands) — without this the anti-join, which only sees `base`, would
+    * append every duplicate and break the key-uniqueness invariant the
+    * function exists to maintain. */
   def upsertPlan(base: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     base.unionByName(
-      incoming.join(base.select(keys.map(base(_)): _*), keys, "left_anti"))
+      incoming.dropDuplicates(keys)
+        .join(base.select(keys.map(base(_)): _*), keys, "left_anti"))
 
   /** SCD Type-2 merge: apply an update batch to a history-keeping
     * dimension. `current` must carry `keyCol`, the tracked `attrCols`,
@@ -295,9 +340,24 @@ object Warehouse {
     val u = updates
       .select(col(keyCol) +: attrCols.map(c => col(c).as(s"__u_$c")): _*)
       .withColumn("__has_u", lit(true))
+      // per-key multiplicity of the update batch (one window over the
+      // small-by-contract batch): two updates for one key would fan the
+      // left join out and emit two OPEN current versions — corruption
+      // scd2Integrity would flag after the fact. Fail during the apply
+      // instead.
+      .withColumn("__u_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
     val j = cur.join(u, Seq(keyCol), "left")
-      .withColumn("__chg", coalesce(col("__has_u"), lit(false)) &&
-        attrCols.map(a => !(col(s"__u_$a") <=> col(a))).reduce(_ || _))
+      // the assert rides inside __chg (used by every branch below) so
+      // column pruning cannot optimize the check away; assert_true
+      // yields NULL when it passes, so coalesce falls through to the
+      // real change flag
+      .withColumn("__chg", coalesce(
+        assert_true(coalesce(col("__u_n"), lit(1L)) <= 1,
+          lit(s"scd2Apply: multiple update rows share a $keyCol — fold " +
+            "the batch to one row per key first")).cast("boolean"),
+        coalesce(col("__has_u"), lit(false)) &&
+          attrCols.map(a => !(col(s"__u_$a") <=> col(a))).reduce(_ || _)))
     val carried = j.filter(!col("__chg")).select(outCols.map(col): _*)
     val closed = j.filter(col("__chg"))
       .withColumn("valid_to", effective.cast("date"))
@@ -371,7 +431,7 @@ object Warehouse {
     val sidecar = s"${table}_deletes"
     val k = keys.select(col(keyCol)).distinct()
     if (spark.catalog.tableExists(sidecar)) k.write.mode("append").insertInto(sidecar)
-    else { clearTable(k, sidecar); k.write.saveAsTable(sidecar) }
+    else overwriteTable(k, sidecar)
   }
 
   /** Read `table` with its delete sidecar applied (no sidecar = plain
@@ -391,14 +451,25 @@ object Warehouse {
     * drop it — subsequent reads pay no anti-join. The rewrite STAGES to
     * a scratch table first (disk-backed, any size): a direct
     * self-overwrite would drop the table and then try to read the files
-    * it just deleted. */
+    * it just deleted. The swap-in is a metadata-only RENAME, not a
+    * second physical rewrite — the dataset is written ONCE, and the
+    * only window where `table` is absent is two catalog operations. A
+    * crash inside that window leaves the full compacted copy under the
+    * staging name; re-running compactDeletes recovers (the entry check
+    * below completes the interrupted rename first), and the sidecar
+    * only drops after a completed swap, so no delete is ever lost. */
   def compactDeletes(spark: SparkSession, table: String, keyCol: String): Unit = {
     val sidecar = s"${table}_deletes"
-    if (!spark.catalog.tableExists(sidecar)) return
     val staging = s"${table}_compacting"
+    // recovery: a previous run crashed between its DROP and RENAME —
+    // the compacted data lives only under the staging name; finish the
+    // swap before anything reads `table`
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    if (!spark.catalog.tableExists(sidecar)) return
     overwriteTable(readWithDeletes(spark, table, keyCol), staging)
-    overwriteTable(spark.table(staging), table)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $sidecar")
   }
 
@@ -424,6 +495,9 @@ object Warehouse {
           facts(tsCol) >= d("valid_from") &&
           (d("valid_to").isNull || facts(tsCol) < d("valid_to")),
         "left")
-      .drop(d(dimKey)).drop("valid_from", "valid_to")
+      // drop via the dim-side references, not by NAME — a fact feed that
+      // itself carries valid_from/valid_to (e.g. the output of another
+      // SCD2 stage) must keep its own columns
+      .drop(d(dimKey)).drop(d("valid_from")).drop(d("valid_to"))
   }
 }

@@ -852,4 +852,132 @@ class SourcesSpec extends SparkSpecBase {
     Warehouse.appendBatchIdempotent(b1, "graft_test.ingest_t", "b1")
     assert(spark.table("graft_test.ingest_t").count() == 4)
   }
+
+  test("warehouse guardrails refuse instead of corrupting: unpartitioned " +
+      "idempotent target, multi-level/mismatched retention, NULL forget " +
+      "partition") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    // appendBatchIdempotent against a table NOT partitioned by batch_id
+    // would truncate it wholesale — must refuse with the table untouched
+    Warehouse.overwriteTable(Seq((1L, "a")).toDF("k", "v"), "graft_test.flat_t")
+    val e1 = intercept[IllegalArgumentException] {
+      Warehouse.appendBatchIdempotent(
+        Seq((2L, "b")).toDF("k", "v"), "graft_test.flat_t", "b9")
+    }
+    assert(e1.getMessage.contains("batch_id"))
+    assert(spark.table("graft_test.flat_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a")))
+
+    // dropPartitionsWhere on a multi-level table garbles the first level's
+    // value and silently no-ops the DROP — must refuse
+    spark.sql("DROP TABLE IF EXISTS graft_test.ml_t")
+    Seq((1L, "2020", "eu"), (2L, "2021", "us")).toDF("k", "dt", "region")
+      .write.partitionBy("dt", "region").format("parquet")
+      .saveAsTable("graft_test.ml_t")
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.dropPartitionsWhere(spark, "graft_test.ml_t", "dt", _ => false)
+    }
+    assert(e2.getMessage.contains("multi-level"))
+    assert(spark.table("graft_test.ml_t").count() == 2)
+    // a partitionCol that isn't the table's partition key must fail, not
+    // report 0 partitions dropped
+    spark.sql("DROP TABLE IF EXISTS graft_test.sl_t")
+    Seq((1L, "2020")).toDF("k", "dt").write.partitionBy("dt")
+      .format("parquet").saveAsTable("graft_test.sl_t")
+    val e3 = intercept[IllegalArgumentException] {
+      Warehouse.dropPartitionsWhere(spark, "graft_test.sl_t", "region", _ => false)
+    }
+    assert(e3.getMessage.contains("'region'"))
+
+    // forgetKeys with a forgotten row under a NULL partition value: the
+    // null-unsafe isin would let it survive — must refuse BEFORE writing
+    spark.sql("DROP TABLE IF EXISTS graft_test.nullp_t")
+    Warehouse.overwritePartitioned(
+      Seq((1L, Some("p1")), (2L, Option.empty[String])).toDF("k", "p"),
+      "graft_test.nullp_t", "p")
+    val before = spark.table("graft_test.nullp_t").inputFiles.toSet
+    val e4 = intercept[IllegalArgumentException] {
+      Warehouse.forgetKeys(spark, "graft_test.nullp_t", "p", "k",
+        Seq(2L).toDF("k"))
+    }
+    assert(e4.getMessage.contains("NULL"))
+    assert(spark.table("graft_test.nullp_t").inputFiles.toSet == before)
+  }
+
+  test("scd2Apply raises on duplicate update keys instead of emitting two " +
+      "open versions; upsertPlan keeps one row per intra-batch duplicate key") {
+    import java.sql.Date
+    val cur = Seq(
+      (1L, "A", Date.valueOf("2024-01-01"), null.asInstanceOf[Date], true)
+    ).toDF("id", "seg", "valid_from", "valid_to", "is_current")
+    val dupUpd = Seq((1L, "A2"), (1L, "A3")).toDF("id", "seg")
+    val ex = intercept[Exception] {
+      Warehouse.scd2Apply(cur, dupUpd, "id", Seq("seg"), lit("2024-06-01"))
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("one row per key"))
+
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val dupIncoming = Seq((2L, "x"), (2L, "y"), (3L, "c")).toDF("k", "v")
+    val up = Warehouse.upsertPlan(base, dupIncoming, Seq("k"))
+    assert(up.groupBy("k").count().filter($"count" > 1).isEmpty,
+      "intra-batch duplicate keys must collapse to one row")
+    assert(up.count() == 3)
+  }
+
+  test("compactDeletes swaps by rename and recovers a crash between the " +
+      "drop and the rename") {
+    Warehouse.ensureDatabase(spark, "graft_test")
+    spark.sql("DROP TABLE IF EXISTS graft_test.mor2_t_deletes")
+    spark.sql("DROP TABLE IF EXISTS graft_test.mor2_t_compacting")
+    Warehouse.overwriteTable(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "graft_test.mor2_t")
+    Warehouse.softDeleteKeys(spark, "graft_test.mor2_t", "k", Seq(2L).toDF("k"))
+    // simulate the torn swap: staging written, target dropped, rename
+    // never ran — the compacted copy exists ONLY under the staging name
+    Warehouse.overwriteTable(
+      Warehouse.readWithDeletes(spark, "graft_test.mor2_t", "k"),
+      "graft_test.mor2_t_compacting")
+    spark.sql("DROP TABLE graft_test.mor2_t")
+    // re-running compactDeletes is the recovery path
+    Warehouse.compactDeletes(spark, "graft_test.mor2_t", "k")
+    assert(spark.table("graft_test.mor2_t").select("k")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(!spark.catalog.tableExists("graft_test.mor2_t_deletes"))
+    assert(!spark.catalog.tableExists("graft_test.mor2_t_compacting"))
+  }
+
+  test("scd2Lookup keeps the facts' own valid_from/valid_to columns; " +
+      "clearTable handles catalog-qualified and mixed-case names") {
+    import java.sql.Date
+    val hist = Seq(
+      (7L, "gold", Date.valueOf("2024-01-01"), null.asInstanceOf[Date], true)
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    // the fact feed itself carries valid_from/valid_to (e.g. another SCD2
+    // stage's output) — a drop-by-NAME would erase the fact columns
+    val facts = Seq((7L, Date.valueOf("2024-03-01"),
+        Date.valueOf("2023-01-01"), Date.valueOf("2025-01-01")))
+      .toDF("k", "ts", "valid_from", "valid_to")
+    val got = Warehouse.scd2Lookup(facts, hist, "k", "k", "ts", Seq("seg"))
+    assert(got.columns.count(_ == "valid_from") == 1)
+    val r = got.head
+    assert(r.getAs[String]("seg") == "gold")
+    assert(r.getAs[Date]("valid_from") == Date.valueOf("2023-01-01"))
+    assert(r.getAs[Date]("valid_to") == Date.valueOf("2025-01-01"))
+
+    // 3-part and MixedCase managed-table names go through the orphan-dir
+    // cleanup without MatchError / case mismatch (overwrite twice: the
+    // second run exercises the cleanup against the first run's location)
+    Warehouse.ensureDatabase(spark, "graft_test")
+    Warehouse.overwriteTable(Seq((1L, "a")).toDF("k", "v"),
+      "spark_catalog.graft_test.threepart_t")
+    Warehouse.overwriteTable(Seq((2L, "b")).toDF("k", "v"),
+      "spark_catalog.graft_test.threepart_t")
+    assert(spark.table("graft_test.threepart_t").head.getLong(0) == 2L)
+    Warehouse.overwriteTable(Seq((1L, "a")).toDF("k", "v"),
+      "graft_test.MixedCase_T")
+    Warehouse.overwriteTable(Seq((3L, "c")).toDF("k", "v"),
+      "graft_test.MixedCase_T")
+    assert(spark.table("graft_test.mixedcase_t").head.getLong(0) == 3L)
+  }
 }
