@@ -52,12 +52,15 @@ object Dedup {
     * one-in-2^64 false merges). */
   def lineDedup(lines: DataFrame, idCol: String, idxCol: String,
                 lineCol: String): DataFrame = {
-    val first = lines.groupBy(col(lineCol))
+    // null-safe join: a null line (an upstream splitter's unparseable
+    // segment) forms its own group and keeps its first occurrence like any
+    // other value — a plain equi-join would silently drop every null row
+    val first = lines.groupBy(col(lineCol).as("__line"))
       .agg(min(struct(col(idCol), col(idxCol))).as("__first"))
-    lines.join(first, lineCol)
+    lines.join(first, col(lineCol) <=> col("__line"))
       .filter(col(idCol) === col(s"__first.$idCol") &&
         col(idxCol) === col(s"__first.$idxCol"))
-      .drop("__first")
+      .drop("__first", "__line")
   }
 
   /** Incremental-ingestion dedup: which INCOMING documents survive
@@ -79,17 +82,23 @@ object Dedup {
                         prefixLen: Int = 0): DataFrame = {
     def h(df: DataFrame) = {
       val base =
-        if (prefixLen > 0) substring(TextFns.normalize(col(textCol)), 1, prefixLen)
-        else if (normalized) TextFns.normalize(col(textCol))
-        else col(textCol)
+        if (prefixLen > 0) substring(TextFns.normalize(df(textCol)), 1, prefixLen)
+        else if (normalized) TextFns.normalize(df(textCol))
+        else df(textCol)
       md5(base.cast("binary"))
     }
+    // null-safe joins throughout: md5(null text) = null, and exactGroups /
+    // dedupe already treat the null-text group like any other content group
+    // (one min-id representative survives; it drops if the corpus has one).
+    // Plain equi-joins would instead silently DELETE every null-text
+    // incoming row — not even a representative would survive the batch.
     val inc = incoming.withColumn("__h", h(incoming))
-    val firsts = inc.groupBy(col("__h")).agg(min(col(idCol)).as("__keep"))
-    val corpusHashes = existing.select(h(existing).as("__h")).distinct()
-    inc.join(firsts, "__h").filter(col(idCol) === col("__keep"))
-      .join(corpusHashes, Seq("__h"), "left_anti")
-      .drop("__h", "__keep")
+    val firsts = inc.groupBy(col("__h").as("__fh")).agg(min(col(idCol)).as("__keep"))
+    val corpusHashes = existing.select(h(existing).as("__ch")).distinct()
+    inc.join(firsts, col("__h") <=> col("__fh"))
+      .filter(col(idCol) === col("__keep"))
+      .join(corpusHashes, col("__h") <=> col("__ch"), "left_anti")
+      .drop("__h", "__fh", "__keep")
   }
 
   /** Near-duplicate fingerprint groups: md5 of the first `prefixLen` chars of
@@ -173,25 +182,29 @@ object Dedup {
     *   SUBSET of the exact pairs (no false positives; DedupSpec asserts
     *   it). High-Jaccard pairs share mostly rare shingles, so recall loss
     *   concentrates on boilerplate-heavy docs. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // Pack each doc's shingle-set size into the low bits of its id before
-    // exploding: sizes then ride through pair generation for free — no
-    // second evaluation of the shingle pipeline and no size joins. Packing
-    // is injective per doc, and pair order on packed values equals pair
-    // order on doc ids (ids occupy the high bits).
-    // Packing is only injective for 0 <= id < 2^43 and < 2^20 shingles/doc;
-    // outside that range results would be silently wrong, so fail loudly in
-    // the row pipeline (no extra scan) — callers with bigger ids/docs should
-    // densify ids first (e.g. zipWithUniqueId) or join sizes separately.
+  /** Shared packed inverted-index intersection kernel for the n-gram
+    * resemblance measures: emits one row per candidate pair with
+    * (doc_a, doc_b, sz_a, sz_b, inter) — doc ids unpacked, shingle-set
+    * sizes riding along, `inter` = count of shared distinct shingles.
+    *
+    * Pack each doc's shingle-set size into the low bits of its id before
+    * exploding: sizes then ride through pair generation for free — no
+    * second evaluation of the shingle pipeline and no size joins. Packing
+    * is injective per doc, and pair order on packed values equals pair
+    * order on doc ids (ids occupy the high bits).
+    * Packing is only injective for 0 <= id < 2^43 and < 2^20 shingles/doc;
+    * outside that range results would be silently wrong, so fail loudly in
+    * the row pipeline (no extra scan) — callers with bigger ids/docs should
+    * densify ids first (e.g. zipWithUniqueId) or join sizes separately. */
+  private def packedIntersections(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int, maxDocFreq: Long, fn: String): DataFrame = {
     val guardedDoc = when(
       col("doc") < 0 || col("doc") >= lit(1L << (63 - SzBits)),
-      raise_error(concat(lit("ngramJaccardPairs: doc id outside packable range [0, 2^43): "),
+      raise_error(concat(lit(s"$fn: doc id outside packable range [0, 2^43): "),
         col("doc").cast("string")))).otherwise(col("doc"))
     val guardedSize = when(
       size(col("hs")).cast("long") > lit(SzMask),
-      raise_error(concat(lit("ngramJaccardPairs: document exceeds 2^20-1 shingles; "),
+      raise_error(concat(lit(s"$fn: document exceeds 2^20-1 shingles; "),
         lit("use a separate size join for such corpora (doc id: "),
         col("doc").cast("string"), lit(")"))))
       .otherwise(size(col("hs")).cast("long"))
@@ -209,51 +222,6 @@ object Dedup {
     val capped =
       if (maxDocFreq == Long.MaxValue) posting
       else posting.filter(size(col("basket")) <= maxDocFreq)
-    val inter = capped
-      .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
-      .groupBy(col("p.product_1").as("product_1"), col("p.product_2").as("product_2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .select(
-        shiftright(col("product_1"), SzBits).as("doc_a"),
-        shiftright(col("product_2"), SzBits).as("doc_b"),
-        col("product_1").bitwiseAND(SzMask).as("sz_a"),
-        col("product_2").bitwiseAND(SzMask).as("sz_b"),
-        col("inter"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-  }
-
-  /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
-    * containment of the SMALLER shingle set in the larger,
-    * inter / min(|A|, |B|) — catches quote/excerpt/subset duplicates
-    * whose Jaccard stays low because the container is much longer (a
-    * 95%-contained excerpt of a 10x-longer doc has Jaccard ≈ 0.09).
-    * Same packed inverted-index kernel and one-sided cap semantics as
-    * [[ngramJaccardPairs]]; emits which side is the contained doc. */
-  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, threshold: Double = 0.9,
-                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val guardedDoc = when(
-      col("doc") < 0 || col("doc") >= lit(1L << (63 - SzBits)),
-      raise_error(concat(lit("ngramContainmentPairs: doc id outside packable range [0, 2^43): "),
-        col("doc").cast("string")))).otherwise(col("doc"))
-    val guardedSize = when(
-      size(col("hs")).cast("long") > lit(SzMask),
-      raise_error(concat(lit("ngramContainmentPairs: document exceeds 2^20-1 shingles; "),
-        lit("use a separate size join for such corpora (doc id: "),
-        col("doc").cast("string"), lit(")"))))
-      .otherwise(size(col("hs")).cast("long"))
-    val packed = shingleHashDf(docs, idCol, textCol, n)
-      .select(
-        (guardedDoc * lit(1L << SzBits) + guardedSize).as("pdoc"),
-        explode(col("hs")).as("h"))
-    val posting = packed.groupBy(col("h"))
-      .agg(collect_list(col("pdoc")).as("basket"))
-    val capped =
-      if (maxDocFreq == Long.MaxValue) posting
-      else posting.filter(size(col("basket")) <= maxDocFreq)
     capped
       .select(explode(graft.plans.PairArray.pairArray(col("basket"))).as("p"))
       .groupBy(col("p.product_1").as("product_1"), col("p.product_2").as("product_2"))
@@ -264,12 +232,32 @@ object Dedup {
         col("product_1").bitwiseAND(SzMask).as("sz_a"),
         col("product_2").bitwiseAND(SzMask).as("sz_b"),
         col("inter"))
+  }
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    packedIntersections(docs, idCol, textCol, n, maxDocFreq, "ngramJaccardPairs")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT pairs (Broder's other resemblance measure):
+    * containment of the SMALLER shingle set in the larger,
+    * inter / min(|A|, |B|) — catches quote/excerpt/subset duplicates
+    * whose Jaccard stays low because the container is much longer (a
+    * 95%-contained excerpt of a 10x-longer doc has Jaccard ≈ 0.09).
+    * Same packed inverted-index kernel and one-sided cap semantics as
+    * [[ngramJaccardPairs]]; emits which side is the contained doc. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, threshold: Double = 0.9,
+                            maxDocFreq: Long = Long.MaxValue): DataFrame =
+    packedIntersections(docs, idCol, textCol, n, maxDocFreq, "ngramContainmentPairs")
       .withColumn("containment", col("inter") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= threshold)
       .withColumn("contained_doc",
         when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b")))
       .select("doc_a", "doc_b", "contained_doc", "containment")
-  }
 
   /** Cross-corpus contamination check — the train/eval leakage scan every
     * benchmark-respecting training pipeline runs before a data release:
@@ -294,11 +282,16 @@ object Dedup {
     val ev = exploded(evalDocs, "eval_id")
     val evSz = ev.groupBy("eval_id").agg(count(lit(1)).as("eval_ngrams"))
     val tr = exploded(trainDocs, "train_id")
+    // cap via the posting-list shape every other measure in this file uses
+    // (groupBy + size filter + explode back): the groupBy rides the shuffle
+    // the h-join needs anyway, where a Window.partitionBy(h) would add a
+    // full extra shuffle and buffer whole partitions just to count
     val trCapped =
       if (maxDocFreq == Long.MaxValue) tr
-      else tr.withColumn("__df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-        .filter(col("__df") <= maxDocFreq).drop("__df")
+      else tr.groupBy(col("h"))
+        .agg(collect_list(col("train_id")).as("__ids"))
+        .filter(size(col("__ids")).cast("long") <= maxDocFreq)
+        .select(col("h"), explode(col("__ids")).as("train_id"))
     ev.join(trCapped, "h")
       .groupBy("eval_id", "train_id")
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -348,6 +341,21 @@ object Dedup {
       .select(col("doc"), col("sig"), col("bb.band"), col("bb.bucket"))
   }
 
+  /** Unordered within-bucket pair expansion over a collect_list'd `ms`
+    * array of (doc, payload-source) structs: for every i < j emit
+    * (doc_a, doc_b, `payloadName`) with canonical doc order. The subtle
+    * 1-based slice arithmetic lives here ONCE for both LSH families
+    * ([[minhashLshPairs]] and [[simhashPairs]]). */
+  private def bucketPairExpr(payloadName: String,
+                             payload: (Column, Column) => Column): Column =
+    flatten(transform(col("ms"), (x, i) =>
+      transform(
+        slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+        y => struct(
+          least(x.getField("doc"), y.getField("doc")).as("doc_a"),
+          greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
+          payload(x, y).as(payloadName)))))
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bands: Int = 8, rowsPerBand: Int = 4,
                       threshold: Double = 0.8, shingleN: Int = 3,
@@ -358,27 +366,24 @@ object Dedup {
     // ONE shuffle on (band,bucket): collect bucket members and expand the
     // local pair combinations with higher-order functions — a self-join
     // would shuffle twice and evaluate the whole signature pipeline once
-    // per side. est_jaccard is verified inside the same projection, so
-    // only the light (doc_a, doc_b, est) triple survives to the dedup.
+    // per side. est_jaccard is verified inside the same projection and the
+    // threshold filter runs BEFORE the distinct, so only verified pairs
+    // (not every candidate) pay the dedup shuffle — est_jaccard is
+    // deterministic per (doc_a, doc_b), so filter-then-distinct is
+    // value-identical to distinct-then-filter.
     val members = buckets
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-    val pairExpr = flatten(transform(col("ms"), (x, i) =>
-      transform(
-        slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
-        y => struct(
-          least(x.getField("doc"), y.getField("doc")).as("doc_a"),
-          greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
-          (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
-              (p, q) => when(p === q, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / k).as("est_jaccard")))))
-    val cand = members
+    val pairExpr = bucketPairExpr("est_jaccard", (x, y) =>
+      (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / k))
+    members
       .select(explode(pairExpr).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
       .distinct()
-
-    cand.filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
@@ -391,6 +396,13 @@ object Dedup {
     *   survives unless every shared chunk bucket is oversized). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Long = Long.MaxValue): DataFrame = {
+    // 4 chunks pigeonhole-guarantee candidate recall only for hamming <= 3
+    // (4 differing bits can fall one per chunk and never share a bucket);
+    // accepting a larger budget would return a silently INCOMPLETE pair set
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashPairs: maxHamming=$maxHamming exceeds the 4-chunk pigeonhole " +
+        "recall guarantee (<= 3); re-band with maxHamming+1 chunks for a " +
+        "larger budget")
     // one codegen'd majority-vote pass (graft.plans.SimHash64Expr) replaces
     // the SWAR accumulate+finish HOF pair — same fingerprints (DedupSpec)
     val fp = docs
@@ -409,19 +421,17 @@ object Dedup {
       .groupBy(col("chunk"), col("key"))
       .agg(collect_list(struct(col("doc"), col("fp"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
-    val pairExpr = flatten(transform(col("ms"), (x, i) =>
-      transform(
-        slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
-        y => struct(
-          least(x.getField("doc"), y.getField("doc")).as("doc_a"),
-          greatest(x.getField("doc"), y.getField("doc")).as("doc_b"),
-          TextFns.popcount64(x.getField("fp").bitwiseXOR(y.getField("fp")))
-            .as("hamming")))))
+    // the struct field is named "doc"/"fp"; bucketPairExpr reads "doc" for
+    // ordering and hands both structs to the payload. Hamming is
+    // deterministic per pair, so filtering before the distinct is
+    // value-identical and spares below-budget candidates the dedup shuffle.
+    val pairExpr = bucketPairExpr("hamming", (x, y) =>
+      TextFns.popcount64(x.getField("fp").bitwiseXOR(y.getField("fp"))))
     members
       .select(explode(pairExpr).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select("doc_a", "doc_b", "hamming")
   }
 
@@ -448,6 +458,13 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc"), col("sig"))).as("members"))
       .filter(size(col("members")).cast("long") <= maxBucket)
+      // build params ride with the artifact so a later scoring pass can
+      // verify it banded with the same hash family (incrementalNearDedupe
+      // checks them; a silent mismatch would bucket-collide ~never and
+      // wave every near-dup through)
+      .withColumn("index_bands", lit(bands))
+      .withColumn("index_rows_per_band", lit(rowsPerBand))
+      .withColumn("index_shingle_n", lit(shingleN))
 
   /** Near-duplicate incremental-ingestion dedup: which INCOMING documents
     * survive against a FROZEN corpus LSH index ([[minhashBucketIndex]]) —
@@ -472,6 +489,19 @@ object Dedup {
                             threshold: Double = 0.8,
                             shingleN: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
+    // Fail loudly on a hash-family mismatch with the frozen index: with
+    // different (bands, rowsPerBand, shingleN) the bucket hashes collide
+    // essentially never, so scoring would silently wave EVERY near-dup
+    // through. Reads ONE index row — bounded driver cost at any scale.
+    index.select("index_bands", "index_rows_per_band", "index_shingle_n")
+      .limit(1).collect().headOption.foreach { r =>
+        val (ib, ir, in_) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        require(ib == bands && ir == rowsPerBand && in_ == shingleN,
+          s"incrementalNearDedupe: frozen index was built with (bands=$ib, " +
+            s"rowsPerBand=$ir, shingleN=$in_) but scoring requested (bands=$bands, " +
+            s"rowsPerBand=$rowsPerBand, shingleN=$shingleN) — rebuild the index or " +
+            "score with the build parameters")
+      }
     val est = (m: Column) =>
       aggregate(zip_with(m.getField("sig"), col("sig"),
           (p, q) => when(p === q, 1).otherwise(0)),

@@ -271,4 +271,29 @@ class DedupSpec extends SparkSpecBase {
     // Jaccard at the same corpus misses it (10/38 shared shingles)
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count() == 0)
   }
+
+  test("simhashPairs rejects a maxHamming beyond the 4-chunk recall guarantee") {
+    // hamming-4 pairs can differ one bit per chunk and never become
+    // candidates — accepting the budget would be a silent recall hole
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
+  test("incrementalNearDedupe fails loudly on a frozen-index hash-family mismatch") {
+    val corpusDocs = Seq((1L, (1 to 40).map(i => s"alpha$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBucketIndex(corpusDocs, "doc_id", "text",
+      bands = 8, rowsPerBand = 4)
+    val batch = Seq((10L, (1 to 40).map(i => s"alpha$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // same k = 32, different banding: buckets would collide ~never and the
+    // exact dup would silently SURVIVE — the param check must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDedupe(index, batch, "doc_id", "text",
+        bands = 16, rowsPerBand = 2, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("frozen index was built with"))
+  }
 }

@@ -103,6 +103,18 @@ class TextPipelineSpec extends SparkSpecBase {
       (1L, 1, "alpha beta"), (1L, 2, "gamma delta"), (2L, 2, "epsilon zeta")))
   }
 
+  test("lineDedup treats a null line as its own group (first occurrence kept, not dropped)") {
+    // an upstream splitter may emit null for unparseable segments; the
+    // null-safe join must keep the first null occurrence like any value
+    val lines = Seq(
+      (1L, 1, "alpha"), (1L, 2, null.asInstanceOf[String]),
+      (2L, 1, null.asInstanceOf[String]), (2L, 2, "alpha")
+    ).toDF("doc_id", "line_idx", "line")
+    val kept = Dedup.lineDedup(lines, "doc_id", "line_idx", "line")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("line_idx"))).toSet
+    assert(kept == Set((1L, 1), (1L, 2)))
+  }
+
   test("lineDedup first-occurrence tie-break is (doc, idx) lexicographic") {
     // same line twice within ONE doc: the earlier index wins
     val lines = Seq((5L, 3, "dup line"), (5L, 1, "dup line"), (6L, 1, "dup line"))
@@ -243,6 +255,26 @@ class TextPipelineSpec extends SparkSpecBase {
         corpus, nearBatch, "doc_id", "text", prefixLen = 16)
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(keptFp.toSeq == Seq(21L))
+  }
+
+  test("incrementalDedupe keeps a null-text representative instead of deleting the rows") {
+    // md5(null) = null: the plain equi-join form silently DELETED every
+    // null-text incoming row; the null-safe form keeps the min-id
+    // representative and dedupes it against a null-text corpus doc
+    val corpus = Seq((1L, "existing document alpha")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]),   // intra-batch null dup -> 10 kept
+      (12L, "fresh document")
+    ).toDF("doc_id", "text")
+    val kept = graft.llm.Dedup.incrementalDedupe(corpus, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept.toSeq == Seq(10L, 12L))
+    // a null-text corpus doc collides with the null group, like exactGroups
+    val nullCorpus = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kept2 = graft.llm.Dedup.incrementalDedupe(nullCorpus, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(kept2.toSeq == Seq(12L))
   }
 
   test("scd2Apply closes changed rows, opens versions, passes no-ops through") {
