@@ -131,34 +131,46 @@ object Similarity {
   }
 
   def kmeansCells(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    val spark = emb.sparkSession
-    var centroids: Array[Array[Float]] = emb
+    require(iters >= 0, "kmeansCells: negative iteration count")
+    var cents: Array[Array[Float]] = emb
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    var assigned: DataFrame = null
-    for (_ <- 0 until iters) {
-      assigned = emb.withColumn("cell",
-        nearestCellCol(col("embedding"),
-          centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq))
-      centroids = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(exactMean(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .orderBy("cell")
-        .select(transform(col("dm"), x => x.getField("m").cast("float")).as("centroid"))
-        .collect().map(_.getSeq[Float](0).toArray)
+    require(cents.length >= 2,
+      s"kmeansCells: corpus has ${cents.length} vectors but k=$k cells " +
+        "requested — need at least 2 seed vectors")
+    def assign(cs: Array[Array[Float]]) = emb.withColumn("cell",
+      nearestCellCol(col("embedding"),
+        cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq))
+    // iters-1 update rounds then one final assignment: the original
+    // assign-then-update order recomputed (and discarded) centroids on the
+    // last round — one whole-corpus aggregation wasted per training call.
+    // iters = 0 degenerates to assign-only against the seed centroids.
+    for (_ <- 0 until math.max(0, iters - 1)) {
+      // keyed update through the ONE centroids() definition (probe-time
+      // math must match training bit-for-bit); an empty cell keeps its
+      // previous centroid (standard Lloyd, same as pqTrain) instead of
+      // silently shrinking and renumbering every later cell
+      val updated = cents.map(_.clone())
+      centroids(assign(cents), "cell")
+        .collect().foreach(r => updated(r.getInt(0)) = r.getSeq[Float](1).toArray)
+      cents = updated
     }
-    assigned.select(col("vec_id"), col("cell"), col("embedding"))
+    assign(cents).select(col("vec_id"), col("cell"), col("embedding"))
   }
 
   /** IVF probe: rank cells by centroid cosine to the query, scan the top
     * `nProbe` cells only, exact cosine within them. */
+  /** @param cents pre-trained centroid artifact ((cell, centroid) rows,
+    *   the [[centroids]] shape) — pass it when running N queries against
+    *   one corpus so the full-corpus centroid aggregation is paid once,
+    *   not N times (the same trained-artifact contract as [[pqSearch]]'s
+    *   `books` and [[sq8Search]]'s `bounds`). Default recomputes from
+    *   `emb` for self-contained one-shot calls. */
   def ivfTopK(emb: DataFrame, query: DataFrame, cellCol: String,
-              k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = centroids(emb, cellCol)
-    val probed = cents.crossJoin(broadcast(query))
+              k: Int, nProbe: Int = 2,
+              cents: Option[DataFrame] = None): DataFrame = {
+    val probed = cents.getOrElse(centroids(emb, cellCol)).crossJoin(broadcast(query))
       .withColumn("ccos", VectorFns.cosine(col("centroid"), col("qe")))
       // cell id tie-break: an exact ccos tie must not make the probe set
       // run-dependent (the golden oracle hashes the result)
@@ -198,6 +210,9 @@ object Similarity {
       .transform(graft.Checkpoints.pin)
     val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(init.length >= k,
+      s"pqTrain: corpus has ${init.length} vectors but k=$k codewords " +
+        "requested per subspace — clamp k to the corpus size (annScale does)")
     var books: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((s, c) => init(c).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
@@ -263,8 +278,18 @@ object Similarity {
     * candidate set broadcast is rerank ids — bounded by construction. */
   def pqSearch(emb: DataFrame, codes: DataFrame, queryVec: Array[Float],
                books: Array[Array[Array[Float]]], k: Int,
-               rerank: Int = 100): DataFrame = {
-    val shortlist = pqTopK(codes, queryVec, books, rerank).select("vec_id")
+               rerank: Int = 100): DataFrame =
+    exactRerank(emb, pqTopK(codes, queryVec, books, rerank).select("vec_id"),
+      queryVec, k)
+
+  /** The faiss exact-rescore tail shared by every compressed-domain search
+    * path ([[pqSearch]], [[sq8Search]], `VectorIndex.search`): read back
+    * ONLY the shortlist rows' float vectors (broadcast semi-side, bounded
+    * by `rerank`), exact cosine, top-k with the oracle-pinned round(9) and
+    * vec_id tie-break. ONE definition on purpose — the rounding precision
+    * and tie rule are pinned by three query families. */
+  def exactRerank(emb: DataFrame, shortlist: DataFrame,
+                  queryVec: Array[Float], k: Int): DataFrame = {
     val qe = array(queryVec.map(lit): _*)
     emb.join(broadcast(shortlist), "vec_id")
       .withColumn("cosine", round(VectorFns.cosine(col("embedding"), qe), 9))
@@ -330,12 +355,7 @@ object Similarity {
       .orderBy(desc("sq_score"), asc("vec_id"))
       .limit(rerank)
       .select("vec_id")
-    val qe = array(queryVec.map(lit): _*)
-    emb.join(broadcast(shortlist), "vec_id")
-      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), qe), 9))
-      .orderBy(desc("cosine"), asc("vec_id"))
-      .limit(k)
-      .select("vec_id", "cosine")
+    exactRerank(emb, shortlist, queryVec, k)
   }
 
   /** The SQ8 ADC (midpoint-decode) score as a Column — `Σ_d q_d · (mn_d +
@@ -488,6 +508,14 @@ object Similarity {
         .reduce(_ + _)
       when(dotP > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
-    emb.withColumn("bucket", bitCols.reduce((a, b) => a.bitwiseOR(b)))
+    // with ANSI off, element_at past the array end returns null, which
+    // nulls every dot product and silently sends ALL vectors to bucket 0 —
+    // degenerating LSH blocking into one O(N^2) bucket; fail loudly instead
+    val guarded = when(size(col("embedding")) < lit(dim),
+      raise_error(concat(
+        lit(s"lshBuckets: embedding has fewer than dim=$dim elements: "),
+        size(col("embedding")).cast("string"))))
+      .otherwise(bitCols.reduce((a, b) => a.bitwiseOR(b)))
+    emb.withColumn("bucket", guarded)
   }
 }

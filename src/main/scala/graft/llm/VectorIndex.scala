@@ -98,12 +98,7 @@ object VectorIndex {
       .orderBy(desc("sq_score"), asc("vec_id"))
       .limit(rerank)
       .select("vec_id")
-    val qe = array(queryVec.map(lit): _*)
-    probed.join(broadcast(shortlist), "vec_id")
-      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), qe), 9))
-      .orderBy(desc("cosine"), asc("vec_id"))
-      .limit(k)
-      .select("vec_id", "cosine")
+    Similarity.exactRerank(probed, shortlist, queryVec, k)
   }
 
   /** The ADC scan alone (shortlist stage) — exposed so the spec can

@@ -341,4 +341,59 @@ class SimilaritySpec extends SparkSpecBase {
       assert(assignedCells(id) == want, s"vec $id")
     }
   }
+
+  test("kmeansCells: an empty cell keeps its id (no silent shrink/renumber)") {
+    // two identical seed vectors: ties go to the HIGHEST cell id, so the
+    // lower duplicate cell starves to zero members in iteration 1 — the
+    // old inline update dropped it and renumbered every later cell
+    val dup = Array.fill(4)(1f)
+    val far = Array(-1f, 2f, -3f, 4f)
+    val emb = Seq((0L, dup), (1L, dup.clone()), (2L, far), (3L, far.clone()))
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCells(emb, k = 3, iters = 3)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all four vectors keep valid, non-renumbered assignments: the dup
+    // pair lands on cell 1 (tie -> highest of the duplicate seeds 0/1)
+    // and the far pair on cell 2 — cell 2 must NOT have shifted to 1
+    assert(cells(0L) == 1 && cells(1L) == 1)
+    assert(cells(2L) == 2 && cells(3L) == 2)
+  }
+
+  test("kmeansCells iters=0 is assign-only against the seed centroids (no NPE)") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCells(emb, k = 2, iters = 0)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells(0L) == 0 && cells(1L) == 1 && cells(2L) == 0)
+  }
+
+  test("pqTrain refuses k larger than the corpus instead of an opaque AIOOBE") {
+    val emb = Seq((0L, Array(1f, 2f)), (1L, Array(3f, 4f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, m = 1, k = 16)
+    }
+    assert(e.getMessage.contains("codewords"))
+  }
+
+  test("lshBuckets fails loudly on embeddings shorter than dim (no silent bucket-0 collapse)") {
+    val emb = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.lshBuckets(emb, nBits = 4, dim = 64).collect()
+    }
+    assert(e.getMessage.contains("fewer than dim"))
+  }
+
+  test("ivfTopK with a pre-trained centroid artifact equals the self-contained form") {
+    val emb = Tables.embeddings(spark, sf)
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
+    val cents = Similarity.centroids(emb, "label")
+    val viaArtifact = Similarity.ivfTopK(emb, query, "label", k = 10, nProbe = 3,
+      cents = Some(cents)).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val selfContained = Similarity.ivfTopK(emb, query, "label", k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaArtifact == selfContained)
+  }
 }
