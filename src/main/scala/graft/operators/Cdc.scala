@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Fail loudly on a NULL op (a corrupt event): with three-valued logic a
+    * null op would flunk `op =!= "D"` and silently ERASE its key's entire
+    * state as if it were deleted — while also masking the key's earlier
+    * valid events. The raise_error convention matches the drift/stats
+    * guards elsewhere in the repo. */
+  private def guardedOp(opCol: String) =
+    when(col(opCol).isNull,
+      raise_error(lit("Cdc: NULL op in CDC feed — corrupt event")))
+      .otherwise(col(opCol))
+
   /** Current state of the table described by `log`: one row per key whose
     * latest event is not a delete, carrying that event's attribute values
     * and its `tsCol` (the row's last-modified stamp). */
@@ -41,7 +51,7 @@ object Cdc {
     // type clash; widening preserves order so the tie-break is unchanged.
     val payload = struct(
       col(tsCol) +: col(seqCol).cast("long").as(seqCol) +:
-        col(opCol) +: attrCols.map(col): _*)
+        guardedOp(opCol).as(opCol) +: attrCols.map(col): _*)
     log.groupBy(keyCols.map(col): _*)
       .agg(max(payload).as("__last"))
       .filter(col(s"__last.$opCol") =!= lit("D"))
@@ -64,11 +74,14 @@ object Cdc {
   def historyFrom(log: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
                   tsCol: String = "ts", seqCol: String = "seq",
                   opCol: String = "op"): DataFrame = {
+    // same misuse guard as applyLog: an empty keyCols would build an
+    // un-partitioned global window (single-task sort of the whole log)
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "keys and attrs required")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(seqCol).cast("long"))
     log.withColumn("__next_ts", lead(col(tsCol), 1).over(w))
-      .filter(col(opCol) =!= lit("D"))
+      .filter(guardedOp(opCol) =!= lit("D"))
       .select(keyCols.map(col) ++ attrCols.map(col) ++ Seq(
         col(tsCol).as("valid_from"),
         col("__next_ts").as("valid_to"),

@@ -68,8 +68,22 @@ object DataSkipping {
         "the index by partition")
     // the plain side still needs Path's SLASH normalization (file:/// vs
     // file:/) — Path(String) applies it without any percent-decoding
-    val fresh = spark.read.parquet(path).inputFiles
-      .filterNot(f => known(new org.apache.hadoop.fs.Path(f).toString))
+    val current = spark.read.parquet(path).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toString)
+    // fail loudly if indexed files VANISHED from the directory (compaction
+    // / vacuum): stale rows would double-count in the interim and crash a
+    // later prunedRead on the deleted file — this index is append-only by
+    // contract; rebuild with fileStats after any rewrite
+    val vanished = known -- current
+    require(vanished.isEmpty,
+      s"refreshStats: ${vanished.size} indexed file(s) no longer exist " +
+        s"(e.g. ${vanished.head}) — the directory was compacted/vacuumed; " +
+        "rebuild the index with fileStats instead of refreshing")
+    val fresh = current.filterNot(known)
+    require(known.size + fresh.length <= maxFiles,
+      s"refreshStats: refreshed index would list ${known.size + fresh.length} " +
+        s"files, above the $maxFiles driver-side bound — compact the table " +
+        "or shard the index by partition")
     if (fresh.isEmpty) prev
     else prev.unionByName(statsOf(spark.read.parquet(fresh.toIndexedSeq: _*), cols))
   }
@@ -82,9 +96,15 @@ object DataSkipping {
   def prunedRead(spark: SparkSession, path: String, stats: DataFrame,
                  column: String, lo: Any, hi: Any,
                  maxFiles: Int = MaxDriverFiles): DataFrame = {
+    // stats.file carries input_file_name()'s URL-ENCODED rendering, but
+    // spark.read.parquet does NOT percent-decode: a path with a space
+    // would be looked up as the literal 'my%20table' and fail (and a
+    // literal % could silently resolve to the WRONG file) — decode the
+    // known-encoded rendering before handing the list to the reader
     val files = stats
       .filter(col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi))
       .select("file").collect().map(_.getString(0)).distinct
+      .map(f => org.apache.spark.paths.SparkPath.fromUrlString(f).toPath.toString)
     require(files.length <= maxFiles,
       s"prunedRead: predicate matches ${files.length} files, above the " +
         s"$maxFiles driver-side bound — narrow the range or read " +

@@ -548,6 +548,50 @@ class SourcesSpec extends SparkSpecBase {
       eq refreshed)
   }
 
+  test("DataSkipping survives paths with a space (encoded stats rendering " +
+      "decoded before the read); refreshStats refuses a compacted directory") {
+    import graft.sources.DataSkipping
+    val path = tmp("skip dir with space")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .repartition(2).write.mode("overwrite").parquet(path)
+    val stats = DataSkipping.fileStats(spark, path, Seq("v")).localCheckpoint()
+    // input_file_name() renders the space as %20; prunedRead must decode
+    // it or spark.read.parquet throws PATH_NOT_FOUND on the literal %20
+    val pruned = DataSkipping.prunedRead(spark, path, stats, "v", 15.0, 25.0)
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // compaction: rewrite the directory into one file — a refresh against
+    // the stale index must fail loudly, not double-count / crash later
+    spark.read.parquet(path).repartition(1)
+      .write.mode("overwrite").parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.refreshStats(spark, path, stats, Seq("v"))
+    }
+    assert(e.getMessage.contains("no longer exist"))
+  }
+
+  test("Cdc: a NULL op fails loudly instead of silently erasing the key") {
+    import graft.operators.Cdc
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val log = Seq(
+      (1L, t0, 0, "I", "a", 10.0),
+      (1L, t1, 1, null.asInstanceOf[String], "a2", 11.0)  // corrupt event
+    ).toDF("k", "ts", "seq", "op", "status", "price")
+    val e = intercept[Exception] {
+      Cdc.applyLog(log, Seq("k"), Seq("status", "price")).collect()
+    }
+    assert(e.getMessage.contains("NULL op"))
+    val e2 = intercept[Exception] {
+      Cdc.historyFrom(log, Seq("k"), Seq("status", "price")).collect()
+    }
+    assert(e2.getMessage.contains("NULL op"))
+    // empty keyCols: immediate require, never an un-partitioned window
+    val e3 = intercept[IllegalArgumentException] {
+      Cdc.historyFrom(log, Seq.empty, Seq("status"))
+    }
+    assert(e3.getMessage.contains("keys"))
+  }
+
   test("stratifiedKFold: per-stratum fold sizes differ by at most one; " +
       "assignment deterministic under repartitioning") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
