@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the scan-side cost of the q123/q124 scoring passes.
   *
   * Null tokens are not expected (TextFns.tokens never produces them —
-  * the HashArrayInput contract); null elements are skipped defensively.
+  * the HashArrayInput contract); a null element fails loudly rather than
+  * silently biasing the score toward bucket 0's weight (the HOF reference
+  * form would yield a NULL score there, so any silent mapping diverges
+  * from the spec-pinned equivalence exactly on the corrupt input).
   */
 case class FeatureBucketsExpr(child: Expression, buckets: Int)
   extends UnaryExpression {
@@ -58,31 +61,38 @@ object ScoringExprs {
   def featureBuckets(toks: Column, buckets: Int): Column =
     ColumnBridge.column(FeatureBucketsExpr(ColumnBridge.expression(toks), buckets))
 
+  /** One digest instance per thread: getInstance per ROW would pay a JCA
+    * provider lookup + allocation on the hot scan path; the per-feature
+    * loop already reset()s before each use. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Runtime kernel (called from both eval and generated code). */
   def featureBuckets(arr: ArrayData, buckets: Int): GenericArrayData = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val n = arr.numElements()
     val nBi = if (n >= 2) n - 1 else 0
     val out = new Array[Long](n + nBi)
     var i = 0
     while (i < n) {
-      out(i) =
-        if (arr.isNullAt(i)) 0L
-        else bucketOf(md, arr.getUTF8String(i).getBytes, buckets)
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          "feature_buckets: null token element — corrupt upstream input " +
+            "(TextFns.tokens never produces null tokens)")
+      out(i) = bucketOf(md, arr.getUTF8String(i).getBytes, buckets)
       i += 1
     }
     i = 0
     while (i < nBi) {
-      if (arr.isNullAt(i) || arr.isNullAt(i + 1)) out(n + i) = 0L
-      else {
-        val a = arr.getUTF8String(i).getBytes
-        val b = arr.getUTF8String(i + 1).getBytes
-        val bytes = new Array[Byte](a.length + 1 + b.length)
-        System.arraycopy(a, 0, bytes, 0, a.length)
-        bytes(a.length) = ' '
-        System.arraycopy(b, 0, bytes, a.length + 1, b.length)
-        out(n + i) = bucketOf(md, bytes, buckets)
-      }
+      val a = arr.getUTF8String(i).getBytes
+      val b = arr.getUTF8String(i + 1).getBytes
+      val bytes = new Array[Byte](a.length + 1 + b.length)
+      System.arraycopy(a, 0, bytes, 0, a.length)
+      bytes(a.length) = ' '
+      System.arraycopy(b, 0, bytes, a.length + 1, b.length)
+      out(n + i) = bucketOf(md, bytes, buckets)
       i += 1
     }
     new GenericArrayData(out)

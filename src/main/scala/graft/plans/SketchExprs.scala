@@ -66,6 +66,12 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   * input — same as FeatureBucketsExpr's bucket count). */
 case class HistQuantileExpr(child: Expression, q: Double, lo: Double, width: Double)
   extends UnaryExpression {
+  // the params are string-interpolated into generated Java source: a
+  // NaN/Infinity would emit illegal Java, fail Janino compilation, and
+  // drop the whole stage to interpreted execution — reject at construction
+  require(java.lang.Double.isFinite(q) && java.lang.Double.isFinite(lo) &&
+      java.lang.Double.isFinite(width),
+    s"hist_quantile_lb: q/lo/width must be finite, got ($q, $lo, $width)")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

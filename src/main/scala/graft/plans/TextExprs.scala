@@ -35,6 +35,11 @@ private[plans] trait HashArrayInput { self: UnaryExpression =>
 case class MinHashSignatureExpr(child: Expression, k: Int)
   extends UnaryExpression with HashArrayInput {
 
+  // exposed as the SQL function minhash_signature: a non-positive k would
+  // otherwise surface as a per-row NegativeArraySizeException (k < 0) or a
+  // silently-valid empty signature (k = 0) that LSH banding accepts
+  require(k >= 1, s"minhash_signature: k must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -174,6 +179,11 @@ case class SimHash64Expr(child: Expression)
   * order: first occurrence, matching array_distinct over the grams. */
 case class NgramHashesExpr(child: Expression, n: Int)
   extends UnaryExpression with HashArrayInput {
+
+  // n <= 0 would make every window fold to the bare FNV offset basis — a
+  // single constant shingle shared by EVERY document, silently marking the
+  // whole corpus as near-duplicate
+  require(n >= 1, s"ngram_hashes: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"

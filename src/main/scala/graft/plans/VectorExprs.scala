@@ -113,6 +113,14 @@ object PqKernel {
   /** argmax_c (subvec·book[sub][c] − halves[sub·k+c]); ties → highest c. */
   def nearest(subvec: ArrayData, sub: Int, flat: Array[Float],
               halves: Array[Double], k: Int, subDim: Int): Int = {
+    // a ragged corpus must fail loudly: UnsafeArrayData.getFloat past the
+    // element region reads GARBAGE without throwing, so a short subvec
+    // would silently produce wrong codes (the declarative FloatArrayDot
+    // form this kernel replaced surfaced the mismatch as NULL)
+    if (subvec.numElements() != subDim)
+      throw new IllegalArgumentException(
+        s"pq_nearest_codeword: subvector has ${subvec.numElements()} " +
+          s"elements, codebook expects $subDim — ragged embedding corpus")
     var best = -1
     var bestScore = 0.0
     var c = 0
@@ -135,6 +143,11 @@ object PqKernel {
     * (the embedding's s-th contiguous subDim slice). */
   def encode(emb: ArrayData, flat: Array[Float], halves: Array[Double],
              m: Int, k: Int, subDim: Int): GenericArrayData = {
+    // same ragged-corpus guard as nearest(): silent garbage codes otherwise
+    if (emb.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode_codes: embedding has ${emb.numElements()} elements, " +
+          s"codebooks expect ${m * subDim} — ragged embedding corpus")
     val out = new Array[Int](m)
     var s = 0
     while (s < m) {
