@@ -1963,6 +1963,73 @@ object SourceQueries {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(outDir)
+    },
+
+    // ---- q208: CONCURRENT-WRITER SAFETY (r11 verdict item 1) — two
+    // transactional writers race one TxLog table and the final state must
+    // equal the SERIALIZED application. The interleave is adversarial by
+    // construction: writer B stages its read-modify-write (×2 on 2-HIGH/
+    // 3-MEDIUM) from the PRE-A snapshot, then writer A commits (+5 on
+    // 1-URGENT/2-HIGH), then B's stale commit is attempted — the
+    // conflict check MUST refuse it (a blind land would publish 2-HIGH =
+    // base*2, missing A's +5, and fail the hash), B discards and re-runs
+    // through the retry loop, re-deriving (base+5)*2 from A's snapshot.
+    // The oracle computes the serialized A-then-B table directly, so a
+    // lost writer, a double-applied transform, or a conflict check that
+    // either misses the overlap or never lets the retry through all fail
+    // value compare.
+    QueryDef.sql("q208_tx_concurrent_writers",
+      s"""WITH fin AS (SELECT o_orderpriority, o_orderkey,
+         |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 5.0
+         |       WHEN o_orderpriority = '2-HIGH' THEN (o_totalprice + 5.0) * 2.0
+         |       WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice * 2.0
+         |       ELSE o_totalprice END AS price
+         |  FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS orders,
+         |  COUNT(DISTINCT o_orderkey) AS distinct_orders,
+         |  ${dsumSql("price")} AS revenue,
+         |  CAST(3 AS BIGINT) AS final_version
+         |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q208_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val pc = "o_orderpriority"
+      val base = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      TxLog.overwritePartitionsTx(base, root, pc) // v1: initial load
+      def wA(cur: org.apache.spark.sql.DataFrame) = cur
+        .filter(col(pc).isin("1-URGENT", "2-HIGH"))
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      def wB(cur: org.apache.spark.sql.DataFrame) = cur
+        .filter(col(pc).isin("2-HIGH", "3-MEDIUM"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+      // writer B derives + stages from the pre-A snapshot (soon stale)
+      val snapB = TxLog.snapshot(s, root)
+      val stagedB = TxLog.stage(
+        wB(TxLog.readSnapshot(s, root, snapB, pc)), root, pc)
+      // writer A lands first → v2
+      val vA = TxLog.readModifyWrite(s, root, pc)(wA)
+      require(vA == 2L, s"q208: writer A committed v$vA, expected v2")
+      // B's stale commit must be REFUSED — 2-HIGH changed under it
+      val conflicted =
+        try { TxLog.commit(s, root, stagedB, "overwrite",
+          readVersion = snapB.version, conflictCheck = true); false }
+        catch { case _: TxLog.ConcurrentWriteException => true }
+      require(conflicted,
+        "q208: stale overlapping commit was accepted — conflict check broken")
+      TxLog.discard(s, root, stagedB)
+      // B retries: re-derives from A's committed snapshot → v3
+      val vB = TxLog.readModifyWrite(s, root, pc)(wB)
+      require(vB == 3L, s"q208: writer B retried to v$vB, expected v3")
+      TxLog.read(s, root, pc)
+        .groupBy(pc)
+        .agg(count(lit(1)).as("orders"),
+          countDistinct(col("o_orderkey")).as("distinct_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("final_version",
+          lit(TxLog.snapshot(s, root).version))
     }
   )
 }

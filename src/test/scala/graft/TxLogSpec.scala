@@ -1,0 +1,139 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.functions._
+
+/** Writer-vs-writer safety for the TxLog optimistic-concurrency layer:
+  * the q208 driver gate pins one deterministic interleave; these specs
+  * cover the protocol itself — a REAL thread race on the version claim,
+  * serializability of concurrent read-modify-writes, idempotent batch
+  * replay (including a concurrent duplicate submission), and vacuum. */
+class TxLogSpec extends SparkSpecBase {
+
+  private def freshRoot(tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-txlog/$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
+  private def kv(pairs: (String, Long)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("part", "n")
+  }
+
+  test("overwrite replaces only staged partitions; reads see the fold") {
+    val root = freshRoot("fold")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    TxLog.overwritePartitionsTx(kv("b" -> 20, "c" -> 30), root, "part")
+    val got = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a" -> 1L, "b" -> 20L, "c" -> 30L))
+    assert(TxLog.snapshot(spark, root).version === 2L)
+  }
+
+  test("append extends a partition's files; snapshot read keeps all rows") {
+    val root = freshRoot("append")
+    TxLog.overwritePartitionsTx(kv("a" -> 1), root, "part")
+    TxLog.appendBatchTx(kv("a" -> 2), root, "part", "b1")
+    val rows = TxLog.read(spark, root, "part")
+      .groupBy("part").agg(sum("n").as("s"), count(lit(1)).as("c"))
+      .collect().head
+    assert(rows.getAs[Long]("s") === 3L && rows.getAs[Long]("c") === 2L)
+  }
+
+  test("batch replay is a no-op returning the original version") {
+    val root = freshRoot("replay")
+    val v1 = TxLog.appendBatchTx(kv("a" -> 5), root, "part", "batch-7")
+    val v2 = TxLog.appendBatchTx(kv("a" -> 999), root, "part", "batch-7")
+    assert(v1 === v2)
+    assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0) === 5L)
+    // the replay's staged files were discarded, so vacuum finds nothing
+    assert(TxLog.vacuum(spark, root) === 0)
+  }
+
+  test("stale overlapping commit is refused; disjoint one is not") {
+    val root = freshRoot("conflict")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    val snap = TxLog.snapshot(spark, root)
+    val stagedOverlap = TxLog.stage(kv("b" -> 99), root, "part")
+    val stagedDisjoint = TxLog.stage(kv("c" -> 3), root, "part")
+    // an intervening commit touches b
+    TxLog.overwritePartitionsTx(kv("b" -> 20), root, "part")
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.commit(spark, root, stagedOverlap, "overwrite",
+        readVersion = snap.version, conflictCheck = true)
+    }
+    TxLog.discard(spark, root, stagedOverlap)
+    // disjoint partitions commute — same readVersion commits fine
+    TxLog.commit(spark, root, stagedDisjoint, "overwrite",
+      readVersion = snap.version, conflictCheck = true)
+    val got = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 20L, "c" -> 3L))
+  }
+
+  test("thread race: concurrent read-modify-writes serialize (no lost update)") {
+    val root = freshRoot("race")
+    TxLog.overwritePartitionsTx(kv("ctr" -> 0), root, "part")
+    val writers = 4
+    val incsPer = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (1 to writers).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (1 to incsPer).foreach { _ =>
+            TxLog.readModifyWrite(spark, root, "part", maxAttempts = 200) {
+              cur => cur.withColumn("n", col("n") + 1L)
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // every increment survived: the classic lost-update anomaly would
+    // leave n < writers*incsPer; the conflict check + retry forbids it
+    val n = TxLog.read(spark, root, "part").select("n").head.getLong(0)
+    assert(n === (writers * incsPer).toLong)
+    assert(TxLog.snapshot(spark, root).version === (writers * incsPer + 1).toLong)
+  }
+
+  test("thread race: concurrent duplicate batch submissions land once") {
+    val root = freshRoot("dupbatch")
+    TxLog.overwritePartitionsTx(kv("a" -> 0), root, "part")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val tasks = (1 to 3).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            TxLog.appendBatchTx(kv("a" -> 10), root, "part", "same-batch")
+        })
+      }
+      val versions = tasks.map(_.get()).toSet
+      assert(versions.size === 1, s"duplicate batch landed at $versions")
+    } finally pool.shutdown()
+    assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0) === 10L)
+  }
+
+  test("vacuum removes losers' staging, keeps every live file") {
+    val root = freshRoot("vacuum")
+    TxLog.overwritePartitionsTx(kv("a" -> 1), root, "part")
+    val orphan = TxLog.stage(kv("a" -> 99), root, "part") // never committed
+    assert(orphan.parts.nonEmpty)
+    // overwritten history (v1's file for a) + the orphan both go;
+    // v2's live file stays
+    TxLog.overwritePartitionsTx(kv("a" -> 2), root, "part")
+    assert(TxLog.vacuum(spark, root) === 2)
+    assert(TxLog.read(spark, root, "part").select("n").head.getLong(0) === 2L)
+    assert(TxLog.vacuum(spark, root) === 0)
+  }
+
+  test("null partition values are refused at stage time") {
+    val root = freshRoot("nullpart")
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (None, 2L)).toDF("part", "n")
+    intercept[IllegalArgumentException] {
+      TxLog.stage(df, root, "part")
+    }
+  }
+}
