@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.llm.Multimodal
+import graft.queries.SqlFragments.{toksSql, ws}
 import graft.operators.{Baskets, Cdc, Check, Checks, Cleaning, Diff, Ivm}
 import graft.operators.Aggregates._
 import graft.sources.{Competitor, Csv, Generator, Sampling, Warehouse}
@@ -2030,6 +2031,203 @@ object SourceQueries {
           dsum(col("o_totalprice")).as("revenue"))
         .withColumn("final_version",
           lit(TxLog.snapshot(s, root).version))
+    },
+
+    // ---- q209: STREAMING JDBC UPSERT SINK run to completion (r11
+    // verdict item 4 — first of the four spec-only streaming rows
+    // graduating to driver gates). The events feed streams into Derby
+    // through toJdbcUpsertSink with at-least-once adversities in BOTH
+    // positions: batch 1 carries in-batch duplicate keys (id%7==3
+    // doubled) and every later batch re-delivers a slice of its
+    // predecessor (id%16<4). ON-CONFLICT-DO-NOTHING key dedup must land
+    // each event exactly once: a leaked duplicate fails n_events, a
+    // dropped event fails rows, a broken anti-join fails n_ids.
+    QueryDef.sql("q209_stream_jdbc_upsert",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q209").toString
+      val srcDir = s"$tmp/src"
+      new java.io.File(srcDir).mkdirs()
+      System.setProperty("derby.system.home", s"$tmp/derby")
+      val url = s"jdbc:derby:memory:q209_${System.nanoTime};create=true"
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      def slice(i: Int) = ev.filter(col("event_id") % 4 === i)
+      def emit(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val staged = s"$tmp/$name"
+        df.coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(srcDir, s"$name.parquet").toPath)
+      }
+      emit(slice(0).unionByName(slice(0).filter(col("event_id") % 7 === 3)), "b0")
+      for (i <- 1 to 3)
+        emit(slice(i).unionByName(
+          slice(i - 1).filter(col("event_id") % 16 < 4)), s"b$i")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.Events.toJdbcUpsertSink(stream, url, "landed",
+        keys = Seq("event_id"), checkpoint = s"$tmp/ckpt").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.Jdbc.read(s, url, "landed")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    },
+
+    // ---- q211: STREAM-STATIC ENRICHMENT run to completion — the
+    // dimension-join shape every landing pipeline has: an events file
+    // stream left-joins a BROADCAST static customer dim (re-resolved per
+    // micro-batch, no state store) and sinks enriched rows to parquet.
+    // Adversarial condition: the dim is incomplete (custkey%5==2 rows
+    // withheld, the q194 late-dimension fixture), so the no-match →
+    // 'none' path carries real rows; a dropped unmatched event fails
+    // rowcount, a wrong segment fails values.
+    QueryDef.sql("q211_stream_static_enrichment",
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  COALESCE(c.c_mktsegment, 'none') AS segment
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey AND c.c_custkey % 5 <> 2"""
+        .stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q211").toString
+      val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type")
+      ev.repartitionByRange(2, col("event_id")).write.parquet(srcDir)
+      val dim = Tables.customer(s, dir).filter(col("c_custkey") % 5 =!= 2)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val enriched = stream
+        .join(broadcast(dim), stream("user_id") === dim("c_custkey"), "left")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          coalesce(col("c_mktsegment"), lit("none")).as("segment"))
+      val q = enriched.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+    },
+
+    // ---- q212: FROZEN DUP-SPAN INGEST SCRUB run to completion — the
+    // dsirModels/dsirScore split applied to exact-substring dedup: the
+    // duplicated-8-gram model is mined ONCE on the resident corpus
+    // (doc_id < 250), frozen, and the arriving docs (doc_id >= 250)
+    // stream through removeSpansWith in foreachBatch — reference
+    // boilerplate is stripped from the ingest without re-mining. The
+    // oracle mines the same dup set from the corpus split in SQL and
+    // replays the rebuild over the batch split; a model leak (grams
+    // mined from the BATCH), an over- or under-scrub, or batch-boundary
+    // dependence all fail value compare. Adversarial condition: the
+    // ingest arrives as multiple micro-batches, so any cross-batch
+    // mining would change the dup set and fail.
+    QueryDef.sql("q212_stream_dupspan_scrub",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |occ AS (SELECT doc_id, pg.pos AS pos, pg.g AS g FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks)-7, 0)),
+         |     i -> {'pos': i, 'g': ${(0 until 8).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")}})) AS pg
+         |   FROM t)),
+         |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+         |                       FROM occ WHERE doc_id < 250 GROUP BY 1)
+         |        WHERE nd >= 2),
+         |cp AS (SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+         |       FROM occ JOIN dup USING (g) WHERE doc_id >= 250),
+         |tk AS (SELECT doc_id, pt.p AS p, pt.tok AS tok FROM
+         |  (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |     i -> {'p': i, 'tok': toks[i]})) AS pt FROM t WHERE doc_id >= 250)),
+         |kept AS (SELECT doc_id, COUNT(*) AS kc,
+         |           string_agg(tok, ' ' ORDER BY p) AS txt
+         |         FROM tk ANTI JOIN cp USING (doc_id, p) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(kept.kc, 0) AS BIGINT) AS kept_tokens,
+         |  CAST(len(toks) - COALESCE(kept.kc, 0) AS BIGINT) AS removed_tokens,
+         |  COALESCE(kept.txt, '') AS deduped_text
+         |FROM t LEFT JOIN kept USING (doc_id)
+         |WHERE t.doc_id >= 250 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q212").toString
+      val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"
+      val docs = Tables.documents(s, dir)
+      // pin the mined gram set once: foreachBatch re-executes referenced
+      // plans per micro-batch, and re-mining the corpus model three
+      // times is exactly what the frozen-model split exists to avoid
+      val model0 = graft.llm.TextStats.dupSpanModel(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", n = 8, minDocs = 2)
+      val model = model0.copy(grams = graft.Checkpoints.pin(model0.grams))
+      docs.filter(col("doc_id") >= 250).select("doc_id", "text")
+        .repartitionByRange(3, col("doc_id")).write.parquet(srcDir)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.llm.TextStats.removeSpansWith(b.toDF(), model, "doc_id", "text")
+            .write.mode("append").parquet(outDir)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).orderBy("doc_id")
+    },
+
+    // ---- q213: GOPHER RULES STREAMING PARITY run to completion — the
+    // q132 rule filter gating an ingest stream via foreachBatch (the
+    // rules join per-doc aggregations, so append-mode streaming proper
+    // can't host them; foreachBatch is the deployment shape). The
+    // oracle is q132's full rule replay over the whole corpus: since
+    // every rule is per-doc, the streamed union across micro-batches
+    // must equal the one-shot batch verdicts exactly — any batch-
+    // boundary dependence or dropped micro-batch fails rows.
+    QueryDef.sql("q213_stream_gopher_parity",
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(length(regexp_replace(text, '$ws+', '', 'g')) AS DOUBLE) / len(toks) AS avg_token_len,
+         |        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         |      FROM t),
+         |db AS (SELECT doc_id,
+         |         CAST(len(list_distinct(list_transform(
+         |           generate_series(1, greatest(len(toks)-1, 0)),
+         |           i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS n_db
+         |       FROM t),
+         |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |cnt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         |top AS (SELECT doc_id, MAX(tf) AS top_tf FROM cnt GROUP BY 1),
+         |r AS (SELECT b.doc_id, n_tokens,
+         |        n_tokens >= 20 AND n_tokens <= 100000 AS r_length,
+         |        avg_token_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+         |        CAST(n_symbols AS DOUBLE) / n_tokens <= 0.1 AS r_symbol,
+         |        CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8 AS r_alpha,
+         |        n_stop >= 2 AS r_stopwords,
+         |        (CAST(top_tf AS DOUBLE) / n_tokens < 0.1 AND
+         |         CASE WHEN n_tokens > 1
+         |              THEN 1.0 - CAST(n_db AS DOUBLE) / (n_tokens - 1)
+         |              ELSE 0.0 END < 0.1) AS r_repetition
+         |      FROM b JOIN db ON b.doc_id = db.doc_id
+         |             JOIN top ON b.doc_id = top.doc_id)
+         |SELECT doc_id, n_tokens, r_length, r_word_len, r_symbol, r_alpha,
+         |  r_stopwords, r_repetition,
+         |  (r_length AND r_word_len AND r_symbol AND r_alpha AND r_stopwords
+         |   AND r_repetition) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q213").toString
+      val srcDir = s"$tmp/src"; val outDir = s"$tmp/out"
+      Tables.documents(s, dir).select("doc_id", "text")
+        .repartitionByRange(3, col("doc_id")).write.parquet(srcDir)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.llm.TextStats.gopherRules(b.toDF(), "doc_id", "text",
+              minTokens = 20)
+            .write.mode("append").parquet(outDir)
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir).orderBy("doc_id")
     }
   )
 }
