@@ -2079,6 +2079,50 @@ object SourceQueries {
             .as("total_value"))
     },
 
+    // ---- q210: AVRO ROUND-TRIP (the q131 ORC recipe, third interchange
+    // format): orders — with a decimal cast, a date cast, the native
+    // timestamp, and an injected nullable column — is written as standard
+    // Avro Object Container Files by the graft.sources.Avro
+    // mini-connector (this distribution ships no spark-avro DataSource;
+    // the writer emits real OCF with date/timestamp-micros/decimal
+    // logical types via one mapPartitions pass), read back through its
+    // distributed DataFileStream reader, and aggregated. The oracle
+    // computes the identical aggregate from the ORIGINAL parquet, so a
+    // green row proves the round trip is lossless across longs, strings,
+    // doubles, decimals, dates, timestamps, and nulls.
+    QueryDef.sql("q210_avro_roundtrip",
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+         |  CAST(o_orderdate AS DATE) AS order_day, o_orderdate,
+         |  CASE WHEN o_orderkey % 50 = 7 THEN NULL ELSE o_orderstatus END AS status_n
+         |FROM orders)
+         |SELECT o_orderpriority, COUNT(*) AS cnt,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(SUM(price_dec) AS DOUBLE) AS total,
+         |  MIN(order_day) AS min_day, MAX(order_day) AS max_day,
+         |  MIN(o_orderdate) AS min_ts, MAX(o_orderdate) AS max_ts,
+         |  CAST(SUM(CASE WHEN status_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS null_status
+         |FROM o GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.Avro
+      val path = scratch("q210_orders_avro")
+      Avro.write(Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+        col("o_orderdate").cast("date").as("order_day"), col("o_orderdate"),
+        when(col("o_orderkey") % 50 === 7, lit(null))
+          .otherwise(col("o_orderstatus")).as("status_n")), path)
+      Avro.read(s, path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("price_dec")).cast("double").as("total"),
+          min(col("order_day")).as("min_day"), max(col("order_day")).as("max_day"),
+          min(col("o_orderdate")).as("min_ts"), max(col("o_orderdate")).as("max_ts"),
+          sum(when(col("status_n").isNull, 1).otherwise(0)).cast("long")
+            .as("null_status"))
+    },
+
     // ---- q211: STREAM-STATIC ENRICHMENT run to completion — the
     // dimension-join shape every landing pipeline has: an events file
     // stream left-joins a BROADCAST static customer dim (re-resolved per
