@@ -127,8 +127,9 @@ object Scoring {
     */
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, buckets: Int = 1024, iters: Int = 3,
-                    lrNum: Long = 1L, lrDen: Long = 1L): Array[Long] = {
-    require(buckets > 0 && iters >= 0 && lrNum > 0 && lrDen > 0)
+                    lrNum: Long = 1L, lrDen: Long = 1L,
+                    posWeight: Long = 1L, lrDecay: Boolean = false): Array[Long] = {
+    require(buckets > 0 && iters >= 0 && lrNum > 0 && lrDen > 0 && posWeight > 0)
     val S = TrainScale
     val design = graft.Checkpoints.pin(docs
       .select(when(label, 1L).otherwise(0L).as("__y"),
@@ -136,27 +137,60 @@ object Scoring {
       .select(col("__y"),
         graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets)
           .as("bks")))
-    val nDocs = design.count()
+    // one small agg: total docs + positives (the weighted-loss mass)
+    val cnts = design.agg(count(lit(1)).as("n"), sum(col("__y")).as("np")).head
+    val nDocs = cnts.getLong(0)
     require(nDocs > 0, "trainLogistic: empty corpus")
+    val nPos = cnts.getLong(1)
     val w = Array.fill(buckets)(0L)
-    val denom = lrDen * nDocs
-    for (_ <- 1 to iters) {
+    // class-weighted loss: positive residuals count posWeight× (integer,
+    // so the fixed-point replay stays exact); the step denominator is
+    // the WEIGHTED doc mass, keeping the effective learning rate stable
+    // as posWeight grows
+    val denom = lrDen * (nPos * posWeight + (nDocs - nPos))
+    for (k <- 1 to iters) {
       val wl = lit(w.clone())
       val grads = design
         .withColumn("__m", aggregate(col("bks"), lit(0L),
           (acc, b) => acc + element_at(wl, (b + 1).cast("int"))))
         .withColumn("__p",
           least(greatest(lit(S / 2) + expr("__m div 4"), lit(0L)), lit(S)))
-        .withColumn("__r", col("__p") - col("__y") * S)
+        .withColumn("__r", (col("__p") - col("__y") * S) *
+          when(col("__y") === 1L, lit(posWeight)).otherwise(lit(1L)))
         .select(explode(col("bks")).as("b"), col("__r"))
         .groupBy("b").agg(sum(col("__r")).as("g"))
         .collect()
+      // harmonic decay (eta_k = eta_1 / k): the standard Robbins-Monro
+      // schedule that damps the fixed-step oscillation batch GD shows on
+      // imbalanced splits; integer k keeps the fixed-point replay exact
+      val divisor = if (lrDecay) denom * k else denom
       grads.foreach { r =>
         val b = r.getLong(0).toInt
-        w(b) = w(b) - (lrNum * r.getLong(1)) / denom  // Long / truncates = div
+        w(b) = w(b) - (lrNum * r.getLong(1)) / divisor  // Long / truncates = div
       }
     }
     w
+  }
+
+  /** [[trainLogistic]] with the positive-class weight DERIVED from the
+    * split: posWeight = max(1, negatives div positives) — the standard
+    * "balanced" class weighting, kept integer so the fixed-point oracle
+    * replays it exactly. Closes the q206 finding: on a 5%-positive
+    * split, unweighted fixed-η GD collapses to the majority class
+    * (every round's gradient is negative-dominated); weighting the
+    * minority residuals by the class ratio restores a symmetric
+    * effective loss and the same rounds separate the split (q206b). */
+  def trainLogisticBalanced(docs: DataFrame, idCol: String, textCol: String,
+                            label: Column, buckets: Int = 1024,
+                            iters: Int = 3, lrNum: Long = 1L,
+                            lrDen: Long = 1L): Array[Long] = {
+    val c = docs.agg(count(lit(1)).as("n"),
+      sum(when(label, 1L).otherwise(0L)).as("np")).head
+    val nPos = c.getLong(1)
+    require(nPos > 0, "trainLogisticBalanced: no positive examples")
+    val pw = math.max(1L, (c.getLong(0) - nPos) / nPos)
+    trainLogistic(docs, idCol, textCol, label, buckets, iters,
+      lrNum, lrDen, posWeight = pw, lrDecay = true)
   }
 
   /** DSIR importance log-ratio: ln p̂_target(x) − ln p̂_raw(x) under

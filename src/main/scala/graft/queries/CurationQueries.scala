@@ -758,6 +758,58 @@ object CurationQueries {
         .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
     },
 
+    // ---- q206b: CLASS-WEIGHTED TRAINING under imbalance (r11 verdict
+    // item 7 — closing the q206 finding): on the content-derived
+    // 5%-positive split (docs carrying the rare 'dup' marker), plain
+    // fixed-η GD collapses to the majority class — every round's
+    // gradient is negative-dominated. trainLogisticBalanced weights
+    // minority residuals by the integer class ratio (pw = neg div pos,
+    // derived from the data, so the fix needs no per-SF tuning) under a
+    // harmonic lr decay (eta_k = eta_1/k — fixed-step weighted GD
+    // oscillates between the two collapses; the TrainSweep experiment
+    // is recorded in PLANS_r12.md), and 40 rounds separate the split at
+    // both shipped SFs. The oracle replays the weighted decayed unroll
+    // exactly (pw CTE + weighted residuals + weighted step mass + per-
+    // round divisor nd*k);
+    // the Spark side additionally REQUIRES genuine separation — both
+    // off-diagonal cells strictly better than the majority collapse
+    // (some true positives; false positives below the all-positive
+    // collapse) — so a silent regression to either collapse fails the
+    // gate even before the matrix hash does.
+    QueryDef.sql("q206b_classifier_eval_weighted",
+      s"""WITH ${trainCtes(40, "", "list_contains(t.toks, 'dup')", balanced = true)},
+         |${scoreCte(40)},
+         |ev AS (SELECT t.doc_id, list_contains(t.toks, 'dup') AS is_target,
+         |         COALESCE(sc.score, 0) > 0 AS predicted,
+         |         COALESCE(sc.score, 0) AS score
+         |       FROM t LEFT JOIN sc USING (doc_id))
+         |SELECT is_target, predicted, COUNT(*) AS n,
+         |  CAST(SUM(score) AS BIGINT) AS sum_score
+         |FROM ev GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labelCol = array_contains(
+        graft.functions.TextFns.tokens(col("text")), "dup")
+      val w = graft.llm.Scoring.trainLogisticBalanced(docs, "doc_id", "text",
+        labelCol, buckets = 1024, iters = 40)
+      val labels = docs.select(col("doc_id"), labelCol.as("is_target"))
+      val matrix = graft.llm.Scoring.scoreWithWeights(docs, "doc_id", "text", w)
+        .join(labels, Seq("doc_id"))
+        .select(col("is_target"),
+          col("is_quality").as("predicted"), col("score"))
+        .groupBy("is_target", "predicted")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"))
+      val cells = matrix.collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      val (tp, fn) = (cells((true, true)), cells((true, false)))
+      val (fp, tn) = (cells((false, true)), cells((false, false)))
+      require(tp > fn,
+        s"q206b: weighted model still majority-collapsed (tp=$tp fn=$fn)")
+      require(tn > fp,
+        s"q206b: weighted model collapsed to all-positive (fp=$fp tn=$tn)")
+      matrix
+    },
+
     // ---- q207: the q127 curation pipeline running the TRAINED
     // classifier — the capstone the q201/q206 chain builds toward: fit
     // the model distributed (3 fixed-point GD rounds over the raw
@@ -803,8 +855,15 @@ object CurationQueries {
     * every CTE name so the fragment composes with chains that already
     * use t/fe/bo (q207 pairs it with the dedup + pack chains). */
   private def trainCtes(iters: Int, x: String = "",
-                        labelSql: String = "t.doc_id < 250"): String = {
+                        labelSql: String = "t.doc_id < 250",
+                        balanced: Boolean = false): String = {
     val S = graft.llm.Scoring.TrainScale
+    // balanced mode mirrors Scoring.trainLogisticBalanced: an integer
+    // positive-class weight pw = max(1, negatives // positives), positive
+    // residuals scaled pw×, and the step denominator the WEIGHTED mass
+    val wRes = if (balanced)
+      s"(p.p - p.y * $S) * (CASE WHEN p.y = 1 THEN pw.pw ELSE CAST(1 AS BIGINT) END)"
+    else s"p.p - p.y * $S"
     val unrolled = (1 to iters).map { k =>
       s"""${x}m$k AS MATERIALIZED (SELECT bo.doc_id, CAST(SUM(w.w) AS BIGINT) AS m
          |  FROM ${x}bo bo JOIN ${x}w${k - 1} w USING (b) GROUP BY 1),
@@ -814,9 +873,9 @@ object CurationQueries {
          |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST($S AS BIGINT),
          |      ${S / 2} + COALESCE(m.m, 0) // 4)) AS p
          |  FROM ${x}t t LEFT JOIN ${x}m$k m USING (doc_id)),
-         |${x}g$k AS MATERIALIZED (SELECT bo.b, CAST(SUM(p.p - p.y * $S) AS BIGINT) AS g
-         |  FROM ${x}bo bo JOIN ${x}p$k p USING (doc_id) GROUP BY 1),
-         |${x}w$k AS MATERIALIZED (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // nd) AS w
+         |${x}g$k AS MATERIALIZED (SELECT bo.b, CAST(SUM($wRes) AS BIGINT) AS g
+         |  FROM ${x}bo bo JOIN ${x}p$k p USING (doc_id)${if (balanced) s" CROSS JOIN ${x}pw pw" else ""} GROUP BY 1),
+         |${x}w$k AS MATERIALIZED (SELECT w.b, w.w - (COALESCE(g.g, CAST(0 AS BIGINT)) // ${if (balanced) s"(nd * $k)" else "nd"}) AS w
          |  FROM ${x}w${k - 1} w LEFT JOIN ${x}g$k g USING (b) CROSS JOIN ${x}n)""".stripMargin
     }.mkString(",\n")
     s"""${x}t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -827,7 +886,14 @@ object CurationQueries {
        |${x}bo AS MATERIALIZED (SELECT doc_id,
        |         CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024 AS b
        |       FROM ${x}fe),
-       |${x}n AS (SELECT COUNT(*) AS nd FROM ${x}t),
+       |${if (balanced)
+           s"""${x}pw AS (SELECT GREATEST(CAST(1 AS BIGINT),
+              |    CAST(SUM(CASE WHEN NOT ($labelSql) THEN 1 ELSE 0 END) AS BIGINT)
+              |    // CAST(SUM(CASE WHEN $labelSql THEN 1 ELSE 0 END) AS BIGINT)) AS pw
+              |  FROM ${x}t t),
+              |${x}n AS (SELECT CAST(SUM(CASE WHEN $labelSql THEN pw.pw ELSE 1 END) AS BIGINT) AS nd
+              |  FROM ${x}t t CROSS JOIN ${x}pw pw),""".stripMargin
+         else s"${x}n AS (SELECT COUNT(*) AS nd FROM ${x}t),"}
        |${x}w0 AS MATERIALIZED (SELECT unnest(generate_series(0, 1023)) AS b,
        |              CAST(0 AS BIGINT) AS w),
        |$unrolled""".stripMargin

@@ -635,6 +635,29 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // ---- q143b: q143 with a FIXED-SIZE eval split (r11 verdict item
+    // 3): q143 derives the broadcast eval side as a corpus FRACTION
+    // (vec_id % 10 = 0), so the scale sweep grew the broadcast side 32x
+    // with the corpus — production eval suites are fixed-size. Here the
+    // eval split is the fixed 40-vector id slice [0, 40) at EVERY scale
+    // (ScaleData copies shift vec_ids by 1e8), so the sweep measures the
+    // honest shape: train-side scan grows, broadcast stays constant,
+    // wall ∝ corpus.
+    QueryDef.sql("q143b_semantic_contamination_fixed",
+      s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+         |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 40),
+         |sc AS (SELECT t.vec_id AS vec_id,
+         |         ${cosSql("t.embedding", "e.embedding")} AS c
+         |       FROM tr t CROSS JOIN ev e)
+         |SELECT vec_id, COUNT(*) AS n_eval_hits, MAX(c) AS max_eval_cos
+         |FROM sc WHERE c >= 0.4 GROUP BY 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") >= 40),
+          emb.filter(col("vec_id") < 40), threshold = 0.4)
+        .orderBy("vec_id")
+    },
+
     // ---- q144: PERSISTED vector index, searched THROUGH storage — the
     // IVF + SQ8 artifacts (cell-partitioned vectors+codes, centroids
     // table, bounds table) written to the warehouse, then the query

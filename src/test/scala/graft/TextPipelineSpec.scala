@@ -678,6 +678,28 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(repart.toSeq == got.toSeq)
   }
 
+  test("trainLogisticBalanced separates the imbalanced dup split that " +
+      "unweighted training majority-collapses on (the q206b closure)") {
+    val docs = Tables.documents(spark, sf)
+    val label = array_contains(
+      graft.functions.TextFns.tokens($"text"), "dup")
+    def matrix(w: Array[Long]): Map[(Boolean, Boolean), Long] =
+      graft.llm.Scoring.scoreWithWeights(docs, "doc_id", "text", w)
+        .join(docs.select($"doc_id", label.as("y")), Seq("doc_id"))
+        .groupBy($"y", $"is_quality").count().collect()
+        .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+    // unweighted fixed-eta: the majority collapse q206 surfaces
+    val plain = matrix(graft.llm.Scoring.trainLogistic(docs, "doc_id",
+      "text", label, buckets = 1024, iters = 3))
+    assert(plain((true, true)) === 0L)
+    // balanced + harmonic decay: genuine separation on the same rounds
+    val bal = matrix(graft.llm.Scoring.trainLogisticBalanced(docs, "doc_id",
+      "text", label, buckets = 1024, iters = 40))
+    assert(bal((true, true)) > bal((true, false)))   // recall > 50%
+    assert(bal((false, false)) > bal((false, true))) // specificity > 50%
+  }
+
   test("trainLogistic is exactly invariant under corpus duplication " +
       "(the batch-GD normalization check)") {
     // every per-bucket gradient doubles AND nDocs doubles, so the step
