@@ -119,7 +119,20 @@ object Bench {
     "q204_stream_attribution",  // stream-stream interval join to parquet
     "q205_image_pixel_transform", // real PNG decode->NN resize->re-encode
     "q206_classifier_eval",     // trained-model confusion matrix (train+serve)
-    "q207_trained_curation_pipeline" // pipeline gated by the TRAINED model
+    "q207_trained_curation_pipeline", // pipeline gated by the TRAINED model
+    // r12 rows
+    "q62b_dedup_clusters_durable", // q62 under reliable checkpoints (I/O priced in)
+    "q139b_incremental_near_ingest_fixed", // fixed-size batch vs frozen index
+    "q143b_semantic_contamination_fixed",  // fixed-size eval broadcast side
+    "q206b_classifier_eval_weighted", // 40-round class-weighted decayed GD
+    "q208_tx_concurrent_writers",  // TxLog two-writer conflict + retry
+    "q209_stream_jdbc_upsert",     // streaming JDBC key-dedup sink (Derby)
+    "q210_avro_roundtrip",         // Avro OCF mini-connector round trip
+    "q211_stream_static_enrichment", // broadcast-dim stream enrichment
+    "q212_stream_dupspan_scrub",   // frozen dup-span model over a 3-batch ingest
+    "q213_stream_gopher_parity",   // per-doc rule filter streamed == batch
+    "q214_nfc_encoding_dedup",     // NFC-normalized cross-encoding near-dups
+    "q215_stream_cdc_maintenance"  // CDC state maintenance via foreachBatch
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;

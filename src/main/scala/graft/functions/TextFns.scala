@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
   * expressions — no UDFs — so the hot path stays inside whole-stage codegen.
   */
 object TextFns {
-  /** Whitespace-collapsed, lower-cased normalization. */
-  def normalize(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Unicode NFC normalization — canonical composition ahead of every
+    * hash/fingerprint below, so composed and decomposed spellings of the
+    * same text can never split a near-dup cluster (zero-copy on ASCII;
+    * [[graft.plans.NfcNormalizeExpr]]). The DuckDB oracle mirror is
+    * `nfc_normalize`, kept in lockstep by SqlFragments. */
+  def nfc(text: Column): Column = graft.plans.TextExprs.nfcNormalize(text)
 
-  /** Whitespace tokens of the lower-cased text. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace-collapsed, lower-cased, NFC-normalized normalization. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(nfc(text))), "\\s+", " ")
+
+  /** Whitespace tokens of the lower-cased NFC-normalized text. */
+  def tokens(text: Column): Column = split(lower(trim(nfc(text))), "\\s+")
 
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED token-array
     * column (an attribute, not an inline expression).

@@ -136,9 +136,14 @@ object Similarity {
       .orderBy("vec_id").limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
+    // k = 1 is trivially valid (every vector in cell 0 — no distance
+    // comparison needed); distinguish it from the genuinely broken
+    // small-CORPUS case so the error names the real problem (r11 advice)
+    if (k == 1) return emb.withColumn("cell", lit(0))
     require(cents.length >= 2,
-      s"kmeansCells: corpus has ${cents.length} vectors but k=$k cells " +
-        "requested — need at least 2 seed vectors")
+      s"kmeansCells: k=$k cells requested but the corpus seeded only " +
+        s"${cents.length} vector(s) — a multi-cell quantizer needs at " +
+        "least 2 seed vectors")
     def assign(cs: Array[Array[Float]]) = emb.withColumn("cell",
       nearestCellCol(col("embedding"),
         cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq))

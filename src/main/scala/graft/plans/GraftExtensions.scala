@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(1), "rolling_fingerprints", 1),
         intArg(args(2), "rolling_fingerprints", 2)))))
 
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "_FUNC_(text) - Unicode NFC canonical composition (DuckDB parity)"),
+      arity("nfc_normalize", 1)(args => NfcNormalizeExpr(args(0)))))
+
     ext.injectFunction((FunctionIdentifier("pair_array"),
       info("pair_array", "_FUNC_(arr) - canonical (a<b) pairs of distinct array<bigint> elements"),
       arity("pair_array", 1)(args => PairArray(args(0)))))

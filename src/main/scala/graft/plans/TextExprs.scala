@@ -312,7 +312,61 @@ object RollingFingerprintsExpr {
   }
 }
 
+/** Static NFC kernel, called from generated code (Scala objects without
+  * companion classes get Java static forwarders, so
+  * `graft.plans.NfcNormalize.nfc(...)` is referenceable from codegen). */
+object NfcNormalize {
+  /** NFC-normalize a UTF8String. ASCII and already-normalized inputs
+    * return the INPUT OBJECT unchanged (zero-copy) — NFC is the identity
+    * on ASCII, so on an all-ASCII corpus the pass costs one byte scan
+    * per row and allocates nothing; only genuinely decomposed text pays
+    * the String round trip. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization (canonical composition) — the encoding
+  * realism pass ahead of the fingerprint/dedup family: composed (é) and
+  * decomposed (e + U+0301) spellings of the same text hash identically
+  * after it, so near-dups don't split across encodings (r11 verdict item
+  * 5). Mirrors DuckDB's `nfc_normalize` exactly (both implement Unicode
+  * NFC; the q214 gate pins the cross-engine agreement on a planted
+  * non-ASCII fixture). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.NfcNormalize.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 object TextExprs {
+  /** Unicode NFC normalization of a string column (codegen'd; zero-copy
+    * on ASCII). */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
   /** k-minima MinHash signature of a 64-bit hash array column. */
   def minhashSignature(hashArr: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashArr), k))

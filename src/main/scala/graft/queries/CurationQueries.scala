@@ -133,6 +133,57 @@ object CurationQueries {
         pairs, "vec_a", "vec_b")
     },
 
+    // ---- q62b: q62 under DURABLE checkpoints (r11 verdict item 6) —
+    // the 1000-executor recovery posture exercised by the driver
+    // contract, not just CheckpointModeSpec: `graft.checkpointDir`
+    // switches every iterative pin from localCheckpoint (executor-local
+    // blocks, recompute-on-loss) to reliable checkpoint (storage-backed,
+    // survive-executor-loss), results bit-equal by contract. The gate
+    // runs the SAME clustering under a durable dir, REQUIRES checkpoint
+    // part-files physically on disk after the iterative job (proof the
+    // durable path actually engaged — a silent fallback to local mode
+    // leaves the dir empty and fails loudly), and shares q62's oracle,
+    // so bit-equality of the two modes is driver-checked transitively.
+    QueryDef.sql("q62b_dedup_clusters_durable",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${VectorQueries.cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (
+         |  SELECT va AS s, vb AS d FROM pairs
+         |  UNION SELECT vb, va FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id)
+         |SELECT lbl AS cluster_rep, COUNT(*) AS cluster_size,
+         |  MAX(id) AS max_member
+         |FROM comp GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin) { (s, dir) =>
+      val ckptRoot = s"${System.getProperty("java.io.tmpdir")}/graft-io/q62b_ckpt"
+      new java.io.File(ckptRoot).mkdirs()
+      s.conf.set(graft.Checkpoints.DirKey, ckptRoot)
+      try {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.nearDuplicatePairs(emb, "label", 0.4)
+        val out = Clusters.duplicateClusters(emb.select("vec_id"), "vec_id",
+          pairs, "vec_a", "vec_b")
+        // materialize under durable mode so the pins run NOW, then prove
+        // the reliable checkpoints hit storage: rdd-*/part-* files under
+        // the context's <root>/<uuid> subdir
+        val n = out.count()
+        require(n > 0, "q62b: no clusters")
+        def hasPart(f: java.io.File): Boolean =
+          if (f.isFile) f.getName.startsWith("part-")
+          else Option(f.listFiles()).exists(_.exists(hasPart))
+        require(hasPart(new java.io.File(ckptRoot)),
+          s"q62b: no reliable-checkpoint part files under $ckptRoot — " +
+            "durable mode did not engage")
+        out
+      } finally s.conf.unset(graft.Checkpoints.DirKey)
+    },
+
     // ---- q63: deterministic content-hash sample — the reproducible
     // "take 1/8 of the corpus" cut (hash of the CONTENT, not an RNG, so the
     // same document always lands on the same side across runs and engines).
@@ -222,7 +273,11 @@ object CurationQueries {
     // (rightmost-tie emission is value-identical — ties share the
     // value), the per-doc distinct a GROUP BY, and the capped pair
     // expansion the q94-chain replay. The corpus is ASCII, so ord() ==
-    // the byte the kernel hashes.
+    // the byte the kernel hashes — and the oracle now ASSERTS that
+    // (length == strlen guard with a self-explaining error(), r11
+    // advice), so a future non-ASCII fixture fails with the actual
+    // cause instead of a confusing hash mismatch. The engine side
+    // NFC-normalizes first (r12); identity here by the same guard.
     QueryDef.sql("q67_winnowing_pairs", {
       val P = 1099511628211L
       val pows = Iterator.iterate(1L)(_ * P).take(8)
@@ -230,9 +285,15 @@ object CurationQueries {
       val terms = (0 until 8).map(j =>
         s"CAST(ord(substr(nt, i+$j, 1)) AS HUGEINT) * CAST('${pows(7 - j)}' AS HUGEINT)")
         .mkString(" +\n         |      ")
-      s"""WITH n AS (SELECT doc_id,
-         |    regexp_replace(lower(trim(text)), '$ws+', ' ', 'g') AS nt
+      s"""WITH n0 AS (SELECT doc_id,
+         |    regexp_replace(lower(trim(nfc_normalize(text))), '$ws+', ' ', 'g') AS nt
          |  FROM documents),
+         |n AS (SELECT doc_id,
+         |    CASE WHEN length(nt) = strlen(nt) THEN nt
+         |         ELSE error('q67 oracle requires a pure-ASCII normalized corpus '
+         |                    || '(ord()==byte replay): doc ' || doc_id)
+         |    END AS nt
+         |  FROM n0),
          |g AS (SELECT doc_id, nt,
          |    unnest(generate_series(1, greatest(length(nt) - 7, 0))) AS i
          |  FROM n),
@@ -281,7 +342,7 @@ object CurationQueries {
     // per-document, so the restriction loses no generality.
     QueryDef.sql("q67a_winnowing_containment",
       s"""WITH n AS (SELECT doc_id,
-         |    regexp_replace(lower(trim(text)), '${ws}+', ' ', 'g') AS nt
+         |    regexp_replace(lower(trim(nfc_normalize(text))), '${ws}+', ' ', 'g') AS nt
          |  FROM documents WHERE doc_id < 50),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
          |    generate_series(1, greatest(length(nt) - 7, 0)),

@@ -2215,6 +2215,58 @@ object SourceQueries {
       s.read.parquet(outDir).orderBy("doc_id")
     },
 
+    // ---- q215: STREAMING CDC STATE MAINTENANCE run to completion (the
+    // last spec-only row graduating, with q209/q211-q213): the q155
+    // change feed arrives as three time-sliced micro-batches (file
+    // mtimes pin the order — applyToState(applyLog(a), b) ==
+    // applyLog(a ++ b) only when slices respect (ts, seq) order) and
+    // each batch folds into the running state via foreachBatch, state
+    // pinned per batch. The final state must equal the one-shot q155
+    // oracle: a dropped batch loses inserts, a reordered one resurrects
+    // deleted keys or applies stale updates — all fail value compare.
+    QueryDef.sql("q215_stream_cdc_maintenance",
+      s"""WITH log AS ($cdcLogSql
+        |), last AS (
+        |  SELECT k, ts, op, status, price,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM log)
+        |SELECT k AS o_orderkey, status, price, ts AS last_ts
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q215").toString
+      val srcDir = s"$tmp/src"
+      new java.io.File(srcDir).mkdirs()
+      val log = cdcLogOf(s, dir)
+      val Seq(c1, c2) = Seq("1997-01-01", "1999-01-01")
+        .map(d => lit(d).cast(log.schema("ts").dataType))
+      def emit(df: org.apache.spark.sql.DataFrame, name: String,
+               mtime: Long): Unit = {
+        val staged = s"$tmp/$name"
+        df.coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(mtime): Unit
+      }
+      val now = System.currentTimeMillis()
+      emit(log.filter(col("ts") < c1), "b0", now - 180000)
+      emit(log.filter(col("ts") >= c1 && col("ts") < c2), "b1", now - 120000)
+      emit(log.filter(col("ts") >= c2), "b2", now - 60000)
+      val keys = Seq("o_orderkey"); val attrs = Seq("status", "price")
+      var state = Cdc.applyLog(log.limit(0), keys, attrs)
+      val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          state = Cdc.applyToState(state, b.toDF(), keys, attrs)
+            .localCheckpoint()
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      state.withColumnRenamed("ts", "last_ts")
+    },
+
     // ---- q213: GOPHER RULES STREAMING PARITY run to completion — the
     // q132 rule filter gating an ingest stream via foreachBatch (the
     // rules join per-doc aggregations, so append-mode streaming proper

@@ -30,10 +30,12 @@ private[queries] object SqlFragments {
     sqlLit(p)
   }
 
-  /** Whitespace tokens of a lower-cased trimmed text EXPRESSION — must
-    * match `TextFns.tokens`. */
+  /** Whitespace tokens of a lower-cased trimmed NFC-normalized text
+    * EXPRESSION — must match `TextFns.tokens` (NFC is the identity on
+    * the ASCII fixtures, so pre-r12 oracle values are unchanged; the
+    * q214 non-ASCII gate pins the cross-engine NFC agreement). */
   def toksOfSql(textExpr: String): String =
-    s"""string_split_regex(lower(trim($textExpr)), '\\s+')"""
+    s"""string_split_regex(lower(trim(nfc_normalize($textExpr))), '\\s+')"""
 
   /** Whitespace tokens of the lower-cased trimmed text — must match
     * `TextFns.tokens`. */

@@ -96,6 +96,51 @@ object TextQueries {
         maxDocFreq = 4)
     },
 
+    // ---- q214: NFC ENCODING REALISM (r11 verdict item 5) — the text
+    // family's tokenization now NFC-normalizes first (TextFns.tokens /
+    // TextFns.normalize, identity on the ASCII fixtures), and this gate
+    // proves it on a planted NON-ASCII corpus: 30 docs get a COMPOSED
+    // accent suffix (é = U+00E9), their twins the DECOMPOSED spelling
+    // (e + combining U+0301) plus one extra token — byte-different,
+    // canonically equal near-dups. Without NFC the twin pairs share no
+    // accent shingle and the cross-encoding pairs vanish; the gate
+    // REQUIRES all 30 planted pairs and the oracle replays the whole
+    // pair mine through DuckDB's own nfc_normalize, pinning the
+    // cross-engine NFC agreement byte-for-byte.
+    QueryDef.sql("q214_nfc_encoding_dedup", {
+      val comp = " café naïve résumé"
+      val decomp = " café naïve résumé zz"
+      s"""WITH v AS (
+         |  SELECT doc_id, text || '$comp' AS text FROM documents WHERE doc_id < 30
+         |  UNION ALL
+         |  SELECT doc_id + 1000, text || '$decomp' FROM documents WHERE doc_id < 30),
+         |t AS (SELECT doc_id, ${SqlFragments.toksOfSql("text")} AS toks FROM v),
+         |sh AS (SELECT doc_id, unnest(${shinglesSql("toks")}) AS s FROM t),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE)/(sa.n + sb.n - i) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE)/(sa.n + sb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val comp = " café naïve résumé"
+      val decomp = " café naïve résumé zz"
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 30)
+      val corpus = base
+        .select(col("doc_id"), concat(col("text"), lit(comp)).as("text"))
+        .unionByName(base.select((col("doc_id") + 1000).as("doc_id"),
+          concat(col("text"), lit(decomp)).as("text")))
+      val pairs = graft.Checkpoints.pin(
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.8))
+      val planted = pairs
+        .filter(col("doc_b") === col("doc_a") + 1000).count()
+      require(planted == 30,
+        s"q214: only $planted/30 cross-encoding near-dup pairs found — " +
+          "NFC normalization is not reaching the shingle family")
+      pairs.orderBy("doc_a", "doc_b")
+    },
+
     // ---- q43: MinHash + banded LSH near-dup pairs (rows-only: hash family
     // is engine-specific; recall/precision vs q42 asserted in DedupSpec)
     QueryDef.golden("q43_dedup_minhash_lsh") { (s, dir) =>

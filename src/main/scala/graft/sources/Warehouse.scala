@@ -337,27 +337,24 @@ object Warehouse {
     val outCols = (keyCol +: attrCols) ++ Seq("valid_from", "valid_to", "is_current")
     val hist = current.filter(!col("is_current")).select(outCols.map(col): _*)
     val cur = current.filter(col("is_current"))
+    // per-key multiplicity of the update batch, validated EAGERLY on the
+    // batch itself (r11 advice): two updates for one key would fan the
+    // left join out and emit two OPEN current versions — and the former
+    // in-plan assert only saw rows surviving the join to current, so a
+    // duplicate whose key matched NO current row slipped through and was
+    // silently discarded. One count job over the small-by-contract batch
+    // covers every duplicate, matched or not.
+    require(updates.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"scd2Apply: multiple update rows share a $keyCol — fold " +
+        "the batch to one row per key first")
     val u = updates
       .select(col(keyCol) +: attrCols.map(c => col(c).as(s"__u_$c")): _*)
       .withColumn("__has_u", lit(true))
-      // per-key multiplicity of the update batch (one window over the
-      // small-by-contract batch): two updates for one key would fan the
-      // left join out and emit two OPEN current versions — corruption
-      // scd2Integrity would flag after the fact. Fail during the apply
-      // instead.
-      .withColumn("__u_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))))
     val j = cur.join(u, Seq(keyCol), "left")
-      // the assert rides inside __chg (used by every branch below) so
-      // column pruning cannot optimize the check away; assert_true
-      // yields NULL when it passes, so coalesce falls through to the
-      // real change flag
-      .withColumn("__chg", coalesce(
-        assert_true(coalesce(col("__u_n"), lit(1L)) <= 1,
-          lit(s"scd2Apply: multiple update rows share a $keyCol — fold " +
-            "the batch to one row per key first")).cast("boolean"),
+      .withColumn("__chg",
         coalesce(col("__has_u"), lit(false)) &&
-          attrCols.map(a => !(col(s"__u_$a") <=> col(a))).reduce(_ || _)))
+          attrCols.map(a => !(col(s"__u_$a") <=> col(a))).reduce(_ || _))
     val carried = j.filter(!col("__chg")).select(outCols.map(col): _*)
     val closed = j.filter(col("__chg"))
       .withColumn("valid_to", effective.cast("date"))

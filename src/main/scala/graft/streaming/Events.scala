@@ -150,6 +150,13 @@ object Events {
         }
         graft.sources.Warehouse.overwriteTable(merged, staging)
         graft.sources.Warehouse.overwriteTable(spark.table(staging), table)
+        // staging is only needed between its write and the completed
+        // target overwrite above; dropping it here (r11 advice) frees
+        // the 2x storage AND removes the stale-resurrection hazard — a
+        // later intentional DROP of the target followed by a stream
+        // restart would otherwise adopt the old staging copy as base
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        ()
       }
 
   /** Stream → JDBC warehouse sink: the reference's DAG→Postgres landing
