@@ -219,7 +219,24 @@ object Bench {
     "q205_image_pixel_transform" -> 0.35, "q206_classifier_eval" -> 1.11,
     // 10 training rounds (20 jobs) + the full pipeline chain — job-count
     // bound at fixture SF, not data volume
-    "q207_trained_curation_pipeline" -> 5.31)
+    "q207_trained_curation_pipeline" -> 5.31,
+    // r12 rows (min-of-2, clean window: canaries 0.47/0.19/0.18/0.17,
+    // 113-query r11-comparable subset dead flat 101.4 -> 100.1 s).
+    // q206b = 40 GD rounds (80+ jobs); q208 = three transactional
+    // write->commit cycles + the deliberate conflict; the q209-q215
+    // streaming gates are fixed micro-batch machinery like q202-q204.
+    "q62b_dedup_clusters_durable" -> 1.78,
+    "q139b_incremental_near_ingest_fixed" -> 0.84,
+    "q143b_semantic_contamination_fixed" -> 0.41,
+    "q206b_classifier_eval_weighted" -> 5.66,
+    "q208_tx_concurrent_writers" -> 2.26,
+    "q209_stream_jdbc_upsert" -> 2.63,
+    "q210_avro_roundtrip" -> 0.95,
+    "q211_stream_static_enrichment" -> 1.09,
+    "q212_stream_dupspan_scrub" -> 1.85,
+    "q213_stream_gopher_parity" -> 1.77,
+    "q214_nfc_encoding_dedup" -> 0.26,
+    "q215_stream_cdc_maintenance" -> 1.97)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
