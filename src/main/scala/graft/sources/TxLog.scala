@@ -38,9 +38,11 @@ import java.nio.charset.StandardCharsets
   * stale and only the conflict-retry path produces the serialized answer).
   *
   * Scale posture: commit files are O(touched partitions) metadata; the
-  * snapshot fold is driver-side over ≤ [[Warehouse.MaxDriverPartitions]]
-  * entries (the repo-wide bounded-driver-artifact contract — real systems
-  * add log checkpoints beyond that); data files never move or rewrite on
+  * snapshot fold is driver-side over the latest [[checkpoint]] plus the
+  * deltas after it, bounded by [[Warehouse.MaxDriverPartitions]] (the
+  * repo-wide bounded-driver-artifact contract — run checkpoint +
+  * [[expireLog]] periodically and the fold never grows with table age);
+  * data files never move or rewrite on
   * conflict, so a retry costs one metadata round, not a re-shuffle.
   * Readers are lock-free: they see the latest fully-published version
   * (a half-written commit is invisible — content is hard-linked/renamed
@@ -81,27 +83,54 @@ object TxLog {
   // ---- log I/O ----------------------------------------------------------
 
   private val VersionRe = """v(\d{20})\.txn""".r
+  private val ChkRe = """c(\d{20})\.chk""".r
 
-  private def listCommits(spark: SparkSession, root: String): Seq[Commit] = {
+  /** A log checkpoint: the FULL partition mapping + every batch id seen
+    * as of `version` — the Delta checkpoint mechanism that keeps the
+    * snapshot fold O(checkpoint + recent deltas) instead of O(all
+    * commits ever), and what makes [[expireLog]] safe (expired commits'
+    * batch ids survive in the checkpoint, so idempotent-replay checks
+    * never forget a landed batch). */
+  private final case class Chk(version: Long,
+                               parts: Map[String, Seq[String]],
+                               batchIds: Set[String])
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bs = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
+      new String(bs.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** The latest checkpoint (if any) plus every commit AFTER it, in
+    * version order. Commits at or before the checkpoint are redundant
+    * (and may have been deleted by [[expireLog]]). */
+  private def readLog(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) = {
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return Seq.empty
-    val files = fs.listStatus(dir).map(_.getPath.getName).collect {
-      case n @ VersionRe(v) => (v.toLong, n)
+    if (!fs.exists(dir)) return (None, Seq.empty)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val chk = names.collect { case n @ ChkRe(v) => (v.toLong, n) }
+      .sortBy(_._1).lastOption.map { case (v, name) =>
+        parseChk(v, readFile(fs, new Path(dir, name)))
+      }
+    val floor = chk.map(_.version).getOrElse(0L)
+    val files = names.collect {
+      case n @ VersionRe(v) if v.toLong > floor => (v.toLong, n)
     }.sortBy(_._1)
     require(files.length <= Warehouse.MaxDriverPartitions,
-      s"TxLog at $root has ${files.length} commits, above the driver-side " +
-        "metadata bound — checkpoint/compact the log")
-    files.map { case (v, name) =>
-      val in = fs.open(new Path(dir, name))
-      val body = try {
-        val bs = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bs, 65536, false)
-        new String(bs.toByteArray, StandardCharsets.UTF_8)
-      } finally in.close()
-      parseCommit(v, body)
-    }.toSeq
+      s"TxLog at $root has ${files.length} commits past the last " +
+        "checkpoint, above the driver-side metadata bound — run " +
+        "TxLog.checkpoint + expireLog")
+    (chk, files.map { case (v, name) =>
+      parseCommit(v, readFile(fs, new Path(dir, name)))
+    }.toSeq)
   }
+
+  private def listCommits(spark: SparkSession, root: String): Seq[Commit] =
+    readLog(spark, root)._2
 
   private def parseCommit(version: Long, body: String): Commit = {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
@@ -128,20 +157,45 @@ object TxLog {
     (header ++ rows).mkString("\n") + "\n"
   }
 
+  private def parseChk(version: Long, body: String): Chk = {
+    val lines = body.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-chk-v1"),
+      s"checkpoint c$version: unknown format header")
+    val parts = lines.filter(_.startsWith("p\t")).map(_.split("\t"))
+      .map { case Array(_, v, p) => (unesc(v), p) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    val batchIds = lines.filter(_.startsWith("b\t"))
+      .map(l => unesc(l.split("\t")(1))).toSet
+    Chk(version, parts, batchIds)
+  }
+
+  private def renderChk(parts: Map[String, Seq[String]],
+                        batchIds: Set[String]): String = {
+    val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
+      fs.sorted.map(f => s"p\t${esc(v)}\t$f")
+    }
+    ("graft-chk-v1" +: batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++:
+      rows).mkString("\n") + "\n"
+  }
+
   /** Publish `body` as version file `v<version>.txn` — atomically, and
     * only if no other writer already claimed that version. The content is
     * first written to a private temp file, then LINKED/RENAMED into the
     * version name, so a reader can never observe a half-written commit
     * and two racers can never both succeed. Returns false on a lost race. */
   private def tryPublish(spark: SparkSession, root: String, version: Long,
-                         body: String): Boolean = {
+                         body: String): Boolean =
+    tryPublishNamed(spark, root, f"v$version%020d.txn", body)
+
+  private def tryPublishNamed(spark: SparkSession, root: String,
+                              name: String, body: String): Boolean = {
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(dir, f"v$version%020d.txn")
+    val target = new Path(dir, name)
     val won =
       if (fs.getScheme == "file") {
         // POSIX link(2) is atomic create-no-overwrite WITH full content
@@ -166,11 +220,9 @@ object TxLog {
 
   // ---- snapshots --------------------------------------------------------
 
-  /** Fold the commit log into the current table state. Version 0 = empty
-    * table (no commits yet). */
-  def snapshot(spark: SparkSession, root: String): Snapshot = {
-    val commits = listCommits(spark, root)
-    val parts = commits.foldLeft(Map.empty[String, Seq[String]]) { (acc, c) =>
+  private def fold(chk: Option[Chk], commits: Seq[Commit]): Snapshot = {
+    val parts = commits.foldLeft(chk.map(_.parts).getOrElse(
+        Map.empty[String, Seq[String]])) { (acc, c) =>
       c.op match {
         case "overwrite" => acc ++ c.parts
         case "append" => c.parts.foldLeft(acc) { case (a, (v, fs)) =>
@@ -178,7 +230,15 @@ object TxLog {
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
-    Snapshot(commits.lastOption.map(_.version).getOrElse(0L), parts)
+    Snapshot(commits.lastOption.map(_.version)
+      .orElse(chk.map(_.version)).getOrElse(0L), parts)
+  }
+
+  /** Fold the commit log into the current table state. Version 0 = empty
+    * table (no commits yet). */
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val (chk, commits) = readLog(spark, root)
+    fold(chk, commits)
   }
 
   /** Read a snapshot as a DataFrame: per-partition unions of immutable
@@ -265,20 +325,38 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val commits = listCommits(spark, root)
+      val (chk, commits) = readLog(spark, root)
       batchId.foreach { id =>
+        // a batch landed before the last checkpoint survives in the
+        // checkpoint's batch-id set (its commit file may be expired);
+        // the checkpoint version stands in for the original commit's
+        if (chk.exists(_.batchIds.contains(id))) {
+          discard(spark, root, staged)
+          return chk.get.version
+        }
         commits.find(_.batchId.contains(id)).foreach { prior =>
           discard(spark, root, staged)
           return prior.version
         }
       }
-      if (conflictCheck)
+      if (conflictCheck) {
+        // commits at or before the last checkpoint are no longer
+        // individually enumerable — a reader whose snapshot predates it
+        // cannot prove its partitions were untouched, so conflict
+        // conservatively (the Delta truncated-log posture): the caller's
+        // retry loop re-reads a CURRENT snapshot and proceeds normally
+        chk.filter(_.version > readVersion).foreach { c =>
+          throw new ConcurrentWriteException(c.version,
+            staged.parts.keySet.toSeq.sorted)
+        }
         commits.filter(_.version > readVersion).foreach { c =>
           val overlap = c.parts.keySet intersect staged.parts.keySet
           if (overlap.nonEmpty)
             throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)
         }
-      val next = commits.lastOption.map(_.version).getOrElse(0L) + 1
+      }
+      val next = commits.lastOption.map(_.version)
+        .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts)))
         return next
@@ -337,6 +415,48 @@ object TxLog {
     }
     sys.error(s"TxLog.readModifyWrite: $maxAttempts consecutive conflicts " +
       s"at $root — pathological contention, back off at the caller")
+  }
+
+  /** Maintenance: fold the log into a CHECKPOINT at the current version
+    * — the Delta checkpoint move that keeps every subsequent snapshot
+    * fold O(checkpoint + recent deltas) instead of O(all commits ever).
+    * The checkpoint file carries the full partition mapping AND the
+    * union of every batch id seen (from any prior checkpoint plus the
+    * folded commits), so [[expireLog]] can delete the superseded delta
+    * files without the idempotent-replay ledger forgetting a landed
+    * batch. Atomic create-no-overwrite like commits: two concurrent
+    * checkpointers at the same version produce one file (identical
+    * content either way — both fold the same committed prefix). Safe
+    * under concurrent WRITERS: derived purely from committed state and
+    * never claims a version. Returns the checkpointed version (0 = log
+    * empty, nothing written). */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val (chk, commits) = readLog(spark, root)
+    val snap = fold(chk, commits)
+    if (snap.version == 0L) return 0L
+    val batchIds = chk.map(_.batchIds).getOrElse(Set.empty) ++
+      commits.flatMap(_.batchId)
+    tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
+      renderChk(snap.parts, batchIds))
+    snap.version
+  }
+
+  /** Maintenance: delete commit delta files superseded by the latest
+    * checkpoint (their content — mapping and batch ids — is folded into
+    * it). Run with the same discipline as [[vacuum]]: no reader should
+    * be mid-listing (an already-opened file is unaffected — files are
+    * immutable — but a list-then-read race can hit a deleted path; the
+    * Delta retention-window contract). Returns files deleted. */
+  def expireLog(spark: SparkSession, root: String): Int = {
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return 0
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val floor = names.collect { case ChkRe(v) => v.toLong }.sorted.lastOption
+      .getOrElse(return 0)
+    val dead = names.collect { case n @ VersionRe(v) if v.toLong <= floor => n }
+    dead.foreach(n => fs.delete(new Path(dir, n), false))
+    dead.length
   }
 
   /** Maintenance: delete data files no live snapshot references —
