@@ -241,6 +241,27 @@ object TxLog {
     fold(chk, commits)
   }
 
+  /** Time travel: the table state AS OF `version` — committed data is
+    * immutable and versions are a total order, so any retained version
+    * reproduces exactly (the Delta `VERSION AS OF` read). Requires the
+    * version to still be enumerable: at or after the latest checkpoint
+    * (earlier deltas may be expired — fail loudly, never silently serve
+    * a later state). Run [[vacuum]]/[[expireLog]] on a retention
+    * schedule that matches how far back readers travel. */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
+    val (chk, commits) = readLog(spark, root)
+    val floor = chk.map(_.version).getOrElse(0L)
+    require(version >= floor,
+      s"TxLog.snapshotAt: version $version predates the latest checkpoint " +
+        s"($floor) — its delta files may be expired; retain a longer log " +
+        "to time-travel that far")
+    val have = fold(chk, commits.filter(_.version <= version))
+    require(have.version == version,
+      s"TxLog.snapshotAt: version $version was never committed at $root " +
+        s"(log ends at ${have.version} for that prefix)")
+    have
+  }
+
   /** Read a snapshot as a DataFrame: per-partition unions of immutable
     * file scans, the partition column re-attached as a per-branch
     * constant — a filter on it constant-folds and prunes whole branches,

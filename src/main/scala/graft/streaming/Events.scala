@@ -190,6 +190,33 @@ object Events {
         graft.sources.Jdbc.write(fresh, url, table, SaveMode.Append)
       }
 
+  /** EXACTLY-ONCE stream → TxLog table landing: each micro-batch lands
+    * as one idempotent transactional batch append
+    * ([[graft.sources.TxLog.appendBatchTx]]) keyed on the epoch id —
+    * the foreachBatch at-least-once replay hits the commit ledger and
+    * becomes a no-op (staged files discarded), and the ledger survives
+    * log checkpoint/expiry, so the guarantee holds for the table's
+    * lifetime. Because TxLog commits are safe under CONCURRENT writers,
+    * batch jobs (compaction, backfill, another stream on other
+    * partitions) can write the same table while the stream runs — the
+    * writer-vs-writer story the JDBC sinks delegate to the database.
+    * Epoch ids are stable across restarts FROM THE SAME CHECKPOINT
+    * (Spark's foreachBatch contract); pair a fresh checkpoint with a
+    * fresh table or a new `ledgerPrefix`. Empty micro-batches are
+    * skipped (nothing to land — and an empty commit would be
+    * indistinguishable from the real batch landing empty on replay). */
+  def toTxLogSink(df: DataFrame, root: String, partCol: String,
+                  checkpoint: String,
+                  ledgerPrefix: String = "epoch"): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.TxLog.appendBatchTx(batch, root, partCol,
+            s"$ledgerPrefix-$epochId"): Unit
+      }
+
   /** EXACTLY-ONCE stream → JDBC landing via the staged-commit protocol —
     * the upgrade from [[toJdbcUpsertSink]]'s key-dedup idempotence (which
     * needs a natural key) to transactional exactly-once for ANY schema:

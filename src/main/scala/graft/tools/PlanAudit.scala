@@ -43,6 +43,10 @@ object PlanAudit {
     // small side). The shape test can't prove a `vec_id % 10 === 0`
     // filter is small, so allow-listed like the ANN query tables.
     "q143_semantic_contamination",
+    // its r12 fixed-size twin: the broadcast side is the FIXED 40-vector
+    // eval slice — the same can't-prove-a-filter-small allow-list reason,
+    // now with the size constant by construction
+    "q143b_semantic_contamination_fixed",
     // batched ANN: the broadcast side is the QUERY BATCH — bounded by the
     // caller's batch size (8 rows here; thousands at most in production
     // vs the corpus scan side). Same can't-prove-a-filter-small reason.

@@ -259,6 +259,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("toTxLogSink lands micro-batches exactly once through the commit " +
+      "ledger and coexists with a concurrent batch writer") {
+    import graft.sources.TxLog
+    implicit val sqlCtx = spark.sqlContext
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-txlog/stream_sink"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "event_type", "value")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-test/txsink_ckpt_${System.nanoTime}"
+    val q = Events.toTxLogSink(df, root, "event_type", ckpt).start()
+    try {
+      mem.addData((1L, "click", 1.0), (2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((3L, "click", 3.0))
+      q.processAllAvailable()
+      // at-least-once replay of epoch 0: the ledger makes it a no-op
+      val replay = Seq((99L, "click", 9999.0)).toDF("event_id", "event_type", "value")
+      val v = TxLog.appendBatchTx(replay, root, "event_type", "epoch-0")
+      assert(v === 1L) // the ORIGINAL epoch-0 commit's version
+      // a concurrent batch writer on another partition coexists
+      TxLog.overwritePartitionsTx(
+        Seq((50L, "purchase", 5.0)).toDF("event_id", "event_type", "value"),
+        root, "event_type")
+      val got = TxLog.read(spark, root, "event_type")
+        .collect().map(r => r.getAs[Long]("event_id")).toSet
+      assert(got === Set(1L, 2L, 3L, 50L)) // no poison row, nothing lost
+    } finally q.stop()
+  }
+
   test("toJdbcExactlyOnceSink: staged commit lands each batch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     System.setProperty("derby.system.home",

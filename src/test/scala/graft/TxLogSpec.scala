@@ -186,6 +186,25 @@ class TxLogSpec extends SparkSpecBase {
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("snapshotAt time-travels to any retained version; expired versions " +
+      "fail loudly") {
+    val root = freshRoot("travel")
+    TxLog.overwritePartitionsTx(kv("a" -> 1), root, "part")          // v1
+    TxLog.overwritePartitionsTx(kv("a" -> 2, "b" -> 5), root, "part") // v2
+    TxLog.appendBatchTx(kv("a" -> 10), root, "part", "b1")            // v3
+    def sumAt(v: Long) = TxLog.readSnapshot(spark, root,
+      TxLog.snapshotAt(spark, root, v), "part").agg(sum("n")).head.getLong(0)
+    assert(sumAt(1) === 1L)
+    assert(sumAt(2) === 7L)
+    assert(sumAt(3) === 17L)
+    intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, root, 4) }
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root)
+    // pre-checkpoint versions are no longer enumerable — loud, not wrong
+    intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, root, 1) }
+    assert(sumAt(3) === 17L) // the checkpointed version itself still serves
+  }
+
   test("null partition values are refused at stage time") {
     val root = freshRoot("nullpart")
     import spark.implicits._
