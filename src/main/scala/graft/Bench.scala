@@ -132,7 +132,8 @@ object Bench {
     "q212_stream_dupspan_scrub",   // frozen dup-span model over a 3-batch ingest
     "q213_stream_gopher_parity",   // per-doc rule filter streamed == batch
     "q214_nfc_encoding_dedup",     // NFC-normalized cross-encoding near-dups
-    "q215_stream_cdc_maintenance"  // CDC state maintenance via foreachBatch
+    "q215_stream_cdc_maintenance", // CDC state maintenance via foreachBatch
+    "q216_confusable_fold_dedup"   // NFKC + UTS#39 homoglyph fold key
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -236,7 +237,8 @@ object Bench {
     "q212_stream_dupspan_scrub" -> 1.85,
     "q213_stream_gopher_parity" -> 1.77,
     "q214_nfc_encoding_dedup" -> 0.26,
-    "q215_stream_cdc_maintenance" -> 1.97)
+    "q215_stream_cdc_maintenance" -> 1.97,
+    "q216_confusable_fold_dedup" -> 0.49)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

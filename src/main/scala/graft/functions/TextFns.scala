@@ -19,6 +19,20 @@ object TextFns {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(nfc(text))), "\\s+", " ")
 
+  /** AGGRESSIVE (lossy) dedup key: NFKC compatibility fold (fullwidth
+    * forms, ligatures) + UTS #39 confusable-skeleton fold (cross-script
+    * homoglyphs: Cyrillic а → Latin a), then the standard lower/trim/ws
+    * collapse. OPT-IN — never part of [[tokens]]/[[normalize]]: NFKC
+    * erases meaningful distinctions and the skeleton erases script
+    * identity, which is precisely what catching homoglyph-substituted
+    * spam/boilerplate duplicates requires (q216) and what a faithful
+    * default tokenization must not do. Equality of folds is the
+    * contract, not identity (ASCII l/I/1 share one skeleton class). */
+  def confusableFoldKey(text: Column): Column =
+    regexp_replace(lower(trim(
+      graft.plans.TextExprs.confusableSkeleton(
+        graft.plans.TextExprs.nfkcNormalize(text)))), "\\s+", " ")
+
   /** Whitespace tokens of the lower-cased NFC-normalized text. */
   def tokens(text: Column): Column = split(lower(trim(nfc(text))), "\\s+")
 

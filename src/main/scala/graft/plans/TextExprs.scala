@@ -361,11 +361,95 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernels for the AGGRESSIVE (lossy) fold — called from
+  * generated code. Kept separate from [[NfcNormalize]] because these are
+  * OPT-IN dedup keys, never part of the default tokenization: NFKC
+  * erases meaningful distinctions (① → 1, ² → 2) and the confusable
+  * skeleton erases script identity — exactly what cross-script
+  * spam/boilerplate dedup wants, and exactly what a faithful text
+  * pipeline must not do silently. */
+object AggressiveFold {
+  /** Unicode NFKC (compatibility composition): folds fullwidth forms,
+    * ligatures, compatibility variants. ASCII zero-copy fast path. */
+  def nfkc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC))
+  }
+
+  /** ICU confusable skeleton (UTS #39): maps visually-confusable
+    * characters across scripts to one canonical form (Cyrillic а → Latin
+    * a, ѕ → s, …), so a homoglyph-substituted near-dup folds onto its
+    * original. The checker is immutable and thread-safe; built once per
+    * JVM. ASCII is NOT a fixed point of the skeleton (l/I/1 share one
+    * class), so equality of folds — not identity — is the contract. */
+  private lazy val spoof = new com.ibm.icu.text.SpoofChecker.Builder().build()
+  def skeleton(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      spoof.getSkeleton(s.toString))
+}
+
+/** NFKC compatibility normalization (lossy; opt-in — see
+  * [[AggressiveFold]]). */
+case class NfkcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfkc_normalize requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfkc_normalize"
+  override def nullSafeEval(input: Any): Any =
+    AggressiveFold.nfkc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.AggressiveFold.nfkc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalizeExpr =
+    copy(child = newChild)
+}
+
+/** UTS #39 confusable-skeleton fold (lossy; opt-in — see
+  * [[AggressiveFold]]). Interpreted eval only: the ICU call dominates,
+  * so codegen uses the same static kernel. */
+case class ConfusableSkeletonExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"confusable_skeleton requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "confusable_skeleton"
+  override def nullSafeEval(input: Any): Any =
+    AggressiveFold.skeleton(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.AggressiveFold.skeleton($c)")
+  override protected def withNewChildInternal(newChild: Expression): ConfusableSkeletonExpr =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** Unicode NFC normalization of a string column (codegen'd; zero-copy
     * on ASCII). */
   def nfcNormalize(text: Column): Column =
     ColumnBridge.column(NfcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** Unicode NFKC compatibility normalization (lossy; opt-in). */
+  def nfkcNormalize(text: Column): Column =
+    ColumnBridge.column(NfkcNormalizeExpr(ColumnBridge.expression(text)))
+
+  /** UTS #39 confusable-skeleton fold (lossy; opt-in). */
+  def confusableSkeleton(text: Column): Column =
+    ColumnBridge.column(ConfusableSkeletonExpr(ColumnBridge.expression(text)))
 
   /** k-minima MinHash signature of a 64-bit hash array column. */
   def minhashSignature(hashArr: Column, k: Int): Column =

@@ -141,6 +141,47 @@ object TextQueries {
       pairs.orderBy("doc_a", "doc_b")
     },
 
+    // ---- q216: CONFUSABLE/NFKC FOLD DEDUP — the aggressive cross-script
+    // companion to q214's NFC gate: 30 docs get an ASCII marker suffix,
+    // their twins a HOMOGLYPH-ATTACK spelling of the same suffix
+    // (Cyrillic ѕ/е/с/о for s/e/c/o, the ﬁ ligature, fullwidth ａｌｐｈａ)
+    // — visually identical, byte- and codepoint-different, and invisible
+    // to NFC (these are compatibility/confusable variants, not canonical
+    // decompositions). TextFns.confusableFoldKey (NFKC + UTS #39
+    // skeleton, OPT-IN by design — both folds are lossy) must key each
+    // twin pair together. The oracle is the CONSTRUCTION ground truth —
+    // the planted (doc_a, doc_a+1000) list — which DuckDB states without
+    // needing NFKC/ICU: the Spark side emits exactly the twin pairs its
+    // fold recovers, so one missed fold drops a row and fails rows_match,
+    // and a fold so aggressive it merges DIFFERENT base docs breaks the
+    // group shape and drops rows too (exact-pair groups are required).
+    QueryDef.sql("q216_confusable_fold_dedup", {
+      s"""SELECT doc_id AS doc_a, doc_id + 1000 AS doc_b
+         |FROM documents WHERE doc_id < 30 ORDER BY doc_a""".stripMargin
+    }) { (s, dir) =>
+      val clean = " security notice final alpha"
+      val attack = " ѕесurity nоtiсе " +
+        "ﬁnal ａｌｐｈａ"
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 30)
+      val corpus = base
+        .select(col("doc_id"), concat(col("text"), lit(clean)).as("text"))
+        .unionByName(base.select((col("doc_id") + 1000).as("doc_id"),
+          concat(col("text"), lit(attack)).as("text")))
+      val pairs = corpus
+        .select(col("doc_id"),
+          graft.functions.TextFns.confusableFoldKey(col("text")).as("k"))
+        .groupBy("k")
+        .agg(min(col("doc_id")).as("doc_a"), max(col("doc_id")).as("doc_b"),
+          count(lit(1)).as("n"))
+        .filter(col("n") === 2 && col("doc_b") === col("doc_a") + 1000)
+        .select("doc_a", "doc_b")
+      val found = pairs.count()
+      require(found == 30,
+        s"q216: only $found/30 homoglyph twin pairs folded together — " +
+          "the NFKC+skeleton key is not recovering the attack variants")
+      pairs.orderBy("doc_a")
+    },
+
     // ---- q43: MinHash + banded LSH near-dup pairs (rows-only: hash family
     // is engine-specific; recall/precision vs q42 asserted in DedupSpec)
     QueryDef.golden("q43_dedup_minhash_lsh") { (s, dir) =>

@@ -678,6 +678,36 @@ class TextPipelineSpec extends SparkSpecBase {
     assert(repart.toSeq == got.toSeq)
   }
 
+  test("confusableFoldKey folds homoglyph/NFKC variants onto their ASCII " +
+      "original; plain NFC does not (the q216 division of labor)") {
+    val cases = Seq(
+      ("ѕесurity", "security"),   // Cyrillic ѕес → sec
+      ("nоtiсе", "notice"),       // Cyrillic о/с/е
+      ("ﬁnal", "final"),                    // ﬁ ligature (NFKC)
+      ("ａｌｐｈａ", "alpha") // fullwidth (NFKC)
+    )
+    val df = cases.toDF("variant", "original")
+    val folded = df.select(
+      graft.functions.TextFns.confusableFoldKey($"variant").as("fv"),
+      graft.functions.TextFns.confusableFoldKey($"original").as("fo"),
+      graft.functions.TextFns.normalize($"variant").as("nv"),
+      graft.functions.TextFns.normalize($"original").as("no")).collect()
+    folded.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"fold mismatch: ${r.getString(0)} vs ${r.getString(1)}")
+      // NFC alone must NOT merge them — these are compatibility/
+      // confusable variants, not canonical decompositions; that gap is
+      // exactly why the aggressive fold is a separate opt-in key
+      assert(r.getString(2) !== r.getString(3))
+    }
+    // lossiness documented: NFKC erases meaningful distinctions, so the
+    // fold is an opt-in KEY, never the stored text
+    val sup = Seq(("x²", "x2")).toDF("a", "b").select(
+      graft.functions.TextFns.confusableFoldKey($"a").as("fa"),
+      graft.functions.TextFns.confusableFoldKey($"b").as("fb")).head
+    assert(sup.getString(0) === sup.getString(1))
+  }
+
   test("trainLogisticBalanced separates the imbalanced dup split that " +
       "unweighted training majority-collapses on (the q206b closure)") {
     val docs = Tables.documents(spark, sf)
