@@ -231,7 +231,7 @@ object Bench {
     "q143b_semantic_contamination_fixed" -> 0.41,
     "q206b_classifier_eval_weighted" -> 5.66,
     "q208_tx_concurrent_writers" -> 2.26,
-    "q209_stream_jdbc_upsert" -> 2.63,
+    "q209_stream_jdbc_upsert" -> 3.92, // r12 staged-merge shape (see BASELINE r12 notes)
     "q210_avro_roundtrip" -> 0.95,
     "q211_stream_static_enrichment" -> 1.09,
     "q212_stream_dupspan_scrub" -> 1.85,

@@ -154,6 +154,57 @@ object Jdbc {
     } finally conn.close()
   }
 
+  /** Database-side ON-CONFLICT-DO-NOTHING merge of a staged table into
+    * `target`: one transaction runs `INSERT .. SELECT .. WHERE NOT
+    * EXISTS (key match)` and drops staging — the scalable upsert shape
+    * ([[graft.streaming.Events.toJdbcUpsertSink]]'s per-batch cost
+    * becomes "ship the batch + one set-op in the warehouse" instead of
+    * downloading the target's full key set per micro-batch, which is
+    * O(table) and was the dominant term in the 32× sweep). NULL key
+    * semantics match the anti-join path it replaces: a NULL-keyed row
+    * never matches and always inserts. First batch creates the target
+    * from staging's shape. Replays are no-ops (nothing NOT-EXISTS). */
+  def upsertStaged(url: String, target: String, staging: String,
+                   keys: Seq[String],
+                   props: Map[String, String] = Map.empty): Unit = {
+    require(keys.nonEmpty, "upsertStaged: at least one key column")
+    val conn = connect(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val idx =
+          s"""CREATE INDEX ${target.replace('.', '_')}_upsert_key
+             |ON $target (${keys.map(k => s""""$k"""").mkString(", ")})"""
+            .stripMargin
+        if (!tableExistsOn(conn, target)) {
+          // first batch: staging BECOMES the target (metadata-only
+          // rename — no second copy of the largest write a fresh
+          // pipeline does), then the key index lands. The index is what
+          // makes later batches' NOT EXISTS probe O(log n) per staged
+          // row — without it the database evaluates the subquery as a
+          // full target scan PER ROW (quadratic per batch; measured as
+          // a hang at 100k events).
+          st.executeUpdate(s"RENAME TABLE $staging TO $target")
+          st.executeUpdate(idx)
+        } else {
+          // Spark's JDBC writer CREATEs columns with quoted (case-exact)
+          // identifiers, so unquoted key refs would fold to uppercase
+          // and miss — quote them with the DataFrame's exact names
+          val keyMatch = keys.map(k => s"""t."$k" = s."$k"""").mkString(" AND ")
+          st.executeUpdate(
+            s"""INSERT INTO $target SELECT * FROM $staging s
+               |WHERE NOT EXISTS (SELECT 1 FROM $target t WHERE $keyMatch)"""
+              .stripMargin)
+          st.executeUpdate(s"DROP TABLE $staging")
+        }
+        conn.commit()
+      } catch {
+        case scala.util.control.NonFatal(e) => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Sink parity for the reference's `to_sql(if_exists=...)` writes
     * (customer_analytics_dag.py:145-151): mode Overwrite ≈ 'replace',
     * Append ≈ 'append'. Each task opens its own connection — cap

@@ -141,7 +141,7 @@ object TxLog {
       .getOrElse(sys.error(s"commit v$version: missing field $k"))
     val parts = lines.filter(_.startsWith("p\t")).map(_.split("\t"))
       .map { case Array(_, v, p) => (unesc(v), p) }
-      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).filter(_ != "-") }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts)
   }
@@ -152,7 +152,10 @@ object TxLog {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}")
     val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
-      fs.sorted.map(f => s"p\t${esc(v)}\t$f")
+      // a partition with NO files (a "remove" op's target) still needs a
+      // log row — the "-" sentinel keeps the value enumerable on parse
+      if (fs.isEmpty) Seq(s"p\t${esc(v)}\t-")
+      else fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (header ++ rows).mkString("\n") + "\n"
   }
@@ -227,6 +230,7 @@ object TxLog {
         case "overwrite" => acc ++ c.parts
         case "append" => c.parts.foldLeft(acc) { case (a, (v, fs)) =>
           a.updated(v, a.getOrElse(v, Seq.empty) ++ fs) }
+        case "remove" => acc -- c.parts.keySet
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -342,7 +346,8 @@ object TxLog {
   def commit(spark: SparkSession, root: String, staged: Staged, op: String,
              readVersion: Long, conflictCheck: Boolean = false,
              batchId: Option[String] = None, maxAttempts: Int = 50): Long = {
-    require(op == "overwrite" || op == "append", s"unknown op $op")
+    require(op == "overwrite" || op == "append" || op == "remove",
+      s"unknown op $op")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -410,6 +415,31 @@ object TxLog {
     val spark = df.sparkSession
     commit(spark, root, stage(df, root, partCol), "append",
       readVersion = 0L, batchId = Some(batchId))
+  }
+
+  /** Transactional partition removal — the metadata-only DROP PARTITION
+    * (no data file is touched; [[vacuum]] reclaims them later). The
+    * third commit op beside overwrite/append: retention on a tx table
+    * is one tiny commit, serialized with every concurrent writer by the
+    * same protocol (a conflict-checked writer whose snapshot predates
+    * the removal sees the conflict and re-derives — it can never
+    * resurrect a dropped partition by accident). Values absent from the
+    * table commit harmlessly (idempotent retention replay). */
+  def removePartitionsTx(spark: SparkSession, root: String,
+                         values: Seq[String]): Long = {
+    require(values.nonEmpty, "removePartitionsTx: no partition values")
+    commit(spark, root, Staged(values.map(_ -> Seq.empty[String]).toMap),
+      "remove", readVersion = 0L)
+  }
+
+  /** Transactional retention: drop every partition whose value fails
+    * `keep` — the [[Warehouse.dropPartitionsWhere]] shape on a tx table.
+    * Returns the partitions dropped (0 = nothing to do, no commit). */
+  def dropPartitionsWhereTx(spark: SparkSession, root: String,
+                            keep: String => Boolean): Int = {
+    val doomed = snapshot(spark, root).parts.keys.filterNot(keep).toSeq.sorted
+    if (doomed.nonEmpty) removePartitionsTx(spark, root, doomed): Unit
+    doomed.length
   }
 
   /** Serializable read-modify-write: derive replacement partitions FROM
@@ -484,17 +514,44 @@ object TxLog {
     * leftovers of losing/crashed writers and overwritten history. Run
     * only with no in-flight writers (a concurrently STAGED-not-yet-
     * committed dir looks unreferenced; production systems add a
-    * retention age — the same contract as Delta VACUUM). Returns the
+    * retention age — the same contract as Delta VACUUM). Vacuuming also
+    * bounds [[snapshotAt]] time travel: an older version's METADATA
+    * still folds, but its overwritten/removed files are gone — size the
+    * vacuum cadence to the time-travel horizon readers need (Delta's
+    * retention-window contract again). Returns the
     * number of staging dirs removed. */
   def vacuum(spark: SparkSession, root: String): Int = {
-    val live = snapshot(spark, root).parts.values.flatten
-      .map(_.split("/")(1)).toSet
+    // FILE-granular: a partition removal or partial overwrite orphans
+    // individual files inside a staging dir whose OTHER files are still
+    // live, so directory-level reclamation would leak them forever
+    val live = snapshot(spark, root).parts.values.flatten.toSet
     val dataDir = new Path(root, "data")
     val fs = fsOf(spark, dataDir)
     if (!fs.exists(dataDir)) return 0
-    val dead = fs.listStatus(dataDir).filter(_.isDirectory)
-      .map(_.getPath).filterNot(p => live.contains(p.getName))
-    dead.foreach(fs.delete(_, true))
-    dead.length
+    // compare PATH STRINGS (scheme-stripped): listStatus returns
+    // qualified file:/ paths while `root` may be bare — URI relativize
+    // across that difference would no-op and mark every file dead
+    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
+      .stripSuffix("/") + "/"
+    var removed = 0
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      val files = fs.listStatus(d.getPath).flatMap { e =>
+        if (e.isDirectory) fs.listStatus(e.getPath) else Array(e)
+      }.filter(_.isFile).map(_.getPath)
+      val (keep, dead) = files.partition { f =>
+        val p = f.toUri.getPath
+        require(p.startsWith(rootAbs),
+          s"vacuum: $p escapes the table root $rootAbs")
+        live.contains(p.stripPrefix(rootAbs))
+      }
+      // writer markers (_SUCCESS, .crc) are never log-referenced — they
+      // go with their dir but don't count as reclaimed data files
+      dead.foreach { f =>
+        fs.delete(f, false)
+        if (f.getName.endsWith(".parquet")) removed += 1
+      }
+      if (keep.isEmpty) fs.delete(d.getPath, true) // empty staging dir
+    }
+    removed
   }
 }

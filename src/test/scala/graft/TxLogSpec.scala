@@ -205,6 +205,35 @@ class TxLogSpec extends SparkSpecBase {
     assert(sumAt(3) === 17L) // the checkpointed version itself still serves
   }
 
+  test("removePartitionsTx drops partitions transactionally; retention " +
+      "composes; a stale writer cannot resurrect a dropped partition") {
+    val root = freshRoot("remove")
+    TxLog.overwritePartitionsTx(
+      kv("2024-01" -> 1, "2024-02" -> 2, "2024-03" -> 3), root, "part")
+    // a writer derives from the pre-removal snapshot...
+    val snap = TxLog.snapshot(spark, root)
+    val staged = TxLog.stage(kv("2024-01" -> 99), root, "part")
+    // ...retention drops the old month...
+    assert(TxLog.dropPartitionsWhereTx(spark, root, _ >= "2024-02") === 1)
+    val got = TxLog.read(spark, root, "part")
+      .select("part").collect().map(_.getString(0)).toSet
+    assert(got === Set("2024-02", "2024-03"))
+    // ...and the stale writer's conflict check refuses the resurrection
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.commit(spark, root, staged, "overwrite",
+        readVersion = snap.version, conflictCheck = true)
+    }
+    TxLog.discard(spark, root, staged)
+    // retention replay is a no-op commit-wise; vacuum reclaims the
+    // dropped partition's now-unreferenced file
+    assert(TxLog.dropPartitionsWhereTx(spark, root, _ >= "2024-02") === 0)
+    assert(TxLog.vacuum(spark, root) >= 1)
+    assert(TxLog.read(spark, root, "part").count() === 2L)
+    // time travel still reproduces the pre-removal state
+    assert(TxLog.snapshotAt(spark, root, snap.version).parts.keySet
+      .contains("2024-01") === true)
+  }
+
   test("null partition values are refused at stage time") {
     val root = freshRoot("nullpart")
     import spark.implicits._
