@@ -55,6 +55,17 @@ object Avro {
         case d: DecimalType =>
           LogicalTypes.decimal(d.precision, d.scale)
             .addToSchema(Schema.create(Schema.Type.BYTES))
+        case ArrayType(et, _) =>
+          val elem = et match {
+            case LongType => Schema.create(Schema.Type.LONG)
+            case IntegerType => Schema.create(Schema.Type.INT)
+            case DoubleType => Schema.create(Schema.Type.DOUBLE)
+            case FloatType => Schema.create(Schema.Type.FLOAT)
+            case StringType => Schema.create(Schema.Type.STRING)
+            case o => throw new IllegalArgumentException(
+              s"Avro sink: unsupported array element type $o for ${f.name}")
+          }
+          Schema.createArray(elem)
         case other =>
           throw new IllegalArgumentException(
             s"Avro sink: unsupported Spark type $other for field ${f.name}")
@@ -87,6 +98,17 @@ object Avro {
         case (Schema.Type.BYTES, Some(d: LogicalTypes.Decimal)) =>
           DecimalType(d.getPrecision, d.getScale)
         case (Schema.Type.BYTES, _) => BinaryType
+        case (Schema.Type.ARRAY, _) =>
+          val et = unwrap(s.getElementType).getType match {
+            case Schema.Type.LONG => LongType
+            case Schema.Type.INT => IntegerType
+            case Schema.Type.DOUBLE => DoubleType
+            case Schema.Type.FLOAT => FloatType
+            case Schema.Type.STRING => StringType
+            case o => throw new IllegalArgumentException(
+              s"Avro source: unsupported array element type $o")
+          }
+          ArrayType(et, containsNull = false)
         case (t, _) =>
           throw new IllegalArgumentException(s"Avro source: unsupported type $t")
       }
@@ -136,6 +158,22 @@ object Avro {
                   .getTypes.asScala.find(_.getType != Schema.Type.NULL).get
                 conv.toBytes(ir.getDecimal(i, d.precision, d.scale).toJavaBigDecimal,
                   fieldSchema, fieldSchema.getLogicalType)
+              case ArrayType(et, _) =>
+                val arr = ir.getArray(i)
+                val out = new java.util.ArrayList[AnyRef](arr.numElements())
+                var j = 0
+                while (j < arr.numElements()) {
+                  out.add(et match {
+                    case LongType => Long.box(arr.getLong(j))
+                    case IntegerType => Int.box(arr.getInt(j))
+                    case DoubleType => Double.box(arr.getDouble(j))
+                    case FloatType => Float.box(arr.getFloat(j))
+                    case StringType => arr.getUTF8String(j).toString
+                    case o => sys.error(s"unsupported array element $o")
+                  })
+                  j += 1
+                }
+                out
               case other => sys.error(s"unsupported $other")
             }
           rec.put(f.name, v)
@@ -197,6 +235,11 @@ object Avro {
                 case BinaryType =>
                   val bb = v.asInstanceOf[java.nio.ByteBuffer]
                   val arr = new Array[Byte](bb.remaining()); bb.get(arr); arr
+                case ArrayType(et, _) =>
+                  v.asInstanceOf[java.util.List[AnyRef]].asScala.map {
+                    case u if et == StringType => u.toString
+                    case u => u
+                  }.toSeq
                 case _ => v
               }
             }.toSeq)

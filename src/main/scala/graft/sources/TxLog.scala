@@ -64,13 +64,18 @@ object TxLog {
     * RAW partition value to the relative data-file paths it contributes. */
   final case class Commit(version: Long, op: String, readVersion: Long,
                           batchId: Option[String],
-                          parts: Map[String, Seq[String]])
+                          parts: Map[String, Seq[String]],
+                          schema: Option[String] = None)
 
   /** Resolved table state: partition value → live relative file paths. */
   final case class Snapshot(version: Long, parts: Map[String, Seq[String]])
 
-  /** Staged-but-uncommitted data: files already durable under `root`. */
-  final case class Staged(parts: Map[String, Seq[String]])
+  /** Staged-but-uncommitted data: files already durable under `root`.
+    * `schema` is the DATA files' DDL (partition column excluded) — the
+    * commit-time guard against schema-mismatched writes poisoning the
+    * union read. None only for synthesized metadata-only ops (remove). */
+  final case class Staged(parts: Map[String, Seq[String]],
+                          schema: Option[String] = None)
 
   private def logDir(root: String) = new Path(root, "_txlog")
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -93,7 +98,8 @@ object TxLog {
     * never forget a landed batch). */
   private final case class Chk(version: Long,
                                parts: Map[String, Seq[String]],
-                               batchIds: Set[String])
+                               batchIds: Set[String],
+                               schema: Option[String] = None)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -136,21 +142,25 @@ object TxLog {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("graft-txn-v1"),
       s"commit v$version: unknown log format header")
-    def field(k: String): String = lines
+    def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
+    def field(k: String): String = fieldOpt(k)
       .getOrElse(sys.error(s"commit v$version: missing field $k"))
     val parts = lines.filter(_.startsWith("p\t")).map(_.split("\t"))
       .map { case Array(_, v, p) => (unesc(v), p) }
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).filter(_ != "-") }
     Commit(version, field("op"), field("readVersion").toLong,
-      Some(field("batchId")).filter(_ != "-").map(unesc), parts)
+      Some(field("batchId")).filter(_ != "-").map(unesc), parts,
+      fieldOpt("schema").filter(_ != "-").map(unesc))
   }
 
   private def renderCommit(op: String, readVersion: Long,
                            batchId: Option[String],
-                           parts: Map[String, Seq[String]]): String = {
+                           parts: Map[String, Seq[String]],
+                           schema: Option[String]): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
-      s"batchId=${batchId.map(esc).getOrElse("-")}")
+      s"batchId=${batchId.map(esc).getOrElse("-")}",
+      s"schema=${schema.map(esc).getOrElse("-")}")
     val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       // a partition with NO files (a "remove" op's target) still needs a
       // log row — the "-" sentinel keeps the value enumerable on parse
@@ -169,15 +179,20 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     val batchIds = lines.filter(_.startsWith("b\t"))
       .map(l => unesc(l.split("\t")(1))).toSet
-    Chk(version, parts, batchIds)
+    val schema = lines
+      .collectFirst { case l if l.startsWith("schema=") => l.drop(7) }
+      .filter(_ != "-").map(unesc)
+    Chk(version, parts, batchIds, schema)
   }
 
   private def renderChk(parts: Map[String, Seq[String]],
-                        batchIds: Set[String]): String = {
+                        batchIds: Set[String],
+                        schema: Option[String]): String = {
     val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
-    ("graft-chk-v1" +: batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++:
+    (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}") ++
+      batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       rows).mkString("\n") + "\n"
   }
 
@@ -319,7 +334,12 @@ object TxLog {
     }.toMap
     require(parts.nonEmpty, "TxLog.stage: staged DataFrame is empty — " +
       "an empty overwrite would be a silent no-op; drop partitions explicitly")
-    Staged(parts)
+    // top-level nullability is erased before recording: parquet round
+    // trips make columns nullable and the union read widens it anyway —
+    // only STRUCTURAL drift (names/types/order) poisons the table
+    Staged(parts, Some(org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == partCol)
+        .map(_.copy(nullable = true))).toDDL))
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup). */
@@ -365,6 +385,24 @@ object TxLog {
           return prior.version
         }
       }
+      // SCHEMA GUARD: a data-bearing commit whose schema differs from
+      // the table's current one would poison the union read with a
+      // confusing late analysis error — refuse at commit time unless
+      // this overwrite REPLACES every current partition (legitimate
+      // full-table schema evolution). Old logs without schema records
+      // impose no constraint (None).
+      val current = fold(chk, commits)
+      val currentSchema = (chk.flatMap(_.schema).toSeq ++
+        commits.flatMap(_.schema)).lastOption
+      for (cs <- currentSchema; ss <- staged.schema if cs != ss) {
+        val fullReplace = op == "overwrite" &&
+          current.parts.keySet.subsetOf(staged.parts.keySet)
+        require(fullReplace,
+          s"TxLog.commit: staged schema [$ss] differs from the table's " +
+            s"current schema [$cs] — mixed-schema partitions would " +
+            "break the union read; evolve the schema with a FULL " +
+            "overwrite of every partition, or align the writer")
+      }
       if (conflictCheck) {
         // commits at or before the last checkpoint are no longer
         // individually enumerable — a reader whose snapshot predates it
@@ -384,7 +422,8 @@ object TxLog {
       val next = commits.lastOption.map(_.version)
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
-          renderCommit(op, readVersion, batchId, staged.parts)))
+          renderCommit(op, readVersion, batchId, staged.parts,
+            staged.schema)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -487,8 +526,10 @@ object TxLog {
     if (snap.version == 0L) return 0L
     val batchIds = chk.map(_.batchIds).getOrElse(Set.empty) ++
       commits.flatMap(_.batchId)
+    val schema = (chk.flatMap(_.schema).toSeq ++
+      commits.flatMap(_.schema)).lastOption
     tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChk(snap.parts, batchIds))
+      renderChk(snap.parts, batchIds, schema))
     snap.version
   }
 

@@ -35,6 +35,18 @@ class AvroSpec extends SparkSpecBase {
     assert(back.filter(col("ns").isNull).count() === df.filter(col("ns").isNull).count())
   }
 
+  test("array columns round-trip: the embeddings table itself survives") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-io/avro_emb"
+    Avro.write(emb, path)
+    val back = Avro.read(spark, path)
+    assert(back.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = false))
+    val a = emb.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val b = back.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("files are standard OCF: a plain avro reader sees the rows") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

@@ -234,6 +234,37 @@ class TxLogSpec extends SparkSpecBase {
       .contains("2024-01") === true)
   }
 
+  test("schema guard: a drifted writer is refused; full-overwrite " +
+      "evolution is allowed") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    // a writer whose batch silently gained a column must not append —
+    // mixed-schema partitions would break the union read later
+    val drifted = Seq(("a", 9L, "extra")).toDF("part", "n", "note")
+    val staged = TxLog.stage(drifted, root, "part")
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, root, staged, "append", readVersion = 0L)
+    }
+    assert(ex.getMessage.contains("schema"))
+    TxLog.discard(spark, root, staged)
+    // partial overwrite with the new schema is refused too
+    intercept[IllegalArgumentException] {
+      TxLog.overwritePartitionsTx(drifted, root, "part")
+    }
+    // FULL overwrite (every current partition replaced) is legitimate
+    // schema evolution
+    val evolved = Seq(("a", 10L, "x"), ("b", 20L, "y")).toDF("part", "n", "note")
+    TxLog.overwritePartitionsTx(evolved, root, "part")
+    val got = TxLog.read(spark, root, "part")
+    assert(got.columns.toSet === Set("part", "n", "note"))
+    assert(got.count() === 2L)
+    // and the evolved schema now guards subsequent commits
+    TxLog.appendBatchTx(Seq(("a", 11L, "z")).toDF("part", "n", "note"),
+      root, "part", "post-evolve")
+    assert(TxLog.read(spark, root, "part").count() === 3L)
+  }
+
   test("null partition values are refused at stage time") {
     val root = freshRoot("nullpart")
     import spark.implicits._
