@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A [[FileIndex]] backed by a [[TxLog.Snapshot]]'s live-file list — the
+  * production read shape for the transaction layer (the Delta
+  * TahoeFileIndex pattern): ONE scan node whatever the partition count,
+  * partition values injected from the log's `value → files` mapping (the
+  * same information the `partCol=v` staging dir names carry), and
+  * partition pruning evaluated HERE, against the driver-side mapping,
+  * before a single task launches. Standard partition discovery cannot
+  * serve this layout — each commit's files live under their own
+  * `data/txn-<uuid>` staging dir, and discovery demands one common
+  * partition root — which is exactly why table formats carry their own
+  * file index instead of a directory convention.
+  *
+  * The index is immutable (a snapshot names immutable files), so
+  * `refresh()` is a no-op and the one listing pass — grouped per staging
+  * directory, never per file — happens lazily at first plan. Driver
+  * memory is O(live files), the same bound the log fold already enforces
+  * via [[Warehouse.MaxDriverPartitions]].
+  */
+final class TxFileIndex(spark: SparkSession, root: String,
+                        parts: Map[String, Seq[String]],
+                        override val partitionSchema: StructType)
+    extends FileIndex {
+  require(partitionSchema.length == 1,
+    "TxFileIndex: exactly one partition column")
+  private val partType = partitionSchema.head.dataType
+
+  override val rootPaths: Seq[Path] = Seq(new Path(root))
+
+  /** The log's RAW string value, cast once to the declared partition type
+    * with session-zone semantics (same as catalog partition handling). */
+  private def valueRow(v: String): InternalRow = {
+    val zone = Option(spark.conf.get("spark.sql.session.timeZone"))
+    InternalRow(Cast(Literal(UTF8String.fromString(v), StringType),
+      partType, zone).eval(null))
+  }
+
+  /** One listing per staging dir (not per file): commits stage whole
+    * `partCol=v` directories, so grouping by parent turns O(files)
+    * RPCs into O(staged dirs). */
+  private lazy val partitionDirs: Seq[PartitionDirectory] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val wanted: Map[Path, Map[String, Seq[String]]] = parts.toSeq
+      .flatMap { case (v, rels) => rels.map(rel => (v, rel)) }
+      .groupBy { case (_, rel) =>
+        new Path(root, rel).getParent
+      }
+      .map { case (parent, vs) =>
+        parent -> vs.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+      }
+    val statusByRel: Map[String, FileStatus] = wanted.toSeq.flatMap {
+      case (parent, byValue) =>
+        val names = byValue.values.flatten
+          .map(rel => rel.substring(rel.lastIndexOf('/') + 1)).toSet
+        fs.listStatus(parent).filter(st => names.contains(st.getPath.getName))
+          .map { st =>
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(fs.makeQualified(new Path(root)).toUri.getPath)
+              .stripPrefix("/")
+            rel -> st
+          }
+    }.toMap
+    parts.toSeq.sortBy(_._1).map { case (v, rels) =>
+      val sts = rels.map(rel => statusByRel.getOrElse(rel,
+        sys.error(s"TxFileIndex: live file $rel missing under $root — " +
+          "vacuum ran inside a reader's window?")))
+      PartitionDirectory(valueRow(v), sts.toArray)
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    if (partitionFilters.isEmpty) partitionDirs
+    else {
+      // the InMemoryFileIndex pruning contract: bind the (single)
+      // partition attribute and evaluate against each value row
+      val bound = Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case _: AttributeReference =>
+            BoundReference(0, partType, nullable = true)
+        })
+      partitionDirs.filter(pd => bound.eval(pd.values))
+    }
+
+  override def inputFiles: Array[String] =
+    parts.values.flatten.map(rel => s"$root/$rel").toArray
+
+  override def refresh(): Unit = () // immutable snapshot
+
+  override lazy val sizeInBytes: Long =
+    partitionDirs.iterator.flatMap(_.files).map(_.getLen).sum
+}

@@ -6,6 +6,46 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
 
+/** Atomic publish-if-absent for transaction-log files — the seam between
+  * the commit protocol and the storage system's one load-bearing primitive
+  * (Delta's LogStore abstraction, reduced to the single call the protocol
+  * needs). Exactly one of N racing callers returns true; a reader observes
+  * either no file or the complete content, never a prefix. */
+trait LogStore {
+  /** Move `tmp`'s fully-written content to `target` iff `target` does not
+    * yet exist. `tmp` is private to the caller and already durable. */
+  def putIfAbsent(fs: FileSystem, tmp: Path, target: Path): Boolean
+}
+
+object LogStore {
+  /** POSIX `link(2)`: atomic create-no-overwrite with the content already
+    * in place — the local-filesystem commit point. (A bare
+    * `create(overwrite=false)` on RawLocalFileSystem is exists-then-create,
+    * a TOCTOU window two same-box writers could both pass.) */
+  object LocalLink extends LogStore {
+    def putIfAbsent(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  /** HDFS `rename`: atomic at the NameNode, returns false when the
+    * destination exists. S3-class object stores must NOT route here —
+    * their rename is copy+delete and unconditional; implement the trait
+    * with the store's conditional-put (S3 If-None-Match, GCS
+    * if-generation-match, or an external ledger) instead. */
+  object AtomicRename extends LogStore {
+    def putIfAbsent(fs: FileSystem, tmp: Path, target: Path): Boolean =
+      fs.rename(tmp, target)
+  }
+
+  def forScheme(scheme: String): LogStore =
+    if (scheme == "file") LocalLink else AtomicRename
+}
+
 /** Optimistic-concurrency transaction log over plain parquet — the
   * writer-vs-writer safety [[Warehouse.overwritePartitioned]] /
   * [[Warehouse.appendBatchIdempotent]] lack (their dynamic-overwrite
@@ -67,8 +107,13 @@ object TxLog {
                           parts: Map[String, Seq[String]],
                           schema: Option[String] = None)
 
-  /** Resolved table state: partition value → live relative file paths. */
-  final case class Snapshot(version: Long, parts: Map[String, Seq[String]])
+  /** Resolved table state: partition value → live relative file paths,
+    * plus the table schema AS OF this version (DDL, partition column
+    * excluded — the single source of truth the snapshot scan reads with,
+    * which is what NULL-backfills pre-evolution files without footer
+    * merging). None only on legacy logs written before schema recording. */
+  final case class Snapshot(version: Long, parts: Map[String, Seq[String]],
+                            schema: Option[String] = None)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -214,27 +259,16 @@ object TxLog {
     val out = fs.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val target = new Path(dir, name)
-    val won =
-      if (fs.getScheme == "file") {
-        // POSIX link(2) is atomic create-no-overwrite WITH full content
-        // already in place — the local-mode commit point. (A bare
-        // create(overwrite=false) on RawLocalFileSystem is exists-then-
-        // create, a TOCTOU window two same-box writers could both pass.)
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else
-        // HDFS rename is atomic at the NameNode and fails (returns false)
-        // when the destination exists; object stores need their own
-        // conditional-put here (S3 If-None-Match / a DynamoDB log), the
-        // same seam Delta's LogStore abstracts.
-        fs.rename(tmp, target)
+    val store = storeOverride.getOrElse(LogStore.forScheme(fs.getScheme))
+    val won = store.putIfAbsent(fs, tmp, target)
     fs.delete(tmp, false)
     won
   }
+
+  /** Test seam: route every publish through this store instead of the
+    * scheme-selected one (drives lost-race paths deterministically in
+    * TxLogSpec). Production code never sets it. */
+  @volatile private[graft] var storeOverride: Option[LogStore] = None
 
   // ---- snapshots --------------------------------------------------------
 
@@ -250,7 +284,8 @@ object TxLog {
       }
     }
     Snapshot(commits.lastOption.map(_.version)
-      .orElse(chk.map(_.version)).getOrElse(0L), parts)
+      .orElse(chk.map(_.version)).getOrElse(0L), parts,
+      (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption)
   }
 
   /** Fold the commit log into the current table state. Version 0 = empty
@@ -281,18 +316,36 @@ object TxLog {
     have
   }
 
-  /** Read a snapshot as a DataFrame: per-partition unions of immutable
-    * file scans, the partition column re-attached as a per-branch
-    * constant — a filter on it constant-folds and prunes whole branches,
-    * so partition pruning survives the tx layer. */
+  /** Read a snapshot as ONE parquet scan over the live file list — the
+    * production shape (a 10k-partition table must not build a 10k-branch
+    * union plan). The scan mounts a [[TxFileIndex]] (the Delta
+    * TahoeFileIndex pattern): partition values come from the log's
+    * `value → files` mapping, and a filter on `partCol` prunes FILES at
+    * the index, before any task launches. The scan's schema is the
+    * snapshot's RECORDED table schema, not the footers — after additive
+    * evolution ([[commit]]'s ADD-COLUMN path), pre-evolution files
+    * NULL-backfill the new columns, and a [[snapshotAt]] time travel
+    * reads with the schema as of that version. */
   def readSnapshot(spark: SparkSession, root: String, snap: Snapshot,
                    partCol: String, partType: DataType = StringType): DataFrame = {
     require(snap.parts.nonEmpty,
       s"TxLog table at $root is empty — nothing committed yet")
-    snap.parts.toSeq.sortBy(_._1).map { case (v, files) =>
-      spark.read.parquet(files.map(f => s"$root/$f"): _*)
-        .withColumn(partCol, lit(v).cast(partType))
-    }.reduce(_ unionByName _)
+    val dataSchema = snap.schema
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      // legacy logs without schema records: one driver-side footer read
+      .getOrElse(spark.read.parquet(
+        s"$root/${snap.parts.valuesIterator.next().head}").schema)
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partCol, partType)))
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new TxFileIndex(spark, root, snap.parts, partSchema),
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
   }
 
   /** Read the CURRENT state of the tx table. */
@@ -318,9 +371,9 @@ object TxLog {
       .parquet(dir.toString)
     val fs = fsOf(spark, dir)
     // null partition values round-trip as the Hive default-partition
-    // sentinel, which the per-branch lit() re-attachment cannot represent
-    // — refuse AFTER the write (free: one directory listing, no extra
-    // data pass) and leave the orphaned files to vacuum()
+    // sentinel, which the log's value→files map cannot distinguish from
+    // the literal sentinel string — refuse AFTER the write (free: one
+    // directory listing, no extra data pass), orphaned files go to vacuum()
     require(!fs.exists(new Path(dir,
         s"$partCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME}")),
       s"TxLog.stage: null $partCol values cannot be transacted — " +
@@ -368,6 +421,10 @@ object TxLog {
              batchId: Option[String] = None, maxAttempts: Int = 50): Long = {
     require(op == "overwrite" || op == "append" || op == "remove",
       s"unknown op $op")
+    // "-" is the log format's absent-field sentinel; a literal "-" batch id
+    // would round-trip as None and silently disable idempotent replay
+    require(!batchId.contains("-"),
+      "TxLog.commit: batchId \"-\" collides with the log's absent sentinel")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -385,23 +442,31 @@ object TxLog {
           return prior.version
         }
       }
-      // SCHEMA GUARD: a data-bearing commit whose schema differs from
-      // the table's current one would poison the union read with a
-      // confusing late analysis error — refuse at commit time unless
-      // this overwrite REPLACES every current partition (legitimate
-      // full-table schema evolution). Old logs without schema records
+      // SCHEMA GUARD: a data-bearing commit whose schema differs from the
+      // table's current one is refused at commit time — EXCEPT the two
+      // legitimate evolutions: (a) ADD-COLUMN, where the staged schema is
+      // a superset of the current one (every current column survives with
+      // its type) — the recorded superset becomes the table schema and
+      // [[readSnapshot]] NULL-backfills pre-evolution files; (b) a full
+      // overwrite replacing every current partition (arbitrary rewrite).
+      // A SUBSET writer (one that silently lost a column) stays refused:
+      // its commit would regress the recorded schema and drop the column
+      // from every subsequent read. Old logs without schema records
       // impose no constraint (None).
       val current = fold(chk, commits)
-      val currentSchema = (chk.flatMap(_.schema).toSeq ++
-        commits.flatMap(_.schema)).lastOption
-      for (cs <- currentSchema; ss <- staged.schema if cs != ss) {
+      for (cs <- current.schema; ss <- staged.schema if cs != ss) {
+        val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
+        val stagedTypes = org.apache.spark.sql.types.StructType.fromDDL(ss)
+          .map(f => f.name -> f.dataType).toMap
+        val additive = curT.forall(f =>
+          stagedTypes.get(f.name).contains(f.dataType))
         val fullReplace = op == "overwrite" &&
           current.parts.keySet.subsetOf(staged.parts.keySet)
-        require(fullReplace,
-          s"TxLog.commit: staged schema [$ss] differs from the table's " +
-            s"current schema [$cs] — mixed-schema partitions would " +
-            "break the union read; evolve the schema with a FULL " +
-            "overwrite of every partition, or align the writer")
+        require(additive || fullReplace,
+          s"TxLog.commit: staged schema [$ss] drops or retypes columns of " +
+            s"the table's current schema [$cs] — only ADD-COLUMN evolution " +
+            "or a FULL overwrite of every partition may change the schema; " +
+            "align the writer")
       }
       if (conflictCheck) {
         // commits at or before the last checkpoint are no longer
@@ -507,6 +572,64 @@ object TxLog {
       s"at $root — pathological contention, back off at the caller")
   }
 
+  /** [[readModifyWrite]] restricted to the partitions passing `select`:
+    * only those are read, transformed, and replaced — the maintenance
+    * shape (compaction, partition-scoped rewrites) where staging
+    * O(selected) instead of O(table) is the point. The conflict check
+    * covers exactly the staged partitions, so concurrent commits to
+    * UNSELECTED partitions commute and never force a retry. `transform`
+    * must keep every row inside the selected partitions (a row emitted
+    * into an unselected partition would widen the overwrite beyond what
+    * was read — refused before commit), and a selected partition whose
+    * rows transform entirely away stays at its OLD content (an overwrite
+    * only replaces partitions it stages; drop them with
+    * [[removePartitionsTx]] instead). */
+  def readModifyWriteWhere(spark: SparkSession, root: String, partCol: String,
+                           partType: DataType = StringType,
+                           select: String => Boolean, maxAttempts: Int = 20)
+                          (transform: DataFrame => DataFrame): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(spark, root)
+      val sel = snap.parts.filter { case (v, _) => select(v) }
+      require(sel.nonEmpty,
+        s"TxLog.readModifyWriteWhere: no partition at $root passes select")
+      val staged = stage(
+        transform(readSnapshot(spark, root, snap.copy(parts = sel),
+          partCol, partType)), root, partCol)
+      if (!staged.parts.keySet.subsetOf(sel.keySet)) {
+        val escaped = (staged.parts.keySet -- sel.keySet).toSeq.sorted
+        discard(spark, root, staged)
+        sys.error("TxLog.readModifyWriteWhere: transform emitted rows into " +
+          s"unselected partitions [${escaped.mkString(", ")}] — it may only " +
+          "rewrite the partitions it was given")
+      }
+      try return commit(spark, root, staged, "overwrite",
+        readVersion = snap.version, conflictCheck = true)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.readModifyWriteWhere: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the caller")
+  }
+
+  /** Transactional small-file compaction: rewrite each selected
+    * partition's file set as ONE file (content-identical — [[stage]]'s
+    * hash repartition on the partition key lands each value in exactly
+    * one task, hence one file), serialized with every concurrent writer
+    * by the conflict protocol. A batch that lands between the compactor's
+    * snapshot and its commit raises the conflict; the retry re-derives
+    * from the NEW snapshot, so compaction can never lose a landed batch
+    * (the q217 race). Cost is O(selected partitions' data), metadata
+    * O(selected) — run it partition-scoped on a schedule, never
+    * table-wide at 100 TB. */
+  def compactPartitionsTx(spark: SparkSession, root: String, partCol: String,
+                          partType: DataType = StringType,
+                          select: String => Boolean = _ => true): Long =
+    readModifyWriteWhere(spark, root, partCol, partType, select)(identity)
+
   /** Maintenance: fold the log into a CHECKPOINT at the current version
     * — the Delta checkpoint move that keeps every subsequent snapshot
     * fold O(checkpoint + recent deltas) instead of O(all commits ever).
@@ -559,8 +682,9 @@ object TxLog {
     * bounds [[snapshotAt]] time travel: an older version's METADATA
     * still folds, but its overwritten/removed files are gone — size the
     * vacuum cadence to the time-travel horizon readers need (Delta's
-    * retention-window contract again). Returns the
-    * number of staging dirs removed. */
+    * retention-window contract again). Returns the number of .parquet
+    * DATA FILES reclaimed (writer markers and emptied staging dirs are
+    * removed too but not counted). */
   def vacuum(spark: SparkSession, root: String): Int = {
     // FILE-granular: a partition removal or partial overwrite orphans
     // individual files inside a staging dir whose OTHER files are still

@@ -170,20 +170,28 @@ class TxLogSpec extends SparkSpecBase {
     assert(preSnap.version === 3L)
   }
 
-  test("snapshot read prunes to one scan branch under a partition filter") {
+  test("snapshot read is ONE scan; a partition filter prunes at the " +
+      "file index") {
     val root = freshRoot("prune")
     TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2, "c" -> 3), root, "part")
-    val filtered = TxLog.read(spark, root, "part").filter(col("part") === "b")
-    // the partition value rides each union branch as a CONSTANT, so the
-    // filter constant-folds and non-matching branches collapse — only
-    // ONE parquet scan survives in the physical plan (partition pruning
-    // through the tx layer, the claim in TxLog.readSnapshot's scaladoc)
-    val scans = filtered.queryExecution.executedPlan.collect {
+    val full = TxLog.read(spark, root, "part")
+    val fullScans = full.queryExecution.executedPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.size === 1,
-      s"expected 1 surviving scan branch, got ${scans.size}")
+    // the whole table is ONE scan node (no per-partition union branches —
+    // a 10k-partition table must not build a 10k-branch plan)
+    assert(fullScans.size === 1,
+      s"expected a single scan node, got ${fullScans.size}")
+    val filtered = TxLog.read(spark, root, "part").filter(col("part") === "b")
     assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // the filter reaches the scan as a PARTITION filter: of the three
+    // one-file partitions, only b's file is listed (file-index pruning,
+    // the claim in TxLog.readSnapshot's scaladoc)
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value === 1L,
+      s"partition filter did not prune: ${scan.metrics("numFiles").value} files read")
   }
 
   test("snapshotAt time-travels to any retained version; expired versions " +
@@ -234,35 +242,51 @@ class TxLogSpec extends SparkSpecBase {
       .contains("2024-01") === true)
   }
 
-  test("schema guard: a drifted writer is refused; full-overwrite " +
-      "evolution is allowed") {
+  test("schema guard: retyped/dropped columns are refused; ADD-COLUMN " +
+      "and full-overwrite evolution are allowed") {
     import spark.implicits._
     val root = freshRoot("schema")
     TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
-    // a writer whose batch silently gained a column must not append —
-    // mixed-schema partitions would break the union read later
-    val drifted = Seq(("a", 9L, "extra")).toDF("part", "n", "note")
-    val staged = TxLog.stage(drifted, root, "part")
+    // a writer whose column silently changed TYPE must not append
+    val retyped = Seq(("a", "nine")).toDF("part", "n")
+    val staged = TxLog.stage(retyped, root, "part")
     val ex = intercept[IllegalArgumentException] {
       TxLog.commit(spark, root, staged, "append", readVersion = 0L)
     }
     assert(ex.getMessage.contains("schema"))
     TxLog.discard(spark, root, staged)
-    // partial overwrite with the new schema is refused too
+    // partial overwrite with the retyped schema is refused too
     intercept[IllegalArgumentException] {
-      TxLog.overwritePartitionsTx(drifted, root, "part")
+      TxLog.overwritePartitionsTx(retyped, root, "part")
     }
-    // FULL overwrite (every current partition replaced) is legitimate
-    // schema evolution
-    val evolved = Seq(("a", 10L, "x"), ("b", 20L, "y")).toDF("part", "n", "note")
+    // ADD-COLUMN evolution: an appended superset schema is legitimate —
+    // the recorded schema widens and pre-evolution rows NULL-backfill
+    TxLog.appendBatchTx(Seq(("a", 9L, "extra")).toDF("part", "n", "note"),
+      root, "part", "evolve-batch")
+    val widened = TxLog.read(spark, root, "part")
+    assert(widened.columns.toSet === Set("part", "n", "note"))
+    val notes = widened.orderBy("n").collect()
+      .map(r => r.getAs[Long]("n") -> Option(r.getAs[String]("note"))).toMap
+    assert(notes === Map(1L -> None, 2L -> None, 9L -> Some("extra")))
+    // a SUBSET writer (lost the column) is refused after evolution —
+    // its commit would regress the recorded schema
+    val subset = TxLog.stage(kv("a" -> 7), root, "part")
+    intercept[IllegalArgumentException] {
+      TxLog.commit(spark, root, subset, "append", readVersion = 0L)
+    }
+    TxLog.discard(spark, root, subset)
+    // time travel to the pre-evolution version reads the OLD schema
+    val v1 = TxLog.readSnapshot(spark, root,
+      TxLog.snapshotAt(spark, root, 1L), "part")
+    assert(!v1.columns.contains("note"))
+    // FULL overwrite (every current partition replaced) may still change
+    // the schema arbitrarily
+    val evolved = Seq(("a", 10L, true), ("b", 20L, false))
+      .toDF("part", "n", "flag")
     TxLog.overwritePartitionsTx(evolved, root, "part")
     val got = TxLog.read(spark, root, "part")
-    assert(got.columns.toSet === Set("part", "n", "note"))
+    assert(got.columns.toSet === Set("part", "n", "flag"))
     assert(got.count() === 2L)
-    // and the evolved schema now guards subsequent commits
-    TxLog.appendBatchTx(Seq(("a", 11L, "z")).toDF("part", "n", "note"),
-      root, "part", "post-evolve")
-    assert(TxLog.read(spark, root, "part").count() === 3L)
   }
 
   test("null partition values are refused at stage time") {
@@ -272,5 +296,98 @@ class TxLogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       TxLog.stage(df, root, "part")
     }
+  }
+
+  test("LogStore double: lost version races re-read the log and retry at " +
+      "the next version; conflict checks see the interloper") {
+    val root = freshRoot("logstore")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    // a store that, on the first `loseTimes` publish attempts, lets a
+    // competing writer claim the version out from under the caller (the
+    // S3-conditional-put-failed shape), then behaves normally; the
+    // interloper runs with the override suspended so its own commits use
+    // the real store
+    class RacingStore(interloper: () => Unit, loseTimes: Int)
+        extends graft.sources.LogStore {
+      val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                      tmp: org.apache.hadoop.fs.Path,
+                      target: org.apache.hadoop.fs.Path): Boolean = {
+        if (target.getName.endsWith(".txn") &&
+            losses.getAndIncrement() < loseTimes) {
+          TxLog.storeOverride = None
+          try interloper() // the competitor wins this version first
+          finally TxLog.storeOverride = Some(this)
+        }
+        graft.sources.LogStore.forScheme(fs.getScheme)
+          .putIfAbsent(fs, tmp, target)
+      }
+    }
+    // interloper writes a DISJOINT partition, so a conflict-checked caller
+    // must retry the publish (not re-derive) and land one version later
+    val store = new RacingStore(
+      () => TxLog.overwritePartitionsTx(kv("zz" -> 100), root, "part"): Unit,
+      loseTimes = 1)
+    TxLog.storeOverride = Some(store)
+    try {
+      val snap = TxLog.snapshot(spark, root)
+      val staged = TxLog.stage(kv("a" -> 10), root, "part")
+      // the interloper takes v2 mid-publish; the caller must land at v3
+      val v = TxLog.commit(spark, root, staged, "overwrite",
+        readVersion = snap.version, conflictCheck = true)
+      assert(v === 3L)
+    } finally TxLog.storeOverride = None
+    val got = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a" -> 10L, "b" -> 2L, "zz" -> 100L))
+    // and an OVERLAPPING interloper raises the conflict on the retry path
+    val store2 = new RacingStore(
+      () => TxLog.overwritePartitionsTx(kv("a" -> 99), root, "part"): Unit,
+      loseTimes = 1)
+    TxLog.storeOverride = Some(store2)
+    try {
+      val snap = TxLog.snapshot(spark, root)
+      val staged = TxLog.stage(kv("a" -> 55), root, "part")
+      intercept[TxLog.ConcurrentWriteException] {
+        TxLog.commit(spark, root, staged, "overwrite",
+          readVersion = snap.version, conflictCheck = true)
+      }
+      TxLog.discard(spark, root, staged)
+    } finally TxLog.storeOverride = None
+    assert(TxLog.read(spark, root, "part").filter(col("part") === "a")
+      .select("n").head.getLong(0) === 99L)
+  }
+
+  test("thread race: compaction vs concurrent batch appends loses nothing") {
+    val root = freshRoot("compactrace")
+    TxLog.overwritePartitionsTx(kv("x" -> 1, "y" -> 2), root, "part")
+    val batches = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appender = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to batches).foreach { i =>
+          TxLog.appendBatchTx(kv("x" -> (10L * i), "y" -> (100L * i)),
+            root, "part", s"race_batch_$i"): Unit
+        }
+      })
+      val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach { _ =>
+          TxLog.compactPartitionsTx(spark, root, "part"): Unit
+        }
+      })
+      appender.get(); compactor.get()
+    } finally pool.shutdown()
+    // every batch survived the interleaved compactions (serialized
+    // application: a compactor whose snapshot went stale re-derived)
+    val sums = TxLog.read(spark, root, "part")
+      .groupBy("part").agg(sum("n").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tri = (1 to batches).map(_.toLong).sum
+    assert(sums === Map("x" -> (1L + 10L * tri), "y" -> (2L + 100L * tri)))
+    // one more compaction with no competition: exactly one file per part
+    TxLog.compactPartitionsTx(spark, root, "part")
+    val parts = TxLog.snapshot(spark, root).parts
+    assert(parts.values.forall(_.size === 1),
+      s"compaction left multi-file partitions: ${parts.view.mapValues(_.size).toMap}")
   }
 }
