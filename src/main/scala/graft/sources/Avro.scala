@@ -5,7 +5,8 @@ import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.util.{ArrayData, SpecializedGetters}
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
@@ -266,6 +267,15 @@ object Avro {
         val file = new Path(p)
         val in = new DataFileStream(file.getFileSystem(hconf.value).open(file),
           new GenericDatumReader[GenericRecord]())
+        // every file must decode to the SAME Spark schema as the first
+        // file's (decimal scale in particular is baked into fromAvro's
+        // target type) — a producer mix with a different scale must fail
+        // loudly here, not silently land values off by powers of ten
+        val fileSt = sparkSchema(in.getSchema)
+        if (fileSt != st)
+          throw new IllegalStateException(
+            s"Avro.read: $p writer schema decodes to $fileSt, " +
+            s"but the directory schema (from the first file) is $st")
         // close on task COMPLETION, not iterator exhaustion — a limit()
         // that stops early must not leak the handle
         Option(org.apache.spark.TaskContext.get())
