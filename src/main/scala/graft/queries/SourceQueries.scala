@@ -719,6 +719,56 @@ object SourceQueries {
         .agg(count(lit(1)).as("orders"), dsum(col("o_totalprice")).as("revenue"))
     },
 
+    // ---- q146b: ADD-COLUMN evolution THROUGH THE TRANSACTION LAYER —
+    // the q146 move upgraded from loose parquet+mergeSchema to the tx
+    // log's recorded-schema path: a pre-evolution batch commits, then an
+    // appendBatchTx carrying a new `channel` column widens the recorded
+    // schema (TxLog.commit's ADD-COLUMN guard admits the superset), and
+    // readSnapshot NULL-backfills the pre-evolution files from the
+    // RECORDED schema — no footer merge, no history rewrite. The oracle
+    // replays the union with the exact NULL set (channel NULL ⇔ the v1
+    // batch, pinned per-group by key_sum), so a missing backfill, a
+    // leaked non-NULL, or a dropped generation all fail value compare.
+    // Time travel to v1 must still read the PRE-evolution schema.
+    QueryDef.sql("q146b_tx_add_column",
+      s"""WITH v1 AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+         |              CAST(NULL AS VARCHAR) AS channel
+         |            FROM orders WHERE o_orderkey % 2 = 0),
+         |v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END
+         |           AS channel
+         |       FROM orders WHERE o_orderkey % 2 = 1),
+         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         |SELECT o_orderpriority, channel, COUNT(*) AS orders,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${dsumSql("o_totalprice")} AS revenue
+         |FROM u GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q146b_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      TxLog.overwritePartitionsTx(o.filter(col("o_orderkey") % 2 === 0),
+        root, "o_orderpriority")
+      TxLog.appendBatchTx(o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("channel", when(col("o_orderkey") % 3 === 0, "web")
+            .otherwise("store")),
+        root, "o_orderpriority", "q146b-evolved")
+      // time travel: the pre-evolution version reads the v1 schema
+      val v1 = TxLog.readSnapshot(s, root,
+        TxLog.snapshotAt(s, root, 1L), "o_orderpriority")
+      require(!v1.columns.contains("channel"),
+        s"q146b: v1 time travel leaked the evolved column: " +
+          v1.columns.mkString(","))
+      TxLog.read(s, root, "o_orderpriority")
+        .groupBy("o_orderpriority", "channel")
+        .agg(count(lit(1)).as("orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("revenue"))
+    },
+
     // ---- q147: small-file COMPACTION — the events table deliberately
     // fragmented into 64 files, compacted to 4 by one round-robin
     // rewrite (Warehouse.compactPath), then aggregated THROUGH the
@@ -2123,6 +2173,45 @@ object SourceQueries {
             .as("null_status"))
     },
 
+    // ---- q210b: AVRO NESTED ROUND-TRIP — the reference's
+    // product_metadata basket shape (data_generator.py:63-67: an array
+    // of item records) rides the Avro interchange format end-to-end.
+    // Lineitem rows are rolled up into per-order ARRAY<STRUCT> baskets,
+    // written as Avro OCF (array elements are nullable unions; struct
+    // fields nested records), read back through the distributed reader,
+    // and only THEN exploded and aggregated — so a green row proves the
+    // nested values (long/double/double inside each element) survived
+    // the trip bit-exactly. Oracle computes straight from lineitem.
+    QueryDef.sql("q210b_avro_nested_roundtrip",
+      """SELECT l_orderkey AS order_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_value,
+        |  CAST(MIN(l_partkey) AS BIGINT) AS min_product,
+        |  CAST(MAX(l_partkey) AS BIGINT) AS max_product
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.Avro
+      val baskets = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("order_id"))
+        .agg(collect_list(struct(
+          col("l_partkey").as("product_id"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("item_price"))).as("items"))
+      val path = scratch("q210b_baskets_avro")
+      Avro.write(baskets, path)
+      val back = Avro.read(s, path)
+      val it = col("item")
+      back.select(col("order_id"), explode(col("items")).as("item"))
+        .groupBy("order_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(it.getField("quantity")).as("total_qty"),
+          sum((it.getField("quantity") * it.getField("item_price"))
+            .cast(DecimalType(18, 6))).cast("double").as("total_value"),
+          min(it.getField("product_id")).as("min_product"),
+          max(it.getField("product_id")).as("max_product"))
+    },
+
     // ---- q211: STREAM-STATIC ENRICHMENT run to completion — the
     // dimension-join shape every landing pipeline has: an events file
     // stream left-joins a BROADCAST static customer dim (re-resolved per
@@ -2324,6 +2413,70 @@ object SourceQueries {
         }.start()
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(outDir).orderBy("doc_id")
+    },
+
+    // ---- q217: TRANSACTIONAL MAINTENANCE UNDER A LIVE STREAM (the
+    // TxLog.compactPartitionsTx race, driver-oracled; also the
+    // stream+batch writer-coexistence claim from streaming.Events'
+    // toTxLogSink doc). The events feed streams into a tx table
+    // partitioned on a 240-value bucket (≥200 partitions — the
+    // one-scan TxFileIndex read at a realistic partition count) while a
+    // compactor thread repeatedly rewrites the whole table; every
+    // interleaving must serialize (a compactor whose snapshot went
+    // stale re-derives), so a lost batch fails rowcount, a
+    // double-applied batch fails n_events, and a compaction that
+    // resurrects pre-compaction files fails values. After the stream
+    // drains, one final uncontended compaction must leave exactly one
+    // file per partition — gated via the one_file_per_part column.
+    QueryDef.sql("q217_tx_stream_compaction_race",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS one_file_per_part
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q217").toString
+      val srcDir = s"$tmp/src"; val root = s"$tmp/table"
+      new java.io.File(srcDir).mkdirs()
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          pmod(col("event_id"), lit(240)).cast("string").as("bucket"))
+      def emit(i: Int): Unit = {
+        val staged = s"$tmp/b$i"
+        ev.filter(col("event_id") % 4 === i).coalesce(1).write.parquet(staged)
+        val part = new java.io.File(staged).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(srcDir, s"b$i.parquet").toPath): Unit
+      }
+      // seed the table so the compactor always has partitions to select
+      TxLog.appendBatchTx(ev.filter(col("event_id") % 4 === 0), root,
+        "bucket", "q217-seed")
+      (1 to 3).foreach(emit)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = graft.streaming.Events.toTxLogSink(stream, root, "bucket",
+        checkpoint = s"$tmp/ckpt").start()
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach { _ =>
+          TxLog.compactPartitionsTx(s, root, "bucket"): Unit
+        }
+      })
+      try { q.processAllAvailable(); compactor.get() }
+      finally { q.stop(); pool.shutdown() }
+      // quiesced: one more compaction, then every partition is ONE file
+      TxLog.compactPartitionsTx(s, root, "bucket")
+      val parts = TxLog.snapshot(s, root).parts
+      require(parts.size >= 200,
+        s"q217: expected >=200 bucket partitions, got ${parts.size}")
+      val maxFiles = parts.values.map(_.size).max
+      TxLog.read(s, root, "bucket")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("one_file_per_part", lit(maxFiles.toLong))
     }
   )
 }

@@ -442,6 +442,27 @@ object TxLog {
           return prior.version
         }
       }
+      if (conflictCheck) {
+        // runs BEFORE the schema guard: a partial writer racing a
+        // concurrent ADD-COLUMN commit must get the RETRYABLE
+        // ConcurrentWriteException (its retry re-derives from the evolved
+        // snapshot, staging the new schema), not a terminal schema error
+        // comparing its pre-evolution schema against post-evolution state.
+        // Commits at or before the last checkpoint are no longer
+        // individually enumerable — a reader whose snapshot predates it
+        // cannot prove its partitions were untouched, so conflict
+        // conservatively (the Delta truncated-log posture): the caller's
+        // retry loop re-reads a CURRENT snapshot and proceeds normally
+        chk.filter(_.version > readVersion).foreach { c =>
+          throw new ConcurrentWriteException(c.version,
+            staged.parts.keySet.toSeq.sorted)
+        }
+        commits.filter(_.version > readVersion).foreach { c =>
+          val overlap = c.parts.keySet intersect staged.parts.keySet
+          if (overlap.nonEmpty)
+            throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)
+        }
+      }
       // SCHEMA GUARD: a data-bearing commit whose schema differs from the
       // table's current one is refused at commit time — EXCEPT the two
       // legitimate evolutions: (a) ADD-COLUMN, where the staged schema is
@@ -467,22 +488,6 @@ object TxLog {
             s"the table's current schema [$cs] — only ADD-COLUMN evolution " +
             "or a FULL overwrite of every partition may change the schema; " +
             "align the writer")
-      }
-      if (conflictCheck) {
-        // commits at or before the last checkpoint are no longer
-        // individually enumerable — a reader whose snapshot predates it
-        // cannot prove its partitions were untouched, so conflict
-        // conservatively (the Delta truncated-log posture): the caller's
-        // retry loop re-reads a CURRENT snapshot and proceeds normally
-        chk.filter(_.version > readVersion).foreach { c =>
-          throw new ConcurrentWriteException(c.version,
-            staged.parts.keySet.toSeq.sorted)
-        }
-        commits.filter(_.version > readVersion).foreach { c =>
-          val overlap = c.parts.keySet intersect staged.parts.keySet
-          if (overlap.nonEmpty)
-            throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)
-        }
       }
       val next = commits.lastOption.map(_.version)
         .orElse(chk.map(_.version)).getOrElse(0L) + 1

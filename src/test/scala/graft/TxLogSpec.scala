@@ -289,6 +289,42 @@ class TxLogSpec extends SparkSpecBase {
     assert(got.count() === 2L)
   }
 
+  test("conflict check precedes schema guard: a stale partial writer racing " +
+      "an ADD-COLUMN commit gets the RETRYABLE conflict, and RMW re-derives") {
+    import spark.implicits._
+    val root = freshRoot("schemarace")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    // writer B stages a pre-evolution partial overwrite from v1...
+    val snapB = TxLog.snapshot(spark, root)
+    val stagedB = TxLog.stage(kv("b" -> 99), root, "part")
+    // ...then an ADD-COLUMN append lands on the same partition → v2
+    TxLog.appendBatchTx(Seq(("b", 5L, "x")).toDF("part", "n", "note"),
+      root, "part", "evolve-race")
+    // B's stale commit must fail RETRYABLY (conflict), not terminally
+    // (schema guard): its staged schema is now a subset of the evolved
+    // table's, but the post-readVersion overlap is checked FIRST
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.commit(spark, root, stagedB, "overwrite",
+        readVersion = snapB.version, conflictCheck = true)
+    }
+    TxLog.discard(spark, root, stagedB)
+    // the standard retry path re-derives from the evolved snapshot and
+    // commits with the widened schema — no terminal abort, no leak
+    TxLog.readModifyWriteWhere(spark, root, "part",
+      select = (_: String) == "b") { df =>
+      df.withColumn("n", col("n") + 100L)
+    }
+    val got = TxLog.read(spark, root, "part").orderBy("n").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("n"),
+        Option(r.getAs[String]("note"))))
+    assert(got.toSeq === Seq(("a", 1L, None), ("b", 102L, None),
+      ("b", 105L, Some("x"))))
+    // stagedB was discarded (no leak); vacuum reclaims exactly the two
+    // SUPERSEDED b files (v1's and the evolve append's), nothing else
+    assert(TxLog.vacuum(spark, root) === 2)
+    assert(TxLog.read(spark, root, "part").count() === 3L)
+  }
+
   test("null partition values are refused at stage time") {
     val root = freshRoot("nullpart")
     import spark.implicits._
