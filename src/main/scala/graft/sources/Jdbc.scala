@@ -90,6 +90,24 @@ object Jdbc {
     }
   }
 
+  /** Does `index` exist on `table`? (getIndexInfo, name-case tolerant —
+    * unquoted DDL folds identifiers uppercase in Derby/Postgres-family
+    * engines while the caller composed the name from exact-case parts.) */
+  private def indexExistsOn(conn: java.sql.Connection, table: String,
+                            index: String): Boolean = {
+    val md = conn.getMetaData
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getIndexInfo(null, null, t, false, true)
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = Option(rs.getString("INDEX_NAME"))
+            .exists(_.equalsIgnoreCase(index))
+        found
+      } finally rs.close()
+    }
+  }
+
   /** Best-effort DROP TABLE IF EXISTS (portable form: probe then drop) —
     * staging-table cleanup for the exactly-once sink. */
   def dropTableIfExists(url: String, table: String,
@@ -173,8 +191,9 @@ object Jdbc {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        val idxName = s"${target.replace('.', '_')}_upsert_key"
         val idx =
-          s"""CREATE INDEX ${target.replace('.', '_')}_upsert_key
+          s"""CREATE INDEX $idxName
              |ON $target (${keys.map(k => s""""$k"""").mkString(", ")})"""
             .stripMargin
         if (!tableExistsOn(conn, target)) {
@@ -188,6 +207,12 @@ object Jdbc {
           st.executeUpdate(s"RENAME TABLE $staging TO $target")
           st.executeUpdate(idx)
         } else {
+          // a PRE-EXISTING target (created by Jdbc.write, not the
+          // first-batch rename) never went through the index branch —
+          // without the key index every batch's NOT EXISTS probe is a
+          // full target scan PER ROW (the quadratic hang the first-batch
+          // comment describes). Catalog-guarded: create it exactly once.
+          if (!indexExistsOn(conn, target, idxName)) st.executeUpdate(idx)
           // Spark's JDBC writer CREATEs columns with quoted (case-exact)
           // identifiers, so unquoted key refs would fold to uppercase
           // and miss — quote them with the DataFrame's exact names

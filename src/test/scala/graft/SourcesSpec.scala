@@ -241,6 +241,40 @@ class SourcesSpec extends SparkSpecBase {
     } finally conn.close()
   }
 
+  test("upsertStaged onto a PRE-EXISTING target creates the key index on " +
+      "the merge path (and only once)") {
+    System.setProperty("derby.system.home", tmp("derby"))
+    val url = "jdbc:derby:memory:graftupsert;create=true"
+    // target created by the plain writer — it never went through
+    // upsertStaged's first-batch rename branch, so without the merge-path
+    // guard it would stay index-less and every NOT EXISTS probe would be
+    // a full scan per staged row
+    Jdbc.write(Seq((1L, "a"), (2L, "b")).toDF("event_id", "v"),
+      url, "landed_pre", org.apache.spark.sql.SaveMode.Overwrite)
+    def land(rows: Seq[(Long, String)]): Unit = {
+      Jdbc.write(rows.toDF("event_id", "v"), url, "landed_pre_stage",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      Jdbc.upsertStaged(url, "landed_pre", "landed_pre_stage", Seq("event_id"))
+    }
+    land(Seq(2L -> "dup", 3L -> "c"))
+    // second batch: the catalog guard must see the existing index and
+    // not re-issue CREATE INDEX (Derby would throw on a duplicate name)
+    land(Seq(3L -> "dup", 4L -> "d"))
+    val got = Jdbc.read(spark, url, "landed_pre").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "LANDED_PRE", false, true)
+      val names = collection.mutable.Set.empty[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME"))
+        .foreach(n => names += n.toLowerCase)
+      rs.close()
+      assert(names.contains("landed_pre_upsert_key"),
+        s"key index missing on pre-existing target; indexes: $names")
+    } finally conn.close()
+  }
+
   test("transaction generator baskets parse with the reference item schema") {
     val txn = Generator.transactionBatch(spark, 2000, seed = 42, startTs = 1700000000L)
     val items = txn.withColumn("items", Baskets.parseItems($"product_metadata"))
