@@ -72,4 +72,35 @@ object Checkpoints {
       case None => df.localCheckpoint(eager = true)
     }
   }
+
+  /** Stats-based partition target for a pinned iteration substrate:
+    * ceil(optimizer-estimated bytes / bytesPerPartition), floor 1. None
+    * when the optimizer has no usable estimate (unknown sizes propagate
+    * as defaultSizeInBytes ≈ Long.Max through joins over pinned RDDs) —
+    * callers keep the current partitioning then. */
+  def sizeMatchedParts(df: DataFrame,
+                       bytesPerPartition: Long = 32L << 20): Option[Int] = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) / 4) None
+    else Some(((bytes + bytesPerPartition - 1) / bytesPerPartition)
+      .min(1 << 20).toInt.max(1))
+  }
+
+  /** [[pin]], with the substrate first coalesced to a size-matched
+    * partition count. An iterative operator re-reads its pinned
+    * substrate EVERY round; when the substrate is small (a design
+    * matrix, an edge fringe) but scan-rooted over many files, each round
+    * otherwise schedules one task per file for kilobytes of work — 40
+    * rounds × 32 file-tasks was the measured q206b overhead at 1×
+    * many-files. Coalesce only ever REDUCES partitions (a 100 TB
+    * substrate keeps its scan parallelism: size-matched count exceeds
+    * the current one and the clamp is a no-op), so big-data behavior is
+    * unchanged. NOT for range-partitioned substrates ([[graft.operators.
+    * Ranks]]) — coalesce would merge the sampler's boundaries. */
+  def pinCompact(df: DataFrame,
+                 bytesPerPartition: Long = 32L << 20): DataFrame =
+    sizeMatchedParts(df, bytesPerPartition) match {
+      case Some(n) if n < df.rdd.getNumPartitions => pin(df.coalesce(n))
+      case _ => pin(df)
+    }
 }

@@ -234,7 +234,7 @@ object Clusters {
     // and the degree join both reference it, and two unmaterialized
     // references re-run the (possibly expensive) upstream pair-mining
     // pipeline twice (the triangles multi-reference lesson)
-    val sym = graft.Checkpoints.pin(pairs
+    val sym = graft.Checkpoints.pinCompact(pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))

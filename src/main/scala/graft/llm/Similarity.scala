@@ -212,7 +212,7 @@ object Similarity {
     val subRows = emb.select(col("vec_id"),
         posexplode(array((0 until m).map(s =>
           slice(col("embedding"), s * subDim + 1, subDim)): _*)).as(Seq("sub", "subvec")))
-      .transform(graft.Checkpoints.pin)
+      .transform(graft.Checkpoints.pinCompact(_))
     val init: Array[Array[Float]] = emb.orderBy("vec_id").limit(k)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     require(init.length >= k,
