@@ -133,7 +133,10 @@ object Bench {
     "q213_stream_gopher_parity",   // per-doc rule filter streamed == batch
     "q214_nfc_encoding_dedup",     // NFC-normalized cross-encoding near-dups
     "q215_stream_cdc_maintenance", // CDC state maintenance via foreachBatch
-    "q216_confusable_fold_dedup"   // NFKC + UTS#39 homoglyph fold key
+    "q216_confusable_fold_dedup",  // NFKC + UTS#39 homoglyph fold key
+    "q210b_avro_nested_roundtrip", // array-of-struct baskets through Avro OCF
+    "q217_tx_stream_compaction_race", // stream sink vs compactor on 240-part tx table
+    "q146b_tx_add_column"          // ADD-COLUMN evolution via the tx log
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -238,7 +241,13 @@ object Bench {
     "q213_stream_gopher_parity" -> 1.77,
     "q214_nfc_encoding_dedup" -> 0.26,
     "q215_stream_cdc_maintenance" -> 1.97,
-    "q216_confusable_fold_dedup" -> 0.49)
+    "q216_confusable_fold_dedup" -> 0.49,
+    // r14 rows (min-of-3, clean window, sf0.1): q217 is the heaviest
+    // fixed-machinery gate by construction — seed + 3 stream batches +
+    // 4 transactional compactions, each rewriting a 240-partition table
+    "q210b_avro_nested_roundtrip" -> 1.37,
+    "q217_tx_stream_compaction_race" -> 8.77,
+    "q146b_tx_add_column" -> 0.89)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

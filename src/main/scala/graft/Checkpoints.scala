@@ -77,9 +77,19 @@ object Checkpoints {
     * ceil(optimizer-estimated bytes / bytesPerPartition), floor 1. None
     * when the optimizer has no usable estimate (unknown sizes propagate
     * as defaultSizeInBytes ≈ Long.Max through joins over pinned RDDs) —
-    * callers keep the current partitioning then. */
+    * callers keep the current partitioning then.
+    *
+    * The default threshold is deliberately SMALL (256 KB of estimated —
+    * i.e. compressed-parquet-derived — bytes per task): the estimate
+    * undercounts both the decoded width and the per-round COMPUTE over
+    * a row (tokenize/bucket/dot-product), so an aggressive value
+    * serializes CPU-bound iteration rounds onto a few cores. Measured:
+    * a 32 MB/partition target coalesced the 32×-scale classifier design
+    * (19 MB compressed, 160k docs) to ONE partition and took q206b from
+    * ~11 s to 85 s — 40 gradient rounds on one core. 256 KB only fires
+    * when tasks are too small to amortize their own launch. */
   def sizeMatchedParts(df: DataFrame,
-                       bytesPerPartition: Long = 32L << 20): Option[Int] = {
+                       bytesPerPartition: Long = 256L << 10): Option[Int] = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) / 4) None
     else Some(((bytes + bytesPerPartition - 1) / bytesPerPartition)
@@ -98,7 +108,7 @@ object Checkpoints {
     * unchanged. NOT for range-partitioned substrates ([[graft.operators.
     * Ranks]]) — coalesce would merge the sampler's boundaries. */
   def pinCompact(df: DataFrame,
-                 bytesPerPartition: Long = 32L << 20): DataFrame =
+                 bytesPerPartition: Long = 256L << 10): DataFrame =
     sizeMatchedParts(df, bytesPerPartition) match {
       case Some(n) if n < df.rdd.getNumPartitions => pin(df.coalesce(n))
       case _ => pin(df)
