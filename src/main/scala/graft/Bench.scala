@@ -135,6 +135,7 @@ object Bench {
     "q215_stream_cdc_maintenance", // CDC state maintenance via foreachBatch
     "q216_confusable_fold_dedup",  // NFKC + UTS#39 homoglyph fold key
     "q210b_avro_nested_roundtrip", // array-of-struct baskets through Avro OCF
+    "q210c_avro_fixed_slice",      // fixed-size Avro twin — O(batch) at any scale
     "q217_tx_stream_compaction_race", // stream sink vs compactor on 240-part tx table
     "q146b_tx_add_column"          // ADD-COLUMN evolution via the tx log
   )
@@ -246,6 +247,7 @@ object Bench {
     // fixed-machinery gate by construction — seed + 3 stream batches +
     // 4 transactional compactions, each rewriting a 240-partition table
     "q210b_avro_nested_roundtrip" -> 1.37,
+    "q210c_avro_fixed_slice" -> 1.24,
     "q217_tx_stream_compaction_race" -> 8.77,
     "q146b_tx_add_column" -> 0.89)
 

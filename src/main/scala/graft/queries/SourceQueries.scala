@@ -2212,6 +2212,43 @@ object SourceQueries {
           max(it.getField("product_id")).as("max_product"))
     },
 
+    // ---- q210c: FIXED-SIZE Avro interchange twin (the q139b/q143b
+    // move): the q210b basket round trip restricted to a fixed
+    // absolute-key slice (l_orderkey <= 60000 — ScaleData copies shift
+    // keys by 1e8, so the slice is constant at ANY scale while the
+    // filter pushes down to the parquet scan and row-group stats skip
+    // every other copy). q210b's 32× ratio is corpus-proportional BY
+    // DESIGN (it rewrites the whole dataset through the interchange
+    // format); this twin is the evidence the Avro machinery itself is
+    // O(batch): a fixed extract costs the same at 1× and 32×.
+    QueryDef.sql("q210c_avro_fixed_slice",
+      """SELECT l_orderkey AS order_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_value
+        |FROM lineitem WHERE l_orderkey <= 60000 GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.Avro
+      val baskets = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 60000L)
+        .groupBy(col("l_orderkey").as("order_id"))
+        .agg(collect_list(struct(
+          col("l_partkey").as("product_id"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("item_price"))).as("items"))
+      val path = scratch("q210c_baskets_avro")
+      Avro.write(baskets, path)
+      val it = col("item")
+      Avro.read(s, path)
+        .select(col("order_id"), explode(col("items")).as("item"))
+        .groupBy("order_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(it.getField("quantity")).as("total_qty"),
+          sum((it.getField("quantity") * it.getField("item_price"))
+            .cast(DecimalType(18, 6))).cast("double").as("total_value"))
+    },
+
     // ---- q211: STREAM-STATIC ENRICHMENT run to completion — the
     // dimension-join shape every landing pipeline has: an events file
     // stream left-joins a BROADCAST static customer dim (re-resolved per

@@ -483,11 +483,17 @@ object TxLog {
           stagedTypes.get(f.name).contains(f.dataType))
         val fullReplace = op == "overwrite" &&
           current.parts.keySet.subsetOf(staged.parts.keySet)
-        require(additive || fullReplace,
-          s"TxLog.commit: staged schema [$ss] drops or retypes columns of " +
-            s"the table's current schema [$cs] — only ADD-COLUMN evolution " +
-            "or a FULL overwrite of every partition may change the schema; " +
-            "align the writer")
+        if (!(additive || fullReplace)) {
+          // TERMINAL refusal (unlike a conflict, no retry can fix a
+          // writer that lost a column) — reclaim the staged files here
+          // rather than leaking them until the next vacuum
+          discard(spark, root, staged)
+          throw new IllegalArgumentException(
+            s"TxLog.commit: staged schema [$ss] drops or retypes columns " +
+              s"of the table's current schema [$cs] — only ADD-COLUMN " +
+              "evolution or a FULL overwrite of every partition may " +
+              "change the schema; align the writer")
+        }
       }
       val next = commits.lastOption.map(_.version)
         .orElse(chk.map(_.version)).getOrElse(0L) + 1

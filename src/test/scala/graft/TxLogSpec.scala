@@ -254,11 +254,13 @@ class TxLogSpec extends SparkSpecBase {
       TxLog.commit(spark, root, staged, "append", readVersion = 0L)
     }
     assert(ex.getMessage.contains("schema"))
-    TxLog.discard(spark, root, staged)
+    // the TERMINAL refusal discarded its own staged files — no leak
+    assert(TxLog.vacuum(spark, root) === 0)
     // partial overwrite with the retyped schema is refused too
     intercept[IllegalArgumentException] {
       TxLog.overwritePartitionsTx(retyped, root, "part")
     }
+    assert(TxLog.vacuum(spark, root) === 0)
     // ADD-COLUMN evolution: an appended superset schema is legitimate —
     // the recorded schema widens and pre-evolution rows NULL-backfill
     TxLog.appendBatchTx(Seq(("a", 9L, "extra")).toDF("part", "n", "note"),
@@ -274,7 +276,7 @@ class TxLogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       TxLog.commit(spark, root, subset, "append", readVersion = 0L)
     }
-    TxLog.discard(spark, root, subset)
+    assert(TxLog.vacuum(spark, root) === 0) // refusal self-discarded
     // time travel to the pre-evolution version reads the OLD schema
     val v1 = TxLog.readSnapshot(spark, root,
       TxLog.snapshotAt(spark, root, 1L), "part")
