@@ -37,6 +37,32 @@ class CheckpointModeSpec extends SparkSpecBase {
     assert(local.nonEmpty)
   }
 
+  test("pinCompact: a tiny many-file substrate coalesces, values " +
+      "identical; stats-blind plans keep their partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pc").toString
+    spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(32).write.parquet(s"$dir/many")
+    val src = spark.read.parquet(s"$dir/many")
+    // split packing may already bundle the 32 tiny files; the coalesce
+    // must still reduce below whatever the scan produced
+    val before = src.rdd.getNumPartitions
+    assert(before > 1, s"fixture degenerate: $before scan partitions")
+    // ~8 KB total → far below 256 KB/task: coalesce fires
+    val compact = Checkpoints.pinCompact(src)
+    assert(compact.rdd.getNumPartitions < before,
+      s"tiny substrate kept ${compact.rdd.getNumPartitions} of $before")
+    assert(compact.orderBy("id").collect().map(_.toSeq).toSeq ===
+      Checkpoints.pin(src).orderBy("id").collect().map(_.toSeq).toSeq)
+    // REDUCTION ONLY: a substrate whose size-matched count meets or
+    // exceeds its current partitioning is left alone — the contract
+    // that keeps a 100 TB substrate's scan parallelism intact. Force it
+    // with a tiny per-task threshold instead of a big fixture.
+    val big = src.repartition(3)
+    val keptN = Checkpoints.pinCompact(big, bytesPerPartition = 1L)
+      .rdd.getNumPartitions
+    assert(keptN === 3, s"reduction-only violated: 3 -> $keptN")
+  }
+
   test("globalRowNumber and globalCumSum identical in both modes") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))

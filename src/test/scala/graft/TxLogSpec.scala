@@ -194,6 +194,34 @@ class TxLogSpec extends SparkSpecBase {
       s"partition filter did not prune: ${scan.metrics("numFiles").value} files read")
   }
 
+  test("one-scan read holds at 240 partitions: single scan node, filter " +
+      "prunes to one file, driver plan stays flat") {
+    import spark.implicits._
+    val root = freshRoot("prune240")
+    // the ≥200-partition shape: one row per partition value
+    TxLog.overwritePartitionsTx(
+      spark.range(0, 240).select(concat(lit("p"), col("id")).as("part"),
+        col("id").as("n")),
+      root, "part")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.parts.size === 240)
+    val full = TxLog.read(spark, root, "part")
+    val scans = full.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 1,
+      s"240-partition table built ${scans.size} scan nodes")
+    assert(full.agg(sum("n")).head.getLong(0) === (0L until 240L).sum)
+    val filtered = TxLog.read(spark, root, "part")
+      .filter(col("part") === "p137")
+    assert(filtered.collect().map(_.getLong(0)).toSeq === Seq(137L))
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metrics("numFiles").value === 1L,
+      s"pruning failed at 240 parts: ${scan.metrics("numFiles").value} files")
+  }
+
   test("snapshotAt time-travels to any retained version; expired versions " +
       "fail loudly") {
     val root = freshRoot("travel")
