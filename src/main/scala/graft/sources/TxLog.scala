@@ -686,17 +686,20 @@ object TxLog {
   }
 
   /** Maintenance: delete data files no live snapshot references —
-    * leftovers of losing/crashed writers and overwritten history. Run
-    * only with no in-flight writers (a concurrently STAGED-not-yet-
-    * committed dir looks unreferenced; production systems add a
-    * retention age — the same contract as Delta VACUUM). Vacuuming also
+    * leftovers of losing/crashed writers and overwritten history.
+    * SAFE UNDER CONCURRENT WRITERS via `minAgeMs` (the Delta VACUUM
+    * retention contract, implemented rather than documented): a
+    * concurrently STAGED-but-not-yet-committed file looks unreferenced,
+    * so only files older than `minAgeMs` are reclaimed — the default
+    * (1 h) exceeds any sane stage→commit window; pass 0 only when no
+    * writer can be in flight (tests, drained pipelines). Vacuuming also
     * bounds [[snapshotAt]] time travel: an older version's METADATA
     * still folds, but its overwritten/removed files are gone — size the
-    * vacuum cadence to the time-travel horizon readers need (Delta's
-    * retention-window contract again). Returns the number of .parquet
-    * DATA FILES reclaimed (writer markers and emptied staging dirs are
-    * removed too but not counted). */
-  def vacuum(spark: SparkSession, root: String): Int = {
+    * vacuum cadence to the time-travel horizon readers need. Returns
+    * the number of .parquet DATA FILES reclaimed (writer markers and
+    * emptied staging dirs are removed too but not counted). */
+  def vacuum(spark: SparkSession, root: String,
+             minAgeMs: Long = 3600000L): Int = {
     // FILE-granular: a partition removal or partial overwrite orphans
     // individual files inside a staging dir whose OTHER files are still
     // live, so directory-level reclamation would leak them forever
@@ -704,6 +707,7 @@ object TxLog {
     val dataDir = new Path(root, "data")
     val fs = fsOf(spark, dataDir)
     if (!fs.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
     // compare PATH STRINGS (scheme-stripped): listStatus returns
     // qualified file:/ paths while `root` may be bare — URI relativize
     // across that difference would no-op and mark every file dead
@@ -713,18 +717,19 @@ object TxLog {
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
       val files = fs.listStatus(d.getPath).flatMap { e =>
         if (e.isDirectory) fs.listStatus(e.getPath) else Array(e)
-      }.filter(_.isFile).map(_.getPath)
-      val (keep, dead) = files.partition { f =>
-        val p = f.toUri.getPath
+      }.filter(_.isFile)
+      val (keep, dead) = files.partition { st =>
+        val p = st.getPath.toUri.getPath
         require(p.startsWith(rootAbs),
           s"vacuum: $p escapes the table root $rootAbs")
-        live.contains(p.stripPrefix(rootAbs))
+        live.contains(p.stripPrefix(rootAbs)) ||
+          st.getModificationTime > cutoff // too young — maybe in flight
       }
       // writer markers (_SUCCESS, .crc) are never log-referenced — they
       // go with their dir but don't count as reclaimed data files
-      dead.foreach { f =>
-        fs.delete(f, false)
-        if (f.getName.endsWith(".parquet")) removed += 1
+      dead.foreach { st =>
+        fs.delete(st.getPath, false)
+        if (st.getPath.getName.endsWith(".parquet")) removed += 1
       }
       if (keep.isEmpty) fs.delete(d.getPath, true) // empty staging dir
     }

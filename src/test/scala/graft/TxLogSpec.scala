@@ -49,7 +49,7 @@ class TxLogSpec extends SparkSpecBase {
     assert(v1 === v2)
     assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0) === 5L)
     // the replay's staged files were discarded, so vacuum finds nothing
-    assert(TxLog.vacuum(spark, root) === 0)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0)
   }
 
   test("stale overlapping commit is refused; disjoint one is not") {
@@ -123,9 +123,13 @@ class TxLogSpec extends SparkSpecBase {
     // overwritten history (v1's file for a) + the orphan both go;
     // v2's live file stays
     TxLog.overwritePartitionsTx(kv("a" -> 2), root, "part")
-    assert(TxLog.vacuum(spark, root) === 2)
-    assert(TxLog.read(spark, root, "part").select("n").head.getLong(0) === 2L)
+    // retention: everything here is seconds old, and a concurrently
+    // STAGED-not-yet-committed writer looks exactly like this orphan —
+    // the default 1 h age must reclaim NOTHING
     assert(TxLog.vacuum(spark, root) === 0)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 2)
+    assert(TxLog.read(spark, root, "part").select("n").head.getLong(0) === 2L)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0)
   }
 
   test("checkpoint + expireLog: fold identical, batch ledger survives, " +
@@ -263,7 +267,7 @@ class TxLogSpec extends SparkSpecBase {
     // retention replay is a no-op commit-wise; vacuum reclaims the
     // dropped partition's now-unreferenced file
     assert(TxLog.dropPartitionsWhereTx(spark, root, _ >= "2024-02") === 0)
-    assert(TxLog.vacuum(spark, root) >= 1)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) >= 1)
     assert(TxLog.read(spark, root, "part").count() === 2L)
     // time travel still reproduces the pre-removal state
     assert(TxLog.snapshotAt(spark, root, snap.version).parts.keySet
@@ -283,12 +287,12 @@ class TxLogSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("schema"))
     // the TERMINAL refusal discarded its own staged files — no leak
-    assert(TxLog.vacuum(spark, root) === 0)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0)
     // partial overwrite with the retyped schema is refused too
     intercept[IllegalArgumentException] {
       TxLog.overwritePartitionsTx(retyped, root, "part")
     }
-    assert(TxLog.vacuum(spark, root) === 0)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0)
     // ADD-COLUMN evolution: an appended superset schema is legitimate —
     // the recorded schema widens and pre-evolution rows NULL-backfill
     TxLog.appendBatchTx(Seq(("a", 9L, "extra")).toDF("part", "n", "note"),
@@ -304,7 +308,7 @@ class TxLogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       TxLog.commit(spark, root, subset, "append", readVersion = 0L)
     }
-    assert(TxLog.vacuum(spark, root) === 0) // refusal self-discarded
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0) // refusal self-discarded
     // time travel to the pre-evolution version reads the OLD schema
     val v1 = TxLog.readSnapshot(spark, root,
       TxLog.snapshotAt(spark, root, 1L), "part")
@@ -351,7 +355,7 @@ class TxLogSpec extends SparkSpecBase {
       ("b", 105L, Some("x"))))
     // stagedB was discarded (no leak); vacuum reclaims exactly the two
     // SUPERSEDED b files (v1's and the evolve append's), nothing else
-    assert(TxLog.vacuum(spark, root) === 2)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 2)
     assert(TxLog.read(spark, root, "part").count() === 3L)
   }
 
