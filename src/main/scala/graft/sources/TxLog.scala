@@ -157,8 +157,28 @@ object TxLog {
 
   /** The latest checkpoint (if any) plus every commit AFTER it, in
     * version order. Commits at or before the checkpoint are redundant
-    * (and may have been deleted by [[expireLog]]). */
+    * (and may have been deleted by [[expireLog]]).
+    *
+    * SAFE UNDER CONCURRENT MAINTENANCE: a listing taken just before a
+    * checkpoint+expire can name commit files the expirer deletes before
+    * we read them — that is not an error, it is the signal that a NEWER
+    * checkpoint now folds their content, so re-list and fold from it.
+    * Bounded retries: each miss requires a full checkpoint+expire cycle
+    * to have landed in the window, so repeated misses mean pathological
+    * maintenance churn, worth failing loudly. */
   private def readLog(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      try return readLogOnce(spark, root)
+      catch { case _: java.io.FileNotFoundException => () }
+    }
+    sys.error(s"TxLog.readLog: commit files at $root vanished mid-read 5 " +
+      "times in a row — maintenance (checkpoint+expireLog) is churning " +
+      "faster than readers can list; back off the maintenance cadence")
+  }
+
+  private def readLogOnce(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) = {
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) return (None, Seq.empty)

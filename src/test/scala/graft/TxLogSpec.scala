@@ -428,6 +428,44 @@ class TxLogSpec extends SparkSpecBase {
       .select("n").head.getLong(0) === 99L)
   }
 
+  test("thread race: readers survive concurrent checkpoint+expireLog " +
+      "maintenance (vanished commit files re-list, never throw)") {
+    val root = freshRoot("maintrace")
+    TxLog.overwritePartitionsTx(kv("x" -> 1), root, "part")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 10).foreach { i =>
+          TxLog.appendBatchTx(kv("x" -> (10L * i)), root, "part", s"m$i"): Unit
+        }
+      })
+      val maint = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = while (!stop.get()) {
+          TxLog.checkpoint(spark, root)
+          TxLog.expireLog(spark, root): Unit
+        }
+      })
+      val reader = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = while (!stop.get()) {
+          // snapshot() is the metadata hot path (readLog) — thousands of
+          // list+read cycles against the churning maintenance loop
+          try { TxLog.snapshot(spark, root); reads.incrementAndGet(): Unit }
+          catch { case t: Throwable => readErr.set(t); stop.set(true) }
+        }
+      })
+      writer.get(); stop.set(true); maint.get(); reader.get()
+    } finally pool.shutdown()
+    assert(readErr.get() === null,
+      s"reader threw under maintenance churn: ${readErr.get()}")
+    assert(reads.get() > 0L)
+    val total = TxLog.read(spark, root, "part")
+      .agg(sum("n")).head.getLong(0)
+    assert(total === 1L + (1 to 10).map(10L * _).sum)
+  }
+
   test("thread race: compaction vs concurrent batch appends loses nothing") {
     val root = freshRoot("compactrace")
     TxLog.overwritePartitionsTx(kv("x" -> 1, "y" -> 2), root, "part")
