@@ -701,8 +701,15 @@ object TxLog {
     val floor = names.collect { case ChkRe(v) => v.toLong }.sorted.lastOption
       .getOrElse(return 0)
     val dead = names.collect { case n @ VersionRe(v) if v.toLong <= floor => n }
-    dead.foreach(n => fs.delete(new Path(dir, n), false))
-    dead.length
+    // superseded CHECKPOINTS go too (readLog only ever folds from the
+    // latest; an hourly checkpoint cadence would otherwise accumulate
+    // thousands of O(partitions)-sized files in the log dir forever).
+    // Readers racing this hold the latest-at-their-listing checkpoint,
+    // which is never the one deleted here — and a vanished older chk
+    // re-lists through readLog's retry like an expired commit.
+    val deadChk = names.collect { case n @ ChkRe(v) if v.toLong < floor => n }
+    (dead ++ deadChk).foreach(n => fs.delete(new Path(dir, n), false))
+    dead.length + deadChk.length
   }
 
   /** Maintenance: delete data files no live snapshot references —

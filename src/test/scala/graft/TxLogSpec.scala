@@ -172,6 +172,16 @@ class TxLogSpec extends SparkSpecBase {
     // commits continue past the checkpoint; a fresh snapshot sees them
     assert(TxLog.snapshot(spark, root).version === 4L)
     assert(preSnap.version === 3L)
+    // a second checkpoint supersedes the first; expire removes BOTH the
+    // folded delta and the superseded checkpoint file — the log dir
+    // holds exactly one .chk no matter how many maintenance cycles ran
+    val cv2 = TxLog.checkpoint(spark, root)
+    assert(cv2 === 4L)
+    assert(TxLog.expireLog(spark, root) === 2) // the v4 delta + old chk
+    val logFiles = new java.io.File(s"$root/_txlog").list().toSeq
+    assert(logFiles.count(_.endsWith(".chk")) === 1)
+    assert(TxLog.snapshot(spark, root).version === 4L)
+    assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0) === 33L)
   }
 
   test("snapshot read is ONE scan; a partition filter prunes at the " +
