@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class TxFileIndex(spark: SparkSession, root: String,
                         parts: Map[String, Seq[String]],
-                        override val partitionSchema: StructType)
+                        override val partitionSchema: StructType,
+                        stats: TxLog.FileStats = Map.empty)
     extends FileIndex {
   require(partitionSchema.length == 1,
     "TxFileIndex: exactly one partition column")
@@ -46,8 +47,9 @@ final class TxFileIndex(spark: SparkSession, root: String,
 
   /** One listing per staging dir (not per file): commits stage whole
     * `partCol=v` directories, so grouping by parent turns O(files)
-    * RPCs into O(staged dirs). */
-  private lazy val partitionDirs: Seq[PartitionDirectory] = {
+    * RPCs into O(staged dirs). Rel paths ride along so [[listFiles]]
+    * can consult the log's per-file stats ([[TxStats]] skipping). */
+  private lazy val dirsWithRel: Seq[(InternalRow, Seq[(String, FileStatus)])] = {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val wanted: Map[Path, Map[String, Seq[String]]] = parts.toSeq
@@ -71,26 +73,40 @@ final class TxFileIndex(spark: SparkSession, root: String,
           }
     }.toMap
     parts.toSeq.sortBy(_._1).map { case (v, rels) =>
-      val sts = rels.map(rel => statusByRel.getOrElse(rel,
+      val sts = rels.map(rel => rel -> statusByRel.getOrElse(rel,
         sys.error(s"TxFileIndex: live file $rel missing under $root — " +
           "vacuum ran inside a reader's window?")))
-      PartitionDirectory(valueRow(v), sts.toArray)
+      (valueRow(v), sts)
     }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    if (partitionFilters.isEmpty) partitionDirs
-    else {
-      // the InMemoryFileIndex pruning contract: bind the (single)
-      // partition attribute and evaluate against each value row
-      val bound = Predicate.createInterpreted(
-        partitionFilters.reduce(And).transform {
-          case _: AttributeReference =>
-            BoundReference(0, partType, nullable = true)
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val afterPart =
+      if (partitionFilters.isEmpty) dirsWithRel
+      else {
+        // the InMemoryFileIndex pruning contract: bind the (single)
+        // partition attribute and evaluate against each value row
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case _: AttributeReference =>
+              BoundReference(0, partType, nullable = true)
+          })
+        dirsWithRel.filter { case (row, _) => bound.eval(row) }
+      }
+    // file-level data skipping: drop files whose recorded min/max prove
+    // no row can pass the data filters (files without stats always stay)
+    val afterStats =
+      if (dataFilters.isEmpty || stats.isEmpty) afterPart
+      else afterPart.map { case (row, files) =>
+        (row, files.filter { case (rel, _) =>
+          stats.get(rel).forall(TxStats.mightMatch(dataFilters, _))
         })
-      partitionDirs.filter(pd => bound.eval(pd.values))
+      }.filter(_._2.nonEmpty)
+    afterStats.map { case (row, files) =>
+      PartitionDirectory(row, files.map(_._2).toArray)
     }
+  }
 
   override def inputFiles: Array[String] =
     parts.values.flatten.map(rel => s"$root/$rel").toArray
@@ -98,5 +114,5 @@ final class TxFileIndex(spark: SparkSession, root: String,
   override def refresh(): Unit = () // immutable snapshot
 
   override lazy val sizeInBytes: Long =
-    partitionDirs.iterator.flatMap(_.files).map(_.getLen).sum
+    dirsWithRel.iterator.flatMap(_._2).map(_._2.getLen).sum
 }

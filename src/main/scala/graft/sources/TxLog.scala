@@ -100,27 +100,36 @@ object TxLog {
         s"[${partitions.mkString(", ")}] this transaction also writes — " +
         "re-derive from the new snapshot and retry")
 
+  /** relFile → column → (min, max) in [[TxStats]]' string encoding. */
+  type FileStats = Map[String, Map[String, (String, String)]]
+
   /** One applied commit: `op` is "overwrite" or "append"; `parts` maps the
-    * RAW partition value to the relative data-file paths it contributes. */
+    * RAW partition value to the relative data-file paths it contributes;
+    * `stats` carries the added files' footer min/max for data skipping. */
   final case class Commit(version: Long, op: String, readVersion: Long,
                           batchId: Option[String],
                           parts: Map[String, Seq[String]],
-                          schema: Option[String] = None)
+                          schema: Option[String] = None,
+                          stats: FileStats = Map.empty)
 
   /** Resolved table state: partition value → live relative file paths,
     * plus the table schema AS OF this version (DDL, partition column
     * excluded — the single source of truth the snapshot scan reads with,
     * which is what NULL-backfills pre-evolution files without footer
-    * merging). None only on legacy logs written before schema recording. */
+    * merging). None only on legacy logs written before schema recording.
+    * `stats` covers live files only (pre-stats generations simply have
+    * no entry and are never skipped). */
   final case class Snapshot(version: Long, parts: Map[String, Seq[String]],
-                            schema: Option[String] = None)
+                            schema: Option[String] = None,
+                            stats: FileStats = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
     * commit-time guard against schema-mismatched writes poisoning the
     * union read. None only for synthesized metadata-only ops (remove). */
   final case class Staged(parts: Map[String, Seq[String]],
-                          schema: Option[String] = None)
+                          schema: Option[String] = None,
+                          stats: FileStats = Map.empty)
 
   private def logDir(root: String) = new Path(root, "_txlog")
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -144,7 +153,8 @@ object TxLog {
   private final case class Chk(version: Long,
                                parts: Map[String, Seq[String]],
                                batchIds: Set[String],
-                               schema: Option[String] = None)
+                               schema: Option[String] = None,
+                               stats: FileStats = Map.empty)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -216,13 +226,29 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).filter(_ != "-") }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
-      fieldOpt("schema").filter(_ != "-").map(unesc))
+      fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines))
   }
+
+  /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
+    * share the shape). Logs written before stats recording simply have
+    * none — their files are never skipped. */
+  private def parseStats(lines: Seq[String]): FileStats =
+    lines.filter(_.startsWith("s\t")).map(_.split("\t"))
+      .map { case Array(_, f, c, mn, mx) => (f, (unesc(c), (unesc(mn), unesc(mx)))) }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toMap }
+
+  private def renderStats(stats: FileStats): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"s\t$f\t${esc(c)}\t${esc(mn)}\t${esc(mx)}"
+      }
+    }
 
   private def renderCommit(op: String, readVersion: Long,
                            batchId: Option[String],
                            parts: Map[String, Seq[String]],
-                           schema: Option[String]): String = {
+                           schema: Option[String],
+                           stats: FileStats): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}")
@@ -232,7 +258,7 @@ object TxLog {
       if (fs.isEmpty) Seq(s"p\t${esc(v)}\t-")
       else fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
-    (header ++ rows).mkString("\n") + "\n"
+    (header ++ rows ++ renderStats(stats)).mkString("\n") + "\n"
   }
 
   private def parseChk(version: Long, body: String): Chk = {
@@ -247,18 +273,19 @@ object TxLog {
     val schema = lines
       .collectFirst { case l if l.startsWith("schema=") => l.drop(7) }
       .filter(_ != "-").map(unesc)
-    Chk(version, parts, batchIds, schema)
+    Chk(version, parts, batchIds, schema, parseStats(lines))
   }
 
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
-                        schema: Option[String]): String = {
+                        schema: Option[String],
+                        stats: FileStats): String = {
     val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
-      rows).mkString("\n") + "\n"
+      rows ++ renderStats(stats)).mkString("\n") + "\n"
   }
 
   /** Publish `body` as version file `v<version>.txn` — atomically, and
@@ -303,9 +330,17 @@ object TxLog {
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
+    // stats: staged dirs are UUID-fresh so file paths never collide across
+    // commits — merge, then keep live files only (overwrite/remove drop
+    // their victims' entries here, and the checkpoint inherits the
+    // already-pruned map)
+    val live = parts.valuesIterator.flatten.toSet
+    val stats = (chk.map(_.stats).getOrElse(Map.empty: FileStats) ++
+      commits.iterator.flatMap(_.stats)).filter { case (f, _) => live(f) }
     Snapshot(commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L), parts,
-      (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption)
+      (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption,
+      stats)
   }
 
   /** Fold the commit log into the current table state. Version 0 = empty
@@ -358,7 +393,7 @@ object TxLog {
     val partSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(partCol, partType)))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new TxFileIndex(spark, root, snap.parts, partSchema),
+      new TxFileIndex(spark, root, snap.parts, partSchema, snap.stats),
       partitionSchema = partSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -410,9 +445,16 @@ object TxLog {
     // top-level nullability is erased before recording: parquet round
     // trips make columns nullable and the union read widens it anyway —
     // only STRUCTURAL drift (names/types/order) poisons the table
-    Staged(parts, Some(org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(_.name == partCol)
-        .map(_.copy(nullable = true))).toDDL))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(_.name == partCol).map(_.copy(nullable = true)))
+    // footer min/max per staged file → data skipping at read time
+    // (graft.txlog.stats=false opts a writer out; readers treat absent
+    // stats as unskippable, so mixed writer configs stay correct)
+    val stats =
+      if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
+        TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
+      else Map.empty: FileStats
+    Staged(parts, Some(dataSchema.toDDL), stats)
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup). */
@@ -519,7 +561,7 @@ object TxLog {
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            staged.schema)))
+            staged.schema, staged.stats)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -683,7 +725,7 @@ object TxLog {
     val schema = (chk.flatMap(_.schema).toSeq ++
       commits.flatMap(_.schema)).lastOption
     tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChk(snap.parts, batchIds, schema))
+      renderChk(snap.parts, batchIds, schema, snap.stats))
     snap.version
   }
 

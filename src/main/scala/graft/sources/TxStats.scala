@@ -1,0 +1,200 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types._
+
+/** Per-file column min/max statistics riding the transaction log — the
+  * Delta/Iceberg data-skipping move: each commit records, for every data
+  * file it adds, the footer min/max of the skippable columns, and
+  * [[TxFileIndex]] evaluates the scan's `dataFilters` against those
+  * ranges BEFORE any task launches. At 100 TB this is the difference
+  * between "prune to the partition" and "prune to the file": a point or
+  * range predicate on a clustered/monotonic column (event time, ingest
+  * batch key, id range) reads O(matching files), not O(partition).
+  *
+  * Collection is a footer-metadata job — O(files) tasks touching only
+  * row-group headers, never data pages — run once per [[TxLog.stage]],
+  * distributed so a large batch commit never serializes footer reads on
+  * the driver. Skipping is CONSERVATIVE by construction: a file with no
+  * recorded stat for a column (all-null row group, binary/string
+  * physical type, pre-stats log generations, INT96 timestamps) is never
+  * skipped, and only predicate shapes whose range logic is airtight
+  * (comparison/equality/IN against a same-typed non-null literal)
+  * participate. Strings are deliberately excluded: parquet binary stats
+  * carry truncation and signed/unsigned-ordering pitfalls the numeric
+  * types don't have.
+  *
+  * Reference behavior anchor: the reference warehouse reads filter on
+  * numeric/date keys after loading whole tables
+  * (ecommerce-etl-pipeline `sales_analytics_dag.py` date-window scans);
+  * here the same predicates prune at file granularity instead.
+  */
+object TxStats {
+
+  /** Spark types whose parquet footer statistics are recorded. */
+  def eligible(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | DateType | TimestampType | TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18 // INT32/INT64-backed unscaled
+    case _ => false
+  }
+
+  /** Distributed footer-stat collection for freshly staged files: one
+    * job over the file list, each task opening only the parquet FOOTER
+    * (row-group metadata; no data page is read). Returns
+    * relFile → col → (min, max) in the log's string encoding. */
+  def collect(spark: SparkSession, root: String, relFiles: Seq[String],
+              schema: StructType): Map[String, Map[String, (String, String)]] = {
+    val cols = schema.fields.filter(f => eligible(f.dataType)).map(_.name).toSet
+    if (cols.isEmpty || relFiles.isEmpty) return Map.empty
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
+      .map(rel => rel -> fileStats(conf.value, new Path(root, rel), cols))
+      .collect().toMap.filter(_._2.nonEmpty)
+  }
+
+  /** Footer min/max per eligible column of one file. A column with ANY
+    * row group lacking usable numeric stats yields no entry at all —
+    * a partial range would skip files it must not. */
+  private[sources] def fileStats(conf: Configuration, file: Path,
+      cols: Set[String]): Map[String, (String, String)] = {
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val acc = mutable.Map.empty[String, (Any, Any)]
+      val dead = mutable.Set.empty[String]
+      rdr.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString // top-level columns only
+          if (cols.contains(name) && !dead.contains(name)) {
+            val st = cc.getStatistics
+            val mnmx =
+              if (st != null && !st.isEmpty && st.hasNonNullValue)
+                (st.genericGetMin, st.genericGetMax)
+              else null
+            mnmx match {
+              // INT32/INT64/FLOAT/DOUBLE physical stats only — Binary
+              // (strings, INT96, wide decimals) and Boolean fall through
+              case (mn: java.lang.Number, mx: java.lang.Number)
+                  if supported(mn) && supported(mx) =>
+                val merged = acc.get(name) match {
+                  case Some((m0, x0)) => (minOf(m0, mn), maxOf(x0, mx))
+                  case None => (mn: Any, mx: Any)
+                }
+                acc(name) = merged
+              case _ =>
+                dead += name
+                acc -= name
+            }
+          }
+        }
+      }
+      acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap
+    } finally rdr.close()
+  }
+
+  private def supported(n: Any): Boolean = n match {
+    case _: java.lang.Integer | _: java.lang.Long |
+         _: java.lang.Float | _: java.lang.Double => true
+    case _ => false
+  }
+
+  private def minOf(a: Any, b: Any): Any = if (lt(b, a)) b else a
+  private def maxOf(a: Any, b: Any): Any = if (lt(a, b)) b else a
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Float, y: java.lang.Float) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) => x < y
+    case _ => sys.error(s"TxStats: mixed stat types ${a.getClass}/${b.getClass}")
+  }
+
+  /** The log's string encoding back to the CATALYST-internal value of
+    * the column's Spark type (days for dates, micros for timestamps,
+    * unscaled long for decimals — exactly what the footer recorded). */
+  private def decode(s: String, t: DataType): Any = t match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case d: DecimalType => Decimal(s.toLong, d.precision, d.scale)
+    case other => sys.error(s"TxStats: no decoder for $other")
+  }
+
+  /** Could `file` (with recorded `stats`) contain a row passing ALL of
+    * `filters`? False ⇒ the file is provably irrelevant and is skipped.
+    * Anything not provably irrelevant — unknown predicate shape, missing
+    * stat, type mismatch, null/NaN/±0.0 literal — keeps the file. */
+  def mightMatch(filters: Seq[Expression],
+                 stats: Map[String, (String, String)]): Boolean =
+    filters.forall(f => might(f, stats))
+
+  private def might(e: Expression, st: Map[String, (String, String)]): Boolean =
+    e match {
+      case And(l, r) => might(l, st) && might(r, st)
+      case Or(l, r) => might(l, st) || might(r, st)
+      case EqualTo(a: AttributeReference, Literal(v, t)) => rng(st, a, v, t, "eq")
+      case EqualTo(Literal(v, t), a: AttributeReference) => rng(st, a, v, t, "eq")
+      case EqualNullSafe(a: AttributeReference, Literal(v, t)) if v != null =>
+        rng(st, a, v, t, "eq")
+      case EqualNullSafe(Literal(v, t), a: AttributeReference) if v != null =>
+        rng(st, a, v, t, "eq")
+      case GreaterThan(a: AttributeReference, Literal(v, t)) => rng(st, a, v, t, "gt")
+      case GreaterThan(Literal(v, t), a: AttributeReference) => rng(st, a, v, t, "lt")
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) => rng(st, a, v, t, "gte")
+      case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) => rng(st, a, v, t, "lte")
+      case LessThan(a: AttributeReference, Literal(v, t)) => rng(st, a, v, t, "lt")
+      case LessThan(Literal(v, t), a: AttributeReference) => rng(st, a, v, t, "gt")
+      case LessThanOrEqual(a: AttributeReference, Literal(v, t)) => rng(st, a, v, t, "lte")
+      case LessThanOrEqual(Literal(v, t), a: AttributeReference) => rng(st, a, v, t, "gte")
+      case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
+        elems.exists { case Literal(v, t) => rng(st, a, v, t, "eq") }
+      case InSet(a: AttributeReference, vs) =>
+        vs.exists(v => rng(st, a, v, a.dataType, "eq"))
+      case _ => true // IsNull/IsNotNull/Not/casts/UDF shapes: never skip
+    }
+
+  /** Range check; true = might match (keep the file). */
+  private def rng(st: Map[String, (String, String)], a: AttributeReference,
+                  v: Any, t: DataType, op: String): Boolean = {
+    if (v == null || t != a.dataType || floatEdge(v)) return true
+    st.get(a.name) match {
+      case None => true
+      case Some((mnS, mxS)) =>
+        try {
+          val ord = TypeUtils.getInterpretedOrdering(a.dataType)
+            .asInstanceOf[Ordering[Any]]
+          val mn = decode(mnS, a.dataType)
+          val mx = decode(mxS, a.dataType)
+          op match {
+            case "eq" => ord.lteq(mn, v) && ord.gteq(mx, v)
+            case "gt" => ord.gt(mx, v) // a row with a.value > v exists?
+            case "gte" => ord.gteq(mx, v)
+            case "lt" => ord.lt(mn, v)
+            case "lte" => ord.lteq(mn, v)
+            case _ => true
+          }
+        } catch { case scala.util.control.NonFatal(_) => true }
+    }
+  }
+
+  /** NaN never lands in footer bounds and ±0.0 ordering differs between
+    * IEEE compare and SQL equality — both make range logic unsound, so
+    * such literals never prune. */
+  private def floatEdge(v: Any): Boolean = v match {
+    case f: java.lang.Float => f.isNaN || f.floatValue() == 0.0f
+    case d: java.lang.Double => d.isNaN || d.doubleValue() == 0.0d
+    case _ => false
+  }
+}

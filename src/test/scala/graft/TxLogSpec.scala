@@ -236,6 +236,93 @@ class TxLogSpec extends SparkSpecBase {
       s"pruning failed at 240 parts: ${scan.metrics("numFiles").value} files")
   }
 
+  test("data skipping: recorded min/max prunes files a filter proves dead, " +
+      "survives checkpoint+expire, and is recomputed by compaction") {
+    val root = freshRoot("skip")
+    // three appends with disjoint n ranges → 3 one-value files per partition
+    TxLog.appendBatchTx(kv("a" -> 1, "b" -> 2), root, "part", "s1")
+    TxLog.appendBatchTx(kv("a" -> 10, "b" -> 20), root, "part", "s2")
+    TxLog.appendBatchTx(kv("a" -> 100, "b" -> 200), root, "part", "s3")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.stats.size === 6, s"expected stats on all 6 files: ${snap.stats}")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(): Unit
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    // point lookup: exactly the one file whose range covers it
+    val eq = TxLog.read(spark, root, "part").filter(col("n") === 20L)
+    assert(eq.select("part").collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(filesRead(eq) === 1L, "n=20 must read exactly one file")
+    // range: two files at or above 100
+    assert(filesRead(
+      TxLog.read(spark, root, "part").filter(col("n") >= 100L)) === 2L)
+    // provably-dead predicate: zero files, empty result
+    val dead = TxLog.read(spark, root, "part").filter(col("n") === 55L)
+    assert(dead.count() === 0L)
+    assert(filesRead(dead) === 0L, "no file range covers 55")
+    // stats survive the checkpoint+expire cycle
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root)
+    assert(TxLog.snapshot(spark, root).stats === snap.stats)
+    assert(filesRead(
+      TxLog.read(spark, root, "part").filter(col("n") === 20L)) === 1L,
+      "skipping must survive log expiry via checkpoint stats")
+    // compaction rewrites files — fresh stats for the new files, and the
+    // widened per-partition ranges keep exactly the covering files
+    TxLog.compactPartitionsTx(spark, root, "part")
+    val post = TxLog.snapshot(spark, root)
+    val ranges = post.parts.map { case (v, fs) =>
+      v -> post.stats(fs.head)("n")
+    }
+    assert(ranges === Map("a" -> ("1", "100"), "b" -> ("2", "200")))
+    val eq2 = TxLog.read(spark, root, "part").filter(col("n") === 20L)
+    assert(eq2.select("part").collect().map(_.getString(0)).toSeq === Seq("b"))
+    // a's compacted range [1,100] covers 20 — conservatively read (2 files)
+    assert(filesRead(eq2) === 2L)
+  }
+
+  test("data skipping: stats-less files (opt-out writers, pre-stats logs) " +
+      "are never skipped; date and decimal keys prune") {
+    val root = freshRoot("skipmixed")
+    spark.conf.set("graft.txlog.stats", "false")
+    try TxLog.appendBatchTx(kv("a" -> 1), root, "part", "m1")
+    finally spark.conf.set("graft.txlog.stats", "true")
+    TxLog.appendBatchTx(kv("a" -> 10), root, "part", "m2")
+    val snap = TxLog.snapshot(spark, root)
+    assert(snap.stats.size === 1, "opt-out file must carry no stats")
+    val f = TxLog.read(spark, root, "part").filter(col("n") === 999L)
+    f.collect(): Unit
+    val read = f.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.metrics("numFiles").value
+    // the stats-bearing file [10,10] is skipped; the opt-out file must
+    // still be read (absence of stats can never mean absence of data)
+    assert(read === 1L, s"expected only the stats-less file read, got $read")
+
+    // date + decimal ranges
+    import spark.implicits._
+    val root2 = freshRoot("skiptyped")
+    def batch(d: String, m: String) = Seq((d, m)).toDF("ds", "ms")
+      .select(lit("x").as("part"), to_date(col("ds")).as("d"),
+        col("ms").cast("decimal(9,2)").as("m"))
+    TxLog.appendBatchTx(batch("2024-01-15", "1.25"), root2, "part", "t1")
+    TxLog.appendBatchTx(batch("2024-07-20", "8.75"), root2, "part", "t2")
+    def readCount(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(): Unit
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    assert(readCount(TxLog.read(spark, root2, "part")
+      .filter(col("d") >= lit(java.sql.Date.valueOf("2024-06-01")))) === 1L,
+      "date range must prune to the covering file")
+    assert(readCount(TxLog.read(spark, root2, "part")
+      .filter(col("m") < lit(new java.math.BigDecimal("5.00")))) === 1L,
+      "decimal range must prune to the covering file")
+  }
+
   test("snapshotAt time-travels to any retained version; expired versions " +
       "fail loudly") {
     val root = freshRoot("travel")
