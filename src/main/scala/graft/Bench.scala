@@ -137,7 +137,8 @@ object Bench {
     "q210b_avro_nested_roundtrip", // array-of-struct baskets through Avro OCF
     "q210c_avro_fixed_slice",      // fixed-size Avro twin — O(batch) at any scale
     "q217_tx_stream_compaction_race", // stream sink vs compactor on 240-part tx table
-    "q146b_tx_add_column"          // ADD-COLUMN evolution via the tx log
+    "q146b_tx_add_column",         // ADD-COLUMN evolution via the tx log
+    "q218_tx_data_skipping"        // per-file min/max skipping via log stats
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -245,11 +246,16 @@ object Bench {
     "q216_confusable_fold_dedup" -> 0.49,
     // r14 rows (min-of-3, clean window, sf0.1): q217 is the heaviest
     // fixed-machinery gate by construction — seed + 3 stream batches +
-    // 4 transactional compactions, each rewriting a 240-partition table
+    // 4 transactional compactions, each rewriting a 240-partition table.
+    // q217/q146b re-recorded after per-file stats collection landed in
+    // stage() (footer reads per staged file + occasional extra conflict
+    // round in the compaction race — the priced-in cost of data
+    // skipping on every subsequent read)
     "q210b_avro_nested_roundtrip" -> 1.37,
     "q210c_avro_fixed_slice" -> 1.24,
-    "q217_tx_stream_compaction_race" -> 8.77,
-    "q146b_tx_add_column" -> 0.89)
+    "q217_tx_stream_compaction_race" -> 11.30,
+    "q146b_tx_add_column" -> 1.10,
+    "q218_tx_data_skipping" -> 2.05)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2514,6 +2514,60 @@ object SourceQueries {
           countDistinct(col("event_id")).as("n_ids"),
           dsum(col("value")).as("total_value"))
         .withColumn("one_file_per_part", lit(maxFiles.toLong))
+    },
+
+    // ---- q218: FILE-LEVEL DATA SKIPPING through the tx log. Orders
+    // land in four key-range batches (one file per priority partition
+    // per batch, each with a recorded disjoint o_orderkey range); a
+    // range predicate on the key must then read only the files whose
+    // recorded min/max covers it — at most HALF the live file list
+    // (gated: skipping_ok, plus a loud require). The values themselves
+    // are oracled straight from the raw orders table under the same
+    // threshold, so a skip that drops a live row fails the value
+    // compare, and a stats bug that skips nothing fails the file gate.
+    QueryDef.sql("q218_tx_data_skipping",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS skipping_ok
+         |FROM orders
+         |WHERE o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) / 2.0) AS BIGINT) FROM orders)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q218_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = Long.MinValue
+      (1 to 4).foreach { i =>
+        val hi = maxKey * i / 4
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, "o_orderpriority", s"q218-b$i")
+        lo = hi
+      }
+      val totalFiles =
+        TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      val thr = maxKey / 2
+      // shuffle-free probe (AQE leaves it unwrapped, so the scan node is
+      // directly collectible); no rows reach the driver
+      val probe = TxLog.read(s, root, "o_orderpriority")
+        .filter(col("o_orderkey") > thr).select("o_orderpriority")
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val read = probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+      require(read * 2 <= totalFiles,
+        s"q218: data skipping left $read of $totalFiles files in the scan")
+      TxLog.read(s, root, "o_orderpriority")
+        .filter(col("o_orderkey") > thr)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("skipping_ok",
+          lit(if (read * 2 <= totalFiles) 1L else 0L))
     }
   )
 }

@@ -47,20 +47,44 @@ object TxStats {
     case _ => false
   }
 
-  /** Distributed footer-stat collection for freshly staged files: one
-    * job over the file list, each task opening only the parquet FOOTER
-    * (row-group metadata; no data page is read). Returns
-    * relFile → col → (min, max) in the log's string encoding. */
+  /** Footer-stat collection for freshly staged files — row-group
+    * metadata only, no data page is ever read. Small batches (the
+    * steady-state commit: a stream epoch, a partition-scoped compaction)
+    * read footers on a driver-side thread pool — a Spark job's schedule/
+    * serialize overhead would dominate sub-millisecond footer reads.
+    * Large batches (an initial backfill staging thousands of files) fan
+    * out as one job so the driver never serializes O(files) round trips
+    * to an object store. Returns relFile → col → (min, max) in the
+    * log's string encoding. */
   def collect(spark: SparkSession, root: String, relFiles: Seq[String],
               schema: StructType): Map[String, Map[String, (String, String)]] = {
     val cols = schema.fields.filter(f => eligible(f.dataType)).map(_.name).toSet
     if (cols.isEmpty || relFiles.isEmpty) return Map.empty
-    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
-    spark.sparkContext
-      .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
-      .map(rel => rel -> fileStats(conf.value, new Path(root, rel), cols))
-      .collect().toMap.filter(_._2.nonEmpty)
+    if (relFiles.size <= DriverSideMax) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, relFiles.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = relFiles.map { rel =>
+          new java.util.concurrent.Callable[(String, Map[String, (String, String)])] {
+            def call() = rel -> fileStats(conf, new Path(root, rel), cols)
+          }
+        }
+        pool.invokeAll(tasks.asJava).asScala
+          .map(_.get()).filter(_._2.nonEmpty).toMap
+      } finally pool.shutdown()
+    } else {
+      val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
+        .map(rel => rel -> fileStats(conf.value, new Path(root, rel), cols))
+        .collect().toMap.filter(_._2.nonEmpty)
+    }
   }
+
+  /** Below this many staged files, footer reads stay on the driver pool. */
+  private val DriverSideMax = 512
 
   /** Footer min/max per eligible column of one file. A column with ANY
     * row group lacking usable numeric stats yields no entry at all —
