@@ -138,7 +138,8 @@ object Bench {
     "q210c_avro_fixed_slice",      // fixed-size Avro twin — O(batch) at any scale
     "q217_tx_stream_compaction_race", // stream sink vs compactor on 240-part tx table
     "q146b_tx_add_column",         // ADD-COLUMN evolution via the tx log
-    "q218_tx_data_skipping"        // per-file min/max skipping via log stats
+    "q218_tx_data_skipping",       // per-file min/max skipping via log stats
+    "q220_tx_metadata_count"       // COUNT answered from the log, zero scan
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -255,7 +256,8 @@ object Bench {
     "q210c_avro_fixed_slice" -> 1.24,
     "q217_tx_stream_compaction_race" -> 11.30,
     "q146b_tx_add_column" -> 1.10,
-    "q218_tx_data_skipping" -> 2.05)
+    "q218_tx_data_skipping" -> 2.05,
+    "q220_tx_metadata_count" -> 1.70)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2568,6 +2568,41 @@ object SourceQueries {
           dsum(col("o_totalprice")).as("total_price"))
         .withColumn("skipping_ok",
           lit(if (read * 2 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q220: METADATA-ONLY COUNT through the tx log (the Delta
+    // numRecords move — at 100 TB a COUNT(*) by partition must not be
+    // a table scan). Events land in three batches (multiple files per
+    // bucket partition), one partition is transactionally removed, and
+    // the per-partition counts are answered ENTIRELY from the log's
+    // recorded footer row counts: the result DataFrame is constructed
+    // on the driver — zero tasks touch a data file — and every value
+    // must equal DuckDB counting the raw events under the same bucket
+    // rule and removal.
+    QueryDef.sql("q220_tx_metadata_count",
+      """SELECT CAST(event_id % 8 AS VARCHAR) AS bucket,
+        |  COUNT(*) AS n_rows
+        |FROM events WHERE event_id % 8 <> 5
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q220_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        pmod(col("event_id"), lit(8)).cast("string").as("bucket"))
+      (0 until 3).foreach { i =>
+        TxLog.appendBatchTx(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          root, "bucket", s"q220-b$i")
+      }
+      TxLog.removePartitionsTx(s, root, Seq("5"))
+      val counts = TxLog.partitionCounts(s, root).toSeq.sortBy(_._1)
+      require(counts.forall(_._2.nonEmpty),
+        "q220: a live file lost its recorded footer count")
+      require(TxLog.countRows(s, root).contains(counts.flatMap(_._2).sum),
+        "q220: whole-table metadata count disagrees with the partition sum")
+      import s.implicits._
+      counts.map { case (v, n) => (v, n.get) }.toDF("bucket", "n_rows")
     }
   )
 }

@@ -103,14 +103,19 @@ object TxLog {
   /** relFile → column → (min, max) in [[TxStats]]' string encoding. */
   type FileStats = Map[String, Map[String, (String, String)]]
 
+  /** relFile → exact footer row count (metadata-only COUNT answers). */
+  type FileRows = Map[String, Long]
+
   /** One applied commit: `op` is "overwrite" or "append"; `parts` maps the
     * RAW partition value to the relative data-file paths it contributes;
-    * `stats` carries the added files' footer min/max for data skipping. */
+    * `stats` carries the added files' footer min/max for data skipping,
+    * `rows` their exact footer row counts. */
   final case class Commit(version: Long, op: String, readVersion: Long,
                           batchId: Option[String],
                           parts: Map[String, Seq[String]],
                           schema: Option[String] = None,
-                          stats: FileStats = Map.empty)
+                          stats: FileStats = Map.empty,
+                          rows: FileRows = Map.empty)
 
   /** Resolved table state: partition value → live relative file paths,
     * plus the table schema AS OF this version (DDL, partition column
@@ -121,7 +126,8 @@ object TxLog {
     * no entry and are never skipped). */
   final case class Snapshot(version: Long, parts: Map[String, Seq[String]],
                             schema: Option[String] = None,
-                            stats: FileStats = Map.empty)
+                            stats: FileStats = Map.empty,
+                            rows: FileRows = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -129,7 +135,8 @@ object TxLog {
     * union read. None only for synthesized metadata-only ops (remove). */
   final case class Staged(parts: Map[String, Seq[String]],
                           schema: Option[String] = None,
-                          stats: FileStats = Map.empty)
+                          stats: FileStats = Map.empty,
+                          rows: FileRows = Map.empty)
 
   private def logDir(root: String) = new Path(root, "_txlog")
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -154,7 +161,8 @@ object TxLog {
                                parts: Map[String, Seq[String]],
                                batchIds: Set[String],
                                schema: Option[String] = None,
-                               stats: FileStats = Map.empty)
+                               stats: FileStats = Map.empty,
+                               rows: FileRows = Map.empty)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -226,7 +234,8 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).filter(_ != "-") }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
-      fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines))
+      fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
+      parseRows(lines))
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -244,21 +253,31 @@ object TxLog {
       }
     }
 
+  /** `f\t<relFile>\t<rowCount>` rows — exact footer row counts. */
+  private def parseRows(lines: Seq[String]): FileRows =
+    lines.filter(_.startsWith("f\t")).map(_.split("\t"))
+      .map { case Array(_, f, n) => f -> n.toLong }.toMap
+
+  private def renderRows(rows: FileRows): Seq[String] =
+    rows.toSeq.sortBy(_._1).map { case (f, n) => s"f\t$f\t$n" }
+
   private def renderCommit(op: String, readVersion: Long,
                            batchId: Option[String],
                            parts: Map[String, Seq[String]],
                            schema: Option[String],
-                           stats: FileStats): String = {
+                           stats: FileStats,
+                           rows: FileRows): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}")
-    val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
+    val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       // a partition with NO files (a "remove" op's target) still needs a
       // log row — the "-" sentinel keeps the value enumerable on parse
       if (fs.isEmpty) Seq(s"p\t${esc(v)}\t-")
       else fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
-    (header ++ rows ++ renderStats(stats)).mkString("\n") + "\n"
+    (header ++ partRows ++ renderStats(stats) ++ renderRows(rows))
+      .mkString("\n") + "\n"
   }
 
   private def parseChk(version: Long, body: String): Chk = {
@@ -273,19 +292,22 @@ object TxLog {
     val schema = lines
       .collectFirst { case l if l.startsWith("schema=") => l.drop(7) }
       .filter(_ != "-").map(unesc)
-    Chk(version, parts, batchIds, schema, parseStats(lines))
+    Chk(version, parts, batchIds, schema, parseStats(lines),
+      parseRows(lines))
   }
 
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
                         schema: Option[String],
-                        stats: FileStats): String = {
-    val rows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
+                        stats: FileStats,
+                        rows: FileRows): String = {
+    val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
-      rows ++ renderStats(stats)).mkString("\n") + "\n"
+      partRows ++ renderStats(stats) ++ renderRows(rows))
+      .mkString("\n") + "\n"
   }
 
   /** Publish `body` as version file `v<version>.txn` — atomically, and
@@ -337,10 +359,12 @@ object TxLog {
     val live = parts.valuesIterator.flatten.toSet
     val stats = (chk.map(_.stats).getOrElse(Map.empty: FileStats) ++
       commits.iterator.flatMap(_.stats)).filter { case (f, _) => live(f) }
+    val rows = (chk.map(_.rows).getOrElse(Map.empty: FileRows) ++
+      commits.iterator.flatMap(_.rows)).filter { case (f, _) => live(f) }
     Snapshot(commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L), parts,
       (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption,
-      stats)
+      stats, rows)
   }
 
   /** Fold the commit log into the current table state. Version 0 = empty
@@ -408,6 +432,32 @@ object TxLog {
            partType: DataType = StringType): DataFrame =
     readSnapshot(spark, root, snapshot(spark, root), partCol, partType)
 
+  /** Metadata-only COUNT: the exact row count of every partition passing
+    * `select`, answered from the log's recorded footer counts — zero
+    * tasks, zero file opens (the Delta numRecords move: at 100 TB a
+    * COUNT(*) over a table or partition slice must not be a scan).
+    * Some(n) only when EVERY live file in the selection carries a
+    * recorded count; None sends the caller to a real scan (pre-stats
+    * log generations, opt-out writers — correctness never degrades to
+    * an estimate). */
+  def countRows(spark: SparkSession, root: String,
+                select: String => Boolean = _ => true): Option[Long] = {
+    val snap = snapshot(spark, root)
+    val files = snap.parts.collect { case (v, fs) if select(v) => fs }.flatten
+    if (files.forall(snap.rows.contains)) Some(files.map(snap.rows).sum.toLong)
+    else None
+  }
+
+  /** Per-partition metadata-only counts; a partition holding any file
+    * without a recorded count reports None (scan to answer). */
+  def partitionCounts(spark: SparkSession, root: String): Map[String, Option[Long]] = {
+    val snap = snapshot(spark, root)
+    snap.parts.map { case (v, fs) =>
+      v -> (if (fs.forall(snap.rows.contains)) Some(fs.map(snap.rows).sum)
+            else None)
+    }
+  }
+
   // ---- staging ----------------------------------------------------------
 
   /** Write `df`'s data files under a fresh private dir inside `root`,
@@ -450,11 +500,11 @@ object TxLog {
     // footer min/max per staged file → data skipping at read time
     // (graft.txlog.stats=false opts a writer out; readers treat absent
     // stats as unskippable, so mixed writer configs stay correct)
-    val stats =
+    val (stats, rows) =
       if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
         TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
-      else Map.empty: FileStats
-    Staged(parts, Some(dataSchema.toDDL), stats)
+      else (Map.empty: FileStats, Map.empty: FileRows)
+    Staged(parts, Some(dataSchema.toDDL), stats, rows)
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup). */
@@ -561,7 +611,7 @@ object TxLog {
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            staged.schema, staged.stats)))
+            staged.schema, staged.stats, staged.rows)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -725,7 +775,7 @@ object TxLog {
     val schema = (chk.flatMap(_.schema).toSeq ++
       commits.flatMap(_.schema)).lastOption
     tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChk(snap.parts, batchIds, schema, snap.stats))
+      renderChk(snap.parts, batchIds, schema, snap.stats, snap.rows))
     snap.version
   }
 

@@ -57,46 +57,52 @@ object TxStats {
     * to an object store. Returns relFile → col → (min, max) in the
     * log's string encoding. */
   def collect(spark: SparkSession, root: String, relFiles: Seq[String],
-              schema: StructType): Map[String, Map[String, (String, String)]] = {
+              schema: StructType)
+      : (Map[String, Map[String, (String, String)]], Map[String, Long]) = {
     val cols = schema.fields.filter(f => eligible(f.dataType)).map(_.name).toSet
-    if (cols.isEmpty || relFiles.isEmpty) return Map.empty
-    if (relFiles.size <= DriverSideMax) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, relFiles.size))
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks = relFiles.map { rel =>
-          new java.util.concurrent.Callable[(String, Map[String, (String, String)])] {
-            def call() = rel -> fileStats(conf, new Path(root, rel), cols)
+    if (relFiles.isEmpty) return (Map.empty, Map.empty)
+    val raw: Map[String, (Long, Map[String, (String, String)])] =
+      if (relFiles.size <= DriverSideMax) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, relFiles.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks = relFiles.map { rel =>
+            new java.util.concurrent.Callable[(String, (Long, Map[String, (String, String)]))] {
+              def call() = rel -> fileStats(conf, new Path(root, rel), cols)
+            }
           }
-        }
-        pool.invokeAll(tasks.asJava).asScala
-          .map(_.get()).filter(_._2.nonEmpty).toMap
-      } finally pool.shutdown()
-    } else {
-      val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
-      spark.sparkContext
-        .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
-        .map(rel => rel -> fileStats(conf.value, new Path(root, rel), cols))
-        .collect().toMap.filter(_._2.nonEmpty)
-    }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      } else {
+        val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
+          .map(rel => rel -> fileStats(conf.value, new Path(root, rel), cols))
+          .collect().toMap
+      }
+    (raw.collect { case (f, (_, st)) if st.nonEmpty => f -> st },
+      raw.map { case (f, (n, _)) => f -> n })
   }
 
   /** Below this many staged files, footer reads stay on the driver pool. */
   private val DriverSideMax = 512
 
-  /** Footer min/max per eligible column of one file. A column with ANY
-    * row group lacking usable numeric stats yields no entry at all —
-    * a partial range would skip files it must not. */
+  /** Footer ROW COUNT plus min/max per eligible column of one file. A
+    * column with ANY row group lacking usable numeric stats yields no
+    * entry at all — a partial range would skip files it must not. The
+    * row count is exact regardless (every footer carries it). */
   private[sources] def fileStats(conf: Configuration, file: Path,
-      cols: Set[String]): Map[String, (String, String)] = {
+      cols: Set[String]): (Long, Map[String, (String, String)]) = {
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     try {
+      var rows = 0L
       val acc = mutable.Map.empty[String, (Any, Any)]
       val dead = mutable.Set.empty[String]
       rdr.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString // top-level columns only
           if (cols.contains(name) && !dead.contains(name)) {
@@ -122,7 +128,8 @@ object TxStats {
           }
         }
       }
-      acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap
+      (rows,
+        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap)
     } finally rdr.close()
   }
 

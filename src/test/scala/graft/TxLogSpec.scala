@@ -281,6 +281,12 @@ class TxLogSpec extends SparkSpecBase {
     assert(eq2.select("part").collect().map(_.getString(0)).toSeq === Seq("b"))
     // a's compacted range [1,100] covers 20 — conservatively read (2 files)
     assert(filesRead(eq2) === 2L)
+    // metadata-only counts: exact, zero scan, partition-selectable,
+    // and they tracked the compaction rewrite
+    assert(TxLog.countRows(spark, root) === Some(6L))
+    assert(TxLog.countRows(spark, root, _ == "a") === Some(3L))
+    assert(TxLog.partitionCounts(spark, root) ===
+      Map("a" -> Some(3L), "b" -> Some(3L)))
   }
 
   test("data skipping: stats-less files (opt-out writers, pre-stats logs) " +
@@ -300,6 +306,9 @@ class TxLogSpec extends SparkSpecBase {
     // the stats-bearing file [10,10] is skipped; the opt-out file must
     // still be read (absence of stats can never mean absence of data)
     assert(read === 1L, s"expected only the stats-less file read, got $read")
+    // a count over a file without a recorded footer count must refuse
+    // the metadata answer (None → caller scans), never estimate
+    assert(TxLog.countRows(spark, root) === None)
 
     // date + decimal ranges
     import spark.implicits._
