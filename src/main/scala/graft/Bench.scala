@@ -139,6 +139,7 @@ object Bench {
     "q217_tx_stream_compaction_race", // stream sink vs compactor on 240-part tx table
     "q146b_tx_add_column",         // ADD-COLUMN evolution via the tx log
     "q218_tx_data_skipping",       // per-file min/max skipping via log stats
+    "q219_tx_clustered_skipping",  // range-clustered compaction + skip
     "q220_tx_metadata_count"       // COUNT answered from the log, zero scan
   )
 
@@ -257,6 +258,7 @@ object Bench {
     "q217_tx_stream_compaction_race" -> 11.30,
     "q146b_tx_add_column" -> 1.10,
     "q218_tx_data_skipping" -> 2.05,
+    "q219_tx_clustered_skipping" -> 1.88,
     "q220_tx_metadata_count" -> 1.70)
 
   def main(args: Array[String]): Unit = {

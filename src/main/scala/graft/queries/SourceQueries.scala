@@ -2570,6 +2570,60 @@ object SourceQueries {
           lit(if (read * 2 <= totalFiles) 1L else 0L))
     },
 
+    // ---- q219: RANGE-CLUSTERED COMPACTION + DATA SKIPPING on a
+    // secondary key (the OPTIMIZE-ZORDER-lite maintenance move).
+    // Events land in three INTERLEAVED batches — every pre-compaction
+    // file spans the full event_id range, so nothing is skippable —
+    // then compactClusteredTx rewrites each event_type partition into
+    // range-clustered files. An id-range predicate (an eighth of the
+    // keyspace) must afterwards read at most HALF the live files
+    // (gated clustering_ok + loud require); values oracled from raw
+    // events under the same thresholds.
+    QueryDef.sql("q219_tx_clustered_skipping",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS clustering_ok
+         |FROM events
+         |WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) * 3 / 8.0) AS BIGINT) FROM events)
+         |  AND event_id <= (SELECT CAST(FLOOR(MAX(event_id) * 4 / 8.0) AS BIGINT) FROM events)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q219_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      (0 until 3).foreach { i =>
+        TxLog.appendBatchTx(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          root, "event_type", s"q219-b$i")
+      }
+      TxLog.compactClusteredTx(s, root, "event_type",
+        Seq(col("event_id")), files = 24)
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      require(totalFiles >= 12,
+        s"q219: clustered rewrite produced only $totalFiles files")
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val lo = maxId * 3 / 8
+      val hi = maxId * 4 / 8
+      val probe = TxLog.read(s, root, "event_type")
+        .filter(col("event_id") > lo && col("event_id") <= hi)
+        .select("event_type")
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val read = probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+      require(read * 2 <= totalFiles,
+        s"q219: id-range read scanned $read of $totalFiles clustered files")
+      TxLog.read(s, root, "event_type")
+        .filter(col("event_id") > lo && col("event_id") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("clustering_ok",
+          lit(if (read * 2 <= totalFiles) 1L else 0L))
+    },
+
     // ---- q220: METADATA-ONLY COUNT through the tx log (the Delta
     // numRecords move — at 100 TB a COUNT(*) by partition must not be
     // a table scan). Events land in three batches (multiple files per

@@ -467,11 +467,25 @@ object TxLog {
     * small-files discipline). Null partition values are refused loudly:
     * they round-trip as the Hive default-partition sentinel, which the
     * per-branch `lit()` re-attachment cannot represent. */
-  def stage(df: DataFrame, root: String, partCol: String): Staged = {
+  def stage(df: DataFrame, root: String, partCol: String,
+            clusterBy: Seq[Column] = Nil, clusterFiles: Int = 0): Staged = {
     val spark = df.sparkSession
     val rel = s"data/txn-${java.util.UUID.randomUUID()}"
     val dir = new Path(root, rel)
-    df.repartition(col(partCol))
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(col(partCol))
+      else {
+        // range-clustered layout: a global range partitioning on
+        // (partCol, clusterBy...) makes each task a contiguous slice, so
+        // every file lands a TIGHT, near-disjoint clusterBy range inside
+        // its partition dir — the layout [[TxStats]] skipping feeds on.
+        // The within-task sort tightens per-row-group footer stats too.
+        val keys = col(partCol) +: clusterBy
+        val n = if (clusterFiles > 0) clusterFiles
+                else spark.sessionState.conf.numShufflePartitions
+        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      }
+    shaped
       .write.mode("errorifexists").partitionBy(partCol)
       .parquet(dir.toString)
     val fs = fsOf(spark, dir)
@@ -709,7 +723,8 @@ object TxLog {
     * [[removePartitionsTx]] instead). */
   def readModifyWriteWhere(spark: SparkSession, root: String, partCol: String,
                            partType: DataType = StringType,
-                           select: String => Boolean, maxAttempts: Int = 20)
+                           select: String => Boolean, maxAttempts: Int = 20,
+                           clusterBy: Seq[Column] = Nil, clusterFiles: Int = 0)
                           (transform: DataFrame => DataFrame): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -720,7 +735,7 @@ object TxLog {
         s"TxLog.readModifyWriteWhere: no partition at $root passes select")
       val staged = stage(
         transform(readSnapshot(spark, root, snap.copy(parts = sel),
-          partCol, partType)), root, partCol)
+          partCol, partType)), root, partCol, clusterBy, clusterFiles)
       if (!staged.parts.keySet.subsetOf(sel.keySet)) {
         val escaped = (staged.parts.keySet -- sel.keySet).toSeq.sorted
         discard(spark, root, staged)
@@ -752,6 +767,28 @@ object TxLog {
                           partType: DataType = StringType,
                           select: String => Boolean = _ => true): Long =
     readModifyWriteWhere(spark, root, partCol, partType, select)(identity)
+
+  /** Transactional RANGE-CLUSTERED compaction — the OPTIMIZE-ZORDER-lite
+    * maintenance move for [[TxStats]] data skipping: rewrite the selected
+    * partitions so every file carries a tight, near-disjoint `clusterBy`
+    * range (global range partitioning on (partCol, clusterBy) over
+    * `files` tasks, sorted within tasks so row-group footer stats
+    * tighten too). After it, a point/range predicate on the cluster key
+    * reads O(covering files), not O(partition) — run it on the same
+    * schedule (and with the same conflict-protocol safety) as
+    * [[compactPartitionsTx]]; a batch landing mid-rewrite forces the
+    * usual re-derivation. `files` sizes the rewrite: target
+    * (selected data bytes) / (desired file size), bounded below by the
+    * cluster's write parallelism. */
+  def compactClusteredTx(spark: SparkSession, root: String, partCol: String,
+                         clusterBy: Seq[Column], files: Int,
+                         partType: DataType = StringType,
+                         select: String => Boolean = _ => true): Long = {
+    require(clusterBy.nonEmpty, "compactClusteredTx: no cluster columns")
+    require(files > 0, "compactClusteredTx: files must be positive")
+    readModifyWriteWhere(spark, root, partCol, partType, select,
+      clusterBy = clusterBy, clusterFiles = files)(identity)
+  }
 
   /** Maintenance: fold the log into a CHECKPOINT at the current version
     * — the Delta checkpoint move that keeps every subsequent snapshot

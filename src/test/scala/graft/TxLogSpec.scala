@@ -332,6 +332,48 @@ class TxLogSpec extends SparkSpecBase {
       "decimal range must prune to the covering file")
   }
 
+  test("clustered compaction: files land tight disjoint cluster ranges " +
+      "and a range predicate reads only the covering files") {
+    import spark.implicits._
+    val root = freshRoot("cluster")
+    // two interleaved batches: every pre-compaction file spans the whole
+    // id range, so nothing is skippable until the clustered rewrite
+    val all = scala.util.Random.shuffle((1L to 60L).toList)
+    val (b1, b2) = all.splitAt(30)
+    TxLog.appendBatchTx(b1.toDF("n").select(lit("x").as("part"), col("n")),
+      root, "part", "c1")
+    TxLog.appendBatchTx(b2.toDF("n").select(lit("x").as("part"), col("n")),
+      root, "part", "c2")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(): Unit
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    val pre = TxLog.read(spark, root, "part")
+      .filter(col("n") >= 5L && col("n") <= 10L)
+    assert(filesRead(pre) === 2L, "interleaved batches must not be skippable")
+    TxLog.compactClusteredTx(spark, root, "part", Seq(col("n")), files = 6)
+    val snap = TxLog.snapshot(spark, root)
+    val files = snap.parts("x")
+    assert(files.size >= 4, s"clustered rewrite produced ${files.size} files")
+    // recorded ranges must be pairwise DISJOINT (the range shuffle's
+    // contiguous-slice guarantee) and cover 1..60
+    val ranges = files.map(f => snap.stats(f)("n"))
+      .map { case (mn, mx) => (mn.toLong, mx.toLong) }.sortBy(_._1)
+    assert(ranges.head._1 === 1L && ranges.last._2 === 60L)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo,
+        s"overlapping cluster ranges: $ranges")
+      case _ =>
+    }
+    val post = TxLog.read(spark, root, "part")
+      .filter(col("n") >= 5L && col("n") <= 10L)
+    assert(post.count() === 6L)
+    assert(filesRead(post) <= 2L,
+      "a 6-row range over 6 clustered files must read at most 2 files")
+  }
+
   test("snapshotAt time-travels to any retained version; expired versions " +
       "fail loudly") {
     val root = freshRoot("travel")
