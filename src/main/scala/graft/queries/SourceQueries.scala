@@ -2624,6 +2624,47 @@ object SourceQueries {
           lit(if (read * 2 <= totalFiles) 1L else 0L))
     },
 
+    // ---- q221: INCREMENTAL CONSUMPTION of the tx log — the Delta
+    // change-feed read in honest batch form: a downstream consumer
+    // re-reads O(new data) per cycle, never O(table). Three appends
+    // land; the consumer drains after two (checkpointing the version),
+    // then reads ONLY the third batch's rows in its second cycle — the
+    // second window's rowcount is required equal to the third batch's
+    // metadata count, and the union of both cycles must aggregate to
+    // exactly the full raw table (no loss at the seam, no double-read).
+    QueryDef.sql("q221_tx_incremental_read",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q221_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      TxLog.appendBatchTx(slice(0), root, "event_type", "q221-b0")
+      TxLog.appendBatchTx(slice(1), root, "event_type", "q221-b1")
+      val (c1, v1) = TxLog.readChangesSince(s, root, 0L, "event_type")
+      TxLog.appendBatchTx(slice(2), root, "event_type", "q221-b2")
+      val (c2, v2) = TxLog.readChangesSince(s, root, v1, "event_type")
+      require(v2 > v1, "q221: second cycle saw no new version")
+      val b2Rows = slice(2).count()
+      require(c2.get.count() == b2Rows,
+        s"q221: second window read ${c2.get.count()} rows, batch had $b2Rows")
+      // drained consumer: third cycle must be empty at the same version
+      val (c3, v3) = TxLog.readChangesSince(s, root, v2, "event_type")
+      require(c3.isEmpty && v3 == v2,
+        "q221: drained consumer still saw changes")
+      c1.get.unionByName(c2.get)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          dsum(col("value")).as("total_value"))
+    },
+
     // ---- q220: METADATA-ONLY COUNT through the tx log (the Delta
     // numRecords move — at 100 TB a COUNT(*) by partition must not be
     // a table scan). Events land in three batches (multiple files per

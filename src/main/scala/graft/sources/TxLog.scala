@@ -458,6 +458,55 @@ object TxLog {
     }
   }
 
+  /** Incremental consumption: the rows APPENDED after `sinceVersion`,
+    * as one scan over exactly the delta commits' files, plus the version
+    * the caller should checkpoint for its next call — the Delta
+    * change-feed read in honest batch form (downstream incremental ETL
+    * re-reads O(new data), never O(table)). Append-only contract:
+    * an overwrite/remove commit inside the window is REFUSED loudly —
+    * its effect is not expressible as appended rows — unless
+    * `skipNonAppend` accepts losing those commits' changes (the Delta
+    * ignoreChanges posture, for pipelines that handle rewrites out of
+    * band, e.g. by full refresh on compaction epochs). Note plain
+    * [[compactPartitionsTx]] commits an overwrite: schedule incremental
+    * consumers against append-dominated tables and let them drain
+    * before maintenance, or pass skipNonAppend and reconcile on a
+    * snapshot cadence. `sinceVersion` must be at or after the latest
+    * checkpoint (earlier deltas may be expired — same contract as
+    * [[snapshotAt]]); 0 = from the beginning. Returns None when the
+    * window holds no appended rows. */
+  def readChangesSince(spark: SparkSession, root: String, sinceVersion: Long,
+                       partCol: String, partType: DataType = StringType,
+                       skipNonAppend: Boolean = false)
+      : (Option[DataFrame], Long) = {
+    val (chk, commits) = readLog(spark, root)
+    val floor = chk.map(_.version).getOrElse(0L)
+    require(sinceVersion >= floor || sinceVersion == 0L && floor == 0L,
+      s"TxLog.readChangesSince: version $sinceVersion predates the latest " +
+        s"checkpoint ($floor) — its delta commits may be expired; " +
+        "re-baseline from a full snapshot read")
+    val current = fold(chk, commits)
+    val window = commits.filter(_.version > sinceVersion)
+    val nonAppend = window.filterNot(_.op == "append")
+    if (nonAppend.nonEmpty && !skipNonAppend)
+      sys.error("TxLog.readChangesSince: commits " +
+        s"[${nonAppend.map(c => s"v${c.version}:${c.op}").mkString(", ")}] " +
+        "are not appends — their effect cannot be expressed as appended " +
+        "rows; re-baseline from a snapshot read, or pass skipNonAppend " +
+        "if rewrites are reconciled out of band")
+    // only LIVE files: an appended file a later (skipped) overwrite
+    // already replaced must not resurrect rows the table no longer has
+    val live = current.parts.valuesIterator.flatten.toSet
+    val deltaParts = window.filter(_.op == "append")
+      .flatMap(_.parts.toSeq).groupBy(_._1)
+      .map { case (v, xs) => v -> xs.flatMap(_._2).filter(live) }
+      .filter(_._2.nonEmpty)
+    if (deltaParts.isEmpty) (None, current.version)
+    else (Some(readSnapshot(spark, root,
+      current.copy(parts = deltaParts), partCol, partType)),
+      current.version)
+  }
+
   // ---- staging ----------------------------------------------------------
 
   /** Write `df`'s data files under a fresh private dir inside `root`,

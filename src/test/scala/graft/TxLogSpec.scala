@@ -374,6 +374,39 @@ class TxLogSpec extends SparkSpecBase {
       "a 6-row range over 6 clustered files must read at most 2 files")
   }
 
+  test("incremental consumption reads exactly the appended window; " +
+      "non-append commits refuse unless explicitly skipped") {
+    val root = freshRoot("incr")
+    TxLog.appendBatchTx(kv("a" -> 1, "b" -> 2), root, "part", "i1")
+    val (c1, v1) = TxLog.readChangesSince(spark, root, 0L, "part")
+    assert(c1.get.collect().map(_.getAs[Long]("n")).sorted.toSeq === Seq(1L, 2L))
+    TxLog.appendBatchTx(kv("a" -> 10), root, "part", "i2")
+    val (c2, v2) = TxLog.readChangesSince(spark, root, v1, "part")
+    assert(c2.get.collect().map(_.getAs[Long]("n")).toSeq === Seq(10L),
+      "second window must hold ONLY the new batch")
+    // drained: no changes, same checkpoint version back
+    val (c3, v3) = TxLog.readChangesSince(spark, root, v2, "part")
+    assert(c3.isEmpty && v3 === v2)
+    // an overwrite inside the window refuses loudly...
+    TxLog.overwritePartitionsTx(kv("a" -> 100), root, "part")
+    val ex = intercept[RuntimeException] {
+      TxLog.readChangesSince(spark, root, v2, "part")
+    }
+    assert(ex.getMessage.contains("not appends"))
+    // ...unless skipped — then ONLY later appends surface, and an
+    // in-window append the overwrite replaced must NOT resurrect
+    TxLog.appendBatchTx(kv("b" -> 20), root, "part", "i3")
+    val (c4, _) = TxLog.readChangesSince(spark, root, v2, "part",
+      skipNonAppend = true)
+    assert(c4.get.collect().map(_.getAs[Long]("n")).toSeq === Seq(20L))
+    val (c5, _) = TxLog.readChangesSince(spark, root, v1, "part",
+      skipNonAppend = true)
+    // window holds append(a->10) + overwrite(a->100) + append(b->20):
+    // a's appended file is no longer live, so only b's row surfaces
+    assert(c5.get.collect().map(_.getAs[Long]("n")).toSeq === Seq(20L),
+      "a replaced in-window append must not resurrect dead rows")
+  }
+
   test("snapshotAt time-travels to any retained version; expired versions " +
       "fail loudly") {
     val root = freshRoot("travel")
