@@ -115,7 +115,8 @@ object TxLog {
                           parts: Map[String, Seq[String]],
                           schema: Option[String] = None,
                           stats: FileStats = Map.empty,
-                          rows: FileRows = Map.empty)
+                          rows: FileRows = Map.empty,
+                          partSchema: Option[String] = None)
 
   /** Resolved table state: partition value → live relative file paths,
     * plus the table schema AS OF this version (DDL, partition column
@@ -127,7 +128,8 @@ object TxLog {
   final case class Snapshot(version: Long, parts: Map[String, Seq[String]],
                             schema: Option[String] = None,
                             stats: FileStats = Map.empty,
-                            rows: FileRows = Map.empty)
+                            rows: FileRows = Map.empty,
+                            partSchema: Option[String] = None)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -136,7 +138,8 @@ object TxLog {
   final case class Staged(parts: Map[String, Seq[String]],
                           schema: Option[String] = None,
                           stats: FileStats = Map.empty,
-                          rows: FileRows = Map.empty)
+                          rows: FileRows = Map.empty,
+                          partSchema: Option[String] = None)
 
   private def logDir(root: String) = new Path(root, "_txlog")
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -162,7 +165,8 @@ object TxLog {
                                batchIds: Set[String],
                                schema: Option[String] = None,
                                stats: FileStats = Map.empty,
-                               rows: FileRows = Map.empty)
+                               rows: FileRows = Map.empty,
+                               partSchema: Option[String] = None)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -235,7 +239,7 @@ object TxLog {
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
-      parseRows(lines))
+      parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc))
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -266,10 +270,12 @@ object TxLog {
                            parts: Map[String, Seq[String]],
                            schema: Option[String],
                            stats: FileStats,
-                           rows: FileRows): String = {
+                           rows: FileRows,
+                           partSchema: Option[String]): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
-      s"schema=${schema.map(esc).getOrElse("-")}")
+      s"schema=${schema.map(esc).getOrElse("-")}",
+      s"part=${partSchema.map(esc).getOrElse("-")}")
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       // a partition with NO files (a "remove" op's target) still needs a
       // log row — the "-" sentinel keeps the value enumerable on parse
@@ -292,19 +298,24 @@ object TxLog {
     val schema = lines
       .collectFirst { case l if l.startsWith("schema=") => l.drop(7) }
       .filter(_ != "-").map(unesc)
+    val partSchema = lines
+      .collectFirst { case l if l.startsWith("part=") => l.drop(5) }
+      .filter(_ != "-").map(unesc)
     Chk(version, parts, batchIds, schema, parseStats(lines),
-      parseRows(lines))
+      parseRows(lines), partSchema)
   }
 
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
                         schema: Option[String],
                         stats: FileStats,
-                        rows: FileRows): String = {
+                        rows: FileRows,
+                        partSchema: Option[String]): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
-    (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}") ++
+    (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}",
+      s"part=${partSchema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
@@ -364,7 +375,9 @@ object TxLog {
     Snapshot(commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L), parts,
       (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption,
-      stats, rows)
+      stats, rows,
+      (chk.flatMap(_.partSchema).toSeq ++
+        commits.flatMap(_.partSchema)).lastOption)
   }
 
   /** Fold the commit log into the current table state. Version 0 = empty
@@ -431,6 +444,20 @@ object TxLog {
   def read(spark: SparkSession, root: String, partCol: String,
            partType: DataType = StringType): DataFrame =
     readSnapshot(spark, root, snapshot(spark, root), partCol, partType)
+
+  /** Read the CURRENT state using the log's own recorded partition
+    * metadata — the partition column is TABLE state, not reader
+    * knowledge (callers that hardcode it can drift from the writer;
+    * this can't). Refuses legacy logs written before partition
+    * recording rather than guessing. */
+  def readTable(spark: SparkSession, root: String): DataFrame = {
+    val snap = snapshot(spark, root)
+    val pf = snap.partSchema.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.readTable: the log at $root predates " +
+        "partition-column recording — read with an explicit partCol"))
+      .head
+    readSnapshot(spark, root, snap, pf.name, pf.dataType)
+  }
 
   /** Metadata-only COUNT: the exact row count of every partition passing
     * `select`, answered from the log's recorded footer counts — zero
@@ -567,7 +594,12 @@ object TxLog {
       if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
         TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
       else (Map.empty: FileStats, Map.empty: FileRows)
-    Staged(parts, Some(dataSchema.toDDL), stats, rows)
+    // the partition column is TABLE metadata, not reader knowledge: record
+    // its name+type so readTable needs no caller-supplied partCol and a
+    // writer partitioning by a DIFFERENT column is refused at commit
+    val partField = org.apache.spark.sql.types.StructType(
+      df.schema.filter(_.name == partCol).map(_.copy(nullable = true))).toDDL
+    Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField))
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup). */
@@ -650,6 +682,17 @@ object TxLog {
       // from every subsequent read. Old logs without schema records
       // impose no constraint (None).
       val current = fold(chk, commits)
+      // PARTITION GUARD: a tx table has ONE partitioning — a writer
+      // staging under a different partition column would scramble the
+      // log's value→files semantics for every reader. Terminal (no
+      // retry can fix the caller's layout), so staged files reclaim now.
+      for (cp <- current.partSchema; sp <- staged.partSchema if cp != sp) {
+        discard(spark, root, staged)
+        throw new IllegalArgumentException(
+          s"TxLog.commit: staged partition column [$sp] does not match " +
+            s"the table's recorded partition column [$cp] — rebuild the " +
+            "table to change its partitioning")
+      }
       for (cs <- current.schema; ss <- staged.schema if cs != ss) {
         val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
         val stagedTypes = org.apache.spark.sql.types.StructType.fromDDL(ss)
@@ -674,7 +717,7 @@ object TxLog {
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            staged.schema, staged.stats, staged.rows)))
+            staged.schema, staged.stats, staged.rows, staged.partSchema)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -861,7 +904,8 @@ object TxLog {
     val schema = (chk.flatMap(_.schema).toSeq ++
       commits.flatMap(_.schema)).lastOption
     tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChk(snap.parts, batchIds, schema, snap.stats, snap.rows))
+      renderChk(snap.parts, batchIds, schema, snap.stats, snap.rows,
+        snap.partSchema))
     snap.version
   }
 

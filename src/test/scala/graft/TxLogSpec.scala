@@ -407,6 +407,29 @@ class TxLogSpec extends SparkSpecBase {
       "a replaced in-window append must not resurrect dead rows")
   }
 
+  test("the log records its partition column: readTable needs no caller " +
+      "partCol; a writer partitioning by a different column is refused") {
+    val root = freshRoot("partmeta")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part")
+    val got = TxLog.readTable(spark, root)
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a" -> 1L, "b" -> 2L))
+    // same DATA schema, different partition column: the partition guard
+    // (not the schema guard) must refuse terminally and reclaim staging
+    import spark.implicits._
+    val alien = Seq(("x", 9L)).toDF("other", "n")
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.overwritePartitionsTx(alien, root, "other")
+    }
+    assert(ex.getMessage.contains("partition column"))
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0,
+      "refused commit must have reclaimed its staged files")
+    // the recorded metadata survives checkpoint + log expiry
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root)
+    assert(TxLog.readTable(spark, root).count() === 2L)
+  }
+
   test("snapshotAt time-travels to any retained version; expired versions " +
       "fail loudly") {
     val root = freshRoot("travel")
