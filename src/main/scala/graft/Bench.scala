@@ -141,7 +141,8 @@ object Bench {
     "q218_tx_data_skipping",       // per-file min/max skipping via log stats
     "q219_tx_clustered_skipping",  // range-clustered compaction + skip
     "q220_tx_metadata_count",      // COUNT answered from the log, zero scan
-    "q221_tx_incremental_read"     // change-feed window read, O(new data)
+    "q221_tx_incremental_read",    // change-feed window read, O(new data)
+    "q222_tx_pipeline_exactly_once" // bronze→silver tx→tx with crash replay
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -261,7 +262,8 @@ object Bench {
     "q218_tx_data_skipping" -> 2.05,
     "q219_tx_clustered_skipping" -> 1.88,
     "q220_tx_metadata_count" -> 1.70,
-    "q221_tx_incremental_read" -> 1.55)
+    "q221_tx_incremental_read" -> 1.55,
+    "q222_tx_pipeline_exactly_once" -> 3.20)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

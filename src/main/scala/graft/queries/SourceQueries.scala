@@ -2665,6 +2665,62 @@ object SourceQueries {
           dsum(col("value")).as("total_value"))
     },
 
+    // ---- q222: EXACTLY-ONCE tx→tx INCREMENTAL PIPELINE (the
+    // bronze→silver shape): consumeChanges drives version-tagged
+    // windows from a source tx table into a DERIVED tx table whose
+    // appendBatchTx ledger keys on the window tag. The second window's
+    // consumer CRASHES after the downstream commit but before the
+    // checkpoint advance (the protocol's supported failure point) — the
+    // restart re-delivers the identical window under the identical tag
+    // and the downstream ledger absorbs it — then a third batch lands
+    // and is consumed normally. The derived table must aggregate to
+    // exactly the raw events: a lost window fails counts, a
+    // double-applied replay fails counts, a mistagged window fails ids.
+    QueryDef.sql("q222_tx_pipeline_exactly_once",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q222_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(basePath, true)
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val ckpt = s"$base/consumer.ckpt"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      def pump(): Int = TxLog.consumeChanges(s, src, "event_type", ckpt) {
+        (win, v) =>
+          TxLog.appendBatchTx(win, dst, "event_type", s"q222-w$v"): Unit
+      }
+      TxLog.appendBatchTx(slice(0), src, "event_type", "q222-b0")
+      require(pump() == 1, "q222: first window not delivered")
+      TxLog.appendBatchTx(slice(1), src, "event_type", "q222-b1")
+      // crash AFTER the downstream commit, BEFORE the checkpoint advance
+      // (the supported failure point): the restart must re-deliver the
+      // identical window under the identical tag, which the derived
+      // table's ledger absorbs
+      var crashed = false
+      try {
+        TxLog.consumeChanges(s, src, "event_type", ckpt) { (win, v) =>
+          TxLog.appendBatchTx(win, dst, "event_type", s"q222-w$v"): Unit
+          sys.error("q222: simulated crash before checkpoint")
+        }: Unit
+      } catch { case e: RuntimeException
+          if e.getMessage.contains("simulated crash") => crashed = true }
+      require(crashed, "q222: crash simulation did not fire")
+      require(pump() == 1, "q222: restarted consumer did not replay")
+      TxLog.appendBatchTx(slice(2), src, "event_type", "q222-b2")
+      require(pump() == 1, "q222: post-replay window not delivered")
+      TxLog.read(s, dst, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          dsum(col("value")).as("total_value"))
+    },
+
     // ---- q220: METADATA-ONLY COUNT through the tx log (the Delta
     // numRecords move — at 100 TB a COUNT(*) by partition must not be
     // a table scan). Events land in three batches (multiple files per

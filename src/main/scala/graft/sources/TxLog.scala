@@ -534,6 +534,54 @@ object TxLog {
       current.version)
   }
 
+  /** Incremental-ETL consumption driver over [[readChangesSince]] — the
+    * bronze→silver pipeline shape: each cycle reads the rows appended
+    * since the durably checkpointed version, hands them to `process`
+    * tagged with the window-end version (the DETERMINISTIC replay key),
+    * and advances the checkpoint only AFTER `process` returns. A crash
+    * between process and checkpoint replays the SAME window under the
+    * SAME tag — at-least-once delivery that an idempotent sink turns
+    * into exactly-once end-to-end: `appendBatchTx(out, batchId =
+    * s"name-$windowEnd")` dedups the replay in the downstream ledger,
+    * so tx-table → tx-table incremental pipelines are exactly-once with
+    * zero coordination. One consumer per checkpoint path (the version
+    * file is plain last-write-wins state, like a Kafka consumer
+    * offset). Runs until the log is drained or `maxCycles`; returns the
+    * number of delivered windows. */
+  def consumeChanges(spark: SparkSession, root: String, partCol: String,
+                     checkpointPath: String,
+                     partType: DataType = StringType,
+                     maxCycles: Int = Int.MaxValue,
+                     skipNonAppend: Boolean = false)
+                    (process: (DataFrame, Long) => Unit): Int = {
+    val cp = new Path(checkpointPath)
+    val fs = fsOf(spark, cp)
+    var cycles = 0
+    var drained = false
+    while (!drained && cycles < maxCycles) {
+      val since = if (fs.exists(cp)) readFile(fs, cp).trim.toLong else 0L
+      val (df, v) = readChangesSince(spark, root, since, partCol, partType,
+        skipNonAppend)
+      df match {
+        case Some(d) =>
+          process(d, v)
+          // advance AFTER the sink: a crash here replays (since, v]
+          // under the same tag v, which an idempotent sink absorbs
+          val tmp = new Path(cp.getParent,
+            s".${cp.getName}.tmp-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          fs.delete(cp, false)
+          require(fs.rename(tmp, cp),
+            s"consumeChanges: checkpoint rename failed at $cp")
+          cycles += 1
+        case None => drained = true
+      }
+    }
+    cycles
+  }
+
   // ---- staging ----------------------------------------------------------
 
   /** Write `df`'s data files under a fresh private dir inside `root`,
