@@ -504,14 +504,31 @@ object TxLog {
     * window holds no appended rows. */
   def readChangesSince(spark: SparkSession, root: String, sinceVersion: Long,
                        partCol: String, partType: DataType = StringType,
-                       skipNonAppend: Boolean = false)
+                       skipNonAppend: Boolean = false,
+                       untilVersion: Option[Long] = None)
       : (Option[DataFrame], Long) = {
-    val (chk, commits) = readLog(spark, root)
+    val (chk, commits0) = readLog(spark, root)
     val floor = chk.map(_.version).getOrElse(0L)
     require(sinceVersion >= floor || sinceVersion == 0L && floor == 0L,
       s"TxLog.readChangesSince: version $sinceVersion predates the latest " +
         s"checkpoint ($floor) — its delta commits may be expired; " +
         "re-baseline from a full snapshot read")
+    // `untilVersion` caps the window for DETERMINISTIC REPLAY: a consumer
+    // that crashed after delivering (since, vOld] must re-read the
+    // byte-identical window under the identical tag even when NEW commits
+    // landed in between — liveness too is evaluated AS OF the cap, so a
+    // post-cap overwrite can neither shrink nor leak into the replay.
+    val commits = untilVersion match {
+      case Some(u) =>
+        require(u >= sinceVersion, s"TxLog.readChangesSince: cap $u " +
+          s"precedes sinceVersion $sinceVersion")
+        val capped = commits0.filter(_.version <= u)
+        require(capped.lastOption.map(_.version).getOrElse(floor) == u,
+          s"TxLog.readChangesSince: cap version $u was never committed " +
+            s"at $root")
+        capped
+      case None => commits0
+    }
     val current = fold(chk, commits)
     val window = commits.filter(_.version > sinceVersion)
     val nonAppend = window.filterNot(_.op == "append")
@@ -538,45 +555,113 @@ object TxLog {
     * bronze→silver pipeline shape: each cycle reads the rows appended
     * since the durably checkpointed version, hands them to `process`
     * tagged with the window-end version (the DETERMINISTIC replay key),
-    * and advances the checkpoint only AFTER `process` returns. A crash
-    * between process and checkpoint replays the SAME window under the
-    * SAME tag — at-least-once delivery that an idempotent sink turns
-    * into exactly-once end-to-end: `appendBatchTx(out, batchId =
-    * s"name-$windowEnd")` dedups the replay in the downstream ledger,
-    * so tx-table → tx-table incremental pipelines are exactly-once with
-    * zero coordination. One consumer per checkpoint path (the version
-    * file is plain last-write-wins state, like a Kafka consumer
-    * offset). Runs until the log is drained or `maxCycles`; returns the
+    * and advances the checkpoint only AFTER `process` returns.
+    *
+    * EXACTLY-ONCE PROTOCOL (two-phase checkpoint): before `process`
+    * runs, the chosen window-end version is written to the checkpoint
+    * as an IN-FLIGHT INTENT; a crash anywhere between that write and
+    * the committed-version advance replays, on restart, the
+    * byte-identical window `(committed, intent]` under the identical
+    * tag — readChangesSince is CAPPED at the intent, so commits that
+    * land between the crash and the restart can neither widen the
+    * replayed window nor shift its tag (without the cap, a concurrent
+    * append would re-tag the replay with a fresh version the
+    * downstream ledger has never seen, silently double-applying the
+    * already-committed rows). An idempotent sink —
+    * `appendBatchTx(out, batchId = s"name-$windowEnd")` — then dedups
+    * the replay in the downstream ledger, making tx-table → tx-table
+    * incremental pipelines exactly-once with zero coordination.
+    *
+    * The checkpoint swap itself is an OVERWRITING rename (old content
+    * survives until the new file is fully in place — never a
+    * delete-then-rename window that could strand the consumer back at
+    * version 0). One consumer per checkpoint path (the file is plain
+    * last-write-wins state, like a Kafka consumer offset).
+    *
+    * RE-BASELINE: a checkpoint that predates the log's retention floor
+    * (maintenance expired its delta commits) normally fails loudly; with
+    * `reBaseline = true` the consumer instead delivers one FULL snapshot
+    * read tagged with the current version and resumes incrementally from
+    * there — the downstream must treat that window as a refresh, not an
+    * append (same posture as skipNonAppend: rewrites reconciled out of
+    * band). Runs until the log is drained or `maxCycles`; returns the
     * number of delivered windows. */
   def consumeChanges(spark: SparkSession, root: String, partCol: String,
                      checkpointPath: String,
                      partType: DataType = StringType,
                      maxCycles: Int = Int.MaxValue,
-                     skipNonAppend: Boolean = false)
+                     skipNonAppend: Boolean = false,
+                     reBaseline: Boolean = false)
                     (process: (DataFrame, Long) => Unit): Int = {
     val cp = new Path(checkpointPath)
     val fs = fsOf(spark, cp)
+    // checkpoint format: "<committed>" or "<committed> <intent>"; the
+    // intent line survives only across a crashed delivery
+    def readCp(): (Long, Option[Long]) =
+      if (!fs.exists(cp)) (0L, None)
+      else readFile(fs, cp).trim.split("\\s+") match {
+        case Array(c) => (c.toLong, None)
+        case Array(c, i) => (c.toLong, Some(i.toLong))
+        case other => sys.error(s"consumeChanges: unparseable checkpoint " +
+          s"at $cp: ${other.mkString(" ")}")
+      }
+    def writeCp(committed: Long, intent: Option[Long]): Unit = {
+      val tmp = new Path(cp.getParent,
+        s".${cp.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((committed.toString +
+        intent.map(i => s" $i").getOrElse(""))
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // overwriting rename: the prior checkpoint stays readable until the
+      // new content is atomically in place — a crash between two plain
+      // delete+rename steps would leave NO checkpoint and restart the
+      // consumer from version 0
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        cp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(cp),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     var cycles = 0
     var drained = false
     while (!drained && cycles < maxCycles) {
-      val since = if (fs.exists(cp)) readFile(fs, cp).trim.toLong else 0L
-      val (df, v) = readChangesSince(spark, root, since, partCol, partType,
-        skipNonAppend)
-      df match {
-        case Some(d) =>
-          process(d, v)
-          // advance AFTER the sink: a crash here replays (since, v]
-          // under the same tag v, which an idempotent sink absorbs
-          val tmp = new Path(cp.getParent,
-            s".${cp.getName}.tmp-${java.util.UUID.randomUUID()}")
-          val out = fs.create(tmp, true)
-          try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          fs.delete(cp, false)
-          require(fs.rename(tmp, cp),
-            s"consumeChanges: checkpoint rename failed at $cp")
-          cycles += 1
-        case None => drained = true
+      val (since, pendingIntent) = readCp()
+      // a stale checkpoint (behind the retention floor) either fails
+      // loudly in readChangesSince or, opted in, re-baselines: one full
+      // snapshot delivery tagged with the current version
+      val floor = readLog(spark, root)._1.map(_.version).getOrElse(0L)
+      if (reBaseline && since < floor && !(since == 0L && floor == 0L)) {
+        // full-refresh delivery; a pending intent (crashed mid-re-baseline,
+        // or an incremental delivery whose window maintenance has since
+        // expired) replays AT the intent version when still retained, so
+        // the tag stays stable and the downstream ledger dedups it
+        val snap = pendingIntent match {
+          case Some(i) if i >= floor => snapshotAt(spark, root, i)
+          case _ => snapshot(spark, root)
+        }
+        writeCp(since, Some(snap.version))
+        process(readSnapshot(spark, root, snap, partCol, partType),
+          snap.version)
+        writeCp(snap.version, None)
+        cycles += 1
+      } else {
+        // a pending intent = a crashed delivery: replay the identical
+        // capped window under the identical tag; otherwise plan the next
+        // window, durably record its end as the intent, THEN deliver
+        val (df, v) = readChangesSince(spark, root, since, partCol,
+          partType, skipNonAppend, untilVersion = pendingIntent)
+        df match {
+          case Some(d) =>
+            if (pendingIntent.isEmpty) writeCp(since, Some(v))
+            process(d, v)
+            writeCp(v, None)
+            cycles += 1
+          case None =>
+            // nothing to deliver in the (possibly capped) window: clear
+            // a dangling intent so the next cycle plans fresh
+            if (pendingIntent.nonEmpty) writeCp(v, None)
+            else drained = true
+        }
       }
     }
     cycles

@@ -101,6 +101,21 @@ object TxStats {
       var rows = 0L
       val acc = mutable.Map.empty[String, (Any, Any)]
       val dead = mutable.Set.empty[String]
+      // FOOTER UNIT GUARD: the log's decode() assumes timestamp longs are
+      // MICROS — a writer configured with outputTimestampType=
+      // TIMESTAMP_MILLIS records millis, which decoded as micros are
+      // ~1000× too small and would skip LIVE files. Record timestamp
+      // stats only when the parquet logical type proves the unit.
+      val schema = rdr.getFooter.getFileMetaData.getSchema
+      def unitOk(name: String): Boolean =
+        schema.getFields.asScala.find(_.getName == name)
+          .flatMap(t => Option(t.getLogicalTypeAnnotation)) match {
+          case Some(ts: org.apache.parquet.schema.LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation) =>
+            ts.getUnit ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+          case _ => true // non-timestamp logical types decode unit-free
+        }
       rdr.getFooter.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
@@ -113,9 +128,13 @@ object TxStats {
               else null
             mnmx match {
               // INT32/INT64/FLOAT/DOUBLE physical stats only — Binary
-              // (strings, INT96, wide decimals) and Boolean fall through
+              // (strings, INT96, wide decimals) and Boolean fall through.
+              // A NaN in either bound poisons the column: a NaN-bearing
+              // footer min/max makes every range comparison unsound
+              // (legacy writers folded NaN in with Math.min/max semantics).
               case (mn: java.lang.Number, mx: java.lang.Number)
-                  if supported(mn) && supported(mx) =>
+                  if supported(mn) && supported(mx) &&
+                     !isNaN(mn) && !isNaN(mx) && unitOk(name) =>
                 val merged = acc.get(name) match {
                   case Some((m0, x0)) => (minOf(m0, mn), maxOf(x0, mx))
                   case None => (mn: Any, mx: Any)
@@ -136,6 +155,12 @@ object TxStats {
   private def supported(n: Any): Boolean = n match {
     case _: java.lang.Integer | _: java.lang.Long |
          _: java.lang.Float | _: java.lang.Double => true
+    case _ => false
+  }
+
+  private def isNaN(n: Any): Boolean = n match {
+    case f: java.lang.Float => f.isNaN
+    case d: java.lang.Double => d.isNaN
     case _ => false
   }
 
@@ -200,6 +225,13 @@ object TxStats {
   private def rng(st: Map[String, (String, String)], a: AttributeReference,
                   v: Any, t: DataType, op: String): Boolean = {
     if (v == null || t != a.dataType || floatEdge(v)) return true
+    // FLOAT/DOUBLE upper bounds are unverifiable: Spark orders NaN ABOVE
+    // every value, but footers exclude NaN from min/max — a file whose
+    // recorded max is 10 can still hold NaN rows matching `x > 100`.
+    // `gt`/`gte` (max-side proofs) therefore never prune floats; eq and
+    // lt/lte stay sound (a NaN row equals no literal and is < nothing).
+    val floatType = a.dataType == FloatType || a.dataType == DoubleType
+    if (floatType && (op == "gt" || op == "gte")) return true
     st.get(a.name) match {
       case None => true
       case Some((mnS, mxS)) =>
@@ -208,6 +240,7 @@ object TxStats {
             .asInstanceOf[Ordering[Any]]
           val mn = decode(mnS, a.dataType)
           val mx = decode(mxS, a.dataType)
+          if (isNaN(mn) || isNaN(mx)) return true // legacy NaN-folded bound
           op match {
             case "eq" => ord.lteq(mn, v) && ord.gteq(mx, v)
             case "gt" => ord.gt(mx, v) // a row with a.value > v exists?

@@ -736,4 +736,109 @@ class TxLogSpec extends SparkSpecBase {
     assert(parts.values.forall(_.size === 1),
       s"compaction left multi-file partitions: ${parts.view.mapValues(_.size).toMap}")
   }
+
+  test("consumeChanges exactly-once survives a crash WITH a concurrent " +
+      "append landing before the restart (capped-intent replay)") {
+    val src = freshRoot("intent-src")
+    val dst = freshRoot("intent-dst")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-txlog/intent-ckpt"
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(cp, false)
+    def pump(n: Int = Int.MaxValue): Int =
+      TxLog.consumeChanges(spark, src, "part", ckpt, maxCycles = n) {
+        (win, v) => TxLog.appendBatchTx(win, dst, "part", s"ix-$v"): Unit
+      }
+    TxLog.appendBatchTx(kv("a" -> 1), src, "part", "ib1")
+    assert(pump() === 1)
+    // window 2: downstream COMMITS, then the consumer crashes before the
+    // checkpoint advance — and a NEW source batch lands before restart.
+    // Without the intent cap the replayed window would be re-tagged with
+    // the new version and double-apply window 2's rows.
+    TxLog.appendBatchTx(kv("a" -> 10), src, "part", "ib2")
+    intercept[RuntimeException] {
+      TxLog.consumeChanges(spark, src, "part", ckpt) { (win, v) =>
+        TxLog.appendBatchTx(win, dst, "part", s"ix-$v"): Unit
+        sys.error("crash after downstream commit, before checkpoint")
+      }
+    }
+    TxLog.appendBatchTx(kv("a" -> 100), src, "part", "ib3")
+    assert(pump() === 2, "restart must deliver the capped replay then the new window")
+    val (s, c) = TxLog.read(spark, dst, "part")
+      .agg(sum("n"), count(lit(1))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head
+    assert((s, c) === (111L, 3L),
+      s"exactly-once violated: sum=$s count=$c (a doubled window 2 gives 121/4)")
+  }
+
+  test("consumeChanges re-baselines a consumer stranded behind the " +
+      "retention floor when opted in; fails loudly otherwise") {
+    val src = freshRoot("rebase-src")
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft-txlog/rebase-ckpt"
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(cp, false)
+    TxLog.appendBatchTx(kv("a" -> 1), src, "part", "rb1")
+    var seen = Seq.empty[(Long, Long)]
+    def pump(rebase: Boolean): Int =
+      TxLog.consumeChanges(spark, src, "part", ckpt, reBaseline = rebase) {
+        (win, v) => seen :+= (v, win.agg(sum("n")).head.getLong(0))
+      }
+    assert(pump(rebase = false) === 1)
+    // maintenance advances the floor PAST the consumer's checkpoint
+    TxLog.appendBatchTx(kv("a" -> 10), src, "part", "rb2")
+    TxLog.appendBatchTx(kv("b" -> 100), src, "part", "rb3")
+    TxLog.checkpoint(spark, src)
+    TxLog.expireLog(spark, src)
+    intercept[IllegalArgumentException] { pump(rebase = false) }
+    assert(pump(rebase = true) === 1)
+    // the re-baseline window is the FULL snapshot (111), tagged current
+    assert(seen.last === ((3L, 111L)),
+      s"re-baseline must deliver the full snapshot at the current version: $seen")
+    // and the consumer is incremental again afterwards
+    TxLog.appendBatchTx(kv("b" -> 1000), src, "part", "rb4")
+    assert(pump(rebase = true) === 1)
+    assert(seen.last === ((4L, 1000L)))
+  }
+
+  test("float data skipping never prunes NaN-bearing files on >-predicates " +
+      "and never records NaN bounds") {
+    import spark.implicits._
+    val root = freshRoot("nanstats")
+    val df = Seq(("a", 1.0), ("a", 10.0), ("a", Double.NaN))
+      .toDF("part", "x")
+    TxLog.overwritePartitionsTx(df, root, "part")
+    // Spark SQL orders NaN above every double, so x > 100 matches the NaN
+    // row — a max=10 footer bound must not skip the file
+    val got = TxLog.read(spark, root, "part").filter(col("x") > 100.0)
+    assert(got.count() === 1L, "NaN row lost to float upper-bound skipping")
+    // lower-bound pruning on floats stays active and stays correct
+    assert(TxLog.read(spark, root, "part").filter(col("x") < 0.5).count() === 0L)
+  }
+
+  test("timestamp stats are unit-guarded: a MILLIS-writing session records " +
+      "no timestamp bounds, so range reads stay correct") {
+    import spark.implicits._
+    val root = freshRoot("tsmillis")
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      val df = Seq(("a", java.sql.Timestamp.valueOf("2024-06-01 12:00:00")),
+                   ("a", java.sql.Timestamp.valueOf("2024-06-02 12:00:00")))
+        .toDF("part", "ts")
+      TxLog.overwritePartitionsTx(df, root, "part")
+      val snap = TxLog.snapshot(spark, root)
+      assert(!snap.stats.values.exists(_.contains("ts")),
+        "millis-encoded timestamp footer bounds must not be recorded " +
+          s"(decoded as micros they are ~1000x off): ${snap.stats}")
+      // the range read still answers correctly (no skipping, full scan)
+      val n = TxLog.read(spark, root, "part")
+        .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-06-01 23:00:00")))
+        .count()
+      assert(n === 1L)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
