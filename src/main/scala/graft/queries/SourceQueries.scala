@@ -2754,6 +2754,65 @@ object SourceQueries {
         "q220: whole-table metadata count disagrees with the partition sum")
       import s.implicits._
       counts.map { case (v, n) => (v, n.get) }.toDF("bucket", "n_rows")
+    },
+
+    // ---- q223: STRING-KEY DATA SKIPPING through the tx log (the
+    // truncated-UTF-8 bounds contract — Delta/Iceberg string stats).
+    // Customers land in four contiguous c_name ranges (one file per
+    // mktsegment partition per batch, each with a recorded prefix-min /
+    // widened-max name bound — "Customer#000000NNN" is exactly the
+    // shared->32-cp-prefix shape the widening contract exists for); a
+    // range probe on the TOP name quartile must then read at most HALF
+    // the live files (loud require + gated skipping_ok). The
+    // reference's hottest predicates are string keys (init_db.py:113-116
+    // indexes session_id/event_name) — this is the file-granular
+    // equivalent. Values oracled from raw customers under the same
+    // predicate.
+    QueryDef.sql("q223_tx_string_skipping",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS skipping_ok
+         |FROM customer
+         |WHERE c_name = (SELECT MAX(c_name) FROM customer)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q223_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      // contiguous name-range batches: quartile boundaries computed from
+      // the ORDERED KEY STRUCTURE (names embed c_custkey), so no driver
+      // collect of the key set is ever needed
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      def nameOf(k: Long) = f"Customer#$k%09d"
+      var lo = Option.empty[String]
+      (1 to 4).foreach { i =>
+        val hiB = if (i < 4) Some(nameOf(maxKey * i / 4)) else None
+        val slice = cust
+          .filter(lo.map(col("c_name") > _).getOrElse(lit(true)))
+          .filter(hiB.map(col("c_name") <= _).getOrElse(lit(true)))
+        TxLog.appendBatchTx(slice, root, "c_mktsegment", s"q223-b$i")
+        lo = hiB
+      }
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      val topName = cust.agg(max("c_name")).head.getString(0)
+      val probe = TxLog.read(s, root, "c_mktsegment")
+        .filter(col("c_name") === topName).select("c_mktsegment")
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val read = probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+      require(read * 2 <= totalFiles,
+        s"q223: string skipping left $read of $totalFiles files in the scan")
+      TxLog.read(s, root, "c_mktsegment")
+        .filter(col("c_name") === topName)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("skipping_ok",
+          lit(if (read * 2 <= totalFiles) 1L else 0L))
     }
   )
 }

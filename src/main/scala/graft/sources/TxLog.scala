@@ -246,7 +246,9 @@ object TxLog {
     * share the shape). Logs written before stats recording simply have
     * none — their files are never skipped. */
   private def parseStats(lines: Seq[String]): FileStats =
-    lines.filter(_.startsWith("s\t")).map(_.split("\t"))
+    // limit -1: an empty-string bound (esc("") = "") may legitimately end
+    // the line, and default split would drop the trailing empty field
+    lines.filter(_.startsWith("s\t")).map(_.split("\t", -1))
       .map { case Array(_, f, c, mn, mx) => (f, (unesc(c), (unesc(mn), unesc(mx)))) }
       .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toMap }
 

@@ -28,9 +28,10 @@ import org.apache.spark.sql.types._
   * physical type, pre-stats log generations, INT96 timestamps) is never
   * skipped, and only predicate shapes whose range logic is airtight
   * (comparison/equality/IN against a same-typed non-null literal)
-  * participate. Strings are deliberately excluded: parquet binary stats
-  * carry truncation and signed/unsigned-ordering pitfalls the numeric
-  * types don't have.
+  * participate. String bounds are recorded under the truncation contract
+  * (prefix min, widened max — see [[eligible]]) with a strict UTF-8
+  * round-trip guard, compared in UTF8String (unsigned byte) order —
+  * exactly parquet's UNSIGNED sort order for STRING-annotated binary.
   *
   * Reference behavior anchor: the reference warehouse reads filter on
   * numeric/date keys after loading whole tables
@@ -39,13 +40,25 @@ import org.apache.spark.sql.types._
   */
 object TxStats {
 
-  /** Spark types whose parquet footer statistics are recorded. */
+  /** Spark types whose parquet footer statistics are recorded. Strings
+    * ride the Delta/Iceberg TRUNCATION contract: the recorded min is a
+    * ≤[[StringStatChars]]-code-point prefix of the true min (a prefix is
+    * ≤ the full value in UTF-8 byte order), the recorded max is the
+    * truncated true max WIDENED by one code point (strictly above every
+    * value sharing the prefix) — so bounds stay tiny in the log while
+    * range logic stays conservative, and the reference's hottest
+    * predicates (string keys like session_id / event_name,
+    * `init_db.py:113-116`) prune at file granularity. */
   def eligible(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | DateType | TimestampType | TimestampNTZType => true
+         DoubleType | DateType | TimestampType | TimestampNTZType |
+         StringType => true
     case d: DecimalType => d.precision <= 18 // INT32/INT64-backed unscaled
     case _ => false
   }
+
+  /** Code-point budget for recorded string bounds. */
+  val StringStatChars = 32
 
   /** Footer-stat collection for freshly staged files — row-group
     * metadata only, no data page is ever read. Small batches (the
@@ -107,15 +120,24 @@ object TxStats {
       // ~1000× too small and would skip LIVE files. Record timestamp
       // stats only when the parquet logical type proves the unit.
       val schema = rdr.getFooter.getFileMetaData.getSchema
-      def unitOk(name: String): Boolean =
+      def annotation(name: String) =
         schema.getFields.asScala.find(_.getName == name)
-          .flatMap(t => Option(t.getLogicalTypeAnnotation)) match {
+          .flatMap(t => Option(t.getLogicalTypeAnnotation))
+      def unitOk(name: String): Boolean =
+        annotation(name) match {
           case Some(ts: org.apache.parquet.schema.LogicalTypeAnnotation
                         .TimestampLogicalTypeAnnotation) =>
             ts.getUnit ==
               org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
           case _ => true // non-timestamp logical types decode unit-free
         }
+      // BINARY stats are usable only when the logical type proves UTF-8
+      // content with the unsigned comparator (plain BINARY without the
+      // STRING annotation orders however the writer chose)
+      def isUtf8(name: String): Boolean =
+        annotation(name).exists(
+          _.isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+            .StringLogicalTypeAnnotation])
       rdr.getFooter.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
         block.getColumns.asScala.foreach { cc =>
@@ -140,6 +162,21 @@ object TxStats {
                   case None => (mn: Any, mx: Any)
                 }
                 acc(name) = merged
+              case (mn: org.apache.parquet.io.api.Binary,
+                    mx: org.apache.parquet.io.api.Binary) if isUtf8(name) =>
+                // strict UTF-8 round trip: a writer-truncated bound cut
+                // mid-code-point would decode lossily and order wrong
+                (utf8Strict(mn), utf8Strict(mx)) match {
+                  case (Some(mnS), Some(mxS)) =>
+                    val merged = acc.get(name) match {
+                      case Some((m0: String, x0: String)) =>
+                        (if (utf8Lt(mnS, m0)) mnS else m0,
+                         if (utf8Lt(x0, mxS)) mxS else x0)
+                      case _ => (mnS, mxS)
+                    }
+                    acc(name) = merged
+                  case _ => dead += name; acc -= name
+                }
               case _ =>
                 dead += name
                 acc -= name
@@ -147,9 +184,57 @@ object TxStats {
           }
         }
       }
-      (rows,
-        acc.map { case (k, (mn, mx)) => k -> (mn.toString, mx.toString) }.toMap)
+      (rows, acc.flatMap {
+        case (k, (mn: String, mx: String)) =>
+          // string bounds leave the footer TRUNCATED: prefix-min is a
+          // sound lower bound as-is; max needs the one-code-point widen
+          // (rare unwidenable all-U+10FFFF prefixes drop the column)
+          widenMax(mx).map(w => k -> (truncMin(mn), w))
+        case (k, (mn, mx)) => Some(k -> (mn.toString, mx.toString))
+      }.toMap)
     } finally rdr.close()
+  }
+
+  private def utf8Strict(b: org.apache.parquet.io.api.Binary): Option[String] = {
+    val bytes = b.getBytes
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    if (java.util.Arrays.equals(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8), bytes)) Some(s)
+    else None
+  }
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** First [[StringStatChars]] code points — a prefix is ≤ the full value
+    * in UTF-8 byte order, so it is a sound recorded MIN. */
+  private[graft] def truncMin(s: String): String = {
+    val cut = s.offsetByCodePoints(0,
+      math.min(s.codePointCount(0, s.length), StringStatChars))
+    s.substring(0, cut)
+  }
+
+  /** Truncate to [[StringStatChars]] code points and, if anything was cut,
+    * increment the last retained code point (skipping the surrogate gap,
+    * carrying left past U+10FFFF) — the result is STRICTLY ABOVE every
+    * string sharing the retained prefix, hence a sound recorded MAX.
+    * None when no code point can carry (all-U+10FFFF prefix). */
+  private[graft] def widenMax(s: String): Option[String] = {
+    val cps = s.codePointCount(0, s.length)
+    if (cps <= StringStatChars) return Some(s)
+    var keep = StringStatChars
+    while (keep > 0) {
+      val at = s.offsetByCodePoints(0, keep - 1)
+      val cp = s.codePointAt(at)
+      if (cp < 0x10FFFF) {
+        val next = if (cp == 0xD7FF) 0xE000 else cp + 1 // skip surrogates
+        return Some(s.substring(0, at) +
+          new String(Character.toChars(next)))
+      }
+      keep -= 1 // U+10FFFF cannot increment — carry into the previous cp
+    }
+    None
   }
 
   private def supported(n: Any): Boolean = n match {
@@ -184,6 +269,7 @@ object TxStats {
     case LongType | TimestampType | TimestampNTZType => s.toLong
     case FloatType => s.toFloat
     case DoubleType => s.toDouble
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
     case d: DecimalType => Decimal(s.toLong, d.precision, d.scale)
     case other => sys.error(s"TxStats: no decoder for $other")
   }

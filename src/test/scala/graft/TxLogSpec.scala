@@ -815,6 +815,65 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.read(spark, root, "part").filter(col("x") < 0.5).count() === 0L)
   }
 
+  test("string data skipping: disjoint key-range files prune on point, " +
+      "range and IN predicates; truncated bounds stay conservative") {
+    import spark.implicits._
+    val root = freshRoot("strstats")
+    // three batches in disjoint string-key ranges, one file per part each
+    def batch(id: String, keys: String*) =
+      TxLog.appendBatchTx(keys.toSeq.map(k => ("p", k)).toDF("part", "k"),
+        root, "part", id)
+    batch("sb1", "apple", "avocado", "banana")
+    batch("sb2", "cherry", "date", "fig")
+    batch("sb3", "grape", "kiwi", "lemon")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect(): Unit
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head.metrics("numFiles").value
+    }
+    val eq = TxLog.read(spark, root, "part").filter(col("k") === "date")
+    assert(eq.count() === 1L)
+    assert(filesRead(eq) === 1L, "point lookup must read exactly one file")
+    assert(filesRead(
+      TxLog.read(spark, root, "part").filter(col("k") >= "grape")) === 1L)
+    assert(filesRead(TxLog.read(spark, root, "part")
+      .filter(col("k").isin("apple", "kiwi"))) === 2L)
+    // long values truncate: bounds sharing a >32-cp prefix must widen the
+    // max and NEVER skip a file holding a matching longer value
+    val long1 = "z" * 40 + "aaa"
+    val long2 = "z" * 40 + "zzz"
+    batch("sb4", long1, long2)
+    val hit = TxLog.read(spark, root, "part").filter(col("k") === long2)
+    assert(hit.count() === 1L, "truncation must not lose the long-key row")
+    assert(filesRead(hit) === 1L, "widened max must still prune the others")
+    // hostile values (tabs, newlines, %, =) round-trip the log encoding
+    val weird = "k\t1\n%=100x"
+    batch("sb5", weird)
+    assert(TxLog.read(spark, root, "part")
+      .filter(col("k") === weird).count() === 1L)
+    assert(TxLog.read(spark, root, "part").count() === 12L)
+  }
+
+  test("string bound truncation/widening is sound at the edges") {
+    import graft.sources.TxStats
+    assert(TxStats.truncMin("a" * 100) === "a" * 32)
+    assert(TxStats.widenMax("abc") === Some("abc"))
+    assert(TxStats.widenMax("a" * 40) === Some("a" * 31 + "b"))
+    // surrogate gap: U+D7FF widens to U+E000, never into surrogates
+    assert(TxStats.widenMax("x" * 31 + "퟿" + "tail")
+      === Some("x" * 31 + ""))
+    // carry past U+10FFFF into the previous code point
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(TxStats.widenMax("a" + maxCp * 40) === Some("b"))
+    assert(TxStats.widenMax(maxCp * 40) === None)
+    // supplementary code points count as ONE code point, not two chars
+    val supp = new String(Character.toChars(0x1F600))
+    assert(TxStats.truncMin(supp * 40) === supp * 32)
+    assert(TxStats.widenMax(supp * 40)
+      === Some(supp * 31 + new String(Character.toChars(0x1F601))))
+  }
+
   test("timestamp stats are unit-guarded: a MILLIS-writing session records " +
       "no timestamp bounds, so range reads stay correct") {
     import spark.implicits._
