@@ -2813,6 +2813,112 @@ object SourceQueries {
           dsum(col("c_acctbal")).as("total_bal"))
         .withColumn("skipping_ok",
           lit(if (read * 2 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q224: KEYED MERGE through the transaction log (the Delta
+    // MERGE WHEN MATCHED UPDATE * / WHEN NOT MATCHED INSERT * verb,
+    // file-granular). Customers land in four contiguous custkey-range
+    // batches; the source updates the TOP EIGHTH of the keyspace
+    // (+1000 acctbal) and inserts brand-new keys past the max — so the
+    // candidate search (per-partition key-bound overlap vs recorded
+    // file stats) may rewrite at most HALF the live files (loud
+    // require + gated merge_ok). The oracle replays the merge
+    // relationally in DuckDB: unmatched base rows UNION ALL source.
+    QueryDef.sql("q224_tx_merge",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |upd AS (SELECT c_custkey, c_name, c_nationkey,
+         |               c_acctbal + 1000 AS c_acctbal, c_mktsegment
+         |        FROM customer, mx
+         |        WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)),
+         |ins AS (SELECT c_custkey + m + 1 AS c_custkey, c_name,
+         |               c_nationkey, c_acctbal, c_mktsegment
+         |        FROM customer, mx WHERE c_custkey < 20),
+         |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |merged AS (SELECT * FROM customer
+         |           WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+         |           UNION ALL SELECT * FROM src)
+         |SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS merge_ok
+         |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q224_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q224-b$i")
+        lo = hi
+      }
+      val before = TxLog.snapshot(s, root)
+      val totalFiles = before.parts.values.map(_.size).sum
+      val src = cust.filter(col("c_custkey") > maxKey * 7 / 8)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") < 20)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1))
+      TxLog.mergeKeyedTx(s, root, src, "c_custkey")
+      val after = TxLog.snapshot(s, root).parts.values.flatten.toSet
+      val rewritten = before.parts.values.flatten.count(f => !after(f))
+      require(rewritten * 2 <= totalFiles,
+        s"q224: merge rewrote $rewritten of $totalFiles files — the " +
+          "candidate search did not skip non-overlapping files")
+      TxLog.read(s, root, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("merge_ok",
+          lit(if (rewritten * 2 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q225: KEYED DELETE through the transaction log (DELETE WHERE
+    // through the commit protocol). Orders land in four contiguous
+    // orderkey-range batches; deleting the top eighth of the keyspace
+    // must rewrite at most HALF the live files (data skipping FINDS the
+    // affected files — everything else is untouched metadata), with the
+    // survivors oracled from raw orders under the complement predicate.
+    QueryDef.sql("q225_tx_delete_where",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS delete_ok
+         |FROM orders
+         |WHERE NOT (o_orderkey > (SELECT CAST(FLOOR(MAX(o_orderkey) * 7 / 8.0) AS BIGINT) FROM orders))
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q225_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = Long.MinValue
+      (1 to 4).foreach { i =>
+        val hi = maxKey * i / 4
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, "o_orderpriority", s"q225-b$i")
+        lo = hi
+      }
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      val (_, rewritten) = TxLog.deleteWhereTx(s, root,
+        col("o_orderkey") > maxKey * 7 / 8)
+      require(rewritten > 0 && rewritten * 2 <= totalFiles,
+        s"q225: delete rewrote $rewritten of $totalFiles files — data " +
+          "skipping did not bound the rewrite to the covering files")
+      TxLog.read(s, root, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("delete_ok",
+          lit(if (rewritten * 2 <= totalFiles) 1L else 0L))
     }
   )
 }

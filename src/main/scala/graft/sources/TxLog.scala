@@ -106,17 +106,24 @@ object TxLog {
   /** relFile → exact footer row count (metadata-only COUNT answers). */
   type FileRows = Map[String, Long]
 
-  /** One applied commit: `op` is "overwrite" or "append"; `parts` maps the
-    * RAW partition value to the relative data-file paths it contributes;
-    * `stats` carries the added files' footer min/max for data skipping,
-    * `rows` their exact footer row counts. */
+  /** One applied commit: `op` is "overwrite", "append", "remove" or
+    * "rewrite"; `parts` maps the RAW partition value to the relative
+    * data-file paths it ADDS (overwrite replaces a partition's file set,
+    * append extends it, rewrite swaps `removed` out and `parts` in —
+    * the file-granular MERGE/DELETE delta); `stats` carries the added
+    * files' footer min/max for data skipping, `rows` their exact footer
+    * row counts. */
   final case class Commit(version: Long, op: String, readVersion: Long,
                           batchId: Option[String],
                           parts: Map[String, Seq[String]],
                           schema: Option[String] = None,
                           stats: FileStats = Map.empty,
                           rows: FileRows = Map.empty,
-                          partSchema: Option[String] = None)
+                          partSchema: Option[String] = None,
+                          removed: Map[String, Seq[String]] = Map.empty) {
+    /** Partitions this commit touches — the conflict-check unit. */
+    def touched: Set[String] = parts.keySet ++ removed.keySet
+  }
 
   /** Resolved table state: partition value → live relative file paths,
     * plus the table schema AS OF this version (DDL, partition column
@@ -139,7 +146,10 @@ object TxLog {
                           schema: Option[String] = None,
                           stats: FileStats = Map.empty,
                           rows: FileRows = Map.empty,
-                          partSchema: Option[String] = None)
+                          partSchema: Option[String] = None,
+                          removed: Map[String, Seq[String]] = Map.empty) {
+    def touched: Set[String] = parts.keySet ++ removed.keySet
+  }
 
   private def logDir(root: String) = new Path(root, "_txlog")
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
@@ -236,10 +246,15 @@ object TxLog {
     val parts = lines.filter(_.startsWith("p\t")).map(_.split("\t"))
       .map { case Array(_, v, p) => (unesc(v), p) }
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).filter(_ != "-") }
+    // `r\t<part>\t<file>`: files a "rewrite" commit removes
+    val removed = lines.filter(_.startsWith("r\t")).map(_.split("\t"))
+      .map { case Array(_, v, p) => (unesc(v), p) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
-      parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc))
+      parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
+      removed)
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -273,7 +288,8 @@ object TxLog {
                            schema: Option[String],
                            stats: FileStats,
                            rows: FileRows,
-                           partSchema: Option[String]): String = {
+                           partSchema: Option[String],
+                           removed: Map[String, Seq[String]]): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -284,8 +300,11 @@ object TxLog {
       if (fs.isEmpty) Seq(s"p\t${esc(v)}\t-")
       else fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
-    (header ++ partRows ++ renderStats(stats) ++ renderRows(rows))
-      .mkString("\n") + "\n"
+    val removedRows = removed.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
+      fs.sorted.map(f => s"r\t${esc(v)}\t$f")
+    }
+    (header ++ partRows ++ removedRows ++ renderStats(stats) ++
+      renderRows(rows)).mkString("\n") + "\n"
   }
 
   private def parseChk(version: Long, body: String): Chk = {
@@ -362,6 +381,15 @@ object TxLog {
         case "append" => c.parts.foldLeft(acc) { case (a, (v, fs)) =>
           a.updated(v, a.getOrElse(v, Seq.empty) ++ fs) }
         case "remove" => acc -- c.parts.keySet
+        case "rewrite" =>
+          // file-granular swap: drop the removed files, add the staged
+          // ones; a partition rewritten down to zero files disappears
+          c.touched.foldLeft(acc) { (a, v) =>
+            val gone = c.removed.getOrElse(v, Seq.empty).toSet
+            val next = a.getOrElse(v, Seq.empty).filterNot(gone) ++
+              c.parts.getOrElse(v, Seq.empty)
+            if (next.isEmpty) a - v else a.updated(v, next)
+          }
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -761,8 +789,11 @@ object TxLog {
   def commit(spark: SparkSession, root: String, staged: Staged, op: String,
              readVersion: Long, conflictCheck: Boolean = false,
              batchId: Option[String] = None, maxAttempts: Int = 50): Long = {
-    require(op == "overwrite" || op == "append" || op == "remove",
-      s"unknown op $op")
+    require(op == "overwrite" || op == "append" || op == "remove" ||
+      op == "rewrite", s"unknown op $op")
+    require(op == "rewrite" || staged.removed.isEmpty,
+      s"TxLog.commit: op $op cannot remove individual files — only " +
+        "\"rewrite\" carries removals")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
     // would round-trip as None and silently disable idempotent replay
     require(!batchId.contains("-"),
@@ -797,10 +828,10 @@ object TxLog {
         // retry loop re-reads a CURRENT snapshot and proceeds normally
         chk.filter(_.version > readVersion).foreach { c =>
           throw new ConcurrentWriteException(c.version,
-            staged.parts.keySet.toSeq.sorted)
+            staged.touched.toSeq.sorted)
         }
         commits.filter(_.version > readVersion).foreach { c =>
-          val overlap = c.parts.keySet intersect staged.parts.keySet
+          val overlap = c.touched intersect staged.touched
           if (overlap.nonEmpty)
             throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)
         }
@@ -852,7 +883,8 @@ object TxLog {
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            staged.schema, staged.stats, staged.rows, staged.partSchema)))
+            staged.schema, staged.stats, staged.rows, staged.partSchema,
+            staged.removed)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -1015,6 +1047,168 @@ object TxLog {
     require(files > 0, "compactClusteredTx: files must be positive")
     readModifyWriteWhere(spark, root, partCol, partType, select,
       clusterBy = clusterBy, clusterFiles = files)(identity)
+  }
+
+  private object Predicates
+      extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      splitConjunctivePredicates(e)
+  }
+
+  /** Live files that MIGHT hold rows matching `cond` — found by the SAME
+    * machinery a filtered read uses: analyze a filtered snapshot read,
+    * split the optimized conjuncts into partition vs data filters, and
+    * run [[TxFileIndex.listFiles]] (partition pruning + per-file
+    * [[TxStats]] min/max skipping). Everything not provably irrelevant
+    * is a candidate. Returns partition value → rel files. */
+  private def candidateFiles(spark: SparkSession, root: String,
+                             snap: Snapshot, partCol: String,
+                             partType: DataType,
+                             cond: Column): Map[String, Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(cond).deterministic,
+      "TxLog: a non-deterministic predicate cannot drive a file rewrite")
+    val plan = readSnapshot(spark, root, snap, partCol, partType)
+      .filter(cond).queryExecution.optimizedPlan
+    val relOpt = plan.collectFirst { case l: LogicalRelation => l }
+    // the optimizer folded the predicate to FALSE: no file can match
+    if (relOpt.isEmpty) return Map.empty
+    val rel = relOpt.get
+    val filters = plan.collectFirst {
+      case logical.Filter(c, _: LogicalRelation) => Predicates.split(c)
+    }.getOrElse(Seq.empty) // predicate folded to TRUE: every file matches
+    val partAttr = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      rel.output.filter(_.name == partCol))
+    val (partFilters, dataFilters) =
+      filters.partition(_.references.subsetOf(partAttr))
+    val idx = rel.relation.asInstanceOf[HadoopFsRelation]
+      .location.asInstanceOf[TxFileIndex]
+    val fs = fsOf(spark, new Path(root))
+    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val hit = idx.listFiles(partFilters, dataFilters)
+      .flatMap(_.files.map(_.getPath.toUri.getPath.stripPrefix(rootAbs)))
+      .toSet
+    snap.parts.map { case (v, files) => v -> files.filter(hit) }
+      .filter(_._2.nonEmpty)
+  }
+
+  /** Transactional keyed DELETE — `DELETE FROM t WHERE cond` through the
+    * commit protocol, file-granular: data skipping FINDS the files that
+    * might hold matching rows (everything else is untouched metadata),
+    * only those are read, filtered to their surviving rows (`cond`
+    * evaluating NULL keeps the row — SQL DELETE semantics), and swapped
+    * out in one conflict-checked "rewrite" commit. A concurrent commit
+    * touching an affected partition forces re-derivation from the new
+    * snapshot, so a delete can never drop rows a racing writer just
+    * replaced. At 100 TB the rewrite cost is O(files that might match) —
+    * on a [[compactClusteredTx]]-clustered key that is O(covering
+    * files), not O(table). Returns (committed version, files rewritten);
+    * (currentVersion, 0) when no file could match (no commit). */
+  def deleteWhereTx(spark: SparkSession, root: String, cond: Column,
+                    maxAttempts: Int = 20): (Long, Int) = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(spark, root)
+      if (snap.parts.isEmpty) return (snap.version, 0)
+      val pf = snap.partSchema
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(sys.error(s"TxLog.deleteWhereTx: the log at $root " +
+          "predates partition-column recording")).head
+      val cands = candidateFiles(spark, root, snap, pf.name, pf.dataType, cond)
+      if (cands.isEmpty) return (snap.version, 0)
+      val candSnap = snap.copy(parts = cands)
+      val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
+      val remaining = readSnapshot(spark, root, candSnap, pf.name,
+        pf.dataType).filter(keep)
+      val staged =
+        if (remaining.isEmpty) Staged(Map.empty, removed = cands)
+        else stage(remaining, root, pf.name).copy(removed = cands)
+      try return (commit(spark, root, staged, "rewrite",
+        readVersion = snap.version, conflictCheck = true),
+        cands.valuesIterator.map(_.size).sum)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.deleteWhereTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
+  }
+
+  /** Transactional keyed MERGE (upsert) — the Delta `MERGE ... WHEN
+    * MATCHED UPDATE * WHEN NOT MATCHED INSERT *` shape, file-granular:
+    * rows of `source` REPLACE target rows sharing their `key`, new keys
+    * append. Data skipping finds the affected files (per source
+    * partition, the live files whose recorded key range overlaps the
+    * source's key bounds — everything else is untouched); those files'
+    * unmatched rows plus ALL source rows restage, and one
+    * conflict-checked "rewrite" commit swaps them in, serialized with
+    * every concurrent writer. CONTRACT: `source` carries the table's
+    * schema (partition column included), a key's partition value is
+    * STABLE (a "moved" key would dodge the candidate search and
+    * duplicate), and source keys are unique. Reference anchor: the
+    * upsert the reference replays row-by-row (`test_db.py:53-65`), here
+    * one metadata round + O(affected files) I/O. Returns the committed
+    * version. */
+  def mergeKeyedTx(spark: SparkSession, root: String, source: DataFrame,
+                   key: String, maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(spark, root)
+      require(snap.parts.nonEmpty,
+        s"TxLog.mergeKeyedTx: table at $root is empty — append the seed " +
+          "batch instead")
+      val pf = snap.partSchema
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(sys.error(s"TxLog.mergeKeyedTx: the log at $root " +
+          "predates partition-column recording")).head
+      val keyType = source.schema(key).dataType
+      // per-source-partition key bounds: O(source partitions) driver rows
+      val bounds = source.groupBy(col(pf.name).cast(StringType).as("__p"))
+        .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
+      val attr = org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(key, keyType)()
+      val cands: Map[String, Seq[String]] = bounds.flatMap { r =>
+        val pv = r.getString(0)
+        // keep a file unless its stats prove [fileMin,fileMax] and the
+        // source bounds [mn,mx] are disjoint: "might a row satisfy
+        // key >= mn AND key <= mx" is exactly range overlap
+        val overlap: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+                attr, org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(r.get(1), keyType)),
+              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+                attr, org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(r.get(2), keyType)))
+        val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
+          snap.stats.get(f).forall(TxStats.mightMatch(overlap, _))
+        }
+        if (fs.isEmpty) None else Some(pv -> fs)
+      }.toMap
+      val tableCols = source.columns.map(col).toSeq
+      val unmatched =
+        if (cands.isEmpty) None
+        else Some(readSnapshot(spark, root, snap.copy(parts = cands),
+          pf.name, pf.dataType)
+          .join(source.select(col(key)), Seq(key), "left_anti")
+          .select(tableCols: _*))
+      val upserted = unmatched
+        .map(_.unionByName(source.select(tableCols: _*)))
+        .getOrElse(source.select(tableCols: _*))
+      val staged = stage(upserted, root, pf.name).copy(removed = cands)
+      try return commit(spark, root, staged, "rewrite",
+        readVersion = snap.version, conflictCheck = true)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.mergeKeyedTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
   }
 
   /** Maintenance: fold the log into a CHECKPOINT at the current version

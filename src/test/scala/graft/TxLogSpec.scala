@@ -815,6 +815,106 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.read(spark, root, "part").filter(col("x") < 0.5).count() === 0L)
   }
 
+  test("deleteWhereTx rewrites only files that might match; untouched " +
+      "files keep their identity; NULL predicates keep rows") {
+    import spark.implicits._
+    val root = freshRoot("delwhere")
+    // three disjoint key-range batches per partition → per-file bounds
+    TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "n"),
+      root, "part", "d1")
+    TxLog.appendBatchTx(Seq(("a", 10L), ("b", 20L)).toDF("part", "n"),
+      root, "part", "d2")
+    TxLog.appendBatchTx(Seq(("a", 100L), ("b", 200L)).toDF("part", "n"),
+      root, "part", "d3")
+    val before = TxLog.snapshot(spark, root)
+    val lowFiles = before.parts.values.flatten.filter { f =>
+      before.stats(f)("n")._2.toLong < 10L // the d1 files
+    }.toSet
+    assert(lowFiles.size === 2)
+    // delete the mid band: only d2's two files can match
+    val (v, rewritten) = TxLog.deleteWhereTx(spark, root,
+      col("n") >= 10L && col("n") < 100L)
+    assert(v === before.version + 1 && rewritten === 2,
+      s"expected exactly d2's 2 files rewritten, got $rewritten")
+    val after = TxLog.snapshot(spark, root)
+    assert(lowFiles.subsetOf(after.parts.values.flatten.toSet),
+      "files that could not match must survive IDENTICALLY (no rewrite)")
+    assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0)
+      === 1L + 2L + 100L + 200L)
+    // a predicate evaluating NULL keeps the row (SQL DELETE semantics)
+    val root2 = freshRoot("delnull")
+    TxLog.appendBatchTx(
+      Seq(("a", Some(1L)), ("a", None), ("a", Some(5L))).toDF("part", "n"),
+      root2, "part", "dn1")
+    TxLog.deleteWhereTx(spark, root2, col("n") > 2L)
+    assert(TxLog.read(spark, root2, "part").count() === 2L,
+      "NULL-predicate row must survive the delete")
+    // a provably-unmatchable predicate commits nothing
+    val (v2, r2) = TxLog.deleteWhereTx(spark, root2, col("n") > 1000L)
+    assert(r2 === 0 && v2 === TxLog.snapshot(spark, root2).version)
+    // deleting EVERYTHING leaves an empty table (pure-removal commit)
+    TxLog.deleteWhereTx(spark, root2, lit(true))
+    assert(TxLog.snapshot(spark, root2).parts.isEmpty)
+  }
+
+  test("mergeKeyedTx upserts: matched keys replaced, new keys inserted, " +
+      "non-overlapping files untouched, change feed refuses the rewrite") {
+    import spark.implicits._
+    val root = freshRoot("merge")
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, "old1"), ("a", 2L, "old2")).toDF("part", "k", "v"),
+      root, "part", "m1")
+    TxLog.appendBatchTx(
+      Seq(("a", 100L, "old100"), ("b", 101L, "old101"))
+        .toDF("part", "k", "v"), root, "part", "m2")
+    val before = TxLog.snapshot(spark, root)
+    val farFiles = before.parts.values.flatten.filter { f =>
+      before.stats(f)("k")._1.toLong >= 100L
+    }.toSet
+    assert(farFiles.size === 2)
+    val (_, feedV) = TxLog.readChangesSince(spark, root, 0L, "part")
+    // source: update k=2, insert k=3 — bounds [2,3] overlap only m1's file
+    val src = Seq(("a", 2L, "new2"), ("a", 3L, "new3")).toDF("part", "k", "v")
+    TxLog.mergeKeyedTx(spark, root, src, "k")
+    val after = TxLog.snapshot(spark, root)
+    assert(farFiles.subsetOf(after.parts.values.flatten.toSet),
+      "files whose key range cannot overlap the source must not rewrite")
+    val got = TxLog.read(spark, root, "part").orderBy("k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toSeq
+    assert(got === Seq(1L -> "old1", 2L -> "new2", 3L -> "new3",
+      100L -> "old100", 101L -> "old101"))
+    // a rewrite is NOT expressible as appended rows: the change feed
+    // refuses the window unless rewrites are reconciled out of band
+    val ex = intercept[RuntimeException] {
+      TxLog.readChangesSince(spark, root, feedV, "part")
+    }
+    assert(ex.getMessage.contains("not appends"))
+    // merge is serializable vs itself: two racing merges on the same
+    // partition both land (one re-derives after the conflict)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call() = TxLog.mergeKeyedTx(spark, root,
+          Seq(("a", 1L, "race1"), ("a", 50L, "ins50"))
+            .toDF("part", "k", "v"), "k")
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call() = TxLog.mergeKeyedTx(spark, root,
+          Seq(("a", 3L, "race3"), ("a", 60L, "ins60"))
+            .toDF("part", "k", "v"), "k")
+      })
+      assert(Set(f1.get(), f2.get()).size === 2, "merges must serialize")
+    } finally pool.shutdown()
+    val finalRows = TxLog.read(spark, root, "part").orderBy("k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toSeq
+    assert(finalRows === Seq(1L -> "race1", 2L -> "new2", 3L -> "race3",
+      50L -> "ins50", 60L -> "ins60", 100L -> "old100", 101L -> "old101"),
+      s"racing merges lost an update: $finalRows")
+    // rewritten-away files are unreferenced → vacuum reclaims them
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0)
+    assert(TxLog.read(spark, root, "part").count() === 7L)
+  }
+
   test("string data skipping: disjoint key-range files prune on point, " +
       "range and IN predicates; truncated bounds stay conservative") {
     import spark.implicits._
