@@ -2919,6 +2919,81 @@ object SourceQueries {
           dsum(col("o_totalprice")).as("total_price"))
         .withColumn("delete_ok",
           lit(if (rewritten * 2 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q226: PARQUET-CHECKPOINTED READS — the 100-TB metadata path
+    // (the Delta parquet-checkpoint design): the tx log's file-level
+    // state folds into a parquet payload, the driver never materializes
+    // the file list, and a range probe's partition pruning + per-file
+    // stats skipping run INSIDE a Spark job over that payload
+    // (TxBigFileIndex). Three pre-checkpoint batches cross the (forced)
+    // payload threshold, a fourth lands post-checkpoint as delta; the
+    // probe must read at most HALF the live files THROUGH the payload
+    // scan, values oracled from raw events under the same threshold.
+    QueryDef.sql("q226_tx_parquet_checkpoint",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS payload_ok
+         |FROM events
+         |WHERE event_id > (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) FROM events)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.{TxBigFileIndex, TxLog}
+      val root = scratch("q226_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      var lo = Long.MinValue
+      (1 to 3).foreach { i =>
+        val hi = maxId * i / 4
+        TxLog.appendBatchTx(
+          ev.filter(col("event_id") > lo && col("event_id") <= hi),
+          root, "event_type", s"q226-b$i")
+        lo = hi
+      }
+      // force the parquet payload (production default is 4096 files),
+      // restore the session conf whatever happens
+      val key = "graft.txlog.chkParquetMin"
+      val prior = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "1")
+        TxLog.checkpoint(s, root)
+        TxLog.expireLog(s, root)
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      // the fourth batch is post-checkpoint DELTA
+      TxLog.appendBatchTx(ev.filter(col("event_id") > lo),
+        root, "event_type", "q226-b4")
+      val thr = maxId / 2
+      val probe = TxLog.read(s, root, "event_type")
+        .filter(col("event_id") > thr).select("event_type")
+      // the scan must ride the payload-backed index (a driver fold here
+      // would defeat the design this gate exists to pin)
+      val idx = probe.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }.get.asInstanceOf[TxBigFileIndex]
+      val totalFiles = idx.survivorParts(Seq.empty, Seq.empty)
+        .valuesIterator.map(_.size).sum
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val read = probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+      require(read * 2 <= totalFiles,
+        s"q226: payload-side skipping left $read of $totalFiles files")
+      TxLog.read(s, root, "event_type")
+        .filter(col("event_id") > thr)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("payload_ok",
+          lit(if (read * 2 <= totalFiles) 1L else 0L))
     }
   )
 }

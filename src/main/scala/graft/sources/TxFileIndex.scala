@@ -8,6 +8,29 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Shared contract of the tx-layer file indexes: map resolved scan
+  * filters to the surviving (partition value → rel files) slice — the
+  * candidate search [[TxLog.deleteWhereTx]]/[[TxLog.mergeKeyedTx]] run
+  * to bound their rewrites, served by the SAME pruning machinery the
+  * scan itself uses (driver-side for [[TxFileIndex]], a distributed
+  * payload job for [[TxBigFileIndex]]). */
+trait GraftFileIndex {
+  def survivorParts(partitionFilters: Seq[Expression],
+                    dataFilters: Seq[Expression]): Map[String, Seq[String]]
+}
+
+private[sources] object PartValueRow {
+  /** A log's RAW string partition value, cast once to the declared
+    * partition type with session-zone semantics (same as catalog
+    * partition handling). */
+  def apply(spark: SparkSession, v: String,
+            partType: org.apache.spark.sql.types.DataType): InternalRow = {
+    val zone = Option(spark.conf.get("spark.sql.session.timeZone"))
+    InternalRow(Cast(Literal(UTF8String.fromString(v), StringType),
+      partType, zone).eval(null))
+  }
+}
+
 /** A [[FileIndex]] backed by a [[TxLog.Snapshot]]'s live-file list — the
   * production read shape for the transaction layer (the Delta
   * TahoeFileIndex pattern): ONE scan node whatever the partition count,
@@ -30,20 +53,15 @@ final class TxFileIndex(spark: SparkSession, root: String,
                         parts: Map[String, Seq[String]],
                         override val partitionSchema: StructType,
                         stats: TxLog.FileStats = Map.empty)
-    extends FileIndex {
+    extends FileIndex with GraftFileIndex {
   require(partitionSchema.length == 1,
     "TxFileIndex: exactly one partition column")
   private val partType = partitionSchema.head.dataType
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 
-  /** The log's RAW string value, cast once to the declared partition type
-    * with session-zone semantics (same as catalog partition handling). */
-  private def valueRow(v: String): InternalRow = {
-    val zone = Option(spark.conf.get("spark.sql.session.timeZone"))
-    InternalRow(Cast(Literal(UTF8String.fromString(v), StringType),
-      partType, zone).eval(null))
-  }
+  private def valueRow(v: String): InternalRow =
+    PartValueRow(spark, v, partType)
 
   /** One listing per staging dir (not per file): commits stage whole
     * `partCol=v` directories, so grouping by parent turns O(files)
@@ -106,6 +124,24 @@ final class TxFileIndex(spark: SparkSession, root: String,
     afterStats.map { case (row, files) =>
       PartitionDirectory(row, files.map(_._2).toArray)
     }
+  }
+
+  override def survivorParts(partitionFilters: Seq[Expression],
+                             dataFilters: Seq[Expression])
+      : Map[String, Seq[String]] = {
+    val boundOpt =
+      if (partitionFilters.isEmpty) None
+      else Some(Predicate.createInterpreted(
+        partitionFilters.reduce(And).transform {
+          case _: AttributeReference =>
+            BoundReference(0, partType, nullable = true)
+        }))
+    parts.toSeq.collect {
+      case (v, rels) if boundOpt.forall(_.eval(valueRow(v))) =>
+        v -> rels.filter(rel =>
+          dataFilters.isEmpty ||
+            stats.get(rel).forall(TxStats.mightMatch(dataFilters, _)))
+    }.filter(_._2.nonEmpty).toMap
   }
 
   override def inputFiles: Array[String] =

@@ -163,6 +163,7 @@ object TxLog {
 
   private val VersionRe = """v(\d{20})\.txn""".r
   private val ChkRe = """c(\d{20})\.chk""".r
+  private val PayloadRe = """c(\d{20})-[0-9a-f-]+\.chkpq""".r
 
   /** A log checkpoint: the FULL partition mapping + every batch id seen
     * as of `version` — the Delta checkpoint mechanism that keeps the
@@ -176,7 +177,16 @@ object TxLog {
                                schema: Option[String] = None,
                                stats: FileStats = Map.empty,
                                rows: FileRows = Map.empty,
-                               partSchema: Option[String] = None)
+                               partSchema: Option[String] = None,
+                               // v2 (parquet payload) checkpoints: the
+                               // file-level state lives in a parquet dir
+                               // under _txlog, NEVER driver-materialized;
+                               // the text file carries only O(partitions)
+                               // values + the batch ledger + schema
+                               payload: Option[String] = None,
+                               partValues: Set[String] = Set.empty,
+                               nfiles: Long = -1L,
+                               bytes: Long = -1L)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -309,21 +319,32 @@ object TxLog {
 
   private def parseChk(version: Long, body: String): Chk = {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains("graft-chk-v1"),
+    val header = lines.headOption.getOrElse("")
+    require(header == "graft-chk-v1" || header == "graft-chk-v2",
       s"checkpoint c$version: unknown format header")
     val parts = lines.filter(_.startsWith("p\t")).map(_.split("\t"))
       .map { case Array(_, v, p) => (unesc(v), p) }
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     val batchIds = lines.filter(_.startsWith("b\t"))
       .map(l => unesc(l.split("\t")(1))).toSet
-    val schema = lines
-      .collectFirst { case l if l.startsWith("schema=") => l.drop(7) }
-      .filter(_ != "-").map(unesc)
-    val partSchema = lines
-      .collectFirst { case l if l.startsWith("part=") => l.drop(5) }
-      .filter(_ != "-").map(unesc)
-    Chk(version, parts, batchIds, schema, parseStats(lines),
-      parseRows(lines), partSchema)
+    def fieldOpt(k: String): Option[String] = lines
+      .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
+      .filter(_ != "-")
+    val schema = fieldOpt("schema").map(unesc)
+    val partSchema = fieldOpt("part").map(unesc)
+    if (header == "graft-chk-v2") {
+      val partValues = lines.filter(_.startsWith("v\t"))
+        .map(l => unesc(l.split("\t", -1)(1))).toSet
+      Chk(version, Map.empty, batchIds, schema, Map.empty, Map.empty,
+        partSchema,
+        payload = Some(fieldOpt("payload").getOrElse(
+          sys.error(s"checkpoint c$version: v2 without payload ref"))),
+        partValues = partValues,
+        nfiles = fieldOpt("nfiles").map(_.toLong).getOrElse(-1L),
+        bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
+    } else
+      Chk(version, parts, batchIds, schema, parseStats(lines),
+        parseRows(lines), partSchema)
   }
 
   private def renderChk(parts: Map[String, Seq[String]],
@@ -341,6 +362,17 @@ object TxLog {
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
+
+  private def renderChkV2(payload: String, partValues: Set[String],
+                          batchIds: Set[String], schema: Option[String],
+                          partSchema: Option[String], nfiles: Long,
+                          bytes: Long): String =
+    (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
+      s"part=${partSchema.map(esc).getOrElse("-")}",
+      s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes") ++
+      batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
+      partValues.toSeq.sorted.map(v => s"v\t${esc(v)}"))
+      .mkString("\n") + "\n"
 
   /** Publish `body` as version file `v<version>.txn` — atomically, and
     * only if no other writer already claimed that version. The content is
@@ -374,6 +406,10 @@ object TxLog {
   // ---- snapshots --------------------------------------------------------
 
   private def fold(chk: Option[Chk], commits: Seq[Commit]): Snapshot = {
+    require(chk.forall(_.payload.isEmpty),
+      "TxLog.fold: parquet-payload checkpoints never driver-materialize — " +
+        "route through stateOf/readTable (a silent empty fold here would " +
+        "be wrong results, not a slow path)")
     val parts = commits.foldLeft(chk.map(_.parts).getOrElse(
         Map.empty[String, Seq[String]])) { (acc, c) =>
       c.op match {
@@ -410,12 +446,90 @@ object TxLog {
         commits.flatMap(_.partSchema)).lastOption)
   }
 
-  /** Fold the commit log into the current table state. Version 0 = empty
-    * table (no commits yet). */
-  def snapshot(spark: SparkSession, root: String): Snapshot = {
-    val (chk, commits) = readLog(spark, root)
-    fold(chk, commits)
+  /** Resolved state of a PARQUET-CHECKPOINTED table: the file-level
+    * payload stays in `_txlog/<payload>` (never driver-materialized) and
+    * only the bounded post-checkpoint DELTA rides the driver — removed
+    * partitions/files mask payload rows, added files list explicitly.
+    * [[TxBigFileIndex]] unions the two at scan time, evaluating
+    * partition pruning and stats skipping INSIDE the payload scan. */
+  private[sources] final case class BigState(
+      version: Long, chkVersion: Long, payload: String,
+      partValues: Set[String],
+      removedParts: Set[String],
+      removedFiles: Set[String],
+      deltaParts: Map[String, Seq[String]],
+      deltaStats: FileStats, deltaRows: FileRows,
+      schema: Option[String], partSchema: Option[String],
+      nfiles: Long, bytes: Long)
+
+  /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
+    * commits) driver work whatever the payload size. */
+  private def foldBig(chk: Chk, commits: Seq[Commit]): BigState = {
+    var removedParts = Set.empty[String]
+    var removedFiles = Set.empty[String]
+    var delta = Map.empty[String, Seq[String]]
+    commits.foreach { c =>
+      c.op match {
+        case "overwrite" =>
+          removedParts ++= c.parts.keySet
+          delta = (delta -- c.parts.keySet) ++ c.parts
+        case "append" => c.parts.foreach { case (v, fs) =>
+          delta = delta.updated(v, delta.getOrElse(v, Seq.empty) ++ fs) }
+        case "remove" =>
+          removedParts ++= c.parts.keySet
+          delta = delta -- c.parts.keySet
+        case "rewrite" => c.touched.foreach { v =>
+          val gone = c.removed.getOrElse(v, Seq.empty).toSet
+          removedFiles ++= gone // payload removals (delta's filter inline)
+          val next = delta.getOrElse(v, Seq.empty).filterNot(gone) ++
+            c.parts.getOrElse(v, Seq.empty)
+          delta = if (next.isEmpty) delta - v else delta.updated(v, next)
+        }
+        case other => sys.error(s"commit v${c.version}: unknown op $other")
+      }
+    }
+    val liveDelta = delta.valuesIterator.flatten.toSet
+    BigState(
+      commits.lastOption.map(_.version).getOrElse(chk.version), chk.version,
+      chk.payload.get,
+      chk.partValues -- removedParts ++ delta.keySet,
+      removedParts, removedFiles, delta,
+      commits.iterator.flatMap(_.stats).filter(kv => liveDelta(kv._1)).toMap,
+      commits.iterator.flatMap(_.rows).filter(kv => liveDelta(kv._1)).toMap,
+      (chk.schema.toSeq ++ commits.flatMap(_.schema)).lastOption,
+      (chk.partSchema.toSeq ++ commits.flatMap(_.partSchema)).lastOption,
+      chk.nfiles, chk.bytes)
   }
+
+  /** Internal dispatch: driver-resident [[Snapshot]] for inline-
+    * checkpointed (or uncheckpointed) logs, [[BigState]] once the table
+    * crossed to a parquet checkpoint. `cap` bounds the folded commits
+    * (time travel / deterministic replay). */
+  private def stateOf(spark: SparkSession, root: String,
+                      cap: Option[Long] = None)
+      : Either[Snapshot, BigState] = {
+    val (chk, commits0) = readLog(spark, root)
+    val commits = cap.map(u => commits0.filter(_.version <= u))
+      .getOrElse(commits0)
+    chk match {
+      case Some(c) if c.payload.isDefined => Right(foldBig(c, commits))
+      case _ => Left(fold(chk, commits))
+    }
+  }
+
+  /** Fold the commit log into the current table state. Version 0 = empty
+    * table (no commits yet). DRIVER-RESIDENT by contract: refuses a
+    * parquet-checkpointed table (its file list deliberately never fits
+    * the driver) — use [[readTable]]/[[read]]/[[countRows]]/the front
+    * doors, which dispatch to the distributed path. */
+  def snapshot(spark: SparkSession, root: String): Snapshot =
+    stateOf(spark, root) match {
+      case Left(snap) => snap
+      case Right(big) => sys.error(s"TxLog.snapshot: the table at $root " +
+        s"is parquet-checkpointed (${big.nfiles}+ files at c" +
+        s"${big.chkVersion}) — its file list does not driver-materialize; " +
+        "use readTable/read/countRows or the transactional front doors")
+    }
 
   /** Time travel: the table state AS OF `version` — committed data is
     * immutable and versions are a total order, so any retained version
@@ -470,10 +584,39 @@ object TxLog {
       org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
   }
 
+  /** One-scan read of a parquet-checkpointed table through
+    * [[TxBigFileIndex]] — partition pruning and data skipping run as a
+    * job over the checkpoint payload; the driver holds survivors only. */
+  private def readBig(spark: SparkSession, root: String, big: BigState,
+                      partCol: String, partType: DataType): DataFrame = {
+    val dataSchema = big.schema
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.readBig: no recorded schema at $root"))
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partCol, partType)))
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new TxBigFileIndex(spark, root, big, partSchema),
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+  }
+
+  private def readState(spark: SparkSession, root: String,
+                        state: Either[Snapshot, BigState],
+                        partCol: String, partType: DataType): DataFrame =
+    state match {
+      case Left(snap) => readSnapshot(spark, root, snap, partCol, partType)
+      case Right(big) => readBig(spark, root, big, partCol, partType)
+    }
+
   /** Read the CURRENT state of the tx table. */
   def read(spark: SparkSession, root: String, partCol: String,
            partType: DataType = StringType): DataFrame =
-    readSnapshot(spark, root, snapshot(spark, root), partCol, partType)
+    readState(spark, root, stateOf(spark, root), partCol, partType)
 
   /** Read the CURRENT state using the log's own recorded partition
     * metadata — the partition column is TABLE state, not reader
@@ -481,12 +624,35 @@ object TxLog {
     * this can't). Refuses legacy logs written before partition
     * recording rather than guessing. */
   def readTable(spark: SparkSession, root: String): DataFrame = {
-    val snap = snapshot(spark, root)
-    val pf = snap.partSchema.map(org.apache.spark.sql.types.StructType.fromDDL)
+    val state = stateOf(spark, root)
+    val pf = state.fold(_.partSchema, _.partSchema)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(sys.error(s"TxLog.readTable: the log at $root predates " +
         "partition-column recording — read with an explicit partCol"))
       .head
-    readSnapshot(spark, root, snap, pf.name, pf.dataType)
+    readState(spark, root, state, pf.name, pf.dataType)
+  }
+
+  /** Time-travel read AS OF `version` on either checkpoint
+    * representation — the [[snapshotAt]] contract ([[readTable]]'s
+    * partition-metadata resolution included) without requiring the file
+    * list to driver-materialize: a parquet-checkpointed table time
+    * travels with the same payload scan plus a version-capped delta. */
+  def readTableAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val floor = readLog(spark, root)._1.map(_.version).getOrElse(0L)
+    require(version >= floor,
+      s"TxLog.readTableAt: version $version predates the latest " +
+        s"checkpoint ($floor) — its delta files may be expired; retain a " +
+        "longer log to time-travel that far")
+    val state = stateOf(spark, root, cap = Some(version))
+    require(state.fold(_.version, _.version) == version,
+      s"TxLog.readTableAt: version $version was never committed at $root")
+    val pf = state.fold(_.partSchema, _.partSchema)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.readTableAt: the log at $root predates " +
+        "partition-column recording — use snapshotAt + readSnapshot"))
+      .head
+    readState(spark, root, state, pf.name, pf.dataType)
   }
 
   /** Metadata-only COUNT: the exact row count of every partition passing
@@ -499,19 +665,48 @@ object TxLog {
     * an estimate). */
   def countRows(spark: SparkSession, root: String,
                 select: String => Boolean = _ => true): Option[Long] = {
-    val snap = snapshot(spark, root)
-    val files = snap.parts.collect { case (v, fs) if select(v) => fs }.flatten
-    if (files.forall(snap.rows.contains)) Some(files.map(snap.rows).sum.toLong)
-    else None
+    val total = partitionCounts(spark, root)
+      .collect { case (v, n) if select(v) => n }
+    if (total.forall(_.nonEmpty)) Some(total.flatten.sum) else None
   }
 
   /** Per-partition metadata-only counts; a partition holding any file
-    * without a recorded count reports None (scan to answer). */
+    * without a recorded count reports None (scan to answer). On a
+    * parquet-checkpointed table this is ONE aggregation job over the
+    * payload (plus the driver-side delta) — O(partitions) driver rows,
+    * never O(files). */
   def partitionCounts(spark: SparkSession, root: String): Map[String, Option[Long]] = {
-    val snap = snapshot(spark, root)
-    snap.parts.map { case (v, fs) =>
-      v -> (if (fs.forall(snap.rows.contains)) Some(fs.map(snap.rows).sum)
-            else None)
+    stateOf(spark, root) match {
+      case Left(snap) =>
+        snap.parts.map { case (v, fs) =>
+          v -> (if (fs.forall(snap.rows.contains)) Some(fs.map(snap.rows).sum)
+                else None)
+        }
+      case Right(big) =>
+        var df = spark.read.parquet(s"$root/_txlog/${big.payload}")
+        if (big.removedParts.nonEmpty)
+          df = df.filter(not(col("part").isin(big.removedParts.toSeq: _*)))
+        if (big.removedFiles.nonEmpty)
+          df = df.filter(not(col("file").isin(big.removedFiles.toSeq: _*)))
+        val payload = df.groupBy("part")
+          .agg(sum("rows").as("n"), count(lit(1)).as("nf"),
+            count(col("rows")).as("nr"))
+          .collect().map { r =>
+            // any file without a recorded count poisons its partition
+            (r.getString(0),
+             if (r.getLong(2) == r.getLong(3)) Option(r.get(1))
+               .map(_.asInstanceOf[Long])
+             else None)
+          }.toMap
+        val deltaCounts = big.deltaParts.map { case (v, fs) =>
+          v -> (if (fs.forall(big.deltaRows.contains))
+                  Some(fs.map(big.deltaRows).sum)
+                else None)
+        }
+        (payload.keySet ++ deltaCounts.keySet).map { v =>
+          val both = Seq(payload.get(v), deltaCounts.get(v)).flatten
+          v -> (if (both.forall(_.nonEmpty)) Some(both.flatten.sum) else None)
+        }.toMap
     }
   }
 
@@ -559,7 +754,8 @@ object TxLog {
         capped
       case None => commits0
     }
-    val current = fold(chk, commits)
+    val currentVersion = commits.lastOption.map(_.version)
+      .orElse(chk.map(_.version)).getOrElse(0L)
     val window = commits.filter(_.version > sinceVersion)
     val nonAppend = window.filterNot(_.op == "append")
     if (nonAppend.nonEmpty && !skipNonAppend)
@@ -568,17 +764,33 @@ object TxLog {
         "are not appends — their effect cannot be expressed as appended " +
         "rows; re-baseline from a snapshot read, or pass skipNonAppend " +
         "if rewrites are reconciled out of band")
-    // only LIVE files: an appended file a later (skipped) overwrite
-    // already replaced must not resurrect rows the table no longer has
-    val live = current.parts.valuesIterator.flatten.toSet
+    // only LIVE files: an appended file a later (skipped) overwrite/
+    // remove/rewrite already replaced must not resurrect rows the table
+    // no longer has. Liveness is decided from the WINDOW alone (a window
+    // append can only die to a LATER commit in range), so this path never
+    // folds the full table — O(window commits) whatever the table size.
+    def liveAfter(va: Long, part: String, file: String): Boolean =
+      !commits.exists(c => c.version > va && (
+        ((c.op == "overwrite" || c.op == "remove") &&
+          c.parts.contains(part)) ||
+        (c.op == "rewrite" &&
+          c.removed.getOrElse(part, Seq.empty).contains(file))))
     val deltaParts = window.filter(_.op == "append")
-      .flatMap(_.parts.toSeq).groupBy(_._1)
-      .map { case (v, xs) => v -> xs.flatMap(_._2).filter(live) }
+      .flatMap(c => c.parts.toSeq.flatMap { case (v, fs) =>
+        fs.filter(f => liveAfter(c.version, v, f)).map(v -> _)
+      })
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
       .filter(_._2.nonEmpty)
-    if (deltaParts.isEmpty) (None, current.version)
-    else (Some(readSnapshot(spark, root,
-      current.copy(parts = deltaParts), partCol, partType)),
-      current.version)
+    if (deltaParts.isEmpty) (None, currentVersion)
+    else {
+      val schema = (chk.flatMap(_.schema).toSeq ++
+        commits.flatMap(_.schema)).lastOption
+      val stats = window.iterator.flatMap(_.stats)
+        .filter { case (f, _) => deltaParts.exists(_._2.contains(f)) }.toMap
+      (Some(readSnapshot(spark, root,
+        Snapshot(currentVersion, deltaParts, schema, stats),
+        partCol, partType)), currentVersion)
+    }
   }
 
   /** Incremental-ETL consumption driver over [[readChangesSince]] — the
@@ -665,14 +877,12 @@ object TxLog {
         // or an incremental delivery whose window maintenance has since
         // expired) replays AT the intent version when still retained, so
         // the tag stays stable and the downstream ledger dedups it
-        val snap = pendingIntent match {
-          case Some(i) if i >= floor => snapshotAt(spark, root, i)
-          case _ => snapshot(spark, root)
-        }
-        writeCp(since, Some(snap.version))
-        process(readSnapshot(spark, root, snap, partCol, partType),
-          snap.version)
-        writeCp(snap.version, None)
+        val state = stateOf(spark, root,
+          cap = pendingIntent.filter(_ >= floor))
+        val v = state.fold(_.version, _.version)
+        writeCp(since, Some(v))
+        process(readState(spark, root, state, partCol, partType), v)
+        writeCp(v, None)
         cycles += 1
       } else {
         // a pending intent = a crashed delivery: replay the identical
@@ -847,26 +1057,37 @@ object TxLog {
       // its commit would regress the recorded schema and drop the column
       // from every subsequent read. Old logs without schema records
       // impose no constraint (None).
-      val current = fold(chk, commits)
+      // META-ONLY fold: the guards need schema/partSchema/partition
+      // VALUES, never the file list — so commits to a parquet-
+      // checkpointed table stay O(delta) driver work.
+      val current: (Option[String], Option[String], Set[String]) =
+        chk match {
+          case Some(c) if c.payload.isDefined =>
+            val b = foldBig(c, commits)
+            (b.schema, b.partSchema, b.partValues)
+          case _ =>
+            val s = fold(chk, commits)
+            (s.schema, s.partSchema, s.parts.keySet)
+        }
       // PARTITION GUARD: a tx table has ONE partitioning — a writer
       // staging under a different partition column would scramble the
       // log's value→files semantics for every reader. Terminal (no
       // retry can fix the caller's layout), so staged files reclaim now.
-      for (cp <- current.partSchema; sp <- staged.partSchema if cp != sp) {
+      for (cp <- current._2; sp <- staged.partSchema if cp != sp) {
         discard(spark, root, staged)
         throw new IllegalArgumentException(
           s"TxLog.commit: staged partition column [$sp] does not match " +
             s"the table's recorded partition column [$cp] — rebuild the " +
             "table to change its partitioning")
       }
-      for (cs <- current.schema; ss <- staged.schema if cs != ss) {
+      for (cs <- current._1; ss <- staged.schema if cs != ss) {
         val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
         val stagedTypes = org.apache.spark.sql.types.StructType.fromDDL(ss)
           .map(f => f.name -> f.dataType).toMap
         val additive = curT.forall(f =>
           stagedTypes.get(f.name).contains(f.dataType))
         val fullReplace = op == "overwrite" &&
-          current.parts.keySet.subsetOf(staged.parts.keySet)
+          current._3.subsetOf(staged.parts.keySet)
         if (!(additive || fullReplace)) {
           // TERMINAL refusal (unlike a conflict, no retry can fix a
           // writer that lost a column) — reclaim the staged files here
@@ -937,7 +1158,8 @@ object TxLog {
     * Returns the partitions dropped (0 = nothing to do, no commit). */
   def dropPartitionsWhereTx(spark: SparkSession, root: String,
                             keep: String => Boolean): Int = {
-    val doomed = snapshot(spark, root).parts.keys.filterNot(keep).toSeq.sorted
+    val values = stateOf(spark, root).fold(_.parts.keySet, _.partValues)
+    val doomed = values.filterNot(keep).toSeq.sorted
     if (doomed.nonEmpty) removePartitionsTx(spark, root, doomed): Unit
     doomed.length
   }
@@ -988,13 +1210,37 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val snap = snapshot(spark, root)
-      val sel = snap.parts.filter { case (v, _) => select(v) }
+      val state = stateOf(spark, root)
+      // selected partitions' files only — on a parquet-checkpointed table
+      // this is one payload query bounded by the SELECTION, never a full
+      // driver fold (the maintenance contract: partition-scoped rewrites)
+      val (version, sel, selSnap) = state match {
+        case Left(snap) =>
+          val s = snap.parts.filter { case (v, _) => select(v) }
+          (snap.version, s, snap.copy(parts = s))
+        case Right(big) =>
+          val values = big.partValues.filter(select).toSeq
+          val payloadSel =
+            if (values.isEmpty) Map.empty[String, Seq[String]]
+            else payloadLiveDF(spark, root, big)
+              .filter(col("part").isin(values: _*))
+              .select("part", "file").collect()
+              .groupBy(_.getString(0))
+              .map { case (v, xs) => v -> xs.map(_.getString(1)).toSeq }
+          val deltaSel = big.deltaParts.filter { case (v, _) => select(v) }
+          val merged = (payloadSel.keySet ++ deltaSel.keySet).map { v =>
+            v -> (payloadSel.getOrElse(v, Seq.empty) ++
+              deltaSel.getOrElse(v, Seq.empty))
+          }.toMap
+          (big.version, merged,
+            Snapshot(big.version, merged, big.schema, big.deltaStats,
+              big.deltaRows, big.partSchema))
+      }
       require(sel.nonEmpty,
         s"TxLog.readModifyWriteWhere: no partition at $root passes select")
       val staged = stage(
-        transform(readSnapshot(spark, root, snap.copy(parts = sel),
-          partCol, partType)), root, partCol, clusterBy, clusterFiles)
+        transform(readSnapshot(spark, root, selSnap, partCol, partType)),
+        root, partCol, clusterBy, clusterFiles)
       if (!staged.parts.keySet.subsetOf(sel.keySet)) {
         val escaped = (staged.parts.keySet -- sel.keySet).toSeq.sorted
         discard(spark, root, staged)
@@ -1003,7 +1249,7 @@ object TxLog {
           "rewrite the partitions it was given")
       }
       try return commit(spark, root, staged, "overwrite",
-        readVersion = snap.version, conflictCheck = true)
+        readVersion = version, conflictCheck = true)
       catch { case _: ConcurrentWriteException =>
         discard(spark, root, staged)
       }
@@ -1057,22 +1303,21 @@ object TxLog {
   }
 
   /** Live files that MIGHT hold rows matching `cond` — found by the SAME
-    * machinery a filtered read uses: analyze a filtered snapshot read,
-    * split the optimized conjuncts into partition vs data filters, and
-    * run [[TxFileIndex.listFiles]] (partition pruning + per-file
-    * [[TxStats]] min/max skipping). Everything not provably irrelevant
-    * is a candidate. Returns partition value → rel files. */
-  private def candidateFiles(spark: SparkSession, root: String,
-                             snap: Snapshot, partCol: String,
-                             partType: DataType,
-                             cond: Column): Map[String, Seq[String]] = {
+    * machinery a filtered read uses: analyze the filtered read's
+    * optimized plan, split its conjuncts into partition vs data filters,
+    * and ask the scan's own file index for the survivors (partition
+    * pruning + per-file [[TxStats]] min/max skipping — driver-side on a
+    * [[TxFileIndex]], one distributed payload job on a
+    * [[TxBigFileIndex]]). Everything not provably irrelevant is a
+    * candidate. Returns partition value → rel files. */
+  private def candidatesOf(df: DataFrame, cond: Column,
+                           partCol: String): Map[String, Seq[String]] = {
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     require(org.apache.spark.sql.graftbridge.ColumnBridge
         .expression(cond).deterministic,
       "TxLog: a non-deterministic predicate cannot drive a file rewrite")
-    val plan = readSnapshot(spark, root, snap, partCol, partType)
-      .filter(cond).queryExecution.optimizedPlan
+    val plan = df.filter(cond).queryExecution.optimizedPlan
     val relOpt = plan.collectFirst { case l: LogicalRelation => l }
     // the optimizer folded the predicate to FALSE: no file can match
     if (relOpt.isEmpty) return Map.empty
@@ -1084,16 +1329,9 @@ object TxLog {
       rel.output.filter(_.name == partCol))
     val (partFilters, dataFilters) =
       filters.partition(_.references.subsetOf(partAttr))
-    val idx = rel.relation.asInstanceOf[HadoopFsRelation]
-      .location.asInstanceOf[TxFileIndex]
-    val fs = fsOf(spark, new Path(root))
-    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
-      .stripSuffix("/") + "/"
-    val hit = idx.listFiles(partFilters, dataFilters)
-      .flatMap(_.files.map(_.getPath.toUri.getPath.stripPrefix(rootAbs)))
-      .toSet
-    snap.parts.map { case (v, files) => v -> files.filter(hit) }
-      .filter(_._2.nonEmpty)
+    rel.relation.asInstanceOf[HadoopFsRelation]
+      .location.asInstanceOf[GraftFileIndex]
+      .survivorParts(partFilters, dataFilters)
   }
 
   /** Transactional keyed DELETE — `DELETE FROM t WHERE cond` through the
@@ -1113,15 +1351,23 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val snap = snapshot(spark, root)
-      if (snap.parts.isEmpty) return (snap.version, 0)
-      val pf = snap.partSchema
+      val state = stateOf(spark, root)
+      val version = state.fold(_.version, _.version)
+      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+        return (version, 0)
+      val (schema, partSchema) =
+        (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
+      val pf = partSchema
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(sys.error(s"TxLog.deleteWhereTx: the log at $root " +
           "predates partition-column recording")).head
-      val cands = candidateFiles(spark, root, snap, pf.name, pf.dataType, cond)
-      if (cands.isEmpty) return (snap.version, 0)
-      val candSnap = snap.copy(parts = cands)
+      val cands = candidatesOf(
+        readState(spark, root, state, pf.name, pf.dataType), cond, pf.name)
+      if (cands.isEmpty) return (version, 0)
+      // candidates are O(matching files) — a bounded driver-side read
+      // even when the table itself is parquet-checkpointed
+      val candSnap = Snapshot(version, cands, schema,
+        Map.empty, Map.empty, partSchema)
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
       val remaining = readSnapshot(spark, root, candSnap, pf.name,
         pf.dataType).filter(keep)
@@ -1129,7 +1375,7 @@ object TxLog {
         if (remaining.isEmpty) Staged(Map.empty, removed = cands)
         else stage(remaining, root, pf.name).copy(removed = cands)
       try return (commit(spark, root, staged, "rewrite",
-        readVersion = snap.version, conflictCheck = true),
+        readVersion = version, conflictCheck = true),
         cands.valuesIterator.map(_.size).sum)
       catch { case _: ConcurrentWriteException =>
         discard(spark, root, staged)
@@ -1159,11 +1405,14 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val snap = snapshot(spark, root)
-      require(snap.parts.nonEmpty,
+      val state = stateOf(spark, root)
+      val version = state.fold(_.version, _.version)
+      require(state.fold(_.parts.nonEmpty, _.partValues.nonEmpty),
         s"TxLog.mergeKeyedTx: table at $root is empty — append the seed " +
           "batch instead")
-      val pf = snap.partSchema
+      val (schema, partSchemaDDL) =
+        (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
+      val pf = partSchemaDDL
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(sys.error(s"TxLog.mergeKeyedTx: the log at $root " +
           "predates partition-column recording")).head
@@ -1173,28 +1422,56 @@ object TxLog {
         .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
       val attr = org.apache.spark.sql.catalyst.expressions
         .AttributeReference(key, keyType)()
-      val cands: Map[String, Seq[String]] = bounds.flatMap { r =>
-        val pv = r.getString(0)
-        // keep a file unless its stats prove [fileMin,fileMax] and the
-        // source bounds [mn,mx] are disjoint: "might a row satisfy
-        // key >= mn AND key <= mx" is exactly range overlap
-        val overlap: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-          Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
-                attr, org.apache.spark.sql.catalyst.expressions.Literal
-                  .create(r.get(1), keyType)),
-              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
-                attr, org.apache.spark.sql.catalyst.expressions.Literal
-                  .create(r.get(2), keyType)))
-        val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
-          snap.stats.get(f).forall(TxStats.mightMatch(overlap, _))
-        }
-        if (fs.isEmpty) None else Some(pv -> fs)
-      }.toMap
+      // keep a file unless its stats prove [fileMin,fileMax] and the
+      // source bounds [mn,mx] are disjoint: "might a row satisfy
+      // key >= mn AND key <= mx" is exactly range overlap
+      def overlapExprs(r: org.apache.spark.sql.Row)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              attr, org.apache.spark.sql.catalyst.expressions.Literal
+                .create(r.get(1), keyType)),
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              attr, org.apache.spark.sql.catalyst.expressions.Literal
+                .create(r.get(2), keyType)))
+      val cands: Map[String, Seq[String]] = state match {
+        case Left(snap) =>
+          bounds.flatMap { r =>
+            val pv = r.getString(0)
+            val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
+              snap.stats.get(f).forall(TxStats.mightMatch(overlapExprs(r), _))
+            }
+            if (fs.isEmpty) None else Some(pv -> fs)
+          }.toMap
+        case Right(big) =>
+          // ONE distributed candidate job over the payload: OR over the
+          // per-partition (part = v AND key-range-overlap) predicates
+          val payloadPred = bounds.map { r =>
+            (col("part") === r.getString(0)) &&
+              TxStats.mightMatchColumn(overlapExprs(r), col("stats"))
+          }.reduceOption(_ || _).getOrElse(lit(false))
+          val fromPayload = payloadLiveDF(spark, root, big)
+            .filter(payloadPred).select("part", "file").collect()
+            .groupBy(_.getString(0))
+            .map { case (v, xs) => v -> xs.map(_.getString(1)).toSeq }
+          val fromDelta = bounds.flatMap { r =>
+            val pv = r.getString(0)
+            val fs = big.deltaParts.getOrElse(pv, Seq.empty).filter { f =>
+              big.deltaStats.get(f)
+                .forall(TxStats.mightMatch(overlapExprs(r), _))
+            }
+            if (fs.isEmpty) None else Some(pv -> fs)
+          }.toMap
+          (fromPayload.keySet ++ fromDelta.keySet).map { v =>
+            v -> (fromPayload.getOrElse(v, Seq.empty) ++
+              fromDelta.getOrElse(v, Seq.empty))
+          }.toMap
+      }
       val tableCols = source.columns.map(col).toSeq
       val unmatched =
         if (cands.isEmpty) None
-        else Some(readSnapshot(spark, root, snap.copy(parts = cands),
-          pf.name, pf.dataType)
+        else Some(readSnapshot(spark, root,
+          Snapshot(version, cands, schema, Map.empty, Map.empty,
+            partSchemaDDL), pf.name, pf.dataType)
           .join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
       val upserted = unmatched
@@ -1202,7 +1479,7 @@ object TxLog {
         .getOrElse(source.select(tableCols: _*))
       val staged = stage(upserted, root, pf.name).copy(removed = cands)
       try return commit(spark, root, staged, "rewrite",
-        readVersion = snap.version, conflictCheck = true)
+        readVersion = version, conflictCheck = true)
       catch { case _: ConcurrentWriteException =>
         discard(spark, root, staged)
       }
@@ -1226,16 +1503,173 @@ object TxLog {
     * empty, nothing written). */
   def checkpoint(spark: SparkSession, root: String): Long = {
     val (chk, commits) = readLog(spark, root)
-    val snap = fold(chk, commits)
-    if (snap.version == 0L) return 0L
+    val version = commits.lastOption.map(_.version)
+      .orElse(chk.map(_.version)).getOrElse(0L)
+    if (version == 0L) return 0L
     val batchIds = chk.map(_.batchIds).getOrElse(Set.empty) ++
       commits.flatMap(_.batchId)
-    val schema = (chk.flatMap(_.schema).toSeq ++
-      commits.flatMap(_.schema)).lastOption
-    tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChk(snap.parts, batchIds, schema, snap.stats, snap.rows,
-        snap.partSchema))
-    snap.version
+    chk match {
+      case Some(c) if c.payload.isDefined =>
+        // parquet-checkpointed already: fold the delta INTO a new payload
+        // with one Spark job (filter dead payload rows, union delta
+        // entries) — the driver never holds the file list
+        if (commits.nonEmpty)
+          writeChkV2FromBig(spark, root, foldBig(c, commits), batchIds)
+      case _ =>
+        val snap = fold(chk, commits)
+        val nf = snap.parts.valuesIterator.map(_.size).sum
+        if (nf < chkParquetMin(spark))
+          tryPublishNamed(spark, root, f"c$version%020d.chk",
+            renderChk(snap.parts, batchIds, snap.schema, snap.stats,
+              snap.rows, snap.partSchema)): Unit
+        else writeChkV2FromSnap(spark, root, snap, batchIds)
+    }
+    version
+  }
+
+  /** Live-file count at which [[checkpoint]] switches from the inline
+    * text checkpoint to the parquet payload (one-way: once parquet,
+    * always parquet). Override per session with
+    * `graft.txlog.chkParquetMin`. */
+  val DefaultChkParquetMin = 4096
+  private def chkParquetMin(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.chkParquetMin").map(_.toInt)
+      .getOrElse(DefaultChkParquetMin)
+
+  private val PayloadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("part", StringType, false),
+    org.apache.spark.sql.types.StructField("file", StringType, false),
+    org.apache.spark.sql.types.StructField("size",
+      org.apache.spark.sql.types.LongType, false),
+    org.apache.spark.sql.types.StructField("mtime",
+      org.apache.spark.sql.types.LongType, false),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType, true),
+    org.apache.spark.sql.types.StructField("stats",
+      org.apache.spark.sql.types.MapType(StringType,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("mn", StringType, true),
+          org.apache.spark.sql.types.StructField("mx", StringType, true)))),
+      true)))
+
+  /** (size, mtime) of each rel file — grouped per parent dir so a
+    * thousand-file staging dir costs ONE listing RPC; few dirs list on a
+    * driver pool, many fan out as a Spark job. */
+  private def statusByRel(spark: SparkSession, root: String,
+                          relFiles: Seq[String]): Map[String, (Long, Long)] = {
+    if (relFiles.isEmpty) return Map.empty
+    val dirs = relFiles.map(r => r.substring(0, r.lastIndexOf('/'))).distinct
+    def listDir(conf: org.apache.hadoop.conf.Configuration, dir: String)
+        : Seq[(String, Long, Long)] = {
+      val p = new Path(root, dir)
+      p.getFileSystem(conf).listStatus(p).filter(_.isFile)
+        .map(st => (s"$dir/${st.getPath.getName}", st.getLen,
+          st.getModificationTime)).toSeq
+    }
+    val all: Seq[(String, Long, Long)] =
+      if (dirs.size <= 512) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, dirs.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(dirs.map { d =>
+            new java.util.concurrent.Callable[Seq[(String, Long, Long)]] {
+              def call() = listDir(conf, d)
+            }
+          }.asJava).asScala.flatMap(_.get()).toSeq
+        } finally pool.shutdown()
+      } else {
+        val conf = new org.apache.spark.SerializableWritable(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+          .flatMap(d => listDir(conf.value, d)).collect().toSeq
+      }
+    val wanted = relFiles.toSet
+    all.collect { case (rel, sz, mt) if wanted(rel) => rel -> (sz, mt) }.toMap
+  }
+
+  private def entryRows(root: String, parts: Map[String, Seq[String]],
+                        stats: FileStats, rows: FileRows,
+                        meta: Map[String, (Long, Long)])
+      : Seq[org.apache.spark.sql.Row] =
+    parts.toSeq.flatMap { case (v, fs) =>
+      fs.map { f =>
+        val (sz, mt) = meta.getOrElse(f, sys.error(
+          s"TxLog.checkpoint: live file $f missing under $root — vacuum " +
+            "ran inside the checkpoint window?"))
+        org.apache.spark.sql.Row(v, f, sz, mt,
+          rows.get(f).map(java.lang.Long.valueOf).orNull,
+          stats.get(f).map(_.map { case (c, (mn, mx)) =>
+            c -> org.apache.spark.sql.Row(mn, mx)
+          }).orNull)
+      }
+    }
+
+  private def writePayloadDir(spark: SparkSession, root: String,
+                              df: DataFrame, version: Long): String = {
+    // uuid-suffixed so two racing checkpointers at the same version write
+    // disjoint dirs; the text chk's putIfAbsent picks the winner and
+    // expireLog sweeps the loser's unreferenced dir
+    val name = f"c$version%020d-${java.util.UUID.randomUUID()}.chkpq"
+    df.write.mode("errorifexists").parquet(s"$root/_txlog/$name")
+    name
+  }
+
+  private def deletePayloadDir(spark: SparkSession, root: String,
+                               name: String): Unit = {
+    val p = new Path(s"$root/_txlog/$name")
+    fsOf(spark, p).delete(p, true): Unit
+  }
+
+  private def writeChkV2FromSnap(spark: SparkSession, root: String,
+                                 snap: Snapshot,
+                                 batchIds: Set[String]): Unit = {
+    val meta = statusByRel(spark, root, snap.parts.values.flatten.toSeq)
+    val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta)
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, PayloadSchema)
+      .repartition(math.max(1, rows.size / 500000))
+    val name = writePayloadDir(spark, root, df, snap.version)
+    val bytes = rows.iterator.map(_.getLong(2)).sum
+    val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
+      renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
+        snap.partSchema, rows.size.toLong, bytes))
+    if (!won) deletePayloadDir(spark, root, name)
+  }
+
+  private[sources] def payloadLiveDF(spark: SparkSession, root: String,
+                                     big: BigState): DataFrame = {
+    var df = spark.read.parquet(s"$root/_txlog/${big.payload}")
+    if (big.removedParts.nonEmpty)
+      df = df.filter(not(col("part").isin(big.removedParts.toSeq: _*)))
+    if (big.removedFiles.nonEmpty)
+      df = df.filter(not(col("file").isin(big.removedFiles.toSeq: _*)))
+    df
+  }
+
+  private def writeChkV2FromBig(spark: SparkSession, root: String,
+                                big: BigState,
+                                batchIds: Set[String]): Unit = {
+    val deltaMeta = statusByRel(spark, root,
+      big.deltaParts.values.flatten.toSeq)
+    import scala.jdk.CollectionConverters._
+    val deltaDF = spark.createDataFrame(
+      entryRows(root, big.deltaParts, big.deltaStats, big.deltaRows,
+        deltaMeta).asJava, PayloadSchema)
+    val unioned = payloadLiveDF(spark, root, big)
+      .select("part", "file", "size", "mtime", "rows", "stats")
+      .unionByName(deltaDF)
+    val name = writePayloadDir(spark, root, unioned, big.version)
+    val fresh = spark.read.parquet(s"$root/_txlog/$name")
+    val agg = fresh.agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head
+    val values = fresh.select("part").distinct().collect()
+      .map(_.getString(0)).toSet
+    val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
+      renderChkV2(name, values, batchIds, big.schema, big.partSchema,
+        agg.getLong(0), agg.getLong(1)))
+    if (!won) deletePayloadDir(spark, root, name)
   }
 
   /** Maintenance: delete commit delta files superseded by the latest
@@ -1259,8 +1693,19 @@ object TxLog {
     // which is never the one deleted here — and a vanished older chk
     // re-lists through readLog's retry like an expired commit.
     val deadChk = names.collect { case n @ ChkRe(v) if v.toLong < floor => n }
+    // parquet payload dirs: superseded versions go, as does an
+    // UNREFERENCED same-version dir (a losing/crashed checkpointer's
+    // orphan) — the one the floor checkpoint references survives
+    val floorPayload = names.collectFirst {
+      case n @ ChkRe(v) if v.toLong == floor => n
+    }.flatMap(n => parseChk(floor, readFile(fs, new Path(dir, n))).payload)
+    val deadPayload = names.collect {
+      case n @ PayloadRe(v) if v.toLong < floor ||
+        (v.toLong == floor && !floorPayload.contains(n)) => n
+    }
     (dead ++ deadChk).foreach(n => fs.delete(new Path(dir, n), false))
-    dead.length + deadChk.length
+    deadPayload.foreach(n => fs.delete(new Path(dir, n), true))
+    dead.length + deadChk.length + deadPayload.length
   }
 
   /** Maintenance: delete data files no live snapshot references —
@@ -1277,11 +1722,18 @@ object TxLog {
     * the number of .parquet DATA FILES reclaimed (writer markers and
     * emptied staging dirs are removed too but not counted). */
   def vacuum(spark: SparkSession, root: String,
-             minAgeMs: Long = 3600000L): Int = {
+             minAgeMs: Long = 3600000L): Int =
+    stateOf(spark, root) match {
+      case Left(snap) =>
+        vacuumDriver(spark, root, snap.parts.values.flatten.toSet, minAgeMs)
+      case Right(big) => vacuumBig(spark, root, big, minAgeMs)
+    }
+
+  private def vacuumDriver(spark: SparkSession, root: String,
+                           live: Set[String], minAgeMs: Long): Int = {
     // FILE-granular: a partition removal or partial overwrite orphans
     // individual files inside a staging dir whose OTHER files are still
     // live, so directory-level reclamation would leak them forever
-    val live = snapshot(spark, root).parts.values.flatten.toSet
     val dataDir = new Path(root, "data")
     val fs = fsOf(spark, dataDir)
     if (!fs.exists(dataDir)) return 0
@@ -1312,5 +1764,54 @@ object TxLog {
       if (keep.isEmpty) fs.delete(d.getPath, true) // empty staging dir
     }
     removed
+  }
+
+  /** [[vacuum]] for a parquet-checkpointed table: candidates are listed
+    * by a DISTRIBUTED job (one task per staging dir), anti-joined against
+    * the payload's live-file inventory plus the driver-side delta, and
+    * deleted inside tasks — no step holds O(table files) on the driver.
+    * Empty staging dirs are left in place (reclaimed when their last
+    * file goes through a later driver-path vacuum or external cleanup). */
+  private def vacuumBig(spark: SparkSession, root: String, big: BigState,
+                        minAgeMs: Long): Int = {
+    import spark.implicits._
+    val dataDir = new Path(root, "data")
+    val fs = fsOf(spark, dataDir)
+    if (!fs.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
+      .stripSuffix("/") + "/"
+    val stagingDirs = fs.listStatus(dataDir).filter(_.isDirectory)
+      .map(_.getPath.toUri.getPath).toSeq
+    if (stagingDirs.isEmpty) return 0
+    val conf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val found = spark.sparkContext
+      .parallelize(stagingDirs, math.max(1, math.min(stagingDirs.size, 64)))
+      .flatMap { d =>
+        val p = new Path(d)
+        val f = p.getFileSystem(conf.value)
+        f.listStatus(p)
+          .flatMap(e => if (e.isDirectory) f.listStatus(e.getPath)
+                        else Array(e))
+          .filter(_.isFile)
+          .map(st => (st.getPath.toUri.getPath.stripPrefix(rootAbs),
+            st.getModificationTime))
+      }.toDF("rel", "mtime")
+    val liveDF = payloadLiveDF(spark, root, big)
+      .select(col("file").as("rel"))
+      .unionByName(big.deltaParts.values.flatten.toSeq.toDF("rel"))
+    found.filter(col("mtime") <= cutoff)
+      .join(liveDF, Seq("rel"), "left_anti")
+      .select("rel").as[String]
+      .mapPartitions { it =>
+        val f = new Path(rootAbs).getFileSystem(conf.value)
+        var n = 0
+        it.foreach { rel =>
+          f.delete(new Path(rootAbs + rel), false)
+          if (rel.endsWith(".parquet")) n += 1
+        }
+        Iterator.single(n)
+      }.collect().sum
   }
 }

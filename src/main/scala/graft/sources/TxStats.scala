@@ -347,4 +347,101 @@ object TxStats {
     case d: java.lang.Double => d.isNaN || d.doubleValue() == 0.0d
     case _ => false
   }
+
+  // ---- Column-native variant (distributed skipping over a parquet
+  // checkpoint payload) ----------------------------------------------------
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{isnan, lit}
+
+  /** [[mightMatch]] as a Spark Column over a `map<string, struct<mn
+    * string, mx string>>` stats column — the DISTRIBUTED skipping path:
+    * a big table's per-file bounds live in a parquet checkpoint payload
+    * and this predicate prunes them inside the payload scan, so the
+    * driver only ever sees the surviving files. Mirrors [[might]]/[[rng]]
+    * shape for shape (same conservative fallbacks, same float/NaN and
+    * truncated-string rules); a file whose map lacks the column — or
+    * whose stats map is NULL entirely — is always kept. */
+  def mightMatchColumn(filters: Seq[Expression], stats: Column): Column =
+    filters.map(f => mightCol(f, stats)).reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  private def mightCol(e: Expression, st: Column): Column = e match {
+    case And(l, r) => mightCol(l, st) && mightCol(r, st)
+    case Or(l, r) => mightCol(l, st) || mightCol(r, st)
+    case EqualTo(a: AttributeReference, Literal(v, t)) => rngCol(st, a, v, t, "eq")
+    case EqualTo(Literal(v, t), a: AttributeReference) => rngCol(st, a, v, t, "eq")
+    case EqualNullSafe(a: AttributeReference, Literal(v, t)) if v != null =>
+      rngCol(st, a, v, t, "eq")
+    case EqualNullSafe(Literal(v, t), a: AttributeReference) if v != null =>
+      rngCol(st, a, v, t, "eq")
+    case GreaterThan(a: AttributeReference, Literal(v, t)) => rngCol(st, a, v, t, "gt")
+    case GreaterThan(Literal(v, t), a: AttributeReference) => rngCol(st, a, v, t, "lt")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, t)) => rngCol(st, a, v, t, "gte")
+    case GreaterThanOrEqual(Literal(v, t), a: AttributeReference) => rngCol(st, a, v, t, "lte")
+    case LessThan(a: AttributeReference, Literal(v, t)) => rngCol(st, a, v, t, "lt")
+    case LessThan(Literal(v, t), a: AttributeReference) => rngCol(st, a, v, t, "gt")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, t)) => rngCol(st, a, v, t, "lte")
+    case LessThanOrEqual(Literal(v, t), a: AttributeReference) => rngCol(st, a, v, t, "gte")
+    case In(a: AttributeReference, elems) if elems.forall(_.isInstanceOf[Literal]) =>
+      elems.map { case Literal(v, t) => rngCol(st, a, v, t, "eq") }
+        .reduce(_ || _)
+    case InSet(a: AttributeReference, vs) =>
+      vs.toSeq.map(v => rngCol(st, a, v, a.dataType, "eq")).reduce(_ || _)
+    case _ => lit(true)
+  }
+
+  /** Internal stat-string decode as a Column (same unit contract as
+    * [[decode]]: days/micros/unscaled-long ride their raw numeric form,
+    * strings compare in the default UTF8-binary collation = parquet's
+    * unsigned order), and the literal's INTERNAL value as a Column in
+    * the same domain. None = undecodable type (never prune). */
+  private def decodePair(mnmx: (Column, Column), v: Any, t: DataType)
+      : Option[(Column, Column, Column)] = {
+    val (mn, mx) = mnmx
+    t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((mn.cast(LongType), mx.cast(LongType),
+          lit(v.asInstanceOf[Number].longValue())))
+      case DateType =>
+        Some((mn.cast(IntegerType), mx.cast(IntegerType),
+          lit(v.asInstanceOf[Int])))
+      case TimestampType | TimestampNTZType =>
+        Some((mn.cast(LongType), mx.cast(LongType), lit(v.asInstanceOf[Long])))
+      case FloatType =>
+        Some((mn.cast(FloatType), mx.cast(FloatType),
+          lit(v.asInstanceOf[Float])))
+      case DoubleType =>
+        Some((mn.cast(DoubleType), mx.cast(DoubleType),
+          lit(v.asInstanceOf[Double])))
+      case StringType => Some((mn, mx, lit(v.toString)))
+      case d: DecimalType if d.precision <= 18 =>
+        Some((mn.cast(LongType), mx.cast(LongType),
+          lit(v.asInstanceOf[Decimal].toUnscaledLong)))
+      case _ => None
+    }
+  }
+
+  private def rngCol(st: Column, a: AttributeReference, v: Any,
+                     t: DataType, op: String): Column = {
+    if (v == null || t != a.dataType || floatEdge(v)) return lit(true)
+    val floatType = a.dataType == FloatType || a.dataType == DoubleType
+    if (floatType && (op == "gt" || op == "gte")) return lit(true)
+    val entry = st.getItem(a.name)
+    decodePair((entry.getField("mn"), entry.getField("mx")), v, t) match {
+      case None => lit(true)
+      case Some((mn, mx, l)) =>
+        val nanGuard =
+          if (floatType) isnan(mn) || isnan(mx) else lit(false)
+        val cmp = op match {
+          case "eq" => mn <= l && mx >= l
+          case "gt" => mx > l
+          case "gte" => mx >= l
+          case "lt" => mn < l
+          case "lte" => mn <= l
+          case _ => lit(true)
+        }
+        st.isNull || entry.isNull || nanGuard || cmp
+    }
+  }
 }

@@ -1,0 +1,178 @@
+package graft
+
+import graft.sources.{TxBigFileIndex, TxLog}
+import org.apache.spark.sql.functions._
+
+/** The 100-TB transaction-log metadata path: parquet-payload checkpoints,
+  * the distributed snapshot fold, and [[TxBigFileIndex]] reads where
+  * partition pruning + per-file stats skipping run INSIDE a Spark job
+  * over the payload — the driver holds survivors only, never the table's
+  * file list. */
+class TxBigSpec extends SparkSpecBase {
+
+  private def freshRoot(tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-txbig/$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
+  private def withTinyThreshold[A](body: => A): A = {
+    val key = "graft.txlog.chkParquetMin"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "1")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def kv(pairs: (String, Long)*) = {
+    import spark.implicits._
+    pairs.toSeq.toDF("part", "n")
+  }
+
+  private def bigIndexOf(df: org.apache.spark.sql.DataFrame): TxBigFileIndex =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.get.asInstanceOf[TxBigFileIndex]
+
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.metrics("numFiles").value
+  }
+
+  test("parquet-checkpointed table: full lifecycle — reads, skipping, " +
+      "appends, merge, delete, compaction, change feed, vacuum, " +
+      "re-checkpoint — all without a driver fold") { withTinyThreshold {
+    val root = freshRoot("lifecycle")
+    // three key-range batches over two partitions → 6 files with bounds
+    TxLog.appendBatchTx(kv("a" -> 1, "b" -> 2), root, "part", "g1")
+    TxLog.appendBatchTx(kv("a" -> 10, "b" -> 20), root, "part", "g2")
+    TxLog.appendBatchTx(kv("a" -> 100, "b" -> 200), root, "part", "g3")
+    assert(TxLog.checkpoint(spark, root) === 3L)
+    assert(TxLog.expireLog(spark, root) === 3)
+    // the table is now parquet-checkpointed: driver folds REFUSE…
+    val ex = intercept[RuntimeException] { TxLog.snapshot(spark, root) }
+    assert(ex.getMessage.contains("parquet-checkpointed"))
+    // …and the read path rides TxBigFileIndex with correct content
+    val all = TxLog.readTable(spark, root)
+    assert(bigIndexOf(all) ne null)
+    assert(all.agg(sum("n")).head.getLong(0) === 333L)
+    // data skipping inside the payload scan: a point probe reads 1 file
+    val probe = TxLog.read(spark, root, "part").filter(col("n") === 20L)
+    assert(probe.select("part").collect().map(_.getString(0)).toSeq
+      === Seq("b"))
+    assert(filesRead(probe) === 1L, "payload-side skipping must prune to 1")
+    // partition pruning inside the payload scan
+    assert(filesRead(TxLog.read(spark, root, "part")
+      .filter(col("part") === "a")) === 3L)
+    // writes continue post-checkpoint: append, metadata counts
+    TxLog.appendBatchTx(kv("a" -> 1000, "c" -> 3000), root, "part", "g4")
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === 4333L)
+    assert(TxLog.countRows(spark, root) === Some(8L))
+    assert(TxLog.partitionCounts(spark, root)
+      === Map("a" -> Some(4L), "b" -> Some(3L), "c" -> Some(1L)))
+    // batch idempotence across the parquet ledger (the expired commit's
+    // id survives in the checkpoint; its version stands in on replay)
+    val gv = TxLog.appendBatchTx(kv("a" -> 9999), root, "part", "g2")
+    assert(gv === 3L, "pre-checkpoint batch id must replay as a no-op")
+    // incremental consumption over the delta
+    val (changes, _) = TxLog.readChangesSince(spark, root, 3L, "part")
+    assert(changes.get.agg(sum("n")).head.getLong(0) === 4000L)
+    // keyed delete: only covering files rewrite
+    val (_, rewritten) = TxLog.deleteWhereTx(spark, root,
+      col("n") >= 10L && col("n") < 100L)
+    assert(rewritten === 2, s"delete rewrote $rewritten files, wanted 2")
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === 4303L)
+    // keyed merge on the big path: re-assert one key, insert a new one
+    TxLog.mergeKeyedTx(spark, root, kv("a" -> 1000, "a" -> 1001), "n")
+    assert(TxLog.readTable(spark, root)
+      .filter(col("n").isin(1000L, 1001L)).count() === 2L)
+    // partition-scoped compaction through the payload query
+    TxLog.compactPartitionsTx(spark, root, "part",
+      select = v => v == "a")
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === 4303L + 1001L)
+    // time travel on the payload representation
+    assert(TxLog.readTableAt(spark, root, 3L)
+      .agg(sum("n")).head.getLong(0) === 333L)
+    // v2 → v2 re-checkpoint folds the delta into a fresh payload
+    val v2 = TxLog.checkpoint(spark, root)
+    assert(TxLog.expireLog(spark, root) > 0)
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === 5304L)
+    assert(TxLog.countRows(spark, root).nonEmpty)
+    // distributed vacuum reclaims the compacted/rewritten-away files
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0)
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === 5304L)
+    // the retention floor moved with the re-checkpoint
+    assert(TxLog.readChangesSince(spark, root, v2, "part")._2 === v2)
+  }}
+
+  test("a 100k-file inventory plans a selective scan holding only " +
+      "survivors on the driver (bounded memory by construction)") {
+    withTinyThreshold {
+      val root = freshRoot("hundredk")
+      import spark.implicits._
+      TxLog.appendBatchTx(
+        Seq(("real", 1L), ("real", 2L), ("real", 3L)).toDF("part", "n"),
+        root, "part", "r1")
+      assert(TxLog.checkpoint(spark, root) === 1L)
+      // grow the payload inventory to >100k files: synthetic entries in
+      // 1000 partitions, each with key ranges DISJOINT from the probe —
+      // the format contract is the payload parquet itself, so appending
+      // rows to the payload dir is exactly what a 100k-file checkpoint
+      // would have written (their data files never get opened: stats
+      // prune them before any status is even fabricated)
+      val logDir = new org.apache.hadoop.fs.Path(root, "_txlog")
+      val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val payloadDir = fs.listStatus(logDir)
+        .map(_.getPath).find(_.getName.endsWith(".chkpq")).get
+      val synthetic = spark.range(100000).select(
+        concat(lit("s"), (col("id") % 1000)).as("part"),
+        concat(lit("data/fake/f"), col("id"), lit(".parquet")).as("file"),
+        lit(1000L).as("size"),
+        lit(0L).as("mtime"),
+        lit(10L).as("rows"),
+        map(lit("n"), struct(
+          (col("id") * 100 + 1000000).cast("string").as("mn"),
+          (col("id") * 100 + 1000050).cast("string").as("mx"))).as("stats"))
+      synthetic.coalesce(4).write.mode("append").parquet(payloadDir.toString)
+      // the inventory is now 100k+ files; a selective probe must read
+      // ONLY the real partition's files — survivors are the only thing
+      // the driver ever materializes
+      val probe = TxLog.read(spark, root, "part").filter(col("n") === 2L)
+      val idx = bigIndexOf(probe)
+      val survivors = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(probe.collect().map(_.getAs[Long]("n")).toSeq === Seq(2L))
+      assert(survivors.metrics("numFiles").value === 1L,
+        "100k-entry inventory must prune to the single covering file")
+      // the index itself reports the pruned slice, not the inventory
+      val sel = idx.survivorParts(Seq.empty, Seq.empty)
+      assert(sel.valuesIterator.map(_.size).sum >= 100001,
+        "sanity: the full inventory IS 100k+ when nothing prunes")
+      val selPruned = idx.survivorParts(Seq.empty, Seq(
+        org.apache.spark.sql.catalyst.expressions.EqualTo(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "n", org.apache.spark.sql.types.LongType)(),
+          org.apache.spark.sql.catalyst.expressions.Literal(2L))))
+      assert(selPruned.valuesIterator.map(_.size).sum === 1,
+        s"stats pruning over the payload left ${selPruned.size} parts")
+      // metadata-only counts aggregate the payload distributedly
+      val counts = TxLog.partitionCounts(spark, root)
+      assert(counts("real") === Some(3L) && counts.size === 1001)
+    }
+  }
+}
