@@ -2994,6 +2994,66 @@ object SourceQueries {
           dsum(col("value")).as("total_value"))
         .withColumn("payload_ok",
           lit(if (read * 2 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q227: MULTI-KEY Z-ORDER COMPACTION — q219's 1-D clustering
+    // makes ONE key skippable at the others' expense; bit-interleaved
+    // z-ordering on (event_id, user_id) must make a range probe on the
+    // SECOND key prune too (the gate 1-D clustering cannot pass: after
+    // range-clustering on event_id alone, every file spans the full
+    // user_id range). Events land in three interleaved batches (no
+    // pre-compaction skipping possible on either key), compactZorderTx
+    // rewrites, and an eighth-of-keyspace slice on user_id — the
+    // oracled result — must read at most HALF the live files; the same
+    // bound is required of event_id to prove z-order kept BOTH.
+    QueryDef.sql("q227_tx_zorder",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS zorder_ok
+         |FROM events
+         |WHERE user_id <= (SELECT CAST(FLOOR(MAX(user_id) / 8.0) AS BIGINT) FROM events)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q227_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      (0 until 3).foreach { i =>
+        TxLog.appendBatchTx(ev.filter(pmod(col("event_id"), lit(3)) === i),
+          root, "event_type", s"q227-b$i")
+      }
+      TxLog.compactZorderTx(s, root, "event_type",
+        Seq("event_id", "user_id"), files = 24)
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      require(totalFiles >= 12,
+        s"q227: z-rewrite produced only $totalFiles files")
+      def filesFor(cond: org.apache.spark.sql.Column): Long = {
+        val probe = TxLog.read(s, root, "event_type").filter(cond)
+          .select("event_type")
+        probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        probe.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }.head.metrics("numFiles").value
+      }
+      val maxUser = ev.agg(max("user_id")).head.getLong(0)
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val readU = filesFor(col("user_id") <= maxUser / 8)
+      val readE = filesFor(col("event_id") <= maxId / 8)
+      require(readU * 2 <= totalFiles,
+        s"q227: SECOND-key slice scanned $readU of $totalFiles z-files")
+      require(readE * 2 <= totalFiles,
+        s"q227: first-key slice scanned $readE of $totalFiles z-files")
+      TxLog.read(s, root, "event_type")
+        .filter(col("user_id") <= maxUser / 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("zorder_ok",
+          lit(if (readU * 2 <= totalFiles && readE * 2 <= totalFiles) 1L
+              else 0L))
     }
   )
 }

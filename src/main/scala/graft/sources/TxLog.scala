@@ -1295,6 +1295,84 @@ object TxLog {
       clusterBy = clusterBy, clusterFiles = files)(identity)
   }
 
+  /** Transactional MULTI-KEY Z-ORDER compaction — the full OPTIMIZE
+    * ZORDER BY move: rewrite the selected partitions so files carry
+    * tight ranges in EVERY `zorderBy` dimension at once, and a range
+    * predicate on ANY of them prunes to O(covering files). The 1-D
+    * [[compactClusteredTx]] makes the first key skippable at the cost of
+    * the others; bit-interleaving fixes that: each key quantile-maps to a
+    * [[ZorderBits]]-bit bucket id (boundaries from one approxQuantile
+    * pass over the selected data — rank space, so skew cannot starve a
+    * dimension), the ids interleave bit-by-bit into one z-value, and a
+    * global range partitioning on (partition, z) gives every file a
+    * z-contiguous slice ≈ a hyper-rectangle of the keyspace. Within-task
+    * sort tightens row-group footer stats the same way. Keys must be
+    * numeric/date/timestamp (rank-mappable through a double cast); the
+    * z-value is a SHUFFLE KEY ONLY — no column is added to the table.
+    * Runs under the same conflict protocol as every rewrite. */
+  def compactZorderTx(spark: SparkSession, root: String, partCol: String,
+                      zorderBy: Seq[String], files: Int,
+                      partType: DataType = StringType,
+                      select: String => Boolean = _ => true): Long = {
+    require(zorderBy.size >= 2,
+      "compactZorderTx: z-order needs 2+ keys (use compactClusteredTx " +
+        "for one)")
+    require(files > 0, "compactZorderTx: files must be positive")
+    val df = read(spark, root, partCol, partType)
+    zorderBy.foreach { c =>
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        t == org.apache.spark.sql.types.DateType ||
+        t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.TimestampNTZType,
+        s"compactZorderTx: key $c of type $t is not rank-mappable — " +
+          "z-order supports numeric/date/timestamp keys")
+    }
+    val buckets = 1 << ZorderBits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one pass: quantile boundaries for every key (approx is fine — a
+    // sloppy boundary only blurs bucket edges, never correctness)
+    val tmpCols = zorderBy.zipWithIndex.map { case (c, i) => s"__z$i" }
+    val casted = zorderBy.zip(tmpCols).foldLeft(df) { case (d, (c, t)) =>
+      d.withColumn(t, col(c).cast(org.apache.spark.sql.types.DoubleType))
+    }
+    val bounds: Seq[Array[Double]] =
+      casted.stat.approxQuantile(tmpCols.toArray, probs, 0.001).toSeq
+    val nKeys = zorderBy.size
+    val boundsB = spark.sparkContext.broadcast(bounds.map(_.toArray).toArray)
+    val zUdf = udf { xs: Seq[java.lang.Double] =>
+      var z = 0L
+      var i = 0
+      while (i < xs.size) {
+        val b = boundsB.value(i)
+        val x = xs(i)
+        // nulls order first (bucket 0), mirroring NULLS FIRST sort order
+        val bucket =
+          if (x == null) 0
+          else {
+            var p = java.util.Arrays.binarySearch(b, x.doubleValue())
+            if (p < 0) p = -p - 1
+            p
+          }
+        var j = 0
+        while (j < ZorderBits) {
+          z |= ((bucket >> j) & 1L) << (j * nKeys + i)
+          j += 1
+        }
+        i += 1
+      }
+      z
+    }
+    val zCol = zUdf(array(zorderBy.map(c =>
+      col(c).cast(org.apache.spark.sql.types.DoubleType)): _*))
+    readModifyWriteWhere(spark, root, partCol, partType, select,
+      clusterBy = Seq(zCol), clusterFiles = files)(identity)
+  }
+
+  /** Bits per z-order dimension: 2^12 rank buckets per key — boundary
+    * resolution far below any realistic files-per-partition count. */
+  val ZorderBits = 12
+
   private object Predicates
       extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
     def split(e: org.apache.spark.sql.catalyst.expressions.Expression)

@@ -119,6 +119,38 @@ class TxBigSpec extends SparkSpecBase {
     assert(TxLog.readChangesSince(spark, root, v2, "part")._2 === v2)
   }}
 
+  test("z-order compaction makes BOTH keys skippable: range probes on " +
+      "either dimension prune files 1-D clustering would scan") {
+    import spark.implicits._
+    val root = freshRoot("zorder")
+    // 4096 rows over a 64x64 keyspace, landed in interleaved batches so
+    // every pre-compaction file spans both full ranges (nothing skips)
+    val base = spark.range(4096)
+    (0 until 2).foreach { i =>
+      val slice = base.filter(col("id") % 2 === i).select(
+        lit("p").as("part"),
+        (col("id") % 64).as("k1"),
+        (col("id") / 64).cast("long").as("k2"))
+      TxLog.commit(spark, root, TxLog.stage(slice, root, "part"),
+        "append", 0L)
+    }
+    def filesFor(c: String, lo: Long, hi: Long): Long =
+      filesRead(TxLog.read(spark, root, "part")
+        .filter(col(c) >= lo && col(c) < hi))
+    TxLog.compactZorderTx(spark, root, "part", Seq("k1", "k2"), files = 16)
+    val total = TxLog.snapshot(spark, root).parts.values.map(_.size).sum
+    assert(total >= 8, s"z-rewrite produced only $total files")
+    // an eighth-of-keyspace slice in EITHER dimension reads at most half
+    val r1 = filesFor("k1", 0L, 8L)
+    val r2 = filesFor("k2", 0L, 8L)
+    assert(r1 * 2 <= total, s"k1 slice scanned $r1 of $total z-files")
+    assert(r2 * 2 <= total, s"k2 slice scanned $r2 of $total z-files")
+    // content survived the rewrite bit-for-bit
+    assert(TxLog.read(spark, root, "part")
+      .agg(sum(col("k1") + col("k2") * 64)).head.getLong(0)
+      === (0L until 4096L).sum)
+  }
+
   test("a 100k-file inventory plans a selective scan holding only " +
       "survivors on the driver (bounded memory by construction)") {
     withTinyThreshold {
