@@ -1912,6 +1912,18 @@ object SourceQueries {
       val q = graft.streaming.Events
         .toJdbcExactlyOnceSink(stream, url, "landed", s"$tmp/ckpt").start()
       try q.processAllAvailable() finally q.stop()
+      // ENGINE RESTART (r15): kill after the downstream commit of the
+      // LAST epoch but before the engine's checkpoint commit (delete
+      // the commits/3 marker), then resume a COLD query from the same
+      // checkpoint — Spark replays epoch 3 under the same id and the
+      // ledger must absorb it, or every aggregate below doubles
+      val marker = new org.apache.hadoop.fs.Path(s"$tmp/ckpt/commits/3")
+      val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(mfs.exists(marker), "q202: expected commit marker commits/3")
+      mfs.delete(marker, false)
+      val q2 = graft.streaming.Events
+        .toJdbcExactlyOnceSink(stream, url, "landed", s"$tmp/ckpt").start()
+      try q2.processAllAvailable() finally q2.stop()
       // the at-least-once replay: epoch 0 re-delivered with garbage in
       // its (per-epoch) staging — the committed-ledger check must skip
       // the commit

@@ -289,6 +289,97 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("engine restart: a crash after the downstream tx commit but before " +
+      "the checkpoint commit replays the epoch on a COLD query; the " +
+      "ledger absorbs it (no dup, no loss)") {
+    import graft.sources.TxLog
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-test/restart_${System.nanoTime}"
+    val srcDir = s"$tmp/src"; val root = s"$tmp/table"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    import spark.implicits._
+    def emit(i: Int, rows: Seq[(Long, String, Double)]): Unit = {
+      val staged = s"$tmp/b$i"
+      rows.toDF("event_id", "event_type", "value")
+        .coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"b$i.parquet").toPath): Unit
+    }
+    emit(0, Seq((1L, "click", 1.0), (2L, "view", 2.0)))
+    val schema = spark.read.parquet(srcDir).schema
+    // each run is a BRAND-NEW query instance resumed from the checkpoint
+    // dir — the engine-restart surface (all recovery state is the
+    // checkpoint's offsets/commits plus the downstream ledger)
+    def runOnce(): Unit = {
+      val q = Events.toTxLogSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir), root, "event_type", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // epoch 0
+    emit(1, Seq((3L, "click", 3.0)))
+    runOnce() // a clean restart picks up epoch 1
+    // the crash window: downstream COMMITTED epoch 1, but the engine died
+    // before recording the checkpoint commit — on restart Spark replays
+    // epoch 1 under the SAME id, which the tx ledger must absorb
+    val marker = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.exists(marker), "test setup: expected commit marker commits/1")
+    // hadoop delete clears the checksum sidecar too — a stale .crc would
+    // make the replayed epoch's commit write throw FileAlreadyExists
+    assert(mfs.delete(marker, false))
+    emit(2, Seq((4L, "view", 4.0)))
+    runOnce() // restart: replays epoch 1 (no-op), then lands epoch 2
+    val got = TxLog.read(spark, root, "event_type")
+      .collect().map(r => r.getAs[Long]("event_id")).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L, 4L),
+      s"restart replay duplicated or lost rows: ${got.mkString(",")}")
+    // exactly 3 data-bearing commits: the replay never landed
+    assert(TxLog.snapshot(spark, root).version === 3L)
+  }
+
+  test("engine restart: the JDBC staged-commit ledger absorbs a replayed " +
+      "epoch across a cold query restart") {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-test/jrestart_${System.nanoTime}"
+    val srcDir = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    System.setProperty("derby.system.home", s"$tmp/derby")
+    val url = s"jdbc:derby:memory:jrestart_${System.nanoTime};create=true"
+    import spark.implicits._
+    def emit(i: Int, rows: Seq[(Long, String, Double)]): Unit = {
+      val staged = s"$tmp/b$i"
+      rows.toDF("event_id", "event_type", "value")
+        .coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"b$i.parquet").toPath): Unit
+    }
+    emit(0, Seq((1L, "click", 1.0)))
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Unit = {
+      val q = Events.toJdbcExactlyOnceSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir), url, "jrestart", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    emit(1, Seq((2L, "view", 2.0)))
+    runOnce()
+    val marker = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(mfs.exists(marker) && mfs.delete(marker, false))
+    emit(2, Seq((3L, "click", 3.0)))
+    runOnce() // replays epoch 1 against the ledger, lands epoch 2
+    val landed = graft.sources.Jdbc.read(spark, url, "jrestart")
+    assert(landed.count() === 3L)
+    assert(landed.select("event_id").distinct().count() === 3L,
+      "replayed epoch double-landed through the JDBC ledger")
+    assert(graft.sources.Jdbc.read(spark, url, "jrestart_commits")
+      .count() === 3L)
+  }
+
   test("toJdbcExactlyOnceSink: staged commit lands each batch exactly once") {
     implicit val sqlCtx = spark.sqlContext
     System.setProperty("derby.system.home",
