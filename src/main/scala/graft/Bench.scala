@@ -142,7 +142,14 @@ object Bench {
     "q219_tx_clustered_skipping",  // range-clustered compaction + skip
     "q220_tx_metadata_count",      // COUNT answered from the log, zero scan
     "q221_tx_incremental_read",    // change-feed window read, O(new data)
-    "q222_tx_pipeline_exactly_once" // bronze→silver tx→tx with crash replay
+    "q222_tx_pipeline_exactly_once", // bronze→silver tx→tx with crash replay
+    // r15 rows
+    "q223_tx_string_skipping",     // truncated-UTF-8 string bounds skipping
+    "q224_tx_merge",               // keyed MERGE (rewrite op) + skip-bounded
+    "q225_tx_delete_where",        // keyed DELETE WHERE, file-granular
+    "q226_tx_parquet_checkpoint",  // parquet-payload checkpoint read path
+    "q227_tx_zorder",              // 2-key bit-interleaved z-order compaction
+    "q228_tx_change_feed"          // row-level CDF through MERGE/DELETE
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -224,7 +231,9 @@ object Bench {
     // The three streaming gates are FIXED micro-batch machinery cost —
     // measured flat from sf0.01 to sf0.1 (q204 5.7 -> 5.6 s) — not data
     // volume; q204 additionally pays the stream-stream state store.
-    "q201_train_quality_classifier" -> 0.79, "q202_stream_exactly_once" -> 2.18,
+    // q202: 2.18 pre-r15; the engine-restart replay (cold query resumed
+    // after a deleted commit marker) adds a fixed second stream startup
+    "q201_train_quality_classifier" -> 0.79, "q202_stream_exactly_once" -> 4.22,
     "q203_stream_dedup" -> 2.93, "q204_stream_attribution" -> 5.64,
     "q205_image_pixel_transform" -> 0.35, "q206_classifier_eval" -> 1.11,
     // 10 training rounds (20 jobs) + the full pipeline chain — job-count
@@ -263,7 +272,14 @@ object Bench {
     "q219_tx_clustered_skipping" -> 1.88,
     "q220_tx_metadata_count" -> 1.70,
     "q221_tx_incremental_read" -> 1.55,
-    "q222_tx_pipeline_exactly_once" -> 3.20)
+    "q222_tx_pipeline_exactly_once" -> 3.20,
+    // r15 rows (isolated min-of-2, canary 0.59/0.40/0.30)
+    "q223_tx_string_skipping" -> 2.87,
+    "q224_tx_merge" -> 3.38,
+    "q225_tx_delete_where" -> 2.55,
+    "q226_tx_parquet_checkpoint" -> 2.85,
+    "q227_tx_zorder" -> 3.10,
+    "q228_tx_change_feed" -> 5.00)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

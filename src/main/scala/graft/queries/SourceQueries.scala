@@ -3066,6 +3066,62 @@ object SourceQueries {
         .withColumn("zorder_ok",
           lit(if (readU * 2 <= totalFiles && readE * 2 <= totalFiles) 1L
               else 0L))
+    },
+
+    // ---- q228: ROW-LEVEL CHANGE FEED (the Delta CDF move): keyed
+    // MERGE/DELETE write their row-level images at commit time
+    // (changeFeed=true), and readChangeFeed serves the whole history —
+    // appends as inserts, the merge as update_preimage/update_postimage/
+    // insert, the delete as deletes — so incremental consumers follow
+    // the table THROUGH rewrites readChangesSince must refuse. The
+    // oracle derives every change class relationally from raw customers
+    // (same update/insert/delete rules as the q224/q225 shapes), and the
+    // feed must aggregate to it exactly, class by class.
+    QueryDef.sql("q228_tx_change_feed",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |feed AS (
+         |  SELECT 'insert' AS change_type, c_acctbal FROM customer
+         |  UNION ALL SELECT 'insert', c_acctbal FROM customer, mx
+         |    WHERE c_custkey < 20
+         |  UNION ALL SELECT 'update_preimage', c_acctbal FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'update_postimage', c_acctbal + 1000
+         |    FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'delete', c_acctbal FROM customer, mx
+         |    WHERE c_custkey <= CAST(FLOOR(m / 8.0) AS BIGINT))
+         |SELECT change_type, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal")} AS total_bal
+         |FROM feed GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q228_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q228-b$i")
+        lo = hi
+      }
+      val src = cust.filter(col("c_custkey") > maxKey * 7 / 8)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") < 20)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1))
+      TxLog.mergeKeyedTx(s, root, src, "c_custkey", changeFeed = true)
+      TxLog.deleteWhereTx(s, root, col("c_custkey") <= maxKey / 8,
+        changeFeed = true)
+      val (feed, _) = TxLog.readChangeFeed(s, root, 0L)
+      feed.get
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
     }
   )
 }

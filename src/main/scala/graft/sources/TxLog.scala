@@ -120,7 +120,12 @@ object TxLog {
                           stats: FileStats = Map.empty,
                           rows: FileRows = Map.empty,
                           partSchema: Option[String] = None,
-                          removed: Map[String, Seq[String]] = Map.empty) {
+                          removed: Map[String, Seq[String]] = Map.empty,
+                          // CHANGE-DATA files (rewrite commits written with
+                          // changeFeed=true): row-level pre/post images +
+                          // deletes, NEVER part of the table's live file
+                          // set — [[readChangeFeed]] reads them per window
+                          changes: Seq[String] = Seq.empty) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -147,7 +152,8 @@ object TxLog {
                           stats: FileStats = Map.empty,
                           rows: FileRows = Map.empty,
                           partSchema: Option[String] = None,
-                          removed: Map[String, Seq[String]] = Map.empty) {
+                          removed: Map[String, Seq[String]] = Map.empty,
+                          changes: Seq[String] = Seq.empty) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -260,11 +266,13 @@ object TxLog {
     val removed = lines.filter(_.startsWith("r\t")).map(_.split("\t"))
       .map { case Array(_, v, p) => (unesc(v), p) }
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+    // `c\t<file>`: change-data files (row-level CDC images)
+    val changes = lines.filter(_.startsWith("c\t")).map(_.split("\t")(1))
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
-      removed)
+      removed, changes)
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -299,7 +307,8 @@ object TxLog {
                            stats: FileStats,
                            rows: FileRows,
                            partSchema: Option[String],
-                           removed: Map[String, Seq[String]]): String = {
+                           removed: Map[String, Seq[String]],
+                           changes: Seq[String]): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -313,7 +322,8 @@ object TxLog {
     val removedRows = removed.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"r\t${esc(v)}\t$f")
     }
-    (header ++ partRows ++ removedRows ++ renderStats(stats) ++
+    val changeRows = changes.sorted.map(f => s"c\t$f")
+    (header ++ partRows ++ removedRows ++ changeRows ++ renderStats(stats) ++
       renderRows(rows)).mkString("\n") + "\n"
   }
 
@@ -793,6 +803,74 @@ object TxLog {
     }
   }
 
+  /** ROW-LEVEL change feed — the Delta CDF read: every window commit's
+    * changes as rows tagged `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} and `_commit_version`, so
+    * incremental consumers can follow a table THROUGH keyed
+    * MERGE/DELETE (which [[readChangesSince]] must refuse — a rewrite
+    * is not expressible as appended rows). Appends surface their FULL
+    * file contents as inserts (no liveness filter: a later in-window
+    * rewrite's delete/preimage rows account for removals — the pairing
+    * that makes the feed replayable); rewrite commits surface their
+    * write-time change files (written by `changeFeed = true` on the
+    * MERGE/DELETE — a rewrite without them refuses loudly, as do
+    * overwrite/remove). Same floor/cap contract as [[readChangesSince]].
+    * RETENTION: the feed lives under BOTH horizons — change files are
+    * vacuum-protected while their commit is retained, but an append
+    * window replays from its ORIGINAL data files, which a rewrite
+    * orphans and [[vacuum]] reclaims after `minAgeMs`; size the vacuum
+    * retention window (default 1 h) to the consumer's maximum lag,
+    * exactly the Delta CDF contract. */
+  def readChangeFeed(spark: SparkSession, root: String, sinceVersion: Long,
+                     untilVersion: Option[Long] = None)
+      : (Option[DataFrame], Long) = {
+    val (chk, commits0) = readLog(spark, root)
+    val floor = chk.map(_.version).getOrElse(0L)
+    require(sinceVersion >= floor || sinceVersion == 0L && floor == 0L,
+      s"TxLog.readChangeFeed: version $sinceVersion predates the latest " +
+        s"checkpoint ($floor) — its commits (and change files) may be " +
+        "expired; re-baseline from a full snapshot read")
+    val commits = untilVersion match {
+      case Some(u) =>
+        require(u >= sinceVersion, s"TxLog.readChangeFeed: cap $u " +
+          s"precedes sinceVersion $sinceVersion")
+        commits0.filter(_.version <= u)
+      case None => commits0
+    }
+    val currentVersion = commits.lastOption.map(_.version)
+      .orElse(chk.map(_.version)).getOrElse(0L)
+    val window = commits.filter(_.version > sinceVersion)
+    val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
+      (c.op == "rewrite" && c.changes.isEmpty))
+    require(bad.isEmpty, "TxLog.readChangeFeed: commits " +
+      s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
+      "no row-level change record — overwrite/remove are not CDC-able, " +
+      "and a rewrite serves the feed only when written with " +
+      "changeFeed = true")
+    val schemaDDL = (chk.flatMap(_.schema).toSeq ++
+      commits.flatMap(_.schema)).lastOption
+    val pf = (chk.flatMap(_.partSchema).toSeq ++
+      commits.flatMap(_.partSchema)).lastOption
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.readChangeFeed: the log at $root " +
+        "predates partition-column recording")).head
+    val frames =
+      window.filter(_.op == "append").map { c =>
+        readSnapshot(spark, root,
+          Snapshot(c.version, c.parts, schemaDDL, c.stats),
+          pf.name, pf.dataType)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(c.version))
+      } ++
+      window.filter(_.op == "rewrite").map { c =>
+        spark.read.parquet(c.changes.map(f => s"$root/$f"): _*)
+          .withColumn("_commit_version", lit(c.version))
+      }
+    if (frames.isEmpty) (None, currentVersion)
+    else (Some(frames.reduce(
+      _.unionByName(_, allowMissingColumns = true))), currentVersion)
+  }
+
   /** Incremental-ETL consumption driver over [[readChangesSince]] — the
     * bronze→silver pipeline shape: each cycle reads the rows appended
     * since the durably checkpointed version, hands them to `process`
@@ -975,13 +1053,30 @@ object TxLog {
     Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField))
   }
 
-  /** Delete a staged-but-never-committed dir's files (loser cleanup). */
+  /** Delete a staged-but-never-committed dir's files (loser cleanup) —
+    * change-data files included. */
   def discard(spark: SparkSession, root: String, staged: Staged): Unit =
-    staged.parts.values.flatten.map(_.split("/")(1)).toSet.foreach {
-      (uuid: String) =>
+    (staged.parts.values.flatten ++ staged.changes)
+      .map(_.split("/")(1)).toSet.foreach { (uuid: String) =>
         val d = new Path(root, s"data/$uuid")
         fsOf(spark, d).delete(d, true)
-    }
+      }
+
+  /** Write row-level change images (the Delta CDF write-side): `df` must
+    * already carry `_change_type`; lands under a private cdf dir, is
+    * recorded on the commit's `c`-rows, and is NEVER part of the table's
+    * live file set — [[readChangeFeed]] reads it per window, [[vacuum]]
+    * retains it while its commit is retained (the same log-retention
+    * horizon as incremental consumption). */
+  private def writeChanges(df: DataFrame, root: String): Seq[String] = {
+    val spark = df.sparkSession
+    val rel = s"data/cdf-${java.util.UUID.randomUUID()}"
+    val dir = new Path(root, rel)
+    df.write.mode("errorifexists").parquet(dir.toString)
+    fsOf(spark, dir).listStatus(dir).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(f => s"$rel/$f").toSeq
+  }
 
   // ---- commits ----------------------------------------------------------
 
@@ -1105,7 +1200,7 @@ object TxLog {
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
             staged.schema, staged.stats, staged.rows, staged.partSchema,
-            staged.removed)))
+            staged.removed, staged.changes)))
         return next
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
@@ -1425,7 +1520,8 @@ object TxLog {
     * files), not O(table). Returns (committed version, files rewritten);
     * (currentVersion, 0) when no file could match (no commit). */
   def deleteWhereTx(spark: SparkSession, root: String, cond: Column,
-                    maxAttempts: Int = 20): (Long, Int) = {
+                    maxAttempts: Int = 20,
+                    changeFeed: Boolean = false): (Long, Int) = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1447,11 +1543,22 @@ object TxLog {
       val candSnap = Snapshot(version, cands, schema,
         Map.empty, Map.empty, partSchema)
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
-      val remaining = readSnapshot(spark, root, candSnap, pf.name,
-        pf.dataType).filter(keep)
+      val candRead = readSnapshot(spark, root, candSnap, pf.name,
+        pf.dataType)
+      val remaining = candRead.filter(keep)
+      // write-side CDC (opt-in): the deleted rows ARE known here — record
+      // them so readChangeFeed can serve this window to row-level
+      // incremental consumers (a rewrite is otherwise inexpressible as
+      // appended rows)
+      val cdf =
+        if (!changeFeed) Seq.empty[String]
+        else writeChanges(candRead.filter(coalesce(cond, lit(false)))
+          .withColumn("_change_type", lit("delete")), root)
       val staged =
-        if (remaining.isEmpty) Staged(Map.empty, removed = cands)
-        else stage(remaining, root, pf.name).copy(removed = cands)
+        if (remaining.isEmpty) Staged(Map.empty, removed = cands,
+          changes = cdf)
+        else stage(remaining, root, pf.name)
+          .copy(removed = cands, changes = cdf)
       try return (commit(spark, root, staged, "rewrite",
         readVersion = version, conflictCheck = true),
         cands.valuesIterator.map(_.size).sum)
@@ -1479,7 +1586,8 @@ object TxLog {
     * one metadata round + O(affected files) I/O. Returns the committed
     * version. */
   def mergeKeyedTx(spark: SparkSession, root: String, source: DataFrame,
-                   key: String, maxAttempts: Int = 20): Long = {
+                   key: String, maxAttempts: Int = 20,
+                   changeFeed: Boolean = false): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1545,17 +1653,41 @@ object TxLog {
           }.toMap
       }
       val tableCols = source.columns.map(col).toSeq
-      val unmatched =
+      val candRead =
         if (cands.isEmpty) None
         else Some(readSnapshot(spark, root,
           Snapshot(version, cands, schema, Map.empty, Map.empty,
-            partSchemaDDL), pf.name, pf.dataType)
-          .join(source.select(col(key)), Seq(key), "left_anti")
+            partSchemaDDL), pf.name, pf.dataType))
+      val unmatched = candRead.map(
+        _.join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
       val upserted = unmatched
         .map(_.unionByName(source.select(tableCols: _*)))
         .getOrElse(source.select(tableCols: _*))
-      val staged = stage(upserted, root, pf.name).copy(removed = cands)
+      // write-side CDC (opt-in): matched old rows are update_preimage,
+      // their source counterparts update_postimage, brand-new keys insert
+      val cdf =
+        if (!changeFeed) Seq.empty[String]
+        else {
+          val pre = candRead
+            .map(_.join(source.select(col(key)), Seq(key), "left_semi")
+              .select(tableCols: _*))
+          val matchedKeys = pre.map(_.select(col(key)))
+          val post = matchedKeys.map(mk =>
+            source.select(tableCols: _*).join(mk, Seq(key), "left_semi"))
+          val ins = matchedKeys
+            .map(mk =>
+              source.select(tableCols: _*).join(mk, Seq(key), "left_anti"))
+            .getOrElse(source.select(tableCols: _*))
+          val tagged = Seq(
+            pre.map(_.withColumn("_change_type", lit("update_preimage"))),
+            post.map(_.withColumn("_change_type", lit("update_postimage"))),
+            Some(ins.withColumn("_change_type", lit("insert"))))
+            .flatten.reduce(_ unionByName _)
+          writeChanges(tagged, root)
+        }
+      val staged = stage(upserted, root, pf.name)
+        .copy(removed = cands, changes = cdf)
       try return commit(spark, root, staged, "rewrite",
         readVersion = version, conflictCheck = true)
       catch { case _: ConcurrentWriteException =>
@@ -1800,12 +1932,18 @@ object TxLog {
     * the number of .parquet DATA FILES reclaimed (writer markers and
     * emptied staging dirs are removed too but not counted). */
   def vacuum(spark: SparkSession, root: String,
-             minAgeMs: Long = 3600000L): Int =
+             minAgeMs: Long = 3600000L): Int = {
+    // change-data files are live while their commit is retained — the
+    // change feed's horizon is exactly the log's (expired commits'
+    // change files become reclaimable garbage, like their batch ids)
+    val changeFiles = listCommits(spark, root).flatMap(_.changes).toSet
     stateOf(spark, root) match {
       case Left(snap) =>
-        vacuumDriver(spark, root, snap.parts.values.flatten.toSet, minAgeMs)
-      case Right(big) => vacuumBig(spark, root, big, minAgeMs)
+        vacuumDriver(spark, root,
+          snap.parts.values.flatten.toSet ++ changeFiles, minAgeMs)
+      case Right(big) => vacuumBig(spark, root, big, changeFiles, minAgeMs)
     }
+  }
 
   private def vacuumDriver(spark: SparkSession, root: String,
                            live: Set[String], minAgeMs: Long): Int = {
@@ -1851,7 +1989,7 @@ object TxLog {
     * Empty staging dirs are left in place (reclaimed when their last
     * file goes through a later driver-path vacuum or external cleanup). */
   private def vacuumBig(spark: SparkSession, root: String, big: BigState,
-                        minAgeMs: Long): Int = {
+                        changeFiles: Set[String], minAgeMs: Long): Int = {
     import spark.implicits._
     val dataDir = new Path(root, "data")
     val fs = fsOf(spark, dataDir)
@@ -1878,7 +2016,8 @@ object TxLog {
       }.toDF("rel", "mtime")
     val liveDF = payloadLiveDF(spark, root, big)
       .select(col("file").as("rel"))
-      .unionByName(big.deltaParts.values.flatten.toSeq.toDF("rel"))
+      .unionByName((big.deltaParts.values.flatten.toSeq ++
+        changeFiles).toDF("rel"))
     found.filter(col("mtime") <= cutoff)
       .join(liveDF, Seq("rel"), "left_anti")
       .select("rel").as[String]

@@ -915,6 +915,69 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.read(spark, root, "part").count() === 7L)
   }
 
+  test("row-level change feed: appends surface as inserts, merge as " +
+      "pre/post images + inserts, delete as deletes; vacuum retains " +
+      "change files while their commits are retained") {
+    import spark.implicits._
+    val root = freshRoot("cdf")
+    def t(rows: (String, Long, Long)*) = rows.toSeq.toDF("part", "k", "v")
+    TxLog.appendBatchTx(t(("a", 1L, 10L), ("a", 2L, 20L)), root, "part", "c1")
+    TxLog.appendBatchTx(t(("a", 3L, 30L)), root, "part", "c2")
+    // merge: update k=2 (v 20→200), insert k=9
+    TxLog.mergeKeyedTx(spark, root, t(("a", 2L, 200L), ("a", 9L, 90L)),
+      "k", changeFeed = true)
+    // delete k=1
+    TxLog.deleteWhereTx(spark, root, col("k") === 1L, changeFeed = true)
+    val (feedOpt, v) = TxLog.readChangeFeed(spark, root, 0L)
+    assert(v === 4L)
+    val feed = feedOpt.get.collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("v"), r.getAs[Long]("_commit_version"))).toSet
+    assert(feed === Set(
+      ("insert", 1L, 10L, 1L), ("insert", 2L, 20L, 1L),
+      ("insert", 3L, 30L, 2L),
+      ("update_preimage", 2L, 20L, 3L), ("update_postimage", 2L, 200L, 3L),
+      ("insert", 9L, 90L, 3L),
+      ("delete", 1L, 10L, 4L)), s"feed mismatch: $feed")
+    // a capped replay is byte-identical (the consumeChanges intent
+    // contract applies to the row-level feed too)
+    val (replay, rv) = TxLog.readChangeFeed(spark, root, 0L,
+      untilVersion = Some(3L))
+    assert(rv === 3L && replay.get.count() === 6L)
+    // windowed: only the delete
+    val (tail, _) = TxLog.readChangeFeed(spark, root, 3L)
+    assert(tail.get.collect().map(_.getAs[String]("_change_type")).toSeq
+      === Seq("delete"))
+    // the current TABLE state is consistent with the feed
+    assert(TxLog.read(spark, root, "part").orderBy("k").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toSeq
+      === Seq(2L -> 200L, 3L -> 30L, 9L -> 90L))
+    // RETENTION CONTRACT: the feed lives under BOTH horizons. A
+    // zero-retention vacuum reclaims rewritten-away APPEND files, so
+    // append windows stop replaying (the default 1 h window keeps any
+    // sanely-lagged consumer safe) — but CHANGE files of retained
+    // commits are vacuum-protected, so rewrite-only windows still serve
+    TxLog.vacuum(spark, root, minAgeMs = 0L)
+    intercept[Exception] {
+      TxLog.readChangeFeed(spark, root, 0L)._1.get.count()
+    }
+    val (cdfOnly, _) = TxLog.readChangeFeed(spark, root, 2L)
+    assert(cdfOnly.get.count() === 4L,
+      "vacuum reclaimed change files of retained commits")
+    // a rewrite WITHOUT a change record refuses the feed loudly
+    TxLog.mergeKeyedTx(spark, root, t(("a", 3L, 300L)), "k")
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.readChangeFeed(spark, root, 4L)
+    }
+    assert(ex.getMessage.contains("changeFeed"))
+    // after checkpoint + expiry the feed's horizon moves with the log
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root)
+    intercept[IllegalArgumentException] { TxLog.readChangeFeed(spark, root, 0L) }
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0,
+      "expired commits' change files must become reclaimable")
+  }
+
   test("string data skipping: disjoint key-range files prune on point, " +
       "range and IN predicates; truncated bounds stay conservative") {
     import spark.implicits._
