@@ -305,8 +305,28 @@ object Bench {
         names
     }
     val spark = Sessions.local(cpus)
-    // one warm-up pass so JVM/codegen startup isn't charged to q1
-    qs(queries.head)(spark, sfDir).count()
+    // Warm-up: run the canary query to STEADY STATE before anything is
+    // timed. One pass used to suffice; at the r15 code size the JVM
+    // takes ~6 executions to finish JIT/codegen warm-up (measured decay
+    // 5.6 → 0.71 → 0.58 → 0.51 → 0.46 → 0.40 s), so a min-of-2 start
+    // canary right after one pass reads ~2× its steady-state baseline
+    // and flags EVERY window as noise — warm-up masquerading as
+    // co-tenant load. Warm until two consecutive runs are within 15% of
+    // each other (bounded at 8 passes), so the start canary measures
+    // the same steady state the mid/end canaries see.
+    locally {
+      var prev = Double.MaxValue
+      var i = 0
+      var stable = false
+      while (i < 8 && !stable) {
+        val t0 = System.nanoTime()
+        qs(queries.head)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        stable = t >= prev * 0.85 && t <= prev * 1.15
+        prev = t
+        i += 1
+      }
+    }
     // locale-pinned formatting: under a comma-decimal default locale the
     // f-interpolator would emit "value":19,470 — invalid JSON
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
