@@ -2795,13 +2795,16 @@ object SourceQueries {
       val cust = Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
       // contiguous name-range batches: quartile boundaries computed from
-      // the ORDERED KEY STRUCTURE (names embed c_custkey), so no driver
-      // collect of the key set is ever needed
-      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      // the ORDERED NAME STRUCTURE (names embed a zero-padded number —
+      // parse the max name's suffix), so no driver collect of the key
+      // set is ever needed and scaled fixtures with replicated names
+      // still land non-empty batches
+      val maxNum = cust.agg(max("c_name")).head.getString(0)
+        .stripPrefix("Customer#").toLong
       def nameOf(k: Long) = f"Customer#$k%09d"
       var lo = Option.empty[String]
       (1 to 4).foreach { i =>
-        val hiB = if (i < 4) Some(nameOf(maxKey * i / 4)) else None
+        val hiB = if (i < 4) Some(nameOf(maxNum * i / 4)) else None
         val slice = cust
           .filter(lo.map(col("c_name") > _).getOrElse(lit(true)))
           .filter(hiB.map(col("c_name") <= _).getOrElse(lit(true)))
