@@ -149,7 +149,8 @@ object Bench {
     "q225_tx_delete_where",        // keyed DELETE WHERE, file-granular
     "q226_tx_parquet_checkpoint",  // parquet-payload checkpoint read path
     "q227_tx_zorder",              // 2-key bit-interleaved z-order compaction
-    "q228_tx_change_feed"          // row-level CDF through MERGE/DELETE
+    "q228_tx_change_feed",         // row-level CDF through MERGE/DELETE
+    "q229_tx_streaming_source"     // readStream over the commit log (DSv2)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -279,7 +280,8 @@ object Bench {
     "q225_tx_delete_where" -> 2.55,
     "q226_tx_parquet_checkpoint" -> 2.85,
     "q227_tx_zorder" -> 3.10,
-    "q228_tx_change_feed" -> 5.00)
+    "q228_tx_change_feed" -> 5.00,
+    "q229_tx_streaming_source" -> 2.92)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

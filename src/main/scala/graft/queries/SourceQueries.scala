@@ -3125,6 +3125,47 @@ object SourceQueries {
         .groupBy(col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("c_acctbal")).as("total_bal"))
+    },
+
+    // ---- q229: TX TABLE AS A STREAMING SOURCE (the Delta streaming-
+    // source move): `readStream.format("txlog")` follows the commit log
+    // — offsets ARE log versions, each micro-batch reads exactly one
+    // append window, and a COLD restart from the checkpoint resumes at
+    // the checkpointed version (proved in-gate: the stream drains, a
+    // new batch commits, a NEW query instance drains just that window).
+    // n_ids = n_events pins exactly-once across the restart seam; the
+    // whole landing oracled against raw events.
+    QueryDef.sql("q229_tx_streaming_source",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q229_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val root = s"$base/table"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      TxLog.appendBatchTx(slice(0), root, "event_type", "q229-b0")
+      TxLog.appendBatchTx(slice(1), root, "event_type", "q229-b1")
+      drain()
+      TxLog.appendBatchTx(slice(2), root, "event_type", "q229-b2")
+      drain() // cold restart: must read ONLY the b2 window
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          dsum(col("value")).as("total_value"))
     }
   )
 }

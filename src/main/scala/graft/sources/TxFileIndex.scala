@@ -19,7 +19,7 @@ trait GraftFileIndex {
                     dataFilters: Seq[Expression]): Map[String, Seq[String]]
 }
 
-private[sources] object PartValueRow {
+private[graft] object PartValueRow {
   /** A log's RAW string partition value, cast once to the declared
     * partition type with session-zone semantics (same as catalog
     * partition handling). */

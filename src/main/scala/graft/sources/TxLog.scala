@@ -871,6 +871,75 @@ object TxLog {
       _.unionByName(_, allowMissingColumns = true))), currentVersion)
   }
 
+  /** Table metadata for external readers (the streaming source): the
+    * recorded data schema and partition field. Refuses logs written
+    * before schema/partition recording. */
+  private[graft] def tableMeta(spark: SparkSession, root: String)
+      : (org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructField) = {
+    val (chk, commits) = readLog(spark, root)
+    val schema = (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema))
+      .lastOption.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.tableMeta: no recorded schema at $root"))
+    val pf = (chk.flatMap(_.partSchema).toSeq ++
+      commits.flatMap(_.partSchema)).lastOption
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.tableMeta: the log at $root predates " +
+        "partition-column recording")).head
+    (schema, pf)
+  }
+
+  /** Latest committed version (0 = empty log). */
+  private[graft] def currentVersion(spark: SparkSession, root: String): Long = {
+    val (chk, commits) = readLog(spark, root)
+    commits.lastOption.map(_.version).orElse(chk.map(_.version)).getOrElse(0L)
+  }
+
+  /** The APPEND window (since, until] as (partition value, rel file,
+    * length) triples with liveness evaluated at `until` — the streaming
+    * source's per-micro-batch file plan ([[readChangesSince]] semantics,
+    * files instead of a DataFrame). */
+  private[graft] def appendWindowFiles(spark: SparkSession, root: String,
+                                       since: Long, until: Long,
+                                       skipNonAppend: Boolean)
+      : Seq[(String, String, Long)] = {
+    val (chk, commits0) = readLog(spark, root)
+    val floor = chk.map(_.version).getOrElse(0L)
+    require(since >= floor || since == 0L && floor == 0L,
+      s"TxLog.appendWindowFiles: version $since predates the latest " +
+        s"checkpoint ($floor) — restart the stream from a fresh " +
+        "checkpoint over a snapshot read")
+    val commits = commits0.filter(_.version <= until)
+    val window = commits.filter(_.version > since)
+    val nonAppend = window.filterNot(_.op == "append")
+    if (nonAppend.nonEmpty && !skipNonAppend)
+      sys.error("TxLog streaming source: commits " +
+        s"[${nonAppend.map(c => s"v${c.version}:${c.op}").mkString(", ")}] " +
+        "are not appends — a rewrite/overwrite cannot stream as appended " +
+        "rows; re-baseline the consumer, or set skipNonAppend=true if " +
+        "rewrites are reconciled out of band")
+    def liveAfter(va: Long, part: String, file: String): Boolean =
+      !commits.exists(c => c.version > va && (
+        ((c.op == "overwrite" || c.op == "remove") &&
+          c.parts.contains(part)) ||
+        (c.op == "rewrite" &&
+          c.removed.getOrElse(part, Seq.empty).contains(file))))
+    val rels = window.filter(_.op == "append").flatMap { c =>
+      c.parts.toSeq.flatMap { case (v, fs) =>
+        fs.filter(f => liveAfter(c.version, v, f)).map(v -> _)
+      }
+    }
+    if (rels.isEmpty) Seq.empty
+    else {
+      val meta = statusByRel(spark, root, rels.map(_._2))
+      rels.map { case (v, rel) =>
+        (v, rel, meta.getOrElse(rel, sys.error(
+          s"TxLog streaming source: live file $rel missing under $root — " +
+            "vacuum ran inside the stream's window?"))._1)
+      }
+    }
+  }
+
   /** Incremental-ETL consumption driver over [[readChangesSince]] — the
     * bronze→silver pipeline shape: each cycle reads the rows appended
     * since the durably checkpointed version, hands them to `process`

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftbridge.ParquetReadBridge
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{PartValueRow, TxLog}
+
+/** Structured-Streaming SOURCE over a [[TxLog]] table — the Delta
+  * streaming-source move: `spark.readStream.format("txlog").load(root)`
+  * follows the table's commit log, each micro-batch reading exactly the
+  * APPEND window between two committed versions (offset = log version,
+  * so the stream's exactly-once bookkeeping IS the table's own total
+  * order — no listing, no file-arrival heuristics, restart resumes at
+  * the checkpointed version). Liveness is evaluated at the window end
+  * ([[TxLog.readChangesSince]] semantics), non-append commits refuse
+  * loudly unless `skipNonAppend=true` (rewrites reconciled out of band),
+  * and `startingVersion` (default 0 = full history) picks the first
+  * offset for a fresh checkpoint.
+  *
+  * File decode rides Spark's own parquet machinery through
+  * [[ParquetReadBridge]] (built once per stream on an isolated session —
+  * the micro-batch deltas this feeds are where row-based decode's
+  * simplicity beats vectorized plumbing).
+  *
+  * Reference behavior anchor: the reference's daily full-refresh DAGs
+  * re-read whole tables per run (`sales_analytics_dag.py` cadence);
+  * here a downstream stream re-reads O(new commits), never O(table).
+  */
+class TxSourceProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "txlog"
+
+  private def root(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      sys.error("txlog source: .load(<table root>) is required"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (data, pf) = TxLog.tableMeta(SparkSession.active, root(options))
+    StructType(data.fields :+ pf)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TxStreamTable(schema,
+      Option(properties.get("path")).getOrElse(
+        sys.error("txlog source: .load(<table root>) is required")))
+}
+
+private final class TxStreamTable(tableSchema: StructType, root: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"txlog:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TxMicroBatchStream(root, tableSchema,
+            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            Option(options.get("skipNonAppend")).exists(_.toBoolean))
+      }
+    }
+}
+
+private final case class TxOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private final case class TxInputPartition(path: String, length: Long,
+                                          partValue: Any) extends InputPartition
+
+private final class TxMicroBatchStream(root: String, tableSchema: StructType,
+                                       startingVersion: Long,
+                                       skipNonAppend: Boolean)
+    extends MicroBatchStream {
+  private def spark = SparkSession.active
+  private val partField = tableSchema.fields.last
+  private val dataSchema = StructType(tableSchema.fields.dropRight(1))
+
+  override def initialOffset(): Offset = TxOffset(startingVersion)
+  override def latestOffset(): Offset =
+    TxOffset(math.max(startingVersion, TxLog.currentVersion(spark, root)))
+  override def deserializeOffset(json: String): Offset =
+    TxOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val since = start.asInstanceOf[TxOffset].version
+    val until = end.asInstanceOf[TxOffset].version
+    if (until <= since) return Array.empty
+    TxLog.appendWindowFiles(spark, root, since, until, skipNonAppend)
+      .map { case (value, rel, len) =>
+        TxInputPartition(s"$root/$rel", len,
+          PartValueRow(spark, value, partField.dataType).get(0, partField.dataType))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fn = ParquetReadBridge.rowReader(spark, dataSchema,
+      StructType(Seq(partField)))
+    new TxReaderFactory(fn)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private final class TxReaderFactory(fn: ParquetReadBridge.FileReadFn)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = fn(p.path, InternalRow(p.partValue), p.length)
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (it.hasNext) { row = it.next(); true } else false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -289,6 +289,57 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("txlog streaming source: micro-batches follow the commit log, " +
+      "restart resumes at the checkpointed version, rewrites refuse " +
+      "unless skipped") {
+    import graft.sources.TxLog
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-test/txsrc_${System.nanoTime}"
+    val root = s"$tmp/table"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    import spark.implicits._
+    def batch(id: String, rows: (String, Long)*) =
+      TxLog.appendBatchTx(rows.toSeq.toDF("part", "n"), root, "part", id)
+    batch("s1", "a" -> 1L, "b" -> 2L)
+    def drainOnce(opts: Map[String, String] = Map.empty): Unit = {
+      val q = spark.readStream.format("txlog").options(opts).load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainOnce()
+    assert(spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("part") -> r.getAs[Long]("n")).toSet
+      === Set("a" -> 1L, "b" -> 2L))
+    // two more commits land; a COLD restart from the checkpoint reads
+    // EXACTLY the new window (offsets are log versions)
+    batch("s2", "a" -> 10L)
+    batch("s3", "c" -> 100L)
+    drainOnce()
+    assert(spark.read.parquet(out).agg(sum("n")).head.getLong(0) === 113L)
+    assert(spark.read.parquet(out).count() === 4L,
+      "restart re-read an already-streamed window")
+    // a rewrite commit cannot stream as appends: the source refuses...
+    TxLog.deleteWhereTx(spark, root, col("n") === 1L)
+    val ex = intercept[Exception] { drainOnce() }
+    assert(ex.getMessage != null)
+    // ...unless rewrites are reconciled out of band (skipNonAppend), in
+    // which case later appends still flow and the skipped rewrite's
+    // effect never duplicates rows
+    batch("s4", "b" -> 1000L)
+    drainOnce(Map("skipNonAppend" -> "true"))
+    assert(spark.read.parquet(out).agg(sum("n")).head.getLong(0) === 1113L)
+    assert(spark.read.parquet(out).count() === 5L)
+    // a fresh checkpoint with startingVersion skips history
+    val ckpt2 = s"$tmp/ckpt2"; val out2 = s"$tmp/out2"
+    val q2 = spark.readStream.format("txlog")
+      .option("startingVersion", "4").load(root)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .format("parquet").option("path", out2).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out2).collect()
+      .map(_.getAs[Long]("n")).toSet === Set(1000L),
+      "startingVersion=4 must stream only the post-v4 append window")
+  }
+
   test("engine restart: a crash after the downstream tx commit but before " +
       "the checkpoint commit replays the epoch on a COLD query; the " +
       "ledger absorbs it (no dup, no loss)") {
