@@ -550,6 +550,16 @@ object TxLog {
     * schedule that matches how far back readers travel. */
   def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
     val (chk, commits) = readLog(spark, root)
+    // same dispatch error as snapshot(): a parquet-checkpointed table's
+    // file list never driver-materializes — point callers at the actual
+    // replacement instead of letting fold's internal require fire with a
+    // message about stateOf/readTable
+    chk.filter(_.payload.isDefined).foreach { c =>
+      sys.error(s"TxLog.snapshotAt: the table at $root is " +
+        s"parquet-checkpointed (${c.nfiles}+ files at c${c.version}) — " +
+        "its file list does not driver-materialize; use readTableAt for " +
+        "time travel")
+    }
     val floor = chk.map(_.version).getOrElse(0L)
     require(version >= floor,
       s"TxLog.snapshotAt: version $version predates the latest checkpoint " +
@@ -834,7 +844,14 @@ object TxLog {
       case Some(u) =>
         require(u >= sinceVersion, s"TxLog.readChangeFeed: cap $u " +
           s"precedes sinceVersion $sinceVersion")
-        commits0.filter(_.version <= u)
+        val capped = commits0.filter(_.version <= u)
+        // same contract as readChangesSince: the cap is a deterministic-
+        // replay key, so a stale/bogus cap must refuse loudly rather than
+        // silently serve a narrower window tagged with a different version
+        require(capped.lastOption.map(_.version).getOrElse(floor) == u,
+          s"TxLog.readChangeFeed: cap version $u was never committed " +
+            s"at $root")
+        capped
       case None => commits0
     }
     val currentVersion = commits.lastOption.map(_.version)
@@ -1481,6 +1498,10 @@ object TxLog {
     require(zorderBy.size >= 2,
       "compactZorderTx: z-order needs 2+ keys (use compactClusteredTx " +
         "for one)")
+    require(zorderBy.size <= 5,
+      s"compactZorderTx: ${zorderBy.size} keys × $ZorderBits bits " +
+        "exceeds a 63-bit interleave — beyond 5 keys the z-value would " +
+        "wrap Long shifts and silently collide bit positions")
     require(files > 0, "compactZorderTx: files must be positive")
     val df = read(spark, root, partCol, partType)
     zorderBy.foreach { c =>
@@ -1500,35 +1521,15 @@ object TxLog {
     val casted = zorderBy.zip(tmpCols).foldLeft(df) { case (d, (c, t)) =>
       d.withColumn(t, col(c).cast(org.apache.spark.sql.types.DoubleType))
     }
-    val bounds: Seq[Array[Double]] =
-      casted.stat.approxQuantile(tmpCols.toArray, probs, 0.001).toSeq
-    val nKeys = zorderBy.size
-    val boundsB = spark.sparkContext.broadcast(bounds.map(_.toArray).toArray)
-    val zUdf = udf { xs: Seq[java.lang.Double] =>
-      var z = 0L
-      var i = 0
-      while (i < xs.size) {
-        val b = boundsB.value(i)
-        val x = xs(i)
-        // nulls order first (bucket 0), mirroring NULLS FIRST sort order
-        val bucket =
-          if (x == null) 0
-          else {
-            var p = java.util.Arrays.binarySearch(b, x.doubleValue())
-            if (p < 0) p = -p - 1
-            p
-          }
-        var j = 0
-        while (j < ZorderBits) {
-          z |= ((bucket >> j) & 1L) << (j * nKeys + i)
-          j += 1
-        }
-        i += 1
-      }
-      z
-    }
-    val zCol = zUdf(array(zorderBy.map(c =>
-      col(c).cast(org.apache.spark.sql.types.DoubleType)): _*))
+    val bounds: Array[Array[Double]] =
+      casted.stat.approxQuantile(tmpCols.toArray, probs, 0.001)
+    // codegen'd expression, not a UDF: the z-value runs once per row on
+    // the rewrite's hot path — boundaries embed in the plan as a
+    // reference object, the interleave stays inside whole-stage codegen
+    // (nulls → bucket 0, mirroring NULLS FIRST sort order)
+    val zCol = graft.plans.ZBucketInterleave(
+      zorderBy.map(c => col(c).cast(org.apache.spark.sql.types.DoubleType)),
+      bounds, ZorderBits)
     readModifyWriteWhere(spark, root, partCol, partType, select,
       clusterBy = Seq(zCol), clusterFiles = files)(identity)
   }
@@ -2064,10 +2065,17 @@ object TxLog {
     val fs = fsOf(spark, dataDir)
     if (!fs.exists(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
+    // ship FULLY-QUALIFIED URIs (scheme + authority intact) to tasks and
+    // resolve each task's FileSystem FROM the qualified path — a
+    // scheme-stripped path would resolve the default FS inside tasks and
+    // aim the distributed listing/delete at the wrong store on any
+    // s3a/abfs/hdfs table (exactly the object-store deployments the
+    // parquet-checkpoint path exists for). The bare rel path is used
+    // ONLY as the join key against the payload's live inventory.
+    val rootQual = fs.makeQualified(new Path(root)).toString
       .stripSuffix("/") + "/"
     val stagingDirs = fs.listStatus(dataDir).filter(_.isDirectory)
-      .map(_.getPath.toUri.getPath).toSeq
+      .map(st => fs.makeQualified(st.getPath).toString).toSeq
     if (stagingDirs.isEmpty) return 0
     val conf = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
@@ -2080,8 +2088,12 @@ object TxLog {
           .flatMap(e => if (e.isDirectory) f.listStatus(e.getPath)
                         else Array(e))
           .filter(_.isFile)
-          .map(st => (st.getPath.toUri.getPath.stripPrefix(rootAbs),
-            st.getModificationTime))
+          .map { st =>
+            val q = f.makeQualified(st.getPath).toString
+            require(q.startsWith(rootQual),
+              s"vacuum: $q escapes the table root $rootQual")
+            (q.stripPrefix(rootQual), st.getModificationTime)
+          }
       }.toDF("rel", "mtime")
     val liveDF = payloadLiveDF(spark, root, big)
       .select(col("file").as("rel"))
@@ -2091,11 +2103,13 @@ object TxLog {
       .join(liveDF, Seq("rel"), "left_anti")
       .select("rel").as[String]
       .mapPartitions { it =>
-        val f = new Path(rootAbs).getFileSystem(conf.value)
+        val f = new Path(rootQual).getFileSystem(conf.value)
         var n = 0
         it.foreach { rel =>
-          f.delete(new Path(rootAbs + rel), false)
-          if (rel.endsWith(".parquet")) n += 1
+          // count only CONFIRMED deletes — a false return (already gone,
+          // permission failure) must not inflate the reported reclaim
+          if (f.delete(new Path(rootQual + rel), false) &&
+              rel.endsWith(".parquet")) n += 1
         }
         Iterator.single(n)
       }.collect().sum

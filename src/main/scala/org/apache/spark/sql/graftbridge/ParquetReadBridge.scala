@@ -35,17 +35,22 @@ object ParquetReadBridge {
     * FileSourceScanExec columnar contract), which a row-based V2 reader
     * cannot consume — so the builder runs against a CLONED session whose
     * conf disables the vectorized reader (never toggling the caller's
-    * live session flag, which would race concurrent planning). Row-based
-    * decode costs ~2× CPU on wide scans; the streaming micro-batches
-    * this feeds are per-commit deltas, where correctness and
-    * plumbing-simplicity dominate. */
+    * live session flag, which would race concurrent planning).
+    * cloneSession, not newSession: the clone COPIES the parent's runtime
+    * SQL confs (session timezone, parquet datetime/int96 rebase modes),
+    * so streaming decode cannot diverge from batch reads in sessions
+    * carrying non-default runtime confs — a fresh SessionState would
+    * silently drop them. Row-based decode costs ~2× CPU on wide scans;
+    * the streaming micro-batches this feeds are per-commit deltas, where
+    * correctness and plumbing-simplicity dominate. */
   def rowReader(spark: SparkSession, dataSchema: StructType,
                 partitionSchema: StructType): FileReadFn = {
-    val isolated = spark.newSession()
+    val isolated = spark
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
     isolated.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
     val fmt = new ParquetFileFormat
     new FileReadFn(fmt.buildReaderWithPartitionValues(
-      sparkSession = isolated.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      sparkSession = isolated,
       dataSchema = dataSchema,
       partitionSchema = partitionSchema,
       requiredSchema = dataSchema,
