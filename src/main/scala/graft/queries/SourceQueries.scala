@@ -3166,6 +3166,97 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_id")).as("n_ids"),
           dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
+    // real warehouse tables partition by (date, region)-style composites
+    // (the reference's own access paths are composite in spirit:
+    // init_db.py:113-116 indexes several columns); one partition column
+    // was the tx layer's last hard single-column assumption. Orders land
+    // in a (o_year, o_orderpriority)-partitioned tx table in two
+    // key-range batches; partition pruning must hold on the FIRST, the
+    // SECOND, and BOTH columns (loud file-count requires), then keyed
+    // MERGE (+1000 on the top eighth), keyed DELETE (bottom eighth),
+    // the row-level change feed, and compaction all run on the composite
+    // key. The oracle replays the merge and delete relationally.
+    QueryDef.sql("q230_tx_multicol_partitions",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+         |base AS (SELECT o_orderkey, YEAR(o_orderdate) AS o_year,
+         |                o_orderpriority, o_totalprice FROM orders),
+         |src AS (SELECT o_orderkey, o_year, o_orderpriority,
+         |               o_totalprice + 1000 AS o_totalprice
+         |        FROM base, mx
+         |        WHERE o_orderkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)),
+         |merged AS (SELECT * FROM base
+         |           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+         |           UNION ALL SELECT * FROM src),
+         |kept AS (SELECT merged.* FROM merged, mx
+         |         WHERE o_orderkey > CAST(FLOOR(m / 8.0) AS BIGINT))
+         |SELECT o_year, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS multicol_ok
+         |FROM kept GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q230_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 2).foreach { i =>
+        val hi = if (i < 2) maxKey / 2 else maxKey
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, Seq("o_year", "o_orderpriority"), s"q230-b$i")
+        lo = hi
+      }
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      def filesFor(cond: org.apache.spark.sql.Column): Long = {
+        val probe = TxLog.readTable(s, root).filter(cond)
+          .select("o_orderkey")
+        probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+        probe.queryExecution.executedPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }.head.metrics("numFiles").value
+      }
+      val maxYear = orders.agg(max("o_year")).head.getInt(0)
+      val readY = filesFor(col("o_year") === maxYear)
+      val readP = filesFor(col("o_orderpriority") === "1-URGENT")
+      val readB = filesFor(col("o_year") === maxYear &&
+        col("o_orderpriority") === "1-URGENT")
+      require(readY * 2 <= totalFiles,
+        s"q230: first-column pruning left $readY of $totalFiles files")
+      require(readP * 2 <= totalFiles,
+        s"q230: SECOND-column pruning left $readP of $totalFiles files")
+      require(readB * 4 <= totalFiles,
+        s"q230: both-column pruning left $readB of $totalFiles files")
+      val src = orders.filter(col("o_orderkey") > maxKey * 7 / 8)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      TxLog.mergeKeyedTx(s, root, src, "o_orderkey", changeFeed = true)
+      val (_, rewritten) = TxLog.deleteWhereTx(s, root,
+        col("o_orderkey") <= maxKey / 8, changeFeed = true)
+      require(rewritten > 0 && rewritten * 2 <= totalFiles,
+        s"q230: delete rewrote $rewritten of $totalFiles files — skipping " +
+          "did not bound the rewrite on the composite table")
+      val (feed, _) = TxLog.readChangeFeed(s, root, 0L)
+      val classes = feed.get.select("_change_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(Set("insert", "delete", "update_preimage",
+        "update_postimage").subsetOf(classes),
+        s"q230: change feed classes $classes incomplete on the composite table")
+      // compaction on the composite key (the partCol arg is advisory —
+      // the recorded 2-column schema drives the rewrite)
+      TxLog.compactPartitionsTx(s, root, "o_year")
+      TxLog.readTable(s, root)
+        .groupBy("o_year", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("multicol_ok",
+          lit(if (readY * 2 <= totalFiles && readP * 2 <= totalFiles &&
+                  readB * 4 <= totalFiles) 1L else 0L))
     }
   )
 }

@@ -36,24 +36,30 @@ final class TxBigFileIndex(spark: SparkSession, root: String,
                            big: TxLog.BigState,
                            override val partitionSchema: StructType)
     extends FileIndex with GraftFileIndex {
-  require(partitionSchema.length == 1,
-    "TxBigFileIndex: exactly one partition column")
-  private val partType = partitionSchema.head.dataType
+  require(partitionSchema.nonEmpty,
+    "TxBigFileIndex: at least one partition column")
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 
   private def payloadDF = TxLog.payloadLiveDF(spark, root, big)
 
-  /** The scan's partition predicate re-aimed at the payload's raw `part`
-    * column (cast to the declared partition type with session-zone
-    * semantics, mirroring [[PartValueRow]]). */
+  /** The scan's partition predicate re-aimed at the payload's recorded
+    * key (cast to the declared partition types with session-zone
+    * semantics, mirroring [[PartValueRow]]): the raw `part` column for a
+    * single partition column (every legacy payload), the `partv` raw
+    * segment array for N≥2 (written by every multi-column checkpoint). */
   private def partPredicate(partitionFilters: Seq[Expression]): Option[Column] =
     if (partitionFilters.isEmpty) None
     else {
       val zone = Option(spark.conf.get("spark.sql.session.timeZone"))
-      val castPart = Cast(ColumnBridge.expression(col("part")), partType, zone)
+      def segExpr(i: Int): Expression =
+        if (partitionSchema.length == 1) ColumnBridge.expression(col("part"))
+        else ColumnBridge.expression(
+          org.apache.spark.sql.functions.element_at(col("partv"), i + 1))
       Some(ColumnBridge.column(partitionFilters.reduce(And).transform {
-        case _: AttributeReference => castPart
+        case a: AttributeReference =>
+          val i = partitionSchema.fieldIndex(a.name)
+          Cast(segExpr(i), partitionSchema(i).dataType, zone)
       }))
     }
 
@@ -79,7 +85,7 @@ final class TxBigFileIndex(spark: SparkSession, root: String,
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val fromPayload = payloadSurvivors(partitionFilters, dataFilters)
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (v, files) =>
-        PartitionDirectory(PartValueRow(spark, v, partType),
+        PartitionDirectory(PartValueRow(spark, v, partitionSchema),
           files.map { case (_, rel, size, mtime) =>
             // statuses are fabricated from recorded size+mtime — no
             // listing RPC; Spark's split planning only consumes

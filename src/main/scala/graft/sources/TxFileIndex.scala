@@ -29,6 +29,19 @@ private[graft] object PartValueRow {
     InternalRow(Cast(Literal(UTF8String.fromString(v), StringType),
       partType, zone).eval(null))
   }
+
+  /** N-column form: the log's composite key decodes through
+    * [[TxLog.splitPartKey]], each raw segment cast to its declared
+    * partition type. */
+  def apply(spark: SparkSession, key: String,
+            partSchema: StructType): InternalRow = {
+    val zone = Option(spark.conf.get("spark.sql.session.timeZone"))
+    val raws = TxLog.splitPartKey(key, partSchema.length)
+    InternalRow.fromSeq(raws.zip(partSchema).map { case (v, f) =>
+      Cast(Literal(UTF8String.fromString(v), StringType),
+        f.dataType, zone).eval(null)
+    })
+  }
 }
 
 /** A [[FileIndex]] backed by a [[TxLog.Snapshot]]'s live-file list — the
@@ -54,14 +67,21 @@ final class TxFileIndex(spark: SparkSession, root: String,
                         override val partitionSchema: StructType,
                         stats: TxLog.FileStats = Map.empty)
     extends FileIndex with GraftFileIndex {
-  require(partitionSchema.length == 1,
-    "TxFileIndex: exactly one partition column")
-  private val partType = partitionSchema.head.dataType
+  require(partitionSchema.nonEmpty,
+    "TxFileIndex: at least one partition column")
 
   override val rootPaths: Seq[Path] = Seq(new Path(root))
 
   private def valueRow(v: String): InternalRow =
-    PartValueRow(spark, v, partType)
+    PartValueRow(spark, v, partitionSchema)
+
+  /** Bind the scan's partition attributes to their schema ordinals —
+    * the InMemoryFileIndex pruning contract, by NAME for N columns. */
+  private def bindPart(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      val i = partitionSchema.fieldIndex(a.name)
+      BoundReference(i, partitionSchema(i).dataType, nullable = true)
+  }
 
   /** One listing per staging dir (not per file): commits stage whole
     * `partCol=v` directories, so grouping by parent turns O(files)
@@ -103,13 +123,8 @@ final class TxFileIndex(spark: SparkSession, root: String,
     val afterPart =
       if (partitionFilters.isEmpty) dirsWithRel
       else {
-        // the InMemoryFileIndex pruning contract: bind the (single)
-        // partition attribute and evaluate against each value row
         val bound = Predicate.createInterpreted(
-          partitionFilters.reduce(And).transform {
-            case _: AttributeReference =>
-              BoundReference(0, partType, nullable = true)
-          })
+          bindPart(partitionFilters.reduce(And)))
         dirsWithRel.filter { case (row, _) => bound.eval(row) }
       }
     // file-level data skipping: drop files whose recorded min/max prove
@@ -132,10 +147,7 @@ final class TxFileIndex(spark: SparkSession, root: String,
     val boundOpt =
       if (partitionFilters.isEmpty) None
       else Some(Predicate.createInterpreted(
-        partitionFilters.reduce(And).transform {
-          case _: AttributeReference =>
-            BoundReference(0, partType, nullable = true)
-        }))
+        bindPart(partitionFilters.reduce(And))))
     parts.toSeq.collect {
       case (v, rels) if boundOpt.forall(_.eval(valueRow(v))) =>
         v -> rels.filter(rel =>

@@ -165,6 +165,29 @@ object TxLog {
   private def unesc(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
+  /** Composite partition-key codec. A table's in-memory partition key is
+    * the RAW value for single-column partitioning (back-compat with every
+    * existing log and payload), and for N≥2 columns the per-segment
+    * Hive-ESCAPED '/'-joined form — escapePathName escapes '/' inside
+    * values, so the separator is unambiguous (exactly the table's dir
+    * fragment without column names). Everything downstream (commit
+    * `touched` sets, conflict checks, the payload's `part` column,
+    * `select` predicates) treats the key as an opaque string. */
+  private[sources] def renderPartKey(raws: Seq[String]): String =
+    if (raws.lengthCompare(1) == 0) raws.head
+    else raws.map(esc).mkString("/")
+
+  /** Inverse of [[renderPartKey]]: the N raw column values of a key. */
+  private[sources] def splitPartKey(key: String, n: Int): Seq[String] =
+    if (n == 1) Seq(key)
+    else {
+      val segs = key.split("/", -1)
+      require(segs.length == n,
+        s"TxLog: partition key [$key] has ${segs.length} segments but the " +
+          s"table's partition schema has $n columns")
+      segs.toSeq.map(unesc)
+    }
+
   // ---- log I/O ----------------------------------------------------------
 
   private val VersionRe = """v(\d{20})\.txn""".r
@@ -583,7 +606,15 @@ object TxLog {
     * NULL-backfill the new columns, and a [[snapshotAt]] time travel
     * reads with the schema as of that version. */
   def readSnapshot(spark: SparkSession, root: String, snap: Snapshot,
-                   partCol: String, partType: DataType = StringType): DataFrame = {
+                   partCol: String, partType: DataType = StringType): DataFrame =
+    readSnapshot(spark, root, snap, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(partCol, partType))))
+
+  /** N-column [[readSnapshot]]: the scan's partition schema is the full
+    * (ordered) partition StructType; log keys decode through
+    * [[splitPartKey]]. */
+  def readSnapshot(spark: SparkSession, root: String, snap: Snapshot,
+                   partSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     require(snap.parts.nonEmpty,
       s"TxLog table at $root is empty — nothing committed yet")
     val dataSchema = snap.schema
@@ -591,8 +622,6 @@ object TxLog {
       // legacy logs without schema records: one driver-side footer read
       .getOrElse(spark.read.parquet(
         s"$root/${snap.parts.valuesIterator.next().head}").schema)
-    val partSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(partCol, partType)))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new TxFileIndex(spark, root, snap.parts, partSchema, snap.stats),
       partitionSchema = partSchema,
@@ -608,12 +637,10 @@ object TxLog {
     * [[TxBigFileIndex]] — partition pruning and data skipping run as a
     * job over the checkpoint payload; the driver holds survivors only. */
   private def readBig(spark: SparkSession, root: String, big: BigState,
-                      partCol: String, partType: DataType): DataFrame = {
+                      partSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val dataSchema = big.schema
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(sys.error(s"TxLog.readBig: no recorded schema at $root"))
-    val partSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(partCol, partType)))
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new TxBigFileIndex(spark, root, big, partSchema),
       partitionSchema = partSchema,
@@ -627,30 +654,37 @@ object TxLog {
 
   private def readState(spark: SparkSession, root: String,
                         state: Either[Snapshot, BigState],
-                        partCol: String, partType: DataType): DataFrame =
+                        partSchema: org.apache.spark.sql.types.StructType): DataFrame =
     state match {
-      case Left(snap) => readSnapshot(spark, root, snap, partCol, partType)
-      case Right(big) => readBig(spark, root, big, partCol, partType)
+      case Left(snap) => readSnapshot(spark, root, snap, partSchema)
+      case Right(big) => readBig(spark, root, big, partSchema)
     }
+
+  private def singleCol(partCol: String, partType: DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(partCol, partType)))
+
+  /** Recorded partition schema of `state`, or a loud refusal. */
+  private def partSchemaOf(state: Either[Snapshot, BigState], root: String,
+                           who: String): org.apache.spark.sql.types.StructType =
+    state.fold(_.partSchema, _.partSchema)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.$who: the log at $root predates " +
+        "partition-column recording — read with an explicit partCol"))
 
   /** Read the CURRENT state of the tx table. */
   def read(spark: SparkSession, root: String, partCol: String,
            partType: DataType = StringType): DataFrame =
-    readState(spark, root, stateOf(spark, root), partCol, partType)
+    readState(spark, root, stateOf(spark, root), singleCol(partCol, partType))
 
   /** Read the CURRENT state using the log's own recorded partition
-    * metadata — the partition column is TABLE state, not reader
-    * knowledge (callers that hardcode it can drift from the writer;
+    * metadata — the partition columns are TABLE state, not reader
+    * knowledge (callers that hardcode them can drift from the writer;
     * this can't). Refuses legacy logs written before partition
     * recording rather than guessing. */
   def readTable(spark: SparkSession, root: String): DataFrame = {
     val state = stateOf(spark, root)
-    val pf = state.fold(_.partSchema, _.partSchema)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(sys.error(s"TxLog.readTable: the log at $root predates " +
-        "partition-column recording — read with an explicit partCol"))
-      .head
-    readState(spark, root, state, pf.name, pf.dataType)
+    readState(spark, root, state, partSchemaOf(state, root, "readTable"))
   }
 
   /** Time-travel read AS OF `version` on either checkpoint
@@ -667,12 +701,7 @@ object TxLog {
     val state = stateOf(spark, root, cap = Some(version))
     require(state.fold(_.version, _.version) == version,
       s"TxLog.readTableAt: version $version was never committed at $root")
-    val pf = state.fold(_.partSchema, _.partSchema)
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(sys.error(s"TxLog.readTableAt: the log at $root predates " +
-        "partition-column recording — use snapshotAt + readSnapshot"))
-      .head
-    readState(spark, root, state, pf.name, pf.dataType)
+    readState(spark, root, state, partSchemaOf(state, root, "readTableAt"))
   }
 
   /** Metadata-only COUNT: the exact row count of every partition passing
@@ -807,9 +836,15 @@ object TxLog {
         commits.flatMap(_.schema)).lastOption
       val stats = window.iterator.flatMap(_.stats)
         .filter { case (f, _) => deltaParts.exists(_._2.contains(f)) }.toMap
+      // the log's recorded partition schema (N columns) wins when present;
+      // the caller-supplied (partCol, partType) covers legacy logs only
+      val ps = (chk.flatMap(_.partSchema).toSeq ++
+        commits.flatMap(_.partSchema)).lastOption
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(singleCol(partCol, partType))
       (Some(readSnapshot(spark, root,
-        Snapshot(currentVersion, deltaParts, schema, stats),
-        partCol, partType)), currentVersion)
+        Snapshot(currentVersion, deltaParts, schema, stats), ps)),
+        currentVersion)
     }
   }
 
@@ -866,16 +901,15 @@ object TxLog {
       "changeFeed = true")
     val schemaDDL = (chk.flatMap(_.schema).toSeq ++
       commits.flatMap(_.schema)).lastOption
-    val pf = (chk.flatMap(_.partSchema).toSeq ++
+    val ps = (chk.flatMap(_.partSchema).toSeq ++
       commits.flatMap(_.partSchema)).lastOption
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(sys.error(s"TxLog.readChangeFeed: the log at $root " +
-        "predates partition-column recording")).head
+        "predates partition-column recording"))
     val frames =
       window.filter(_.op == "append").map { c =>
         readSnapshot(spark, root,
-          Snapshot(c.version, c.parts, schemaDDL, c.stats),
-          pf.name, pf.dataType)
+          Snapshot(c.version, c.parts, schemaDDL, c.stats), ps)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(c.version))
       } ++
@@ -889,21 +923,21 @@ object TxLog {
   }
 
   /** Table metadata for external readers (the streaming source): the
-    * recorded data schema and partition field. Refuses logs written
-    * before schema/partition recording. */
+    * recorded data schema and the full (ordered) partition schema.
+    * Refuses logs written before schema/partition recording. */
   private[graft] def tableMeta(spark: SparkSession, root: String)
       : (org.apache.spark.sql.types.StructType,
-         org.apache.spark.sql.types.StructField) = {
+         org.apache.spark.sql.types.StructType) = {
     val (chk, commits) = readLog(spark, root)
     val schema = (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema))
       .lastOption.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(sys.error(s"TxLog.tableMeta: no recorded schema at $root"))
-    val pf = (chk.flatMap(_.partSchema).toSeq ++
+    val ps = (chk.flatMap(_.partSchema).toSeq ++
       commits.flatMap(_.partSchema)).lastOption
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(sys.error(s"TxLog.tableMeta: the log at $root predates " +
-        "partition-column recording")).head
-    (schema, pf)
+        "partition-column recording"))
+    (schema, ps)
   }
 
   /** Latest committed version (0 = empty log). */
@@ -1045,7 +1079,10 @@ object TxLog {
           cap = pendingIntent.filter(_ >= floor))
         val v = state.fold(_.version, _.version)
         writeCp(since, Some(v))
-        process(readState(spark, root, state, partCol, partType), v)
+        val ps = state.fold(_.partSchema, _.partSchema)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+          .getOrElse(singleCol(partCol, partType))
+        process(readState(spark, root, state, ps), v)
         writeCp(v, None)
         cycles += 1
       } else {
@@ -1081,49 +1118,82 @@ object TxLog {
     * they round-trip as the Hive default-partition sentinel, which the
     * per-branch `lit()` re-attachment cannot represent. */
   def stage(df: DataFrame, root: String, partCol: String,
-            clusterBy: Seq[Column] = Nil, clusterFiles: Int = 0): Staged = {
+            clusterBy: Seq[Column] = Nil, clusterFiles: Int = 0): Staged =
+    stage(df, root, Seq(partCol), clusterBy, clusterFiles)
+
+  /** N-column [[stage]]: hierarchical `c1=v1/c2=v2/...` staging dirs, the
+    * log key the composite [[renderPartKey]] form. Real warehouse tables
+    * partition by (date, region)-style composites — one partition column
+    * was the tx layer's last hard single-column assumption. */
+  def stage(df: DataFrame, root: String, partCols: Seq[String],
+            clusterBy: Seq[Column], clusterFiles: Int): Staged = {
+    require(partCols.nonEmpty, "TxLog.stage: at least one partition column")
+    require(partCols.distinct.length == partCols.length,
+      s"TxLog.stage: duplicate partition columns [${partCols.mkString(", ")}]")
     val spark = df.sparkSession
     val rel = s"data/txn-${java.util.UUID.randomUUID()}"
     val dir = new Path(root, rel)
     val shaped =
-      if (clusterBy.isEmpty) df.repartition(col(partCol))
+      if (clusterBy.isEmpty) df.repartition(partCols.map(col): _*)
       else {
         // range-clustered layout: a global range partitioning on
-        // (partCol, clusterBy...) makes each task a contiguous slice, so
-        // every file lands a TIGHT, near-disjoint clusterBy range inside
-        // its partition dir — the layout [[TxStats]] skipping feeds on.
-        // The within-task sort tightens per-row-group footer stats too.
-        val keys = col(partCol) +: clusterBy
+        // (partCols..., clusterBy...) makes each task a contiguous slice,
+        // so every file lands a TIGHT, near-disjoint clusterBy range
+        // inside its partition dir — the layout [[TxStats]] skipping
+        // feeds on. The within-task sort tightens per-row-group footer
+        // stats too.
+        val keys = partCols.map(col) ++ clusterBy
         val n = if (clusterFiles > 0) clusterFiles
                 else spark.sessionState.conf.numShufflePartitions
         df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
       }
     shaped
-      .write.mode("errorifexists").partitionBy(partCol)
+      .write.mode("errorifexists").partitionBy(partCols: _*)
       .parquet(dir.toString)
     val fs = fsOf(spark, dir)
-    // null partition values round-trip as the Hive default-partition
-    // sentinel, which the log's value→files map cannot distinguish from
-    // the literal sentinel string — refuse AFTER the write (free: one
-    // directory listing, no extra data pass), orphaned files go to vacuum()
-    require(!fs.exists(new Path(dir,
-        s"$partCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME}")),
-      s"TxLog.stage: null $partCol values cannot be transacted — " +
-        "map them to a sentinel value first")
-    val parts = fs.listStatus(dir).filter(_.isDirectory).map { d =>
-      val value = unesc(d.getPath.getName.split("=", 2)(1))
-      val files = fs.listStatus(d.getPath).map(_.getPath.getName)
-        .filter(_.endsWith(".parquet"))
-        .map(f => s"$rel/${d.getPath.getName}/$f").toSeq
-      value -> files
-    }.toMap
+    val sentinel = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    // recursive descent through the N partition levels: each level's dir
+    // name is `<col>=<escaped value>`; the key keeps the ESCAPED segments
+    // ('/'-joined for N≥2, raw for N=1 — the renderPartKey contract)
+    def leaves(d: Path, depth: Int, frag: String,
+               escSegs: Seq[String]): Seq[(String, Seq[String])] =
+      if (depth == partCols.length) {
+        val files = fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(f => s"$rel/$frag/$f").toSeq
+        // dir segments are already Hive-escaped; for N≥2 join them as-is
+        // (≡ renderPartKey over the raw values), for N=1 the key is raw
+        val key = if (partCols.length == 1) unesc(escSegs.head)
+                  else escSegs.mkString("/")
+        Seq((key, files))
+      } else {
+        fs.listStatus(d).filter(_.isDirectory).toSeq.flatMap { e =>
+          val name = e.getPath.getName
+          val Array(c, v) = name.split("=", 2)
+          require(c == partCols(depth),
+            s"TxLog.stage: dir level $depth is $c, expected ${partCols(depth)}")
+          // null partition values round-trip as the Hive default-partition
+          // sentinel, which the log's value→files map cannot distinguish
+          // from the literal sentinel string — refuse AFTER the write
+          // (free: a directory listing, no extra data pass), orphaned
+          // files go to vacuum()
+          require(v != sentinel,
+            s"TxLog.stage: null $c values cannot be transacted — " +
+              "map them to a sentinel value first")
+          leaves(e.getPath, depth + 1,
+            if (frag.isEmpty) name else s"$frag/$name", escSegs :+ v)
+        }
+      }
+    val parts = leaves(dir, 0, "", Seq.empty).toMap
     require(parts.nonEmpty, "TxLog.stage: staged DataFrame is empty — " +
       "an empty overwrite would be a silent no-op; drop partitions explicitly")
     // top-level nullability is erased before recording: parquet round
     // trips make columns nullable and the union read widens it anyway —
     // only STRUCTURAL drift (names/types/order) poisons the table
     val dataSchema = org.apache.spark.sql.types.StructType(
-      df.schema.filterNot(_.name == partCol).map(_.copy(nullable = true)))
+      df.schema.filterNot(f => partCols.contains(f.name))
+        .map(_.copy(nullable = true)))
     // footer min/max per staged file → data skipping at read time
     // (graft.txlog.stats=false opts a writer out; readers treat absent
     // stats as unskippable, so mixed writer configs stay correct)
@@ -1131,11 +1201,12 @@ object TxLog {
       if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
         TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
       else (Map.empty: FileStats, Map.empty: FileRows)
-    // the partition column is TABLE metadata, not reader knowledge: record
-    // its name+type so readTable needs no caller-supplied partCol and a
-    // writer partitioning by a DIFFERENT column is refused at commit
+    // the partition columns are TABLE metadata, not reader knowledge:
+    // record name+type (in partition order) so readTable needs no
+    // caller-supplied columns and a writer partitioning differently is
+    // refused at commit
     val partField = org.apache.spark.sql.types.StructType(
-      df.schema.filter(_.name == partCol).map(_.copy(nullable = true))).toDDL
+      partCols.map(c => df.schema(c).copy(nullable = true))).toDDL
     Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField))
   }
 
@@ -1302,9 +1373,15 @@ object TxLog {
     * last committer wins, still a serialized order). The concurrent-safe
     * replacement for [[Warehouse.overwritePartitioned]]. */
   def overwritePartitionsTx(df: DataFrame, root: String,
-                            partCol: String): Long = {
+                            partCol: String): Long =
+    overwritePartitionsTx(df, root, Seq(partCol))
+
+  /** N-column [[overwritePartitionsTx]]. */
+  def overwritePartitionsTx(df: DataFrame, root: String,
+                            partCols: Seq[String]): Long = {
     val spark = df.sparkSession
-    commit(spark, root, stage(df, root, partCol), "overwrite", readVersion = 0L)
+    commit(spark, root, stage(df, root, partCols, Nil, 0), "overwrite",
+      readVersion = 0L)
   }
 
   /** Idempotent transactional batch append — the tx-log upgrade of
@@ -1313,9 +1390,14 @@ object TxLog {
     * duplicate submissions race (the ledger check runs inside the commit
     * loop, so even two simultaneous first-attempts serialize to one). */
   def appendBatchTx(df: DataFrame, root: String, partCol: String,
+                    batchId: String): Long =
+    appendBatchTx(df, root, Seq(partCol), batchId)
+
+  /** N-column [[appendBatchTx]]. */
+  def appendBatchTx(df: DataFrame, root: String, partCols: Seq[String],
                     batchId: String): Long = {
     val spark = df.sparkSession
-    commit(spark, root, stage(df, root, partCol), "append",
+    commit(spark, root, stage(df, root, partCols, Nil, 0), "append",
       readVersion = 0L, batchId = Some(batchId))
   }
 
@@ -1392,6 +1474,12 @@ object TxLog {
     while (attempt < maxAttempts) {
       attempt += 1
       val state = stateOf(spark, root)
+      // the table's RECORDED partition schema (N columns) drives the read
+      // and restage; the caller's (partCol, partType) covers legacy logs.
+      // On a multi-column table `select` sees the composite key.
+      val ps = state.fold(_.partSchema, _.partSchema)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(singleCol(partCol, partType))
       // selected partitions' files only — on a parquet-checkpointed table
       // this is one payload query bounded by the SELECTION, never a full
       // driver fold (the maintenance contract: partition-scoped rewrites)
@@ -1420,8 +1508,8 @@ object TxLog {
       require(sel.nonEmpty,
         s"TxLog.readModifyWriteWhere: no partition at $root passes select")
       val staged = stage(
-        transform(readSnapshot(spark, root, selSnap, partCol, partType)),
-        root, partCol, clusterBy, clusterFiles)
+        transform(readSnapshot(spark, root, selSnap, ps)),
+        root, ps.map(_.name), clusterBy, clusterFiles)
       if (!staged.parts.keySet.subsetOf(sel.keySet)) {
         val escaped = (staged.parts.keySet -- sel.keySet).toSeq.sorted
         discard(spark, root, staged)
@@ -1503,7 +1591,11 @@ object TxLog {
         "exceeds a 63-bit interleave — beyond 5 keys the z-value would " +
         "wrap Long shifts and silently collide bit positions")
     require(files > 0, "compactZorderTx: files must be positive")
-    val df = read(spark, root, partCol, partType)
+    val zState = stateOf(spark, root)
+    val df = readState(spark, root, zState,
+      zState.fold(_.partSchema, _.partSchema)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(singleCol(partCol, partType)))
     zorderBy.foreach { c =>
       val t = df.schema(c).dataType
       require(t.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
@@ -1554,7 +1646,7 @@ object TxLog {
     * [[TxBigFileIndex]]). Everything not provably irrelevant is a
     * candidate. Returns partition value → rel files. */
   private def candidatesOf(df: DataFrame, cond: Column,
-                           partCol: String): Map[String, Seq[String]] = {
+                           partCols: Seq[String]): Map[String, Seq[String]] = {
     import org.apache.spark.sql.catalyst.plans.logical
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     require(org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1569,7 +1661,7 @@ object TxLog {
       case logical.Filter(c, _: LogicalRelation) => Predicates.split(c)
     }.getOrElse(Seq.empty) // predicate folded to TRUE: every file matches
     val partAttr = org.apache.spark.sql.catalyst.expressions.AttributeSet(
-      rel.output.filter(_.name == partCol))
+      rel.output.filter(a => partCols.contains(a.name)))
     val (partFilters, dataFilters) =
       filters.partition(_.references.subsetOf(partAttr))
     rel.relation.asInstanceOf[HadoopFsRelation]
@@ -1601,20 +1693,19 @@ object TxLog {
         return (version, 0)
       val (schema, partSchema) =
         (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
-      val pf = partSchema
+      val ps = partSchema
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(sys.error(s"TxLog.deleteWhereTx: the log at $root " +
-          "predates partition-column recording")).head
+          "predates partition-column recording"))
       val cands = candidatesOf(
-        readState(spark, root, state, pf.name, pf.dataType), cond, pf.name)
+        readState(spark, root, state, ps), cond, ps.map(_.name))
       if (cands.isEmpty) return (version, 0)
       // candidates are O(matching files) — a bounded driver-side read
       // even when the table itself is parquet-checkpointed
       val candSnap = Snapshot(version, cands, schema,
         Map.empty, Map.empty, partSchema)
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
-      val candRead = readSnapshot(spark, root, candSnap, pf.name,
-        pf.dataType)
+      val candRead = readSnapshot(spark, root, candSnap, ps)
       val remaining = candRead.filter(keep)
       // write-side CDC (opt-in): the deleted rows ARE known here — record
       // them so readChangeFeed can serve this window to row-level
@@ -1627,7 +1718,7 @@ object TxLog {
       val staged =
         if (remaining.isEmpty) Staged(Map.empty, removed = cands,
           changes = cdf)
-        else stage(remaining, root, pf.name)
+        else stage(remaining, root, ps.map(_.name), Nil, 0)
           .copy(removed = cands, changes = cdf)
       try return (commit(spark, root, staged, "rewrite",
         readVersion = version, conflictCheck = true),
@@ -1668,14 +1759,19 @@ object TxLog {
           "batch instead")
       val (schema, partSchemaDDL) =
         (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
-      val pf = partSchemaDDL
+      val ps = partSchemaDDL
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(sys.error(s"TxLog.mergeKeyedTx: the log at $root " +
-          "predates partition-column recording")).head
+          "predates partition-column recording"))
+      val nP = ps.length
       val keyType = source.schema(key).dataType
       // per-source-partition key bounds: O(source partitions) driver rows
-      val bounds = source.groupBy(col(pf.name).cast(StringType).as("__p"))
+      // (all N partition columns cast to their raw-string key segments)
+      val bounds = source
+        .groupBy(ps.map(f => col(f.name).cast(StringType)).toSeq: _*)
         .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
+      def pvOf(r: org.apache.spark.sql.Row): String =
+        renderPartKey((0 until nP).map(r.getString))
       val attr = org.apache.spark.sql.catalyst.expressions
         .AttributeReference(key, keyType)()
       // keep a file unless its stats prove [fileMin,fileMax] and the
@@ -1685,14 +1781,14 @@ object TxLog {
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
         Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
               attr, org.apache.spark.sql.catalyst.expressions.Literal
-                .create(r.get(1), keyType)),
+                .create(r.get(nP), keyType)),
             org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
               attr, org.apache.spark.sql.catalyst.expressions.Literal
-                .create(r.get(2), keyType)))
+                .create(r.get(nP + 1), keyType)))
       val cands: Map[String, Seq[String]] = state match {
         case Left(snap) =>
           bounds.flatMap { r =>
-            val pv = r.getString(0)
+            val pv = pvOf(r)
             val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
               snap.stats.get(f).forall(TxStats.mightMatch(overlapExprs(r), _))
             }
@@ -1702,7 +1798,7 @@ object TxLog {
           // ONE distributed candidate job over the payload: OR over the
           // per-partition (part = v AND key-range-overlap) predicates
           val payloadPred = bounds.map { r =>
-            (col("part") === r.getString(0)) &&
+            (col("part") === pvOf(r)) &&
               TxStats.mightMatchColumn(overlapExprs(r), col("stats"))
           }.reduceOption(_ || _).getOrElse(lit(false))
           val fromPayload = payloadLiveDF(spark, root, big)
@@ -1710,7 +1806,7 @@ object TxLog {
             .groupBy(_.getString(0))
             .map { case (v, xs) => v -> xs.map(_.getString(1)).toSeq }
           val fromDelta = bounds.flatMap { r =>
-            val pv = r.getString(0)
+            val pv = pvOf(r)
             val fs = big.deltaParts.getOrElse(pv, Seq.empty).filter { f =>
               big.deltaStats.get(f)
                 .forall(TxStats.mightMatch(overlapExprs(r), _))
@@ -1727,7 +1823,7 @@ object TxLog {
         if (cands.isEmpty) None
         else Some(readSnapshot(spark, root,
           Snapshot(version, cands, schema, Map.empty, Map.empty,
-            partSchemaDDL), pf.name, pf.dataType))
+            partSchemaDDL), ps))
       val unmatched = candRead.map(
         _.join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
@@ -1756,7 +1852,7 @@ object TxLog {
             .flatten.reduce(_ unionByName _)
           writeChanges(tagged, root)
         }
-      val staged = stage(upserted, root, pf.name)
+      val staged = stage(upserted, root, ps.map(_.name), Nil, 0)
         .copy(removed = cands, changes = cdf)
       try return commit(spark, root, staged, "rewrite",
         readVersion = version, conflictCheck = true)
@@ -1830,7 +1926,14 @@ object TxLog {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("mn", StringType, true),
           org.apache.spark.sql.types.StructField("mx", StringType, true)))),
-      true)))
+      true),
+    // the key's RAW column values (one element per partition column) —
+    // what the payload-side partition predicate evaluates against on an
+    // N-column table (the composite `part` string stays the join/identity
+    // key). Legacy payloads lack it; they are single-column by
+    // construction and keep pruning on `part`.
+    org.apache.spark.sql.types.StructField("partv",
+      org.apache.spark.sql.types.ArrayType(StringType, false), true)))
 
   /** (size, mtime) of each rel file — grouped per parent dir so a
     * thousand-file staging dir costs ONE listing RPC; few dirs list on a
@@ -1872,9 +1975,10 @@ object TxLog {
 
   private def entryRows(root: String, parts: Map[String, Seq[String]],
                         stats: FileStats, rows: FileRows,
-                        meta: Map[String, (Long, Long)])
+                        meta: Map[String, (Long, Long)], nP: Int)
       : Seq[org.apache.spark.sql.Row] =
     parts.toSeq.flatMap { case (v, fs) =>
+      val segs = splitPartKey(v, nP)
       fs.map { f =>
         val (sz, mt) = meta.getOrElse(f, sys.error(
           s"TxLog.checkpoint: live file $f missing under $root — vacuum " +
@@ -1883,7 +1987,7 @@ object TxLog {
           rows.get(f).map(java.lang.Long.valueOf).orNull,
           stats.get(f).map(_.map { case (c, (mn, mx)) =>
             c -> org.apache.spark.sql.Row(mn, mx)
-          }).orNull)
+          }).orNull, segs)
       }
     }
 
@@ -1903,11 +2007,18 @@ object TxLog {
     fsOf(spark, p).delete(p, true): Unit
   }
 
+  /** Partition-column count of a recorded partition-schema DDL (1 for
+    * legacy logs without one — single-column by construction). */
+  private def nPartsOf(partSchema: Option[String]): Int =
+    partSchema.map(org.apache.spark.sql.types.StructType.fromDDL(_).length)
+      .getOrElse(1)
+
   private def writeChkV2FromSnap(spark: SparkSession, root: String,
                                  snap: Snapshot,
                                  batchIds: Set[String]): Unit = {
     val meta = statusByRel(spark, root, snap.parts.values.flatten.toSeq)
-    val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta)
+    val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta,
+      nPartsOf(snap.partSchema))
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, PayloadSchema)
       .repartition(math.max(1, rows.size / 500000))
@@ -1932,14 +2043,25 @@ object TxLog {
   private def writeChkV2FromBig(spark: SparkSession, root: String,
                                 big: BigState,
                                 batchIds: Set[String]): Unit = {
+    val nP = nPartsOf(big.partSchema)
     val deltaMeta = statusByRel(spark, root,
       big.deltaParts.values.flatten.toSeq)
     import scala.jdk.CollectionConverters._
     val deltaDF = spark.createDataFrame(
       entryRows(root, big.deltaParts, big.deltaStats, big.deltaRows,
-        deltaMeta).asJava, PayloadSchema)
-    val unioned = payloadLiveDF(spark, root, big)
-      .select("part", "file", "size", "mtime", "rows", "stats")
+        deltaMeta, nP).asJava, PayloadSchema)
+    val prior = payloadLiveDF(spark, root, big)
+    // legacy payloads (written before partv) are single-column by
+    // construction: their key IS the one raw value
+    val priorWithSegs =
+      if (prior.columns.contains("partv")) prior
+      else {
+        require(nP == 1, s"TxLog.checkpoint: payload at $root lacks " +
+          "partv but the table records a multi-column partition schema")
+        prior.withColumn("partv", array(col("part")))
+      }
+    val unioned = priorWithSegs
+      .select("part", "file", "size", "mtime", "rows", "stats", "partv")
       .unionByName(deltaDF)
     val name = writePayloadDir(spark, root, unioned, big.version)
     val fresh = spark.read.parquet(s"$root/_txlog/$name")
@@ -2031,9 +2153,13 @@ object TxLog {
       .stripSuffix("/") + "/"
     var removed = 0
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
-      val files = fs.listStatus(d.getPath).flatMap { e =>
-        if (e.isDirectory) fs.listStatus(e.getPath) else Array(e)
-      }.filter(_.isFile)
+      // full recursive descent: multi-column staging dirs nest one level
+      // per partition column (c1=v1/c2=v2/...)
+      def descend(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).flatMap { e =>
+          if (e.isDirectory) descend(e.getPath) else Array(e)
+        }
+      val files = descend(d.getPath).filter(_.isFile)
       val (keep, dead) = files.partition { st =>
         val p = st.getPath.toUri.getPath
         require(p.startsWith(rootAbs),
@@ -2084,9 +2210,13 @@ object TxLog {
       .flatMap { d =>
         val p = new Path(d)
         val f = p.getFileSystem(conf.value)
-        f.listStatus(p)
-          .flatMap(e => if (e.isDirectory) f.listStatus(e.getPath)
-                        else Array(e))
+        // full recursive descent (multi-column staging dirs nest one
+        // level per partition column)
+        def descend(q: Path): Array[org.apache.hadoop.fs.FileStatus] =
+          f.listStatus(q).flatMap { e =>
+            if (e.isDirectory) descend(e.getPath) else Array(e)
+          }
+        descend(p)
           .filter(_.isFile)
           .map { st =>
             val q = f.makeQualified(st.getPath).toString

@@ -47,8 +47,8 @@ class TxSourceProvider extends TableProvider with DataSourceRegister {
       sys.error("txlog source: .load(<table root>) is required"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (data, pf) = TxLog.tableMeta(SparkSession.active, root(options))
-    StructType(data.fields :+ pf)
+    val (data, ps) = TxLog.tableMeta(SparkSession.active, root(options))
+    StructType(data.fields ++ ps.fields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -81,15 +81,19 @@ private final case class TxOffset(version: Long) extends Offset {
 }
 
 private final case class TxInputPartition(path: String, length: Long,
-                                          partValue: Any) extends InputPartition
+                                          partValues: Array[Any]) extends InputPartition
 
 private final class TxMicroBatchStream(root: String, tableSchema: StructType,
                                        startingVersion: Long,
                                        skipNonAppend: Boolean)
     extends MicroBatchStream {
   private def spark = SparkSession.active
-  private val partField = tableSchema.fields.last
-  private val dataSchema = StructType(tableSchema.fields.dropRight(1))
+  // the table's partition columns are the schema's LAST N fields
+  // (inferSchema appends them to the data schema) — N from the log's
+  // recorded partition metadata
+  private lazy val nPart = TxLog.tableMeta(spark, root)._2.length
+  private lazy val partSchema = StructType(tableSchema.fields.takeRight(nPart))
+  private lazy val dataSchema = StructType(tableSchema.fields.dropRight(nPart))
 
   override def initialOffset(): Offset = TxOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -103,15 +107,15 @@ private final class TxMicroBatchStream(root: String, tableSchema: StructType,
     val until = end.asInstanceOf[TxOffset].version
     if (until <= since) return Array.empty
     TxLog.appendWindowFiles(spark, root, since, until, skipNonAppend)
-      .map { case (value, rel, len) =>
+      .map { case (key, rel, len) =>
+        val row = PartValueRow(spark, key, partSchema)
         TxInputPartition(s"$root/$rel", len,
-          PartValueRow(spark, value, partField.dataType).get(0, partField.dataType))
+          Array.tabulate[Any](nPart)(i => row.get(i, partSchema(i).dataType)))
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val fn = ParquetReadBridge.rowReader(spark, dataSchema,
-      StructType(Seq(partField)))
+    val fn = ParquetReadBridge.rowReader(spark, dataSchema, partSchema)
     new TxReaderFactory(fn)
   }
 
@@ -124,7 +128,9 @@ private final class TxReaderFactory(fn: ParquetReadBridge.FileReadFn)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxInputPartition]
     new PartitionReader[InternalRow] {
-      private val it = fn(p.path, InternalRow(p.partValue), p.length)
+      private val it = fn(p.path, InternalRow.fromSeq(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(p.partValues)),
+        p.length)
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (it.hasNext) { row = it.next(); true } else false

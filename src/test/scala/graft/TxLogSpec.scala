@@ -1063,4 +1063,162 @@ class TxLogSpec extends SparkSpecBase {
       case None => spark.conf.unset(key)
     }
   }
+
+  // ---- multi-column partition schemas ------------------------------------
+
+  private def dcKv(rows: (String, String, Long)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("date", "channel", "n")
+  }
+
+  test("multi-column partitions: append/read/overwrite fold on the " +
+      "composite key; pruning hits either or both columns") {
+    val root = freshRoot("mc-fold")
+    TxLog.appendBatchTx(dcKv(
+      ("2024-01-01", "web", 1), ("2024-01-01", "app", 2),
+      ("2024-01-02", "web", 3), ("2024-01-02", "app", 4)),
+      root, Seq("date", "channel"), "mc-b1")
+    // overwrite one composite partition only
+    TxLog.overwritePartitionsTx(dcKv(("2024-01-02", "app", 40)),
+      root, Seq("date", "channel"))
+    val got = TxLog.readTable(spark, root)
+      .collect().map(r => (r.getAs[String]("date"),
+        r.getAs[String]("channel")) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(("2024-01-01", "web") -> 1L,
+      ("2024-01-01", "app") -> 2L, ("2024-01-02", "web") -> 3L,
+      ("2024-01-02", "app") -> 40L))
+    // partition pruning on the FIRST, SECOND, and BOTH columns — each
+    // probe must plan strictly fewer files than the full table holds
+    val totalFiles = TxLog.snapshot(spark, root)
+      .parts.values.map(_.size).sum
+    def filesFor(cond: org.apache.spark.sql.Column): Long = {
+      val probe = TxLog.readTable(spark, root).filter(cond)
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+    }
+    assert(filesFor(col("date") === "2024-01-01") * 2 <= totalFiles)
+    assert(filesFor(col("channel") === "web") * 2 <= totalFiles)
+    assert(filesFor(col("date") === "2024-01-02" &&
+      col("channel") === "app") * 4 <= totalFiles)
+  }
+
+  test("multi-column partitions: composite keys with '/' and '=' in the " +
+      "values round-trip (escaped segments keep the separator unambiguous)") {
+    val root = freshRoot("mc-esc")
+    TxLog.appendBatchTx(dcKv(
+      ("a/b", "x=y", 7), ("plain", "x/1", 8)),
+      root, Seq("date", "channel"), "mc-esc-b1")
+    val got = TxLog.readTable(spark, root)
+      .collect().map(r => (r.getAs[String]("date"),
+        r.getAs[String]("channel")) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(("a/b", "x=y") -> 7L, ("plain", "x/1") -> 8L))
+    // pruning still works on the awkward values
+    val n = TxLog.readTable(spark, root)
+      .filter(col("date") === "a/b").collect()
+    assert(n.map(_.getAs[Long]("n")).toSeq === Seq(7L))
+  }
+
+  test("multi-column partitions: MERGE, DELETE, compaction and the change " +
+      "feed run on the composite key") {
+    val root = freshRoot("mc-verbs")
+    TxLog.appendBatchTx(dcKv(
+      ("d1", "web", 1), ("d1", "app", 2), ("d2", "web", 3)),
+      root, Seq("date", "channel"), "mc-v-b1")
+    import spark.implicits._
+    // MERGE keyed on n: both source keys (10, 4) are new → two inserts,
+    // each into a composite partition (one existing, one brand-new)
+    val src = Seq(("d1", "web", 10L), ("d2", "app", 4L))
+      .toDF("date", "channel", "n")
+    TxLog.mergeKeyedTx(spark, root, src, "n", changeFeed = true)
+    val got = TxLog.readTable(spark, root)
+      .collect().map(r => (r.getAs[String]("date"),
+        r.getAs[String]("channel"), r.getAs[Long]("n")))
+    assert(got.toSet === Set(("d1", "app", 2L), ("d1", "web", 1L),
+      ("d1", "web", 10L), ("d2", "app", 4L), ("d2", "web", 3L)))
+    // DELETE on a data predicate
+    val (_, rewritten) = TxLog.deleteWhereTx(spark, root, col("n") >= 10,
+      changeFeed = true)
+    assert(rewritten >= 1)
+    assert(TxLog.readTable(spark, root).agg(max("n")).head.getLong(0) < 10)
+    // change feed serves the full history through the rewrites (read it
+    // BEFORE compaction — a compaction overwrite is not CDC-able)
+    val (feed, _) = TxLog.readChangeFeed(spark, root, 0L)
+    val classes = feed.get.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes.contains("insert") && classes.contains("delete"))
+    // compaction keeps content (partCol arg is advisory — the recorded
+    // 2-column schema drives the rewrite)
+    TxLog.compactPartitionsTx(spark, root, "date")
+    assert(TxLog.readTable(spark, root).count() === 4L)
+  }
+
+  test("multi-column partitions: parquet-checkpointed payload prunes on " +
+      "the SECOND partition column inside the payload scan") {
+    val root = freshRoot("mc-big")
+    val key = "graft.txlog.chkParquetMin"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "1")
+      TxLog.appendBatchTx(dcKv(
+        ("d1", "web", 1), ("d1", "app", 2),
+        ("d2", "web", 3), ("d2", "app", 4)),
+        root, Seq("date", "channel"), "mc-big-b1")
+      TxLog.checkpoint(spark, root)
+      TxLog.expireLog(spark, root)
+      // post-checkpoint delta on a new composite partition
+      TxLog.appendBatchTx(dcKv(("d3", "web", 5)),
+        root, Seq("date", "channel"), "mc-big-b2")
+      val df = TxLog.readTable(spark, root)
+      // the scan must ride the payload-backed index
+      val idx = df.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }.get
+      assert(idx.isInstanceOf[graft.sources.TxBigFileIndex])
+      val probe = df.filter(col("channel") === "app")
+      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val read = probe.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head.metrics("numFiles").value
+      val totalFiles = 5L
+      assert(read * 2 <= totalFiles,
+        s"payload-side second-column pruning left $read of $totalFiles")
+      assert(probe.agg(sum("n")).head.getLong(0) === 6L)
+      // merge + delete + vacuum still run on the payload representation
+      import spark.implicits._
+      TxLog.mergeKeyedTx(spark, root,
+        Seq(("d3", "app", 99L)).toDF("date", "channel", "n"), "n")
+      val (_, rw) = TxLog.deleteWhereTx(spark, root, col("n") === 99L)
+      assert(rw >= 1)
+      assert(TxLog.vacuum(spark, root, minAgeMs = 0L) >= 1)
+      assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0) === 15L)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("multi-column partitions: the streaming source follows a " +
+      "(date, channel)-partitioned commit log") {
+    val base = freshRoot("mc-stream")
+    val root = s"$base/table"; val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    TxLog.appendBatchTx(dcKv(("d1", "web", 1), ("d1", "app", 2)),
+      root, Seq("date", "channel"), "mc-s-b1")
+    TxLog.appendBatchTx(dcKv(("d2", "web", 3)),
+      root, Seq("date", "channel"), "mc-s-b2")
+    val q = spark.readStream.format("txlog").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[String]("date"),
+        r.getAs[String]("channel")) -> r.getAs[Long]("n")).toMap
+    assert(got === Map(("d1", "web") -> 1L, ("d1", "app") -> 2L,
+      ("d2", "web") -> 3L))
+  }
 }
