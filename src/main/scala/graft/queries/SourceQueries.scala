@@ -3168,6 +3168,95 @@ object SourceQueries {
           dsum(col("value")).as("total_value"))
     },
 
+    // ---- q232: CDF STREAMING SOURCE (the Delta readChangeFeed stream):
+    // `readStream.format("txlog").option("readChangeFeed", true)` follows
+    // the commit log surfacing ROW-LEVEL changes — appends as inserts,
+    // MERGE as update_preimage/update_postimage/insert, DELETE as
+    // deletes — so a streaming consumer follows the table THROUGH
+    // rewrites the append-only stream (q229) must refuse. Offsets are
+    // log versions; a COLD restart resumes at the checkpointed version
+    // (proved in-gate: the stream drains the merge+delete history, a
+    // fresh append lands, a NEW query instance drains just that window).
+    // The streamed feed must equal the BATCH change feed class-by-class
+    // (in-gate require) and aggregate to the relational oracle.
+    QueryDef.sql("q232_tx_cdf_stream",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |feed AS (
+         |  SELECT 'insert' AS change_type, c_acctbal FROM customer
+         |  UNION ALL SELECT 'insert', c_acctbal FROM customer, mx
+         |    WHERE c_custkey < 20
+         |  UNION ALL SELECT 'update_preimage', c_acctbal FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'update_postimage', c_acctbal + 1000
+         |    FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'delete', c_acctbal FROM customer, mx
+         |    WHERE c_custkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'insert', c_acctbal FROM customer
+         |    WHERE c_custkey % 10 = 0)
+         |SELECT change_type, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal")} AS total_bal
+         |FROM feed GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q232_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val root = s"$base/table"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q232-b$i")
+        lo = hi
+      }
+      val src = cust.filter(col("c_custkey") > maxKey * 7 / 8)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") < 20)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1))
+      TxLog.mergeKeyedTx(s, root, src, "c_custkey", changeFeed = true)
+      TxLog.deleteWhereTx(s, root, col("c_custkey") <= maxKey / 8,
+        changeFeed = true)
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog")
+          .option("readChangeFeed", "true").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain() // the whole merge+delete history
+      // a fresh append lands; a COLD query instance resumes at the
+      // checkpointed version and drains just this window
+      TxLog.appendBatchTx(
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2 * maxKey + 1000),
+        root, "c_mktsegment", "q232-b5")
+      drain()
+      val streamed = s.read.parquet(out)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
+      // the streamed feed must equal the BATCH change feed class-by-class
+      val (batchFeed, _) = TxLog.readChangeFeed(s, root, 0L)
+      val batchAgg = batchFeed.get
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val streamAgg = streamed.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      require(streamAgg == batchAgg,
+        s"q232: streamed feed $streamAgg != batch change feed $batchAgg")
+      streamed
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -991,6 +991,58 @@ object TxLog {
     }
   }
 
+  /** One file of a CDF stream's micro-batch plan: `kind` is "data" (an
+    * append commit's file, streamed as inserts) or "cdf" (a rewrite
+    * commit's write-time change file, rows already tagged). */
+  private[graft] final case class ChangePlanFile(kind: String,
+                                                 partKey: String, rel: String,
+                                                 length: Long, version: Long)
+
+  /** The CHANGE-FEED window (since, until] as a per-file plan — the
+    * streaming source's micro-batch planner ([[readChangeFeed]]
+    * semantics, files instead of a DataFrame): append commits contribute
+    * their data files (full contents as inserts — a later in-window
+    * rewrite's delete/preimage rows account for removals), rewrite
+    * commits their write-time change files; overwrite/remove (or a
+    * rewrite without change files) refuses loudly, exactly the batch
+    * feed's contract. */
+  private[graft] def changeFeedWindowFiles(spark: SparkSession, root: String,
+                                           since: Long, until: Long)
+      : Seq[ChangePlanFile] = {
+    val (chk, commits0) = readLog(spark, root)
+    val floor = chk.map(_.version).getOrElse(0L)
+    require(since >= floor || since == 0L && floor == 0L,
+      s"TxLog CDF stream: version $since predates the latest checkpoint " +
+        s"($floor) — its commits (and change files) may be expired; " +
+        "restart the stream from a fresh checkpoint over a snapshot read")
+    val commits = commits0.filter(_.version <= until)
+    val window = commits.filter(_.version > since)
+    val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
+      (c.op == "rewrite" && c.changes.isEmpty))
+    require(bad.isEmpty, "TxLog CDF stream: commits " +
+      s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
+      "no row-level change record — overwrite/remove are not CDC-able, " +
+      "and a rewrite serves the feed only when written with " +
+      "changeFeed = true")
+    val dataRels = window.filter(_.op == "append").flatMap { c =>
+      c.parts.toSeq.flatMap { case (v, fs) => fs.map(f => (v, f, c.version)) }
+    }
+    val cdfRels = window.filter(_.op == "rewrite").flatMap { c =>
+      c.changes.map(f => (f, c.version))
+    }
+    if (dataRels.isEmpty && cdfRels.isEmpty) return Seq.empty
+    val meta = statusByRel(spark, root,
+      dataRels.map(_._2) ++ cdfRels.map(_._1))
+    def lenOf(rel: String): Long = meta.getOrElse(rel, sys.error(
+      s"TxLog CDF stream: live file $rel missing under $root — vacuum " +
+        "ran inside the stream's window?"))._1
+    dataRels.map { case (v, f, ver) =>
+      ChangePlanFile("data", v, f, lenOf(f), ver)
+    } ++ cdfRels.map { case (f, ver) =>
+      ChangePlanFile("cdf", "", f, lenOf(f), ver)
+    }
+  }
+
   /** Incremental-ETL consumption driver over [[readChangesSince]] — the
     * bronze→silver pipeline shape: each cycle reads the rows appended
     * since the durably checkpointed version, hands them to `process`

@@ -48,7 +48,16 @@ class TxSourceProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (data, ps) = TxLog.tableMeta(SparkSession.active, root(options))
-    StructType(data.fields ++ ps.fields)
+    val base = StructType(data.fields ++ ps.fields)
+    // CDF mode (the Delta readChangeFeed stream): every row rides with
+    // its change class and commit version
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, false)))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -69,9 +78,13 @@ private final class TxStreamTable(tableSchema: StructType, root: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TxMicroBatchStream(root, tableSchema,
-            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
-            Option(options.get("skipNonAppend")).exists(_.toBoolean))
+          if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+            new TxCdfMicroBatchStream(root, tableSchema,
+              Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+          else
+            new TxMicroBatchStream(root, tableSchema,
+              Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+              Option(options.get("skipNonAppend")).exists(_.toBoolean))
       }
     }
 }
@@ -121,6 +134,117 @@ private final class TxMicroBatchStream(root: String, tableSchema: StructType,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** CDF-mode micro-batch stream — the Delta `readChangeFeed` stream over
+  * the commit log: each micro-batch surfaces the window's ROW-LEVEL
+  * changes ([[TxLog.readChangeFeed]] semantics) — append commits' files
+  * as `insert` rows, MERGE/DELETE rewrites' write-time change files
+  * (`update_preimage`/`update_postimage`/`insert`/`delete`) verbatim —
+  * every row tagged `_change_type` and `_commit_version`. Offsets are
+  * log versions, so restart/exactly-once bookkeeping is identical to the
+  * append-only stream; overwrite/remove (or a rewrite written without
+  * changeFeed=true) refuses loudly rather than silently dropping
+  * changes. */
+private final class TxCdfMicroBatchStream(root: String,
+                                          tableSchema: StructType,
+                                          startingVersion: Long)
+    extends MicroBatchStream {
+  private def spark = SparkSession.active
+  // tableSchema = data ++ partition ++ (_change_type, _commit_version)
+  private lazy val nPart = TxLog.tableMeta(spark, root)._2.length
+  private lazy val partSchema =
+    StructType(tableSchema.fields.dropRight(2).takeRight(nPart))
+  private lazy val dataSchema =
+    StructType(tableSchema.fields.dropRight(2 + nPart))
+
+  override def initialOffset(): Offset = TxOffset(startingVersion)
+  override def latestOffset(): Offset =
+    TxOffset(math.max(startingVersion, TxLog.currentVersion(spark, root)))
+  override def deserializeOffset(json: String): Offset =
+    TxOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val since = start.asInstanceOf[TxOffset].version
+    val until = end.asInstanceOf[TxOffset].version
+    if (until <= since) return Array.empty
+    TxLog.changeFeedWindowFiles(spark, root, since, until).map { pf =>
+      val partValues =
+        if (pf.kind == "data") {
+          val row = PartValueRow(spark, pf.partKey, partSchema)
+          Array.tabulate[Any](nPart)(i => row.get(i, partSchema(i).dataType))
+        } else Array.empty[Any]
+      TxCdfInputPartition(pf.kind, s"$root/${pf.rel}", pf.length,
+        partValues, pf.version)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // data files decode through (dataSchema, partSchema) with partition
+    // values appended; change files carry data+partition+_change_type as
+    // PLAIN columns (written by the MERGE/DELETE CDC path), read with an
+    // empty partition schema
+    val dataFn = ParquetReadBridge.rowReader(spark, dataSchema, partSchema)
+    val cdfFn = ParquetReadBridge.rowReader(spark,
+      StructType((dataSchema ++ partSchema).toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, true)),
+      StructType(Seq.empty))
+    new TxCdfReaderFactory(dataFn, cdfFn,
+      tableSchema.fields.map(_.dataType))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private final case class TxCdfInputPartition(kind: String, path: String,
+                                             length: Long,
+                                             partValues: Array[Any],
+                                             version: Long) extends InputPartition
+
+private final class TxCdfReaderFactory(dataFn: ParquetReadBridge.FileReadFn,
+                                       cdfFn: ParquetReadBridge.FileReadFn,
+                                       outTypes: Array[org.apache.spark.sql.types.DataType])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxCdfInputPartition]
+    val width = outTypes.length
+    // a data row arrives width-2 (no change columns); a cdf row width-1
+    // (change type read from the file, version still missing)
+    val it: Iterator[InternalRow] =
+      if (p.kind == "data")
+        dataFn(p.path, InternalRow.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(p.partValues)),
+          p.length).map { row =>
+          val out = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(width)
+          var i = 0
+          while (i < width - 2) { out.update(i, row.get(i, outTypes(i))); i += 1 }
+          out.update(width - 2,
+            org.apache.spark.unsafe.types.UTF8String.fromString("insert"))
+          out.update(width - 1, p.version)
+          out
+        }
+      else
+        cdfFn(p.path, InternalRow.empty, p.length).map { row =>
+          val out = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(width)
+          var i = 0
+          while (i < width - 1) { out.update(i, row.get(i, outTypes(i))); i += 1 }
+          out.update(width - 1, p.version)
+          out
+        }
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (it.hasNext) { row = it.next(); true } else false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private final class TxReaderFactory(fn: ParquetReadBridge.FileReadFn)

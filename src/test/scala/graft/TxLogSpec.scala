@@ -1202,6 +1202,44 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("CDF stream: follows merge/delete through change files, resumes " +
+      "cold at the checkpoint, refuses a non-CDC rewrite loudly") {
+    import spark.implicits._
+    val base = freshRoot("cdf-stream")
+    val root = s"$base/table"; val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    TxLog.appendBatchTx(Seq(("a", 1L, 10.0), ("a", 2L, 20.0),
+      ("b", 3L, 30.0)).toDF("part", "id", "x"), root, "part", "cdf-b1")
+    // keyed delete WITH change files
+    TxLog.deleteWhereTx(spark, root, col("id") === 2L, changeFeed = true)
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    // cold restart drains ONLY the new append window
+    TxLog.appendBatchTx(Seq(("b", 4L, 40.0)).toDF("part", "id", "x"),
+      root, "part", "cdf-b2")
+    drain()
+    val got = spark.read.parquet(out)
+      .select("_change_type", "id", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(("insert", 1L, 1L), ("insert", 2L, 1L),
+      ("insert", 3L, 1L), ("delete", 2L, 2L), ("insert", 4L, 3L)))
+    // a rewrite WITHOUT change files poisons the next window — loudly
+    TxLog.deleteWhereTx(spark, root, col("id") === 3L) // no changeFeed
+    val err = intercept[Exception] { drain() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        msgs(e.getCause))
+    assert(msgs(err).exists(_.contains("no row-level change record")),
+      s"unexpected error: $err")
+  }
+
   test("multi-column partitions: the streaming source follows a " +
       "(date, channel)-partitioned commit log") {
     val base = freshRoot("mc-stream")
