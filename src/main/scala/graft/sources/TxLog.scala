@@ -100,6 +100,19 @@ object TxLog {
         s"[${partitions.mkString(", ")}] this transaction also writes — " +
         "re-derive from the new snapshot and retry")
 
+  /** Raised when a writer-seq commit arrives BEHIND the ledger: the
+    * writer's batch `seq` is older than the latest this table already
+    * applied from it — an out-of-order or long-expired replay that must
+    * refuse loudly rather than double-apply (the current seq replays
+    * idempotently; anything older is unprovable). */
+  final class StaleWriterSeqException(
+      val writerId: String, val seq: Long, val latestSeq: Long)
+    extends RuntimeException(
+      s"writer [$writerId] batch seq $seq is behind the table's ledger " +
+        s"(latest applied: $latestSeq) — an out-of-window replay cannot " +
+        "be safely applied or safely skipped; reconcile the writer's " +
+        "sequence before retrying")
+
   /** relFile → column → (min, max) in [[TxStats]]' string encoding. */
   type FileStats = Map[String, Map[String, (String, String)]]
 
@@ -125,7 +138,11 @@ object TxLog {
                           // changeFeed=true): row-level pre/post images +
                           // deletes, NEVER part of the table's live file
                           // set — [[readChangeFeed]] reads them per window
-                          changes: Seq[String] = Seq.empty) {
+                          changes: Seq[String] = Seq.empty,
+                          // structured idempotence identity (writerId, seq)
+                          // — the BOUNDED replay ledger (Delta's txn
+                          // appId/version shape); see [[appendBatchSeqTx]]
+                          writerSeq: Option[(String, Long)] = None) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -207,6 +224,10 @@ object TxLog {
                                stats: FileStats = Map.empty,
                                rows: FileRows = Map.empty,
                                partSchema: Option[String] = None,
+                               // BOUNDED replay ledger: latest (seq,
+                               // version) per writerId — O(writers),
+                               // however many batches ever committed
+                               writers: Map[String, (Long, Long)] = Map.empty,
                                // v2 (parquet payload) checkpoints: the
                                // file-level state lives in a parquet dir
                                // under _txlog, NEVER driver-materialized;
@@ -271,8 +292,37 @@ object TxLog {
     }.toSeq)
   }
 
-  private def listCommits(spark: SparkSession, root: String): Seq[Commit] =
-    readLog(spark, root)._2
+  /** Commit files in (lo, hi] REGARDLESS of the checkpoint floor, when
+    * the full contiguous range is still on disk — the availability
+    * fallback behind [[snapshotAt]]/[[readTableAt]]/[[readChangesSince]]:
+    * a checkpoint (auto or manual) moves the fold floor but deletes
+    * nothing, so readers below the floor stay servable until
+    * [[expireLog]] actually reclaims the deltas. None once any commit in
+    * the range is gone (expired — refuse loudly at the caller, exactly
+    * the prior contract). */
+  private def commitsRange(spark: SparkSession, root: String,
+                           lo: Long, hi: Long): Option[Seq[Commit]] = {
+    if (hi <= lo) return Some(Seq.empty)
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) return None
+    try {
+      val files = fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n @ VersionRe(v)
+          if v.toLong > lo && v.toLong <= hi => (v.toLong, n) }
+        .sortBy(_._1)
+      require(files.length <= Warehouse.MaxDriverPartitions,
+        s"TxLog at $root: range ($lo, $hi] spans ${files.length} commits, " +
+          "above the driver-side metadata bound")
+      if (files.map(_._1).toSeq != ((lo + 1) to hi)) None
+      else Some(files.map { case (v, n) =>
+        parseCommit(v, readFile(fs, new Path(dir, n)))
+      }.toSeq)
+    } catch {
+      // a commit vanishing mid-read IS the expiry signal
+      case _: java.io.FileNotFoundException => None
+    }
+  }
 
   private def parseCommit(version: Long, body: String): Commit = {
     val lines = body.split("\n").toSeq.filter(_.nonEmpty)
@@ -291,11 +341,16 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     // `c\t<file>`: change-data files (row-level CDC images)
     val changes = lines.filter(_.startsWith("c\t")).map(_.split("\t")(1))
+    // `writer=<esc(id)>:<seq>`: structured idempotence identity
+    val writerSeq = fieldOpt("writer").filter(_ != "-").map { w =>
+      val i = w.lastIndexOf(':')
+      (unesc(w.substring(0, i)), w.substring(i + 1).toLong)
+    }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
-      removed, changes)
+      removed, changes, writerSeq)
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -331,11 +386,13 @@ object TxLog {
                            rows: FileRows,
                            partSchema: Option[String],
                            removed: Map[String, Seq[String]],
-                           changes: Seq[String]): String = {
+                           changes: Seq[String],
+                           writerSeq: Option[(String, Long)] = None): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
-      s"part=${partSchema.map(esc).getOrElse("-")}")
+      s"part=${partSchema.map(esc).getOrElse("-")}") ++
+      writerSeq.map { case (id, seq) => s"writer=${esc(id)}:$seq" }
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       // a partition with NO files (a "remove" op's target) still needs a
       // log row — the "-" sentinel keeps the value enumerable on parse
@@ -360,6 +417,10 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     val batchIds = lines.filter(_.startsWith("b\t"))
       .map(l => unesc(l.split("\t")(1))).toSet
+    // `w\t<id>\t<seq>\t<version>`: the bounded writer-seq replay ledger
+    val writers = lines.filter(_.startsWith("w\t")).map(_.split("\t"))
+      .map { case Array(_, id, seq, v) => unesc(id) -> (seq.toLong, v.toLong) }
+      .toMap
     def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
       .filter(_ != "-")
@@ -369,7 +430,7 @@ object TxLog {
       val partValues = lines.filter(_.startsWith("v\t"))
         .map(l => unesc(l.split("\t", -1)(1))).toSet
       Chk(version, Map.empty, batchIds, schema, Map.empty, Map.empty,
-        partSchema,
+        partSchema, writers,
         payload = Some(fieldOpt("payload").getOrElse(
           sys.error(s"checkpoint c$version: v2 without payload ref"))),
         partValues = partValues,
@@ -377,21 +438,28 @@ object TxLog {
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
-        parseRows(lines), partSchema)
+        parseRows(lines), partSchema, writers)
   }
+
+  private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
+    writers.toSeq.sortBy(_._1).map { case (id, (seq, v)) =>
+      s"w\t${esc(id)}\t$seq\t$v"
+    }
 
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
                         schema: Option[String],
                         stats: FileStats,
                         rows: FileRows,
-                        partSchema: Option[String]): String = {
+                        partSchema: Option[String],
+                        writers: Map[String, (Long, Long)]): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
+      renderWriters(writers) ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
@@ -399,11 +467,13 @@ object TxLog {
   private def renderChkV2(payload: String, partValues: Set[String],
                           batchIds: Set[String], schema: Option[String],
                           partSchema: Option[String], nfiles: Long,
-                          bytes: Long): String =
+                          bytes: Long,
+                          writers: Map[String, (Long, Long)]): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
+      renderWriters(writers) ++
       partValues.toSeq.sorted.map(v => s"v\t${esc(v)}"))
       .mkString("\n") + "\n"
 
@@ -567,10 +637,12 @@ object TxLog {
   /** Time travel: the table state AS OF `version` — committed data is
     * immutable and versions are a total order, so any retained version
     * reproduces exactly (the Delta `VERSION AS OF` read). Requires the
-    * version to still be enumerable: at or after the latest checkpoint
-    * (earlier deltas may be expired — fail loudly, never silently serve
-    * a later state). Run [[vacuum]]/[[expireLog]] on a retention
-    * schedule that matches how far back readers travel. */
+    * version to still be enumerable: at or after the latest checkpoint,
+    * OR with the full pre-checkpoint commit chain still on disk (a
+    * checkpoint moves the fold floor but deletes nothing — only
+    * [[expireLog]] reclaims deltas, after which this fails loudly, never
+    * silently serving a later state). Run [[vacuum]]/[[expireLog]] on a
+    * retention schedule that matches how far back readers travel. */
   def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
     val (chk, commits) = readLog(spark, root)
     // same dispatch error as snapshot(): a parquet-checkpointed table's
@@ -584,11 +656,12 @@ object TxLog {
         "time travel")
     }
     val floor = chk.map(_.version).getOrElse(0L)
-    require(version >= floor,
-      s"TxLog.snapshotAt: version $version predates the latest checkpoint " +
-        s"($floor) — its delta files may be expired; retain a longer log " +
-        "to time-travel that far")
-    val have = fold(chk, commits.filter(_.version <= version))
+    val have =
+      if (version >= floor) fold(chk, commits.filter(_.version <= version))
+      else fold(None, commitsRange(spark, root, 0L, version).getOrElse(
+        sys.error(s"TxLog.snapshotAt: version $version predates the " +
+          s"latest checkpoint ($floor) and its delta files are expired; " +
+          "retain a longer log to time-travel that far")))
     require(have.version == version,
       s"TxLog.snapshotAt: version $version was never committed at $root " +
         s"(log ends at ${have.version} for that prefix)")
@@ -694,11 +767,15 @@ object TxLog {
     * travels with the same payload scan plus a version-capped delta. */
   def readTableAt(spark: SparkSession, root: String, version: Long): DataFrame = {
     val floor = readLog(spark, root)._1.map(_.version).getOrElse(0L)
-    require(version >= floor,
-      s"TxLog.readTableAt: version $version predates the latest " +
-        s"checkpoint ($floor) — its delta files may be expired; retain a " +
-        "longer log to time-travel that far")
-    val state = stateOf(spark, root, cap = Some(version))
+    val state: Either[Snapshot, BigState] =
+      if (version >= floor) stateOf(spark, root, cap = Some(version))
+      else
+        // below the floor but before expiry: the full pre-checkpoint
+        // chain still folds (a checkpoint deletes nothing)
+        Left(fold(None, commitsRange(spark, root, 0L, version).getOrElse(
+          sys.error(s"TxLog.readTableAt: version $version predates the " +
+            s"latest checkpoint ($floor) and its delta files are " +
+            "expired; retain a longer log to time-travel that far"))))
     require(state.fold(_.version, _.version) == version,
       s"TxLog.readTableAt: version $version was never committed at $root")
     readState(spark, root, state, partSchemaOf(state, root, "readTableAt"))
@@ -781,12 +858,18 @@ object TxLog {
                        skipNonAppend: Boolean = false,
                        untilVersion: Option[Long] = None)
       : (Option[DataFrame], Long) = {
-    val (chk, commits0) = readLog(spark, root)
+    val (chk, commitsAfter) = readLog(spark, root)
     val floor = chk.map(_.version).getOrElse(0L)
-    require(sinceVersion >= floor || sinceVersion == 0L && floor == 0L,
-      s"TxLog.readChangesSince: version $sinceVersion predates the latest " +
-        s"checkpoint ($floor) — its delta commits may be expired; " +
-        "re-baseline from a full snapshot read")
+    // below the floor but before expiry the window still serves: a
+    // checkpoint (auto or manual) deletes nothing — only expireLog does
+    val commits0 =
+      if (sinceVersion >= floor || sinceVersion == 0L && floor == 0L)
+        commitsAfter
+      else commitsRange(spark, root, sinceVersion, floor)
+        .map(_ ++ commitsAfter).getOrElse(
+          sys.error(s"TxLog.readChangesSince: version $sinceVersion " +
+            s"predates the latest checkpoint ($floor) and its delta " +
+            "commits are expired; re-baseline from a full snapshot read"))
     // `untilVersion` caps the window for DETERMINISTIC REPLAY: a consumer
     // that crashed after delivering (since, vOld] must re-read the
     // byte-identical window under the identical tag even when NEW commits
@@ -869,12 +952,17 @@ object TxLog {
   def readChangeFeed(spark: SparkSession, root: String, sinceVersion: Long,
                      untilVersion: Option[Long] = None)
       : (Option[DataFrame], Long) = {
-    val (chk, commits0) = readLog(spark, root)
+    val (chk, commitsAfter) = readLog(spark, root)
     val floor = chk.map(_.version).getOrElse(0L)
-    require(sinceVersion >= floor || sinceVersion == 0L && floor == 0L,
-      s"TxLog.readChangeFeed: version $sinceVersion predates the latest " +
-        s"checkpoint ($floor) — its commits (and change files) may be " +
-        "expired; re-baseline from a full snapshot read")
+    val commits0 =
+      if (sinceVersion >= floor || sinceVersion == 0L && floor == 0L)
+        commitsAfter
+      else commitsRange(spark, root, sinceVersion, floor)
+        .map(_ ++ commitsAfter).getOrElse(
+          sys.error(s"TxLog.readChangeFeed: version $sinceVersion " +
+            s"predates the latest checkpoint ($floor) and its commits " +
+            "(and change files) are expired; re-baseline from a full " +
+            "snapshot read"))
     val commits = untilVersion match {
       case Some(u) =>
         require(u >= sinceVersion, s"TxLog.readChangeFeed: cap $u " +
@@ -954,12 +1042,16 @@ object TxLog {
                                        since: Long, until: Long,
                                        skipNonAppend: Boolean)
       : Seq[(String, String, Long)] = {
-    val (chk, commits0) = readLog(spark, root)
+    val (chk, commitsAfter) = readLog(spark, root)
     val floor = chk.map(_.version).getOrElse(0L)
-    require(since >= floor || since == 0L && floor == 0L,
-      s"TxLog.appendWindowFiles: version $since predates the latest " +
-        s"checkpoint ($floor) — restart the stream from a fresh " +
-        "checkpoint over a snapshot read")
+    val commits0 =
+      if (since >= floor || since == 0L && floor == 0L) commitsAfter
+      else commitsRange(spark, root, since, floor)
+        .map(_ ++ commitsAfter).getOrElse(
+          sys.error(s"TxLog.appendWindowFiles: version $since predates " +
+            s"the latest checkpoint ($floor) and its delta commits are " +
+            "expired — restart the stream from a fresh checkpoint over " +
+            "a snapshot read"))
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
     val nonAppend = window.filterNot(_.op == "append")
@@ -1009,12 +1101,16 @@ object TxLog {
   private[graft] def changeFeedWindowFiles(spark: SparkSession, root: String,
                                            since: Long, until: Long)
       : Seq[ChangePlanFile] = {
-    val (chk, commits0) = readLog(spark, root)
+    val (chk, commitsAfter) = readLog(spark, root)
     val floor = chk.map(_.version).getOrElse(0L)
-    require(since >= floor || since == 0L && floor == 0L,
-      s"TxLog CDF stream: version $since predates the latest checkpoint " +
-        s"($floor) — its commits (and change files) may be expired; " +
-        "restart the stream from a fresh checkpoint over a snapshot read")
+    val commits0 =
+      if (since >= floor || since == 0L && floor == 0L) commitsAfter
+      else commitsRange(spark, root, since, floor)
+        .map(_ ++ commitsAfter).getOrElse(
+          sys.error(s"TxLog CDF stream: version $since predates the " +
+            s"latest checkpoint ($floor) and its commits (and change " +
+            "files) are expired; restart the stream from a fresh " +
+            "checkpoint over a snapshot read"))
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
@@ -1118,11 +1214,15 @@ object TxLog {
     var drained = false
     while (!drained && cycles < maxCycles) {
       val (since, pendingIntent) = readCp()
-      // a stale checkpoint (behind the retention floor) either fails
-      // loudly in readChangesSince or, opted in, re-baselines: one full
-      // snapshot delivery tagged with the current version
+      // a stale checkpoint (behind the retention floor AND with its
+      // delta commits actually expired — a mere auto/manual checkpoint
+      // deletes nothing) either fails loudly in readChangesSince or,
+      // opted in, re-baselines: one full snapshot delivery tagged with
+      // the current version
       val floor = readLog(spark, root)._1.map(_.version).getOrElse(0L)
-      if (reBaseline && since < floor && !(since == 0L && floor == 0L)) {
+      val expired = since < floor && !(since == 0L && floor == 0L) &&
+        commitsRange(spark, root, since, floor).isEmpty
+      if (reBaseline && expired) {
         // full-refresh delivery; a pending intent (crashed mid-re-baseline,
         // or an incremental delivery whose window maintenance has since
         // expired) replays AT the intent version when still retained, so
@@ -1302,7 +1402,8 @@ object TxLog {
     * double-land its batch. Returns the committed (or replayed) version. */
   def commit(spark: SparkSession, root: String, staged: Staged, op: String,
              readVersion: Long, conflictCheck: Boolean = false,
-             batchId: Option[String] = None, maxAttempts: Int = 50): Long = {
+             batchId: Option[String] = None, maxAttempts: Int = 50,
+             writerSeq: Option[(String, Long)] = None): Long = {
     require(op == "overwrite" || op == "append" || op == "remove" ||
       op == "rewrite", s"unknown op $op")
     require(op == "rewrite" || staged.removed.isEmpty,
@@ -1327,6 +1428,26 @@ object TxLog {
         commits.find(_.batchId.contains(id)).foreach { prior =>
           discard(spark, root, staged)
           return prior.version
+        }
+      }
+      // writer-seq replay gate (the BOUNDED ledger): the table records
+      // only each writer's LATEST (seq, version) — seq == latest is the
+      // idempotent retry (return the original version), seq < latest is
+      // an out-of-window replay (refuse loudly: double-applying and
+      // silently skipping are both wrong), seq > latest proceeds
+      writerSeq.foreach { case (id, seq) =>
+        val ledger = chk.map(_.writers).getOrElse(Map.empty) ++
+          commits.flatMap(c => c.writerSeq.map { case (w, s) =>
+            w -> (s, c.version) }).toMap
+        ledger.get(id).foreach { case (latest, ver) =>
+          if (seq == latest) {
+            discard(spark, root, staged)
+            return ver
+          }
+          if (seq < latest) {
+            discard(spark, root, staged)
+            throw new StaleWriterSeqException(id, seq, latest)
+          }
         }
       }
       if (conflictCheck) {
@@ -1409,8 +1530,22 @@ object TxLog {
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
             staged.schema, staged.stats, staged.rows, staged.partSchema,
-            staged.removed, staged.changes)))
+            staged.removed, staged.changes, writerSeq))) {
+        // AUTO-CHECKPOINT CADENCE: long commit chains between manual
+        // checkpoints inflate every readLog re-list and fold — fold one
+        // in from commit() every N versions (the Delta default cadence).
+        // Purely additive maintenance: derived from committed state,
+        // racing checkpointers converge via putIfAbsent, and a failure
+        // here must never fail the ALREADY-COMMITTED write.
+        val every = autoCheckpointEvery(spark)
+        if (every > 0 && next % every == 0)
+          try { checkpoint(spark, root): Unit }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"TxLog: auto-checkpoint at v$next of " +
+              s"$root failed (commit itself is durable): $e")
+          }
         return next
+      }
       // lost the version race — loop re-reads the log (and re-checks
       // conflicts/batch replay against the commits that beat us)
     }
@@ -1451,6 +1586,27 @@ object TxLog {
     val spark = df.sparkSession
     commit(spark, root, stage(df, root, partCols, Nil, 0), "append",
       readVersion = 0L, batchId = Some(batchId))
+  }
+
+  /** Idempotent append under a STRUCTURED (writerId, seq) identity — the
+    * Delta `txn` (appId/version) shape, and the BOUNDED replacement for
+    * string batch ids: the table's replay ledger keeps only each
+    * writer's LATEST (seq, version), O(writers) however many batches
+    * ever committed (a string-id ledger grows O(total batches) — the v2
+    * checkpoint's one unbounded row class). Semantics: a retry of the
+    * writer's CURRENT seq replays idempotently (returns the original
+    * version); a seq BEHIND the ledger raises
+    * [[StaleWriterSeqException]] loudly — with only the latest seq
+    * retained, an ancient replay can neither be proven already-applied
+    * nor safely applied, so it must surface (the batch-id ledger would
+    * have silently double-applied once expired); a seq ahead commits.
+    * Writers must assign seqs monotonically per writerId (epoch, file
+    * offset, window end — anything totally ordered). */
+  def appendBatchSeqTx(df: DataFrame, root: String, partCol: String,
+                       writerId: String, seq: Long): Long = {
+    val spark = df.sparkSession
+    commit(spark, root, stage(df, root, partCol), "append",
+      readVersion = 0L, writerSeq = Some((writerId, seq)))
   }
 
   /** Transactional partition removal — the metadata-only DROP PARTITION
@@ -1936,21 +2092,27 @@ object TxLog {
     if (version == 0L) return 0L
     val batchIds = chk.map(_.batchIds).getOrElse(Set.empty) ++
       commits.flatMap(_.batchId)
+    // the writer-seq ledger folds to each writer's latest entry —
+    // O(writers) forever, however many batches the table has applied
+    val writers = chk.map(_.writers).getOrElse(Map.empty) ++
+      commits.flatMap(c => c.writerSeq.map { case (w, s) =>
+        w -> (s, c.version) }).toMap
     chk match {
       case Some(c) if c.payload.isDefined =>
         // parquet-checkpointed already: fold the delta INTO a new payload
         // with one Spark job (filter dead payload rows, union delta
         // entries) — the driver never holds the file list
         if (commits.nonEmpty)
-          writeChkV2FromBig(spark, root, foldBig(c, commits), batchIds)
+          writeChkV2FromBig(spark, root, foldBig(c, commits), batchIds,
+            writers)
       case _ =>
         val snap = fold(chk, commits)
         val nf = snap.parts.valuesIterator.map(_.size).sum
         if (nf < chkParquetMin(spark))
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
-              snap.rows, snap.partSchema)): Unit
-        else writeChkV2FromSnap(spark, root, snap, batchIds)
+              snap.rows, snap.partSchema, writers)): Unit
+        else writeChkV2FromSnap(spark, root, snap, batchIds, writers)
     }
     version
   }
@@ -1963,6 +2125,14 @@ object TxLog {
   private def chkParquetMin(spark: SparkSession): Int =
     spark.conf.getOption("graft.txlog.chkParquetMin").map(_.toInt)
       .getOrElse(DefaultChkParquetMin)
+
+  /** Commit cadence at which [[commit]] folds in a checkpoint
+    * automatically (0 disables — manual [[checkpoint]] only). Override
+    * per session with `graft.txlog.autoCheckpointEvery`. */
+  val DefaultAutoCheckpointEvery = 10
+  private def autoCheckpointEvery(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.autoCheckpointEvery").map(_.toInt)
+      .getOrElse(DefaultAutoCheckpointEvery)
 
   private val PayloadSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("part", StringType, false),
@@ -2067,7 +2237,8 @@ object TxLog {
 
   private def writeChkV2FromSnap(spark: SparkSession, root: String,
                                  snap: Snapshot,
-                                 batchIds: Set[String]): Unit = {
+                                 batchIds: Set[String],
+                                 writers: Map[String, (Long, Long)]): Unit = {
     val meta = statusByRel(spark, root, snap.parts.values.flatten.toSeq)
     val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta,
       nPartsOf(snap.partSchema))
@@ -2078,7 +2249,7 @@ object TxLog {
     val bytes = rows.iterator.map(_.getLong(2)).sum
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
       renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
-        snap.partSchema, rows.size.toLong, bytes))
+        snap.partSchema, rows.size.toLong, bytes, writers))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -2094,7 +2265,8 @@ object TxLog {
 
   private def writeChkV2FromBig(spark: SparkSession, root: String,
                                 big: BigState,
-                                batchIds: Set[String]): Unit = {
+                                batchIds: Set[String],
+                                writers: Map[String, (Long, Long)]): Unit = {
     val nP = nPartsOf(big.partSchema)
     val deltaMeta = statusByRel(spark, root,
       big.deltaParts.values.flatten.toSeq)
@@ -2122,7 +2294,7 @@ object TxLog {
       .map(_.getString(0)).toSet
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
-        agg.getLong(0), agg.getLong(1)))
+        agg.getLong(0), agg.getLong(1), writers))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -2177,10 +2349,22 @@ object TxLog {
     * emptied staging dirs are removed too but not counted). */
   def vacuum(spark: SparkSession, root: String,
              minAgeMs: Long = 3600000L): Int = {
-    // change-data files are live while their commit is retained — the
-    // change feed's horizon is exactly the log's (expired commits'
-    // change files become reclaimable garbage, like their batch ids)
-    val changeFiles = listCommits(spark, root).flatMap(_.changes).toSet
+    // change-data files are live while their commit file is ON DISK —
+    // a checkpoint (auto or manual) moves the fold floor but expires
+    // nothing, and readChangeFeed serves any still-present window, so
+    // protection must span every commit expireLog has not yet reclaimed
+    // (expired commits' change files become reclaimable garbage, like
+    // their batch ids)
+    val changeFiles = {
+      val dir = logDir(root)
+      val fs = fsOf(spark, dir)
+      if (!fs.exists(dir)) Set.empty[String]
+      else fs.listStatus(dir).map(_.getPath.getName).collect {
+        case n @ VersionRe(v) =>
+          try parseCommit(v.toLong, readFile(fs, new Path(dir, n))).changes
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+      }.flatten.toSet
+    }
     stateOf(spark, root) match {
       case Left(snap) =>
         vacuumDriver(spark, root,

@@ -479,7 +479,7 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.checkpoint(spark, root)
     TxLog.expireLog(spark, root)
     // pre-checkpoint versions are no longer enumerable — loud, not wrong
-    intercept[IllegalArgumentException] { TxLog.snapshotAt(spark, root, 1) }
+    intercept[RuntimeException] { TxLog.snapshotAt(spark, root, 1) }
     assert(sumAt(3) === 17L) // the checkpointed version itself still serves
   }
 
@@ -789,7 +789,7 @@ class TxLogSpec extends SparkSpecBase {
     TxLog.appendBatchTx(kv("b" -> 100), src, "part", "rb3")
     TxLog.checkpoint(spark, src)
     TxLog.expireLog(spark, src)
-    intercept[IllegalArgumentException] { pump(rebase = false) }
+    intercept[RuntimeException] { pump(rebase = false) }
     assert(pump(rebase = true) === 1)
     // the re-baseline window is the FULL snapshot (111), tagged current
     assert(seen.last === ((3L, 111L)),
@@ -973,7 +973,7 @@ class TxLogSpec extends SparkSpecBase {
     // after checkpoint + expiry the feed's horizon moves with the log
     TxLog.checkpoint(spark, root)
     TxLog.expireLog(spark, root)
-    intercept[IllegalArgumentException] { TxLog.readChangeFeed(spark, root, 0L) }
+    intercept[RuntimeException] { TxLog.readChangeFeed(spark, root, 0L) }
     assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0,
       "expired commits' change files must become reclaimable")
   }
@@ -1200,6 +1200,110 @@ class TxLogSpec extends SparkSpecBase {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("writer-seq ledger: bounded at O(writers) under many batches; " +
+      "current-seq replay is idempotent; an out-of-window replay refuses " +
+      "loudly instead of double-applying") {
+    import spark.implicits._
+    val root = freshRoot("wseq")
+    def batch(n: Long) = Seq(("a", n)).toDF("part", "n")
+    // 30 batches from writer-1, 3 from writer-2, checkpoint+expire every
+    // 10 — the ledger must stay at TWO rows, not 33
+    var lastV1 = 0L
+    (1L to 30L).foreach { i =>
+      lastV1 = TxLog.appendBatchSeqTx(batch(i), root, "part", "writer-1", i)
+      if (i % 10 == 0) {
+        TxLog.checkpoint(spark, root); TxLog.expireLog(spark, root)
+      }
+    }
+    (1L to 3L).foreach { i =>
+      TxLog.appendBatchSeqTx(batch(100 + i), root, "part", "writer-2", i)
+    }
+    TxLog.checkpoint(spark, root); TxLog.expireLog(spark, root)
+    // the checkpoint's ledger rows: exactly one per writer
+    val dir = new org.apache.hadoop.fs.Path(root, "_txlog")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chkName = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".chk")).sorted.last
+    val chkBody = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, chkName))
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val wRows = chkBody.split("\n").count(_.startsWith("w\t"))
+    assert(wRows === 2, s"ledger rows: expected 2 (one per writer), got " +
+      s"$wRows in\n$chkBody")
+    val total = TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+    // in-window (current-seq) replay: idempotent, returns the ORIGINAL
+    // version, applies nothing — even across the checkpoint+expire seam
+    val vReplay = TxLog.appendBatchSeqTx(batch(30), root, "part",
+      "writer-1", 30L)
+    assert(vReplay === lastV1)
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === total)
+    // out-of-window replay (seq behind the ledger): refuses LOUDLY
+    val e = intercept[TxLog.StaleWriterSeqException] {
+      TxLog.appendBatchSeqTx(batch(7), root, "part", "writer-1", 7L)
+    }
+    assert(e.writerId === "writer-1" && e.seq === 7L && e.latestSeq === 30L)
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === total)
+    // the refused replay's staged files were discarded
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) === 0)
+    // a NEW seq still commits
+    TxLog.appendBatchSeqTx(batch(31), root, "part", "writer-1", 31L)
+    assert(TxLog.readTable(spark, root).agg(sum("n")).head.getLong(0)
+      === total + 31L)
+  }
+
+  test("auto-checkpoint cadence: a 50-commit chain never folds more than " +
+      "N commits; sub-floor time travel and lagging consumers stay " +
+      "servable until expireLog actually reclaims deltas") {
+    import spark.implicits._
+    val root = freshRoot("autochk")
+    (1L to 50L).foreach { i =>
+      TxLog.appendBatchTx(Seq(("a", i)).toDF("part", "n"), root, "part",
+        s"ac-b$i")
+    }
+    val dir = new org.apache.hadoop.fs.Path(root, "_txlog")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val floor = names.filter(_.endsWith(".chk"))
+      .map(_.stripPrefix("c").stripSuffix(".chk").toLong).maxOption
+      .getOrElse(0L)
+    assert(floor === 50L, s"expected auto-checkpoint at v50, floor=$floor")
+    val pastFloor = names.count { n =>
+      n.endsWith(".txn") && n.stripPrefix("v").stripSuffix(".txn").toLong > floor
+    }
+    assert(pastFloor <= TxLog.DefaultAutoCheckpointEvery,
+      s"$pastFloor commits past the floor — the fold is unbounded")
+    // sub-floor reads: a checkpoint deletes nothing, so v5 still folds,
+    // and a consumer checkpointed at v3 still reads incrementally
+    assert(TxLog.snapshotAt(spark, root, 5L).version === 5L)
+    assert(TxLog.readTableAt(spark, root, 5L)
+      .agg(sum("n")).head.getLong(0) === 15L)
+    val (df3, v3) = TxLog.readChangesSince(spark, root, 3L, "part")
+    assert(v3 === 50L)
+    assert(df3.get.agg(sum("n")).head.getLong(0) === (4L to 50L).sum)
+    // once expireLog RECLAIMS the deltas, sub-floor reads refuse loudly
+    TxLog.expireLog(spark, root)
+    val e = intercept[Exception] { TxLog.snapshotAt(spark, root, 5L) }
+    assert(e.getMessage.contains("expired"))
+    // racing committers around checkpoint boundaries: auto-checkpointers
+    // converge via putIfAbsent, the table stays consistent
+    val root2 = freshRoot("autochk-race")
+    TxLog.overwritePartitionsTx(Seq(("seed", 0L)).toDF("part", "n"),
+      root2, "part")
+    val threads = (1 to 2).map { t =>
+      new Thread(() => (1L to 15L).foreach { i =>
+        TxLog.appendBatchTx(Seq((s"p$t", i)).toDF("part", "n"), root2,
+          "part", s"race-$t-$i")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxLog.readTable(spark, root2).count() === 31L)
+    assert(TxLog.readTable(spark, root2).agg(sum("n")).head.getLong(0)
+      === 2L * (1L to 15L).sum)
   }
 
   test("CDF stream: follows merge/delete through change files, resumes " +
