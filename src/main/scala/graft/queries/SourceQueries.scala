@@ -2567,10 +2567,7 @@ object SourceQueries {
       // directly collectible); no rows reach the driver
       val probe = TxLog.read(s, root, "o_orderpriority")
         .filter(col("o_orderkey") > thr).select("o_orderpriority")
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      val read = probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      val read = graft.tools.PlanCheck.filesRead(probe)
       require(read * 2 <= totalFiles,
         s"q218: data skipping left $read of $totalFiles files in the scan")
       TxLog.read(s, root, "o_orderpriority")
@@ -2621,10 +2618,7 @@ object SourceQueries {
       val probe = TxLog.read(s, root, "event_type")
         .filter(col("event_id") > lo && col("event_id") <= hi)
         .select("event_type")
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      val read = probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      val read = graft.tools.PlanCheck.filesRead(probe)
       require(read * 2 <= totalFiles,
         s"q219: id-range read scanned $read of $totalFiles clustered files")
       TxLog.read(s, root, "event_type")
@@ -2815,10 +2809,7 @@ object SourceQueries {
       val topName = cust.agg(max("c_name")).head.getString(0)
       val probe = TxLog.read(s, root, "c_mktsegment")
         .filter(col("c_name") === topName).select("c_mktsegment")
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      val read = probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      val read = graft.tools.PlanCheck.filesRead(probe)
       require(read * 2 <= totalFiles,
         s"q223: string skipping left $read of $totalFiles files in the scan")
       TxLog.read(s, root, "c_mktsegment")
@@ -2996,10 +2987,7 @@ object SourceQueries {
       }.get.asInstanceOf[TxBigFileIndex]
       val totalFiles = idx.survivorParts(Seq.empty, Seq.empty)
         .valuesIterator.map(_.size).sum
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      val read = probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      val read = graft.tools.PlanCheck.filesRead(probe)
       require(read * 2 <= totalFiles,
         s"q226: payload-side skipping left $read of $totalFiles files")
       TxLog.read(s, root, "event_type")
@@ -3040,18 +3028,21 @@ object SourceQueries {
         TxLog.appendBatchTx(ev.filter(pmod(col("event_id"), lit(3)) === i),
           root, "event_type", s"q227-b$i")
       }
+      // 64 target files ≈ 13 z-contiguous files per event_type: ~3.7 bits
+      // of z-resolution, so BOTH keys keep ≥2 effective prefix bits. The
+      // r16 gate de-vacuuming (PlanCheck.filesRead) exposed that 24 files
+      // (~6 per partition) left the FIRST key under one bit of resolution
+      // — an eighth-slice read 17/28 files. File count is fixed, not
+      // corpus-proportional, so the resolution holds at any scale.
       TxLog.compactZorderTx(s, root, "event_type",
-        Seq("event_id", "user_id"), files = 24)
+        Seq("event_id", "user_id"), files = 64)
       val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
       require(totalFiles >= 12,
         s"q227: z-rewrite produced only $totalFiles files")
       def filesFor(cond: org.apache.spark.sql.Column): Long = {
         val probe = TxLog.read(s, root, "event_type").filter(cond)
           .select("event_type")
-        probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-        probe.queryExecution.executedPlan.collect {
-          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-        }.head.metrics("numFiles").value
+        graft.tools.PlanCheck.filesRead(probe)
       }
       val maxUser = ev.agg(max("user_id")).head.getLong(0)
       val maxId = ev.agg(max("event_id")).head.getLong(0)
@@ -3166,6 +3157,83 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("event_id")).as("n_ids"),
           dsum(col("value")).as("total_value"))
+    },
+
+    // ---- q231: COLUMN RENAME via COLUMN MAPPING (the Delta
+    // column-mapping shape): RENAME COLUMN is a metadata-only commit —
+    // data files keep their physical column names forever, old + new
+    // files read under ONE scan, per-file stats skipping keeps pruning
+    // on the RENAMED name (the filter pushes back through the mapping
+    // projection into physical attributes), and time travel to a
+    // pre-rename version reads under the OLD name. Zero files rewritten.
+    // Customers land in four custkey-range batches (per-file key
+    // stats), c_custkey renames to cust_id, a fifth batch writes
+    // THROUGH the new name, and a top-eighth range probe on cust_id
+    // must read at most half the files across the rename seam.
+    QueryDef.sql("q231_tx_rename_column",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |extra AS (SELECT c_custkey + m + 1000 AS cust_id, c_name,
+         |                 c_acctbal, c_mktsegment
+         |          FROM customer, mx WHERE c_custkey < 20),
+         |allr AS (SELECT c_custkey AS cust_id, c_name, c_acctbal,
+         |                c_mktsegment FROM customer
+         |         UNION ALL SELECT * FROM extra)
+         |SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  MAX(cust_id) AS max_id,
+         |  CAST(1 AS BIGINT) AS rename_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q231_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q231-b$i")
+        lo = hi
+      }
+      val vPre = 4L
+      // METADATA-ONLY rename: no file is rewritten
+      val filesBefore = TxLog.snapshot(s, root).parts.values.flatten.toSet
+      TxLog.renameColumnTx(s, root, "c_custkey", "cust_id")
+      require(TxLog.snapshot(s, root).parts.values.flatten.toSet
+        == filesBefore, "q231: rename must not touch a single data file")
+      // a post-rename batch writes THROUGH the logical name (same
+      // physical column underneath)
+      TxLog.appendBatchTx(
+        cust.filter(col("c_custkey") < 20)
+          .withColumnRenamed("c_custkey", "cust_id")
+          .withColumn("cust_id", col("cust_id") + maxKey + 1000),
+        root, "c_mktsegment", "q231-b5")
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      // stats skipping on the RENAMED name across old+new files: the
+      // top-eighth in-range probe covers only the 4th batch's files
+      val probe = TxLog.readTable(s, root)
+        .filter(col("cust_id") > maxKey * 7 / 8 && col("cust_id") <= maxKey)
+        .select("c_mktsegment")
+      val read = graft.tools.PlanCheck.filesRead(probe)
+      require(read * 2 <= totalFiles,
+        s"q231: renamed-column skipping left $read of $totalFiles files")
+      // time travel to PRE-RENAME: the old name, the old rows
+      val tt = TxLog.readTableAt(s, root, vPre)
+      require(tt.columns.contains("c_custkey") &&
+        !tt.columns.contains("cust_id"),
+        s"q231: pre-rename time travel must read under the OLD name, " +
+          s"got ${tt.columns.mkString(",")}")
+      TxLog.readTable(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"),
+          max(col("cust_id")).as("max_id"))
+        .withColumn("rename_ok",
+          lit(if (read * 2 <= totalFiles) 1L else 0L))
     },
 
     // ---- q232: CDF STREAMING SOURCE (the Delta readChangeFeed stream):
@@ -3306,10 +3374,7 @@ object SourceQueries {
       def filesFor(cond: org.apache.spark.sql.Column): Long = {
         val probe = TxLog.readTable(s, root).filter(cond)
           .select("o_orderkey")
-        probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-        probe.queryExecution.executedPlan.collect {
-          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-        }.head.metrics("numFiles").value
+        graft.tools.PlanCheck.filesRead(probe)
       }
       val maxYear = orders.agg(max("o_year")).head.getInt(0)
       val readY = filesFor(col("o_year") === maxYear)

@@ -142,7 +142,12 @@ object TxLog {
                           // structured idempotence identity (writerId, seq)
                           // — the BOUNDED replay ledger (Delta's txn
                           // appId/version shape); see [[appendBatchSeqTx]]
-                          writerSeq: Option[(String, Long)] = None) {
+                          writerSeq: Option[(String, Long)] = None,
+                          // COLUMN MAPPING snapshot (op "meta" only): the
+                          // full physical→logical map after this commit;
+                          // "-" tombstones a dropped physical column.
+                          // None = no mapping change in this commit.
+                          mapping: Option[Map[String, String]] = None) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -158,7 +163,10 @@ object TxLog {
                             schema: Option[String] = None,
                             stats: FileStats = Map.empty,
                             rows: FileRows = Map.empty,
-                            partSchema: Option[String] = None)
+                            partSchema: Option[String] = None,
+                            // physical→logical column mapping as of this
+                            // version (empty = identity); "-" = dropped
+                            mapping: Map[String, String] = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -170,7 +178,9 @@ object TxLog {
                           rows: FileRows = Map.empty,
                           partSchema: Option[String] = None,
                           removed: Map[String, Seq[String]] = Map.empty,
-                          changes: Seq[String] = Seq.empty) {
+                          changes: Seq[String] = Seq.empty,
+                          // op "meta" only: the full mapping snapshot
+                          mapping: Option[Map[String, String]] = None) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -228,6 +238,8 @@ object TxLog {
                                // version) per writerId — O(writers),
                                // however many batches ever committed
                                writers: Map[String, (Long, Long)] = Map.empty,
+                               // physical→logical column mapping
+                               mapping: Map[String, String] = Map.empty,
                                // v2 (parquet payload) checkpoints: the
                                // file-level state lives in a parquet dir
                                // under _txlog, NEVER driver-materialized;
@@ -346,11 +358,19 @@ object TxLog {
       val i = w.lastIndexOf(':')
       (unesc(w.substring(0, i)), w.substring(i + 1).toLong)
     }
+    // `m\t<physical>\t<logical-or-->`: full column-mapping snapshot (op
+    // "meta" carries these lines even when the map is emptied)
+    val mappingRows = lines.filter(_.startsWith("m\t")).map(_.split("\t", -1))
+      .map { case Array(_, p, l) => unesc(p) -> unesc(l) }.toMap
+    val mapping =
+      if (field("op") == "meta") Some(mappingRows)
+      else if (mappingRows.nonEmpty) Some(mappingRows)
+      else None
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
-      removed, changes, writerSeq)
+      removed, changes, writerSeq, mapping)
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -387,12 +407,16 @@ object TxLog {
                            partSchema: Option[String],
                            removed: Map[String, Seq[String]],
                            changes: Seq[String],
-                           writerSeq: Option[(String, Long)] = None): String = {
+                           writerSeq: Option[(String, Long)] = None,
+                           mapping: Option[Map[String, String]] = None): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
       writerSeq.map { case (id, seq) => s"writer=${esc(id)}:$seq" }
+    val mappingRows = mapping.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
+      case (p, l) => s"m\t${esc(p)}\t${esc(l)}"
+    })
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       // a partition with NO files (a "remove" op's target) still needs a
       // log row — the "-" sentinel keeps the value enumerable on parse
@@ -403,8 +427,8 @@ object TxLog {
       fs.sorted.map(f => s"r\t${esc(v)}\t$f")
     }
     val changeRows = changes.sorted.map(f => s"c\t$f")
-    (header ++ partRows ++ removedRows ++ changeRows ++ renderStats(stats) ++
-      renderRows(rows)).mkString("\n") + "\n"
+    (header ++ mappingRows ++ partRows ++ removedRows ++ changeRows ++
+      renderStats(stats) ++ renderRows(rows)).mkString("\n") + "\n"
   }
 
   private def parseChk(version: Long, body: String): Chk = {
@@ -421,6 +445,9 @@ object TxLog {
     val writers = lines.filter(_.startsWith("w\t")).map(_.split("\t"))
       .map { case Array(_, id, seq, v) => unesc(id) -> (seq.toLong, v.toLong) }
       .toMap
+    // `m\t<physical>\t<logical-or-->`: column mapping as of the checkpoint
+    val mapping = lines.filter(_.startsWith("m\t")).map(_.split("\t", -1))
+      .map { case Array(_, p, l) => unesc(p) -> unesc(l) }.toMap
     def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
       .filter(_ != "-")
@@ -430,7 +457,7 @@ object TxLog {
       val partValues = lines.filter(_.startsWith("v\t"))
         .map(l => unesc(l.split("\t", -1)(1))).toSet
       Chk(version, Map.empty, batchIds, schema, Map.empty, Map.empty,
-        partSchema, writers,
+        partSchema, writers, mapping,
         payload = Some(fieldOpt("payload").getOrElse(
           sys.error(s"checkpoint c$version: v2 without payload ref"))),
         partValues = partValues,
@@ -438,12 +465,17 @@ object TxLog {
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
-        parseRows(lines), partSchema, writers)
+        parseRows(lines), partSchema, writers, mapping)
   }
 
   private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
     writers.toSeq.sortBy(_._1).map { case (id, (seq, v)) =>
       s"w\t${esc(id)}\t$seq\t$v"
+    }
+
+  private def renderMapping(mapping: Map[String, String]): Seq[String] =
+    mapping.toSeq.sortBy(_._1).map { case (p, l) =>
+      s"m\t${esc(p)}\t${esc(l)}"
     }
 
   private def renderChk(parts: Map[String, Seq[String]],
@@ -452,14 +484,15 @@ object TxLog {
                         stats: FileStats,
                         rows: FileRows,
                         partSchema: Option[String],
-                        writers: Map[String, (Long, Long)]): String = {
+                        writers: Map[String, (Long, Long)],
+                        mapping: Map[String, String]): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
-      renderWriters(writers) ++
+      renderWriters(writers) ++ renderMapping(mapping) ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
@@ -468,12 +501,13 @@ object TxLog {
                           batchIds: Set[String], schema: Option[String],
                           partSchema: Option[String], nfiles: Long,
                           bytes: Long,
-                          writers: Map[String, (Long, Long)]): String =
+                          writers: Map[String, (Long, Long)],
+                          mapping: Map[String, String]): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
-      renderWriters(writers) ++
+      renderWriters(writers) ++ renderMapping(mapping) ++
       partValues.toSeq.sorted.map(v => s"v\t${esc(v)}"))
       .mkString("\n") + "\n"
 
@@ -529,6 +563,7 @@ object TxLog {
               c.parts.getOrElse(v, Seq.empty)
             if (next.isEmpty) a - v else a.updated(v, next)
           }
+        case "meta" => acc // metadata-only (column mapping): no file change
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -546,7 +581,9 @@ object TxLog {
       (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema)).lastOption,
       stats, rows,
       (chk.flatMap(_.partSchema).toSeq ++
-        commits.flatMap(_.partSchema)).lastOption)
+        commits.flatMap(_.partSchema)).lastOption,
+      commits.flatMap(_.mapping).lastOption
+        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)))
   }
 
   /** Resolved state of a PARQUET-CHECKPOINTED table: the file-level
@@ -563,7 +600,9 @@ object TxLog {
       deltaParts: Map[String, Seq[String]],
       deltaStats: FileStats, deltaRows: FileRows,
       schema: Option[String], partSchema: Option[String],
-      nfiles: Long, bytes: Long)
+      nfiles: Long, bytes: Long,
+      // physical→logical column mapping as of this version
+      mapping: Map[String, String] = Map.empty)
 
   /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
     * commits) driver work whatever the payload size. */
@@ -588,6 +627,7 @@ object TxLog {
             c.parts.getOrElse(v, Seq.empty)
           delta = if (next.isEmpty) delta - v else delta.updated(v, next)
         }
+        case "meta" => () // metadata-only (column mapping): no file change
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -601,7 +641,8 @@ object TxLog {
       commits.iterator.flatMap(_.rows).filter(kv => liveDelta(kv._1)).toMap,
       (chk.schema.toSeq ++ commits.flatMap(_.schema)).lastOption,
       (chk.partSchema.toSeq ++ commits.flatMap(_.partSchema)).lastOption,
-      chk.nfiles, chk.bytes)
+      chk.nfiles, chk.bytes,
+      commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping))
   }
 
   /** Internal dispatch: driver-resident [[Snapshot]] for inline-
@@ -702,9 +743,33 @@ object TxLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    applyMapping(org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation)),
+      snap.mapping, partSchema)
   }
+
+  /** COLUMN MAPPING at read time (the Delta column-mapping shape): the
+    * scan runs over PHYSICAL column names (what the files and the
+    * recorded stats carry); a renamed table wraps it in one projection
+    * aliasing physical→logical and dropping tombstoned columns. Filters
+    * on logical names push back THROUGH the projection into physical
+    * attributes (Catalyst predicate pushdown), so per-file stats
+    * skipping keeps pruning on renamed columns with zero file rewrites. */
+  private def applyMapping(df: DataFrame, mapping: Map[String, String],
+                           partSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val partNames = partSchema.map(_.name).toSet
+      val cols = df.schema.fields.toSeq.flatMap { f =>
+        if (partNames(f.name)) Some(col(f.name))
+        else mapping.get(f.name) match {
+          case Some("-") => None // dropped (tombstoned physical column)
+          case Some(l) => Some(col(f.name).as(l))
+          case None => Some(col(f.name))
+        }
+      }
+      df.select(cols: _*)
+    }
 
   /** One-scan read of a parquet-checkpointed table through
     * [[TxBigFileIndex]] — partition pruning and data skipping run as a
@@ -721,8 +786,9 @@ object TxLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    applyMapping(org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation)),
+      big.mapping, partSchema)
   }
 
   private def readState(spark: SparkSession, root: String,
@@ -889,7 +955,8 @@ object TxLog {
     val currentVersion = commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L)
     val window = commits.filter(_.version > sinceVersion)
-    val nonAppend = window.filterNot(_.op == "append")
+    // "meta" commits (column mapping) change no rows — never a refusal
+    val nonAppend = window.filterNot(c => c.op == "append" || c.op == "meta")
     if (nonAppend.nonEmpty && !skipNonAppend)
       sys.error("TxLog.readChangesSince: commits " +
         s"[${nonAppend.map(c => s"v${c.version}:${c.op}").mkString(", ")}] " +
@@ -925,8 +992,11 @@ object TxLog {
         commits.flatMap(_.partSchema)).lastOption
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(singleCol(partCol, partType))
+      val mapping = commits.flatMap(_.mapping).lastOption
+        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
       (Some(readSnapshot(spark, root,
-        Snapshot(currentVersion, deltaParts, schema, stats), ps)),
+        Snapshot(currentVersion, deltaParts, schema, stats,
+          partSchema = None, mapping = mapping), ps)),
         currentVersion)
     }
   }
@@ -979,6 +1049,14 @@ object TxLog {
     }
     val currentVersion = commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L)
+    // KNOWN CEILING: change files carry their WRITE-TIME column names, so
+    // a feed over a column-mapped table would mix pre/post-rename names —
+    // refuse loudly until the feed learns to re-map historical windows
+    require(commits.flatMap(_.mapping).lastOption
+        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)).isEmpty,
+      s"TxLog.readChangeFeed: the table at $root carries a column " +
+        "mapping (renamed/dropped columns) — the change feed does not " +
+        "yet re-map historical windows; re-baseline from a snapshot read")
     val window = commits.filter(_.version > sinceVersion)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
       (c.op == "rewrite" && c.changes.isEmpty))
@@ -1054,7 +1132,7 @@ object TxLog {
             "a snapshot read"))
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
-    val nonAppend = window.filterNot(_.op == "append")
+    val nonAppend = window.filterNot(c => c.op == "append" || c.op == "meta")
     if (nonAppend.nonEmpty && !skipNonAppend)
       sys.error("TxLog streaming source: commits " +
         s"[${nonAppend.map(c => s"v${c.version}:${c.op}").mkString(", ")}] " +
@@ -1111,6 +1189,11 @@ object TxLog {
             s"latest checkpoint ($floor) and its commits (and change " +
             "files) are expired; restart the stream from a fresh " +
             "checkpoint over a snapshot read"))
+    require(commits0.flatMap(_.mapping).lastOption
+        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)).isEmpty,
+      s"TxLog CDF stream: the table at $root carries a column mapping " +
+        "(renamed/dropped columns) — the change feed does not yet re-map " +
+        "historical windows; re-baseline the consumer")
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
@@ -1277,12 +1360,39 @@ object TxLog {
     * log key the composite [[renderPartKey]] form. Real warehouse tables
     * partition by (date, region)-style composites — one partition column
     * was the tx layer's last hard single-column assumption. */
+  /** The table's current physical→logical column mapping — a meta-only
+    * log read (no file-list fold on either representation). */
+  private def mappingOf(spark: SparkSession, root: String): Map[String, String] = {
+    val (chk, commits) = readLog(spark, root)
+    commits.flatMap(_.mapping).lastOption
+      .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
+  }
+
   def stage(df: DataFrame, root: String, partCols: Seq[String],
             clusterBy: Seq[Column], clusterFiles: Int): Staged = {
     require(partCols.nonEmpty, "TxLog.stage: at least one partition column")
     require(partCols.distinct.length == partCols.length,
       s"TxLog.stage: duplicate partition columns [${partCols.mkString(", ")}]")
     val spark = df.sparkSession
+    // writers speak LOGICAL names; files and the recorded schema carry
+    // PHYSICAL ones — translate through the current mapping (identity on
+    // unmapped tables). A column reusing a TOMBSTONED physical name is
+    // refused: its data would land under the dropped column and read as
+    // invisible.
+    val mapping0 = mappingOf(spark, root)
+    val tomb = mapping0.collect { case (p, "-") => p }.toSet
+    val reverse = mapping0.collect { case (p, l) if l != "-" => l -> p }
+    def toPhysical(d: DataFrame): DataFrame =
+      if (mapping0.isEmpty) d
+      else {
+        d.columns.foreach { c =>
+          require(!tomb(c), s"TxLog.stage: column [$c] reuses a DROPPED " +
+            "physical column's name — old files would resurrect under " +
+            "it; pick a different logical name")
+        }
+        d.select(d.columns.toSeq.map(c =>
+          col(c).as(reverse.getOrElse(c, c))): _*)
+      }
     val rel = s"data/txn-${java.util.UUID.randomUUID()}"
     val dir = new Path(root, rel)
     val shaped =
@@ -1299,7 +1409,10 @@ object TxLog {
                 else spark.sessionState.conf.numShufflePartitions
         df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
       }
-    shaped
+    // translate AFTER shaping (a projection is narrow — the partitioning
+    // and within-task order survive), so clusterBy keys resolve against
+    // the caller's logical names
+    toPhysical(shaped)
       .write.mode("errorifexists").partitionBy(partCols: _*)
       .parquet(dir.toString)
     val fs = fsOf(spark, dir)
@@ -1342,10 +1455,12 @@ object TxLog {
       "an empty overwrite would be a silent no-op; drop partitions explicitly")
     // top-level nullability is erased before recording: parquet round
     // trips make columns nullable and the union read widens it anyway —
-    // only STRUCTURAL drift (names/types/order) poisons the table
+    // only STRUCTURAL drift (names/types/order) poisons the table.
+    // Recorded under PHYSICAL names (what the files carry).
     val dataSchema = org.apache.spark.sql.types.StructType(
       df.schema.filterNot(f => partCols.contains(f.name))
-        .map(_.copy(nullable = true)))
+        .map(f => f.copy(name = reverse.getOrElse(f.name, f.name),
+          nullable = true)))
     // footer min/max per staged file → data skipping at read time
     // (graft.txlog.stats=false opts a writer out; readers treat absent
     // stats as unskippable, so mixed writer configs stay correct)
@@ -1405,10 +1520,15 @@ object TxLog {
              batchId: Option[String] = None, maxAttempts: Int = 50,
              writerSeq: Option[(String, Long)] = None): Long = {
     require(op == "overwrite" || op == "append" || op == "remove" ||
-      op == "rewrite", s"unknown op $op")
+      op == "rewrite" || op == "meta", s"unknown op $op")
     require(op == "rewrite" || staged.removed.isEmpty,
       s"TxLog.commit: op $op cannot remove individual files — only " +
         "\"rewrite\" carries removals")
+    require(op == "meta" || staged.mapping.isEmpty,
+      s"TxLog.commit: op $op cannot change the column mapping — only " +
+        "\"meta\" carries one")
+    require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
+      "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
     // would round-trip as None and silently disable idempotent replay
     require(!batchId.contains("-"),
@@ -1505,7 +1625,11 @@ object TxLog {
             s"the table's recorded partition column [$cp] — rebuild the " +
             "table to change its partitioning")
       }
-      for (cs <- current._1; ss <- staged.schema if cs != ss) {
+      // op "meta" is exempt: a DROP COLUMN deliberately records a SUBSET
+      // schema — the guard exists for writers that silently lost a
+      // column, not for explicit DDL
+      for (cs <- current._1; ss <- staged.schema
+           if cs != ss && op != "meta") {
         val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
         val stagedTypes = org.apache.spark.sql.types.StructType.fromDDL(ss)
           .map(f => f.name -> f.dataType).toMap
@@ -1530,7 +1654,7 @@ object TxLog {
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
             staged.schema, staged.stats, staged.rows, staged.partSchema,
-            staged.removed, staged.changes, writerSeq))) {
+            staged.removed, staged.changes, writerSeq, staged.mapping))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
@@ -1607,6 +1731,84 @@ object TxLog {
     val spark = df.sparkSession
     commit(spark, root, stage(df, root, partCol), "append",
       readVersion = 0L, writerSeq = Some((writerId, seq)))
+  }
+
+  /** The table's current physical→logical column mapping (empty =
+    * identity) — for external readers (the streaming source). */
+  private[graft] def tableMapping(spark: SparkSession, root: String)
+      : Map[String, String] = mappingOf(spark, root)
+
+  /** Resolved (physical schema, mapping, partition names) for DDL. */
+  private def ddlState(spark: SparkSession, root: String, who: String)
+      : (org.apache.spark.sql.types.StructType, Map[String, String],
+         Seq[String]) = {
+    val (chk, commits) = readLog(spark, root)
+    val phys = (chk.flatMap(_.schema).toSeq ++ commits.flatMap(_.schema))
+      .lastOption.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(sys.error(s"TxLog.$who: no recorded schema at $root"))
+    val mapping = commits.flatMap(_.mapping).lastOption
+      .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
+    val partNames = (chk.flatMap(_.partSchema).toSeq ++
+      commits.flatMap(_.partSchema)).lastOption
+      .map(org.apache.spark.sql.types.StructType.fromDDL(_)
+        .map(_.name).toSeq).getOrElse(Seq.empty)
+    (phys, mapping, partNames)
+  }
+
+  /** Transactional RENAME COLUMN — a METADATA-ONLY commit (the Delta
+    * column-mapping shape): data files keep their PHYSICAL column names
+    * forever; a rename changes only the table's physical→logical map, so
+    * old and new files read under one scan, per-file stats skipping
+    * keeps pruning (filters on the logical name push back through the
+    * mapping projection into physical attributes), and time travel to a
+    * pre-rename version reads under the old name — zero files rewritten.
+    * Partition columns are structural (dir layout, log keys) and cannot
+    * rename; rebuild the table to change them. */
+  def renameColumnTx(spark: SparkSession, root: String,
+                     oldName: String, newName: String): Long = {
+    require(oldName != newName, "renameColumnTx: old and new names equal")
+    val (phys, mapping, partNames) = ddlState(spark, root, "renameColumnTx")
+    require(!partNames.contains(oldName) && !partNames.contains(newName),
+      s"renameColumnTx: partition columns are structural and cannot " +
+        s"rename ([$oldName] -> [$newName])")
+    def logicalOf(p: String) = mapping.getOrElse(p, p)
+    val live = phys.map(_.name).filterNot(p => mapping.get(p).contains("-"))
+    require(live.exists(p => logicalOf(p) == oldName),
+      s"renameColumnTx: no column [$oldName] at $root")
+    require(!live.exists(p => logicalOf(p) == newName),
+      s"renameColumnTx: column [$newName] already exists at $root")
+    val physName = live.find(p => logicalOf(p) == oldName).get
+    // renaming BACK to the physical name returns that column to identity
+    val next =
+      if (physName == newName) mapping - physName
+      else mapping + (physName -> newName)
+    commit(spark, root, Staged(Map.empty, mapping = Some(next)), "meta",
+      readVersion = 0L)
+  }
+
+  /** Transactional DROP COLUMN — metadata-only: the recorded physical
+    * schema loses the field (old files' extra column is simply not read;
+    * new files stop carrying it) and the physical name is TOMBSTONED in
+    * the mapping so a later writer cannot reuse it and silently
+    * resurrect old data under a new logical column. */
+  def dropColumnTx(spark: SparkSession, root: String, name: String): Long = {
+    val (phys, mapping, partNames) = ddlState(spark, root, "dropColumnTx")
+    require(!partNames.contains(name),
+      s"dropColumnTx: partition column [$name] is structural — rebuild " +
+        "the table to change its partitioning")
+    def logicalOf(p: String) = mapping.getOrElse(p, p)
+    val live = phys.map(_.name).filterNot(p => mapping.get(p).contains("-"))
+    require(live.exists(p => logicalOf(p) == name),
+      s"dropColumnTx: no column [$name] at $root")
+    require(live.size > 1,
+      s"dropColumnTx: [$name] is the table's last data column")
+    val physName = live.find(p => logicalOf(p) == name).get
+    val nextSchema = org.apache.spark.sql.types.StructType(
+      phys.filterNot(_.name == physName))
+    commit(spark, root,
+      Staged(Map.empty, schema = Some(nextSchema.toDDL),
+        mapping = Some(mapping - physName + (physName -> "-"))),
+      "meta", readVersion = 0L)
   }
 
   /** Transactional partition removal — the metadata-only DROP PARTITION
@@ -1711,7 +1913,7 @@ object TxLog {
           }.toMap
           (big.version, merged,
             Snapshot(big.version, merged, big.schema, big.deltaStats,
-              big.deltaRows, big.partSchema))
+              big.deltaRows, big.partSchema, big.mapping))
       }
       require(sel.nonEmpty,
         s"TxLog.readModifyWriteWhere: no partition at $root passes select")
@@ -1911,7 +2113,8 @@ object TxLog {
       // candidates are O(matching files) — a bounded driver-side read
       // even when the table itself is parquet-checkpointed
       val candSnap = Snapshot(version, cands, schema,
-        Map.empty, Map.empty, partSchema)
+        Map.empty, Map.empty, partSchema,
+        mapping = state.fold(_.mapping, _.mapping))
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
       val candRead = readSnapshot(spark, root, candSnap, ps)
       val remaining = candRead.filter(keep)
@@ -1980,8 +2183,13 @@ object TxLog {
         .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
       def pvOf(r: org.apache.spark.sql.Row): String =
         renderPartKey((0 until nP).map(r.getString))
+      // recorded file stats are keyed by PHYSICAL column names — a
+      // renamed merge key translates so skipping keeps bounding the
+      // candidate set
+      val physKey = state.fold(_.mapping, _.mapping)
+        .collectFirst { case (p, l) if l == key => p }.getOrElse(key)
       val attr = org.apache.spark.sql.catalyst.expressions
-        .AttributeReference(key, keyType)()
+        .AttributeReference(physKey, keyType)()
       // keep a file unless its stats prove [fileMin,fileMax] and the
       // source bounds [mn,mx] are disjoint: "might a row satisfy
       // key >= mn AND key <= mx" is exactly range overlap
@@ -2031,7 +2239,7 @@ object TxLog {
         if (cands.isEmpty) None
         else Some(readSnapshot(spark, root,
           Snapshot(version, cands, schema, Map.empty, Map.empty,
-            partSchemaDDL), ps))
+            partSchemaDDL, mapping = state.fold(_.mapping, _.mapping)), ps))
       val unmatched = candRead.map(
         _.join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
@@ -2111,7 +2319,7 @@ object TxLog {
         if (nf < chkParquetMin(spark))
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
-              snap.rows, snap.partSchema, writers)): Unit
+              snap.rows, snap.partSchema, writers, snap.mapping)): Unit
         else writeChkV2FromSnap(spark, root, snap, batchIds, writers)
     }
     version
@@ -2249,7 +2457,7 @@ object TxLog {
     val bytes = rows.iterator.map(_.getLong(2)).sum
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
       renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
-        snap.partSchema, rows.size.toLong, bytes, writers))
+        snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -2294,7 +2502,7 @@ object TxLog {
       .map(_.getString(0)).toSet
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
-        agg.getLong(0), agg.getLong(1), writers))
+        agg.getLong(0), agg.getLong(1), writers, big.mapping))
     if (!won) deletePayloadDir(spark, root, name)
   }
 

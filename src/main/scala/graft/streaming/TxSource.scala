@@ -47,8 +47,19 @@ class TxSourceProvider extends TableProvider with DataSourceRegister {
       sys.error("txlog source: .load(<table root>) is required"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (data, ps) = TxLog.tableMeta(SparkSession.active, root(options))
-    val base = StructType(data.fields ++ ps.fields)
+    val spark = SparkSession.active
+    val (data, ps) = TxLog.tableMeta(spark, root(options))
+    // report LOGICAL names (renames applied, dropped columns gone); the
+    // decode below still reads files by their PHYSICAL names
+    val m = TxLog.tableMapping(spark, root(options))
+    val logical = data.fields.toSeq.flatMap { f =>
+      m.get(f.name) match {
+        case Some("-") => None
+        case Some(l) => Some(f.copy(name = l))
+        case None => Some(f)
+      }
+    }
+    val base = StructType(logical ++ ps.fields)
     // CDF mode (the Delta readChangeFeed stream): every row rides with
     // its change class and commit version
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
@@ -106,7 +117,14 @@ private final class TxMicroBatchStream(root: String, tableSchema: StructType,
   // recorded partition metadata
   private lazy val nPart = TxLog.tableMeta(spark, root)._2.length
   private lazy val partSchema = StructType(tableSchema.fields.takeRight(nPart))
-  private lazy val dataSchema = StructType(tableSchema.fields.dropRight(nPart))
+  // decode by PHYSICAL live names (what the files carry) — positions
+  // align with the reported logical schema, which applied the same
+  // rename/tombstone transform field-by-field
+  private lazy val physDataSchema = {
+    val (data, _) = TxLog.tableMeta(spark, root)
+    val m = TxLog.tableMapping(spark, root)
+    StructType(data.fields.filterNot(f => m.get(f.name).contains("-")))
+  }
 
   override def initialOffset(): Offset = TxOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -128,7 +146,7 @@ private final class TxMicroBatchStream(root: String, tableSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val fn = ParquetReadBridge.rowReader(spark, dataSchema, partSchema)
+    val fn = ParquetReadBridge.rowReader(spark, physDataSchema, partSchema)
     new TxReaderFactory(fn)
   }
 

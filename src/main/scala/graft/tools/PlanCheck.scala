@@ -77,6 +77,23 @@ object PlanCheck {
       n.startsWith("LocalLimit") || n.startsWith("ColumnarToRow")
   }
 
+  /** Files actually planned by `df`'s scans — the file-count pruning
+    * gate. Executes THIS QueryExecution instance and sums `numFiles`
+    * across its file scans. The naive
+    * `df.foreachPartition(...); df.queryExecution.executedPlan...metrics`
+    * pattern is SILENTLY VACUOUS: Dataset actions run through a separate
+    * `rddQueryExecution`, so the inspected plan's metrics never fill and
+    * the gate reads 0 — `exec.execute().count()` runs the inspected
+    * instance itself (the clone-free idiom above). */
+  def filesRead(df: DataFrame): Long = {
+    val exec = df.queryExecution.executedPlan
+    exec.execute().count()
+    walk(exec).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.metrics("numFiles").value
+    }.sum
+  }
+
   /** True iff `df` is a PINNED materialization (Checkpoints.pin): its
     * logical plan is an RDD scan, so the subtree that produced it ran
     * exactly once — at pin time — and NO consumer can re-trigger it.

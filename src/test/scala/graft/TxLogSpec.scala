@@ -1093,10 +1093,7 @@ class TxLogSpec extends SparkSpecBase {
       .parts.values.map(_.size).sum
     def filesFor(cond: org.apache.spark.sql.Column): Long = {
       val probe = TxLog.readTable(spark, root).filter(cond)
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      graft.tools.PlanCheck.filesRead(probe)
     }
     assert(filesFor(col("date") === "2024-01-01") * 2 <= totalFiles)
     assert(filesFor(col("channel") === "web") * 2 <= totalFiles)
@@ -1180,10 +1177,7 @@ class TxLogSpec extends SparkSpecBase {
       }.get
       assert(idx.isInstanceOf[graft.sources.TxBigFileIndex])
       val probe = df.filter(col("channel") === "app")
-      probe.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
-      val read = probe.queryExecution.executedPlan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
-      }.head.metrics("numFiles").value
+      val read = graft.tools.PlanCheck.filesRead(probe)
       val totalFiles = 5L
       assert(read * 2 <= totalFiles,
         s"payload-side second-column pruning left $read of $totalFiles")
@@ -1304,6 +1298,100 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.readTable(spark, root2).count() === 31L)
     assert(TxLog.readTable(spark, root2).agg(sum("n")).head.getLong(0)
       === 2L * (1L to 15L).sum)
+  }
+
+  test("column mapping: rename is metadata-only — old+new files read " +
+      "under one scan, stats skipping prunes on the renamed name, time " +
+      "travel to pre-rename reads under the old name") {
+    import spark.implicits._
+    val root = freshRoot("colmap")
+    // two key-range batches → per-file id stats
+    TxLog.appendBatchTx(Seq(("a", 1L, 1.0), ("a", 2L, 2.0))
+      .toDF("part", "id", "x"), root, "part", "cm-b1")
+    TxLog.appendBatchTx(Seq(("a", 10L, 10.0), ("a", 11L, 11.0))
+      .toDF("part", "id", "x"), root, "part", "cm-b2")
+    val vPre = 2L
+    TxLog.renameColumnTx(spark, root, "id", "doc_id")
+    // post-rename write through the LOGICAL name lands in the same
+    // physical column
+    TxLog.appendBatchTx(Seq(("a", 20L, 20.0))
+      .toDF("part", "doc_id", "x"), root, "part", "cm-b3")
+    val df = TxLog.readTable(spark, root)
+    assert(df.columns.toSeq === Seq("doc_id", "x", "part"))
+    // one scan over pre- and post-rename files
+    assert(df.agg(sum("doc_id")).head.getLong(0) === 44L)
+    // stats skipping on the RENAMED name: the probe must NOT read the
+    // low-key files
+    val probe = df.filter(col("doc_id") >= 10L && col("doc_id") <= 11L)
+    val read = graft.tools.PlanCheck.filesRead(probe)
+    assert(read === 1L, s"renamed-column skipping read $read files of 3")
+    // time travel to pre-rename: the OLD name, the old rows
+    val tt = TxLog.readTableAt(spark, root, vPre)
+    assert(tt.columns.contains("id") && !tt.columns.contains("doc_id"))
+    assert(tt.count() === 4L)
+    // merge + delete keyed on the renamed column
+    TxLog.mergeKeyedTx(spark, root,
+      Seq(("a", 11L, 110.0)).toDF("part", "doc_id", "x"), "doc_id")
+    val (_, rw) = TxLog.deleteWhereTx(spark, root, col("doc_id") === 1L)
+    assert(rw >= 1)
+    assert(TxLog.readTable(spark, root).agg(sum("x")).head.getDouble(0)
+      === 2.0 + 10.0 + 110.0 + 20.0)
+    // rename-back returns the column to identity
+    TxLog.renameColumnTx(spark, root, "doc_id", "id")
+    assert(TxLog.readTable(spark, root).columns.contains("id"))
+  }
+
+  test("column mapping: drop tombstones the physical name — reads exclude " +
+      "it, a writer reusing it is refused, add-column under a fresh name " +
+      "works") {
+    import spark.implicits._
+    val root = freshRoot("coldrop")
+    TxLog.appendBatchTx(Seq(("a", 1L, "secret"), ("a", 2L, "classified"))
+      .toDF("part", "id", "payload"), root, "part", "cd-b1")
+    TxLog.dropColumnTx(spark, root, "payload")
+    val df = TxLog.readTable(spark, root)
+    assert(df.columns.toSeq.sorted === Seq("id", "part"))
+    assert(df.count() === 2L)
+    // a writer reusing the dropped physical name is refused loudly
+    // (old files would resurrect under it)
+    val e = intercept[Exception] {
+      TxLog.appendBatchTx(Seq(("a", 3L, "nope")).toDF("part", "id", "payload"),
+        root, "part", "cd-b2")
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    // schema evolution under a FRESH name still works
+    TxLog.appendBatchTx(Seq(("a", 3L, 7.5)).toDF("part", "id", "score"),
+      root, "part", "cd-b3")
+    val evolved = TxLog.readTable(spark, root)
+    assert(evolved.columns.toSeq.sorted === Seq("id", "part", "score"))
+    assert(evolved.filter(col("score").isNull).count() === 2L)
+  }
+
+  test("column mapping: survives checkpoint formats (text and parquet " +
+      "payload) and expireLog") {
+    import spark.implicits._
+    val root = freshRoot("colmap-chk")
+    val key = "graft.txlog.chkParquetMin"
+    val prior = spark.conf.getOption(key)
+    try {
+      TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "id"),
+        root, "part", "cc-b1")
+      TxLog.renameColumnTx(spark, root, "id", "doc_id")
+      // text checkpoint first
+      TxLog.checkpoint(spark, root); TxLog.expireLog(spark, root)
+      assert(TxLog.readTable(spark, root).columns.contains("doc_id"))
+      // then the parquet-payload checkpoint
+      spark.conf.set(key, "1")
+      TxLog.appendBatchTx(Seq(("c", 3L)).toDF("part", "doc_id"),
+        root, "part", "cc-b2")
+      TxLog.checkpoint(spark, root); TxLog.expireLog(spark, root)
+      val df = TxLog.readTable(spark, root)
+      assert(df.columns.contains("doc_id"))
+      assert(df.agg(sum("doc_id")).head.getLong(0) === 6L)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("CDF stream: follows merge/delete through change files, resumes " +
