@@ -3325,6 +3325,187 @@ object SourceQueries {
       streamed
     },
 
+    // ---- q233: CHANGE FEED OVER A COLUMN-MAPPED TABLE — the r15/r16
+    // documented ceiling closed: change files (like data files) carry
+    // PHYSICAL column names forever, so the feed re-maps EVERY historical
+    // window through one end-of-window mapping projection — renamed
+    // columns surface under their END name, batch and streaming alike.
+    // Customers land in four batches, c_acctbal renames to `balance`,
+    // a keyed MERGE and DELETE write change files THROUGH the mapping,
+    // then c_name renames to `cust_name` AFTER the change windows — and
+    // the whole feed (including the pre-rename appends and the
+    // between-renames change files) must serve under the END names,
+    // streamed equal to batch class-by-class, both equal to the
+    // relational oracle.
+    QueryDef.sql("q233_tx_cdf_mapped",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |feed AS (
+         |  SELECT 'insert' AS change_type, c_acctbal AS balance
+         |  FROM customer
+         |  UNION ALL SELECT 'insert', c_acctbal FROM customer, mx
+         |    WHERE c_custkey < 20
+         |  UNION ALL SELECT 'update_preimage', c_acctbal FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'update_postimage', c_acctbal + 1000
+         |    FROM customer, mx
+         |    WHERE c_custkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'delete', c_acctbal FROM customer, mx
+         |    WHERE c_custkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |  UNION ALL SELECT 'insert', c_acctbal FROM customer
+         |    WHERE c_custkey % 10 = 0)
+         |SELECT change_type, COUNT(*) AS n_rows,
+         |  ${dsumSql("balance")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS remap_ok
+         |FROM feed GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q233_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val root = s"$base/table"; val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q233-b$i")
+        lo = hi
+      }
+      // first rename BEFORE the change windows: the merge/delete change
+      // files must write physically so they can re-map later
+      TxLog.renameColumnTx(s, root, "c_acctbal", "balance")
+      val renamed = cust.withColumnRenamed("c_acctbal", "balance")
+      val src = renamed.filter(col("c_custkey") > maxKey * 7 / 8)
+        .withColumn("balance", col("balance") + 1000)
+        .unionByName(renamed.filter(col("c_custkey") < 20)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1))
+      TxLog.mergeKeyedTx(s, root, src, "c_custkey", changeFeed = true)
+      TxLog.deleteWhereTx(s, root, col("c_custkey") <= maxKey / 8,
+        changeFeed = true)
+      // second rename AFTER the change windows: every already-written
+      // window must surface under this END name too
+      TxLog.renameColumnTx(s, root, "c_name", "cust_name")
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog")
+          .option("readChangeFeed", "true").load(root)
+          .writeStream.option("checkpointLocation", ckpt)
+          .format("parquet").option("path", out).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain() // the whole mapped merge+delete history
+      TxLog.appendBatchTx(
+        cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 2 * maxKey + 1000),
+        root, "c_mktsegment", "q233-b5")
+      drain() // cold restart: just the b5 window
+      val streamedRaw = s.read.parquet(out)
+      val gotCols = streamedRaw.columns.toSet
+      require(gotCols("balance") && gotCols("cust_name") &&
+        !gotCols("c_acctbal") && !gotCols("c_name"),
+        s"q233: streamed feed columns ${gotCols.mkString(",")} are not " +
+          "the END logical names")
+      val streamed = streamedRaw
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("balance")).as("total_bal"))
+      val (batchFeed, _) = TxLog.readChangeFeed(s, root, 0L)
+      val batchCols = batchFeed.get.columns.toSet
+      require(batchCols("balance") && batchCols("cust_name") &&
+        !batchCols("c_acctbal") && !batchCols("c_name"),
+        s"q233: batch feed columns ${batchCols.mkString(",")} are not " +
+          "the END logical names")
+      val batchAgg = batchFeed.get
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("balance")).as("total_bal"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val streamAgg = streamed.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      require(streamAgg == batchAgg,
+        s"q233: streamed feed $streamAgg != batch change feed $batchAgg")
+      streamed.withColumn("remap_ok", lit(1L))
+    },
+
+    // ---- q234: TRANSACTIONAL RESTORE (the Delta `RESTORE TABLE ... TO
+    // VERSION AS OF` move): roll the table FORWARD to a commit whose
+    // content equals an earlier version — old immutable files are
+    // RE-REFERENCED (zero data copied), rewrites since the target are
+    // undone, and history is preserved (the in-between versions still
+    // time-travel). Orders land in two batches (v1, v2), a keyed MERGE
+    // (+1000 on the top eighth, v3) and keyed DELETE (bottom eighth, v4)
+    // mutate the table, RESTORE to v2 (v5) undoes both, then a fresh
+    // batch appends (v6). The final table must equal batches 1+2+3
+    // relationally — the merge and delete fully rolled back — with loud
+    // in-gate requires that the restore re-referenced the v2 file set
+    // exactly and that v4 (the deleted state) still time-travels.
+    QueryDef.sql("q234_tx_restore",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+         |base AS (SELECT o_orderkey, YEAR(o_orderdate) AS o_year,
+         |                o_totalprice FROM orders),
+         |extra AS (SELECT o_orderkey + m + 1000 AS o_orderkey, o_year,
+         |                 o_totalprice FROM base, mx
+         |          WHERE o_orderkey % 5 = 0),
+         |allr AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+         |SELECT o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS restore_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q234_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") <= maxKey / 2),
+        root, "o_year", "q234-b1")
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") > maxKey / 2),
+        root, "o_year", "q234-b2")
+      val vClean = 2L
+      val cleanFiles = TxLog.snapshot(s, root).parts
+        .map { case (v, fs) => v -> fs.toSet }
+      val cleanCount = TxLog.readTable(s, root).count()
+      // mutate: MERGE bumps the top eighth, DELETE drops the bottom eighth
+      TxLog.mergeKeyedTx(s, root,
+        orders.filter(col("o_orderkey") > maxKey * 7 / 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        "o_orderkey")
+      val (vDeleted, _) = TxLog.deleteWhereTx(s, root,
+        col("o_orderkey") <= maxKey / 8)
+      require(TxLog.readTable(s, root).count() < cleanCount,
+        "q234: the delete must visibly shrink the table before restore")
+      // RESTORE to the pre-mutation state: zero data copied, the v2 file
+      // set re-referenced exactly
+      TxLog.restoreTx(s, root, vClean)
+      val restored = TxLog.snapshot(s, root)
+      require(restored.parts.map { case (v, fs) => v -> fs.toSet }
+          == cleanFiles,
+        "q234: restore must re-reference exactly the v2 file set")
+      // history is preserved: the deleted state still time-travels
+      require(TxLog.readTableAt(s, root, vDeleted).count() < cleanCount,
+        "q234: the pre-restore (deleted) version must still time-travel")
+      // the table keeps working: a fresh batch appends after the restore
+      TxLog.appendBatchTx(
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1000),
+        root, "o_year", "q234-b3")
+      // metadata-only COUNT survives the restore (stats re-recorded)
+      val metaCount = TxLog.countRows(s, root)
+      val table = TxLog.readTable(s, root)
+      require(metaCount.contains(table.count()),
+        s"q234: metadata-only count $metaCount diverged after restore")
+      table.groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("restore_ok", lit(1L))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -147,7 +147,15 @@ object TxLog {
                           // full physical→logical map after this commit;
                           // "-" tombstones a dropped physical column.
                           // None = no mapping change in this commit.
-                          mapping: Option[Map[String, String]] = None) {
+                          mapping: Option[Map[String, String]] = None,
+                          // change files carry PHYSICAL column names (all
+                          // new writers) — the invariant that lets the
+                          // change feed re-map historical windows through
+                          // the END mapping; false only on legacy commits
+                          // whose change files carry write-time LOGICAL
+                          // names (servable only while the table is
+                          // unmapped)
+                          cdfPhys: Boolean = false) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -362,15 +370,19 @@ object TxLog {
     // "meta" carries these lines even when the map is emptied)
     val mappingRows = lines.filter(_.startsWith("m\t")).map(_.split("\t", -1))
       .map { case Array(_, p, l) => unesc(p) -> unesc(l) }.toMap
+    // "meta" and "restore" SNAPSHOT the mapping (an empty map is a real
+    // state: all columns back at identity); other ops never carry one
     val mapping =
-      if (field("op") == "meta") Some(mappingRows)
+      if (field("op") == "meta" || field("op") == "restore")
+        Some(mappingRows)
       else if (mappingRows.nonEmpty) Some(mappingRows)
       else None
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
-      removed, changes, writerSeq, mapping)
+      removed, changes, writerSeq, mapping,
+      cdfPhys = fieldOpt("cdfNames").contains("phys"))
   }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
@@ -413,7 +425,11 @@ object TxLog {
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
-      writerSeq.map { case (id, seq) => s"writer=${esc(id)}:$seq" }
+      writerSeq.map { case (id, seq) => s"writer=${esc(id)}:$seq" } ++
+      // every new writer's change files carry PHYSICAL column names — the
+      // marker lets readers distinguish them from legacy logical-name
+      // change files when re-mapping historical windows
+      (if (changes.nonEmpty) Seq("cdfNames=phys") else Seq.empty)
     val mappingRows = mapping.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
       case (p, l) => s"m\t${esc(p)}\t${esc(l)}"
     })
@@ -564,6 +580,11 @@ object TxLog {
             if (next.isEmpty) a - v else a.updated(v, next)
           }
         case "meta" => acc // metadata-only (column mapping): no file change
+        case "restore" =>
+          // full-state replacement re-referencing RETAINED files: staged
+          // parts ARE the target version's live sets; partitions absent
+          // at the target ride along with empty file sets and drop here
+          (acc ++ c.parts).filter(_._2.nonEmpty)
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -628,6 +649,13 @@ object TxLog {
           delta = if (next.isEmpty) delta - v else delta.updated(v, next)
         }
         case "meta" => () // metadata-only (column mapping): no file change
+        case "restore" =>
+          // unreachable by construction: restoreTx refuses parquet-
+          // checkpointed tables (snapshotAt dispatch), and a pre-crossing
+          // restore folds into the text checkpoint before the payload one
+          // exists — a restore AFTER a payload checkpoint has no writer
+          sys.error(s"commit v${c.version}: \"restore\" cannot follow a " +
+            "parquet checkpoint — no supported writer produces this log")
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -970,8 +998,10 @@ object TxLog {
     // folds the full table — O(window commits) whatever the table size.
     def liveAfter(va: Long, part: String, file: String): Boolean =
       !commits.exists(c => c.version > va && (
-        ((c.op == "overwrite" || c.op == "remove") &&
-          c.parts.contains(part)) ||
+        ((c.op == "overwrite" || c.op == "remove" || c.op == "restore") &&
+          c.parts.contains(part) &&
+          // a restore RE-REFERENCES old files — one it carries stays live
+          !c.parts.getOrElse(part, Seq.empty).contains(file)) ||
         (c.op == "rewrite" &&
           c.removed.getOrElse(part, Seq.empty).contains(file))))
     val deltaParts = window.filter(_.op == "append")
@@ -1049,20 +1079,21 @@ object TxLog {
     }
     val currentVersion = commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L)
-    // KNOWN CEILING: change files carry their WRITE-TIME column names, so
-    // a feed over a column-mapped table would mix pre/post-rename names —
-    // refuse loudly until the feed learns to re-map historical windows
-    require(commits.flatMap(_.mapping).lastOption
-        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)).isEmpty,
-      s"TxLog.readChangeFeed: the table at $root carries a column " +
-        "mapping (renamed/dropped columns) — the change feed does not " +
-        "yet re-map historical windows; re-baseline from a snapshot read")
+    // COLUMN-MAPPED TABLES: the whole feed serves under the mapping AS OF
+    // the window end (the Delta CDF-under-column-mapping posture) — data
+    // files and new-writer change files both carry PHYSICAL names, which
+    // never change, so one end-mapping projection re-maps every
+    // historical window: renamed columns surface under their END name,
+    // dropped columns vanish, later-added columns NULL-backfill.
+    val endMapping = commits.flatMap(_.mapping).lastOption
+      .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
     val window = commits.filter(_.version > sinceVersion)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
-      (c.op == "rewrite" && c.changes.isEmpty))
+      c.op == "restore" || (c.op == "rewrite" && c.changes.isEmpty))
     require(bad.isEmpty, "TxLog.readChangeFeed: commits " +
       s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
-      "no row-level change record — overwrite/remove are not CDC-able, " +
+      "no row-level change record — overwrite/remove/restore are not " +
+      "CDC-able, " +
       "and a rewrite serves the feed only when written with " +
       "changeFeed = true")
     val schemaDDL = (chk.flatMap(_.schema).toSeq ++
@@ -1075,13 +1106,33 @@ object TxLog {
     val frames =
       window.filter(_.op == "append").map { c =>
         readSnapshot(spark, root,
-          Snapshot(c.version, c.parts, schemaDDL, c.stats), ps)
+          Snapshot(c.version, c.parts, schemaDDL, c.stats,
+            mapping = endMapping), ps)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(c.version))
       } ++
       window.filter(_.op == "rewrite").map { c =>
-        spark.read.parquet(c.changes.map(f => s"$root/$f"): _*)
-          .withColumn("_commit_version", lit(c.version))
+        val raw = spark.read.parquet(c.changes.map(f => s"$root/$f"): _*)
+        val mapped =
+          if (endMapping.isEmpty) raw
+          else {
+            // legacy change files (pre-cdfNames commits) carry write-time
+            // LOGICAL names — under a live mapping they cannot be re-mapped
+            require(c.cdfPhys, s"TxLog.readChangeFeed: commit " +
+              s"v${c.version}'s change files carry write-time column " +
+              "names and the table now has a column mapping — that window " +
+              "cannot re-map; re-baseline from a snapshot read")
+            val cols = raw.columns.toSeq.flatMap { n =>
+              if (n == "_change_type") Some(col(n))
+              else endMapping.get(n) match {
+                case Some("-") => None // dropped since — vanish from feed
+                case Some(l) => Some(col(n).as(l))
+                case None => Some(col(n))
+              }
+            }
+            raw.select(cols: _*)
+          }
+        mapped.withColumn("_commit_version", lit(c.version))
       }
     if (frames.isEmpty) (None, currentVersion)
     else (Some(frames.reduce(
@@ -1141,8 +1192,9 @@ object TxLog {
         "rewrites are reconciled out of band")
     def liveAfter(va: Long, part: String, file: String): Boolean =
       !commits.exists(c => c.version > va && (
-        ((c.op == "overwrite" || c.op == "remove") &&
-          c.parts.contains(part)) ||
+        ((c.op == "overwrite" || c.op == "remove" || c.op == "restore") &&
+          c.parts.contains(part) &&
+          !c.parts.getOrElse(part, Seq.empty).contains(file)) ||
         (c.op == "rewrite" &&
           c.removed.getOrElse(part, Seq.empty).contains(file))))
     val rels = window.filter(_.op == "append").flatMap { c =>
@@ -1189,20 +1241,28 @@ object TxLog {
             s"latest checkpoint ($floor) and its commits (and change " +
             "files) are expired; restart the stream from a fresh " +
             "checkpoint over a snapshot read"))
-    require(commits0.flatMap(_.mapping).lastOption
-        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)).isEmpty,
-      s"TxLog CDF stream: the table at $root carries a column mapping " +
-        "(renamed/dropped columns) — the change feed does not yet re-map " +
-        "historical windows; re-baseline the consumer")
+    // column-mapped tables serve (files all carry PHYSICAL names; the
+    // reader decodes physically and reports the stream-start logical
+    // schema) — only LEGACY change files with write-time logical names
+    // refuse, below
+    val mapped = commits0.flatMap(_.mapping).lastOption
+      .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)).nonEmpty
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
-      (c.op == "rewrite" && c.changes.isEmpty))
+      c.op == "restore" || (c.op == "rewrite" && c.changes.isEmpty))
     require(bad.isEmpty, "TxLog CDF stream: commits " +
       s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
-      "no row-level change record — overwrite/remove are not CDC-able, " +
+      "no row-level change record — overwrite/remove/restore are not " +
+      "CDC-able, " +
       "and a rewrite serves the feed only when written with " +
       "changeFeed = true")
+    val legacy = window.filter(c => c.op == "rewrite" && !c.cdfPhys)
+    require(!mapped || legacy.isEmpty, "TxLog CDF stream: commits " +
+      s"[${legacy.map(c => s"v${c.version}").mkString(", ")}] wrote their " +
+      "change files under write-time column names and the table now has " +
+      "a column mapping — those windows cannot re-map; re-baseline the " +
+      "consumer")
     val dataRels = window.filter(_.op == "append").flatMap { c =>
       c.parts.toSeq.flatMap { case (v, fs) => fs.map(f => (v, f, c.version)) }
     }
@@ -1492,6 +1552,20 @@ object TxLog {
     * live file set — [[readChangeFeed]] reads it per window, [[vacuum]]
     * retains it while its commit is retained (the same log-retention
     * horizon as incremental consumption). */
+  /** Translate a change frame's LOGICAL column names to PHYSICAL before
+    * writing — change files share the data files' invariant (physical
+    * names, forever), which is what lets [[readChangeFeed]] re-map any
+    * historical window through one end-mapping projection. Partition
+    * columns and `_change_type` are never mapped and pass through. */
+  private def changesToPhysical(df: DataFrame,
+                                mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val reverse = mapping.collect { case (p, l) if l != "-" => l -> p }
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(reverse.getOrElse(c, c))): _*)
+    }
+
   private def writeChanges(df: DataFrame, root: String): Seq[String] = {
     val spark = df.sparkSession
     val rel = s"data/cdf-${java.util.UUID.randomUUID()}"
@@ -1520,13 +1594,14 @@ object TxLog {
              batchId: Option[String] = None, maxAttempts: Int = 50,
              writerSeq: Option[(String, Long)] = None): Long = {
     require(op == "overwrite" || op == "append" || op == "remove" ||
-      op == "rewrite" || op == "meta", s"unknown op $op")
+      op == "rewrite" || op == "meta" || op == "restore",
+      s"unknown op $op")
     require(op == "rewrite" || staged.removed.isEmpty,
       s"TxLog.commit: op $op cannot remove individual files — only " +
         "\"rewrite\" carries removals")
-    require(op == "meta" || staged.mapping.isEmpty,
+    require(op == "meta" || op == "restore" || staged.mapping.isEmpty,
       s"TxLog.commit: op $op cannot change the column mapping — only " +
-        "\"meta\" carries one")
+        "\"meta\" and \"restore\" carry one")
     require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
       "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
@@ -1605,21 +1680,45 @@ object TxLog {
       // META-ONLY fold: the guards need schema/partSchema/partition
       // VALUES, never the file list — so commits to a parquet-
       // checkpointed table stay O(delta) driver work.
-      val current: (Option[String], Option[String], Set[String]) =
+      val current: (Option[String], Option[String], Set[String],
+                    Map[String, String]) =
         chk match {
           case Some(c) if c.payload.isDefined =>
             val b = foldBig(c, commits)
-            (b.schema, b.partSchema, b.partValues)
+            (b.schema, b.partSchema, b.partValues, b.mapping)
           case _ =>
             val s = fold(chk, commits)
-            (s.schema, s.partSchema, s.parts.keySet)
+            (s.schema, s.partSchema, s.parts.keySet, s.mapping)
         }
+      // MAPPING-AWARE SANITIZER: a writer that staged BEFORE a concurrent
+      // DROP COLUMN landed carries the dropped physical column in its
+      // staged schema — recording it verbatim would resurrect the column
+      // in the RECORDED schema (the tombstone keeps reads correct, but the
+      // schema should not regress). Strip tombstoned physical columns from
+      // the recorded schema; the staged files' extra column is simply
+      // never read. "meta" commits are exempt (dropColumnTx writes the
+      // new tombstone and its subset schema in one commit).
+      val stagedSchema = staged.schema.map { ss =>
+        val tombstoned = current._4.collect { case (p, "-") => p }.toSet
+        // "restore" deliberately reinstates the target version's schema —
+        // a currently-tombstoned column it carries is the RESURRECTION
+        // the caller asked for (its mapping snapshot clears the tombstone)
+        if (tombstoned.isEmpty || op == "meta" || op == "restore") ss
+        else {
+          val st = org.apache.spark.sql.types.StructType.fromDDL(ss)
+          val kept = st.filterNot(f => tombstoned(f.name))
+          if (kept.length == st.length) ss
+          else org.apache.spark.sql.types.StructType(kept.toSeq).toDDL
+        }
+      }
       // PARTITION GUARD: a tx table has ONE partitioning — a writer
       // staging under a different partition column would scramble the
       // log's value→files semantics for every reader. Terminal (no
       // retry can fix the caller's layout), so staged files reclaim now.
       for (cp <- current._2; sp <- staged.partSchema if cp != sp) {
-        discard(spark, root, staged)
+        // NEVER discard a "restore" staging: its parts RE-REFERENCE live
+        // committed files — discard would delete real table data
+        if (op != "restore") discard(spark, root, staged)
         throw new IllegalArgumentException(
           s"TxLog.commit: staged partition column [$sp] does not match " +
             s"the table's recorded partition column [$cp] — rebuild the " +
@@ -1628,8 +1727,8 @@ object TxLog {
       // op "meta" is exempt: a DROP COLUMN deliberately records a SUBSET
       // schema — the guard exists for writers that silently lost a
       // column, not for explicit DDL
-      for (cs <- current._1; ss <- staged.schema
-           if cs != ss && op != "meta") {
+      for (cs <- current._1; ss <- stagedSchema
+           if cs != ss && op != "meta" && op != "restore") {
         val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
         val stagedTypes = org.apache.spark.sql.types.StructType.fromDDL(ss)
           .map(f => f.name -> f.dataType).toMap
@@ -1653,7 +1752,7 @@ object TxLog {
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            staged.schema, staged.stats, staged.rows, staged.partSchema,
+            stagedSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
@@ -1835,6 +1934,58 @@ object TxLog {
     val doomed = values.filterNot(keep).toSeq.sorted
     if (doomed.nonEmpty) removePartitionsTx(spark, root, doomed): Unit
     doomed.length
+  }
+
+  /** Transactional RESTORE — the Delta `RESTORE TABLE ... TO VERSION AS
+    * OF` move: roll the table FORWARD to a new commit whose content
+    * equals the state as of `toVersion`, RE-REFERENCING the old immutable
+    * files (zero data copied; rewrites/overwrites since the target are
+    * undone, partitions created since are dropped, and the schema AND
+    * column mapping as of the target are reinstated — a post-target
+    * rename/drop rolls back too). History is preserved: the in-between
+    * versions still time-travel until [[expireLog]]/[[vacuum]] reclaim
+    * them. Requires every target-version file to still exist (vacuum may
+    * have reclaimed overwritten history — checked up front, refused
+    * loudly before any commit). Serialized with concurrent writers by
+    * the conflict protocol: the restore stages EVERY current and target
+    * partition, so any racing commit forces a re-derivation. Driver-
+    * resident tables only: a parquet-checkpointed table's file list never
+    * driver-materializes and its restore would be a payload rewrite
+    * (refused by the [[snapshotAt]] dispatch). Returns the committed
+    * version. */
+  def restoreTx(spark: SparkSession, root: String, toVersion: Long,
+                maxAttempts: Int = 20): Long = {
+    val target = snapshotAt(spark, root, toVersion)
+    require(target.parts.nonEmpty,
+      s"TxLog.restoreTx: version $toVersion of $root is empty — nothing " +
+        "to restore to")
+    // every re-referenced file must still be on disk (the vacuum horizon
+    // bounds restorability exactly as it bounds time travel)
+    val targetFiles = target.parts.values.flatten.toSeq
+    val have = statusByRel(spark, root, targetFiles).keySet
+    val missing = targetFiles.filterNot(have)
+    require(missing.isEmpty,
+      s"TxLog.restoreTx: ${missing.size} data files of version " +
+        s"$toVersion are already vacuumed (e.g. " +
+        s"${missing.take(3).mkString(", ")}) — that version is no longer " +
+        "restorable; retain a longer vacuum window to restore that far")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(spark, root)
+      // partitions live NOW but absent at the target drop via empty file
+      // sets (the "restore" fold semantics)
+      val gone = (snap.parts.keySet -- target.parts.keySet).toSeq
+      val staged = Staged(
+        target.parts ++ gone.map(_ -> Seq.empty[String]),
+        target.schema, target.stats, target.rows, target.partSchema,
+        mapping = Some(target.mapping))
+      try return commit(spark, root, staged, "restore",
+        readVersion = snap.version, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () } // re-derive `gone`
+    }
+    sys.error(s"TxLog.restoreTx: $maxAttempts consecutive conflicts at " +
+      s"$root — pathological contention, back off at the caller")
   }
 
   /** Serializable read-modify-write: derive replacement partitions FROM
@@ -2124,8 +2275,10 @@ object TxLog {
       // appended rows)
       val cdf =
         if (!changeFeed) Seq.empty[String]
-        else writeChanges(candRead.filter(coalesce(cond, lit(false)))
-          .withColumn("_change_type", lit("delete")), root)
+        else writeChanges(changesToPhysical(
+          candRead.filter(coalesce(cond, lit(false)))
+            .withColumn("_change_type", lit("delete")),
+          state.fold(_.mapping, _.mapping)), root)
       val staged =
         if (remaining.isEmpty) Staged(Map.empty, removed = cands,
           changes = cdf)
@@ -2266,7 +2419,8 @@ object TxLog {
             post.map(_.withColumn("_change_type", lit("update_postimage"))),
             Some(ins.withColumn("_change_type", lit("insert"))))
             .flatten.reduce(_ unionByName _)
-          writeChanges(tagged, root)
+          writeChanges(changesToPhysical(tagged,
+            state.fold(_.mapping, _.mapping)), root)
         }
       val staged = stage(upserted, root, ps.map(_.name), Nil, 0)
         .copy(removed = cands, changes = cdf)
@@ -2375,9 +2529,12 @@ object TxLog {
     def listDir(conf: org.apache.hadoop.conf.Configuration, dir: String)
         : Seq[(String, Long, Long)] = {
       val p = new Path(root, dir)
-      p.getFileSystem(conf).listStatus(p).filter(_.isFile)
+      // a vacuumed-away staging dir = no files; each caller raises its own
+      // (more specific) error for files it REQUIRES to exist
+      try p.getFileSystem(conf).listStatus(p).filter(_.isFile)
         .map(st => (s"$dir/${st.getPath.getName}", st.getLen,
           st.getModificationTime)).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
     }
     val all: Seq[(String, Long, Long)] =
       if (dirs.size <= 512) {

@@ -173,8 +173,15 @@ private final class TxCdfMicroBatchStream(root: String,
   private lazy val nPart = TxLog.tableMeta(spark, root)._2.length
   private lazy val partSchema =
     StructType(tableSchema.fields.dropRight(2).takeRight(nPart))
-  private lazy val dataSchema =
-    StructType(tableSchema.fields.dropRight(2 + nPart))
+  // decode by PHYSICAL live names — data files AND change files both
+  // carry them (the column-mapping invariant); positions align with the
+  // reported logical schema, which applied the same rename/tombstone
+  // transform field-by-field
+  private lazy val physDataSchema = {
+    val (data, _) = TxLog.tableMeta(spark, root)
+    val m = TxLog.tableMapping(spark, root)
+    StructType(data.fields.filterNot(f => m.get(f.name).contains("-")))
+  }
 
   override def initialOffset(): Offset = TxOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -203,9 +210,9 @@ private final class TxCdfMicroBatchStream(root: String,
     // values appended; change files carry data+partition+_change_type as
     // PLAIN columns (written by the MERGE/DELETE CDC path), read with an
     // empty partition schema
-    val dataFn = ParquetReadBridge.rowReader(spark, dataSchema, partSchema)
+    val dataFn = ParquetReadBridge.rowReader(spark, physDataSchema, partSchema)
     val cdfFn = ParquetReadBridge.rowReader(spark,
-      StructType((dataSchema ++ partSchema).toSeq :+
+      StructType((physDataSchema ++ partSchema).toSeq :+
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType, true)),
       StructType(Seq.empty))

@@ -1451,4 +1451,89 @@ class TxLogSpec extends SparkSpecBase {
     assert(got === Map(("d1", "web") -> 1L, ("d1", "app") -> 2L,
       ("d2", "web") -> 3L))
   }
+
+  test("racing pre-drop writer cannot resurrect a dropped column in the " +
+      "recorded schema") {
+    val root = freshRoot("dropres")
+    import spark.implicits._
+    TxLog.overwritePartitionsTx(
+      Seq(("a", 1L, 10L)).toDF("part", "n", "extra"), root, "part")
+    // a second writer stages the full (n, extra) schema BEFORE the drop
+    val staged = TxLog.stage(
+      Seq(("b", 2L, 20L)).toDF("part", "n", "extra"), root, "part")
+    TxLog.dropColumnTx(spark, root, "extra")
+    TxLog.commit(spark, root, staged, "append", readVersion = 0L)
+    // the column stays dropped: invisible to reads AND absent from the
+    // recorded schema (the staged superset was sanitized at commit)
+    assert(!TxLog.readTable(spark, root).columns.contains("extra"))
+    assert(!TxLog.snapshot(spark, root).schema.get.contains("extra"))
+    // the tombstone still refuses physical-name reuse
+    val err = intercept[IllegalArgumentException] {
+      TxLog.stage(Seq(("c", 3L, 30L)).toDF("part", "n", "extra"),
+        root, "part")
+    }
+    assert(err.getMessage.contains("DROPPED"))
+  }
+
+  test("change feed re-maps historical windows through the end mapping") {
+    val root = freshRoot("cdfmap")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("part", "k", "v"), root, "part", "b0")
+    TxLog.renameColumnTx(spark, root, "v", "val2")
+    // change files written BETWEEN the renames (physical names on disk)
+    TxLog.mergeKeyedTx(spark, root,
+      Seq(("a", 2L, 25.0)).toDF("part", "k", "val2"), "k",
+      changeFeed = true)
+    TxLog.deleteWhereTx(spark, root, col("k") === 3L, changeFeed = true)
+    // a second rename AFTER the change windows — history must re-map
+    TxLog.renameColumnTx(spark, root, "k", "key2")
+    val (feed, _) = TxLog.readChangeFeed(spark, root, 0L)
+    val cols = feed.get.columns.toSet
+    assert(cols("val2") && cols("key2") && !cols("v") && !cols("k"), cols)
+    val byType = feed.get.groupBy("_change_type").agg(sum("val2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byType === Map("insert" -> 60.0, "update_preimage" -> 20.0,
+      "update_postimage" -> 25.0, "delete" -> 30.0))
+    // a later DROP removes the column from every historical window too
+    TxLog.dropColumnTx(spark, root, "val2")
+    val (feed2, _) = TxLog.readChangeFeed(spark, root, 0L)
+    val cols2 = feed2.get.columns.toSet
+    assert(!cols2("val2") && cols2("key2"), cols2)
+    assert(feed2.get.count() === feed.get.count())
+  }
+
+  test("restore rolls back data, schema and mapping; history stays " +
+      "until vacuumed") {
+    val root = freshRoot("restore")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("b", 2L, 20.0)).toDF("part", "k", "v"),
+      root, "part", "r-b1")                                          // v1
+    TxLog.renameColumnTx(spark, root, "v", "amount")                 // v2
+    val vTarget = 2L
+    // post-target mutations a restore must undo: a second rename, a
+    // keyed merge, a brand-new partition
+    TxLog.renameColumnTx(spark, root, "amount", "amt2")              // v3
+    TxLog.mergeKeyedTx(spark, root,
+      Seq(("a", 1L, 99.0)).toDF("part", "k", "amt2"), "k")           // v4
+    TxLog.appendBatchTx(Seq(("c", 5L, 50.0)).toDF("part", "k", "amt2"),
+      root, "part", "r-b2")                                          // v5
+    TxLog.restoreTx(spark, root, vTarget)                            // v6
+    val df = TxLog.readTable(spark, root)
+    assert(df.columns.toSet === Set("part", "k", "amount"), df.columns.toSeq)
+    val got = df.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("amount")).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 20.0)) // merge undone, `c` gone
+    // the in-between history still time-travels (restore deletes nothing)
+    assert(TxLog.readTableAt(spark, root, 5L).count() === 3L)
+    // vacuum keeps the restored (re-referenced) files live, reclaims the
+    // undone merge rewrite + the dropped partition's files
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0)
+    assert(TxLog.readTable(spark, root).count() === 2L)
+    // a version whose files are vacuumed refuses restore loudly
+    val err = intercept[Exception] { TxLog.restoreTx(spark, root, 4L) }
+    assert(err.getMessage.contains("no longer restorable"), err.getMessage)
+  }
 }
