@@ -3506,6 +3506,213 @@ object SourceQueries {
         .withColumn("restore_ok", lit(1L))
     },
 
+    // ---- q235: DELETION VECTORS — merge-on-read DELETE (the
+    // Delta/Iceberg position-delete shape): a "dv" commit records per
+    // affected data file its cumulative deleted positions in KB-sized
+    // sidecar files — ZERO data files move (loud in-gate require), reads
+    // anti-join on (rel file, _metadata.row_index), metadata-only COUNT
+    // subtracts the recorded counts exactly, the change feed serves the
+    // deletes, and the next rewrite (here a full compaction) MATERIALIZES
+    // the vectors away. Orders land in four key-range batches; two DV
+    // deletes (bottom eighth; key%7==3 in the bottom half — overlapping
+    // files, cumulative union), a keyed MERGE (+1000 on the top eighth —
+    // dv-disjoint files), then compaction. The oracle replays the
+    // deletes and the merge relationally.
+    QueryDef.sql("q235_tx_deletion_vectors",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+         |base AS (SELECT o_orderkey, YEAR(o_orderdate) AS o_year,
+         |                o_totalprice FROM orders),
+         |merged AS (SELECT o_orderkey, o_year,
+         |  CASE WHEN o_orderkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |       THEN o_totalprice + 1000 ELSE o_totalprice END
+         |    AS o_totalprice FROM base, mx),
+         |kept AS (SELECT merged.* FROM merged, mx
+         |  WHERE NOT (o_orderkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |    OR (o_orderkey % 7 = 3
+         |        AND o_orderkey <= CAST(FLOOR(m / 2.0) AS BIGINT))))
+         |SELECT o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS dv_ok
+         |FROM kept GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q235_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, "o_year", s"q235-b$i")
+        lo = hi
+      }
+      val vLoaded = TxLog.snapshot(s, root).version
+      val filesBefore = TxLog.snapshot(s, root).parts
+        .map { case (v, fs) => v -> fs.toSet }
+      // DV delete #1: the bottom eighth — ZERO data files move
+      val (vDv1, n1) = TxLog.deleteWhereDvTx(s, root,
+        col("o_orderkey") <= maxKey / 8, changeFeed = true)
+      require(n1 > 0, "q235: the first dv delete must hit rows")
+      require(TxLog.snapshot(s, root).parts
+          .map { case (v, fs) => v -> fs.toSet } == filesBefore,
+        "q235: a deletion-vector delete must move ZERO data files")
+      // DV delete #2 overlaps the same files: cumulative union
+      val (_, n2) = TxLog.deleteWhereDvTx(s, root,
+        col("o_orderkey") % 7 === 3 &&
+          col("o_orderkey") <= maxKey / 2, changeFeed = true)
+      require(n2 > 0, "q235: the second dv delete must hit rows")
+      // metadata-only COUNT subtracts the vectors exactly
+      val metaCount = TxLog.countRows(s, root)
+      require(metaCount.contains(TxLog.readTable(s, root).count()),
+        s"q235: metadata-only count $metaCount diverged under dvs")
+      // the change feed serves the dv window as delete rows
+      val (dvFeed, _) = TxLog.readChangeFeed(s, root, vLoaded,
+        untilVersion = Some(vDv1))
+      val classes = dvFeed.get.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(classes == Map("delete" -> n1),
+        s"q235: dv change-feed window served $classes, expected " +
+          s"{delete -> $n1}")
+      // a keyed MERGE on dv-disjoint files; the vectors survive it
+      TxLog.mergeKeyedTx(s, root,
+        orders.filter(col("o_orderkey") > maxKey * 7 / 8)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        "o_orderkey")
+      require(TxLog.snapshot(s, root).dvs.nonEmpty,
+        "q235: the dv-disjoint merge must not touch the vectors")
+      // compaction reads dv-filtered and MATERIALIZES the vectors away
+      TxLog.compactPartitionsTx(s, root, "o_year")
+      require(TxLog.snapshot(s, root).dvs.isEmpty,
+        "q235: compaction must materialize every deletion vector")
+      val metaAfter = TxLog.countRows(s, root)
+      val table = TxLog.readTable(s, root)
+      require(metaAfter.contains(table.count()),
+        s"q235: metadata-only count $metaAfter diverged after compaction")
+      table.groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("dv_ok", lit(1L))
+    },
+
+    // ---- q236: BIN-PACKING COMPACTION (the Delta OPTIMIZE move):
+    // rewrite ONLY the small files — streaming/batch ingest accretes one
+    // small file per partition per micro-batch, and table-wide rewrites
+    // (compactPartitionsTx) pay O(table) to fix an O(small files)
+    // problem. One bulk load makes a well-sized file per partition, five
+    // trickle appends make five small ones; compactBinPackTx must merge
+    // exactly the smalls (per partition: the untouched original + ONE
+    // merged file — loud requires), and a second run must find nothing.
+    QueryDef.sql("q236_tx_binpack",
+      s"""WITH base AS (SELECT o_orderkey, YEAR(o_orderdate) AS o_year,
+         |                     o_totalprice FROM orders),
+         |allr AS (SELECT * FROM base
+         |         UNION ALL SELECT * FROM base WHERE o_orderkey % 50 < 5)
+         |SELECT o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS binpack_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q236_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val hfs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      // bulk load: one well-sized file per partition
+      TxLog.appendBatchTx(orders, root, "o_year", "q236-bulk")
+      val bigs = TxLog.snapshot(s, root).parts.values.flatten.toSet
+      val bigMin = bigs.map(f => hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, f)).getLen).min
+      // five trickle appends: five small files per partition
+      (0 until 5).foreach { i =>
+        TxLog.appendBatchTx(orders.filter(col("o_orderkey") % 50 === i),
+          root, "o_year", s"q236-t$i")
+      }
+      val before = TxLog.snapshot(s, root).parts
+      require(before.values.forall(_.size == 6),
+        "q236: expected 1 bulk + 5 trickle files per partition")
+      // bin-pack everything under half the smallest bulk file
+      val (_, packed) = TxLog.compactBinPackTx(s, root, "o_year",
+        smallBytes = bigMin / 2)
+      require(packed == before.values.map(_.size - 1).sum,
+        s"q236: packed $packed files, expected every trickle file")
+      val after = TxLog.snapshot(s, root).parts
+      require(after.values.forall(_.size == 2),
+        s"q236: expected (untouched bulk + merged) per partition, got " +
+          after.values.map(_.size).toSeq.distinct.mkString(","))
+      require(bigs.subsetOf(after.values.flatten.toSet),
+        "q236: the well-sized bulk files must be UNTOUCHED")
+      // idempotent: a second run finds nothing and commits nothing
+      val vNow = TxLog.snapshot(s, root).version
+      val (vAgain, again) = TxLog.compactBinPackTx(s, root, "o_year",
+        smallBytes = bigMin / 2)
+      require(vAgain == vNow && again == 0,
+        "q236: a second bin-pack run must be a no-op")
+      // metadata-only COUNT still exact after the rewrite
+      val metaCount = TxLog.countRows(s, root)
+      val table = TxLog.readTable(s, root)
+      require(metaCount.contains(table.count()),
+        s"q236: metadata-only count $metaCount diverged after bin-pack")
+      table.groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("binpack_ok", lit(1L))
+    },
+
+    // ---- q237: COMMIT-LOG HISTORY (the Delta DESCRIBE HISTORY move):
+    // every retained commit as one audit row — version, op, idempotence
+    // identity, file tallies, commit mtime. A fixed six-op script
+    // (append, append, keyed MERGE, dv DELETE, RENAME, DROP PARTITION)
+    // must surface as exactly those op rows in version order, with batch
+    // ids on the appends, dv sidecars on the dv row, and the mapping
+    // flag on the meta row; the oracle pins the op tally literally.
+    QueryDef.sql("q237_tx_history",
+      """SELECT op, n FROM (VALUES
+        |  ('append', CAST(2 AS BIGINT)), ('dv', CAST(1 AS BIGINT)),
+        |  ('meta', CAST(1 AS BIGINT)), ('remove', CAST(1 AS BIGINT)),
+        |  ('rewrite', CAST(1 AS BIGINT))) AS t(op, n)""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q237_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      TxLog.appendBatchTx(cust.filter(col("c_custkey") <= maxKey / 2),
+        root, "c_mktsegment", "q237-b1")                            // v1
+      TxLog.appendBatchTx(cust.filter(col("c_custkey") > maxKey / 2),
+        root, "c_mktsegment", "q237-b2")                            // v2
+      TxLog.mergeKeyedTx(s, root,
+        cust.filter(col("c_custkey") > maxKey * 7 / 8)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000),
+        "c_custkey")                                                // v3
+      TxLog.deleteWhereDvTx(s, root, col("c_custkey") <= maxKey / 8) // v4
+      TxLog.renameColumnTx(s, root, "c_acctbal", "balance")         // v5
+      TxLog.removePartitionsTx(s, root, Seq("BUILDING"))            // v6
+      val h = TxLog.history(s, root).collect().sortBy(_.getLong(0))
+      require(h.map(_.getLong(0)).toSeq == (1L to 6L),
+        s"q237: expected versions 1..6, got ${h.map(_.getLong(0)).toSeq}")
+      require(h.map(r => r.getString(1)).toSeq ==
+        Seq("append", "append", "rewrite", "dv", "meta", "remove"),
+        s"q237: op order ${h.map(_.getString(1)).toSeq}")
+      require(h.take(2).forall(r => r.getString(3) != null),
+        "q237: appends must carry their batch ids")
+      require(h(3).getLong(10) > 0L,
+        "q237: the dv row must reference its sidecar files")
+      require(h(4).getBoolean(11), "q237: the meta row must set a mapping")
+      require(h.map(_.getLong(12)).toSeq.sorted ==
+        h.map(_.getLong(12)).toSeq,
+        "q237: commit timestamps must be non-decreasing")
+      TxLog.history(s, root).groupBy("op").agg(count(lit(1)).as("n"))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -119,6 +119,12 @@ object TxLog {
   /** relFile → exact footer row count (metadata-only COUNT answers). */
   type FileRows = Map[String, Long]
 
+  /** Deletion-vector state: live data file → (the parquet files holding
+    * its CUMULATIVE deleted (file, pos) positions, deleted-row count).
+    * The latest "dv" commit for a data file holds its FULL position set
+    * (cumulative), so exactly one entry per data file is ever live. */
+  type FileDvs = Map[String, (Seq[String], Long)]
+
   /** One applied commit: `op` is "overwrite", "append", "remove" or
     * "rewrite"; `parts` maps the RAW partition value to the relative
     * data-file paths it ADDS (overwrite replaces a partition's file set,
@@ -155,7 +161,12 @@ object TxLog {
                           // whose change files carry write-time LOGICAL
                           // names (servable only while the table is
                           // unmapped)
-                          cdfPhys: Boolean = false) {
+                          cdfPhys: Boolean = false,
+                          // op "dv": merge-on-read position deletes — per
+                          // affected data file its new CUMULATIVE deletion
+                          // vector; op "restore": the full dv state as of
+                          // the target version (snapshot replacement)
+                          dvs: FileDvs = Map.empty) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -174,7 +185,10 @@ object TxLog {
                             partSchema: Option[String] = None,
                             // physical→logical column mapping as of this
                             // version (empty = identity); "-" = dropped
-                            mapping: Map[String, String] = Map.empty)
+                            mapping: Map[String, String] = Map.empty,
+                            // live deletion vectors (merge-on-read
+                            // deletes); covers live files only, like stats
+                            dvs: FileDvs = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -188,7 +202,10 @@ object TxLog {
                           removed: Map[String, Seq[String]] = Map.empty,
                           changes: Seq[String] = Seq.empty,
                           // op "meta" only: the full mapping snapshot
-                          mapping: Option[Map[String, String]] = None) {
+                          mapping: Option[Map[String, String]] = None,
+                          // op "dv"/"restore": deletion vectors (see
+                          // [[Commit.dvs]])
+                          dvs: FileDvs = Map.empty) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -248,6 +265,10 @@ object TxLog {
                                writers: Map[String, (Long, Long)] = Map.empty,
                                // physical→logical column mapping
                                mapping: Map[String, String] = Map.empty,
+                               // live deletion vectors (v1 checkpoints
+                               // only; v2 crossing requires none — see
+                               // [[checkpoint]])
+                               dvs: FileDvs = Map.empty,
                                // v2 (parquet payload) checkpoints: the
                                // file-level state lives in a parquet dir
                                // under _txlog, NEVER driver-materialized;
@@ -361,6 +382,7 @@ object TxLog {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
     // `c\t<file>`: change-data files (row-level CDC images)
     val changes = lines.filter(_.startsWith("c\t")).map(_.split("\t")(1))
+    val dvs = parseDvs(lines)
     // `writer=<esc(id)>:<seq>`: structured idempotence identity
     val writerSeq = fieldOpt("writer").filter(_ != "-").map { w =>
       val i = w.lastIndexOf(':')
@@ -382,8 +404,28 @@ object TxLog {
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
       removed, changes, writerSeq, mapping,
-      cdfPhys = fieldOpt("cdfNames").contains("phys"))
+      cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs)
   }
+
+  /** `d\t<dataFile>\t<dvFile>` (one row per referenced dv parquet file)
+    * plus `dn\t<dataFile>\t<deletedRows>` — the deletion-vector rows
+    * (commits and v1 checkpoints share the shape). */
+  private def parseDvs(lines: Seq[String]): FileDvs = {
+    val files = lines.filter(_.startsWith("d\t")).map(_.split("\t"))
+      .map { case Array(_, f, dv) => f -> dv }
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2) }
+    val counts = lines.filter(_.startsWith("dn\t")).map(_.split("\t"))
+      .map { case Array(_, f, n) => f -> n.toLong }.toMap
+    files.map { case (f, dvFiles) =>
+      f -> (dvFiles, counts.getOrElse(f, sys.error(
+        s"deletion vector for $f has no dn row — corrupt log line")))
+    }
+  }
+
+  private def renderDvs(dvs: FileDvs): Seq[String] =
+    dvs.toSeq.sortBy(_._1).flatMap { case (f, (dvFiles, n)) =>
+      dvFiles.sorted.map(dv => s"d\t$f\t$dv") :+ s"dn\t$f\t$n"
+    }
 
   /** `s\t<relFile>\t<col>\t<min>\t<max>` rows (commits and checkpoints
     * share the shape). Logs written before stats recording simply have
@@ -420,7 +462,8 @@ object TxLog {
                            removed: Map[String, Seq[String]],
                            changes: Seq[String],
                            writerSeq: Option[(String, Long)] = None,
-                           mapping: Option[Map[String, String]] = None): String = {
+                           mapping: Option[Map[String, String]] = None,
+                           dvs: FileDvs = Map.empty): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -444,6 +487,7 @@ object TxLog {
     }
     val changeRows = changes.sorted.map(f => s"c\t$f")
     (header ++ mappingRows ++ partRows ++ removedRows ++ changeRows ++
+      renderDvs(dvs) ++
       renderStats(stats) ++ renderRows(rows)).mkString("\n") + "\n"
   }
 
@@ -481,7 +525,7 @@ object TxLog {
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
-        parseRows(lines), partSchema, writers, mapping)
+        parseRows(lines), partSchema, writers, mapping, parseDvs(lines))
   }
 
   private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
@@ -501,14 +545,15 @@ object TxLog {
                         rows: FileRows,
                         partSchema: Option[String],
                         writers: Map[String, (Long, Long)],
-                        mapping: Map[String, String]): String = {
+                        mapping: Map[String, String],
+                        dvs: FileDvs = Map.empty): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
-      renderWriters(writers) ++ renderMapping(mapping) ++
+      renderWriters(writers) ++ renderMapping(mapping) ++ renderDvs(dvs) ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
@@ -563,28 +608,37 @@ object TxLog {
       "TxLog.fold: parquet-payload checkpoints never driver-materialize — " +
         "route through stateOf/readTable (a silent empty fold here would " +
         "be wrong results, not a slow path)")
-    val parts = commits.foldLeft(chk.map(_.parts).getOrElse(
-        Map.empty[String, Seq[String]])) { (acc, c) =>
+    val (parts, dvs0) = commits.foldLeft((
+        chk.map(_.parts).getOrElse(Map.empty[String, Seq[String]]),
+        chk.map(_.dvs).getOrElse(Map.empty: FileDvs))) {
+      case ((acc, dv), c) =>
       c.op match {
-        case "overwrite" => acc ++ c.parts
-        case "append" => c.parts.foldLeft(acc) { case (a, (v, fs)) =>
-          a.updated(v, a.getOrElse(v, Seq.empty) ++ fs) }
-        case "remove" => acc -- c.parts.keySet
+        case "overwrite" => (acc ++ c.parts, dv)
+        case "append" => (c.parts.foldLeft(acc) { case (a, (v, fs)) =>
+          a.updated(v, a.getOrElse(v, Seq.empty) ++ fs) }, dv)
+        case "remove" => (acc -- c.parts.keySet, dv)
         case "rewrite" =>
           // file-granular swap: drop the removed files, add the staged
           // ones; a partition rewritten down to zero files disappears
-          c.touched.foldLeft(acc) { (a, v) =>
+          (c.touched.foldLeft(acc) { (a, v) =>
             val gone = c.removed.getOrElse(v, Seq.empty).toSet
             val next = a.getOrElse(v, Seq.empty).filterNot(gone) ++
               c.parts.getOrElse(v, Seq.empty)
             if (next.isEmpty) a - v else a.updated(v, next)
-          }
-        case "meta" => acc // metadata-only (column mapping): no file change
+          }, dv)
+        case "meta" => (acc, dv) // metadata-only: no file change
+        case "dv" =>
+          // merge-on-read position deletes: each entry is the data
+          // file's new CUMULATIVE vector, replacing any prior one; the
+          // commit's `parts` (empty file sets) exist only as the
+          // conflict-check unit
+          (acc, dv ++ c.dvs)
         case "restore" =>
           // full-state replacement re-referencing RETAINED files: staged
           // parts ARE the target version's live sets; partitions absent
-          // at the target ride along with empty file sets and drop here
-          (acc ++ c.parts).filter(_._2.nonEmpty)
+          // at the target ride along with empty file sets and drop here;
+          // deletion vectors snap back to the target's
+          ((acc ++ c.parts).filter(_._2.nonEmpty), c.dvs)
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
@@ -604,7 +658,8 @@ object TxLog {
       (chk.flatMap(_.partSchema).toSeq ++
         commits.flatMap(_.partSchema)).lastOption,
       commits.flatMap(_.mapping).lastOption
-        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)))
+        .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)),
+      dvs = dvs0.filter { case (f, _) => live(f) })
   }
 
   /** Resolved state of a PARQUET-CHECKPOINTED table: the file-level
@@ -649,6 +704,12 @@ object TxLog {
           delta = if (next.isEmpty) delta - v else delta.updated(v, next)
         }
         case "meta" => () // metadata-only (column mapping): no file change
+        case "dv" =>
+          // unreachable by construction: deleteWhereDvTx refuses parquet-
+          // checkpointed tables (DV state is driver-resident by design)
+          sys.error(s"commit v${c.version}: \"dv\" cannot follow a " +
+            "parquet checkpoint — materialize deletion vectors via " +
+            "compaction before the table crosses")
         case "restore" =>
           // unreachable by construction: restoreTx refuses parquet-
           // checkpointed tables (snapshotAt dispatch), and a pre-crossing
@@ -756,7 +817,26 @@ object TxLog {
     * (ordered) partition StructType; log keys decode through
     * [[splitPartKey]]. */
   def readSnapshot(spark: SparkSession, root: String, snap: Snapshot,
-                   partSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+                   partSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    readSnapshotPos(spark, root, snap, partSchema, withPos = false)
+
+  /** Every committed data file lives under a UUID staging dir — the
+    * anchor that RELATIVIZES `_metadata.file_path` (an absolute URI whose
+    * scheme/authority rendering varies by filesystem) back to the log's
+    * rel-path key space for the deletion-vector anti-join. */
+  private val DataFileRe = "/(data/txn-[0-9a-f-]+/.+)$"
+
+  /** [[readSnapshot]] plus position plumbing: `withPos = true` keeps the
+    * `__dv_f` (rel data file) and `__dv_p` (row position) columns on the
+    * output — what [[deleteWhereDvTx]] reads to compute new deletion
+    * vectors. Deletion vectors always apply (a position-delete read can
+    * never resurrect earlier deletes); the anti-join broadcasts the
+    * vector side by size, so a dv'd read costs one codegen'd hash probe
+    * per row and nothing at all on dv-free snapshots. */
+  private[sources] def readSnapshotPos(spark: SparkSession, root: String,
+                                       snap: Snapshot,
+                                       partSchema: org.apache.spark.sql.types.StructType,
+                                       withPos: Boolean): DataFrame = {
     require(snap.parts.nonEmpty,
       s"TxLog table at $root is empty — nothing committed yet")
     val dataSchema = snap.schema
@@ -771,9 +851,24 @@ object TxLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    applyMapping(org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation)),
-      snap.mapping, partSchema)
+    val raw = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    val tagged =
+      if (!withPos && snap.dvs.isEmpty) raw
+      else raw
+        .withColumn("__dv_f",
+          regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+    val undeleted =
+      if (snap.dvs.isEmpty) tagged
+      else {
+        val dvFiles = snap.dvs.values.flatMap(_._1).toSeq.distinct
+        val dv = spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+        tagged.join(dv, Seq("__dv_f", "__dv_p"), "left_anti")
+      }
+    val out = applyMapping(undeleted, snap.mapping, partSchema)
+    if (withPos) out else out.drop("__dv_f", "__dv_p")
   }
 
   /** COLUMN MAPPING at read time (the Delta column-mapping shape): the
@@ -899,7 +994,11 @@ object TxLog {
     stateOf(spark, root) match {
       case Left(snap) =>
         snap.parts.map { case (v, fs) =>
-          v -> (if (fs.forall(snap.rows.contains)) Some(fs.map(snap.rows).sum)
+          // deletion vectors subtract exactly (cumulative per-file counts
+          // ride the log), so merge-on-read deletes stay metadata-countable
+          v -> (if (fs.forall(snap.rows.contains))
+                  Some(fs.map(f => snap.rows(f) -
+                    snap.dvs.get(f).map(_._2).getOrElse(0L)).sum)
                 else None)
         }
       case Right(big) =>
@@ -1089,7 +1188,8 @@ object TxLog {
       .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
     val window = commits.filter(_.version > sinceVersion)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
-      c.op == "restore" || (c.op == "rewrite" && c.changes.isEmpty))
+      c.op == "restore" ||
+      ((c.op == "rewrite" || c.op == "dv") && c.changes.isEmpty))
     require(bad.isEmpty, "TxLog.readChangeFeed: commits " +
       s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
       "no row-level change record — overwrite/remove/restore are not " +
@@ -1111,7 +1211,7 @@ object TxLog {
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(c.version))
       } ++
-      window.filter(_.op == "rewrite").map { c =>
+      window.filter(c => c.op == "rewrite" || c.op == "dv").map { c =>
         val raw = spark.read.parquet(c.changes.map(f => s"$root/$f"): _*)
         val mapped =
           if (endMapping.isEmpty) raw
@@ -1250,14 +1350,16 @@ object TxLog {
     val commits = commits0.filter(_.version <= until)
     val window = commits.filter(_.version > since)
     val bad = window.filter(c => c.op == "overwrite" || c.op == "remove" ||
-      c.op == "restore" || (c.op == "rewrite" && c.changes.isEmpty))
+      c.op == "restore" ||
+      ((c.op == "rewrite" || c.op == "dv") && c.changes.isEmpty))
     require(bad.isEmpty, "TxLog CDF stream: commits " +
       s"[${bad.map(c => s"v${c.version}:${c.op}").mkString(", ")}] carry " +
       "no row-level change record — overwrite/remove/restore are not " +
       "CDC-able, " +
       "and a rewrite serves the feed only when written with " +
       "changeFeed = true")
-    val legacy = window.filter(c => c.op == "rewrite" && !c.cdfPhys)
+    val legacy = window.filter(c =>
+      (c.op == "rewrite" || c.op == "dv") && !c.cdfPhys)
     require(!mapped || legacy.isEmpty, "TxLog CDF stream: commits " +
       s"[${legacy.map(c => s"v${c.version}").mkString(", ")}] wrote their " +
       "change files under write-time column names and the table now has " +
@@ -1266,9 +1368,8 @@ object TxLog {
     val dataRels = window.filter(_.op == "append").flatMap { c =>
       c.parts.toSeq.flatMap { case (v, fs) => fs.map(f => (v, f, c.version)) }
     }
-    val cdfRels = window.filter(_.op == "rewrite").flatMap { c =>
-      c.changes.map(f => (f, c.version))
-    }
+    val cdfRels = window.filter(c => c.op == "rewrite" || c.op == "dv")
+      .flatMap { c => c.changes.map(f => (f, c.version)) }
     if (dataRels.isEmpty && cdfRels.isEmpty) return Seq.empty
     val meta = statusByRel(spark, root,
       dataRels.map(_._2) ++ cdfRels.map(_._1))
@@ -1540,7 +1641,8 @@ object TxLog {
   /** Delete a staged-but-never-committed dir's files (loser cleanup) —
     * change-data files included. */
   def discard(spark: SparkSession, root: String, staged: Staged): Unit =
-    (staged.parts.values.flatten ++ staged.changes)
+    (staged.parts.values.flatten ++ staged.changes ++
+      staged.dvs.values.flatMap(_._1))
       .map(_.split("/")(1)).toSet.foreach { (uuid: String) =>
         val d = new Path(root, s"data/$uuid")
         fsOf(spark, d).delete(d, true)
@@ -1594,7 +1696,7 @@ object TxLog {
              batchId: Option[String] = None, maxAttempts: Int = 50,
              writerSeq: Option[(String, Long)] = None): Long = {
     require(op == "overwrite" || op == "append" || op == "remove" ||
-      op == "rewrite" || op == "meta" || op == "restore",
+      op == "rewrite" || op == "meta" || op == "restore" || op == "dv",
       s"unknown op $op")
     require(op == "rewrite" || staged.removed.isEmpty,
       s"TxLog.commit: op $op cannot remove individual files — only " +
@@ -1602,6 +1704,9 @@ object TxLog {
     require(op == "meta" || op == "restore" || staged.mapping.isEmpty,
       s"TxLog.commit: op $op cannot change the column mapping — only " +
         "\"meta\" and \"restore\" carry one")
+    require(op == "dv" || op == "restore" || staged.dvs.isEmpty,
+      s"TxLog.commit: op $op cannot carry deletion vectors — only " +
+        "\"dv\" and \"restore\" do")
     require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
       "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
@@ -1753,7 +1858,8 @@ object TxLog {
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
             stagedSchema, staged.stats, staged.rows, staged.partSchema,
-            staged.removed, staged.changes, writerSeq, staged.mapping))) {
+            staged.removed, staged.changes, writerSeq, staged.mapping,
+            staged.dvs))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
@@ -1960,8 +2066,10 @@ object TxLog {
       s"TxLog.restoreTx: version $toVersion of $root is empty — nothing " +
         "to restore to")
     // every re-referenced file must still be on disk (the vacuum horizon
-    // bounds restorability exactly as it bounds time travel)
-    val targetFiles = target.parts.values.flatten.toSeq
+    // bounds restorability exactly as it bounds time travel) — deletion
+    // vectors live at the target included
+    val targetFiles = target.parts.values.flatten.toSeq ++
+      target.dvs.values.flatMap(_._1)
     val have = statusByRel(spark, root, targetFiles).keySet
     val missing = targetFiles.filterNot(have)
     require(missing.isEmpty,
@@ -1979,7 +2087,7 @@ object TxLog {
       val staged = Staged(
         target.parts ++ gone.map(_ -> Seq.empty[String]),
         target.schema, target.stats, target.rows, target.partSchema,
-        mapping = Some(target.mapping))
+        mapping = Some(target.mapping), dvs = target.dvs)
       try return commit(spark, root, staged, "restore",
         readVersion = snap.version, conflictCheck = true)
       catch { case _: ConcurrentWriteException => () } // re-derive `gone`
@@ -2047,7 +2155,12 @@ object TxLog {
       val (version, sel, selSnap) = state match {
         case Left(snap) =>
           val s = snap.parts.filter { case (v, _) => select(v) }
-          (snap.version, s, snap.copy(parts = s))
+          val selFiles = s.valuesIterator.flatten.toSet
+          // the dv-filtered read MATERIALIZES deletion vectors: the
+          // rewrite restages only live rows, and the dv entries die with
+          // their replaced files in the fold
+          (snap.version, s, snap.copy(parts = s,
+            dvs = snap.dvs.filter { case (f, _) => selFiles(f) }))
         case Right(big) =>
           val values = big.partValues.filter(select).toSeq
           val payloadSel =
@@ -2123,6 +2236,104 @@ object TxLog {
     require(files > 0, "compactClusteredTx: files must be positive")
     readModifyWriteWhere(spark, root, partCol, partType, select,
       clusterBy = clusterBy, clusterFiles = files)(identity)
+  }
+
+  /** Transactional small-file BIN-PACKING compaction — the Delta
+    * OPTIMIZE (bin-packing) move: within each selected partition,
+    * rewrite ONLY the files smaller than `smallBytes` into merged
+    * outputs, leaving well-sized files UNTOUCHED — a file-granular
+    * "rewrite" commit (removed = the small files, parts = the merged
+    * replacements), so unlike [[compactPartitionsTx]] the cost is
+    * O(small files), not O(selected partitions' data), and a second run
+    * finds nothing to do (idempotent maintenance: returns without a
+    * commit). A partition with fewer than `minFiles` small files is left
+    * alone (rewriting one small file buys nothing). Deletion vectors on
+    * the rewritten files materialize away (the read is dv-filtered);
+    * vectors on untouched files survive. Serialized with concurrent
+    * writers by the conflict protocol, exactly like every rewrite.
+    * Streaming-ingest tables accrete small files per micro-batch — this
+    * plus a partition-scoped schedule is the steady-state answer; at
+    * 100 TB the driver holds only the SELECTED partitions' small-file
+    * list, so scope `select` accordingly (the same contract as
+    * [[readModifyWriteWhere]]). Returns (version, small files removed);
+    * no commit when nothing qualifies. */
+  def compactBinPackTx(spark: SparkSession, root: String, partCol: String,
+                       smallBytes: Long, partType: DataType = StringType,
+                       select: String => Boolean = _ => true,
+                       minFiles: Int = 2, maxAttempts: Int = 20): (Long, Int) = {
+    require(smallBytes > 0, "compactBinPackTx: smallBytes must be positive")
+    require(minFiles >= 2, "compactBinPackTx: merging fewer than 2 files " +
+      "is a no-op — minFiles must be at least 2")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val state = stateOf(spark, root)
+      val version = state.fold(_.version, _.version)
+      val ps = state.fold(_.partSchema, _.partSchema)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(singleCol(partCol, partType))
+      // selected partitions' file sizes: grouped driver listings on a
+      // driver-resident table, ONE payload query (its `size` column) on
+      // a parquet-checkpointed one — never a full-table driver fold
+      val sized: Map[String, Seq[(String, Long)]] = state match {
+        case Left(snap) =>
+          val sel = snap.parts.filter { case (v, _) => select(v) }
+          val meta = statusByRel(spark, root, sel.values.flatten.toSeq)
+          sel.map { case (v, fs) =>
+            v -> fs.map(f => f -> meta.getOrElse(f, sys.error(
+              s"TxLog.compactBinPackTx: live file $f missing under $root"))
+              ._1)
+          }
+        case Right(big) =>
+          val values = big.partValues.filter(select).toSeq
+          val payloadSel =
+            if (values.isEmpty) Map.empty[String, Seq[(String, Long)]]
+            else payloadLiveDF(spark, root, big)
+              .filter(col("part").isin(values: _*))
+              .select("part", "file", "size").collect()
+              .groupBy(_.getString(0))
+              .map { case (v, xs) =>
+                v -> xs.map(r => r.getString(1) -> r.getLong(2)).toSeq }
+          val deltaMeta = statusByRel(spark, root,
+            big.deltaParts.filter(kv => select(kv._1))
+              .values.flatten.toSeq)
+          val deltaSel = big.deltaParts.filter(kv => select(kv._1))
+            .map { case (v, fs) => v -> fs.map(f =>
+              f -> deltaMeta.getOrElse(f, sys.error(
+                s"TxLog.compactBinPackTx: live file $f missing under " +
+                  root))._1) }
+          (payloadSel.keySet ++ deltaSel.keySet).map { v =>
+            v -> (payloadSel.getOrElse(v, Seq.empty) ++
+              deltaSel.getOrElse(v, Seq.empty))
+          }.toMap
+      }
+      val smalls = sized.map { case (v, fs) =>
+        v -> fs.collect { case (f, sz) if sz < smallBytes => f }
+      }.filter(_._2.size >= minFiles)
+      if (smalls.isEmpty) return (version, 0)
+      val smallFiles = smalls.valuesIterator.flatten.toSet
+      val candSnap = Snapshot(version, smalls, state.fold(_.schema, _.schema),
+        Map.empty, Map.empty, state.fold(_.partSchema, _.partSchema),
+        mapping = state.fold(_.mapping, _.mapping),
+        dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
+          .filter { case (f, _) => smallFiles(f) })
+      // one merged file per partition ([[stage]]'s hash repartition) —
+      // the small-file steady state; a partition whose smalls exceed a
+      // sane file size should be on the compactClusteredTx schedule
+      val merged = readSnapshot(spark, root, candSnap, ps)
+      val staged =
+        if (merged.isEmpty) // every small row was dv-deleted: pure removal
+          Staged(Map.empty, removed = smalls)
+        else stage(merged, root, ps.map(_.name), Nil, 0)
+          .copy(removed = smalls)
+      try return (commit(spark, root, staged, "rewrite",
+        readVersion = version, conflictCheck = true), smallFiles.size)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.compactBinPackTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the caller")
   }
 
   /** Transactional MULTI-KEY Z-ORDER compaction — the full OPTIMIZE
@@ -2262,10 +2473,16 @@ object TxLog {
         readState(spark, root, state, ps), cond, ps.map(_.name))
       if (cands.isEmpty) return (version, 0)
       // candidates are O(matching files) — a bounded driver-side read
-      // even when the table itself is parquet-checkpointed
+      // even when the table itself is parquet-checkpointed. Deletion
+      // vectors of candidate files apply to the read (already-deleted
+      // rows neither restage nor re-enter the change feed) and die with
+      // the replaced files in the fold.
+      val candFiles = cands.valuesIterator.flatten.toSet
       val candSnap = Snapshot(version, cands, schema,
         Map.empty, Map.empty, partSchema,
-        mapping = state.fold(_.mapping, _.mapping))
+        mapping = state.fold(_.mapping, _.mapping),
+        dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
+          .filter { case (f, _) => candFiles(f) })
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
       val candRead = readSnapshot(spark, root, candSnap, ps)
       val remaining = candRead.filter(keep)
@@ -2293,6 +2510,111 @@ object TxLog {
     }
     sys.error(s"TxLog.deleteWhereTx: $maxAttempts consecutive conflicts " +
       s"at $root — pathological contention, back off at the caller")
+  }
+
+  /** MERGE-ON-READ keyed DELETE — position deletes via DELETION VECTORS
+    * (the Delta/Iceberg DV shape): instead of rewriting every file that
+    * might hold a matching row ([[deleteWhereTx]]'s copy-on-write), one
+    * "dv" commit records, per affected data file, its CUMULATIVE deleted
+    * (file, position) set in small sidecar parquet files — ZERO data
+    * files move, so a point delete on a 1-GB-file table costs KBs of
+    * I/O, not a gigabyte rewrite. Reads anti-join the scan against the
+    * live vectors on (rel file, `_metadata.row_index`) — a codegen'd
+    * broadcast hash probe per row, nothing on dv-free tables — and
+    * metadata-only COUNTs subtract the recorded per-file counts exactly.
+    * Vectors MATERIALIZE (and disappear) at the next rewrite of their
+    * file: compaction/MERGE read dv-filtered and replace the file, so
+    * the steady state under maintenance is dv-free. Same candidate
+    * search, conflict protocol, and optional `changeFeed` (delete
+    * images) as [[deleteWhereTx]]. Driver-resident tables only: DV state
+    * rides the log (refused on parquet-checkpointed tables — at that
+    * scale, copy-on-write delete with data skipping is the honest path);
+    * size deletes accordingly — a delete touching most rows should use
+    * the rewrite path, not accumulate giant vectors. Returns (committed
+    * version, positions newly deleted); (currentVersion, 0) = no commit. */
+  def deleteWhereDvTx(spark: SparkSession, root: String, cond: Column,
+                      maxAttempts: Int = 20,
+                      changeFeed: Boolean = false): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val state = stateOf(spark, root)
+      val snap = state match {
+        case Left(s) => s
+        case Right(big) => sys.error(s"TxLog.deleteWhereDvTx: the table " +
+          s"at $root is parquet-checkpointed (${big.nfiles}+ files) — " +
+          "deletion-vector state is driver-resident by design; use " +
+          "deleteWhereTx (file-granular rewrite) at that scale")
+      }
+      val version = snap.version
+      if (snap.parts.isEmpty) return (version, 0L)
+      val ps = partSchemaOf(state, root, "deleteWhereDvTx")
+      // dv-less candidate search: stats pruning decides FILES, and the
+      // dv anti-join can only shrink rows within them — a simpler plan
+      // for the same candidate set
+      val cands = candidatesOf(
+        readSnapshot(spark, root, snap.copy(dvs = Map.empty), ps),
+        cond, ps.map(_.name))
+      if (cands.isEmpty) return (version, 0L)
+      val candFiles = cands.valuesIterator.flatten.toSet
+      val candDvs = snap.dvs.filter { case (f, _) => candFiles(f) }
+      val candSnap = Snapshot(version, cands, snap.schema,
+        Map.empty, Map.empty, snap.partSchema,
+        mapping = snap.mapping, dvs = candDvs)
+      // candidate rows with their (rel file, position) identity, already
+      // dv-filtered (a position can never re-delete) and under logical
+      // names (so `cond` and the change feed speak the caller's schema)
+      val candRead = readSnapshotPos(spark, root, candSnap, ps,
+        withPos = true)
+      val matches = candRead.filter(coalesce(cond, lit(false)))
+      val newPos = matches
+        .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+      // cumulative vectors: the new sidecar carries old ∪ new positions
+      // for every candidate file, so exactly ONE dv entry per data file
+      // is ever live (prior sidecars unreference and vacuum away)
+      val priorDvFiles = candDvs.values.flatMap(_._1).toSeq.distinct
+      val allPos =
+        if (priorDvFiles.isEmpty) newPos
+        else newPos.unionByName(
+          spark.read.parquet(priorDvFiles.map(f => s"$root/$f"): _*)
+            .filter(col("file").isin(candFiles.toSeq: _*)))
+      val rel = s"data/dv-${java.util.UUID.randomUUID()}"
+      val dir = new Path(root, rel)
+      allPos.write.mode("errorifexists").parquet(dir.toString)
+      val dvFiles = fsOf(spark, dir).listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .map(f => s"$rel/$f").toSeq
+      val counts = spark.read.parquet(dir.toString).groupBy("file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val priorN = candDvs.valuesIterator.map(_._2).sum
+      val added = counts.values.sum - priorN
+      if (added == 0L) { // cond matched nothing live — no commit
+        fsOf(spark, dir).delete(dir, true)
+        return (version, 0L)
+      }
+      val dvEntry: FileDvs =
+        counts.map { case (f, n) => f -> (dvFiles, n) }
+      val cdf =
+        if (!changeFeed) Seq.empty[String]
+        else writeChanges(changesToPhysical(
+          matches.drop("__dv_f", "__dv_p")
+            .withColumn("_change_type", lit("delete")),
+          snap.mapping), root)
+      // the affected partitions (empty file sets) are the conflict unit:
+      // a concurrent rewrite of a candidate file must force re-derivation
+      val staged = Staged(
+        counts.keySet.flatMap(f => cands.collectFirst {
+          case (v, fs) if fs.contains(f) => v
+        }).map(_ -> Seq.empty[String]).toMap,
+        changes = cdf, dvs = dvEntry)
+      try return (commit(spark, root, staged, "dv",
+        readVersion = version, conflictCheck = true), added)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.deleteWhereDvTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the caller")
   }
 
   /** Transactional keyed MERGE (upsert) — the Delta `MERGE ... WHEN
@@ -2390,9 +2712,14 @@ object TxLog {
       val tableCols = source.columns.map(col).toSeq
       val candRead =
         if (cands.isEmpty) None
-        else Some(readSnapshot(spark, root,
-          Snapshot(version, cands, schema, Map.empty, Map.empty,
-            partSchemaDDL, mapping = state.fold(_.mapping, _.mapping)), ps))
+        else {
+          val candFiles = cands.valuesIterator.flatten.toSet
+          Some(readSnapshot(spark, root,
+            Snapshot(version, cands, schema, Map.empty, Map.empty,
+              partSchemaDDL, mapping = state.fold(_.mapping, _.mapping),
+              dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
+                .filter { case (f, _) => candFiles(f) }), ps))
+        }
       val unmatched = candRead.map(
         _.join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
@@ -2434,6 +2761,49 @@ object TxLog {
       s"at $root — pathological contention, back off at the caller")
   }
 
+  /** Audit surface — the Delta DESCRIBE HISTORY move: every commit still
+    * on disk as one row (version order), with its op, idempotence
+    * identity, touched-partition/file tallies and the commit file's
+    * mtime. Commits expired by [[expireLog]] are gone (their effects
+    * live on in the checkpoint); the driver holds O(retained commits)
+    * rows, the same bound every log fold already obeys. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    val commits: Seq[(Commit, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case n @ VersionRe(v) =>
+            try Some((parseCommit(v.toLong, readFile(fs, st.getPath)),
+              st.getModificationTime))
+            catch { case _: java.io.FileNotFoundException => None }
+          case _ => None
+        }
+      }.sortBy(_._1.version)
+    require(commits.length <= Warehouse.MaxDriverPartitions,
+      s"TxLog.history: ${commits.length} retained commits at $root exceed " +
+        "the driver-side metadata bound — run expireLog first")
+    import scala.jdk.CollectionConverters._
+    val rows = commits.map { case (c, mtime) =>
+      org.apache.spark.sql.Row(c.version, c.op, c.readVersion,
+        c.batchId.orNull, c.writerSeq.map(_._1).orNull,
+        c.writerSeq.map(w => java.lang.Long.valueOf(w._2)).orNull,
+        c.touched.size.toLong,
+        c.parts.valuesIterator.map(_.size).sum.toLong,
+        c.removed.valuesIterator.map(_.size).sum.toLong,
+        c.changes.size.toLong, c.dvs.size.toLong,
+        c.mapping.isDefined, mtime)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, op STRING, read_version BIGINT, " +
+          "batch_id STRING, writer_id STRING, writer_seq BIGINT, " +
+          "n_partitions BIGINT, n_files_added BIGINT, " +
+          "n_files_removed BIGINT, n_change_files BIGINT, " +
+          "n_dv_files BIGINT, sets_mapping BOOLEAN, ts_millis BIGINT"))
+  }
+
   /** Maintenance: fold the log into a CHECKPOINT at the current version
     * — the Delta checkpoint move that keeps every subsequent snapshot
     * fold O(checkpoint + recent deltas) instead of O(all commits ever).
@@ -2473,8 +2843,17 @@ object TxLog {
         if (nf < chkParquetMin(spark))
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
-              snap.rows, snap.partSchema, writers, snap.mapping)): Unit
-        else writeChkV2FromSnap(spark, root, snap, batchIds, writers)
+              snap.rows, snap.partSchema, writers, snap.mapping,
+              snap.dvs)): Unit
+        else {
+          // deletion vectors are a driver-resident (hot-table) feature —
+          // the payload path deliberately does not carry them
+          require(snap.dvs.isEmpty, s"TxLog.checkpoint: the table at " +
+            s"$root carries ${snap.dvs.size} deletion vectors and is " +
+            "crossing to a parquet checkpoint — materialize them first " +
+            "(compactPartitionsTx over the dv'd partitions)")
+          writeChkV2FromSnap(spark, root, snap, batchIds, writers)
+        }
     }
     version
   }
@@ -2733,7 +3112,8 @@ object TxLog {
     stateOf(spark, root) match {
       case Left(snap) =>
         vacuumDriver(spark, root,
-          snap.parts.values.flatten.toSet ++ changeFiles, minAgeMs)
+          snap.parts.values.flatten.toSet ++ changeFiles ++
+            snap.dvs.values.flatMap(_._1), minAgeMs)
       case Right(big) => vacuumBig(spark, root, big, changeFiles, minAgeMs)
     }
   }

@@ -1504,6 +1504,117 @@ class TxLogSpec extends SparkSpecBase {
     assert(feed2.get.count() === feed.get.count())
   }
 
+  test("deletion vectors: merge-on-read delete moves no data files; " +
+      "rewrites materialize them") {
+    val root = freshRoot("dv")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+          ("b", 4L, 40.0)).toDF("part", "k", "v"), root, "part", "dv-b1")
+    val filesBefore = TxLog.snapshot(spark, root).parts
+      .map { case (p, fs) => p -> fs.toSet }
+    // DV delete: zero data files move
+    val (_, n1) = TxLog.deleteWhereDvTx(spark, root, col("k") === 2L)
+    assert(n1 === 1L)
+    assert(TxLog.snapshot(spark, root).parts
+      .map { case (p, fs) => p -> fs.toSet } === filesBefore)
+    val got1 = TxLog.read(spark, root, "part").select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got1 === Set(1L, 3L, 4L))
+    // metadata-only COUNT subtracts the vector exactly
+    assert(TxLog.countRows(spark, root) === Some(3L))
+    // second DV delete on the SAME file: cumulative union
+    val (_, n2) = TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)
+    assert(n2 === 1L)
+    assert(TxLog.countRows(spark, root) === Some(2L))
+    assert(TxLog.read(spark, root, "part").select("k")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // deleting an already-deleted (or absent) row is a no-op, no commit
+    val vNow = TxLog.snapshot(spark, root).version
+    val (vSame, n3) = TxLog.deleteWhereDvTx(spark, root, col("k") === 2L)
+    assert(vSame === vNow && n3 === 0L)
+    // merge upserts a DELETED key: dv-filtered candidates treat it as
+    // new, and the rewrite kills the file's dv entry with the file
+    TxLog.mergeKeyedTx(spark, root,
+      Seq(("a", 2L, 25.0)).toDF("part", "k", "v"), "k")
+    val got2 = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(got2 === Map(2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
+    assert(TxLog.snapshot(spark, root).dvs.isEmpty,
+      "the merge rewrite must materialize the affected file's vector")
+    assert(TxLog.countRows(spark, root) === Some(3L))
+    // time travel reads the dv'd states exactly
+    assert(TxLog.readTableAt(spark, root, 2L).count() === 3L)
+    assert(TxLog.readTableAt(spark, root, 3L).count() === 2L)
+    // vacuum reclaims the superseded sidecars (all dvs are gone now)
+    assert(TxLog.vacuum(spark, root, minAgeMs = 0L) >= 0)
+    assert(TxLog.read(spark, root, "part").count() === 3L)
+  }
+
+  test("deletion vectors: compaction materializes, restore reinstates, " +
+      "checkpoint carries them") {
+    val root = freshRoot("dv2")
+    import spark.implicits._
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+    try {
+      TxLog.appendBatchTx(
+        Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+          .toDF("part", "k", "v"), root, "part", "dv2-b1")
+      TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)   // v2
+      val vDv = 2L
+      // checkpoint folds the vector; reads after expiry still subtract
+      TxLog.checkpoint(spark, root)
+      TxLog.expireLog(spark, root)
+      assert(TxLog.countRows(spark, root) === Some(2L))
+      assert(TxLog.read(spark, root, "part").select("k")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+      // compaction reads dv-filtered and drops the vectors
+      TxLog.compactPartitionsTx(spark, root, "part",
+        select = _ == "a")                                   // v3
+      assert(TxLog.snapshot(spark, root).dvs.isEmpty)
+      assert(TxLog.read(spark, root, "part").count() === 2L)
+      // restore to the dv'd version reinstates the vector state
+      TxLog.restoreTx(spark, root, vDv)                      // v4
+      assert(TxLog.snapshot(spark, root).dvs.nonEmpty)
+      assert(TxLog.read(spark, root, "part").select("k")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+      assert(TxLog.countRows(spark, root) === Some(2L))
+    } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+  }
+
+  test("bin-packing merges only small files; fully-dv-deleted smalls " +
+      "remove without restage") {
+    val root = freshRoot("binpack")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 9L, 9.0))
+        .toDF("part", "k", "v"), root, "part", "bp1")
+    TxLog.appendBatchTx(Seq(("a", 3L, 3.0)).toDF("part", "k", "v"),
+      root, "part", "bp2")
+    // partition b has ONE file — below minFiles, never rewritten
+    val bFile = TxLog.snapshot(spark, root).parts("b")
+    // merge a's two files
+    val (_, n1) = TxLog.compactBinPackTx(spark, root, "part",
+      smallBytes = Long.MaxValue)
+    assert(n1 === 2)
+    val snap1 = TxLog.snapshot(spark, root)
+    assert(snap1.parts("a").size === 1 && snap1.parts("b") === bFile)
+    assert(TxLog.read(spark, root, "part").agg(sum("v")).head.getDouble(0)
+      === 15.0)
+    // a second append + full dv delete of partition a, then bin-pack:
+    // the merged read is EMPTY, so the smalls remove without restage
+    TxLog.appendBatchTx(Seq(("a", 4L, 4.0)).toDF("part", "k", "v"),
+      root, "part", "bp3")
+    TxLog.deleteWhereDvTx(spark, root, col("part") === "a")
+    val (_, n2) = TxLog.compactBinPackTx(spark, root, "part",
+      smallBytes = Long.MaxValue)
+    assert(n2 === 2)
+    val snap2 = TxLog.snapshot(spark, root)
+    assert(!snap2.parts.contains("a") && snap2.dvs.isEmpty)
+    assert(TxLog.read(spark, root, "part").agg(sum("v")).head.getDouble(0)
+      === 9.0)
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
