@@ -3713,6 +3713,60 @@ object SourceQueries {
       TxLog.history(s, root).groupBy("op").agg(count(lit(1)).as("n"))
     },
 
+    // ---- q238: TRANSACTIONAL STREAMING SINK (the Delta streaming-sink
+    // shape): `writeStream.format("txlog")` commits one transactional
+    // append per micro-batch under the (checkpoint-derived writerId,
+    // batchId) writer-seq ledger — exactly-once WITHOUT sink-side
+    // bookkeeping, because idempotence is the table's commit protocol.
+    // A tx-to-tx streaming pipeline: events land in table A in three
+    // batches; a txlog→txlog stream drains A into B across a COLD
+    // RESTART seam; B's commit history must be exactly the ledgered
+    // appends (one per non-empty micro-batch, seq = batch id), and B's
+    // contents must equal A's relationally.
+    QueryDef.sql("q238_tx_stream_sink",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT event_id) AS n_ids,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS sink_ok
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q238_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val a = s"$base/a"; val b = s"$base/b"; val ckpt = s"$base/ckpt"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog").load(a)
+          .writeStream.format("txlog")
+          .option("path", b).partitionBy("event_type")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      TxLog.appendBatchTx(slice(0), a, "event_type", "q238-b0")
+      TxLog.appendBatchTx(slice(1), a, "event_type", "q238-b1")
+      drain()
+      TxLog.appendBatchTx(slice(2), a, "event_type", "q238-b2")
+      drain() // cold restart: the ledger resumes at the next batch id
+      val h = TxLog.history(s, b).collect()
+      require(h.forall(r => r.getString(1) == "append" &&
+        r.getString(4) != null),
+        s"q238: B's history must be all ledgered appends, got " +
+          h.map(r => (r.getString(1), r.getString(4))).mkString(","))
+      val seqs = h.map(_.getLong(5)).sorted.toSeq
+      require(seqs == seqs.distinct && seqs.nonEmpty,
+        s"q238: writer seqs must be distinct batch ids, got $seqs")
+      // the sink table reads back equal to the source table
+      TxLog.readTable(s, b)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          dsum(col("value")).as("total_value"))
+        .withColumn("sink_ok", lit(1L))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -38,7 +38,8 @@ import graft.sources.{PartValueRow, TxLog}
   * re-read whole tables per run (`sales_analytics_dag.py` cadence);
   * here a downstream stream re-reads O(new commits), never O(table).
   */
-class TxSourceProvider extends TableProvider with DataSourceRegister {
+class TxSourceProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "txlog"
 
@@ -46,9 +47,41 @@ class TxSourceProvider extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       sys.error("txlog source: .load(<table root>) is required"))
 
+  /** SINK side — `df.writeStream.format("txlog")`: every micro-batch is
+    * one transactional commit under the (checkpoint-derived writerId,
+    * batchId) writer-seq identity, so the stream is exactly-once BY THE
+    * TABLE'S OWN LEDGER: a post-crash replay of the last batch commits
+    * idempotently, however the stream restarts ([[TxSink]]). */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    def opt(k: String): Option[String] = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v
+    }
+    val sinkRoot = opt("path").getOrElse(
+      sys.error("txlog sink: .option(\"path\", <table root>) or " +
+        ".start(<table root>) is required"))
+    // the replay ledger's writer identity: stable across restarts of the
+    // SAME checkpointed query, distinct across queries — exactly the
+    // checkpoint's own identity (override with .option("writerId", ...)
+    // to share a ledger row across checkpoint relocations)
+    val writerId = opt("writerId").getOrElse(opt("checkpointLocation")
+      .map(cp => s"txsink:$cp").getOrElse(sys.error(
+        "txlog sink: a checkpointLocation (or an explicit writerId " +
+          "option) is required — it keys the exactly-once replay ledger")))
+    new TxSink(sinkRoot, partitionColumns, outputMode, writerId)
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val (data, ps) = TxLog.tableMeta(spark, root(options))
+    // the WRITE path resolves the provider's table before it falls back
+    // to the v1 sink — a not-yet-created table must not explode here
+    // (reads of a missing table still fail loudly, at stream start)
+    val (data, ps) =
+      try TxLog.tableMeta(spark, root(options))
+      catch { case _: Exception => return new StructType() }
     // report LOGICAL names (renames applied, dropped columns gone); the
     // decode below still reads files by their PHYSICAL names
     val m = TxLog.tableMapping(spark, root(options))
@@ -76,6 +109,51 @@ class TxSourceProvider extends TableProvider with DataSourceRegister {
     new TxStreamTable(schema,
       Option(properties.get("path")).getOrElse(
         sys.error("txlog source: .load(<table root>) is required")))
+}
+
+/** The transactional streaming sink (the Delta streaming-sink shape): one
+  * commit per micro-batch under the writer-seq replay ledger —
+  * exactly-once without any sink-side bookkeeping, because idempotence
+  * IS the table's commit protocol. Append mode appends; Complete mode
+  * overwrites the staged partitions each batch. The table's RECORDED
+  * partitioning wins once it exists; `.partitionBy(...)` seeds a fresh
+  * table (and must match an existing one). */
+private final class TxSink(root: String, partCols: Seq[String],
+                           outputMode: org.apache.spark.sql.streaming.OutputMode,
+                           writerId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val spark = data.sparkSession
+    // re-mount the micro-batch's incremental plan as a batch frame —
+    // stage()'s writer refuses isStreaming plans
+    val df = org.apache.spark.sql.graftbridge.DatasetBridge.rebatch(data.toDF())
+    if (df.isEmpty) return // an empty batch commits nothing (replay-safe)
+    val recorded: Option[Seq[String]] =
+      try Some(TxLog.tableMeta(spark, root)._2.map(_.name).toSeq)
+      catch { case _: Exception => None }
+    recorded.foreach { r =>
+      require(partCols.isEmpty || partCols == r,
+        s"txlog sink: partitionBy [${partCols.mkString(", ")}] does not " +
+          s"match the table's recorded partitioning [${r.mkString(", ")}]")
+    }
+    val cols = recorded.getOrElse {
+      require(partCols.nonEmpty, "txlog sink: .partitionBy(...) is " +
+        "required when the sink creates the table")
+      partCols
+    }
+    val op = outputMode match {
+      case m if m == org.apache.spark.sql.streaming.OutputMode.Append() =>
+        "append"
+      case m if m == org.apache.spark.sql.streaming.OutputMode.Complete() =>
+        "overwrite"
+      case other => sys.error(s"txlog sink: unsupported output mode " +
+        s"$other — Append and Complete only")
+    }
+    TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0), op,
+      readVersion = 0L, writerSeq = Some((writerId, batchId))): Unit
+  }
 }
 
 private final class TxStreamTable(tableSchema: StructType, root: String)
