@@ -154,7 +154,14 @@ object Bench {
     // r16 rows
     "q230_tx_multicol_partitions", // (year, priority) composite partitioning
     "q231_tx_rename_column",       // column-mapping rename, zero rewrites
-    "q232_tx_cdf_stream"           // readChangeFeed streaming mode
+    "q232_tx_cdf_stream",          // readChangeFeed streaming mode
+    // r16 second-wave rows
+    "q233_tx_cdf_mapped",          // change feed re-mapped through renames
+    "q234_tx_restore",             // RESTORE TO VERSION, zero data copied
+    "q235_tx_deletion_vectors",    // merge-on-read DELETE (position deletes)
+    "q236_tx_binpack",             // OPTIMIZE bin-packing, smalls only
+    "q237_tx_history",             // DESCRIBE HISTORY audit surface
+    "q238_tx_stream_sink"          // transactional streaming sink (ledger)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -298,7 +305,15 @@ object Bench {
     // r16 rows (isolated min-of-3, canary 0.27/0.25/0.24/0.22)
     "q230_tx_multicol_partitions" -> 7.32,
     "q231_tx_rename_column" -> 1.70,
-    "q232_tx_cdf_stream" -> 4.95)
+    "q232_tx_cdf_stream" -> 4.95,
+    // r16 second wave (isolated min-of-3, canary 0.37/0.22/0.23/0.21,
+    // q01 anchor 0.31 — in band)
+    "q233_tx_cdf_mapped" -> 4.76,
+    "q234_tx_restore" -> 2.69,
+    "q235_tx_deletion_vectors" -> 4.71,
+    "q236_tx_binpack" -> 2.59,
+    "q237_tx_history" -> 1.53,
+    "q238_tx_stream_sink" -> 2.50)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
