@@ -3767,6 +3767,164 @@ object SourceQueries {
         .withColumn("sink_ok", lit(1L))
     },
 
+    // ---- q239: UPDATE-MODE STREAMING SINK — the streaming-AGGREGATION
+    // sink: `.outputMode("update").option("mergeKey", ...)` turns each
+    // trigger's changed groups into a ledgered keyed MERGE, so the tx
+    // table always holds every group's LATEST totals (the Delta
+    // foreachBatch-upsert pattern as a first-class sink). A stateful
+    // count/sum over the commit-log stream runs across a COLD RESTART
+    // (state recovered from the stream checkpoint, upserts deduped by
+    // the writer-seq ledger); the final table must equal the batch
+    // aggregate of ALL events.
+    QueryDef.sql("q239_tx_update_sink",
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value,
+         |  CAST(1 AS BIGINT) AS upsert_ok
+         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val base = scratch("q239_tx")
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(basePath, true)
+      val a = s"$base/a"; val b = s"$base/b"; val ckpt = s"$base/ckpt"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(3)) === i)
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog").load(a)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("total_value"))
+          .writeStream.format("txlog")
+          .outputMode("update").option("mergeKey", "event_type")
+          .option("path", b).partitionBy("event_type")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      TxLog.appendBatchTx(slice(0), a, "event_type", "q239-b0")
+      TxLog.appendBatchTx(slice(1), a, "event_type", "q239-b1")
+      drain()
+      TxLog.appendBatchTx(slice(2), a, "event_type", "q239-b2")
+      drain() // cold restart: state recovers, changed groups re-upsert
+      // the sink history: one seeding append, then ledgered rewrites
+      val h = TxLog.history(s, b).collect().sortBy(_.getLong(0))
+      require(h.head.getString(1) == "append" &&
+        h.tail.forall(_.getString(1) == "rewrite"),
+        s"q239: expected seed-append then merges, got " +
+          h.map(_.getString(1)).mkString(","))
+      require(h.forall(_.getString(4) != null),
+        "q239: every sink commit must carry the writer-seq ledger id")
+      TxLog.readTable(s, b)
+        .select("event_type", "n_events", "total_value")
+        .withColumn("upsert_ok", lit(1L))
+    },
+
+    // ---- q240: TIME TRAVEL BY TIMESTAMP (the Delta `TIMESTAMP AS OF`
+    // read): resolve the latest version whose commit file landed at or
+    // before the given wall-clock instant (commit mtime — the storage
+    // system's clock) and read the table as of it. Two batches land;
+    // reading AS OF the first commit's mtime must see exactly the first
+    // batch, while "now" resolves the full table.
+    QueryDef.sql("q240_tx_time_travel_ts",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+         |SELECT YEAR(o_orderdate) AS o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS ts_ok
+         |FROM orders, mx
+         |WHERE o_orderkey <= CAST(FLOOR(m / 2.0) AS BIGINT)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q240_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") <= maxKey / 2),
+        root, "o_year", "q240-b1")
+      val t1 = TxLog.history(s, root).collect().head.getLong(12)
+      // commit mtimes are millisecond-granular: keep the two commits'
+      // clocks strictly apart so the AS-OF boundary is unambiguous
+      Thread.sleep(50)
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") > maxKey / 2),
+        root, "o_year", "q240-b2")
+      require(TxLog.versionAsOf(s, root, t1) == 1L,
+        s"q240: ts $t1 must resolve version 1")
+      require(TxLog.versionAsOf(s, root,
+          System.currentTimeMillis() + 60000) == 2L,
+        "q240: a future timestamp must resolve the latest version")
+      TxLog.readTableAsOf(s, root, t1)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("ts_ok", lit(1L))
+    },
+
+    // ---- q241: CHECK CONSTRAINTS (the Delta `ALTER TABLE ADD
+    // CONSTRAINT ... CHECK` move): a metadata-only commit records a
+    // named SQL predicate; every staged write validates BEFORE its
+    // files can commit (a violating batch refuses with zero metadata
+    // changes and zero orphan files), existing-data violations refuse
+    // the ADD itself, and DROP re-opens the gate. The oracle replays
+    // the surviving writes relationally.
+    QueryDef.sql("q241_tx_check_constraints",
+      s"""WITH allr AS (
+         |  SELECT c_mktsegment, c_acctbal FROM customer
+         |  UNION ALL SELECT c_mktsegment, c_acctbal FROM customer
+         |  UNION ALL SELECT c_mktsegment, CAST(-5000.0 AS DOUBLE)
+         |    FROM customer WHERE c_custkey < 100)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS check_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q241_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      TxLog.appendBatchTx(cust, root, "c_mktsegment", "q241-b1")
+      // TPC-H account balances are >= -999.99: the constraint holds
+      TxLog.addCheckConstraintTx(s, root, "bal_floor",
+        "c_acctbal >= -1000")
+      // a conforming batch lands
+      TxLog.appendBatchTx(
+        cust.withColumn("c_custkey", col("c_custkey") + maxKey + 1000),
+        root, "c_mktsegment", "q241-b2")
+      // a violating batch refuses loudly, committing nothing
+      val bad = cust.filter(col("c_custkey") < 100)
+        .withColumn("c_custkey", col("c_custkey") + 2 * maxKey + 2000)
+        .withColumn("c_acctbal", lit(-5000.0))
+      val vBefore = TxLog.snapshot(s, root).version
+      val err = try { TxLog.appendBatchTx(bad, root, "c_mktsegment",
+        "q241-bad"); "" } catch { case e: Exception => e.getMessage }
+      require(err.contains("bal_floor"),
+        s"q241: the violating batch must refuse naming the constraint, " +
+          s"got [$err]")
+      require(TxLog.snapshot(s, root).version == vBefore,
+        "q241: a refused batch must commit NOTHING")
+      // an ADD the existing data violates refuses
+      val err2 = try { TxLog.addCheckConstraintTx(s, root, "impossible",
+        "c_acctbal > 100000"); "" } catch { case e: Exception => e.getMessage }
+      require(err2.contains("existing rows"),
+        s"q241: adding a violated constraint must refuse, got [$err2]")
+      require(TxLog.tableConstraints(s, root)
+        == Map("bal_floor" -> "c_acctbal >= -1000"),
+        "q241: constraint inventory drifted")
+      // DROP re-opens the gate: the same batch now lands
+      TxLog.dropCheckConstraintTx(s, root, "bal_floor")
+      TxLog.appendBatchTx(bad, root, "c_mktsegment", "q241-b3")
+      TxLog.readTable(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("check_ok", lit(1L))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -166,7 +166,12 @@ object TxLog {
                           // affected data file its new CUMULATIVE deletion
                           // vector; op "restore": the full dv state as of
                           // the target version (snapshot replacement)
-                          dvs: FileDvs = Map.empty) {
+                          dvs: FileDvs = Map.empty,
+                          // CHECK-constraint snapshot (ops "meta"/"restore",
+                          // behind an explicit presence marker so
+                          // mapping-only meta commits don't clobber it):
+                          // name -> SQL expression over logical columns
+                          constraints: Option[Map[String, String]] = None) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -188,7 +193,9 @@ object TxLog {
                             mapping: Map[String, String] = Map.empty,
                             // live deletion vectors (merge-on-read
                             // deletes); covers live files only, like stats
-                            dvs: FileDvs = Map.empty)
+                            dvs: FileDvs = Map.empty,
+                            // CHECK constraints in force at this version
+                            constraints: Map[String, String] = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -205,7 +212,9 @@ object TxLog {
                           mapping: Option[Map[String, String]] = None,
                           // op "dv"/"restore": deletion vectors (see
                           // [[Commit.dvs]])
-                          dvs: FileDvs = Map.empty) {
+                          dvs: FileDvs = Map.empty,
+                          // ops "meta"/"restore": CHECK-constraint snapshot
+                          constraints: Option[Map[String, String]] = None) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -269,6 +278,8 @@ object TxLog {
                                // only; v2 crossing requires none — see
                                // [[checkpoint]])
                                dvs: FileDvs = Map.empty,
+                               // CHECK constraints as of the checkpoint
+                               constraints: Map[String, String] = Map.empty,
                                // v2 (parquet payload) checkpoints: the
                                // file-level state lives in a parquet dir
                                // under _txlog, NEVER driver-materialized;
@@ -399,12 +410,21 @@ object TxLog {
         Some(mappingRows)
       else if (mappingRows.nonEmpty) Some(mappingRows)
       else None
+    // `k\t<name>\t<expr>`: CHECK-constraint snapshot — only when the
+    // commit explicitly carries one (hasConstraints marker), so
+    // mapping-only meta commits leave constraints untouched
+    val constraints =
+      if (fieldOpt("hasConstraints").isDefined)
+        Some(lines.filter(_.startsWith("k\t")).map(_.split("\t", -1))
+          .map { case Array(_, n, e) => unesc(n) -> unesc(e) }.toMap)
+      else None
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
       removed, changes, writerSeq, mapping,
-      cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs)
+      cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs,
+      constraints = constraints)
   }
 
   /** `d\t<dataFile>\t<dvFile>` (one row per referenced dv parquet file)
@@ -463,7 +483,8 @@ object TxLog {
                            changes: Seq[String],
                            writerSeq: Option[(String, Long)] = None,
                            mapping: Option[Map[String, String]] = None,
-                           dvs: FileDvs = Map.empty): String = {
+                           dvs: FileDvs = Map.empty,
+                           constraints: Option[Map[String, String]] = None): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -472,7 +493,8 @@ object TxLog {
       // every new writer's change files carry PHYSICAL column names — the
       // marker lets readers distinguish them from legacy logical-name
       // change files when re-mapping historical windows
-      (if (changes.nonEmpty) Seq("cdfNames=phys") else Seq.empty)
+      (if (changes.nonEmpty) Seq("cdfNames=phys") else Seq.empty) ++
+      (if (constraints.isDefined) Seq("hasConstraints=1") else Seq.empty)
     val mappingRows = mapping.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
       case (p, l) => s"m\t${esc(p)}\t${esc(l)}"
     })
@@ -486,8 +508,10 @@ object TxLog {
       fs.sorted.map(f => s"r\t${esc(v)}\t$f")
     }
     val changeRows = changes.sorted.map(f => s"c\t$f")
-    (header ++ mappingRows ++ partRows ++ removedRows ++ changeRows ++
-      renderDvs(dvs) ++
+    val constraintRows = constraints.toSeq.flatMap(_.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"k\t${esc(n)}\t${esc(e)}" })
+    (header ++ mappingRows ++ constraintRows ++ partRows ++ removedRows ++
+      changeRows ++ renderDvs(dvs) ++
       renderStats(stats) ++ renderRows(rows)).mkString("\n") + "\n"
   }
 
@@ -508,6 +532,9 @@ object TxLog {
     // `m\t<physical>\t<logical-or-->`: column mapping as of the checkpoint
     val mapping = lines.filter(_.startsWith("m\t")).map(_.split("\t", -1))
       .map { case Array(_, p, l) => unesc(p) -> unesc(l) }.toMap
+    // `k\t<name>\t<expr>`: CHECK constraints (full snapshot in a chk)
+    val constraints = lines.filter(_.startsWith("k\t")).map(_.split("\t", -1))
+      .map { case Array(_, n, e) => unesc(n) -> unesc(e) }.toMap
     def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
       .filter(_ != "-")
@@ -517,7 +544,7 @@ object TxLog {
       val partValues = lines.filter(_.startsWith("v\t"))
         .map(l => unesc(l.split("\t", -1)(1))).toSet
       Chk(version, Map.empty, batchIds, schema, Map.empty, Map.empty,
-        partSchema, writers, mapping,
+        partSchema, writers, mapping, constraints = constraints,
         payload = Some(fieldOpt("payload").getOrElse(
           sys.error(s"checkpoint c$version: v2 without payload ref"))),
         partValues = partValues,
@@ -525,7 +552,8 @@ object TxLog {
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
-        parseRows(lines), partSchema, writers, mapping, parseDvs(lines))
+        parseRows(lines), partSchema, writers, mapping, parseDvs(lines),
+        constraints)
   }
 
   private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
@@ -538,6 +566,9 @@ object TxLog {
       s"m\t${esc(p)}\t${esc(l)}"
     }
 
+  private def renderConstraints(cs: Map[String, String]): Seq[String] =
+    cs.toSeq.sortBy(_._1).map { case (n, e) => s"k\t${esc(n)}\t${esc(e)}" }
+
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
                         schema: Option[String],
@@ -546,7 +577,8 @@ object TxLog {
                         partSchema: Option[String],
                         writers: Map[String, (Long, Long)],
                         mapping: Map[String, String],
-                        dvs: FileDvs = Map.empty): String = {
+                        dvs: FileDvs = Map.empty,
+                        constraints: Map[String, String] = Map.empty): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
@@ -554,6 +586,7 @@ object TxLog {
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++ renderDvs(dvs) ++
+      renderConstraints(constraints) ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
@@ -563,12 +596,14 @@ object TxLog {
                           partSchema: Option[String], nfiles: Long,
                           bytes: Long,
                           writers: Map[String, (Long, Long)],
-                          mapping: Map[String, String]): String =
+                          mapping: Map[String, String],
+                          constraints: Map[String, String]): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++
+      renderConstraints(constraints) ++
       partValues.toSeq.sorted.map(v => s"v\t${esc(v)}"))
       .mkString("\n") + "\n"
 
@@ -659,7 +694,9 @@ object TxLog {
         commits.flatMap(_.partSchema)).lastOption,
       commits.flatMap(_.mapping).lastOption
         .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)),
-      dvs = dvs0.filter { case (f, _) => live(f) })
+      dvs = dvs0.filter { case (f, _) => live(f) },
+      constraints = commits.flatMap(_.constraints).lastOption
+        .getOrElse(chk.map(_.constraints).getOrElse(Map.empty)))
   }
 
   /** Resolved state of a PARQUET-CHECKPOINTED table: the file-level
@@ -678,7 +715,9 @@ object TxLog {
       schema: Option[String], partSchema: Option[String],
       nfiles: Long, bytes: Long,
       // physical→logical column mapping as of this version
-      mapping: Map[String, String] = Map.empty)
+      mapping: Map[String, String] = Map.empty,
+      // CHECK constraints in force at this version
+      constraints: Map[String, String] = Map.empty)
 
   /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
     * commits) driver work whatever the payload size. */
@@ -731,7 +770,8 @@ object TxLog {
       (chk.schema.toSeq ++ commits.flatMap(_.schema)).lastOption,
       (chk.partSchema.toSeq ++ commits.flatMap(_.partSchema)).lastOption,
       chk.nfiles, chk.bytes,
-      commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping))
+      commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping),
+      commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints))
   }
 
   /** Internal dispatch: driver-resident [[Snapshot]] for inline-
@@ -969,6 +1009,35 @@ object TxLog {
       s"TxLog.readTableAt: version $version was never committed at $root")
     readState(spark, root, state, partSchemaOf(state, root, "readTableAt"))
   }
+
+  /** Time travel BY TIMESTAMP — resolve the latest version whose commit
+    * file landed at or before `tsMillis` (commit-file mtime, the storage
+    * system's clock — exactly the Delta `TIMESTAMP AS OF` contract).
+    * Only retained commits resolve: a timestamp past the expiry horizon
+    * refuses loudly, like every other expired time travel. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"TxLog.versionAsOf: no log at $root")
+    val vs = fs.listStatus(dir).flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(v) => Some((v.toLong, st.getModificationTime))
+        case _ => None
+      }
+    }
+    require(vs.nonEmpty, s"TxLog.versionAsOf: no commits at $root")
+    val at = vs.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"TxLog.versionAsOf: timestamp $tsMillis predates the earliest " +
+        s"RETAINED commit at $root (v${vs.minBy(_._2)._1} at " +
+        s"${vs.map(_._2).min}) — earlier history is expired")
+    at.maxBy(_._1)._1
+  }
+
+  /** [[readTableAt]] keyed by wall-clock instead of version. */
+  def readTableAsOf(spark: SparkSession, root: String,
+                    tsMillis: Long): DataFrame =
+    readTableAt(spark, root, versionAsOf(spark, root, tsMillis))
 
   /** Metadata-only COUNT: the exact row count of every partition passing
     * `select`, answered from the log's recorded footer counts — zero
@@ -1523,10 +1592,18 @@ object TxLog {
     * was the tx layer's last hard single-column assumption. */
   /** The table's current physical→logical column mapping — a meta-only
     * log read (no file-list fold on either representation). */
-  private def mappingOf(spark: SparkSession, root: String): Map[String, String] = {
+  private def mappingOf(spark: SparkSession, root: String): Map[String, String] =
+    writerMetaOf(spark, root)._1
+
+  /** (column mapping, CHECK constraints) — the metadata every writer
+    * consults at stage time, in one log read. */
+  private def writerMetaOf(spark: SparkSession, root: String)
+      : (Map[String, String], Map[String, String]) = {
     val (chk, commits) = readLog(spark, root)
-    commits.flatMap(_.mapping).lastOption
-      .getOrElse(chk.map(_.mapping).getOrElse(Map.empty))
+    (commits.flatMap(_.mapping).lastOption
+       .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)),
+     commits.flatMap(_.constraints).lastOption
+       .getOrElse(chk.map(_.constraints).getOrElse(Map.empty)))
   }
 
   def stage(df: DataFrame, root: String, partCols: Seq[String],
@@ -1540,7 +1617,16 @@ object TxLog {
     // unmapped tables). A column reusing a TOMBSTONED physical name is
     // refused: its data would land under the dropped column and read as
     // invisible.
-    val mapping0 = mappingOf(spark, root)
+    val (mapping0, constraints0) = writerMetaOf(spark, root)
+    // CHECK constraints enforce at WRITE time (the Delta contract): one
+    // violations probe per constraint per staged write — the price every
+    // constrained warehouse pays; a violating batch refuses before any
+    // metadata changes (the staged files are never committed)
+    constraints0.foreach { case (name, e) =>
+      require(df.filter(not(coalesce(expr(e), lit(true)))).isEmpty,
+        s"TxLog.stage: CHECK constraint [$name] ($e) is violated by the " +
+          "staged data — fix the writer or drop the constraint")
+    }
     val tomb = mapping0.collect { case (p, "-") => p }.toSet
     val reverse = mapping0.collect { case (p, l) if l != "-" => l -> p }
     def toPhysical(d: DataFrame): DataFrame =
@@ -1707,6 +1793,9 @@ object TxLog {
     require(op == "dv" || op == "restore" || staged.dvs.isEmpty,
       s"TxLog.commit: op $op cannot carry deletion vectors — only " +
         "\"dv\" and \"restore\" do")
+    require(op == "meta" || op == "restore" || staged.constraints.isEmpty,
+      s"TxLog.commit: op $op cannot change CHECK constraints — only " +
+        "\"meta\" and \"restore\" carry a snapshot")
     require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
       "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
@@ -1859,7 +1948,7 @@ object TxLog {
           renderCommit(op, readVersion, batchId, staged.parts,
             stagedSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping,
-            staged.dvs))) {
+            staged.dvs, staged.constraints))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
@@ -1976,6 +2065,14 @@ object TxLog {
     require(!partNames.contains(oldName) && !partNames.contains(newName),
       s"renameColumnTx: partition columns are structural and cannot " +
         s"rename ([$oldName] -> [$newName])")
+    // a CHECK expression references columns by (logical) NAME — renaming
+    // one out from under it would poison every later write's validation
+    writerMetaOf(spark, root)._2.foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).contains(oldName),
+        s"renameColumnTx: CHECK constraint [$n] ($e) references " +
+          s"[$oldName] — drop and re-create the constraint around the " +
+          "rename")
+    }
     def logicalOf(p: String) = mapping.getOrElse(p, p)
     val live = phys.map(_.name).filterNot(p => mapping.get(p).contains("-"))
     require(live.exists(p => logicalOf(p) == oldName),
@@ -2001,6 +2098,11 @@ object TxLog {
     require(!partNames.contains(name),
       s"dropColumnTx: partition column [$name] is structural — rebuild " +
         "the table to change its partitioning")
+    writerMetaOf(spark, root)._2.foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).contains(name),
+        s"dropColumnTx: CHECK constraint [$n] ($e) references [$name] — " +
+          "drop the constraint first")
+    }
     def logicalOf(p: String) = mapping.getOrElse(p, p)
     val live = phys.map(_.name).filterNot(p => mapping.get(p).contains("-"))
     require(live.exists(p => logicalOf(p) == name),
@@ -2013,6 +2115,62 @@ object TxLog {
     commit(spark, root,
       Staged(Map.empty, schema = Some(nextSchema.toDDL),
         mapping = Some(mapping - physName + (physName -> "-"))),
+      "meta", readVersion = 0L)
+  }
+
+  /** Column names a CHECK-constraint expression references. */
+  private def constraintRefs(spark: SparkSession, e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  /** The table's CHECK constraints (name → SQL expression). */
+  def tableConstraints(spark: SparkSession, root: String): Map[String, String] =
+    writerMetaOf(spark, root)._2
+
+  /** Transactional ADD CONSTRAINT — the Delta `ALTER TABLE ADD
+    * CONSTRAINT ... CHECK` move: a metadata-only commit records the
+    * named SQL predicate; EXISTING rows must already satisfy it (checked
+    * here, one scan — refused loudly otherwise), and every subsequent
+    * staged write is validated before its files can commit (NULL
+    * satisfies, SQL CHECK semantics). Expressions speak LOGICAL column
+    * names. */
+  def addCheckConstraintTx(spark: SparkSession, root: String,
+                           name: String, exprStr: String): Long = {
+    require(name.nonEmpty && name != "-",
+      "addCheckConstraintTx: constraint name must be non-empty")
+    // parse NOW — a malformed expression must fail here, not at some
+    // later writer's stage
+    spark.sessionState.sqlParser.parseExpression(exprStr): Unit
+    val (mapping, existing) = writerMetaOf(spark, root)
+    require(!existing.contains(name),
+      s"addCheckConstraintTx: constraint [$name] already exists at $root")
+    val state = stateOf(spark, root)
+    if (state.fold(_.parts.nonEmpty, _.partValues.nonEmpty)) {
+      val ps = partSchemaOf(state, root, "addCheckConstraintTx")
+      require(readState(spark, root, state, ps)
+          .filter(not(coalesce(expr(exprStr), lit(true)))).isEmpty,
+        s"addCheckConstraintTx: existing rows at $root violate [$name] " +
+          s"($exprStr) — clean the data first")
+    }
+    // a "meta" commit SNAPSHOTS the mapping — re-carry the current one,
+    // or this constraints-only commit would reset every rename
+    commit(spark, root,
+      Staged(Map.empty, mapping = Some(mapping),
+        constraints = Some(existing + (name -> exprStr))),
+      "meta", readVersion = 0L)
+  }
+
+  /** Transactional DROP CONSTRAINT (metadata-only). */
+  def dropCheckConstraintTx(spark: SparkSession, root: String,
+                            name: String): Long = {
+    val (mapping, existing) = writerMetaOf(spark, root)
+    require(existing.contains(name),
+      s"dropCheckConstraintTx: no constraint [$name] at $root")
+    commit(spark, root,
+      Staged(Map.empty, mapping = Some(mapping),
+        constraints = Some(existing - name)),
       "meta", readVersion = 0L)
   }
 
@@ -2087,7 +2245,8 @@ object TxLog {
       val staged = Staged(
         target.parts ++ gone.map(_ -> Seq.empty[String]),
         target.schema, target.stats, target.rows, target.partSchema,
-        mapping = Some(target.mapping), dvs = target.dvs)
+        mapping = Some(target.mapping), dvs = target.dvs,
+        constraints = Some(target.constraints))
       try return commit(spark, root, staged, "restore",
         readVersion = snap.version, conflictCheck = true)
       catch { case _: ConcurrentWriteException => () } // re-derive `gone`
@@ -2634,7 +2793,8 @@ object TxLog {
     * version. */
   def mergeKeyedTx(spark: SparkSession, root: String, source: DataFrame,
                    key: String, maxAttempts: Int = 20,
-                   changeFeed: Boolean = false): Long = {
+                   changeFeed: Boolean = false,
+                   writerSeq: Option[(String, Long)] = None): Long = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2752,7 +2912,8 @@ object TxLog {
       val staged = stage(upserted, root, ps.map(_.name), Nil, 0)
         .copy(removed = cands, changes = cdf)
       try return commit(spark, root, staged, "rewrite",
-        readVersion = version, conflictCheck = true)
+        readVersion = version, conflictCheck = true,
+        writerSeq = writerSeq)
       catch { case _: ConcurrentWriteException =>
         discard(spark, root, staged)
       }
@@ -2844,7 +3005,7 @@ object TxLog {
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
               snap.rows, snap.partSchema, writers, snap.mapping,
-              snap.dvs)): Unit
+              snap.dvs, snap.constraints)): Unit
         else {
           // deletion vectors are a driver-resident (hot-table) feature —
           // the payload path deliberately does not carry them
@@ -2993,7 +3154,8 @@ object TxLog {
     val bytes = rows.iterator.map(_.getLong(2)).sum
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
       renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
-        snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping))
+        snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping,
+        snap.constraints))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -3038,7 +3200,8 @@ object TxLog {
       .map(_.getString(0)).toSet
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
-        agg.getLong(0), agg.getLong(1), writers, big.mapping))
+        agg.getLong(0), agg.getLong(1), writers, big.mapping,
+        big.constraints))
     if (!won) deletePayloadDir(spark, root, name)
   }
 

@@ -71,7 +71,9 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
       .map(cp => s"txsink:$cp").getOrElse(sys.error(
         "txlog sink: a checkpointLocation (or an explicit writerId " +
           "option) is required — it keys the exactly-once replay ledger")))
-    new TxSink(sinkRoot, partitionColumns, outputMode, writerId)
+    new TxSink(sinkRoot, partitionColumns, outputMode, writerId,
+      mergeKey = opt("mergeKey"),
+      changeFeed = opt("changeFeed").exists(_.toBoolean))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -115,12 +117,20 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
   * commit per micro-batch under the writer-seq replay ledger —
   * exactly-once without any sink-side bookkeeping, because idempotence
   * IS the table's commit protocol. Append mode appends; Complete mode
-  * overwrites the staged partitions each batch. The table's RECORDED
-  * partitioning wins once it exists; `.partitionBy(...)` seeds a fresh
-  * table (and must match an existing one). */
+  * overwrites the staged partitions each batch; Update mode (with
+  * `.option("mergeKey", <col>)`) UPSERTS each batch's changed rows by
+  * key through [[TxLog.mergeKeyedTx]] — the streaming-aggregation sink
+  * (each trigger emits a group's LATEST totals; the merge replaces the
+  * prior row). The table's RECORDED partitioning wins once it exists;
+  * `.partitionBy(...)` seeds a fresh table (and must match an existing
+  * one). Update-mode contract: a key's partition value must be stable
+  * across triggers (true for any partition column derived from the
+  * grouping key), exactly [[TxLog.mergeKeyedTx]]'s contract. */
 private final class TxSink(root: String, partCols: Seq[String],
                            outputMode: org.apache.spark.sql.streaming.OutputMode,
-                           writerId: String)
+                           writerId: String,
+                           mergeKey: Option[String] = None,
+                           changeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long,
@@ -143,16 +153,28 @@ private final class TxSink(root: String, partCols: Seq[String],
         "required when the sink creates the table")
       partCols
     }
-    val op = outputMode match {
+    val seq = Some((writerId, batchId))
+    outputMode match {
       case m if m == org.apache.spark.sql.streaming.OutputMode.Append() =>
-        "append"
+        TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0),
+          "append", readVersion = 0L, writerSeq = seq): Unit
       case m if m == org.apache.spark.sql.streaming.OutputMode.Complete() =>
-        "overwrite"
+        TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0),
+          "overwrite", readVersion = 0L, writerSeq = seq): Unit
+      case m if m == org.apache.spark.sql.streaming.OutputMode.Update() =>
+        val key = mergeKey.getOrElse(sys.error("txlog sink: Update mode " +
+          "upserts by key — set .option(\"mergeKey\", <column>)"))
+        // the first batch SEEDS the table (mergeKeyedTx requires content);
+        // every later batch is a ledgered keyed upsert
+        if (recorded.isEmpty)
+          TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0),
+            "append", readVersion = 0L, writerSeq = seq): Unit
+        else
+          TxLog.mergeKeyedTx(spark, root, df, key, changeFeed = changeFeed,
+            writerSeq = seq): Unit
       case other => sys.error(s"txlog sink: unsupported output mode " +
-        s"$other — Append and Complete only")
+        s"$other — Append, Complete and Update(mergeKey) only")
     }
-    TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0), op,
-      readVersion = 0L, writerSeq = Some((writerId, batchId))): Unit
   }
 }
 

@@ -1615,6 +1615,77 @@ class TxLogSpec extends SparkSpecBase {
       === 9.0)
   }
 
+  test("timestamp time travel resolves commit mtimes") {
+    val root = freshRoot("tstravel")
+    TxLog.appendBatchTx(kv("a" -> 1), root, "part", "ts-b1")
+    val t1 = TxLog.history(spark, root).collect().head.getLong(12)
+    Thread.sleep(20)
+    TxLog.appendBatchTx(kv("a" -> 2), root, "part", "ts-b2")
+    assert(TxLog.versionAsOf(spark, root, t1) === 1L)
+    assert(TxLog.readTableAsOf(spark, root, t1).count() === 1L)
+    assert(TxLog.versionAsOf(spark, root,
+      System.currentTimeMillis() + 60000) === 2L)
+    // a timestamp before the first retained commit refuses loudly
+    intercept[IllegalArgumentException] {
+      TxLog.versionAsOf(spark, root, t1 - 3600000)
+    }
+  }
+
+  test("CHECK constraints: write-time enforcement, DDL guards, " +
+      "checkpoint and restore round trips") {
+    val root = freshRoot("constraints")
+    import spark.implicits._
+    def row(v: Option[Double], x: Long = 0L) =
+      Seq(("a", v, x)).toDF("part", "v", "x")
+    TxLog.appendBatchTx(row(Some(5.0)), root, "part", "c-b1")      // v1
+    TxLog.addCheckConstraintTx(spark, root, "v_pos", "v > 0")      // v2
+    val vConstrained = 2L
+    TxLog.appendBatchTx(row(Some(1.0)), root, "part", "c-b2")      // v3
+    // a violating write refuses BEFORE any files are staged
+    val err = intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(row(Some(-1.0)), root, "part", "c-bad")
+    }
+    assert(err.getMessage.contains("v_pos"), err.getMessage)
+    // NULL satisfies (SQL CHECK semantics)
+    TxLog.appendBatchTx(row(None), root, "part", "c-b3")           // v4
+    // adding a constraint the EXISTING data violates refuses
+    intercept[IllegalArgumentException] {
+      TxLog.addCheckConstraintTx(spark, root, "v_big", "v > 100")
+    }
+    // renaming/dropping a referenced column refuses
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumnTx(spark, root, "v", "w")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.dropColumnTx(spark, root, "v")
+    }
+    // an unreferenced column still renames freely, and a constraints-only
+    // meta commit must NOT clobber that mapping
+    TxLog.renameColumnTx(spark, root, "x", "y")                    // v5
+    // drop → the violating write lands (through the surviving rename)
+    TxLog.dropCheckConstraintTx(spark, root, "v_pos")              // v6
+    TxLog.appendBatchTx(row(Some(-2.0)).withColumnRenamed("x", "y"),
+      root, "part", "c-b4")                                        // v7
+    assert(TxLog.readTable(spark, root).count() === 4L)
+    assert(TxLog.readTable(spark, root).columns.contains("y"))
+    // RESTORE to the constrained version reinstates constraint AND
+    // pre-rename names
+    TxLog.restoreTx(spark, root, vConstrained)                     // v8
+    assert(TxLog.tableConstraints(spark, root) === Map("v_pos" -> "v > 0"))
+    assert(TxLog.readTable(spark, root).count() === 1L)
+    assert(TxLog.readTable(spark, root).columns.contains("x"))
+    intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(row(Some(-3.0)), root, "part", "c-bad3")
+    }
+    // constraints survive a checkpoint + expiry round trip
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root)
+    assert(TxLog.tableConstraints(spark, root) === Map("v_pos" -> "v > 0"))
+    intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(row(Some(-4.0)), root, "part", "c-bad4")
+    }
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
