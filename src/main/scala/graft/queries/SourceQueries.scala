@@ -3925,6 +3925,96 @@ object SourceQueries {
         .withColumn("check_ok", lit(1L))
     },
 
+    // ---- q242: DELETION VECTORS ON A PARQUET-CHECKPOINTED TABLE — the
+    // 100-TB merge-on-read path: dv state rides the checkpoint payload's
+    // dvfiles/dvrows columns (post-checkpoint vectors as bounded driver
+    // overrides), so a point delete on a payload table moves ZERO data
+    // files and metadata COUNTs stay exact through checkpoint folds.
+    // Orders cross to a parquet payload, a dv delete lands as an
+    // override (history row: zero files added/removed), the next
+    // checkpoint FOLDS it into the payload, a second delete accumulates
+    // over the payload-recorded vector, and a keyed MERGE on dv-disjoint
+    // files leaves the vectors intact. Oracle replays relationally.
+    QueryDef.sql("q242_tx_dv_parquet_checkpoint",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+         |base AS (SELECT o_orderkey, YEAR(o_orderdate) AS o_year,
+         |                o_totalprice FROM orders),
+         |merged AS (SELECT o_orderkey, o_year,
+         |  CASE WHEN o_orderkey > CAST(FLOOR(m * 7 / 8.0) AS BIGINT)
+         |       THEN o_totalprice + 1000 ELSE o_totalprice END
+         |    AS o_totalprice FROM base, mx),
+         |kept AS (SELECT merged.* FROM merged, mx
+         |  WHERE NOT (o_orderkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |    OR (o_orderkey % 7 = 3
+         |        AND o_orderkey <= CAST(FLOOR(m / 2.0) AS BIGINT))))
+         |SELECT o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS bigdv_ok
+         |FROM kept GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q242_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, "o_year", s"q242-b$i")
+        lo = hi
+      }
+      val key = "graft.txlog.chkParquetMin"
+      val prior = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "1")
+        // cross to the parquet payload
+        TxLog.checkpoint(s, root)
+        TxLog.expireLog(s, root)
+        // dv delete #1 — a post-checkpoint override; ZERO files move
+        val (_, n1) = TxLog.deleteWhereDvTx(s, root,
+          col("o_orderkey") <= maxKey / 8)
+        require(n1 > 0, "q242: the first dv delete must hit rows")
+        val dvRow = TxLog.history(s, root).collect()
+          .filter(_.getString(1) == "dv").maxBy(_.getLong(0))
+        require(dvRow.getLong(7) == 0L && dvRow.getLong(8) == 0L,
+          "q242: a dv delete must add and remove ZERO data files")
+        val metaCount1 = TxLog.countRows(s, root)
+        require(metaCount1.contains(TxLog.readTable(s, root).count()),
+          s"q242: metadata count $metaCount1 diverged under the override")
+        // the next checkpoint FOLDS the vector into the payload columns
+        TxLog.checkpoint(s, root)
+        TxLog.expireLog(s, root)
+        require(TxLog.countRows(s, root) == metaCount1,
+          "q242: the checkpoint fold must preserve the dv-adjusted count")
+        // dv delete #2 accumulates over the payload-recorded vector
+        val (_, n2) = TxLog.deleteWhereDvTx(s, root,
+          col("o_orderkey") % 7 === 3 &&
+            col("o_orderkey") <= maxKey / 2)
+        require(n2 > 0, "q242: the second dv delete must hit rows")
+        require(TxLog.countRows(s, root)
+            .contains(TxLog.readTable(s, root).count()),
+          "q242: cumulative payload+override counts diverged")
+        // a keyed MERGE on dv-disjoint files leaves the vectors intact
+        TxLog.mergeKeyedTx(s, root,
+          orders.filter(col("o_orderkey") > maxKey * 7 / 8)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000),
+          "o_orderkey")
+        TxLog.readTable(s, root)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price"))
+          .withColumn("bigdv_ok", lit(1L))
+      } finally prior match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -288,7 +288,11 @@ object TxLog {
                                payload: Option[String] = None,
                                partValues: Set[String] = Set.empty,
                                nfiles: Long = -1L,
-                               bytes: Long = -1L)
+                               bytes: Long = -1L,
+                               // v2: count of payload files carrying a
+                               // deletion vector (0 lets every read skip
+                               // the dv-discovery job; -1 = legacy/unknown)
+                               ndvs: Long = -1L)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -549,7 +553,8 @@ object TxLog {
           sys.error(s"checkpoint c$version: v2 without payload ref"))),
         partValues = partValues,
         nfiles = fieldOpt("nfiles").map(_.toLong).getOrElse(-1L),
-        bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L))
+        bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L),
+        ndvs = fieldOpt("ndvs").map(_.toLong).getOrElse(-1L))
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
         parseRows(lines), partSchema, writers, mapping, parseDvs(lines),
@@ -597,10 +602,12 @@ object TxLog {
                           bytes: Long,
                           writers: Map[String, (Long, Long)],
                           mapping: Map[String, String],
-                          constraints: Map[String, String]): String =
+                          constraints: Map[String, String],
+                          ndvs: Long = -1L): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
-      s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes") ++
+      s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes",
+      s"ndvs=$ndvs") ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++
       renderConstraints(constraints) ++
@@ -717,7 +724,13 @@ object TxLog {
       // physical→logical column mapping as of this version
       mapping: Map[String, String] = Map.empty,
       // CHECK constraints in force at this version
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // post-checkpoint deletion-vector OVERRIDES (file → cumulative
+      // vector): payload files' vectors live in the payload's dvfiles/
+      // dvrows columns; a dv commit after the checkpoint overrides here
+      dvDelta: FileDvs = Map.empty,
+      // payload rows carrying a vector (0 skips dv discovery; -1 unknown)
+      ndvs: Long = -1L)
 
   /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
     * commits) driver work whatever the payload size. */
@@ -725,6 +738,7 @@ object TxLog {
     var removedParts = Set.empty[String]
     var removedFiles = Set.empty[String]
     var delta = Map.empty[String, Seq[String]]
+    var dvDelta = Map.empty[String, (Seq[String], Long)]
     commits.foreach { c =>
       c.op match {
         case "overwrite" =>
@@ -738,17 +752,20 @@ object TxLog {
         case "rewrite" => c.touched.foreach { v =>
           val gone = c.removed.getOrElse(v, Seq.empty).toSet
           removedFiles ++= gone // payload removals (delta's filter inline)
+          dvDelta --= gone // a vector dies with its rewritten file
           val next = delta.getOrElse(v, Seq.empty).filterNot(gone) ++
             c.parts.getOrElse(v, Seq.empty)
           delta = if (next.isEmpty) delta - v else delta.updated(v, next)
         }
         case "meta" => () // metadata-only (column mapping): no file change
         case "dv" =>
-          // unreachable by construction: deleteWhereDvTx refuses parquet-
-          // checkpointed tables (DV state is driver-resident by design)
-          sys.error(s"commit v${c.version}: \"dv\" cannot follow a " +
-            "parquet checkpoint — materialize deletion vectors via " +
-            "compaction before the table crosses")
+          // post-checkpoint vector: overrides the payload's dv columns
+          // for these files (cumulative — the latest vector is the
+          // file's full position set). Consumers treat entries as
+          // overrides FOR LIVE FILES ONLY; a stale key whose file was
+          // since masked is harmless (reads never scan it, counts look
+          // up live rows).
+          dvDelta ++= c.dvs
         case "restore" =>
           // unreachable by construction: restoreTx refuses parquet-
           // checkpointed tables (snapshotAt dispatch), and a pre-crossing
@@ -771,7 +788,8 @@ object TxLog {
       (chk.partSchema.toSeq ++ commits.flatMap(_.partSchema)).lastOption,
       chk.nfiles, chk.bytes,
       commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping),
-      commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints))
+      commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints),
+      dvDelta, chk.ndvs)
   }
 
   /** Internal dispatch: driver-resident [[Snapshot]] for inline-
@@ -893,22 +911,87 @@ object TxLog {
       options = Map.empty)(spark)
     val raw = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    val undeleted = applyDvJoin(spark, root, raw,
+      snap.dvs.values.flatMap(_._1).toSeq.distinct, withPos)
+    val out = applyMapping(undeleted, snap.mapping, partSchema)
+    if (withPos) out else out.drop("__dv_f", "__dv_p")
+  }
+
+  /** Tag each scanned row with its (rel data file, row position) and
+    * anti-join the live deletion vectors — the merge-on-read filter.
+    * Over-inclusion of SUPERSEDED sidecars is safe by construction:
+    * vectors are cumulative, so a stale sidecar's positions are a subset
+    * of the live one's. `withPos = true` keeps the identity columns. */
+  private def applyDvJoin(spark: SparkSession, root: String, df: DataFrame,
+                          dvFiles: Seq[String], withPos: Boolean): DataFrame = {
     val tagged =
-      if (!withPos && snap.dvs.isEmpty) raw
-      else raw
+      if (!withPos && dvFiles.isEmpty) df
+      else df
         .withColumn("__dv_f",
           regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
         .withColumn("__dv_p", col("_metadata.row_index"))
-    val undeleted =
-      if (snap.dvs.isEmpty) tagged
-      else {
-        val dvFiles = snap.dvs.values.flatMap(_._1).toSeq.distinct
-        val dv = spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
-          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
-        tagged.join(dv, Seq("__dv_f", "__dv_p"), "left_anti")
-      }
-    val out = applyMapping(undeleted, snap.mapping, partSchema)
-    if (withPos) out else out.drop("__dv_f", "__dv_p")
+    if (dvFiles.isEmpty) tagged
+    else {
+      val dv = spark.read.parquet(dvFiles.map(f => s"$root/$f"): _*)
+        .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+      tagged.join(dv, Seq("__dv_f", "__dv_p"), "left_anti")
+    }
+  }
+
+  /** Live sidecar cap on a parquet-checkpointed table: the read-side
+    * anti-join unions every live vector file, a bounded driver artifact
+    * by the same contract as [[DataSkipping]] — a table accumulating
+    * more must compact (materialize) on its maintenance schedule.
+    * Override with `graft.txlog.maxDvFiles`. */
+  val DefaultMaxDvFiles = 65536
+  private def maxDvFiles(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.maxDvFiles").map(_.toInt)
+      .getOrElse(DefaultMaxDvFiles)
+
+  /** Every live deletion-vector sidecar of a parquet-checkpointed table:
+    * the payload's recorded vectors plus post-checkpoint overrides
+    * (superseded sidecars may ride along — harmless, see
+    * [[applyDvJoin]]). ONE distributed job over the payload; the driver
+    * holds sidecar paths only, capped loudly. */
+  private def dvFilesOfBig(spark: SparkSession, root: String,
+                           big: BigState): Seq[String] = {
+    // the recorded ndvs count lets a dv-free table skip the discovery
+    // job entirely — the common case costs nothing
+    if (big.ndvs == 0L && big.dvDelta.isEmpty) return Seq.empty
+    val payload = payloadLiveDF(spark, root, big)
+    val cap = maxDvFiles(spark)
+    val fromPayload: Seq[String] =
+      if (!payload.columns.contains("dvfiles")) Seq.empty // legacy payload
+      else if (big.ndvs == 0L) Seq.empty
+      else payload.filter(col("dvfiles").isNotNull)
+        .select(explode(col("dvfiles")).as("dv")).distinct()
+        .limit(cap + 1).collect().map(_.getString(0)).toSeq
+    val all = (fromPayload ++ big.dvDelta.values.flatMap(_._1)).distinct
+    require(all.size <= cap,
+      s"TxLog: the table at $root has more than $cap live deletion-" +
+        "vector sidecars — compact (materialize) the dv'd partitions, " +
+        "or raise graft.txlog.maxDvFiles")
+    all
+  }
+
+  /** Effective deletion vectors for a BOUNDED file set on a parquet-
+    * checkpointed table: post-checkpoint overrides win; payload vectors
+    * resolve with one selective payload query. */
+  private def bigDvsFor(spark: SparkSession, root: String, big: BigState,
+                        files: Set[String]): FileDvs = {
+    if (files.isEmpty) return Map.empty
+    val fromDelta = big.dvDelta.filter { case (f, _) => files(f) }
+    val rest = files -- fromDelta.keySet
+    val payload = payloadLiveDF(spark, root, big)
+    val fromPayload: FileDvs =
+      if (rest.isEmpty || big.ndvs == 0L ||
+          !payload.columns.contains("dvfiles")) Map.empty
+      else payload
+        .filter(col("file").isin(rest.toSeq: _*) && col("dvfiles").isNotNull)
+        .select("file", "dvfiles", "dvrows").collect()
+        .map(r => r.getString(0) ->
+          (r.getSeq[String](1).toSeq, r.getLong(2))).toMap
+    fromDelta ++ fromPayload
   }
 
   /** COLUMN MAPPING at read time (the Delta column-mapping shape): the
@@ -949,9 +1032,12 @@ object TxLog {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    applyMapping(org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation)),
-      big.mapping, partSchema)
+    val raw = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    applyMapping(
+      applyDvJoin(spark, root, raw, dvFilesOfBig(spark, root, big),
+        withPos = false),
+      big.mapping, partSchema).drop("__dv_f", "__dv_p")
   }
 
   private def readState(spark: SparkSession, root: String,
@@ -1071,13 +1157,17 @@ object TxLog {
                 else None)
         }
       case Right(big) =>
-        var df = spark.read.parquet(s"$root/_txlog/${big.payload}")
-        if (big.removedParts.nonEmpty)
-          df = df.filter(not(col("part").isin(big.removedParts.toSeq: _*)))
-        if (big.removedFiles.nonEmpty)
-          df = df.filter(not(col("file").isin(big.removedFiles.toSeq: _*)))
+        var df = payloadLiveDF(spark, root, big)
+        val hasDvCols = df.columns.contains("dvfiles")
+        // files whose vector was overridden after the checkpoint leave
+        // the distributed agg and re-enter with their overridden counts
+        val ovKeys = big.dvDelta.keySet.toSeq
+        if (ovKeys.nonEmpty) df = df.filter(not(col("file").isin(ovKeys: _*)))
+        val effRows =
+          if (hasDvCols) col("rows") - coalesce(col("dvrows"), lit(0L))
+          else col("rows")
         val payload = df.groupBy("part")
-          .agg(sum("rows").as("n"), count(lit(1)).as("nf"),
+          .agg(sum(effRows).as("n"), count(lit(1)).as("nf"),
             count(col("rows")).as("nr"))
           .collect().map { r =>
             // any file without a recorded count poisons its partition
@@ -1086,13 +1176,28 @@ object TxLog {
                .map(_.asInstanceOf[Long])
              else None)
           }.toMap
+        val ovByPart: Map[String, Option[Long]] =
+          if (ovKeys.isEmpty) Map.empty
+          else payloadLiveDF(spark, root, big)
+            .filter(col("file").isin(ovKeys: _*))
+            .select("part", "file", "rows").collect().toSeq
+            .map { r =>
+              (r.getString(0), Option(r.get(2)).map(_.asInstanceOf[Long] -
+                big.dvDelta(r.getString(1))._2))
+            }
+            .groupBy(_._1).map { case (v, xs) =>
+              v -> (if (xs.forall(_._2.nonEmpty)) Some(xs.flatMap(_._2).sum)
+                    else None)
+            }
         val deltaCounts = big.deltaParts.map { case (v, fs) =>
           v -> (if (fs.forall(big.deltaRows.contains))
-                  Some(fs.map(big.deltaRows).sum)
+                  Some(fs.map(f => big.deltaRows(f) -
+                    big.dvDelta.get(f).map(_._2).getOrElse(0L)).sum)
                 else None)
         }
-        (payload.keySet ++ deltaCounts.keySet).map { v =>
-          val both = Seq(payload.get(v), deltaCounts.get(v)).flatten
+        (payload.keySet ++ ovByPart.keySet ++ deltaCounts.keySet).map { v =>
+          val both =
+            Seq(payload.get(v), ovByPart.get(v), deltaCounts.get(v)).flatten
           v -> (if (both.forall(_.nonEmpty)) Some(both.flatten.sum) else None)
         }.toMap
     }
@@ -2336,7 +2441,9 @@ object TxLog {
           }.toMap
           (big.version, merged,
             Snapshot(big.version, merged, big.schema, big.deltaStats,
-              big.deltaRows, big.partSchema, big.mapping))
+              big.deltaRows, big.partSchema, big.mapping,
+              dvs = bigDvsFor(spark, root, big,
+                merged.valuesIterator.flatten.toSet)))
       }
       require(sel.nonEmpty,
         s"TxLog.readModifyWriteWhere: no partition at $root passes select")
@@ -2474,8 +2581,10 @@ object TxLog {
       val candSnap = Snapshot(version, smalls, state.fold(_.schema, _.schema),
         Map.empty, Map.empty, state.fold(_.partSchema, _.partSchema),
         mapping = state.fold(_.mapping, _.mapping),
-        dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
-          .filter { case (f, _) => smallFiles(f) })
+        dvs = state match {
+          case Left(snap) => snap.dvs.filter { case (f, _) => smallFiles(f) }
+          case Right(big) => bigDvsFor(spark, root, big, smallFiles)
+        })
       // one merged file per partition ([[stage]]'s hash repartition) —
       // the small-file steady state; a partition whose smalls exceed a
       // sane file size should be on the compactClusteredTx schedule
@@ -2640,8 +2749,10 @@ object TxLog {
       val candSnap = Snapshot(version, cands, schema,
         Map.empty, Map.empty, partSchema,
         mapping = state.fold(_.mapping, _.mapping),
-        dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
-          .filter { case (f, _) => candFiles(f) })
+        dvs = state match {
+          case Left(snap) => snap.dvs.filter { case (f, _) => candFiles(f) }
+          case Right(big) => bigDvsFor(spark, root, big, candFiles)
+        })
       val keep = not(coalesce(cond, lit(false))) // NULL predicate keeps
       val candRead = readSnapshot(spark, root, candSnap, ps)
       val remaining = candRead.filter(keep)
@@ -2698,28 +2809,33 @@ object TxLog {
     while (attempt < maxAttempts) {
       attempt += 1
       val state = stateOf(spark, root)
-      val snap = state match {
-        case Left(s) => s
-        case Right(big) => sys.error(s"TxLog.deleteWhereDvTx: the table " +
-          s"at $root is parquet-checkpointed (${big.nfiles}+ files) — " +
-          "deletion-vector state is driver-resident by design; use " +
-          "deleteWhereTx (file-granular rewrite) at that scale")
-      }
-      val version = snap.version
-      if (snap.parts.isEmpty) return (version, 0L)
+      val version = state.fold(_.version, _.version)
+      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+        return (version, 0L)
       val ps = partSchemaOf(state, root, "deleteWhereDvTx")
-      // dv-less candidate search: stats pruning decides FILES, and the
-      // dv anti-join can only shrink rows within them — a simpler plan
-      // for the same candidate set
-      val cands = candidatesOf(
-        readSnapshot(spark, root, snap.copy(dvs = Map.empty), ps),
-        cond, ps.map(_.name))
+      // candidate search: stats pruning decides FILES, and the dv
+      // anti-join can only shrink rows within them — the driver path
+      // uses the simpler dv-less plan; the payload path runs the scan's
+      // own distributed pruning job
+      val cands = state match {
+        case Left(snap) => candidatesOf(
+          readSnapshot(spark, root, snap.copy(dvs = Map.empty), ps),
+          cond, ps.map(_.name))
+        case Right(_) => candidatesOf(
+          readState(spark, root, state, ps), cond, ps.map(_.name))
+      }
       if (cands.isEmpty) return (version, 0L)
       val candFiles = cands.valuesIterator.flatten.toSet
-      val candDvs = snap.dvs.filter { case (f, _) => candFiles(f) }
-      val candSnap = Snapshot(version, cands, snap.schema,
-        Map.empty, Map.empty, snap.partSchema,
-        mapping = snap.mapping, dvs = candDvs)
+      // effective prior vectors for the candidates: driver state on a
+      // driver table, one selective payload query (+ delta overrides)
+      // on a parquet-checkpointed one — bounded by the candidate set
+      val candDvs = state match {
+        case Left(snap) => snap.dvs.filter { case (f, _) => candFiles(f) }
+        case Right(big) => bigDvsFor(spark, root, big, candFiles)
+      }
+      val candSnap = Snapshot(version, cands, state.fold(_.schema, _.schema),
+        Map.empty, Map.empty, state.fold(_.partSchema, _.partSchema),
+        mapping = state.fold(_.mapping, _.mapping), dvs = candDvs)
       // candidate rows with their (rel file, position) identity, already
       // dv-filtered (a position can never re-delete) and under logical
       // names (so `cond` and the change feed speak the caller's schema)
@@ -2758,7 +2874,7 @@ object TxLog {
         else writeChanges(changesToPhysical(
           matches.drop("__dv_f", "__dv_p")
             .withColumn("_change_type", lit("delete")),
-          snap.mapping), root)
+          state.fold(_.mapping, _.mapping)), root)
       // the affected partitions (empty file sets) are the conflict unit:
       // a concurrent rewrite of a candidate file must force re-derivation
       val staged = Staged(
@@ -2877,8 +2993,11 @@ object TxLog {
           Some(readSnapshot(spark, root,
             Snapshot(version, cands, schema, Map.empty, Map.empty,
               partSchemaDDL, mapping = state.fold(_.mapping, _.mapping),
-              dvs = state.fold(_.dvs, _ => Map.empty: FileDvs)
-                .filter { case (f, _) => candFiles(f) }), ps))
+              dvs = state match {
+                case Left(snap) =>
+                  snap.dvs.filter { case (f, _) => candFiles(f) }
+                case Right(big) => bigDvsFor(spark, root, big, candFiles)
+              }), ps))
         }
       val unmatched = candRead.map(
         _.join(source.select(col(key)), Seq(key), "left_anti")
@@ -3006,15 +3125,7 @@ object TxLog {
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
               snap.rows, snap.partSchema, writers, snap.mapping,
               snap.dvs, snap.constraints)): Unit
-        else {
-          // deletion vectors are a driver-resident (hot-table) feature —
-          // the payload path deliberately does not carry them
-          require(snap.dvs.isEmpty, s"TxLog.checkpoint: the table at " +
-            s"$root carries ${snap.dvs.size} deletion vectors and is " +
-            "crossing to a parquet checkpoint — materialize them first " +
-            "(compactPartitionsTx over the dv'd partitions)")
-          writeChkV2FromSnap(spark, root, snap, batchIds, writers)
-        }
+        else writeChkV2FromSnap(spark, root, snap, batchIds, writers)
     }
     version
   }
@@ -3057,7 +3168,14 @@ object TxLog {
     // key). Legacy payloads lack it; they are single-column by
     // construction and keep pruning on `part`.
     org.apache.spark.sql.types.StructField("partv",
-      org.apache.spark.sql.types.ArrayType(StringType, false), true)))
+      org.apache.spark.sql.types.ArrayType(StringType, false), true),
+    // DELETION VECTOR columns (null = no vector): the file's cumulative
+    // position sidecars and deleted-row count — DV state rides the
+    // payload at scale exactly like stats (legacy payloads lack them)
+    org.apache.spark.sql.types.StructField("dvfiles",
+      org.apache.spark.sql.types.ArrayType(StringType, false), true),
+    org.apache.spark.sql.types.StructField("dvrows",
+      org.apache.spark.sql.types.LongType, true)))
 
   /** (size, mtime) of each rel file — grouped per parent dir so a
     * thousand-file staging dir costs ONE listing RPC; few dirs list on a
@@ -3102,7 +3220,8 @@ object TxLog {
 
   private def entryRows(root: String, parts: Map[String, Seq[String]],
                         stats: FileStats, rows: FileRows,
-                        meta: Map[String, (Long, Long)], nP: Int)
+                        meta: Map[String, (Long, Long)], nP: Int,
+                        dvs: FileDvs = Map.empty)
       : Seq[org.apache.spark.sql.Row] =
     parts.toSeq.flatMap { case (v, fs) =>
       val segs = splitPartKey(v, nP)
@@ -3110,11 +3229,14 @@ object TxLog {
         val (sz, mt) = meta.getOrElse(f, sys.error(
           s"TxLog.checkpoint: live file $f missing under $root — vacuum " +
             "ran inside the checkpoint window?"))
+        val dv = dvs.get(f)
         org.apache.spark.sql.Row(v, f, sz, mt,
           rows.get(f).map(java.lang.Long.valueOf).orNull,
           stats.get(f).map(_.map { case (c, (mn, mx)) =>
             c -> org.apache.spark.sql.Row(mn, mx)
-          }).orNull, segs)
+          }).orNull, segs,
+          dv.map(_._1).orNull,
+          dv.map(d => java.lang.Long.valueOf(d._2)).orNull)
       }
     }
 
@@ -3146,7 +3268,7 @@ object TxLog {
                                  writers: Map[String, (Long, Long)]): Unit = {
     val meta = statusByRel(spark, root, snap.parts.values.flatten.toSeq)
     val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta,
-      nPartsOf(snap.partSchema))
+      nPartsOf(snap.partSchema), snap.dvs)
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, PayloadSchema)
       .repartition(math.max(1, rows.size / 500000))
@@ -3155,7 +3277,7 @@ object TxLog {
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
       renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
         snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping,
-        snap.constraints))
+        snap.constraints, ndvs = snap.dvs.size.toLong))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -3179,7 +3301,7 @@ object TxLog {
     import scala.jdk.CollectionConverters._
     val deltaDF = spark.createDataFrame(
       entryRows(root, big.deltaParts, big.deltaStats, big.deltaRows,
-        deltaMeta, nP).asJava, PayloadSchema)
+        deltaMeta, nP, big.dvDelta).asJava, PayloadSchema)
     val prior = payloadLiveDF(spark, root, big)
     // legacy payloads (written before partv) are single-column by
     // construction: their key IS the one raw value
@@ -3190,18 +3312,41 @@ object TxLog {
           "partv but the table records a multi-column partition schema")
         prior.withColumn("partv", array(col("part")))
       }
-    val unioned = priorWithSegs
-      .select("part", "file", "size", "mtime", "rows", "stats", "partv")
+    // legacy payloads predate the dv columns; post-checkpoint vector
+    // overrides fold INTO the new payload here (the dv analogue of the
+    // partition-delta fold)
+    val priorWithDv0 =
+      if (priorWithSegs.columns.contains("dvfiles")) priorWithSegs
+      else priorWithSegs
+        .withColumn("dvfiles",
+          lit(null).cast(org.apache.spark.sql.types.ArrayType(StringType)))
+        .withColumn("dvrows",
+          lit(null).cast(org.apache.spark.sql.types.LongType))
+    val priorWithDv =
+      if (big.dvDelta.isEmpty) priorWithDv0
+      else {
+        import spark.implicits._
+        val ov = big.dvDelta.toSeq.map { case (f, (dvf, n)) => (f, dvf, n) }
+          .toDF("file", "__ovf", "__ovn")
+        priorWithDv0.join(broadcast(ov), Seq("file"), "left")
+          .withColumn("dvfiles", coalesce(col("__ovf"), col("dvfiles")))
+          .withColumn("dvrows", coalesce(col("__ovn"), col("dvrows")))
+          .drop("__ovf", "__ovn")
+      }
+    val unioned = priorWithDv
+      .select("part", "file", "size", "mtime", "rows", "stats", "partv",
+        "dvfiles", "dvrows")
       .unionByName(deltaDF)
     val name = writePayloadDir(spark, root, unioned, big.version)
     val fresh = spark.read.parquet(s"$root/_txlog/$name")
-    val agg = fresh.agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head
+    val agg = fresh.agg(count(lit(1)), coalesce(sum("size"), lit(0L)),
+      count(col("dvfiles"))).head
     val values = fresh.select("part").distinct().collect()
       .map(_.getString(0)).toSet
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
         agg.getLong(0), agg.getLong(1), writers, big.mapping,
-        big.constraints))
+        big.constraints, ndvs = agg.getLong(2)))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -3369,10 +3514,17 @@ object TxLog {
             (q.stripPrefix(rootQual), st.getModificationTime)
           }
       }.toDF("rel", "mtime")
-    val liveDF = payloadLiveDF(spark, root, big)
+    val liveBase = payloadLiveDF(spark, root, big)
+    val payloadDvFiles =
+      if (!liveBase.columns.contains("dvfiles"))
+        Seq.empty[String].toDF("rel")
+      else liveBase.filter(col("dvfiles").isNotNull)
+        .select(explode(col("dvfiles")).as("rel"))
+    val liveDF = liveBase
       .select(col("file").as("rel"))
+      .unionByName(payloadDvFiles)
       .unionByName((big.deltaParts.values.flatten.toSeq ++
-        changeFiles).toDF("rel"))
+        changeFiles ++ big.dvDelta.values.flatMap(_._1)).toDF("rel"))
     found.filter(col("mtime") <= cutoff)
       .join(liveDF, Seq("rel"), "left_anti")
       .select("rel").as[String]

@@ -207,4 +207,56 @@ class TxBigSpec extends SparkSpecBase {
       assert(counts("real") === Some(3L) && counts.size === 1001)
     }
   }
+
+  test("deletion vectors on a parquet-checkpointed table: dv commits, " +
+      "payload folding, counts, materialization") {
+    withTinyThreshold {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = freshRoot("dv")
+      TxLog.appendBatchTx(
+        Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0),
+            ("b", 4L, 40.0)).toDF("part", "k", "v"),
+        root, "part", "bigdv-b1")
+      // cross to a parquet checkpoint BEFORE any vector exists
+      TxLog.checkpoint(spark, root)
+      intercept[RuntimeException] { TxLog.snapshot(spark, root) } // payload
+      // a dv delete lands as a post-checkpoint override
+      val (_, n1) = TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)
+      assert(n1 === 1L)
+      assert(TxLog.readTable(spark, root).select("k")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L))
+      assert(TxLog.countRows(spark, root) === Some(3L))
+      // the next checkpoint folds the vector INTO the payload columns
+      TxLog.checkpoint(spark, root)
+      TxLog.expireLog(spark, root)
+      assert(TxLog.readTable(spark, root).count() === 3L)
+      assert(TxLog.countRows(spark, root) === Some(3L))
+      // a SECOND dv delete on the same file: cumulative over the
+      // payload-recorded vector
+      val (_, n2) = TxLog.deleteWhereDvTx(spark, root, col("k") === 2L)
+      assert(n2 === 1L)
+      assert(TxLog.countRows(spark, root) === Some(2L))
+      assert(TxLog.readTable(spark, root).select("k")
+        .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+      // a keyed MERGE over a dv'd candidate reads dv-filtered and the
+      // rewrite materializes that file's vector away
+      TxLog.mergeKeyedTx(spark, root,
+        Seq(("b", 3L, 33.0)).toDF("part", "k", "v"), "k")
+      assert(TxLog.readTable(spark, root)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v"))
+        .toMap === Map(3L -> 33.0, 4L -> 40.0))
+      // the fully-dv-deleted partition materializes away through a
+      // rewrite delete (copy-on-write handles the empty remainder;
+      // its dv entry dies with the file)
+      val (_, rewritten) = TxLog.deleteWhereTx(spark, root,
+        col("part") === "a")
+      assert(rewritten === 1)
+      assert(TxLog.readTable(spark, root).count() === 2L)
+      assert(TxLog.countRows(spark, root) === Some(2L))
+      // vacuum keeps live sidecars, reclaims superseded ones
+      assert(TxLog.vacuum(spark, root, minAgeMs = 0L) >= 0)
+      assert(TxLog.readTable(spark, root).count() === 2L)
+    }
+  }
 }
