@@ -161,7 +161,12 @@ object Bench {
     "q235_tx_deletion_vectors",    // merge-on-read DELETE (position deletes)
     "q236_tx_binpack",             // OPTIMIZE bin-packing, smalls only
     "q237_tx_history",             // DESCRIBE HISTORY audit surface
-    "q238_tx_stream_sink"          // transactional streaming sink (ledger)
+    "q238_tx_stream_sink",         // transactional streaming sink (ledger)
+    // r16 third-wave rows
+    "q239_tx_update_sink",         // update-mode sink: ledgered upserts
+    "q240_tx_time_travel_ts",      // TIMESTAMP AS OF reads
+    "q241_tx_check_constraints",   // CHECK constraints, write-time enforced
+    "q242_tx_dv_parquet_checkpoint" // deletion vectors at payload scale
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -313,7 +318,13 @@ object Bench {
     "q235_tx_deletion_vectors" -> 4.71,
     "q236_tx_binpack" -> 2.59,
     "q237_tx_history" -> 1.53,
-    "q238_tx_stream_sink" -> 2.50)
+    "q238_tx_stream_sink" -> 2.50,
+    // r16 third wave (isolated min-of-3, canary 0.45/0.30/0.25/0.23,
+    // q01 anchor 0.35 — in band)
+    "q239_tx_update_sink" -> 7.91,
+    "q240_tx_time_travel_ts" -> 1.20,
+    "q241_tx_check_constraints" -> 1.50,
+    "q242_tx_dv_parquet_checkpoint" -> 9.28)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
