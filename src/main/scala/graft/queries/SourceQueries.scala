@@ -4015,6 +4015,71 @@ object SourceQueries {
       }
     },
 
+    // ---- q243: CONDITIONAL MERGE — the full Delta `MERGE INTO ... WHEN
+    // MATCHED [AND cond] THEN UPDATE/DELETE WHEN NOT MATCHED THEN
+    // INSERT` statement as one transactional, file-granular operation:
+    // matched rows take the FIRST passing clause, everything else passes
+    // through, candidates come from key-range stats overlap. Customers
+    // merge a source of top-quarter keys (delete the negative-balance
+    // ones, double the rest by adding the source copy) plus brand-new
+    // keys; the oracle replays the clauses relationally.
+    QueryDef.sql("q243_tx_merge_clauses",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |kept AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |         THEN c_acctbal * 2 ELSE c_acctbal END AS bal
+         |  FROM customer, mx
+         |  WHERE NOT (c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |             AND c_acctbal < 0)),
+         |ins AS (SELECT c_mktsegment, c_acctbal AS bal
+         |        FROM customer, mx WHERE c_custkey < 50),
+         |allr AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("bal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS merge_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q243_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      // four key-range batches: the merge's candidate search must bound
+      // the rewrite to the files its key range overlaps
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          cust.filter(col("c_custkey") > lo && col("c_custkey") <= hi),
+          root, "c_mktsegment", s"q243-b$i")
+        lo = hi
+      }
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      val src = cust.filter(col("c_custkey") > maxKey * 3 / 4)
+        .unionByName(cust.filter(col("c_custkey") < 50)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1000))
+      TxLog.mergeClausesTx(s, root, src, "c_custkey",
+        whenMatched = Seq(
+          TxLog.MergeClause.delete(Some("s.c_acctbal < 0")),
+          TxLog.MergeClause.update(
+            Map("c_acctbal" -> "t.c_acctbal + s.c_acctbal"))),
+        whenNotMatched = Seq(TxLog.MergeClause.insertAll()))
+      // the rewrite touched only the key-range-overlapping files
+      val h = TxLog.history(s, root).collect().maxBy(_.getLong(0))
+      require(h.getString(1) == "rewrite" &&
+        h.getLong(8) * 2 <= totalFiles,
+        s"q243: the merge rewrote ${h.getLong(8)} of $totalFiles files — " +
+          "the candidate search did not bound the rewrite")
+      TxLog.readTable(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("merge_ok", lit(1L))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

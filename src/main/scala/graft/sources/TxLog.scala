@@ -2907,6 +2907,96 @@ object TxLog {
     * upsert the reference replays row-by-row (`test_db.py:53-65`), here
     * one metadata round + O(affected files) I/O. Returns the committed
     * version. */
+  /** Candidate files of a keyed merge plus their DV-filtered read: per
+    * source partition, the live files whose recorded `key` range
+    * overlaps the source's key bounds (per-file stats skipping on the
+    * driver state, ONE distributed payload job on a parquet-checkpointed
+    * table). The shared front half of [[mergeKeyedTx]] and
+    * [[mergeClausesTx]]. */
+  private def mergeCandidateRead(spark: SparkSession, root: String,
+                                 state: Either[Snapshot, BigState],
+                                 source: DataFrame, key: String,
+                                 ps: org.apache.spark.sql.types.StructType)
+      : (Map[String, Seq[String]], Option[DataFrame]) = {
+    val version = state.fold(_.version, _.version)
+    val (schema, partSchemaDDL) =
+      (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
+    val nP = ps.length
+    val keyType = source.schema(key).dataType
+    // per-source-partition key bounds: O(source partitions) driver rows
+    // (all N partition columns cast to their raw-string key segments)
+    val bounds = source
+      .groupBy(ps.map(f => col(f.name).cast(StringType)).toSeq: _*)
+      .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
+    def pvOf(r: org.apache.spark.sql.Row): String =
+      renderPartKey((0 until nP).map(r.getString))
+    // recorded file stats are keyed by PHYSICAL column names — a
+    // renamed merge key translates so skipping keeps bounding the
+    // candidate set
+    val physKey = state.fold(_.mapping, _.mapping)
+      .collectFirst { case (p, l) if l == key => p }.getOrElse(key)
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(physKey, keyType)()
+    // keep a file unless its stats prove [fileMin,fileMax] and the
+    // source bounds [mn,mx] are disjoint: "might a row satisfy
+    // key >= mn AND key <= mx" is exactly range overlap
+    def overlapExprs(r: org.apache.spark.sql.Row)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+            attr, org.apache.spark.sql.catalyst.expressions.Literal
+              .create(r.get(nP), keyType)),
+          org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+            attr, org.apache.spark.sql.catalyst.expressions.Literal
+              .create(r.get(nP + 1), keyType)))
+    val cands: Map[String, Seq[String]] = state match {
+      case Left(snap) =>
+        bounds.flatMap { r =>
+          val pv = pvOf(r)
+          val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
+            snap.stats.get(f).forall(TxStats.mightMatch(overlapExprs(r), _))
+          }
+          if (fs.isEmpty) None else Some(pv -> fs)
+        }.toMap
+      case Right(big) =>
+        // ONE distributed candidate job over the payload: OR over the
+        // per-partition (part = v AND key-range-overlap) predicates
+        val payloadPred = bounds.map { r =>
+          (col("part") === pvOf(r)) &&
+            TxStats.mightMatchColumn(overlapExprs(r), col("stats"))
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val fromPayload = payloadLiveDF(spark, root, big)
+          .filter(payloadPred).select("part", "file").collect()
+          .groupBy(_.getString(0))
+          .map { case (v, xs) => v -> xs.map(_.getString(1)).toSeq }
+        val fromDelta = bounds.flatMap { r =>
+          val pv = pvOf(r)
+          val fs = big.deltaParts.getOrElse(pv, Seq.empty).filter { f =>
+            big.deltaStats.get(f)
+              .forall(TxStats.mightMatch(overlapExprs(r), _))
+          }
+          if (fs.isEmpty) None else Some(pv -> fs)
+        }.toMap
+        (fromPayload.keySet ++ fromDelta.keySet).map { v =>
+          v -> (fromPayload.getOrElse(v, Seq.empty) ++
+            fromDelta.getOrElse(v, Seq.empty))
+        }.toMap
+    }
+    val candRead =
+      if (cands.isEmpty) None
+      else {
+        val candFiles = cands.valuesIterator.flatten.toSet
+        Some(readSnapshot(spark, root,
+          Snapshot(version, cands, schema, Map.empty, Map.empty,
+            partSchemaDDL, mapping = state.fold(_.mapping, _.mapping),
+            dvs = state match {
+              case Left(snap) =>
+                snap.dvs.filter { case (f, _) => candFiles(f) }
+              case Right(big) => bigDvsFor(spark, root, big, candFiles)
+            }), ps))
+      }
+    (cands, candRead)
+  }
+
   def mergeKeyedTx(spark: SparkSession, root: String, source: DataFrame,
                    key: String, maxAttempts: Int = 20,
                    changeFeed: Boolean = false,
@@ -2919,86 +3009,13 @@ object TxLog {
       require(state.fold(_.parts.nonEmpty, _.partValues.nonEmpty),
         s"TxLog.mergeKeyedTx: table at $root is empty — append the seed " +
           "batch instead")
-      val (schema, partSchemaDDL) =
-        (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
-      val ps = partSchemaDDL
+      val ps = state.fold(_.partSchema, _.partSchema)
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(sys.error(s"TxLog.mergeKeyedTx: the log at $root " +
           "predates partition-column recording"))
-      val nP = ps.length
-      val keyType = source.schema(key).dataType
-      // per-source-partition key bounds: O(source partitions) driver rows
-      // (all N partition columns cast to their raw-string key segments)
-      val bounds = source
-        .groupBy(ps.map(f => col(f.name).cast(StringType)).toSeq: _*)
-        .agg(min(col(key)).as("__mn"), max(col(key)).as("__mx")).collect()
-      def pvOf(r: org.apache.spark.sql.Row): String =
-        renderPartKey((0 until nP).map(r.getString))
-      // recorded file stats are keyed by PHYSICAL column names — a
-      // renamed merge key translates so skipping keeps bounding the
-      // candidate set
-      val physKey = state.fold(_.mapping, _.mapping)
-        .collectFirst { case (p, l) if l == key => p }.getOrElse(key)
-      val attr = org.apache.spark.sql.catalyst.expressions
-        .AttributeReference(physKey, keyType)()
-      // keep a file unless its stats prove [fileMin,fileMax] and the
-      // source bounds [mn,mx] are disjoint: "might a row satisfy
-      // key >= mn AND key <= mx" is exactly range overlap
-      def overlapExprs(r: org.apache.spark.sql.Row)
-          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
-        Seq(org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
-              attr, org.apache.spark.sql.catalyst.expressions.Literal
-                .create(r.get(nP), keyType)),
-            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
-              attr, org.apache.spark.sql.catalyst.expressions.Literal
-                .create(r.get(nP + 1), keyType)))
-      val cands: Map[String, Seq[String]] = state match {
-        case Left(snap) =>
-          bounds.flatMap { r =>
-            val pv = pvOf(r)
-            val fs = snap.parts.getOrElse(pv, Seq.empty).filter { f =>
-              snap.stats.get(f).forall(TxStats.mightMatch(overlapExprs(r), _))
-            }
-            if (fs.isEmpty) None else Some(pv -> fs)
-          }.toMap
-        case Right(big) =>
-          // ONE distributed candidate job over the payload: OR over the
-          // per-partition (part = v AND key-range-overlap) predicates
-          val payloadPred = bounds.map { r =>
-            (col("part") === pvOf(r)) &&
-              TxStats.mightMatchColumn(overlapExprs(r), col("stats"))
-          }.reduceOption(_ || _).getOrElse(lit(false))
-          val fromPayload = payloadLiveDF(spark, root, big)
-            .filter(payloadPred).select("part", "file").collect()
-            .groupBy(_.getString(0))
-            .map { case (v, xs) => v -> xs.map(_.getString(1)).toSeq }
-          val fromDelta = bounds.flatMap { r =>
-            val pv = pvOf(r)
-            val fs = big.deltaParts.getOrElse(pv, Seq.empty).filter { f =>
-              big.deltaStats.get(f)
-                .forall(TxStats.mightMatch(overlapExprs(r), _))
-            }
-            if (fs.isEmpty) None else Some(pv -> fs)
-          }.toMap
-          (fromPayload.keySet ++ fromDelta.keySet).map { v =>
-            v -> (fromPayload.getOrElse(v, Seq.empty) ++
-              fromDelta.getOrElse(v, Seq.empty))
-          }.toMap
-      }
+      val (cands, candRead) =
+        mergeCandidateRead(spark, root, state, source, key, ps)
       val tableCols = source.columns.map(col).toSeq
-      val candRead =
-        if (cands.isEmpty) None
-        else {
-          val candFiles = cands.valuesIterator.flatten.toSet
-          Some(readSnapshot(spark, root,
-            Snapshot(version, cands, schema, Map.empty, Map.empty,
-              partSchemaDDL, mapping = state.fold(_.mapping, _.mapping),
-              dvs = state match {
-                case Left(snap) =>
-                  snap.dvs.filter { case (f, _) => candFiles(f) }
-                case Right(big) => bigDvsFor(spark, root, big, candFiles)
-              }), ps))
-        }
       val unmatched = candRead.map(
         _.join(source.select(col(key)), Seq(key), "left_anti")
           .select(tableCols: _*))
@@ -3039,6 +3056,182 @@ object TxLog {
     }
     sys.error(s"TxLog.mergeKeyedTx: $maxAttempts consecutive conflicts " +
       s"at $root — pathological contention, back off at the caller")
+  }
+
+  /** One clause of a [[mergeClausesTx]]: conditions and SET expressions
+    * are SQL strings over the aliases `t` (target) and `s` (source) —
+    * the Delta MERGE surface shape. */
+  final case class MergeClause(kind: String, condition: Option[String],
+                               sets: Map[String, String])
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... */
+    def update(set: Map[String, String],
+               condition: Option[String] = None): MergeClause =
+      MergeClause("update", condition, set)
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET * (source replaces). */
+    def updateAll(condition: Option[String] = None): MergeClause =
+      MergeClause("updateAll", condition, Map.empty)
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    def delete(condition: Option[String] = None): MergeClause =
+      MergeClause("delete", condition, Map.empty)
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT *. */
+    def insertAll(condition: Option[String] = None): MergeClause =
+      MergeClause("insertAll", condition, Map.empty)
+  }
+
+  /** Full conditional MERGE — the Delta `MERGE INTO t USING s ON
+    * t.key = s.key WHEN MATCHED [AND ...] THEN UPDATE/DELETE WHEN NOT
+    * MATCHED [AND ...] THEN INSERT` statement as a transactional
+    * operation: matched rows take the FIRST `whenMatched` clause whose
+    * condition passes (remaining matched rows and all non-matched target
+    * rows pass through unchanged), non-matched source rows insert under
+    * the first passing `whenNotMatched` clause (or drop). File-granular
+    * exactly like [[mergeKeyedTx]] (which is the updateAll+insertAll
+    * special case): candidates come from per-source-partition key-range
+    * stats overlap, only those files rewrite, and the commit is
+    * conflict-serialized. Same contract: `source` carries the table's
+    * schema, keys are unique in the source, and a key's partition value
+    * is stable — SET expressions may not touch partition columns
+    * (refused: a MERGE cannot move rows across partitions). Opt-in
+    * `changeFeed` records update pre/post images, deletes and inserts.
+    * Returns the committed version; no commit when nothing changes. */
+  def mergeClausesTx(spark: SparkSession, root: String, source: DataFrame,
+                     key: String, whenMatched: Seq[MergeClause],
+                     whenNotMatched: Seq[MergeClause] =
+                       Seq(MergeClause.insertAll()),
+                     maxAttempts: Int = 20, changeFeed: Boolean = false,
+                     writerSeq: Option[(String, Long)] = None): Long = {
+    require(whenMatched.forall(c => c.kind == "update" ||
+        c.kind == "updateAll" || c.kind == "delete"),
+      "mergeClausesTx: whenMatched clauses are update/updateAll/delete")
+    require(whenNotMatched.forall(_.kind == "insertAll"),
+      "mergeClausesTx: whenNotMatched clauses are insertAll")
+    require(whenMatched.nonEmpty || whenNotMatched.nonEmpty,
+      "mergeClausesTx: at least one clause")
+    // only the FINAL clause of a branch may omit its condition (else the
+    // later clauses are dead — the Delta rule, enforced loudly)
+    require(whenMatched.dropRight(1).forall(_.condition.nonEmpty),
+      "mergeClausesTx: only the final whenMatched clause may omit its " +
+        "condition")
+    require(whenNotMatched.dropRight(1).forall(_.condition.nonEmpty),
+      "mergeClausesTx: only the final whenNotMatched clause may omit " +
+        "its condition")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val state = stateOf(spark, root)
+      val version = state.fold(_.version, _.version)
+      require(state.fold(_.parts.nonEmpty, _.partValues.nonEmpty),
+        s"TxLog.mergeClausesTx: table at $root is empty — append the " +
+          "seed batch instead")
+      val ps = state.fold(_.partSchema, _.partSchema)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(sys.error(s"TxLog.mergeClausesTx: the log at $root " +
+          "predates partition-column recording"))
+      val partNames = ps.map(_.name).toSet
+      whenMatched.foreach(_.sets.keys.foreach { k =>
+        require(!partNames(k), s"mergeClausesTx: SET touches partition " +
+          s"column [$k] — partitions are structural, a MERGE cannot " +
+          "move rows across them")
+        require(source.columns.contains(k),
+          s"mergeClausesTx: SET targets unknown column [$k]")
+      })
+      val (cands, candReadOpt) =
+        mergeCandidateRead(spark, root, state, source, key, ps)
+      val tableCols = source.columns.toSeq
+      // matched-branch evaluation: __mc = index of the first passing
+      // clause, -1 = matched by no clause (or not matched) — pass through
+      val withIdx = candReadOpt.map { t =>
+        val joined = t.alias("t")
+          .join(source.alias("s"), col(s"t.`$key`") === col(s"s.`$key`"),
+            "left")
+        val matched = col(s"s.`$key`").isNotNull
+        val idx = whenMatched.zipWithIndex
+          .foldLeft(when(lit(false), -1)) { case (acc, (c, i)) =>
+            acc.when(matched &&
+              c.condition.map(expr).getOrElse(lit(true)), i)
+          }.otherwise(-1)
+        joined.withColumn("__mc", idx)
+      }
+      val deleteIdx = whenMatched.zipWithIndex
+        .collect { case (c, i) if c.kind == "delete" => i }
+      val updateIdx = whenMatched.zipWithIndex
+        .collect { case (c, i) if c.kind != "delete" => i }
+      def valueOf(c: String): Column = {
+        var e: Column = null
+        whenMatched.zipWithIndex.foreach { case (cl, i) =>
+          val v = cl.kind match {
+            case "updateAll" => col(s"s.`$c`")
+            case "update" => cl.sets.get(c).map(expr)
+              .getOrElse(col(s"t.`$c`"))
+            case "delete" => col(s"t.`$c`") // rows filtered; value unused
+          }
+          e = if (e == null) when(col("__mc") === i, v)
+              else e.when(col("__mc") === i, v)
+        }
+        (if (e == null) col(s"t.`$c`") else e.otherwise(col(s"t.`$c`")))
+          .as(c)
+      }
+      val survivors = withIdx.map { j =>
+        val kept = if (deleteIdx.isEmpty) j
+                   else j.filter(!col("__mc").isin(deleteIdx: _*))
+        kept.select(tableCols.map(valueOf): _*)
+      }
+      // non-matched source rows: the first insert clause whose condition
+      // passes inserts (conditions see the row under the `s` alias)
+      val notMatched = candReadOpt match {
+        case Some(t) => source.join(t.select(col(key)), Seq(key), "left_anti")
+        case None => source
+      }
+      val inserts = whenNotMatched.headOption.map { _ =>
+        val s0 = notMatched.alias("s")
+        val pass = whenNotMatched
+          .map(_.condition.map(expr).getOrElse(lit(true)))
+          .reduce(_ || _)
+        s0.filter(pass).select(tableCols.map(c => col(s"s.`$c`")): _*)
+      }
+      val output = (survivors.toSeq ++ inserts.toSeq)
+        .reduceOption(_ unionByName _)
+      if (output.isEmpty && cands.isEmpty) return version // pure no-op
+      val cdf =
+        if (!changeFeed) Seq.empty[String]
+        else {
+          val tCols = tableCols.map(c => col(s"t.`$c`"))
+          val pre = withIdx.toSeq.flatMap { j => Seq(
+            j.filter(col("__mc").isin(updateIdx: _*))
+              .select(tCols: _*)
+              .withColumn("_change_type", lit("update_preimage")),
+            j.filter(col("__mc").isin(updateIdx: _*))
+              .select(tableCols.map(valueOf): _*)
+              .withColumn("_change_type", lit("update_postimage"))) ++
+            (if (deleteIdx.isEmpty) Seq.empty else Seq(
+              j.filter(col("__mc").isin(deleteIdx: _*))
+                .select(tCols: _*)
+                .withColumn("_change_type", lit("delete"))))
+          }
+          val ins = inserts.toSeq
+            .map(_.withColumn("_change_type", lit("insert")))
+          (pre ++ ins).reduceOption(_ unionByName _) match {
+            case Some(tagged) => writeChanges(changesToPhysical(tagged,
+              state.fold(_.mapping, _.mapping)), root)
+            case None => Seq.empty[String]
+          }
+        }
+      val out = output.get
+      val staged =
+        if (out.isEmpty) {
+          if (cands.isEmpty) return version // nothing matched, no inserts
+          Staged(Map.empty, removed = cands, changes = cdf)
+        } else stage(out, root, ps.map(_.name), Nil, 0)
+          .copy(removed = cands, changes = cdf)
+      try return commit(spark, root, staged, "rewrite",
+        readVersion = version, conflictCheck = true, writerSeq = writerSeq)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.mergeClausesTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the caller")
   }
 
   /** Audit surface — the Delta DESCRIBE HISTORY move: every commit still

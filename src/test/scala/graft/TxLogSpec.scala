@@ -1686,6 +1686,57 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("conditional MERGE: clause precedence, conditions, pass-through, " +
+      "insert filtering") {
+    val root = freshRoot("mergeclauses")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+          ("b", 9L, 90.0)).toDF("part", "k", "v"),
+      root, "part", "mc-b1")
+    // source: k=1 (negative → delete clause), k=2 (positive → update
+    // adds), k=5 (new, positive → insert), k=6 (new, negative → insert
+    // condition drops it); k=3 and k=9 untouched (pass through)
+    val src = Seq(("a", 1L, -1.0), ("a", 2L, 5.0), ("a", 5L, 50.0),
+      ("a", 6L, -6.0)).toDF("part", "k", "v")
+    TxLog.mergeClausesTx(spark, root, src, "k",
+      whenMatched = Seq(
+        TxLog.MergeClause.delete(Some("s.v < 0")),
+        TxLog.MergeClause.update(Map("v" -> "t.v + s.v"))),
+      whenNotMatched = Seq(TxLog.MergeClause.insertAll(Some("s.v > 0"))))
+    val got = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(got === Map(2L -> 25.0, 3L -> 30.0, 5L -> 50.0, 9L -> 90.0))
+    // SET on a partition column refuses
+    intercept[IllegalArgumentException] {
+      TxLog.mergeClausesTx(spark, root, src, "k",
+        whenMatched = Seq(TxLog.MergeClause.update(Map("part" -> "'c'"))))
+    }
+    // a non-final unconditional clause refuses (dead clauses)
+    intercept[IllegalArgumentException] {
+      TxLog.mergeClausesTx(spark, root, src, "k",
+        whenMatched = Seq(TxLog.MergeClause.delete(None),
+          TxLog.MergeClause.updateAll()))
+    }
+    // change-feed variant records all four classes
+    val src2 = Seq(("a", 2L, -1.0), ("a", 3L, 3.0), ("a", 7L, 70.0))
+      .toDF("part", "k", "v")
+    val vBefore = TxLog.snapshot(spark, root).version
+    TxLog.mergeClausesTx(spark, root, src2, "k",
+      whenMatched = Seq(
+        TxLog.MergeClause.delete(Some("s.v < 0")),
+        TxLog.MergeClause.update(Map("v" -> "t.v + s.v"))),
+      changeFeed = true)
+    val (feed, _) = TxLog.readChangeFeed(spark, root, vBefore)
+    val classes = feed.get.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes === Map("delete" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L), classes)
+    assert(TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v"))
+      .toMap === Map(3L -> 33.0, 5L -> 50.0, 7L -> 70.0, 9L -> 90.0))
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
