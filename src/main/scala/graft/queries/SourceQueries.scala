@@ -4080,6 +4080,67 @@ object SourceQueries {
         .withColumn("merge_ok", lit(1L))
     },
 
+    // ---- q244: TRANSACTIONAL UPDATE — `UPDATE t SET ... WHERE cond`
+    // file-granular (the DML triad's last verb beside DELETE/MERGE):
+    // data skipping bounds the rewrite to the files that might hold
+    // matching rows (loud ≤-half require on key-range batches), NULL
+    // predicates leave rows unchanged, and the change feed records the
+    // pre/post images. The oracle replays the SET relationally.
+    QueryDef.sql("q244_tx_update_where",
+      s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+         |SELECT YEAR(o_orderdate) AS o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("CASE WHEN o_orderkey <= CAST(FLOOR(m / 8.0) AS BIGINT) THEN o_totalprice * 2 ELSE o_totalprice END")}
+         |    AS total_price,
+         |  CAST(1 AS BIGINT) AS update_ok
+         |FROM orders, mx GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q244_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      var lo = -1L
+      (1 to 4).foreach { i =>
+        val hi = if (i < 4) maxKey * i / 4 else maxKey
+        TxLog.appendBatchTx(
+          orders.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi),
+          root, "o_year", s"q244-b$i")
+        lo = hi
+      }
+      val totalFiles = TxLog.snapshot(s, root).parts.values.map(_.size).sum
+      val before = TxLog.countRows(s, root)
+      val (_, rewritten) = TxLog.updateWhereTx(s, root,
+        col("o_orderkey") <= maxKey / 8,
+        // power-of-two scaling: exact in binary doubles, so the oracle's
+        // decimal casts see bit-identical inputs (a *1.1 would land every
+        // 2-decimal price on a .005 rounding boundary — the half-up vs
+        // half-even seam between engines)
+        Map("o_totalprice" -> col("o_totalprice") * 2),
+        changeFeed = true)
+      require(rewritten > 0 && rewritten * 2 <= totalFiles,
+        s"q244: update rewrote $rewritten of $totalFiles files — " +
+          "skipping did not bound the rewrite")
+      // updates preserve row counts exactly
+      require(TxLog.countRows(s, root) == before,
+        "q244: an UPDATE must not change the metadata-only count")
+      // the feed pairs pre and post images
+      val (feed, _) = TxLog.readChangeFeed(s, root,
+        TxLog.currentVersion(s, root) - 1)
+      val classes = feed.get.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(classes.keySet == Set("update_preimage", "update_postimage")
+          && classes.values.toSet.size == 1,
+        s"q244: update feed classes $classes must pair pre/post equally")
+      TxLog.readTable(s, root)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("update_ok", lit(1L))
+    },
+
     // ---- q230: MULTI-COLUMN PARTITION SCHEMAS through the tx layer —
     // real warehouse tables partition by (date, region)-style composites
     // (the reference's own access paths are composite in spirit:

@@ -2782,6 +2782,86 @@ object TxLog {
       s"at $root — pathological contention, back off at the caller")
   }
 
+  /** Transactional keyed UPDATE — `UPDATE t SET col = expr, ... WHERE
+    * cond` through the commit protocol, file-granular like
+    * [[deleteWhereTx]]: data skipping finds the files that might hold
+    * matching rows, only those are read (dv-filtered) and rewritten with
+    * the SET expressions applied to the rows where `cond` holds (NULL
+    * leaves the row unchanged — SQL UPDATE semantics), and one
+    * conflict-checked "rewrite" commit swaps them in. SET expressions
+    * are plain Columns over the table's (logical) columns; partition
+    * columns are structural and refuse. At 100 TB the rewrite cost is
+    * O(files that might match) — on a clustered predicate key that is
+    * O(covering files), not O(table). Opt-in `changeFeed` records
+    * update pre/post images. Returns (committed version, files
+    * rewritten); (currentVersion, 0) when no file could match. */
+  def updateWhereTx(spark: SparkSession, root: String, cond: Column,
+                    sets: Map[String, Column], maxAttempts: Int = 20,
+                    changeFeed: Boolean = false): (Long, Int) = {
+    require(sets.nonEmpty, "updateWhereTx: no SET expressions")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val state = stateOf(spark, root)
+      val version = state.fold(_.version, _.version)
+      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+        return (version, 0)
+      val ps = partSchemaOf(state, root, "updateWhereTx")
+      sets.keys.foreach { k =>
+        require(!ps.map(_.name).contains(k),
+          s"updateWhereTx: SET touches partition column [$k] — " +
+            "partitions are structural, an UPDATE cannot move rows " +
+            "across them")
+      }
+      val cands = candidatesOf(
+        readState(spark, root, state, ps), cond, ps.map(_.name))
+      if (cands.isEmpty) return (version, 0)
+      val candFiles = cands.valuesIterator.flatten.toSet
+      val candSnap = Snapshot(version, cands,
+        state.fold(_.schema, _.schema), Map.empty, Map.empty,
+        state.fold(_.partSchema, _.partSchema),
+        mapping = state.fold(_.mapping, _.mapping),
+        dvs = state match {
+          case Left(snap) => snap.dvs.filter { case (f, _) => candFiles(f) }
+          case Right(big) => bigDvsFor(spark, root, big, candFiles)
+        })
+      val candRead = readSnapshot(spark, root, candSnap, ps)
+      sets.keys.foreach { k =>
+        require(candRead.columns.contains(k),
+          s"updateWhereTx: SET targets unknown column [$k]")
+      }
+      val hit = coalesce(cond, lit(false)) // NULL predicate = unchanged
+      val updated = candRead.select(candRead.columns.toSeq.map { c =>
+        sets.get(c) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val cdf =
+        if (!changeFeed) Seq.empty[String]
+        else {
+          val pre = candRead.filter(hit)
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = candRead.filter(hit)
+            .select(candRead.columns.toSeq.map(c =>
+              sets.get(c).map(v => v.as(c)).getOrElse(col(c))): _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          writeChanges(changesToPhysical(pre.unionByName(post),
+            state.fold(_.mapping, _.mapping)), root)
+        }
+      val staged = stage(updated, root, ps.map(_.name), Nil, 0)
+        .copy(removed = cands, changes = cdf)
+      try return (commit(spark, root, staged, "rewrite",
+        readVersion = version, conflictCheck = true),
+        cands.valuesIterator.map(_.size).sum)
+      catch { case _: ConcurrentWriteException =>
+        discard(spark, root, staged)
+      }
+    }
+    sys.error(s"TxLog.updateWhereTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
+  }
+
   /** MERGE-ON-READ keyed DELETE — position deletes via DELETION VECTORS
     * (the Delta/Iceberg DV shape): instead of rewriting every file that
     * might hold a matching row ([[deleteWhereTx]]'s copy-on-write), one

@@ -1737,6 +1737,32 @@ class TxLogSpec extends SparkSpecBase {
       .toMap === Map(3L -> 33.0, 5L -> 50.0, 7L -> 70.0, 9L -> 90.0))
   }
 
+  test("UPDATE WHERE: SET applies to matching rows only, NULL predicate " +
+      "leaves rows, partition SET refuses") {
+    val root = freshRoot("updatewhere")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, Some(10.0)), ("a", 2L, Some(20.0)), ("b", 3L, None))
+        .toDF("part", "k", "v"), root, "part", "uw-b1")
+    val (_, n) = TxLog.updateWhereTx(spark, root, col("v") > 15.0,
+      Map("v" -> (col("v") + 1.0)))
+    assert(n >= 1)
+    val got = TxLog.read(spark, root, "part")
+      .collect().map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    // v=10 unmatched, v=20 updated, v=NULL (predicate NULL) unchanged
+    assert(got === Map(1L -> Some(10.0), 2L -> Some(21.0), 3L -> None))
+    intercept[IllegalArgumentException] {
+      TxLog.updateWhereTx(spark, root, col("k") === 1L,
+        Map("part" -> lit("c")))
+    }
+    // an unmatchable predicate commits nothing
+    val vNow = TxLog.snapshot(spark, root).version
+    val (vSame, n2) = TxLog.updateWhereTx(spark, root, col("k") === 99L,
+      Map("v" -> lit(0.0)))
+    assert(vSame === vNow && n2 === 0)
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
