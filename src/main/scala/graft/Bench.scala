@@ -166,7 +166,9 @@ object Bench {
     "q239_tx_update_sink",         // update-mode sink: ledgered upserts
     "q240_tx_time_travel_ts",      // TIMESTAMP AS OF reads
     "q241_tx_check_constraints",   // CHECK constraints, write-time enforced
-    "q242_tx_dv_parquet_checkpoint" // deletion vectors at payload scale
+    "q242_tx_dv_parquet_checkpoint", // deletion vectors at payload scale
+    "q243_tx_merge_clauses",       // conditional MERGE (update/delete/insert)
+    "q244_tx_update_where"         // UPDATE SET WHERE, skip-bounded rewrite
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -324,7 +326,11 @@ object Bench {
     "q239_tx_update_sink" -> 7.91,
     "q240_tx_time_travel_ts" -> 1.20,
     "q241_tx_check_constraints" -> 1.50,
-    "q242_tx_dv_parquet_checkpoint" -> 9.28)
+    "q242_tx_dv_parquet_checkpoint" -> 9.28,
+    // r16 fourth wave (isolated min-of-3, canary 0.48/0.35/0.34/0.24,
+    // q01 anchor 0.36 — in band)
+    "q243_tx_merge_clauses" -> 2.93,
+    "q244_tx_update_where" -> 2.65)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
