@@ -214,7 +214,14 @@ object TxLog {
                           // [[Commit.dvs]])
                           dvs: FileDvs = Map.empty,
                           // ops "meta"/"restore": CHECK-constraint snapshot
-                          constraints: Option[Map[String, String]] = None) {
+                          constraints: Option[Map[String, String]] = None,
+                          // the constraints [[stage]] VALIDATED this data
+                          // against (transient — never rendered): commit()
+                          // refuses when the table's constraints changed in
+                          // the stage→commit window, closing the race where
+                          // a concurrent ADD CONSTRAINT would otherwise let
+                          // already-validated (now-violating) rows land
+                          checkedConstraints: Option[Map[String, String]] = None) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -274,9 +281,10 @@ object TxLog {
                                writers: Map[String, (Long, Long)] = Map.empty,
                                // physical→logical column mapping
                                mapping: Map[String, String] = Map.empty,
-                               // live deletion vectors (v1 checkpoints
-                               // only; v2 crossing requires none — see
-                               // [[checkpoint]])
+                               // live deletion vectors (v1 text
+                               // checkpoints; v2 checkpoints carry them
+                               // in the payload's dvfiles/dvrows columns
+                               // instead, counted by `ndvs`)
                                dvs: FileDvs = Map.empty,
                                // CHECK constraints as of the checkpoint
                                constraints: Map[String, String] = Map.empty,
@@ -882,7 +890,11 @@ object TxLog {
     * anchor that RELATIVIZES `_metadata.file_path` (an absolute URI whose
     * scheme/authority rendering varies by filesystem) back to the log's
     * rel-path key space for the deletion-vector anti-join. */
-  private val DataFileRe = "/(data/txn-[0-9a-f-]+/.+)$"
+  // the greedy ^.* prefix anchors on the LAST occurrence — a table
+  // ROOT whose own path contains a /data/txn-<hex>/ segment must not
+  // hijack the relativization (a leftmost match would silently break
+  // every deletion-vector lookup on such a root)
+  private val DataFileRe = "^.*/(data/txn-[0-9a-f-]+/[^ ]+)$"
 
   /** [[readSnapshot]] plus position plumbing: `withPos = true` keeps the
     * `__dv_f` (rel data file) and `__dv_p` (row position) columns on the
@@ -1105,9 +1117,13 @@ object TxLog {
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
     require(fs.exists(dir), s"TxLog.versionAsOf: no log at $root")
+    // checkpoints resolve too: after checkpoint+expireLog the chk file
+    // may be the ONLY log entry left, and a current timestamp must
+    // still resolve the current version
     val vs = fs.listStatus(dir).flatMap { st =>
       st.getPath.getName match {
         case VersionRe(v) => Some((v.toLong, st.getModificationTime))
+        case ChkRe(v) => Some((v.toLong, st.getModificationTime))
         case _ => None
       }
     }
@@ -1429,6 +1445,21 @@ object TxLog {
       .getOrElse(sys.error(s"TxLog.tableMeta: the log at $root predates " +
         "partition-column recording"))
     (schema, ps)
+  }
+
+  /** Whether a committed log exists at `root` (any commit or
+    * checkpoint file) — the PRECISE "table not created yet" test, so
+    * callers need no catch-all around [[tableMeta]] (whose real errors
+    * must stay loud). */
+  private[graft] def tableExists(spark: SparkSession, root: String): Boolean = {
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.getPath.getName match {
+        case VersionRe(_) | ChkRe(_) => true
+        case _ => false
+      }
+    }
   }
 
   /** Latest committed version (0 = empty log). */
@@ -1826,7 +1857,8 @@ object TxLog {
     // refused at commit
     val partField = org.apache.spark.sql.types.StructType(
       partCols.map(c => df.schema(c).copy(nullable = true))).toDDL
-    Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField))
+    Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField),
+      checkedConstraints = Some(constraints0))
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup) —
@@ -1945,6 +1977,15 @@ object TxLog {
         }
       }
       if (conflictCheck) {
+        // a "meta" commit (mapping/constraint DDL) snapshots metadata
+        // derived from its read — ANY concurrent commit invalidates that
+        // snapshot (a constraints-only commit must not clobber a racing
+        // rename, and vice versa), so meta conflicts with everything
+        if (op == "meta")
+          commits.filter(_.version > readVersion).foreach { c =>
+            throw new ConcurrentWriteException(c.version,
+              Seq("<table metadata>"))
+          }
         // runs BEFORE the schema guard: a partial writer racing a
         // concurrent ADD-COLUMN commit must get the RETRYABLE
         // ConcurrentWriteException (its retry re-derives from the evolved
@@ -1963,6 +2004,22 @@ object TxLog {
           val overlap = c.touched intersect staged.touched
           if (overlap.nonEmpty)
             throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)
+        }
+      }
+      // CONSTRAINT-DRIFT GUARD: stage() validated the data against the
+      // constraints it saw; if a concurrent DDL changed them before this
+      // commit, the validation is stale — refuse (terminal: the caller
+      // restages, re-validating against the new set). A tiny window, but
+      // without this a racing ADD CONSTRAINT lets violating rows land.
+      staged.checkedConstraints.foreach { checked =>
+        val now = commits.flatMap(_.constraints).lastOption
+          .getOrElse(chk.map(_.constraints).getOrElse(Map.empty))
+        if (now != checked) {
+          discard(spark, root, staged)
+          throw new IllegalArgumentException(
+            s"TxLog.commit: the table's CHECK constraints changed " +
+              s"between stage and commit at $root — restage (the staged " +
+              "data was validated against a superseded constraint set)")
         }
       }
       // SCHEMA GUARD: a data-bearing commit whose schema differs from the
@@ -2164,9 +2221,14 @@ object TxLog {
     * Partition columns are structural (dir layout, log keys) and cannot
     * rename; rebuild the table to change them. */
   def renameColumnTx(spark: SparkSession, root: String,
-                     oldName: String, newName: String): Long = {
+                     oldName: String, newName: String,
+                     maxAttempts: Int = 20): Long = {
     require(oldName != newName, "renameColumnTx: old and new names equal")
-    val (phys, mapping, partNames) = ddlState(spark, root, "renameColumnTx")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = currentVersion(spark, root)
+      val (phys, mapping, partNames) = ddlState(spark, root, "renameColumnTx")
     require(!partNames.contains(oldName) && !partNames.contains(newName),
       s"renameColumnTx: partition columns are structural and cannot " +
         s"rename ([$oldName] -> [$newName])")
@@ -2185,12 +2247,19 @@ object TxLog {
     require(!live.exists(p => logicalOf(p) == newName),
       s"renameColumnTx: column [$newName] already exists at $root")
     val physName = live.find(p => logicalOf(p) == oldName).get
-    // renaming BACK to the physical name returns that column to identity
-    val next =
-      if (physName == newName) mapping - physName
-      else mapping + (physName -> newName)
-    commit(spark, root, Staged(Map.empty, mapping = Some(next)), "meta",
-      readVersion = 0L)
+      // renaming BACK to the physical name returns it to identity
+      val next =
+        if (physName == newName) mapping - physName
+        else mapping + (physName -> newName)
+      // conflict-checked against ANY concurrent commit (meta snapshots
+      // are lost-update-prone: a racing DDL would silently clobber) —
+      // retry re-derives from the new state
+      try return commit(spark, root, Staged(Map.empty, mapping = Some(next)),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"renameColumnTx: $maxAttempts consecutive conflicts at " +
+      s"$root — pathological contention, back off at the caller")
   }
 
   /** Transactional DROP COLUMN — metadata-only: the recorded physical
@@ -2198,8 +2267,13 @@ object TxLog {
     * new files stop carrying it) and the physical name is TOMBSTONED in
     * the mapping so a later writer cannot reuse it and silently
     * resurrect old data under a new logical column. */
-  def dropColumnTx(spark: SparkSession, root: String, name: String): Long = {
-    val (phys, mapping, partNames) = ddlState(spark, root, "dropColumnTx")
+  def dropColumnTx(spark: SparkSession, root: String, name: String,
+                   maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = currentVersion(spark, root)
+      val (phys, mapping, partNames) = ddlState(spark, root, "dropColumnTx")
     require(!partNames.contains(name),
       s"dropColumnTx: partition column [$name] is structural — rebuild " +
         "the table to change its partitioning")
@@ -2214,13 +2288,17 @@ object TxLog {
       s"dropColumnTx: no column [$name] at $root")
     require(live.size > 1,
       s"dropColumnTx: [$name] is the table's last data column")
-    val physName = live.find(p => logicalOf(p) == name).get
-    val nextSchema = org.apache.spark.sql.types.StructType(
-      phys.filterNot(_.name == physName))
-    commit(spark, root,
-      Staged(Map.empty, schema = Some(nextSchema.toDDL),
-        mapping = Some(mapping - physName + (physName -> "-"))),
-      "meta", readVersion = 0L)
+      val physName = live.find(p => logicalOf(p) == name).get
+      val nextSchema = org.apache.spark.sql.types.StructType(
+        phys.filterNot(_.name == physName))
+      try return commit(spark, root,
+        Staged(Map.empty, schema = Some(nextSchema.toDDL),
+          mapping = Some(mapping - physName + (physName -> "-"))),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"dropColumnTx: $maxAttempts consecutive conflicts at " +
+      s"$root — pathological contention, back off at the caller")
   }
 
   /** Column names a CHECK-constraint expression references. */
@@ -2242,41 +2320,61 @@ object TxLog {
     * satisfies, SQL CHECK semantics). Expressions speak LOGICAL column
     * names. */
   def addCheckConstraintTx(spark: SparkSession, root: String,
-                           name: String, exprStr: String): Long = {
+                           name: String, exprStr: String,
+                           maxAttempts: Int = 20): Long = {
     require(name.nonEmpty && name != "-",
       "addCheckConstraintTx: constraint name must be non-empty")
     // parse NOW — a malformed expression must fail here, not at some
     // later writer's stage
     spark.sessionState.sqlParser.parseExpression(exprStr): Unit
-    val (mapping, existing) = writerMetaOf(spark, root)
-    require(!existing.contains(name),
-      s"addCheckConstraintTx: constraint [$name] already exists at $root")
-    val state = stateOf(spark, root)
-    if (state.fold(_.parts.nonEmpty, _.partValues.nonEmpty)) {
-      val ps = partSchemaOf(state, root, "addCheckConstraintTx")
-      require(readState(spark, root, state, ps)
-          .filter(not(coalesce(expr(exprStr), lit(true)))).isEmpty,
-        s"addCheckConstraintTx: existing rows at $root violate [$name] " +
-          s"($exprStr) — clean the data first")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (mapping, existing) = writerMetaOf(spark, root)
+      require(!existing.contains(name),
+        s"addCheckConstraintTx: constraint [$name] already exists at $root")
+      val state = stateOf(spark, root)
+      val v0 = state.fold(_.version, _.version)
+      if (state.fold(_.parts.nonEmpty, _.partValues.nonEmpty)) {
+        val ps = partSchemaOf(state, root, "addCheckConstraintTx")
+        require(readState(spark, root, state, ps)
+            .filter(not(coalesce(expr(exprStr), lit(true)))).isEmpty,
+          s"addCheckConstraintTx: existing rows at $root violate [$name] " +
+            s"($exprStr) — clean the data first")
+      }
+      // a "meta" commit SNAPSHOTS the mapping — re-carry the current one,
+      // or this constraints-only commit would reset every rename;
+      // conflict-checked so a RACING rename/DDL forces a re-derive
+      // instead of being clobbered, and a data commit landing inside the
+      // existing-data scan forces a re-validation
+      try return commit(spark, root,
+        Staged(Map.empty, mapping = Some(mapping),
+          constraints = Some(existing + (name -> exprStr))),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
     }
-    // a "meta" commit SNAPSHOTS the mapping — re-carry the current one,
-    // or this constraints-only commit would reset every rename
-    commit(spark, root,
-      Staged(Map.empty, mapping = Some(mapping),
-        constraints = Some(existing + (name -> exprStr))),
-      "meta", readVersion = 0L)
+    sys.error(s"addCheckConstraintTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
   }
 
   /** Transactional DROP CONSTRAINT (metadata-only). */
   def dropCheckConstraintTx(spark: SparkSession, root: String,
-                            name: String): Long = {
-    val (mapping, existing) = writerMetaOf(spark, root)
-    require(existing.contains(name),
-      s"dropCheckConstraintTx: no constraint [$name] at $root")
-    commit(spark, root,
-      Staged(Map.empty, mapping = Some(mapping),
-        constraints = Some(existing - name)),
-      "meta", readVersion = 0L)
+                            name: String, maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = currentVersion(spark, root)
+      val (mapping, existing) = writerMetaOf(spark, root)
+      require(existing.contains(name),
+        s"dropCheckConstraintTx: no constraint [$name] at $root")
+      try return commit(spark, root,
+        Staged(Map.empty, mapping = Some(mapping),
+          constraints = Some(existing - name)),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"dropCheckConstraintTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the caller")
   }
 
   /** Transactional partition removal — the metadata-only DROP PARTITION
@@ -2876,11 +2974,12 @@ object TxLog {
     * file: compaction/MERGE read dv-filtered and replace the file, so
     * the steady state under maintenance is dv-free. Same candidate
     * search, conflict protocol, and optional `changeFeed` (delete
-    * images) as [[deleteWhereTx]]. Driver-resident tables only: DV state
-    * rides the log (refused on parquet-checkpointed tables — at that
-    * scale, copy-on-write delete with data skipping is the honest path);
-    * size deletes accordingly — a delete touching most rows should use
-    * the rewrite path, not accumulate giant vectors. Returns (committed
+    * images) as [[deleteWhereTx]]. Works on BOTH representations: DV
+    * state rides the log on driver tables and the checkpoint payload's
+    * dvfiles/dvrows columns (plus bounded post-checkpoint overrides) on
+    * parquet-checkpointed ones. Size deletes accordingly — a delete
+    * touching most rows should use the rewrite path, not accumulate
+    * giant vectors. Returns (committed
     * version, positions newly deleted); (currentVersion, 0) = no commit. */
   def deleteWhereDvTx(spark: SparkSession, root: String, cond: Column,
                       maxAttempts: Int = 20,
@@ -3300,7 +3399,13 @@ object TxLog {
       val out = output.get
       val staged =
         if (out.isEmpty) {
-          if (cands.isEmpty) return version // nothing matched, no inserts
+          if (cands.isEmpty) {
+            // nothing matched, every insert filtered: a pure no-op — the
+            // already-written change files must not orphan
+            if (cdf.nonEmpty)
+              discard(spark, root, Staged(Map.empty, changes = cdf))
+            return version
+          }
           Staged(Map.empty, removed = cands, changes = cdf)
         } else stage(out, root, ps.map(_.name), Nil, 0)
           .copy(removed = cands, changes = cdf)

@@ -79,11 +79,11 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     // the WRITE path resolves the provider's table before it falls back
-    // to the v1 sink — a not-yet-created table must not explode here
-    // (reads of a missing table still fail loudly, at stream start)
-    val (data, ps) =
-      try TxLog.tableMeta(spark, root(options))
-      catch { case _: Exception => return new StructType() }
+    // to the v1 sink — a NOT-YET-CREATED table reports an empty schema
+    // (reads of it still fail loudly at stream start); every other
+    // tableMeta failure (corrupt log, permission denied) stays loud
+    if (!TxLog.tableExists(spark, root(options))) return new StructType()
+    val (data, ps) = TxLog.tableMeta(spark, root(options))
     // report LOGICAL names (renames applied, dropped columns gone); the
     // decode below still reads files by their PHYSICAL names
     val m = TxLog.tableMapping(spark, root(options))
@@ -137,12 +137,29 @@ private final class TxSink(root: String, partCols: Seq[String],
                         data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
     val spark = data.sparkSession
     // re-mount the micro-batch's incremental plan as a batch frame —
-    // stage()'s writer refuses isStreaming plans
-    val df = org.apache.spark.sql.graftbridge.DatasetBridge.rebatch(data.toDF())
-    if (df.isEmpty) return // an empty batch commits nothing (replay-safe)
+    // stage()'s writer refuses isStreaming plans. PERSIST it: the sink
+    // runs up to three actions over this frame (empty probe, constraint
+    // validation inside stage, the write itself) and re-executing a
+    // stateful incremental plan per action would multiply per-trigger
+    // latency
+    val df = org.apache.spark.sql.graftbridge.DatasetBridge
+      .rebatch(data.toDF()).persist()
+    try {
+      if (df.isEmpty) return // an empty batch commits nothing (replay-safe)
+      addBatchInner(spark, batchId, df)
+    } finally df.unpersist()
+  }
+
+  private def addBatchInner(spark: org.apache.spark.sql.SparkSession,
+                            batchId: Long,
+                            df: org.apache.spark.sql.DataFrame): Unit = {
+    // PRECISE existence test — any real tableMeta failure on an existing
+    // table must stay loud (a swallowed transient error here would make
+    // Update mode seed a duplicate append instead of merging)
     val recorded: Option[Seq[String]] =
-      try Some(TxLog.tableMeta(spark, root)._2.map(_.name).toSeq)
-      catch { case _: Exception => None }
+      if (TxLog.tableExists(spark, root))
+        Some(TxLog.tableMeta(spark, root)._2.map(_.name).toSeq)
+      else None
     recorded.foreach { r =>
       require(partCols.isEmpty || partCols == r,
         s"txlog sink: partitionBy [${partCols.mkString(", ")}] does not " +
