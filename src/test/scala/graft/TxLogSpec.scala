@@ -1763,6 +1763,44 @@ class TxLogSpec extends SparkSpecBase {
     assert(vSame === vNow && n2 === 0)
   }
 
+  test("constraint added between stage and commit refuses the stale " +
+      "validation; meta commits conflict with concurrent commits") {
+    val root = freshRoot("metarace")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", -5.0)).toDF("part", "v"),
+      root, "part", "mr-b1")
+    // writer stages (validated against ZERO constraints) ...
+    val staged = TxLog.stage(Seq(("a", -1.0)).toDF("part", "v"),
+      root, "part")
+    // ... a racing writer cleans the data and adds a constraint ...
+    TxLog.deleteWhereTx(spark, root, col("v") < 0)
+    TxLog.appendBatchTx(Seq(("a", 5.0)).toDF("part", "v"),
+      root, "part", "mr-b2")
+    TxLog.addCheckConstraintTx(spark, root, "v_pos", "v > 0")
+    // ... so the stale validation must refuse at commit, loudly
+    val err = intercept[IllegalArgumentException] {
+      TxLog.commit(spark, root, staged, "append", readVersion = 0L)
+    }
+    assert(err.getMessage.contains("constraints changed"), err.getMessage)
+    assert(TxLog.read(spark, root, "part").count() === 1L)
+    // a restage re-validates against the NEW set and refuses there
+    intercept[IllegalArgumentException] {
+      TxLog.stage(Seq(("a", -1.0)).toDF("part", "v"), root, "part")
+    }
+    // meta commits conflict with ANY commit after their read version —
+    // a stale metadata snapshot can never clobber a racing DDL
+    val vStale = TxLog.snapshot(spark, root).version - 1
+    intercept[TxLog.ConcurrentWriteException] {
+      TxLog.commit(spark, root,
+        TxLog.Staged(Map.empty, mapping = Some(Map.empty),
+          constraints = Some(Map.empty)),
+        "meta", readVersion = vStale, conflictCheck = true)
+    }
+    // the retry-looped DDL front door still lands (re-derives fresh)
+    TxLog.dropCheckConstraintTx(spark, root, "v_pos")
+    assert(TxLog.tableConstraints(spark, root).isEmpty)
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
