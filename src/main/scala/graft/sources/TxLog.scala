@@ -3462,6 +3462,60 @@ object TxLog {
           "n_dv_files BIGINT, sets_mapping BOOLEAN, ts_millis BIGINT"))
   }
 
+  /** Table-level operational facts — the Delta DESCRIBE DETAIL move:
+    * ONE row (version, representation, file/partition/byte tallies,
+    * deleted-row count, schema-evolution and constraint inventory) with
+    * ZERO data-file scans on either representation: a driver table costs
+    * grouped dir listings, a parquet-checkpointed one a single metadata
+    * job over the payload. */
+  def tableDetail(spark: SparkSession, root: String): DataFrame = {
+    val state = stateOf(spark, root)
+    val (repr, nFiles, nParts, bytes, dvRows) = state match {
+      case Left(snap) =>
+        val files = snap.parts.values.flatten.toSeq
+        val meta = statusByRel(spark, root, files)
+        ("inline", files.size.toLong, snap.parts.size.toLong,
+          files.flatMap(meta.get).map(_._1).sum,
+          snap.dvs.valuesIterator.map(_._2).sum)
+      case Right(big) =>
+        val hasDv = payloadLiveDF(spark, root, big).columns
+          .contains("dvfiles")
+        val agg = payloadLiveDF(spark, root, big).agg(
+          count(lit(1)), coalesce(sum("size"), lit(0L)),
+          if (hasDv) coalesce(sum("dvrows"), lit(0L)) else lit(0L)).head
+        val ovAdj = big.dvDelta.valuesIterator.map(_._2).sum
+        // overridden payload vectors are counted once: exclude their
+        // payload dvrows, count the override (bounded lookup)
+        val ovPayload =
+          if (big.dvDelta.isEmpty || !hasDv) 0L
+          else payloadLiveDF(spark, root, big)
+            .filter(col("file").isin(big.dvDelta.keySet.toSeq: _*))
+            .agg(coalesce(sum("dvrows"), lit(0L))).head.getLong(0)
+        ("parquet-checkpoint",
+          agg.getLong(0) + big.deltaParts.valuesIterator.map(_.size).sum,
+          big.partValues.size.toLong,
+          agg.getLong(1),
+          agg.getLong(2) - ovPayload + ovAdj)
+    }
+    val mapping = state.fold(_.mapping, _.mapping)
+    val rows = Seq(org.apache.spark.sql.Row(
+      state.fold(_.version, _.version), repr,
+      state.fold(_.partSchema, _.partSchema).orNull,
+      nParts, nFiles, bytes, dvRows,
+      mapping.count(_._2 != "-").toLong,
+      mapping.count(_._2 == "-").toLong,
+      state.fold(_.constraints, _.constraints).size.toLong,
+      state.fold(_.schema, _.schema).orNull))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, representation STRING, " +
+          "partition_schema STRING, n_partitions BIGINT, " +
+          "n_files BIGINT, size_bytes BIGINT, n_deleted_rows BIGINT, " +
+          "n_renamed_columns BIGINT, n_dropped_columns BIGINT, " +
+          "n_constraints BIGINT, schema_ddl STRING"))
+  }
+
   /** Maintenance: fold the log into a CHECKPOINT at the current version
     * — the Delta checkpoint move that keeps every subsequent snapshot
     * fold O(checkpoint + recent deltas) instead of O(all commits ever).

@@ -1801,6 +1801,43 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.tableConstraints(spark, root).isEmpty)
   }
 
+  test("tableDetail reports operational facts on both representations") {
+    val root = freshRoot("detail")
+    import spark.implicits._
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+    try {
+      TxLog.appendBatchTx(
+        Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+          .toDF("part", "k", "v"), root, "part", "dt-b1")
+      TxLog.renameColumnTx(spark, root, "v", "amount")
+      TxLog.addCheckConstraintTx(spark, root, "k_pos", "k > 0")
+      TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)
+      val d = TxLog.tableDetail(spark, root).collect().head
+      assert(d.getAs[String]("representation") === "inline")
+      assert(d.getAs[Long]("n_partitions") === 2L)
+      assert(d.getAs[Long]("n_files") === 2L)
+      assert(d.getAs[Long]("n_deleted_rows") === 1L)
+      assert(d.getAs[Long]("n_renamed_columns") === 1L)
+      assert(d.getAs[Long]("n_constraints") === 1L)
+      assert(d.getAs[Long]("size_bytes") > 0L)
+      // cross to the parquet payload: the same facts, one metadata job
+      val key = "graft.txlog.chkParquetMin"
+      spark.conf.set(key, "1")
+      try { TxLog.checkpoint(spark, root): Unit }
+      finally spark.conf.unset(key)
+      val d2 = TxLog.tableDetail(spark, root).collect().head
+      assert(d2.getAs[String]("representation") === "parquet-checkpoint")
+      assert(d2.getAs[Long]("n_partitions") === 2L)
+      assert(d2.getAs[Long]("n_files") === 2L)
+      assert(d2.getAs[Long]("n_deleted_rows") === 1L)
+      assert(d2.getAs[Long]("n_constraints") === 1L)
+      // a post-checkpoint dv override counts once
+      TxLog.deleteWhereDvTx(spark, root, col("k") === 2L)
+      val d3 = TxLog.tableDetail(spark, root).collect().head
+      assert(d3.getAs[Long]("n_deleted_rows") === 2L)
+    } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
