@@ -3462,6 +3462,29 @@ object TxLog {
           "n_dv_files BIGINT, sets_mapping BOOLEAN, ts_millis BIGINT"))
   }
 
+  /** One-call scheduled maintenance — the OPTIMIZE-cadence bundle every
+    * warehouse runs: bin-pack small files (scoped by `select`), fold a
+    * checkpoint, expire superseded log deltas, vacuum unreferenced data
+    * older than `vacuumAgeMs`. Idempotent by composition (each step is);
+    * a second immediate run reports zeros. Returns a one-row report. */
+  def maintainTx(spark: SparkSession, root: String, partCol: String,
+                 smallBytes: Long, partType: DataType = StringType,
+                 select: String => Boolean = _ => true,
+                 vacuumAgeMs: Long = 3600000L): DataFrame = {
+    val (_, packed) = compactBinPackTx(spark, root, partCol, smallBytes,
+      partType, select)
+    val chkV = checkpoint(spark, root)
+    val expired = expireLog(spark, root)
+    val vacuumed = vacuum(spark, root, vacuumAgeMs)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(Seq(org.apache.spark.sql.Row(
+      currentVersion(spark, root), packed.toLong, chkV,
+      expired.toLong, vacuumed.toLong)).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, files_packed BIGINT, checkpoint_version BIGINT, " +
+          "log_files_expired BIGINT, data_files_vacuumed BIGINT"))
+  }
+
   /** Table-level operational facts — the Delta DESCRIBE DETAIL move:
     * ONE row (version, representation, file/partition/byte tallies,
     * deleted-row count, schema-evolution and constraint inventory) with

@@ -205,14 +205,21 @@ private final class TxStreamTable(tableSchema: StructType, root: String)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // startingVersion wins; startingTimestamp resolves through the
+          // commit-mtime clock (the state AS OF the instant is the
+          // baseline — the stream delivers what lands after it)
+          def starting: Long =
+            Option(options.get("startingVersion")).map(_.toLong)
+              .orElse(Option(options.get("startingTimestamp")).map(ts =>
+                TxLog.versionAsOf(SparkSession.active, root, ts.toLong)))
+              .getOrElse(0L)
           if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
-            new TxCdfMicroBatchStream(root, tableSchema,
-              Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+            new TxCdfMicroBatchStream(root, tableSchema, starting)
           else
-            new TxMicroBatchStream(root, tableSchema,
-              Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            new TxMicroBatchStream(root, tableSchema, starting,
               Option(options.get("skipNonAppend")).exists(_.toBoolean))
+        }
       }
     }
 }

@@ -1838,6 +1838,65 @@ class TxLogSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
   }
 
+  test("maintainTx bundles bin-pack + checkpoint + expiry + vacuum; " +
+      "a second run reports zeros") {
+    val root = freshRoot("maintain")
+    import spark.implicits._
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+    try {
+      (1 to 2).foreach { i =>
+        TxLog.appendBatchTx(Seq(("a", i.toLong)).toDF("part", "n"),
+          root, "part", s"mt-b$i")
+      }
+      // an overwritten partition leaves orphans for the vacuum step ...
+      TxLog.overwritePartitionsTx(
+        (1 to 2).map(i => ("a", i.toLong)).toDF("part", "n"), root, "part")
+      // ... and two trickle appends leave smalls for the bin-pack step
+      TxLog.appendBatchTx(Seq(("a", 3L)).toDF("part", "n"), root, "part",
+        "mt-b3")
+      TxLog.appendBatchTx(Seq(("a", 4L)).toDF("part", "n"), root, "part",
+        "mt-b4")
+      val r = TxLog.maintainTx(spark, root, "part",
+        smallBytes = Long.MaxValue, vacuumAgeMs = 0L).collect().head
+      assert(r.getAs[Long]("files_packed") === 3L) // overwrite + 2 trickles
+      assert(r.getAs[Long]("checkpoint_version") > 0L)
+      assert(r.getAs[Long]("log_files_expired") > 0L)
+      // the overwrite's 2 orphans + the bin-pack's 3 replaced smalls
+      assert(r.getAs[Long]("data_files_vacuumed") >= 2L)
+      assert(TxLog.read(spark, root, "part").agg(sum("n")).head.getLong(0)
+        === 10L)
+      assert(TxLog.snapshot(spark, root).parts("a").size === 1)
+      // idempotent: the second run finds nothing to do
+      val r2 = TxLog.maintainTx(spark, root, "part",
+        smallBytes = Long.MaxValue, vacuumAgeMs = 0L).collect().head
+      assert(r2.getAs[Long]("files_packed") === 0L &&
+        r2.getAs[Long]("data_files_vacuumed") === 0L)
+    } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+  }
+
+  test("streaming source: startingTimestamp resolves through the " +
+      "commit clock") {
+    val base = freshRoot("ts-stream")
+    import spark.implicits._
+    val root = s"$base/table"; val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "n"), root, "part",
+      "tss-b1")
+    val t1 = TxLog.history(spark, root).collect().head.getLong(12)
+    Thread.sleep(20)
+    TxLog.appendBatchTx(Seq(("a", 2L)).toDF("part", "n"), root, "part",
+      "tss-b2")
+    // baseline = state AS OF t1 (v1); the stream delivers only b2
+    val q = spark.readStream.format("txlog")
+      .option("startingTimestamp", t1.toString).load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("n")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L))
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
