@@ -887,14 +887,16 @@ object TxLog {
     readSnapshotPos(spark, root, snap, partSchema, withPos = false)
 
   /** Every committed data file lives under a UUID staging dir — the
-    * anchor that RELATIVIZES `_metadata.file_path` (an absolute URI whose
-    * scheme/authority rendering varies by filesystem) back to the log's
-    * rel-path key space for the deletion-vector anti-join. */
-  // the greedy ^.* prefix anchors on the LAST occurrence — a table
-  // ROOT whose own path contains a /data/txn-<hex>/ segment must not
-  // hijack the relativization (a leftmost match would silently break
-  // every deletion-vector lookup on such a root)
-  private val DataFileRe = "^.*/(data/txn-[0-9a-f-]+/[^ ]+)$"
+    * anchor that RELATIVIZES `_metadata.file_path` (a URL-ENCODED URI
+    * whose scheme/authority rendering varies by filesystem) back to the
+    * log's DECODED rel-path key space for the deletion-vector anti-join.
+    * One codegen'd expression ([[graft.plans.TxRelPath]]): URI-decode,
+    * then anchor on the LAST `/data/txn-` occurrence — a regex over the
+    * raw URI breaks on any partition value the two encodings render
+    * differently (space → `%20`, Hive's `%25` → `%2525`), silently
+    * un-linking vectors from the live-file set. */
+  private def relDataPath(fp: Column): Column =
+    graft.plans.TxRelPathExpr(fp)
 
   /** [[readSnapshot]] plus position plumbing: `withPos = true` keeps the
     * `__dv_f` (rel data file) and `__dv_p` (row position) columns on the
@@ -939,8 +941,7 @@ object TxLog {
     val tagged =
       if (!withPos && dvFiles.isEmpty) df
       else df
-        .withColumn("__dv_f",
-          regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
+        .withColumn("__dv_f", relDataPath(col("_metadata.file_path")))
         .withColumn("__dv_p", col("_metadata.row_index"))
     if (dvFiles.isEmpty) tagged
     else {
@@ -1976,6 +1977,22 @@ object TxLog {
           }
         }
       }
+      // a driver-shape "restore" commit is only foldable while the table
+      // is NOT parquet-checkpointed (its parts map re-references the full
+      // file list — exactly what foldBig refuses to driver-materialize).
+      // restoreTx's entry guard (snapshotAt dispatch) saw a non-payload
+      // log, but a standalone maintenance checkpoint() can cross the
+      // table to a parquet payload WITHOUT publishing a commit — the
+      // version race below would never fire and the restore would land
+      // at chkVersion+1, making every subsequent fold throw. Re-check
+      // here, retryably: restoreTx's loop re-derives via snapshot(),
+      // which refuses payload tables loudly (and never discards the
+      // staging — restore parts re-reference LIVE committed files).
+      if (op == "restore")
+        chk.filter(_.payload.isDefined).foreach { c =>
+          throw new ConcurrentWriteException(c.version,
+            Seq("<checkpoint crossed to parquet payload>"))
+        }
       if (conflictCheck) {
         // a "meta" commit (mapping/constraint DDL) snapshots metadata
         // derived from its read — ANY concurrent commit invalidates that
@@ -2391,6 +2408,11 @@ object TxLog {
     commit(spark, root, Staged(values.map(_ -> Seq.empty[String]).toMap),
       "remove", readVersion = 0L)
   }
+
+  /** Live partition values (the log's composite keys) — metadata only,
+    * no data scan; works on both table representations. */
+  def partitionValues(spark: SparkSession, root: String): Set[String] =
+    stateOf(spark, root).fold(_.parts.keySet, _.partValues)
 
   /** Transactional retention: drop every partition whose value fails
     * `keep` — the [[Warehouse.dropPartitionsWhere]] shape on a tx table.
@@ -3040,6 +3062,19 @@ object TxLog {
         .map(f => s"$rel/$f").toSeq
       val counts = spark.read.parquet(dir.toString).groupBy("file").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // HARD INVARIANT, loud: every recorded position keys a LIVE
+      // candidate file in the log's decoded rel-path space. A key the
+      // relativization mangled ("" or an encoded variant) would record
+      // the delete under a name fold drops as non-live — the delete
+      // would silently vanish at the next checkpoint while this call
+      // reports success.
+      counts.keys.find(f => f.isEmpty || !candFiles(f)).foreach { bad =>
+        fsOf(spark, dir).delete(dir, true)
+        sys.error(s"TxLog.deleteWhereDvTx: deletion-vector key [$bad] is " +
+          s"not a live candidate file of $root — file-path " +
+          "relativization produced a key outside the log's rel-path " +
+          "space; refusing to record a vector that would silently drop")
+      }
       val priorN = candDvs.valuesIterator.map(_._2).sum
       val added = counts.values.sum - priorN
       if (added == 0L) { // cond matched nothing live — no commit

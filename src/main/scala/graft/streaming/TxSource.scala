@@ -145,7 +145,22 @@ private final class TxSink(root: String, partCols: Seq[String],
     val df = org.apache.spark.sql.graftbridge.DatasetBridge
       .rebatch(data.toDF()).persist()
     try {
-      if (df.isEmpty) return // an empty batch commits nothing (replay-safe)
+      if (df.isEmpty) {
+        // Append/Update: an empty batch commits nothing (replay-safe —
+        // a replayed empty batch is equally empty). Complete mode is
+        // different: the batch IS the entire table contents, so an
+        // empty result must TRUNCATE, not leave stale rows standing.
+        if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+            && TxLog.tableExists(spark, root)) {
+          val live = TxLog.partitionValues(spark, root)
+          if (live.nonEmpty)
+            TxLog.commit(spark, root,
+              TxLog.Staged(live.map(_ -> Seq.empty[String]).toMap),
+              "remove", readVersion = 0L,
+              writerSeq = Some((writerId, batchId))): Unit
+        }
+        return
+      }
       addBatchInner(spark, batchId, df)
     } finally df.unpersist()
   }

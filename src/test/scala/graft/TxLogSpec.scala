@@ -1897,6 +1897,100 @@ class TxLogSpec extends SparkSpecBase {
     assert(got === Set(2L))
   }
 
+  test("deletion vectors: URI-hostile partition values (spaces, percent, " +
+      "plus) relativize to the log's rel-path space") {
+    val root = freshRoot("dv-esc")
+    import spark.implicits._
+    // `_metadata.file_path` is URL-encoded (space→%20, Hive's %25→%2525,
+    // `+` kept raw); the log keys files by the DECODED on-disk rel path.
+    // Each of these values breaks a naive normalization some way: the
+    // space broke the old [^ ]+ regex, `%` breaks a double decode, `+`
+    // breaks form-decoding (url_decode would turn it into a space).
+    TxLog.appendBatchTx(
+      Seq(("NORTH AMERICA", 1L), ("NORTH AMERICA", 2L), ("EU%25:x", 3L),
+          ("a+b", 4L), ("plain", 5L)).toDF("part", "k"),
+      root, "part", "dve-b1")
+    val (_, n1) = TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)
+    assert(n1 === 1L)
+    assert(TxLog.read(spark, root, "part").select("k")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 4L, 5L))
+    val (_, n2) =
+      TxLog.deleteWhereDvTx(spark, root, col("k") === 3L || col("k") === 4L)
+    assert(n2 === 2L)
+    assert(TxLog.countRows(spark, root) === Some(2L))
+    // the vectors key LIVE files (not "" or an encoded variant), so the
+    // checkpoint fold carries them instead of dropping them as non-live
+    TxLog.checkpoint(spark, root)
+    assert(TxLog.read(spark, root, "part").select("k")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 5L))
+    assert(TxLog.read(spark, root, "part")
+      .filter(col("part") === "NORTH AMERICA").count() === 1L)
+  }
+
+  test("restore refuses retryably when a checkpoint crosses the table " +
+      "to a parquet payload mid-flight") {
+    val root = freshRoot("restore-race")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "rr-b1")                                                       // v1
+    TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root, "part",
+      "rr-b2")                                                       // v2
+    // reproduce the post-race state deterministically: restoreTx derived
+    // its staging from the driver snapshot...
+    val target = TxLog.snapshotAt(spark, root, 1L)
+    val snap = TxLog.snapshot(spark, root)
+    val gone = (snap.parts.keySet -- target.parts.keySet).toSeq
+    val staged = TxLog.Staged(
+      target.parts ++ gone.map(_ -> Seq.empty[String]),
+      target.schema, target.stats, target.rows, target.partSchema,
+      mapping = Some(target.mapping), dvs = target.dvs,
+      constraints = Some(target.constraints))
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    try {
+      // ...then a standalone maintenance checkpoint crossed to a parquet
+      // payload WITHOUT publishing a commit (no version moved) —
+      TxLog.checkpoint(spark, root)
+      // — so the version race never fires; without the payload re-check
+      // this restore would land and make every subsequent fold throw
+      intercept[TxLog.ConcurrentWriteException] {
+        TxLog.commit(spark, root, staged, "restore",
+          readVersion = snap.version, conflictCheck = true)
+      }
+      // the table stays readable, at its pre-restore content
+      assert(TxLog.readTable(spark, root).count() === 2L)
+    } finally spark.conf.unset("graft.txlog.chkParquetMin")
+  }
+
+  test("streaming sink: Complete mode truncates when the result table " +
+      "goes empty") {
+    val base = freshRoot("complete-empty")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = s"$base/table"; val ckpt = s"$base/ckpt"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    // a Complete-mode result CAN shrink to empty: a post-agg filter
+    // drops groups as their counts grow past the bound
+    val counts = mem.toDF().toDF("part", "v")
+      .groupBy("part").agg(count(lit(1)).as("n"))
+      .filter(col("n") < 2)
+    val q = counts.writeStream.format("txlog")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").partitionBy("part")
+      .option("path", root).start()
+    try {
+      mem.addData(("a", 1L))
+      q.processAllAvailable()
+      assert(TxLog.readTable(spark, root).count() === 1L)
+      mem.addData(("a", 2L))
+      q.processAllAvailable()
+      // count(a) reached 2 → the complete result is EMPTY → the batch is
+      // the entire table contents: stale rows must not stand
+      assert(TxLog.partitionValues(spark, root).isEmpty,
+        "an empty Complete batch must truncate, not skip")
+    } finally q.stop()
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
