@@ -77,5 +77,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered via RollupRewrite.register; idempotent, so safe inside
     // the fixed-point operator-optimization batch)
     ext.injectOptimizerRule(session => RollupRewriteRule(session))
+
+    // batch read path for spark.read.format("txlog"): substitutes the
+    // provider relation with the full readTable plan (mapping projection,
+    // deletion-vector anti-join, TxFileIndex pruning, time travel)
+    ext.injectResolutionRule(session =>
+      graft.streaming.TxBatchReadRule(session))
   }
 }

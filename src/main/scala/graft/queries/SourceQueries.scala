@@ -4227,6 +4227,64 @@ object SourceQueries {
         .withColumn("multicol_ok",
           lit(if (readY * 2 <= totalFiles && readP * 2 <= totalFiles &&
                   readB * 4 <= totalFiles) 1L else 0L))
+    },
+
+    // ---- q245: BATCH DSv2 READ PATH (the Delta `spark.read.format`
+    // integration surface): `spark.read.format("txlog").load(root)` must
+    // serve EXACTLY readTable semantics — the column-mapping projection,
+    // the deletion-vector anti-join, and TxFileIndex partition pruning
+    // all live INSIDE the substituted plan (a bare relation that skipped
+    // any of them would silently serve dead rows or physical names).
+    // Time travel rides the same options as the SQL surface
+    // (versionAsOf), with the schema AS OF the pinned version. Pruning
+    // is gated on REAL executed-plan metrics (PlanCheck.filesRead), not
+    // an un-executed plan inspection.
+    QueryDef.sql("q245_tx_batch_format_read",
+      s"""WITH live AS (
+         |  SELECT c_mktsegment, c_acctbal FROM customer
+         |  WHERE c_custkey % 7 <> 0)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  (SELECT COUNT(*) FROM customer) AS v1_rows,
+         |  CAST(1 AS BIGINT) AS pruning_ok
+         |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q245_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      TxLog.appendBatchTx(cust, root, "c_mktsegment", "q245-b1")   // v1
+      TxLog.renameColumnTx(s, root, "c_acctbal", "balance")        // v2
+      val (_, nDel) = TxLog.deleteWhereDvTx(s, root,
+        col("c_custkey") % 7 === 0)                                // v3
+      require(nDel > 0, "q245: the dv delete must hit rows")
+      val bare = s.read.format("txlog").load(root)
+      require(bare.columns.contains("balance") &&
+        !bare.columns.contains("c_acctbal"),
+        s"q245: bare read must serve the MAPPED schema, got " +
+          bare.columns.mkString(", "))
+      // the bare path and the Scala front door agree exactly
+      require(bare.count() == TxLog.readTable(s, root).count(),
+        "q245: bare format read diverges from readTable")
+      // partition pruning reaches the TxFileIndex through the bare path
+      val total = graft.tools.PlanCheck.dataFilesRead(bare)
+      val seg = graft.tools.PlanCheck.dataFilesRead(
+        s.read.format("txlog").load(root)
+          .filter(col("c_mktsegment") === "BUILDING"))
+      require(seg * 2 <= total,
+        s"q245: segment filter read $seg of $total files — pruning dead")
+      // time travel: v1 serves the PRE-rename schema and PRE-delete rows
+      val v1 = s.read.format("txlog").option("versionAsOf", "1").load(root)
+      require(v1.columns.contains("c_acctbal"),
+        s"q245: versionAsOf=1 must serve the pre-rename schema, got " +
+          v1.columns.mkString(", "))
+      val v1rows = v1.count()
+      bare.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("balance")).as("total_bal"))
+        .withColumn("v1_rows", lit(v1rows))
+        .withColumn("pruning_ok", lit(if (seg * 2 <= total) 1L else 0L))
     }
   )
 }

@@ -83,6 +83,16 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
     // (reads of it still fail loudly at stream start); every other
     // tableMeta failure (corrupt log, permission denied) stays loud
     if (!TxLog.tableExists(spark, root(options))) return new StructType()
+    // BATCH time travel: the relation's schema is the schema AS OF the
+    // pinned version (a rename/drop/restore means schemas differ by
+    // version) — derived from the same plan the batch rewrite mounts,
+    // so relation output and rewritten child can never drift
+    val pinned = Option(options.get("versionAsOf")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(ts =>
+        TxLog.versionAsOf(spark, root(options), ts.toLong)))
+    if (pinned.isDefined &&
+        !Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      return TxLog.readTableAt(spark, root(options), pinned.get).schema
     val (data, ps) = TxLog.tableMeta(spark, root(options))
     // report LOGICAL names (renames applied, dropped columns gone); the
     // decode below still reads files by their PHYSICAL names
@@ -210,16 +220,31 @@ private final class TxSink(root: String, partCols: Seq[String],
   }
 }
 
-private final class TxStreamTable(tableSchema: StructType, root: String)
+private[streaming] final class TxStreamTable(tableSchema: StructType,
+                                             root: String)
     extends Table with SupportsRead {
   override def name(): String = s"txlog:$root"
   override def schema(): StructType = tableSchema
+  // BATCH_READ makes `spark.read.format("txlog").load(root)` resolve to
+  // a DataSourceV2Relation over this table; [[TxBatchReadRule]] (injected
+  // by GraftExtensions) then substitutes the FULL readTable plan —
+  // column-mapping projection, deletion-vector anti-join, TxFileIndex
+  // pruning — before any physical planning. The scan below stays the
+  // streaming implementation; its toBatch is a loud backstop for
+  // sessions missing the extensions (a bare relation would silently
+  // skip the mapping and the vectors — never serve that).
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          sys.error("txlog batch read requires the graft extensions " +
+            "(SparkSession.builder().withExtensions(new " +
+            "graft.plans.GraftExtensions)) — a bare scan would bypass " +
+            "the table's column mapping and deletion vectors; " +
+            "alternatively call graft.sources.TxLog.readTable directly")
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           // startingVersion wins; startingTimestamp resolves through the
           // commit-mtime clock (the state AS OF the instant is the

@@ -94,6 +94,22 @@ object PlanCheck {
     }.sum
   }
 
+  /** [[filesRead]] restricted to the TABLE's data scans: deletion-vector
+    * sidecar scans (rooted under `data/dv-` dirs) are excluded — a dv'd
+    * read legitimately opens every live sidecar whatever the partition
+    * filter, so a partition-pruning gate over a dv'd table must measure
+    * the data scan alone or the constant sidecar term drowns the signal. */
+  def dataFilesRead(df: DataFrame): Long = {
+    val exec = df.queryExecution.executedPlan
+    exec.execute().count()
+    walk(exec).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if !sc.relation.location.rootPaths
+            .exists(_.toString.contains("/data/dv-")) =>
+        sc.metrics("numFiles").value
+    }.sum
+  }
+
   /** True iff `df` is a PINNED materialization (Checkpoints.pin): its
     * logical plan is an RDD scan, so the subtree that produced it ran
     * exactly once — at pin time — and NO consumer can re-trigger it.
