@@ -83,5 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // deletion-vector anti-join, TxFileIndex pruning, time travel)
     ext.injectResolutionRule(session =>
       graft.streaming.TxBatchReadRule(session))
+
+    // SQL DML front-end: MERGE/UPDATE/DELETE/RESTORE/DESCRIBE/VACUUM on
+    // txlog.`<root>` tables route to the transactional front doors;
+    // everything else delegates to Spark's parser untouched
+    ext.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
   }
 }

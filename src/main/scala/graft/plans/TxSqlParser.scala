@@ -1,0 +1,414 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+
+import graft.sources.TxLog
+
+/** SQL DML front-end for transaction-log tables — the Delta-style
+  * statement surface, routed to the existing transactional front doors
+  * (never a parallel implementation):
+  *
+  * {{{
+  *   MERGE INTO txlog.`/root` t USING src s ON t.k = s.k
+  *     WHEN MATCHED AND t.v < s.v THEN UPDATE SET v = s.v
+  *     WHEN MATCHED THEN DELETE
+  *     WHEN NOT MATCHED THEN INSERT *        -- TxLog.mergeClausesTx
+  *   UPDATE txlog.`/root` SET v = v + 1 WHERE k = 3   -- updateWhereTx
+  *   DELETE FROM txlog.`/root` WHERE k = 3            -- deleteWhereTx
+  *   RESTORE TABLE txlog.`/root` TO VERSION AS OF 3   -- restoreTx
+  *   DESCRIBE HISTORY txlog.`/root`                   -- history
+  *   DESCRIBE DETAIL txlog.`/root`                    -- tableDetail
+  *   VACUUM txlog.`/root` [RETAIN 24 HOURS]           -- vacuum
+  * }}}
+  *
+  * Injected via [[GraftExtensions]] (`injectParser`); every statement
+  * NOT addressing a ``txlog.`...``` table delegates to Spark's parser
+  * untouched. Embedded expressions (ON/WHERE/SET/clause conditions) are
+  * passed through as SQL text to the front doors — the parser splits at
+  * top-level keywords only, so the full Spark expression language works
+  * inside them. MERGE target/source aliases are fixed to `t` and `s`
+  * (the aliases [[TxLog.mergeClausesTx]] binds clause expressions
+  * against); any other alias refuses loudly rather than failing to
+  * resolve downstream. A malformed txlog statement is its own loud
+  * error, never a silent fall-through to Spark's parser. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    TxSql.maybeParse(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** Eagerly-executed DML command (the RunnableCommand contract: runs once
+  * when the `spark.sql(...)` Dataset materializes, returns its summary
+  * rows). */
+private final case class TxSqlCommand(
+    override val output: Seq[Attribute],
+    @transient body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = body(session)
+}
+
+private object TxSql {
+  // cheap pre-filter: one of our verbs AND a txlog.`...` table reference
+  private val Verb =
+    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM)\\b.*".r
+  private val HasTx = "(?is).*\\btxlog\\s*\\.\\s*`.*".r
+
+  def maybeParse(session: SparkSession, text: String): Option[LogicalPlan] =
+    text match {
+      case Verb(_) if HasTx.matches(text) =>
+        Some(parseStatement(session, text))
+      case _ => None
+    }
+
+  // ---- tokenizer ---------------------------------------------------------
+  // kinds: 0 word (ident/keyword/number), 1 backtick ident (text = inner),
+  // 2 string literal (text = raw incl quotes), 3 symbol char
+  private final case class Tok(kind: Int, text: String, start: Int, end: Int)
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"txlog SQL: $msg")
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val st = i; i += 1
+        while (i < n && (s.charAt(i) != '\'' ||
+            (i + 1 < n && s.charAt(i + 1) == '\'' && { i += 1; true })))
+          i += 1
+        if (i >= n) fail("unterminated string literal")
+        i += 1
+        out += Tok(2, s.substring(st, i), st, i)
+      } else if (c == '`') {
+        val st = i; i += 1
+        val sb = new StringBuilder
+        var closed = false
+        while (i < n && !closed) {
+          val d = s.charAt(i)
+          if (d == '`') {
+            if (i + 1 < n && s.charAt(i + 1) == '`') { sb += '`'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += d; i += 1 }
+        }
+        if (!closed) fail("unterminated backtick identifier")
+        out += Tok(1, sb.toString, st, i)
+      } else if (c.isLetterOrDigit || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_'))
+          i += 1
+        out += Tok(0, s.substring(st, i), st, i)
+      } else {
+        out += Tok(3, c.toString, i, i + 1)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ---- statement parser ----------------------------------------------------
+  private final class P(val text: String) {
+    val toks: Vector[Tok] = tokenize(text)
+    var i = 0
+    def eof: Boolean = i >= toks.length
+    def peek: Tok = if (eof) fail(s"unexpected end of statement") else toks(i)
+    def isKw(k: String): Boolean =
+      !eof && toks(i).kind == 0 && toks(i).text.equalsIgnoreCase(k)
+    def kw(k: String): Unit =
+      if (isKw(k)) i += 1 else fail(s"expected $k at: ${rest()}")
+    def tryKw(k: String): Boolean = { val ok = isKw(k); if (ok) i += 1; ok }
+    def sym(c: String): Unit =
+      if (!eof && toks(i).kind == 3 && toks(i).text == c) i += 1
+      else fail(s"expected '$c' at: ${rest()}")
+    def isSym(c: String): Boolean =
+      !eof && toks(i).kind == 3 && toks(i).text == c
+    def rest(): String =
+      if (eof) "<end>" else text.substring(toks(i).start).take(60)
+
+    /** ``txlog.`/root``` — the table reference. */
+    def txTable(): String = {
+      kw("txlog"); sym(".")
+      val t = peek
+      if (t.kind != 1) fail("table root must be a backtick-quoted path " +
+        "(txlog.`/path/to/table`)")
+      i += 1
+      t.text
+    }
+
+    /** identifier (bare word or backticked). */
+    def ident(): String = {
+      val t = peek
+      if (t.kind == 0 || t.kind == 1) { i += 1; t.text }
+      else fail(s"expected identifier at: ${rest()}")
+    }
+
+    /** original-text slice from token `from` (inclusive) to token `until`
+      * (exclusive). */
+    def slice(from: Int, until: Int): String = {
+      require(until > from, "empty expression")
+      text.substring(toks(from).start, toks(until - 1).end).trim
+    }
+
+    /** advance to the first TOP-LEVEL (paren-depth-0) position where
+      * `stop` matches the current token; returns (startIdx, endIdx) of
+      * the skipped span. */
+    def spanUntil(stop: () => Boolean): (Int, Int) = {
+      val st = i
+      var depth = 0
+      while (!eof && !(depth == 0 && stop())) {
+        if (isSym("(")) depth += 1
+        else if (isSym(")")) {
+          depth -= 1
+          if (depth < 0) fail(s"unbalanced ')' at: ${rest()}")
+        }
+        i += 1
+      }
+      (st, i)
+    }
+  }
+
+  private def attr(name: String, dt: DataType): Attribute =
+    AttributeReference(name, dt, nullable = false)()
+
+  private def parseStatement(session: SparkSession, text: String)
+      : LogicalPlan = {
+    val p = new P(text)
+    if (p.tryKw("MERGE")) parseMerge(session, p)
+    else if (p.tryKw("UPDATE")) parseUpdate(session, p)
+    else if (p.tryKw("DELETE")) parseDelete(session, p)
+    else if (p.tryKw("RESTORE")) parseRestore(session, p)
+    else if (p.tryKw("DESCRIBE") || p.tryKw("DESC")) parseDescribe(session, p)
+    else if (p.tryKw("VACUUM")) parseVacuum(session, p)
+    else fail(s"unsupported txlog statement: ${p.rest()}")
+  }
+
+  // MERGE INTO txlog.`root` [AS] t USING <src> [AS] s ON t.k = s.k WHEN ...
+  private def parseMerge(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("INTO")
+    val root = p.txTable()
+    requireAlias(p, "t", "target")
+    p.kw("USING")
+    // source: (subquery) or a table/view identifier
+    val source: SparkSession => org.apache.spark.sql.DataFrame =
+      if (p.isSym("(")) {
+        val st = p.i
+        p.spanUntilBalanced()
+        val inner = p.slice(st + 1, p.i - 1)
+        s => s.sql(inner)
+      } else {
+        val sb = new StringBuilder(p.ident())
+        while (p.isSym(".")) { p.sym("."); sb.append('.').append(p.ident()) }
+        val name = sb.toString
+        s => s.table(name)
+      }
+    requireAlias(p, "s", "source")
+    p.kw("ON")
+    val (onSt, onEnd) = p.spanUntil(() => p.isKw("WHEN"))
+    val key = mergeKeyOf(p, onSt, onEnd)
+    var whenMatched = Vector.empty[TxLog.MergeClause]
+    var whenNot = Vector.empty[TxLog.MergeClause]
+    while (p.tryKw("WHEN")) {
+      val not = p.tryKw("NOT")
+      p.kw("MATCHED")
+      val cond: Option[String] =
+        if (p.tryKw("AND")) {
+          val (st, end) = p.spanUntil(() => p.isKw("THEN"))
+          Some(p.slice(st, end))
+        } else None
+      p.kw("THEN")
+      if (not) {
+        p.kw("INSERT")
+        if (!p.isSym("*")) fail("WHEN NOT MATCHED supports INSERT * only")
+        p.sym("*")
+        whenNot :+= TxLog.MergeClause.insertAll(cond)
+      } else if (p.tryKw("DELETE")) {
+        whenMatched :+= TxLog.MergeClause.delete(cond)
+      } else {
+        p.kw("UPDATE"); p.kw("SET")
+        if (p.isSym("*")) {
+          p.sym("*")
+          whenMatched :+= TxLog.MergeClause.updateAll(cond)
+        } else {
+          whenMatched :+= TxLog.MergeClause.update(
+            parseAssignmentsText(p, () => p.isKw("WHEN")), cond)
+        }
+      }
+    }
+    if (!p.eof) fail(s"trailing input after MERGE: ${p.rest()}")
+    TxSqlCommand(Seq(attr("version", LongType)), s =>
+      Seq(Row(TxLog.mergeClausesTx(s, root, source(s), key,
+        whenMatched, whenNot))))
+  }
+
+  /** consume a balanced (...) group the cursor points at. */
+  implicit private class Pext(p: P) {
+    def spanUntilBalanced(): Unit = {
+      p.sym("(")
+      var depth = 1
+      while (depth > 0) {
+        if (p.isSym("(")) depth += 1
+        else if (p.isSym(")")) depth -= 1
+        p.i += 1
+      }
+    }
+  }
+
+  /** [AS] alias — REQUIRED to be the fixed name the merge rewrite binds
+    * clause expressions against. */
+  private def requireAlias(p: P, want: String, side: String): Unit = {
+    p.tryKw("AS")
+    if (p.isKw("USING") || p.isKw("ON") || p.isKw("WHEN")) {
+      fail(s"MERGE requires an explicit $side alias `$want` — clause " +
+        s"expressions bind against it (write: ... $want)")
+    }
+    val a = p.ident()
+    if (!a.equalsIgnoreCase(want))
+      fail(s"MERGE $side alias must be `$want` (clause expressions bind " +
+        s"against the fixed t/s aliases), got `$a`")
+  }
+
+  /** the ON condition must be a single equi-key `t.k = s.k` (the
+    * file-granular merge key [[TxLog.mergeClausesTx]] takes). */
+  private def mergeKeyOf(p: P, st: Int, end: Int): String = {
+    val toks = p.toks.slice(st, end)
+    def side(ts: Vector[Tok]): String = ts match {
+      case Vector(q, dot, c)
+        if q.kind == 0 && dot.kind == 3 && dot.text == "." &&
+          (c.kind == 0 || c.kind == 1) =>
+        if (!q.text.equalsIgnoreCase("t") && !q.text.equalsIgnoreCase("s"))
+          fail(s"ON qualifier must be t or s, got ${q.text}")
+        c.text
+      case Vector(c) if c.kind == 0 || c.kind == 1 => c.text
+      case _ => fail("ON condition must be a single equi-key: " +
+        "t.<col> = s.<col>")
+    }
+    val eq = toks.indexWhere(t => t.kind == 3 && t.text == "=")
+    if (eq < 0) fail("ON condition must be a single equi-key: " +
+      "t.<col> = s.<col>")
+    val l = side(toks.take(eq))
+    val r = side(toks.drop(eq + 1))
+    if (l != r) fail(s"ON keys must name the same column on both sides " +
+      s"(got $l = $r) — the merge key is one shared column")
+    l
+  }
+
+  /** `a = <expr>, b = <expr>, ...` — expressions as raw text slices,
+    * split at top-level commas; ends at `stop` or end of input. */
+  private def parseAssignmentsText(p: P, stop: () => Boolean)
+      : Map[String, String] = {
+    var out = Map.empty[String, String]
+    var more = true
+    while (more) {
+      val c = p.ident()
+      p.sym("=")
+      val (st, end) = p.spanUntil(() =>
+        stop() || (p.isSym(",")))
+      out += c -> p.slice(st, end)
+      if (p.isSym(",")) p.sym(",") else more = false
+    }
+    if (out.isEmpty) fail("SET needs at least one assignment")
+    out
+  }
+
+  // UPDATE txlog.`root` SET a = e, ... [WHERE cond]
+  private def parseUpdate(session: SparkSession, p: P): LogicalPlan = {
+    val root = p.txTable()
+    p.kw("SET")
+    val sets = parseAssignmentsText(p, () => p.isKw("WHERE"))
+    val cond =
+      if (p.tryKw("WHERE")) {
+        val (st, end) = p.spanUntil(() => false)
+        expr(p.slice(st, end))
+      } else lit(true)
+    TxSqlCommand(
+      Seq(attr("version", LongType), attr("files_rewritten", IntegerType)),
+      s => {
+        val (v, nf) = TxLog.updateWhereTx(s, root, cond,
+          sets.map { case (c, e) => c -> expr(e) })
+        Seq(Row(v, nf))
+      })
+  }
+
+  // DELETE FROM txlog.`root` [WHERE cond]
+  private def parseDelete(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("FROM")
+    val root = p.txTable()
+    val cond =
+      if (p.tryKw("WHERE")) {
+        val (st, end) = p.spanUntil(() => false)
+        expr(p.slice(st, end))
+      } else lit(true)
+    TxSqlCommand(
+      Seq(attr("version", LongType), attr("files_rewritten", IntegerType)),
+      s => {
+        val (v, nf) = TxLog.deleteWhereTx(s, root, cond)
+        Seq(Row(v, nf))
+      })
+  }
+
+  // RESTORE [TABLE] txlog.`root` TO VERSION AS OF n
+  private def parseRestore(session: SparkSession, p: P): LogicalPlan = {
+    p.tryKw("TABLE")
+    val root = p.txTable()
+    p.kw("TO"); p.kw("VERSION"); p.kw("AS"); p.kw("OF")
+    val v = p.ident()
+    val version =
+      try v.toLong catch { case _: NumberFormatException =>
+        fail(s"VERSION AS OF needs an integer version, got $v") }
+    if (!p.eof) fail(s"trailing input after RESTORE: ${p.rest()}")
+    TxSqlCommand(Seq(attr("version", LongType)),
+      s => Seq(Row(TxLog.restoreTx(s, root, version))))
+  }
+
+  // DESCRIBE HISTORY|DETAIL txlog.`root`
+  private def parseDescribe(session: SparkSession, p: P): LogicalPlan = {
+    val df =
+      if (p.tryKw("HISTORY")) TxLog.history(session, p.txTable())
+      else if (p.tryKw("DETAIL")) TxLog.tableDetail(session, p.txTable())
+      else fail("DESCRIBE on txlog tables supports HISTORY and DETAIL")
+    if (!p.eof) fail(s"trailing input after DESCRIBE: ${p.rest()}")
+    df.queryExecution.logical
+  }
+
+  // VACUUM txlog.`root` [RETAIN n HOURS]
+  private def parseVacuum(session: SparkSession, p: P): LogicalPlan = {
+    val root = p.txTable()
+    val minAgeMs =
+      if (p.tryKw("RETAIN")) {
+        val h = p.ident()
+        val hours = try h.toLong catch { case _: NumberFormatException =>
+          fail(s"RETAIN needs an integer hour count, got $h") }
+        p.kw("HOURS")
+        hours * 3600000L
+      } else 3600000L
+    if (!p.eof) fail(s"trailing input after VACUUM: ${p.rest()}")
+    TxSqlCommand(Seq(attr("data_files_vacuumed", LongType)),
+      s => Seq(Row(TxLog.vacuum(s, root, minAgeMs).toLong)))
+  }
+}

@@ -4285,6 +4285,77 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_rows"), dsum(col("balance")).as("total_bal"))
         .withColumn("v1_rows", lit(v1rows))
         .withColumn("pruning_ok", lit(if (seg * 2 <= total) 1L else 0L))
+    },
+
+    // ---- q246: SQL DML FRONT-END (the Delta SQL statement surface via
+    // SparkSessionExtensions' injectParser): MERGE INTO / UPDATE /
+    // DELETE FROM / DESCRIBE HISTORY|DETAIL on txlog.`<root>` tables
+    // parse to the SAME transactional front doors the Scala API uses —
+    // one implementation, two surfaces. This gate re-exercises the
+    // q243/q244/q225/q237 semantics entirely through spark.sql(...)
+    // strings; the oracle replays the statement chain relationally.
+    QueryDef.sql("q246_tx_sql_dml",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |merged AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    CASE WHEN c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |         THEN c_acctbal * 2 ELSE c_acctbal END AS bal
+         |  FROM customer, mx
+         |  WHERE NOT (c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |             AND c_acctbal < 0)
+         |  UNION ALL
+         |  SELECT c_custkey + m + 1000, c_mktsegment, c_acctbal
+         |  FROM customer, mx WHERE c_custkey < 50),
+         |updated AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |         THEN bal + 10 ELSE bal END AS bal
+         |  FROM merged, mx),
+         |live AS (SELECT * FROM updated WHERE bal >= 0)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("bal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS sql_ok
+         |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q246_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      TxLog.appendBatchTx(cust.filter(col("c_custkey") <= maxKey / 2),
+        root, "c_mktsegment", "q246-b1")
+      TxLog.appendBatchTx(cust.filter(col("c_custkey") > maxKey / 2),
+        root, "c_mktsegment", "q246-b2")
+      cust.filter(col("c_custkey") > maxKey * 3 / 4)
+        .unionByName(cust.filter(col("c_custkey") < 50)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1000))
+        .createOrReplaceTempView("q246_src")
+      // the full conditional MERGE, as a statement
+      s.sql(
+        s"""MERGE INTO txlog.`$root` t USING q246_src s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+           |WHEN MATCHED THEN
+           |  UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // UPDATE and DELETE, as statements
+      s.sql(s"UPDATE txlog.`$root` SET c_acctbal = c_acctbal + 10 " +
+        s"WHERE c_custkey <= ${maxKey / 8}")
+      s.sql(s"DELETE FROM txlog.`$root` WHERE c_acctbal < 0")
+      // the admin reads, as statements
+      val nCommits = s.sql(s"DESCRIBE HISTORY txlog.`$root`").count()
+      require(nCommits == 5L,
+        s"q246: expected 5 commits (2 appends + merge + update + " +
+          s"delete), history shows $nCommits")
+      require(s.sql(s"DESCRIBE DETAIL txlog.`$root`").count() == 1L,
+        "q246: DESCRIBE DETAIL must report exactly one row")
+      TxLog.readTable(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .withColumn("sql_ok", lit(1L))
     }
   )
 }
