@@ -4356,6 +4356,82 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("c_acctbal")).as("total_bal"))
         .withColumn("sql_ok", lit(1L))
+    },
+
+    // ---- q247: PAYLOAD RESTORE + O(1) CHECKPOINT HEADER — the two
+    // remaining O(table-shape) ceilings on the parquet-checkpoint path,
+    // closed: (a) above `chkMaxHeaderValues` partitions the checkpoint
+    // header OMITS the partition-value list (novals=1) and every
+    // consumer derives values payload-side; (b) RESTORE on a
+    // parquet-checkpointed table rewrites the target version's inventory
+    // as ONE distributed job and commits a parts-free payload pointer —
+    // the driver never holds the file list on either path. A delete
+    // rewrite is then undone by restore; the oracle is the FULL input
+    // (restore erased the delete's effect).
+    QueryDef.sql("q247_tx_payload_restore",
+      s"""SELECT YEAR(o_orderdate) AS o_year, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS restore_ok
+         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q247_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") <= maxKey / 2),
+        root, "o_year", "q247-b1")                                   // v1
+      // cross to the parquet payload with the header value list FORCED
+      // off (cap 1 < the year count) — the O(1)-header path is what the
+      // rest of the gate runs on
+      val kMin = "graft.txlog.chkParquetMin"
+      val kVal = "graft.txlog.chkMaxHeaderValues"
+      val (pMin, pVal) = (s.conf.getOption(kMin), s.conf.getOption(kVal))
+      try {
+        s.conf.set(kMin, "1"); s.conf.set(kVal, "1")
+        TxLog.checkpoint(s, root)
+      } finally {
+        pMin.fold(s.conf.unset(kMin))(v => s.conf.set(kMin, v))
+        pVal.fold(s.conf.unset(kVal))(v => s.conf.set(kVal, v))
+      }
+      val chkTxt = {
+        val dir2 = new org.apache.hadoop.fs.Path(root, "_txlog")
+        val fs = dir2.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val n = fs.listStatus(dir2).map(_.getPath)
+          .filter(_.getName.endsWith(".chk")).head
+        val in = fs.open(n)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      require(chkTxt.contains("novals=1") && !chkTxt.contains("v\t"),
+        "q247: the checkpoint header must omit the partition-value list")
+      TxLog.appendBatchTx(orders.filter(col("o_orderkey") > maxKey / 2),
+        root, "o_year", "q247-b2")                                   // v2
+      val fullCount = TxLog.readTable(s, root).count()
+      // a rewrite delete to undo
+      val (_, rewritten) = TxLog.deleteWhereTx(s, root,
+        col("o_orderkey") % 10 === 0)                                // v3
+      require(rewritten > 0, "q247: the delete must rewrite files")
+      require(TxLog.readTable(s, root).count() < fullCount,
+        "q247: the delete must remove rows")
+      // RESTORE on the payload representation: parts-free commit with a
+      // payload pointer; the file list never driver-materializes
+      val rv = TxLog.restoreTx(s, root, 2L)                          // v4
+      require(rv == 4L, s"q247: restore committed at $rv, expected 4")
+      require(TxLog.readTable(s, root).count() == fullCount,
+        "q247: restore must reinstate the deleted rows")
+      // payload-derived partition enumeration (header carries no values)
+      require(TxLog.partitionValues(s, root).size >= 2,
+        "q247: partitionValues must derive from the payload")
+      // maintenance keeps working after the restore
+      require(TxLog.checkpoint(s, root) == 4L, "q247: re-checkpoint")
+      TxLog.readTable(s, root)
+        .groupBy("o_year")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("restore_ok", lit(1L))
     }
   )
 }

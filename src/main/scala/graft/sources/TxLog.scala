@@ -171,7 +171,13 @@ object TxLog {
                           // behind an explicit presence marker so
                           // mapping-only meta commits don't clobber it):
                           // name -> SQL expression over logical columns
-                          constraints: Option[Map[String, String]] = None) {
+                          constraints: Option[Map[String, String]] = None,
+                          // op "restore" on a parquet-checkpointed table:
+                          // (payload dir name, nfiles, bytes, ndvs) — the
+                          // target state rewritten distributedly; foldBig
+                          // RESETS its baseline to this payload
+                          payloadChk: Option[(String, Long, Long, Long)] =
+                            None) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -221,7 +227,10 @@ object TxLog {
                           // the stage→commit window, closing the race where
                           // a concurrent ADD CONSTRAINT would otherwise let
                           // already-validated (now-violating) rows land
-                          checkedConstraints: Option[Map[String, String]] = None) {
+                          checkedConstraints: Option[Map[String, String]] = None,
+                          // payload-table restore: see [[Commit.payloadChk]]
+                          payloadChk: Option[(String, Long, Long, Long)] =
+                            None) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -294,7 +303,12 @@ object TxLog {
                                // the text file carries only O(partitions)
                                // values + the batch ledger + schema
                                payload: Option[String] = None,
-                               partValues: Set[String] = Set.empty,
+                               // v2: the live partition-value set — None
+                               // when the table has more than
+                               // [[chkMaxHeaderValues]] partitions (the
+                               // header must stay O(1); consumers derive
+                               // values payload-side, see bigPartValues*)
+                               partValues: Option[Set[String]] = Some(Set.empty),
                                nfiles: Long = -1L,
                                bytes: Long = -1L,
                                // v2: count of payload files carrying a
@@ -430,13 +444,19 @@ object TxLog {
         Some(lines.filter(_.startsWith("k\t")).map(_.split("\t", -1))
           .map { case Array(_, n, e) => unesc(n) -> unesc(e) }.toMap)
       else None
+    // `payload=<dir>` (op "restore" on a payload table): the rewritten
+    // target state, plus its recorded aggregate facts
+    val payloadChk = fieldOpt("payload").map { name =>
+      (name, field("nfiles").toLong, field("bytes").toLong,
+        field("ndvs").toLong)
+    }
     Commit(version, field("op"), field("readVersion").toLong,
       Some(field("batchId")).filter(_ != "-").map(unesc), parts,
       fieldOpt("schema").filter(_ != "-").map(unesc), parseStats(lines),
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
       removed, changes, writerSeq, mapping,
       cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs,
-      constraints = constraints)
+      constraints = constraints, payloadChk = payloadChk)
   }
 
   /** `d\t<dataFile>\t<dvFile>` (one row per referenced dv parquet file)
@@ -496,11 +516,15 @@ object TxLog {
                            writerSeq: Option[(String, Long)] = None,
                            mapping: Option[Map[String, String]] = None,
                            dvs: FileDvs = Map.empty,
-                           constraints: Option[Map[String, String]] = None): String = {
+                           constraints: Option[Map[String, String]] = None,
+                           payloadChk: Option[(String, Long, Long, Long)] =
+                             None): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
+      payloadChk.toSeq.flatMap { case (name, nf, by, nd) =>
+        Seq(s"payload=$name", s"nfiles=$nf", s"bytes=$by", s"ndvs=$nd") } ++
       writerSeq.map { case (id, seq) => s"writer=${esc(id)}:$seq" } ++
       // every new writer's change files carry PHYSICAL column names — the
       // marker lets readers distinguish them from legacy logical-name
@@ -553,8 +577,12 @@ object TxLog {
     val schema = fieldOpt("schema").map(unesc)
     val partSchema = fieldOpt("part").map(unesc)
     if (header == "graft-chk-v2") {
-      val partValues = lines.filter(_.startsWith("v\t"))
-        .map(l => unesc(l.split("\t", -1)(1))).toSet
+      // `novals=1`: the partition-value set was omitted (too large for an
+      // O(1) header) — distinct from a genuinely empty set
+      val partValues =
+        if (fieldOpt("novals").isDefined) None
+        else Some(lines.filter(_.startsWith("v\t"))
+          .map(l => unesc(l.split("\t", -1)(1))).toSet)
       Chk(version, Map.empty, batchIds, schema, Map.empty, Map.empty,
         partSchema, writers, mapping, constraints = constraints,
         payload = Some(fieldOpt("payload").getOrElse(
@@ -604,7 +632,7 @@ object TxLog {
       .mkString("\n") + "\n"
   }
 
-  private def renderChkV2(payload: String, partValues: Set[String],
+  private def renderChkV2(payload: String, partValues: Option[Set[String]],
                           batchIds: Set[String], schema: Option[String],
                           partSchema: Option[String], nfiles: Long,
                           bytes: Long,
@@ -616,10 +644,14 @@ object TxLog {
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes",
       s"ndvs=$ndvs") ++
+      // None = omitted above chkMaxHeaderValues: the header stays O(1)
+      // and readers derive values from the payload's `part` column
+      (if (partValues.isEmpty) Seq("novals=1") else Seq.empty) ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++
       renderConstraints(constraints) ++
-      partValues.toSeq.sorted.map(v => s"v\t${esc(v)}"))
+      partValues.getOrElse(Set.empty).toSeq.sorted
+        .map(v => s"v\t${esc(v)}"))
       .mkString("\n") + "\n"
 
   /** Publish `body` as version file `v<version>.txn` — atomically, and
@@ -722,7 +754,9 @@ object TxLog {
     * partition pruning and stats skipping INSIDE the payload scan. */
   private[sources] final case class BigState(
       version: Long, chkVersion: Long, payload: String,
-      partValues: Set[String],
+      // None = the checkpoint header omitted the value set (above
+      // chkMaxHeaderValues); derive payload-side via bigPartValues*
+      partValues: Option[Set[String]],
       removedParts: Set[String],
       removedFiles: Set[String],
       deltaParts: Map[String, Seq[String]],
@@ -741,8 +775,17 @@ object TxLog {
       ndvs: Long = -1L)
 
   /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
-    * commits) driver work whatever the payload size. */
+    * commits) driver work whatever the payload size. A "restore" commit
+    * carrying a payload pointer RESETS the fold baseline to that payload
+    * (the payload-table restore shape: the target state was rewritten
+    * distributedly, the commit references it, and subsequent commits
+    * fold on top exactly as after a checkpoint). */
   private def foldBig(chk: Chk, commits: Seq[Commit]): BigState = {
+    var payload = chk.payload.get
+    var baseValues = chk.partValues
+    var baseNfiles = chk.nfiles
+    var baseBytes = chk.bytes
+    var baseNdvs = chk.ndvs
     var removedParts = Set.empty[String]
     var removedFiles = Set.empty[String]
     var delta = Map.empty[String, Seq[String]]
@@ -774,30 +817,43 @@ object TxLog {
           // since masked is harmless (reads never scan it, counts look
           // up live rows).
           dvDelta ++= c.dvs
-        case "restore" =>
-          // unreachable by construction: restoreTx refuses parquet-
-          // checkpointed tables (snapshotAt dispatch), and a pre-crossing
-          // restore folds into the text checkpoint before the payload one
-          // exists — a restore AFTER a payload checkpoint has no writer
-          sys.error(s"commit v${c.version}: \"restore\" cannot follow a " +
-            "parquet checkpoint — no supported writer produces this log")
+        case "restore" => c.payloadChk match {
+          case Some((name, nf, by, nd)) =>
+            // payload-table restore: the target state was rewritten
+            // distributedly into `name` — RESET the fold baseline to it
+            // (everything accumulated so far is superseded; the commit
+            // itself carries schema/mapping/constraints snapshots, so
+            // the metadata lastOption derivations below stay correct)
+            payload = name
+            baseValues = None // derive payload-side (bigPartValues*)
+            baseNfiles = nf; baseBytes = by; baseNdvs = nd
+            removedParts = Set.empty; removedFiles = Set.empty
+            delta = Map.empty; dvDelta = Map.empty
+          case None =>
+            // unreachable by construction: a driver-shape restore refuses
+            // at commit() when the table is parquet-checkpointed (its
+            // parts map would have to driver-materialize the file list)
+            sys.error(s"commit v${c.version}: a driver-shape \"restore\" " +
+              "cannot follow a parquet checkpoint — no supported writer " +
+              "produces this log")
+        }
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
     }
     val liveDelta = delta.valuesIterator.flatten.toSet
     BigState(
       commits.lastOption.map(_.version).getOrElse(chk.version), chk.version,
-      chk.payload.get,
-      chk.partValues -- removedParts ++ delta.keySet,
+      payload,
+      baseValues.map(_ -- removedParts ++ delta.keySet),
       removedParts, removedFiles, delta,
       commits.iterator.flatMap(_.stats).filter(kv => liveDelta(kv._1)).toMap,
       commits.iterator.flatMap(_.rows).filter(kv => liveDelta(kv._1)).toMap,
       (chk.schema.toSeq ++ commits.flatMap(_.schema)).lastOption,
       (chk.partSchema.toSeq ++ commits.flatMap(_.partSchema)).lastOption,
-      chk.nfiles, chk.bytes,
+      baseNfiles, baseBytes,
       commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping),
       commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints),
-      dvDelta, chk.ndvs)
+      dvDelta, baseNdvs)
   }
 
   /** Internal dispatch: driver-resident [[Snapshot]] for inline-
@@ -1936,6 +1992,10 @@ object TxLog {
         "\"meta\" and \"restore\" carry a snapshot")
     require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
       "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
+    require(staged.payloadChk.isEmpty ||
+        op == "restore" && staged.parts.isEmpty && staged.removed.isEmpty,
+      "TxLog.commit: a payload pointer rides only on a parts-free " +
+        "\"restore\" commit")
     // "-" is the log format's absent-field sentinel; a literal "-" batch id
     // would round-trip as None and silently disable idempotent replay
     require(!batchId.contains("-"),
@@ -1988,7 +2048,7 @@ object TxLog {
       // here, retryably: restoreTx's loop re-derives via snapshot(),
       // which refuses payload tables loudly (and never discards the
       // staging — restore parts re-reference LIVE committed files).
-      if (op == "restore")
+      if (op == "restore" && staged.payloadChk.isEmpty)
         chk.filter(_.payload.isDefined).foreach { c =>
           throw new ConcurrentWriteException(c.version,
             Seq("<checkpoint crossed to parquet payload>"))
@@ -1997,8 +2057,11 @@ object TxLog {
         // a "meta" commit (mapping/constraint DDL) snapshots metadata
         // derived from its read — ANY concurrent commit invalidates that
         // snapshot (a constraints-only commit must not clobber a racing
-        // rename, and vice versa), so meta conflicts with everything
-        if (op == "meta")
+        // rename, and vice versa), so meta conflicts with everything.
+        // A payload-shape restore snapshots the WHOLE table the same way
+        // (its rewritten payload bakes in every partition), so it too
+        // conflicts with any commit past its read version.
+        if (op == "meta" || staged.payloadChk.isDefined)
           commits.filter(_.version > readVersion).foreach { c =>
             throw new ConcurrentWriteException(c.version,
               Seq("<table metadata>"))
@@ -2053,15 +2116,31 @@ object TxLog {
       // META-ONLY fold: the guards need schema/partSchema/partition
       // VALUES, never the file list — so commits to a parquet-
       // checkpointed table stay O(delta) driver work.
-      val current: (Option[String], Option[String], Set[String],
+      // _3 is a PREDICATE ("does the staged key set cover every live
+      // partition?") rather than the raw value set: above
+      // chkMaxHeaderValues partitions the set is not driver-resident and
+      // the cover test runs payload-side (one anti-join probe) — and
+      // only the rare schema-change-by-full-overwrite path ever calls it
+      val current: (Option[String], Option[String], Set[String] => Boolean,
                     Map[String, String]) =
         chk match {
           case Some(c) if c.payload.isDefined =>
             val b = foldBig(c, commits)
-            (b.schema, b.partSchema, b.partValues, b.mapping)
+            val covered = (stagedKeys: Set[String]) => b.partValues match {
+              case Some(vs) => vs.subsetOf(stagedKeys)
+              case None =>
+                import spark.implicits._
+                payloadLiveDF(spark, root, b).select("part")
+                  .unionByName(b.deltaParts.keySet.toSeq.toDF("part"))
+                  .join(stagedKeys.toSeq.toDF("part"), Seq("part"),
+                    "left_anti")
+                  .isEmpty
+            }
+            (b.schema, b.partSchema, covered, b.mapping)
           case _ =>
             val s = fold(chk, commits)
-            (s.schema, s.partSchema, s.parts.keySet, s.mapping)
+            (s.schema, s.partSchema,
+              (ks: Set[String]) => s.parts.keySet.subsetOf(ks), s.mapping)
         }
       // MAPPING-AWARE SANITIZER: a writer that staged BEFORE a concurrent
       // DROP COLUMN landed carries the dropped physical column in its
@@ -2108,7 +2187,7 @@ object TxLog {
         val additive = curT.forall(f =>
           stagedTypes.get(f.name).contains(f.dataType))
         val fullReplace = op == "overwrite" &&
-          current._3.subsetOf(staged.parts.keySet)
+          current._3(staged.parts.keySet)
         if (!(additive || fullReplace)) {
           // TERMINAL refusal (unlike a conflict, no retry can fix a
           // writer that lost a column) — reclaim the staged files here
@@ -2127,7 +2206,7 @@ object TxLog {
           renderCommit(op, readVersion, batchId, staged.parts,
             stagedSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping,
-            staged.dvs, staged.constraints))) {
+            staged.dvs, staged.constraints, staged.payloadChk))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
@@ -2352,7 +2431,7 @@ object TxLog {
         s"addCheckConstraintTx: constraint [$name] already exists at $root")
       val state = stateOf(spark, root)
       val v0 = state.fold(_.version, _.version)
-      if (state.fold(_.parts.nonEmpty, _.partValues.nonEmpty)) {
+      if (stateNonEmpty(spark, root, state)) {
         val ps = partSchemaOf(state, root, "addCheckConstraintTx")
         require(readState(spark, root, state, ps)
             .filter(not(coalesce(expr(exprStr), lit(true)))).isEmpty,
@@ -2410,17 +2489,22 @@ object TxLog {
   }
 
   /** Live partition values (the log's composite keys) — metadata only,
-    * no data scan; works on both table representations. */
+    * no data scan; works on both table representations. Above
+    * [[chkMaxHeaderValues]] partitions the header omits the set and this
+    * runs one payload distinct query — an O(partitions) driver answer an
+    * explicit enumeration API cannot avoid. */
   def partitionValues(spark: SparkSession, root: String): Set[String] =
-    stateOf(spark, root).fold(_.parts.keySet, _.partValues)
+    stateOf(spark, root).fold(_.parts.keySet,
+      bigPartValuesWhere(spark, root, _, _ => true).toSet)
 
   /** Transactional retention: drop every partition whose value fails
     * `keep` — the [[Warehouse.dropPartitionsWhere]] shape on a tx table.
     * Returns the partitions dropped (0 = nothing to do, no commit). */
   def dropPartitionsWhereTx(spark: SparkSession, root: String,
                             keep: String => Boolean): Int = {
-    val values = stateOf(spark, root).fold(_.parts.keySet, _.partValues)
-    val doomed = values.filterNot(keep).toSeq.sorted
+    val values = stateOf(spark, root).fold(_.parts.keySet.toSeq,
+      bigPartValuesWhere(spark, root, _, _ => true))
+    val doomed = values.filterNot(keep).sorted
     if (doomed.nonEmpty) removePartitionsTx(spark, root, doomed): Unit
     doomed.length
   }
@@ -2444,6 +2528,12 @@ object TxLog {
     * version. */
   def restoreTx(spark: SparkSession, root: String, toVersion: Long,
                 maxAttempts: Int = 20): Long = {
+    // parquet-checkpointed tables restore by PAYLOAD REWRITE: the target
+    // inventory is rebuilt distributedly (the file list never
+    // driver-materializes) and the commit carries a payload pointer
+    // foldBig resets its baseline to
+    if (stateOf(spark, root).isRight)
+      return restorePayloadTx(spark, root, toVersion, maxAttempts)
     val target = snapshotAt(spark, root, toVersion)
     require(target.parts.nonEmpty,
       s"TxLog.restoreTx: version $toVersion of $root is empty — nothing " +
@@ -2475,6 +2565,90 @@ object TxLog {
       try return commit(spark, root, staged, "restore",
         readVersion = snap.version, conflictCheck = true)
       catch { case _: ConcurrentWriteException => () } // re-derive `gone`
+    }
+    sys.error(s"TxLog.restoreTx: $maxAttempts consecutive conflicts at " +
+      s"$root — pathological contention, back off at the caller")
+  }
+
+  /** RESTORE on a parquet-checkpointed table — the payload-rewrite shape:
+    * the target version's full inventory (files, stats, partition values,
+    * deletion vectors) is rebuilt as ONE distributed job over the
+    * checkpoint payload plus the version-capped delta ([[bigEntriesDF]]),
+    * written as a fresh payload dir, and referenced by a parts-free
+    * "restore" commit whose [[Commit.payloadChk]] pointer makes
+    * [[foldBig]] reset its baseline there. The driver never holds the
+    * file list. Same contracts as the driver-table restore: every target
+    * file must still exist (checked DISTRIBUTEDLY — the vacuum horizon
+    * bounds restorability), schema/mapping/constraints reinstate to the
+    * target's, in-between history stays time-travelable until expiry,
+    * and concurrent commits force a re-derivation (the restore conflicts
+    * with everything, like "meta" — its payload bakes in the whole
+    * table). Only versions at/after the latest checkpoint are restorable
+    * (older file lists are no longer enumerable — the same floor as
+    * payload time travel). */
+  private def restorePayloadTx(spark: SparkSession, root: String,
+                               toVersion: Long, maxAttempts: Int): Long = {
+    import spark.implicits._
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (chk, commits) = readLog(spark, root)
+      val c = chk.filter(_.payload.isDefined).getOrElse(
+        // the table UN-crossed? impossible (one-way); treat as driver
+        return restoreTx(spark, root, toVersion, maxAttempts))
+      require(toVersion >= c.version,
+        s"TxLog.restoreTx: version $toVersion predates the latest " +
+          s"parquet checkpoint (${c.version}) at $root — its file list " +
+          "is no longer enumerable; only checkpoint-or-later versions " +
+          "restore on a parquet-checkpointed table")
+      val cur = foldBig(c, commits)
+      val bt = foldBig(c, commits.filter(_.version <= toVersion))
+      require(bt.version == toVersion,
+        s"TxLog.restoreTx: version $toVersion was never committed at " +
+          s"$root (log ends at ${bt.version} for that prefix)")
+      require(bigNonEmpty(spark, root, bt),
+        s"TxLog.restoreTx: version $toVersion of $root is empty — " +
+          "nothing to restore to")
+      val entries = bigEntriesDF(spark, root, bt)
+      // DISTRIBUTED existence probe over data files + dv sidecars: the
+      // driver sees one integer, never the list
+      val conf = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val rootQual = fsOf(spark, new Path(root))
+        .makeQualified(new Path(root)).toString.stripSuffix("/") + "/"
+      val missing = entries
+        .select(col("file").as("rel"))
+        .unionByName(entries.filter(col("dvfiles").isNotNull)
+          .select(explode(col("dvfiles")).as("rel")))
+        .distinct().as[String]
+        .mapPartitions { it =>
+          val f = new Path(rootQual).getFileSystem(conf.value)
+          var n = 0
+          it.foreach { rel =>
+            if (!f.exists(new Path(rootQual + rel))) n += 1
+          }
+          Iterator.single(n)
+        }.collect().sum
+      require(missing == 0,
+        s"TxLog.restoreTx: $missing data/dv files of version $toVersion " +
+          s"at $root are already vacuumed — that version is no longer " +
+          "restorable; retain a longer vacuum window to restore that far")
+      val name = writePayloadDir(spark, root, entries, cur.version + 1)
+      val agg = spark.read.parquet(s"$root/_txlog/$name")
+        .agg(count(lit(1)), coalesce(sum("size"), lit(0L)),
+          count(col("dvfiles"))).head
+      val staged = Staged(Map.empty,
+        schema = bt.schema, partSchema = bt.partSchema,
+        mapping = Some(bt.mapping), constraints = Some(bt.constraints),
+        payloadChk = Some((name, agg.getLong(0), agg.getLong(1),
+          agg.getLong(2))))
+      try return commit(spark, root, staged, "restore",
+        readVersion = cur.version, conflictCheck = true)
+      catch { case _: ConcurrentWriteException =>
+        // OUR payload dir (freshly written, referenced by nothing) —
+        // reclaim it and re-derive from the new log head
+        deletePayloadDir(spark, root, name)
+      }
     }
     sys.error(s"TxLog.restoreTx: $maxAttempts consecutive conflicts at " +
       s"$root — pathological contention, back off at the caller")
@@ -2546,7 +2720,7 @@ object TxLog {
           (snap.version, s, snap.copy(parts = s,
             dvs = snap.dvs.filter { case (f, _) => selFiles(f) }))
         case Right(big) =>
-          val values = big.partValues.filter(select).toSeq
+          val values = bigPartValuesWhere(spark, root, big, select)
           val payloadSel =
             if (values.isEmpty) Map.empty[String, Seq[String]]
             else payloadLiveDF(spark, root, big)
@@ -2671,7 +2845,7 @@ object TxLog {
               ._1)
           }
         case Right(big) =>
-          val values = big.partValues.filter(select).toSeq
+          val values = bigPartValuesWhere(spark, root, big, select)
           val payloadSel =
             if (values.isEmpty) Map.empty[String, Seq[(String, Long)]]
             else payloadLiveDF(spark, root, big)
@@ -2849,7 +3023,7 @@ object TxLog {
       attempt += 1
       val state = stateOf(spark, root)
       val version = state.fold(_.version, _.version)
-      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+      if (!stateNonEmpty(spark, root, state))
         return (version, 0)
       val (schema, partSchema) =
         (state.fold(_.schema, _.schema), state.fold(_.partSchema, _.partSchema))
@@ -2924,7 +3098,7 @@ object TxLog {
       attempt += 1
       val state = stateOf(spark, root)
       val version = state.fold(_.version, _.version)
-      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+      if (!stateNonEmpty(spark, root, state))
         return (version, 0)
       val ps = partSchemaOf(state, root, "updateWhereTx")
       sets.keys.foreach { k =>
@@ -3011,7 +3185,7 @@ object TxLog {
       attempt += 1
       val state = stateOf(spark, root)
       val version = state.fold(_.version, _.version)
-      if (state.fold(_.parts.isEmpty, _.partValues.isEmpty))
+      if (!stateNonEmpty(spark, root, state))
         return (version, 0L)
       val ps = partSchemaOf(state, root, "deleteWhereDvTx")
       // candidate search: stats pruning decides FILES, and the dv
@@ -3220,7 +3394,7 @@ object TxLog {
       attempt += 1
       val state = stateOf(spark, root)
       val version = state.fold(_.version, _.version)
-      require(state.fold(_.parts.nonEmpty, _.partValues.nonEmpty),
+      require(stateNonEmpty(spark, root, state),
         s"TxLog.mergeKeyedTx: table at $root is empty — append the seed " +
           "batch instead")
       val ps = state.fold(_.partSchema, _.partSchema)
@@ -3335,7 +3509,7 @@ object TxLog {
       attempt += 1
       val state = stateOf(spark, root)
       val version = state.fold(_.version, _.version)
-      require(state.fold(_.parts.nonEmpty, _.partValues.nonEmpty),
+      require(stateNonEmpty(spark, root, state),
         s"TxLog.mergeClausesTx: table at $root is empty — append the " +
           "seed batch instead")
       val ps = state.fold(_.partSchema, _.partSchema)
@@ -3551,7 +3725,14 @@ object TxLog {
             .agg(coalesce(sum("dvrows"), lit(0L))).head.getLong(0)
         ("parquet-checkpoint",
           agg.getLong(0) + big.deltaParts.valuesIterator.map(_.size).sum,
-          big.partValues.size.toLong,
+          big.partValues.map(_.size.toLong).getOrElse {
+            // header omitted the value set (above chkMaxHeaderValues):
+            // one metadata-payload distinct count, delta keys unioned in
+            import spark.implicits._
+            payloadLiveDF(spark, root, big).select("part")
+              .unionByName(big.deltaParts.keySet.toSeq.toDF("part"))
+              .distinct().count()
+          },
           agg.getLong(1),
           agg.getLong(2) - ovPayload + ovAdj)
     }
@@ -3636,6 +3817,16 @@ object TxLog {
   private def autoCheckpointEvery(spark: SparkSession): Int =
     spark.conf.getOption("graft.txlog.autoCheckpointEvery").map(_.toInt)
       .getOrElse(DefaultAutoCheckpointEvery)
+
+  /** Partition count above which the v2 checkpoint header OMITS the
+    * partition-value list (`novals=1`) — the one remaining O(table-shape)
+    * driver artifact on the payload path becomes O(1); consumers derive
+    * values payload-side. Override per session with
+    * `graft.txlog.chkMaxHeaderValues`. */
+  val DefaultChkMaxHeaderValues = 65536
+  private def chkMaxHeaderValues(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.chkMaxHeaderValues").map(_.toInt)
+      .getOrElse(DefaultChkMaxHeaderValues)
 
   private val PayloadSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("part", StringType, false),
@@ -3764,12 +3955,52 @@ object TxLog {
       .repartition(math.max(1, rows.size / 500000))
     val name = writePayloadDir(spark, root, df, snap.version)
     val bytes = rows.iterator.map(_.getLong(2)).sum
+    val values =
+      if (snap.parts.size > chkMaxHeaderValues(spark)) None
+      else Some(snap.parts.keySet)
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
-      renderChkV2(name, snap.parts.keySet, batchIds, snap.schema,
+      renderChkV2(name, values, batchIds, snap.schema,
         snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping,
         snap.constraints, ndvs = snap.dvs.size.toLong))
     if (!won) deletePayloadDir(spark, root, name)
   }
+
+  /** Live partition values of a parquet-checkpointed table passing
+    * `select`. FREE when the checkpoint header carries the value set
+    * (≤ [[chkMaxHeaderValues]] partitions); an omitted header derives
+    * them with ONE payload distinct query, streamed through
+    * `toLocalIterator` so driver memory is O(passing values), never
+    * O(partitions). */
+  private def bigPartValuesWhere(spark: SparkSession, root: String,
+                                 big: BigState,
+                                 select: String => Boolean): Seq[String] =
+    big.partValues match {
+      case Some(vs) => vs.filter(select).toSeq
+      case None =>
+        val out = Seq.newBuilder[String]
+        val it = payloadLiveDF(spark, root, big)
+          .select("part").distinct().toLocalIterator()
+        while (it.hasNext) {
+          val v = it.next().getString(0)
+          if (select(v)) out += v
+        }
+        (out.result() ++ big.deltaParts.keys.filter(select)).distinct
+    }
+
+  /** Table-has-live-rows test that works when the header's value set is
+    * omitted: the delta answers driver-side, the payload with a LIMIT-1
+    * probe. */
+  private def bigNonEmpty(spark: SparkSession, root: String,
+                          big: BigState): Boolean =
+    big.partValues match {
+      case Some(vs) => vs.nonEmpty
+      case None => big.deltaParts.nonEmpty ||
+        !payloadLiveDF(spark, root, big).isEmpty
+    }
+
+  private def stateNonEmpty(spark: SparkSession, root: String,
+                            state: Either[Snapshot, BigState]): Boolean =
+    state.fold(_.parts.nonEmpty, bigNonEmpty(spark, root, _))
 
   private[sources] def payloadLiveDF(spark: SparkSession, root: String,
                                      big: BigState): DataFrame = {
@@ -3781,10 +4012,14 @@ object TxLog {
     df
   }
 
-  private def writeChkV2FromBig(spark: SparkSession, root: String,
-                                big: BigState,
-                                batchIds: Set[String],
-                                writers: Map[String, (Long, Long)]): Unit = {
+  /** Materialize a [[BigState]] as ONE payload-shaped DataFrame (the
+    * full 9-column live inventory): prior payload filtered by the
+    * removal sets, legacy-payload columns normalized, post-checkpoint
+    * dv overrides folded in, delta entries unioned. Shared by
+    * [[writeChkV2FromBig]] (checkpoint fold) and the payload-table
+    * RESTORE (which rewrites a TARGET version's inventory). */
+  private def bigEntriesDF(spark: SparkSession, root: String,
+                           big: BigState): DataFrame = {
     val nP = nPartsOf(big.partSchema)
     val deltaMeta = statusByRel(spark, root,
       big.deltaParts.values.flatten.toSeq)
@@ -3823,16 +4058,29 @@ object TxLog {
           .withColumn("dvrows", coalesce(col("__ovn"), col("dvrows")))
           .drop("__ovf", "__ovn")
       }
-    val unioned = priorWithDv
+    priorWithDv
       .select("part", "file", "size", "mtime", "rows", "stats", "partv",
         "dvfiles", "dvrows")
       .unionByName(deltaDF)
+  }
+
+  private def writeChkV2FromBig(spark: SparkSession, root: String,
+                                big: BigState,
+                                batchIds: Set[String],
+                                writers: Map[String, (Long, Long)]): Unit = {
+    val unioned = bigEntriesDF(spark, root, big)
     val name = writePayloadDir(spark, root, unioned, big.version)
     val fresh = spark.read.parquet(s"$root/_txlog/$name")
     val agg = fresh.agg(count(lit(1)), coalesce(sum("size"), lit(0L)),
       count(col("dvfiles"))).head
-    val values = fresh.select("part").distinct().collect()
-      .map(_.getString(0)).toSet
+    // BOUNDED value collect: above the header cap the list is omitted
+    // (novals) and the collect never materializes O(partitions) rows
+    val maxVals = chkMaxHeaderValues(spark)
+    val sample = fresh.select("part").distinct().limit(maxVals + 1)
+      .collect()
+    val values =
+      if (sample.length > maxVals) None
+      else Some(sample.map(_.getString(0)).toSet)
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
         agg.getLong(0), agg.getLong(1), writers, big.mapping,

@@ -259,4 +259,128 @@ class TxBigSpec extends SparkSpecBase {
       assert(TxLog.readTable(spark, root).count() === 2L)
     }
   }
+
+  test("bounded checkpoint header: above the value cap the header is " +
+      "O(1) and every consumer derives values payload-side") {
+    withTinyThreshold {
+      val root = freshRoot("novals")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.chkMaxHeaderValues", "3")
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        // 6 partitions > cap 3 → the header must omit the value list
+        TxLog.appendBatchTx(
+          kv("a" -> 1, "b" -> 2, "c" -> 3, "d" -> 4, "e" -> 5, "f" -> 6),
+          root, "part", "nv-b1")
+        assert(TxLog.checkpoint(spark, root) === 1L)
+        val chkTxt = {
+          val dir = new org.apache.hadoop.fs.Path(root, "_txlog")
+          val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val n = fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.endsWith(".chk")).head
+          val in = fs.open(n)
+          try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        }
+        assert(chkTxt.contains("novals=1") && !chkTxt.contains("v\t"),
+          chkTxt)
+        // reads + partition pruning keep working (the payload's partv
+        // column drives pruning, never the header)
+        assert(TxLog.readTable(spark, root).count() === 6L)
+        assert(filesRead(TxLog.read(spark, root, "part")
+          .filter(col("part") === "c")) === 1L)
+        // explicit enumeration derives from the payload
+        assert(TxLog.partitionValues(spark, root) ===
+          Set("a", "b", "c", "d", "e", "f"))
+        // emptiness-dependent front doors keep working
+        TxLog.mergeKeyedTx(spark, root,
+          Seq(("c", 3L)).toDF("part", "n"), "part")
+        assert(TxLog.readTable(spark, root).count() === 6L)
+        // DESCRIBE DETAIL's partition count is payload-derived
+        val det = TxLog.tableDetail(spark, root).head
+        assert(det.getAs[Long]("n_partitions") === 6L)
+        // a concurrent-writer conflict on ONE partition still detects:
+        // the conflict protocol never needed the header's value set
+        val v0 = TxLog.currentVersion(spark, root)
+        TxLog.appendBatchTx(kv("c" -> 30), root, "part", "nv-race")
+        intercept[TxLog.ConcurrentWriteException] {
+          TxLog.commit(spark, root,
+            TxLog.stage(kv("c" -> 31), root, Seq("part"), Nil, 0),
+            "append", readVersion = v0, conflictCheck = true)
+        }
+        // a FULL overwrite with a changed schema passes the payload-side
+        // cover test (the fullReplace predicate without a header set)
+        TxLog.commit(spark, root,
+          TxLog.stage(
+            Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "x"),
+                ("e", "x"), ("f", "x")).toDF("part", "s"),
+            root, Seq("part"), Nil, 0),
+          "overwrite", readVersion = 0L)
+        assert(TxLog.readTable(spark, root).columns.toSet ===
+          Set("part", "s"))
+        // retention by predicate still works payload-side
+        assert(TxLog.dropPartitionsWhereTx(spark, root,
+          keep = v => v <= "c") === 3)
+        assert(TxLog.partitionValues(spark, root) === Set("a", "b", "c"))
+        // and the NEXT checkpoint (small again) re-records the values
+        assert(TxLog.checkpoint(spark, root) > 1L)
+        assert(TxLog.readTable(spark, root).count() === 3L)
+      } finally {
+        spark.conf.unset("graft.txlog.chkMaxHeaderValues")
+        spark.conf.unset("graft.txlog.autoCheckpointEvery")
+      }
+    }
+  }
+
+  test("payload-table RESTORE: a parts-free commit with a payload " +
+      "pointer reinstates data, schema, mapping and deletion vectors " +
+      "without driver-materializing the file list") {
+    withTinyThreshold {
+      val root = freshRoot("restore")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        TxLog.appendBatchTx(
+          Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+            .toDF("part", "k", "v"), root, "part", "pr-b1")          // v1
+        assert(TxLog.checkpoint(spark, root) === 1L) // crosses to payload
+        val (_, nDel) = TxLog.deleteWhereDvTx(spark, root,
+          col("k") === 2L)                                           // v2
+        assert(nDel === 1L)
+        TxLog.renameColumnTx(spark, root, "v", "amount")             // v3
+        TxLog.mergeKeyedTx(spark, root,
+          Seq(("a", 1L, 99.0)).toDF("part", "k", "amount"), "k")     // v4
+        TxLog.appendBatchTx(Seq(("c", 5L, 50.0))
+          .toDF("part", "k", "amount"), root, "part", "pr-b2")       // v5
+        // restore to v2: pre-rename schema, dv state of v2, no merge, no c
+        val rv = TxLog.restoreTx(spark, root, 2L)                    // v6
+        assert(rv === 6L)
+        val df = TxLog.readTable(spark, root)
+        assert(df.columns.toSet === Set("part", "k", "v"))
+        assert(df.select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+          Map(1L -> 10.0, 3L -> 30.0)) // k=2's dv delete reinstated
+        assert(TxLog.countRows(spark, root) === Some(2L))
+        // in-between history still time-travels (restore deletes nothing;
+        // v5 = k1 merged to 99, k2 dv-deleted, k3, plus c's k5 → 3 rows)
+        assert(TxLog.readTableAt(spark, root, 5L).count() === 3L)
+        // writes continue after the restore, and so does maintenance
+        TxLog.appendBatchTx(Seq(("d", 7L, 70.0)).toDF("part", "k", "v"),
+          root, "part", "pr-b3")                                     // v7
+        assert(TxLog.readTable(spark, root).count() === 3L)
+        assert(TxLog.checkpoint(spark, root) === 7L)
+        assert(TxLog.readTable(spark, root).count() === 3L)
+        // restoring below the checkpoint floor refuses loudly
+        val errFloor = intercept[Exception] {
+          TxLog.restoreTx(spark, root, 1L)
+        }
+        assert(errFloor.getMessage.contains("predates the latest parquet"),
+          errFloor.getMessage)
+        // vacuum reclaims the undone merge/append files; a restore whose
+        // target files are vacuumed refuses via the DISTRIBUTED probe
+        assert(TxLog.vacuum(spark, root, minAgeMs = 0L) > 0)
+        assert(TxLog.expireLog(spark, root) > 0)
+        assert(TxLog.readTable(spark, root).count() === 3L)
+      } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
 }
