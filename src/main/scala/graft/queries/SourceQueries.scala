@@ -4405,7 +4405,8 @@ object SourceQueries {
         val in = fs.open(n)
         try scala.io.Source.fromInputStream(in).mkString finally in.close()
       }
-      require(chkTxt.contains("novals=1") && !chkTxt.contains("v\t"),
+      require(chkTxt.contains("novals=1") &&
+          !chkTxt.linesIterator.exists(_.startsWith("v\t")),
         "q247: the checkpoint header must omit the partition-value list")
       TxLog.appendBatchTx(orders.filter(col("o_orderkey") > maxKey / 2),
         root, "o_year", "q247-b2")                                   // v2

@@ -177,7 +177,10 @@ object TxLog {
                           // target state rewritten distributedly; foldBig
                           // RESETS its baseline to this payload
                           payloadChk: Option[(String, Long, Long, Long)] =
-                            None) {
+                            None,
+                          // this commit SEALS the string batch-id ledger
+                          // ([[sealBatchLedgerTx]])
+                          sealsBatches: Boolean = false) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -230,7 +233,10 @@ object TxLog {
                           checkedConstraints: Option[Map[String, String]] = None,
                           // payload-table restore: see [[Commit.payloadChk]]
                           payloadChk: Option[(String, Long, Long, Long)] =
-                            None) {
+                            None,
+                          // seals the string batch ledger (see
+                          // [[sealBatchLedgerTx]])
+                          sealsBatches: Boolean = false) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -314,7 +320,12 @@ object TxLog {
                                // v2: count of payload files carrying a
                                // deletion vector (0 lets every read skip
                                // the dv-discovery job; -1 = legacy/unknown)
-                               ndvs: Long = -1L)
+                               ndvs: Long = -1L,
+                               // the STRING batch-id ledger is sealed
+                               // ([[sealBatchLedgerTx]]): b-lines are
+                               // dropped forever and string-batchId
+                               // commits refuse loudly
+                               sealedLedger: Boolean = false)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -456,7 +467,8 @@ object TxLog {
       parseRows(lines), fieldOpt("part").filter(_ != "-").map(unesc),
       removed, changes, writerSeq, mapping,
       cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs,
-      constraints = constraints, payloadChk = payloadChk)
+      constraints = constraints, payloadChk = payloadChk,
+      sealsBatches = fieldOpt("sealBatches").isDefined)
   }
 
   /** `d\t<dataFile>\t<dvFile>` (one row per referenced dv parquet file)
@@ -518,7 +530,8 @@ object TxLog {
                            dvs: FileDvs = Map.empty,
                            constraints: Option[Map[String, String]] = None,
                            payloadChk: Option[(String, Long, Long, Long)] =
-                             None): String = {
+                             None,
+                           sealsBatches: Boolean = false): String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -530,7 +543,8 @@ object TxLog {
       // marker lets readers distinguish them from legacy logical-name
       // change files when re-mapping historical windows
       (if (changes.nonEmpty) Seq("cdfNames=phys") else Seq.empty) ++
-      (if (constraints.isDefined) Seq("hasConstraints=1") else Seq.empty)
+      (if (constraints.isDefined) Seq("hasConstraints=1") else Seq.empty) ++
+      (if (sealsBatches) Seq("sealBatches=1") else Seq.empty)
     val mappingRows = mapping.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
       case (p, l) => s"m\t${esc(p)}\t${esc(l)}"
     })
@@ -590,11 +604,12 @@ object TxLog {
         partValues = partValues,
         nfiles = fieldOpt("nfiles").map(_.toLong).getOrElse(-1L),
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L),
-        ndvs = fieldOpt("ndvs").map(_.toLong).getOrElse(-1L))
+        ndvs = fieldOpt("ndvs").map(_.toLong).getOrElse(-1L),
+        sealedLedger = fieldOpt("sealed").isDefined)
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
         parseRows(lines), partSchema, writers, mapping, parseDvs(lines),
-        constraints)
+        constraints, sealedLedger = fieldOpt("sealed").isDefined)
   }
 
   private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
@@ -619,12 +634,14 @@ object TxLog {
                         writers: Map[String, (Long, Long)],
                         mapping: Map[String, String],
                         dvs: FileDvs = Map.empty,
-                        constraints: Map[String, String] = Map.empty): String = {
+                        constraints: Map[String, String] = Map.empty,
+                        sealedLedger: Boolean = false): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
     (Seq("graft-chk-v1", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}") ++
+      (if (sealedLedger) Seq("sealed=1") else Seq.empty) ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++ renderDvs(dvs) ++
       renderConstraints(constraints) ++
@@ -639,11 +656,13 @@ object TxLog {
                           writers: Map[String, (Long, Long)],
                           mapping: Map[String, String],
                           constraints: Map[String, String],
-                          ndvs: Long = -1L): String =
+                          ndvs: Long = -1L,
+                          sealedLedger: Boolean = false): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes",
       s"ndvs=$ndvs") ++
+      (if (sealedLedger) Seq("sealed=1") else Seq.empty) ++
       // None = omitted above chkMaxHeaderValues: the header stays O(1)
       // and readers derive values from the payload's `part` column
       (if (partValues.isEmpty) Seq("novals=1") else Seq.empty) ++
@@ -2005,6 +2024,17 @@ object TxLog {
       attempt += 1
       val (chk, commits) = readLog(spark, root)
       batchId.foreach { id =>
+        // a SEALED string ledger refuses every string-batchId commit
+        // loudly: the id set is gone, so neither idempotent replay nor
+        // a fresh landing can be told apart — silence either way would
+        // be wrong ([[sealBatchLedgerTx]]'s contract)
+        if (chk.exists(_.sealedLedger) || commits.exists(_.sealsBatches)) {
+          discard(spark, root, staged)
+          throw new IllegalArgumentException(s"TxLog.commit: the string " +
+            s"batch-id ledger at $root is SEALED — migrate this writer " +
+            "to appendBatchSeqTx (writer-seq identity); string batch ids " +
+            "can no longer be checked for replay")
+        }
         // a batch landed before the last checkpoint survives in the
         // checkpoint's batch-id set (its commit file may be expired);
         // the checkpoint version stands in for the original commit's
@@ -2206,7 +2236,8 @@ object TxLog {
           renderCommit(op, readVersion, batchId, staged.parts,
             stagedSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping,
-            staged.dvs, staged.constraints, staged.payloadChk))) {
+            staged.dvs, staged.constraints, staged.payloadChk,
+            staged.sealsBatches))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
@@ -2283,6 +2314,40 @@ object TxLog {
     val spark = df.sparkSession
     commit(spark, root, stage(df, root, partCol), "append",
       readVersion = 0L, writerSeq = Some((writerId, seq)))
+  }
+
+  /** SEAL the string batch-id ledger — the one-call migration off
+    * [[appendBatchTx]]'s O(total-batches) id set and onto the BOUNDED
+    * writer-seq ledger ([[appendBatchSeqTx]]). After the seal commits:
+    * every string-batchId write refuses LOUDLY (the id set is retired,
+    * so neither idempotent replay nor a fresh landing can be told apart
+    * — silence either way would be wrong), and the next [[checkpoint]]
+    * drops the accumulated b-lines forever, leaving the ledger
+    * O(writers). `adopt` records a (writerId, seq) baseline in the same
+    * commit, so a migrating writer's in-window replays resolve through
+    * the writer-seq gate: a replay AT the baseline returns the seal
+    * version idempotently, BELOW it refuses as stale — exactly the
+    * replay discipline the string ids provided, now bounded. Run with
+    * the string-id writers quiesced (their next submission refuses). */
+  def sealBatchLedgerTx(spark: SparkSession, root: String,
+                        adopt: Option[(String, Long)] = None,
+                        maxAttempts: Int = 20): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (mapping, _) = writerMetaOf(spark, root)
+      val v = currentVersion(spark, root)
+      // a meta commit SNAPSHOTS the mapping — carry the current one so
+      // sealing never clobbers a live rename/drop
+      val staged = Staged(Map.empty, mapping = Some(mapping),
+        sealsBatches = true)
+      try return commit(spark, root, staged, "meta", readVersion = v,
+        conflictCheck = true, writerSeq = adopt)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"TxLog.sealBatchLedgerTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the " +
+      "caller")
   }
 
   /** The table's current physical→logical column mapping (empty =
@@ -2820,10 +2885,14 @@ object TxLog {
   def compactBinPackTx(spark: SparkSession, root: String, partCol: String,
                        smallBytes: Long, partType: DataType = StringType,
                        select: String => Boolean = _ => true,
-                       minFiles: Int = 2, maxAttempts: Int = 20): (Long, Int) = {
+                       minFiles: Int = 2, maxAttempts: Int = 20,
+                       dvFraction: Double = 0.3): (Long, Int) = {
     require(smallBytes > 0, "compactBinPackTx: smallBytes must be positive")
     require(minFiles >= 2, "compactBinPackTx: merging fewer than 2 files " +
       "is a no-op — minFiles must be at least 2")
+    require(dvFraction > 0,
+      "compactBinPackTx: dvFraction must be positive (> 1 disables the " +
+        "deletion-vector rewrite policy)")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2832,44 +2901,81 @@ object TxLog {
       val ps = state.fold(_.partSchema, _.partSchema)
         .map(org.apache.spark.sql.types.StructType.fromDDL)
         .getOrElse(singleCol(partCol, partType))
-      // selected partitions' file sizes: grouped driver listings on a
-      // driver-resident table, ONE payload query (its `size` column) on
-      // a parquet-checkpointed one — never a full-table driver fold
-      val sized: Map[String, Seq[(String, Long)]] = state match {
-        case Left(snap) =>
-          val sel = snap.parts.filter { case (v, _) => select(v) }
-          val meta = statusByRel(spark, root, sel.values.flatten.toSeq)
-          sel.map { case (v, fs) =>
-            v -> fs.map(f => f -> meta.getOrElse(f, sys.error(
-              s"TxLog.compactBinPackTx: live file $f missing under $root"))
-              ._1)
-          }
-        case Right(big) =>
-          val values = bigPartValuesWhere(spark, root, big, select)
-          val payloadSel =
-            if (values.isEmpty) Map.empty[String, Seq[(String, Long)]]
-            else payloadLiveDF(spark, root, big)
-              .filter(col("part").isin(values: _*))
-              .select("part", "file", "size").collect()
-              .groupBy(_.getString(0))
-              .map { case (v, xs) =>
-                v -> xs.map(r => r.getString(1) -> r.getLong(2)).toSeq }
-          val deltaMeta = statusByRel(spark, root,
-            big.deltaParts.filter(kv => select(kv._1))
-              .values.flatten.toSeq)
-          val deltaSel = big.deltaParts.filter(kv => select(kv._1))
-            .map { case (v, fs) => v -> fs.map(f =>
-              f -> deltaMeta.getOrElse(f, sys.error(
+      // selected partitions' file facts — (size, rows, deleted-rows):
+      // grouped driver listings + recorded counts on a driver-resident
+      // table, ONE payload query on a parquet-checkpointed one — never
+      // a full-table driver fold
+      val sized: Map[String, Seq[(String, Long, Option[Long], Long)]] =
+        state match {
+          case Left(snap) =>
+            val sel = snap.parts.filter { case (v, _) => select(v) }
+            val meta = statusByRel(spark, root, sel.values.flatten.toSeq)
+            sel.map { case (v, fs) =>
+              v -> fs.map(f => (f, meta.getOrElse(f, sys.error(
                 s"TxLog.compactBinPackTx: live file $f missing under " +
-                  root))._1) }
-          (payloadSel.keySet ++ deltaSel.keySet).map { v =>
-            v -> (payloadSel.getOrElse(v, Seq.empty) ++
-              deltaSel.getOrElse(v, Seq.empty))
-          }.toMap
-      }
-      val smalls = sized.map { case (v, fs) =>
-        v -> fs.collect { case (f, sz) if sz < smallBytes => f }
+                  root))._1,
+                snap.rows.get(f),
+                snap.dvs.get(f).map(_._2).getOrElse(0L)))
+            }
+          case Right(big) =>
+            val values = bigPartValuesWhere(spark, root, big, select)
+            val hasDvCols = payloadLiveDF(spark, root, big).columns
+              .contains("dvrows")
+            val payloadSel =
+              if (values.isEmpty)
+                Map.empty[String, Seq[(String, Long, Option[Long], Long)]]
+              else payloadLiveDF(spark, root, big)
+                .filter(col("part").isin(values: _*))
+                .select(col("part"), col("file"), col("size"), col("rows"),
+                  if (hasDvCols) coalesce(col("dvrows"), lit(0L))
+                  else lit(0L))
+                .collect()
+                .groupBy(_.getString(0))
+                .map { case (v, xs) =>
+                  v -> xs.map { r =>
+                    val f = r.getString(1)
+                    // a post-checkpoint dv commit overrides the payload's
+                    // recorded vector for its files (cumulative)
+                    val del = big.dvDelta.get(f).map(_._2)
+                      .getOrElse(r.getLong(4))
+                    (f, r.getLong(2),
+                      if (r.isNullAt(3)) None else Some(r.getLong(3)), del)
+                  }.toSeq }
+            val deltaMeta = statusByRel(spark, root,
+              big.deltaParts.filter(kv => select(kv._1))
+                .values.flatten.toSeq)
+            val deltaSel = big.deltaParts.filter(kv => select(kv._1))
+              .map { case (v, fs) => v -> fs.map(f =>
+                (f, deltaMeta.getOrElse(f, sys.error(
+                  s"TxLog.compactBinPackTx: live file $f missing under " +
+                    root))._1,
+                  big.deltaRows.get(f),
+                  big.dvDelta.get(f).map(_._2).getOrElse(0L))) }
+            (payloadSel.keySet ++ deltaSel.keySet).map { v =>
+              v -> (payloadSel.getOrElse(v, Seq.empty) ++
+                deltaSel.getOrElse(v, Seq.empty))
+            }.toMap
+        }
+      // two rewrite reasons, one rewrite: (a) small files bin-pack when
+      // at least minFiles share a partition; (b) a file whose DELETED
+      // FRACTION crosses dvFraction rewrites REGARDLESS of count — the
+      // maintenance cadence is what keeps steady state dv-free (the
+      // merge-on-read anti-join is a read tax worth paying only while
+      // deletes are fresh). Unknown row counts skip the dv policy
+      // (conservative — never rewrite on a guess).
+      val smallsOnly = sized.map { case (v, fs) =>
+        v -> fs.collect { case (f, sz, _, _) if sz < smallBytes => f }
       }.filter(_._2.size >= minFiles)
+      val dvHeavy = sized.map { case (v, fs) =>
+        v -> fs.collect {
+          case (f, _, Some(n), del)
+            if n > 0 && del.toDouble / n >= dvFraction => f
+        }
+      }.filter(_._2.nonEmpty)
+      val smalls = (smallsOnly.keySet ++ dvHeavy.keySet).map { v =>
+        v -> (smallsOnly.getOrElse(v, Seq.empty) ++
+          dvHeavy.getOrElse(v, Seq.empty)).distinct
+      }.toMap
       if (smalls.isEmpty) return (version, 0)
       val smallFiles = smalls.valuesIterator.flatten.toSet
       val candSnap = Snapshot(version, smalls, state.fold(_.schema, _.schema),
@@ -3679,9 +3785,10 @@ object TxLog {
   def maintainTx(spark: SparkSession, root: String, partCol: String,
                  smallBytes: Long, partType: DataType = StringType,
                  select: String => Boolean = _ => true,
-                 vacuumAgeMs: Long = 3600000L): DataFrame = {
+                 vacuumAgeMs: Long = 3600000L,
+                 dvFraction: Double = 0.3): DataFrame = {
     val (_, packed) = compactBinPackTx(spark, root, partCol, smallBytes,
-      partType, select)
+      partType, select, dvFraction = dvFraction)
     val chkV = checkpoint(spark, root)
     val expired = expireLog(spark, root)
     val vacuumed = vacuum(spark, root, vacuumAgeMs)
@@ -3773,8 +3880,15 @@ object TxLog {
     val version = commits.lastOption.map(_.version)
       .orElse(chk.map(_.version)).getOrElse(0L)
     if (version == 0L) return 0L
-    val batchIds = chk.map(_.batchIds).getOrElse(Set.empty) ++
-      commits.flatMap(_.batchId)
+    // a SEALED string ledger drops its b-lines forever — the O(batches)
+    // set this fold would otherwise carry is exactly what
+    // [[sealBatchLedgerTx]] exists to retire
+    val sealedL = chk.exists(_.sealedLedger) ||
+      commits.exists(_.sealsBatches)
+    val batchIds =
+      if (sealedL) Set.empty[String]
+      else chk.map(_.batchIds).getOrElse(Set.empty) ++
+        commits.flatMap(_.batchId)
     // the writer-seq ledger folds to each writer's latest entry —
     // O(writers) forever, however many batches the table has applied
     val writers = chk.map(_.writers).getOrElse(Map.empty) ++
@@ -3787,7 +3901,7 @@ object TxLog {
         // entries) — the driver never holds the file list
         if (commits.nonEmpty)
           writeChkV2FromBig(spark, root, foldBig(c, commits), batchIds,
-            writers)
+            writers, sealedL)
       case _ =>
         val snap = fold(chk, commits)
         val nf = snap.parts.valuesIterator.map(_.size).sum
@@ -3795,8 +3909,9 @@ object TxLog {
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
               snap.rows, snap.partSchema, writers, snap.mapping,
-              snap.dvs, snap.constraints)): Unit
-        else writeChkV2FromSnap(spark, root, snap, batchIds, writers)
+              snap.dvs, snap.constraints, sealedL)): Unit
+        else writeChkV2FromSnap(spark, root, snap, batchIds, writers,
+          sealedL)
     }
     version
   }
@@ -3946,7 +4061,8 @@ object TxLog {
   private def writeChkV2FromSnap(spark: SparkSession, root: String,
                                  snap: Snapshot,
                                  batchIds: Set[String],
-                                 writers: Map[String, (Long, Long)]): Unit = {
+                                 writers: Map[String, (Long, Long)],
+                                 sealedLedger: Boolean = false): Unit = {
     val meta = statusByRel(spark, root, snap.parts.values.flatten.toSeq)
     val rows = entryRows(root, snap.parts, snap.stats, snap.rows, meta,
       nPartsOf(snap.partSchema), snap.dvs)
@@ -3961,7 +4077,8 @@ object TxLog {
     val won = tryPublishNamed(spark, root, f"c${snap.version}%020d.chk",
       renderChkV2(name, values, batchIds, snap.schema,
         snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping,
-        snap.constraints, ndvs = snap.dvs.size.toLong))
+        snap.constraints, ndvs = snap.dvs.size.toLong,
+        sealedLedger = sealedLedger))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -4067,7 +4184,8 @@ object TxLog {
   private def writeChkV2FromBig(spark: SparkSession, root: String,
                                 big: BigState,
                                 batchIds: Set[String],
-                                writers: Map[String, (Long, Long)]): Unit = {
+                                writers: Map[String, (Long, Long)],
+                                sealedLedger: Boolean = false): Unit = {
     val unioned = bigEntriesDF(spark, root, big)
     val name = writePayloadDir(spark, root, unioned, big.version)
     val fresh = spark.read.parquet(s"$root/_txlog/$name")
@@ -4084,7 +4202,8 @@ object TxLog {
     val won = tryPublishNamed(spark, root, f"c${big.version}%020d.chk",
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
         agg.getLong(0), agg.getLong(1), writers, big.mapping,
-        big.constraints, ndvs = agg.getLong(2)))
+        big.constraints, ndvs = agg.getLong(2),
+        sealedLedger = sealedLedger))
     if (!won) deletePayloadDir(spark, root, name)
   }
 

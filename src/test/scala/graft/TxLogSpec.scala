@@ -1991,6 +1991,150 @@ class TxLogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("maintainTx routes dv-heavy files into the rewrite: steady state " +
+      "goes dv-free where the deleted fraction crossed the threshold, " +
+      "stays merge-on-read elsewhere") {
+    val root = freshRoot("dv-maint")
+    import spark.implicits._
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+    try {
+      // partition a: 3 rows in one file; partition b: 4 rows in one file
+      TxLog.appendBatchTx(
+        Seq(("a", 1L), ("a", 2L), ("a", 3L),
+            ("b", 4L), ("b", 5L), ("b", 6L), ("b", 7L))
+          .toDF("part", "k"), root, "part", "dvm-b1")
+      // delete 1/3 of a (0.33 ≥ 0.3 → rewrite) and 1/4 of b (0.25 < 0.3
+      // → stays merge-on-read)
+      val (_, n1) = TxLog.deleteWhereDvTx(spark, root, col("k") === 1L)
+      val (_, n2) = TxLog.deleteWhereDvTx(spark, root, col("k") === 4L)
+      assert(n1 === 1L && n2 === 1L)
+      val bFile = TxLog.snapshot(spark, root).parts("b").head
+      val rep = TxLog.maintainTx(spark, root, "part",
+        smallBytes = 1L, vacuumAgeMs = 0L).head
+      assert(rep.getAs[Long]("files_packed") === 1L,
+        s"exactly a's dv-heavy file must rewrite, got $rep")
+      val snap = TxLog.snapshot(spark, root)
+      // a's vector materialized away with the rewrite; b's survives —
+      // and b's FILE is untouched (same physical file)
+      assert(snap.dvs.keySet === Set(bFile), snap.dvs.keySet)
+      assert(snap.parts("b").head === bFile)
+      assert(TxLog.read(spark, root, "part").select("k")
+        .collect().map(_.getLong(0)).toSet === Set(2L, 3L, 5L, 6L, 7L))
+      assert(TxLog.countRows(spark, root) === Some(5L))
+      // idempotent: a second pass finds nothing above the threshold
+      val rep2 = TxLog.maintainTx(spark, root, "part",
+        smallBytes = 1L, vacuumAgeMs = 0L).head
+      assert(rep2.getAs[Long]("files_packed") === 0L)
+    } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+  }
+
+  test("sealBatchLedgerTx: the string ledger retires to O(writers) — " +
+      "sealed-id replays refuse loudly, adopted writer-seq replays " +
+      "resolve through the bounded gate") {
+    val root = freshRoot("seal")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "seal-b1")                                                     // v1
+    TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root, "part",
+      "seal-b2")                                                     // v2
+    TxLog.renameColumnTx(spark, root, "k", "key")                    // v3
+    // seal, adopting this writer at seq baseline 7
+    val sv = TxLog.sealBatchLedgerTx(spark, root,
+      adopt = Some(("w1", 7L)))                                      // v4
+    assert(sv === 4L)
+    // the mapping survived the seal (meta snapshot carried it)
+    assert(TxLog.readTable(spark, root).columns.toSet ===
+      Set("part", "key"))
+    // old-style replay of a SEALED id refuses loudly (so does any new
+    // string id — the set is gone, replay can't be told apart)
+    val err = intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(Seq(("a", 9L)).toDF("part", "key"), root,
+        "part", "seal-b1")
+    }
+    assert(err.getMessage.contains("SEALED"), err.getMessage)
+    // writer-seq replays resolve through the bounded gate: AT the
+    // adopted baseline → idempotent return of the seal version
+    assert(TxLog.appendBatchSeqTx(Seq(("a", 9L)).toDF("part", "key"),
+      root, "part", "w1", 7L) === sv)
+    // BELOW it → stale, loud
+    intercept[TxLog.StaleWriterSeqException] {
+      TxLog.appendBatchSeqTx(Seq(("a", 9L)).toDF("part", "key"),
+        root, "part", "w1", 6L)
+    }
+    // ABOVE it → lands
+    assert(TxLog.appendBatchSeqTx(Seq(("c", 3L)).toDF("part", "key"),
+      root, "part", "w1", 8L) === 5L)
+    // the checkpoint drops the b-lines forever: O(writers), not
+    // O(batches) — and the seal survives it
+    TxLog.checkpoint(spark, root)
+    val chkTxt = {
+      val dir = new org.apache.hadoop.fs.Path(root, "_txlog")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".chk")).head
+      val in = fs.open(n)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(chkTxt.contains("sealed=1") &&
+      !chkTxt.linesIterator.exists(_.startsWith("b\t")), chkTxt)
+    assert(TxLog.expireLog(spark, root) > 0)
+    // post-checkpoint: string ids still refuse (the flag rides the chk)
+    intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(Seq(("d", 4L)).toDF("part", "key"), root,
+        "part", "seal-b9")
+    }
+    // and the table serves normally
+    assert(TxLog.readTable(spark, root).count() === 3L)
+  }
+
+  test("streaming sink: a mid-stream ADD COLUMN lands via recorded " +
+      "evolution; a column-losing stream refuses loudly — no silent drop") {
+    val base = freshRoot("sink-evolve")
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = s"$base/table"
+    // stream A: the original two-column schema
+    val memA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val qA = memA.toDF().toDF("part", "k").writeStream.format("txlog")
+      .option("checkpointLocation", s"$base/ckptA")
+      .outputMode("append").partitionBy("part").option("path", root).start()
+    try { memA.addData(("a", 1L)); qA.processAllAvailable() }
+    finally qA.stop()
+    // stream B (restarted upstream, one more column): the additive
+    // schema guard records the evolution; old rows NULL-backfill
+    val memB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val qB = memB.toDF().toDF("part", "k", "extra").writeStream
+      .format("txlog")
+      .option("checkpointLocation", s"$base/ckptB")
+      .outputMode("append").partitionBy("part").option("path", root).start()
+    try { memB.addData(("b", 2L, 9.5)); qB.processAllAvailable() }
+    finally qB.stop()
+    val df = TxLog.readTable(spark, root)
+    assert(df.columns.toSet === Set("part", "k", "extra"))
+    val got = df.collect()
+      .map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[java.lang.Double]("extra"))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(9.5)))
+    // stream C LOST a column: the batch must refuse loudly (a silent
+    // drop would regress the recorded schema for every reader)
+    val memC = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val qC = memC.toDF().toDF("part", "k").writeStream.format("txlog")
+      .option("checkpointLocation", s"$base/ckptC")
+      .outputMode("append").partitionBy("part").option("path", root).start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      memC.addData(("c", 3L)); qC.processAllAvailable()
+    }
+    qC.stop()
+    assert(err.getMessage.contains("ADD-COLUMN") ||
+      Option(err.getCause).exists(_.getMessage.contains("ADD-COLUMN")),
+      err.getMessage)
+    // and nothing landed
+    assert(TxLog.readTable(spark, root).count() === 2L)
+  }
+
   test("restore rolls back data, schema and mapping; history stays " +
       "until vacuumed") {
     val root = freshRoot("restore")
