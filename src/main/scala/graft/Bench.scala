@@ -168,7 +168,11 @@ object Bench {
     "q241_tx_check_constraints",   // CHECK constraints, write-time enforced
     "q242_tx_dv_parquet_checkpoint", // deletion vectors at payload scale
     "q243_tx_merge_clauses",       // conditional MERGE (update/delete/insert)
-    "q244_tx_update_where"         // UPDATE SET WHERE, skip-bounded rewrite
+    "q244_tx_update_where",        // UPDATE SET WHERE, skip-bounded rewrite
+    // r17 rows
+    "q245_tx_batch_format_read",   // batch DSv2 front door (format string)
+    "q246_tx_sql_dml",             // SQL DML statement surface
+    "q247_tx_payload_restore"      // payload restore + O(1) chk header
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -330,7 +334,12 @@ object Bench {
     // r16 fourth wave (isolated min-of-3, canary 0.48/0.35/0.34/0.24,
     // q01 anchor 0.36 — in band)
     "q243_tx_merge_clauses" -> 2.93,
-    "q244_tx_update_where" -> 2.65)
+    "q244_tx_update_where" -> 2.65,
+    // r17 rows (isolated min-of-3, canary 0.41/0.36/0.24/0.25, anchors
+    // q01 0.99x / q11 1.13x — in band)
+    "q245_tx_batch_format_read" -> 1.92,
+    "q246_tx_sql_dml" -> 2.49,
+    "q247_tx_payload_restore" -> 3.65)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
