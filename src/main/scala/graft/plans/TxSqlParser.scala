@@ -41,8 +41,13 @@ import graft.sources.TxLog
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    TxSql.maybeParse(session, sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+    TxSql.maybeParse(session, sqlText).getOrElse {
+      // SELECT / time-travel / INSERT over txlog.`<root>` substitute at
+      // PARSE time: Spark's ResolveSQLOnFile refuses unknown direct-query
+      // sources BEFORE extension resolution rules run, so the relation
+      // rewrite must happen on the freshly-parsed tree
+      graft.streaming.TxBatchReadRule(session)(delegate.parsePlan(sqlText))
+    }
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -64,13 +69,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 /** Eagerly-executed DML command (the RunnableCommand contract: runs once
   * when the `spark.sql(...)` Dataset materializes, returns its summary
   * rows). */
-private final case class TxSqlCommand(
+private[graft] final case class TxSqlCommand(
     override val output: Seq[Attribute],
     @transient body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = body(session)
 }
 
-private object TxSql {
+private[graft] object TxSql {
   // cheap pre-filter: one of our verbs AND a txlog.`...` table reference
   private val Verb =
     "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM)\\b.*".r

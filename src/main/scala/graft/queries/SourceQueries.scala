@@ -4351,10 +4351,16 @@ object SourceQueries {
           s"delete), history shows $nCommits")
       require(s.sql(s"DESCRIBE DETAIL txlog.`$root`").count() == 1L,
         "q246: DESCRIBE DETAIL must report exactly one row")
-      TxLog.readTable(s, root)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_rows"),
-          dsum(col("c_acctbal")).as("total_bal"))
+      // the READ side of the SQL surface too: the gate's result frame
+      // itself flows through SELECT ... FROM txlog.`root` (and VERSION
+      // AS OF time travel answers the pre-DML row count)
+      require(s.sql(s"SELECT COUNT(*) FROM txlog.`$root` VERSION AS OF 2")
+          .head.getLong(0) == cust.count(),
+        "q246: VERSION AS OF 2 must serve the pre-DML table")
+      s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+           |  ${dsumSql("c_acctbal")} AS total_bal
+           |FROM txlog.`$root` GROUP BY c_mktsegment""".stripMargin)
         .withColumn("sql_ok", lit(1L))
     },
 

@@ -32,8 +32,78 @@ import graft.sources.TxLog
   * extensions never reaches a bare scan: the table's `toBatch` refuses
   * loudly ([[TxStreamTable]]). */
 case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+
+  private def isTx(parts: Seq[String]): Boolean =
+    parts.length == 2 && parts.head.equalsIgnoreCase("txlog")
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // SQL read surface: SELECT ... FROM txlog.`/root` — the
+      // two-part identifier resolves to the same readTable plan the
+      // format string serves (Delta's delta.`/path` move)
+      case u: UnresolvedRelation
+          if isTx(u.multipartIdentifier) && !u.isStreaming =>
+        TxLog.readTable(session, u.multipartIdentifier(1))
+          .queryExecution.analyzed
+
+      // SELECT ... FROM txlog.`/root` VERSION AS OF n | TIMESTAMP AS OF t
+      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if isTx(u.multipartIdentifier) =>
+        val root = u.multipartIdentifier(1)
+        val version = ver.map(_.toLong).getOrElse {
+          val e = ts.getOrElse(sys.error(
+            "txlog time travel: VERSION AS OF or TIMESTAMP AS OF required"))
+          // the expression arrives UNRESOLVED (this rule also runs at
+          // parse time) — resolve and evaluate it through a one-row plan
+          val row = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
+            session, Project(
+              Seq(Alias(org.apache.spark.sql.catalyst.expressions.Cast(
+                e, org.apache.spark.sql.types.TimestampType,
+                Some(session.sessionState.conf.sessionLocalTimeZone)),
+                "ts")()),
+              org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+            .head()
+          require(!row.isNullAt(0),
+            s"txlog time travel: TIMESTAMP AS OF [$e] is not a timestamp")
+          TxLog.versionAsOf(session, root, row.getTimestamp(0).getTime)
+        }
+        TxLog.readTableAt(session, root, version).queryExecution.analyzed
+
+      // INSERT INTO txlog.`/root` SELECT ... — a transactional append
+      // under the table's RECORDED partitioning (INSERT OVERWRITE is a
+      // full partition overwrite of the partitions the query produces)
+      // matched at PARSE time (GraftSqlParser runs this rule on every
+      // delegate-parsed plan — Spark's ResolveSQLOnFile would otherwise
+      // refuse the txlog identifier before extension rules run), so the
+      // query subtree is typically unresolved here; the command analyzes
+      // it at run time (ofRows)
+      case InsertIntoStatement(u: UnresolvedRelation, partitionSpec,
+          userCols, query, overwrite, _, _)
+          if isTx(u.multipartIdentifier) =>
+        val root = u.multipartIdentifier(1)
+        require(partitionSpec.isEmpty && userCols.isEmpty,
+          "txlog INSERT: static PARTITION specs and column lists are " +
+            "not supported — the table's recorded partitioning routes " +
+            "rows; write all columns")
+        graft.plans.TxSqlCommand(
+          Seq(org.apache.spark.sql.catalyst.expressions
+            .AttributeReference("version",
+              org.apache.spark.sql.types.LongType, nullable = false)()),
+          s => {
+            val df = org.apache.spark.sql.graftbridge.DatasetBridge
+              .ofRows(s, query)
+            val partCols = TxLog.tableMeta(s, root)._2.map(_.name).toSeq
+            val v =
+              if (overwrite)
+                TxLog.overwritePartitionsTx(df, root, partCols)
+              else TxLog.commit(s, root,
+                TxLog.stage(df, root, partCols, Nil, 0), "append",
+                readVersion = 0L)
+            Seq(org.apache.spark.sql.Row(v))
+          })
+
       case r: DataSourceV2Relation if r.table.isInstanceOf[TxStreamTable] =>
         def opt(k: String): Option[String] = Option(r.options.get(k))
         val root = opt("path").getOrElse(

@@ -93,6 +93,43 @@ class TxSqlSpec extends SparkSpecBase {
     assert(TxLog.readTable(spark, root).count() === 1L)
   }
 
+  test("SQL read surface: SELECT FROM txlog.`root`, VERSION/TIMESTAMP " +
+      "AS OF, and INSERT INTO route through the table plan") {
+    val root = freshRoot("select")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("b", 2L, 20.0)).toDF("part", "k", "v"),
+      root, "part", "sel-b1")                                        // v1
+    val t1 = TxLog.history(spark, root).collect().head.getLong(12)
+    Thread.sleep(20)
+    TxLog.renameColumnTx(spark, root, "v", "amount")                 // v2
+    val (_, nDel) = TxLog.deleteWhereDvTx(spark, root, col("k") === 1L) // v3
+    assert(nDel === 1L)
+    // the SELECT serves the MAPPED schema with vectors applied
+    val got = spark.sql(
+      s"SELECT k, amount FROM txlog.`$root` WHERE part = 'b'")
+    assert(got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq ===
+      Seq(2L -> 20.0))
+    // joins/aggregates over the relation work like any table
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM txlog.`$root` x JOIN txlog.`$root` y " +
+        "ON x.k = y.k").head.getLong(0) === 1L)
+    // VERSION AS OF serves the pre-rename schema and pre-delete rows
+    val v1 = spark.sql(s"SELECT * FROM txlog.`$root` VERSION AS OF 1")
+    assert(v1.columns.toSet === Set("part", "k", "v"))
+    assert(v1.count() === 2L)
+    // TIMESTAMP AS OF resolves through the commit clock
+    assert(spark.sql(s"SELECT * FROM txlog.`$root` TIMESTAMP AS OF " +
+      s"timestamp_millis(${t1}L)").count() === 2L)
+    // INSERT INTO appends transactionally under the recorded partitioning
+    val v = spark.sql(
+      s"INSERT INTO txlog.`$root` SELECT 'c' AS part, 3L AS k, " +
+        "CAST(30.0 AS DOUBLE) AS amount").head.getLong(0)
+    assert(v === 4L)
+    assert(spark.sql(s"SELECT SUM(amount) FROM txlog.`$root`")
+      .head.getDouble(0) === 50.0)
+  }
+
   test("non-txlog SQL delegates untouched; malformed txlog DML is loud") {
     import spark.implicits._
     // ordinary statements keep working through the wrapped parser
