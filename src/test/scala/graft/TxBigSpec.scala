@@ -331,6 +331,77 @@ class TxBigSpec extends SparkSpecBase {
     }
   }
 
+  test("a 100k-PARTITION inventory re-checkpoints with an O(1) header; " +
+      "conflicts still detect and selective reads still prune") {
+    withTinyThreshold {
+      val root = freshRoot("hundredk-parts")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        TxLog.appendBatchTx(
+          Seq(("real", 1L), ("real", 2L)).toDF("part", "n"),
+          root, "part", "hp1")
+        assert(TxLog.checkpoint(spark, root) === 1L)
+        // grow the inventory to >100k PARTITIONS (one synthetic file
+        // each — the payload parquet IS the format contract, so these
+        // rows are exactly what a 100k-partition checkpoint would have
+        // written; their files never open: everything prunes them)
+        val logDir = new org.apache.hadoop.fs.Path(root, "_txlog")
+        val fs = logDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val payloadDir = fs.listStatus(logDir)
+          .map(_.getPath).find(_.getName.endsWith(".chkpq")).get
+        spark.range(100000).select(
+          concat(lit("s"), col("id")).as("part"),
+          concat(lit("data/fake/f"), col("id"), lit(".parquet")).as("file"),
+          lit(1000L).as("size"), lit(0L).as("mtime"), lit(10L).as("rows"),
+          map(lit("n"), struct(
+            (col("id") * 100 + 1000000).cast("string").as("mn"),
+            (col("id") * 100 + 1000050).cast("string").as("mx")))
+            .as("stats"))
+          .coalesce(4).write.mode("append").parquet(payloadDir.toString)
+        // a delta commit, then the fold: the re-checkpoint sees 100k+1
+        // distinct values — above the default header cap — and must
+        // write an O(1) header (novals), never an O(partitions) one
+        TxLog.appendBatchTx(Seq(("real", 3L)).toDF("part", "n"),
+          root, "part", "hp2")
+        assert(TxLog.checkpoint(spark, root) === 2L)
+        val chkTxt = {
+          val n = fs.listStatus(logDir).map(_.getPath)
+            .filter(_.getName == f"c${2L}%020d.chk").head
+          val in = fs.open(n)
+          try scala.io.Source.fromInputStream(in).mkString
+          finally in.close()
+        }
+        assert(chkTxt.contains("novals=1") &&
+          !chkTxt.linesIterator.exists(_.startsWith("v\t")), chkTxt.take(400))
+        assert(chkTxt.length < 4096,
+          s"header must be O(1), got ${chkTxt.length} bytes")
+        // selective reads keep pruning through the payload scan
+        val probe = TxLog.read(spark, root, "part")
+          .filter(col("part") === "real")
+        assert(probe.select("n").collect().map(_.getLong(0)).toSet ===
+          Set(1L, 2L, 3L))
+        assert(filesRead(probe) <= 2L)
+        // a concurrent-writer conflict on ONE partition still detects
+        val v0 = TxLog.currentVersion(spark, root)
+        TxLog.appendBatchTx(Seq(("real", 4L)).toDF("part", "n"),
+          root, "part", "hp3")
+        intercept[TxLog.ConcurrentWriteException] {
+          TxLog.commit(spark, root,
+            TxLog.stage(Seq(("real", 5L)).toDF("part", "n"), root,
+              Seq("part"), Nil, 0),
+            "append", readVersion = v0, conflictCheck = true)
+        }
+        // front doors relying on emptiness probes keep working
+        TxLog.mergeKeyedTx(spark, root,
+          Seq(("real", 4L)).toDF("part", "n"), "n")
+        assert(TxLog.read(spark, root, "part")
+          .filter(col("part") === "real").count() === 4L)
+      } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("payload-table RESTORE: a parts-free commit with a payload " +
       "pointer reinstates data, schema, mapping and deletion vectors " +
       "without driver-materializing the file list") {
