@@ -172,7 +172,8 @@ object Bench {
     // r17 rows
     "q245_tx_batch_format_read",   // batch DSv2 front door (format string)
     "q246_tx_sql_dml",             // SQL DML statement surface
-    "q247_tx_payload_restore"      // payload restore + O(1) chk header
+    "q247_tx_payload_restore",     // payload restore + O(1) chk header
+    "q248_tx_convert"              // CONVERT TO TXLOG in-place adoption
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -339,7 +340,9 @@ object Bench {
     // q01 0.99x / q11 1.13x — in band)
     "q245_tx_batch_format_read" -> 1.92,
     "q246_tx_sql_dml" -> 2.49,
-    "q247_tx_payload_restore" -> 3.65)
+    "q247_tx_payload_restore" -> 3.65,
+    // r17 second wave (isolated min-of-3, anchors q01 0.84x / q11 0.94x)
+    "q248_tx_convert" -> 1.40)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,12 +78,13 @@ private[graft] final case class TxSqlCommand(
 private[graft] object TxSql {
   // cheap pre-filter: one of our verbs AND a txlog.`...` table reference
   private val Verb =
-    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM)\\b.*".r
+    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM|OPTIMIZE|CONVERT)\\b.*".r
   private val HasTx = "(?is).*\\btxlog\\s*\\.\\s*`.*".r
+  private val ConvertTx = "(?is)^\\s*CONVERT\\s+TO\\s+TXLOG\\b.*".r
 
   def maybeParse(session: SparkSession, text: String): Option[LogicalPlan] =
     text match {
-      case Verb(_) if HasTx.matches(text) =>
+      case Verb(_) if HasTx.matches(text) || ConvertTx.matches(text) =>
         Some(parseStatement(session, text))
       case _ => None
     }
@@ -210,6 +211,8 @@ private[graft] object TxSql {
     else if (p.tryKw("RESTORE")) parseRestore(session, p)
     else if (p.tryKw("DESCRIBE") || p.tryKw("DESC")) parseDescribe(session, p)
     else if (p.tryKw("VACUUM")) parseVacuum(session, p)
+    else if (p.tryKw("OPTIMIZE")) parseOptimize(session, p)
+    else if (p.tryKw("CONVERT")) parseConvert(session, p)
     else fail(s"unsupported txlog statement: ${p.rest()}")
   }
 
@@ -399,6 +402,48 @@ private[graft] object TxSql {
       else fail("DESCRIBE on txlog tables supports HISTORY and DETAIL")
     if (!p.eof) fail(s"trailing input after DESCRIBE: ${p.rest()}")
     df.queryExecution.logical
+  }
+
+  // CONVERT TO TXLOG parquet.`dir` PARTITIONED BY (a, b) — adopt an
+  // existing Hive-partitioned parquet dir in place (TxLog.convertParquetTx)
+  private def parseConvert(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("TO"); p.kw("TXLOG"); p.kw("parquet"); p.sym(".")
+    val t = p.peek
+    if (t.kind != 1) fail("CONVERT source must be a backtick-quoted " +
+      "path (parquet.`/dir`)")
+    p.i += 1
+    val root = t.text
+    p.kw("PARTITIONED"); p.kw("BY"); p.sym("(")
+    var cols = Vector(p.ident())
+    while (p.isSym(",")) { p.sym(","); cols :+= p.ident() }
+    p.sym(")")
+    if (!p.eof) fail(s"trailing input after CONVERT: ${p.rest()}")
+    TxSqlCommand(Seq(attr("version", LongType)),
+      s => Seq(Row(TxLog.convertParquetTx(s, root, cols))))
+  }
+
+  // OPTIMIZE txlog.`root` [SMALLFILES n] — the one-call maintenance
+  // bundle (TxLog.maintainTx: dv-aware bin-pack + checkpoint + log
+  // expiry + vacuum); n = the small-file byte threshold (default 128 MB)
+  private def parseOptimize(session: SparkSession, p: P): LogicalPlan = {
+    val root = p.txTable()
+    val smallBytes =
+      if (p.tryKw("SMALLFILES")) {
+        val n = p.ident()
+        try n.toLong catch { case _: NumberFormatException =>
+          fail(s"SMALLFILES needs a byte count, got $n") }
+      } else 134217728L
+    if (!p.eof) fail(s"trailing input after OPTIMIZE: ${p.rest()}")
+    TxSqlCommand(
+      Seq(attr("version", LongType), attr("files_packed", LongType),
+        attr("checkpoint_version", LongType),
+        attr("log_files_expired", LongType),
+        attr("data_files_vacuumed", LongType)),
+      s => {
+        val pc = TxLog.tableMeta(s, root)._2.headOption
+          .map(_.name).getOrElse("part")
+        TxLog.maintainTx(s, root, pc, smallBytes).collect().toSeq
+      })
   }
 
   // VACUUM txlog.`root` [RETAIN n HOURS]

@@ -4439,6 +4439,48 @@ object SourceQueries {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total_price"))
         .withColumn("restore_ok", lit(1L))
+    },
+
+    // ---- q248: CONVERT TO TXLOG — adopt an existing PLAIN
+    // Hive-partitioned parquet dir as a transaction-log table IN PLACE
+    // (the Delta CONVERT TO DELTA move): partition trees rename under a
+    // staging dir (zero data copied), files enumerate through the same
+    // descent fresh writes use, footer stats record for skipping and
+    // metadata-only counts, and every front door (DML, time travel, the
+    // SQL surface) works from version 1. The oracle replays the
+    // post-conversion DELETE relationally.
+    QueryDef.sql("q248_tx_convert",
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(1 AS BIGINT) AS convert_ok
+         |FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q248_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val orders = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val n = orders.count()
+      // a PLAIN write — no transaction log yet
+      orders.write.partitionBy("o_orderpriority").parquet(root)
+      val v = s.sql(s"CONVERT TO TXLOG parquet.`$root` " +
+        "PARTITIONED BY (o_orderpriority)").head.getLong(0)
+      require(v == 1L, s"q248: conversion must commit version 1, got $v")
+      // adopted stats answer metadata-only counts without a scan
+      require(TxLog.countRows(s, root) == Some(n),
+        "q248: adopted footer stats must answer the metadata-only count")
+      // the converted table is a first-class DML target
+      s.sql(s"DELETE FROM txlog.`$root` WHERE o_orderkey % 5 = 0")
+      require(s.sql(s"SELECT COUNT(*) FROM txlog.`$root` VERSION AS OF 1")
+          .head.getLong(0) == n,
+        "q248: time travel must serve the pre-DELETE adopted state")
+      s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+           |  ${dsumSql("o_totalprice")} AS total_price
+           |FROM txlog.`$root` GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("convert_ok", lit(1L))
     }
   )
 }

@@ -1818,6 +1818,104 @@ object TxLog {
        .getOrElse(chk.map(_.constraints).getOrElse(Map.empty)))
   }
 
+  /** Recursive descent through a staging dir's N Hive-partition levels →
+    * (composite key → rel file paths). Each level's dir name is
+    * `<col>=<escaped value>`; the key keeps the ESCAPED segments
+    * ('/'-joined for N≥2, raw for N=1 — the renderPartKey contract).
+    * Shared by [[stage]] (fresh writes) and [[convertParquetTx]]
+    * (adopted dirs). */
+  private def listStagedLeaves(fs: FileSystem, stagingDir: Path,
+                               rel: String, partCols: Seq[String])
+      : Map[String, Seq[String]] = {
+    val sentinel = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    def leaves(d: Path, depth: Int, frag: String,
+               escSegs: Seq[String]): Seq[(String, Seq[String])] =
+      if (depth == partCols.length) {
+        val files = fs.listStatus(d).map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(f => s"$rel/$frag/$f").toSeq
+        val key = if (partCols.length == 1) unesc(escSegs.head)
+                  else escSegs.mkString("/")
+        Seq((key, files))
+      } else {
+        fs.listStatus(d).filter(_.isDirectory).toSeq.flatMap { e =>
+          val name = e.getPath.getName
+          val Array(c, v) = name.split("=", 2)
+          require(c == partCols(depth),
+            s"TxLog.stage: dir level $depth is $c, expected ${partCols(depth)}")
+          // null partition values round-trip as the Hive default-partition
+          // sentinel, which the log's value→files map cannot distinguish
+          // from the literal sentinel string — refuse AFTER the write
+          // (free: a directory listing, no extra data pass), orphaned
+          // files go to vacuum()
+          require(v != sentinel,
+            s"TxLog.stage: null $c values cannot be transacted — " +
+              "map them to a sentinel value first")
+          leaves(e.getPath, depth + 1,
+            if (frag.isEmpty) name else s"$frag/$name", escSegs :+ v)
+        }
+      }
+    leaves(stagingDir, 0, "", Seq.empty).toMap
+  }
+
+  /** CONVERT an existing Hive-partitioned parquet directory into a
+    * transaction-log table IN PLACE — the Delta `CONVERT TO DELTA` move:
+    * each top-level `<col>=<value>` tree RENAMES under a fresh staging
+    * dir (a metadata operation — zero data copied, zero rows decoded
+    * beyond one schema-discovery read and the optional footer-stats
+    * pass), the adopted files enumerate through the same descent fresh
+    * writes use, and one "overwrite" commit makes the dir a first-class
+    * table: every front door — transactional writes, time travel, DML,
+    * the SQL surface — works from version 1. Refuses a dir that already
+    * carries a log. Returns the committed version. */
+  def convertParquetTx(spark: SparkSession, root: String,
+                       partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty,
+      "convertParquetTx: partition columns are required (unpartitioned " +
+        "dirs have no partition trees to adopt)")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    require(fs.exists(rootPath), s"convertParquetTx: $root does not exist")
+    require(!fs.exists(logDir(root)),
+      s"convertParquetTx: $root already carries a transaction log")
+    val tops = fs.listStatus(rootPath).filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith(s"${partCols.head}="))
+    require(tops.nonEmpty,
+      s"convertParquetTx: no ${partCols.head}=<value> partition dirs " +
+        s"under $root — the dir must be Hive-partitioned by " +
+        s"[${partCols.mkString(", ")}]")
+    val rel = s"data/txn-${java.util.UUID.randomUUID()}"
+    val staging = new Path(root, rel)
+    fs.mkdirs(staging)
+    tops.foreach { st =>
+      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
+        s"convertParquetTx: rename of ${st.getPath} failed")
+    }
+    val parts = listStagedLeaves(fs, staging, rel, partCols)
+    require(parts.valuesIterator.exists(_.nonEmpty),
+      s"convertParquetTx: no parquet files under the partition dirs of " +
+        root)
+    // schema discovery: one partition-discovering read over the adopted
+    // tree (footers only) — partition value types infer exactly as a
+    // fresh write would have recorded them
+    val discovered = spark.read.parquet(staging.toString).schema
+    partCols.foreach(c => require(discovered.fieldNames.contains(c),
+      s"convertParquetTx: [$c] is not a partition level of $root"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      discovered.filterNot(f => partCols.contains(f.name))
+        .map(_.copy(nullable = true)))
+    val partField = org.apache.spark.sql.types.StructType(
+      partCols.map(c => discovered(c).copy(nullable = true))).toDDL
+    val (stats, rows) =
+      if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
+        TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
+      else (Map.empty: FileStats, Map.empty: FileRows)
+    commit(spark, root,
+      Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField)),
+      "overwrite", readVersion = 0L)
+  }
+
   def stage(df: DataFrame, root: String, partCols: Seq[String],
             clusterBy: Seq[Column], clusterFiles: Int): Staged = {
     require(partCols.nonEmpty, "TxLog.stage: at least one partition column")
@@ -1875,41 +1973,7 @@ object TxLog {
       .write.mode("errorifexists").partitionBy(partCols: _*)
       .parquet(dir.toString)
     val fs = fsOf(spark, dir)
-    val sentinel = org.apache.spark.sql.catalyst.catalog
-      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-    // recursive descent through the N partition levels: each level's dir
-    // name is `<col>=<escaped value>`; the key keeps the ESCAPED segments
-    // ('/'-joined for N≥2, raw for N=1 — the renderPartKey contract)
-    def leaves(d: Path, depth: Int, frag: String,
-               escSegs: Seq[String]): Seq[(String, Seq[String])] =
-      if (depth == partCols.length) {
-        val files = fs.listStatus(d).map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(f => s"$rel/$frag/$f").toSeq
-        // dir segments are already Hive-escaped; for N≥2 join them as-is
-        // (≡ renderPartKey over the raw values), for N=1 the key is raw
-        val key = if (partCols.length == 1) unesc(escSegs.head)
-                  else escSegs.mkString("/")
-        Seq((key, files))
-      } else {
-        fs.listStatus(d).filter(_.isDirectory).toSeq.flatMap { e =>
-          val name = e.getPath.getName
-          val Array(c, v) = name.split("=", 2)
-          require(c == partCols(depth),
-            s"TxLog.stage: dir level $depth is $c, expected ${partCols(depth)}")
-          // null partition values round-trip as the Hive default-partition
-          // sentinel, which the log's value→files map cannot distinguish
-          // from the literal sentinel string — refuse AFTER the write
-          // (free: a directory listing, no extra data pass), orphaned
-          // files go to vacuum()
-          require(v != sentinel,
-            s"TxLog.stage: null $c values cannot be transacted — " +
-              "map them to a sentinel value first")
-          leaves(e.getPath, depth + 1,
-            if (frag.isEmpty) name else s"$frag/$name", escSegs :+ v)
-        }
-      }
-    val parts = leaves(dir, 0, "", Seq.empty).toMap
+    val parts = listStagedLeaves(fs, dir, rel, partCols)
     require(parts.nonEmpty, "TxLog.stage: staged DataFrame is empty — " +
       "an empty overwrite would be a silent no-op; drop partitions explicitly")
     // top-level nullability is erased before recording: parquet round

@@ -35,8 +35,12 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
 
+  // the second part must LOOK LIKE A PATH (contain '/'): a catalog
+  // database that happens to be named "txlog" keeps resolving through
+  // the catalog — this rule only claims txlog.`/path/to/root`
   private def isTx(parts: Seq[String]): Boolean =
-    parts.length == 2 && parts.head.equalsIgnoreCase("txlog")
+    parts.length == 2 && parts.head.equalsIgnoreCase("txlog") &&
+      parts(1).contains("/")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {

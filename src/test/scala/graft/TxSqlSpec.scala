@@ -130,6 +130,58 @@ class TxSqlSpec extends SparkSpecBase {
       .head.getDouble(0) === 50.0)
   }
 
+  test("OPTIMIZE runs the maintenance bundle: dv-aware bin-pack + " +
+      "checkpoint + expiry + vacuum in one statement") {
+    val root = freshRoot("optimize")
+    import spark.implicits._
+    // two small files in one partition → the bundle packs them
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "opt-b1")
+    TxLog.appendBatchTx(Seq(("a", 2L)).toDF("part", "k"), root, "part",
+      "opt-b2")
+    val rep = spark.sql(s"OPTIMIZE txlog.`$root`").head
+    assert(rep.getAs[Long]("files_packed") === 2L, rep.toString)
+    assert(TxLog.snapshot(spark, root).parts("a").size === 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM txlog.`$root`")
+      .head.getLong(0) === 2L)
+    // SMALLFILES 1 → nothing qualifies, idempotent no-op
+    val rep2 = spark.sql(s"OPTIMIZE txlog.`$root` SMALLFILES 1").head
+    assert(rep2.getAs[Long]("files_packed") === 0L)
+  }
+
+  test("CONVERT TO TXLOG adopts a plain Hive-partitioned parquet dir in " +
+      "place — zero copy, every front door live from version 1") {
+    val root = freshRoot("convert")
+    import spark.implicits._
+    // a PLAIN parquet write (no log): composite partitioning, two batches
+    Seq(("a", 1, 1L, 10.0), ("a", 2, 2L, 20.0), ("b", 1, 3L, 30.0))
+      .toDF("p1", "p2", "k", "v")
+      .write.partitionBy("p1", "p2").parquet(root)
+    val v = spark.sql(
+      s"CONVERT TO TXLOG parquet.`$root` PARTITIONED BY (p1, p2)")
+      .head.getLong(0)
+    assert(v === 1L)
+    // content adopted exactly; partition types discovered (p2 is int)
+    val df = TxLog.readTable(spark, root)
+    assert(df.count() === 3L)
+    assert(df.schema("p2").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.agg(sum("v")).head.getDouble(0) === 60.0)
+    // stats recorded: metadata-only count answers without a scan
+    assert(TxLog.countRows(spark, root) === Some(3L))
+    // the full machinery works on the adopted table: DML + time travel
+    spark.sql(s"DELETE FROM txlog.`$root` WHERE k = 2")
+    assert(spark.sql(s"SELECT COUNT(*) FROM txlog.`$root`")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM txlog.`$root` VERSION AS OF 1")
+      .head.getLong(0) === 3L)
+    // converting twice refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      TxLog.convertParquetTx(spark, root, Seq("p1", "p2"))
+    }
+    assert(err.getMessage.contains("already carries"), err.getMessage)
+  }
+
   test("non-txlog SQL delegates untouched; malformed txlog DML is loud") {
     import spark.implicits._
     // ordinary statements keep working through the wrapped parser
