@@ -2399,8 +2399,11 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val (mapping, _) = writerMetaOf(spark, root)
+      // version FIRST, metadata second (the same lost-update discipline
+      // as the DDL front doors): stale-new metadata conflicts and
+      // re-derives instead of clobbering a racing rename
       val v = currentVersion(spark, root)
+      val (mapping, _) = writerMetaOf(spark, root)
       // a meta commit SNAPSHOTS the mapping — carry the current one so
       // sealing never clobbers a live rename/drop
       val staged = Staged(Map.empty, mapping = Some(mapping),
@@ -2555,11 +2558,15 @@ object TxLog {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
+      // version FIRST, metadata second: a DDL landing between the two
+      // reads yields metadata NEWER than readVersion, so the commit
+      // conflicts and re-derives — the reverse order would let a stale
+      // mapping snapshot clobber a racing rename without any conflict
+      val state = stateOf(spark, root)
+      val v0 = state.fold(_.version, _.version)
       val (mapping, existing) = writerMetaOf(spark, root)
       require(!existing.contains(name),
         s"addCheckConstraintTx: constraint [$name] already exists at $root")
-      val state = stateOf(spark, root)
-      val v0 = state.fold(_.version, _.version)
       if (stateNonEmpty(spark, root, state)) {
         val ps = partSchemaOf(state, root, "addCheckConstraintTx")
         require(readState(spark, root, state, ps)
