@@ -78,7 +78,7 @@ private[graft] final case class TxSqlCommand(
 private[graft] object TxSql {
   // cheap pre-filter: one of our verbs AND a txlog.`...` table reference
   private val Verb =
-    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM|OPTIMIZE|CONVERT)\\b.*".r
+    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM|OPTIMIZE|CONVERT|SHOW)\\b.*".r
   private val HasTx = "(?is).*\\btxlog\\s*\\.\\s*`.*".r
   private val ConvertTx = "(?is)^\\s*CONVERT\\s+TO\\s+TXLOG\\b.*".r
 
@@ -213,6 +213,7 @@ private[graft] object TxSql {
     else if (p.tryKw("VACUUM")) parseVacuum(session, p)
     else if (p.tryKw("OPTIMIZE")) parseOptimize(session, p)
     else if (p.tryKw("CONVERT")) parseConvert(session, p)
+    else if (p.tryKw("SHOW")) parseShow(session, p)
     else fail(s"unsupported txlog statement: ${p.rest()}")
   }
 
@@ -427,6 +428,29 @@ private[graft] object TxSql {
   // expiry + vacuum); n = the small-file byte threshold (default 128 MB)
   private def parseOptimize(session: SparkSession, p: P): LogicalPlan = {
     val root = p.txTable()
+    // OPTIMIZE ... ZORDER BY (k1, k2[, ...]) [FILES n] — the
+    // multi-dimensional clustering rewrite (TxLog.compactZorderTx)
+    if (p.tryKw("ZORDER")) {
+      p.kw("BY"); p.sym("(")
+      var keys = Vector(p.ident())
+      while (p.isSym(",")) { p.sym(","); keys :+= p.ident() }
+      p.sym(")")
+      val files =
+        if (p.tryKw("FILES")) {
+          val n = p.ident()
+          try n.toInt catch { case _: NumberFormatException =>
+            fail(s"FILES needs a count, got $n") }
+        } else 0
+      if (!p.eof) fail(s"trailing input after OPTIMIZE: ${p.rest()}")
+      return TxSqlCommand(Seq(attr("version", LongType)),
+        s => {
+          val pc = TxLog.tableMeta(s, root)._2.headOption
+            .map(_.name).getOrElse("part")
+          val nf = if (files > 0) files
+                   else s.sessionState.conf.numShufflePartitions
+          Seq(Row(TxLog.compactZorderTx(s, root, pc, keys, nf)))
+        })
+    }
     val smallBytes =
       if (p.tryKw("SMALLFILES")) {
         val n = p.ident()
@@ -444,6 +468,17 @@ private[graft] object TxSql {
           .map(_.name).getOrElse("part")
         TxLog.maintainTx(s, root, pc, smallBytes).collect().toSeq
       })
+  }
+
+  // SHOW PARTITIONS txlog.`root` — the live composite partition keys
+  // (metadata only; payload-derived above the header cap)
+  private def parseShow(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("PARTITIONS")
+    val root = p.txTable()
+    if (!p.eof) fail(s"trailing input after SHOW PARTITIONS: ${p.rest()}")
+    TxSqlCommand(
+      Seq(attr("partition", org.apache.spark.sql.types.StringType)),
+      s => TxLog.partitionValues(s, root).toSeq.sorted.map(Row(_)))
   }
 
   // VACUUM txlog.`root` [RETAIN n HOURS]

@@ -182,6 +182,27 @@ class TxSqlSpec extends SparkSpecBase {
     assert(err.getMessage.contains("already carries"), err.getMessage)
   }
 
+  test("OPTIMIZE ZORDER BY rewrites the layout; SHOW PARTITIONS lists " +
+      "the live keys") {
+    val root = freshRoot("zorder-sql")
+    import spark.implicits._
+    val df = spark.range(512).select(
+      lit("p").as("part"),
+      (col("id") % 16).as("k1"),
+      (col("id") / 16).cast("long").as("k2"))
+    TxLog.appendBatchTx(df, root, "part", "zs-b1")
+    val v = spark.sql(
+      s"OPTIMIZE txlog.`$root` ZORDER BY (k1, k2) FILES 8").head.getLong(0)
+    assert(v === 2L)
+    // content bit-identical through the rewrite
+    assert(spark.sql(s"SELECT SUM(k1 + k2 * 16) FROM txlog.`$root`")
+      .head.getLong(0) === (0L until 512L).sum)
+    assert(TxLog.snapshot(spark, root).parts("p").size >= 4)
+    val parts = spark.sql(s"SHOW PARTITIONS txlog.`$root`")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts === Seq("p"))
+  }
+
   test("non-txlog SQL delegates untouched; malformed txlog DML is loud") {
     import spark.implicits._
     // ordinary statements keep working through the wrapped parser
