@@ -274,4 +274,43 @@ class PropertySpec extends SparkSpecBase {
       .agg(sum("t")).head.getLong(0)
     assert(viaExplode == viaHof)
   }
+
+  test("generated partition values round-trip the tx write → dv delete " +
+      "→ checkpoint path (the Hive-escape / URI-encode seam)") {
+    // every ASCII character class that stresses an encoding seam
+    // somewhere: spaces (URI %20), percent (double-encode), plus
+    // (form-decode trap), colon/equals/hash (Hive-escaped), slashes
+    // (Hive %2F), dots and dashes. (Non-ASCII values work on UTF-8
+    // filesystems but this test JVM runs under a POSIX locale, so the
+    // LOCAL FS itself refuses such dir names — not an engine seam.)
+    val valGen = Gen.chooseNum(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar,
+        1 -> Gen.oneOf(' ', '%', '+', ':', '=', '#', '.', '-'),
+        1 -> Gen.const('/'))).map(_.mkString))
+    val values = samples(valGen, 12).distinct.filter(_.trim.nonEmpty)
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft-prop/partvals"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val rows = values.zipWithIndex.flatMap { case (v, i) =>
+      Seq((v, i.toLong * 2), (v, i.toLong * 2 + 1)) }
+    graft.sources.TxLog.appendBatchTx(rows.toDF("part", "k"), root,
+      "part", "pv-b1")
+    // values survive the dir-name codec exactly
+    assert(graft.sources.TxLog.partitionValues(spark, root) ===
+      values.toSet)
+    // a dv delete lands on every partition (the rel-path keying must
+    // hold for every generated value) and survives the checkpoint fold
+    val (_, nDel) = graft.sources.TxLog.deleteWhereDvTx(spark, root,
+      col("k") % 2 === 0)
+    assert(nDel === values.size.toLong)
+    graft.sources.TxLog.checkpoint(spark, root)
+    val got = graft.sources.TxLog.read(spark, root, "part")
+      .select("part", "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length === values.size)
+    assert(got.forall(_._2 % 2 == 1))
+    assert(got.map(_._1).toSet === values.toSet)
+  }
 }
