@@ -28,8 +28,19 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * slash). Returns "" when no anchor exists (non-txlog callers). */
 object TxRelPath {
   private val Anchor = "/data/txn-"
+
+  /** `_metadata.file_path` is CONSTANT across a file's rows and rows
+    * arrive file-contiguous, so a 1-entry thread-local memo turns the
+    * per-row URI parse + substring into a per-FILE one — the hit path is
+    * a byte-equality check on the ~100-byte path. Inputs are cloned into
+    * the memo (the scanner may hand the expression a reused buffer). */
+  private val memo =
+    new ThreadLocal[Array[org.apache.spark.unsafe.types.UTF8String]]()
+
   def relData(fp: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
+    val m = memo.get()
+    if (m != null && m(0).equals(fp)) return m(1)
     val s = fp.toString
     val decoded =
       try {
@@ -37,9 +48,12 @@ object TxRelPath {
         if (p == null) s else p
       } catch { case _: java.net.URISyntaxException => s }
     val i = decoded.lastIndexOf(Anchor)
-    if (i < 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-    else org.apache.spark.unsafe.types.UTF8String
-      .fromString(decoded.substring(i + 1))
+    val out =
+      if (i < 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromString(decoded.substring(i + 1))
+    memo.set(Array(fp.clone(), out))
+    out
   }
 }
 
