@@ -402,6 +402,48 @@ class TxBigSpec extends SparkSpecBase {
     }
   }
 
+  test("payload RESTORE races a concurrent writer: some serialized " +
+      "order wins, the log stays readable, nothing is lost silently") {
+    withTinyThreshold {
+      val root = freshRoot("restore-race-thread")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root,
+          "part", "rrt-b1")                                          // v1
+        assert(TxLog.checkpoint(spark, root) === 1L) // cross to payload
+        TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root,
+          "part", "rrt-b2")                                          // v2
+        // a REAL race: restore-to-v1 vs a third append
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val restoreF = pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = TxLog.restoreTx(spark, root, 1L)
+          })
+        val appendF = pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = TxLog.appendBatchTx(
+              Seq(("c", 3L)).toDF("part", "k"), root, "part", "rrt-b3")
+          })
+        val (rv, av) = (restoreF.get(), appendF.get())
+        pool.shutdown()
+        assert(rv != av, "the two commits must serialize to distinct versions")
+        // both serialized orders are legal; the FINAL state must equal
+        // whichever committed last applied to the other's result
+        val ks = TxLog.readTable(spark, root).select("k")
+          .collect().map(_.getLong(0)).toSet
+        if (rv > av) assert(ks === Set(1L),
+          s"restore committed last → v1 content only, got $ks")
+        else assert(ks === Set(1L, 3L),
+          s"append committed last → v1 content + the append, got $ks")
+        // the log keeps folding and maintaining after the race
+        assert(TxLog.checkpoint(spark, root) === math.max(rv, av))
+        assert(TxLog.readTable(spark, root).select("k")
+          .collect().map(_.getLong(0)).toSet === ks)
+      } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("payload-table RESTORE: a parts-free commit with a payload " +
       "pointer reinstates data, schema, mapping and deletion vectors " +
       "without driver-materializing the file list") {

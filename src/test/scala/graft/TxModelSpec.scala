@@ -169,4 +169,13 @@ class TxModelSpec extends SparkSpecBase {
       spark.conf.unset("graft.txlog.autoCheckpointEvery")
     }
   }
+
+  test("a 60-op sequence stays model-consistent on the DRIVER " +
+      "representation too (seed 101, no payload crossing)") {
+    // high parquet threshold: the table never crosses, so the same op
+    // mix exercises the driver-resident fold/restore/maintenance paths
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "7")
+    try runSequence(seed = 101L, ops = 60)
+    finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+  }
 }
