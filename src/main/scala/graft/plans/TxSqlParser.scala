@@ -181,17 +181,26 @@ private[graft] object TxSql {
       text.substring(toks(from).start, toks(until - 1).end).trim
     }
 
-    /** advance to the first TOP-LEVEL (paren-depth-0) position where
-      * `stop` matches the current token; returns (startIdx, endIdx) of
-      * the skipped span. */
+    /** advance to the first TOP-LEVEL position where `stop` matches the
+      * current token; returns (startIdx, endIdx) of the skipped span.
+      * Top-level = paren depth 0 AND outside any CASE ... END — a CASE
+      * expression's own WHEN/THEN keywords must not terminate a MERGE
+      * clause span (`SET v = CASE WHEN ... THEN ... END` is legal
+      * expression text). */
     def spanUntil(stop: () => Boolean): (Int, Int) = {
       val st = i
       var depth = 0
-      while (!eof && !(depth == 0 && stop())) {
+      var caseDepth = 0
+      while (!eof && !(depth == 0 && caseDepth == 0 && stop())) {
         if (isSym("(")) depth += 1
         else if (isSym(")")) {
           depth -= 1
           if (depth < 0) fail(s"unbalanced ')' at: ${rest()}")
+        }
+        else if (isKw("CASE")) caseDepth += 1
+        else if (isKw("END")) {
+          caseDepth -= 1
+          if (caseDepth < 0) fail(s"END without CASE at: ${rest()}")
         }
         i += 1
       }

@@ -203,6 +203,33 @@ class TxSqlSpec extends SparkSpecBase {
     assert(parts === Seq("p"))
   }
 
+  test("CASE WHEN ... THEN ... END inside SET expressions and clause " +
+      "conditions does not break the MERGE clause boundaries") {
+    val root = freshRoot("case-when")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 200.0)).toDF("part", "k", "v"),
+      root, "part", "cw-b1")
+    Seq(("a", 1L, 50.0), ("a", 2L, 5.0)).toDF("part", "k", "v")
+      .createOrReplaceTempView("cw_src")
+    // both the clause CONDITION and the SET expression carry an unparenthesized
+    // CASE ... WHEN ... THEN ... END — its keywords must not terminate the span
+    spark.sql(
+      s"""MERGE INTO txlog.`$root` t USING cw_src s ON t.k = s.k
+         |WHEN MATCHED AND CASE WHEN t.v > 100 THEN false ELSE true END
+         |  THEN UPDATE SET v = CASE WHEN s.v > t.v THEN s.v ELSE t.v END
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val got = TxLog.readTable(spark, root).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // k=1: condition true (10 ≤ 100) → v = max(50, 10) = 50;
+    // k=2: condition false (200 > 100) → second clause → DELETE
+    assert(got === Map(1L -> 50.0))
+    // UPDATE's WHERE span also survives an embedded CASE
+    spark.sql(s"UPDATE txlog.`$root` SET v = v + 1 " +
+      "WHERE CASE WHEN k = 1 THEN true ELSE false END")
+    assert(TxLog.readTable(spark, root).head.getAs[Double]("v") === 51.0)
+  }
+
   test("non-txlog SQL delegates untouched; malformed txlog DML is loud") {
     import spark.implicits._
     // ordinary statements keep working through the wrapped parser
