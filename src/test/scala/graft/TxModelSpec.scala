@@ -33,16 +33,24 @@ class TxModelSpec extends SparkSpecBase {
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, Double]
     var nextKey = 0L
-    // retained history for restore targets: version → model at version
-    var history = Vector.empty[(Long, Map[Long, Double])]
+    // the value column's CURRENT logical name (renames toggle it; a
+    // restore reinstates the name as of the target — column mapping is
+    // part of the modeled state)
+    var vName = "v"
+    // retained history for restore targets: version → (model, vName)
+    var history = Vector.empty[(Long, Map[Long, Double], String)]
     var batch = 0
 
     def df(rows: Map[Long, Double]) =
       rows.toSeq.map { case (k, v) => (partOf(k), k, v) }
-        .toDF("part", "k", "v")
+        .toDF("part", "k", vName)
 
     def check(tag: String): Unit = {
-      val got = TxLog.readTable(spark, root).select("part", "k", "v")
+      val t = TxLog.readTable(spark, root)
+      assert(t.columns.toSet === Set("part", "k", vName),
+        s"[$tag seed=$seed] schema diverged: ${t.columns.toSeq} vs " +
+          s"expected value column [$vName]")
+      val got = t.select("part", "k", vName)
         .collect().map(r => r.getLong(1) -> (r.getString(0), r.getDouble(2)))
         .toMap
       val want = model.map { case (k, v) => k -> (partOf(k), v) }
@@ -67,7 +75,7 @@ class TxModelSpec extends SparkSpecBase {
     }
 
     def snap(): Unit =
-      history :+= (TxLog.currentVersion(spark, root), model)
+      history :+= ((TxLog.currentVersion(spark, root), model, vName))
 
     // seed batch so merge/delete have content
     val seedRows = (0 until 8).map { _ =>
@@ -79,7 +87,7 @@ class TxModelSpec extends SparkSpecBase {
     snap(); check("seed")
 
     (1 to ops).foreach { i =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 | 1 => // append fresh keys
           val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
             val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble
@@ -114,11 +122,12 @@ class TxModelSpec extends SparkSpecBase {
           }
         case 6 => // restore to a retained version (or verify refusal)
           if (history.size > 1) {
-            val (v, m0) = history(rnd.nextInt(history.size))
+            val (v, m0, n0) = history(rnd.nextInt(history.size))
             if (m0.nonEmpty) {
               try {
                 TxLog.restoreTx(spark, root, v)
                 model = m0
+                vName = n0 // the mapping as of the target reinstates
                 snap()
               } catch {
                 // vacuumed target or below the payload floor: refusal
@@ -139,6 +148,19 @@ class TxModelSpec extends SparkSpecBase {
           // vacuum reclaims unreferenced history — older versions may
           // stop being restorable (the catch above handles it)
           TxLog.vacuum(spark, root, minAgeMs = 0L)
+        case 10 => // RENAME the value column (column mapping, zero files)
+          val next = if (vName == "v") "w" else "v"
+          TxLog.renameColumnTx(spark, root, vName, next)
+          vName = next
+          snap()
+        case 11 => // the SQL DML surface is the same front door
+          val m = 2 + rnd.nextInt(4)
+          val r = rnd.nextInt(m)
+          spark.sql(s"UPDATE txlog.`$root` SET $vName = $vName + 1 " +
+            s"WHERE k % $m = $r")
+          model = model.map { case (k, v) =>
+            k -> (if (math.abs(k % m) == r) v + 1 else v) }
+          snap()
       }
       check(s"op$i")
     }
