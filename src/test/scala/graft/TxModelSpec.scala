@@ -40,6 +40,9 @@ class TxModelSpec extends SparkSpecBase {
     // retained history for restore targets: version → (model, vName)
     var history = Vector.empty[(Long, Map[Long, Double], String)]
     var batch = 0
+    // the string batch-id ledger seals at most once per sequence; after
+    // it, appends must ride the bounded writer-seq gate
+    var ledgerSealed = false
 
     def df(rows: Map[Long, Double]) =
       rows.toSeq.map { case (k, v) => (partOf(k), k, v) }
@@ -87,12 +90,16 @@ class TxModelSpec extends SparkSpecBase {
     snap(); check("seed")
 
     (1 to ops).foreach { i =>
-      rnd.nextInt(12) match {
-        case 0 | 1 => // append fresh keys
+      rnd.nextInt(13) match {
+        case 0 | 1 => // append fresh keys (ledger style follows the seal)
           val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
             val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble
           }.toMap
-          TxLog.appendBatchTx(df(rows), root, "part", s"m$seed-b$batch")
+          if (ledgerSealed)
+            TxLog.appendBatchSeqTx(df(rows), root, "part",
+              s"fuzz$seed", batch.toLong)
+          else
+            TxLog.appendBatchTx(df(rows), root, "part", s"m$seed-b$batch")
           batch += 1
           model ++= rows
           snap()
@@ -153,6 +160,18 @@ class TxModelSpec extends SparkSpecBase {
           TxLog.renameColumnTx(spark, root, vName, next)
           vName = next
           snap()
+        case 12 => // seal the string ledger ONCE; sealed-id replays
+          // must refuse loudly from then on, whatever else interleaves
+          if (!ledgerSealed) {
+            TxLog.sealBatchLedgerTx(spark, root)
+            ledgerSealed = true
+          } else {
+            val err = intercept[IllegalArgumentException] {
+              TxLog.appendBatchTx(df(Map(nextKey -> 1.0)), root, "part",
+                s"m$seed-b0")
+            }
+            assert(err.getMessage.contains("SEALED"), err.getMessage)
+          }
         case 11 => // the SQL DML surface is the same front door
           val m = 2 + rnd.nextInt(4)
           val r = rnd.nextInt(m)
