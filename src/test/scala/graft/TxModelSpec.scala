@@ -90,7 +90,7 @@ class TxModelSpec extends SparkSpecBase {
     snap(); check("seed")
 
     (1 to ops).foreach { i =>
-      rnd.nextInt(13) match {
+      rnd.nextInt(14) match {
         case 0 | 1 => // append fresh keys (ledger style follows the seal)
           val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
             val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble
@@ -160,6 +160,11 @@ class TxModelSpec extends SparkSpecBase {
           TxLog.renameColumnTx(spark, root, vName, next)
           vName = next
           snap()
+        case 13 => // the one-call maintenance bundle: dv-aware bin-pack
+          // (small files merge, dv-heavy files materialize dv-free) +
+          // checkpoint + expiry + vacuum — content must be invariant
+          TxLog.maintainTx(spark, root, "part", smallBytes = 1L << 20,
+            vacuumAgeMs = 0L): Unit
         case 12 => // seal the string ledger ONCE; sealed-id replays
           // must refuse loudly from then on, whatever else interleaves
           if (!ledgerSealed) {
