@@ -2294,11 +2294,33 @@ object TxLog {
               "change the schema; align the writer")
         }
       }
+      // ORDER-STABLE RECORDING: an additive writer's column ORDER is its
+      // own business (a reordered frame is legal input — parquet reads by
+      // name), but adopting it verbatim would churn the RECORDED schema
+      // (and every reader's column order) under reordering writers. Keep
+      // the current order and APPEND genuinely new columns; only a
+      // schema-changing full overwrite adopts the staged order verbatim.
+      val recordSchema: Option[String] =
+        (current._1, stagedSchema) match {
+          case (Some(cs), Some(ss))
+            if cs != ss && op != "meta" && op != "restore" =>
+            val curT = org.apache.spark.sql.types.StructType.fromDDL(cs)
+            val stagedT = org.apache.spark.sql.types.StructType.fromDDL(ss)
+            val stagedTypes = stagedT.map(f => f.name -> f.dataType).toMap
+            val additive = curT.forall(f =>
+              stagedTypes.get(f.name).contains(f.dataType))
+            if (additive) {
+              val cur = curT.fieldNames.toSet
+              Some(org.apache.spark.sql.types.StructType(
+                curT ++ stagedT.filterNot(f => cur(f.name))).toDDL)
+            } else Some(ss) // full-overwrite schema change (guard passed)
+          case _ => stagedSchema
+        }
       val next = commits.lastOption.map(_.version)
         .orElse(chk.map(_.version)).getOrElse(0L) + 1
       if (tryPublish(spark, root, next,
           renderCommit(op, readVersion, batchId, staged.parts,
-            stagedSchema, staged.stats, staged.rows, staged.partSchema,
+            recordSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping,
             staged.dvs, staged.constraints, staged.payloadChk,
             staged.sealsBatches))) {

@@ -2028,6 +2028,36 @@ class TxLogSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
   }
 
+  test("order-stable schema recording: reordered writers never churn " +
+      "the recorded column order; evolution appends new columns") {
+    val root = freshRoot("order")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L, 10.0)).toDF("part", "k", "v"),
+      root, "part", "ord-b1")
+    assert(TxLog.readTable(spark, root).columns.toSeq ===
+      Seq("k", "v", "part"))
+    // a REORDERED writer (v before k) lands, but the recorded order
+    // must not churn
+    TxLog.appendBatchTx(Seq(("a", 20.0, 2L)).toDF("part", "v", "k"),
+      root, "part", "ord-b2")
+    assert(TxLog.readTable(spark, root).columns.toSeq ===
+      Seq("k", "v", "part"))
+    assert(TxLog.readTable(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      Map(1L -> 10.0, 2L -> 20.0))
+    // an evolving writer with the NEW column FIRST: the new column
+    // APPENDS to the recorded schema, never adopts the writer's order
+    TxLog.appendBatchTx(
+      Seq((99.9, "a", 3L, 30.0)).toDF("extra", "part", "k", "v"),
+      root, "part", "ord-b3")
+    assert(TxLog.readTable(spark, root).columns.toSeq ===
+      Seq("k", "v", "extra", "part"))
+    assert(TxLog.readTable(spark, root).filter(col("k") === 3L)
+      .head.getAs[Double]("extra") === 99.9)
+    assert(TxLog.readTable(spark, root).filter(col("k") === 1L)
+      .head.getAs[java.lang.Double]("extra") === null)
+  }
+
   test("sealBatchLedgerTx: the string ledger retires to O(writers) — " +
       "sealed-id replays refuse loudly, adopted writer-seq replays " +
       "resolve through the bounded gate") {
