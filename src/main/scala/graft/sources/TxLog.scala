@@ -1369,12 +1369,15 @@ object TxLog {
           !c.parts.getOrElse(part, Seq.empty).contains(file)) ||
         (c.op == "rewrite" &&
           c.removed.getOrElse(part, Seq.empty).contains(file))))
-    val deltaParts = window.filter(_.op == "append")
+    val deltaTriples = window.filter(_.op == "append")
       .flatMap(c => c.parts.toSeq.flatMap { case (v, fs) =>
-        fs.filter(f => liveAfter(c.version, v, f)).map(v -> _)
+        fs.filter(f => liveAfter(c.version, v, f))
+          .map(f => (c.version, v, f))
       })
-      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
-      .filter(_._2.nonEmpty)
+    val deltaParts =
+      filterThroughPayloadRestore(spark, root, commits, deltaTriples)
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+        .filter(_._2.nonEmpty)
     if (deltaParts.isEmpty) (None, currentVersion)
     else {
       val schema = (chk.flatMap(_.schema).toSeq ++
@@ -1548,6 +1551,37 @@ object TxLog {
     * length) triples with liveness evaluated at `until` — the streaming
     * source's per-micro-batch file plan ([[readChangesSince]] semantics,
     * files instead of a DataFrame). */
+  /** PAYLOAD-shape restores (parts-free commits with a payload pointer)
+    * carry their survivor set in the payload, not on the commit — a
+    * window planner's commit-local liveness scan cannot see them. Decide
+    * survival of pre-restore append candidates with ONE membership probe
+    * against the LAST such restore's payload, bounded by the window's
+    * candidate files — exactly the driver-shape restore's re-reference
+    * semantics, at payload scale. Candidates are (version, part, file);
+    * post-restore appends pass through untouched. */
+  private def filterThroughPayloadRestore(
+      spark: SparkSession, root: String, commits: Seq[Commit],
+      cands: Seq[(Long, String, String)]): Seq[(String, String)] = {
+    val lastPr = commits
+      .filter(c => c.op == "restore" && c.payloadChk.isDefined).lastOption
+    lastPr match {
+      case None => cands.map { case (_, v, f) => (v, f) }
+      case Some(pr) =>
+        val (before, after) = cands.partition(_._1 < pr.version)
+        val names = before.map(_._3)
+        val surviving: Set[String] =
+          if (names.isEmpty) Set.empty
+          else {
+            import spark.implicits._
+            spark.read.parquet(s"$root/_txlog/${pr.payloadChk.get._1}")
+              .filter(col("file").isin(names.distinct: _*))
+              .select("file").as[String].collect().toSet
+          }
+        before.collect { case (_, v, f) if surviving(f) => (v, f) } ++
+          after.map { case (_, v, f) => (v, f) }
+    }
+  }
+
   private[graft] def appendWindowFiles(spark: SparkSession, root: String,
                                        since: Long, until: Long,
                                        skipNonAppend: Boolean)
@@ -1578,11 +1612,12 @@ object TxLog {
           !c.parts.getOrElse(part, Seq.empty).contains(file)) ||
         (c.op == "rewrite" &&
           c.removed.getOrElse(part, Seq.empty).contains(file))))
-    val rels = window.filter(_.op == "append").flatMap { c =>
+    val rels0 = window.filter(_.op == "append").flatMap { c =>
       c.parts.toSeq.flatMap { case (v, fs) =>
-        fs.filter(f => liveAfter(c.version, v, f)).map(v -> _)
+        fs.filter(f => liveAfter(c.version, v, f)).map(f => (c.version, v, f))
       }
     }
+    val rels = filterThroughPayloadRestore(spark, root, commits, rels0)
     if (rels.isEmpty) Seq.empty
     else {
       val meta = statusByRel(spark, root, rels.map(_._2))

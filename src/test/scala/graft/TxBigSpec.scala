@@ -402,6 +402,36 @@ class TxBigSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming window over a payload RESTORE (skipNonAppend): " +
+      "restored-away appends drop, re-referenced ones survive — decided " +
+      "by the restore payload, not guesswork") {
+    withTinyThreshold {
+      val root = freshRoot("stream-over-restore")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root,
+          "part", "sor-b1")                                          // v1
+        assert(TxLog.checkpoint(spark, root) === 1L) // cross to payload
+        TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root,
+          "part", "sor-b2")                                          // v2
+        TxLog.appendBatchTx(Seq(("c", 3L)).toDF("part", "k"), root,
+          "part", "sor-b3")                                          // v3
+        // payload restore to v2: b survives, c is restored away
+        assert(TxLog.restoreTx(spark, root, 2L) === 4L)              // v4
+        TxLog.appendBatchTx(Seq(("d", 4L)).toDF("part", "k"), root,
+          "part", "sor-b4")                                          // v5
+        // the incremental window (1, 5]: b (re-referenced by the
+        // restore's payload) and d (post-restore) stream; c must not
+        val (changes, v) = TxLog.readChangesSince(spark, root, 1L,
+          "part", skipNonAppend = true)
+        assert(v === 5L)
+        assert(changes.get.select("k").collect().map(_.getLong(0)).toSet
+          === Set(2L, 4L))
+      } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("payload RESTORE races a concurrent writer: some serialized " +
       "order wins, the log stays readable, nothing is lost silently") {
     withTinyThreshold {
