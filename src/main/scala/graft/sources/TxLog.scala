@@ -2210,6 +2210,13 @@ object TxLog {
             staged.touched.toSeq.sorted)
         }
         commits.filter(_.version > readVersion).foreach { c =>
+          // a PAYLOAD-shape restore resets the WHOLE table but its
+          // commit carries no parts (touched is empty) — it must still
+          // conflict with every snapshot-derived writer, exactly like
+          // the driver-shape restore whose staged parts cover everything
+          if (c.op == "restore" && c.payloadChk.isDefined)
+            throw new ConcurrentWriteException(c.version,
+              Seq("<payload restore reset the table>"))
           val overlap = c.touched intersect staged.touched
           if (overlap.nonEmpty)
             throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)

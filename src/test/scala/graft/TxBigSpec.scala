@@ -432,6 +432,36 @@ class TxBigSpec extends SparkSpecBase {
     }
   }
 
+  test("a payload RESTORE conflicts with every snapshot-derived writer " +
+      "that read before it — empty commit parts notwithstanding") {
+    withTinyThreshold {
+      val root = freshRoot("restore-conflicts")
+      import spark.implicits._
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      try {
+        TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root,
+          "part", "rc-b1")                                           // v1
+        assert(TxLog.checkpoint(spark, root) === 1L)
+        TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root,
+          "part", "rc-b2")                                           // v2
+        val v0 = TxLog.currentVersion(spark, root)
+        // a writer stages from the v2 snapshot...
+        val staged = TxLog.stage(Seq(("a", 9L)).toDF("part", "k"), root,
+          Seq("part"), Nil, 0)
+        // ...a payload restore resets the table to v1...
+        assert(TxLog.restoreTx(spark, root, 1L) === 3L)
+        // ...and the stale writer MUST conflict, even though the restore
+        // commit itself carries no parts (its payload bakes in the table)
+        intercept[TxLog.ConcurrentWriteException] {
+          TxLog.commit(spark, root, staged, "overwrite",
+            readVersion = v0, conflictCheck = true)
+        }
+        assert(TxLog.readTable(spark, root).select("k")
+          .collect().map(_.getLong(0)).toSet === Set(1L))
+      } finally spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("payload RESTORE races a concurrent writer: some serialized " +
       "order wins, the log stays readable, nothing is lost silently") {
     withTinyThreshold {
