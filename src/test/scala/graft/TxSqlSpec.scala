@@ -230,6 +230,36 @@ class TxSqlSpec extends SparkSpecBase {
     assert(TxLog.readTable(spark, root).head.getAs[Double]("v") === 51.0)
   }
 
+  test("a CONVERTED table composes with the full machinery: rename, dv " +
+      "delete, payload checkpoint, restore") {
+    val root = freshRoot("convert-compose")
+    import spark.implicits._
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+    try {
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("part", "k", "v").write.partitionBy("part").parquet(root)
+      TxLog.convertParquetTx(spark, root, Seq("part"))               // v1
+      TxLog.renameColumnTx(spark, root, "v", "amount")               // v2
+      val (_, nDel) = TxLog.deleteWhereDvTx(spark, root, col("k") === 2L)
+      assert(nDel === 1L)                                            // v3
+      TxLog.checkpoint(spark, root) // adopted files cross to payload
+      assert(TxLog.readTable(spark, root).select("k", "amount")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+        Map(1L -> 10.0, 3L -> 30.0))
+      assert(TxLog.countRows(spark, root) === Some(2L))
+      // restore on the converted+crossed table (payload rewrite path)
+      assert(TxLog.restoreTx(spark, root, 3L) === 4L)
+      assert(TxLog.readTable(spark, root).count() === 2L)
+      // the adopted files themselves survive maintenance
+      assert(TxLog.vacuum(spark, root, minAgeMs = 0L) >= 0)
+      assert(TxLog.readTable(spark, root).count() === 2L)
+    } finally {
+      spark.conf.unset("graft.txlog.chkParquetMin")
+      spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("non-txlog SQL delegates untouched; malformed txlog DML is loud") {
     import spark.implicits._
     // ordinary statements keep working through the wrapped parser
