@@ -216,6 +216,32 @@ class TxModelSpec extends SparkSpecBase {
     }
   }
 
+  test("40-op random sequences match the model on both representations " +
+      "(seed 42)") {
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    spark.conf.set("graft.txlog.chkMaxHeaderValues", "2")
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "3")
+    try runSequence(seed = 42L, ops = 40)
+    finally {
+      spark.conf.unset("graft.txlog.chkParquetMin")
+      spark.conf.unset("graft.txlog.chkMaxHeaderValues")
+      spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
+  test("40-op random sequences match the model on both representations " +
+      "(seed 99)") {
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    spark.conf.set("graft.txlog.chkMaxHeaderValues", "2")
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "4")
+    try runSequence(seed = 99L, ops = 40)
+    finally {
+      spark.conf.unset("graft.txlog.chkParquetMin")
+      spark.conf.unset("graft.txlog.chkMaxHeaderValues")
+      spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
   test("a 60-op sequence stays model-consistent on the DRIVER " +
       "representation too (seed 101, no payload crossing)") {
     // high parquet threshold: the table never crosses, so the same op
