@@ -173,7 +173,11 @@ object Bench {
     "q245_tx_batch_format_read",   // batch DSv2 front door (format string)
     "q246_tx_sql_dml",             // SQL DML statement surface
     "q247_tx_payload_restore",     // payload restore + O(1) chk header
-    "q248_tx_convert"              // CONVERT TO TXLOG in-place adoption
+    "q248_tx_convert",             // CONVERT TO TXLOG in-place adoption
+    // r18 rows
+    "q249_tx_batch_write",         // batch DataFrameWriter front door
+    "q250_tx_catalog",             // named-table catalog (TableCatalog)
+    "q251_tx_table_changes"        // CDF SQL surface (table_changes TVF)
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -342,7 +346,12 @@ object Bench {
     "q246_tx_sql_dml" -> 2.49,
     "q247_tx_payload_restore" -> 3.65,
     // r17 second wave (isolated min-of-3, anchors q01 0.84x / q11 0.94x)
-    "q248_tx_convert" -> 1.40)
+    "q248_tx_convert" -> 1.40,
+    // r18 rows (isolated min-of-3, canary 0.49/0.36/0.32/0.29, anchors
+    // q01 0.92x / q11 1.15x — in band)
+    "q249_tx_batch_write" -> 2.89,
+    "q250_tx_catalog" -> 4.85,
+    "q251_tx_table_changes" -> 6.96)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,349 @@
+package graft.plans
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.TxLog
+
+/** Named-table CATALOG over transaction-log tables — the DeltaCatalog-
+  * shaped integration step: tables get NAMES instead of paths, so the
+  * whole SQL surface works name-addressed:
+  *
+  * {{{
+  *   spark.sql.catalog.gcat      = graft.plans.TxCatalog
+  *   spark.sql.catalog.gcat.root = /warehouse/graft   // the metastore dir
+  *
+  *   CREATE NAMESPACE gcat.sales
+  *   CREATE TABLE gcat.sales.orders USING txlog LOCATION '/data/orders'
+  *   CREATE TABLE gcat.sales.t2 USING txlog PARTITIONED BY (part)
+  *     AS SELECT ...                          -- CTAS (location defaulted)
+  *   SHOW TABLES IN gcat.sales
+  *   SELECT * FROM gcat.sales.orders [VERSION AS OF n]
+  *   INSERT INTO gcat.sales.orders SELECT ...
+  *   MERGE INTO gcat.sales.orders t USING src s ON ... / UPDATE / DELETE
+  *   ALTER TABLE gcat.sales.orders RENAME COLUMN a TO b
+  * }}}
+  *
+  * The METASTORE is one tiny pointer file per table
+  * (`<root>/<ns...>/<table>.tbl`: location + partition columns) —
+  * namespaces are directories; the table STATE lives entirely in the
+  * table's own transaction log, so the path surface (txlog.`/data/
+  * orders`) and the name surface address the SAME state and can be used
+  * interchangeably. Schema is RECORDED FROM DATA at the first
+  * transactional write (the engine's schema-from-data stance) — CREATE
+  * TABLE registers the pointer; a declared column list is accepted (CTAS
+  * passes the query's) but the log's recorded schema is authoritative.
+  * DROP TABLE unregisters the pointer and leaves the data (external-
+  * table semantics; the log IS the table). */
+class TxCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var rootDir: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    rootDir = Option(options.get("root")).getOrElse(sys.error(
+      s"TxCatalog [$name]: set spark.sql.catalog.$name.root to the " +
+        "metastore directory"))
+    val p = new Path(rootDir)
+    fs(p).mkdirs(p): Unit
+  }
+
+  override def name(): String = catName
+
+  private def nsDir(namespace: Array[String]): Path =
+    new Path((rootDir +: namespace.toSeq).mkString("/"))
+
+  private def tblFile(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), s"${ident.name}.tbl")
+
+  /** pointer-file codec: line 1 = location, line 2 = partition columns
+    * (comma-joined; empty until known). */
+  private def writePointer(f: Path, location: String,
+                           partCols: Seq[String]): Unit = {
+    val out = fs(f).create(f, false)
+    try out.write(s"$location\n${partCols.mkString(",")}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readPointer(f: Path): (String, Seq[String]) = {
+    val in = fs(f).open(f)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val lines = txt.split("\n", -1)
+    (lines(0), if (lines.length > 1 && lines(1).nonEmpty)
+       lines(1).split(",").toSeq else Seq.empty)
+  }
+
+  /** The registered location of a catalog table — the bridge the SQL DML
+    * front-end uses to route name-addressed statements to the same
+    * transactional front doors as the path surface. */
+  def locationOf(ident: Identifier): String = {
+    val f = tblFile(ident)
+    if (!fs(f).exists(f)) throw new NoSuchTableException(ident)
+    readPointer(f)._1
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = nsDir(namespace)
+    if (!fs(d).exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs(d).listStatus(d).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".tbl"))
+      .map(st => Identifier.of(namespace,
+        st.getPath.getName.stripSuffix(".tbl")))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val f = tblFile(ident)
+    fs(f).exists(f)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val f = tblFile(ident)
+    if (!fs(f).exists(f)) throw new NoSuchTableException(ident)
+    val (location, partCols) = readPointer(f)
+    new TxNamedTable(s"$catName.${(ident.namespace :+ ident.name)
+      .mkString(".")}", location, partCols, new StructType())
+  }
+
+  /** `SELECT ... FROM cat.ns.t VERSION AS OF n` — Spark's native
+    * time-travel resolution calls this overload; the returned table pins
+    * the version and [[graft.streaming.TxBatchReadRule]] mounts
+    * readTableAt. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val f = tblFile(ident)
+    if (!fs(f).exists(f)) throw new NoSuchTableException(ident)
+    val (location, partCols) = readPointer(f)
+    val v = try version.toLong catch { case _: NumberFormatException =>
+      sys.error(s"TxCatalog: VERSION AS OF needs an integer version, " +
+        s"got [$version]") }
+    new TxNamedTable(s"$catName.${(ident.namespace :+ ident.name)
+      .mkString(".")}", location, partCols, new StructType(),
+      asOfVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val f = tblFile(ident)
+    if (!fs(f).exists(f)) throw new NoSuchTableException(ident)
+    val (location, partCols) = readPointer(f)
+    val v = TxLog.versionAsOf(spark, location,
+      Math.floorDiv(timestamp, 1000L))
+    new TxNamedTable(s"$catName.${(ident.namespace :+ ident.name)
+      .mkString(".")}", location, partCols, new StructType(),
+      asOfVersion = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val f = tblFile(ident)
+    if (fs(f).exists(f)) throw new TableAlreadyExistsException(ident)
+    val d = nsDir(ident.namespace)
+    if (!fs(d).exists(d)) throw new NoSuchNamespaceException(ident.namespace)
+    // identity-transform partitioning only (the layout the log records)
+    val partCols = partitions.toSeq.map { t =>
+      t.references() match {
+        case Array(r) if t.name() == "identity" =>
+          r.fieldNames().mkString(".")
+        case _ => sys.error(s"TxCatalog: only identity PARTITIONED BY " +
+          s"columns are supported, got $t")
+      }
+    }
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .getOrElse(s"$rootDir/_data/${(ident.namespace :+ ident.name)
+        .mkString("/")}")
+    // registering an EXISTING txlog table: its recorded partitioning is
+    // authoritative — a conflicting PARTITIONED BY must refuse
+    val recorded: Seq[String] =
+      if (TxLog.tableExists(spark, location))
+        TxLog.tableMeta(spark, location)._2.map(_.name).toSeq
+      else Seq.empty
+    require(recorded.isEmpty || partCols.isEmpty || partCols == recorded,
+      s"TxCatalog: PARTITIONED BY [${partCols.mkString(", ")}] does not " +
+        s"match the table's recorded partitioning " +
+        s"[${recorded.mkString(", ")}] at $location")
+    val effective = if (recorded.nonEmpty) recorded else partCols
+    writePointer(f, location, effective)
+    // declared schema rides only until the first write records the real
+    // one (CTAS hands the query schema through here)
+    new TxNamedTable(s"$catName.${(ident.namespace :+ ident.name)
+      .mkString(".")}", location, effective, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val location = locationOf(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "TxCatalog: nested column renames are not supported")
+        TxLog.renameColumnTx(spark, location, rc.fieldNames()(0),
+          rc.newName()): Unit
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "TxCatalog: nested column drops are not supported")
+        TxLog.dropColumnTx(spark, location, dc.fieldNames()(0)): Unit
+      case other => sys.error(s"TxCatalog: unsupported ALTER TABLE " +
+        s"change $other — RENAME COLUMN and DROP COLUMN (plus the " +
+        "txlog.`path` ALTER statements for constraints) are supported")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = tblFile(ident)
+    fs(f).exists(f) && fs(f).delete(f, false)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = tblFile(oldIdent)
+    if (!fs(from).exists(from)) throw new NoSuchTableException(oldIdent)
+    val to = tblFile(newIdent)
+    if (fs(to).exists(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs(from).rename(from, to),
+      s"TxCatalog: rename $from -> $to failed")
+  }
+
+  // ---- namespaces (directories under the metastore root) ---------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(rootDir)
+    fs(root).listStatus(root).filter(st => st.isDirectory &&
+        st.getPath.getName != "_data")
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val d = nsDir(namespace)
+    if (!fs(d).exists(d)) throw new NoSuchNamespaceException(namespace)
+    fs(d).listStatus(d).filter(_.isDirectory)
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = nsDir(namespace)
+    namespace.isEmpty || fs(d).exists(d)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val d = nsDir(namespace)
+    fs(d).mkdirs(d): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    sys.error("TxCatalog: namespace metadata is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = nsDir(namespace)
+    if (!fs(d).exists(d)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade)
+      require(fs(d).listStatus(d).isEmpty,
+        s"TxCatalog: namespace [${namespace.mkString(".")}] is not empty")
+    fs(d).delete(d, cascade)
+  }
+}
+
+/** A catalog-loaded table: BATCH_READ resolves through
+  * [[graft.streaming.TxBatchReadRule]] to the full readTable plan
+  * (mapping projection, dv anti-join, TxFileIndex pruning — identical
+  * to the path surface); BATCH_WRITE bridges through a [[V1Write]] to
+  * the SAME transactional front doors (`INSERT INTO` = one append
+  * commit, `INSERT OVERWRITE` / truncate = the atomic full-table
+  * replace). The schema is the log's LOGICAL schema (renames applied,
+  * tombstones dropped) plus partition columns; a not-yet-written table
+  * reports its declared (CTAS) schema until the first write records the
+  * real one. */
+private[graft] final class TxNamedTable(tableName: String,
+                                        val root: String,
+                                        val partCols: Seq[String],
+                                        declared: StructType,
+                                        val asOfVersion: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType =
+    if (asOfVersion.isDefined)
+      TxLog.readTableAt(spark, root, asOfVersion.get).schema
+    else if (TxLog.tableExists(spark, root))
+      TxLog.readTable(spark, root).schema
+    else declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = schema()
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        sys.error("txlog catalog read requires the graft extensions " +
+          "(SparkSession.builder().withExtensions(new " +
+          "graft.plans.GraftExtensions)) — a bare scan would bypass the " +
+          "table's column mapping and deletion vectors")
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           overwrite: Boolean) => {
+            val s = data.sparkSession
+            val cols =
+              if (TxLog.tableExists(s, root))
+                TxLog.tableMeta(s, root)._2.map(_.name).toSeq
+              else {
+                require(partCols.nonEmpty, s"txlog catalog [$tableName]: " +
+                  "the first write creates the table — declare " +
+                  "PARTITIONED BY at CREATE TABLE time")
+                partCols
+              }
+            if (replace || overwrite)
+              TxLog.overwriteTableTx(data.toDF(), root, cols): Unit
+            else
+              TxLog.commit(s, root,
+                TxLog.stage(data.toDF(), root, cols, Nil, 0), "append",
+                readVersion = 0L): Unit
+          }
+      }
+    }
+}

@@ -26,6 +26,8 @@ import graft.sources.TxLog
   *   DESCRIBE HISTORY txlog.`/root`                   -- history
   *   DESCRIBE DETAIL txlog.`/root`                    -- tableDetail
   *   VACUUM txlog.`/root` [RETAIN 24 HOURS]           -- vacuum
+  *   ALTER TABLE txlog.`/root` RENAME COLUMN a TO b   -- renameColumnTx
+  *     | DROP COLUMN a | ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n
   * }}}
   *
   * Injected via [[GraftExtensions]] (`injectParser`); every statement
@@ -76,17 +78,117 @@ private[graft] final case class TxSqlCommand(
 }
 
 private[graft] object TxSql {
-  // cheap pre-filter: one of our verbs AND a txlog.`...` table reference
-  private val Verb =
-    "(?is)^\\s*(MERGE|UPDATE|DELETE|DESCRIBE|DESC|RESTORE|VACUUM|OPTIMIZE|CONVERT|SHOW)\\b.*".r
-  private val HasTx = "(?is).*\\btxlog\\s*\\.\\s*`.*".r
-  private val ConvertTx = "(?is)^\\s*CONVERT\\s+TO\\s+TXLOG\\b.*".r
+  /** A registered [[TxCatalog]] instance by name (None = not registered
+    * or not ours — the statement belongs to Spark). */
+  private def txCatalogOf(session: SparkSession, name: String)
+      : Option[TxCatalog] =
+    try session.sessionState.catalogManager.catalog(name) match {
+      case c: TxCatalog => Some(c)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Resolve a NAME-addressed target (`cat.ns....tbl`) to its table root
+    * through the registered [[TxCatalog]]. An unregistered table under a
+    * claimed catalog is a loud NoSuchTableException — the statement
+    * addresses our catalog, so the error is ours. */
+  private[graft] def namedRoot(session: SparkSession,
+                               parts: Seq[String]): Option[String] =
+    if (parts.length < 2) None
+    else txCatalogOf(session, parts.head).map(_.locationOf(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init.toArray, parts.last)))
+
+  /** Claim a statement only when its TARGET table reference is
+    * ``txlog.`...``` (the path surface) or a registered [[TxCatalog]]
+    * name (`cat.ns.tbl`) at the verb's own target position — never
+    * because the text mentions txlog somewhere else (a MERGE into a
+    * non-txlog target USING a txlog source, or a string literal naming
+    * txlog.`…`, must delegate to Spark untouched). Tokenizer failures
+    * here mean "not ours" — Spark's parser owns the error for unclaimed
+    * text. */
+  private def claims(session: SparkSession, text: String): Boolean =
+    try {
+      val toks = tokenize(text)
+      def isW(i: Int, k: String): Boolean =
+        i < toks.length && toks(i).kind == 0 && toks(i).text.equalsIgnoreCase(k)
+      // txlog . `…` — the backtick (kind 1) is load-bearing: a catalog
+      // database literally named "txlog" (bare-word table part) keeps
+      // resolving through the catalog
+      def isTxRef(i: Int): Boolean =
+        isW(i, "txlog") && i + 2 < toks.length &&
+          toks(i + 1).kind == 3 && toks(i + 1).text == "." &&
+          toks(i + 2).kind == 1
+      // cat.ns....tbl — a dotted bare identifier whose HEAD names a
+      // registered TxCatalog (checked against the live catalog manager,
+      // so `spark_catalog.db.t` and friends always delegate)
+      def isNamedTx(i: Int): Boolean = {
+        if (i >= toks.length || (toks(i).kind != 0 && toks(i).kind != 1))
+          return false
+        var j = i + 1
+        var n = 1
+        while (j + 1 < toks.length && toks(j).kind == 3 &&
+            toks(j).text == "." &&
+            (toks(j + 1).kind == 0 || toks(j + 1).kind == 1)) {
+          n += 1; j += 2
+        }
+        n >= 2 && txCatalogOf(session, toks(i).text).isDefined
+      }
+      if (toks.isEmpty || toks.head.kind != 0) false
+      else toks.head.text.toUpperCase match {
+        // every supported verb puts its target at token 1 (VACUUM x,
+        // UPDATE x, OPTIMIZE x) or 2 (MERGE INTO x, DELETE FROM x,
+        // RESTORE TABLE x, DESCRIBE HISTORY x, SHOW PARTITIONS x, ALTER
+        // TABLE x) — a txlog PATH ref at either position means the
+        // statement addresses a txlog table (possibly with a typo'd
+        // keyword, which parseStatement then reports loudly); a ref any
+        // later (a MERGE source, a subquery) belongs to Spark. NAMED
+        // targets claim strictly per-verb so plain Spark statements on
+        // catalog tables (DESCRIBE TABLE, SHOW TABLES) keep delegating.
+        case v @ ("MERGE" | "UPDATE" | "DELETE" | "RESTORE" |
+                  "DESCRIBE" | "DESC" | "VACUUM" | "OPTIMIZE" |
+                  "SHOW" | "ALTER") =>
+          isTxRef(1) || isTxRef(2) || (v match {
+            case "MERGE"    => isW(1, "INTO") && isNamedTx(2)
+            case "UPDATE"   => isNamedTx(1)
+            case "DELETE"   => isW(1, "FROM") && isNamedTx(2)
+            case "RESTORE"  => isNamedTx(1) ||
+                               (isW(1, "TABLE") && isNamedTx(2))
+            case "DESCRIBE" | "DESC" =>
+              (isW(1, "HISTORY") || isW(1, "DETAIL")) && isNamedTx(2)
+            case "VACUUM"   => isNamedTx(1)
+            case "OPTIMIZE" => isNamedTx(1)
+            case "SHOW"     => isW(1, "PARTITIONS") && isNamedTx(2)
+            case "ALTER"    => isW(1, "TABLE") && isNamedTx(2) &&
+              // only the DDL set this engine supports — any other ALTER
+              // on a catalog table (ADD COLUMNS, SET TBLPROPERTIES...)
+              // delegates to Spark's own resolution
+              (0 until toks.length - 1).exists(j =>
+                (isW(j, "RENAME") && isW(j + 1, "COLUMN")) ||
+                (isW(j, "DROP") && isW(j + 1, "COLUMN")) ||
+                (isW(j, "ADD") && isW(j + 1, "CONSTRAINT")) ||
+                (isW(j, "DROP") && isW(j + 1, "CONSTRAINT")))
+            case _          => false
+          })
+        case "CONVERT" => isW(1, "TO") && isW(2, "TXLOG")
+        case _ => false
+      }
+    } catch { case _: IllegalArgumentException => false }
 
   def maybeParse(session: SparkSession, text: String): Option[LogicalPlan] =
-    text match {
-      case Verb(_) if HasTx.matches(text) || ConvertTx.matches(text) =>
-        Some(parseStatement(session, text))
-      case _ => None
+    if (claims(session, text)) Some(parseStatement(session, text)) else None
+
+  /** The statement's target table root: ``txlog.`/path``` (the path
+    * surface) or a `cat.ns.tbl` name resolved through its [[TxCatalog]]
+    * — one front-door routing for both addresses. */
+  private def tableRoot(session: SparkSession, p: P): String =
+    if (p.isTxPathRef) p.txTable()
+    else {
+      var parts = Vector(p.ident())
+      while (p.isSym(".")) { p.sym("."); parts :+= p.ident() }
+      namedRoot(session, parts).getOrElse(fail(
+        s"[${parts.mkString(".")}] does not resolve through a txlog " +
+          "catalog (register one: spark.sql.catalog.<name> = " +
+          "graft.plans.TxCatalog) and is not a txlog.`/path` reference"))
     }
 
   // ---- tokenizer ---------------------------------------------------------
@@ -157,6 +259,13 @@ private[graft] object TxSql {
     def rest(): String =
       if (eof) "<end>" else text.substring(toks(i).start).take(60)
 
+    /** the cursor points at ``txlog.`…``` (the PATH-surface table ref —
+      * the backtick distinguishes it from a catalog named "txlog"). */
+    def isTxPathRef: Boolean =
+      isKw("txlog") && i + 2 < toks.length &&
+        toks(i + 1).kind == 3 && toks(i + 1).text == "." &&
+        toks(i + 2).kind == 1
+
     /** ``txlog.`/root``` — the table reference. */
     def txTable(): String = {
       kw("txlog"); sym(".")
@@ -223,13 +332,56 @@ private[graft] object TxSql {
     else if (p.tryKw("OPTIMIZE")) parseOptimize(session, p)
     else if (p.tryKw("CONVERT")) parseConvert(session, p)
     else if (p.tryKw("SHOW")) parseShow(session, p)
+    else if (p.tryKw("ALTER")) parseAlter(session, p)
     else fail(s"unsupported txlog statement: ${p.rest()}")
+  }
+
+  // ALTER TABLE txlog.`root`
+  //   RENAME COLUMN a TO b            -> TxLog.renameColumnTx
+  //   DROP COLUMN a                   -> TxLog.dropColumnTx
+  //   ADD CONSTRAINT name CHECK (e)   -> TxLog.addCheckConstraintTx
+  //   DROP CONSTRAINT name            -> TxLog.dropCheckConstraintTx
+  // — the SQL twins of the Scala DDL-evolution front doors (metadata-only
+  // commits; one implementation, two surfaces)
+  private def parseAlter(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("TABLE")
+    val root = tableRoot(session, p)
+    val body: SparkSession => Long =
+      if (p.tryKw("RENAME")) {
+        p.kw("COLUMN")
+        val from = p.ident()
+        p.kw("TO")
+        val to = p.ident()
+        s => TxLog.renameColumnTx(s, root, from, to)
+      } else if (p.tryKw("ADD")) {
+        p.kw("CONSTRAINT")
+        val name = p.ident()
+        p.kw("CHECK")
+        val st = p.i
+        p.spanUntilBalanced()
+        val e = p.slice(st + 1, p.i - 1)
+        s => TxLog.addCheckConstraintTx(s, root, name, e)
+      } else if (p.tryKw("DROP")) {
+        if (p.tryKw("COLUMN")) {
+          val name = p.ident()
+          s => TxLog.dropColumnTx(s, root, name)
+        } else {
+          p.kw("CONSTRAINT")
+          val name = p.ident()
+          s => TxLog.dropCheckConstraintTx(s, root, name)
+        }
+      } else fail("ALTER TABLE on txlog tables supports RENAME COLUMN, " +
+        s"DROP COLUMN, ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT — " +
+        s"got: ${p.rest()}")
+    if (!p.eof) fail(s"trailing input after ALTER TABLE: ${p.rest()}")
+    TxSqlCommand(Seq(attr("version", LongType)),
+      s => Seq(Row(body(s))))
   }
 
   // MERGE INTO txlog.`root` [AS] t USING <src> [AS] s ON t.k = s.k WHEN ...
   private def parseMerge(session: SparkSession, p: P): LogicalPlan = {
     p.kw("INTO")
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     requireAlias(p, "t", "target")
     p.kw("USING")
     // source: (subquery) or a table/view identifier
@@ -290,6 +442,8 @@ private[graft] object TxSql {
       p.sym("(")
       var depth = 1
       while (depth > 0) {
+        if (p.eof) fail("unbalanced '(' — the statement ended inside a " +
+          "parenthesized group")
         if (p.isSym("(")) depth += 1
         else if (p.isSym(")")) depth -= 1
         p.i += 1
@@ -356,7 +510,7 @@ private[graft] object TxSql {
 
   // UPDATE txlog.`root` SET a = e, ... [WHERE cond]
   private def parseUpdate(session: SparkSession, p: P): LogicalPlan = {
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     p.kw("SET")
     val sets = parseAssignmentsText(p, () => p.isKw("WHERE"))
     val cond =
@@ -376,7 +530,7 @@ private[graft] object TxSql {
   // DELETE FROM txlog.`root` [WHERE cond]
   private def parseDelete(session: SparkSession, p: P): LogicalPlan = {
     p.kw("FROM")
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     val cond =
       if (p.tryKw("WHERE")) {
         val (st, end) = p.spanUntil(() => false)
@@ -393,7 +547,7 @@ private[graft] object TxSql {
   // RESTORE [TABLE] txlog.`root` TO VERSION AS OF n
   private def parseRestore(session: SparkSession, p: P): LogicalPlan = {
     p.tryKw("TABLE")
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     p.kw("TO"); p.kw("VERSION"); p.kw("AS"); p.kw("OF")
     val v = p.ident()
     val version =
@@ -407,8 +561,8 @@ private[graft] object TxSql {
   // DESCRIBE HISTORY|DETAIL txlog.`root`
   private def parseDescribe(session: SparkSession, p: P): LogicalPlan = {
     val df =
-      if (p.tryKw("HISTORY")) TxLog.history(session, p.txTable())
-      else if (p.tryKw("DETAIL")) TxLog.tableDetail(session, p.txTable())
+      if (p.tryKw("HISTORY")) TxLog.history(session, tableRoot(session, p))
+      else if (p.tryKw("DETAIL")) TxLog.tableDetail(session, tableRoot(session, p))
       else fail("DESCRIBE on txlog tables supports HISTORY and DETAIL")
     if (!p.eof) fail(s"trailing input after DESCRIBE: ${p.rest()}")
     df.queryExecution.logical
@@ -436,7 +590,7 @@ private[graft] object TxSql {
   // bundle (TxLog.maintainTx: dv-aware bin-pack + checkpoint + log
   // expiry + vacuum); n = the small-file byte threshold (default 128 MB)
   private def parseOptimize(session: SparkSession, p: P): LogicalPlan = {
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     // OPTIMIZE ... ZORDER BY (k1, k2[, ...]) [FILES n] — the
     // multi-dimensional clustering rewrite (TxLog.compactZorderTx)
     if (p.tryKw("ZORDER")) {
@@ -483,7 +637,7 @@ private[graft] object TxSql {
   // (metadata only; payload-derived above the header cap)
   private def parseShow(session: SparkSession, p: P): LogicalPlan = {
     p.kw("PARTITIONS")
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     if (!p.eof) fail(s"trailing input after SHOW PARTITIONS: ${p.rest()}")
     TxSqlCommand(
       Seq(attr("partition", org.apache.spark.sql.types.StringType)),
@@ -492,7 +646,7 @@ private[graft] object TxSql {
 
   // VACUUM txlog.`root` [RETAIN n HOURS]
   private def parseVacuum(session: SparkSession, p: P): LogicalPlan = {
-    val root = p.txTable()
+    val root = tableRoot(session, p)
     val minAgeMs =
       if (p.tryKw("RETAIN")) {
         val h = p.ident()

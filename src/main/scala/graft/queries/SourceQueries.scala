@@ -4481,6 +4481,264 @@ object SourceQueries {
            |  ${dsumSql("o_totalprice")} AS total_price
            |FROM txlog.`$root` GROUP BY o_orderpriority""".stripMargin)
         .withColumn("convert_ok", lit(1L))
+    },
+
+    // ---- q249: BATCH DATAFRAMEWRITER PATH (the write-side twin of
+    // q245): `df.write.format("txlog").mode(...).save(root)` routes to
+    // the transactional front doors — append = one transactional commit,
+    // overwrite = the ATOMIC full-table replace (absent partitions drop
+    // in the same commit; the reference's `to_sql(if_exists='replace')`,
+    // customer_analytics_dag.py:145-151, from the same one-liner
+    // ergonomics). Recorded partitioning wins, the column mapping and
+    // CHECK constraints enforce through the bare writer, and
+    // txnAppId/txnVersion rides the bounded writer-seq replay ledger —
+    // a replayed write lands exactly once, a column-losing write
+    // refuses loudly.
+    QueryDef.sql("q249_tx_batch_write",
+      s"""WITH base AS (
+         |  SELECT c_custkey, c_name, c_acctbal AS balance, c_mktsegment
+         |  FROM customer),
+         |mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |doubled AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT c_custkey + m, c_name, balance, c_mktsegment
+         |  FROM base, mx),
+         |live AS (SELECT * FROM doubled WHERE c_mktsegment <> 'BUILDING')
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("balance")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS write_ok
+         |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q249_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val n = cust.count()
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      // create through the bare writer (ledgered)
+      cust.write.format("txlog").partitionBy("c_mktsegment")
+        .option("txnAppId", "q249").option("txnVersion", "1")
+        .mode("overwrite").save(root)                              // v1
+      TxLog.renameColumnTx(s, root, "c_acctbal", "balance")        // v2
+      TxLog.addCheckConstraintTx(s, root, "bal_known",
+        "balance > -1000000")                                      // v3
+      // append under the LOGICAL name through the bare writer
+      val shifted = cust
+        .withColumn("c_custkey", col("c_custkey") + maxKey)
+        .withColumnRenamed("c_acctbal", "balance")
+      def appendShifted(): Unit =
+        shifted.write.format("txlog")
+          .option("txnAppId", "q249").option("txnVersion", "2")
+          .mode("append").save(root)                               // v4
+      appendShifted()
+      // the REPLAY of the same (appId, version) lands exactly once
+      appendShifted()
+      require(TxLog.readTable(s, root).count() == 2 * n,
+        "q249: the replayed append must not double-land")
+      require(TxLog.currentVersion(s, root) == 4L,
+        s"q249: replay must not commit (at " +
+          s"${TxLog.currentVersion(s, root)}, expected 4)")
+      // a column-losing write refuses loudly — here the CHECK constraint
+      // catches it first (its expression references the lost column, an
+      // unresolvable filter at stage time); without a constraint the
+      // additive schema guard refuses with "drops or retypes" (TxWriteSpec)
+      val lost =
+        try {
+          cust.select("c_custkey", "c_mktsegment").write.format("txlog")
+            .option("txnAppId", "q249").option("txnVersion", "3")
+            .mode("append").save(root)
+          false
+        } catch { case _: Exception => true }
+      require(lost && TxLog.currentVersion(s, root) == 4L,
+        "q249: a column-losing write must refuse loudly and commit nothing")
+      // a violating write refuses through the bare writer too
+      val violated =
+        try {
+          shifted.withColumn("balance", lit(-2000000.0)).limit(1)
+            .write.format("txlog").mode("append").save(root)
+          false
+        } catch { case e: Exception => e.getMessage.contains("bal_known") }
+      require(violated, "q249: a CHECK-violating write must refuse loudly")
+      // full overwrite: the BUILDING partition is absent from the new
+      // data and must DROP in the same commit
+      TxLog.readTable(s, root).filter(col("c_mktsegment") =!= "BUILDING")
+        .write.format("txlog").mode("overwrite").save(root)        // v5
+      require(!TxLog.partitionValues(s, root).contains("BUILDING"),
+        "q249: overwrite must drop the absent partition atomically")
+      // history intact: the pre-overwrite row count time-travels
+      require(s.read.format("txlog").option("versionAsOf", "4").load(root)
+          .count() == 2 * n,
+        "q249: versionAsOf=4 must serve the pre-overwrite table")
+      s.read.format("txlog").load(root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("balance")).as("total_bal"))
+        .withColumn("write_ok", lit(1L))
+    },
+
+    // ---- q250: NAMED-TABLE CATALOG (the DeltaCatalog-shaped final
+    // integration step): a TableCatalog plugin gives tables NAMES — the
+    // q246 statement chain runs with a catalog name replacing every
+    // txlog.`/path`, plus CTAS, SHOW TABLES, INSERT INTO/OVERWRITE by
+    // name, name-addressed time travel and ALTER — and the path and name
+    // surfaces are proven to hit the SAME table state (the metastore is
+    // one pointer file per table; the log IS the table).
+    QueryDef.sql("q250_tx_catalog",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |merged AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    CASE WHEN c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |         THEN c_acctbal * 2 ELSE c_acctbal END AS bal
+         |  FROM customer, mx
+         |  WHERE NOT (c_custkey > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |             AND c_acctbal < 0)
+         |  UNION ALL
+         |  SELECT c_custkey + m + 1000, c_mktsegment, c_acctbal
+         |  FROM customer, mx WHERE c_custkey < 50),
+         |updated AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey <= CAST(FLOOR(m / 8.0) AS BIGINT)
+         |         THEN bal + 10 ELSE bal END AS bal
+         |  FROM merged, mx),
+         |live AS (SELECT * FROM updated WHERE bal >= 0)
+         |SELECT c_mktsegment, COUNT(*) AS n_rows,
+         |  ${dsumSql("bal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS catalog_ok
+         |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val meta = scratch("q250_meta")
+      val loc = scratch("q250_tbl")
+      Seq(meta, loc).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      s.conf.set("spark.sql.catalog.gq250", "graft.plans.TxCatalog")
+      s.conf.set("spark.sql.catalog.gq250.root", meta)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq250.sales")
+      s.sql(s"CREATE TABLE gq250.sales.cust USING txlog LOCATION '$loc'")
+      require(s.sql("SHOW TABLES IN gq250.sales").collect()
+        .map(_.getString(1)).contains("cust"),
+        "q250: SHOW TABLES must list the registered table")
+      val cust = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val maxKey = cust.agg(max("c_custkey")).head.getLong(0)
+      // seed through the PATH surface, everything else through the NAME:
+      // two addresses, one state
+      TxLog.appendBatchTx(cust.filter(col("c_custkey") <= maxKey / 2),
+        loc, "c_mktsegment", "q250-b1")                             // v1
+      cust.filter(col("c_custkey") > maxKey / 2)
+        .createOrReplaceTempView("q250_rest")
+      s.sql("INSERT INTO gq250.sales.cust SELECT * FROM q250_rest") // v2
+      require(s.sql("SELECT COUNT(*) FROM gq250.sales.cust")
+        .head.getLong(0) == cust.count(),
+        "q250: name-addressed INSERT INTO must extend the path-seeded table")
+      cust.filter(col("c_custkey") > maxKey * 3 / 4)
+        .unionByName(cust.filter(col("c_custkey") < 50)
+          .withColumn("c_custkey", col("c_custkey") + maxKey + 1000))
+        .createOrReplaceTempView("q250_src")
+      // the q246 chain, name-addressed
+      s.sql(
+        """MERGE INTO gq250.sales.cust t USING q250_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.c_acctbal < 0 THEN DELETE
+          |WHEN MATCHED THEN
+          |  UPDATE SET c_acctbal = t.c_acctbal + s.c_acctbal
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)         // v3
+      s.sql(s"UPDATE gq250.sales.cust SET c_acctbal = c_acctbal + 10 " +
+        s"WHERE c_custkey <= ${maxKey / 8}")                        // v4
+      s.sql("DELETE FROM gq250.sales.cust WHERE c_acctbal < 0")     // v5
+      require(s.sql("DESCRIBE HISTORY gq250.sales.cust").count() == 5L,
+        "q250: name-addressed DESCRIBE HISTORY must see all 5 commits")
+      // time travel BY NAME serves the pre-DML state
+      require(s.sql("SELECT COUNT(*) FROM gq250.sales.cust VERSION AS OF 2")
+          .head.getLong(0) == cust.count(),
+        "q250: name-addressed VERSION AS OF must serve the pre-DML table")
+      // path/name equivalence on the final state
+      require(s.sql("SELECT COUNT(*) FROM gq250.sales.cust").head.getLong(0)
+          == TxLog.readTable(s, loc).count(),
+        "q250: the name and path surfaces must serve the same state")
+      // CTAS records schema + partitioning from the query
+      s.sql("CREATE TABLE gq250.sales.by_seg USING txlog PARTITIONED BY " +
+        "(c_mktsegment) AS SELECT c_mktsegment, c_acctbal FROM " +
+        "gq250.sales.cust")
+      require(s.sql("SELECT COUNT(*) FROM gq250.sales.by_seg")
+          .head.getLong(0) ==
+        s.sql("SELECT COUNT(*) FROM gq250.sales.cust").head.getLong(0),
+        "q250: CTAS must materialize the query")
+      s.sql(
+        s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+           |  ${dsumSql("c_acctbal")} AS total_bal
+           |FROM gq250.sales.cust GROUP BY c_mktsegment""".stripMargin)
+        .withColumn("catalog_ok", lit(1L))
+    },
+
+    // ---- q251: CDF SQL SURFACE — the `table_changes(...)` TVF (Delta's
+    // audit spelling): the batch change feed, previously options-only
+    // (readChangeFeed + startingVersion), is writable in pure SQL. The
+    // oracle replays the window's four change classes relationally:
+    // the MERGE's update pre/post images and inserts, the DELETE's
+    // delete rows.
+    QueryDef.sql("q251_tx_table_changes",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, YEAR(o_orderdate) AS o_year,
+         |    o_totalprice AS p FROM orders),
+         |mx AS (SELECT MAX(k) AS m FROM base),
+         |upd AS (SELECT k, o_year, p FROM base, mx
+         |        WHERE k > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)),
+         |ins AS (SELECT k + m + 1000 AS k, o_year, p FROM base, mx
+         |        WHERE k < 50),
+         |state AS (
+         |  SELECT k, o_year,
+         |    CASE WHEN k > CAST(FLOOR(m * 3 / 4.0) AS BIGINT)
+         |         THEN p + 1000 ELSE p END AS p
+         |  FROM base, mx
+         |  UNION ALL SELECT k, o_year, p FROM ins),
+         |changes AS (
+         |  SELECT 'update_preimage' AS change_type, p FROM upd
+         |  UNION ALL SELECT 'update_postimage', p + 1000 FROM upd
+         |  UNION ALL SELECT 'insert', p FROM ins
+         |  UNION ALL SELECT 'delete', p FROM state WHERE k % 10 = 3)
+         |SELECT change_type, COUNT(*) AS n_rows, ${dsumSql("p")} AS total,
+         |  CAST(1 AS BIGINT) AS tvf_ok
+         |FROM changes GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val root = scratch("q251_tx")
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice").as("p"))
+      val maxKey = base.agg(max("k")).head.getLong(0)
+      TxLog.appendBatchTx(base.filter(col("k") <= maxKey / 2),
+        root, "o_year", "q251-b1")                                  // v1
+      TxLog.appendBatchTx(base.filter(col("k") > maxKey / 2),
+        root, "o_year", "q251-b2")                                  // v2
+      val src = base.filter(col("k") > maxKey * 3 / 4)
+        .withColumn("p", col("p") + 1000.0)
+        .unionByName(base.filter(col("k") < 50)
+          .withColumn("k", col("k") + maxKey + 1000))
+      TxLog.mergeKeyedTx(s, root, src, "k", changeFeed = true)      // v3
+      TxLog.deleteWhereTx(s, root, col("k") % 10 === 3,
+        changeFeed = true)                                          // v4
+      // the TVF window (2, 4]: the merge's and delete's row-level feed
+      val out = s.sql(
+        s"""SELECT _change_type AS change_type, COUNT(*) AS n_rows,
+           |  ${dsumSql("p")} AS total
+           |FROM table_changes('txlog.`$root`', 2, 4)
+           |GROUP BY _change_type""".stripMargin)
+      // an empty window is an empty frame with the feed schema, not an
+      // error; a bounded window equals the unbounded tail
+      require(s.sql(s"SELECT * FROM table_changes('$root', 4)").isEmpty,
+        "q251: the post-final window must be empty")
+      require(s.sql(s"SELECT COUNT(*) FROM table_changes('$root', 2)")
+          .head.getLong(0) ==
+        s.sql(s"SELECT COUNT(*) FROM table_changes('$root', 2, 4)")
+          .head.getLong(0),
+        "q251: the bounded window must equal the unbounded tail")
+      out.withColumn("tvf_ok", lit(1L))
     }
   )
 }

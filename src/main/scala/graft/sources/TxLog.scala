@@ -714,7 +714,10 @@ object TxLog {
         chk.map(_.dvs).getOrElse(Map.empty: FileDvs))) {
       case ((acc, dv), c) =>
       c.op match {
-        case "overwrite" => (acc ++ c.parts, dv)
+        // an overwrite entry with an EMPTY file set DROPS the partition
+        // (the full-table-overwrite idiom, same shape as "restore"):
+        // the key still rides the commit's `touched` set for conflicts
+        case "overwrite" => ((acc ++ c.parts).filter(_._2.nonEmpty), dv)
         case "append" => (c.parts.foldLeft(acc) { case (a, (v, fs)) =>
           a.updated(v, a.getOrElse(v, Seq.empty) ++ fs) }, dv)
         case "remove" => (acc -- c.parts.keySet, dv)
@@ -812,8 +815,11 @@ object TxLog {
     commits.foreach { c =>
       c.op match {
         case "overwrite" =>
+          // empty file sets DROP their partitions (full-table overwrite):
+          // removedParts masks them payload-side, and filtering them out
+          // of the delta keeps enumeration (delta.keySet unions) clean
           removedParts ++= c.parts.keySet
-          delta = (delta -- c.parts.keySet) ++ c.parts
+          delta = (delta -- c.parts.keySet) ++ c.parts.filter(_._2.nonEmpty)
         case "append" => c.parts.foreach { case (v, fs) =>
           delta = delta.updated(v, delta.getOrElse(v, Seq.empty) ++ fs) }
         case "remove" =>
@@ -1211,6 +1217,23 @@ object TxLog {
         s"${vs.map(_._2).min}) — earlier history is expired")
     at.maxBy(_._1)._1
   }
+
+  /** Parse a user-facing timestamp OPTION value (`timestampAsOf`,
+    * `startingTimestamp`) to epoch millis: an all-digits string is epoch
+    * millis verbatim; anything else parses as a timestamp/date string in
+    * the session time zone — so `.option("timestampAsOf", "2026-01-01")`
+    * and SQL `TIMESTAMP AS OF '2026-01-01'` agree. */
+  private[graft] def tsOptionMillis(spark: SparkSession, s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else {
+      val zid = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), zid)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(sys.error(s"txlog: [$s] is not a timestamp — use " +
+          "'yyyy-MM-dd[ HH:mm:ss[.SSS]]' or epoch millis"))
+    }
 
   /** [[readTableAt]] keyed by wall-clock instead of version. */
   def readTableAsOf(spark: SparkSession, root: String,
@@ -1903,7 +1926,14 @@ object TxLog {
     * writes use, and one "overwrite" commit makes the dir a first-class
     * table: every front door — transactional writes, time travel, DML,
     * the SQL surface — works from version 1. Refuses a dir that already
-    * carries a log. Returns the committed version. */
+    * carries a log. Returns the committed version.
+    *
+    * Failure safety: the partition trees are VALIDATED (level names, the
+    * null-partition sentinel, parquet leaves, schema discovery) before
+    * any rename, so a malformed dir refuses with the source untouched —
+    * plain parquet reads of the original layout keep working. Should
+    * anything still fail after the move (e.g. a commit race), the trees
+    * rename BACK to the root before the error surfaces. */
   def convertParquetTx(spark: SparkSession, root: String,
                        partCols: Seq[String]): Long = {
     require(partCols.nonEmpty,
@@ -1920,35 +1950,80 @@ object TxLog {
       s"convertParquetTx: no ${partCols.head}=<value> partition dirs " +
         s"under $root — the dir must be Hive-partitioned by " +
         s"[${partCols.mkString(", ")}]")
+    // ---- validate BEFORE any rename: every failure below leaves the
+    // source dir exactly as found
+    val sentinel = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    var sawParquet = false
+    // d is a vetted level-(depth-1) partition dir; its children are
+    // level `depth` (the leaf level holds the parquet files)
+    def validate(d: Path, depth: Int): Unit =
+      if (depth == partCols.length) {
+        if (fs.listStatus(d).exists(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")))
+          sawParquet = true
+      } else fs.listStatus(d).filter(_.isDirectory).foreach { e =>
+        checkName(e.getPath.getName, depth)
+        validate(e.getPath, depth + 1)
+      }
+    def checkName(name: String, depth: Int): Unit = {
+      val parts = name.split("=", 2)
+      require(parts.length == 2 && parts(0) == partCols(depth),
+        s"convertParquetTx: dir level $depth under $root is [$name], " +
+          s"expected ${partCols(depth)}=<value> — not Hive-partitioned " +
+          s"by [${partCols.mkString(", ")}]")
+      require(parts(1) != sentinel,
+        s"convertParquetTx: null ${partCols(depth)} values cannot be " +
+          "transacted — rewrite them to a sentinel value first")
+    }
+    tops.foreach { st =>
+      checkName(st.getPath.getName, 0)
+      validate(st.getPath, 1)
+    }
+    require(sawParquet,
+      s"convertParquetTx: no parquet files under the partition dirs of " +
+        root)
+    // schema discovery pre-rename: one partition-discovering read over
+    // the original trees (footers only) — partition value types infer
+    // exactly as a fresh write would have recorded them
+    val discovered = spark.read.option("basePath", root)
+      .parquet(tops.map(_.getPath.toString).toIndexedSeq: _*).schema
+    partCols.foreach(c => require(discovered.fieldNames.contains(c),
+      s"convertParquetTx: [$c] is not a partition level of $root"))
+    // ---- the move (metadata-only renames), with a rename-back backstop
     val rel = s"data/txn-${java.util.UUID.randomUUID()}"
     val staging = new Path(root, rel)
     fs.mkdirs(staging)
-    tops.foreach { st =>
-      require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
-        s"convertParquetTx: rename of ${st.getPath} failed")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      tops.foreach { st =>
+        require(fs.rename(st.getPath, new Path(staging, st.getPath.getName)),
+          s"convertParquetTx: rename of ${st.getPath} failed")
+        moved += st.getPath
+      }
+      val parts = listStagedLeaves(fs, staging, rel, partCols)
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        discovered.filterNot(f => partCols.contains(f.name))
+          .map(_.copy(nullable = true)))
+      val partField = org.apache.spark.sql.types.StructType(
+        partCols.map(c => discovered(c).copy(nullable = true))).toDDL
+      val (stats, rows) =
+        if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
+          TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
+        else (Map.empty: FileStats, Map.empty: FileRows)
+      commit(spark, root,
+        Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField)),
+        "overwrite", readVersion = 0L)
+    } catch {
+      case e: Throwable =>
+        // restore the original layout: no log was written, so putting the
+        // trees back leaves a plain parquet dir exactly as found
+        moved.foreach { orig =>
+          fs.rename(new Path(staging, orig.getName), orig): Unit
+        }
+        fs.delete(staging, true): Unit
+        throw e
     }
-    val parts = listStagedLeaves(fs, staging, rel, partCols)
-    require(parts.valuesIterator.exists(_.nonEmpty),
-      s"convertParquetTx: no parquet files under the partition dirs of " +
-        root)
-    // schema discovery: one partition-discovering read over the adopted
-    // tree (footers only) — partition value types infer exactly as a
-    // fresh write would have recorded them
-    val discovered = spark.read.parquet(staging.toString).schema
-    partCols.foreach(c => require(discovered.fieldNames.contains(c),
-      s"convertParquetTx: [$c] is not a partition level of $root"))
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      discovered.filterNot(f => partCols.contains(f.name))
-        .map(_.copy(nullable = true)))
-    val partField = org.apache.spark.sql.types.StructType(
-      partCols.map(c => discovered(c).copy(nullable = true))).toDDL
-    val (stats, rows) =
-      if (spark.conf.getOption("graft.txlog.stats").forall(_.toBoolean))
-        TxStats.collect(spark, root, parts.values.flatten.toSeq, dataSchema)
-      else (Map.empty: FileStats, Map.empty: FileRows)
-    commit(spark, root,
-      Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField)),
-      "overwrite", readVersion = 0L)
   }
 
   def stage(df: DataFrame, root: String, partCols: Seq[String],
@@ -2404,6 +2479,45 @@ object TxLog {
     val spark = df.sparkSession
     commit(spark, root, stage(df, root, partCols, Nil, 0), "overwrite",
       readVersion = 0L)
+  }
+
+  /** Transactional FULL-TABLE overwrite — `df.write.mode("overwrite")` /
+    * the reference's `to_sql(if_exists='replace')` semantics
+    * (customer_analytics_dag.py:145-151): the staged partitions replace
+    * their file sets AND every live partition ABSENT from the staged
+    * data drops, in ONE commit (readers see the old table or the new,
+    * never a mix — unlike [[overwritePartitionsTx]], which leaves
+    * untouched partitions standing). The absent partitions ride the
+    * commit as empty "overwrite" entries (the same drop idiom as
+    * "restore"), so the commit's `touched` set claims the whole table:
+    * conflict-checked against its read version, any concurrent commit
+    * forces a re-derive of the absent set — a blind replace could
+    * silently keep a racing writer's fresh partition. The one
+    * O(partitions) driver artifact is the live-value enumeration, which
+    * a full replace cannot avoid (it is the thing being replaced);
+    * everything else stays file-list-free on the payload path. */
+  def overwriteTableTx(df: DataFrame, root: String, partCols: Seq[String],
+                       writerSeq: Option[(String, Long)] = None,
+                       maxAttempts: Int = 20): Long = {
+    val spark = df.sparkSession
+    val staged = stage(df, root, partCols, Nil, 0)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val exists = tableExists(spark, root)
+      val v0 = if (exists) currentVersion(spark, root) else 0L
+      val absent =
+        if (exists) partitionValues(spark, root) -- staged.parts.keySet
+        else Set.empty[String]
+      val full = staged.copy(parts = staged.parts ++
+        absent.map(_ -> Seq.empty[String]))
+      try return commit(spark, root, full, "overwrite", readVersion = v0,
+        conflictCheck = exists, writerSeq = writerSeq)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"TxLog.overwriteTableTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the " +
+      "caller")
   }
 
   /** Idempotent transactional batch append — the tx-log upgrade of
@@ -3921,9 +4035,18 @@ object TxLog {
                  smallBytes: Long, partType: DataType = StringType,
                  select: String => Boolean = _ => true,
                  vacuumAgeMs: Long = 3600000L,
-                 dvFraction: Double = 0.3): DataFrame = {
+                 dvFraction: Double = 0.3,
+                 sealLedger: Boolean = false,
+                 adopt: Option[(String, Long)] = None): DataFrame = {
     val (_, packed) = compactBinPackTx(spark, root, partCol, smallBytes,
       partType, select, dvFraction = dvFraction)
+    // opt-in ledger migration as part of the bundle: seal (+ adopt a
+    // writer-seq baseline), then the checkpoint below drops the b-lines
+    if (sealLedger) {
+      val (c0, cm0) = readLog(spark, root)
+      val already = c0.exists(_.sealedLedger) || cm0.exists(_.sealsBatches)
+      if (!already) sealBatchLedgerTx(spark, root, adopt): Unit
+    }
     val chkV = checkpoint(spark, root)
     val expired = expireLog(spark, root)
     val vacuumed = vacuum(spark, root, vacuumAgeMs)
@@ -4024,6 +4147,15 @@ object TxLog {
       if (sealedL) Set.empty[String]
       else chk.map(_.batchIds).getOrElse(Set.empty) ++
         commits.flatMap(_.batchId)
+    // the auto-seal NUDGE: a string-id ledger past the threshold is the
+    // table's one unbounded metadata row class — tell the operator the
+    // one-call fix instead of silently re-writing an ever-growing set
+    if (!sealedL && batchIds.size > sealNudgeIds(spark))
+      warnSink(s"TxLog.checkpoint: $root carries ${batchIds.size} string " +
+        s"batch ids (threshold ${sealNudgeIds(spark)}) — the ledger grows " +
+        "O(total batches) until sealed; quiesce the string-id writers and " +
+        "call TxLog.sealBatchLedgerTx (or maintainTx(sealLedger = true)) " +
+        "to migrate to the bounded writer-seq ledger")
     // the writer-seq ledger folds to each writer's latest entry —
     // O(writers) forever, however many batches the table has applied
     val writers = chk.map(_.writers).getOrElse(Map.empty) ++
@@ -4059,6 +4191,19 @@ object TxLog {
   private def chkParquetMin(spark: SparkSession): Int =
     spark.conf.getOption("graft.txlog.chkParquetMin").map(_.toInt)
       .getOrElse(DefaultChkParquetMin)
+
+  /** String-batch-id count past which [[checkpoint]] warns that the
+    * ledger should seal ([[sealBatchLedgerTx]]). Override per session
+    * with `graft.txlog.sealNudgeIds`. */
+  val DefaultSealNudgeIds = 4096
+  private def sealNudgeIds(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.sealNudgeIds").map(_.toInt)
+      .getOrElse(DefaultSealNudgeIds)
+
+  /** Operational-warning sink (stderr by default; swap in tests to
+    * observe nudges without scraping logs). */
+  private[graft] var warnSink: String => Unit =
+    msg => Console.err.println(s"WARN $msg")
 
   /** Commit cadence at which [[commit]] folds in a checkpoint
     * automatically (0 disables — manual [[checkpoint]] only). Override

@@ -42,6 +42,50 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     parts.length == 2 && parts.head.equalsIgnoreCase("txlog") &&
       parts(1).contains("/")
 
+  // table_changes first argument: a string literal naming a txlog PATH —
+  // 'txlog.`/root`' (the read-surface spelling) or a bare '/root'
+  private def tvfRoot(args: Seq[org.apache.spark.sql.catalyst.expressions
+      .Expression]): Option[String] =
+    args.headOption.collect {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v,
+          org.apache.spark.sql.types.StringType) if v != null =>
+        val s = v.toString
+        if (s.toLowerCase.startsWith("txlog."))
+          s.substring(6).stripPrefix("`").stripSuffix("`")
+        else s
+    }.filter(_.contains("/"))
+
+  private def tvfVersion(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
+        if v != null &&
+          (dt == org.apache.spark.sql.types.IntegerType ||
+           dt == org.apache.spark.sql.types.LongType) =>
+      v.toString.toLong
+    case other => sys.error(s"table_changes: $what must be an integer " +
+      s"version literal, got [$other]")
+  }
+
+  // the change-feed schema (for an EMPTY window): logical data columns
+  // (renames applied, tombstones dropped) ++ partition columns ++ the
+  // two change columns — the same derivation the provider's inferSchema
+  // uses for option-form CDF reads
+  private def cdfSchema(root: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val (data, ps) = TxLog.tableMeta(session, root)
+    val m = TxLog.tableMapping(session, root)
+    val logical = data.fields.toSeq.flatMap { f =>
+      m.get(f.name) match {
+        case Some("-") => None
+        case Some(l) => Some(f.copy(name = l))
+        case None => Some(f)
+      }
+    }
+    StructType(logical ++ ps.fields ++ Seq(
+      StructField("_change_type", StringType, false),
+      StructField("_commit_version", LongType, false)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       // SQL read surface: SELECT ... FROM txlog.`/root` — the
@@ -51,6 +95,40 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           if isTx(u.multipartIdentifier) && !u.isStreaming =>
         TxLog.readTable(session, u.multipartIdentifier(1))
           .queryExecution.analyzed
+
+      // SELECT ... FROM table_changes('txlog.`/root`', from [, to]) —
+      // the SQL form of the batch change feed (Delta's table_changes
+      // TVF): audits are writable in pure SQL, same readChangeFeed
+      // window semantics as the options form (an empty window is an
+      // empty frame with the feed schema). Claimed only for a PATH
+      // first argument — any other table_changes delegates to Spark.
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") &&
+            tvfRoot(tvf.functionArgs).isDefined =>
+        val root = tvfRoot(tvf.functionArgs).get
+        require(tvf.functionArgs.length == 2 || tvf.functionArgs.length == 3,
+          "table_changes: (table, startingVersion[, endingVersion]) — " +
+            s"got ${tvf.functionArgs.length} arguments")
+        val since = tvfVersion(tvf.functionArgs(1), "startingVersion")
+        val until =
+          if (tvf.functionArgs.length == 3)
+            Some(tvfVersion(tvf.functionArgs(2), "endingVersion"))
+          else None
+        TxLog.readChangeFeed(session, root, since, until)._1
+          .map { df =>
+            // serve the SAME column order as the options-form CDF read
+            // (data, partition, change columns) — one feed, two spellings
+            df.select(cdfSchema(root).fieldNames.toIndexedSeq.map(
+              org.apache.spark.sql.functions.col): _*)
+              .queryExecution.analyzed
+          }
+          .getOrElse {
+            session.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              cdfSchema(root)).queryExecution.analyzed
+          }
 
       // SELECT ... FROM txlog.`/root` VERSION AS OF n | TIMESTAMP AS OF t
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
@@ -124,26 +202,42 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           } else {
             opt("versionAsOf").map(_.toLong)
               .orElse(opt("timestampAsOf").map(ts =>
-                TxLog.versionAsOf(session, root, ts.toLong)))
+                TxLog.versionAsOf(session, root,
+                  TxLog.tsOptionMillis(session, ts))))
               .map(v => TxLog.readTableAt(session, root, v))
               .getOrElse(TxLog.readTable(session, root))
           }
-        val child = df.queryExecution.analyzed
-        val resolver = session.sessionState.conf.resolver
-        // re-key the substituted plan's columns onto the relation's
-        // attribute ids (name-matched; order may differ in CDF unions)
-        val aligned = r.output.map { out =>
-          val src = child.output.find(a => resolver(a.name, out.name))
-            .getOrElse(sys.error(s"txlog batch read: declared column " +
-              s"[${out.name}] is missing from the table plan at $root " +
-              s"(have: ${child.output.map(_.name).mkString(", ")})"))
-          require(org.apache.spark.sql.types.DataType
-              .equalsIgnoreNullability(src.dataType, out.dataType),
-            s"txlog batch read: column [${out.name}] resolved as " +
-              s"${out.dataType.catalogString} but the table plan serves " +
-              s"${src.dataType.catalogString} at $root")
-          Alias(src, out.name)(exprId = out.exprId)
-        }
-        Project(aligned, child)
+        align(r, root, df.queryExecution.analyzed)
+
+      // catalog-loaded tables (graft.plans.TxCatalog): the NAME surface
+      // mounts the same readTable/readTableAt plan as the path surface —
+      // one table state, two addresses
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.plans.TxNamedTable] =>
+        val nt = r.table.asInstanceOf[graft.plans.TxNamedTable]
+        val df = nt.asOfVersion
+          .map(v => TxLog.readTableAt(session, nt.root, v))
+          .getOrElse(TxLog.readTable(session, nt.root))
+        align(r, nt.root, df.queryExecution.analyzed)
     }
+
+  // re-key the substituted plan's columns onto the relation's attribute
+  // ids (name-matched; order may differ in CDF unions)
+  private def align(r: DataSourceV2Relation, root: String,
+                    child: LogicalPlan): LogicalPlan = {
+    val resolver = session.sessionState.conf.resolver
+    val aligned = r.output.map { out =>
+      val src = child.output.find(a => resolver(a.name, out.name))
+        .getOrElse(sys.error(s"txlog batch read: declared column " +
+          s"[${out.name}] is missing from the table plan at $root " +
+          s"(have: ${child.output.map(_.name).mkString(", ")})"))
+      require(org.apache.spark.sql.types.DataType
+          .equalsIgnoreNullability(src.dataType, out.dataType),
+        s"txlog batch read: column [${out.name}] resolved as " +
+          s"${out.dataType.catalogString} but the table plan serves " +
+          s"${src.dataType.catalogString} at $root")
+      Alias(src, out.name)(exprId = out.exprId)
+    }
+    Project(aligned, child)
+  }
 }

@@ -39,13 +39,97 @@ import graft.sources.{PartValueRow, TxLog}
   * here a downstream stream re-reads O(new commits), never O(table).
   */
 class TxSourceProvider extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "txlog"
 
   private def root(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       sys.error("txlog source: .load(<table root>) is required"))
+
+  /** BATCH WRITE path — `df.write.format("txlog").mode(...).save(root)`,
+    * the write-side twin of the batch read: [[TxStreamTable]] does not
+    * advertise BATCH_WRITE, so Spark's DataFrameWriter falls back to this
+    * V1 writer, which routes every mode to the transactional front doors
+    * (never a parallel implementation):
+    *
+    *   - `mode("append")` → one transactional append commit
+    *   - `mode("overwrite")` → [[TxLog.overwriteTableTx]], the atomic
+    *     full-table replace (the reference's `if_exists='replace'`)
+    *   - `mode("error")` / `mode("ignore")` → create-only semantics
+    *     against [[TxLog.tableExists]]
+    *
+    * The table's RECORDED partitioning wins once it exists (a mismatched
+    * `.partitionBy` refuses loudly); `.partitionBy(...)` is required when
+    * the write creates the table. CHECK constraints, the additive schema
+    * guard, and the column mapping all enforce inside stage/commit —
+    * one contract, every surface. Idempotent retries ride
+    * `.option("txnAppId", id).option("txnVersion", n)` (the Delta txn
+    * shape): a replay of the writer's current version lands exactly
+    * once; an older one refuses as stale. */
+  override def createRelation(ctx: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = data.sparkSession
+    def opt(k: String): Option[String] = parameters.collectFirst {
+      case (key, v) if key.equalsIgnoreCase(k) => v
+    }
+    val writeRoot = opt("path").getOrElse(sys.error(
+      "txlog write: .save(<table root>) or .option(\"path\", ...) is " +
+        "required"))
+    // .partitionBy columns arrive JSON-encoded under the V1-fallback key
+    val declared: Seq[String] = opt(
+      org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Seq.empty)
+    val writerSeq: Option[(String, Long)] =
+      (opt("txnAppId"), opt("txnVersion")) match {
+        case (Some(a), Some(v)) => Some((a, v.toLong))
+        case (None, None) => None
+        case _ => sys.error("txlog write: txnAppId and txnVersion must be " +
+          "set together — they key the idempotent replay ledger")
+      }
+    val exists = TxLog.tableExists(spark, writeRoot)
+    val recorded: Option[Seq[String]] =
+      if (exists) Some(TxLog.tableMeta(spark, writeRoot)._2.map(_.name).toSeq)
+      else None
+    recorded.foreach { r =>
+      require(declared.isEmpty || declared == r,
+        s"txlog write: partitionBy [${declared.mkString(", ")}] does not " +
+          s"match the table's recorded partitioning [${r.mkString(", ")}]")
+    }
+    val cols = recorded.getOrElse {
+      require(declared.nonEmpty, "txlog write: .partitionBy(...) is " +
+        "required when the write creates the table")
+      declared
+    }
+    def append(): Unit =
+      TxLog.commit(spark, writeRoot,
+        TxLog.stage(data, writeRoot, cols, Nil, 0), "append",
+        readVersion = 0L, writerSeq = writerSeq): Unit
+    mode match {
+      case SaveMode.Append => append()
+      case SaveMode.Overwrite =>
+        TxLog.overwriteTableTx(data, writeRoot, cols,
+          writerSeq = writerSeq): Unit
+      case SaveMode.ErrorIfExists =>
+        if (exists) sys.error(s"txlog write: $writeRoot already exists " +
+          "(SaveMode.ErrorIfExists) — use append or overwrite")
+        append()
+      case SaveMode.Ignore => if (!exists) append()
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType =
+        TxLog.readTable(spark, writeRoot).schema
+    }
+  }
 
   /** SINK side — `df.writeStream.format("txlog")`: every micro-batch is
     * one transactional commit under the (checkpoint-derived writerId,
@@ -89,7 +173,8 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
     // so relation output and rewritten child can never drift
     val pinned = Option(options.get("versionAsOf")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map(ts =>
-        TxLog.versionAsOf(spark, root(options), ts.toLong)))
+        TxLog.versionAsOf(spark, root(options),
+          TxLog.tsOptionMillis(spark, ts))))
     if (pinned.isDefined &&
         !Option(options.get("readChangeFeed")).exists(_.toBoolean))
       return TxLog.readTableAt(spark, root(options), pinned.get).schema
@@ -201,8 +286,11 @@ private final class TxSink(root: String, partCols: Seq[String],
         TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0),
           "append", readVersion = 0L, writerSeq = seq): Unit
       case m if m == org.apache.spark.sql.streaming.OutputMode.Complete() =>
-        TxLog.commit(spark, root, TxLog.stage(df, root, cols, Nil, 0),
-          "overwrite", readVersion = 0L, writerSeq = seq): Unit
+        // FULL-table replace: Complete output IS the entire result, so a
+        // partition absent from this batch must DROP (a group filtered
+        // out mid-stream), not stand stale — same family as the
+        // empty-batch truncate above
+        TxLog.overwriteTableTx(df, root, cols, writerSeq = seq): Unit
       case m if m == org.apache.spark.sql.streaming.OutputMode.Update() =>
         val key = mergeKey.getOrElse(sys.error("txlog sink: Update mode " +
           "upserts by key — set .option(\"mergeKey\", <column>)"))
@@ -251,8 +339,10 @@ private[streaming] final class TxStreamTable(tableSchema: StructType,
           // baseline — the stream delivers what lands after it)
           def starting: Long =
             Option(options.get("startingVersion")).map(_.toLong)
-              .orElse(Option(options.get("startingTimestamp")).map(ts =>
-                TxLog.versionAsOf(SparkSession.active, root, ts.toLong)))
+              .orElse(Option(options.get("startingTimestamp")).map { ts =>
+                val s = SparkSession.active
+                TxLog.versionAsOf(s, root, TxLog.tsOptionMillis(s, ts))
+              })
               .getOrElse(0L)
           if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
             new TxCdfMicroBatchStream(root, tableSchema, starting)

@@ -99,4 +99,43 @@ class TxBatchReadSpec extends SparkSpecBase {
     assert(empty.count() === 0L)
     assert(empty.columns.contains("_change_type"))
   }
+
+  test("table_changes TVF serves the same window as the options form; " +
+      "an empty window is an empty frame; non-path TVFs delegate") {
+    val root = freshRoot("tvf")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("part", "k", "v"),
+      root, "part", "tvf-b1")                                        // v1
+    TxLog.mergeKeyedTx(spark,
+      root, Seq(("a", 2L, 200.0), ("b", 4L, 40.0)).toDF("part", "k", "v"),
+      "k", changeFeed = true)                                        // v2
+    TxLog.deleteWhereTx(spark, root, col("k") === 1L,
+      changeFeed = true)                                             // v3
+    // both spellings of the first argument work
+    val viaTvf = spark.sql(
+      s"SELECT * FROM table_changes('txlog.`$root`', 1, 3)")
+    val viaOpt = spark.read.format("txlog")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "3").load(root)
+    assert(viaTvf.orderBy("_commit_version", "_change_type", "k")
+      .collect().toSeq ===
+      viaOpt.orderBy("_commit_version", "_change_type", "k")
+        .collect().toSeq)
+    val classes = viaTvf.select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(classes === Set("insert", "delete", "update_preimage",
+      "update_postimage"), classes.toString)
+    // empty window: empty frame WITH the feed schema
+    val empty = spark.sql(s"SELECT * FROM table_changes('$root', 3)")
+    assert(empty.isEmpty)
+    assert(empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"))
+    // a non-path table_changes is NOT ours — Spark owns the error
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('not_a_path', 1)")
+    }
+    assert(!e.getMessage.contains("txlog"), e.getMessage)
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.sources.TxLog
+import org.apache.spark.sql.functions._
+
+/** The named-table catalog ([[graft.plans.TxCatalog]]): names and paths
+  * are two ADDRESSES of one table state — every surface (SELECT, time
+  * travel, INSERT, DML statements, ALTER, SHOW) must hit the same
+  * transactional front doors the path surface uses. */
+class TxCatalogSpec extends SparkSpecBase {
+
+  private def tmp(tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-txcat/$tag"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    root
+  }
+
+  private lazy val wired: Unit = {
+    spark.conf.set("spark.sql.catalog.gcat", "graft.plans.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.root", tmp("metastore"))
+  }
+
+  test("CREATE TABLE ... LOCATION registers a pointer; name and path " +
+      "surfaces address the SAME state; SHOW TABLES lists it") {
+    wired
+    import spark.implicits._
+    val loc = tmp("t1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.sales")
+    spark.sql(s"CREATE TABLE gcat.sales.t1 USING txlog LOCATION '$loc'")
+    assert(spark.sql("SHOW TABLES IN gcat.sales")
+      .collect().map(_.getString(1)).contains("t1"))
+    // first write through the PATH surface...
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("b", 2L, 20.0)).toDF("part", "k", "v"),
+      loc, "part", "cat-b1")
+    // ...reads back through the NAME surface
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.sales.t1").head.getLong(0)
+      === 2L)
+    assert(spark.table("gcat.sales.t1").columns.toSet ===
+      Set("part", "k", "v"))
+    // INSERT INTO by name = a transactional append on the same log
+    // (table column order = data columns then partition columns last)
+    spark.sql("INSERT INTO gcat.sales.t1 SELECT CAST(3 AS BIGINT) AS k, " +
+      "30.0 AS v, 'c' AS part")
+    assert(TxLog.readTable(spark, loc).count() === 3L)
+    assert(TxLog.currentVersion(spark, loc) === 2L)
+    // name-addressed DML routes to the same front doors
+    spark.sql("UPDATE gcat.sales.t1 SET v = v + 1 WHERE k >= 2")
+    assert(TxLog.readTable(spark, loc).agg(sum("v")).head.getDouble(0)
+      === 10.0 + 21.0 + 31.0)
+    spark.sql("DELETE FROM gcat.sales.t1 WHERE part = 'b'")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.sales.t1").head.getLong(0)
+      === 2L)
+    // MERGE by name
+    Seq(("a", 1L, 100.0), ("d", 4L, 40.0)).toDF("part", "k", "v")
+      .createOrReplaceTempView("cat_src")
+    spark.sql("MERGE INTO gcat.sales.t1 t USING cat_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT SUM(v) FROM gcat.sales.t1").head.getDouble(0)
+      === 100.0 + 31.0 + 40.0)
+    // time travel by name (both spellings resolve through the catalog)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.sales.t1 VERSION AS OF 1")
+      .head.getLong(0) === 2L)
+    // DESCRIBE HISTORY / SHOW PARTITIONS by name
+    assert(spark.sql("DESCRIBE HISTORY gcat.sales.t1").count() === 5L)
+    assert(spark.sql("SHOW PARTITIONS gcat.sales.t1")
+      .collect().map(_.getString(0)).toSet === Set("a", "c", "d"))
+    // ALTER by name routes to the DDL front doors
+    spark.sql("ALTER TABLE gcat.sales.t1 RENAME COLUMN v TO amount")
+    assert(spark.table("gcat.sales.t1").columns.contains("amount"))
+    assert(TxLog.readTable(spark, loc).columns.contains("amount"))
+  }
+
+  test("CTAS records schema from the query data; INSERT OVERWRITE by " +
+      "name is the atomic full replace; DROP TABLE unregisters only") {
+    wired
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ctas")
+    spark.sql("CREATE TABLE gcat.ctas.t2 USING txlog PARTITIONED BY " +
+      "(part) AS SELECT 'a' AS part, 1L AS k UNION ALL " +
+      "SELECT 'b' AS part, 2L AS k")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.t2").head.getLong(0)
+      === 2L)
+    // the recorded partitioning came from PARTITIONED BY
+    val loc = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.plans.TxCatalog]
+      .locationOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("ctas"), "t2"))
+    assert(TxLog.tableMeta(spark, loc)._2.map(_.name) === Seq("part"))
+    // INSERT OVERWRITE = full replace: partition b drops (the existing
+    // table's column order is data-then-partition: k, part)
+    spark.sql("INSERT OVERWRITE gcat.ctas.t2 " +
+      "SELECT CAST(9 AS BIGINT) AS k, 'a' AS part")
+    assert(TxLog.partitionValues(spark, loc) === Set("a"))
+    assert(spark.sql("SELECT k FROM gcat.ctas.t2").head.getLong(0) === 9L)
+    // DROP TABLE removes the NAME; the table state stays on disk
+    spark.sql("DROP TABLE gcat.ctas.t2")
+    assert(!spark.sql("SHOW TABLES IN gcat.ctas")
+      .collect().map(_.getString(1)).contains("t2"))
+    assert(TxLog.readTable(spark, loc).count() === 1L)
+    // re-register at the same location: recorded partitioning wins
+    spark.sql(s"CREATE TABLE gcat.ctas.t2b USING txlog LOCATION '$loc'")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.t2b").head.getLong(0)
+      === 1L)
+  }
+
+  test("catalog statements on NON-graft catalogs delegate untouched; an " +
+      "unregistered table under our catalog is a loud NoSuchTable") {
+    wired
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("plain_v")
+    // spark_catalog names never claim (UPDATE on a view = Spark's error)
+    val e = intercept[Exception] {
+      spark.sql("UPDATE spark_catalog.default.nonexistent SET k = 1")
+    }
+    assert(!e.getMessage.contains("txlog SQL"), e.getMessage)
+    // our catalog + unknown table = OUR loud error
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE gcat.sales.never_made SET k = 1")
+    }
+    assert(e2.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e2.getMessage.contains("never_made"), e2.getMessage)
+  }
+}

@@ -2197,4 +2197,57 @@ class TxLogSpec extends SparkSpecBase {
     val err = intercept[Exception] { TxLog.restoreTx(spark, root, 4L) }
     assert(err.getMessage.contains("no longer restorable"), err.getMessage)
   }
+
+  test("auto-seal nudge: checkpoint warns past the string-id threshold, " +
+      "stays silent below; maintainTx(sealLedger=true) seals + adopts") {
+    val root = freshRoot("sealnudge")
+    import spark.implicits._
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prior = TxLog.warnSink
+    TxLog.warnSink = msg => captured.synchronized { captured += msg }: Unit
+    try {
+      spark.conf.set("graft.txlog.sealNudgeIds", "3")
+      (1 to 3).foreach { i =>
+        TxLog.appendBatchTx(Seq(("a", i.toLong)).toDF("part", "k"),
+          root, "part", s"nudge-b$i")
+      }
+      TxLog.checkpoint(spark, root)
+      assert(!captured.exists(_.contains("sealBatchLedgerTx")),
+        s"below the threshold the checkpoint must stay silent: $captured")
+      TxLog.appendBatchTx(Seq(("a", 99L)).toDF("part", "k"),
+        root, "part", "nudge-b4")
+      TxLog.checkpoint(spark, root)
+      assert(captured.exists(m => m.contains("sealBatchLedgerTx") &&
+        m.contains("4 string batch ids")),
+        s"past the threshold the checkpoint must name the fix: $captured")
+      // one-call migration via the maintenance bundle, with an adopted
+      // writer-seq baseline
+      TxLog.maintainTx(spark, root, "part", smallBytes = 1L << 20,
+        sealLedger = true, adopt = Some(("mig-writer", 4L))): Unit
+      // sealed: string-id writes refuse loudly...
+      val e = intercept[IllegalArgumentException] {
+        TxLog.appendBatchTx(Seq(("a", 100L)).toDF("part", "k"),
+          root, "part", "nudge-b5")
+      }
+      assert(e.getMessage.contains("SEALED"), e.getMessage)
+      // ...the adopted baseline replays idempotently...
+      val before = TxLog.readTable(spark, root).count()
+      TxLog.appendBatchSeqTx(Seq(("a", 4L)).toDF("part", "k"),
+        root, "part", "mig-writer", 4L)
+      assert(TxLog.readTable(spark, root).count() === before,
+        "an in-window replay at the adopted baseline must be a no-op")
+      // ...and the next seq lands
+      TxLog.appendBatchSeqTx(Seq(("a", 101L)).toDF("part", "k"),
+        root, "part", "mig-writer", 5L)
+      assert(TxLog.readTable(spark, root).count() === before + 1)
+      // the nudge never fires again: the sealed checkpoint has no b-lines
+      captured.clear()
+      TxLog.checkpoint(spark, root)
+      assert(!captured.exists(_.contains("sealBatchLedgerTx")),
+        s"a sealed ledger must not nudge: $captured")
+    } finally {
+      TxLog.warnSink = prior
+      spark.conf.unset("graft.txlog.sealNudgeIds")
+    }
+  }
 }

@@ -90,7 +90,19 @@ class TxModelSpec extends SparkSpecBase {
     snap(); check("seed")
 
     (1 to ops).foreach { i =>
-      rnd.nextInt(14) match {
+      rnd.nextInt(15) match {
+        case 14 => // FULL-table overwrite: kept subset + fresh rows IS
+          // the table afterward — absent partitions drop atomically
+          val kept = model.filter { case (k, _) => math.abs(k % 3) != 0 }
+          val fresh = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble
+          }.toMap
+          val next = kept ++ fresh
+          if (next.nonEmpty) {
+            TxLog.overwriteTableTx(df(next), root, Seq("part"))
+            model = next
+            snap()
+          }
         case 0 | 1 => // append fresh keys (ledger style follows the seal)
           val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
             val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble

@@ -273,4 +273,105 @@ class TxSqlSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("txlog SQL"), err.getMessage)
   }
+
+  test("the claim pre-filter is TARGET-position based: a txlog ref in a " +
+      "MERGE source or a string literal delegates to Spark") {
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("claim_tgt")
+    // MERGE into a NON-txlog target USING a txlog source: not ours —
+    // Spark owns the statement (and its error), never our txTable refusal
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO claim_tgt t USING (SELECT * FROM " +
+        "txlog.`/tmp/none`) s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(!e1.getMessage.contains("txlog SQL"), e1.getMessage)
+    // an UPDATE whose STRING LITERAL mentions txlog.`…` delegates too
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE claim_tgt SET s = 'see txlog.`/tmp/none`'")
+    }
+    assert(!e2.getMessage.contains("txlog SQL"), e2.getMessage)
+    // an unbalanced '(' in a claimed statement fails LOUDLY instead of
+    // spinning forever past the end of the token stream
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO txlog.`/tmp/none` t USING (SELECT 1 AS k " +
+        "s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(e3.getMessage.contains("unbalanced '('"), e3.getMessage)
+  }
+
+  test("ALTER TABLE: RENAME COLUMN / DROP COLUMN / ADD CONSTRAINT CHECK " +
+      "/ DROP CONSTRAINT route to the DDL front doors") {
+    val root = freshRoot("alter")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0, "keep"), ("b", 2L, 20.0, "keep"))
+        .toDF("part", "k", "v", "extra"),
+      root, "part", "alter-b1")                                      // v1
+    // RENAME: metadata-only, data reads under the new name
+    spark.sql(s"ALTER TABLE txlog.`$root` RENAME COLUMN v TO amount")
+    assert(TxLog.readTable(spark, root).columns.contains("amount"))
+    // ADD CONSTRAINT: existing rows validate; later violating writes refuse
+    spark.sql(s"ALTER TABLE txlog.`$root` ADD CONSTRAINT amt_pos " +
+      "CHECK (amount > 0)")
+    assert(TxLog.tableConstraints(spark, root).contains("amt_pos"))
+    val bad = intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(Seq(("a", 9L, -5.0, "x"))
+        .toDF("part", "k", "amount", "extra"), root, "part", "alter-bad")
+    }
+    assert(bad.getMessage.contains("amt_pos"), bad.getMessage)
+    // a constraint violated by EXISTING rows refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$root` ADD CONSTRAINT impossible " +
+        "CHECK (amount > 1000)")
+    }
+    assert(e.getMessage.contains("violate"), e.getMessage)
+    // DROP CONSTRAINT then the violating write lands
+    spark.sql(s"ALTER TABLE txlog.`$root` DROP CONSTRAINT amt_pos")
+    TxLog.appendBatchTx(Seq(("a", 9L, -5.0, "x"))
+      .toDF("part", "k", "amount", "extra"), root, "part", "alter-b2")
+    // DROP COLUMN tombstones the physical name
+    spark.sql(s"ALTER TABLE txlog.`$root` DROP COLUMN extra")
+    val cols = TxLog.readTable(spark, root).columns.toSeq
+    assert(!cols.contains("extra"), cols.mkString(", "))
+    assert(TxLog.readTable(spark, root).count() === 3L)
+    // malformed ALTER is OUR loud error; non-txlog ALTER delegates
+    val m = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$root` FROB COLUMN k")
+    }
+    assert(m.getMessage.contains("txlog SQL"), m.getMessage)
+    val d = intercept[Exception] {
+      spark.sql("ALTER TABLE not_a_real_table RENAME COLUMN a TO b")
+    }
+    assert(!d.getMessage.contains("txlog SQL"), d.getMessage)
+  }
+
+  test("CONVERT validates BEFORE any rename: a malformed dir refuses " +
+      "with the original layout untouched") {
+    import spark.implicits._
+    val root = freshRoot("convert-bad")
+    // level 0 is fine, level 1 is NOT the declared second column
+    Seq((1L, "a", "x", 1.0), (2L, "b", "y", 2.0)).toDF("k", "p1", "p2", "v")
+      .write.partitionBy("p1", "p2").parquet(root)
+    val before = spark.read.parquet(root).orderBy("k").collect().toSeq
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO TXLOG parquet.`$root` PARTITIONED BY (p1, zz)")
+    }
+    assert(e.getMessage.contains("zz=<value>") ||
+      e.getMessage.contains("not Hive-partitioned"), e.getMessage)
+    // the source dir is EXACTLY as it was: plain reads keep working, no
+    // staging dir, no log
+    assert(spark.read.parquet(root).orderBy("k").collect().toSeq === before)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_txlog")))
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .exists(_.getPath.getName.startsWith("data")),
+      "no staging dir may remain after a refused conversion")
+    // a wrong partition-column NAME at the top level refuses the same way
+    val e2 = intercept[Exception] {
+      spark.sql(s"CONVERT TO TXLOG parquet.`$root` PARTITIONED BY (nope)")
+    }
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    assert(spark.read.parquet(root).orderBy("k").collect().toSeq === before)
+  }
 }
