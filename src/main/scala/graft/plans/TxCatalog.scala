@@ -304,7 +304,8 @@ private[graft] final class TxNamedTable(tableName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.V1_BATCH_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
@@ -315,6 +316,15 @@ private[graft] final class TxNamedTable(tableName: String,
           "(SparkSession.builder().withExtensions(new " +
           "graft.plans.GraftExtensions)) — a bare scan would bypass the " +
           "table's column mapping and deletion vectors")
+      // `spark.readStream.table("cat.ns.t")` — the NAME surface of the
+      // streaming source: delegate to the path surface's micro-batch
+      // stream (same offsets-are-log-versions contract, same options:
+      // startingVersion/startingTimestamp/skipNonAppend/readChangeFeed)
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new graft.streaming.TxStreamTable(schema(), root)
+          .newScanBuilder(options).build()
+          .toMicroBatchStream(checkpointLocation)
     }
   }
 

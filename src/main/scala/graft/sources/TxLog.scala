@@ -794,7 +794,13 @@ object TxLog {
       // dvrows columns; a dv commit after the checkpoint overrides here
       dvDelta: FileDvs = Map.empty,
       // payload rows carrying a vector (0 skips dv discovery; -1 unknown)
-      ndvs: Long = -1L)
+      ndvs: Long = -1L,
+      // a DRIVER-shape restore landed after the payload crossing (the
+      // restore-vs-crossing race): the payload is fully superseded by
+      // the restore's inventory, which lives in deltaParts/deltaStats/
+      // deltaRows/dvDelta — payloadLiveDF serves zero rows until the
+      // next checkpoint folds everything into a fresh payload
+      payloadDead: Boolean = false)
 
   /** Fold post-checkpoint commits into a [[BigState]] delta — O(delta
     * commits) driver work whatever the payload size. A "restore" commit
@@ -804,6 +810,7 @@ object TxLog {
     * fold on top exactly as after a checkpoint). */
   private def foldBig(chk: Chk, commits: Seq[Commit]): BigState = {
     var payload = chk.payload.get
+    var payloadDead = false
     var baseValues = chk.partValues
     var baseNfiles = chk.nfiles
     var baseBytes = chk.bytes
@@ -850,17 +857,29 @@ object TxLog {
             // itself carries schema/mapping/constraints snapshots, so
             // the metadata lastOption derivations below stay correct)
             payload = name
+            payloadDead = false
             baseValues = None // derive payload-side (bigPartValues*)
             baseNfiles = nf; baseBytes = by; baseNdvs = nd
             removedParts = Set.empty; removedFiles = Set.empty
             delta = Map.empty; dvDelta = Map.empty
           case None =>
-            // unreachable by construction: a driver-shape restore refuses
-            // at commit() when the table is parquet-checkpointed (its
-            // parts map would have to driver-materialize the file list)
-            sys.error(s"commit v${c.version}: a driver-shape \"restore\" " +
-              "cannot follow a parquet checkpoint — no supported writer " +
-              "produces this log")
+            // a DRIVER-shape restore CAN land right after the payload
+            // crossing: the crossing checkpoint publishes no commit, so
+            // a restore staged against the driver representation can win
+            // the publish race however tightly commit() re-checks (the
+            // race spec finds this mechanically). Its commit carries the
+            // COMPLETE target inventory — live sets, stats, rows, dvs,
+            // metadata snapshots — so the payload is simply SUPERSEDED:
+            // mask it entirely, make the delta the restore's live sets,
+            // and the next checkpoint folds everything into a fresh
+            // payload. (The parts map is driver-small by construction —
+            // it was staged while the table was still driver-shape.)
+            payloadDead = true
+            removedParts = Set.empty; removedFiles = Set.empty
+            delta = c.parts.filter(_._2.nonEmpty)
+            dvDelta = c.dvs
+            baseValues = Some(delta.keySet)
+            baseNfiles = 0L; baseBytes = 0L; baseNdvs = 0L
         }
         case other => sys.error(s"commit v${c.version}: unknown op $other")
       }
@@ -878,7 +897,7 @@ object TxLog {
       baseNfiles, baseBytes,
       commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping),
       commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints),
-      dvDelta, baseNdvs)
+      dvDelta, baseNdvs, payloadDead)
   }
 
   /** Internal dispatch: driver-resident [[Snapshot]] for inline-
@@ -4402,6 +4421,9 @@ object TxLog {
   private[sources] def payloadLiveDF(spark: SparkSession, root: String,
                                      big: BigState): DataFrame = {
     var df = spark.read.parquet(s"$root/_txlog/${big.payload}")
+    // a driver-shape restore superseded the payload: serve its SCHEMA
+    // with zero rows (the restore's inventory lives in the delta)
+    if (big.payloadDead) return df.filter(lit(false))
     if (big.removedParts.nonEmpty)
       df = df.filter(not(col("part").isin(big.removedParts.toSeq: _*)))
     if (big.removedFiles.nonEmpty)

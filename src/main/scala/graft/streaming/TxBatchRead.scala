@@ -43,17 +43,21 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       parts(1).contains("/")
 
   // table_changes first argument: a string literal naming a txlog PATH —
-  // 'txlog.`/root`' (the read-surface spelling) or a bare '/root'
+  // 'txlog.`/root`' (the read-surface spelling), a bare '/root' — or a
+  // TxCatalog table name ('cat.ns.tbl'), resolved through its pointer
   private def tvfRoot(args: Seq[org.apache.spark.sql.catalyst.expressions
       .Expression]): Option[String] =
     args.headOption.collect {
       case org.apache.spark.sql.catalyst.expressions.Literal(v,
           org.apache.spark.sql.types.StringType) if v != null =>
-        val s = v.toString
-        if (s.toLowerCase.startsWith("txlog."))
-          s.substring(6).stripPrefix("`").stripSuffix("`")
-        else s
-    }.filter(_.contains("/"))
+        v.toString
+    }.flatMap { s =>
+      if (s.toLowerCase.startsWith("txlog."))
+        Some(s.substring(6).stripPrefix("`").stripSuffix("`"))
+          .filter(_.contains("/"))
+      else if (s.contains("/")) Some(s)
+      else graft.plans.TxSql.namedRoot(session, s.split('.').toSeq)
+    }
 
   private def tvfVersion(e: org.apache.spark.sql.catalyst.expressions
       .Expression, what: String): Long = e match {
@@ -118,10 +122,20 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           else None
         TxLog.readChangeFeed(session, root, since, until)._1
           .map { df =>
-            // serve the SAME column order as the options-form CDF read
-            // (data, partition, change columns) — one feed, two spellings
-            df.select(cdfSchema(root).fieldNames.toIndexedSeq.map(
-              org.apache.spark.sql.functions.col): _*)
+            // serve the SAME column ORDER as the options-form CDF read
+            // (data, partition, change columns) — one feed, two
+            // spellings. Names come from the FEED itself: a CAPPED
+            // window re-maps through the mapping AS OF the cap (its
+            // deterministic-replay contract), so the current-mapping
+            // names may not exist in it
+            val partNames = TxLog.tableMeta(session, root)._2
+              .map(_.name).toSet
+            val change = Seq("_change_type", "_commit_version")
+            val dataCols = df.columns.toSeq.filterNot(c =>
+              change.contains(c) || partNames.contains(c))
+            val ordered = dataCols ++
+              df.columns.toSeq.filter(partNames.contains) ++ change
+            df.select(ordered.map(org.apache.spark.sql.functions.col): _*)
               .queryExecution.analyzed
           }
           .getOrElse {

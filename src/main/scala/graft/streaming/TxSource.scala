@@ -308,8 +308,8 @@ private final class TxSink(root: String, partCols: Seq[String],
   }
 }
 
-private[streaming] final class TxStreamTable(tableSchema: StructType,
-                                             root: String)
+private[graft] final class TxStreamTable(tableSchema: StructType,
+                                         root: String)
     extends Table with SupportsRead {
   override def name(): String = s"txlog:$root"
   override def schema(): StructType = tableSchema

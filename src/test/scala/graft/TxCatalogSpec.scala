@@ -70,6 +70,13 @@ class TxCatalogSpec extends SparkSpecBase {
     spark.sql("ALTER TABLE gcat.sales.t1 RENAME COLUMN v TO amount")
     assert(spark.table("gcat.sales.t1").columns.contains("amount"))
     assert(TxLog.readTable(spark, loc).columns.contains("amount"))
+    // table_changes accepts the catalog NAME too (the Delta spelling) —
+    // same feed as the path form (windowed to the append-only prefix:
+    // the later DML here was written without change files)
+    assert(spark.sql("SELECT * FROM table_changes('gcat.sales.t1', 0, 2)")
+      .collect().toSet ===
+      spark.sql(s"SELECT * FROM table_changes('$loc', 0, 2)")
+        .collect().toSet)
   }
 
   test("CTAS records schema from the query data; INSERT OVERWRITE by " +
@@ -102,6 +109,37 @@ class TxCatalogSpec extends SparkSpecBase {
     spark.sql(s"CREATE TABLE gcat.ctas.t2b USING txlog LOCATION '$loc'")
     assert(spark.sql("SELECT COUNT(*) FROM gcat.ctas.t2b").head.getLong(0)
       === 1L)
+  }
+
+  test("readStream.table(name) follows the commit log like the path " +
+      "surface (offsets are log versions; appends stream exactly once)") {
+    wired
+    import spark.implicits._
+    val loc = tmp("stream-t")
+    val cp = tmp("stream-cp")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.str")
+    spark.sql(s"CREATE TABLE gcat.str.ev USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "k"),
+      loc, "part", "str-b1")                                         // v1
+    val q = spark.readStream.table("gcat.str.ev")
+      .groupBy("part").count()
+      .writeStream.format("memory").queryName("cat_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 1L, "b" -> 1L))
+      // a new commit arrives as exactly one incremental micro-batch
+      TxLog.appendBatchTx(Seq(("a", 3L)).toDF("part", "k"),
+        loc, "part", "str-b2")                                       // v2
+      q.processAllAvailable()
+      assert(spark.table("cat_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+        Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
   }
 
   test("catalog statements on NON-graft catalogs delegate untouched; an " +

@@ -1961,6 +1961,62 @@ class TxLogSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.txlog.chkParquetMin")
   }
 
+  test("a driver-shape restore that ESCAPES the payload re-check (chk " +
+      "written between re-check and publish) folds as a payload " +
+      "supersession — never a brick") {
+    // the race spec (TxRaceSpec) finds this interleaving mechanically;
+    // here the escaped-race log is reproduced DETERMINISTICALLY by
+    // transplanting the restore commit a pre-crossing clone produced
+    val root = freshRoot("restore-escape")
+    val clone = freshRoot("restore-escape-clone")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "re-b1")                                                       // v1
+    TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root, "part",
+      "re-b2")                                                       // v2
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(root), fs,
+      new org.apache.hadoop.fs.Path(clone), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the crossing happens at the REAL table...
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    try TxLog.checkpoint(spark, root)
+    finally spark.conf.unset("graft.txlog.chkParquetMin")
+    // ...while the restore lands against the still-driver-shape clone
+    // (identical log + identical rel file paths), then its commit file
+    // transplants into the crossed log — byte-exactly the state the
+    // escaped race publishes
+    assert(TxLog.restoreTx(spark, clone, 1L) === 3L)
+    val logOf = (r: String) => fs.listStatus(
+      new org.apache.hadoop.fs.Path(r, "_txlog"))
+      .map(_.getPath.getName).toSet
+    val newFiles = logOf(clone) -- logOf(root)
+    assert(newFiles.size === 1, s"expected one restore commit, got $newFiles")
+    val f = newFiles.head
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$clone/_txlog/$f"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/_txlog/$f"), false, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the payload is SUPERSEDED by the restore's inventory: reads, counts
+    // and enumeration serve the restore target, not a brick
+    assert(TxLog.readTable(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(TxLog.countRows(spark, root) === Some(1L))
+    assert(TxLog.partitionValues(spark, root) === Set("a"))
+    // the table keeps working: appends land, the next checkpoint folds
+    // everything into a fresh payload, reads survive it
+    TxLog.appendBatchTx(Seq(("c", 9L)).toDF("part", "k"), root, "part",
+      "re-b3")                                                       // v4
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    try TxLog.checkpoint(spark, root)
+    finally spark.conf.unset("graft.txlog.chkParquetMin")
+    assert(TxLog.readTable(spark, root).select("k")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 9L))
+    assert(TxLog.partitionValues(spark, root) === Set("a", "c"))
+  }
+
   test("streaming sink: Complete mode truncates when the result table " +
       "goes empty") {
     val base = freshRoot("complete-empty")

@@ -79,7 +79,17 @@ class TxRaceSpec extends SparkSpecBase {
       val slices = liveKeys.zipWithIndex.groupMap(_._2 % nThreads)(_._1)
       val ops: Seq[RaceOp] = (0 until nThreads).map { t =>
         val mine = slices.getOrElse(t, Seq.empty)
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
+          case 8 => // FULL-table overwrite racing everything: the commit
+            // claims every partition and conflict-rederives, so it lands
+            // as SOME serial point — content snaps to exactly its rows
+            val next = model.filter { case (k, _) => math.abs(k % 2) == 0 }
+              .concat(freshRows(1 + rnd.nextInt(2)))
+            RaceOp(s"fullow$t", () => {
+              if (next.nonEmpty)
+                TxLog.overwriteTableTx(df(next, vName), root,
+                  Seq("part")): Unit
+            }, Seq(_ => next))
           case 0 | 1 => // append a fresh key block (blind — always lands)
             val rows = freshRows(1 + rnd.nextInt(3))
             if (ledgerSealed)
