@@ -191,14 +191,20 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
     }
     val base = StructType(logical ++ ps.fields)
     // CDF mode (the Delta readChangeFeed stream): every row rides with
-    // its change class and commit version
-    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
-      StructType(base.fields ++ Seq(
+    // its change class and commit version. A CAPPED batch window
+    // (endingVersion) replays the schema and mapping AS OF the cap (its
+    // deterministic-replay contract) — a rename landing after the cap
+    // must not leak the current name into the declared schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      val asOfCap = Option(options.get("endingVersion")).map(_.toLong)
+        .map(v => TxLog.readTableAt(spark, root(options), v).schema)
+        .getOrElse(base)
+      StructType(asOfCap.fields ++ Seq(
         org.apache.spark.sql.types.StructField("_change_type",
           org.apache.spark.sql.types.StringType, false),
         org.apache.spark.sql.types.StructField("_commit_version",
           org.apache.spark.sql.types.LongType, false)))
-    else base
+    } else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -138,4 +138,34 @@ class TxBatchReadSpec extends SparkSpecBase {
     }
     assert(!e.getMessage.contains("txlog"), e.getMessage)
   }
+
+  test("a CAPPED change-feed window replays the column mapping AS OF " +
+      "the cap — a later rename must not leak into the declared schema") {
+    val root = freshRoot("cdfcap")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L, 10.0)).toDF("part", "k", "v"),
+      root, "part", "cap-b1")                                        // v1
+    TxLog.appendBatchTx(Seq(("b", 2L, 20.0)).toDF("part", "k", "v"),
+      root, "part", "cap-b2")                                        // v2
+    TxLog.renameColumnTx(spark, root, "v", "amount")                 // v3
+    // options form, capped before the rename: as-of-cap names, both
+    // appends as insert rows
+    val capped = spark.read.format("txlog")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "2")
+      .load(root)
+    assert(capped.columns.toSeq ===
+      Seq("k", "v", "part", "_change_type", "_commit_version"))
+    assert(capped.count() === 2L)
+    // the TVF form agrees
+    assert(spark.sql(s"SELECT * FROM table_changes('$root', 0, 2)")
+      .columns.toSeq === capped.columns.toSeq)
+    // the UNCAPPED window serves the CURRENT (end-mapping) names
+    val open = spark.read.format("txlog")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(root)
+    assert(open.columns.contains("amount") && !open.columns.contains("v"),
+      open.columns.mkString(","))
+    assert(open.count() === 2L)
+  }
 }

@@ -111,6 +111,30 @@ class TxCatalogSpec extends SparkSpecBase {
       === 1L)
   }
 
+  test("DataFrameWriterV2: writeTo(name).using(txlog).create / .append " +
+      "/ .overwrite ride the same front doors") {
+    wired
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.w2")
+    Seq(("a", 1L), ("b", 2L)).toDF("part", "k")
+      .writeTo("gcat.w2.t").using("txlog")
+      .partitionedBy(col("part")).create()                           // v1
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.w2.t").head.getLong(0)
+      === 2L)
+    Seq(("c", 3L)).toDF("part", "k").writeTo("gcat.w2.t").append()   // v2
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.w2.t").head.getLong(0)
+      === 3L)
+    // overwrite(lit(true)) = the atomic full replace
+    Seq(("d", 9L)).toDF("part", "k")
+      .writeTo("gcat.w2.t").overwrite(lit(true))                     // v3
+    val loc = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.plans.TxCatalog]
+      .locationOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("w2"), "t"))
+    assert(TxLog.partitionValues(spark, loc) === Set("d"))
+    assert(TxLog.readTableAt(spark, loc, 2L).count() === 3L)
+  }
+
   test("readStream.table(name) follows the commit log like the path " +
       "surface (offsets are log versions; appends stream exactly once)") {
     wired

@@ -225,4 +225,21 @@ class TxRaceSpec extends SparkSpecBase {
       "DRIVER representation (seed 42, no payload crossing)") {
     runConcurrent(seed = 42L, steps = 12)
   }
+
+  test("12 racing steps with AUTO-checkpoint crossings interleaving the " +
+      "writers (seed 99) — the restore-vs-crossing shape runs hot") {
+    // auto-checkpoints fire INSIDE the racing commits' retry loops, so
+    // payload crossings interleave with restores/overwrites at arbitrary
+    // points — the interleaving class that produced the driver-shape
+    // restore brick (now folded as a payload supersession)
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    spark.conf.set("graft.txlog.chkMaxHeaderValues", "2")
+    spark.conf.set("graft.txlog.autoCheckpointEvery", "3")
+    try runConcurrent(seed = 99L, steps = 12)
+    finally {
+      spark.conf.unset("graft.txlog.chkParquetMin")
+      spark.conf.unset("graft.txlog.chkMaxHeaderValues")
+      spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
 }
