@@ -2311,6 +2311,17 @@ object TxLog {
           if (c.op == "restore" && c.payloadChk.isDefined)
             throw new ConcurrentWriteException(c.version,
               Seq("<payload restore reset the table>"))
+          // a MAPPING-carrying meta commit (rename/constraint/seal)
+          // invalidates every snapshot-derived frame: the writer staged
+          // its columns and validated its constraints under the
+          // superseded metadata, and — meta commits carrying no parts —
+          // the overlap check below would let it slide into the TERMINAL
+          // schema guard instead of the retryable conflict its loop can
+          // re-derive from (the race fuzz found a rewrite racing a
+          // rename dying exactly there)
+          if (c.op == "meta" && c.mapping.isDefined)
+            throw new ConcurrentWriteException(c.version,
+              Seq("<table metadata>"))
           val overlap = c.touched intersect staged.touched
           if (overlap.nonEmpty)
             throw new ConcurrentWriteException(c.version, overlap.toSeq.sorted)

@@ -111,6 +111,32 @@ class TxCatalogSpec extends SparkSpecBase {
       === 1L)
   }
 
+  test("the admin statements work by name too: RESTORE, DESCRIBE " +
+      "DETAIL, OPTIMIZE, VACUUM") {
+    wired
+    import spark.implicits._
+    val loc = tmp("admin-t")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.adm")
+    spark.sql(s"CREATE TABLE gcat.adm.t USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), loc, "part",
+      "adm-b1")                                                      // v1
+    TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), loc, "part",
+      "adm-b2")                                                      // v2
+    assert(spark.sql("DESCRIBE DETAIL gcat.adm.t").count() === 1L)
+    val v = spark.sql("RESTORE TABLE gcat.adm.t TO VERSION AS OF 1")
+      .head.getLong(0)
+    assert(v === 3L)
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.adm.t").head.getLong(0)
+      === 1L)
+    val opt = spark.sql("OPTIMIZE gcat.adm.t").head
+    assert(opt.getLong(0) >= 3L) // version after the maintenance bundle
+    assert(spark.sql("VACUUM gcat.adm.t RETAIN 0 HOURS")
+      .head.getLong(0) >= 1L,
+      "vacuum by name must reclaim the restored-away files")
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.adm.t").head.getLong(0)
+      === 1L)
+  }
+
   test("DataFrameWriterV2: writeTo(name).using(txlog).create / .append " +
       "/ .overwrite ride the same front doors") {
     wired

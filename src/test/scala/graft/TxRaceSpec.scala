@@ -79,7 +79,44 @@ class TxRaceSpec extends SparkSpecBase {
       val slices = liveKeys.zipWithIndex.groupMap(_._2 % nThreads)(_._1)
       val ops: Seq[RaceOp] = (0 until nThreads).map { t =>
         val mine = slices.getOrElse(t, Seq.empty)
-        rnd.nextInt(9) match {
+        rnd.nextInt(11) match {
+          case 9 => // RENAME racing writers: meta commit, content-neutral
+            // (the step's own writers stage under the pre-step name; the
+            // column-mapping projection serves either name's files) —
+            // exercises the version-first/metadata-second discipline
+            RaceOp(s"rename$t", () => {
+              val cur = tableVName()
+              val nxt = if (cur == "v") "w" else "v"
+              try TxLog.renameColumnTx(spark, root, cur, nxt): Unit
+              catch { case e: Exception
+                  // a racing rename/restore may have moved the name, a
+                  // racing constraint may reference it — refusing is
+                  // legal, a clobber is not
+                  if e.getMessage != null &&
+                    (e.getMessage.contains("no column") ||
+                     e.getMessage.contains("already exists") ||
+                     e.getMessage.contains("references")) => () }
+            }, Seq(identity))
+          case 10 => // CHECK-constraint add+drop racing writers: the
+            // existing-rows validation scan and the meta commits race
+            // the appends/deletes (and trip the commit-time drift guard
+            // on them); all values satisfy it, so content-neutral
+            RaceOp(s"constraint$t", () => {
+              val cname = s"race_pos_${i}_$t"
+              val added =
+                try {
+                  TxLog.addCheckConstraintTx(spark, root, cname,
+                    s"${tableVName()} > -1000000")
+                  true
+                } catch { case e: Exception
+                    if e.getMessage != null &&
+                      // a racing rename can invalidate the expression's
+                      // column between derivation and validation
+                      (e.getMessage.contains("cannot be resolved") ||
+                       e.getMessage.contains("UNRESOLVED")) => false }
+              if (added) TxLog.dropCheckConstraintTx(spark, root,
+                cname): Unit
+            }, Seq(identity))
           case 8 => // FULL-table overwrite racing everything: the commit
             // claims every partition and conflict-rederives, so it lands
             // as SOME serial point — content snaps to exactly its rows
@@ -87,21 +124,23 @@ class TxRaceSpec extends SparkSpecBase {
               .concat(freshRows(1 + rnd.nextInt(2)))
             RaceOp(s"fullow$t", () => {
               if (next.nonEmpty)
-                TxLog.overwriteTableTx(df(next, vName), root,
+                TxLog.overwriteTableTx(df(next, tableVName()), root,
                   Seq("part")): Unit
             }, Seq(_ => next))
-          case 0 | 1 => // append a fresh key block (blind — always lands)
+          case 0 | 1 => // append a fresh key block (blind — always lands;
+            // the frame rebuilds under the CURRENT logical name per
+            // attempt, so a racing rename only costs a restage)
             val rows = freshRows(1 + rnd.nextInt(3))
             if (ledgerSealed)
               RaceOp(s"appendSeq$t", () =>
-                TxLog.appendBatchSeqTx(df(rows, vName), root, "part",
+                TxLog.appendBatchSeqTx(df(rows, tableVName()), root, "part",
                   s"r$seed-w$t", i.toLong): Unit,
                 Seq(_ ++ rows))
             else
               RaceOp(s"append$t", () => {
                 // a string-id append racing the SEAL may legally refuse
-                try TxLog.appendBatchTx(df(rows, vName), root, "part",
-                  s"r$seed-s$i-t$t"): Unit
+                try TxLog.appendBatchTx(df(rows, tableVName()), root,
+                  "part", s"r$seed-s$i-t$t"): Unit
                 catch { case e: IllegalArgumentException
                     if e.getMessage.contains("SEALED") => () }
               }, Seq(_ ++ rows, identity))
@@ -118,13 +157,17 @@ class TxRaceSpec extends SparkSpecBase {
               if (ks.nonEmpty)
                 TxLog.deleteWhereTx(spark, root, col("k").isin(ks: _*)): Unit
             }, Seq(_ -- ks))
-          case 4 => // update MY slice (+1000, disjoint from other threads)
+          case 4 => // update MY slice (+1000, disjoint from other threads;
+            // the SET key re-derives per attempt — a racing rename costs
+            // a loud "unknown column" restage, never a silent add-column)
             val ks = mine.take(1 + rnd.nextInt(2))
             val kset = ks.toSet
             RaceOp(s"upd$t", () => {
-              if (ks.nonEmpty)
+              if (ks.nonEmpty) {
+                val nm = tableVName()
                 TxLog.updateWhereTx(spark, root, col("k").isin(ks: _*),
-                  Map(vName -> (col(vName) + 1000.0))): Unit
+                  Map(nm -> (col(nm) + 1000.0))): Unit
+              }
             }, Seq(m => m.map { case (k, v) =>
               k -> (if (kset(k)) v + 1000.0 else v) }))
           case 5 => // content-neutral maintenance racing the writers
@@ -153,8 +196,25 @@ class TxRaceSpec extends SparkSpecBase {
 
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
       val threads = ops.map { op =>
-        new Thread(() => try op.run() catch {
-          case t: Throwable => errs.add(t): Unit
+        new Thread(() => {
+          var attempts = 0
+          var done = false
+          while (!done) {
+            try { op.run(); done = true }
+            catch {
+              // these guards are TERMINAL by contract — the caller
+              // restages under the CURRENT metadata; re-running the
+              // front door (which re-derives its frame) IS the restage
+              case e: IllegalArgumentException
+                  if attempts < 8 && e.getMessage != null &&
+                    (e.getMessage.contains(
+                       "constraints changed between stage and commit") ||
+                     e.getMessage.contains("drops or retypes") ||
+                     e.getMessage.contains("SET targets unknown column")) =>
+                attempts += 1
+              case t: Throwable => errs.add(t): Unit; done = true
+            }
+          }
         }, s"race-$seed-$i-${op.label}")
       }
       threads.foreach(_.start())
