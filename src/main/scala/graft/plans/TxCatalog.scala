@@ -319,12 +319,25 @@ private[graft] final class TxNamedTable(tableName: String,
       // `spark.readStream.table("cat.ns.t")` — the NAME surface of the
       // streaming source: delegate to the path surface's micro-batch
       // stream (same offsets-are-log-versions contract, same options:
-      // startingVersion/startingTimestamp/skipNonAppend/readChangeFeed)
+      // startingVersion/startingTimestamp/skipNonAppend). CDF-by-name
+      // (readChangeFeed) is rewritten by TxBatchReadRule BEFORE this
+      // point (the relation must carry the change columns, which
+      // loadTable's option-blind schema cannot); reaching here with the
+      // option set means the extensions are missing — refuse loudly
+      // rather than hand TxCdfMicroBatchStream a schema whose trailing
+      // fields are NOT the change columns (it would misalign the
+      // partition decode)
       override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
+          "txlog catalog CDF stream requires the graft extensions " +
+            "(SparkSession.builder().withExtensions(new " +
+            "graft.plans.GraftExtensions)) — without the rewrite the " +
+            "declared schema lacks _change_type/_commit_version")
         new graft.streaming.TxStreamTable(schema(), root)
           .newScanBuilder(options).build()
           .toMicroBatchStream(checkpointLocation)
+      }
     }
   }
 

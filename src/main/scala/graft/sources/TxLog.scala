@@ -2036,11 +2036,31 @@ object TxLog {
     } catch {
       case e: Throwable =>
         // restore the original layout: no log was written, so putting the
-        // trees back leaves a plain parquet dir exactly as found
-        moved.foreach { orig =>
-          fs.rename(new Path(staging, orig.getName), orig): Unit
+        // trees back leaves a plain parquet dir exactly as found. Every
+        // rename-back's RESULT matters: if any fails (dir re-created
+        // concurrently, transient FS error), the user's data is still
+        // UNDER STAGING — a recursive delete here would destroy it on the
+        // very path whose purpose is to leave the source untouched.
+        val stranded = moved.filterNot { orig =>
+          try fs.rename(new Path(staging, orig.getName), orig)
+          catch { case scala.util.control.NonFatal(_) => false }
         }
-        fs.delete(staging, true): Unit
+        if (stranded.isEmpty)
+          // all trees are back home; the staging dir is empty of them —
+          // delete NON-recursively so anything unexpectedly left inside
+          // survives (the delete fails loudly-but-harmlessly instead)
+          try fs.delete(staging, false): Unit
+          catch { case scala.util.control.NonFatal(_) =>
+            System.err.println(s"TxLog.convertParquetTx: could not " +
+              s"remove staging dir $staging (non-empty?) — original " +
+              "trees are restored; remove it by hand")
+          }
+        else
+          System.err.println(s"TxLog.convertParquetTx: FAILED to rename " +
+            s"${stranded.size} partition tree(s) back to $root " +
+            s"(${stranded.map(_.getName).mkString(", ")}) — the ORIGINAL " +
+            s"DATA for those trees is stranded under $staging; move it " +
+            "back by hand before retrying (nothing was deleted)")
         throw e
     }
   }
@@ -2541,10 +2561,19 @@ object TxLog {
         else Set.empty[String]
       val full = staged.copy(parts = staged.parts ++
         absent.map(_ -> Seq.empty[String]))
+      // conflict-check CREATES too (readVersion 0 conflicts with any
+      // commit): two racing creators must serialize — unchecked, the
+      // second "full replace" would keep the first writer's partitions
+      // (its absent set was derived from a not-yet-existing table) and
+      // readers could see a merged table NEITHER writer wrote
       try return commit(spark, root, full, "overwrite", readVersion = v0,
-        conflictCheck = exists, writerSeq = writerSeq)
+        conflictCheck = true, writerSeq = writerSeq)
       catch { case _: ConcurrentWriteException => () }
     }
+    // terminal exit: the staged files were never committed — reclaim them
+    // (commit() discards on ITS terminal paths; this loop's own exit must
+    // not strand a full table copy under data/)
+    discard(spark, root, staged)
     sys.error(s"TxLog.overwriteTableTx: $maxAttempts consecutive " +
       s"conflicts at $root — pathological contention, back off at the " +
       "caller")

@@ -73,19 +73,27 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   // the change-feed schema (for an EMPTY window): logical data columns
   // (renames applied, tombstones dropped) ++ partition columns ++ the
   // two change columns — the same derivation the provider's inferSchema
-  // uses for option-form CDF reads
-  private def cdfSchema(root: String): org.apache.spark.sql.types.StructType = {
+  // uses for option-form CDF reads. A CAPPED window (endingVersion)
+  // declares the schema AS OF THE CAP (the deterministic-replay
+  // contract every capped CDF surface honors): a rename landing after
+  // the cap must not leak the new name into even an EMPTY frame.
+  private def cdfSchema(root: String, until: Option[Long])
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val (data, ps) = TxLog.tableMeta(session, root)
-    val m = TxLog.tableMapping(session, root)
-    val logical = data.fields.toSeq.flatMap { f =>
-      m.get(f.name) match {
-        case Some("-") => None
-        case Some(l) => Some(f.copy(name = l))
-        case None => Some(f)
-      }
+    val base: Seq[StructField] = until match {
+      case Some(u) => TxLog.readTableAt(session, root, u).schema.fields.toSeq
+      case None =>
+        val (data, ps) = TxLog.tableMeta(session, root)
+        val m = TxLog.tableMapping(session, root)
+        data.fields.toSeq.flatMap { f =>
+          m.get(f.name) match {
+            case Some("-") => None
+            case Some(l) => Some(f.copy(name = l))
+            case None => Some(f)
+          }
+        } ++ ps.fields
     }
-    StructType(logical ++ ps.fields ++ Seq(
+    StructType(base ++ Seq(
       StructField("_change_type", StringType, false),
       StructField("_commit_version", LongType, false)))
   }
@@ -106,6 +114,18 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       // window semantics as the options form (an empty window is an
       // empty frame with the feed schema). Claimed only for a PATH
       // first argument — any other table_changes delegates to Spark.
+      //
+      // ==== DIVERGENCE FROM DELTA — READ THIS BEFORE PORTING SQL ====
+      // This TVF adopts Delta's NAME but graft's engine-wide window
+      // convention: `from` is an EXCLUSIVE BASELINE ("the version you
+      // already have"), so table_changes(t, 2, 4) reads the (2, 4]
+      // window — versions 3 and 4. Delta's table_changes(t, 2, 4)
+      // INCLUDES version 2. The exclusive baseline is uniform across
+      // every graft surface (streaming offsets ARE baselines, the
+      // options-form startingVersion, this TVF) — one convention, so
+      // the three spellings of the same feed always agree with each
+      // other; Delta SQL ported verbatim must pass `from - 1`. Also
+      // documented in README ("Change feed windows").
       case tvf: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableValuedFunction
           if tvf.name.length == 1 &&
@@ -141,7 +161,7 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
           .getOrElse {
             session.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              cdfSchema(root)).queryExecution.analyzed
+              cdfSchema(root, until)).queryExecution.analyzed
           }
 
       // SELECT ... FROM txlog.`/root` VERSION AS OF n | TIMESTAMP AS OF t
@@ -222,6 +242,30 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
               .getOrElse(TxLog.readTable(session, root))
           }
         align(r, root, df.queryExecution.analyzed)
+
+      // `spark.readStream.option("readChangeFeed", true).table(name)` —
+      // the NAME surface of the CDF stream. The catalog resolves the
+      // relation with the table's BATCH schema (data + partition columns
+      // — loadTable never sees read options), so the change columns must
+      // be grafted on here: swap in a [[TxStreamTable]] carrying the CDF
+      // schema (exactly what the provider's inferSchema hands the PATH
+      // surface), with fresh output attributes for `_change_type` /
+      // `_commit_version`. Without this, TxCdfMicroBatchStream's
+      // trailing-two-fields contract misaligns the partition decode.
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[graft.plans.TxNamedTable] &&
+            Option(s.extraOptions.get("readChangeFeed"))
+              .exists(_.toBoolean) =>
+        val nt = s.table.asInstanceOf[graft.plans.TxNamedTable]
+        val cdf = org.apache.spark.sql.types.StructType(
+          nt.schema().fields ++ Seq(
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("_commit_version",
+              org.apache.spark.sql.types.LongType, false)))
+        s.copy(table = new TxStreamTable(cdf, nt.root),
+          output = org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .toAttributes(cdf))
 
       // catalog-loaded tables (graft.plans.TxCatalog): the NAME surface
       // mounts the same readTable/readTableAt plan as the path surface —

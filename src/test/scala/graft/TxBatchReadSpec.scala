@@ -167,5 +167,13 @@ class TxBatchReadSpec extends SparkSpecBase {
     assert(open.columns.contains("amount") && !open.columns.contains("v"),
       open.columns.mkString(","))
     assert(open.count() === 2L)
+    // an EMPTY capped window declares the schema as of the cap too —
+    // the fallback frame must not leak the post-cap rename
+    val emptyCapped = spark.sql(
+      s"SELECT * FROM table_changes('$root', 2, 2)")
+    assert(emptyCapped.isEmpty)
+    assert(emptyCapped.columns.toSeq ===
+      Seq("k", "v", "part", "_change_type", "_commit_version"),
+      emptyCapped.columns.mkString(","))
   }
 }

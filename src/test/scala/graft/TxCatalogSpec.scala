@@ -192,6 +192,42 @@ class TxCatalogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("readStream.option(readChangeFeed).table(name) serves the CDF " +
+      "stream: change columns declared, partition values decoded, rows " +
+      "== the batch feed (the name/path CDF parity contract)") {
+    wired
+    import spark.implicits._
+    val loc = tmp("cdf-t")
+    val cp = tmp("cdf-cp")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.cdf")
+    spark.sql(s"CREATE TABLE gcat.cdf.ev USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+        .toDF("part", "k", "v"), loc, "part", "cdf-b1")              // v1
+    TxLog.updateWhereTx(spark, loc, col("k") === 2L,
+      Map("v" -> (col("v") + 5)), changeFeed = true)                 // v2
+    val q = spark.readStream.option("readChangeFeed", "true")
+      .table("gcat.cdf.ev")
+      .writeStream.format("memory").queryName("cat_cdf")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cat_cdf")
+      // the DECLARED stream schema carries the change columns (the bug:
+      // the catalog handed the batch schema through, so they were absent
+      // and the trailing-two-fields partition decode misaligned)
+      assert(got.columns.toSeq ===
+        Seq("k", "v", "part", "_change_type", "_commit_version"))
+      // partition values decode correctly (not dropped/misaligned)
+      assert(got.select("part").as[String].collect().toSet === Set("a", "b"))
+      val (batch, _) = TxLog.readChangeFeed(spark, loc, 0L)
+      val key = (df: org.apache.spark.sql.DataFrame) => df
+        .select("k", "v", "part", "_change_type", "_commit_version")
+        .collect().map(_.toSeq).toSet
+      assert(key(got) === key(batch.get))
+    } finally q.stop()
+  }
+
   test("catalog statements on NON-graft catalogs delegate untouched; an " +
       "unregistered table under our catalog is a loud NoSuchTable") {
     wired
