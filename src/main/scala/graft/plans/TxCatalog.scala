@@ -191,7 +191,24 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val location = locationOf(ident)
+    // AddColumns arrive as a batch (one ALTER TABLE ADD COLUMNS (...)
+    // statement = N changes) — commit them as ONE metadata commit
+    val adds = changes.collect { case ac: TableChange.AddColumn => ac }
+    adds.foreach { ac =>
+      require(ac.fieldNames().length == 1,
+        "TxCatalog: nested column adds are not supported")
+      require(ac.position() == null,
+        "TxCatalog: ADD COLUMN ... FIRST/AFTER is not supported — new " +
+          "columns append (the recorded order is the table's contract)")
+      require(ac.isNullable,
+        "TxCatalog: added columns must be nullable — existing rows " +
+          "NULL-backfill them")
+    }
+    if (adds.nonEmpty)
+      TxLog.addColumnsTx(spark, location,
+        adds.map(ac => ac.fieldNames()(0) -> ac.dataType()).toSeq): Unit
     changes.foreach {
+      case _: TableChange.AddColumn => () // committed above, as one batch
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "TxCatalog: nested column renames are not supported")
@@ -202,8 +219,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
           "TxCatalog: nested column drops are not supported")
         TxLog.dropColumnTx(spark, location, dc.fieldNames()(0)): Unit
       case other => sys.error(s"TxCatalog: unsupported ALTER TABLE " +
-        s"change $other — RENAME COLUMN and DROP COLUMN (plus the " +
-        "txlog.`path` ALTER statements for constraints) are supported")
+        s"change $other — ADD COLUMN, RENAME COLUMN and DROP COLUMN " +
+        "(plus the txlog.`path` ALTER statements for constraints) are " +
+        "supported")
     }
     loadTable(ident)
   }

@@ -27,7 +27,8 @@ import graft.sources.TxLog
   *   DESCRIBE DETAIL txlog.`/root`                    -- tableDetail
   *   VACUUM txlog.`/root` [RETAIN 24 HOURS]           -- vacuum
   *   ALTER TABLE txlog.`/root` RENAME COLUMN a TO b   -- renameColumnTx
-  *     | DROP COLUMN a | ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n
+  *     | DROP COLUMN a | ADD COLUMN a type | ADD COLUMNS (a type, ...)
+  *     | ADD CONSTRAINT n CHECK (e) | DROP CONSTRAINT n
   * }}}
   *
   * Injected via [[GraftExtensions]] (`injectParser`); every statement
@@ -160,11 +161,13 @@ private[graft] object TxSql {
             case "SHOW"     => isW(1, "PARTITIONS") && isNamedTx(2)
             case "ALTER"    => isW(1, "TABLE") && isNamedTx(2) &&
               // only the DDL set this engine supports — any other ALTER
-              // on a catalog table (ADD COLUMNS, SET TBLPROPERTIES...)
-              // delegates to Spark's own resolution
+              // on a catalog table (SET TBLPROPERTIES...) delegates to
+              // Spark's own resolution
               (0 until toks.length - 1).exists(j =>
                 (isW(j, "RENAME") && isW(j + 1, "COLUMN")) ||
                 (isW(j, "DROP") && isW(j + 1, "COLUMN")) ||
+                (isW(j, "ADD") && (isW(j + 1, "COLUMN") ||
+                                   isW(j + 1, "COLUMNS"))) ||
                 (isW(j, "ADD") && isW(j + 1, "CONSTRAINT")) ||
                 (isW(j, "DROP") && isW(j + 1, "CONSTRAINT")))
             case _          => false
@@ -339,6 +342,8 @@ private[graft] object TxSql {
   // ALTER TABLE txlog.`root`
   //   RENAME COLUMN a TO b            -> TxLog.renameColumnTx
   //   DROP COLUMN a                   -> TxLog.dropColumnTx
+  //   ADD COLUMN a type               -> TxLog.addColumnTx
+  //   ADD COLUMNS (a type, b type)    -> TxLog.addColumnsTx (one commit)
   //   ADD CONSTRAINT name CHECK (e)   -> TxLog.addCheckConstraintTx
   //   DROP CONSTRAINT name            -> TxLog.dropCheckConstraintTx
   // — the SQL twins of the Scala DDL-evolution front doors (metadata-only
@@ -354,13 +359,36 @@ private[graft] object TxSql {
         val to = p.ident()
         s => TxLog.renameColumnTx(s, root, from, to)
       } else if (p.tryKw("ADD")) {
-        p.kw("CONSTRAINT")
-        val name = p.ident()
-        p.kw("CHECK")
-        val st = p.i
-        p.spanUntilBalanced()
-        val e = p.slice(st + 1, p.i - 1)
-        s => TxLog.addCheckConstraintTx(s, root, name, e)
+        if (p.tryKw("COLUMN")) {
+          // ADD COLUMN name <type to end of statement>
+          val name = p.ident()
+          val st = p.i
+          if (p.eof) fail(s"ADD COLUMN $name: missing data type")
+          while (!p.eof) p.i += 1
+          val ddl = p.slice(st, p.i)
+          s => TxLog.addColumnTx(s, root, name,
+            s.sessionState.sqlParser.parseDataType(ddl))
+        } else if (p.tryKw("COLUMNS")) {
+          // ADD COLUMNS (a type, b type, ...) — ONE metadata commit
+          if (!p.isSym("(")) fail("ADD COLUMNS expects (name type, ...)")
+          val st = p.i
+          p.spanUntilBalanced()
+          val inner = p.slice(st + 1, p.i - 1)
+          s => {
+            val fields = org.apache.spark.sql.types.StructType
+              .fromDDL(inner)
+            TxLog.addColumnsTx(s, root,
+              fields.map(f => f.name -> f.dataType).toSeq)
+          }
+        } else {
+          p.kw("CONSTRAINT")
+          val name = p.ident()
+          p.kw("CHECK")
+          val st = p.i
+          p.spanUntilBalanced()
+          val e = p.slice(st + 1, p.i - 1)
+          s => TxLog.addCheckConstraintTx(s, root, name, e)
+        }
       } else if (p.tryKw("DROP")) {
         if (p.tryKw("COLUMN")) {
           val name = p.ident()
@@ -371,7 +399,8 @@ private[graft] object TxSql {
           s => TxLog.dropCheckConstraintTx(s, root, name)
         }
       } else fail("ALTER TABLE on txlog tables supports RENAME COLUMN, " +
-        s"DROP COLUMN, ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT — " +
+        s"DROP COLUMN, ADD COLUMN name type, ADD COLUMNS (...), " +
+        s"ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT — " +
         s"got: ${p.rest()}")
     if (!p.eof) fail(s"trailing input after ALTER TABLE: ${p.rest()}")
     TxSqlCommand(Seq(attr("version", LongType)),

@@ -4739,6 +4739,90 @@ object SourceQueries {
           .head.getLong(0),
         "q251: the bounded window must equal the unbounded tail")
       out.withColumn("tvf_ok", lit(1L))
+    },
+
+    // ---- q252: ALTER TABLE ADD COLUMN — a METADATA-ONLY additive
+    // evolution (TxLog.addColumnTx): the column is DECLARED before any
+    // data carries it (the reference's warehouse DDL declares columns
+    // ahead of data, init_db.py:35-122); pre-add rows NULL-backfill on
+    // read, time travel pre-add serves the old schema, the change feed
+    // NULL-backfills across the add, renames compose, and both the PATH
+    // and catalog-NAME SQL surfaces route to the same front door.
+    QueryDef.sql("q252_tx_add_column",
+      s"""WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+         |half1 AS (
+         |  SELECT c_acctbal AS bal, CAST(NULL AS VARCHAR) AS level
+         |  FROM customer, mx
+         |  WHERE c_custkey <= CAST(FLOOR(m / 2.0) AS BIGINT)),
+         |half2 AS (
+         |  SELECT c_acctbal AS bal,
+         |    CASE WHEN c_acctbal >= 5000 THEN 'gold' ELSE 'std' END AS level
+         |  FROM customer, mx
+         |  WHERE c_custkey > CAST(FLOOR(m / 2.0) AS BIGINT)),
+         |allr AS (SELECT * FROM half1 UNION ALL SELECT * FROM half2)
+         |SELECT level, COUNT(*) AS n_rows, ${dsumSql("bal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS add_ok
+         |FROM allr GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val meta = scratch("q252_meta")
+      val root = scratch("q252_tbl")
+      Seq(meta, root).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val maxKey = cust.agg(max("k")).head.getLong(0)
+      TxLog.appendBatchTx(cust.filter(col("k") <= maxKey / 2),
+        root, "seg", "q252-b1")                                     // v1
+      // ADD COLUMN via the PATH SQL surface: metadata-only commit
+      s.sql(s"ALTER TABLE txlog.`$root` ADD COLUMN tier STRING")    // v2
+      val afterAdd = TxLog.readTable(s, root)
+      require(afterAdd.columns.toSeq == Seq("k", "bal", "tier", "seg"),
+        s"q252: post-add schema ${afterAdd.columns.mkString(",")}")
+      require(afterAdd.filter(col("tier").isNotNull).isEmpty,
+        "q252: pre-add rows must NULL-backfill the added column")
+      // time travel PRE-add serves the old schema
+      require(TxLog.readTableAt(s, root, 1L).columns.toSeq ==
+        Seq("k", "bal", "seg"),
+        "q252: time travel pre-add must serve the old schema")
+      // post-add writers carry the declared column (the additive guard
+      // keeps refusing writers that silently LOST a column)
+      TxLog.appendBatchTx(
+        cust.filter(col("k") > maxKey / 2).withColumn("tier",
+          when(col("bal") >= 5000, "gold").otherwise("std"))
+          .select("k", "bal", "tier", "seg"),
+        root, "seg", "q252-b2")                                     // v3
+      // rename COMPOSES with the add (metadata-only on metadata-only)
+      s.sql(s"ALTER TABLE txlog.`$root` RENAME COLUMN tier TO level") // v4
+      // the catalog NAME surface routes ADD COLUMNS to the same front
+      // door — one statement, ONE commit, N columns
+      s.conf.set("spark.sql.catalog.gq252", "graft.plans.TxCatalog")
+      s.conf.set("spark.sql.catalog.gq252.root", meta)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq252.ev")
+      s.sql(s"CREATE TABLE gq252.ev.cust USING txlog LOCATION '$root'")
+      s.sql("ALTER TABLE gq252.ev.cust ADD COLUMNS " +
+        "(bonus DOUBLE, note STRING)")                              // v5
+      val full = s.table("gq252.ev.cust")
+      require(full.columns.toSeq ==
+        Seq("k", "bal", "level", "bonus", "note", "seg"),
+        s"q252: final schema ${full.columns.mkString(",")}")
+      require(full.filter(col("bonus").isNotNull
+          || col("note").isNotNull).isEmpty,
+        "q252: freshly added columns must read NULL everywhere")
+      // CDF ACROSS the add: both append windows replay as inserts under
+      // the END schema, pre-add window NULL-backfilled
+      val (feed, _) = TxLog.readChangeFeed(s, root, 0L)
+      val classes = feed.get.select("_change_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(classes == Set("insert"), s"q252: CDF classes $classes")
+      require(feed.get.filter(col("_commit_version") === 1L)
+          .filter(col("level").isNotNull).isEmpty,
+        "q252: the pre-add CDF window must NULL-backfill the added column")
+      full.groupBy("level")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("bal")).as("total_bal"))
+        .withColumn("add_ok", lit(1L))
     }
   )
 }

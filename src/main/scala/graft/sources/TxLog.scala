@@ -2082,6 +2082,14 @@ object TxLog {
     // constrained warehouse pays; a violating batch refuses before any
     // metadata changes (the staged files are never committed)
     constraints0.foreach { case (name, e) =>
+      // a writer missing a CONSTRAINED column gets this loud refusal
+      // (not the probe's raw unresolved-column AnalysisException); an
+      // unconstrained subset writer still reaches commit's schema guard
+      val missing = constraintRefs(spark, e) -- df.columns.toSet
+      require(missing.isEmpty,
+        s"TxLog.stage: the staged data does not carry " +
+          s"[${missing.mkString(", ")}], referenced by CHECK constraint " +
+          s"[$name] ($e) — a writer must carry every constrained column")
       require(df.filter(not(coalesce(expr(e), lit(true)))).isEmpty,
         s"TxLog.stage: CHECK constraint [$name] ($e) is violated by the " +
           "staged data — fix the writer or drop the constraint")
@@ -2095,6 +2103,14 @@ object TxLog {
           require(!tomb(c), s"TxLog.stage: column [$c] reuses a DROPPED " +
             "physical column's name — old files would resurrect under " +
             "it; pick a different logical name")
+          // a NEW logical column shadowing a RENAMED-AWAY physical name
+          // would land its files under that physical column and read
+          // back as the OLD logical column — refuse, like the tombstone
+          require(reverse.contains(c) ||
+              !mapping0.get(c).exists(l => l != "-" && l != c),
+            s"TxLog.stage: column [$c] shadows the renamed physical " +
+              s"column [$c → ${mapping0.getOrElse(c, c)}] — its data " +
+              "would fold into that column; pick a different name")
         }
         d.select(d.columns.toSeq.map(c =>
           col(c).as(reverse.getOrElse(c, c))): _*)
@@ -2724,6 +2740,79 @@ object TxLog {
       catch { case _: ConcurrentWriteException => () }
     }
     sys.error(s"renameColumnTx: $maxAttempts consecutive conflicts at " +
+      s"$root — pathological contention, back off at the caller")
+  }
+
+  /** Transactional ADD COLUMN — a METADATA-ONLY commit declaring an
+    * additive evolution BEFORE any data carries it (the Delta `ALTER
+    * TABLE ... ADD COLUMN` move; the reference's warehouse DDL likewise
+    * declares columns ahead of data, init_db.py:35-122): the recorded
+    * schema gains the field, every existing file NULL-backfills it on
+    * read (the same contract write-time additive evolution already
+    * uses), time travel to a pre-add version serves the old schema, and
+    * the change feed NULL-backfills it across historical windows.
+    * Without this front door a migrating user had to push a dummy data
+    * batch to introduce a column.
+    *
+    * The new column's PHYSICAL name is its logical name, so it must not
+    * collide with any live logical name, any recorded physical name
+    * (a renamed-away physical would silently fold the new column's
+    * future data into the OLD column), or a tombstoned physical name
+    * (old files' data would resurrect under it) — the same refusals
+    * [[stage]] applies to write-time evolution. Partition columns are
+    * structural and cannot be added post-hoc. */
+  def addColumnTx(spark: SparkSession, root: String, name: String,
+                  dataType: org.apache.spark.sql.types.DataType,
+                  maxAttempts: Int = 20): Long =
+    addColumnsTx(spark, root, Seq(name -> dataType), maxAttempts)
+
+  /** N-column [[addColumnTx]] — ONE metadata commit for the whole ALTER
+    * (a reader sees all the new columns or none). */
+  def addColumnsTx(spark: SparkSession, root: String,
+                   cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+                   maxAttempts: Int = 20): Long = {
+    require(cols.nonEmpty, "addColumnsTx: no columns to add")
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"addColumnsTx: duplicate column names " +
+        s"[${cols.map(_._1).mkString(", ")}]")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // version FIRST, metadata second (the meta-commit lost-update
+      // discipline): stale metadata conflicts and re-derives instead of
+      // clobbering a racing rename/drop
+      val v0 = currentVersion(spark, root)
+      val (phys, mapping, partNames) = ddlState(spark, root, "addColumnsTx")
+      def logicalOf(p: String) = mapping.getOrElse(p, p)
+      val live = phys.map(_.name)
+        .filterNot(p => mapping.get(p).contains("-"))
+      cols.foreach { case (name, _) =>
+        require(!partNames.contains(name),
+          s"addColumnsTx: [$name] is a partition column — partitioning " +
+            "is structural; rebuild the table to change it")
+        require(!live.exists(p => logicalOf(p) == name),
+          s"addColumnsTx: column [$name] already exists at $root")
+        require(!mapping.get(name).contains("-"),
+          s"addColumnsTx: [$name] reuses a DROPPED physical column's " +
+            "name — old files would resurrect under it; pick a " +
+            "different name")
+        require(!phys.fieldNames.contains(name),
+          s"addColumnsTx: [$name] shadows the renamed-away physical " +
+            s"column [$name → ${logicalOf(name)}] — new data would fold " +
+            "into the old column; pick a different name")
+      }
+      val nextSchema = org.apache.spark.sql.types.StructType(
+        phys ++ cols.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+      // a meta commit SNAPSHOTS the mapping — carry the current one so
+      // the add never clobbers a live rename/drop
+      try return commit(spark, root,
+        Staged(Map.empty, schema = Some(nextSchema.toDDL),
+          mapping = Some(mapping)),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"addColumnsTx: $maxAttempts consecutive conflicts at " +
       s"$root — pathological contention, back off at the caller")
   }
 

@@ -2306,4 +2306,84 @@ class TxLogSpec extends SparkSpecBase {
       spark.conf.unset("graft.txlog.sealNudgeIds")
     }
   }
+
+  test("addColumnTx declares a column ahead of data: NULL backfill, " +
+      "refusals (exists/partition/tombstone/renamed-shadow), constraint " +
+      "and drop interactions, subset writers stay refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("addcol")
+    TxLog.appendBatchTx(Seq(("a", 1L, 10.0), ("b", 2L, 20.0))
+      .toDF("part", "k", "v"), root, "part", "ac-b1")               // v1
+    TxLog.addColumnTx(spark, root, "note",
+      org.apache.spark.sql.types.StringType)                        // v2
+    // metadata-only: pre-add rows NULL-backfill; schema appends
+    val t = TxLog.readTable(spark, root)
+    assert(t.columns.toSeq === Seq("k", "v", "note", "part"))
+    assert(t.filter(col("note").isNotNull).isEmpty)
+    // refusals: existing column, partition column, duplicate in one call
+    assert(intercept[IllegalArgumentException] {
+      TxLog.addColumnTx(spark, root, "v",
+        org.apache.spark.sql.types.DoubleType)
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.addColumnTx(spark, root, "part",
+        org.apache.spark.sql.types.StringType)
+    }.getMessage.contains("partition column"))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.addColumnsTx(spark, root, Seq(
+        "x" -> org.apache.spark.sql.types.LongType,
+        "x" -> org.apache.spark.sql.types.StringType))
+    }.getMessage.contains("duplicate"))
+    // a SUBSET writer (not carrying the declared column) stays refused —
+    // indistinguishable from one that silently lost it
+    val subset = TxLog.stage(Seq(("a", 4L, 40.0)).toDF("part", "k", "v"),
+      root, "part")
+    assert(intercept[IllegalArgumentException] {
+      TxLog.commit(spark, root, subset, "append", readVersion = 0L)
+    }.getMessage.contains("schema"))
+    // a constraint may reference the added column; writers then carry it
+    TxLog.addCheckConstraintTx(spark, root, "note_len",
+      "length(note) < 10")                                          // v3
+    intercept[IllegalArgumentException] {
+      TxLog.appendBatchTx(Seq(("a", 3L, 30.0, "waaaaay too long"))
+        .toDF("part", "k", "v", "note"), root, "part", "ac-bad")
+    }
+    TxLog.appendBatchTx(Seq(("a", 3L, 30.0, "ok"))
+      .toDF("part", "k", "v", "note"), root, "part", "ac-b2")       // v4
+    // a subset writer missing a CONSTRAINED column refuses at STAGE
+    // time with the constraint named (not a raw unresolved-column error)
+    assert(intercept[IllegalArgumentException] {
+      TxLog.stage(Seq(("a", 5L, 50.0)).toDF("part", "k", "v"),
+        root, "part")
+    }.getMessage.contains("note_len"))
+    // drop the added column (constraint first — it references it) →
+    // its name is tombstoned → re-add refuses
+    TxLog.dropCheckConstraintTx(spark, root, "note_len")            // v5
+    TxLog.dropColumnTx(spark, root, "note")                         // v6
+    assert(intercept[IllegalArgumentException] {
+      TxLog.addColumnTx(spark, root, "note",
+        org.apache.spark.sql.types.StringType)
+    }.getMessage.contains("DROPPED"))
+    // rename v → amount, then adding a NEW column named "v" must refuse:
+    // its files would land under the live physical column "v" and read
+    // back as "amount"
+    TxLog.renameColumnTx(spark, root, "v", "amount")
+    assert(intercept[IllegalArgumentException] {
+      TxLog.addColumnTx(spark, root, "v",
+        org.apache.spark.sql.types.DoubleType)
+    }.getMessage.contains("shadows"))
+    // the same shadow refused at STAGE time for write-time evolution
+    assert(intercept[IllegalArgumentException] {
+      TxLog.stage(Seq(("a", 5L, 50.0, 1.0))
+        .toDF("part", "k", "amount", "v"), root, "part")
+    }.getMessage.contains("shadows"))
+    // time travel: pre-add (v1) serves the original schema, the add-era
+    // (v4) serves note, current serves the rename
+    assert(TxLog.readTableAt(spark, root, 1L).columns.toSeq ===
+      Seq("k", "v", "part"))
+    assert(TxLog.readTableAt(spark, root, 4L).columns.contains("note"))
+    assert(TxLog.readTable(spark, root).columns.toSeq ===
+      Seq("k", "amount", "part"))
+  }
 }

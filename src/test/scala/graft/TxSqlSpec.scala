@@ -334,6 +334,26 @@ class TxSqlSpec extends SparkSpecBase {
     val cols = TxLog.readTable(spark, root).columns.toSeq
     assert(!cols.contains("extra"), cols.mkString(", "))
     assert(TxLog.readTable(spark, root).count() === 3L)
+    // ADD COLUMN: declared ahead of data, NULL-backfilled, typed
+    spark.sql(s"ALTER TABLE txlog.`$root` ADD COLUMN score DECIMAL(10,2)")
+    val t = TxLog.readTable(spark, root)
+    assert(t.columns.contains("score") &&
+      t.schema("score").dataType ===
+        org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(t.filter(org.apache.spark.sql.functions.col("score")
+      .isNotNull).isEmpty)
+    // ADD COLUMNS (...): one statement, ONE commit, N columns
+    val vBefore = TxLog.currentVersion(spark, root)
+    spark.sql(s"ALTER TABLE txlog.`$root` ADD COLUMNS " +
+      "(tag STRING, weights ARRAY<DOUBLE>)")
+    assert(TxLog.currentVersion(spark, root) === vBefore + 1)
+    val cols2 = TxLog.readTable(spark, root).columns.toSeq
+    assert(cols2.contains("tag") && cols2.contains("weights"))
+    // missing type is OUR loud error
+    val mt = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE txlog.`$root` ADD COLUMN naked")
+    }
+    assert(mt.getMessage.contains("missing data type"), mt.getMessage)
     // malformed ALTER is OUR loud error; non-txlog ALTER delegates
     val m = intercept[IllegalArgumentException] {
       spark.sql(s"ALTER TABLE txlog.`$root` FROB COLUMN k")
@@ -343,6 +363,10 @@ class TxSqlSpec extends SparkSpecBase {
       spark.sql("ALTER TABLE not_a_real_table RENAME COLUMN a TO b")
     }
     assert(!d.getMessage.contains("txlog SQL"), d.getMessage)
+    val d2 = intercept[Exception] {
+      spark.sql("ALTER TABLE not_a_real_table ADD COLUMN a INT")
+    }
+    assert(!d2.getMessage.contains("txlog SQL"), d2.getMessage)
   }
 
   test("CONVERT validates BEFORE any rename: a malformed dir refuses " +
