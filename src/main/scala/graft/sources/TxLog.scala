@@ -347,11 +347,52 @@ object TxLog {
     * Bounded retries: each miss requires a full checkpoint+expire cycle
     * to have landed in the window, so repeated misses mean pathological
     * maintenance churn, worth failing loudly. */
-  private def readLog(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) = {
+  private def readLog(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) =
+    readLogEntry(spark, root).pair
+
+  // ---- per-session parsed-log cache (Delta's SnapshotManagement analog) --
+  //
+  // Commit/checkpoint files are IMMUTABLE once published, so each
+  // (name, mtime, length) parses at most once per JVM. Every read still
+  // RE-LISTS the log directory — that single cheap listing is the
+  // invalidation probe: a foreign writer's commit (or checkpoint, or an
+  // expireLog deletion) changes the listed window and only the CHANGED
+  // files re-parse. This session's own commits invalidate the same way
+  // (tryPublish creates a new listed file). The uncapped FOLD memoizes
+  // on the entry, so a hot table read N times between commits lists N
+  // times but parses and folds ONCE. A recreated table (delete +
+  // rebuild at the same root) is safe twice over: its first commit's
+  // own readLog observes the missing _txlog dir and drops the entry,
+  // and per-file (mtime, length) signatures guard external rebuilds.
+  private final class LogEntry(
+      val sig: Map[String, (Long, Long)],
+      val chkName: Option[String], val chk: Option[Chk],
+      val commits: Vector[(String, Commit)]) {
+    // memoized UNCAPPED fold of exactly this window (immutable values;
+    // a benign compute race converges on equal results)
+    @volatile private[TxLog] var snap: Option[Either[Snapshot, BigState]] =
+      None
+    def pair: (Option[Chk], Seq[Commit]) = (chk, commits.map(_._2))
+  }
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogEntry]()
+  private val LogCacheMaxRoots = 512
+  // spec observability: cache-miss work actually done
+  private[graft] val logFilesParsed =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val logFolds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Drop every cached parsed log (tests / external table rebuilds). */
+  def clearLogCache(): Unit = logCache.clear()
+
+  private val emptyLogEntry =
+    new LogEntry(Map.empty, None, None, Vector.empty)
+
+  private def readLogEntry(spark: SparkSession, root: String): LogEntry = {
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
-      try return readLogOnce(spark, root)
+      try return readLogEntryOnce(spark, root)
       catch { case _: java.io.FileNotFoundException => () }
     }
     sys.error(s"TxLog.readLog: commit files at $root vanished mid-read 5 " +
@@ -359,16 +400,21 @@ object TxLog {
       "faster than readers can list; back off the maintenance cadence")
   }
 
-  private def readLogOnce(spark: SparkSession, root: String): (Option[Chk], Seq[Commit]) = {
+  private def readLogEntryOnce(spark: SparkSession, root: String): LogEntry = {
+    // kill switch (A/B measurement, paranoid operators):
+    // spark.conf graft.txlog.logCache=false parses every file every read
+    val useCache =
+      spark.conf.getOption("graft.txlog.logCache").forall(_.toBoolean)
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) return (None, Seq.empty)
-    val names = fs.listStatus(dir).map(_.getPath.getName)
-    val chk = names.collect { case n @ ChkRe(v) => (v.toLong, n) }
-      .sortBy(_._1).lastOption.map { case (v, name) =>
-        parseChk(v, readFile(fs, new Path(dir, name)))
-      }
-    val floor = chk.map(_.version).getOrElse(0L)
+    if (!fs.exists(dir)) { logCache.remove(root); return emptyLogEntry }
+    val listed = fs.listStatus(dir)
+    val statOf = listed.map(st => st.getPath.getName ->
+      (st.getModificationTime, st.getLen)).toMap
+    val names = listed.map(_.getPath.getName)
+    val chkEntry = names.collect { case n @ ChkRe(v) => (v.toLong, n) }
+      .sortBy(_._1).lastOption
+    val floor = chkEntry.map(_._1).getOrElse(0L)
     val files = names.collect {
       case n @ VersionRe(v) if v.toLong > floor => (v.toLong, n)
     }.sortBy(_._1)
@@ -376,9 +422,32 @@ object TxLog {
       s"TxLog at $root has ${files.length} commits past the last " +
         "checkpoint, above the driver-side metadata bound — run " +
         "TxLog.checkpoint + expireLog")
-    (chk, files.map { case (v, name) =>
-      parseCommit(v, readFile(fs, new Path(dir, name)))
-    }.toSeq)
+    val sig = (chkEntry.map(_._2).toSeq ++ files.map(_._2))
+      .map(n => n -> statOf(n)).toMap
+    val prev = if (useCache) Option(logCache.get(root)) else None
+    prev.filter(_.sig == sig).getOrElse {
+      def fresh(n: String): Boolean =
+        prev.exists(p => p.sig.get(n) == sig.get(n))
+      val chk = chkEntry.map { case (v, n) =>
+        prev.filter(p => p.chkName.contains(n) && fresh(n))
+          .flatMap(_.chk).getOrElse {
+            logFilesParsed.incrementAndGet()
+            parseChk(v, readFile(fs, new Path(dir, n)))
+          }
+      }
+      val prevCommits: Map[String, Commit] =
+        prev.map(_.commits.toMap).getOrElse(Map.empty)
+      val commits = files.map { case (v, n) =>
+        n -> (if (fresh(n)) prevCommits.get(n) else None).getOrElse {
+          logFilesParsed.incrementAndGet()
+          parseCommit(v, readFile(fs, new Path(dir, n)))
+        }
+      }.toVector
+      if (logCache.size > LogCacheMaxRoots) logCache.clear()
+      val entry = new LogEntry(sig, chkEntry.map(_._2), chk, commits)
+      if (useCache) logCache.put(root, entry)
+      entry
+    }
   }
 
   /** Commit files in (lo, hi] REGARDLESS of the checkpoint floor, when
@@ -907,12 +976,25 @@ object TxLog {
   private def stateOf(spark: SparkSession, root: String,
                       cap: Option[Long] = None)
       : Either[Snapshot, BigState] = {
-    val (chk, commits0) = readLog(spark, root)
-    val commits = cap.map(u => commits0.filter(_.version <= u))
-      .getOrElse(commits0)
-    chk match {
-      case Some(c) if c.payload.isDefined => Right(foldBig(c, commits))
-      case _ => Left(fold(chk, commits))
+    val entry = readLogEntry(spark, root)
+    val (chk, commits0) = entry.pair
+    def foldNow(commits: Seq[Commit]): Either[Snapshot, BigState] = {
+      logFolds.incrementAndGet()
+      chk match {
+        case Some(c) if c.payload.isDefined => Right(foldBig(c, commits))
+        case _ => Left(fold(chk, commits))
+      }
+    }
+    cap match {
+      case Some(u) => foldNow(commits0.filter(_.version <= u))
+      case None =>
+        // memoized per log window (the entry is replaced whenever the
+        // listed window changes, so the memo can never serve stale state)
+        entry.snap.getOrElse {
+          val s = foldNow(commits0)
+          entry.snap = Some(s)
+          s
+        }
     }
   }
 
@@ -2104,10 +2186,16 @@ object TxLog {
             "physical column's name — old files would resurrect under " +
             "it; pick a different logical name")
           // a NEW logical column shadowing a RENAMED-AWAY physical name
-          // would land its files under that physical column and read
-          // back as the OLD logical column — refuse, like the tombstone
+          // would land its files under that physical column and fold
+          // into the OLD column — refuse, like the tombstone. Only when
+          // the frame ALSO carries the renamed column's CURRENT name:
+          // a frame speaking purely the OLD name (a writer racing the
+          // rename, or one not yet migrated) is the SAME column — it
+          // lands on its own physical column, exactly as a commit
+          // serialized before the rename would have
           require(reverse.contains(c) ||
-              !mapping0.get(c).exists(l => l != "-" && l != c),
+              !mapping0.get(c).exists(l => l != "-" && l != c &&
+                d.columns.contains(l)),
             s"TxLog.stage: column [$c] shadows the renamed physical " +
               s"column [$c → ${mapping0.getOrElse(c, c)}] — its data " +
               "would fold into that column; pick a different name")

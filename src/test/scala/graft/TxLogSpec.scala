@@ -2307,6 +2307,59 @@ class TxLogSpec extends SparkSpecBase {
     }
   }
 
+  test("parsed-log cache: hot reads re-list but never re-parse or " +
+      "re-fold; a new commit is picked up and re-parses only the new " +
+      "file; a recreated table never serves stale state (both " +
+      "representations)") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("logcache")
+    TxLog.appendBatchTx(kv("a" -> 1, "b" -> 2), root, "part", "lc-b1") // v1
+    TxLog.appendBatchTx(kv("a" -> 3), root, "part", "lc-b2")           // v2
+    val c1 = TxLog.readTable(spark, root).count()
+    val (p0, f0) = (TxLog.logFilesParsed.get(), TxLog.logFolds.get())
+    (1 to 5).foreach(_ =>
+      assert(TxLog.readTable(spark, root).count() === c1))
+    assert(TxLog.logFilesParsed.get() === p0,
+      "hot reads of an unchanged table must not re-parse any log file")
+    assert(TxLog.logFolds.get() === f0,
+      "hot reads of an unchanged table must not re-fold")
+    // a new commit invalidates through the LISTING (any writer — foreign
+    // or own): the next read reflects it, re-parsing only the new file
+    TxLog.appendBatchTx(kv("c" -> 4), root, "part", "lc-b3")           // v3
+    assert(TxLog.readTable(spark, root).count() === c1 + 1)
+    val (p1, f1) = (TxLog.logFilesParsed.get(), TxLog.logFolds.get())
+    (1 to 3).foreach(_ =>
+      assert(TxLog.readTable(spark, root).count() === c1 + 1))
+    assert(TxLog.logFilesParsed.get() === p1 &&
+      TxLog.logFolds.get() === f1)
+    // RECREATED table at the same root: the rebuild's own first commit
+    // observes the missing _txlog dir and drops the entry — never stale
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    TxLog.appendBatchTx(kv("z" -> 100), root, "part", "lc-r1")
+    val fresh = TxLog.readTable(spark, root)
+    assert(fresh.count() === 1L)
+    assert(fresh.select("n").head.getLong(0) === 100L)
+    // PAYLOAD representation: cross to a parquet checkpoint, same story
+    val prior = spark.conf.getOption("graft.txlog.chkParquetMin")
+    try {
+      spark.conf.set("graft.txlog.chkParquetMin", "1")
+      TxLog.checkpoint(spark, root)
+      val cAfter = TxLog.readTable(spark, root).count()
+      val (p2, f2) = (TxLog.logFilesParsed.get(), TxLog.logFolds.get())
+      (1 to 3).foreach(_ =>
+        assert(TxLog.readTable(spark, root).count() === cAfter))
+      assert(TxLog.logFilesParsed.get() === p2 &&
+        TxLog.logFolds.get() === f2,
+        "payload-table hot reads must not re-parse or re-fold either")
+      TxLog.appendBatchTx(kv("z" -> 101), root, "part", "lc-r2")
+      assert(TxLog.readTable(spark, root).count() === cAfter + 1)
+    } finally prior match {
+      case Some(v) => spark.conf.set("graft.txlog.chkParquetMin", v)
+      case None => spark.conf.unset("graft.txlog.chkParquetMin")
+    }
+  }
+
   test("addColumnTx declares a column ahead of data: NULL backfill, " +
       "refusals (exists/partition/tombstone/renamed-shadow), constraint " +
       "and drop interactions, subset writers stay refused") {
