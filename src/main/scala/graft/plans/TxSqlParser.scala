@@ -88,16 +88,49 @@ private[graft] object TxSql {
       case _ => None
     } catch { case _: Exception => None }
 
-  /** Resolve a NAME-addressed target (`cat.ns....tbl`) to its table root
-    * through the registered [[TxCatalog]]. An unregistered table under a
-    * claimed catalog is a loud NoSuchTableException — the statement
-    * addresses our catalog, so the error is ours. */
+  /** A bare/namespace-relative name resolved against the session's
+    * CURRENT catalog (the `USE gcat` flow): when the current catalog is
+    * a [[TxCatalog]], a 1-part name resolves under the current
+    * namespace and an n-part name under its explicit namespace —
+    * EXISTENCE-GATED (an unregistered name delegates to Spark, whose
+    * own resolution owns the error), and NEVER a temp view (temp views
+    * shadow catalog tables in Spark's resolution order; claiming one
+    * would hijack it). */
+  private def impliedTx(session: SparkSession, parts: Seq[String])
+      : Option[(TxCatalog, org.apache.spark.sql.connector.catalog.Identifier)] =
+    session.sessionState.catalogManager.currentCatalog match {
+      case c: TxCatalog if parts.nonEmpty =>
+        val isTemp =
+          try session.sessionState.catalog.isTempView(parts)
+          catch { case _: Exception => false }
+        val id =
+          if (parts.length == 1)
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              session.sessionState.catalogManager.currentNamespace,
+              parts.head)
+          else org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.init.toArray, parts.last)
+        if (!isTemp && (try c.tableExists(id)
+                        catch { case _: Exception => false }))
+          Some((c, id))
+        else None
+      case _ => None
+    }
+
+  /** Resolve a NAME-addressed target to its table root: explicitly
+    * catalog-qualified (`cat.ns....tbl` whose head names a registered
+    * [[TxCatalog]] — an unregistered table there is a loud
+    * NoSuchTableException, the statement addresses OUR catalog), or
+    * relative to the session's current catalog/namespace after
+    * `USE gcat` ([[impliedTx]]). */
   private[graft] def namedRoot(session: SparkSession,
                                parts: Seq[String]): Option[String] =
-    if (parts.length < 2) None
-    else txCatalogOf(session, parts.head).map(_.locationOf(
-      org.apache.spark.sql.connector.catalog.Identifier.of(
-        parts.tail.init.toArray, parts.last)))
+    (if (parts.length < 2) None
+     else txCatalogOf(session, parts.head).map(_.locationOf(
+       org.apache.spark.sql.connector.catalog.Identifier.of(
+         parts.tail.init.toArray, parts.last))))
+      .orElse(impliedTx(session, parts).map { case (c, id) =>
+        c.locationOf(id) })
 
   /** Claim a statement only when its TARGET table reference is
     * ``txlog.`...``` (the path surface) or a registered [[TxCatalog]]
@@ -126,13 +159,21 @@ private[graft] object TxSql {
         if (i >= toks.length || (toks(i).kind != 0 && toks(i).kind != 1))
           return false
         var j = i + 1
+        val parts = Vector.newBuilder[String]
+        parts += toks(i).text
         var n = 1
         while (j + 1 < toks.length && toks(j).kind == 3 &&
             toks(j).text == "." &&
             (toks(j + 1).kind == 0 || toks(j + 1).kind == 1)) {
+          parts += toks(j + 1).text
           n += 1; j += 2
         }
-        n >= 2 && txCatalogOf(session, toks(i).text).isDefined
+        // explicitly catalog-qualified (claim even if unregistered —
+        // the loud NoSuchTable is OURS), or resolvable against the
+        // session's CURRENT TxCatalog after USE (existence-gated, so a
+        // bare name that isn't ours delegates to Spark untouched)
+        (n >= 2 && txCatalogOf(session, toks(i).text).isDefined) ||
+          impliedTx(session, parts.result()).isDefined
       }
       if (toks.isEmpty || toks.head.kind != 0) false
       else toks.head.text.toUpperCase match {
@@ -190,8 +231,10 @@ private[graft] object TxSql {
       while (p.isSym(".")) { p.sym("."); parts :+= p.ident() }
       namedRoot(session, parts).getOrElse(fail(
         s"[${parts.mkString(".")}] does not resolve through a txlog " +
-          "catalog (register one: spark.sql.catalog.<name> = " +
-          "graft.plans.TxCatalog) and is not a txlog.`/path` reference"))
+          "catalog — neither explicitly (cat.ns.tbl with " +
+          "spark.sql.catalog.<cat> = graft.plans.TxCatalog) nor against " +
+          "the session's current catalog (USE <cat>) — and is not a " +
+          "txlog.`/path` reference"))
     }
 
   // ---- tokenizer ---------------------------------------------------------

@@ -228,6 +228,55 @@ class TxCatalogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("USE gcat resolves bare-name DML against the current catalog and " +
+      "namespace; temp views shadow; unregistered names and " +
+      "spark_catalog defaults delegate untouched") {
+    wired
+    import spark.implicits._
+    val loc = tmp("use-t")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.use")
+    spark.sql(s"CREATE TABLE gcat.use.ut USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("b", 2L, 20.0)).toDF("part", "k", "v"),
+      loc, "part", "use-b1")
+    val priorCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql("USE gcat.use")
+      // bare-name DML routes to the same front doors
+      spark.sql("UPDATE ut SET v = v + 1 WHERE k = 1")
+      assert(TxLog.readTable(spark, loc)
+        .agg(sum("v")).head.getDouble(0) === 11.0 + 20.0)
+      spark.sql("DELETE FROM ut WHERE part = 'b'")
+      assert(TxLog.readTable(spark, loc).count() === 1L)
+      Seq(("c", 3L, 30.0)).toDF("part", "k", "v")
+        .createOrReplaceTempView("use_src")
+      spark.sql("MERGE INTO ut t USING use_src s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      assert(TxLog.readTable(spark, loc).count() === 2L)
+      // namespace-relative 2-part name under the current catalog
+      assert(spark.sql("DESCRIBE HISTORY use.ut").count() >= 3L)
+      // a TEMP VIEW with the table's name shadows it — Spark's error
+      // (UPDATE on a view), never a txlog commit
+      Seq((9L, 9.0)).toDF("k", "v").createOrReplaceTempView("shadow_v")
+      val before = TxLog.currentVersion(spark, loc)
+      val e1 = intercept[Exception] {
+        spark.sql("UPDATE shadow_v SET v = 0 WHERE k = 9")
+      }
+      assert(!e1.getMessage.contains("txlog"), e1.getMessage)
+      assert(TxLog.currentVersion(spark, loc) === before)
+      // an UNREGISTERED bare name delegates (Spark owns the error)
+      val e2 = intercept[Exception] {
+        spark.sql("UPDATE never_registered SET v = 0 WHERE k = 1")
+      }
+      assert(!e2.getMessage.contains("txlog SQL"), e2.getMessage)
+    } finally spark.sql(s"USE $priorCat")
+    // back on spark_catalog: bare names delegate untouched again
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE ut SET v = 0 WHERE k = 1")
+    }
+    assert(!e3.getMessage.contains("txlog SQL"), e3.getMessage)
+  }
+
   test("catalog statements on NON-graft catalogs delegate untouched; an " +
       "unregistered table under our catalog is a loud NoSuchTable") {
     wired
