@@ -307,7 +307,37 @@ private[graft] final class TxNamedTable(tableName: String,
                                         val partCols: Seq[String],
                                         declared: StructType,
                                         val asOfVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.graftbridge.V1FallbackBridge {
+
+  /** `df.writeStream.format("txlog").toTable("cat.ns.t")` — the NAME
+    * surface of the STREAMING SINK. This table does not advertise
+    * STREAMING_WRITE (the ledgered sink is a V1 `Sink` whose per-batch
+    * commit IS the table's own replay protocol — a row-level V2
+    * StreamingWrite would be a parallel write path); Spark's
+    * DataStreamWriter falls back through this CatalogTable instead,
+    * reading `provider` + `location` and routing to
+    * [[graft.streaming.TxSourceProvider.createSink]] — exactly the
+    * path-addressed `.start(root)` sink, so Append/Complete/Update
+    * semantics, the writer-seq exactly-once ledger, and cold restarts
+    * behave identically under both addresses. (Spark requires the
+    * writer's `.format("txlog")` to match the provider here.) */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    val parts = tableName.split('.').toSeq
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        Some(parts.drop(1).dropRight(1).mkString(".")).filter(_.nonEmpty),
+        parts.headOption),
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat
+        .empty.copy(locationUri =
+          Some(new org.apache.hadoop.fs.Path(root).toUri)),
+      schema = schema(),
+      provider = Some("txlog"),
+      partitionColumnNames = partCols)
+  }
 
   private def spark: SparkSession = SparkSession.active
 

@@ -276,7 +276,17 @@ case class TxBatchReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         val df = nt.asOfVersion
           .map(v => TxLog.readTableAt(session, nt.root, v))
           .getOrElse(TxLog.readTable(session, nt.root))
-        align(r, nt.root, df.queryExecution.analyzed)
+        // stamp the named table's CatalogTable onto the substituted
+        // relations: Catalog.refreshTable (run by MicroBatchExecution
+        // after every toTable micro-batch) walks the analyzed plan and
+        // calls LogicalRelation.catalogTable.get unguarded — a bare
+        // relation would crash the refresh with None.get
+        val stamped = df.queryExecution.analyzed.transform {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.catalogTable.isEmpty =>
+            lr.copy(catalogTable = Some(nt.v1Table))
+        }
+        align(r, nt.root, stamped)
     }
 
   // re-key the substituted plan's columns onto the relation's attribute

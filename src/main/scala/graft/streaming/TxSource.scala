@@ -40,6 +40,7 @@ import graft.sources.{PartValueRow, TxLog}
   */
 class TxSourceProvider extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "txlog"
@@ -47,6 +48,41 @@ class TxSourceProvider extends TableProvider with DataSourceRegister
   private def root(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       sys.error("txlog source: .load(<table root>) is required"))
+
+  /** V1 StreamSourceProvider face — REQUIRED for the name surface:
+    * [[graft.plans.TxNamedTable]] is a `V2TableWithV1Fallback` (for
+    * `writeStream.toTable`), and Spark's RelationResolution EAGERLY
+    * resolves the read-side v1Relation fallback for every
+    * `readStream.table(name)`, which computes this schema even though
+    * MicroBatchExecution then picks the V2 micro-batch stream (the
+    * table advertises MICRO_BATCH_READ, so the V1 source itself never
+    * runs). Same derivation as [[inferSchema]]; a catalog-table
+    * resolution without a path option falls back to the declared
+    * schema. */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val s =
+      if (Option(opts.get("path")).isDefined) inferSchema(opts)
+      else schema.getOrElse(sys.error(
+        "txlog source: .load(<table root>) is required"))
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    sys.error("txlog source: the V1 Source path is never planned — the " +
+      "table advertises MICRO_BATCH_READ, so MicroBatchExecution uses " +
+      "the V2 stream; reaching here means V2 micro-batch readers were " +
+      "disabled (spark.sql.streaming.disabledV2MicroBatchReaders) — " +
+      "re-enable them for txlog tables")
 
   /** BATCH WRITE path — `df.write.format("txlog").mode(...).save(root)`,
     * the write-side twin of the batch read: [[TxStreamTable]] does not

@@ -228,6 +228,64 @@ class TxCatalogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("writeStream.format(txlog).toTable(name) routes to the ledgered " +
+      "txlog sink (the V1 fallback): appends land as commits, a cold " +
+      "restart resumes exactly-once — identical to the path surface") {
+    wired
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val loc = tmp("snk-t")
+    val cp = tmp("snk-cp")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.snk")
+    spark.sql(s"CREATE TABLE gcat.snk.ev USING txlog LOCATION '$loc'")
+    // seed through the path surface (records the partitioning)
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"),
+      loc, "part", "snk-b0")                                         // v1
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("part", "k").writeStream.format("txlog")
+      .option("checkpointLocation", cp)
+      .toTable("gcat.snk.ev")
+    try {
+      mem.addData(("a", 2L), ("b", 3L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM gcat.snk.ev")
+        .head.getLong(0) === 3L)
+      mem.addData(("c", 4L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM gcat.snk.ev")
+        .head.getLong(0) === 4L)
+    } finally q.stop()
+    val vAfter = TxLog.currentVersion(spark, loc)
+    // COLD RESTART on the same checkpoint: a fresh query resumes the
+    // ledgered writer identity — nothing replays, new data lands once
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    // re-offer the original batches so the checkpoint's offsets align;
+    // a replayed batch commits idempotently through the writer-seq ledger
+    mem2.addData(("a", 2L), ("b", 3L))
+    mem2.addData(("c", 4L))
+    mem2.addData(("a", 5L))
+    val q2 = mem2.toDF().toDF("part", "k").writeStream.format("txlog")
+      .option("checkpointLocation", cp)
+      .toTable("gcat.snk.ev")
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT COUNT(*) FROM gcat.snk.ev")
+        .head.getLong(0) === 5L)
+      assert(TxLog.currentVersion(spark, loc) === vAfter + 1,
+        "the restarted stream must commit exactly one new version")
+    } finally q2.stop()
+    // a MISMATCHED format refuses (Spark's provider check), and a plain
+    // parquet toTable on a txlog catalog table never silently lands
+    val e = intercept[Exception] {
+      mem2.toDF().toDF("part", "k").writeStream.format("parquet")
+        .option("checkpointLocation", tmp("snk-cp2"))
+        .toTable("gcat.snk.ev")
+    }
+    assert(!e.getMessage.contains("txlog SQL"), e.getMessage)
+  }
+
   test("USE gcat resolves bare-name DML against the current catalog and " +
       "namespace; temp views shadow; unregistered names and " +
       "spark_catalog defaults delegate untouched") {
