@@ -2310,7 +2310,8 @@ object TxLog {
   def commit(spark: SparkSession, root: String, staged: Staged, op: String,
              readVersion: Long, conflictCheck: Boolean = false,
              batchId: Option[String] = None, maxAttempts: Int = 50,
-             writerSeq: Option[(String, Long)] = None): Long = {
+             writerSeq: Option[(String, Long)] = None,
+             conflictAll: Boolean = false): Long = {
     require(op == "overwrite" || op == "append" || op == "remove" ||
       op == "rewrite" || op == "meta" || op == "restore" || op == "dv",
       s"unknown op $op")
@@ -2407,8 +2408,15 @@ object TxLog {
         // rename, and vice versa), so meta conflicts with everything.
         // A payload-shape restore snapshots the WHOLE table the same way
         // (its rewritten payload bakes in every partition), so it too
-        // conflicts with any commit past its read version.
-        if (op == "meta" || staged.payloadChk.isDefined)
+        // conflicts with any commit past its read version. `conflictAll`
+        // requests the same version-strict check for ops whose staged
+        // partition set cannot claim the whole table — a CREATING full
+        // replace (overwriteTableTx on a not-yet-existing table) has an
+        // empty absent set, so the overlap check below would let a
+        // racing creator's disjoint partitions slide through and
+        // readers would see a merged table NEITHER writer wrote (the
+        // race fuzz's creator pair found exactly this).
+        if (op == "meta" || staged.payloadChk.isDefined || conflictAll)
           commits.filter(_.version > readVersion).foreach { c =>
             throw new ConcurrentWriteException(c.version,
               Seq("<table metadata>"))
@@ -2665,13 +2673,15 @@ object TxLog {
         else Set.empty[String]
       val full = staged.copy(parts = staged.parts ++
         absent.map(_ -> Seq.empty[String]))
-      // conflict-check CREATES too (readVersion 0 conflicts with any
-      // commit): two racing creators must serialize — unchecked, the
-      // second "full replace" would keep the first writer's partitions
-      // (its absent set was derived from a not-yet-existing table) and
-      // readers could see a merged table NEITHER writer wrote
+      // conflict-check CREATES too, version-strictly (conflictAll): a
+      // creator's absent set is EMPTY, so the overlap check alone would
+      // let two racing creators with disjoint partitions both land and
+      // readers see a merged table NEITHER writer wrote; any commit past
+      // readVersion 0 forces a re-derive of the absent set instead. An
+      // EXISTING table needs no version-strict check — its absent
+      // entries claim every live partition already.
       try return commit(spark, root, full, "overwrite", readVersion = v0,
-        conflictCheck = true, writerSeq = writerSeq)
+        conflictCheck = true, writerSeq = writerSeq, conflictAll = !exists)
       catch { case _: ConcurrentWriteException => () }
     }
     // terminal exit: the staged files were never committed — reclaim them
@@ -4838,7 +4848,13 @@ object TxLog {
         fs.delete(st.getPath, false)
         if (st.getPath.getName.endsWith(".parquet")) removed += 1
       }
-      if (keep.isEmpty) fs.delete(d.getPath, true) // empty staging dir
+      // empty staging dir — but only past the retention horizon: an
+      // ACTIVE writer's staging exists with zero data files between
+      // mkdirs and its first task write (only _temporary scaffolding),
+      // and deleting it there kills the write mid-flight (the race fuzz
+      // caught maintainTx doing exactly that to the streaming sink)
+      if (keep.isEmpty && d.getModificationTime <= cutoff)
+        fs.delete(d.getPath, true): Unit
     }
     removed
   }

@@ -52,6 +52,18 @@ class TxRaceSpec extends SparkSpecBase {
       rows.toSeq.map { case (k, v) => (partOf(k), k, v) }
         .toDF("part", "k", vName)
 
+    // schema-aware frame: carries every CURRENT data column (racing ADD
+    // COLUMNs appear as NULL-filled extras — the migrated-writer shape;
+    // the guard refuses subset writers by contract, so frames must keep
+    // up). Rebuilt per attempt inside each op's run().
+    def dfAll(rows: Map[Long, Double]): org.apache.spark.sql.DataFrame = {
+      val cols = TxLog.readTable(spark, root).columns.toSeq
+      val vn = cols.filterNot(c => c == "part" || c == "k").head
+      cols.filterNot(c => c == "part" || c == "k" || c == vn)
+        .foldLeft(df(rows, vn))((d, c) =>
+          d.withColumn(c, lit(null).cast("double")))
+    }
+
     def freshRows(n: Int): Map[Long, Double] = {
       val rows = (0 until n).map { _ =>
         val k = nextKey; nextKey += 1; k -> rnd.nextInt(100).toDouble
@@ -62,6 +74,16 @@ class TxRaceSpec extends SparkSpecBase {
     def tableVName(): String =
       TxLog.readTable(spark, root).columns
         .filterNot(c => c == "part" || c == "k").head
+
+    // name surface for the two-address ops: one pointer, same state
+    spark.conf.set("spark.sql.catalog.grace", "graft.plans.TxCatalog")
+    spark.conf.set("spark.sql.catalog.grace.root", freshRoot(s"racemeta$seed"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grace.ns")
+    // the catalog instance (and so its metastore root) is CACHED by the
+    // catalog manager from the first run in this JVM — drop any stale
+    // pointer there before re-registering the fresh table
+    spark.sql(s"DROP TABLE IF EXISTS grace.ns.t$seed")
+    spark.sql(s"CREATE TABLE grace.ns.t$seed USING txlog LOCATION '$root'")
 
     // seed content
     val seedRows = freshRows(12)
@@ -79,7 +101,7 @@ class TxRaceSpec extends SparkSpecBase {
       val slices = liveKeys.zipWithIndex.groupMap(_._2 % nThreads)(_._1)
       val ops: Seq[RaceOp] = (0 until nThreads).map { t =>
         val mine = slices.getOrElse(t, Seq.empty)
-        rnd.nextInt(11) match {
+        rnd.nextInt(13) match {
           case 9 => // RENAME racing writers: meta commit, content-neutral
             // (the step's own writers stage under the pre-step name; the
             // column-mapping projection serves either name's files) —
@@ -124,7 +146,7 @@ class TxRaceSpec extends SparkSpecBase {
               .concat(freshRows(1 + rnd.nextInt(2)))
             RaceOp(s"fullow$t", () => {
               if (next.nonEmpty)
-                TxLog.overwriteTableTx(df(next, tableVName()), root,
+                TxLog.overwriteTableTx(dfAll(next), root,
                   Seq("part")): Unit
             }, Seq(_ => next))
           case 0 | 1 => // append a fresh key block (blind — always lands;
@@ -133,13 +155,13 @@ class TxRaceSpec extends SparkSpecBase {
             val rows = freshRows(1 + rnd.nextInt(3))
             if (ledgerSealed)
               RaceOp(s"appendSeq$t", () =>
-                TxLog.appendBatchSeqTx(df(rows, tableVName()), root, "part",
+                TxLog.appendBatchSeqTx(dfAll(rows), root, "part",
                   s"r$seed-w$t", i.toLong): Unit,
                 Seq(_ ++ rows))
             else
               RaceOp(s"append$t", () => {
                 // a string-id append racing the SEAL may legally refuse
-                try TxLog.appendBatchTx(df(rows, tableVName()), root,
+                try TxLog.appendBatchTx(dfAll(rows), root,
                   "part", s"r$seed-s$i-t$t"): Unit
                 catch { case e: IllegalArgumentException
                     if e.getMessage.contains("SEALED") => () }
@@ -184,6 +206,43 @@ class TxRaceSpec extends SparkSpecBase {
                     (e.getMessage.contains("no longer restorable") ||
                      e.getMessage.contains("predates the latest")) => () }
             }, Seq(_ => m0, identity))
+          case 11 => // ADD COLUMN racing writers (then DROP it): the
+            // metadata-only additive evolution vs in-flight frames —
+            // writers staged pre-add restage as subset refusals, writers
+            // staged pre-drop restage as tombstone refusals; both
+            // terminal-by-contract and re-derived by the op rerun
+            RaceOp(s"addcol$t", () => {
+              val cname = s"extra_${i}_$t"
+              val added =
+                try {
+                  TxLog.addColumnTx(spark, root, cname,
+                    org.apache.spark.sql.types.DoubleType): Unit
+                  true
+                } catch { case e: Exception
+                    if e.getMessage != null &&
+                      (e.getMessage.contains("already exists") ||
+                       e.getMessage.contains("shadows") ||
+                       e.getMessage.contains("DROPPED")) => false }
+              if (added)
+                try TxLog.dropColumnTx(spark, root, cname): Unit
+                catch { case e: Exception
+                    // a racing restore reinstates the pre-add schema
+                    if e.getMessage != null &&
+                      e.getMessage.contains("no column") => () }
+            }, Seq(identity))
+          case 12 => // name-addressed UPDATE racing path-addressed
+            // writers on the same table: the two-address invariant under
+            // contention (grace.ns.tN and the path are ONE state)
+            val ks = mine.take(1 + rnd.nextInt(2))
+            val kset = ks.toSet
+            RaceOp(s"namedupd$t", () => {
+              if (ks.nonEmpty) {
+                val nm = tableVName()
+                spark.sql(s"UPDATE grace.ns.t$seed SET $nm = $nm + 1000 " +
+                  s"WHERE k IN (${ks.mkString(",")})"): Unit
+              }
+            }, Seq(m => m.map { case (k, v) =>
+              k -> (if (kset(k)) v + 1000.0 else v) }))
           case _ => // seal the string ledger (idempotent guard inside)
             RaceOp(s"seal$t", () => {
               if (!ledgerSealed) TxLog.sealBatchLedgerTx(spark, root): Unit
@@ -210,7 +269,8 @@ class TxRaceSpec extends SparkSpecBase {
                     (e.getMessage.contains(
                        "constraints changed between stage and commit") ||
                      e.getMessage.contains("drops or retypes") ||
-                     e.getMessage.contains("SET targets unknown column")) =>
+                     e.getMessage.contains("SET targets unknown column") ||
+                     e.getMessage.contains("DROPPED physical column")) =>
                 attempts += 1
               case t: Throwable => errs.add(t): Unit; done = true
             }
@@ -257,6 +317,110 @@ class TxRaceSpec extends SparkSpecBase {
       history :+= ((TxLog.currentVersion(spark, root), model))
       if (history.size > 6) history = history.takeRight(6)
     }
+  }
+
+  test("racing CREATORS on overwriteTableTx serialize: the final table " +
+      "is exactly ONE writer's frame, never a merge of both") {
+    import spark.implicits._
+    (1 to 4).foreach { round =>
+      val root = freshRoot(s"owcreate$round")
+      // disjoint partitions per writer, so a merge is detectable
+      val a = Seq(("pa", 1L, 1.0), ("pb", 2L, 2.0)).toDF("part", "k", "v")
+      val b = Seq(("pc", 3L, 3.0), ("pd", 4L, 4.0)).toDF("part", "k", "v")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = Seq(a, b).zipWithIndex.map { case (d, t) =>
+        new Thread(() => {
+          try TxLog.overwriteTableTx(d, root, Seq("part")): Unit
+          catch { case e: Throwable => errs.add(e): Unit }
+        }, s"owcreate-$round-$t")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(240000))
+      assert(errs.isEmpty, s"round $round: ${Option(errs.peek())}")
+      val parts = TxLog.partitionValues(spark, root)
+      assert(parts === Set("pa", "pb") || parts === Set("pc", "pd"),
+        s"round $round: racing full replaces merged into $parts — " +
+          "readers saw a table NEITHER writer wrote")
+    }
+  }
+
+  test("convertParquetTx racing plain-parquet readers: conversion " +
+      "succeeds, the converted table is exact, racing reads see whole " +
+      "partitions of the original content or fail loudly — never " +
+      "foreign rows") {
+    import spark.implicits._
+    val root = freshRoot("convrace")
+    val rows = (1L to 200L).map(k => (partOf(k), k, k * 1.5))
+    rows.toDF("part", "k", "v").write.partitionBy("part").parquet(root)
+    val expect = rows.map { case (_, k, v) => k -> v }.toMap
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val got = spark.read.parquet(root).select("k", "v").collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          // a racing read may see a SUBSET (trees move one rename at a
+          // time) but never a row outside the original content, and
+          // only whole partitions may be missing
+          val foreign = got.filterNot { case (k, v) => expect.get(k)
+            .contains(v) }
+          if (foreign.nonEmpty)
+            errs.add(new AssertionError(s"foreign rows: $foreign")): Unit
+          val missing = expect.keySet -- got.keySet
+          if (missing.exists(k => got.keySet.exists(g =>
+              partOf(g) == partOf(k))))
+            errs.add(new AssertionError(
+              s"partial PARTITION visible: missing $missing")): Unit
+        } catch { case _: Exception => () } // mid-move reads may fail
+      }
+    }, "convrace-reader")
+    reader.start()
+    try TxLog.convertParquetTx(spark, root, Seq("part"))
+    finally { stop.set(true); reader.join(240000) }
+    assert(errs.isEmpty, s"racing reader saw: ${Option(errs.peek())}")
+    val after = TxLog.readTable(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after === expect, "converted content must be exact")
+  }
+
+  test("maintainTx bundles racing the streaming sink: exactly-once " +
+      "holds, every streamed row lands, the table never bricks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("maintsink")
+    val cp = freshRoot("maintsink-cp")
+    TxLog.appendBatchTx(Seq(("p0", -1L, 0.0)).toDF("part", "k", "v"),
+      root, "part", "ms-seed")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Double)]
+    val q = mem.toDF().toDF("part", "k", "v").writeStream.format("txlog")
+      .option("checkpointLocation", cp).start(root)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val maintainer = new Thread(() => {
+      while (!stop.get()) {
+        // DEFAULT vacuum retention: an in-flight writer's staging is
+        // age-protected (the documented contract — a zero-retention
+        // vacuum reclaims active stagings, exactly like Delta's)
+        try TxLog.maintainTx(spark, root, "part",
+          smallBytes = 1L << 20): Unit
+        catch { case e: Throwable => errs.add(e): Unit }
+      }
+    }, "maintsink-maintainer")
+    maintainer.start()
+    try {
+      (1 to 8).foreach { i =>
+        mem.addData((s"p${i % 4}", i.toLong, i * 1.0))
+        q.processAllAvailable()
+      }
+    } finally {
+      stop.set(true); maintainer.join(240000); q.stop()
+    }
+    assert(errs.isEmpty, s"maintainer failed: ${Option(errs.peek())}")
+    val got = TxLog.readTable(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === ((1L to 8L).toSet + -1L),
+      s"streamed rows lost or duplicated under maintenance: $got")
   }
 
   test("12 racing steps × 2-3 writer threads stay serializable on the " +
