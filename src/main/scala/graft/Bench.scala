@@ -177,7 +177,11 @@ object Bench {
     // r18 rows
     "q249_tx_batch_write",         // batch DataFrameWriter front door
     "q250_tx_catalog",             // named-table catalog (TableCatalog)
-    "q251_tx_table_changes"        // CDF SQL surface (table_changes TVF)
+    "q251_tx_table_changes",       // CDF SQL surface (table_changes TVF)
+    // r19 rows
+    "q252_tx_add_column",          // ALTER TABLE ADD COLUMN(S) evolution
+    "q253_tx_table_properties"     // recorded TBLPROPERTIES + policy-
+                                   // driven maintenance
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;

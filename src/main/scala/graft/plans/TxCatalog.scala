@@ -182,8 +182,31 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
         s"[${recorded.mkString(", ")}] at $location")
     val effective = if (recorded.nonEmpty) recorded else partCols
     writePointer(f, location, effective)
-    // declared schema rides only until the first write records the real
-    // one (CTAS hands the query schema through here)
+    // user-declared TBLPROPERTIES (Spark reserves the bookkeeping keys)
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val userProps = properties.asScala.toMap -- reserved
+    if (TxLog.tableExists(spark, location)) {
+      // registering an EXISTING table: properties merge transactionally
+      if (userProps.nonEmpty)
+        TxLog.setTablePropertiesTx(spark, location, userProps): Unit
+    } else if (schema.nonEmpty && effective.nonEmpty) {
+      // a DECLARED schema becomes the table's CREATE COMMIT (the Delta
+      // shape): the empty table reads with its declared columns,
+      // DESCRIBE/ADD COLUMN work before any data lands, and properties
+      // ride the same commit. CTAS passes its query schema through here
+      // — the data write that follows matches it exactly. (A tx table
+      // is always partitioned, so the commit needs PARTITIONED BY too;
+      // a schema-only declaration keeps the old ride-until-first-write
+      // behavior.)
+      TxLog.createTableTx(spark, location, schema, effective,
+        userProps): Unit
+    } else require(userProps.isEmpty,
+      "TxCatalog: TBLPROPERTIES on a brand-new table need a declared " +
+        "schema + PARTITIONED BY (the properties ride the create " +
+        "commit) — declare them or create the data first")
     new TxNamedTable(s"$catName.${(ident.namespace :+ ident.name)
       .mkString(".")}", location, effective, schema)
   }
@@ -207,8 +230,20 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     if (adds.nonEmpty)
       TxLog.addColumnsTx(spark, location,
         adds.map(ac => ac.fieldNames()(0) -> ac.dataType()).toSeq): Unit
+    // SetProperty/RemoveProperty arrive as a batch too (one SET
+    // TBLPROPERTIES statement = N changes) — ONE metadata commit each way
+    val sets = changes.collect { case sp: TableChange.SetProperty => sp }
+    if (sets.nonEmpty)
+      TxLog.setTablePropertiesTx(spark, location,
+        sets.map(sp => sp.property() -> sp.value()).toMap): Unit
+    val unsets = changes.collect {
+      case rp: TableChange.RemoveProperty => rp.property() }
+    if (unsets.nonEmpty)
+      TxLog.unsetTablePropertiesTx(spark, location, unsets): Unit
     changes.foreach {
       case _: TableChange.AddColumn => () // committed above, as one batch
+      case _: TableChange.SetProperty => ()    // committed above
+      case _: TableChange.RemoveProperty => () // committed above
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1,
           "TxCatalog: nested column renames are not supported")
@@ -219,9 +254,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
           "TxCatalog: nested column drops are not supported")
         TxLog.dropColumnTx(spark, location, dc.fieldNames()(0)): Unit
       case other => sys.error(s"TxCatalog: unsupported ALTER TABLE " +
-        s"change $other — ADD COLUMN, RENAME COLUMN and DROP COLUMN " +
-        "(plus the txlog.`path` ALTER statements for constraints) are " +
-        "supported")
+        s"change $other — ADD COLUMN, RENAME COLUMN, DROP COLUMN and " +
+        "SET/UNSET TBLPROPERTIES (plus the txlog.`path` ALTER " +
+        "statements for constraints) are supported")
     }
     loadTable(ident)
   }
@@ -346,9 +381,23 @@ private[graft] final class TxNamedTable(tableName: String,
   override def schema(): StructType =
     if (asOfVersion.isDefined)
       TxLog.readTableAt(spark, root, asOfVersion.get).schema
-    else if (TxLog.tableExists(spark, root))
-      TxLog.readTable(spark, root).schema
-    else declared
+    else if (TxLog.tableExists(spark, root)) {
+      // a created-but-still-empty table serves the DECLARED column order
+      // so the creating statement's own write (CTAS / writerV2 create)
+      // resolves positionally against the schema it declared — the first
+      // data commit flips reads to the table's recorded
+      // data-then-partition order, exactly as before the create commit
+      // existed
+      if (declared.nonEmpty && !TxLog.hasData(spark, root)) declared
+      else TxLog.readTable(spark, root).schema
+    } else declared
+
+  /** The table's RECORDED properties ([[TxLog.setTablePropertiesTx]]) —
+    * what `SHOW TBLPROPERTIES cat.ns.t` renders. */
+  override def properties(): util.Map[String, String] =
+    (if (TxLog.tableExists(spark, root))
+       TxLog.tableProperties(spark, root)
+     else Map.empty[String, String]).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

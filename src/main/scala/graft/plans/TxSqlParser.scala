@@ -329,6 +329,23 @@ private[graft] object TxSql {
       else fail(s"expected identifier at: ${rest()}")
     }
 
+    /** string literal, unquoted ('' unescapes to '). */
+    def strLit(): String = {
+      val t = peek
+      if (t.kind != 2) fail(s"expected a string literal at: ${rest()}")
+      i += 1
+      t.text.substring(1, t.text.length - 1).replace("''", "'")
+    }
+
+    /** TBLPROPERTIES key: a string literal or a dotted identifier
+      * (`graft.vacuum.retentionMs` tokenizes as ident '.' ident ...). */
+    def propKey(): String = {
+      if (!eof && peek.kind == 2) return strLit()
+      val sb = new StringBuilder(ident())
+      while (isSym(".")) { i += 1; sb += '.'; sb ++= ident() }
+      sb.toString
+    }
+
     /** original-text slice from token `from` (inclusive) to token `until`
       * (exclusive). */
     def slice(from: Int, until: Int): String = {
@@ -389,8 +406,12 @@ private[graft] object TxSql {
   //   ADD COLUMNS (a type, b type)    -> TxLog.addColumnsTx (one commit)
   //   ADD CONSTRAINT name CHECK (e)   -> TxLog.addCheckConstraintTx
   //   DROP CONSTRAINT name            -> TxLog.dropCheckConstraintTx
+  //   SET TBLPROPERTIES ('k'='v',...) -> TxLog.setTablePropertiesTx
+  //   UNSET TBLPROPERTIES ('k',...)   -> TxLog.unsetTablePropertiesTx
   // — the SQL twins of the Scala DDL-evolution front doors (metadata-only
-  // commits; one implementation, two surfaces)
+  // commits; one implementation, two surfaces). The NAME-surface
+  // SET/UNSET TBLPROPERTIES goes through Spark's own parser →
+  // TxCatalog.alterTable(SetProperty/RemoveProperty) — not claimed here.
   private def parseAlter(session: SparkSession, p: P): LogicalPlan = {
     p.kw("TABLE")
     val root = tableRoot(session, p)
@@ -441,9 +462,44 @@ private[graft] object TxSql {
           val name = p.ident()
           s => TxLog.dropCheckConstraintTx(s, root, name)
         }
+      } else if (p.tryKw("SET")) {
+        // SET TBLPROPERTIES ('k' = 'v', ...) — one metadata commit
+        // merging into the recorded set ([[TxLog.setTablePropertiesTx]])
+        p.kw("TBLPROPERTIES")
+        p.sym("(")
+        val kvs = Map.newBuilder[String, String]
+        var more = true
+        while (more) {
+          val k = p.propKey()
+          p.sym("=")
+          val v =
+            if (!p.eof && p.peek.kind == 2) p.strLit()
+            else p.ident() // bare number/word values
+          kvs += k -> v
+          more = p.isSym(",")
+          if (more) p.i += 1
+        }
+        p.sym(")")
+        val props = kvs.result()
+        s => TxLog.setTablePropertiesTx(s, root, props)
+      } else if (p.tryKw("UNSET")) {
+        // UNSET TBLPROPERTIES ('k', ...) — absent keys are a no-op
+        p.kw("TBLPROPERTIES")
+        p.sym("(")
+        val keys = Seq.newBuilder[String]
+        var more = true
+        while (more) {
+          keys += p.propKey()
+          more = p.isSym(",")
+          if (more) p.i += 1
+        }
+        p.sym(")")
+        val ks = keys.result()
+        s => TxLog.unsetTablePropertiesTx(s, root, ks)
       } else fail("ALTER TABLE on txlog tables supports RENAME COLUMN, " +
         s"DROP COLUMN, ADD COLUMN name type, ADD COLUMNS (...), " +
-        s"ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT — " +
+        s"ADD CONSTRAINT ... CHECK (...), DROP CONSTRAINT, " +
+        s"SET TBLPROPERTIES (...), UNSET TBLPROPERTIES (...) — " +
         s"got: ${p.rest()}")
     if (!p.eof) fail(s"trailing input after ALTER TABLE: ${p.rest()}")
     TxSqlCommand(Seq(attr("version", LongType)),
@@ -706,8 +762,21 @@ private[graft] object TxSql {
   }
 
   // SHOW PARTITIONS txlog.`root` — the live composite partition keys
-  // (metadata only; payload-derived above the header cap)
+  // (metadata only; payload-derived above the header cap).
+  // SHOW TBLPROPERTIES txlog.`root` — the recorded property set (the
+  // NAME spelling delegates to Spark, which reads
+  // TxNamedTable.properties()).
   private def parseShow(session: SparkSession, p: P): LogicalPlan = {
+    if (p.tryKw("TBLPROPERTIES")) {
+      val root = tableRoot(session, p)
+      if (!p.eof)
+        fail(s"trailing input after SHOW TBLPROPERTIES: ${p.rest()}")
+      return TxSqlCommand(
+        Seq(attr("key", org.apache.spark.sql.types.StringType),
+          attr("value", org.apache.spark.sql.types.StringType)),
+        s => TxLog.tableProperties(s, root).toSeq.sorted
+          .map { case (k, v) => Row(k, v) })
+    }
     p.kw("PARTITIONS")
     val root = tableRoot(session, p)
     if (!p.eof) fail(s"trailing input after SHOW PARTITIONS: ${p.rest()}")

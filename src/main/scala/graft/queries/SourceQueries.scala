@@ -4823,6 +4823,87 @@ object SourceQueries {
       full.groupBy("level")
         .agg(count(lit(1)).as("n_rows"), dsum(col("bal")).as("total_bal"))
         .withColumn("add_ok", lit(1L))
+    },
+
+    // ---- q253: recorded TABLE PROPERTIES — operational knobs that
+    // travel with the table, not the job (the Delta TBLPROPERTIES
+    // posture; the reference's warehouse centralizes its own policy in
+    // init_db.py). SET merges / UNSET removes via BOTH SQL surfaces,
+    // the recorded cadence drives commit()'s auto-checkpoint, the
+    // property-driven maintainTx overload reads the table's own
+    // compaction/retention policy, DESCRIBE DETAIL renders the set, and
+    // RESTORE reinstates the target version's properties.
+    QueryDef.sql("q253_tx_table_properties",
+      s"""SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal")} AS total_bal,
+         |  CAST(1 AS BIGINT) AS props_ok
+         |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val meta = scratch("q253_meta")
+      val root = scratch("q253_tbl")
+      Seq(meta, root).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val maxKey = cust.agg(max("k")).head.getLong(0)
+      TxLog.appendBatchTx(cust.filter(col("k") <= maxKey / 2),
+        root, "seg", "q253-b1")                                     // v1
+      // SET via the PATH surface: ONE metadata commit, merge semantics
+      s.sql(s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES (" +
+        "'team.owner' = 'data-eng', " +
+        "'graft.binpack.smallBytes' = '1048576', " +
+        "'graft.vacuum.retentionMs' = '0', " +
+        "'graft.autoCheckpoint.every' = '5')")                      // v2
+      TxLog.appendBatchTx(cust.filter(col("k") > maxKey / 2),
+        root, "seg", "q253-b2")                                     // v3
+      val base = Map(
+        "team.owner" -> "data-eng",
+        "graft.binpack.smallBytes" -> "1048576",
+        "graft.vacuum.retentionMs" -> "0",
+        "graft.autoCheckpoint.every" -> "5")
+      require(TxLog.tableProperties(s, root) == base,
+        s"q253: recorded set ${TxLog.tableProperties(s, root)}")
+      // the NAME surface (Spark's own ALTER parsing → TxCatalog) merges
+      // and removes against the SAME recorded state
+      s.conf.set("spark.sql.catalog.gq253", "graft.plans.TxCatalog")
+      s.conf.set("spark.sql.catalog.gq253.root", meta)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq253.ops")
+      s.sql(s"CREATE TABLE gq253.ops.cust USING txlog LOCATION '$root'")
+      s.sql("ALTER TABLE gq253.ops.cust SET TBLPROPERTIES " +
+        "('tier' = 'gold')")                                        // v4
+      s.sql("ALTER TABLE gq253.ops.cust UNSET TBLPROPERTIES " +
+        "('team.owner')")                                           // v5
+      require(TxLog.tableProperties(s, root) ==
+        base - "team.owner" + ("tier" -> "gold"),
+        s"q253: post-DDL set ${TxLog.tableProperties(s, root)}")
+      // v5 % (recorded every=5) == 0: the TABLE'S cadence property — not
+      // the session default of 10 — must have folded a checkpoint
+      val logDir = new java.io.File(s"$root/_txlog")
+      require(logDir.list().exists(_.endsWith(".chk")),
+        "q253: the recorded cadence property must drive auto-checkpoint")
+      require(s.sql("SHOW TBLPROPERTIES gq253.ops.cust").collect()
+          .map(_.getString(0)).contains("tier"),
+        "q253: SHOW TBLPROPERTIES must render the recorded set")
+      // RESTORE reinstates the TARGET version's property set (v3 = the
+      // original four keys) along with its data
+      s.sql(s"RESTORE TABLE txlog.`$root` TO VERSION AS OF 3")      // v6
+      require(TxLog.tableProperties(s, root) == base,
+        s"q253: restored set ${TxLog.tableProperties(s, root)}")
+      require(s.sql(s"DESCRIBE DETAIL txlog.`$root`").head
+          .getAs[String]("properties").contains("team.owner=data-eng"),
+        "q253: DESCRIBE DETAIL must render the canonical properties")
+      // property-driven maintenance: policy from the table, not the job
+      val rep = TxLog.maintainTx(s, root, "seg").head
+      require(rep.getAs[Long]("files_packed") >= 2L,
+        s"q253: the recorded smallBytes must bin-pack ($rep)")
+      require(rep.getAs[Long]("data_files_vacuumed") >= 1L,
+        s"q253: the recorded zero retention must vacuum now ($rep)")
+      TxLog.readTable(s, root).groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("bal")).as("total_bal"))
+        .withColumn("props_ok", lit(1L))
     }
   )
 }

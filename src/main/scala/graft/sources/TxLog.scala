@@ -180,7 +180,13 @@ object TxLog {
                             None,
                           // this commit SEALS the string batch-id ledger
                           // ([[sealBatchLedgerTx]])
-                          sealsBatches: Boolean = false) {
+                          sealsBatches: Boolean = false,
+                          // TABLE-PROPERTY snapshot (ops "meta"/"restore",
+                          // behind an explicit presence marker like
+                          // constraints): operational knobs that travel
+                          // with the table (retention, maintenance
+                          // cadence) — [[setTablePropertiesTx]]
+                          props: Option[Map[String, String]] = None) {
     /** Partitions this commit touches — the conflict-check unit. */
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
@@ -204,7 +210,9 @@ object TxLog {
                             // deletes); covers live files only, like stats
                             dvs: FileDvs = Map.empty,
                             // CHECK constraints in force at this version
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            // table properties in force at this version
+                            props: Map[String, String] = Map.empty)
 
   /** Staged-but-uncommitted data: files already durable under `root`.
     * `schema` is the DATA files' DDL (partition column excluded) — the
@@ -236,7 +244,9 @@ object TxLog {
                             None,
                           // seals the string batch ledger (see
                           // [[sealBatchLedgerTx]])
-                          sealsBatches: Boolean = false) {
+                          sealsBatches: Boolean = false,
+                          // ops "meta"/"restore": table-property snapshot
+                          props: Option[Map[String, String]] = None) {
     def touched: Set[String] = parts.keySet ++ removed.keySet
   }
 
@@ -325,7 +335,9 @@ object TxLog {
                                // ([[sealBatchLedgerTx]]): b-lines are
                                // dropped forever and string-batchId
                                // commits refuse loudly
-                               sealedLedger: Boolean = false)
+                               sealedLedger: Boolean = false,
+                               // table properties as of the checkpoint
+                               props: Map[String, String] = Map.empty)
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -524,6 +536,13 @@ object TxLog {
         Some(lines.filter(_.startsWith("k\t")).map(_.split("\t", -1))
           .map { case Array(_, n, e) => unesc(n) -> unesc(e) }.toMap)
       else None
+    // `t\t<key>\t<value>`: table-property snapshot — only behind the
+    // explicit marker, so other meta commits leave properties untouched
+    val props =
+      if (fieldOpt("hasProps").isDefined)
+        Some(lines.filter(_.startsWith("t\t")).map(_.split("\t", -1))
+          .map { case Array(_, k, v) => unesc(k) -> unesc(v) }.toMap)
+      else None
     // `payload=<dir>` (op "restore" on a payload table): the rewritten
     // target state, plus its recorded aggregate facts
     val payloadChk = fieldOpt("payload").map { name =>
@@ -537,7 +556,7 @@ object TxLog {
       removed, changes, writerSeq, mapping,
       cdfPhys = fieldOpt("cdfNames").contains("phys"), dvs = dvs,
       constraints = constraints, payloadChk = payloadChk,
-      sealsBatches = fieldOpt("sealBatches").isDefined)
+      sealsBatches = fieldOpt("sealBatches").isDefined, props = props)
   }
 
   /** `d\t<dataFile>\t<dvFile>` (one row per referenced dv parquet file)
@@ -600,7 +619,9 @@ object TxLog {
                            constraints: Option[Map[String, String]] = None,
                            payloadChk: Option[(String, Long, Long, Long)] =
                              None,
-                           sealsBatches: Boolean = false): String = {
+                           sealsBatches: Boolean = false,
+                           props: Option[Map[String, String]] = None)
+      : String = {
     val header = Seq("graft-txn-v1", s"op=$op", s"readVersion=$readVersion",
       s"batchId=${batchId.map(esc).getOrElse("-")}",
       s"schema=${schema.map(esc).getOrElse("-")}",
@@ -613,6 +634,7 @@ object TxLog {
       // change files when re-mapping historical windows
       (if (changes.nonEmpty) Seq("cdfNames=phys") else Seq.empty) ++
       (if (constraints.isDefined) Seq("hasConstraints=1") else Seq.empty) ++
+      (if (props.isDefined) Seq("hasProps=1") else Seq.empty) ++
       (if (sealsBatches) Seq("sealBatches=1") else Seq.empty)
     val mappingRows = mapping.toSeq.flatMap(_.toSeq.sortBy(_._1).map {
       case (p, l) => s"m\t${esc(p)}\t${esc(l)}"
@@ -629,8 +651,10 @@ object TxLog {
     val changeRows = changes.sorted.map(f => s"c\t$f")
     val constraintRows = constraints.toSeq.flatMap(_.toSeq.sortBy(_._1)
       .map { case (n, e) => s"k\t${esc(n)}\t${esc(e)}" })
-    (header ++ mappingRows ++ constraintRows ++ partRows ++ removedRows ++
-      changeRows ++ renderDvs(dvs) ++
+    val propRows = props.toSeq.flatMap(_.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"t\t${esc(k)}\t${esc(v)}" })
+    (header ++ mappingRows ++ constraintRows ++ propRows ++ partRows ++
+      removedRows ++ changeRows ++ renderDvs(dvs) ++
       renderStats(stats) ++ renderRows(rows)).mkString("\n") + "\n"
   }
 
@@ -654,6 +678,9 @@ object TxLog {
     // `k\t<name>\t<expr>`: CHECK constraints (full snapshot in a chk)
     val constraints = lines.filter(_.startsWith("k\t")).map(_.split("\t", -1))
       .map { case Array(_, n, e) => unesc(n) -> unesc(e) }.toMap
+    // `t\t<key>\t<value>`: table properties (full snapshot in a chk)
+    val props = lines.filter(_.startsWith("t\t")).map(_.split("\t", -1))
+      .map { case Array(_, k, v) => unesc(k) -> unesc(v) }.toMap
     def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
       .filter(_ != "-")
@@ -674,11 +701,12 @@ object TxLog {
         nfiles = fieldOpt("nfiles").map(_.toLong).getOrElse(-1L),
         bytes = fieldOpt("bytes").map(_.toLong).getOrElse(-1L),
         ndvs = fieldOpt("ndvs").map(_.toLong).getOrElse(-1L),
-        sealedLedger = fieldOpt("sealed").isDefined)
+        sealedLedger = fieldOpt("sealed").isDefined, props = props)
     } else
       Chk(version, parts, batchIds, schema, parseStats(lines),
         parseRows(lines), partSchema, writers, mapping, parseDvs(lines),
-        constraints, sealedLedger = fieldOpt("sealed").isDefined)
+        constraints, sealedLedger = fieldOpt("sealed").isDefined,
+        props = props)
   }
 
   private def renderWriters(writers: Map[String, (Long, Long)]): Seq[String] =
@@ -694,6 +722,9 @@ object TxLog {
   private def renderConstraints(cs: Map[String, String]): Seq[String] =
     cs.toSeq.sortBy(_._1).map { case (n, e) => s"k\t${esc(n)}\t${esc(e)}" }
 
+  private def renderProps(ps: Map[String, String]): Seq[String] =
+    ps.toSeq.sortBy(_._1).map { case (k, v) => s"t\t${esc(k)}\t${esc(v)}" }
+
   private def renderChk(parts: Map[String, Seq[String]],
                         batchIds: Set[String],
                         schema: Option[String],
@@ -704,7 +735,8 @@ object TxLog {
                         mapping: Map[String, String],
                         dvs: FileDvs = Map.empty,
                         constraints: Map[String, String] = Map.empty,
-                        sealedLedger: Boolean = false): String = {
+                        sealedLedger: Boolean = false,
+                        props: Map[String, String] = Map.empty): String = {
     val partRows = parts.toSeq.sortBy(_._1).flatMap { case (v, fs) =>
       fs.sorted.map(f => s"p\t${esc(v)}\t$f")
     }
@@ -713,7 +745,7 @@ object TxLog {
       (if (sealedLedger) Seq("sealed=1") else Seq.empty) ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++ renderDvs(dvs) ++
-      renderConstraints(constraints) ++
+      renderConstraints(constraints) ++ renderProps(props) ++
       partRows ++ renderStats(stats) ++ renderRows(rows))
       .mkString("\n") + "\n"
   }
@@ -726,7 +758,8 @@ object TxLog {
                           mapping: Map[String, String],
                           constraints: Map[String, String],
                           ndvs: Long = -1L,
-                          sealedLedger: Boolean = false): String =
+                          sealedLedger: Boolean = false,
+                          props: Map[String, String] = Map.empty): String =
     (Seq("graft-chk-v2", s"schema=${schema.map(esc).getOrElse("-")}",
       s"part=${partSchema.map(esc).getOrElse("-")}",
       s"payload=$payload", s"nfiles=$nfiles", s"bytes=$bytes",
@@ -737,7 +770,7 @@ object TxLog {
       (if (partValues.isEmpty) Seq("novals=1") else Seq.empty) ++
       batchIds.toSeq.sorted.map(b => s"b\t${esc(b)}") ++
       renderWriters(writers) ++ renderMapping(mapping) ++
-      renderConstraints(constraints) ++
+      renderConstraints(constraints) ++ renderProps(props) ++
       partValues.getOrElse(Set.empty).toSeq.sorted
         .map(v => s"v\t${esc(v)}"))
       .mkString("\n") + "\n"
@@ -834,7 +867,9 @@ object TxLog {
         .getOrElse(chk.map(_.mapping).getOrElse(Map.empty)),
       dvs = dvs0.filter { case (f, _) => live(f) },
       constraints = commits.flatMap(_.constraints).lastOption
-        .getOrElse(chk.map(_.constraints).getOrElse(Map.empty)))
+        .getOrElse(chk.map(_.constraints).getOrElse(Map.empty)),
+      props = commits.flatMap(_.props).lastOption
+        .getOrElse(chk.map(_.props).getOrElse(Map.empty)))
   }
 
   /** Resolved state of a PARQUET-CHECKPOINTED table: the file-level
@@ -858,6 +893,8 @@ object TxLog {
       mapping: Map[String, String] = Map.empty,
       // CHECK constraints in force at this version
       constraints: Map[String, String] = Map.empty,
+      // table properties in force at this version
+      props: Map[String, String] = Map.empty,
       // post-checkpoint deletion-vector OVERRIDES (file → cumulative
       // vector): payload files' vectors live in the payload's dvfiles/
       // dvrows columns; a dv commit after the checkpoint overrides here
@@ -966,6 +1003,7 @@ object TxLog {
       baseNfiles, baseBytes,
       commits.flatMap(_.mapping).lastOption.getOrElse(chk.mapping),
       commits.flatMap(_.constraints).lastOption.getOrElse(chk.constraints),
+      commits.flatMap(_.props).lastOption.getOrElse(chk.props),
       dvDelta, baseNdvs, payloadDead)
   }
 
@@ -1091,7 +1129,10 @@ object TxLog {
                                        snap: Snapshot,
                                        partSchema: org.apache.spark.sql.types.StructType,
                                        withPos: Boolean): DataFrame = {
-    require(snap.parts.nonEmpty,
+    // an empty table READS (zero rows, the declared columns) once a
+    // schema is recorded — the created-before-first-write state
+    // ([[createTableTx]]); only a schema-less empty log refuses
+    require(snap.parts.nonEmpty || snap.schema.isDefined,
       s"TxLog table at $root is empty — nothing committed yet")
     val dataSchema = snap.schema
       .map(org.apache.spark.sql.types.StructType.fromDDL)
@@ -2327,6 +2368,9 @@ object TxLog {
     require(op == "meta" || op == "restore" || staged.constraints.isEmpty,
       s"TxLog.commit: op $op cannot change CHECK constraints — only " +
         "\"meta\" and \"restore\" carry a snapshot")
+    require(op == "meta" || op == "restore" || staged.props.isEmpty,
+      s"TxLog.commit: op $op cannot change table properties — only " +
+        "\"meta\" and \"restore\" carry a snapshot")
     require(op != "meta" || staged.parts.isEmpty && staged.removed.isEmpty,
       "TxLog.commit: a \"meta\" commit is metadata-only — no data files")
     require(staged.payloadChk.isEmpty ||
@@ -2602,14 +2646,20 @@ object TxLog {
             recordSchema, staged.stats, staged.rows, staged.partSchema,
             staged.removed, staged.changes, writerSeq, staged.mapping,
             staged.dvs, staged.constraints, staged.payloadChk,
-            staged.sealsBatches))) {
+            staged.sealsBatches, staged.props))) {
         // AUTO-CHECKPOINT CADENCE: long commit chains between manual
         // checkpoints inflate every readLog re-list and fold — fold one
         // in from commit() every N versions (the Delta default cadence).
         // Purely additive maintenance: derived from committed state,
         // racing checkpointers converge via putIfAbsent, and a failure
         // here must never fail the ALREADY-COMMITTED write.
-        val every = autoCheckpointEvery(spark)
+        // Cadence precedence: the table's recorded property (the policy
+        // travels with the table — [[setTablePropertiesTx]]) beats the
+        // session conf beats the default. The commit just published may
+        // itself carry the property snapshot (staged.props).
+        val every = staged.props.getOrElse(propsInForce(chk, commits))
+          .get("graft.autoCheckpoint.every").map(_.toInt)
+          .getOrElse(autoCheckpointEvery(spark))
         if (every > 0 && next % every == 0)
           try { checkpoint(spark, root): Unit }
           catch { case scala.util.control.NonFatal(e) =>
@@ -3033,6 +3083,113 @@ object TxLog {
       s"conflicts at $root — pathological contention, back off at the caller")
   }
 
+  /** Table properties in force (empty when none recorded). */
+  def tableProperties(spark: SparkSession, root: String): Map[String, String] =
+    stateOf(spark, root).fold(_.props, _.props)
+
+  /** Properties in force for an already-parsed log window (last
+    * property-carrying commit wins; otherwise the checkpoint snapshot). */
+  private def propsInForce(chk: Option[Chk],
+                           commits: Seq[Commit]): Map[String, String] =
+    commits.flatMap(_.props).lastOption
+      .getOrElse(chk.map(_.props).getOrElse(Map.empty))
+
+  /** Transactional SET TBLPROPERTIES — a metadata-only commit MERGING
+    * `props` into the table's recorded properties. Properties are the
+    * table's OPERATIONAL knobs, recorded so the policy travels with the
+    * table instead of the job (the Delta TBLPROPERTIES posture):
+    * maintenance ([[maintainTx]]'s property-driven overload),
+    * [[checkpoint]]'s auto cadence and seal nudge read them as
+    * defaults, DESCRIBE DETAIL shows them, and RESTORE reinstates the
+    * target version's set. Recognized keys (anything else is carried
+    * opaquely):
+    *
+    *   - `graft.autoCheckpoint.every`     commit() auto-checkpoint cadence
+    *   - `graft.seal.nudgeIds`            string-ledger nudge threshold
+    *   - `graft.binpack.smallBytes`       maintainTx compaction threshold
+    *   - `graft.dv.fraction`              maintainTx dv-rewrite fraction
+    *   - `graft.vacuum.retentionMs`       maintainTx vacuum horizon */
+  def setTablePropertiesTx(spark: SparkSession, root: String,
+                           props: Map[String, String],
+                           maxAttempts: Int = 20): Long = {
+    require(props.nonEmpty, "setTablePropertiesTx: no properties")
+    props.keys.foreach(k => require(k.nonEmpty && k != "-",
+      "setTablePropertiesTx: property keys must be non-empty"))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      // version FIRST, metadata second (the meta-commit lost-update
+      // discipline)
+      val v0 = currentVersion(spark, root)
+      val (mapping, _) = writerMetaOf(spark, root)
+      val existing = tableProperties(spark, root)
+      try return commit(spark, root,
+        Staged(Map.empty, mapping = Some(mapping),
+          props = Some(existing ++ props)),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"setTablePropertiesTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
+  }
+
+  /** Transactional CREATE — records the DECLARED schema (and optional
+    * properties) as the table's first commit, the Delta create-commit
+    * shape: the empty table reads with its declared columns, DESCRIBE
+    * and ADD COLUMN work before any data lands, and the first writer is
+    * held to the declared contract (subset writers refuse, additive
+    * writers evolve). `schema` is the FULL declared schema; `partCols`
+    * names the partition columns (must be declared in `schema`).
+    * Refuses on an already-created table — registration of existing
+    * tables goes through [[setTablePropertiesTx]] for properties. */
+  def createTableTx(spark: SparkSession, root: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    partCols: Seq[String],
+                    props: Map[String, String] = Map.empty): Long = {
+    require(schema.nonEmpty, "createTableTx: empty schema")
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"createTableTx: partition column(s) " +
+      s"[${missing.mkString(", ")}] not declared in the schema")
+    require(!tableExists(spark, root),
+      s"createTableTx: a table already exists at $root — ALTER it " +
+        "instead of re-creating")
+    val partSet = partCols.toSet
+    val dataDDL = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partSet(f.name))).toDDL
+    val partDDL =
+      if (partCols.isEmpty) None
+      else Some(org.apache.spark.sql.types.StructType(
+        partCols.map(c => schema(schema.fieldIndex(c)))).toDDL)
+    commit(spark, root,
+      Staged(Map.empty, schema = Some(dataDDL), partSchema = partDDL,
+        mapping = Some(Map.empty),
+        props = Some(props).filter(_.nonEmpty)),
+      "meta", readVersion = 0L, conflictCheck = true)
+  }
+
+  /** Transactional UNSET TBLPROPERTIES — removes `keys` (absent keys are
+    * a no-op, idempotent replay). */
+  def unsetTablePropertiesTx(spark: SparkSession, root: String,
+                             keys: Seq[String],
+                             maxAttempts: Int = 20): Long = {
+    require(keys.nonEmpty, "unsetTablePropertiesTx: no keys")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = currentVersion(spark, root)
+      val (mapping, _) = writerMetaOf(spark, root)
+      val existing = tableProperties(spark, root)
+      try return commit(spark, root,
+        Staged(Map.empty, mapping = Some(mapping),
+          props = Some(existing -- keys)),
+        "meta", readVersion = v0, conflictCheck = true)
+      catch { case _: ConcurrentWriteException => () }
+    }
+    sys.error(s"unsetTablePropertiesTx: $maxAttempts consecutive " +
+      s"conflicts at $root — pathological contention, back off at the " +
+      "caller")
+  }
+
   /** Transactional partition removal — the metadata-only DROP PARTITION
     * (no data file is touched; [[vacuum]] reclaims them later). The
     * third commit op beside overwrite/append: retention on a tx table
@@ -3121,7 +3278,8 @@ object TxLog {
         target.parts ++ gone.map(_ -> Seq.empty[String]),
         target.schema, target.stats, target.rows, target.partSchema,
         mapping = Some(target.mapping), dvs = target.dvs,
-        constraints = Some(target.constraints))
+        constraints = Some(target.constraints),
+        props = Some(target.props))
       try return commit(spark, root, staged, "restore",
         readVersion = snap.version, conflictCheck = true)
       catch { case _: ConcurrentWriteException => () } // re-derive `gone`
@@ -3200,6 +3358,7 @@ object TxLog {
       val staged = Staged(Map.empty,
         schema = bt.schema, partSchema = bt.partSchema,
         mapping = Some(bt.mapping), constraints = Some(bt.constraints),
+        props = Some(bt.props),
         payloadChk = Some((name, agg.getLong(0), agg.getLong(1),
           agg.getLong(2))))
       try return commit(spark, root, staged, "restore",
@@ -4305,6 +4464,32 @@ object TxLog {
           "log_files_expired BIGINT, data_files_vacuumed BIGINT"))
   }
 
+  /** Property-driven [[maintainTx]] — the scheduled-maintenance entry
+    * point for a FLEET: the job names the table; the policy comes from
+    * the table's own recorded properties ([[setTablePropertiesTx]]),
+    * falling back to the stock defaults. Reads
+    * `graft.binpack.smallBytes` (compaction threshold, default 64 MiB),
+    * `graft.vacuum.retentionMs` (default 1 h) and `graft.dv.fraction`
+    * (default 0.3); `graft.autoCheckpoint.every` / `graft.seal.nudgeIds`
+    * are consumed by [[commit]] / [[checkpoint]] directly. */
+  def maintainTx(spark: SparkSession, root: String, partCol: String,
+                 partType: DataType): DataFrame = {
+    val props = tableProperties(spark, root)
+    maintainTx(spark, root, partCol,
+      smallBytes = props.get("graft.binpack.smallBytes").map(_.toLong)
+        .getOrElse(64L << 20),
+      partType = partType,
+      vacuumAgeMs = props.get("graft.vacuum.retentionMs").map(_.toLong)
+        .getOrElse(3600000L),
+      dvFraction = props.get("graft.dv.fraction").map(_.toDouble)
+        .getOrElse(0.3))
+  }
+
+  /** String-partitioned [[maintainTx]] by recorded properties. */
+  def maintainTx(spark: SparkSession, root: String,
+                 partCol: String): DataFrame =
+    maintainTx(spark, root, partCol, StringType: DataType)
+
   /** Table-level operational facts — the Delta DESCRIBE DETAIL move:
     * ONE row (version, representation, file/partition/byte tallies,
     * deleted-row count, schema-evolution and constraint inventory) with
@@ -4355,7 +4540,12 @@ object TxLog {
       mapping.count(_._2 != "-").toLong,
       mapping.count(_._2 == "-").toLong,
       state.fold(_.constraints, _.constraints).size.toLong,
-      state.fold(_.schema, _.schema).orNull))
+      state.fold(_.schema, _.schema).orNull,
+      // canonical sorted k=v rendering (NULL when none) — the recorded
+      // operational policy, visible where an operator looks first
+      Option(state.fold(_.props, _.props)).filter(_.nonEmpty)
+        .map(_.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(", ")).orNull))
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -4363,7 +4553,7 @@ object TxLog {
           "partition_schema STRING, n_partitions BIGINT, " +
           "n_files BIGINT, size_bytes BIGINT, n_deleted_rows BIGINT, " +
           "n_renamed_columns BIGINT, n_dropped_columns BIGINT, " +
-          "n_constraints BIGINT, schema_ddl STRING"))
+          "n_constraints BIGINT, schema_ddl STRING, properties STRING"))
   }
 
   /** Maintenance: fold the log into a CHECKPOINT at the current version
@@ -4395,10 +4585,13 @@ object TxLog {
         commits.flatMap(_.batchId)
     // the auto-seal NUDGE: a string-id ledger past the threshold is the
     // table's one unbounded metadata row class — tell the operator the
-    // one-call fix instead of silently re-writing an ever-growing set
-    if (!sealedL && batchIds.size > sealNudgeIds(spark))
+    // one-call fix instead of silently re-writing an ever-growing set.
+    // Threshold precedence: table property > session conf > default.
+    val nudgeAt = propsInForce(chk, commits).get("graft.seal.nudgeIds")
+      .map(_.toInt).getOrElse(sealNudgeIds(spark))
+    if (!sealedL && batchIds.size > nudgeAt)
       warnSink(s"TxLog.checkpoint: $root carries ${batchIds.size} string " +
-        s"batch ids (threshold ${sealNudgeIds(spark)}) — the ledger grows " +
+        s"batch ids (threshold $nudgeAt) — the ledger grows " +
         "O(total batches) until sealed; quiesce the string-id writers and " +
         "call TxLog.sealBatchLedgerTx (or maintainTx(sealLedger = true)) " +
         "to migrate to the bounded writer-seq ledger")
@@ -4422,7 +4615,7 @@ object TxLog {
           tryPublishNamed(spark, root, f"c$version%020d.chk",
             renderChk(snap.parts, batchIds, snap.schema, snap.stats,
               snap.rows, snap.partSchema, writers, snap.mapping,
-              snap.dvs, snap.constraints, sealedL)): Unit
+              snap.dvs, snap.constraints, sealedL, snap.props)): Unit
         else writeChkV2FromSnap(spark, root, snap, batchIds, writers,
           sealedL)
     }
@@ -4604,7 +4797,7 @@ object TxLog {
       renderChkV2(name, values, batchIds, snap.schema,
         snap.partSchema, rows.size.toLong, bytes, writers, snap.mapping,
         snap.constraints, ndvs = snap.dvs.size.toLong,
-        sealedLedger = sealedLedger))
+        sealedLedger = sealedLedger, props = snap.props))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -4644,6 +4837,11 @@ object TxLog {
   private def stateNonEmpty(spark: SparkSession, root: String,
                             state: Either[Snapshot, BigState]): Boolean =
     state.fold(_.parts.nonEmpty, bigNonEmpty(spark, root, _))
+
+  /** Whether the table holds any committed data (false for a table that
+    * exists only as a [[createTableTx]] create commit). */
+  private[graft] def hasData(spark: SparkSession, root: String): Boolean =
+    stateNonEmpty(spark, root, stateOf(spark, root))
 
   private[sources] def payloadLiveDF(spark: SparkSession, root: String,
                                      big: BigState): DataFrame = {
@@ -4732,7 +4930,7 @@ object TxLog {
       renderChkV2(name, values, batchIds, big.schema, big.partSchema,
         agg.getLong(0), agg.getLong(1), writers, big.mapping,
         big.constraints, ndvs = agg.getLong(2),
-        sealedLedger = sealedLedger))
+        sealedLedger = sealedLedger, props = big.props))
     if (!won) deletePayloadDir(spark, root, name)
   }
 
@@ -4829,9 +5027,16 @@ object TxLog {
     var removed = 0
     fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
       // full recursive descent: multi-column staging dirs nest one level
-      // per partition column (c1=v1/c2=v2/...)
+      // per partition column (c1=v1/c2=v2/...). An IN-FLIGHT writer's
+      // job-commit deletes its _temporary scaffolding between our parent
+      // and child listings — a vanished subtree is simply not a vacuum
+      // candidate this cycle (the race fuzz caught the maintainer dying
+      // on exactly that against the streaming sink)
       def descend(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
-        fs.listStatus(p).flatMap { e =>
+        (try fs.listStatus(p)
+         catch { case _: java.io.FileNotFoundException =>
+           Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .flatMap { e =>
           if (e.isDirectory) descend(e.getPath) else Array(e)
         }
       val files = descend(d.getPath).filter(_.isFile)
@@ -4892,9 +5097,14 @@ object TxLog {
         val p = new Path(d)
         val f = p.getFileSystem(conf.value)
         // full recursive descent (multi-column staging dirs nest one
-        // level per partition column)
+        // level per partition column); tolerate subtrees an in-flight
+        // writer's job-commit deletes mid-listing (same contract as the
+        // driver path — a vanished dir is not a candidate this cycle)
         def descend(q: Path): Array[org.apache.hadoop.fs.FileStatus] =
-          f.listStatus(q).flatMap { e =>
+          (try f.listStatus(q)
+           catch { case _: java.io.FileNotFoundException =>
+             Array.empty[org.apache.hadoop.fs.FileStatus] })
+          .flatMap { e =>
             if (e.isDirectory) descend(e.getPath) else Array(e)
           }
         descend(p)

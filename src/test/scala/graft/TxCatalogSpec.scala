@@ -142,23 +142,24 @@ class TxCatalogSpec extends SparkSpecBase {
     wired
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.w2")
+    // create() = the CREATE COMMIT (declared schema) + the data commit
     Seq(("a", 1L), ("b", 2L)).toDF("part", "k")
       .writeTo("gcat.w2.t").using("txlog")
-      .partitionedBy(col("part")).create()                           // v1
+      .partitionedBy(col("part")).create()                           // v1+v2
     assert(spark.sql("SELECT COUNT(*) FROM gcat.w2.t").head.getLong(0)
       === 2L)
-    Seq(("c", 3L)).toDF("part", "k").writeTo("gcat.w2.t").append()   // v2
+    Seq(("c", 3L)).toDF("part", "k").writeTo("gcat.w2.t").append()   // v3
     assert(spark.sql("SELECT COUNT(*) FROM gcat.w2.t").head.getLong(0)
       === 3L)
     // overwrite(lit(true)) = the atomic full replace
     Seq(("d", 9L)).toDF("part", "k")
-      .writeTo("gcat.w2.t").overwrite(lit(true))                     // v3
+      .writeTo("gcat.w2.t").overwrite(lit(true))                     // v4
     val loc = spark.sessionState.catalogManager.catalog("gcat")
       .asInstanceOf[graft.plans.TxCatalog]
       .locationOf(org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("w2"), "t"))
     assert(TxLog.partitionValues(spark, loc) === Set("d"))
-    assert(TxLog.readTableAt(spark, loc, 2L).count() === 3L)
+    assert(TxLog.readTableAt(spark, loc, 3L).count() === 3L)
   }
 
   test("readStream.table(name) follows the commit log like the path " +
@@ -351,5 +352,92 @@ class TxCatalogSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e2.getMessage.contains("never_made"), e2.getMessage)
+  }
+
+  test("SET/UNSET TBLPROPERTIES by name; SHOW TBLPROPERTIES renders the " +
+      "recorded set; both addresses see one property state") {
+    wired
+    import spark.implicits._
+    val loc = tmp("props")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.props")
+    spark.sql(s"CREATE TABLE gcat.props.t USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), loc, "part",
+      "prop-b1")                                                     // v1
+    // Spark's OWN parser handles the name surface → TxCatalog.alterTable
+    spark.sql("ALTER TABLE gcat.props.t SET TBLPROPERTIES (" +
+      "'team.owner' = 'data-eng', 'graft.vacuum.retentionMs' = '0')") // v2
+    // one property state under both addresses
+    assert(TxLog.tableProperties(spark, loc) === Map(
+      "team.owner" -> "data-eng", "graft.vacuum.retentionMs" -> "0"))
+    val shown = spark.sql("SHOW TBLPROPERTIES gcat.props.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team.owner").contains("data-eng"), shown.toString)
+    spark.sql(
+      "ALTER TABLE gcat.props.t UNSET TBLPROPERTIES ('team.owner')") // v3
+    assert(TxLog.tableProperties(spark, loc) ===
+      Map("graft.vacuum.retentionMs" -> "0"))
+    // a path-surface SET lands in the same log the name surface reads
+    spark.sql(s"ALTER TABLE txlog.`$loc` SET TBLPROPERTIES " +
+      "('tier' = 'gold')")                                           // v4
+    assert(spark.sql("SHOW TBLPROPERTIES gcat.props.t")
+      .collect().map(_.getString(0)).contains("tier"))
+    // REGISTERING an existing table with TBLPROPERTIES merges them into
+    // the one shared log (both names keep reading one property state)
+    spark.sql("CREATE TABLE gcat.props.t_alias USING txlog LOCATION " +
+      s"'$loc' TBLPROPERTIES ('registered.by' = 'alias')")           // v5
+    assert(TxLog.tableProperties(spark, loc) === Map(
+      "graft.vacuum.retentionMs" -> "0", "tier" -> "gold",
+      "registered.by" -> "alias"))
+  }
+
+  test("CREATE TABLE with a declared schema is a real CREATE COMMIT: " +
+      "the empty table reads, TBLPROPERTIES ride it, DDL works before " +
+      "data, the first writer is held to the declared contract") {
+    wired
+    import spark.implicits._
+    val loc = tmp("declared")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.decl")
+    spark.sql("CREATE TABLE gcat.decl.t (k BIGINT, v DOUBLE, " +
+      s"part STRING) USING txlog PARTITIONED BY (part) LOCATION '$loc' " +
+      "TBLPROPERTIES ('team.owner' = 'data-eng')")                   // v1
+    // the declared schema + properties are COMMITTED state, not a hint
+    assert(TxLog.currentVersion(spark, loc) === 1L)
+    assert(TxLog.tableProperties(spark, loc) ===
+      Map("team.owner" -> "data-eng"))
+    // the empty table READS: zero rows, the declared columns
+    assert(spark.sql("SELECT COUNT(*) FROM gcat.decl.t").head.getLong(0)
+      === 0L)
+    assert(spark.table("gcat.decl.t").columns.toSeq ===
+      Seq("k", "v", "part"))
+    // DDL works before any data lands
+    spark.sql("ALTER TABLE gcat.decl.t ADD COLUMNS (note STRING)")   // v2
+    // a writer that LOST a declared column refuses (the contract holds
+    // from v1, not from the first write)
+    val e = intercept[Exception] {
+      TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), loc, "part",
+        "decl-b0")
+    }
+    assert(e.getMessage.contains("drops or retypes"), e.getMessage)
+    // a conforming writer lands; both surfaces read it back
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 2.0, "n1")).toDF("part", "k", "v", "note"),
+      loc, "part", "decl-b1")                                        // v3
+    spark.sql("INSERT INTO gcat.decl.t SELECT CAST(2 AS BIGINT), 3.0, " +
+      "'n2', 'b'")                                                   // v4
+    assert(spark.sql("SELECT SUM(v) FROM gcat.decl.t").head.getDouble(0)
+      === 5.0)
+    assert(TxLog.readTable(spark, loc).count() === 2L)
+    // re-creating over an existing table refuses loudly
+    val e2 = intercept[Exception] {
+      TxLog.createTableTx(spark, loc,
+        spark.table("gcat.decl.t").schema, Seq("part"))
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // TBLPROPERTIES on a brand-new table NEED the declared contract
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.decl.bare USING txlog LOCATION " +
+        s"'${tmp("declared-bare")}' TBLPROPERTIES ('x' = 'y')")
+    }
+    assert(e3.getMessage.contains("TBLPROPERTIES"), e3.getMessage)
   }
 }

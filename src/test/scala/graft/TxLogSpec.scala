@@ -2439,4 +2439,115 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.readTable(spark, root).columns.toSeq ===
       Seq("k", "amount", "part"))
   }
+
+  test("table properties: set merges, unset removes, survive checkpoints " +
+      "on both representations, restore reinstates, DESCRIBE DETAIL shows") {
+    val root = freshRoot("props")
+    TxLog.overwritePartitionsTx(kv("a" -> 1, "b" -> 2), root, "part") // v1
+    assert(TxLog.tableProperties(spark, root) === Map.empty)
+    TxLog.setTablePropertiesTx(spark, root,
+      Map("team.owner" -> "data-eng"))                                // v2
+    TxLog.setTablePropertiesTx(spark, root,
+      Map("graft.vacuum.retentionMs" -> "0"))                         // v3
+    // merge semantics: the second SET keeps the first key
+    assert(TxLog.tableProperties(spark, root) ===
+      Map("team.owner" -> "data-eng", "graft.vacuum.retentionMs" -> "0"))
+    // the inline checkpoint carries the snapshot (fold-from-chk path) —
+    // deltas kept so the restore below can still time-travel to v2
+    TxLog.checkpoint(spark, root)
+    assert(TxLog.tableProperties(spark, root)("team.owner") === "data-eng")
+    // DESCRIBE DETAIL renders the canonical sorted k=v string
+    assert(TxLog.tableDetail(spark, root).head.getAs[String]("properties")
+      === "graft.vacuum.retentionMs=0, team.owner=data-eng")
+    // unset removes; unsetting an absent key is an idempotent no-op
+    TxLog.unsetTablePropertiesTx(spark, root,
+      Seq("team.owner", "never.was"))                                 // v4
+    assert(TxLog.tableProperties(spark, root) ===
+      Map("graft.vacuum.retentionMs" -> "0"))
+    // restore to v2 reinstates THAT version's property set
+    TxLog.restoreTx(spark, root, 2L)                                  // v5
+    assert(TxLog.tableProperties(spark, root) ===
+      Map("team.owner" -> "data-eng"))
+    // checkpoint + expire: props now come from the chk snapshot alone
+    TxLog.checkpoint(spark, root)
+    TxLog.expireLog(spark, root): Unit
+    assert(TxLog.tableProperties(spark, root) ===
+      Map("team.owner" -> "data-eng"))
+    // parquet-checkpointed representation: props ride the v2 header
+    val key = "graft.txlog.chkParquetMin"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "1")
+      TxLog.checkpoint(spark, root)
+      assert(TxLog.tableProperties(spark, root) ===
+        Map("team.owner" -> "data-eng"))
+      // a props change ON the payload representation folds + restores
+      TxLog.setTablePropertiesTx(spark, root, Map("tier" -> "gold"))
+      TxLog.checkpoint(spark, root)
+      assert(TxLog.tableProperties(spark, root) ===
+        Map("team.owner" -> "data-eng", "tier" -> "gold"))
+      assert(TxLog.tableDetail(spark, root).head
+        .getAs[String]("properties").contains("tier=gold"))
+    } finally {
+      prior.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
+  test("table properties drive the auto-checkpoint cadence and the seal " +
+      "nudge threshold over the session defaults") {
+    val root = freshRoot("props-cadence")
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def chkCount: Int = {
+      val dir = new org.apache.hadoop.fs.Path(root, "_txlog")
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .count(_.endsWith(".chk"))
+    }
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val priorSink = TxLog.warnSink
+    TxLog.warnSink = msg => captured.synchronized { captured += msg }: Unit
+    try {
+      // session cadence OFF — only the table property can fold one in
+      spark.conf.set("graft.txlog.autoCheckpointEvery", "0")
+      TxLog.overwritePartitionsTx(kv("a" -> 1), root, "part")        // v1
+      TxLog.setTablePropertiesTx(spark, root,
+        Map("graft.autoCheckpoint.every" -> "3",
+            "graft.seal.nudgeIds" -> "1"))                           // v2
+      assert(chkCount === 0)
+      TxLog.appendBatchTx(kv("a" -> 2), root, "part", "pc-b1")       // v3
+      assert(chkCount === 1,
+        "the recorded cadence property must fold a checkpoint at v3")
+      // nudge threshold from the property (session default is 4096):
+      // two string ids > 1 fires the warning
+      TxLog.appendBatchTx(kv("a" -> 3), root, "part", "pc-b2")       // v4
+      captured.clear()
+      TxLog.checkpoint(spark, root)
+      assert(captured.exists(m => m.contains("sealBatchLedgerTx") &&
+        m.contains("threshold 1")),
+        s"the property-driven threshold must fire the nudge: $captured")
+    } finally {
+      TxLog.warnSink = priorSink
+      spark.conf.unset("graft.txlog.autoCheckpointEvery")
+    }
+  }
+
+  test("property-driven maintainTx reads the recorded policy") {
+    val root = freshRoot("props-maintain")
+    TxLog.overwritePartitionsTx(kv("a" -> 1), root, "part")
+    (1 to 3).foreach(i =>
+      TxLog.appendBatchTx(kv("a" -> i.toLong), root, "part", s"pm-b$i"))
+    TxLog.setTablePropertiesTx(spark, root,
+      Map("graft.binpack.smallBytes" -> (1L << 20).toString,
+          "graft.vacuum.retentionMs" -> "0"))
+    // the 3-arg overload: policy comes from the table, not the call site
+    val rep = TxLog.maintainTx(spark, root, "part").head
+    assert(rep.getAs[Long]("files_packed") >= 4L,
+      "the recorded smallBytes threshold must bin-pack the small files")
+    assert(rep.getAs[Long]("data_files_vacuumed") >= 4L,
+      "the recorded zero retention must vacuum the superseded files now")
+    assert(TxLog.readTable(spark, root)
+      .agg(sum("n")).head.getLong(0) === 1L + 1L + 2L + 3L)
+  }
 }

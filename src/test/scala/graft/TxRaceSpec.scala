@@ -101,7 +101,7 @@ class TxRaceSpec extends SparkSpecBase {
       val slices = liveKeys.zipWithIndex.groupMap(_._2 % nThreads)(_._1)
       val ops: Seq[RaceOp] = (0 until nThreads).map { t =>
         val mine = slices.getOrElse(t, Seq.empty)
-        rnd.nextInt(13) match {
+        rnd.nextInt(14) match {
           case 9 => // RENAME racing writers: meta commit, content-neutral
             // (the step's own writers stage under the pre-step name; the
             // column-mapping projection serves either name's files) —
@@ -229,6 +229,16 @@ class TxRaceSpec extends SparkSpecBase {
                     // a racing restore reinstates the pre-add schema
                     if e.getMessage != null &&
                       e.getMessage.contains("no column") => () }
+            }, Seq(identity))
+          case 13 => // SET/UNSET TBLPROPERTIES racing writers: a meta
+            // commit carrying the mapping snapshot — must conflict with
+            // every snapshot-derived writer and retry internally;
+            // content-neutral (the model tracks rows, not policy)
+            RaceOp(s"props$t", () => {
+              TxLog.setTablePropertiesTx(spark, root,
+                Map(s"race.step_$t" -> i.toString)): Unit
+              TxLog.unsetTablePropertiesTx(spark, root,
+                Seq(s"race.step_$t")): Unit
             }, Seq(identity))
           case 12 => // name-addressed UPDATE racing path-addressed
             // writers on the same table: the two-address invariant under

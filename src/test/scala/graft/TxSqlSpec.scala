@@ -398,4 +398,31 @@ class TxSqlSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("nope"), e2.getMessage)
     assert(spark.read.parquet(root).orderBy("k").collect().toSeq === before)
   }
+
+  test("ALTER TABLE ... SET / UNSET TBLPROPERTIES on the path surface") {
+    val root = freshRoot("tblprops")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "tp-b1")                                                       // v1
+    // keys: quoted, dotted-unquoted and bare; values: quoted and bare
+    spark.sql(s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES (" +
+      "'team.owner' = 'data-eng', graft.vacuum.retentionMs = '0', " +
+      "tier = gold)")                                                // v2
+    assert(TxLog.tableProperties(spark, root) === Map(
+      "team.owner" -> "data-eng", "graft.vacuum.retentionMs" -> "0",
+      "tier" -> "gold"))
+    assert(spark.sql(s"DESCRIBE DETAIL txlog.`$root`").head
+      .getAs[String]("properties").contains("team.owner=data-eng"))
+    // UNSET removes; an absent key is an idempotent no-op
+    spark.sql(s"ALTER TABLE txlog.`$root` UNSET TBLPROPERTIES " +
+      "('tier', never.was)")                                         // v3
+    assert(TxLog.tableProperties(spark, root) === Map(
+      "team.owner" -> "data-eng", "graft.vacuum.retentionMs" -> "0"))
+    // the property commits are real history rows (op "meta")
+    assert(spark.sql(s"DESCRIBE HISTORY txlog.`$root`").count() === 3L)
+    // SHOW TBLPROPERTIES on the path spelling: sorted key/value rows
+    assert(spark.sql(s"SHOW TBLPROPERTIES txlog.`$root`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq === Seq(
+      "graft.vacuum.retentionMs" -> "0", "team.owner" -> "data-eng"))
+  }
 }
