@@ -180,8 +180,9 @@ object Bench {
     "q251_tx_table_changes",       // CDF SQL surface (table_changes TVF)
     // r19 rows
     "q252_tx_add_column",          // ALTER TABLE ADD COLUMN(S) evolution
-    "q253_tx_table_properties"     // recorded TBLPROPERTIES + policy-
+    "q253_tx_table_properties",    // recorded TBLPROPERTIES + policy-
                                    // driven maintenance
+    "q254_tx_replace_table"        // atomic REPLACE TABLE / CoR-TAS
   )
 
   /** Per-query clean-window baselines at sf0.1 (the BASELINE.md r10 row;
@@ -355,7 +356,10 @@ object Bench {
     // q01 0.92x / q11 1.15x — in band)
     "q249_tx_batch_write" -> 2.89,
     "q250_tx_catalog" -> 4.85,
-    "q251_tx_table_changes" -> 6.96)
+    "q251_tx_table_changes" -> 6.96,
+    // r19 gates (BASELINE.md r19-new: isolated min-of-3 with anchors)
+    "q252_tx_add_column" -> 1.69,
+    "q253_tx_table_properties" -> 1.44)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

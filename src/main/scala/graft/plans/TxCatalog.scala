@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -46,7 +46,8 @@ import graft.sources.TxLog
   * passes the query's) but the log's recorded schema is authoritative.
   * DROP TABLE unregisters the pointer and leaves the data (external-
   * table semantics; the log IS the table). */
-class TxCatalog extends TableCatalog with SupportsNamespaces {
+class TxCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = _
   private var rootDir: String = _
@@ -159,14 +160,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     val d = nsDir(ident.namespace)
     if (!fs(d).exists(d)) throw new NoSuchNamespaceException(ident.namespace)
     // identity-transform partitioning only (the layout the log records)
-    val partCols = partitions.toSeq.map { t =>
-      t.references() match {
-        case Array(r) if t.name() == "identity" =>
-          r.fieldNames().mkString(".")
-        case _ => sys.error(s"TxCatalog: only identity PARTITIONED BY " +
-          s"columns are supported, got $t")
-      }
-    }
+    val partCols = identityCols(partitions)
     val location = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(s"$rootDir/_data/${(ident.namespace :+ ident.name)
         .mkString("/")}")
@@ -183,11 +177,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     val effective = if (recorded.nonEmpty) recorded else partCols
     writePointer(f, location, effective)
     // user-declared TBLPROPERTIES (Spark reserves the bookkeeping keys)
-    import scala.jdk.CollectionConverters._
-    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_IS_MANAGED_LOCATION)
-    val userProps = properties.asScala.toMap -- reserved
+    val userProps = userPropsOf(properties)
     if (TxLog.tableExists(spark, location)) {
       // registering an EXISTING table: properties merge transactionally
       if (userProps.nonEmpty)
@@ -264,6 +254,98 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val f = tblFile(ident)
     fs(f).exists(f) && fs(f).delete(f, false)
+  }
+
+  // ---- staging (atomic CTAS / REPLACE TABLE / CREATE OR REPLACE) -------
+  //
+  // Implementing StagingTableCatalog routes Spark's CTAS and REPLACE
+  // plans through the Atomic*Exec variants. The atomicity UNIT here is
+  // the transaction log itself: a replace is ONE TxLog.replaceTableTx
+  // commit (readers flip old→new atomically under both addresses), so
+  // the staged tables carry no shadow copy — commitStagedChanges binds
+  // the NAME, the txlog commit already bound the STATE. Without this,
+  // Spark's non-atomic fallback (dropTable → createTable → append)
+  // would re-register the old location and MERGE the old rows into the
+  // replacement — the exact hazard the staged replace exists to prevent.
+
+  private def identityCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      t.references() match {
+        case Array(r) if t.name() == "identity" =>
+          r.fieldNames().mkString(".")
+        case _ => sys.error(s"TxCatalog: only identity PARTITIONED BY " +
+          s"columns are supported, got $t")
+      }
+    }
+
+  private def userPropsOf(properties: util.Map[String, String])
+      : Map[String, String] = {
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    properties.asScala.toMap -- reserved
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : StagedTable = {
+    // CTAS: reuse createTable wholesale — the pointer and (with a
+    // declared schema) the create commit land eagerly, the data write
+    // is its own transactional commit; abort unbinds the NAME
+    val t = createTable(ident, schema, partitions, properties)
+      .asInstanceOf[TxNamedTable]
+    new TxStagedCreateTable(t, () => { dropTable(ident): Unit })
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stagedReplace(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    stagedReplace(ident, schema, partitions, properties)
+
+  private def stagedReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : StagedTable = {
+    val d = nsDir(ident.namespace)
+    if (!fs(d).exists(d)) throw new NoSuchNamespaceException(ident.namespace)
+    val f = tblFile(ident)
+    val declared = identityCols(partitions)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .orElse(if (fs(f).exists(f)) Some(readPointer(f)._1) else None)
+      .getOrElse(s"$rootDir/_data/${(ident.namespace :+ ident.name)
+        .mkString("/")}")
+    // one partitioning per location: REPLACE keeps the recorded layout
+    // (or adopts the declared one on a fresh location)
+    val recorded: Seq[String] =
+      if (TxLog.tableExists(spark, location))
+        TxLog.tableMeta(spark, location)._2.map(_.name).toSeq
+      else Seq.empty
+    val effective = if (declared.nonEmpty) declared else recorded
+    require(effective.nonEmpty, s"TxCatalog REPLACE [$ident]: declare " +
+      "PARTITIONED BY (a tx table is always partitioned)")
+    require(recorded.isEmpty || effective == recorded,
+      s"TxCatalog REPLACE [$ident]: PARTITIONED BY " +
+        s"[${effective.mkString(", ")}] does not match the recorded " +
+        s"partitioning [${recorded.mkString(", ")}] at $location — a " +
+        "location has ONE partitioning; rebuild at a new location to " +
+        "change it")
+    new TxStagedReplaceTable(
+      s"$catName.${(ident.namespace :+ ident.name).mkString(".")}",
+      location, effective, schema, userPropsOf(properties),
+      commitPointer = () => {
+        if (fs(f).exists(f)) fs(f).delete(f, false): Unit
+        writePointer(f, location, effective)
+      })
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -466,4 +548,77 @@ private[graft] final class TxNamedTable(tableName: String,
           }
       }
     }
+}
+
+/** Staged CTAS table ([[TxCatalog.stageCreate]]): delegates everything
+  * to the eagerly-created [[TxNamedTable]] — the data write is its own
+  * transactional commit — and unbinds the NAME on abort (the txlog
+  * state, if any landed, stays addressable by path; external-table
+  * posture, same as DROP TABLE). */
+private final class TxStagedCreateTable(t: TxNamedTable,
+                                        onAbort: () => Unit)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = t.name()
+  override def schema(): StructType = t.schema()
+  override def properties(): util.Map[String, String] = t.properties()
+  override def capabilities(): util.Set[TableCapability] = t.capabilities()
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    t.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = () // pointer already bound
+  override def abortStagedChanges(): Unit = onAbort()
+}
+
+/** Staged REPLACE table ([[TxCatalog.stageReplace]] /
+  * `stageCreateOrReplace`): the query's write routes to
+  * [[TxLog.replaceTableTx]] — ONE whole-table-state commit superseding
+  * data, mapping, constraints and properties together — and
+  * `commitStagedChanges` (re)binds the pointer. A plain `REPLACE TABLE
+  * (cols)` (no AS SELECT) arrives with no write: commit records the
+  * declared-schema-only replacement (zero rows, new columns). Abort is
+  * a no-op by design: replaceTableTx either committed (the table IS
+  * replaced — the log, not the pointer, is the state) or didn't (no
+  * trace beyond discarded staging). */
+private final class TxStagedReplaceTable(tableName: String,
+                                         location: String,
+                                         partCols: Seq[String],
+                                         declared: StructType,
+                                         userProps: Map[String, String],
+                                         commitPointer: () => Unit)
+    extends StagedTable with SupportsWrite {
+  @volatile private var wrote = false
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // replace replaces
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Boolean) => {
+            TxLog.replaceTableTx(data.toDF(), location, partCols,
+              userProps): Unit
+            wrote = true
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (!wrote) {
+      // REPLACE TABLE (cols) with no query: declared-schema-only
+      val empty = spark.createDataFrame(
+        util.Collections.emptyList[org.apache.spark.sql.Row](), declared)
+      TxLog.replaceTableTx(empty, location, partCols, userProps): Unit
+    }
+    commitPointer()
+  }
+
+  override def abortStagedChanges(): Unit = ()
 }

@@ -214,6 +214,12 @@ private[graft] object TxSql {
             case _          => false
           })
         case "CONVERT" => isW(1, "TO") && isW(2, "TXLOG")
+        // CREATE TABLE [IF NOT EXISTS] txlog.`path` — the PATH spelling
+        // only; named CREATEs (cat.ns.t) belong to Spark → TxCatalog
+        case "CREATE" => isW(1, "TABLE") &&
+          (isTxRef(2) ||
+            (isW(2, "IF") && isW(3, "NOT") && isW(4, "EXISTS") &&
+              isTxRef(5)))
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -396,6 +402,7 @@ private[graft] object TxSql {
     else if (p.tryKw("CONVERT")) parseConvert(session, p)
     else if (p.tryKw("SHOW")) parseShow(session, p)
     else if (p.tryKw("ALTER")) parseAlter(session, p)
+    else if (p.tryKw("CREATE")) parseCreate(session, p)
     else fail(s"unsupported txlog statement: ${p.rest()}")
   }
 
@@ -466,21 +473,7 @@ private[graft] object TxSql {
         // SET TBLPROPERTIES ('k' = 'v', ...) — one metadata commit
         // merging into the recorded set ([[TxLog.setTablePropertiesTx]])
         p.kw("TBLPROPERTIES")
-        p.sym("(")
-        val kvs = Map.newBuilder[String, String]
-        var more = true
-        while (more) {
-          val k = p.propKey()
-          p.sym("=")
-          val v =
-            if (!p.eof && p.peek.kind == 2) p.strLit()
-            else p.ident() // bare number/word values
-          kvs += k -> v
-          more = p.isSym(",")
-          if (more) p.i += 1
-        }
-        p.sym(")")
-        val props = kvs.result()
+        val props = parseKvList(p)
         s => TxLog.setTablePropertiesTx(s, root, props)
       } else if (p.tryKw("UNSET")) {
         // UNSET TBLPROPERTIES ('k', ...) — absent keys are a no-op
@@ -504,6 +497,78 @@ private[graft] object TxSql {
     if (!p.eof) fail(s"trailing input after ALTER TABLE: ${p.rest()}")
     TxSqlCommand(Seq(attr("version", LongType)),
       s => Seq(Row(body(s))))
+  }
+
+  /** `('k' = 'v', ...)` — the TBLPROPERTIES kv list (keys are string
+    * literals or dotted identifiers; values string literals or bare
+    * words/numbers). */
+  private def parseKvList(p: P): Map[String, String] = {
+    p.sym("(")
+    val kvs = Map.newBuilder[String, String]
+    var more = true
+    while (more) {
+      val k = p.propKey()
+      p.sym("=")
+      val v =
+        if (!p.eof && p.peek.kind == 2) p.strLit()
+        else p.ident() // bare number/word values
+      kvs += k -> v
+      more = p.isSym(",")
+      if (more) p.i += 1
+    }
+    p.sym(")")
+    kvs.result()
+  }
+
+  // CREATE TABLE [IF NOT EXISTS] txlog.`root` (col type, ...)
+  //   [USING txlog] PARTITIONED BY (c1, ...) [TBLPROPERTIES ('k'='v',...)]
+  // — the PATH spelling of the declared-schema create commit
+  // ([[TxLog.createTableTx]]; the NAME spelling goes through Spark's own
+  // parser → TxCatalog.createTable). The declaration is the table's
+  // FIRST COMMIT: the empty table reads with its declared columns,
+  // DESCRIBE/ALTER work before any data lands, and the first writer is
+  // held to the declared contract.
+  private def parseCreate(session: SparkSession, p: P): LogicalPlan = {
+    p.kw("TABLE")
+    val ifNotExists =
+      if (p.tryKw("IF")) { p.kw("NOT"); p.kw("EXISTS"); true } else false
+    val root = tableRoot(session, p)
+    if (!p.isSym("("))
+      fail("CREATE TABLE txlog.`path` expects a declared column list " +
+        "(name type, ...) — a tx table's create commit records the " +
+        "schema; to adopt existing data use CONVERT TO TXLOG or just " +
+        "write it")
+    val st = p.i
+    p.spanUntilBalanced()
+    val colsDDL = p.slice(st + 1, p.i - 1)
+    if (p.tryKw("USING")) {
+      val prov = p.ident()
+      if (!prov.equalsIgnoreCase("txlog"))
+        fail(s"CREATE TABLE txlog.`path` USING $prov — the path " +
+          "spelling is txlog-only")
+    }
+    p.kw("PARTITIONED")
+    p.kw("BY")
+    p.sym("(")
+    val parts = Seq.newBuilder[String]
+    var more = true
+    while (more) {
+      parts += p.ident()
+      more = p.isSym(",")
+      if (more) p.i += 1
+    }
+    p.sym(")")
+    val partCols = parts.result()
+    val props = if (p.tryKw("TBLPROPERTIES")) parseKvList(p)
+                else Map.empty[String, String]
+    if (!p.eof) fail(s"trailing input after CREATE TABLE: ${p.rest()}")
+    TxSqlCommand(Seq(attr("version", LongType)), s => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDDL)
+      if (ifNotExists && TxLog.tableExists(s, root))
+        Seq(Row(TxLog.currentVersion(s, root))) // no-op, current version
+      else
+        Seq(Row(TxLog.createTableTx(s, root, schema, partCols, props)))
+    })
   }
 
   // MERGE INTO txlog.`root` [AS] t USING <src> [AS] s ON t.k = s.k WHEN ...

@@ -4904,6 +4904,80 @@ object SourceQueries {
       TxLog.readTable(s, root).groupBy("seg")
         .agg(count(lit(1)).as("n_rows"), dsum(col("bal")).as("total_bal"))
         .withColumn("props_ok", lit(1L))
+    },
+
+    // ---- q254: atomic REPLACE TABLE / CREATE OR REPLACE ... AS SELECT —
+    // the staged-catalog surface (StagingTableCatalog) over ONE
+    // whole-table-state commit (TxLog.replaceTableTx, op "restore"):
+    // previous data, column mapping, CHECK constraints and properties
+    // are ALL superseded together, old rows must NOT merge into the
+    // replacement (the non-atomic drop+create+append path's hazard),
+    // and time travel keeps every pre-replace version. The reference's
+    // full-refresh DAGs (to_sql if_exists='replace') re-keyed to a
+    // schema-changing refresh.
+    QueryDef.sql("q254_tx_replace_table",
+      s"""SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+         |  ${dsumSql("c_acctbal * 2")} AS total_bal2,
+         |  CAST(1 AS BIGINT) AS replace_ok
+         |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      import graft.sources.TxLog
+      val meta = scratch("q254_meta")
+      val root = scratch("q254_tbl")
+      Seq(meta, root).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val nHalf = {
+        val maxKey = cust.agg(max("k")).head.getLong(0)
+        val half = cust.filter(col("k") <= maxKey / 2)
+        TxLog.appendBatchTx(half, root, "seg", "q254-b1")            // v1
+        half.count()
+      }
+      // decorate the OLD definition: rename + constraint + property
+      s.sql(s"ALTER TABLE txlog.`$root` RENAME COLUMN bal TO balance")
+      s.sql(s"ALTER TABLE txlog.`$root` ADD CONSTRAINT pos " +
+        "CHECK (balance > -10000)")
+      s.sql(s"ALTER TABLE txlog.`$root` SET TBLPROPERTIES " +
+        "('tier' = 'old')")                                          // v4
+      val vBefore = TxLog.currentVersion(s, root)
+      require(vBefore == 4L, s"q254: seed log at $vBefore, expected 4")
+      // the REPLACE by NAME: new schema (bal2 = 2x), full customer set
+      s.conf.set("spark.sql.catalog.gq254", "graft.plans.TxCatalog")
+      s.conf.set("spark.sql.catalog.gq254.root", meta)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq254.ops")
+      s.sql(s"CREATE TABLE gq254.ops.cust USING txlog LOCATION '$root'")
+      cust.withColumn("bal2", col("bal") * 2).drop("bal")
+        .createOrReplaceTempView("q254_src")
+      s.sql("CREATE OR REPLACE TABLE gq254.ops.cust USING txlog " +
+        "PARTITIONED BY (seg) TBLPROPERTIES ('tier' = 'new') " +
+        "AS SELECT k, bal2, seg FROM q254_src")                      // v5
+      val total = cust.count()
+      val now = TxLog.readTable(s, root)
+      require(now.count() == total && nHalf < total,
+        s"q254: replacement carries ${now.count()}, expected $total " +
+          s"(no old-row merge; seed was $nHalf)")
+      require(now.columns.toSet == Set("k", "bal2", "seg"),
+        s"q254: replaced schema ${now.columns.mkString(",")}")
+      require(TxLog.tableProperties(s, root) == Map("tier" -> "new"),
+        s"q254: props ${TxLog.tableProperties(s, root)}")
+      val detail = TxLog.tableDetail(s, root).head
+      require(detail.getAs[Long]("n_renamed_columns") == 0L &&
+        detail.getAs[Long]("n_constraints") == 0L,
+        "q254: the replace must reset mapping and constraints")
+      // time travel pre-replace: the old definition under both addresses
+      val old = TxLog.readTableAt(s, root, vBefore)
+      require(old.columns.toSet == Set("k", "balance", "seg") &&
+        old.count() == nHalf,
+        s"q254: v$vBefore serves ${old.columns.mkString(",")}")
+      require(s.sql(s"SELECT * FROM gq254.ops.cust VERSION AS OF $vBefore")
+          .columns.toSet == Set("k", "balance", "seg"),
+        "q254: name-surface time travel must cross the replace")
+      TxLog.readTable(s, root).groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("bal2")).as("total_bal2"))
+        .withColumn("replace_ok", lit(1L))
     }
   )
 }

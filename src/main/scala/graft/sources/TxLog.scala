@@ -2190,16 +2190,30 @@ object TxLog {
 
   def stage(df: DataFrame, root: String, partCols: Seq[String],
             clusterBy: Seq[Column], clusterFiles: Int): Staged = {
-    require(partCols.nonEmpty, "TxLog.stage: at least one partition column")
-    require(partCols.distinct.length == partCols.length,
-      s"TxLog.stage: duplicate partition columns [${partCols.mkString(", ")}]")
-    val spark = df.sparkSession
     // writers speak LOGICAL names; files and the recorded schema carry
     // PHYSICAL ones — translate through the current mapping (identity on
     // unmapped tables). A column reusing a TOMBSTONED physical name is
     // refused: its data would land under the dropped column and read as
     // invisible.
-    val (mapping0, constraints0) = writerMetaOf(spark, root)
+    val (mapping0, constraints0) = writerMetaOf(df.sparkSession, root)
+    stageWith(df, root, partCols, clusterBy, clusterFiles, mapping0,
+      constraints0, checked = Some(constraints0))
+  }
+
+  /** [[stage]] against an EXPLICIT metadata view. [[replaceTableTx]]
+    * stages under a FRESH definition — identity mapping, no inherited
+    * constraints, no constraint-drift check (`checked = None`) — because
+    * the replace commit supersedes the table's mapping and constraints
+    * in the same atomic step. */
+  private def stageWith(df: DataFrame, root: String, partCols: Seq[String],
+                        clusterBy: Seq[Column], clusterFiles: Int,
+                        mapping0: Map[String, String],
+                        constraints0: Map[String, String],
+                        checked: Option[Map[String, String]]): Staged = {
+    require(partCols.nonEmpty, "TxLog.stage: at least one partition column")
+    require(partCols.distinct.length == partCols.length,
+      s"TxLog.stage: duplicate partition columns [${partCols.mkString(", ")}]")
+    val spark = df.sparkSession
     // CHECK constraints enforce at WRITE time (the Delta contract): one
     // violations probe per constraint per staged write — the price every
     // constrained warehouse pays; a violating batch refuses before any
@@ -2292,7 +2306,7 @@ object TxLog {
     val partField = org.apache.spark.sql.types.StructType(
       partCols.map(c => df.schema(c).copy(nullable = true))).toDDL
     Staged(parts, Some(dataSchema.toDDL), stats, rows, Some(partField),
-      checkedConstraints = Some(constraints0))
+      checkedConstraints = checked)
   }
 
   /** Delete a staged-but-never-committed dir's files (loser cleanup) —
@@ -3165,6 +3179,104 @@ object TxLog {
         mapping = Some(Map.empty),
         props = Some(props).filter(_.nonEmpty)),
       "meta", readVersion = 0L, conflictCheck = true)
+  }
+
+  /** Transactional REPLACE TABLE — the table's next version is EXACTLY
+    * `df`'s content and schema under a FRESH definition: previous data,
+    * column mapping (renames/tombstones), CHECK constraints and
+    * properties are ALL superseded in ONE commit (op "restore", the
+    * whole-table-state replacement), so readers flip old→new atomically
+    * and time travel still serves every pre-replace version. Absent
+    * tables create at v1 (the CREATE OR REPLACE path); an EMPTY `df`
+    * records a declared-schema-only replacement (zero rows, the new
+    * columns). Both representations: driver-shape restore on plain
+    * logs, payload-shape (the staged inventory IS the new payload) on
+    * parquet-checkpointed tables. The one fixed axis is PARTITIONING —
+    * a location has ONE layout; `partCols` must match the recorded
+    * partition columns (rebuild at a new location to change them).
+    * Conflict checking is VERSION-STRICT: any concurrent commit (even a
+    * blind append) retries the replace — old-definition writes must not
+    * serialize after a schema-changing replacement. Backing store for
+    * Spark's atomic `REPLACE TABLE` / `CREATE OR REPLACE TABLE AS
+    * SELECT` through [[graft.plans.TxCatalog]]'s staging surface;
+    * behavioral anchor: the reference's `to_sql(if_exists='replace')`
+    * full-refresh DAGs (customer_analytics_dag.py:145-151) re-keyed to
+    * a schema-changing refresh. */
+  def replaceTableTx(df: DataFrame, root: String, partCols: Seq[String],
+                     props: Map[String, String] = Map.empty,
+                     maxAttempts: Int = 20): Long = {
+    val spark = df.sparkSession
+    require(partCols.nonEmpty,
+      "replaceTableTx: at least one partition column")
+    val notCarried = partCols.filterNot(df.columns.contains)
+    require(notCarried.isEmpty, s"replaceTableTx: partition column(s) " +
+      s"[${notCarried.mkString(", ")}] not in the replacement frame")
+    if (tableExists(spark, root)) {
+      val recorded = tableMeta(spark, root)._2.map(_.name).toSeq
+      require(recorded.isEmpty || recorded == partCols,
+        s"replaceTableTx: partCols [${partCols.mkString(", ")}] do not " +
+          s"match the recorded partitioning [${recorded.mkString(", ")}] " +
+          s"at $root — a location has ONE partitioning; rebuild at a " +
+          "new location to change it")
+    }
+    val partSet = partCols.toSet
+    // fresh-definition staging: identity mapping, no inherited
+    // constraints (the commit supersedes both below)
+    val staged0 =
+      if (!df.isEmpty)
+        stageWith(df, root, partCols, Nil, 0, Map.empty, Map.empty, None)
+      else Staged(Map.empty,
+        schema = Some(org.apache.spark.sql.types.StructType(
+          df.schema.filterNot(f => partSet(f.name))
+            .map(_.copy(nullable = true))).toDDL),
+        partSchema = Some(org.apache.spark.sql.types.StructType(
+          partCols.map(c => df.schema(c).copy(nullable = true))).toDDL))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val state =
+        if (tableExists(spark, root)) Some(stateOf(spark, root)) else None
+      state match {
+        case Some(Right(big)) =>
+          // payload-shape replacement: the staged files ARE the new
+          // inventory — one payload dir, one commit, O(new files) driver
+          val meta = statusByRel(spark, root,
+            staged0.parts.values.flatten.toSeq)
+          val rows = entryRows(root, staged0.parts, staged0.stats,
+            staged0.rows, meta, nPartsOf(staged0.partSchema), Map.empty)
+          import scala.jdk.CollectionConverters._
+          val pdf = spark.createDataFrame(rows.asJava, PayloadSchema)
+            .repartition(math.max(1, rows.size / 500000))
+          val name = writePayloadDir(spark, root, pdf, big.version + 1)
+          val stagedP = Staged(Map.empty,
+            schema = staged0.schema, partSchema = staged0.partSchema,
+            mapping = Some(Map.empty), constraints = Some(Map.empty),
+            props = Some(props),
+            payloadChk = Some((name, rows.size.toLong,
+              rows.iterator.map(_.getLong(2)).sum, 0L)))
+          // payload-shape restores are version-strict by construction
+          try return commit(spark, root, stagedP, "restore",
+            readVersion = big.version, conflictCheck = true)
+          catch { case _: ConcurrentWriteException =>
+            deletePayloadDir(spark, root, name) // ours, referenced by nothing
+          }
+        case _ =>
+          val v0 = state.map(_.swap.toOption.get.version).getOrElse(0L)
+          val gone = state.map(_.swap.toOption.get.parts.keySet --
+            staged0.parts.keySet).getOrElse(Set.empty[String])
+          val full = staged0.copy(
+            parts = staged0.parts ++ gone.map(_ -> Seq.empty[String]),
+            mapping = Some(Map.empty), constraints = Some(Map.empty),
+            props = Some(props))
+          try return commit(spark, root, full, "restore",
+            readVersion = v0, conflictCheck = true, conflictAll = true)
+          catch { case _: ConcurrentWriteException => () } // re-derive
+      }
+    }
+    // terminal exit: the staged files were never committed — reclaim
+    if (staged0.parts.nonEmpty) discard(spark, root, staged0)
+    sys.error(s"TxLog.replaceTableTx: $maxAttempts consecutive conflicts " +
+      s"at $root — pathological contention, back off at the caller")
   }
 
   /** Transactional UNSET TBLPROPERTIES — removes `keys` (absent keys are

@@ -440,4 +440,66 @@ class TxCatalogSpec extends SparkSpecBase {
     }
     assert(e3.getMessage.contains("TBLPROPERTIES"), e3.getMessage)
   }
+
+  test("CREATE OR REPLACE / REPLACE TABLE: the staged replace is ONE " +
+      "whole-table-state commit — no old-row merge, definition reset") {
+    wired
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.rep")
+    // seed a MANAGED table (defaulted location) and decorate the old
+    // definition: rename + constraint + property
+    spark.sql("CREATE TABLE gcat.rep.t USING txlog PARTITIONED BY (part) " +
+      "AS SELECT 'a' AS part, CAST(1 AS BIGINT) AS k " +
+      "UNION ALL SELECT 'b', CAST(2 AS BIGINT)")
+    val loc = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.plans.TxCatalog]
+      .locationOf(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("rep"), "t"))
+    spark.sql("ALTER TABLE gcat.rep.t RENAME COLUMN k TO key")
+    spark.sql(s"ALTER TABLE txlog.`$loc` ADD CONSTRAINT pos CHECK (key > 0)")
+    spark.sql("ALTER TABLE gcat.rep.t SET TBLPROPERTIES ('tier' = 'old')")
+    val vBefore = TxLog.currentVersion(spark, loc)
+    // CREATE OR REPLACE with a NEW schema: the dropped-pointer +
+    // re-register path would MERGE the old rows in — the staged replace
+    // must not
+    spark.sql("CREATE OR REPLACE TABLE gcat.rep.t USING txlog " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('tier' = 'new') " +
+      "AS SELECT 'z' AS part, 'n1' AS label")
+    val rows = spark.sql("SELECT part, label FROM gcat.rep.t").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("z", "n1")), "old rows must not merge into the replacement")
+    assert(TxLog.tableProperties(spark, loc) === Map("tier" -> "new"))
+    val detail = spark.sql("DESCRIBE DETAIL gcat.rep.t").head
+    assert(detail.getAs[Long]("n_renamed_columns") === 0L &&
+      detail.getAs[Long]("n_constraints") === 0L,
+      "the replace must reset mapping and constraints")
+    // the old constraint must not police new-definition writers
+    spark.sql("INSERT INTO gcat.rep.t SELECT 'n2' AS label, 'z' AS part")
+    // time travel pre-replace serves the old definition under BOTH
+    // addresses
+    assert(spark.sql(
+        s"SELECT * FROM gcat.rep.t VERSION AS OF $vBefore")
+      .columns.toSet === Set("part", "key"))
+    // plain REPLACE TABLE (cols): declared-schema-only replacement
+    spark.sql("REPLACE TABLE gcat.rep.t (x BIGINT, part STRING) " +
+      "USING txlog PARTITIONED BY (part)")
+    val t = spark.table("gcat.rep.t")
+    assert(t.count() === 0L && t.columns.toSet === Set("x", "part"))
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.rep.nope (x BIGINT, part STRING) " +
+        "USING txlog PARTITIONED BY (part)")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(not.?found|no such" +
+      "|cannot be replaced).*"), e.getMessage)
+    spark.sql("CREATE OR REPLACE TABLE gcat.rep.fresh USING txlog " +
+      "PARTITIONED BY (part) AS SELECT 'p' AS part, CAST(7 AS BIGINT) AS x")
+    assert(spark.sql("SELECT x FROM gcat.rep.fresh").head.getLong(0) === 7L)
+    // writerV2 createOrReplace rides the same staged replace
+    Seq(("q", 8L)).toDF("part", "x")
+      .writeTo("gcat.rep.fresh").using("txlog")
+      .partitionedBy(col("part")).createOrReplace()
+    assert(spark.sql("SELECT part, x FROM gcat.rep.fresh").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("q", 8L)))
+  }
 }

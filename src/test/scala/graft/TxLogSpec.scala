@@ -2550,4 +2550,85 @@ class TxLogSpec extends SparkSpecBase {
     assert(TxLog.readTable(spark, root)
       .agg(sum("n")).head.getLong(0) === 1L + 1L + 2L + 3L)
   }
+
+  test("replaceTableTx: ONE commit supersedes data, mapping, " +
+      "constraints and properties; time travel keeps the old table") {
+    val root = freshRoot("replace")
+    import spark.implicits._
+    // the OLD definition, fully decorated
+    TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "k"),
+      root, "part", "rp-b1")                                         // v1
+    TxLog.renameColumnTx(spark, root, "k", "key")                    // v2
+    TxLog.addCheckConstraintTx(spark, root, "pos", "key > 0")        // v3
+    TxLog.setTablePropertiesTx(spark, root, Map("tier" -> "old"))    // v4
+    // the replacement: new schema, new rows, new properties — one commit
+    val v = TxLog.replaceTableTx(
+      Seq(("z", "n1"), ("z", "n2")).toDF("part", "label"),
+      root, Seq("part"), Map("tier" -> "new"))                       // v5
+    assert(v === 5L)
+    val now = TxLog.readTable(spark, root)
+    assert(now.columns.toSet === Set("part", "label"))
+    assert(now.count() === 2L)
+    assert(TxLog.partitionValues(spark, root) === Set("z"))
+    assert(TxLog.tableProperties(spark, root) === Map("tier" -> "new"))
+    val detail = TxLog.tableDetail(spark, root).head
+    assert(detail.getAs[Long]("n_renamed_columns") === 0L,
+      "the replace must reset the column mapping")
+    assert(detail.getAs[Long]("n_constraints") === 0L,
+      "the replace must reset the constraints")
+    // the OLD constraint must not police NEW-definition writers
+    TxLog.appendBatchTx(Seq(("z", "n3")).toDF("part", "label"),
+      root, "part", "rp-b2")                                         // v6
+    // time travel pre-replace serves the old definition unchanged
+    val old = TxLog.readTableAt(spark, root, 4L)
+    assert(old.columns.toSet === Set("part", "key"))
+    assert(old.count() === 2L)
+    // an EMPTY replacement records the declared schema only
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "x BIGINT, part STRING"))
+    TxLog.replaceTableTx(empty, root, Seq("part"))                   // v7
+    val after = TxLog.readTable(spark, root)
+    assert(after.count() === 0L && after.columns.toSet === Set("x", "part"))
+    // partitioning is the one FIXED axis: a location has one layout
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceTableTx(Seq((1L, "a")).toDF("x", "other"),
+        root, Seq("other"))
+    }
+    assert(e.getMessage.contains("ONE partitioning"), e.getMessage)
+    // absent table: replace CREATES at v1 (the CREATE OR REPLACE path)
+    val root2 = freshRoot("replace-fresh")
+    assert(TxLog.replaceTableTx(Seq(("a", 1L)).toDF("part", "n"),
+      root2, Seq("part")) === 1L)
+    assert(TxLog.readTable(spark, root2).count() === 1L)
+  }
+
+  test("replaceTableTx on a parquet-checkpointed table: payload-shape " +
+      "replacement, same contract") {
+    val root = freshRoot("replace-big")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "k"),
+      root, "part", "rb-b1")                                         // v1
+    TxLog.setTablePropertiesTx(spark, root, Map("tier" -> "old"))    // v2
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    try {
+      TxLog.checkpoint(spark, root) // cross to the parquet payload
+      val v = TxLog.replaceTableTx(
+        Seq(("z", "n1")).toDF("part", "label"),
+        root, Seq("part"), Map("tier" -> "new"))                     // v3
+      assert(v === 3L)
+      val now = TxLog.readTable(spark, root)
+      assert(now.columns.toSet === Set("part", "label"))
+      assert(now.count() === 1L)
+      assert(TxLog.tableProperties(spark, root) === Map("tier" -> "new"))
+      // the payload table keeps working post-replace: append + read
+      TxLog.appendBatchTx(Seq(("y", "n2")).toDF("part", "label"),
+        root, "part", "rb-b2")                                       // v4
+      assert(TxLog.readTable(spark, root).count() === 2L)
+      // time travel across the replace still serves the checkpoint state
+      assert(TxLog.readTableAt(spark, root, 2L).columns.toSet ===
+        Set("part", "k"))
+    } finally spark.conf.unset("graft.txlog.chkParquetMin")
+  }
 }

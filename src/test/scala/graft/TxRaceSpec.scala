@@ -101,7 +101,19 @@ class TxRaceSpec extends SparkSpecBase {
       val slices = liveKeys.zipWithIndex.groupMap(_._2 % nThreads)(_._1)
       val ops: Seq[RaceOp] = (0 until nThreads).map { t =>
         val mine = slices.getOrElse(t, Seq.empty)
-        rnd.nextInt(14) match {
+        rnd.nextInt(15) match {
+          case 14 => // REPLACE racing everything: the whole-table-state
+            // supersession (data + mapping + constraints + properties in
+            // one "restore"-shaped commit) — VERSION-STRICT, so it
+            // conflicts with every concurrent commit and retries to land
+            // at SOME serial point; content snaps to exactly its rows.
+            // Staged under the CURRENT logical names, so the visible
+            // schema is stable for the other ops
+            val next = model.filter { case (k, _) => math.abs(k % 3) == 0 }
+              .concat(freshRows(1 + rnd.nextInt(2)))
+            RaceOp(s"replace$t", () => {
+              TxLog.replaceTableTx(dfAll(next), root, Seq("part")): Unit
+            }, Seq(_ => next))
           case 9 => // RENAME racing writers: meta commit, content-neutral
             // (the step's own writers stage under the pre-step name; the
             // column-mapping projection serves either name's files) —
@@ -136,8 +148,14 @@ class TxRaceSpec extends SparkSpecBase {
                       // column between derivation and validation
                       (e.getMessage.contains("cannot be resolved") ||
                        e.getMessage.contains("UNRESOLVED")) => false }
-              if (added) TxLog.dropCheckConstraintTx(spark, root,
-                cname): Unit
+              if (added)
+                try TxLog.dropCheckConstraintTx(spark, root, cname): Unit
+                catch { case e: Exception
+                    // a racing REPLACE (or a restore to a pre-add
+                    // version) legally supersedes the constraint set
+                    // between our add and drop
+                    if e.getMessage != null &&
+                      e.getMessage.contains("no constraint") => () }
             }, Seq(identity))
           case 8 => // FULL-table overwrite racing everything: the commit
             // claims every partition and conflict-rederives, so it lands

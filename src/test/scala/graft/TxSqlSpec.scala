@@ -425,4 +425,48 @@ class TxSqlSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getString(1)).toSeq === Seq(
       "graft.vacuum.retentionMs" -> "0", "team.owner" -> "data-eng"))
   }
+
+  test("CREATE TABLE txlog.`path` (cols) PARTITIONED BY: the declared " +
+      "schema is the first commit; IF NOT EXISTS is a no-op") {
+    val root = freshRoot("createtbl")
+    import spark.implicits._
+    val v1 = spark.sql(s"CREATE TABLE txlog.`$root` " +
+      "(k BIGINT, v DOUBLE, part STRING) USING txlog " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('tier' = 'gold')")
+      .head.getLong(0)
+    assert(v1 === 1L)
+    // the EMPTY table reads: zero rows, the declared columns
+    val empty = spark.sql(s"SELECT * FROM txlog.`$root`")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("k", "v", "part"))
+    // properties rode the create commit; DDL works before any data
+    assert(TxLog.tableProperties(spark, root) === Map("tier" -> "gold"))
+    spark.sql(s"ALTER TABLE txlog.`$root` ADD COLUMN note STRING")  // v2
+    // IF NOT EXISTS on an existing table: no-op, current version
+    assert(spark.sql(s"CREATE TABLE IF NOT EXISTS txlog.`$root` " +
+      "(x INT, part STRING) PARTITIONED BY (part)").head.getLong(0) === 2L)
+    // bare CREATE on an existing table refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE txlog.`$root` (x INT, part STRING) " +
+        "PARTITIONED BY (part)")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // the first writer is held to the declared contract: a batch that
+    // LOST a declared column refuses at v1, not at the second write
+    val bad = intercept[Exception] {
+      TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+        "ct-bad")
+    }
+    assert(bad.getMessage.toLowerCase.contains("column"), bad.getMessage)
+    // a conforming writer lands and reads back through the declared set
+    TxLog.appendBatchTx(
+      Seq((1L, 1.5, "a", "n1")).toDF("k", "v", "part", "note"),
+      root, "part", "ct-b1")                                        // v3
+    assert(spark.sql(s"SELECT k, v, part, note FROM txlog.`$root`")
+      .collect().map(_.toSeq).toSeq === Seq(Seq(1L, 1.5, "a", "n1")))
+    // time travel to the pre-data declaration: empty, pre-ADD columns
+    val at1 = spark.read.format("txlog").option("versionAsOf", 1)
+      .load(root)
+    assert(at1.count() === 0L && at1.columns.toSet === Set("k", "v", "part"))
+  }
 }
