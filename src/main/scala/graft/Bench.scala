@@ -359,7 +359,8 @@ object Bench {
     "q251_tx_table_changes" -> 6.96,
     // r19 gates (BASELINE.md r19-new: isolated min-of-3 with anchors)
     "q252_tx_add_column" -> 1.69,
-    "q253_tx_table_properties" -> 1.44)
+    "q253_tx_table_properties" -> 1.44,
+    "q254_tx_replace_table" -> 1.84)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

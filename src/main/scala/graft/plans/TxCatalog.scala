@@ -256,6 +256,21 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     fs(f).exists(f) && fs(f).delete(f, false)
   }
 
+  /** `DROP TABLE ... PURGE` — the managed-lifecycle exit: unregister the
+    * NAME first (no half-dropped binding), then reclaim the table's
+    * whole location (log + data). Plain DROP keeps the external-table
+    * posture (pointer only); PURGE is the caller saying the data goes
+    * too. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val f = tblFile(ident)
+    if (!fs(f).exists(f)) return false
+    val (location, _) = readPointer(f)
+    fs(f).delete(f, false): Unit
+    val p = new Path(location)
+    fs(p).delete(p, true): Unit
+    true
+  }
+
   // ---- staging (atomic CTAS / REPLACE TABLE / CREATE OR REPLACE) -------
   //
   // Implementing StagingTableCatalog routes Spark's CTAS and REPLACE
@@ -425,6 +440,7 @@ private[graft] final class TxNamedTable(tableName: String,
                                         declared: StructType,
                                         val asOfVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.graftbridge.V1FallbackBridge {
 
   /** `df.writeStream.format("txlog").toTable("cat.ns.t")` — the NAME
@@ -473,6 +489,30 @@ private[graft] final class TxNamedTable(tableName: String,
       if (declared.nonEmpty && !TxLog.hasData(spark, root)) declared
       else TxLog.readTable(spark, root).schema
     } else declared
+
+  /** The table's recorded PARTITIONING as DSv2 metadata — what `SHOW
+    * CREATE TABLE` renders as PARTITIONED BY and what DSv2-aware
+    * planning sees (a tx table's layout is always identity transforms
+    * of its partition columns). */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols =
+      if (partCols.nonEmpty) partCols
+      else if (TxLog.tableExists(spark, root))
+        TxLog.tableMeta(spark, root)._2.map(_.name).toSeq
+      else Seq.empty
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions
+      .identity).toArray
+  }
+
+  /** `TRUNCATE TABLE cat.ns.t` — a metadata-only drop of every live
+    * partition (ONE "remove" commit; the schema and the history stay,
+    * so the empty table reads its columns and time travel crosses the
+    * truncate; [[TxLog.vacuum]] reclaims the files later). */
+  override def truncateTable(): Boolean = {
+    TxLog.dropPartitionsWhereTx(spark, root, _ => false): Unit
+    true
+  }
 
   /** The table's RECORDED properties ([[TxLog.setTablePropertiesTx]]) —
     * what `SHOW TBLPROPERTIES cat.ns.t` renders. */

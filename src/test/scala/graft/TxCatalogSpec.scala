@@ -502,4 +502,40 @@ class TxCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT part, x FROM gcat.rep.fresh").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("q", 8L)))
   }
+
+  test("lifecycle by name: TRUNCATE TABLE, SHOW CREATE TABLE's " +
+      "PARTITIONED BY, DROP TABLE PURGE reclaims the location") {
+    wired
+    import spark.implicits._
+    val loc = tmp("lifecycle-t")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lc")
+    spark.sql(s"CREATE TABLE gcat.lc.t USING txlog LOCATION '$loc'")
+    TxLog.appendBatchTx(Seq(("a", 1L), ("b", 2L)).toDF("part", "k"),
+      loc, "part", "lc-b1")                                          // v1
+    // the recorded partitioning is DSv2 metadata now
+    assert(spark.sql("SHOW CREATE TABLE gcat.lc.t").head.getString(0)
+      .contains("PARTITIONED BY (part)"))
+    val vBefore = TxLog.currentVersion(spark, loc)
+    // TRUNCATE: metadata-only, schema and history stay
+    spark.sql("TRUNCATE TABLE gcat.lc.t")                            // v2
+    val t = spark.table("gcat.lc.t")
+    assert(t.count() === 0L && t.columns.toSet === Set("part", "k"))
+    assert(TxLog.readTableAt(spark, loc, vBefore).count() === 2L,
+      "time travel must cross the truncate")
+    // the truncated table keeps working
+    TxLog.appendBatchTx(Seq(("c", 3L)).toDF("part", "k"), loc, "part",
+      "lc-b2")                                                       // v3
+    assert(spark.sql("SELECT k FROM gcat.lc.t").head.getLong(0) === 3L)
+    // plain DROP keeps the data (external posture)...
+    spark.sql("DROP TABLE gcat.lc.t")
+    assert(TxLog.tableExists(spark, loc))
+    spark.sql(s"CREATE TABLE gcat.lc.t USING txlog LOCATION '$loc'")
+    // ...PURGE reclaims name AND location
+    spark.sql("DROP TABLE gcat.lc.t PURGE")
+    assert(!spark.catalog.tableExists("gcat.lc.t"))
+    assert(!new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(loc)),
+      "PURGE must reclaim the table's location")
+  }
 }
