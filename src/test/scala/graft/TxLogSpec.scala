@@ -2629,6 +2629,18 @@ class TxLogSpec extends SparkSpecBase {
       // time travel across the replace still serves the checkpoint state
       assert(TxLog.readTableAt(spark, root, 2L).columns.toSet ===
         Set("part", "k"))
+      // a declared-EMPTY replacement (plain REPLACE TABLE) works on the
+      // payload representation too: empty inventory, new schema
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "x BIGINT, part STRING"))
+      TxLog.replaceTableTx(empty, root, Seq("part"))                 // v5
+      val fin = TxLog.readTable(spark, root)
+      assert(fin.count() === 0L && fin.columns.toSet === Set("x", "part"))
+      TxLog.appendBatchTx(Seq(("w", 5L)).toDF("part", "x"), root,
+        "part", "rb-b3")                                             // v6
+      assert(TxLog.readTable(spark, root).count() === 1L)
     } finally spark.conf.unset("graft.txlog.chkParquetMin")
   }
 }

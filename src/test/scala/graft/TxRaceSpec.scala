@@ -494,4 +494,25 @@ class TxRaceSpec extends SparkSpecBase {
       spark.conf.unset("graft.txlog.autoCheckpointEvery")
     }
   }
+
+  test("SOAK: extra seeds on demand (GRAFT_RACE_SOAK=s1,s2,... — " +
+      "canceled in CI; each seed runs BOTH representations)") {
+    // the deep-soak entry point: when an op joins the mix, run a wide
+    // seed sweep here once before trusting the 4 pinned CI seeds —
+    // every prior fuzz find surfaced within a handful of fresh seeds
+    val seeds = sys.env.get("GRAFT_RACE_SOAK").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+    if (seeds.isEmpty)
+      cancel("set GRAFT_RACE_SOAK=3,11,57 to run the soak")
+    seeds.foreach { s =>
+      runConcurrent(seed = s, steps = 12) // driver representation
+      spark.conf.set("graft.txlog.chkParquetMin", "1")
+      spark.conf.set("graft.txlog.chkMaxHeaderValues", "2")
+      try runConcurrent(seed = s + 1000000L, steps = 12) // payload rep
+      finally {
+        spark.conf.unset("graft.txlog.chkParquetMin")
+        spark.conf.unset("graft.txlog.chkMaxHeaderValues")
+      }
+    }
+  }
 }
