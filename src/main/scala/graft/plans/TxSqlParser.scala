@@ -214,12 +214,17 @@ private[graft] object TxSql {
             case _          => false
           })
         case "CONVERT" => isW(1, "TO") && isW(2, "TXLOG")
-        // CREATE TABLE [IF NOT EXISTS] txlog.`path` — the PATH spelling
-        // only; named CREATEs (cat.ns.t) belong to Spark → TxCatalog
-        case "CREATE" => isW(1, "TABLE") &&
-          (isTxRef(2) ||
-            (isW(2, "IF") && isW(3, "NOT") && isW(4, "EXISTS") &&
-              isTxRef(5)))
+        // CREATE [OR REPLACE] TABLE [IF NOT EXISTS] txlog.`path` and
+        // REPLACE TABLE txlog.`path` — the PATH spellings only; named
+        // forms (cat.ns.t) belong to Spark → TxCatalog's staging surface
+        case "CREATE" =>
+          (isW(1, "TABLE") &&
+            (isTxRef(2) ||
+              (isW(2, "IF") && isW(3, "NOT") && isW(4, "EXISTS") &&
+                isTxRef(5)))) ||
+          (isW(1, "OR") && isW(2, "REPLACE") && isW(3, "TABLE") &&
+            isTxRef(4))
+        case "REPLACE" => isW(1, "TABLE") && isTxRef(2)
         case _ => false
       }
     } catch { case _: IllegalArgumentException => false }
@@ -402,7 +407,10 @@ private[graft] object TxSql {
     else if (p.tryKw("CONVERT")) parseConvert(session, p)
     else if (p.tryKw("SHOW")) parseShow(session, p)
     else if (p.tryKw("ALTER")) parseAlter(session, p)
-    else if (p.tryKw("CREATE")) parseCreate(session, p)
+    else if (p.tryKw("CREATE")) parseCreate(session, p,
+      replaceVerb = false)
+    else if (p.tryKw("REPLACE")) parseCreate(session, p,
+      replaceVerb = true)
     else fail(s"unsupported txlog statement: ${p.rest()}")
   }
 
@@ -520,32 +528,43 @@ private[graft] object TxSql {
     kvs.result()
   }
 
-  // CREATE TABLE [IF NOT EXISTS] txlog.`root` (col type, ...)
-  //   [USING txlog] PARTITIONED BY (c1, ...) [TBLPROPERTIES ('k'='v',...)]
-  // — the PATH spelling of the declared-schema create commit
-  // ([[TxLog.createTableTx]]; the NAME spelling goes through Spark's own
-  // parser → TxCatalog.createTable). The declaration is the table's
-  // FIRST COMMIT: the empty table reads with its declared columns,
-  // DESCRIBE/ALTER work before any data lands, and the first writer is
-  // held to the declared contract.
-  private def parseCreate(session: SparkSession, p: P): LogicalPlan = {
+  // The PATH spellings of table creation and replacement (named forms
+  // go through Spark's own parser → TxCatalog's staging surface):
+  //
+  //   CREATE TABLE [IF NOT EXISTS] txlog.`root` (cols)
+  //     [USING txlog] PARTITIONED BY (...) [TBLPROPERTIES (...)]
+  //       → TxLog.createTableTx (declared-schema create commit)
+  //   CREATE TABLE [IF NOT EXISTS] txlog.`root`
+  //     [USING txlog] PARTITIONED BY (...) [TBLPROPS] AS <query>
+  //       → createTableTx(query schema) + one append commit (path CTAS)
+  //   CREATE OR REPLACE TABLE txlog.`root` ... [AS <query>]
+  //   REPLACE TABLE txlog.`root` ... [AS <query>]
+  //       → TxLog.replaceTableTx — ONE whole-table-state commit; the
+  //         no-query form records a declared-schema-only replacement;
+  //         bare REPLACE refuses on a missing table, OR REPLACE creates
+  private def parseCreate(session: SparkSession, p: P,
+                          replaceVerb: Boolean): LogicalPlan = {
+    val orReplace = !replaceVerb && p.tryKw("OR") && {
+      p.kw("REPLACE"); true
+    }
+    val replace = replaceVerb || orReplace
     p.kw("TABLE")
     val ifNotExists =
-      if (p.tryKw("IF")) { p.kw("NOT"); p.kw("EXISTS"); true } else false
+      if (!replace && p.tryKw("IF")) {
+        p.kw("NOT"); p.kw("EXISTS"); true
+      } else false
     val root = tableRoot(session, p)
-    if (!p.isSym("("))
-      fail("CREATE TABLE txlog.`path` expects a declared column list " +
-        "(name type, ...) — a tx table's create commit records the " +
-        "schema; to adopt existing data use CONVERT TO TXLOG or just " +
-        "write it")
-    val st = p.i
-    p.spanUntilBalanced()
-    val colsDDL = p.slice(st + 1, p.i - 1)
+    val colsDDL: Option[String] =
+      if (p.isSym("(")) {
+        val st = p.i
+        p.spanUntilBalanced()
+        Some(p.slice(st + 1, p.i - 1))
+      } else None
     if (p.tryKw("USING")) {
       val prov = p.ident()
       if (!prov.equalsIgnoreCase("txlog"))
-        fail(s"CREATE TABLE txlog.`path` USING $prov — the path " +
-          "spelling is txlog-only")
+        fail(s"CREATE/REPLACE TABLE txlog.`path` USING $prov — the " +
+          "path spelling is txlog-only")
     }
     p.kw("PARTITIONED")
     p.kw("BY")
@@ -561,13 +580,50 @@ private[graft] object TxSql {
     val partCols = parts.result()
     val props = if (p.tryKw("TBLPROPERTIES")) parseKvList(p)
                 else Map.empty[String, String]
-    if (!p.eof) fail(s"trailing input after CREATE TABLE: ${p.rest()}")
+    val query: Option[String] =
+      if (p.tryKw("AS")) {
+        val st = p.i
+        while (!p.eof) p.i += 1
+        Some(p.slice(st, p.i))
+      } else None
+    if (!p.eof)
+      fail(s"trailing input after CREATE/REPLACE TABLE: ${p.rest()}")
+    if (query.isDefined && colsDDL.isDefined)
+      fail("CREATE/REPLACE TABLE txlog.`path`: declare a column list OR " +
+        "provide AS <query> — the query's schema IS the declaration")
+    if (query.isEmpty && colsDDL.isEmpty)
+      fail("CREATE/REPLACE TABLE txlog.`path` needs a declared column " +
+        "list (name type, ...) or AS <query> — a tx table's create/" +
+        "replace commit records the schema; to adopt existing data use " +
+        "CONVERT TO TXLOG")
     TxSqlCommand(Seq(attr("version", LongType)), s => {
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDDL)
-      if (ifNotExists && TxLog.tableExists(s, root))
-        Seq(Row(TxLog.currentVersion(s, root))) // no-op, current version
-      else
-        Seq(Row(TxLog.createTableTx(s, root, schema, partCols, props)))
+      def declared = org.apache.spark.sql.types.StructType
+        .fromDDL(colsDDL.get)
+      (replace, query) match {
+        case (true, q) =>
+          if (replaceVerb && !TxLog.tableExists(s, root))
+            sys.error(s"REPLACE TABLE: no table at $root — use CREATE " +
+              "OR REPLACE to create it")
+          val df = q.map(s.sql).getOrElse(s.createDataFrame(
+            java.util.Collections.emptyList[Row](), declared))
+          Seq(Row(TxLog.replaceTableTx(df, root, partCols, props)))
+        case (false, Some(q)) => // path CTAS: create commit + data commit
+          if (ifNotExists && TxLog.tableExists(s, root))
+            Seq(Row(TxLog.currentVersion(s, root)))
+          else {
+            val df = s.sql(q)
+            TxLog.createTableTx(s, root, df.schema, partCols, props): Unit
+            Seq(Row(TxLog.commit(s, root,
+              TxLog.stage(df, root, partCols, Nil, 0), "append",
+              readVersion = 0L)))
+          }
+        case (false, None) =>
+          if (ifNotExists && TxLog.tableExists(s, root))
+            Seq(Row(TxLog.currentVersion(s, root))) // no-op
+          else
+            Seq(Row(TxLog.createTableTx(s, root, declared, partCols,
+              props)))
+      }
     })
   }
 

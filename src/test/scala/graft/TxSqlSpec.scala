@@ -469,4 +469,47 @@ class TxSqlSpec extends SparkSpecBase {
       .load(root)
     assert(at1.count() === 0L && at1.columns.toSet === Set("k", "v", "part"))
   }
+
+  test("path CTAS, CREATE OR REPLACE and REPLACE TABLE spellings route " +
+      "to the same front doors as the name surface") {
+    val root = freshRoot("pathctas")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "part")
+      .createOrReplaceTempView("pc_src")
+    // path CTAS: the create commit (v1) + the data commit (v2)
+    assert(spark.sql(s"CREATE TABLE txlog.`$root` USING txlog " +
+      "PARTITIONED BY (part) AS SELECT k, part FROM pc_src")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM txlog.`$root`")
+      .head.getLong(0) === 2L)
+    // IF NOT EXISTS CTAS on an existing table: no-op, current version
+    assert(spark.sql(s"CREATE TABLE IF NOT EXISTS txlog.`$root` " +
+      "PARTITIONED BY (part) AS SELECT k, part FROM pc_src")
+      .head.getLong(0) === 2L)
+    // CREATE OR REPLACE ... AS: ONE whole-table-state commit (new
+    // schema, new rows, new properties; old rows must not merge)
+    assert(spark.sql(s"CREATE OR REPLACE TABLE txlog.`$root` " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('tier' = 'new') " +
+      "AS SELECT 'z' AS part, 'n1' AS label").head.getLong(0) === 3L)
+    val now = spark.sql(s"SELECT * FROM txlog.`$root`")
+    assert(now.columns.toSet === Set("part", "label") && now.count() === 1L)
+    assert(TxLog.tableProperties(spark, root) === Map("tier" -> "new"))
+    // bare REPLACE with declared columns: declared-schema-only
+    assert(spark.sql(s"REPLACE TABLE txlog.`$root` (x BIGINT, " +
+      "part STRING) PARTITIONED BY (part)").head.getLong(0) === 4L)
+    val t = spark.sql(s"SELECT * FROM txlog.`$root`")
+    assert(t.count() === 0L && t.columns.toSet === Set("x", "part"))
+    // bare REPLACE of a missing table refuses; columns+AS refuses
+    val e = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE txlog.`${freshRoot("pathctas-nope")}` " +
+        "(x BIGINT, part STRING) PARTITIONED BY (part)")
+    }
+    assert(e.getMessage.contains("no table"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE txlog.`${freshRoot("pathctas-both")}` " +
+        "(x BIGINT, part STRING) PARTITIONED BY (part) AS SELECT 1")
+    }
+    assert(e2.getMessage.contains("declare a column list OR"),
+      e2.getMessage)
+  }
 }
