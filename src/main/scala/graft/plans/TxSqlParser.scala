@@ -917,8 +917,14 @@ private[graft] object TxSql {
         p.kw("HOURS")
         hours * 3600000L
       } else 3600000L
+    // VACUUM ... DRY RUN — report what a wet run would reclaim, touch
+    // nothing (the operator's pre-flight check before a zero-retention
+    // vacuum)
+    val dryRun = p.tryKw("DRY") && { p.kw("RUN"); true }
     if (!p.eof) fail(s"trailing input after VACUUM: ${p.rest()}")
-    TxSqlCommand(Seq(attr("data_files_vacuumed", LongType)),
-      s => Seq(Row(TxLog.vacuum(s, root, minAgeMs).toLong)))
+    TxSqlCommand(Seq(attr(
+      if (dryRun) "data_files_reclaimable" else "data_files_vacuumed",
+      LongType)),
+      s => Seq(Row(TxLog.vacuum(s, root, minAgeMs, dryRun).toLong)))
   }
 }

@@ -5096,7 +5096,7 @@ object TxLog {
     * the number of .parquet DATA FILES reclaimed (writer markers and
     * emptied staging dirs are removed too but not counted). */
   def vacuum(spark: SparkSession, root: String,
-             minAgeMs: Long = 3600000L): Int = {
+             minAgeMs: Long = 3600000L, dryRun: Boolean = false): Int = {
     // change-data files are live while their commit file is ON DISK —
     // a checkpoint (auto or manual) moves the fold floor but expires
     // nothing, and readChangeFeed serves any still-present window, so
@@ -5117,13 +5117,15 @@ object TxLog {
       case Left(snap) =>
         vacuumDriver(spark, root,
           snap.parts.values.flatten.toSet ++ changeFiles ++
-            snap.dvs.values.flatMap(_._1), minAgeMs)
-      case Right(big) => vacuumBig(spark, root, big, changeFiles, minAgeMs)
+            snap.dvs.values.flatMap(_._1), minAgeMs, dryRun)
+      case Right(big) =>
+        vacuumBig(spark, root, big, changeFiles, minAgeMs, dryRun)
     }
   }
 
   private def vacuumDriver(spark: SparkSession, root: String,
-                           live: Set[String], minAgeMs: Long): Int = {
+                           live: Set[String], minAgeMs: Long,
+                           dryRun: Boolean = false): Int = {
     // FILE-granular: a partition removal or partial overwrite orphans
     // individual files inside a staging dir whose OTHER files are still
     // live, so directory-level reclamation would leak them forever
@@ -5159,19 +5161,25 @@ object TxLog {
         live.contains(p.stripPrefix(rootAbs)) ||
           st.getModificationTime > cutoff // too young — maybe in flight
       }
-      // writer markers (_SUCCESS, .crc) are never log-referenced — they
-      // go with their dir but don't count as reclaimed data files
-      dead.foreach { st =>
-        fs.delete(st.getPath, false)
-        if (st.getPath.getName.endsWith(".parquet")) removed += 1
+      // DRY RUN: count what a wet run would reclaim, touch nothing
+      if (dryRun)
+        removed += dead.count(_.getPath.getName.endsWith(".parquet"))
+      else {
+        // writer markers (_SUCCESS, .crc) are never log-referenced —
+        // they go with their dir but don't count as reclaimed data files
+        dead.foreach { st =>
+          fs.delete(st.getPath, false)
+          if (st.getPath.getName.endsWith(".parquet")) removed += 1
+        }
+        // empty staging dir — but only past the retention horizon: an
+        // ACTIVE writer's staging exists with zero data files between
+        // mkdirs and its first task write (only _temporary scaffolding),
+        // and deleting it there kills the write mid-flight (the race
+        // fuzz caught maintainTx doing exactly that to the streaming
+        // sink)
+        if (keep.isEmpty && d.getModificationTime <= cutoff)
+          fs.delete(d.getPath, true): Unit
       }
-      // empty staging dir — but only past the retention horizon: an
-      // ACTIVE writer's staging exists with zero data files between
-      // mkdirs and its first task write (only _temporary scaffolding),
-      // and deleting it there kills the write mid-flight (the race fuzz
-      // caught maintainTx doing exactly that to the streaming sink)
-      if (keep.isEmpty && d.getModificationTime <= cutoff)
-        fs.delete(d.getPath, true): Unit
     }
     removed
   }
@@ -5183,7 +5191,8 @@ object TxLog {
     * Empty staging dirs are left in place (reclaimed when their last
     * file goes through a later driver-path vacuum or external cleanup). */
   private def vacuumBig(spark: SparkSession, root: String, big: BigState,
-                        changeFiles: Set[String], minAgeMs: Long): Int = {
+                        changeFiles: Set[String], minAgeMs: Long,
+                        dryRun: Boolean = false): Int = {
     import spark.implicits._
     val dataDir = new Path(root, "data")
     val fs = fsOf(spark, dataDir)
@@ -5246,10 +5255,14 @@ object TxLog {
         val f = new Path(rootQual).getFileSystem(conf.value)
         var n = 0
         it.foreach { rel =>
-          // count only CONFIRMED deletes — a false return (already gone,
-          // permission failure) must not inflate the reported reclaim
-          if (f.delete(new Path(rootQual + rel), false) &&
-              rel.endsWith(".parquet")) n += 1
+          val isParquet = rel.endsWith(".parquet")
+          // DRY RUN counts candidates without touching them; a wet run
+          // counts only CONFIRMED deletes — a false return (already
+          // gone, permission failure) must not inflate the reported
+          // reclaim
+          if (dryRun) { if (isParquet) n += 1 }
+          else if (f.delete(new Path(rootQual + rel), false) && isParquet)
+            n += 1
         }
         Iterator.single(n)
       }.collect().sum

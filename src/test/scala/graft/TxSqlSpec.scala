@@ -512,4 +512,36 @@ class TxSqlSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("declare a column list OR"),
       e2.getMessage)
   }
+
+  test("VACUUM ... DRY RUN reports without reclaiming, on both " +
+      "representations") {
+    val root = freshRoot("vacdry")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "vd-b1")                                                       // v1
+    TxLog.overwritePartitionsTx(Seq(("a", 2L)).toDF("part", "k"), root,
+      "part")                                           // v2: orphans b1
+    val dry = spark.sql(s"VACUUM txlog.`$root` RETAIN 0 HOURS DRY RUN")
+      .head.getLong(0)
+    assert(dry >= 1L, s"dry run must report the orphaned file ($dry)")
+    // nothing was touched: time travel to v1 still reads its file
+    assert(TxLog.readTableAt(spark, root, 1L).count() === 1L)
+    // the wet run reclaims exactly what the dry run reported
+    val wet = spark.sql(s"VACUUM txlog.`$root` RETAIN 0 HOURS")
+      .head.getLong(0)
+    assert(wet === dry, s"wet run reclaimed $wet, dry run reported $dry")
+    // the PAYLOAD representation's distributed path honors dry-run too
+    spark.conf.set("graft.txlog.chkParquetMin", "1")
+    try {
+      TxLog.checkpoint(spark, root)
+      TxLog.overwritePartitionsTx(Seq(("a", 3L)).toDF("part", "k"), root,
+        "part")                                         // v3: orphans v2
+      val dry2 = spark.sql(s"VACUUM txlog.`$root` RETAIN 0 HOURS DRY RUN")
+        .head.getLong(0)
+      assert(dry2 >= 1L)
+      assert(spark.sql(s"VACUUM txlog.`$root` RETAIN 0 HOURS")
+        .head.getLong(0) === dry2)
+      assert(TxLog.readTable(spark, root).count() === 1L)
+    } finally spark.conf.unset("graft.txlog.chkParquetMin")
+  }
 }
