@@ -863,6 +863,48 @@ private[graft] object TxSql {
           Seq(Row(TxLog.compactZorderTx(s, root, pc, keys, nf)))
         })
     }
+    // OPTIMIZE ... [WHERE <partCol> = 'v' | IN ('a','b') | >= 'v' ...]
+    // — partition-scoped compaction (the warehouse-scale shape: compact
+    // yesterday, not the table). The predicate is over the PARTITION
+    // column's raw value; comparisons are lexicographic (zero-padded
+    // dates order correctly).
+    val where: Option[(String, String => Boolean)] =
+      if (p.tryKw("WHERE")) {
+        val colName = p.ident()
+        if (p.tryKw("IN")) {
+          p.sym("(")
+          val vals = Set.newBuilder[String]
+          var more = true
+          while (more) {
+            vals += (if (!p.eof && p.peek.kind == 2) p.strLit()
+                     else p.ident())
+            more = p.isSym(",")
+            if (more) p.i += 1
+          }
+          p.sym(")")
+          val set = vals.result()
+          Some((colName, set.contains))
+        } else {
+          // comparison operator: one of = < > <= >=
+          val c1 = { val t = p.peek
+            if (t.kind != 3 || !"=<>".contains(t.text))
+              fail(s"OPTIMIZE WHERE supports =, <, >, <=, >=, IN — " +
+                s"at: ${p.rest()}")
+            p.i += 1; t.text }
+          val op = if ((c1 == "<" || c1 == ">") && p.isSym("=")) {
+            p.i += 1; c1 + "="
+          } else c1
+          val v = if (!p.eof && p.peek.kind == 2) p.strLit() else p.ident()
+          val pred: String => Boolean = op match {
+            case "="  => _ == v
+            case "<"  => _ < v
+            case ">"  => _ > v
+            case "<=" => _ <= v
+            case ">=" => _ >= v
+          }
+          Some((colName, pred))
+        }
+      } else None
     val smallBytes =
       if (p.tryKw("SMALLFILES")) {
         val n = p.ident()
@@ -878,7 +920,11 @@ private[graft] object TxSql {
       s => {
         val pc = TxLog.tableMeta(s, root)._2.headOption
           .map(_.name).getOrElse("part")
-        TxLog.maintainTx(s, root, pc, smallBytes).collect().toSeq
+        val select = where
+          .map { case (c, f) => TxLog.partitionSelect(s, root, c)(f) }
+          .getOrElse((_: String) => true)
+        TxLog.maintainTx(s, root, pc, smallBytes, select = select)
+          .collect().toSeq
       })
   }
 

@@ -4602,6 +4602,25 @@ object TxLog {
                  partCol: String): DataFrame =
     maintainTx(spark, root, partCol, StringType: DataType)
 
+  /** `select`-predicate builder for PARTITION-SCOPED maintenance: lifts
+    * a predicate over the named partition column's RAW value onto the
+    * table's composite key (a single-column table's key IS the value;
+    * N-column keys are the escaped '/'-joined form — [[renderPartKey]]).
+    * At warehouse scale maintenance is per-partition ("compact
+    * yesterday"), not per-table; this is the bridge from a column-level
+    * condition to [[maintainTx]]/[[compactBinPackTx]]'s opaque-key
+    * `select`. Values compare as STRINGS downstream — zero-padded dates
+    * order correctly, free-form numerics may not. */
+  def partitionSelect(spark: SparkSession, root: String, colName: String)
+                     (valuePred: String => Boolean): String => Boolean = {
+    val ps = tableMeta(spark, root)._2
+    val idx = ps.indexWhere(_.name == colName)
+    require(idx >= 0, s"TxLog.partitionSelect: [$colName] is not a " +
+      s"partition column of $root (${ps.map(_.name).mkString(", ")})")
+    val n = ps.length
+    (key: String) => valuePred(splitPartKey(key, n)(idx))
+  }
+
   /** Table-level operational facts — the Delta DESCRIBE DETAIL move:
     * ONE row (version, representation, file/partition/byte tallies,
     * deleted-row count, schema-evolution and constraint inventory) with

@@ -513,6 +513,38 @@ class TxSqlSpec extends SparkSpecBase {
       e2.getMessage)
   }
 
+  test("OPTIMIZE ... WHERE compacts only the selected partitions") {
+    val root = freshRoot("optwhere")
+    import spark.implicits._
+    // 3 partitions × 2 small files each
+    Seq("a", "b", "c").foreach { pv =>
+      TxLog.appendBatchTx(Seq((pv, 1L)).toDF("part", "k"), root, "part",
+        s"ow-$pv-1")
+      TxLog.appendBatchTx(Seq((pv, 2L)).toDF("part", "k"), root, "part",
+        s"ow-$pv-2")
+    }
+    def nFiles: Long = spark.sql(s"DESCRIBE DETAIL txlog.`$root`")
+      .head.getAs[Long]("n_files")
+    assert(nFiles === 6L)
+    // equality form: only b compacts (2 files → 1)
+    val row = spark.sql(s"OPTIMIZE txlog.`$root` WHERE part = 'b'").head
+    assert(row.getAs[Long]("files_packed") >= 2L)
+    assert(nFiles === 5L, "only the selected partition may compact")
+    // range form: >= 'c' leaves a untouched
+    spark.sql(s"OPTIMIZE txlog.`$root` WHERE part >= 'c'")
+    assert(nFiles === 4L)
+    assert(TxLog.readTable(spark, root).count() === 6L,
+      "scoped compaction must not lose rows")
+    // a still has its two original files; IN form picks it up
+    spark.sql(s"OPTIMIZE txlog.`$root` WHERE part IN ('a', 'zz')")
+    assert(nFiles === 3L)
+    // a non-partition column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE txlog.`$root` WHERE k = '1'")
+    }
+    assert(e.getMessage.contains("not a partition column"), e.getMessage)
+  }
+
   test("VACUUM ... DRY RUN reports without reclaiming, on both " +
       "representations") {
     val root = freshRoot("vacdry")
