@@ -797,14 +797,29 @@ private[graft] object TxSql {
   private def parseRestore(session: SparkSession, p: P): LogicalPlan = {
     p.tryKw("TABLE")
     val root = tableRoot(session, p)
-    p.kw("TO"); p.kw("VERSION"); p.kw("AS"); p.kw("OF")
-    val v = p.ident()
-    val version =
-      try v.toLong catch { case _: NumberFormatException =>
-        fail(s"VERSION AS OF needs an integer version, got $v") }
-    if (!p.eof) fail(s"trailing input after RESTORE: ${p.rest()}")
-    TxSqlCommand(Seq(attr("version", LongType)),
-      s => Seq(Row(TxLog.restoreTx(s, root, version))))
+    p.kw("TO")
+    if (p.tryKw("VERSION")) {
+      p.kw("AS"); p.kw("OF")
+      val v = p.ident()
+      val version =
+        try v.toLong catch { case _: NumberFormatException =>
+          fail(s"VERSION AS OF needs an integer version, got $v") }
+      if (!p.eof) fail(s"trailing input after RESTORE: ${p.rest()}")
+      TxSqlCommand(Seq(attr("version", LongType)),
+        s => Seq(Row(TxLog.restoreTx(s, root, version))))
+    } else {
+      // RESTORE ... TO TIMESTAMP AS OF '<ts|epoch-millis>' — wall-clock
+      // keyed restore (the same tsOptionMillis contract as the reader's
+      // timestampAsOf option: digits = epoch millis, else a session-TZ
+      // timestamp/date string)
+      p.kw("TIMESTAMP"); p.kw("AS"); p.kw("OF")
+      val ts =
+        if (!p.eof && p.peek.kind == 2) p.strLit() else p.ident()
+      if (!p.eof) fail(s"trailing input after RESTORE: ${p.rest()}")
+      TxSqlCommand(Seq(attr("version", LongType)),
+        s => Seq(Row(TxLog.restoreTx(s, root,
+          TxLog.versionAsOf(s, root, TxLog.tsOptionMillis(s, ts))))))
+    }
   }
 
   // DESCRIBE HISTORY|DETAIL txlog.`root`

@@ -513,6 +513,24 @@ class TxSqlSpec extends SparkSpecBase {
       e2.getMessage)
   }
 
+  test("RESTORE TABLE ... TO TIMESTAMP AS OF: wall-clock keyed restore") {
+    val root = freshRoot("restorets")
+    import spark.implicits._
+    TxLog.appendBatchTx(Seq(("a", 1L)).toDF("part", "k"), root, "part",
+      "rt-b1")                                                       // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxLog.appendBatchTx(Seq(("b", 2L)).toDF("part", "k"), root, "part",
+      "rt-b2")                                                       // v2
+    // digits = epoch millis (the reader's timestampAsOf contract)
+    val v = spark.sql(s"RESTORE TABLE txlog.`$root` TO TIMESTAMP AS OF " +
+      s"'$between'").head.getLong(0)
+    assert(v === 3L)
+    assert(TxLog.readTable(spark, root).count() === 1L,
+      "the wall-clock restore must reinstate the v1 content")
+  }
+
   test("OPTIMIZE ... WHERE compacts only the selected partitions") {
     val root = freshRoot("optwhere")
     import spark.implicits._
