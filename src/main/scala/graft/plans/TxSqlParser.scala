@@ -682,7 +682,11 @@ private[graft] object TxSql {
     if (!p.eof) fail(s"trailing input after MERGE: ${p.rest()}")
     TxSqlCommand(Seq(attr("version", LongType)), s =>
       Seq(Row(TxLog.mergeClausesTx(s, root, source(s), key,
-        whenMatched, whenNot))))
+        whenMatched, whenNot,
+        // opt-in MERGE schema evolution (the Delta autoMerge conf
+        // shape): a wider source declares its extra columns first
+        autoEvolve = s.conf.getOption("graft.txlog.mergeEvolve")
+          .exists(_.toBoolean)))))
   }
 
   /** consume a balanced (...) group the cursor points at. */

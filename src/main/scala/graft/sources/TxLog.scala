@@ -4260,7 +4260,9 @@ object TxLog {
   def mergeKeyedTx(spark: SparkSession, root: String, source: DataFrame,
                    key: String, maxAttempts: Int = 20,
                    changeFeed: Boolean = false,
-                   writerSeq: Option[(String, Long)] = None): Long = {
+                   writerSeq: Option[(String, Long)] = None,
+                   autoEvolve: Boolean = false): Long = {
+    if (autoEvolve) mergeEvolve(spark, root, source)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -4318,6 +4320,23 @@ object TxLog {
       s"at $root — pathological contention, back off at the caller")
   }
 
+  /** Opt-in MERGE schema evolution (the Delta `autoMerge` shape): any
+    * source column the table does not carry is declared FIRST as an
+    * additive metadata commit ([[addColumnsTx]] — history and unmatched
+    * target rows NULL-backfill), so the merge's candidate read and
+    * rewrite speak the widened schema. Without it a wider source refuses
+    * at the candidate projection — the safe default (a typo'd source
+    * column must not silently evolve the table). The SQL surface opts in
+    * per session with `graft.txlog.mergeEvolve=true`. */
+  private def mergeEvolve(spark: SparkSession, root: String,
+                          source: DataFrame): Unit = {
+    val existing = readTable(spark, root).columns.toSet
+    val extras = source.schema.filterNot(f => existing(f.name))
+    if (extras.nonEmpty)
+      addColumnsTx(spark, root,
+        extras.map(f => f.name -> f.dataType).toSeq): Unit
+  }
+
   /** One clause of a [[mergeClausesTx]]: conditions and SET expressions
     * are SQL strings over the aliases `t` (target) and `s` (source) —
     * the Delta MERGE surface shape. */
@@ -4360,7 +4379,9 @@ object TxLog {
                      whenNotMatched: Seq[MergeClause] =
                        Seq(MergeClause.insertAll()),
                      maxAttempts: Int = 20, changeFeed: Boolean = false,
-                     writerSeq: Option[(String, Long)] = None): Long = {
+                     writerSeq: Option[(String, Long)] = None,
+                     autoEvolve: Boolean = false): Long = {
+    if (autoEvolve) mergeEvolve(spark, root, source)
     require(whenMatched.forall(c => c.kind == "update" ||
         c.kind == "updateAll" || c.kind == "delete"),
       "mergeClausesTx: whenMatched clauses are update/updateAll/delete")

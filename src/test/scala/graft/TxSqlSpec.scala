@@ -513,6 +513,48 @@ class TxSqlSpec extends SparkSpecBase {
       e2.getMessage)
   }
 
+  test("MERGE schema evolution: autoEvolve widens the table first; the " +
+      "default refuses a wider source") {
+    val root = freshRoot("mergevolve")
+    import spark.implicits._
+    TxLog.appendBatchTx(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0)).toDF("part", "k", "v"),
+      root, "part", "me-b1")                                         // v1
+    val wide = Seq(("a", 2L, 25.0, "gold"), ("b", 3L, 30.0, "silver"))
+      .toDF("part", "k", "v", "tier")
+    // safe default: a wider source refuses (a typo'd column must not
+    // silently evolve the table)
+    intercept[Exception] { TxLog.mergeKeyedTx(spark, root, wide, "k") }
+    assert(TxLog.readTable(spark, root).columns.toSet ===
+      Set("part", "k", "v"))
+    // opt-in: ONE additive meta commit, then the merge
+    TxLog.mergeKeyedTx(spark, root, wide, "k", autoEvolve = true)
+    val t = TxLog.readTable(spark, root)
+    assert(t.columns.toSet === Set("part", "k", "v", "tier"))
+    assert(t.orderBy("k").collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[Double]("v"),
+          r.getAs[String]("tier"))).toSeq ===
+      Seq((1L, 10.0, null), (2L, 25.0, "gold"), (3L, 30.0, "silver")),
+      "unmatched rows NULL-backfill the evolved column")
+    // the SQL surface opts in per session (graft.txlog.mergeEvolve)
+    Seq(("a", 1L, 11.0, "gold", "n1")).toDF("part", "k", "v", "tier",
+      "note").createOrReplaceTempView("me_src")
+    val noEvolve = intercept[Exception] {
+      spark.sql(s"MERGE INTO txlog.`$root` t USING me_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(noEvolve != null)
+    spark.conf.set("graft.txlog.mergeEvolve", "true")
+    try {
+      spark.sql(s"MERGE INTO txlog.`$root` t USING me_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val t2 = TxLog.readTable(spark, root)
+      assert(t2.columns.toSet === Set("part", "k", "v", "tier", "note"))
+      assert(t2.filter(col("k") === 1L).head.getAs[String]("note") === "n1")
+      assert(t2.filter(col("k") === 3L).head.getAs[String]("note") === null)
+    } finally spark.conf.unset("graft.txlog.mergeEvolve")
+  }
+
   test("RESTORE TABLE ... TO TIMESTAMP AS OF: wall-clock keyed restore") {
     val root = freshRoot("restorets")
     import spark.implicits._
