@@ -2261,7 +2261,18 @@ object TxLog {
     val rel = s"data/txn-${java.util.UUID.randomUUID()}"
     val dir = new Path(root, rel)
     val shaped =
-      if (clusterBy.isEmpty) df.repartition(partCols.map(col): _*)
+      // repartition WITHOUT an explicit count is AQE-coalescible: a small
+      // staged batch collapses to 1-2 reduce tasks, and that one task then
+      // writes EVERY partition's file serially (measured 1.2-1.5 s per
+      // 240-partition stream epoch at sf0.1 — the write was parallelism-
+      // starved, not data-bound). Pinning the session's shuffle-partition
+      // count keeps the one-file-per-value invariant (hash on the value
+      // still lands each value in exactly one task) while spreading the
+      // per-file open/flush cost across the cluster; the count stays
+      // scale-adaptive through spark.sql.shuffle.partitions.
+      if (clusterBy.isEmpty)
+        df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+          partCols.map(col): _*)
       else {
         // range-clustered layout: a global range partitioning on
         // (partCols..., clusterBy...) makes each task a contiguous slice,

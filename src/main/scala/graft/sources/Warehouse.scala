@@ -61,7 +61,12 @@ object Warehouse {
     // task's worth of files. A heavily skewed partition value would
     // concentrate in one task — callers with such keys should salt the
     // repartition; the date/cell keys used here are balanced.
-    df.repartition(col(partitionCol))
+    // explicit count: a countless repartition is AQE-coalescible — a small
+    // frame collapses to one reduce task which then writes every partition
+    // dir's file SERIALLY (the TxLog.stage finding, same fix); hash on the
+    // value keeps one task's worth of files per dir either way
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(partitionCol))
       .write.mode("overwrite").format("parquet")
       .partitionBy(partitionCol)
       .saveAsTable(table)
@@ -290,7 +295,8 @@ object Warehouse {
     val cols = spark.table(table).columns
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try withId.repartition(col("batch_id"))
+    try withId.repartition(
+        spark.sessionState.conf.numShufflePartitions, col("batch_id"))
       .select(cols.map(withId(_)): _*)
       .write.mode("overwrite").insertInto(table)
     finally prev match {
