@@ -38,6 +38,17 @@ object Sessions {
       // the inference only costs.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // Spark 4.1 writes a CHECKSUM SIDECAR for every streaming-checkpoint
+      // file (state-store deltas/snapshots, offsets, commits) and blocks
+      // the writing task on a shared await pool per file — profiled as the
+      // dominant stall of the stateful-stream micro-batches (executor
+      // threads parked in Promise.tryAwait0 under the checksum manager's
+      // awaitResult; q204's two 8 s batch jobs). Corruption detection on
+      // checkpoint storage is a durability knob, not a correctness one —
+      // exactly-once replay is carried by the offset/commit protocol
+      // either way — so the engine default is OFF; deployments on storage
+      // without end-to-end integrity can flip it back per session.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       // managed tables (S9/S12 warehouse queries) land in scratch space,
       // never in the repo tree
       .config("spark.sql.warehouse.dir",
