@@ -49,6 +49,18 @@ object Sessions {
       // either way — so the engine default is OFF; deployments on storage
       // without end-to-end integrity can flip it back per session.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // The default FileContext-based checkpoint manager rides Hadoop's
+      // symlink-aware local AFS: EVERY file-status call resolves links via
+      // FileUtil.readLink, which FORKS a shell process — thread dumps of
+      // the stateful-stream micro-batches show executor tasks serialized
+      // behind Shell.execCommand/ProcessBuilder.start (a fork of a
+      // multi-GB JVM per checkpoint file op). The FileSystem-based
+      // manager does plain renames/statuses with no link resolution;
+      // local-FS rename is atomic, so the rename-based commit contract
+      // holds unchanged. Deployments on stores whose FileContext impl is
+      // the safer surface can override per session.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
       // managed tables (S9/S12 warehouse queries) land in scratch space,
       // never in the repo tree
       .config("spark.sql.warehouse.dir",
