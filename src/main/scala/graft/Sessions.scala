@@ -30,6 +30,13 @@ object Sessions {
       // explosions (the lists themselves stay small by construction —
       // baskets and capped posting lists).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 16).toString)
+      // the generated-class cache holds only 100 entries by default; a
+      // multi-phase tx gate runs ~90 jobs × several codegen units per
+      // execution, evicting its own classes mid-run so every re-execution
+      // re-compiles through janino. Sized to hold a full session's worth
+      // of distinct units (memory cost is bounded: compiled classes, not
+      // plans).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
       // Filter(size(f(x))>0) in which alias substitution re-inlines f —
       // for lambda-heavy f (shingling) that re-evaluates the full pipeline
