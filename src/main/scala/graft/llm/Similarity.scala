@@ -326,23 +326,15 @@ object Similarity {
                 embCol: String = "embedding"): DataFrame =
     emb.select(col("vec_id"), sq8CodesCol(col(embCol), bounds).as("codes"))
 
-  /** The SQ8 code array as a Column (bounds inlined as literals) — shared
-    * by [[sq8Encode]] and the stored-index write ([[VectorIndex]]). */
+  /** The SQ8 code array as a Column — shared by [[sq8Encode]] and the
+    * stored-index write ([[VectorIndex]]). One codegen'd kernel call per
+    * row (plans/Sq8Kernel) — bit-identical to the declarative
+    * zip_with-over-literal-bounds form it replaced in the r19
+    * optimization round (SimilaritySpec asserts it; the interpreted HOF
+    * was the dominant cost of the q137 chain). */
   def sq8CodesCol(emb: org.apache.spark.sql.Column,
-                  bounds: Array[(Float, Float)]): org.apache.spark.sql.Column = {
-    val mnA = array(bounds.map(b => lit(b._1)): _*)
-    val mxA = array(bounds.map(b => lit(b._2)): _*)
-    zip_with(emb, sequence(lit(1), lit(bounds.length)),
-      (v, i) => {
-        val mn = element_at(mnA, i).cast("double")
-        val mx = element_at(mxA, i).cast("double")
-        when(mx > mn,
-          least(lit(255.0), greatest(lit(0.0),
-            floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("double")))
-            .cast("int"))
-          .otherwise(lit(0))
-      })
-  }
+                  bounds: Array[(Float, Float)]): org.apache.spark.sql.Column =
+    graft.plans.Sq8Exprs.encode(emb, bounds)
 
   /** SQ8 ADC top-k with the standard rerank: candidates scored on CODES
     * only via midpoint decode — `Σ_d q_d · (mn_d + (code_d + 0.5) ·
@@ -364,22 +356,17 @@ object Similarity {
   }
 
   /** The SQ8 ADC (midpoint-decode) score as a Column — `Σ_d q_d · (mn_d +
-    * (code_d + 0.5) · step_d)` folded in dimension order, bounds and
-    * query inlined as literals. Shared by [[sq8Search]] and the
-    * stored-index search ([[VectorIndex]]); UNROUNDED — callers round(9)
-    * where the value is oracle-compared. */
+    * (code_d + 0.5) · step_d)` folded in dimension order, the
+    * per-dimension factors precomputed on the driver. Shared by
+    * [[sq8Search]] and the stored-index search ([[VectorIndex]]);
+    * UNROUNDED — callers round(9) where the value is oracle-compared. */
   def sq8ScoreCol(codes: org.apache.spark.sql.Column,
                   bounds: Array[(Float, Float)],
-                  queryVec: Array[Float]): org.apache.spark.sql.Column = {
-    val qA = array(queryVec.map(v => lit(v.toDouble)): _*)
-    val mnA = array(bounds.map(b => lit(b._1.toDouble)): _*)
-    val stepA = array(bounds.map { case (lo, hi) =>
-      lit(if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0) }: _*)
-    aggregate(sequence(lit(1), lit(bounds.length)), lit(0.0),
-      (acc, i) => acc + element_at(qA, i) *
-        (element_at(mnA, i) +
-          (element_at(codes, i).cast("double") + 0.5) * element_at(stepA, i)))
-  }
+                  queryVec: Array[Float]): org.apache.spark.sql.Column =
+    // one codegen'd kernel call per row (plans/Sq8Kernel) — the identical
+    // dimension-order left fold the aggregate-HOF form ran interpreted
+    // (bit-identity asserted in SimilaritySpec, r19 optimization round)
+    graft.plans.Sq8Exprs.score(codes, bounds, queryVec)
 
   /** Embedding near-duplicate pairs: within-cell blocked self-join (the
     * cell is the blocking key), cosine ≥ threshold.

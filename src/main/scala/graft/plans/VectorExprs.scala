@@ -240,3 +240,141 @@ object PqExprs {
   def encodeCodes(emb: Column, books: Array[Array[Array[Float]]]): Column =
     ColumnBridge.column(PqEncodeCodesExpr(ColumnBridge.expression(emb), books))
 }
+
+/** Codegen'd SQ8 encode/score kernels ([[graft.llm.Similarity]]
+  * sq8Encode/sq8Search, `VectorIndex` stored-index search). The
+  * declarative forms — `zip_with(emb, sequence(1, dim), …)` for the
+  * encode and `aggregate(sequence(1, dim), 0.0, …)` for the ADC score —
+  * are higher-order functions over per-dimension `element_at`s into
+  * literal arrays: correct, but the lambda dispatch plus array
+  * materialization per element made the one-pass SQ8 chain the q137
+  * profile's dominant job (2.1 s single-task at sf0.1, ~64 interpreted
+  * steps × 3 literal lookups per row). These kernels run the IDENTICAL
+  * arithmetic — same left-fold order, same double intermediates, same
+  * null/NaN/ragged-length routing as the HOF forms (SimilaritySpec
+  * asserts bit-identity; the q137/q144/q145 oracles pin it end-to-end)
+  * — as one primitive loop with zero per-row allocation. Same
+  * preference-order-(b) move as [[PqKernel]]. */
+object Sq8Kernel {
+  /** `zip_with(emb, sequence(1, dim), (v, i) => when(mx_i > mn_i,
+    * least(255.0, greatest(0.0, floor((double(v) − mn_i) · 255.0 /
+    * (mx_i − mn_i)))).cast(int)).otherwise(0))` exactly, including the
+    * HOF's length semantics (output has max(|emb|, dim) elements — the
+    * shorter side null-pads, and a null v or null i routes to 0 through
+    * `greatest(0.0, null)` / `otherwise(0)`) and its NaN routing (a NaN
+    * quotient survives `greatest` — NaN orders above every double — and
+    * `least(255.0, NaN)` picks 255.0). */
+  def encode(emb: ArrayData, mn: Array[Float], mx: Array[Float]): GenericArrayData = {
+    val dim = mn.length
+    val n = emb.numElements()
+    val out = new Array[Int](math.max(n, dim))
+    var i = 0
+    while (i < out.length) {
+      out(i) =
+        if (i >= dim) 0                        // i padded null → otherwise(0)
+        else if (!(mx(i) > mn(i))) 0           // constant (or NaN) dimension
+        else if (i >= n || emb.isNullAt(i)) 0  // v null → greatest(0.0, null)
+        else {
+          val lo = mn(i).toDouble
+          val x = math.floor((emb.getFloat(i).toDouble - lo) * 255.0 /
+            (mx(i).toDouble - lo))
+          if (java.lang.Double.isNaN(x)) 255   // least(255.0, NaN) = 255.0
+          else math.min(255.0, math.max(0.0, x)).toInt
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `aggregate(sequence(1, dim), 0.0, (acc, i) => acc + q_i · (mn_i +
+    * (element_at(codes, i) + 0.5) · step_i))` exactly — the same
+    * dimension-order left fold in doubles; a codes array shorter than
+    * `dim` or a null element nulls the whole score exactly as the
+    * out-of-range / null `element_at` would. */
+  def score(codes: ArrayData, q: Array[Double], mn: Array[Double],
+            step: Array[Double]): java.lang.Double = {
+    val dim = q.length
+    if (codes.numElements() < dim) return null
+    var acc = 0.0
+    var i = 0
+    while (i < dim) {
+      if (codes.isNullAt(i)) return null
+      acc += q(i) * (mn(i) + (codes.getInt(i) + 0.5) * step(i))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Whole-vector SQ8 encode: ARRAY<FLOAT> embedding → ARRAY<INT> codes. */
+case class Sq8EncodeExpr(child: Expression, mn: Array[Float], mx: Array[Float])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(mn.length == mx.length,
+    s"sq8_encode: ${mn.length} mins vs ${mx.length} maxes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_encode"
+  override def nullSafeEval(emb: Any): Any =
+    Sq8Kernel.encode(emb.asInstanceOf[ArrayData], mn, mx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("mn", mn, "float[]")
+    val mxRef = ctx.addReferenceObj("mx", mx, "float[]")
+    nullSafeCodeGen(ctx, ev, emb =>
+      s"${ev.value} = graft.plans.Sq8Kernel.encode($emb, $mnRef, $mxRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8EncodeExpr =
+    copy(child = newChild)
+}
+
+/** SQ8 ADC (midpoint-decode) score of one codes row against a frozen
+  * (query, bounds) pair — the per-dimension factors precompute on the
+  * driver (q, mn, step as doubles) exactly as the literal arrays did. */
+case class Sq8ScoreExpr(child: Expression, q: Array[Double],
+                        mn: Array[Double], step: Array[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(q.length == mn.length && q.length == step.length,
+    s"sq8_score: mismatched factor arrays (${q.length}/${mn.length}/${step.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_score"
+  override def nullSafeEval(codes: Any): Any =
+    Sq8Kernel.score(codes.asInstanceOf[ArrayData], q, mn, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("q", q, "double[]")
+    val mnRef = ctx.addReferenceObj("mn", mn, "double[]")
+    val stRef = ctx.addReferenceObj("step", step, "double[]")
+    nullSafeCodeGen(ctx, ev, codes => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = graft.plans.Sq8Kernel.score($codes, $qRef, $mnRef, $stRef);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Sq8ScoreExpr =
+    copy(child = newChild)
+}
+
+object Sq8Exprs {
+  def encode(emb: Column, bounds: Array[(Float, Float)]): Column =
+    ColumnBridge.column(Sq8EncodeExpr(ColumnBridge.expression(emb),
+      bounds.map(_._1), bounds.map(_._2)))
+  def score(codes: Column, bounds: Array[(Float, Float)],
+            queryVec: Array[Float]): Column =
+    ColumnBridge.column(Sq8ScoreExpr(ColumnBridge.expression(codes),
+      queryVec.map(_.toDouble),
+      bounds.map(_._1.toDouble),
+      bounds.map { case (lo, hi) =>
+        if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0 }))
+}

@@ -82,6 +82,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert((exact & approx).size >= 7, s"SQ8 recall ${(exact & approx).size}/10")
   }
 
+  test("SQ8 kernels are bit-identical to the declarative HOF forms they replaced") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val bounds = Similarity.sq8Bounds(emb)
+    val queryVec = emb.filter($"vec_id" === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    // the pre-r19opt declarative encode: zip_with over literal bounds
+    val mnA = array(bounds.map(b => lit(b._1)): _*)
+    val mxA = array(bounds.map(b => lit(b._2)): _*)
+    val declCodes = emb.select($"vec_id",
+      zip_with($"embedding", sequence(lit(1), lit(bounds.length)),
+        (v, i) => {
+          val mn = element_at(mnA, i).cast("double")
+          val mx = element_at(mxA, i).cast("double")
+          when(mx > mn,
+            least(lit(255.0), greatest(lit(0.0),
+              floor((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("double")))
+              .cast("int"))
+            .otherwise(lit(0))
+        }).as("codes"))
+    val kernCodes = Similarity.sq8Encode(emb, bounds)
+    assert(kernCodes.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq ==
+      declCodes.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq)
+    // the pre-r19opt declarative ADC score: aggregate over literal factors
+    val qA = array(queryVec.map(v => lit(v.toDouble)): _*)
+    val mnD = array(bounds.map(b => lit(b._1.toDouble)): _*)
+    val stepA = array(bounds.map { case (lo, hi) =>
+      lit(if (hi > lo) (hi.toDouble - lo.toDouble) / 255.0 else 0.0) }: _*)
+    val declScore = kernCodes.select($"vec_id",
+      aggregate(sequence(lit(1), lit(bounds.length)), lit(0.0),
+        (acc, i) => acc + element_at(qA, i) *
+          (element_at(mnD, i) +
+            (element_at($"codes", i).cast("double") + 0.5) * element_at(stepA, i)))
+        .as("s"))
+    val kernScore = kernCodes.select($"vec_id",
+      Similarity.sq8ScoreCol($"codes", bounds, queryVec).as("s"))
+    // exact double equality — the kernel must replay the identical fold
+    assert(kernScore.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq ==
+      declScore.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq)
+    // ragged/short codes null the score exactly like an out-of-range element_at
+    val short = spark.createDataFrame(Seq((1L, Seq(1, 2, 3)))).toDF("vec_id", "codes")
+    assert(short.select(Similarity.sq8ScoreCol($"codes", bounds, queryVec))
+      .head.isNullAt(0))
+  }
+
   test("ivfTopK achieves high recall vs brute force at nProbe=3") {
     val emb = Tables.embeddings(spark, sf)
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("qe"))
