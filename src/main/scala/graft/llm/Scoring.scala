@@ -71,15 +71,15 @@ object Scoring {
                        weightsFp: Array[Long]): DataFrame = {
     val buckets = weightsFp.length
     require(buckets > 0)
-    val weights = lit(weightsFp)
     docs.select(col(idCol),
         graft.functions.TextFns.tokens(col(textCol)).as("toks"))
       .select(col(idCol),
         graft.plans.ScoringExprs.featureBuckets(col("toks"), buckets).as("bks"))
       .select(col(idCol),
         size(col("bks")).cast("long").as("n_feats"),
-        aggregate(col("bks"), lit(0L),
-          (acc, b) => acc + element_at(weights, (b + 1).cast("int")))
+        // codegen'd margin kernel — bit-identical to the aggregate-HOF
+        // fold it replaced (ScoringSpec), minus the per-feature lambda
+        graft.plans.ScoringExprs.weightSumCol(col("bks"), weightsFp)
           .as("score"))
       .select(col(idCol), col("n_feats"), col("score"),
         (col("score").cast("double") / col("n_feats")).as("avg_weight"),
@@ -152,10 +152,12 @@ object Scoring {
     // as posWeight grows
     val denom = lrDen * (nPos * posWeight + (nDocs - nPos))
     for (k <- 1 to iters) {
-      val wl = lit(w.clone())
       val grads = design
-        .withColumn("__m", aggregate(col("bks"), lit(0L),
-          (acc, b) => acc + element_at(wl, (b + 1).cast("int"))))
+        // per-round margin through the codegen'd kernel (same fold as the
+        // aggregate-HOF form, ScoringSpec-pinned) — the round's weights
+        // ride a reference object, not a re-analyzed literal array
+        .withColumn("__m",
+          graft.plans.ScoringExprs.weightSumCol(col("bks"), w.clone()))
         .withColumn("__p",
           least(greatest(lit(S / 2) + expr("__m div 4"), lit(0L)), lit(S)))
         .withColumn("__r", (col("__p") - col("__y") * S) *

@@ -55,11 +55,38 @@ case class FeatureBucketsExpr(child: Expression, buckets: Int)
 
 object ScoringExprs {
 
+  /** The [[WeightSumExpr]] kernel: element_at semantics replayed exactly —
+    * 1-based positive indexing, negative indexes from the end, index 0
+    * throws, past-either-end returns null (nulling the fold like the HOF
+    * would), null elements null the margin. */
+  def weightSum(bks: ArrayData, w: Array[Long]): java.lang.Long = {
+    val n = bks.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (bks.isNullAt(i)) return null
+      val idx = (bks.getLong(i) + 1L).toInt // the HOF's (b + 1).cast("int")
+      if (idx == 0) throw new IllegalArgumentException(
+        "weight_sum: SQL array indices start at 1 (bucket id -1)")
+      val j = if (idx > 0) idx - 1 else w.length + idx
+      if (j < 0 || j >= w.length) return null
+      acc += w(j)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+
   /** Column wrapper: bucket ids of every unigram + word-bigram feature
     * of a token-array column, unigrams first then bigrams — the same
     * feature order as `Scoring.ngramFeatures`. */
   def featureBuckets(toks: Column, buckets: Int): Column =
     ColumnBridge.column(FeatureBucketsExpr(ColumnBridge.expression(toks), buckets))
+
+  /** Column wrapper: hashed-linear margin of a bucket array against a
+    * frozen weight vector (one codegen'd kernel call per row). */
+  def weightSumCol(bks: Column, weights: Array[Long]): Column =
+    ColumnBridge.column(WeightSumExpr(ColumnBridge.expression(bks), weights))
 
   /** One digest instance per thread: getInstance per ROW would pay a JCA
     * provider lookup + allocation on the hot scan path; the per-feature
@@ -123,4 +150,50 @@ object ScoringExprs {
       v % 2001L - 1000L
     }
   }
+}
+
+/** Codegen'd hashed-linear margin: `Σ_b weights[b]` over a row's feature
+  * bucket array — the serving/training inner loop of
+  * [[graft.llm.Scoring]] (`scoreWithWeights`, `trainLogistic`'s
+  * per-round margin). The HOF reference form (`aggregate(bks, 0L,
+  * (acc, b) => acc + element_at(weights, (b + 1).cast("int")))`)
+  * computes bit-identical values — ScoringSpec asserts the equivalence —
+  * but runs an interpreted lambda dispatch plus a literal-array
+  * element_at per FEATURE per row, re-entered every GD round. This
+  * kernel is one primitive loop over the bucket array against a
+  * reference-object long[], with the HOF form's exact semantics: Long
+  * addition wraps identically, a null bucket element nulls the whole
+  * margin, an out-of-range bucket id routes through element_at's
+  * contract (negative from the end, past-the-end null, 0 throws). */
+case class WeightSumExpr(child: Expression, weights: Array[Long])
+  extends UnaryExpression {
+
+  require(weights.nonEmpty, "weight_sum: empty weight vector")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "weight_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    ScoringExprs.weightSum(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Long $r = graft.plans.ScoringExprs.weightSum($arr, $w);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WeightSumExpr =
+    copy(child = newChild)
 }

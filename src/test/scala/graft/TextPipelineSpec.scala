@@ -10,6 +10,38 @@ class TextPipelineSpec extends SparkSpecBase {
 
   // ---- repetitionStats ------------------------------------------------
 
+  test("weight_sum kernel is bit-identical to the aggregate-HOF margin it replaced") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(200)
+    val buckets = 1024
+    val rng = new scala.util.Random(7)
+    // adversarial weights: big magnitudes so Long wraparound paths match too
+    val w = Array.fill(buckets)(rng.nextLong() / (buckets * 4))
+    val bks = docs
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        graft.plans.ScoringExprs.featureBuckets($"toks", buckets).as("bks"))
+    val wl = lit(w)
+    val hof = bks.select($"doc_id",
+      aggregate($"bks", lit(0L),
+        (acc, b) => acc + element_at(wl, (b + 1).cast("int"))).as("s"))
+    val kern = bks.select($"doc_id",
+      graft.plans.ScoringExprs.weightSumCol($"bks", w).as("s"))
+    assert(kern.orderBy("doc_id").collect().map(r => (r.get(0), r.get(1))).toSeq ==
+      hof.orderBy("doc_id").collect().map(r => (r.get(0), r.get(1))).toSeq)
+    // out-of-range bucket ids null the margin exactly like element_at
+    val weird = spark.createDataFrame(
+      Seq((1L, Seq(0L, 5000L)), (2L, Seq(3L))))
+      .toDF("doc_id", "bks")
+    val hofW = weird.select(aggregate($"bks", lit(0L),
+      (acc, b) => acc + element_at(wl, (b + 1).cast("int"))))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    val kernW = weird.select(
+        graft.plans.ScoringExprs.weightSumCol($"bks", w))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(hofW.toSeq == kernW.toSeq)
+  }
+
   test("repetitionStats: hand-computed metrics on a tiny corpus") {
     val docs = Seq(
       (1L, "a a a a"),            // max repetition
