@@ -375,10 +375,12 @@ object Dedup {
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc"), col("sig"))).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    // agreement through the codegen'd kernel — bit-identical to the
+    // aggregate(zip_with(...)) HOF it replaced (DedupSpec), minus two
+    // interpreted lambda dispatches per signature position per pair
     val pairExpr = bucketPairExpr("est_jaccard", (x, y) =>
-      (aggregate(zip_with(x.getField("sig"), y.getField("sig"),
-          (p, q) => when(p === q, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / k))
+      graft.plans.TextExprs.minhashAgreement(
+        x.getField("sig"), y.getField("sig")).cast("double") / k)
     members
       .select(explode(pairExpr).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
@@ -503,9 +505,9 @@ object Dedup {
             "score with the build parameters")
       }
     val est = (m: Column) =>
-      aggregate(zip_with(m.getField("sig"), col("sig"),
-          (p, q) => when(p === q, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / k
+      // same codegen'd agreement kernel as minhashNearDupPairs
+      graft.plans.TextExprs.minhashAgreement(
+        m.getField("sig"), col("sig")).cast("double") / k
     val matched = bandedSignatures(incoming, idCol, textCol, bands, rowsPerBand, shingleN)
       .join(index, Seq("band", "bucket"))
       .filter(exists(col("members"), m => est(m) >= threshold))

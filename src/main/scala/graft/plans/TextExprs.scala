@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Codegen'd fingerprint kernels over a 64-bit hash array column — the
   * per-document inner loops of MinHash and SimHash.
@@ -455,6 +455,12 @@ object TextExprs {
   def minhashSignature(hashArr: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(hashArr), k))
 
+  /** Position-agreement count of two MinHash signature columns (the
+    * LSH verify inner loop). */
+  def minhashAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(MinhashAgreementExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** 64-bit majority-vote SimHash of a hash array column. */
   def simhash64(hashArr: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashArr)))
@@ -468,4 +474,57 @@ object TextExprs {
     * min per w-window). */
   def rollingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(RollingFingerprintsExpr(ColumnBridge.expression(text), k, w))
+}
+
+/** Codegen'd MinHash agreement count: positions where two ARRAY<LONG>
+  * signatures carry the same minimum — the per-candidate-pair verify
+  * loop of the banded-LSH dedup family ([[graft.llm.Dedup]]
+  * minhashNearDupPairs / incrementalNearDedupe). The HOF reference form
+  * (`aggregate(zip_with(a, b, (p, q) => when(p === q, 1).otherwise(0)),
+  * 0, _ + _)`) computes bit-identical counts — DedupSpec asserts it —
+  * but allocates the zipped intermediate and dispatches two interpreted
+  * lambdas per position PER CANDIDATE PAIR. This kernel is one primitive
+  * loop; semantics match the HOF exactly: ragged lengths contribute 0
+  * beyond the overlap (zip_with's null padding routes to `otherwise(0)`),
+  * null elements contribute 0 (`null === x` is null), and the count is
+  * Int like the HOF's accumulator. */
+case class MinhashAgreementExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "minhash_agreement"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    MinhashAgreementExpr.count(a, b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.MinhashAgreementExpr.count($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashAgreementExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashAgreementExpr {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
 }

@@ -93,6 +93,35 @@ class DedupSpec extends SparkSpecBase {
     sh.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("minhash_agreement kernel is bit-identical to the aggregate(zip_with) HOF form") {
+    val sigs = corpus
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id", TextFns.shingleHashes($"toks").as("hs"))
+      .filter(size($"hs") > 0)
+      .select($"doc_id", graft.plans.TextExprs.minhashSignature($"hs", 32).as("sig"))
+    val pairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id").limit(500)
+    val both = pairs.select(
+      graft.plans.TextExprs.minhashAgreement($"a.sig", $"b.sig").as("fast"),
+      aggregate(zip_with($"a.sig", $"b.sig",
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("ref")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // ragged lengths: positions beyond the overlap contribute 0, like
+    // zip_with's null padding through otherwise(0)
+    val ragged = spark.createDataFrame(Seq(
+        (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)),
+        (Seq(1L, 9L), Seq(1L, 2L, 3L))))
+      .toDF("x", "y")
+    val rr = ragged.select(
+      graft.plans.TextExprs.minhashAgreement($"x", $"y").as("fast"),
+      aggregate(zip_with($"x", $"y",
+          (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("ref")).collect()
+    rr.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("popcount64 agrees with java.lang.Long.bitCount on edge values") {
     val vals = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue, 0x123456789abcdefL)
     val df = vals.toDF("v").select(TextFns.popcount64(col("v")).as("pc"))
